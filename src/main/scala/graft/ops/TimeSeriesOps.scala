@@ -125,9 +125,9 @@ object TimeSeriesOps {
     * whatever remains (reference W12: X.ffill().fillna(0.0),
     * model/vesc_dataset.py:134-137).
     */
-  def forwardFill(df: DataFrame, key: Seq[String], order: Column,
+  def forwardFill(df: DataFrame, key: Seq[String], order: Seq[Column],
                   valueCols: Seq[String], zeroFill: Boolean = false): DataFrame = {
-    val w = Window.partitionBy(key.map(col): _*).orderBy(order)
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     valueCols.foldLeft(df) { (acc, c) =>
       val filled = last(col(c), ignoreNulls = true).over(w)

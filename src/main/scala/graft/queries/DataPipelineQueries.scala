@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{DedupOps, EmbeddingOps, TextOps}
+
+/** Large-scale training-data pipeline operators (dedup, similarity search,
+  * text analysis) over the `documents` / `embeddings` tables, each with a
+  * DuckDB oracle mirroring the exact same arithmetic.
+  */
+object DataPipelineQueries extends QueryPack {
+
+  private val SIMHASH_BITS = 60
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: one hash-aggregate on the content key.
+    "dedup_exact" -> ((s, dir) => {
+      DedupOps.exactGroups(Tables.documents(s, dir), "doc_id", col("text"))
+        .select(col("canonical_id"), col("group_size"))
+        .orderBy(col("canonical_id"))
+    }),
+
+    // MinHash + LSH candidate pairs (8 salted-md5 hashes, 4 bands × 2 rows).
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      DedupOps.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 8, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Word-3-gram Jaccard for every pair sharing a shingle (shingle-keyed
+    // self-join — never a cross join).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      DedupOps.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3)
+        .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash fingerprints (60-bit, md5-derived token hashes — stable across
+    // engines, one aggregation pass, no row blow-up).
+    "dedup_simhash" -> ((s, dir) => {
+      TextOps.simhash(Tables.documents(s, dir), "doc_id", "text", SIMHASH_BITS)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting + distinct-token stats.
+    "text_tokens" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          length(col("text")).as("n_chars_measured"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: stopword ratio + length-normalized score.
+    "text_quality" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val stops = TextOps.tokenHits(col("text"), Seq("the", "a", "of", "and"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (stops.cast("double") / size(toks).cast("double")).as("stop_ratio"),
+          (stops.cast("double") / size(toks).cast("double") * 0.5 +
+            least(size(toks), lit(100)).cast("double") / 100.0 * 0.5).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic: marker-word hit counts with a deterministic
+    // argmax chain.
+    "text_langid" -> ((s, dir) => {
+      val en = TextOps.tokenHits(col("text"), Seq("the", "a", "of", "and"))
+      val es = TextOps.tokenHits(col("text"), Seq("el", "la", "de", "y"))
+      val zh = TextOps.tokenHits(col("text"), Seq("de", "shi", "le", "zai"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), en.as("en_hits"), es.as("es_hits"), zh.as("zh_hits"))
+        .withColumn("lang_pred",
+          when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("zh_hits"), "en")
+            .when(col("es_hits") >= col("zh_hits"), "es")
+            .otherwise("zh"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Canonical-form document fingerprint (md5 of normalized text).
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Brute-force cosine top-5: queries = vec_id < 10 (broadcast), corpus =
+    // the rest; exact baseline for ANN.
+    "embed_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      EmbeddingOps.bruteForceTopK(
+          emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF-style bucketed ANN: probe only the query's coarse cluster
+    // (`label` plays the IVF centroid assignment).
+    "embed_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      EmbeddingOps.ivfTopK(
+          emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Per-cluster mean L2 norm (array aggregation exercise).
+    "embed_norms" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .groupBy(col("label"))
+        .agg((floor(avg(EmbeddingOps.l2Norm(col("embedding"))) * 10000 + lit(0.5)) / 10000.0)
+          .as("mean_norm"), count(lit(1)).as("n"))
+        .orderBy(col("label"))
+    }))
+
+  // ---- oracle SQL ----
+
+  private val tokSql = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  /** doc_id → distinct word-3-gram shingles (mirrors TextOps.shingles). */
+  private val shingleSql =
+    s"""tok AS (SELECT doc_id, $tokSql AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |  FROM tok, (SELECT unnest(generate_series(1, 200)) AS i) g
+       |  WHERE i + 2 <= len(ws))""".stripMargin
+
+  private val minhashSigSql = {
+    val aggs = (0 until 8)
+      .map(i => s"min(md5('$i:' || s)) AS mh$i").mkString(", ")
+    s"""sig AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id)"""
+  }
+
+  private val simhashSumsSql = (0 until SIMHASH_BITS)
+    .map(b => s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+    .mkString(", ")
+  private val simhashAsmSql = (0 until SIMHASH_BITS)
+    .map(b => s"CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+    .mkString(" + ")
+
+  /** Pairwise double-cast dot/cosine over unnested dims (dim join). */
+  private def cosineTopkSql(k: Int, clusterCond: String): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+       |    FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
+       |p AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    sum(CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS dp,
+       |    sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS qn,
+       |    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS cn
+       |  FROM q JOIN c ON $clusterCond
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+       |  GROUP BY q.query_id, c.vec_id),
+       |r AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    floor((dp / (qn * cn)) * 10000 + 0.5) / 10000.0 AS score
+       |  FROM p),
+       |t AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM r)
+       |SELECT query_id, rank, neighbor_id, score FROM t WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  override val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS group_size
+        |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleSql,
+         |$minhashSigSql,
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b
+         |    ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+         |    ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+         |    ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+         |    ON a.mh6 = b.mh6 AND a.mh7 = b.mh7 AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleSql,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, shared,
+         |  CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+         |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest($tokSql) AS t FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS th FROM tok),
+         |sums AS (SELECT doc_id, $simhashSumsSql FROM h GROUP BY doc_id)
+         |SELECT doc_id, $simhashAsmSql AS simhash FROM sums
+         |ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id, len($tokSql) AS n_tokens,
+         |  len(list_distinct($tokSql)) AS n_distinct,
+         |  length(text) AS n_chars_measured
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    len(list_filter($tokSql, x -> x IN ('the','a','of','and'))) AS stops,
+         |    len($tokSql) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(stops AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         |  CAST(stops AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5 +
+         |    CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.5 AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    len(list_filter($tokSql, x -> x IN ('the','a','of','and'))) AS en_hits,
+         |    len(list_filter($tokSql, x -> x IN ('el','la','de','y'))) AS es_hits,
+         |    len(list_filter($tokSql, x -> x IN ('de','shi','le','zai'))) AS zh_hits
+         |  FROM documents)
+         |SELECT doc_id, en_hits, es_hits, zh_hits,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= zh_hits THEN 'en'
+         |       WHEN es_hits >= zh_hits THEN 'es'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "embed_cosine_topk" -> cosineTopkSql(5, "TRUE"),
+    "embed_ann_ivf" -> cosineTopkSql(3, "c.label = q.qlabel"),
+    "embed_norms" ->
+      """WITH n AS (SELECT label,
+        |    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY label, vec_id)
+        |SELECT label, floor(avg(nrm) * 10000 + 0.5) / 10000.0 AS mean_norm,
+        |  count(*) AS n
+        |FROM n GROUP BY label ORDER BY label""".stripMargin
+  )
+}

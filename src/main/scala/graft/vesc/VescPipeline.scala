@@ -1,0 +1,49 @@
+package graft.vesc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipelines — the reference's three entry points (SURVEY §3)
+  * as single lazy DataFrame DAGs. The reference materializes CSV between
+  * stages (app.py:113-120); here Catalyst plans the whole flow at once and
+  * the only exchanges are the per-ride shuffle (resample + windows share
+  * it) and the final tiny display aggregation.
+  */
+object VescPipeline {
+
+  /** Production analysis (reference app.py:354-366): raw log(s) → scored,
+    * conflict-suppressed, display-downsampled behavior timeline.
+    */
+  def analyze(spark: SparkSession, rawPaths: Seq[String],
+              weights: CnnScorer.CnnWeights,
+              mean: Array[Double], std: Array[Double]): DataFrame = {
+    val raw = RawLogReader.readProd(spark, rawPaths)
+    val grid = Resampler.prodResample(raw.withColumn("ride_id",
+      coalesce(col("ride_id"), lit("prod"))))
+    val windows = WindowAssembler.assemble(
+      grid.withColumn("ride_id", lit("prod")))
+    val scored = CnnScorer.score(windows, weights, mean, std)
+    Postprocess.displayTimeline(scored)
+  }
+
+  /** Training preprocessing (reference training_preprocessing.py:280-324):
+    * raw log(s) → 10 Hz processed table (cf_* all null).
+    */
+  def preprocessTraining(spark: SparkSession, rawPaths: Seq[String],
+                         rideId: Option[String] = None): DataFrame =
+    Resampler.trainingResample(RawLogReader.readTraining(spark, rawPaths, rideId))
+
+  /** Annotation application (reference
+    * training_apply_behavior_annotations.py:103-122): processed log +
+    * Label Studio export → labeled table with exclusivity rules applied.
+    * Annotations here use absolute `ts_pst` timestamps (the form the
+    * shipped fixtures were labeled with).
+    */
+  def applyAnnotations(spark: SparkSession, processed: DataFrame,
+                       annotationCsv: String): DataFrame = {
+    val annos = Annotations.readAnnotations(spark, annotationCsv)
+    val labeled = Annotations.applyRanges(
+      processed, annos, unix_micros(col("ts_pst")))
+    ExclusivityRules(labeled)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: images / audio / video ride as opaque
+  * `binary` columns with typed metadata structs, processed by partition-wise
+  * batch functions (the Scala analog of `mapInPandas` — one JVM call per
+  * batch of rows, vectorizable inside).
+  *
+  * The actual codec work (JPEG decode, resample, frame-sample) needs native
+  * libraries that are intentionally NOT part of this engine; the decode
+  * hook is pluggable and the default is a deterministic stub that derives
+  * "features" from the bytes, so the Spark-side contract — schema, batch
+  * shape, partitioning, null behavior — is real and tested end-to-end.
+  */
+object MultimodalOps {
+
+  /** Canonical metadata for an opaque media blob. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType),
+    StructField("sha_hex", StringType)))
+
+  /** Attach metadata to a binary column: byte length + content hash + mime
+    * guess from magic bytes. Pure expressions — stays in codegen.
+    */
+  def withMediaMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn(binCol + "_meta", struct(
+      when(hex(substring(col(binCol), 1, 2)) === "FFD8", "image/jpeg")
+        .when(hex(substring(col(binCol), 1, 4)) === "89504E47", "image/png")
+        .otherwise("application/octet-stream").as("mime"),
+      octet_length(col(binCol)).cast("long").as("n_bytes"),
+      sha2(col(binCol), 256).as("sha_hex")))
+
+  /** A decode hook: bytes → fixed-size feature vector. */
+  type Decoder = Array[Byte] => Array[Float]
+
+  /** Deterministic stand-in for a real image/audio decoder (the container
+    * has no codec libs): hashes byte windows into a `dim`-length vector.
+    * Replace with a real codec-backed decoder in production.
+    */
+  def stubDecoder(dim: Int): Decoder = (bytes: Array[Byte]) => {
+    val out = new Array[Float](dim)
+    if (bytes.nonEmpty) {
+      var i = 0
+      while (i < bytes.length) {
+        out(i % dim) += (bytes(i) & 0xff) / 255.0f
+        i += 1
+      }
+      var d = 0
+      while (d < dim) { out(d) = out(d) / (bytes.length / dim.toFloat + 1f); d += 1 }
+    }
+    out
+  }
+
+  /** Partition-wise decode of a binary column into an `array<float>`
+    * feature column — the mapInPandas-shaped seam: the decoder is invoked
+    * once per row inside a partition iterator, so a vectorized/native
+    * implementation amortizes setup per partition, not per row.
+    */
+  def decodeFeatures(df: DataFrame, binCol: String, dim: Int,
+                     decoder: Decoder = null): DataFrame = {
+    val dec = Option(decoder).getOrElse(stubDecoder(dim))
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField(binCol + "_features", ArrayType(FloatType), nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val feats = if (bytes == null) null else dec(bytes).toSeq
+        Row.fromSeq(row.toSeq :+ feats)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+import graft.vesc.VescSchema
+
+/** Structured Streaming mode (SURVEY §2.11): the batch operators re-expressed
+  * over unbounded input. The reference has no streaming — each upload re-runs
+  * the batch pipeline (application/app.py:354-366); here the upload directory
+  * becomes a file source and the per-ride resampler becomes keyed state.
+  */
+object StreamingPipeline {
+
+  /** File-source stream over an uploads directory of raw semicolon CSVs
+    * (reference S10). Schema must be supplied — streaming sources cannot
+    * infer.
+    */
+  def readRawStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream
+      .option("sep", ";")
+      .option("header", "true")
+      .schema(schema)
+      .csv(dir)
+      .withColumn("ride_id",
+        coalesce(regexp_extract(input_file_name(), "ride[\\s_-]*log[\\s_-]*(\\d+)", 1),
+          lit("unknown")))
+
+  /** Event-time sliding windows with watermark (reference W11 in streaming
+    * form): 3 s window / 500 ms slide per ride, late data beyond the
+    * watermark dropped (the batch reference simply sorts + dedups — P6/W1 —
+    * i.e. ignores lateness entirely).
+    */
+  def slidingCounts(events: DataFrame, tsCol: String, watermark: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col("ride_id"), window(col(tsCol), "3 seconds", "500 milliseconds"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("win_avg"))
+
+  // ---- stateful 10 Hz resampler ----
+
+  final case class Sample(rideId: String, ms: Long, value: Double)
+  final case class GridRow(rideId: String, ms: Long, value: Option[Double], interpolated: Boolean)
+
+  /** Per-ride resampler state: the last emitted grid position and the last
+    * real sample carried across micro-batches.
+    */
+  final case class ResampleState(lastRealMs: Long, lastRealValue: Double, nextGridMs: Long)
+
+  /** Emit 100 ms grid rows between consecutive real samples as they arrive;
+    * gaps > maxGapMs yield null rows (the batch pipeline's voiding,
+    * expressed incrementally). Buffering is O(1) per ride — the streaming
+    * replacement for the batch pipeline's unbounded-both-directions
+    * interpolation is forward-only interpolation between the retained last
+    * sample and each newly arrived one, which is exact for in-order data
+    * and bounded-state by construction.
+    */
+  def resampleFlatMap(stepMs: Long = VescSchema.StepMs,
+                      maxGapMs: Double = VescSchema.MaxGapMs)(
+      rideId: String, samples: Iterator[Sample],
+      state: GroupState[ResampleState]): Iterator[GridRow] = {
+    val sorted = samples.toSeq.sortBy(s => (s.ms))
+    if (sorted.isEmpty) return Iterator.empty
+    val out = scala.collection.mutable.ArrayBuffer[GridRow]()
+    var st = state.getOption.getOrElse {
+      val first = sorted.head
+      out += GridRow(rideId, first.ms, Some(first.value), interpolated = false)
+      ResampleState(first.ms, first.value, first.ms + stepMs)
+    }
+    val rest = if (state.exists) sorted else sorted.tail
+    for (s <- rest; if s.ms > st.lastRealMs) {
+      val span = s.ms - st.lastRealMs
+      var g = st.nextGridMs
+      while (g < s.ms) {
+        val v =
+          if (span > maxGapMs) None
+          else Some(st.lastRealValue +
+            (s.value - st.lastRealValue) * ((g - st.lastRealMs).toDouble / span))
+        out += GridRow(rideId, g, v, interpolated = true)
+        g += stepMs
+      }
+      if (g == s.ms) {
+        out += GridRow(rideId, g, Some(s.value), interpolated = false)
+        g += stepMs
+      }
+      st = ResampleState(s.ms, s.value, g)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Wire the stateful resampler over a stream of samples. */
+  def resampleStream(samples: org.apache.spark.sql.Dataset[Sample])
+                    (implicit spark: SparkSession): org.apache.spark.sql.Dataset[GridRow] = {
+    import spark.implicits._
+    samples
+      .groupByKey(_.rideId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        resampleFlatMap())
+  }
+}

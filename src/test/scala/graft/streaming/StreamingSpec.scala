@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSuite
+import StreamingPipeline.{GridRow, Sample}
+
+/** Streaming-mode tests: the stateful 10 Hz resampler over a MemoryStream,
+  * exercised across multiple micro-batches (state carries between batches).
+  */
+class StreamingSpec extends SparkSuite {
+
+  test("stateful resampler emits the grid incrementally across batches") {
+    implicit val s = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Sample]
+    val q = StreamingPipeline.resampleStream(input.toDS())
+      .writeStream.format("memory").queryName("grid_out")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(Sample("r1", 0L, 0.0), Sample("r1", 200L, 2.0))
+    q.processAllAvailable()
+    input.addData(Sample("r1", 300L, 3.0), Sample("r1", 700L, 7.0))
+    q.processAllAvailable()
+
+    val out = spark.table("grid_out").as[GridRow].collect()
+      .sortBy(_.ms).toList
+    q.stop()
+
+    // grid: 0(real) 100(interp 1.0) 200(real) 300(real) 400..600(interp,
+    // span 400 > 250 → voided) 700(real)
+    assert(out.map(_.ms) == List(0L, 100L, 200L, 300L, 400L, 500L, 600L, 700L))
+    val byMs = out.map(r => r.ms -> r.value).toMap
+    assert(byMs(0L).contains(0.0))
+    assert(byMs(100L).exists(v => math.abs(v - 1.0) < 1e-12))
+    assert(byMs(200L).contains(2.0))
+    assert(byMs(300L).contains(3.0))
+    assert(byMs(400L).isEmpty && byMs(500L).isEmpty && byMs(600L).isEmpty)
+    assert(byMs(700L).contains(7.0))
+    assert(out.count(!_.interpolated) == 4)
+  }
+
+  test("sliding window aggregation over a bounded stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("ride_id", "ts", "value")
+    val q = StreamingPipeline.slidingCounts(df, "ts")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    input.addData(("r1", at(0), 1.0), ("r1", at(1000), 2.0), ("r1", at(2000), 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the early windows
+    input.addData(("r1", at(60000), 0.0))
+    q.processAllAvailable()
+    val n = spark.table("win_out").count()
+    q.stop()
+    // each event lands in 6 sliding windows (3 s / 500 ms)
+    assert(n > 0, "closed windows should have been emitted")
+  }
+}

@@ -25,10 +25,18 @@ object DedupOps {
     * of the salted digests over the document's distinct shingles. One
     * hash-aggregate pass computes all `numHashes` mins.
     */
+  /** doc → exploded distinct shingle rows (id, __sh) — tokens materialized
+    * first so the regex split runs once per document.
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int): DataFrame =
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(array_distinct(TextOps.shinglesOf(col("__toks"), shingleN))).as("__sh"))
+
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(array_distinct(TextOps.shingles(col(textCol), shingleN))).as("__sh"))
+    val sh = shingleRows(df, idCol, textCol, shingleN)
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("__sh")))).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -47,10 +55,14 @@ object DedupOps {
     val sig = minhashSignature(df, idCol, textCol, shingleN, numHashes)
     val bandKey = (b: Int) => concat_ws("|",
       (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+    // persisted: both sides of the self-join consume it — without this the
+    // full shingle+hash pipeline runs twice (at corpus scale you'd
+    // checkpoint signatures to a table; this is the in-session equivalent)
     val bandTable = sig.select(col(idCol),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band_idx"), bandKey(b).as("band_key"))): _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bandTable.alias("a")
     val b = bandTable.alias("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
@@ -66,8 +78,8 @@ object DedupOps {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(array_distinct(TextOps.shingles(col(textCol), shingleN))).as("__sh"))
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val a = sh.alias("a")
     val b = sh.alias("b")

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Remaining SURVEY §2 operators not covered by the other packs: window
+  * label means / validity (A2/A3), weighted epoch loss (A10), array pooling
+  * (A12), sorted-distinct (O2), deterministic splits (M5), duration parse /
+  * format scalar functions (F5/F6/F13/F14), multimodal binary metadata.
+  */
+object ExtraQueries extends QueryPack {
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2+A3: per-(user, 10-min bucket) null-ignoring label mean with
+    // all-null → 0.0, plus finite-cell validity ratio (reference
+    // model/vesc_dataset.py:114-117,150-155).
+    "a2_label_mean_a3_valid" -> ((s, dir) => {
+      val conf = when(col("event_type") === "purchase", col("value") / 20)
+      Tables.events(s, dir)
+        .withColumn("bucket", expr("unix_micros(ts) div 600000000"))
+        .withColumn("conf", conf)
+        .groupBy(col("user_id"), col("bucket"))
+        .agg(
+          round(coalesce(sum(col("conf")), lit(0.0)) /
+            greatest(count(col("conf")), lit(1L)).cast("double"), 4).as("label_mean"),
+          round(count(col("value")).cast("double") / count(lit(1)).cast("double"), 4)
+            .as("valid_ratio"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
+    // A10: epoch loss — weighted mean of per-batch losses by labeled count
+    // (reference model/model_training.py:115-139): weight = json k field.
+    "a10_weighted_loss" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(round(sum(col("value") * col("k")) / sum(col("k")), 4).as("weighted_loss"),
+          sum(col("k")).as("total_w"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A12: per-row global average pool over the embedding array (reference
+    // AdaptiveAvgPool1d, model/model_training.py:93) then grouped.
+    "a12_mean_pool" -> ((s, dir) => {
+      val pool = aggregate(transform(col("embedding"), x => x.cast("double")),
+        lit(0.0), (acc, x) => acc + x) / size(col("embedding")).cast("double")
+      Tables.embeddings(s, dir)
+        .withColumn("pooled", floor(pool * 10000 + lit(0.5)) / 10000.0)
+        .select(col("vec_id"), col("pooled"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // O2: sorted-distinct value list (reference model/data_utils.py:15).
+    "o2_sorted_distinct" -> ((s, dir) => {
+      Tables.events(s, dir).select(col("event_type")).distinct()
+        .orderBy(col("event_type"))
+    }),
+
+    // M5: deterministic whole-key split assignment, no leakage (reference
+    // model/build_data_splits.py:6-41) — every user lands in exactly one
+    // split by key hash (modulo here for portability).
+    "m5_split_by_key" -> ((s, dir) => {
+      val split = when(pmod(col("user_id"), lit(10)) === 0, "test")
+        .when(pmod(col("user_id"), lit(10)) === 1, "val")
+        .otherwise("train")
+      Tables.events(s, dir)
+        .withColumn("split", split)
+        .groupBy(col("split"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy(col("split"))
+    }),
+
+    // F5/F6: duration-string parse ("+H:MM:SS.s" forms, leading + stripped,
+    // reference training_apply_behavior_annotations.py:5,19-24) — built
+    // from the f7-style formatter and round-tripped back to millis.
+    "f5_duration_parse" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      val ev = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")) - min(unix_micros(col("ts"))).over(w))
+        .withColumn("vts", expr(
+          "printf('+%02d:%02d:%02d.%d', us div 3600000000, (us div 60000000) % 60, (us div 1000000) % 60, (us div 100000) % 10)"))
+      val stripped = regexp_replace(col("vts"), "^\\+", "")
+      val parts = split(stripped, ":")
+      val secParts = split(element_at(parts, 3), "\\.")
+      val parsedMs = (element_at(parts, 1).cast("long") * 3600000L +
+        element_at(parts, 2).cast("long") * 60000L +
+        element_at(secParts, 1).cast("long") * 1000L +
+        element_at(secParts, 2).cast("long") * 100L)
+      ev.withColumn("parsed_ms", parsedMs)
+        .withColumn("roundtrip_ok", col("parsed_ms") === expr("(us div 100000) * 100"))
+        .select(col("event_id"), col("parsed_ms"), col("roundtrip_ok"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F13/F14: mm:ss axis formatting of seconds-from-start (reference
+    // application/app.py:156-168).
+    "f13_mmss_axis" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .withColumn("tsec",
+          ((unix_micros(col("ts")) - min(unix_micros(col("ts"))).over(w)) / lit(1000000L)).cast("long"))
+        .withColumn("axis", expr("printf('%d:%02d', tsec div 60, tsec % 60)"))
+        .groupBy(col("user_id"))
+        .agg(max(col("axis")).as("max_axis"), count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Multimodal metadata over binary columns: byte length + sha256 of the
+    // utf-8 encoded text blob (decode stub is ScalaTest-covered; this is
+    // the schema/metadata contract).
+    "mm_binary_meta" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("blob", encode(col("text"), "UTF-8").cast("binary"))
+        .select(col("doc_id"),
+          octet_length(col("blob")).cast("long").as("n_bytes"),
+          lower(sha2(col("blob"), 256)).as("sha_hex"))
+        .orderBy(col("doc_id"))
+    }))
+
+  override val oracle: Map[String, String] = Map(
+    "a2_label_mean_a3_valid" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) // 600000000 AS bucket, value,
+        |    CASE WHEN event_type='purchase' THEN value/20 END AS conf
+        |  FROM events)
+        |SELECT user_id, bucket,
+        |  round(coalesce(sum(conf), 0.0) /
+        |    CAST(greatest(count(conf), 1) AS DOUBLE), 4) AS label_mean,
+        |  round(CAST(count(value) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        |    AS valid_ratio,
+        |  count(*) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin,
+    "a10_weighted_loss" ->
+      """SELECT event_type,
+        |  round(sum(value * CAST(json_extract_string(props,'$.k') AS BIGINT)) /
+        |    sum(CAST(json_extract_string(props,'$.k') AS BIGINT)), 4) AS weighted_loss,
+        |  sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS total_w
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a12_mean_pool" ->
+      """WITH t AS (SELECT vec_id, sum(CAST(embedding[i] AS DOUBLE)) AS s,
+        |    count(*) AS n
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY vec_id)
+        |SELECT vec_id, floor((s / n) * 10000 + 0.5) / 10000.0 AS pooled
+        |FROM t ORDER BY vec_id""".stripMargin,
+    "o2_sorted_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "m5_split_by_key" ->
+      """WITH t AS (SELECT *, CASE WHEN user_id % 10 = 0 THEN 'test'
+        |    WHEN user_id % 10 = 1 THEN 'val' ELSE 'train' END AS split
+        |  FROM events)
+        |SELECT split, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM t GROUP BY split ORDER BY split""".stripMargin,
+    "f5_duration_parse" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id) AS us
+        |  FROM events),
+        |v AS (SELECT event_id, us,
+        |    printf('+%02d:%02d:%02d.%d', us // 3600000000, (us // 60000000) % 60,
+        |      (us // 1000000) % 60, (us // 100000) % 10) AS vts
+        |  FROM e),
+        |p AS (SELECT event_id, us,
+        |    string_split(regexp_replace(vts, '^\+', ''), ':') AS parts
+        |  FROM v),
+        |x AS (SELECT event_id, us, parts,
+        |    string_split(parts[3], '.') AS sec_parts
+        |  FROM p)
+        |SELECT event_id,
+        |  CAST(parts[1] AS BIGINT) * 3600000 + CAST(parts[2] AS BIGINT) * 60000 +
+        |    CAST(sec_parts[1] AS BIGINT) * 1000 + CAST(sec_parts[2] AS BIGINT) * 100
+        |    AS parsed_ms,
+        |  (CAST(parts[1] AS BIGINT) * 3600000 + CAST(parts[2] AS BIGINT) * 60000 +
+        |    CAST(sec_parts[1] AS BIGINT) * 1000 + CAST(sec_parts[2] AS BIGINT) * 100)
+        |    = (us // 100000) * 100 AS roundtrip_ok
+        |FROM x ORDER BY event_id""".stripMargin,
+    "f13_mmss_axis" ->
+      """WITH t AS (SELECT event_id, user_id,
+        |    (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+        |      // 1000000 AS tsec
+        |  FROM events)
+        |SELECT user_id, max(printf('%d:%02d', tsec // 60, tsec % 60)) AS max_axis,
+        |  count(*) AS n
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS sha_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

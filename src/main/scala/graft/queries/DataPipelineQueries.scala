@@ -37,9 +37,15 @@ object DataPipelineQueries extends QueryPack {
     }),
 
     // SimHash fingerprints (60-bit, md5-derived token hashes — stable across
-    // engines, one aggregation pass, no row blow-up).
+    // engines) via the native Catalyst expression graft.functions.SimHash64:
+    // one scan-side projection, no explode, no shuffle. The aggregate
+    // formulation (TextOps.simhash) computes the same values and is
+    // equality-tested against this in SimHash64Spec.
     "dedup_simhash" -> ((s, dir) => {
-      TextOps.simhash(Tables.documents(s, dir), "doc_id", "text", SIMHASH_BITS)
+      graft.functions.SimHash64.register(s, SIMHASH_BITS)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .selectExpr("doc_id", "simhash64(__toks) AS simhash")
         .orderBy(col("doc_id"))
     }),
 

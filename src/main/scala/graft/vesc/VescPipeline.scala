@@ -11,6 +11,33 @@ import org.apache.spark.sql.functions._
   */
 object VescPipeline {
 
+  /** Bundled scorer assets (weights exported once from the reference
+    * checkpoint to a neutral parquet table, plus the normalization stats) —
+    * extracted from the classpath so `analyze` works out of the box.
+    */
+  def bundled(spark: SparkSession): (CnnScorer.CnnWeights, Array[Double], Array[Double]) = {
+    def extract(name: String): String = {
+      val in = getClass.getResourceAsStream("/" + name)
+      require(in != null, s"bundled resource $name missing")
+      val tmp = java.nio.file.Files.createTempFile("graft_", name)
+      java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      in.close()
+      tmp.toString
+    }
+    val weights = CnnScorer.loadWeights(spark, extract("cnn_weights.parquet"))
+    val stats = Normalizer.load(spark, extract("norm_stats.parquet"))
+    // channel order must match the assembled window matrix (FeatureCols)
+    val (mean, std) = Normalizer.collectStats(stats, VescSchema.FeatureCols)
+    (weights, mean, std)
+  }
+
+  /** Production analysis with the bundled model. */
+  def analyze(spark: SparkSession, rawPaths: Seq[String]): DataFrame = {
+    val (w, m, s) = bundled(spark)
+    analyze(spark, rawPaths, w, m, s)
+  }
+
   /** Production analysis (reference app.py:354-366): raw log(s) → scored,
     * conflict-suppressed, display-downsampled behavior timeline.
     */

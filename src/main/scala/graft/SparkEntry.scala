@@ -16,7 +16,8 @@ object SparkEntry {
     RelationalQueries,
     TimeSeriesQueries,
     DataPipelineQueries,
-    ExtraQueries
+    ExtraQueries,
+    ScaleQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -221,6 +221,24 @@ object TimeSeriesOps {
             .as(p)): _*)
   }
 
+  /** Gap-based sessionization: rows more than `gapTicks` apart start a new
+    * session (the batch form of `session_window`; an extension beyond the
+    * reference's fixed grid — SURVEY §2.11). Two window passes over the
+    * same (key, tick) sort: lag-diff → boundary flag → running sum =
+    * session ordinal. Linear, one shuffle on the key.
+    */
+  def sessionize(df: DataFrame, key: Seq[String], tick: String,
+                 gapTicks: Long): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(col(tick))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__prev", lag(col(tick), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev").isNull || col(tick) - col("__prev") > gapTicks, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("__new_session")).over(run))
+      .drop("__prev", "__new_session")
+  }
+
   /** Sliding event-time windows (reference W11: 3 s window / 0.5 s stride).
     * Pure built-in: `window()` generates the per-row window copies; the
     * aggregation shuffles on (key, window) with map-side partials.

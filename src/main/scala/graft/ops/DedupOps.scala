@@ -75,10 +75,28 @@ object DedupOps {
   /** n-gram Jaccard similarity for every pair of documents sharing at least
     * one shingle: |A∩B| via a shingle-keyed self-join, |A|/|B| via a
     * broadcast-able per-doc size table; jaccard = shared/(|A|+|B|−shared).
+    *
+    * `maxDf` caps shingle document frequency BEFORE the self-join: a shingle
+    * appearing in df documents produces O(df²) candidate pairs, so one hot
+    * shingle ("the of the") makes its block quadratic at corpus scale.
+    * Dropping high-df shingles is the standard fix — they carry no
+    * near-duplicate signal at any useful Jaccard cutoff. Sizes (and hence
+    * the Jaccard denominator) are computed over the same df-capped shingle
+    * space so the similarity stays a true Jaccard of the retained sets.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, shingleN)
+                        shingleN: Int = 3, maxDf: Int = Int.MaxValue): DataFrame = {
+    val shAll = shingleRows(df, idCol, textCol, shingleN)
+    val shCapped =
+      if (maxDf == Int.MaxValue) shAll
+      else {
+        val rare = shAll.groupBy(col("__sh"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf)
+          .select(col("__sh"))
+        shAll.join(rare, "__sh")
+      }
+    val sh = shCapped
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val a = sh.alias("a")

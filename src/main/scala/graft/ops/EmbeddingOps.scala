@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Vector similarity-search operators over an `array<float>` embedding
@@ -8,14 +9,18 @@ import org.apache.spark.sql.functions._
   * IVF-style bucketed variant as the scale path (probe only the coarse
   * cluster(s) instead of the full corpus).
   *
-  * All arithmetic is higher-order-function expressions (`zip_with` +
-  * `aggregate`) over double-cast elements — codegen'd, no UDFs. The
+  * All scoring arithmetic is higher-order-function expressions (`zip_with`
+  * + `aggregate`) over double-cast elements — codegen'd, no UDFs. The
   * brute-force path broadcasts the (small) query set so the corpus is
-  * scanned exactly once with no shuffle; the top-k is a per-query window
-  * over (corpus × queries) rows, which partial-aggregates before the
-  * final shuffle when expressed as `min_by`-style selection. At 100 TB the
-  * bucketed variant turns the cross product into an equi-join on the
-  * cluster id, cutting the scanned fraction to 1/clusters per query.
+  * scanned exactly once with no shuffle. Top-k selection is a bounded
+  * [[Aggregator]] ([[EmbeddingOps.TopKAgg]]): each task keeps only its k
+  * best candidates per query (map-side partial aggregation), so the
+  * shuffle moves ≤ k·tasks rows per query instead of every scored
+  * (corpus × queries) row — the per-query `row_number` window it replaces
+  * funneled the full scored set into #queries partitions, a few-reducer
+  * bottleneck at corpus scale. At 100 TB the bucketed variant additionally
+  * turns the cross product into an equi-join on the cluster id, cutting
+  * the scanned fraction to 1/clusters per query.
   */
 object EmbeddingOps {
 
@@ -32,6 +37,41 @@ object EmbeddingOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Bounded top-k aggregate over (score, id) pairs: the buffer never holds
+    * more than 2k items before re-trimming, and partial (map-side) buffers
+    * merge by concat + trim, so per-task state is O(k) regardless of group
+    * size. Order: score desc, then id asc — ties deterministic.
+    */
+  class TopKAgg(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (score, id) => (-score, id) }.take(k)
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
+      val appended = b :+ a
+      if (appended.size >= 2 * k) trim(appended) else appended
+    }
+    override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(x ++ y)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Shared tail: group scored rows per query through the bounded top-k
+    * aggregate, then unnest ranks 1..k.
+    */
+  private def takeTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("score"), col(idCol).cast("long")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__item")))
+      .select(col("query_id"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__item._2").as("neighbor_id"), col("__item._1").as("score"))
+  }
+
   /** Exact brute-force cosine top-k: for every query row, the k nearest
     * corpus rows (query set must be small — it is broadcast).
     * Deterministic tie-break on (score desc, corpus id asc) after rounding
@@ -44,12 +84,7 @@ object EmbeddingOps {
     val scored = corpus.join(broadcast(q))
       .withColumn("score",
         floor(cosine(col("__qv"), col(vecCol)) * scale + lit(0.5)) / scale)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("score"))
+    takeTopK(scored, idCol, k)
   }
 
   /** IVF-style approximate top-k: identical scoring, but candidates are
@@ -65,11 +100,6 @@ object EmbeddingOps {
     val scored = corpus.join(broadcast(q), col(clusterCol) === col("__qc"))
       .withColumn("score",
         floor(cosine(col("__qv"), col(vecCol)) * scale + lit(0.5)) / scale)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("score"))
+    takeTopK(scored, idCol, k)
   }
 }

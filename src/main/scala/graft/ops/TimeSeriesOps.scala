@@ -195,11 +195,18 @@ object TimeSeriesOps {
     * training_apply_behavior_annotations.py:13-28).
     * Equi-key + range predicate: Catalyst plans a co-partitioned join when
     * `key` is non-empty; interval tables are typically tiny → broadcast.
+    *
+    * `factKey` must uniquely identify fact rows: the overlap resolution
+    * groups on it alone — narrow, well-typed hash keys — while the
+    * remaining fact columns ride along via `any_value` (they are
+    * functionally dependent on the PK). Grouping by every fact column
+    * would hash wide rows and make double-typed columns grouping keys
+    * (NaN/−0.0 equality hazards).
     */
   def intervalJoinLastWins(fact: DataFrame, intervals: DataFrame,
                            key: Seq[String], tick: String,
                            startCol: String, endCol: String, ordCol: String,
-                           payloadCols: Seq[String],
+                           payloadCols: Seq[String], factKey: Seq[String],
                            broadcastIntervals: Boolean = true): DataFrame = {
     val f = fact.alias("f")
     val i0 = intervals.alias("i")
@@ -209,16 +216,15 @@ object TimeSeriesOps {
     val cond = keyCond &&
       col("f." + tick) >= col("i." + startCol) && col("f." + tick) < col("i." + endCol)
     val joined = f.join(i, cond, "left")
-    val factCols = fact.columns.map(c => col("f." + c))
+    val carried = fact.columns.filterNot(factKey.contains)
+      .map(c => any_value(col("f." + c)).as(c))
+    val resolved = payloadCols.map(p =>
+      max_by(col("i." + p), when(col("i." + ordCol).isNotNull, col("i." + ordCol)))
+        .as(p))
+    val aggs = carried ++ resolved
     joined
-      .groupBy(factCols: _*)
-      .agg(
-        payloadCols.map(p =>
-          max_by(col("i." + p), when(col("i." + ordCol).isNotNull, col("i." + ordCol)))
-            .as(p)).head,
-        payloadCols.tail.map(p =>
-          max_by(col("i." + p), when(col("i." + ordCol).isNotNull, col("i." + ordCol)))
-            .as(p)): _*)
+      .groupBy(factKey.map(c => col("f." + c)): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Gap-based sessionization: rows more than `gapTicks` apart start a new

@@ -12,6 +12,7 @@ import graft.ops.{DedupOps, EmbeddingOps, TextOps}
 object DataPipelineQueries extends QueryPack {
 
   private val SIMHASH_BITS = 60
+  private val MAX_DF = 100 // shingle document-frequency cap for jaccard dedup
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one hash-aggregate on the content key.
@@ -29,9 +30,11 @@ object DataPipelineQueries extends QueryPack {
     }),
 
     // Word-3-gram Jaccard for every pair sharing a shingle (shingle-keyed
-    // self-join — never a cross join).
+    // self-join — never a cross join), with shingles appearing in more than
+    // MAX_DF documents dropped before the join so no block is quadratic.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      DedupOps.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3)
+      DedupOps.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3,
+          maxDf = MAX_DF)
         .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -127,11 +130,16 @@ object DataPipelineQueries extends QueryPack {
 
   private val tokSql = """string_split_regex(trim(lower(text)), '\s+')"""
 
-  /** doc_id → distinct word-3-gram shingles (mirrors TextOps.shingles). */
+  /** doc_id → distinct word-3-gram shingles (mirrors TextOps.shingles).
+    * The position series bound is derived from the data (longest token
+    * list), not a constant, so longer documents in a future sf can't
+    * silently truncate the Spark-vs-oracle shingle sets apart.
+    */
   private val shingleSql =
     s"""tok AS (SELECT doc_id, $tokSql AS ws FROM documents),
        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-       |  FROM tok, (SELECT unnest(generate_series(1, 200)) AS i) g
+       |  FROM tok, (SELECT unnest(generate_series(1,
+       |    (SELECT max(len(ws)) FROM tok))) AS i) g
        |  WHERE i + 2 <= len(ws))""".stripMargin
 
   private val minhashSigSql = {
@@ -194,10 +202,12 @@ object DataPipelineQueries extends QueryPack {
          |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleSql,
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MAX_DF),
+         |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, shared,
          |  CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard

@@ -37,7 +37,8 @@ object ExtraQueries extends QueryPack {
       Tables.events(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy(col("event_type"))
-        .agg(round(sum(col("value") * col("k")) / sum(col("k")), 4).as("weighted_loss"),
+        .agg((floor((sum(col("value") * col("k")) / sum(col("k"))) * 10000 + lit(0.5)) / 10000.0)
+          .as("weighted_loss"),
           sum(col("k")).as("total_w"))
         .orderBy(col("event_type"))
     }),
@@ -134,9 +135,10 @@ object ExtraQueries extends QueryPack {
         |FROM t GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin,
     "a10_weighted_loss" ->
       """SELECT event_type,
-        |  round(sum(value * CAST(json_extract_string(props,'$.k') AS BIGINT)) /
-        |    sum(CAST(json_extract_string(props,'$.k') AS BIGINT)), 4) AS weighted_loss,
-        |  sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS total_w
+        |  floor((sum(value * CAST(json_extract_string(props,'$.k') AS BIGINT)) /
+        |    sum(CAST(json_extract_string(props,'$.k') AS BIGINT))) * 10000 + 0.5)
+        |    / 10000.0 AS weighted_loss,
+        |  CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS total_w
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a12_mean_pool" ->
       """WITH t AS (SELECT vec_id, sum(CAST(embedding[i] AS DOUBLE)) AS s,

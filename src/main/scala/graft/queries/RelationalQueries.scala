@@ -412,11 +412,11 @@ object RelationalQueries extends QueryPack {
     "f1_regex_extract" ->
       """SELECT CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT) AS src_num,
         |  printf('ride_%02d', CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT)) AS src_tag,
-        |  count(*) AS n_docs, sum(n_chars) AS total_chars
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2 ORDER BY src_num""".stripMargin,
     "f9_json_get" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(json_extract_string(props, '$.k')) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "f4_time_format" ->

@@ -47,8 +47,8 @@ object ScaleQueries extends QueryPack {
         |      THEN 1 ELSE 0 END AS new_s
         |  FROM t),
         |g AS (SELECT user_id, us,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM f)
         |SELECT user_id, session_id, count(*) AS n, min(us) AS start_us,
         |  max(us) AS end_us

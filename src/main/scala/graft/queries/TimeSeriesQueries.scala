@@ -50,12 +50,12 @@ object TimeSeriesQueries extends QueryPack {
     Tables.events(s, dir)
       .withColumn("h", expr(s"unix_micros(ts) div $HOUR_US"))
       .groupBy(col("user_id"), col("h"))
-      .agg(round(avg(col("value")), 4).as("hr_avg"))
+      .agg(r4(avg(col("value"))).as("hr_avg"))
 
   private val hourlySql =
-    """SELECT user_id, epoch_us(ts) // 3600000000 AS h,
-      |  round(avg(value),4) AS hr_avg
-      |FROM events GROUP BY 1, 2""".stripMargin
+    s"""SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+       |  ${r4Sql("avg(value)")} AS hr_avg
+       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Aligned = hourly series full-outer-joined onto the per-user hour grid
     * (J1); `is_real` marks hours that had events.
@@ -196,7 +196,8 @@ object TimeSeriesQueries extends QueryPack {
           (unix_micros(col("ts")) + lit(2L * HOUR_US)).as("end_us"),
           col("event_id").as("anno_seq"), col("value").as("conf"))
       TimeSeriesOps.intervalJoinLastWins(facts, intervals, Seq("user_id"),
-          "us", "start_us", "end_us", "anno_seq", Seq("conf"))
+          "us", "start_us", "end_us", "anno_seq", Seq("conf"),
+          factKey = Seq("event_id"))
         .select(col("event_id"), col("user_id"), col("conf"))
         .orderBy(col("event_id"))
     }),
@@ -227,11 +228,11 @@ object TimeSeriesQueries extends QueryPack {
     "m1_zscore" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val stats = ev.groupBy(col("event_type"))
-        .agg(round(avg(col("value")), 6).as("m"),
-          round(stddev_pop(col("value")), 6).as("sd"))
+        .agg((floor(avg(col("value")) * 1000000 + lit(0.5)) / 1000000.0).as("m"),
+          (floor(stddev_pop(col("value")) * 1000000 + lit(0.5)) / 1000000.0).as("sd"))
       ev.join(broadcast(stats), Seq("event_type"))
         .select(col("event_id"),
-          round((col("value") - col("m")) / col("sd"), 4).as("z"))
+          r4((col("value") - col("m")) / col("sd")).as("z"))
         .orderBy(col("event_id"))
     }),
 
@@ -428,12 +429,13 @@ object TimeSeriesQueries extends QueryPack {
         |SELECT DISTINCT user_id FROM events WHERE event_type='error'
         |ORDER BY user_id""".stripMargin,
     "m1_zscore" ->
-      """WITH s AS (SELECT event_type, round(avg(value),6) AS m,
-        |    round(stddev_pop(value),6) AS sd
-        |  FROM events GROUP BY 1)
-        |SELECT event_id, round((value - m) / sd, 4) AS z
-        |FROM events JOIN s USING (event_type)
-        |ORDER BY event_id""".stripMargin,
+      s"""WITH s AS (SELECT event_type,
+         |    floor(avg(value)*1000000 + 0.5)/1000000.0 AS m,
+         |    floor(stddev_pop(value)*1000000 + 0.5)/1000000.0 AS sd
+         |  FROM events GROUP BY 1)
+         |SELECT event_id, ${r4Sql("(value - m) / sd")} AS z
+         |FROM events JOIN s USING (event_type)
+         |ORDER BY event_id""".stripMargin,
     "r1_exclusivity" ->
       s"""WITH $dailyPivotSql
          |SELECT user_id, day,

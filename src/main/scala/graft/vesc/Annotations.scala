@@ -50,17 +50,31 @@ object Annotations {
   }
 
   /** Parse an annotation boundary that is either an absolute timestamp
-    * (`yyyy-MM-dd HH:mm:ss.SSS`) or a video offset (`H:MM:SS.s`), to
-    * microseconds comparable with the log's anchor column.
+    * (`yyyy-MM-dd HH:mm:ss[.fff]`, any fractional width including none) or
+    * a video offset (`H:MM:SS.s`), to microseconds comparable with the
+    * log's anchor column.
+    *
+    * Absolute form is detected by a leading date regex, NOT by whether one
+    * fixed pattern parses: `2025-09-30 11:08:03` (no fraction) must still
+    * take the timestamp path — falling through to the offset parse would
+    * let the date text poison the hour cast and silently null the
+    * boundary. An absolute boundary that fails every pattern yields null
+    * (visible as a dropped range) rather than a bogus offset.
     */
   def boundaryMicros(s: Column): Column = {
-    val asTs = to_timestamp(s, "yyyy-MM-dd HH:mm:ss.SSS")
+    val isAbsolute = s.rlike("^\\d{4}-\\d{2}-\\d{2}")
+    // try_to_timestamp without a pattern uses cast semantics: optional
+    // fractional seconds of any width; the explicit .SSS pattern keeps the
+    // original exact-3-digit fast path first.
+    val asTs = coalesce(
+      try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss.SSS")),
+      try_to_timestamp(s))
     val parts = split(s, ":")
     val secs = element_at(parts, -1).cast("double")
     val mins = element_at(parts, -2).cast("long")
     val hrs = when(size(parts) >= 3, element_at(parts, -3).cast("long")).otherwise(0L)
     val offsetUs = ((hrs * 3600 + mins * 60).cast("double") + secs) * 1e6
-    when(asTs.isNotNull, unix_micros(asTs)).otherwise(offsetUs.cast("long"))
+    when(isAbsolute, unix_micros(asTs)).otherwise(offsetUs.cast("long"))
   }
 
   /** Apply annotation ranges to a processed log: for each sample and
@@ -68,8 +82,12 @@ object Annotations {
     * greatest `anno_seq` (last-wins); unmatched samples keep their existing
     * value. `anchor` is the sample-side time column in micros (ts_pst for
     * absolute annotations, video offset for `+H:MM:SS` exports).
+    * `factKey` must uniquely identify log rows — overlap resolution groups
+    * on it alone (narrow keys, no double-typed grouping columns); the
+    * remaining log columns ride along via `any_value`.
     */
-  def applyRanges(log: DataFrame, annotations: DataFrame, anchor: Column): DataFrame = {
+  def applyRanges(log: DataFrame, annotations: DataFrame, anchor: Column,
+                  factKey: Seq[String] = Seq("ride_id", "sample_idx")): DataFrame = {
     val annos = annotations
       .withColumn("start_us", boundaryMicros(col("start_str")))
       .withColumn("end_us", boundaryMicros(col("end_str")))
@@ -87,9 +105,9 @@ object Annotations {
     val aggs = behaviors.map { b =>
       max_by(when(col("behavior") === b, col("conf")),
         when(col("behavior") === b, col("anno_seq"))).as("__new_" + b)
-    }
+    } ++ logCols.filterNot(factKey.contains).map(c => any_value(col(c)).as(c))
     val grouped = joined
-      .groupBy(logCols.map(col) :+ col("__us"): _*)
+      .groupBy(factKey.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
 
     val applied = behaviors.foldLeft(grouped) { (df, b) =>

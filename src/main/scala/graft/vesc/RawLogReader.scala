@@ -46,22 +46,24 @@ object RawLogReader {
       .withColumn("__log_date", to_timestamp(datePart, "yyyy-MM-dd"))
       .withColumn("ts_utc",
         timestamp_millis(unix_millis(col("__log_date")) + col("ms_today").cast("long")))
-      .drop("__file", "__log_date")
+      .drop("__log_date")
 
-    // W3: per-log sample numbering in file order (csv line order per file ≡
-    // ms order is NOT assumed — the reference numbers rows in file order,
-    // which Spark's csv source preserves within a file partition; we number
-    // by (file, line) via a monotonic id windowed per ride).
-    val w = Window.partitionBy(col("ride_id")).orderBy(col("__row"))
+    // W3: per-log sample numbering in file order. A bare monotonic id is
+    // NOT enough: Spark packs file splits into partitions sorted by size
+    // (descending), so a ride spanning several CSVs could be numbered with
+    // the larger file first regardless of chronology. Ordering by
+    // (file name, monotonic id) pins cross-file order to the lexicographic
+    // file name (VESC logs embed the timestamp in the name) while the
+    // monotonic id preserves line order within a file partition.
+    val w = Window.partitionBy(col("ride_id")).orderBy(col("__file"), col("__row"))
     val numbered = withIds
       .withColumn("__row", monotonically_increasing_id())
       .withColumn("sample_idx", (row_number().over(w) - 1).cast("long"))
 
     // W2: lag diff in ms (float in the reference; double here)
-    val wOrd = Window.partitionBy(col("ride_id")).orderBy(col("__row"))
     numbered
-      .withColumn("dt_ms", col("ms_today") - lag(col("ms_today"), 1).over(wOrd))
-      .drop("__row")
+      .withColumn("dt_ms", col("ms_today") - lag(col("ms_today"), 1).over(w))
+      .drop("__row", "__file")
   }
 
   /** Training-mode load: adds ts_pst (ms-truncated local wall clock),

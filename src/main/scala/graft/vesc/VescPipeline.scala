@@ -54,11 +54,22 @@ object VescPipeline {
   }
 
   /** Training preprocessing (reference training_preprocessing.py:280-324):
-    * raw log(s) → 10 Hz processed table (cf_* all null).
+    * raw log(s) → 10 Hz processed table (cf_* all null). When both
+    * `vidTime` and `logTime` are given — the CLI's `--vid_time/--log_time`
+    * synchronization path (:314-316) — `video_ts_anchor` is populated via
+    * [[VideoAnchor.insertAnchor]] (W13).
     */
   def preprocessTraining(spark: SparkSession, rawPaths: Seq[String],
-                         rideId: Option[String] = None): DataFrame =
-    Resampler.trainingResample(RawLogReader.readTraining(spark, rawPaths, rideId))
+                         rideId: Option[String] = None,
+                         vidTime: Option[String] = None,
+                         logTime: Option[String] = None): DataFrame = {
+    val processed =
+      Resampler.trainingResample(RawLogReader.readTraining(spark, rawPaths, rideId))
+    (vidTime, logTime) match {
+      case (Some(v), Some(l)) => VideoAnchor.insertAnchor(processed, v, l)
+      case _ => processed
+    }
+  }
 
   /** Annotation application (reference
     * training_apply_behavior_annotations.py:103-122): processed log +

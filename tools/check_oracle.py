@@ -16,10 +16,17 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize dtypes: timestamps → int64 us, floats stay float64
+    # canonicalize dtypes: timestamps → int64 us, integer widths → int64
+    # (driver hashing is insensitive to int width — embed_* passed with
+    # Spark int32 rank vs DuckDB BIGINT — but int-vs-float DOES fail there),
+    # floats stay float64
     for c in df.columns:
         if np.issubdtype(df[c].dtype, np.datetime64):
             df[c] = df[c].astype("datetime64[us]").astype("int64")
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype("int64")
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype("float64")
     sort_cols = list(df.columns)
     try:
         df = df.sort_values(sort_cols, kind="mergesort")
@@ -35,6 +42,11 @@ def compare(name, spark_df, duck_df):
         return f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
     for c in a.columns:
         av, bv = a[c].values, b[c].values
+        # Driver hashes typed values, so a dtype mismatch (e.g. DuckDB
+        # sum(int) → HUGEINT → float64 vs Spark int64) fails there even when
+        # the numbers coerce equal. Be exactly as strict.
+        if a[c].dtype != b[c].dtype:
+            return (f"DTYPE MISMATCH col={c} spark={a[c].dtype} duck={b[c].dtype}")
         if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
             av = pd.to_numeric(a[c], errors="coerce").values.astype(float)
             bv = pd.to_numeric(b[c], errors="coerce").values.astype(float)

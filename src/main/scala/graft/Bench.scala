@@ -42,8 +42,12 @@ object Bench {
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
     val wanted = args.toSet
+    // v_* are fixed-size fixture-correctness queries (ride-101 golden
+    // parity) — they don't scale with sf and would only add constant noise
+    // to the throughput headline, so the default set excludes them.
     val selected =
-      if (wanted.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      if (wanted.isEmpty)
+        SparkEntry.queries.toSeq.filterNot(_._1.startsWith("v_")).sortBy(_._1)
       else SparkEntry.queries.filter(kv => wanted.contains(kv._1)).toSeq.sortBy(_._1)
 
     def median(xs: Seq[Double]): Double = {

@@ -17,7 +17,8 @@ object SparkEntry {
     TimeSeriesQueries,
     DataPipelineQueries,
     ExtraQueries,
-    ScaleQueries
+    ScaleQueries,
+    VescFixtureQueries
   )
 
   /** Flagship query; driver smoke-checks rows>0. The engine's headline is

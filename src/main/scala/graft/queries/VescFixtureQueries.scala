@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.vesc.{Annotations, VescPipeline, VescSchema, WindowAssembler}
+
+/** Driver-visible oracles for the VESC pipeline core, previously covered
+  * only by ScalaTest: the Spark side runs the real raw-CSV → 10 Hz
+  * pipeline on the reference's shipped ride-101 fixture, and the DuckDB
+  * oracle reads the reference's own processed parquet (its de-facto golden
+  * output) or re-derives the transform in SQL. This puts P1/P2/P3/P9,
+  * W10, F3, F8 and the S1/S4 scans under the driver's hash gate.
+  *
+  * Only exactly-reproducible columns are compared (grid, numbering,
+  * timestamps, validity ratios, parsed values): interpolated channel
+  * doubles legitimately differ from pandas in the last ulp and stay under
+  * the ScalaTest 1e-6 golden gate (ResamplerGoldenSpec).
+  */
+object VescFixtureQueries extends QueryPack {
+
+  private val fixDir =
+    "/root/reference/Sample_VESC_Logs_pipeline_testing/ride log 101"
+  private val rawCsv = s"$fixDir/2025-09-30_11-07-12.csv"
+  private val goldenParquet = s"$fixDir/2025-09-30_11-07-12_processed.parquet"
+  private val annoCsv =
+    "/root/reference/Sample_VESC_Logs_pipeline_testing/ride log 102/ride_102_annotations.csv"
+
+  private def pipeline(s: SparkSession): DataFrame =
+    VescPipeline.preprocessTraining(s, Seq(rawCsv), rideId = Some("ride_101"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P3/P7/W3/W9/W10/F3/F4: the resampled grid skeleton — numbering,
+    // elapsed counter, rebuilt event-time columns — vs the reference's own
+    // processed parquet. (ride_id is ours: the reference leaves it null on
+    // inserted rows, a pandas reindex artifact documented in SURVEY §5.)
+    "v_grid_exact" -> ((s, _) => {
+      pipeline(s).select(
+        col("sample_idx"), col("ms_today"), col("dt_ms"), col("_elapsed_ms"),
+        unix_millis(col("ts_utc")).as("ts_utc_ms"),
+        unix_millis(col("ts_pst")).as("ts_pst_ms"),
+        col("_on_grid"))
+        .orderBy(col("sample_idx"))
+    }),
+
+    // P1/P2/F1/F3: allow-list projection + null-on-error double cast +
+    // filename-date anchored timestamp, vs DuckDB's independent csv parse.
+    "v_raw_allowlist" -> ((s, _) => {
+      graft.vesc.RawLogReader
+        .readRaw(s, Seq(rawCsv), VescSchema.TrainingChannels, Some("ride_101"))
+        .select(col("ms_today").cast("long").as("ms_today"),
+          col("speed_meters_per_sec"), col("erpm"), col("duty_cycle"),
+          col("gnss_lat"), col("fault_code"),
+          unix_millis(col("ts_utc")).as("ts_utc_ms"),
+          col("sample_idx"))
+        .orderBy(col("sample_idx"))
+    }),
+
+    // S4/F8/F9/F5: Label-Studio export → exploded interval rows with the
+    // conf_→cf_ rename, JSON field extraction and '+' stripping, vs
+    // DuckDB's JSON functions over the same csv.
+    "v_annotations_parse" -> ((s, _) => {
+      Annotations.readAnnotations(s, annoCsv)
+        .select(col("behavior"), col("start_str"), col("end_str"),
+          col("conf"), col("anno_seq"))
+        .orderBy(col("behavior"), col("anno_seq"))
+    }),
+
+    // P9/A3/W11: sliding-window validity over the processed fixture — the
+    // ≥0.7 finite-cell filter — vs the same windows re-derived in SQL from
+    // the golden parquet.
+    "v_window_validity" -> ((s, _) => {
+      WindowAssembler.assemble(pipeline(s))
+        .select(col("window_start"), col("valid_ratio"), col("t_mid"))
+        .orderBy(col("window_start"))
+    }))
+
+  // per-row finite-cell count over the 24 feature columns (NaN-aware)
+  private val finiteCellsSql = VescSchema.FeatureCols
+    .map(c => s"""CASE WHEN "$c" IS NOT NULL AND NOT isnan("$c") THEN 1 ELSE 0 END""")
+    .mkString(" + ")
+
+  private val annoConfCols = Seq("conf_accel", "conf_brake", "conf_forward",
+    "conf_idle", "conf_reverse", "conf_turn_left", "conf_turn_right")
+
+  private val annoUnionSql = annoConfCols.map { c =>
+    s"""SELECT CAST(id AS BIGINT) AS anno_row, "$c" AS cell,
+       |  'cf_${c.stripPrefix("conf_")}' AS behavior
+       |FROM read_csv('$annoCsv', header=true, all_varchar=true)
+       |WHERE "$c" IS NOT NULL""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  override val oracle: Map[String, String] = Map(
+    "v_grid_exact" ->
+      s"""SELECT sample_idx, ms_today, dt_ms, _elapsed_ms,
+         |  CAST(epoch_ms(ts_utc) AS BIGINT) AS ts_utc_ms,
+         |  CAST(epoch_ms(ts_pst) AS BIGINT) AS ts_pst_ms,
+         |  _on_grid
+         |FROM '$goldenParquet' ORDER BY sample_idx""".stripMargin,
+    "v_raw_allowlist" ->
+      s"""WITH raw AS (
+         |  SELECT row_number() OVER () - 1 AS sample_idx,
+         |    TRY_CAST(ms_today AS DOUBLE) AS ms_d,
+         |    TRY_CAST(speed_meters_per_sec AS DOUBLE) AS speed_meters_per_sec,
+         |    TRY_CAST(erpm AS DOUBLE) AS erpm,
+         |    TRY_CAST(duty_cycle AS DOUBLE) AS duty_cycle,
+         |    TRY_CAST(gnss_lat AS DOUBLE) AS gnss_lat,
+         |    TRY_CAST(fault_code AS DOUBLE) AS fault_code
+         |  FROM read_csv('$rawCsv', delim=';', header=true, all_varchar=true))
+         |SELECT CAST(ms_d AS BIGINT) AS ms_today, speed_meters_per_sec, erpm,
+         |  duty_cycle, gnss_lat, fault_code,
+         |  CAST(epoch_ms(TIMESTAMP '2025-09-30 00:00:00') + ms_d AS BIGINT)
+         |    AS ts_utc_ms,
+         |  sample_idx
+         |FROM raw ORDER BY sample_idx""".stripMargin,
+    "v_annotations_parse" ->
+      s"""WITH a AS (
+         |$annoUnionSql),
+         |e AS (SELECT behavior, anno_row, i.i AS item_idx,
+         |    json_extract_string(cell, '$$[' || i.i || '].start') AS start0,
+         |    json_extract_string(cell, '$$[' || i.i || '].end') AS end0,
+         |    TRY_CAST(json_extract_string(cell, '$$[' || i.i || '].number')
+         |      AS DOUBLE) AS conf
+         |  FROM a, (SELECT unnest(generate_series(0, 200)) AS i) i
+         |  WHERE i.i < json_array_length(cell))
+         |SELECT behavior,
+         |  regexp_replace(start0, '^\\+', '') AS start_str,
+         |  regexp_replace(end0, '^\\+', '') AS end_str,
+         |  conf,
+         |  anno_row * 100000 + item_idx AS anno_seq
+         |FROM e WHERE conf IS NOT NULL
+         |ORDER BY behavior, anno_seq""".stripMargin,
+    "v_window_validity" ->
+      s"""WITH g AS (SELECT * FROM '$goldenParquet'),
+         |tot AS (SELECT count(*) AS total FROM g),
+         |w AS (SELECT sample_idx AS window_start FROM g
+         |  WHERE sample_idx % 5 = 0
+         |    AND sample_idx + 30 <= (SELECT total FROM tot)),
+         |cells AS (
+         |  SELECT w.window_start, $finiteCellsSql AS finite, g.ms_today
+         |  FROM w JOIN g ON g.sample_idx >= w.window_start
+         |    AND g.sample_idx < w.window_start + 30),
+         |v AS (SELECT window_start, sum(finite) AS valid,
+         |    (array_agg(ms_today ORDER BY ms_today))[15] AS med_lo,
+         |    (array_agg(ms_today ORDER BY ms_today))[16] AS med_hi
+         |  FROM cells GROUP BY 1)
+         |SELECT window_start,
+         |  CAST(valid AS DOUBLE) / ${30 * VescSchema.FeatureCols.size}.0
+         |    AS valid_ratio,
+         |  (CAST(med_lo AS DOUBLE) + CAST(med_hi AS DOUBLE)) / 2.0 AS t_mid
+         |FROM v
+         |WHERE CAST(valid AS DOUBLE) / ${30 * VescSchema.FeatureCols.size}.0 >= 0.7
+         |ORDER BY window_start""".stripMargin
+  )
+}

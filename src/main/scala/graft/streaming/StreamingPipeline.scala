@@ -103,4 +103,30 @@ object StreamingPipeline {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         resampleFlatMap())
   }
+
+  /** Per-upload re-analysis, end-to-end (reference app.py:354-366: every
+    * upload triggers a fresh raw → resample → window → score → timeline
+    * run). The upload directory is a file-source stream; each micro-batch
+    * extracts the NEWLY arrived file paths and hands `analyze` (the exact
+    * batch pipeline — batch/stream parity by construction) their scored
+    * timeline via `onBatch`. The text source is used purely as the
+    * file-arrival signal, so any csv layout works; at real scale the same
+    * hook runs off a manifest/notification source instead of re-reading
+    * file bodies.
+    */
+  def uploadAnalysis(spark: SparkSession, uploadDir: String,
+                     analyze: Seq[String] => DataFrame)
+                    (onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream
+      .format("text")
+      .load(uploadDir + "/*.csv")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val paths = batch.select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        if (paths.nonEmpty) onBatch(analyze(paths), id)
+      }
+      .start()
+  }
 }

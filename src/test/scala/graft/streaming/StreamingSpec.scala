@@ -64,4 +64,32 @@ class StreamingSpec extends SparkSuite {
     // each event lands in 6 sliding windows (3 s / 500 ms)
     assert(n > 0, "closed windows should have been emitted")
   }
+
+  test("upload-dir foreachBatch re-analysis matches the batch pipeline e2e") {
+    val demo = "/root/reference/DEMO_LOGS/2025-09-28_13-59-59.csv"
+    assume(new java.io.File(demo).exists())
+
+    val uploads = java.nio.file.Files.createTempDirectory("graft_uploads_")
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[Array[org.apache.spark.sql.Row]]
+    val q = StreamingPipeline.uploadAnalysis(spark, uploads.toString,
+      paths => graft.vesc.VescPipeline.analyze(spark, paths)) {
+      (timeline, _) => results.synchronized { results += timeline.collect() }
+    }
+
+    // the "upload": drop the demo log into the watched directory
+    java.nio.file.Files.copy(java.nio.file.Paths.get(demo),
+      uploads.resolve("2025-09-28_13-59-59.csv"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = results.synchronized { results.flatten }
+    val batch = graft.vesc.VescPipeline.analyze(spark, Seq(demo)).collect()
+    assert(streamed.nonEmpty, "stream produced no scored timeline")
+    assert(streamed.length == batch.length,
+      s"stream=${streamed.length} batch=${batch.length}")
+    // identical scored, suppressed, downsampled timelines (exact rows)
+    assert(streamed.map(_.toString).sorted.toSeq ==
+      batch.map(_.toString).sorted.toSeq)
+  }
 }

@@ -59,21 +59,23 @@ object MultimodalOps {
     * feature column — the mapInPandas-shaped seam: the decoder is invoked
     * once per row inside a partition iterator, so a vectorized/native
     * implementation amortizes setup per partition, not per row.
+    *
+    * Typed `Dataset.mapPartitions` with a Row encoder — NOT `df.rdd` +
+    * `createDataFrame`, which would leave Tungsten, box every row, and
+    * insert an analysis barrier around the seam.
     */
   def decodeFeatures(df: DataFrame, binCol: String, dim: Int,
                      decoder: Decoder = null): DataFrame = {
     val dec = Option(decoder).getOrElse(stubDecoder(dim))
-    val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields :+
       StructField(binCol + "_features", ArrayType(FloatType), nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    df.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
         val feats = if (bytes == null) null else dec(bytes).toSeq
         Row.fromSeq(row.toSeq :+ feats)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

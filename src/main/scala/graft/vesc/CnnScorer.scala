@@ -165,23 +165,26 @@ object CnnScorer {
 
   /** Score assembled windows: z-score normalize (broadcast stats), forward
     * pass, one row per window with 13 score columns.
+    *
+    * The per-window forward pass is a typed `Dataset.mapPartitions` with a
+    * Row encoder — NOT `df.rdd` + `createDataFrame`, which would leave
+    * Tungsten, box every row, and insert an analysis barrier between the
+    * window assembler and the timeline postprocessing.
     */
   def score(windows: DataFrame, wts: CnnWeights,
             mean: Array[Double], std: Array[Double],
             confCols: Seq[String] = VescSchema.ConfidenceCols): DataFrame = {
-    val spark = windows.sparkSession
-    val sc = spark.sparkContext
+    val sc = windows.sparkSession.sparkContext
     val bWts = sc.broadcast(wts)
     val bMean = sc.broadcast(mean.map(_.toFloat))
     val bStd = sc.broadcast(std.map(_.toFloat))
-    val nConf = confCols.size
 
     val projected = windows.select("ride_id", "window_start", "t_mid", "features")
     val outSchema = StructType(
       projected.schema.fields.take(3) ++
         confCols.map(c => StructField("score_" + c.stripPrefix("cf_"), FloatType)))
 
-    val scored = projected.rdd.mapPartitions { it =>
+    projected.mapPartitions { it =>
       val w = bWts.value; val m = bMean.value; val s = bStd.value
       it.map { row =>
         val feats = row.getAs[scala.collection.Seq[scala.collection.Seq[Any]]](3)
@@ -198,8 +201,7 @@ object CnnScorer {
         val scores = forward(mat, w)
         Row.fromSeq(Seq(row.get(0), row.get(1), row.get(2)) ++ scores.toSeq)
       }
-    }
-    spark.createDataFrame(scored, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   // ---- weight loading (neutral parquet: layer, shape, data) ----

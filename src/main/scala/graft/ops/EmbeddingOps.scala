@@ -72,6 +72,28 @@ object EmbeddingOps {
         col("__item._2").as("neighbor_id"), col("__item._1").as("score"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, bucketed: candidate pairs are
+    * restricted to rows sharing `bucketCol` (an IVF/LSH coarse bucket), so
+    * generation is an equi-join on the bucket — never an all-pairs cross
+    * join — and each block is (n/buckets)² instead of n². Scores are
+    * rounded to `roundDigits` before the threshold so float noise can't
+    * flip borderline pairs between engines.
+    */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                  bucketCol: String, minCos: Double,
+                  roundDigits: Int = 4): DataFrame = {
+    val scale = math.pow(10, roundDigits)
+    val a = emb.select(col(bucketCol).as("__bk"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = emb.select(col(bucketCol).as("__bk"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    a.join(b, "__bk").filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        floor(cosine(col("__va"), col("__vb")) * scale + lit(0.5)) / scale)
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Exact brute-force cosine top-k: for every query row, the k nearest
     * corpus rows (query set must be small — it is broadcast).
     * Deterministic tie-break on (score desc, corpus id asc) after rounding

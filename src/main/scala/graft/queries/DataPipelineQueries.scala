@@ -13,6 +13,8 @@ object DataPipelineQueries extends QueryPack {
 
   private val SIMHASH_BITS = 60
   private val MAX_DF = 100 // shingle document-frequency cap for jaccard dedup
+  private val MAX_HAMMING = 3 // ≤ 3 bit flips over 4 bands: pigeonhole-sound
+  private val MIN_COS = 0.35 // cosine near-dup threshold (synthetic data)
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one hash-aggregate on the content key.
@@ -52,6 +54,41 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // SimHash hamming-distance near-dup pairs: 60-bit fingerprints cut
+    // into 4×15-bit bands; pairs sharing any band are candidates (an
+    // equi-join on the band, never all-pairs — pigeonhole guarantees every
+    // pair within hamming ≤ 3 shares a band), then the exact popcount
+    // filter keeps true near-dups.
+    "dedup_simhash_hamming" -> ((s, dir) => {
+      graft.functions.SimHash64.register(s, SIMHASH_BITS)
+      val fp = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .selectExpr("doc_id", "simhash64(__toks) AS fp")
+      val banded = fp.select(col("doc_id"), col("fp"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band_idx"),
+          expr(s"shiftright(fp, ${b * 15}) & 32767").as("band_val"))): _*)).as("band"))
+        .select(col("doc_id"), col("fp"), col("band.band_idx"), col("band.band_val"))
+      val a = banded.alias("a")
+      val b = banded.alias("b")
+      a.join(b, col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
+        // filter BEFORE distinct: the dedup shuffle then carries only true
+        // near-dup pairs, not every band-collision candidate
+        .filter(col("hamming") <= MAX_HAMMING)
+        .distinct()
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Embedding-cosine near-dup pairs, IVF-bucketed on `label`.
+    "dedup_embed_cosine" -> ((s, dir) => {
+      EmbeddingOps.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          "label", minCos = MIN_COS)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Token counting + distinct-token stats.
     "text_tokens" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -60,6 +97,19 @@ object DataPipelineQueries extends QueryPack {
           size(toks).as("n_tokens"),
           size(array_distinct(toks)).as("n_distinct"),
           length(col("text")).as("n_chars_measured"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-ish regex token counting: word pieces + standalone punctuation
+    // (`\w+|[^\w\s]`), the pre-merge segmentation a byte-pair tokenizer
+    // starts from — vs the whitespace tokens of text_tokens.
+    "text_tokens_regex" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("size(regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0))")
+            .cast("long").as("n_pieces"),
+          expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
+            .cast("long").as("n_words"))
         .orderBy(col("doc_id"))
     }),
 
@@ -220,6 +270,40 @@ object DataPipelineQueries extends QueryPack {
          |sums AS (SELECT doc_id, $simhashSumsSql FROM h GROUP BY doc_id)
          |SELECT doc_id, $simhashAsmSql AS simhash FROM sums
          |ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_hamming" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest($tokSql) AS t FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS th FROM tok),
+         |sums AS (SELECT doc_id, $simhashSumsSql FROM h GROUP BY doc_id),
+         |fps AS (SELECT doc_id, $simhashAsmSql AS fp FROM sums),
+         |bands AS (SELECT doc_id, fp, g.b AS band_idx,
+         |    (fp >> (g.b * 15)) & 32767 AS band_val
+         |  FROM fps, (SELECT unnest(generate_series(0, 3)) AS b) g),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    bit_count(xor(a.fp, b.fp)) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |      AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+        |    sqrt(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) AS na,
+        |    sqrt(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS nb
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, floor((dp / (na * nb)) * 10000 + 0.5) / 10000.0 AS cos
+        |FROM p WHERE floor((dp / (na * nb)) * 10000 + 0.5) / 10000.0 >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "text_tokens_regex" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_pieces,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id, len($tokSql) AS n_tokens,
          |  len(list_distinct($tokSql)) AS n_distinct,

@@ -83,13 +83,18 @@ object EmbeddingOps {
                   bucketCol: String, minCos: Double,
                   roundDigits: Int = 4): DataFrame = {
     val scale = math.pow(10, roundDigits)
-    val a = emb.select(col(bucketCol).as("__bk"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"))
-    val b = emb.select(col(bucketCol).as("__bk"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"))
+    // norms once per ROW before the join — recomputing them per PAIR would
+    // triple the work of every block
+    val normed = emb.select(col(bucketCol).as("__bk"), col(idCol),
+      col(vecCol), l2Norm(col(vecCol)).as("__n"))
+    val a = normed.select(col("__bk"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = normed.select(col("__bk"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
     a.join(b, "__bk").filter(col("id_a") < col("id_b"))
       .withColumn("cos",
-        floor(cosine(col("__va"), col("__vb")) * scale + lit(0.5)) / scale)
+        floor(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+          * scale + lit(0.5)) / scale)
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -89,6 +89,38 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // M6 distributed mini-batch gradient: one epoch-0 pass of the head
+    // trainer's gradient aggregation (graft.vesc.HeadTrainer.GradAgg —
+    // map-side-combined masked-BCE loss + ∂L/∂W + ∂L/∂b per deterministic
+    // batch) over the embeddings as features with one-hot-by-label targets
+    // (NaN-masked where (vec_id+k)%11=0). The oracle recomputes every sum
+    // independently in SQL. Fixed deterministic init so both engines see
+    // the same weights.
+    "m6_minibatch_gradient" -> ((s, dir) => {
+      val K = 8; val D = 64
+      val w = Array.tabulate(K, D)((k, j) => ((k * D + j) % 7 - 3) / 10.0)
+      val b = Array.tabulate(K)(k => (k % 5 - 2) / 10.0)
+      val rows = Tables.embeddings(s, dir).select(
+        graft.vesc.HeadTrainer.batchId(col("vec_id"), epoch = 0, nBatches = 4)
+          .as("batch_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("feat"),
+        expr(s"""transform(sequence(0, ${K - 1}), k ->
+                 CASE WHEN pmod(vec_id + k, 11) = 0 THEN CAST('NaN' AS DOUBLE)
+                      WHEN label = k THEN 1.0D ELSE 0.0D END)""").as("y"))
+      val agg = udaf(new graft.vesc.HeadTrainer.GradAgg(w, b))
+      val r4 = (c: org.apache.spark.sql.Column) => floor(c * 1e4 + lit(0.5)) / 1e4
+      rows.groupBy(col("batch_id"))
+        .agg(agg(col("feat"), col("y")).as("g"))
+        .select(col("batch_id"),
+          col("g.labeled").as("labeled"),
+          r4(col("g.loss")).as("loss"),
+          r4(expr("sqrt(aggregate(transform(g.gb, x -> x*x), 0D, (a,x) -> a+x))"))
+            .as("grad_b_norm"),
+          r4(expr("sqrt(aggregate(transform(g.gw, x -> x*x), 0D, (a,x) -> a+x))"))
+            .as("grad_w_norm"))
+        .orderBy(col("batch_id"))
+    }),
+
     // Token counting + distinct-token stats.
     "text_tokens" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -299,6 +331,44 @@ object DataPipelineQueries extends QueryPack {
         |SELECT id_a, id_b, floor((dp / (na * nb)) * 10000 + 0.5) / 10000.0 AS cos
         |FROM p WHERE floor((dp / (na * nb)) * 10000 + 0.5) / 10000.0 >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    "m6_minibatch_gradient" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |cls AS (SELECT unnest(generate_series(0, 7)) AS k),
+        |dims AS (SELECT unnest(generate_series(0, 63)) AS j),
+        |t AS (
+        |  SELECT e.vec_id, e.label, c.k,
+        |         CASE WHEN e.label = c.k THEN 1.0 ELSE 0.0 END AS yk
+        |  FROM e CROSS JOIN cls c
+        |  WHERE (e.vec_id + c.k) % 11 <> 0),
+        |z AS (
+        |  SELECT t.vec_id, t.k, t.yk,
+        |         ((t.k % 5) - 2) / 10.0 +
+        |         sum((((t.k * 64 + d.j) % 7) - 3) / 10.0
+        |             * CAST(e.embedding[d.j + 1] AS DOUBLE)) AS z
+        |  FROM t JOIN e ON e.vec_id = t.vec_id CROSS JOIN dims d
+        |  GROUP BY t.vec_id, t.k, t.yk),
+        |g AS (
+        |  SELECT ((vec_id * 2654435761) % 4 + 4) % 4 AS batch_id, vec_id, k, yk,
+        |         1 / (1 + exp(-z)) - yk AS gk,
+        |         greatest(z, 0) - z * yk + ln(1 + exp(-abs(z))) AS le
+        |  FROM z),
+        |gb AS (SELECT batch_id, k, sum(gk) AS gbk FROM g GROUP BY 1, 2),
+        |gw AS (
+        |  SELECT g.batch_id, g.k, d.j,
+        |         sum(g.gk * CAST(e.embedding[d.j + 1] AS DOUBLE)) AS gwkj
+        |  FROM g JOIN e ON e.vec_id = g.vec_id CROSS JOIN dims d
+        |  GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT batch_id, CAST(count(*) AS BIGINT) AS labeled,
+        |         floor(sum(le) * 1e4 + 0.5) / 1e4 AS loss
+        |  FROM g GROUP BY 1),
+        |nb AS (SELECT batch_id, floor(sqrt(sum(gbk * gbk)) * 1e4 + 0.5) / 1e4
+        |         AS grad_b_norm FROM gb GROUP BY 1),
+        |nw AS (SELECT batch_id, floor(sqrt(sum(gwkj * gwkj)) * 1e4 + 0.5) / 1e4
+        |         AS grad_w_norm FROM gw GROUP BY 1)
+        |SELECT a.batch_id, a.labeled, a.loss, nb.grad_b_norm, nw.grad_w_norm
+        |FROM agg a JOIN nb USING (batch_id) JOIN nw USING (batch_id)
+        |ORDER BY a.batch_id""".stripMargin,
     "text_tokens_regex" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_pieces,

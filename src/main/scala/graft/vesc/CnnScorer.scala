@@ -101,8 +101,11 @@ object CnnScorer {
     a
   }
 
-  /** Full forward pass: input (T, C_in) window matrix → 13 sigmoid scores. */
-  def forward(window: Array[Array[Float]], wts: CnnWeights): Array[Float] = {
+  /** Convolutional trunk only: input (T, C_in) window matrix → 64-d pooled
+    * feature vector (everything before the Linear head). The head trainer
+    * fine-tunes on exactly these features with the trunk frozen.
+    */
+  def trunkPooled(window: Array[Array[Float]], wts: CnnWeights): Array[Float] = {
     // (T, C) → (C, T)
     val cIn = window(0).length
     val t = window.length
@@ -120,11 +123,16 @@ object CnnScorer {
     h = relu(batchNorm(conv1d(h, wts.conv4), wts.bn4))
 
     // AdaptiveAvgPool1d(1): mean over remaining time steps
-    val pooled = h.map { ch =>
+    h.map { ch =>
       var s = 0f; var j = 0
       while (j < ch.length) { s += ch(j); j += 1 }
       s / ch.length
     }
+  }
+
+  /** Full forward pass: input (T, C_in) window matrix → 13 sigmoid scores. */
+  def forward(window: Array[Array[Float]], wts: CnnWeights): Array[Float] = {
+    val pooled = trunkPooled(window, wts)
     // Linear + sigmoid
     wts.head.w.zipWithIndex.map { case (row, o) =>
       var acc = wts.head.b(o)

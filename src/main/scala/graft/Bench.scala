@@ -67,8 +67,15 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+    // INTERLEAVED passes: whole query set per pass, median per query ACROSS
+    // passes. This VM stalls for minutes at a time; with back-to-back runs
+    // one stall poisons all `runs` samples of a query and the median lies.
+    // Interleaved, a stall inflates a stripe of different queries in ONE
+    // pass each, and per-query medians stay clean.
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    (1 to runs).foreach { _ =>
+      selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -82,8 +89,11 @@ object Bench {
         // drop per-query persisted intermediates (dedup band tables etc.) so
         // cached blocks from earlier queries can't GC-pressure later ones
         spark.catalog.clearCache()
-        if (ok) Some(dt) else None
+        if (ok) samples(name) = dt :: samples(name)
       }
+    }
+    val results = selected.map { case (name, _) =>
+      val times = samples(name)
       name -> (if (times.isEmpty) -1.0 else median(times))
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

@@ -2,9 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch profiling main (not part of the engine surface). */
+/** Scratch profiling main (not part of the engine surface):
+  * `runMain graft.Prof q1 q2 ...` runs each named query N times
+  * (SPARK_GRAFT_PROF_RUNS, default 4) against SPARK_GRAFT_SF_DIR
+  * (default sf0.1) and prints per-run times — separates real plan cost
+  * from this VM's multi-second stalls, which medians can't.
+  */
 object Prof {
   def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROF_RUNS", "4").toInt
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -14,20 +21,17 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime; val r = f
-      println(f"PROF $label: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
-    }
     val q = SparkEntry.queries
-    def run(name: String, label: String): Unit = {
-      time(label)(q(name)(spark, dir).write.format("noop").mode("overwrite").save())
-      spark.catalog.clearCache()
+    args.foreach { name =>
+      val fn = q.getOrElse(name, sys.error(s"unknown query $name"))
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime - t0) / 1e9
+      }
+      println(f"PROF $name: ${times.map(t => f"$t%.2f").mkString(" ")} s")
     }
-    (1 to 4).foreach(i => run("dedup_minhash_lsh", s"minhash #$i"))
-    (1 to 4).foreach(i => run("dedup_ngram_jaccard", s"ngram #$i"))
-    (1 to 3).foreach(i => run("j1_grid_align", s"j1 #$i"))
-    (1 to 2).foreach(i => run("j2_interval_join", s"j2 #$i"))
     spark.stop()
   }
 }

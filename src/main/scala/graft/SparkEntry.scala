@@ -18,6 +18,7 @@ object SparkEntry {
     DataPipelineQueries,
     ExtraQueries,
     ScaleQueries,
+    SketchQueries,
     VescFixtureQueries
   )
 

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketch operators — the aggregation shapes that make
+  * cardinality / frequency / quantile estimation tractable at 100 TB:
+  * every sketch here is a two-level hash-aggregate (per-partition partial
+  * registers merged by max / sum), never a distinct or a sort over raw
+  * rows. Hashes are md5-derived (like [[TextOps.tokenHash60]]) so an
+  * independent SQL engine can reproduce every register bit-for-bit — the
+  * correctness gate hash-compares the sketch CONTENTS, not just the
+  * estimates.
+  *
+  * These deliberately trade the last few % of accuracy of the
+  * tuned-constant variants (HLL++ bias correction, conservative-update
+  * CM) for cross-engine determinism; the register layout and merge
+  * algebra — the part that matters for scale — is the standard one.
+  */
+object SketchOps {
+
+  /** 60-bit stable hash of any column's string form, salted. */
+  private def h60(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), c.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** HyperLogLog distinct-count estimate of `keyCol` per `groupCol`, with
+    * m = 2^p registers. Register index = low p bits; rho = (trailing zeros
+    * of the remaining bits) + 1 — `x & -x` isolates the lowest set bit,
+    * an exact power of two, so `log2` of it is exact in any IEEE engine.
+    * Includes the standard linear-counting small-range correction.
+    *
+    * Plan shape: groupBy(group, bucket).max(rho) → groupBy(group).sum —
+    * partial aggregation on both levels, no shuffle of raw keys.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String,
+                  p: Int = 6): DataFrame = {
+    val m = 1 << p
+    val h = h60(col(keyCol), "hll:")
+    val bucket = h.bitwiseAND(lit((m - 1).toLong))
+    val w = shiftright(h, p) // 60-p bits of randomness
+    val maxRho = lit(60 - p + 1)
+    val rho = when(w === 0, maxRho).otherwise(
+      floor(log2(w.bitwiseAND(-w)) + lit(0.5)).cast("int") + lit(1))
+
+    val registers = df
+      .filter(col(keyCol).isNotNull)
+      .select(col(groupCol), bucket.as("__b"), rho.as("__rho"))
+      .groupBy(col(groupCol), col("__b"))
+      .agg(max(col("__rho")).as("__m"))
+
+    // alpha_m for m >= 64 (standard HLL constant family)
+    val alpha = if (m >= 128) 0.7213 / (1.0 + 1.079 / m) else if (m == 64) 0.709 else 0.673
+    registers.groupBy(col(groupCol))
+      .agg(sum(pow(lit(2.0), -col("__m"))).as("__s"), count(lit(1)).as("__present"))
+      .select(col(groupCol), {
+        val s = col("__s") + (lit(m.toDouble) - col("__present")) // absent registers = 0
+        val v = lit(m.toLong) - col("__present") // zero-valued registers
+        val raw = lit(alpha * m * m) / s
+        val est = when(raw <= lit(2.5 * m) && v > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / v)).otherwise(raw)
+        (floor(est * 1e4 + lit(0.5)) / 1e4).as("est_distinct")
+      })
+  }
+
+  /** Count-Min frequency table: d salted hash rows × w buckets of exact
+    * counters (one groupBy over (row, bucket) — pure integer arithmetic,
+    * bit-identical in any engine). `estimate` probes it with the classic
+    * min-over-rows upper bound.
+    */
+  def countMinTable(df: DataFrame, keyCol: String, d: Int = 4, w: Int = 32): DataFrame = {
+    val rows = explode(sequence(lit(0), lit(d - 1))).as("__d")
+    df.select(col(keyCol), rows)
+      .select(col("__d"),
+        pmod(h60(col(keyCol), "cm").bitwiseXOR(col("__d").cast("long") * lit(1099511628211L)),
+          lit(w.toLong)).as("__bucket"))
+      .groupBy(col("__d"), col("__bucket"))
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** Point estimates for `probes` (small, broadcast): min over the d rows
+    * of the probed counters.
+    */
+  def countMinEstimate(table: DataFrame, probes: DataFrame, keyCol: String,
+                       d: Int = 4, w: Int = 32): DataFrame = {
+    val probed = probes.select(col(keyCol),
+      explode(sequence(lit(0), lit(d - 1))).as("__d"))
+      .select(col(keyCol), col("__d"),
+        pmod(h60(col(keyCol), "cm").bitwiseXOR(col("__d").cast("long") * lit(1099511628211L)),
+          lit(w.toLong)).as("__bucket"))
+    table.join(broadcast(probed), Seq("__d", "__bucket"))
+      .groupBy(col(keyCol))
+      .agg(min(col("__c")).as("est_count"))
+  }
+
+  /** Equi-width histogram quantile estimate of `valueCol` per `groupCol`:
+    * `bins` buckets between the group's min/max, cumulative counts, linear
+    * interpolation inside the bucket containing rank q·n. Two aggregation
+    * passes (bounds, then histogram) — never a sort of the raw values,
+    * which is what makes it viable where an exact percentile isn't.
+    */
+  def histQuantile(df: DataFrame, groupCol: String, valueCol: String,
+                   q: Double, bins: Int = 128): DataFrame = {
+    val bounds = df.groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"),
+        count(col(valueCol)).as("__n"))
+
+    val width = (col("__hi") - col("__lo")) / lit(bins.toDouble)
+    val binIdx = least(
+      floor((col(valueCol) - col("__lo")) / width).cast("long"), lit((bins - 1).toLong))
+
+    val hist = df.join(broadcast(bounds), groupCol)
+      .select(col(groupCol), col("__n"), col("__lo"), col("__hi"),
+        binIdx.as("__bin"))
+      .groupBy(col(groupCol), col("__n"), col("__lo"), col("__hi"), col("__bin"))
+      .agg(count(lit(1)).as("__c"))
+
+    // cumulative count per bin; the target bin is the first with cum >= rank
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+          .orderBy(col("__bin"))))
+
+    val rank = lit(q) * col("__n").cast("double")
+    val inBin = (rank - (col("__cum") - col("__c")).cast("double")) / col("__c").cast("double")
+    val frac = least(greatest(inBin, lit(0.0)), lit(1.0))
+    val est = when(col("__hi") === col("__lo"), col("__lo")).otherwise(
+      col("__lo") + (col("__bin").cast("double") + frac) * width)
+
+    val qualifying = cum.filter(col("__cum").cast("double") >= rank)
+    val target = qualifying.groupBy(col(groupCol))
+      .agg(min(col("__bin")).as("__bin"))
+    target.join(qualifying, Seq(groupCol, "__bin"))
+      .select(col(groupCol),
+        (floor(est * 1e4 + lit(0.5)) / 1e4).as("est_q"))
+  }
+}

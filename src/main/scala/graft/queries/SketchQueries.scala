@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.SketchOps
+
+/** Mergeable-sketch operators (HyperLogLog cardinality, Count-Min
+  * frequency, histogram quantiles) with DuckDB oracles that recompute
+  * every register independently — md5-derived hashing makes the sketch
+  * CONTENTS engine-independent, so the driver hash-compares estimates
+  * exactly, not within-epsilon.
+  */
+object SketchQueries extends QueryPack {
+
+  private val CM_PROBES = Seq(0L, 7L, 21L, 46L, 137L)
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HLL(p=6) distinct users per event type, next to the exact count the
+    // sketch approximates. Two-level partial agg; raw keys never shuffle.
+    "sketch_hll_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val est = SketchOps.hllDistinct(ev, "event_type", "user_id", p = 6)
+      val exact = ev.filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, "event_type").orderBy(col("event_type"))
+    }),
+
+    // Count-Min (4×32) point estimates for five probe users vs exact
+    // counts — the min-over-rows upper bound, pure integer arithmetic.
+    "sketch_countmin" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val table = SketchOps.countMinTable(ev, "user_id")
+      val probes = CM_PROBES.toDF("user_id")
+      val est = SketchOps.countMinEstimate(table, probes, "user_id")
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("user_id"), "left")
+        .select(col("user_id"), col("est_count"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+        .orderBy(col("user_id"))
+    }),
+
+    // 128-bin equi-width histogram p95 of `value` per event type — the
+    // two-aggregation-pass quantile estimate (no sort of raw values).
+    "sketch_hist_quantile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      SketchOps.histQuantile(ev, "event_type", "value", q = 0.95, bins = 128)
+        .orderBy(col("event_type"))
+    })
+  )
+
+  private val h60hll = "('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+  private val h60cm = "('0x' || substr(md5('cm' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+
+  override val oracle: Map[String, String] = Map(
+    "sketch_hll_distinct" ->
+      s"""WITH ev AS (SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+         |h AS (SELECT event_type, $h60hll AS h FROM ev),
+         |r AS (SELECT event_type, h & 63 AS b,
+         |        CASE WHEN (h >> 6) = 0 THEN 55
+         |             ELSE CAST(floor(log2((h >> 6) & (-(h >> 6))) + 0.5) AS INT) + 1
+         |        END AS rho
+         |      FROM h),
+         |m AS (SELECT event_type, b, max(rho) AS mr FROM r GROUP BY 1, 2),
+         |s AS (SELECT event_type, sum(pow(2.0, -mr)) AS s, count(*) AS present
+         |      FROM m GROUP BY 1),
+         |est AS (SELECT event_type,
+         |  CASE WHEN (0.709 * 64 * 64) / (s + (64.0 - present)) <= 160.0
+         |            AND (64 - present) > 0
+         |       THEN 64.0 * ln(64.0 / (64 - present))
+         |       ELSE (0.709 * 64 * 64) / (s + (64.0 - present)) END AS e
+         |  FROM s),
+         |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+         |         AS exact_distinct FROM ev GROUP BY 1)
+         |SELECT est.event_type,
+         |  floor(est.e * 1e4 + 0.5) / 1e4 AS est_distinct, ex.exact_distinct
+         |FROM est JOIN ex USING (event_type) ORDER BY est.event_type""".stripMargin,
+    "sketch_countmin" ->
+      s"""WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         |d4 AS (SELECT unnest(generate_series(0, 3)) AS d),
+         |cells AS (
+         |  SELECT d4.d,
+         |    ((xor($h60cm, d4.d * 1099511628211) % 32) + 32) % 32 AS bucket,
+         |    count(*) AS c
+         |  FROM ev CROSS JOIN d4 GROUP BY 1, 2),
+         |probes AS (SELECT unnest([${CM_PROBES.mkString(", ")}]) AS user_id),
+         |pb AS (SELECT user_id, d4.d,
+         |    ((xor($h60cm, d4.d * 1099511628211) % 32) + 32) % 32 AS bucket
+         |  FROM probes CROSS JOIN d4),
+         |est AS (SELECT pb.user_id, min(cells.c) AS est_count
+         |  FROM pb JOIN cells ON cells.d = pb.d AND cells.bucket = pb.bucket
+         |  GROUP BY 1),
+         |ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+         |  FROM ev GROUP BY 1)
+         |SELECT est.user_id, CAST(est.est_count AS BIGINT) AS est_count,
+         |  coalesce(ex.exact_count, 0) AS exact_count
+         |FROM est LEFT JOIN ex USING (user_id) ORDER BY est.user_id""".stripMargin,
+    "sketch_hist_quantile" ->
+      """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, min(value) AS lo, max(value) AS hi,
+        |        count(*) AS n FROM ev GROUP BY 1),
+        |hist AS (
+        |  SELECT ev.event_type, b.n, b.lo, b.hi,
+        |    least(CAST(floor((ev.value - b.lo) / ((b.hi - b.lo) / 128.0))
+        |      AS BIGINT), 127) AS bin,
+        |    count(*) AS c
+        |  FROM ev JOIN b USING (event_type)
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |cum AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY bin)
+        |          AS cumc FROM hist),
+        |qual AS (SELECT * FROM cum
+        |  WHERE CAST(cumc AS DOUBLE) >= 0.95 * CAST(n AS DOUBLE)),
+        |tgt AS (SELECT event_type, min(bin) AS bin FROM qual GROUP BY 1)
+        |SELECT q.event_type,
+        |  floor((CASE WHEN q.hi = q.lo THEN q.lo
+        |    ELSE q.lo + (CAST(q.bin AS DOUBLE) +
+        |      least(greatest((0.95 * CAST(q.n AS DOUBLE)
+        |          - CAST(q.cumc - q.c AS DOUBLE)) / CAST(q.c AS DOUBLE),
+        |        0.0), 1.0)) * ((q.hi - q.lo) / 128.0) END) * 1e4 + 0.5) / 1e4
+        |    AS est_q
+        |FROM tgt JOIN qual q ON q.event_type = tgt.event_type AND q.bin = tgt.bin
+        |ORDER BY q.event_type""".stripMargin
+  )
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Estimator guarantees of the mergeable sketches (the oracle checks
+  * cross-engine determinism; this checks the sketches actually estimate).
+  */
+class SketchOpsSpec extends SparkSuite {
+
+  private lazy val keys = {
+    import spark.implicits._
+    // 400 distinct keys, skewed frequencies (key i appears i%7+1 times)
+    (0 until 400).flatMap(i => Seq.fill(i % 7 + 1)(("g" + (i % 2), i.toLong)))
+      .toDF("grp", "k")
+  }
+
+  test("HLL estimate lands within the expected error band") {
+    val est = SketchOps.hllDistinct(keys, "grp", "k", p = 6).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = keys.groupBy("grp").agg(countDistinct(col("k")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, d) =>
+      val rel = math.abs(est(g) - d) / d.toDouble
+      // m=64 → standard error ~1.04/sqrt(64) = 13%; allow 3 sigma
+      assert(rel < 0.40, s"group $g: est ${est(g)} vs exact $d (rel $rel)")
+    }
+  }
+
+  test("Count-Min estimates are upper bounds and exact for heavy keys") {
+    val ks = keys.select(col("k"))
+    val table = SketchOps.countMinTable(ks, "k", d = 4, w = 32)
+    import spark.implicits._
+    val probes = Seq(6L, 13L, 20L, 398L).toDF("k")
+    val est = SketchOps.countMinEstimate(table, probes, "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = ks.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    est.foreach { case (k, e) =>
+      assert(e >= exact(k), s"CM estimate must never undercount (key $k)")
+    }
+  }
+
+  test("histogram p50 of a uniform ramp is near the true median") {
+    import spark.implicits._
+    val vals = (0 until 1000).map(i => ("a", i.toDouble)).toDF("grp", "v")
+    val est = SketchOps.histQuantile(vals, "grp", "v", q = 0.5, bins = 128)
+      .head().getDouble(1)
+    // true median 499.5; one 7.8-wide bin of slack
+    assert(math.abs(est - 499.5) < 10.0, s"est $est")
+  }
+
+  test("sketch registers merge: union of halves == whole (HLL)") {
+    import spark.implicits._
+    val half1 = keys.filter(col("k") < 200)
+    val half2 = keys.filter(col("k") >= 200)
+    val whole = SketchOps.hllDistinct(keys, "grp", "k").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val merged = SketchOps.hllDistinct(half1.union(half2), "grp", "k").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // register max() is order/partition-insensitive, so the estimate is too
+    assert(whole == merged)
+  }
+}

@@ -42,6 +42,21 @@ object StreamingPipeline {
       .groupBy(col("ride_id"), window(col(tsCol), "3 seconds", "500 milliseconds"))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("win_avg"))
 
+  /** Streaming exact dedup with bounded state (beyond-reference: the
+    * training-data pipeline's dedup over an unbounded stream). Content key
+    * = md5 of the normalized payload; `dropDuplicatesWithinWatermark`
+    * keeps one row per key and lets the engine EXPIRE keys older than the
+    * watermark — without it, streaming dedup state grows forever, the
+    * classic unbounded-state bug at ingest scale.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, contentCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__key", md5(regexp_replace(trim(lower(col(contentCol))), "\\s+", " ")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__key")
+      .drop("__key")
+
   // ---- stateful 10 Hz resampler ----
 
   final case class Sample(rideId: String, ms: Long, value: Double)

@@ -65,6 +65,34 @@ class StreamingSpec extends SparkSuite {
     assert(n > 0, "closed windows should have been emitted")
   }
 
+  test("watermarked streaming dedup keeps first occurrence, expires old keys") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val q = StreamingPipeline.dedupStream(df, "ts", "text", watermark = "1 minute")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    // duplicates inside the watermark window: whitespace/case-normalized
+    input.addData((at(0), "Hello  World"), (at(100), "hello world"), (at(200), "other doc"))
+    q.processAllAvailable()
+    // advance event time far past the watermark so the old keys expire...
+    input.addData((at(10 * 60 * 1000), "advance"))
+    q.processAllAvailable()
+    // ...then the same content arrives again and is NOT suppressed
+    input.addData((at(10 * 60 * 1000 + 100), "HELLO   world"))
+    q.processAllAvailable()
+    val texts = spark.table("dedup_out").select("text").as[String].collect().toSeq
+    q.stop()
+    assert(texts.count(t => t.toLowerCase.contains("hello")) == 2,
+      s"one inside the window (first wins) + one after expiry; got $texts")
+    assert(!texts.contains("hello world"), "the later in-window duplicate is dropped")
+  }
+
   test("upload-dir foreachBatch re-analysis matches the batch pipeline e2e") {
     val demo = "/root/reference/DEMO_LOGS/2025-09-28_13-59-59.csv"
     assume(new java.io.File(demo).exists())

@@ -17,6 +17,7 @@ object SparkEntry {
     TimeSeriesQueries,
     DataPipelineQueries,
     ExtraQueries,
+    RetrievalQueries,
     ScaleQueries,
     SketchQueries,
     VescFixtureQueries

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextOps
+
+/** Retrieval scoring (TF-IDF, BM25) and deterministic sampling over the
+  * documents corpus — the query side of a training-data pipeline. All
+  * token statistics flow through ONE explode + two hash-aggregates
+  * (per-doc tf, corpus df) and a broadcast of the tiny df table; sampling
+  * is hash-threshold (the only reproducible way to sample 100 TB — no
+  * RNG, no total ordering, pruneable at the scan).
+  */
+object RetrievalQueries extends QueryPack {
+
+  private val BM25_K1 = 1.2
+  private val BM25_B = 0.75
+  private val QUERY_TERMS = Seq("data", "model", "the")
+
+  private def r4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + lit(0.5)) / 1e4
+
+  /** (doc_id, token, tf) + (doc_id, dl): one explode, one aggregate. */
+  private def termFreq(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+    (tf, dl)
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Top-3 TF-IDF terms per document. idf = ln((N+1)/(df+1)) + 1
+    // (smoothed); ties broken on token asc after rounding, so ranks are
+    // deterministic. df table is tiny after aggregation → broadcast.
+    "text_tfidf" -> ((s, dir) => {
+      val (tf, _) = termFreq(s, dir)
+      val n = Tables.documents(s, dir).count()
+      val df = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(broadcast(df), "token")
+        .withColumn("tfidf", r4(col("tf").cast("double") *
+          (log(lit((n + 1).toDouble) / (col("df") + 1).cast("double")) + lit(1.0))))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("token"), col("tfidf"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // BM25 top-10 docs for a fixed 3-term query. Query-term tf rows are
+    // filtered FIRST (predicate on token before any join), then joined to
+    // the per-doc length and the 3-row df table — the corpus-wide token
+    // table never shuffles whole.
+    "text_bm25" -> ((s, dir) => {
+      val (tf, dl) = termFreq(s, dir)
+      val n = Tables.documents(s, dir).count()
+      val qtf = tf.filter(col("token").isin(QUERY_TERMS: _*))
+      val df = qtf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val avgdl = dl.agg(avg(col("dl"))).head().getDouble(0)
+      val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+      val denom = col("tf") + lit(BM25_K1) *
+        (lit(1 - BM25_B) + lit(BM25_B) * col("dl") / lit(avgdl))
+      val scored = qtf.join(broadcast(df), "token").join(dl, "doc_id")
+        .withColumn("__s", idf * (col("tf") * lit(BM25_K1 + 1)) / denom)
+      scored.groupBy(col("doc_id"))
+        .agg(r4(sum(col("__s"))).as("bm25"), count(lit(1)).as("terms_hit"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
+    // Deterministic ~10% sample: keep rows whose salted 60-bit md5 hash
+    // falls under the threshold. Reproducible on any engine, prunable at
+    // the scan, no shuffle at all — THE way to sample at 100 TB.
+    "sample_hash" -> ((s, dir) => {
+      val h = conv(substring(md5(concat(lit("smp:"),
+        col("event_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      Tables.events(s, dir)
+        .filter(pmod(h, lit(100L)) < 10)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("sampled"), r4(sum(col("value"))).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Deterministic stratified sample: exactly 5 rows per event_type,
+    // chosen by hash order (not arrival order) — per-group windows over
+    // hash-ranked rows, the per-stratum quota pattern.
+    "sample_stratified" -> ((s, dir) => {
+      val h = conv(substring(md5(concat(lit("str:"),
+        col("event_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("__h"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("__h", h)
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= 5)
+        .select(col("event_type"), col("event_id"), col("user_id"),
+          col("__r").cast("long").as("pick"))
+        .orderBy(col("event_type"), col("pick"))
+    })
+  )
+
+  private val tokSql = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  override val oracle: Map[String, String] = Map(
+    "text_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    floor(CAST(tf.tf AS DOUBLE)
+         |      * (ln((n.n + 1) / CAST(df.df + 1 AS DOUBLE)) + 1.0)
+         |      * 1e4 + 0.5) / 1e4 AS tfidf
+         |  FROM tf JOIN df USING (token) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, token, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, token ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, token, tfidf, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+         |       WHERE token IN ('data', 'model', 'the') GROUP BY 1, 2),
+         |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    ln(1.0 + (CAST(n.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+         |      * (tf.tf * ${BM25_K1 + 1})
+         |      / (tf.tf + $BM25_K1 * ((1 - $BM25_B) + $BM25_B
+         |           * dl.dl / avgdl.avgdl)) AS s
+         |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+         |  CROSS JOIN n CROSS JOIN avgdl)
+         |SELECT doc_id, floor(sum(s) * 1e4 + 0.5) / 1e4 AS bm25,
+         |  CAST(count(*) AS BIGINT) AS terms_hit
+         |FROM scored GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "sample_hash" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS sampled,
+        |  floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
+        |FROM events
+        |WHERE ('0x' || substr(md5('smp:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 100 < 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sample_stratified" ->
+      """WITH h AS (
+        |  SELECT event_type, event_id, user_id,
+        |    ('0x' || substr(md5('str:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+        |  FROM events),
+        |r AS (SELECT event_type, event_id, user_id,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY hh, event_id) AS pick
+        |      FROM h)
+        |SELECT event_type, event_id, user_id, CAST(pick AS BIGINT) AS pick
+        |FROM r WHERE pick <= 5 ORDER BY event_type, pick""".stripMargin
+  )
+}

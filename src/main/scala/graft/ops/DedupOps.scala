@@ -112,4 +112,36 @@ object DedupOps {
         col("shared").cast("double") /
           (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
   }
+
+  /** Connected components over near-dup PAIRS — the step that turns
+    * pairwise matches into canonical dedup GROUPS (keep min-id per
+    * component, drop the rest). Fixed-round min-label propagation: each
+    * round every vertex takes the min of its own label and its neighbours'
+    * (one shuffled join + one aggregate per round), converging in
+    * graph-diameter rounds. Near-dup graphs are unions of small cliques —
+    * diameter is tiny — so a fixed `rounds` bound is both deterministic
+    * (replayable by the SQL oracle, which unrolls the same rounds) and
+    * safe; at adversarial scale you'd switch to the large-star/small-star
+    * contraction, same join shape, O(log n) rounds.
+    *
+    * Lineage is cut with `localCheckpoint` every other round — iterative
+    * plans otherwise double per round and choke analysis.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          rounds: Int = 8): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (i <- 1 to rounds) {
+      val nbrMin = edges.join(labels, col("v") === col("id"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("__nmin"))
+      labels = labels.join(nbrMin, col("id") === col("u"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("__nmin"), col("lbl"))).as("lbl"))
+      if (i % 2 == 0 && i < rounds) labels = labels.localCheckpoint(true)
+    }
+    labels.select(col("id"), col("lbl").as("component"))
+  }
 }

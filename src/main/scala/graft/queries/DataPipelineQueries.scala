@@ -15,6 +15,7 @@ object DataPipelineQueries extends QueryPack {
   private val MAX_DF = 100 // shingle document-frequency cap for jaccard dedup
   private val MAX_HAMMING = 3 // ≤ 3 bit flips over 4 bands: pigeonhole-sound
   private val MIN_COS = 0.35 // cosine near-dup threshold (synthetic data)
+  private val CC_ROUNDS = 8 // min-label propagation rounds (≥ component diameter)
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one hash-aggregate on the content key.
@@ -80,6 +81,18 @@ object DataPipelineQueries extends QueryPack {
         .filter(col("hamming") <= MAX_HAMMING)
         .distinct()
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Connected components over the LSH candidate pairs: pairwise matches
+    // → canonical dedup groups (keep min-id per component). Fixed 8 rounds
+    // of min-label propagation, one shuffled join + aggregate per round;
+    // the oracle unrolls the identical rounds in SQL.
+    "dedup_components" -> ((s, dir) => {
+      val pairs = DedupOps.minhashCandidates(Tables.documents(s, dir),
+        "doc_id", "text", shingleN = 3, numHashes = 8, bands = 4)
+      DedupOps.connectedComponents(pairs, "id_a", "id_b", rounds = CC_ROUNDS)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
     }),
 
     // Embedding-cosine near-dup pairs, IVF-bucketed on `label`.
@@ -282,6 +295,34 @@ object DataPipelineQueries extends QueryPack {
          |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
          |    ON a.mh6 = b.mh6 AND a.mh7 = b.mh7 AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+    "dedup_components" -> {
+      val rounds = (1 to CC_ROUNDS).map { k =>
+        s"""l$k AS MATERIALIZED (SELECT l.id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+           |  FROM l${k - 1} l LEFT JOIN e ON e.u = l.id
+           |  LEFT JOIN l${k - 1} n ON n.id = e.v
+           |  GROUP BY l.id, l.lbl)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shingleSql,
+         |$minhashSigSql,
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b
+         |    ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+         |    ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+         |    ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+         |    ON a.mh6 = b.mh6 AND a.mh7 = b.mh7 AND a.doc_id < b.doc_id),
+         |e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM cand
+         |      UNION ALL SELECT id_b AS u, id_a AS v FROM cand),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM e),
+         |$rounds
+         |SELECT id AS doc_id, lbl AS component FROM l$CC_ROUNDS
+         |ORDER BY doc_id""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleSql,
          |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MAX_DF),

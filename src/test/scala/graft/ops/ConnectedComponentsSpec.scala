@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Min-label propagation vs a local union-find on the same edge sets. */
+class ConnectedComponentsSpec extends SparkSuite {
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    verts.map(v => v -> find(v)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)], rounds: Int = 8): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("a", "b")
+    DedupOps.connectedComponents(df, "a", "b", rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two cliques and a chain resolve to union-find components") {
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (1, 3),            // triangle
+      (10, 11), (11, 12),                // path
+      (20, 21), (21, 22), (22, 23), (23, 24), (24, 25)) // chain, diameter 5
+    assert(run(edges) == unionFind(30, edges))
+  }
+
+  test("bridge edge merges two cliques into one component") {
+    val cliqueA = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val cliqueB = for (i <- 30L to 33L; j <- (i + 1) to 33L) yield (i, j)
+    val edges = cliqueA ++ cliqueB ++ Seq((3L, 30L))
+    val got = run(edges)
+    assert(got.values.toSet == Set(0L), "all vertices collapse to min id 0")
+  }
+
+  test("propagation is converged: extra rounds change nothing") {
+    val edges = Seq[(Long, Long)]((5, 6), (6, 7), (8, 9))
+    assert(run(edges, rounds = 4) == run(edges, rounds = 9))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus-scale data. Both operators avoid the
+  * two classic scale failures: RNG sampling (irreproducible across
+  * retries/engines) and per-stratum sort windows (every row shuffles into
+  * #strata partitions — a few-reducer bottleneck when strata are few and
+  * rows are billions).
+  */
+object SamplingOps {
+
+  /** Salted 60-bit md5 hash of a column's string form — the shared
+    * deterministic randomness source (reproducible in any engine).
+    */
+  def hash60(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), c.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Keep ~`percent`% of rows: hash-threshold at the scan, no shuffle. */
+  def hashSample(df: DataFrame, keyCol: Column, percent: Int,
+                 salt: String = "smp:"): DataFrame =
+    df.filter(pmod(hash60(keyCol, salt), lit(100L)) < percent)
+
+  /** Bounded min-k aggregate over (hash, id, payload) triples, ordered by
+    * (hash asc, id asc): each task keeps only its k best rows per group
+    * (map-side partial), so the shuffle moves ≤ k·tasks rows per stratum
+    * instead of the whole stratum — the same bounded-buffer shape as
+    * [[EmbeddingOps.TopKAgg]].
+    */
+  class MinKAgg(k: Int)
+      extends Aggregator[(Long, Long, Long), Seq[(Long, Long, Long)], Seq[(Long, Long, Long)]] {
+    private def trim(s: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+      s.sortBy(t => (t._1, t._2)).take(k)
+    override def zero: Seq[(Long, Long, Long)] = Seq.empty
+    override def reduce(b: Seq[(Long, Long, Long)], a: (Long, Long, Long)): Seq[(Long, Long, Long)] = {
+      val appended = b :+ a
+      if (appended.size >= 2 * k) trim(appended) else appended
+    }
+    override def merge(x: Seq[(Long, Long, Long)], y: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+      trim(x ++ y)
+    override def finish(r: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = trim(r)
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Long)]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Long)]]()
+  }
+
+  /** Exactly `k` rows per stratum, chosen by hash order: one aggregation
+    * with O(k) per-task state. Output: (stratum, id, payload, pick) where
+    * pick = 1..k in hash order.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       payloadCol: String, k: Int,
+                       salt: String = "str:"): DataFrame = {
+    val minK = udaf(new MinKAgg(k))
+    df.select(col(stratumCol), hash60(col(idCol), salt).as("__h"),
+        col(idCol).cast("long").as("__id"), col(payloadCol).cast("long").as("__p"))
+      .groupBy(col(stratumCol))
+      .agg(minK(col("__h"), col("__id"), col("__p")).as("__top"))
+      .select(col(stratumCol), posexplode(col("__top")).as(Seq("__pos", "__item")))
+      .select(col(stratumCol), col("__item._2").as(idCol),
+        col("__item._3").as(payloadCol),
+        (col("__pos") + 1).cast("long").as("pick"))
+  }
+}

@@ -36,12 +36,16 @@ object RetrievalQueries extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Top-3 TF-IDF terms per document. idf = ln((N+1)/(df+1)) + 1
     // (smoothed); ties broken on token asc after rounding, so ranks are
-    // deterministic. df table is tiny after aggregation → broadcast.
+    // deterministic. tf⋈df is a token-keyed equi-join and stays a SHUFFLED
+    // join on purpose: the df table is one row per distinct token — tiny
+    // here, but vocabulary-sized at corpus scale, where broadcasting it
+    // would OOM every executor. AQE may still downgrade it to broadcast
+    // when it measures small.
     "text_tfidf" -> ((s, dir) => {
       val (tf, _) = termFreq(s, dir)
       val n = Tables.documents(s, dir).count()
       val df = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
-      val scored = tf.join(broadcast(df), "token")
+      val scored = tf.join(df, "token")
         .withColumn("tfidf", r4(col("tf").cast("double") *
           (log(lit((n + 1).toDouble) / (col("df") + 1).cast("double")) + lit(1.0))))
       val w = Window.partitionBy(col("doc_id"))
@@ -79,28 +83,20 @@ object RetrievalQueries extends QueryPack {
     // falls under the threshold. Reproducible on any engine, prunable at
     // the scan, no shuffle at all — THE way to sample at 100 TB.
     "sample_hash" -> ((s, dir) => {
-      val h = conv(substring(md5(concat(lit("smp:"),
-        col("event_id").cast("string"))), 1, 15), 16, 10).cast("long")
-      Tables.events(s, dir)
-        .filter(pmod(h, lit(100L)) < 10)
+      graft.ops.SamplingOps.hashSample(Tables.events(s, dir), col("event_id"), 10)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("sampled"), r4(sum(col("value"))).as("sum_value"))
         .orderBy(col("event_type"))
     }),
 
-    // Deterministic stratified sample: exactly 5 rows per event_type,
-    // chosen by hash order (not arrival order) — per-group windows over
-    // hash-ranked rows, the per-stratum quota pattern.
+    // Deterministic stratified sample: exactly 5 rows per event_type by
+    // hash order, via the bounded min-k aggregate — per-task O(k) partials,
+    // NOT a per-stratum sort window (which would shuffle every row into
+    // #strata partitions, a few-reducer bottleneck at corpus scale).
     "sample_stratified" -> ((s, dir) => {
-      val h = conv(substring(md5(concat(lit("str:"),
-        col("event_id").cast("string"))), 1, 15), 16, 10).cast("long")
-      val w = Window.partitionBy(col("event_type")).orderBy(col("__h"), col("event_id"))
-      Tables.events(s, dir)
-        .withColumn("__h", h)
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= 5)
-        .select(col("event_type"), col("event_id"), col("user_id"),
-          col("__r").cast("long").as("pick"))
+      graft.ops.SamplingOps.stratifiedSample(Tables.events(s, dir),
+          "event_type", "event_id", "user_id", k = 5)
+        .select(col("event_type"), col("event_id"), col("user_id"), col("pick"))
         .orderBy(col("event_type"), col("pick"))
     })
   )

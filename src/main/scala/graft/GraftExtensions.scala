@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Session-wide installation of the engine's native Catalyst expressions:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions()) ...
+  * }}}
+  *
+  * After that, `simhash64`, `cosine_sim`, `vec_dot`, `vec_dot_int` and
+  * `vec_norm_l2` resolve in SQL and `expr()` on every session of the
+  * context — no per-session `register` calls. The operator library also
+  * self-registers (idempotently) so it works on plain sessions too.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("simhash64", es => SimHash64(es.head, 60)))
+    ext.injectFunction(fn("vec_dot", es => DotProduct(es(0), es(1))))
+    ext.injectFunction(fn("cosine_sim", es => CosineSim(es(0), es(1))))
+    ext.injectFunction(fn("vec_dot_int", es => DotProductInt(es(0), es(1))))
+    ext.injectFunction(fn("vec_norm_l2", es => L2Norm(es.head)))
+  }
+}

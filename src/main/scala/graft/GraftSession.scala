@@ -15,6 +15,9 @@ object GraftSession {
       .builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      // native expressions (simhash64, vec_dot, cosine_sim, …) resolve in
+      // SQL on every session of this context
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -201,9 +201,12 @@ object VectorExprs {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_dot_int", es => DotProductInt(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_norm_l2", es => L2Norm(es.head), "built-in")
+    def put(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    put("vec_dot", es => DotProduct(es(0), es(1)))
+    put("cosine_sim", es => CosineSim(es(0), es(1)))
+    put("vec_dot_int", es => DotProductInt(es(0), es(1)))
+    put("vec_norm_l2", es => L2Norm(es.head))
   }
 }

@@ -83,9 +83,13 @@ object DedupOps {
     * near-duplicate signal at any useful Jaccard cutoff. Sizes (and hence
     * the Jaccard denominator) are computed over the same df-capped shingle
     * space so the similarity stays a true Jaccard of the retained sets.
+    * The cap is finite BY DEFAULT (1000 — generous for near-dup use; a
+    * df-1000 shingle still allows ~500k pairs from one block) so the
+    * quadratic behavior is opt-in via `maxDf = Int.MaxValue`, never an
+    * accident of omitting a parameter.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, maxDf: Int = Int.MaxValue): DataFrame = {
+                        shingleN: Int = 3, maxDf: Int = 1000): DataFrame = {
     val shAll = shingleRows(df, idCol, textCol, shingleN)
     val shCapped =
       if (maxDf == Int.MaxValue) shAll
@@ -115,33 +119,64 @@ object DedupOps {
 
   /** Connected components over near-dup PAIRS — the step that turns
     * pairwise matches into canonical dedup GROUPS (keep min-id per
-    * component, drop the rest). Fixed-round min-label propagation: each
-    * round every vertex takes the min of its own label and its neighbours'
-    * (one shuffled join + one aggregate per round), converging in
+    * component, drop the rest). Min-label propagation: each round every
+    * vertex takes the min of its own label and its neighbours' (one
+    * shuffled join + one aggregate per round), converging in
     * graph-diameter rounds. Near-dup graphs are unions of small cliques —
-    * diameter is tiny — so a fixed `rounds` bound is both deterministic
-    * (replayable by the SQL oracle, which unrolls the same rounds) and
-    * safe; at adversarial scale you'd switch to the large-star/small-star
-    * contraction, same join shape, O(log n) rounds.
+    * diameter is tiny — so most inputs converge inside the first
+    * `checkEvery`-round batch; the result the SQL oracle unrolls.
+    *
+    * CONVERGENCE IS CHECKED, not assumed: after each batch of `checkEvery`
+    * rounds the round's change count (one `count()` on the already
+    * materialized next-labels checkpoint) decides whether to continue, up
+    * to `maxRounds`. A diameter-20 chain therefore merges fully instead of
+    * silently splitting at the fixed-round horizon, and a graph that needs
+    * more than `maxRounds` rounds fails loudly rather than returning a
+    * wrong answer. The converged fixed point (min id per component) is
+    * unique, so extra rounds never change the result — the oracle's
+    * fixed-round unrolling stays valid whenever it, too, has converged.
     *
     * Lineage is cut with `localCheckpoint` every other round — iterative
-    * plans otherwise double per round and choke analysis.
+    * plans otherwise double per round and choke analysis. At adversarial
+    * diameter/scale you'd switch to large-star/small-star contraction
+    * (same join shape, O(log n) rounds).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          rounds: Int = 8): DataFrame = {
+                          checkEvery: Int = 8, maxRounds: Int = 64): DataFrame = {
+    require(checkEvery >= 1 && maxRounds >= checkEvery,
+      s"need 1 <= checkEvery ($checkEvery) <= maxRounds ($maxRounds)")
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id"))
-    for (i <- 1 to rounds) {
-      val nbrMin = edges.join(labels, col("v") === col("id"))
-        .groupBy(col("u")).agg(min(col("lbl")).as("__nmin"))
-      labels = labels.join(nbrMin, col("id") === col("u"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("__nmin"), col("lbl"))).as("lbl"))
-      if (i % 2 == 0 && i < rounds) labels = labels.localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val batchEnd = math.min(round + checkEvery, maxRounds)
+      while (round < batchEnd) {
+        val nbrMin = edges.join(labels, col("v") === col("id"))
+          .groupBy(col("u")).agg(min(col("lbl")).as("__nmin"))
+        val updated = labels.join(nbrMin, col("id") === col("u"), "left")
+          .select(col("id"), col("lbl").as("__old"),
+            least(col("lbl"), coalesce(col("__nmin"), col("lbl"))).as("lbl"))
+        round += 1
+        if (round == batchEnd) {
+          // eager checkpoint materializes once; the change count reads it
+          val next = updated.localCheckpoint(true)
+          converged = next.filter(col("lbl") < col("__old")).limit(1).isEmpty
+          labels = next.select(col("id"), col("lbl"))
+        } else {
+          labels = updated.select(col("id"), col("lbl"))
+          if (round % 2 == 0) labels = labels.localCheckpoint(true)
+        }
+      }
     }
+    require(converged,
+      s"connectedComponents did not converge within $maxRounds rounds " +
+        "(graph diameter exceeds the bound — raise maxRounds or switch to " +
+        "star contraction)")
+    edges.unpersist()
     labels.select(col("id"), col("lbl").as("component"))
   }
 }

@@ -1,16 +1,21 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExprs
 
 /** Vector similarity-search operators over an `array<float>` embedding
   * column: brute-force cosine top-k as the exact baseline, and an
   * IVF-style bucketed variant as the scale path (probe only the coarse
   * cluster(s) instead of the full corpus).
   *
-  * All scoring arithmetic is higher-order-function expressions (`zip_with`
-  * + `aggregate`) over double-cast elements — codegen'd, no UDFs. The
+  * All scoring arithmetic is native Catalyst expressions
+  * ([[graft.functions.DotProduct]]/[[graft.functions.CosineSim]]/
+  * [[graft.functions.L2Norm]] — primitive loops with `doGenCode`, no UDFs,
+  * bit-identical to the `zip_with`+`aggregate` HOF fallback kept as
+  * [[EmbeddingOps.dotHof]]). The
   * brute-force path broadcasts the (small) query set so the corpus is
   * scanned exactly once with no shuffle. Top-k selection is a bounded
   * [[Aggregator]] ([[EmbeddingOps.TopKAgg]]): each task keeps only its k
@@ -24,18 +29,48 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingOps {
 
-  /** Σ aᵢ·bᵢ over double-cast elements, sequential left fold — identical
-    * evaluation order in any engine that folds arrays left-to-right.
+  /** Σ aᵢ·bᵢ, sequential left fold in doubles — the native codegen'd
+    * [[graft.functions.DotProduct]] Expression. Bit-identical to the HOF
+    * formulation [[dotHof]] (same element order, same double accumulator;
+    * VectorExprsSpec asserts parity on both interpreted and codegen paths)
+    * but compiles to a tight primitive loop inside WholeStageCodegen
+    * instead of one boxed lambda call per element.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = native("vec_dot", a, b)
+
+  def l2Norm(a: Column): Column = native("vec_norm_l2", a)
+
+  /** One fused pass over both arrays (dot + both norms in a single loop);
+    * same floating evaluation order as `dotHof / (l2NormHof · l2NormHof)`.
+    */
+  def cosine(a: Column, b: Column): Column = native("cosine_sim", a, b)
+
+  /** Spark 4 Columns wrap ColumnNodes, not Expressions, so the stable way
+    * to surface a custom Expression through the typed API is the function
+    * registry + `call_function` (resolved at analysis). Self-registers on
+    * the active session (idempotent map put) so plain sessions work too —
+    * sessions built with `spark.sql.extensions=graft.GraftExtensions` get
+    * the same builders injected context-wide.
+    */
+  private def native(name: String, cols: Column*): Column = {
+    SparkSession.getActiveSession.foreach(VectorExprs.register)
+    call_function(name, cols: _*)
+  }
+
+  /** Reference `zip_with`+`aggregate` formulation of [[dot]] — interpreted
+    * lambda per element; kept as the independent parity oracle for
+    * VectorExprsSpec and for engines without the graft extensions.
+    */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def l2Norm(a: Column): Column =
+  private[graft] def l2NormHof(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  private[graft] def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (l2NormHof(a) * l2NormHof(b))
 
   /** Bounded top-k aggregate over (score, id) pairs: the buffer never holds
     * more than 2k items before re-trimming, and partial (map-side) buffers

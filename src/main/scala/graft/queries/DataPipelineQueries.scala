@@ -84,13 +84,15 @@ object DataPipelineQueries extends QueryPack {
     }),
 
     // Connected components over the LSH candidate pairs: pairwise matches
-    // → canonical dedup groups (keep min-id per component). Fixed 8 rounds
-    // of min-label propagation, one shuffled join + aggregate per round;
-    // the oracle unrolls the identical rounds in SQL.
+    // → canonical dedup groups (keep min-id per component). Min-label
+    // propagation in batches of CC_ROUNDS with a convergence check after
+    // each batch (the fixed point is unique, so the oracle's fixed-round
+    // unrolling matches whenever it has converged too — true for the
+    // small-clique near-dup graphs here).
     "dedup_components" -> ((s, dir) => {
       val pairs = DedupOps.minhashCandidates(Tables.documents(s, dir),
         "doc_id", "text", shingleN = 3, numHashes = 8, bands = 4)
-      DedupOps.connectedComponents(pairs, "id_a", "id_b", rounds = CC_ROUNDS)
+      DedupOps.connectedComponents(pairs, "id_a", "id_b", checkEvery = CC_ROUNDS)
         .select(col("id").as("doc_id"), col("component"))
         .orderBy(col("doc_id"))
     }),

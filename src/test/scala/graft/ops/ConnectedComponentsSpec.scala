@@ -20,10 +20,11 @@ class ConnectedComponentsSpec extends SparkSuite {
     verts.map(v => v -> find(v)).toMap
   }
 
-  private def run(edges: Seq[(Long, Long)], rounds: Int = 8): Map[Long, Long] = {
+  private def run(edges: Seq[(Long, Long)], checkEvery: Int = 8,
+                  maxRounds: Int = 64): Map[Long, Long] = {
     import spark.implicits._
     val df = edges.toDF("a", "b")
-    DedupOps.connectedComponents(df, "a", "b", rounds).collect()
+    DedupOps.connectedComponents(df, "a", "b", checkEvery, maxRounds).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -45,6 +46,24 @@ class ConnectedComponentsSpec extends SparkSuite {
 
   test("propagation is converged: extra rounds change nothing") {
     val edges = Seq[(Long, Long)]((5, 6), (6, 7), (8, 9))
-    assert(run(edges, rounds = 4) == run(edges, rounds = 9))
+    assert(run(edges, checkEvery = 4) == run(edges, checkEvery = 9))
+  }
+
+  test("chain longer than the check batch still merges fully (convergence guard)") {
+    // a 21-node path: diameter 20 > checkEvery=8 — the old fixed-8-round
+    // implementation left the far end labeled > min; the convergence check
+    // must keep propagating until one component remains
+    val edges = (100L until 120L).map(i => (i, i + 1))
+    val got = run(edges, checkEvery = 8, maxRounds = 64)
+    assert(got.values.toSet == Set(100L), s"single component expected: $got")
+    assert(got == unionFind(121, edges))
+  }
+
+  test("maxRounds too small for the diameter fails loudly, not wrongly") {
+    val edges = (200L until 215L).map(i => (i, i + 1)) // diameter 15
+    val ex = intercept[IllegalArgumentException] {
+      run(edges, checkEvery = 4, maxRounds = 4)
+    }
+    assert(ex.getMessage.contains("converge"))
   }
 }

@@ -53,6 +53,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("ResolvedHint"), "df join carries a broadcast hint")
   }
 
+  test("ngram-jaccard plans the df-cap aggregate (hot-shingle quadratic guard)") {
+    // the cap is the shingle-frequency count + filter BEFORE the self-join;
+    // without it one hot shingle makes its block O(df²) at corpus scale
+    val p = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("__df"), s"df-cap aggregate missing from plan:\n$p")
+  }
+
   test("HLL sketch aggregates partially on both levels (no raw-key shuffle)") {
     val df = SketchOps.hllDistinct(
       Tables.events(spark, sf("sf0.001")), "event_type", "user_id")

@@ -21,7 +21,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // 5 interleaved passes by default: this VM stalls for minutes at a
+    // stretch, and a median needs ⌈runs/2⌉ clean samples per query to
+    // survive a stall stripe — 3 passes leave no margin for two stalls
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

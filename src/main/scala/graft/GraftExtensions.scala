@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("cosine_sim", es => CosineSim(es(0), es(1))))
     ext.injectFunction(fn("vec_dot_int", es => DotProductInt(es(0), es(1))))
     ext.injectFunction(fn("vec_norm_l2", es => L2Norm(es.head)))
+    ext.injectFunction(fn("interp_state", es => InterpState(es.head, es.tail)))
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.vesc.{Annotations, VescPipeline, VescSchema, WindowAssembler}
+import graft.vesc.{Annotations, CnnScorer, Normalizer, VescPipeline, VescSchema, WindowAssembler}
 
 /** Driver-visible oracles for the VESC pipeline core, previously covered
   * only by ScalaTest: the Spark side runs the real raw-CSV → 10 Hz
@@ -27,6 +27,18 @@ object VescFixtureQueries extends QueryPack {
 
   private def pipeline(s: SparkSession): DataFrame =
     VescPipeline.preprocessTraining(s, Seq(rawCsv), rideId = Some("ride_101"))
+
+  // CNN fixtures: weights + stats exported from the reference checkpoint,
+  // golden windows + expected sigmoid outputs from an independent NumPy
+  // forward pass (tools/golden_cnn.py) — the same fixtures CnnScorerSpec
+  // uses, here put under the driver's exact-hash gate.
+  private val cnnWeights = "/root/repo/src/main/resources/cnn_weights.parquet"
+  private val normStats = "/root/repo/src/main/resources/norm_stats.parquet"
+  private val cnnGolden = "/root/repo/src/test/resources/cnn_golden.parquet"
+  private val videoGolden = "/root/repo/src/test/resources/golden_video_anchor.csv"
+
+  private val vidTime = "00:00:30.7"
+  private val logTime = "2025-09-30 11:07:17.5"
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P3/P7/W3/W9/W10/F3/F4: the resampled grid skeleton — numbering,
@@ -72,6 +84,45 @@ object VescFixtureQueries extends QueryPack {
       WindowAssembler.assemble(pipeline(s))
         .select(col("window_start"), col("valid_ratio"), col("t_mid"))
         .orderBy(col("window_start"))
+    }),
+
+    // M2/M3/A12: the real distributed scoring path (CnnScorer.score —
+    // broadcast weights, mapPartitions seam, z-score + conv trunk + head)
+    // over the golden windows, vs the NumPy-computed expected confidences.
+    // Rounded to 4 decimals on both sides: the two float32 forward passes
+    // agree to ~1e-6, and the comparison is deterministic (fixed fixtures,
+    // fixed binaries), so a local pass is a driver pass.
+    "v_cnn_scores" -> ((s, _) => {
+      val wts = CnnScorer.loadWeights(s, cnnWeights)
+      // norm-stats FILE order == the golden windows' channel order
+      val statsRows = s.read.parquet(normStats).collect()
+      val mean = statsRows.map(_.getDouble(1))
+      val std = statsRows.map(_.getDouble(2))
+      val windows = s.read.parquet(cnnGolden)
+        .select(lit("g").as("ride_id"),
+          col("win_id").cast("long").as("window_start"),
+          lit(0.0).as("t_mid"),
+          expr("transform(sequence(0, 29), t -> slice(window, t*24 + 1, 24))")
+            .as("features"))
+      val scoreCols = VescSchema.ConfidenceCols
+        .map(c => col("score_" + c.stripPrefix("cf_")))
+      CnnScorer.score(windows, wts, mean, std)
+        .select(col("window_start").as("win_id"),
+          posexplode(array(scoreCols: _*)))
+        .select(col("win_id"), col("pos").cast("long").as("cls"),
+          (floor(col("col").cast("double") * 10000 + lit(0.5)) / 10000.0).as("score"))
+        .orderBy(col("win_id"), col("cls"))
+    }),
+
+    // W13: video-timestamp anchoring through the full CLI sync path
+    // (preprocess + --vid_time/--log_time), vs the pandas-derived golden
+    // (tools/golden_video_anchor.py) — exact string compare.
+    "v_video_anchor" -> ((s, _) => {
+      VescPipeline.preprocessTraining(s, Seq(rawCsv), rideId = Some("ride_101"),
+          vidTime = Some(vidTime), logTime = Some(logTime))
+        .select(col("sample_idx").cast("long").as("sample_idx"),
+          col("video_ts_anchor"))
+        .orderBy(col("sample_idx"))
     }))
 
   // per-row finite-cell count over the 24 feature columns (NaN-aware)
@@ -149,6 +200,17 @@ object VescFixtureQueries extends QueryPack {
          |  (CAST(med_lo AS DOUBLE) + CAST(med_hi AS DOUBLE)) / 2.0 AS t_mid
          |FROM v
          |WHERE CAST(valid AS DOUBLE) / ${30 * VescSchema.FeatureCols.size}.0 >= 0.7
-         |ORDER BY window_start""".stripMargin
+         |ORDER BY window_start""".stripMargin,
+    "v_cnn_scores" ->
+      s"""SELECT CAST(win_id AS BIGINT) AS win_id,
+         |  unnest(generate_series(0, len(expected) - 1)) AS cls,
+         |  floor(unnest(expected) * 10000 + 0.5) / 10000.0 AS score
+         |FROM '$cnnGolden'
+         |ORDER BY win_id, cls""".stripMargin,
+    "v_video_anchor" ->
+      s"""SELECT CAST(sample_idx AS BIGINT) AS sample_idx, video_ts_anchor
+         |FROM read_csv('$videoGolden', header=true,
+         |  types={'video_ts_anchor': 'VARCHAR'})
+         |ORDER BY sample_idx""".stripMargin
   )
 }

@@ -78,8 +78,13 @@ object SketchOps {
       .agg(count(lit(1)).as("__c"))
   }
 
-  /** Point estimates for `probes` (small, broadcast): min over the d rows
-    * of the probed counters.
+  /** Point estimates for `probes`: min over the d rows of the probed
+    * counters, with a MISSING cell counting as 0 — a probe absent from the
+    * stream gets the correct Count-Min estimate 0 instead of an inflated
+    * min over only its non-empty cells (or vanishing entirely, as an
+    * inner join would do). Left join FROM the probes with the counter
+    * table broadcast: the table is d·w counters by construction, orders of
+    * magnitude below the stream it sketches.
     */
   def countMinEstimate(table: DataFrame, probes: DataFrame, keyCol: String,
                        d: Int = 4, w: Int = 32): DataFrame = {
@@ -88,9 +93,9 @@ object SketchOps {
       .select(col(keyCol), col("__d"),
         pmod(h60(col(keyCol), "cm").bitwiseXOR(col("__d").cast("long") * lit(1099511628211L)),
           lit(w.toLong)).as("__bucket"))
-    table.join(broadcast(probed), Seq("__d", "__bucket"))
+    probed.join(broadcast(table), Seq("__d", "__bucket"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("__c")).as("est_count"))
+      .agg(min(coalesce(col("__c"), lit(0L))).as("est_count"))
   }
 
   /** Equi-width histogram quantile estimate of `valueCol` per `groupCol`:

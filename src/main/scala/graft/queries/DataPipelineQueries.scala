@@ -375,7 +375,7 @@ object DataPipelineQueries extends QueryPack {
         |FROM p WHERE floor((dp / (na * nb)) * 10000 + 0.5) / 10000.0 >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
     "m6_minibatch_gradient" ->
-      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
         |cls AS (SELECT unnest(generate_series(0, 7)) AS k),
         |dims AS (SELECT unnest(generate_series(0, 63)) AS j),
         |t AS (
@@ -391,7 +391,8 @@ object DataPipelineQueries extends QueryPack {
         |  FROM t JOIN e ON e.vec_id = t.vec_id CROSS JOIN dims d
         |  GROUP BY t.vec_id, t.k, t.yk),
         |g AS (
-        |  SELECT ((vec_id * 2654435761) % 4 + 4) % 4 AS batch_id, vec_id, k, yk,
+        |  SELECT ${graft.vesc.HeadTrainer.batchIdSql("vec_id", 0, 4)} AS batch_id,
+        |         vec_id, k, yk,
         |         1 / (1 + exp(-z)) - yk AS gk,
         |         greatest(z, 0) - z * yk + ln(1 + exp(-abs(z))) AS le
         |  FROM z),

@@ -43,11 +43,13 @@ object RetrievalQueries extends QueryPack {
     // when it measures small.
     "text_tfidf" -> ((s, dir) => {
       val (tf, _) = termFreq(s, dir)
-      val n = Tables.documents(s, dir).count()
+      // corpus size as a broadcast 1-row aggregate (not a driver count()):
+      // the whole query stays ONE job
+      val nDf = Tables.documents(s, dir).agg(count(lit(1)).as("__n"))
       val df = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
-      val scored = tf.join(df, "token")
+      val scored = tf.join(df, "token").crossJoin(broadcast(nDf))
         .withColumn("tfidf", r4(col("tf").cast("double") *
-          (log(lit((n + 1).toDouble) / (col("df") + 1).cast("double")) + lit(1.0))))
+          (log((col("__n") + 1).cast("double") / (col("df") + 1).cast("double")) + lit(1.0))))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("token").asc)
       scored.withColumn("rank", row_number().over(w))
@@ -63,15 +65,18 @@ object RetrievalQueries extends QueryPack {
     // table never shuffles whole.
     "text_bm25" -> ((s, dir) => {
       val (tf, dl) = termFreq(s, dir)
-      val n = Tables.documents(s, dir).count()
+      // N and avgdl as broadcast 1-row aggregates (no count()/head() driver
+      // actions): one job, same IEEE arithmetic as the scalar form
+      val nDf = Tables.documents(s, dir).agg(count(lit(1)).as("__n"))
+      val avgdlDf = dl.agg(avg(col("dl")).as("__avgdl"))
       val qtf = tf.filter(col("token").isin(QUERY_TERMS: _*))
       val df = qtf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
-      val avgdl = dl.agg(avg(col("dl"))).head().getDouble(0)
-      val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
+      val idf = log(lit(1.0) + (col("__n").cast("double") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)))
       val denom = col("tf") + lit(BM25_K1) *
-        (lit(1 - BM25_B) + lit(BM25_B) * col("dl") / lit(avgdl))
+        (lit(1 - BM25_B) + lit(BM25_B) * col("dl") / col("__avgdl"))
       val scored = qtf.join(broadcast(df), "token").join(dl, "doc_id")
+        .crossJoin(broadcast(nDf)).crossJoin(broadcast(avgdlDf))
         .withColumn("__s", idf * (col("tf") * lit(BM25_K1 + 1)) / denom)
       scored.groupBy(col("doc_id"))
         .agg(r4(sum(col("__s"))).as("bm25"), count(lit(1)).as("terms_hit"))

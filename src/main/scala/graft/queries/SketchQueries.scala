@@ -89,8 +89,8 @@ object SketchQueries extends QueryPack {
          |pb AS (SELECT user_id, d4.d,
          |    ((xor($h60cm, d4.d * 1099511628211) % 32) + 32) % 32 AS bucket
          |  FROM probes CROSS JOIN d4),
-         |est AS (SELECT pb.user_id, min(cells.c) AS est_count
-         |  FROM pb JOIN cells ON cells.d = pb.d AND cells.bucket = pb.bucket
+         |est AS (SELECT pb.user_id, min(coalesce(cells.c, 0)) AS est_count
+         |  FROM pb LEFT JOIN cells ON cells.d = pb.d AND cells.bucket = pb.bucket
          |  GROUP BY 1),
          |ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
          |  FROM ev GROUP BY 1)

@@ -37,8 +37,12 @@ import org.apache.spark.sql.types._
   *  - epoch train loss = Σ(batch loss · batch labeled) / Σ labeled
   *    (model_training.py:136-143);
   *  - early stopping: val improves when `val + 1e-4 < best`; best weights
-  *    checkpointed on improvement, patience 8, final weights = best
-  *    (model_training.py:167-180).
+  *    checkpointed on improvement, patience 8, final weights = best; and —
+  *    matching the reference's in-loop `load_state_dict(best)` at
+  *    model_training.py:180, which is indented INSIDE the epoch loop —
+  *    every epoch ends by restoring the best weights (a no-op on improving
+  *    epochs, a revert on non-improving ones) while Adam's m/v state keeps
+  *    running.
   */
 object HeadTrainer {
 
@@ -100,19 +104,38 @@ object HeadTrainer {
   }
 
   /** M6: deterministic mini-batch assignment as a pure-arithmetic column —
-    * a multiplicative (Knuth) hash of the row id mixed with the epoch, so
-    * batches reshuffle every epoch like the reference's
-    * `DataLoader(shuffle=True)` but stay exactly reproducible (Long
-    * overflow wraps identically everywhere; no RNG, no driver collect).
+    * two rounds of mask → multiplicative (Knuth) hash → high-bits shift,
+    * with the epoch mixed in before the first shift, so batch COMPOSITION
+    * (not just a rotated labeling) changes every epoch like the reference's
+    * `DataLoader(shuffle=True)` while staying exactly reproducible with no
+    * RNG and no driver collect. The 20-bit mask before each multiply keeps
+    * every intermediate below 2⁵², so engines that ERROR on BIGINT overflow
+    * (DuckDB) replay the identical arithmetic — wrap-on-overflow is never
+    * relied on.
     */
-  def batchId(id: Column, epoch: Int, nBatches: Int): Column =
-    pmod(id * lit(2654435761L) + lit(epoch.toLong * 40503L), lit(nBatches.toLong))
+  def batchId(id: Column, epoch: Int, nBatches: Int): Column = {
+    val r1 = shiftright(
+      id.bitwiseAND(lit(MixMask)) * lit(MixA) + lit(epoch.toLong * MixB), 12)
+    val r2 = shiftright(r1.bitwiseAND(lit(MixMask)) * lit(MixA), 12)
+    pmod(r2, lit(nBatches.toLong))
+  }
+
+  private val MixMask = 1048575L // 2^20 - 1
+  private val MixA = 2654435761L // Knuth's multiplicative constant
+  private val MixB = 40503L
 
   /** Same assignment for a local replica (parity tests). */
   def batchIdLocal(id: Long, epoch: Int, nBatches: Int): Long = {
-    val v = (id * 2654435761L + epoch.toLong * 40503L) % nBatches
+    val r1 = ((id & MixMask) * MixA + epoch.toLong * MixB) >> 12
+    val r2 = ((r1 & MixMask) * MixA) >> 12
+    val v = r2 % nBatches
     if (v < 0) v + nBatches else v
   }
+
+  /** The batch-id arithmetic as engine-neutral SQL (for oracles). */
+  def batchIdSql(idExpr: String, epoch: Int, nBatches: Int): String =
+    s"((((($idExpr & $MixMask) * $MixA + ${epoch.toLong * MixB}) >> 12)" +
+      s" & $MixMask) * $MixA >> 12) % $nBatches"
 
   final case class TrainConfig(
       epochs: Int = 100, batches: Int = 8, lr: Double = 1e-3,
@@ -215,6 +238,15 @@ object HeadTrainer {
           bad += 1
           if (bad >= cfg.patience) stopped = true
         }
+        // reference parity: load_state_dict(best) runs INSIDE the epoch
+        // loop (model_training.py:180) — the next epoch always resumes
+        // from the best weights; Adam m/v state is NOT reset
+        var kk = 0
+        while (kk < k) {
+          System.arraycopy(bestW(kk), 0, w(kk), 0, d)
+          kk += 1
+        }
+        System.arraycopy(bestB, 0, b, 0, k)
         log += EpochLog(epoch, trainLoss, valLoss, improved)
         epoch += 1
       }

@@ -36,9 +36,24 @@ class SketchOpsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val exact = ks.groupBy("k").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == Set(6L, 13L, 20L, 398L), "every probe gets an estimate")
     est.foreach { case (k, e) =>
-      assert(e >= exact(k), s"CM estimate must never undercount (key $k)")
+      assert(e >= exact.getOrElse(k, 0L),
+        s"CM estimate must never undercount (key $k)")
     }
+  }
+
+  test("Count-Min probe with an empty cell estimates 0, not the min of non-empty cells") {
+    import spark.implicits._
+    // 3 keys in a wide (4×4096) table: an absent probe almost surely maps to
+    // at least one untouched bucket in some row — min over cells must treat
+    // that as 0 (the sketch's upper-bound contract for absent keys)
+    val ks = Seq(1L, 2L, 3L).toDF("k")
+    val table = SketchOps.countMinTable(ks, "k", d = 4, w = 4096)
+    val est = SketchOps.countMinEstimate(table, Seq(999999L).toDF("k"), "k",
+        d = 4, w = 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est == Map(999999L -> 0L), s"absent probe must estimate 0: $est")
   }
 
   test("histogram p50 of a uniform ramp is near the true median") {

@@ -114,6 +114,10 @@ class HeadTrainerSpec extends SparkSuite {
         bestVal = valLoss; bestEpoch = epoch; bad = 0
         bestW = w.map(_.clone()); bestB = b.clone()
       } else { bad += 1; if (bad >= cfg.patience) stopped = true }
+      // reference's in-loop load_state_dict(best): resume next epoch from
+      // the best weights, Adam state untouched (model_training.py:180)
+      for (k <- 0 until K) Array.copy(bestW(k), 0, w(k), 0, D)
+      Array.copy(bestB, 0, b, 0, K)
       log += ((trainLoss, valLoss, improved))
       epoch += 1
     }

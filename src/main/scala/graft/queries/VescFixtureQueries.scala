@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.vesc.{Annotations, CnnScorer, Normalizer, VescPipeline, VescSchema, WindowAssembler}
+import graft.vesc.{Annotations, CnnScorer, Normalizer, TrunkGrad, TrunkTrainer, VescPipeline, VescSchema, WindowAssembler}
 
 /** Driver-visible oracles for the VESC pipeline core, previously covered
   * only by ScalaTest: the Spark side runs the real raw-CSV → 10 Hz
@@ -114,6 +114,45 @@ object VescFixtureQueries extends QueryPack {
         .orderBy(col("win_id"), col("cls"))
     }),
 
+    // M7 full-network gradient: ONE distributed TrunkGradAgg pass
+    // (masked-BCE backprop through conv/BN/res/head, frozen BN stats) over
+    // the golden windows with deterministic labels, vs an independent
+    // NumPy backprop (tools/golden_trunk_grad.py, FD-self-checked).
+    // Per-block L2 norms compared on a LOG scale rounded to 3 decimals:
+    // the two float32 forwards agree to ~1e-5 relative, far inside the
+    // 5e-4 half-bucket, while an absolute rounding of a norm ~1700 would
+    // sit on the boundary.
+    "m7_trunk_gradient" -> ((s, _) => {
+      val wts = CnnScorer.loadWeights(s, cnnWeights)
+      val statsRows = s.read.parquet(normStats).collect()
+      val mean = statsRows.map(_.getDouble(1))
+      val std = statsRows.map(_.getDouble(2))
+      val base = s.read.parquet(cnnGolden).select(
+        lit("g").as("ride_id"),
+        col("win_id").cast("long").as("window_start"),
+        expr("transform(sequence(0, 29), t -> slice(window, t*24 + 1, 24))")
+          .as("features"))
+      val withY = VescSchema.ConfidenceCols.zipWithIndex.foldLeft(base) {
+        case (df, (c, i)) =>
+          df.withColumn("y_" + c,
+            when(pmod(col("window_start") + i, lit(5)) === 0, lit(Double.NaN))
+              .otherwise(pmod(col("window_start") + i, lit(3)).cast("double") / 2.0))
+      }
+      val rows = TrunkTrainer.normalizedWindows(withY, mean, std)
+      val buf = TrunkTrainer.gradPass(rows.select(col("win"), col("y")), wts)
+      def enc(x: Double) = math.floor(math.log(x) * 1000 + 0.5) / 1000.0
+      val spec = TrunkGrad.blockSpec(wts)
+      val offs = spec.scanLeft(0)(_ + _._2).init
+      val out = spec.zip(offs).map { case ((name, len), off) =>
+        var ss = 0.0
+        var i = off
+        while (i < off + len) { ss += buf.g(i) * buf.g(i); i += 1 }
+        (name, enc(math.sqrt(ss)))
+      } ++ Seq(("loss", enc(buf.loss)), ("labeled", buf.labeled.toDouble))
+      import s.implicits._
+      out.toDF("block", "value").orderBy(col("block"))
+    }),
+
     // W13: video-timestamp anchoring through the full CLI sync path
     // (preprocess + --vid_time/--log_time), vs the pandas-derived golden
     // (tools/golden_video_anchor.py) — exact string compare.
@@ -211,6 +250,10 @@ object VescFixtureQueries extends QueryPack {
       s"""SELECT CAST(sample_idx AS BIGINT) AS sample_idx, video_ts_anchor
          |FROM read_csv('$videoGolden', header=true,
          |  types={'video_ts_anchor': 'VARCHAR'})
-         |ORDER BY sample_idx""".stripMargin
+         |ORDER BY sample_idx""".stripMargin,
+    "m7_trunk_gradient" ->
+      s"""SELECT block, value
+         |FROM '/root/repo/src/test/resources/trunk_grad_golden.parquet'
+         |ORDER BY block""".stripMargin
   )
 }

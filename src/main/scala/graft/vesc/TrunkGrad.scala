@@ -1,0 +1,340 @@
+package graft.vesc
+
+import CnnScorer.{BnW, CnnWeights, ConvW, LinearW}
+
+/** Full-network backpropagation for the reference CNN (M7 extension:
+  * model/model_training.py:61-180): per-window gradient of the masked BCE
+  * loss with respect to EVERY trainable tensor — all conv weights/biases,
+  * all BatchNorm γ/β, and the linear head.
+  *
+  * Semantics vs the reference: the reference trains from scratch with
+  * train-mode BatchNorm (batch statistics). Batch statistics couple the
+  * rows of a mini-batch, which would force one extra synchronization pass
+  * per BN layer per batch (the SyncBatchNorm shape) and break the
+  * one-aggregation-per-batch design that makes the trainer scale. This
+  * implementation instead trains with FROZEN BN statistics (running
+  * mean/var from the checkpoint; γ/β still learned) — the standard
+  * fine-tuning recipe, and the configuration under which per-row gradients
+  * are exactly independent, so the whole batch gradient is one
+  * map-side-combinable aggregation ([[TrunkTrainer.TrunkGradAgg]]). The
+  * deviation is documented in README §limits.
+  *
+  * Numerics: forward runs in float32 exactly like [[CnnScorer]] (same op
+  * order — TrunkTrainerSpec asserts the cached forward reproduces
+  * `CnnScorer.forward` bit-for-bit); backward accumulates in double.
+  * TrunkTrainerSpec verifies the analytic gradient against central finite
+  * differences of an independent double-precision forward replica.
+  */
+object TrunkGrad {
+
+  /** Flattened parameter layout: (name, length) in canonical order. */
+  def blockSpec(wts: CnnWeights): Seq[(String, Int)] = {
+    def convLen(c: ConvW) = c.w.length * c.w(0).length * c.w(0)(0).length
+    Seq(
+      "conv1.w" -> convLen(wts.conv1), "conv1.b" -> wts.conv1.b.length,
+      "bn1.g" -> wts.bn1.gamma.length, "bn1.b" -> wts.bn1.beta.length,
+      "res1.w" -> convLen(wts.resConv1), "res1.b" -> wts.resConv1.b.length,
+      "res2.w" -> convLen(wts.resConv2), "res2.b" -> wts.resConv2.b.length,
+      "resbn.g" -> wts.resBn.gamma.length, "resbn.b" -> wts.resBn.beta.length,
+      "conv2.w" -> convLen(wts.conv2), "conv2.b" -> wts.conv2.b.length,
+      "bn2.g" -> wts.bn2.gamma.length, "bn2.b" -> wts.bn2.beta.length,
+      "conv3.w" -> convLen(wts.conv3), "conv3.b" -> wts.conv3.b.length,
+      "bn3.g" -> wts.bn3.gamma.length, "bn3.b" -> wts.bn3.beta.length,
+      "conv4.w" -> convLen(wts.conv4), "conv4.b" -> wts.conv4.b.length,
+      "bn4.g" -> wts.bn4.gamma.length, "bn4.b" -> wts.bn4.beta.length,
+      "head.w" -> wts.head.w.length * wts.head.w(0).length,
+      "head.b" -> wts.head.b.length)
+  }
+
+  def nParams(wts: CnnWeights): Int = blockSpec(wts).map(_._2).sum
+
+  /** Weights → flat double vector in [[blockSpec]] order. */
+  def flatten(wts: CnnWeights): Array[Double] = {
+    val out = Array.ofDim[Double](nParams(wts))
+    var i = 0
+    def conv(c: ConvW): Unit = {
+      c.w.foreach(_.foreach(_.foreach { v => out(i) = v; i += 1 }))
+      c.b.foreach { v => out(i) = v; i += 1 }
+    }
+    def bn(b: BnW): Unit = {
+      b.gamma.foreach { v => out(i) = v; i += 1 }
+      b.beta.foreach { v => out(i) = v; i += 1 }
+    }
+    conv(wts.conv1); bn(wts.bn1)
+    conv(wts.resConv1); conv(wts.resConv2); bn(wts.resBn)
+    conv(wts.conv2); bn(wts.bn2)
+    conv(wts.conv3); bn(wts.bn3)
+    conv(wts.conv4); bn(wts.bn4)
+    wts.head.w.foreach(_.foreach { v => out(i) = v; i += 1 })
+    wts.head.b.foreach { v => out(i) = v; i += 1 }
+    out
+  }
+
+  /** Flat double vector → weights (float32), shapes taken from `like`;
+    * BN running stats are carried over unchanged (frozen).
+    */
+  def unflatten(flat: Array[Double], like: CnnWeights): CnnWeights = {
+    var i = 0
+    def conv(c: ConvW): ConvW = {
+      val w = c.w.map(_.map(_.map { _ => val v = flat(i).toFloat; i += 1; v }))
+      val b = c.b.map { _ => val v = flat(i).toFloat; i += 1; v }
+      ConvW(w, b, c.dilation, c.padding)
+    }
+    def bn(b: BnW): BnW = {
+      val g = b.gamma.map { _ => val v = flat(i).toFloat; i += 1; v }
+      val bt = b.beta.map { _ => val v = flat(i).toFloat; i += 1; v }
+      BnW(g, bt, b.mean, b.variance, b.eps)
+    }
+    val c1 = conv(like.conv1); val b1 = bn(like.bn1)
+    val r1 = conv(like.resConv1); val r2 = conv(like.resConv2); val rb = bn(like.resBn)
+    val c2 = conv(like.conv2); val b2 = bn(like.bn2)
+    val c3 = conv(like.conv3); val b3 = bn(like.bn3)
+    val c4 = conv(like.conv4); val b4 = bn(like.bn4)
+    val hw = like.head.w.map(_.map { _ => val v = flat(i).toFloat; i += 1; v })
+    val hb = like.head.b.map { _ => val v = flat(i).toFloat; i += 1; v }
+    CnnWeights(c1, b1, r1, r2, rb, c2, b2, c3, b3, c4, b4, LinearW(hw, hb))
+  }
+
+  // ---- forward with caches (float32, same op order as CnnScorer) ----
+
+  private final class Cache {
+    var x0: Array[Array[Float]] = _        // (C_in, T)
+    var c1pre: Array[Array[Float]] = _     // conv1 out
+    var b1out: Array[Array[Float]] = _     // bn1 out (pre-relu)
+    var h1: Array[Array[Float]] = _        // relu
+    var r1pre: Array[Array[Float]] = _     // resConv1 out
+    var r1post: Array[Array[Float]] = _    // relu
+    var r2pre: Array[Array[Float]] = _     // resConv2 out
+    var rbnOut: Array[Array[Float]] = _    // resBn out (pre-relu)
+    var s2: Array[Array[Float]] = _        // h1 + relu(rbnOut), pre-relu
+    var h2: Array[Array[Float]] = _
+    var c2pre: Array[Array[Float]] = _
+    var b2out: Array[Array[Float]] = _
+    var h3: Array[Array[Float]] = _
+    var c3pre: Array[Array[Float]] = _
+    var b3out: Array[Array[Float]] = _
+    var h4: Array[Array[Float]] = _
+    var c4pre: Array[Array[Float]] = _
+    var b4out: Array[Array[Float]] = _
+    var h5: Array[Array[Float]] = _
+    var pooled: Array[Float] = _
+    var logits: Array[Double] = _
+  }
+
+  private def forwardCached(window: Array[Array[Float]], wts: CnnWeights): Cache = {
+    import CnnScorer.{batchNorm, conv1d, relu}
+    val c = new Cache
+    val cIn = window(0).length
+    val t = window.length
+    c.x0 = Array.ofDim[Float](cIn, t)
+    var i = 0
+    while (i < t) {
+      var ch = 0
+      while (ch < cIn) { c.x0(ch)(i) = window(i)(ch); ch += 1 }
+      i += 1
+    }
+    c.c1pre = conv1d(c.x0, wts.conv1)
+    c.b1out = batchNorm(c.c1pre, wts.bn1)
+    c.h1 = relu(c.b1out)
+    c.r1pre = conv1d(c.h1, wts.resConv1)
+    c.r1post = relu(c.r1pre)
+    c.r2pre = conv1d(c.r1post, wts.resConv2)
+    c.rbnOut = batchNorm(c.r2pre, wts.resBn)
+    val blk = relu(c.rbnOut)
+    // same accumulation order as CnnScorer.addInPlace(blk, h): blk + h1
+    c.s2 = Array.tabulate(blk.length, blk(0).length)((ch, ti) => blk(ch)(ti) + c.h1(ch)(ti))
+    c.h2 = relu(c.s2)
+    c.c2pre = conv1d(c.h2, wts.conv2)
+    c.b2out = batchNorm(c.c2pre, wts.bn2)
+    c.h3 = relu(c.b2out)
+    c.c3pre = conv1d(c.h3, wts.conv3)
+    c.b3out = batchNorm(c.c3pre, wts.bn3)
+    c.h4 = relu(c.b3out)
+    c.c4pre = conv1d(c.h4, wts.conv4)
+    c.b4out = batchNorm(c.c4pre, wts.bn4)
+    c.h5 = relu(c.b4out)
+    c.pooled = c.h5.map { ch =>
+      var s = 0f; var j = 0
+      while (j < ch.length) { s += ch(j); j += 1 }
+      s / ch.length
+    }
+    c.logits = wts.head.w.zipWithIndex.map { case (row, o) =>
+      var acc = wts.head.b(o)
+      var j = 0
+      while (j < row.length) { acc += row(j) * c.pooled(j); j += 1 }
+      acc.toDouble
+    }
+    c
+  }
+
+  /** Reproduces [[CnnScorer.forward]] through the cached path (spec hook). */
+  def forwardScores(window: Array[Array[Float]], wts: CnnWeights): Array[Float] =
+    forwardCached(window, wts).logits.map(z => (1.0 / (1.0 + math.exp(-z))).toFloat)
+
+  // ---- backward (double accumulation) ----
+
+  /** dL/dInput of a conv layer plus accumulation of dW/db into `gw`/`gb`
+    * (flat offsets). `dy` is (C_out, T_out); returns (C_in, T_in).
+    */
+  private def convBackward(x: Array[Array[Float]], cw: ConvW,
+                           dy: Array[Array[Double]],
+                           grad: Array[Double], off: Int): Array[Array[Double]] = {
+    val cOut = cw.w.length
+    val cIn = x.length
+    val k = cw.w(0)(0).length
+    val t = x(0).length
+    val tOut = dy(0).length
+    val dx = Array.ofDim[Double](cIn, t)
+    val wOff = off
+    val bOff = off + cOut * cIn * k
+    var o = 0
+    while (o < cOut) {
+      val dyo = dy(o)
+      var ti = 0
+      while (ti < tOut) {
+        val d = dyo(ti)
+        if (d != 0.0) {
+          grad(bOff + o) += d
+          var ci = 0
+          while (ci < cIn) {
+            val xi = x(ci)
+            val dxi = dx(ci)
+            val base = wOff + (o * cIn + ci) * k
+            var kk = 0
+            while (kk < k) {
+              val src = ti - cw.padding + kk * cw.dilation
+              if (src >= 0 && src < t) {
+                grad(base + kk) += d * xi(src)
+                dxi(src) += cw.w(o)(ci)(kk) * d
+              }
+              kk += 1
+            }
+            ci += 1
+          }
+        }
+        ti += 1
+      }
+      o += 1
+    }
+    dx
+  }
+
+  /** Frozen-stats BN backward: dγ/dβ accumulate into `grad`, returns dx. */
+  private def bnBackward(xPre: Array[Array[Float]], bn: BnW,
+                         dy: Array[Array[Double]],
+                         grad: Array[Double], off: Int): Array[Array[Double]] = {
+    val cN = xPre.length
+    val t = xPre(0).length
+    val dx = Array.ofDim[Double](cN, t)
+    val gOff = off
+    val bOff = off + cN
+    var c = 0
+    while (c < cN) {
+      val inv = 1.0 / math.sqrt(bn.variance(c).toDouble + bn.eps.toDouble)
+      val g = bn.gamma(c).toDouble
+      val m = bn.mean(c).toDouble
+      var ti = 0
+      while (ti < t) {
+        val d = dy(c)(ti)
+        grad(gOff + c) += d * (xPre(c)(ti) - m) * inv
+        grad(bOff + c) += d
+        dx(c)(ti) = d * inv * g
+        ti += 1
+      }
+      c += 1
+    }
+    dx
+  }
+
+  /** dy masked by the sign of the PRE-relu activation. */
+  private def reluBackward(pre: Array[Array[Float]],
+                           dy: Array[Array[Double]]): Array[Array[Double]] =
+    Array.tabulate(pre.length, pre(0).length)((c, t) =>
+      if (pre(c)(t) > 0f) dy(c)(t) else 0.0)
+
+  /** Masked-BCE loss + full-network gradient for one (window, y) row.
+    * `window` is the (T, C_in) normalized matrix; `y` the K targets with
+    * NaN = unlabeled. Gradient SUMS (not means) accumulate into `grad`
+    * (length [[nParams]]); returns (summed element loss, labeled count) —
+    * the same partial shape as [[HeadTrainer.GradAgg]], so batch means are
+    * taken once, driver-side.
+    */
+  def rowGradient(window: Array[Array[Float]], y: Array[Double],
+                  wts: CnnWeights, grad: Array[Double]): (Double, Long) = {
+    val c = forwardCached(window, wts)
+    val k = wts.head.b.length
+    val dHid = wts.head.w(0).length
+
+    var loss = 0.0
+    var labeled = 0L
+    val dz = Array.ofDim[Double](k)
+    var o = 0
+    while (o < k) {
+      val yk = y(o)
+      if (!yk.isNaN) {
+        val z = c.logits(o)
+        loss += math.max(z, 0.0) - z * yk + math.log1p(math.exp(-math.abs(z)))
+        dz(o) = 1.0 / (1.0 + math.exp(-z)) - yk
+        labeled += 1L
+      }
+      o += 1
+    }
+    if (labeled == 0L) return (0.0, 0L)
+
+    val spec = blockSpec(wts)
+    val offs = spec.scanLeft(0)(_ + _._2).init
+    val offOf = spec.map(_._1).zip(offs).toMap
+
+    // head
+    val dPooled = Array.ofDim[Double](dHid)
+    val hwOff = offOf("head.w"); val hbOff = offOf("head.b")
+    o = 0
+    while (o < k) {
+      val d = dz(o)
+      if (d != 0.0) {
+        grad(hbOff + o) += d
+        val row = wts.head.w(o)
+        var j = 0
+        while (j < dHid) {
+          grad(hwOff + o * dHid + j) += d * c.pooled(j)
+          dPooled(j) += d * row(j)
+          j += 1
+        }
+      }
+      o += 1
+    }
+
+    // pool: mean over T4 → broadcast /T4
+    val t4 = c.h5(0).length
+    var dH = Array.tabulate(c.h5.length, t4)((ch, _) => dPooled(ch) / t4)
+
+    dH = reluBackward(c.b4out, dH)
+    dH = bnBackward(c.c4pre, wts.bn4, dH, grad, offOf("bn4.g"))
+    dH = convBackward(c.h4, wts.conv4, dH, grad, offOf("conv4.w"))
+
+    dH = reluBackward(c.b3out, dH)
+    dH = bnBackward(c.c3pre, wts.bn3, dH, grad, offOf("bn3.g"))
+    dH = convBackward(c.h3, wts.conv3, dH, grad, offOf("conv3.w"))
+
+    dH = reluBackward(c.b2out, dH)
+    dH = bnBackward(c.c2pre, wts.bn2, dH, grad, offOf("bn2.g"))
+    dH = convBackward(c.h2, wts.conv2, dH, grad, offOf("conv2.w"))
+
+    // residual join: h2 = relu(h1 + blk)
+    val dS2 = reluBackward(c.s2, dH)
+    var dBlk = reluBackward(c.rbnOut, dS2)
+    dBlk = bnBackward(c.r2pre, wts.resBn, dBlk, grad, offOf("resbn.g"))
+    dBlk = convBackward(c.r1post, wts.resConv2, dBlk, grad, offOf("res2.w"))
+    dBlk = reluBackward(c.r1pre, dBlk)
+    dBlk = convBackward(c.h1, wts.resConv1, dBlk, grad, offOf("res1.w"))
+    // dh1 = skip path + through-block path
+    val dH1 = Array.tabulate(dS2.length, dS2(0).length)((ch, ti) =>
+      dS2(ch)(ti) + dBlk(ch)(ti))
+
+    var dB1 = reluBackward(c.b1out, dH1)
+    dB1 = bnBackward(c.c1pre, wts.bn1, dB1, grad, offOf("bn1.g"))
+    convBackward(c.x0, wts.conv1, dB1, grad, offOf("conv1.w"))
+
+    (loss, labeled)
+  }
+}

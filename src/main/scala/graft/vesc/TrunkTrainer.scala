@@ -1,0 +1,198 @@
+package graft.vesc
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import CnnScorer.CnnWeights
+
+/** Distributed full-network training of the reference CNN (M7 closed:
+  * model/model_training.py:109-180 over the whole conv/BN/res stack, not
+  * just the linear head) — same architecture as [[HeadTrainer]]: the
+  * feature table stays distributed and cached; each mini-batch computes
+  * loss + the FULL ~18k-parameter gradient as ONE aggregation with
+  * map-side partial combine ([[TrunkTrainer.TrunkGradAgg]] — each task
+  * reduces its windows into a single flat gradient buffer, so the shuffle
+  * per batch moves O(tasks · 18k) doubles, never rows); the driver holds
+  * the optimizer state and applies Adam.
+  *
+  * BN statistics are FROZEN (γ/β trained) — see [[TrunkGrad]] for why
+  * that is the configuration under which per-row gradients are
+  * independent and the one-aggregation-per-batch shape survives; the
+  * reference's train-mode batch statistics would need a SyncBatchNorm
+  * pass per BN layer per batch.
+  *
+  * Loop semantics (batching, Adam, epoch loss weighting, patience-based
+  * early stopping, in-loop best-checkpoint restore) are IDENTICAL to
+  * [[HeadTrainer.train]] — TrunkTrainerSpec proves the distributed loop
+  * bit-exact against a sequential replica, and the analytic gradient
+  * against finite differences of an independent double-precision forward.
+  */
+object TrunkTrainer {
+
+  final case class TrunkBuf(g: Array[Double], loss: Double, labeled: Long)
+
+  /** One-pass masked-BCE loss + full-network gradient for fixed weights
+    * over rows of (win: dense normalized (T, C) matrix, y: K targets with
+    * NaN = unlabeled). Closes over the weights (~100 KB per task closure).
+    */
+  class TrunkGradAgg(wts: CnnWeights)
+      extends Aggregator[(Seq[Seq[Double]], Seq[Double]), TrunkBuf, TrunkBuf] {
+    private val n = TrunkGrad.nParams(wts)
+
+    override def zero: TrunkBuf = TrunkBuf(Array.ofDim[Double](n), 0.0, 0L)
+
+    override def reduce(buf: TrunkBuf, row: (Seq[Seq[Double]], Seq[Double])): TrunkBuf = {
+      val (winSeq, ySeq) = row
+      val win = winSeq.map(r => r.map(_.toFloat).toArray).toArray
+      val (loss, labeled) = TrunkGrad.rowGradient(win, ySeq.toArray, wts, buf.g)
+      TrunkBuf(buf.g, buf.loss + loss, buf.labeled + labeled)
+    }
+
+    override def merge(a: TrunkBuf, b: TrunkBuf): TrunkBuf = {
+      var i = 0
+      while (i < a.g.length) { a.g(i) += b.g(i); i += 1 }
+      TrunkBuf(a.g, a.loss + b.loss, a.labeled + b.labeled)
+    }
+
+    override def finish(r: TrunkBuf): TrunkBuf = r
+    override def bufferEncoder: ExpressionEncoder[TrunkBuf] = ExpressionEncoder[TrunkBuf]()
+    override def outputEncoder: ExpressionEncoder[TrunkBuf] = ExpressionEncoder[TrunkBuf]()
+  }
+
+  /** One gradient aggregation over `df` (columns win, y) at `wts`. */
+  def gradPass(df: DataFrame, wts: CnnWeights): TrunkBuf = {
+    val agg = udaf(new TrunkGradAgg(wts))
+    val r = df.agg(agg(col("win"), col("y")).as("g")).head()
+    val g = r.getStruct(0)
+    TrunkBuf(g.getAs[scala.collection.Seq[Double]]("g").toArray,
+      g.getAs[Double]("loss"), g.getAs[Long]("labeled"))
+  }
+
+  def evalLoss(df: DataFrame, wts: CnnWeights): Double = {
+    val b = gradPass(df, wts)
+    b.loss / math.max(b.labeled.toDouble, 1.0)
+  }
+
+  final case class TrunkResult(weights: CnnWeights, bestVal: Double,
+                               bestEpoch: Int,
+                               log: Seq[HeadTrainer.EpochLog],
+                               stoppedEarly: Boolean)
+
+  /** The training loop — same structure as [[HeadTrainer.train]], over the
+    * flat ~18k-parameter vector. `train`/`validation` need columns
+    * (id long, win array&lt;array&lt;double&gt;&gt;, y array&lt;double&gt;).
+    */
+  def train(trainDf: DataFrame, valDf: DataFrame, initWts: CnnWeights,
+            cfg: HeadTrainer.TrainConfig = HeadTrainer.TrainConfig()): TrunkResult = {
+    val p = TrunkGrad.flatten(initWts)
+    val n = p.length
+    val m = Array.ofDim[Double](n); val v = Array.ofDim[Double](n)
+    var t = 0
+
+    val cachedTrain = trainDf.persist()
+    val cachedVal = valDf.persist()
+    try {
+      var bestVal = Double.PositiveInfinity
+      var bestEpoch = -1
+      var bestP = p.clone()
+      var bad = 0
+      var stopped = false
+      val log = scala.collection.mutable.ArrayBuffer.empty[HeadTrainer.EpochLog]
+
+      var epoch = 0
+      while (epoch < cfg.epochs && !stopped) {
+        var num = 0.0; var den = 0.0
+        var bi = 0
+        while (bi < cfg.batches) {
+          val wts = TrunkGrad.unflatten(p, initWts)
+          val batch = cachedTrain.filter(
+            HeadTrainer.batchId(col("id"), epoch, cfg.batches) === bi)
+          val g = gradPass(batch, wts)
+          val nb = math.max(g.labeled.toDouble, 1.0)
+          t += 1
+          val c1 = 1.0 - math.pow(cfg.beta1, t)
+          val c2 = 1.0 - math.pow(cfg.beta2, t)
+          var j = 0
+          while (j < n) {
+            val grad = g.g(j) / nb
+            m(j) = cfg.beta1 * m(j) + (1 - cfg.beta1) * grad
+            v(j) = cfg.beta2 * v(j) + (1 - cfg.beta2) * grad * grad
+            p(j) -= cfg.lr * (m(j) / c1) / (math.sqrt(v(j) / c2) + cfg.adamEps)
+            j += 1
+          }
+          num += g.loss
+          den += g.labeled.toDouble
+          bi += 1
+        }
+        val trainLoss = num / math.max(den, 1.0)
+        val valLoss = evalLoss(cachedVal, TrunkGrad.unflatten(p, initWts))
+
+        val improved = valLoss + cfg.minDelta < bestVal
+        if (improved) {
+          bestVal = valLoss; bestEpoch = epoch; bad = 0
+          bestP = p.clone()
+        } else {
+          bad += 1
+          if (bad >= cfg.patience) stopped = true
+        }
+        // reference's in-loop load_state_dict(best) (model_training.py:180)
+        System.arraycopy(bestP, 0, p, 0, n)
+        log += HeadTrainer.EpochLog(epoch, trainLoss, valLoss, improved)
+        epoch += 1
+      }
+      TrunkResult(TrunkGrad.unflatten(bestP, initWts), bestVal, bestEpoch,
+        log.toSeq, stopped)
+    } finally {
+      cachedTrain.unpersist()
+      cachedVal.unpersist()
+    }
+  }
+
+  /** Assembled windows → (id, win: dense normalized (T, C) double matrix,
+    * y: per-class label means; NaN where unlabeled). The same
+    * fill/normalize seam as [[CnnScorer.score]], materialized as data so
+    * every epoch pass skips the fill work; float32 values widened to
+    * double (exact), so the aggregator's `toFloat` round-trips
+    * bit-identically.
+    */
+  def normalizedWindows(windows: DataFrame,
+                        mean: Array[Double], std: Array[Double],
+                        confCols: Seq[String] = VescSchema.ConfidenceCols,
+                        hasLabels: Boolean = true): DataFrame = {
+    val sc = windows.sparkSession.sparkContext
+    val bMean = sc.broadcast(mean.map(_.toFloat))
+    val bStd = sc.broadcast(std.map(_.toFloat))
+    val labelCols =
+      if (hasLabels) confCols.map(c => col("y_" + c).cast("double"))
+      else confCols.map(_ => lit(Double.NaN))
+    val projected = windows.select(
+      col("ride_id"), col("window_start"),
+      col("features"), array(labelCols: _*).as("__y"))
+    val outSchema = StructType(Seq(
+      StructField("ride_id", StringType),
+      StructField("window_start", LongType),
+      StructField("win", ArrayType(ArrayType(DoubleType))),
+      StructField("y", ArrayType(DoubleType))))
+    val out = projected.mapPartitions { it =>
+      val mn = bMean.value; val sd = bStd.value
+      it.map { row =>
+        val cells = row.getAs[scala.collection.Seq[scala.collection.Seq[Any]]](2)
+        val mat = CnnScorer.fillWindow(cells, mn.length)
+        var i = 0
+        while (i < mat.length) {
+          var c = 0
+          while (c < mn.length) { mat(i)(c) = (mat(i)(c) - mn(c)) / sd(c); c += 1 }
+          i += 1
+        }
+        Row(row.get(0), row.get(1),
+          mat.map(_.map(_.toDouble).toSeq).toSeq,
+          row.getAs[scala.collection.Seq[Double]](3).toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    out.withColumn("id", xxhash64(col("ride_id"), col("window_start")))
+      .select("id", "ride_id", "window_start", "win", "y")
+  }
+}

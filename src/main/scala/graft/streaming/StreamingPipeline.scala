@@ -119,6 +119,68 @@ object StreamingPipeline {
         resampleFlatMap())
   }
 
+  /** A sample with a real event-time column, so a watermark can be defined
+    * on the stream (the ms-Long [[Sample]] variant has no event-time clock
+    * for Spark to track).
+    */
+  final case class TimedSample(rideId: String, ts: java.sql.Timestamp, value: Double)
+
+  /** Watermark-aware resampler: same forward-only grid as
+    * [[resampleFlatMap]], plus the two late-data semantics the unbounded
+    * variant leaves implicit:
+    *
+    *  - '''ignore-late''': samples at or behind the current watermark are
+    *    dropped before touching state. The batch reference never revisits
+    *    already-emitted rows (it sorts once and processes in order,
+    *    training_preprocessing.py sort+dedup), so a late sample must not
+    *    splice new grid rows into a region the stream already emitted —
+    *    dropping it is the only append-mode-consistent behavior. The guard
+    *    is explicit (`getCurrentWatermarkMs`) so the semantics do not
+    *    depend on which Spark versions pre-filter late rows ahead of
+    *    flatMapGroupsWithState.
+    *  - '''ride-close expiry''': when the watermark passes the ride's last
+    *    sample by `closeAfterMs`, the per-ride state is REMOVED. State
+    *    stays bounded by the number of ACTIVE rides, not all rides ever
+    *    seen — the difference between O(concurrent uploads) and O(history)
+    *    state at ingest scale — and a sample arriving after close starts a
+    *    fresh grid instead of bridging a multi-hour voided gap across the
+    *    closure (the batch pipeline equally treats separate files as
+    *    separate rides, RawLogReader ride-id inference).
+    */
+  def resampleExpiringFlatMap(stepMs: Long = VescSchema.StepMs,
+                              maxGapMs: Double = VescSchema.MaxGapMs,
+                              closeAfterMs: Long = 10000L)(
+      rideId: String, rows: Iterator[TimedSample],
+      state: GroupState[ResampleState]): Iterator[GridRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val wm = state.getCurrentWatermarkMs()
+    val live = rows.collect {
+      case t if t.ts.getTime > wm => Sample(t.rideId, t.ts.getTime, t.value)
+    }
+    val out = resampleFlatMap(stepMs, maxGapMs)(rideId, live, state)
+    if (state.exists)
+      // must stay ahead of the watermark or Spark rejects the timestamp
+      state.setTimeoutTimestamp(math.max(wm + 1, state.get.lastRealMs + closeAfterMs))
+    out
+  }
+
+  /** Wire the expiring resampler over an event-timed stream. `watermark`
+    * bounds how late a sample may arrive and still be processed;
+    * `closeAfterMs` is the event-time silence after which a ride is closed
+    * and its state dropped.
+    */
+  def resampleStreamExpiring(samples: org.apache.spark.sql.Dataset[TimedSample],
+                             watermark: String = "10 seconds",
+                             closeAfterMs: Long = 10000L)
+                            (implicit spark: SparkSession): org.apache.spark.sql.Dataset[GridRow] = {
+    import spark.implicits._
+    samples
+      .withWatermark("ts", watermark)
+      .groupByKey(_.rideId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        resampleExpiringFlatMap(closeAfterMs = closeAfterMs))
+  }
+
   /** Per-upload re-analysis, end-to-end (reference app.py:354-366: every
     * upload triggers a fresh raw → resample → window → score → timeline
     * run). The upload directory is a file-source stream; each micro-batch

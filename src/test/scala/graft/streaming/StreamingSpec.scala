@@ -93,6 +93,85 @@ class StreamingSpec extends SparkSuite {
     assert(!texts.contains("hello world"), "the later in-window duplicate is dropped")
   }
 
+  test("late rows behind the watermark are dropped from windowed aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("ride_id", "ts", "value")
+    val q = StreamingPipeline.slidingCounts(df, "ts")
+      .writeStream.format("memory").queryName("late_win_out")
+      .outputMode(OutputMode.Append()).start()
+
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    input.addData(("r1", at(0), 1.0), ("r1", at(1000), 2.0))
+    q.processAllAvailable()
+    // advance the watermark to ~110 s, closing every early window
+    input.addData(("r1", at(120000), 0.0))
+    q.processAllAvailable()
+    val closed = spark.table("late_win_out").count()
+    assert(closed > 0, "advancing the watermark should close the early windows")
+    // a row 100+ s behind the watermark: reference-style ignore-late — it
+    // must not re-open closed windows or append new ones
+    input.addData(("r1", at(5000), 99.0))
+    q.processAllAvailable()
+    val after = spark.table("late_win_out").count()
+    q.stop()
+    assert(after == closed, s"late row must be dropped (closed=$closed after=$after)")
+    assert(spark.table("late_win_out").where($"win_avg" === 99.0).count() == 0,
+      "late row's value must not appear in any window")
+  }
+
+  test("resampler state expires on watermark silence; post-close samples start fresh") {
+    implicit val s = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[StreamingPipeline.TimedSample]
+    val q = StreamingPipeline
+      .resampleStreamExpiring(input.toDS(), watermark = "5 seconds", closeAfterMs = 2000L)
+      .writeStream.format("memory").queryName("exp_grid_out")
+      .outputMode(OutputMode.Append()).start()
+
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val base = t0.getTime // grid ms are absolute epoch ms (ts.getTime)
+    def at(ms: Long) = new java.sql.Timestamp(base + ms)
+    def r1Ms() = spark.table("exp_grid_out").as[GridRow].collect()
+      .filter(_.rideId == "r1").map(_.ms - base).sorted.toList
+
+    // r1's first segment: 0(real) 100(interp) 200(real)
+    input.addData(StreamingPipeline.TimedSample("r1", at(0), 0.0),
+      StreamingPipeline.TimedSample("r1", at(200), 2.0))
+    q.processAllAvailable()
+    assert(r1Ms() == List(0L, 100L, 200L))
+
+    // another ride advances the watermark to 55 s — far past r1's
+    // last-sample + closeAfter (2.2 s), so r1's state times out and is
+    // removed (bounded state: closed rides hold nothing)
+    input.addData(StreamingPipeline.TimedSample("r2", at(60000), 1.0))
+    q.processAllAvailable()
+
+    // a sample behind the watermark is ignored entirely (no splice)
+    input.addData(StreamingPipeline.TimedSample("r1", at(1000), 10.0))
+    q.processAllAvailable()
+    assert(r1Ms() == List(0L, 100L, 200L),
+      "late sample behind the watermark must not add grid rows")
+
+    // a live sample after close starts a FRESH grid: exactly one real row,
+    // no voided bridge rows spanning 300 ms..59 s (which surviving state
+    // would have emitted)
+    input.addData(StreamingPipeline.TimedSample("r1", at(59000), 5.0))
+    q.processAllAvailable()
+    val ms = r1Ms()
+    val fresh = spark.table("exp_grid_out").as[GridRow].collect()
+      .filter(r => r.rideId == "r1" && r.ms == base + 59000L)
+    q.stop()
+    assert(ms == List(0L, 100L, 200L, 59000L),
+      s"expected a fresh single-row restart, got $ms")
+    assert(fresh.length == 1 && fresh.head.value.contains(5.0) && !fresh.head.interpolated)
+  }
+
   test("upload-dir foreachBatch re-analysis matches the batch pipeline e2e") {
     val demo = "/root/reference/DEMO_LOGS/2025-09-28_13-59-59.csv"
     assume(new java.io.File(demo).exists())

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derives a larger scale factor from an existing test-data directory by
+  * unioning `k` id-shifted, content-perturbed copies of the tables the
+  * heavy operator families read (`events`, `documents`, `embeddings`).
+  *
+  * The perturbations are chosen so workload STRUCTURE scales linearly —
+  * the property a real 10× corpus has and a naive `union(identity × 10)`
+  * does not:
+  *
+  *  - `documents.text`: every whitespace token in copy i>0 gets an `_i`
+  *    suffix. Within a copy, pairwise shingle overlap is exactly the
+  *    original corpus's (suffixing is a bijection on tokens), so each copy
+  *    contributes the same near-dup groups; across copies no shingle
+  *    matches, so MinHash/SimHash/Jaccard pair counts grow ×k, not ×k².
+  *    An unperturbed union would make every document a near-dup of its
+  *    k−1 clones and inflate pair outputs quadratically.
+  *  - `embeddings.embedding`: copy i is rotated by i positions. Rotation
+  *    preserves the norm and all within-copy dot products (both operands
+  *    rotate), but decorrelates vectors across copies — cosine-pair and
+  *    ANN outputs again grow ×k.
+  *  - `events`: `user_id` (the series key everywhere) shifts by
+  *    i·1,000,000 — k× more series of the original per-series length,
+  *    which is how telemetry actually grows (more rides, not longer
+  *    rides) and exactly what partition-parallel window plans should
+  *    absorb linearly.
+  *
+  * `events.ts` is written as raw NANOS longs to keep the
+  * [[Tables.eventsRaw]] loading contract (timestamp_micros(ts div 1000))
+  * identical at every scale factor.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dest = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, src)
+    (0 until k).map { i =>
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_" + i))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dest/documents.parquet")
+
+    val emb = Tables.embeddings(spark, src)
+    (0 until k).map { i =>
+      if (i == 0) emb
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+        .withColumn("embedding", expr(
+          s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), slice(embedding, 1, $i))"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dest/embeddings.parquet")
+
+    val ev = Tables.events(spark, src) // ts already rebuilt as µs timestamp
+    (0 until k).map { i =>
+      if (i == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(i * 10000000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+    }.reduce(_ unionByName _)
+      .withColumn("ts", expr("unix_micros(ts) * 1000")) // back to nanos longs
+      .repartition(cpus.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dest/events.parquet")
+
+    println(s"""{"scaled":"$dest","from":"$src","k":$k}""")
+    spark.stop()
+  }
+}

@@ -20,7 +20,8 @@ object SparkEntry {
     RetrievalQueries,
     ScaleQueries,
     SketchQueries,
-    VescFixtureQueries
+    VescFixtureQueries,
+    CorpusQueries
   )
 
   /** Flagship query; driver smoke-checks rows>0. The engine's headline is

@@ -65,4 +65,47 @@ object SamplingOps {
         col("__item._3").as(payloadCol),
         (col("__pos") + 1).cast("long").as("pick"))
   }
+
+  /** Bounded min-k over (key: Double, id: Long) pairs, ordered by
+    * (key asc, id asc) — the Double-keyed sibling of [[MinKAgg]], same
+    * O(k)-per-task partial shape.
+    */
+  class MinKDoubleAgg(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy(t => (t._1, t._2)).take(k)
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
+      val appended = b :+ a
+      if (appended.size >= 2 * k) trim(appended) else appended
+    }
+    override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(x ++ y)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006),
+    * derandomized: key_i = −ln(u_i)/w_i with u_i ∈ (0,1] derived from the
+    * salted hash — the k smallest keys ARE the weighted sample, so the
+    * whole thing is one bounded aggregation (O(k) per-task partials, no
+    * global sort, no RNG state). Reproducible on any engine via the md5
+    * idiom, exactly like [[hashSample]]. Weights must be positive.
+    *
+    * Output: (id, pick) with pick = 1..k in key order.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     salt: String = "wsmp:"): DataFrame = {
+    val minK = udaf(new MinKDoubleAgg(k))
+    val u = (hash60(col(idCol), salt) + lit(1L)).cast("double") / lit(1.152921504606846976e18)
+    df.select(col(idCol).cast("long").as("__id"),
+        (-log(u) / col(weightCol).cast("double")).as("__key"))
+      .agg(minK(col("__key"), col("__id")).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__item")))
+      .select(col("__item._2").as(idCol),
+        (col("__pos") + 1).cast("long").as("pick"))
+  }
 }

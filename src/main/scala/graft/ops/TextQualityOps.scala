@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Repetition-based document quality (the Gopher/MassiveText family of
+  * filters — Rae et al. 2021 §A1.1): documents dominated by a few repeated
+  * n-grams are boilerplate/spam and get dropped before LLM training. The
+  * engine-level primitives here are the per-document repetition statistics
+  * plus a configurable gate.
+  *
+  * Scale shape: one `explode` per n-gram order, aggregated by
+  * (doc_id, gram) then by doc_id — both hash aggregations with map-side
+  * partials, partitioned by doc id, no windows and no self-joins. Bigrams
+  * are built with `zip_with` on the token array BEFORE exploding (no
+  * per-doc sort window to pair neighbours). At 100 TB this is
+  * embarrassingly parallel in the document dimension.
+  */
+object TextQualityOps {
+
+  private def toks(textCol: Column): Column =
+    split(trim(lower(textCol)), "\\s+")
+
+  /** Per-document repetition statistics:
+    *  - `n_tokens`, `n_distinct`
+    *  - `top_unigram_frac`: count of the most frequent token / n_tokens
+    *  - `dup_token_frac`: fraction of tokens whose token occurs more than
+    *    once (mass of all duplicated unigrams)
+    *  - `top_bigram_frac`: count of the most frequent bigram / n_bigrams
+    */
+  def repetitionStats(df: DataFrame, docId: String, textCol: String): DataFrame = {
+    val base = df.select(col(docId), toks(col(textCol)).as("__t"))
+      // bigrams without a window: pair arr[i] with arr[i+1] via zip_with
+      .withColumn("__b",
+        when(size(col("__t")) > 1,
+          zip_with(slice(col("__t"), lit(1), size(col("__t")) - 1),
+            slice(col("__t"), lit(2), size(col("__t")) - 1),
+            (a, b) => concat_ws(" ", a, b)))
+          .otherwise(array().cast("array<string>")))
+
+    val uni = base.select(col(docId), explode(col("__t")).as("g"))
+      .groupBy(col(docId), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(docId))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("__top_uni"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("__dup_mass"))
+
+    val bi = base.select(col(docId), explode(col("__b")).as("g"))
+      .groupBy(col(docId), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(docId))
+      .agg(sum(col("c")).as("__n_bi"), max(col("c")).as("__top_bi"))
+
+    // left join: a 0/1-token doc has no bigrams but still gets stats
+    uni.join(bi, Seq(docId), "left")
+      .select(col(docId),
+        col("n_tokens"), col("n_distinct"),
+        (col("__top_uni") / col("n_tokens")).as("top_unigram_frac"),
+        (col("__dup_mass") / col("n_tokens")).as("dup_token_frac"),
+        coalesce(col("__top_bi") / col("__n_bi"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Quality gate over [[repetitionStats]] output: keep documents inside
+    * the token-count band whose repetition fractions stay under the caps
+    * (Gopher-style thresholds, tunable per corpus).
+    */
+  def qualityGate(stats: DataFrame, minTokens: Long = 50, maxTokens: Long = 100000,
+                  maxTopUnigramFrac: Double = 0.2,
+                  maxDupTokenFrac: Double = 0.8,
+                  maxTopBigramFrac: Double = 0.1): DataFrame =
+    stats.withColumn("quality_pass",
+      col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("top_unigram_frac") <= maxTopUnigramFrac &&
+        col("dup_token_frac") <= maxDupTokenFrac &&
+        col("top_bigram_frac") <= maxTopBigramFrac)
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{BloomJoin, SamplingOps, TextQualityOps, UrlOps}
+
+/** Corpus-hygiene operators for a web-scale training-data pipeline:
+  * URL canonicalization dedup, Gopher-style repetition quality,
+  * weighted sampling, bloom-pruned joins. Driver-oracled like every other
+  * pack; rounding uses the shared floor(x·1e4+0.5)/1e4 idiom.
+  */
+object CorpusQueries extends QueryPack {
+
+  private def r4(c: Column) = floor(c * 1e4 + lit(0.5)) / 1e4
+
+  /** Synthetic crawl-variant URL derived deterministically from the
+    * documents table: scheme/host case noise, www + default-port prefixes,
+    * a %3 trailing-slash variant, a tracking param, unsorted query params,
+    * and a fragment. The ORACLE reconstructs the canonical form directly
+    * from (source, doc_id) arithmetic — ground truth, not a re-derived
+    * regex chain — so the Spark canonicalizer is tested against intent.
+    */
+  private def syntheticUrls(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(
+        lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/docs/"),
+        (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b=2&a="), (col("doc_id") % 7).cast("string"),
+        lit("#frag")).as("url"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // URL canonicalize + keep-first dedup (UrlOps): scheme/host lowering,
+    // www + default-port stripping, fragment/tracking removal, param sort,
+    // trailing-slash folding — then one hash-agg on the canonical key.
+    "url_canonical_dedup" -> ((s, dir) => {
+      UrlOps.canonicalDedup(syntheticUrls(s, dir), col("url"), col("doc_id"))
+        .orderBy(col("canonical_url"))
+    }),
+
+    // Gopher-style repetition statistics per document: token counts,
+    // top-unigram / duplicate-token / top-bigram mass fractions
+    // (Rae et al. 2021 §A1.1). Bigrams via zip_with before explode — no
+    // per-doc sort window.
+    "text_repetition_stats" -> ((s, dir) => {
+      val stats = TextQualityOps.repetitionStats(
+        Tables.documents(s, dir), "doc_id", "text")
+      stats.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          r4(col("top_unigram_frac")).as("top_unigram_frac"),
+          r4(col("dup_token_frac")).as("dup_token_frac"),
+          r4(col("top_bigram_frac")).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality gate over the repetition stats: corpus-tuned thresholds that
+    // actually split this corpus (synthetic docs are ~30-80 tokens over a
+    // tiny vocab, so the unigram cap is the discriminating axis).
+    "text_quality_gate" -> ((s, dir) => {
+      val stats = TextQualityOps.repetitionStats(
+        Tables.documents(s, dir), "doc_id", "text")
+      TextQualityOps.qualityGate(stats, minTokens = 40, maxTokens = 100000,
+          maxTopUnigramFrac = 0.09, maxDupTokenFrac = 0.9,
+          maxTopBigramFrac = 0.06)
+        .groupBy(col("quality_pass"))
+        .agg(count(lit(1)).as("n_docs"),
+          r4(avg(col("top_unigram_frac"))).as("avg_top_unigram_frac"),
+          r4(avg(col("n_tokens"))).as("avg_tokens"))
+        .orderBy(col("quality_pass"))
+    }),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis,
+    // derandomized): longer documents proportionally likelier; one bounded
+    // min-k aggregation, no RNG, no global sort.
+    "sample_weighted" -> ((s, dir) => {
+      SamplingOps.weightedSample(
+          Tables.documents(s, dir), "doc_id", "n_chars", k = 20)
+        .orderBy(col("pick"))
+    }),
+
+    // Bloom-pruned semi join: sketch over urgent orders' keys broadcast to
+    // the lineitem scan, probe rows dropped before the shuffle, exactness
+    // restored by the trailing semi join.
+    "j_bloom_prune" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      BloomJoin.bloomPrunedSemiJoin(
+          Tables.lineitem(s, dir), col("l_orderkey"),
+          urgent, col("o_orderkey"), expectedItems = 100000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  private val tokSql = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  override val oracle: Map[String, String] = Map(
+    "url_canonical_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    'https://' || lower(source) || '.example.com/docs/'
+        |      || CAST(doc_id % 40 AS VARCHAR)
+        |      || '?a=' || CAST(doc_id % 7 AS VARCHAR) || '&b=2' AS canonical_url
+        |  FROM documents)
+        |SELECT canonical_url, min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_variants
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    "text_repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
+         |p AS (SELECT doc_id, unnest(l) AS g, generate_subscripts(l, 1) AS pos FROM t),
+         |uc AS (SELECT doc_id, g, count(*) AS c FROM p GROUP BY 1, 2),
+         |us AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+         |         max(c) AS top_uni,
+         |         coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup_mass
+         |       FROM uc GROUP BY 1),
+         |bg AS (SELECT doc_id,
+         |         g || ' ' || lead(g) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+         |       FROM p),
+         |bc AS (SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2),
+         |bs AS (SELECT doc_id, sum(c) AS n_bi, max(c) AS top_bi FROM bc GROUP BY 1)
+         |SELECT us.doc_id, CAST(us.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(us.n_distinct AS BIGINT) AS n_distinct,
+         |  floor(top_uni / CAST(n_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4 AS top_unigram_frac,
+         |  floor(dup_mass / CAST(n_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4 AS dup_token_frac,
+         |  floor(coalesce(top_bi / CAST(n_bi AS DOUBLE), 0.0) * 1e4 + 0.5) / 1e4 AS top_bigram_frac
+         |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+         |ORDER BY us.doc_id""".stripMargin,
+    "text_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
+         |p AS (SELECT doc_id, unnest(l) AS g, generate_subscripts(l, 1) AS pos FROM t),
+         |uc AS (SELECT doc_id, g, count(*) AS c FROM p GROUP BY 1, 2),
+         |us AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+         |         max(c) AS top_uni,
+         |         coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup_mass
+         |       FROM uc GROUP BY 1),
+         |bg AS (SELECT doc_id,
+         |         g || ' ' || lead(g) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+         |       FROM p),
+         |bc AS (SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2),
+         |bs AS (SELECT doc_id, sum(c) AS n_bi, max(c) AS top_bi FROM bc GROUP BY 1),
+         |f AS (SELECT us.doc_id,
+         |        top_uni / CAST(n_tokens AS DOUBLE) AS fu,
+         |        dup_mass / CAST(n_tokens AS DOUBLE) AS fd,
+         |        coalesce(top_bi / CAST(n_bi AS DOUBLE), 0.0) AS fb,
+         |        n_tokens
+         |      FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id),
+         |g AS (SELECT n_tokens >= 40 AND n_tokens <= 100000 AND fu <= 0.09
+         |        AND fd <= 0.9 AND fb <= 0.06 AS quality_pass, fu, n_tokens
+         |      FROM f)
+         |SELECT quality_pass, CAST(count(*) AS BIGINT) AS n_docs,
+         |  floor(avg(fu) * 1e4 + 0.5) / 1e4 AS avg_top_unigram_frac,
+         |  floor(avg(CAST(n_tokens AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS avg_tokens
+         |FROM g GROUP BY quality_pass ORDER BY quality_pass""".stripMargin,
+    "sample_weighted" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    -ln(((('0x' || substr(md5('wsmp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+        |         / 1152921504606846976.0)) / CAST(n_chars AS DOUBLE) AS key
+        |  FROM documents),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS pick FROM k)
+        |SELECT doc_id, CAST(pick AS BIGINT) AS pick
+        |FROM r WHERE pick <= 20 ORDER BY pick""".stripMargin,
+    "j_bloom_prune" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+        |  floor(sum(l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) / 1e4 AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

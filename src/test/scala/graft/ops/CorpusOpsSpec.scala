@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Unit tests for the corpus-hygiene operators: URL canonicalization,
+  * repetition quality stats, weighted sampling, bloom-pruned join.
+  */
+class CorpusOpsSpec extends SparkSuite {
+
+  test("canonicalizeUrl folds scheme/host case, ports, www, params, slash, fragment") {
+    import spark.implicits._
+    val cases = Seq(
+      // case + default port + www + fragment
+      ("HTTPS://WWW.Example.COM:443/a/b#frag", "https://example.com/a/b"),
+      ("http://Example.com:80/a", "http://example.com/a"),
+      // non-default port kept
+      ("http://example.com:8080/a", "http://example.com:8080/a"),
+      // trailing slashes fold; root path folds to empty
+      ("https://example.com/a/b/", "https://example.com/a/b"),
+      ("https://example.com/", "https://example.com"),
+      // tracking params dropped, rest sorted; empty query dropped
+      ("https://example.com/p?utm_source=x&b=2&a=1", "https://example.com/p?a=1&b=2"),
+      ("https://example.com/p?gclid=zz&fbclid=yy", "https://example.com/p"),
+      ("https://example.com/p?z=1&y=2&ref=home", "https://example.com/p?y=2&z=1")
+    ).toDF("url", "expected")
+    val got = cases.withColumn("canon", UrlOps.canonicalizeUrl(col("url")))
+      .select("url", "expected", "canon").collect()
+    got.foreach { r =>
+      assert(r.getString(2) == r.getString(1),
+        s"${r.getString(0)} -> ${r.getString(2)}, expected ${r.getString(1)}")
+    }
+  }
+
+  test("canonicalDedup keeps min id per canonical key with variant counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://example.com/x?utm_source=a"),
+      (2L, "HTTPS://WWW.EXAMPLE.COM:443/x"),
+      (3L, "https://example.com/x/"),
+      (4L, "https://other.com/y")
+    ).toDF("id", "url")
+    val out = UrlOps.canonicalDedup(df, col("url"), col("id"))
+      .orderBy(col("canonical_url")).collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "https://example.com/x" &&
+      out(0).getLong(1) == 1L && out(0).getLong(2) == 3L)
+    assert(out(1).getString(0) == "https://other.com/y" &&
+      out(1).getLong(1) == 4L && out(1).getLong(2) == 1L)
+  }
+
+  test("repetitionStats matches hand-computed fractions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b c"),       // 4 toks, 3 distinct, top a=2, dup mass 2, bigrams: "a a","a b","b c"
+      (2L, "x"),             // single token: no bigrams
+      (3L, "d d d d")        // all dup, single bigram "d d" x3
+    ).toDF("doc_id", "text")
+    val got = TextQualityOps.repetitionStats(df, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+
+    val r1 = got(0)
+    assert(r1.getLong(1) == 4 && r1.getLong(2) == 3)
+    assert(math.abs(r1.getDouble(3) - 0.5) < 1e-12)       // top unigram 2/4
+    assert(math.abs(r1.getDouble(4) - 0.5) < 1e-12)       // dup mass 2/4
+    assert(math.abs(r1.getDouble(5) - 1.0 / 3) < 1e-12)   // top bigram 1/3
+
+    val r2 = got(1)
+    assert(r2.getLong(1) == 1 && r2.getDouble(5) == 0.0)
+
+    val r3 = got(2)
+    assert(r3.getLong(1) == 4 && r3.getLong(2) == 1)
+    assert(math.abs(r3.getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(r3.getDouble(4) - 1.0) < 1e-12)
+    assert(math.abs(r3.getDouble(5) - 1.0) < 1e-12)       // "d d" 3/3
+  }
+
+  test("weightedSample equals the window-ranked reference formulation") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, 1.0 + (i % 7))).toDF("id", "w")
+    val got = SamplingOps.weightedSample(df, "id", "w", k = 25)
+      .orderBy(col("pick")).collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // reference: same key expression, ranked by a window (the shape the
+    // bounded aggregate exists to avoid at scale)
+    val u = (SamplingOps.hash60(col("id"), "wsmp:") + lit(1L)).cast("double") /
+      lit(1.152921504606846976e18)
+    val keyed = df.withColumn("key", -log(u) / col("w").cast("double"))
+    val expected = keyed.orderBy(col("key"), col("id")).limit(25)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => (id, (i + 1).toLong) }
+    assert(got.toList == expected.toList)
+  }
+
+  test("bloomPrunedSemiJoin is exact and prunes at the scan") {
+    import spark.implicits._
+    val big = (1L to 2000L).map(i => (i, i % 97)).toDF("k", "v")
+    val small = Seq(3L, 97L, 500L, 1999L, 3000L).toDF("sk")
+    val got = BloomJoin.bloomPrunedSemiJoin(big, col("k"), small, col("sk"),
+        expectedItems = 100L)
+      .orderBy(col("k")).collect().map(_.getLong(0))
+    assert(got.toList == List(3L, 97L, 500L, 1999L))
+
+    // the bloom filter must sit in the plan as a Filter(might_contain)
+    // BELOW the semi join — pruning before the shuffle, not after. (The
+    // analyzed plan: on a LocalRelation fixture the optimizer constant-
+    // folds the whole filter into the relation, which is exactly the
+    // pre-shuffle evaluation we want; a parquet-backed probe keeps it as a
+    // scan-side Filter.)
+    val plan = BloomJoin.bloomPrunedSemiJoin(big, col("k"), small, col("sk"))
+      .queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    val filterLine = plan.linesIterator.indexWhere(_.contains("might_contain"))
+    val joinLine = plan.linesIterator.indexWhere(_.contains("Join LeftSemi"))
+    assert(joinLine < filterLine, s"filter must be below the semi join\n$plan")
+  }
+}

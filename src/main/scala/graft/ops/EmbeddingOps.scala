@@ -164,4 +164,46 @@ object EmbeddingOps {
         floor(cosine(col("__qv"), col(vecCol)) * scale + lit(0.5)) / scale)
     takeTopK(scored, idCol, k)
   }
+
+  /** Int8-style scalar-quantized ANN with exact rerank — the memory-
+    * bandwidth scale path: candidate generation runs on vectors quantized
+    * against ONE global symmetric scale (127/max|x| over the corpus — a
+    * broadcast scalar, the calibration pass every quantized index needs),
+    * which at real scale means scanning a 4× smaller index and doing
+    * integer dot products; then only the `k·oversample` shortlist is
+    * re-scored with exact float cosine.
+    *
+    * Everything is deterministic and engine-reproducible: quantization is
+    * `floor(x·127/maxabs + 0.5)` (exact IEEE ops), quantized dots are
+    * exact integers, and both top-k selections tie-break on id — so a SQL
+    * oracle can replay the identical shortlist and ranking.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, oversample: Int = 3,
+                    roundDigits: Int = 4): DataFrame = {
+    val maxAbsDf = corpus.agg(
+      max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))).as("__maxabs"))
+    def qz(v: Column) = transform(v, x =>
+      floor(x.cast("double") * lit(127.0) / col("__maxabs") + lit(0.5)).cast("long"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val qq = q.crossJoin(broadcast(maxAbsDf))
+      .select(col("query_id"), col("__qv"), qz(col("__qv")).as("__qq"))
+    val cq = corpus.crossJoin(broadcast(maxAbsDf))
+      .select(col(idCol), qz(col(vecCol)).as("__cq"))
+    // phase 1: integer dot on quantized vectors → k·oversample shortlist
+    val cand = cq.join(broadcast(qq.select(col("query_id"), col("__qq"))))
+      .withColumn("score",
+        aggregate(zip_with(col("__qq"), col("__cq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).cast("double"))
+    val shortlist = takeTopK(cand, idCol, k * oversample)
+    // phase 2: exact float cosine rerank of the shortlist only
+    val scale = math.pow(10, roundDigits)
+    val rerank = shortlist.select(col("query_id"), col("neighbor_id"))
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("__cv")), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("score",
+        floor(cosine(col("__qv"), col("__cv")) * scale + lit(0.5)) / scale)
+    takeTopK(rerank, "neighbor_id", k)
+  }
 }

@@ -74,4 +74,27 @@ object TextOps {
       .agg(simhashAggs(bits).head, simhashAggs(bits).tail: _*)
       .select(col(idCol), simhashAssemble(bits).as("simhash"))
   }
+
+  // ---- PII scrubbing ----
+
+  /** PII patterns — RE2-compatible syntax (no backrefs/lookaround), so the
+    * SAME pattern string runs in Java regex (Spark) and RE2 engines
+    * (DuckDB/Go tooling) with identical match semantics.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, NANP-shaped phone numbers, and IPv4 literals with
+    * typed placeholder tokens — the standard pre-training scrub pass.
+    * Order matters: emails first (their local part can contain digits a
+    * later pass would half-match), then phones, then IPs. Pure chained
+    * `regexp_replace` — codegen'd, zero shuffle, linear in text size.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
 }

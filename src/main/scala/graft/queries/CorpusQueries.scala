@@ -79,6 +79,31 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("pick"))
     }),
 
+    // Int8-style scalar-quantized ANN with exact rerank: candidates from
+    // integer dot products on globally-calibrated quantized vectors (4x
+    // smaller index at scale), exact float cosine only on the shortlist.
+    "embed_ann_quantized" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.EmbeddingOps.quantizedTopK(
+          emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, oversample = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // PII scrub (emails / NANP phones / IPv4) over deterministically
+    // dirtied documents — RE2-compatible patterns, chained codegen'd
+    // regexp_replace, zero shuffle.
+    "text_pii_scrub" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@mail.example.com"),
+        lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 ok"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.ops.TextOps.scrubPii(dirty).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bloom-pruned semi join: sketch over urgent orders' keys broadcast to
     // the lineitem scan, probe rows dropped before the shuffle, exactness
     // restored by the trailing semi join.
@@ -163,6 +188,49 @@ object CorpusQueries extends QueryPack {
         |r AS (SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS pick FROM k)
         |SELECT doc_id, CAST(pick AS BIGINT) AS pick
         |FROM r WHERE pick <= 20 ORDER BY pick""".stripMargin,
+    "embed_ann_quantized" ->
+      """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |m AS (SELECT max(abs(CAST(embedding[i] AS DOUBLE))) AS maxabs
+        |      FROM embeddings CROSS JOIN dims WHERE vec_id >= 10),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+        |qd AS (SELECT q.query_id, c.vec_id,
+        |         sum(floor(CAST(qv[i] AS DOUBLE) * 127 / m.maxabs + 0.5)
+        |           * floor(CAST(embedding[i] AS DOUBLE) * 127 / m.maxabs + 0.5)) AS qdp
+        |       FROM q CROSS JOIN c CROSS JOIN dims CROSS JOIN m
+        |       GROUP BY q.query_id, c.vec_id),
+        |sl AS (SELECT query_id, vec_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY qdp DESC, vec_id ASC) AS r
+        |       FROM qd),
+        |cand AS (SELECT query_id, vec_id FROM sl WHERE r <= 9),
+        |p AS (SELECT cand.query_id, cand.vec_id,
+        |        sum(CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS dp,
+        |        sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS qn,
+        |        sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS cn
+        |      FROM cand JOIN q USING (query_id) JOIN c USING (vec_id) CROSS JOIN dims
+        |      GROUP BY cand.query_id, cand.vec_id),
+        |r AS (SELECT query_id, vec_id AS neighbor_id,
+        |        floor((dp / (qn * cn)) * 10000 + 0.5) / 10000.0 AS score FROM p),
+        |t AS (SELECT query_id, neighbor_id, score,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score DESC, neighbor_id ASC) AS rank
+        |      FROM r)
+        |SELECT query_id, rank, neighbor_id, score FROM t WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |          || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |          || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |          || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ok',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "j_bloom_prune" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
         |  floor(sum(l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) / 1e4 AS revenue

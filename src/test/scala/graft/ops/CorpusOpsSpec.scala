@@ -92,6 +92,46 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.toList == expected.toList)
   }
 
+  test("scrubPii redacts emails, phones, IPv4; leaves clean text alone") {
+    import spark.implicits._
+    val cases = Seq(
+      ("mail bob.smith+x@sub.example.org now", "mail <EMAIL> now"),
+      ("call 555-123-4567 or 555.987.6543", "call <PHONE> or <PHONE>"),
+      ("host 192.168.0.1 up", "host <IP> up"),
+      ("a1@b.co and 10.0.0.7 and 111-222-3333", "<EMAIL> and <IP> and <PHONE>"),
+      ("no pii here 12345", "no pii here 12345")
+    ).toDF("dirty", "expected")
+    cases.withColumn("clean", TextOps.scrubPii(col("dirty")))
+      .collect().foreach { r =>
+        assert(r.getString(2) == r.getString(1),
+          s"'${r.getString(0)}' -> '${r.getString(2)}'")
+      }
+  }
+
+  test("quantizedTopK with a full-corpus shortlist equals brute-force exactly") {
+    import spark.implicits._
+    def vec(i: Int) = (0 until 8).map(j => ((i * 31 + j * 17) % 13 - 6) / 6.0f).toArray
+    val corpus = (10L to 109L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val queries = (0L to 4L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+
+    // oversample 34 -> shortlist of 102 >= corpus size: phase 1 cannot
+    // drop a true neighbor, so rerank == exact brute force
+    val got = EmbeddingOps.quantizedTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, oversample = 34)
+      .orderBy(col("query_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val want = EmbeddingOps.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 3)
+      .orderBy(col("query_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toList == want.toList)
+
+    // and with a tight shortlist the output is still k well-formed ranks
+    val tight = EmbeddingOps.quantizedTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, oversample = 2)
+      .collect()
+    assert(tight.length == 5 * 3)
+  }
+
   test("bloomPrunedSemiJoin is exact and prunes at the scan") {
     import spark.implicits._
     val big = (1L to 2000L).map(i => (i, i % 97)).toDF("k", "v")

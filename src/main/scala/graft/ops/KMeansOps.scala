@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF coarse-quantizer training: deterministic Lloyd's k-means over the
+  * embedding column. [[EmbeddingOps.ivfTopK]] probes a cluster id — this
+  * is the operator that PRODUCES that id at scale, completing the ANN
+  * story in-engine.
+  *
+  * Two deliberate design choices make it reproducible on any engine:
+  *
+  *  - '''derandomized init''': seeds are the k rows with the smallest
+  *    salted md5 hash of their id (the [[SamplingOps.hash60]] source) —
+  *    no RNG, same seeds everywhere.
+  *  - '''integer arithmetic''': vectors and centroids are quantized to
+  *    1e-6 grid longs, so distances are EXACT integer sums — immune to
+  *    float summation order, which differs between Spark's ordered
+  *    `aggregate` fold and SQL engines' unordered `sum` and would
+  *    otherwise flip argmin ties. Centroid update divides an exact
+  *    integer sum by the member count (one correctly-rounded double op)
+  *    and re-quantizes.
+  *
+  * Scale shape: per iteration, one broadcast of k·dim longs to the
+  * assignment scan (map-side, no shuffle), one hash aggregation of
+  * (cid, dim) partial sums, and a k·dim collect to the driver — the same
+  * driver-holds-model / data-parallel pattern as
+  * [[graft.vesc.HeadTrainer]]. Iterations are sequential by nature.
+  */
+object KMeansOps {
+
+  private val Q = 1e6
+
+  /** Final cluster assignment (idCol, cid) after `iters` Lloyd rounds
+    * (assign → update, then one final assign against the last centroids).
+    * An emptied cluster keeps its previous centroid.
+    */
+  def assignments(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                  iters: Int, salt: String = "km:"): DataFrame = {
+    require(k > 0 && iters >= 0)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col(idCol).cast("long").as("__id"),
+      transform(col(vecCol), x => floor(x.cast("double") * Q + lit(0.5)).cast("long"))
+        .as("__qv"),
+      SamplingOps.hash60(col(idCol), salt).as("__h"))
+
+    var cents: Seq[(Int, Seq[Long])] = q.orderBy(col("__h"), col("__id")).limit(k)
+      .select(col("__qv")).collect().toSeq
+      .map(_.getSeq[Long](0)).zipWithIndex.map { case (v, i) => (i, v) }
+
+    def assign(c: Seq[(Int, Seq[Long])]): DataFrame = {
+      val cdf = c.toDF("__cid", "__cv")
+      q.crossJoin(broadcast(cdf))
+        .withColumn("__d",
+          aggregate(zip_with(col("__qv"), col("__cv"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (s, x) => s + x))
+        .groupBy(col("__id"))
+        .agg(min(struct(col("__d"), col("__cid"))).as("__m"))
+        .select(col("__id"), col("__m.__cid").as("cid"))
+    }
+
+    (1 to iters).foreach { _ =>
+      val updated = q.join(assign(cents), "__id")
+        .select(col("cid"), posexplode(col("__qv")).as(Seq("__i", "__x")))
+        .groupBy(col("cid"), col("__i"))
+        .agg(floor(avg(col("__x")) + lit(0.5)).cast("long").as("__cx"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    assign(cents).select(col("__id").as(idCol), col("cid"))
+  }
+}

@@ -104,6 +104,27 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // GPT-style training-sequence packing: documents become one token
+    // stream per hash shard, cut at 512-token boundaries; the only window
+    // is `shards` wide, never global.
+    "pack_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("n_tok",
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      graft.ops.PackingOps.packTokenStream(docs, "doc_id", "n_tok",
+          budget = 512, shards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // IVF coarse-quantizer training: derandomized integer-quantized Lloyd's
+    // k-means — the operator that produces ivfTopK's cluster id in-engine.
+    // Integer distances make the full iteration engine-exact, so the oracle
+    // replays seeds -> assign -> update -> assign identically.
+    "embed_kmeans_assign" -> ((s, dir) => {
+      graft.ops.KMeansOps.assignments(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 4, iters = 1)
+        .orderBy(col("vec_id"))
+    }),
+
     // Bloom-pruned semi join: sketch over urgent orders' keys broadcast to
     // the lineitem scan, probe rows dropped before the shuffle, exactness
     // restored by the trailing semi join.
@@ -231,6 +252,51 @@ object CorpusQueries extends QueryPack {
         |      '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n,
+        |    ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |w AS (SELECT doc_id, shard, n,
+        |        CAST(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+        |      FROM t)
+        |SELECT doc_id, shard,
+        |  shard * 1099511627776 + CAST(strt // 512 AS BIGINT) AS pack_id,
+        |  strt % 512 AS pack_offset, n AS n_tokens
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "embed_kmeans_assign" ->
+      """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |e AS (SELECT vec_id AS id,
+        |        list_transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv,
+        |        ('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |      FROM embeddings),
+        |s AS (SELECT qv, rn - 1 AS cid FROM (
+        |        SELECT qv, row_number() OVER (ORDER BY h, id) AS rn FROM e)
+        |      WHERE rn <= 4),
+        |d0 AS (SELECT e.id, s.cid,
+        |         sum((e.qv[i] - s.qv[i]) * (e.qv[i] - s.qv[i])) AS d
+        |       FROM e CROSS JOIN s CROSS JOIN dims GROUP BY e.id, s.cid),
+        |a0 AS (SELECT id, cid FROM (
+        |         SELECT id, cid, row_number() OVER (PARTITION BY id
+        |           ORDER BY d, cid) AS rnk FROM d0)
+        |       WHERE rnk = 1),
+        |c1 AS (SELECT a0.cid, d.i, CAST(floor(avg(e.qv[d.i]) + 0.5) AS BIGINT) AS cx
+        |       FROM e JOIN a0 ON e.id = a0.id CROSS JOIN dims d
+        |       GROUP BY a0.cid, d.i),
+        |cf AS (SELECT s.cid, d.i, coalesce(c1.cx, s.qv[d.i]) AS cx
+        |       FROM s CROSS JOIN dims d
+        |       LEFT JOIN c1 ON c1.cid = s.cid AND c1.i = d.i),
+        |d1 AS (SELECT e.id, c.cid,
+        |         sum((e.qv[c.i] - c.cx) * (e.qv[c.i] - c.cx)) AS d
+        |       FROM e CROSS JOIN cf c GROUP BY e.id, c.cid),
+        |a1 AS (SELECT id, cid FROM (
+        |         SELECT id, cid, row_number() OVER (PARTITION BY id
+        |           ORDER BY d, cid) AS rnk FROM d1)
+        |       WHERE rnk = 1)
+        |SELECT id AS vec_id, CAST(cid AS INT) AS cid FROM a1 ORDER BY vec_id""".stripMargin,
     "j_bloom_prune" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
         |  floor(sum(l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) / 1e4 AS revenue

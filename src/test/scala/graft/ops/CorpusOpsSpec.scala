@@ -132,6 +132,50 @@ class CorpusOpsSpec extends SparkSuite {
     assert(tight.length == 5 * 3)
   }
 
+  test("packTokenStream cuts each shard's stream at exact budget boundaries") {
+    import spark.implicits._
+    // single shard so the hand-layout is easy to follow
+    val docs = Seq((1L, 100L), (2L, 300L), (3L, 200L), (4L, 50L))
+      .toDF("id", "n_tok")
+    val out = PackingOps.packTokenStream(docs, "id", "n_tok",
+        budget = 512, shards = 1)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // stream offsets: 0, 100, 400, 600 -> packs 0,0,0,1; offsets 0,100,400,88
+    assert(out.toList == List(
+      (1L, 0L, 0L), (2L, 0L, 100L), (3L, 0L, 400L), (4L, 1L, 88L)))
+
+    // multi-shard: per-shard token conservation (sum of n == last start + n)
+    val many = (1L to 200L).map(i => (i, 7L + i % 13)).toDF("id", "n_tok")
+    val packed = PackingOps.packTokenStream(many, "id", "n_tok",
+      budget = 64, shards = 4)
+    val perShard = packed.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("tot"),
+        max(col("pack_id") % (1L << 40) * 64 + col("pack_offset") + col("n_tokens")).as("endoff"))
+      .collect()
+    perShard.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"shard ${r.get(0)}: stream length mismatch"))
+  }
+
+  test("kmeans assignments separate two obvious blobs deterministically") {
+    import spark.implicits._
+    def blob(center: Double, ids: Range) =
+      ids.map(i => (i.toLong, Array.fill(4)(center.toFloat)
+        .zipWithIndex.map { case (c, j) => c + ((i + j) % 3) * 0.01f }))
+    val df = (blob(10.0, 1 to 40) ++ blob(-10.0, 41 to 80))
+      .toDF("vec_id", "embedding")
+    val a = KMeansOps.assignments(df, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val c1 = (1L to 40L).map(a).toSet
+    val c2 = (41L to 80L).map(a).toSet
+    assert(c1.size == 1 && c2.size == 1 && c1 != c2,
+      s"blobs must map to two distinct clusters: $c1 vs $c2")
+    // deterministic: a second run is identical
+    val b = KMeansOps.assignments(df, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a == b)
+  }
+
   test("bloomPrunedSemiJoin is exact and prunes at the scan") {
     import spark.implicits._
     val big = (1L to 2000L).map(i => (i, i % 97)).toDF("k", "v")

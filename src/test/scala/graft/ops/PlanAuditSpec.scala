@@ -69,4 +69,32 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("partial_max") || p.contains("partial max"),
       s"register max is not map-side combined:\n$p")
   }
+
+  test("bloom-pruned join filters the probe scan below the semi join") {
+    val p = planOf("j_bloom_prune")
+    assert(p.contains("might_contain"), s"bloom probe filter missing:\n${p.take(2000)}")
+    val filterLine = p.linesIterator.indexWhere(_.contains("might_contain"))
+    val joinLine = p.linesIterator.indexWhere(_.contains("LeftSemi"))
+    assert(joinLine >= 0 && joinLine < filterLine,
+      "the bloom filter must prune BELOW the semi join (before the shuffle)")
+  }
+
+  test("weighted sampling is one bounded aggregation, no window, no sort of the corpus") {
+    val p = planOf("sample_weighted")
+    assert(!p.contains("Window"), "weighted sample regressed to a rank window")
+  }
+
+  test("sequence packing windows by shard, never a global single partition") {
+    val p = SparkEntry.queries("pack_sequences")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan.toString
+    // the running sum must partition by the shard column
+    assert(p.contains("windowspecdefinition(shard"),
+      s"packing window is not shard-partitioned:\n${p.take(2000)}")
+  }
+
+  test("url canonical dedup plans a single hash aggregation (no window, no join)") {
+    val p = planOf("url_canonical_dedup")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"canonical dedup should be one hash agg:\n${p.take(2000)}")
+  }
 }

@@ -88,6 +88,29 @@ object SamplingOps {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
+  /** Dataset-mixture sampling: each source keeps rows at its own
+    * configured rate (the "mix Wikipedia at 3×, CommonCrawl at 0.2×"
+    * re-weighting every pre-training recipe applies). Same deterministic
+    * hash-threshold mechanics as [[hashSample]] — scan-level filter, no
+    * RNG — with the per-source rate attached by a broadcast join against
+    * the (tiny) rates table. Sources absent from `rates` are dropped
+    * (rate 0).
+    */
+  def mixtureSample(df: DataFrame, keyCol: Column, srcCol: Column,
+                    rates: Map[String, Double],
+                    salt: String = "mix:"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // integer ppm thresholds, rounded ONCE on the driver — `0.3 * 1e6`
+    // truncates to 299999 under double-then-cast, while decimal engines
+    // get 300000; rounding here keeps every engine on the same threshold
+    val rdf = rates.toSeq.map { case (s, r) => (s, math.round(r * 1e6)) }
+      .toDF("__src", "__thr")
+    df.join(broadcast(rdf), srcCol === col("__src"))
+      .filter(pmod(hash60(keyCol, salt), lit(1000000L)) < col("__thr"))
+      .drop("__src", "__thr")
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis 2006),
     * derandomized: key_i = −ln(u_i)/w_i with u_i ∈ (0,1] derived from the
     * salted hash — the k smallest keys ARE the weighted sample, so the

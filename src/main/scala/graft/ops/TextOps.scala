@@ -75,6 +75,34 @@ object TextOps {
       .select(col(idCol), simhashAssemble(bits).as("simhash"))
   }
 
+  // ---- chunking ----
+
+  /** RAG-style overlapping chunker: fixed `win`-token chunks every
+    * `stride` tokens (stride < win ⇒ overlap), the standard
+    * retrieval-index preparation. Chunk count and boundaries are pure
+    * integer arithmetic on the token count; chunks materialize via
+    * `sequence` + `explode` + `slice` — no window, no shuffle, linear in
+    * output size. A document shorter than `win` yields exactly one chunk.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  win: Int, stride: Int): DataFrame = {
+    require(win > 0 && stride > 0 && stride <= win)
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), toks.as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .withColumn("__nc",
+        when(col("__n") <= win, lit(1L))
+          .otherwise((col("__n") - win + stride - 1).cast("long") / stride + 1))
+      .withColumn("__nc", floor(col("__nc")).cast("long"))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__t"), (col("chunk_id") * stride + 1).cast("int"), lit(win)), " ")
+          .as("chunk_text"))
+      .withColumn("chunk_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))
+  }
+
   // ---- PII scrubbing ----
 
   /** PII patterns — RE2-compatible syntax (no backrefs/lookaround), so the

@@ -104,6 +104,27 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // RAG-style overlapping chunker: 32-token windows every 24 tokens;
+    // pure integer chunk arithmetic, no window operator.
+    "text_chunk_overlap" -> ((s, dir) => {
+      graft.ops.TextOps.chunkTokens(
+          Tables.documents(s, dir).filter(col("doc_id") < 50),
+          "doc_id", "text", win = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Dataset-mixture sampling: per-source keep rates (the pre-training
+    // corpus re-weighting step) via the deterministic hash threshold.
+    "sample_mixture" -> ((s, dir) => {
+      graft.ops.SamplingOps.mixtureSample(
+          Tables.documents(s, dir), col("doc_id"), col("lang"),
+          Map("en" -> 0.8, "zh" -> 0.3, "es" -> 0.1))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          r4(avg(col("n_chars"))).as("avg_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // GPT-style training-sequence packing: documents become one token
     // stream per hash shard, cut at 512-token boundaries; the only window
     // is `shards` wide, never global.
@@ -252,6 +273,26 @@ object CorpusQueries extends QueryPack {
         |      '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents WHERE doc_id < 50),
+         |n AS (SELECT doc_id, l, len(l) AS n,
+         |        CASE WHEN len(l) <= 32 THEN 1
+         |             ELSE (len(l) - 32 + 23) // 24 + 1 END AS nc
+         |      FROM t),
+         |c AS (SELECT doc_id, l, unnest(generate_series(0, nc - 1)) AS chunk_id FROM n)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  array_to_string(l[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+         |  CAST(len(l[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "sample_mixture" ->
+      """WITH r AS (SELECT * FROM (VALUES ('en', 0.8), ('zh', 0.3), ('es', 0.1))
+        |             AS v(lang, rate)),
+        |k AS (SELECT d.lang, d.n_chars FROM documents d JOIN r USING (lang)
+        |      WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |            % 1000000 < CAST(r.rate * 1000000 AS BIGINT))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  floor(avg(CAST(n_chars AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS avg_chars
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

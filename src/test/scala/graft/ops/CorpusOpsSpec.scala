@@ -176,6 +176,40 @@ class CorpusOpsSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("chunkTokens: overlap layout, short-doc single chunk, tail clamp") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks, win4/stride3 -> 3 chunks
+      (2L, "a b")                             // shorter than win -> 1 chunk
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(df, "doc_id", "text", win = 4, stride = 3)
+      .orderBy(col("doc_id"), col("chunk_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toList == List(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (2L, 0L, "a b", 2L)))
+  }
+
+  test("mixtureSample keeps per-source rates deterministically; unknown sources drop") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "keepall" else if (i % 3 == 1) "half" else "other"))
+      .toDF("id", "src")
+    val kept = SamplingOps.mixtureSample(df, col("id"), col("src"),
+        Map("keepall" -> 1.0, "half" -> 0.5))
+      .groupBy(col("src")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("keepall") == 100L, s"rate 1.0 must keep every row: $kept")
+    assert(!kept.contains("other"), "unlisted source must drop entirely")
+    assert(kept("half") > 20 && kept("half") < 80, s"~half kept: $kept")
+    // deterministic: rerun identical
+    val again = SamplingOps.mixtureSample(df, col("id"), col("src"),
+      Map("keepall" -> 1.0, "half" -> 0.5)).count()
+    assert(again == kept.values.sum)
+  }
+
   test("bloomPrunedSemiJoin is exact and prunes at the scan") {
     import spark.implicits._
     val big = (1L to 2000L).map(i => (i, i % 97)).toDF("k", "v")

@@ -31,5 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("vec_dot_int", es => DotProductInt(es(0), es(1))))
     ext.injectFunction(fn("vec_norm_l2", es => L2Norm(es.head)))
     ext.injectFunction(fn("interp_state", es => InterpState(es.head, es.tail)))
+    ext.injectFunction(fn("bloom_agg",
+      es => org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es(0), es(1), es(2), 0, 0)))
+    ext.injectFunction(fn("might_contain",
+      es => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es(0), es(1))))
   }
 }

@@ -85,14 +85,15 @@ object DataPipelineQueries extends QueryPack {
 
     // Connected components over the LSH candidate pairs: pairwise matches
     // → canonical dedup groups (keep min-id per component). Min-label
-    // propagation in batches of CC_ROUNDS with a convergence check after
-    // each batch (the fixed point is unique, so the oracle's fixed-round
-    // unrolling matches whenever it has converged too — true for the
-    // small-clique near-dup graphs here).
+    // propagation checks convergence every 3 rounds — near-dup graphs are
+    // small cliques (diameter 1-2), so this stops after one batch instead
+    // of burning a fixed CC_ROUNDS rounds; the fixed point is unique, so
+    // the oracle's CC_ROUNDS-round unrolling matches whenever both have
+    // converged.
     "dedup_components" -> ((s, dir) => {
       val pairs = DedupOps.minhashCandidates(Tables.documents(s, dir),
         "doc_id", "text", shingleN = 3, numHashes = 8, bands = 4)
-      DedupOps.connectedComponents(pairs, "id_a", "id_b", checkEvery = CC_ROUNDS)
+      DedupOps.connectedComponents(pairs, "id_a", "id_b", checkEvery = 3)
         .select(col("id").as("doc_id"), col("component"))
         .orderBy(col("doc_id"))
     }),

@@ -55,6 +55,19 @@ class ExportSpec extends SparkSuite {
     assert(mae.toList == List(("cf_a", 0.3, 2L), ("cf_b", 0.2, 2L)))
   }
 
+  test("e2e: real analyze output renders to a parseable figure with all behaviors") {
+    val demo = "/root/reference/DEMO_LOGS/2025-09-28_13-59-59.csv"
+    assume(new java.io.File(demo).exists())
+    val timeline = VescPipeline.analyze(spark, Seq(demo))
+    val json = Export.timelineBarsJson(timeline)
+    // 13 bar traces (one per behavior column), plotly layout contract
+    assert("\"type\":\"bar\"".r.findAllIn(json).size == 13, "one trace per behavior")
+    assert(json.contains("\"barmode\":\"overlay\""))
+    // at least one behavior crosses the display threshold on the demo ride
+    assert(json.contains("hovertext"))
+    assert("at \\d+:\\d\\d".r.findFirstIn(json).isDefined, "m:ss hover present")
+  }
+
   test("reliability bins pool classes and bin on the prediction decile") {
     import spark.implicits._
     val df = Seq(

@@ -181,6 +181,22 @@ object StreamingPipeline {
         resampleExpiringFlatMap(closeAfterMs = closeAfterMs))
   }
 
+  /** Streaming corpus ingest: the training-data hygiene pipeline in
+    * Structured Streaming form — watermark-bounded exact dedup, PII scrub,
+    * and per-row quality/language signals, all of which are pure
+    * codegen'd expressions and therefore stream with zero extra state
+    * beyond the dedup keys. (The multi-aggregation repetition stats stay a
+    * batch op — streaming append mode allows one stateful aggregation per
+    * query; run them on the sink table.)
+    */
+  def corpusIngest(docs: DataFrame, tsCol: String, textCol: String,
+                   watermark: String = "10 minutes"): DataFrame = {
+    import graft.ops.TextOps
+    dedupStream(docs, tsCol, textCol, watermark)
+      .withColumn("clean_text", TextOps.scrubPii(col(textCol)))
+      .withColumn("n_tokens", size(TextOps.tokens(col("clean_text"))).cast("long"))
+  }
+
   /** Per-upload re-analysis, end-to-end (reference app.py:354-366: every
     * upload triggers a fresh raw → resample → window → score → timeline
     * run). The upload directory is a file-source stream; each micro-batch

@@ -172,6 +172,31 @@ class StreamingSpec extends SparkSuite {
     assert(fresh.length == 1 && fresh.head.value.contains(5.0) && !fresh.head.interpolated)
   }
 
+  test("streaming corpus ingest dedupes, scrubs PII, and counts tokens") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val q = StreamingPipeline.corpusIngest(df, "ts", "text", watermark = "1 minute")
+      .writeStream.format("memory").queryName("corpus_out")
+      .outputMode(OutputMode.Append()).start()
+
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    input.addData(
+      (at(0), "mail me at bob@example.com today"),
+      (at(10), "mail me at  bob@example.com  today"), // whitespace-normalized dup
+      (at(20), "clean doc with five tokens"))
+    q.processAllAvailable()
+    val rows = spark.table("corpus_out")
+      .select("clean_text", "n_tokens").as[(String, Long)].collect().toList
+    q.stop()
+    assert(rows.length == 2, s"dup must collapse: $rows")
+    assert(rows.exists(_._1 == "mail me at <EMAIL> today"), rows.toString)
+    assert(rows.exists(r => r._1 == "clean doc with five tokens" && r._2 == 5L))
+  }
+
   test("upload-dir foreachBatch re-analysis matches the batch pipeline e2e") {
     val demo = "/root/reference/DEMO_LOGS/2025-09-28_13-59-59.csv"
     assume(new java.io.File(demo).exists())

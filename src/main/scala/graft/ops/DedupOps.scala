@@ -172,11 +172,13 @@ object DedupOps {
         }
       }
     }
+    // unpersist BEFORE the convergence require: the loud-failure path must
+    // not leave the doubled-edge table pinned in the cache for the session
+    edges.unpersist()
     require(converged,
       s"connectedComponents did not converge within $maxRounds rounds " +
         "(graph diameter exceeds the bound — raise maxRounds or switch to " +
         "star contraction)")
-    edges.unpersist()
     labels.select(col("id"), col("lbl").as("component"))
   }
 }

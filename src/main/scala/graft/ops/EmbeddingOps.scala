@@ -51,11 +51,19 @@ object EmbeddingOps {
     * the active session (idempotent map put) so plain sessions work too —
     * sessions built with `spark.sql.extensions=graft.GraftExtensions` get
     * the same builders injected context-wide.
+    *
+    * The active session is a FALLBACK for bare-Column composition; every
+    * DataFrame-taking operator below additionally registers on the frame's
+    * OWN session (`reg`) — the one whose analyzer resolves the plan, which
+    * inside a streaming micro-batch is not the thread's active session
+    * (same fix as TimeSeriesOps.interpolateLinear).
     */
   private def native(name: String, cols: Column*): Column = {
     SparkSession.getActiveSession.foreach(VectorExprs.register)
     call_function(name, cols: _*)
   }
+
+  private def reg(df: DataFrame): Unit = VectorExprs.register(df.sparkSession)
 
   /** Reference `zip_with`+`aggregate` formulation of [[dot]] — interpreted
     * lambda per element; kept as the independent parity oracle for
@@ -117,6 +125,7 @@ object EmbeddingOps {
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   bucketCol: String, minCos: Double,
                   roundDigits: Int = 4): DataFrame = {
+    reg(emb)
     val scale = math.pow(10, roundDigits)
     // norms once per ROW before the join — recomputing them per PAIR would
     // triple the work of every block
@@ -141,6 +150,7 @@ object EmbeddingOps {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int, roundDigits: Int = 4): DataFrame = {
+    reg(corpus)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val scale = math.pow(10, roundDigits)
     val scored = corpus.join(broadcast(q))
@@ -156,6 +166,7 @@ object EmbeddingOps {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, clusterCol: String, k: Int,
               roundDigits: Int = 4): DataFrame = {
+    reg(corpus)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       col(clusterCol).as("__qc"))
     val scale = math.pow(10, roundDigits)
@@ -181,6 +192,7 @@ object EmbeddingOps {
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, oversample: Int = 3,
                     roundDigits: Int = 4): DataFrame = {
+    reg(corpus)
     val maxAbsDf = corpus.agg(
       max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))).as("__maxabs"))
     def qz(v: Column) = transform(v, x =>

@@ -40,10 +40,14 @@ object KMeansOps {
     require(k > 0 && iters >= 0)
     val spark = emb.sparkSession
     import spark.implicits._
+    // the hashed+quantized projection feeds every scan of every iteration
+    // (seeds, 2 scans per round, final assign) — persist it once instead of
+    // re-running md5 + per-element quantization each time
     val q = emb.select(col(idCol).cast("long").as("__id"),
       transform(col(vecCol), x => floor(x.cast("double") * Q + lit(0.5)).cast("long"))
         .as("__qv"),
       SamplingOps.hash60(col(idCol), salt).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var cents: Seq[(Int, Seq[Long])] = q.orderBy(col("__h"), col("__id")).limit(k)
       .select(col("__qv")).collect().toSeq
@@ -72,6 +76,11 @@ object KMeansOps {
         }
       cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
-    assign(cents).select(col("__id").as(idCol), col("cid"))
+    // materialize the (id, cid) result eagerly so q can be unpersisted here
+    // rather than leaking the cache until the caller's first action
+    val out = assign(cents).select(col("__id").as(idCol), col("cid"))
+      .localCheckpoint(true)
+    q.unpersist()
+    out
   }
 }

@@ -88,27 +88,35 @@ object SamplingOps {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
-  /** Dataset-mixture sampling: each source keeps rows at its own
-    * configured rate (the "mix Wikipedia at 3×, CommonCrawl at 0.2×"
-    * re-weighting every pre-training recipe applies). Same deterministic
-    * hash-threshold mechanics as [[hashSample]] — scan-level filter, no
-    * RNG — with the per-source rate attached by a broadcast join against
-    * the (tiny) rates table. Sources absent from `rates` are dropped
-    * (rate 0).
+  /** Dataset-mixture sampling: each source is re-weighted to its
+    * configured rate (the "mix Wikipedia at 3×, CommonCrawl at 0.2×" step
+    * of every pre-training recipe). Rates BELOW 1 down-sample by the
+    * deterministic hash threshold ([[hashSample]] mechanics — scan-level
+    * filter, no RNG); rates ABOVE 1 up-sample by replication:
+    * `floor(rate)` copies of every row plus one more for the hash-chosen
+    * fractional share, with a `copy` index (1..n) distinguishing the
+    * replicas downstream. Sources absent from `rates` drop entirely.
     */
   def mixtureSample(df: DataFrame, keyCol: Column, srcCol: Column,
                     rates: Map[String, Double],
                     salt: String = "mix:"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // integer ppm thresholds, rounded ONCE on the driver — `0.3 * 1e6`
-    // truncates to 299999 under double-then-cast, while decimal engines
-    // get 300000; rounding here keeps every engine on the same threshold
-    val rdf = rates.toSeq.map { case (s, r) => (s, math.round(r * 1e6)) }
-      .toDF("__src", "__thr")
+    // integer ppm thresholds for the FRACTIONAL part, rounded ONCE on the
+    // driver — `0.3 * 1e6` truncates to 299999 under double-then-cast,
+    // while decimal engines get 300000; rounding here keeps every engine
+    // on the same threshold
+    val rdf = rates.toSeq.map { case (s, r) =>
+      require(r >= 0, s"negative rate for $s")
+      (s, math.floor(r).toLong, math.round((r - math.floor(r)) * 1e6))
+    }.toDF("__src", "__base", "__thr")
     df.join(broadcast(rdf), srcCol === col("__src"))
-      .filter(pmod(hash60(keyCol, salt), lit(1000000L)) < col("__thr"))
-      .drop("__src", "__thr")
+      .withColumn("__n", col("__base") +
+        when(pmod(hash60(keyCol, salt), lit(1000000L)) < col("__thr"), 1L)
+          .otherwise(0L))
+      .filter(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("__n"))))
+      .drop("__src", "__base", "__thr", "__n")
   }
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis 2006),

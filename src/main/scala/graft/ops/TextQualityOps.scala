@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object TextQualityOps {
 
-  private def toks(textCol: Column): Column =
-    split(trim(lower(textCol)), "\\s+")
+  // the ONE corpus tokenizer — chunker, packer and the SQL oracles all
+  // assume this exact definition, so no local re-derivation
+  private def toks(textCol: Column): Column = TextOps.tokens(textCol)
 
   /** Per-document repetition statistics:
     *  - `n_tokens`, `n_distinct`

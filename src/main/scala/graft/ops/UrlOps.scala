@@ -28,6 +28,12 @@ object UrlOps {
     *  - query: tracking params ([[TrackingParams]]) removed, remaining
     *    `k=v` pairs sorted for order independence, empty query dropped
     */
+  /** Only ABSOLUTE urls (`scheme://…`) are canonicalized. Anything else —
+    * relative paths, protocol-relative `//host/x`, garbage — is returned
+    * trimmed-but-verbatim: collapsing every unparsable row onto one
+    * synthetic key would silently merge unrelated documents in the dedup
+    * step, which on a raw crawl is data loss, not cleaning.
+    */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -43,8 +49,10 @@ object UrlOps {
     val keptParams = array_sort(filter(split(rawQuery, "&"),
       p => length(p) > 0 && !p.rlike(TrackingParams)))
     val query = array_join(keptParams, "&")
-    concat(scheme, lit("://"), host, path,
-      when(length(query) > 0, concat(lit("?"), query)).otherwise(lit("")))
+    when(length(scheme) > 0,
+      concat(scheme, lit("://"), host, path,
+        when(length(query) > 0, concat(lit("?"), query)).otherwise(lit(""))))
+      .otherwise(trim(url))
   }
 
   /** Keep-first dedup on the canonical URL: one representative doc per

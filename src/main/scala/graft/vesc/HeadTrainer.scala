@@ -114,8 +114,14 @@ object HeadTrainer {
     * relied on.
     */
   def batchId(id: Column, epoch: Int, nBatches: Int): Column = {
+    // fold the HIGH id bits into the masked window first: without this the
+    // assignment depends on id only through its low 20 bits, permanently
+    // co-batching every pair of ids that agree there (guaranteed by
+    // pigeonhole once the dataset exceeds 2^20 rows)
+    val folded = id.bitwiseXOR(shiftrightunsigned(id, 20))
+      .bitwiseXOR(shiftrightunsigned(id, 40))
     val r1 = shiftright(
-      id.bitwiseAND(lit(MixMask)) * lit(MixA) + lit(epoch.toLong * MixB), 12)
+      folded.bitwiseAND(lit(MixMask)) * lit(MixA) + lit(epoch.toLong * MixB), 12)
     val r2 = shiftright(r1.bitwiseAND(lit(MixMask)) * lit(MixA), 12)
     pmod(r2, lit(nBatches.toLong))
   }
@@ -126,16 +132,23 @@ object HeadTrainer {
 
   /** Same assignment for a local replica (parity tests). */
   def batchIdLocal(id: Long, epoch: Int, nBatches: Int): Long = {
-    val r1 = ((id & MixMask) * MixA + epoch.toLong * MixB) >> 12
+    val folded = id ^ (id >>> 20) ^ (id >>> 40)
+    val r1 = ((folded & MixMask) * MixA + epoch.toLong * MixB) >> 12
     val r2 = ((r1 & MixMask) * MixA) >> 12
     val v = r2 % nBatches
     if (v < 0) v + nBatches else v
   }
 
-  /** The batch-id arithmetic as engine-neutral SQL (for oracles). */
-  def batchIdSql(idExpr: String, epoch: Int, nBatches: Int): String =
-    s"((((($idExpr & $MixMask) * $MixA + ${epoch.toLong * MixB}) >> 12)" +
+  /** The batch-id arithmetic as engine-neutral SQL (for oracles). The `>>`
+    * high-bit folds assume a NON-NEGATIVE id expression (true of the
+    * oracle's vec_id); negative xxhash ids are only ever assigned through
+    * [[batchId]]'s unsigned shifts.
+    */
+  def batchIdSql(idExpr: String, epoch: Int, nBatches: Int): String = {
+    val folded = s"xor(xor($idExpr, ($idExpr >> 20)), ($idExpr >> 40))"
+    s"((((($folded & $MixMask) * $MixA + ${epoch.toLong * MixB}) >> 12)" +
       s" & $MixMask) * $MixA >> 12) % $nBatches"
+  }
 
   final case class TrainConfig(
       epochs: Int = 100, batches: Int = 8, lr: Double = 1e-3,

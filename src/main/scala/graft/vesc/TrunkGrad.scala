@@ -259,6 +259,30 @@ object TrunkGrad {
     * the same partial shape as [[HeadTrainer.GradAgg]], so batch means are
     * taken once, driver-side.
     */
+  /** Forward-only masked-BCE loss of one row: the same cached forward and
+    * stable-BCE loop as [[rowGradient]] (per-row loss bit-identical) with
+    * no backward pass and no gradient buffer — the validation-eval path,
+    * ~3× cheaper than running backprop just to discard the gradient.
+    */
+  def rowLoss(window: Array[Array[Float]], y: Array[Double],
+              wts: CnnWeights): (Double, Long) = {
+    val c = forwardCached(window, wts)
+    val k = wts.head.b.length
+    var loss = 0.0
+    var labeled = 0L
+    var o = 0
+    while (o < k) {
+      val yk = y(o)
+      if (!yk.isNaN) {
+        val z = c.logits(o)
+        loss += math.max(z, 0.0) - z * yk + math.log1p(math.exp(-math.abs(z)))
+        labeled += 1L
+      }
+      o += 1
+    }
+    (loss, labeled)
+  }
+
   def rowGradient(window: Array[Array[Float]], y: Array[Double],
                   wts: CnnWeights, grad: Array[Double]): (Double, Long) = {
     val c = forwardCached(window, wts)

@@ -71,9 +71,34 @@ object TrunkTrainer {
       g.getAs[Double]("loss"), g.getAs[Long]("labeled"))
   }
 
+  /** Forward-only loss + labeled-count aggregation — per-row losses are
+    * bit-identical to [[TrunkGradAgg]]'s ([[TrunkGrad.rowLoss]] shares the
+    * cached forward and BCE loop) but no backward pass runs and no
+    * 18k-double buffer ships, so the per-epoch validation pass costs one
+    * forward instead of a full backprop it would only discard.
+    */
+  class TrunkLossAgg(wts: CnnWeights)
+      extends Aggregator[(Seq[Seq[Double]], Seq[Double]), (Double, Long), (Double, Long)] {
+    override def zero: (Double, Long) = (0.0, 0L)
+    override def reduce(buf: (Double, Long), row: (Seq[Seq[Double]], Seq[Double])): (Double, Long) = {
+      val (winSeq, ySeq) = row
+      val win = winSeq.map(r => r.map(_.toFloat).toArray).toArray
+      val (loss, labeled) = TrunkGrad.rowLoss(win, ySeq.toArray, wts)
+      (buf._1 + loss, buf._2 + labeled)
+    }
+    override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(r: (Double, Long)): (Double, Long) = r
+    override def bufferEncoder: ExpressionEncoder[(Double, Long)] =
+      ExpressionEncoder[(Double, Long)]()
+    override def outputEncoder: ExpressionEncoder[(Double, Long)] =
+      ExpressionEncoder[(Double, Long)]()
+  }
+
   def evalLoss(df: DataFrame, wts: CnnWeights): Double = {
-    val b = gradPass(df, wts)
-    b.loss / math.max(b.labeled.toDouble, 1.0)
+    val agg = udaf(new TrunkLossAgg(wts))
+    val r = df.agg(agg(col("win"), col("y")).as("l")).head().getStruct(0)
+    r.getDouble(0) / math.max(r.getLong(1).toDouble, 1.0)
   }
 
   final case class TrunkResult(weights: CnnWeights, bestVal: Double,

@@ -22,7 +22,12 @@ class CorpusOpsSpec extends SparkSuite {
       // tracking params dropped, rest sorted; empty query dropped
       ("https://example.com/p?utm_source=x&b=2&a=1", "https://example.com/p?a=1&b=2"),
       ("https://example.com/p?gclid=zz&fbclid=yy", "https://example.com/p"),
-      ("https://example.com/p?z=1&y=2&ref=home", "https://example.com/p?y=2&z=1")
+      ("https://example.com/p?z=1&y=2&ref=home", "https://example.com/p?y=2&z=1"),
+      // non-absolute urls pass through verbatim (trimmed) — collapsing
+      // them onto one synthetic key would merge unrelated docs in dedup
+      ("example.com/a", "example.com/a"),
+      ("//cdn.example.com/x", "//cdn.example.com/x"),
+      (" not a url at all ", "not a url at all")
     ).toDF("url", "expected")
     val got = cases.withColumn("canon", UrlOps.canonicalizeUrl(col("url")))
       .select("url", "expected", "canon").collect()
@@ -208,6 +213,20 @@ class CorpusOpsSpec extends SparkSuite {
     val again = SamplingOps.mixtureSample(df, col("id"), col("src"),
       Map("keepall" -> 1.0, "half" -> 0.5)).count()
     assert(again == kept.values.sum)
+  }
+
+  test("mixtureSample up-weights rates above 1 by replication with copy ids") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, "wiki")).toDF("id", "src")
+    val up = SamplingOps.mixtureSample(df, col("id"), col("src"),
+      Map("wiki" -> 2.5))
+    val n = up.count()
+    // floor(2.5)=2 guaranteed copies per row + ~50% hash-chosen extras
+    assert(n >= 220 && n <= 280, s"expected ~250 rows, got $n")
+    val copies = up.filter(col("id") === 1L).select("copy").as[Long]
+      .collect().sorted.toList
+    assert(copies == (1L to copies.length).toList, s"copy ids 1..n: $copies")
+    assert(copies.length == 2 || copies.length == 3)
   }
 
   test("bloomPrunedSemiJoin is exact and prunes at the scan") {

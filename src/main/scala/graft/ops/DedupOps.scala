@@ -181,4 +181,45 @@ object DedupOps {
         "star contraction)")
     labels.select(col("id"), col("lbl").as("component"))
   }
+
+  // ---- eval-set decontamination ----
+
+  /** Training documents contaminated by eval/benchmark content: a train
+    * doc counts as contaminated when at least `minHits` of its DISTINCT
+    * word `n`-gram shingles appear anywhere in the eval set (the standard
+    * n-gram-overlap decontamination every pre-training pipeline runs so
+    * benchmark answers don't leak into the corpus).
+    *
+    * Scale shape: eval sets are benchmark-sized — their distinct shingle
+    * table is tiny next to the corpus, so the overlap test is one
+    * broadcast equi-join from corpus shingles to eval shingles plus a
+    * per-doc count. The corpus is scanned once; nothing all-pairs.
+    *
+    * Output: (idCol, n_hits) for contaminated train docs only.
+    */
+  def contaminated(train: DataFrame, idCol: String, textCol: String,
+                   eval: DataFrame, evalTextCol: String,
+                   shingleN: Int = 8, minHits: Int = 1): DataFrame = {
+    def sh(df: DataFrame, id: Seq[Column], text: Column) =
+      df.select((id :+ TextOps.tokens(text).as("__toks")): _*)
+        .select((id :+
+          explode(array_distinct(TextOps.shinglesOf(col("__toks"), shingleN))).as("__sh")): _*)
+    val evalSh = sh(eval, Seq.empty, col(evalTextCol)).distinct()
+    sh(train, Seq(col(idCol)), col(textCol))
+      .join(broadcast(evalSh), "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** The decontaminated corpus: `train` minus [[contaminated]] docs (one
+    * anti-join — the split-anti-join shape of P11).
+    */
+  def decontaminate(train: DataFrame, idCol: String, textCol: String,
+                    eval: DataFrame, evalTextCol: String,
+                    shingleN: Int = 8, minHits: Int = 1): DataFrame =
+    train.join(
+      contaminated(train, idCol, textCol, eval, evalTextCol, shingleN, minHits)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

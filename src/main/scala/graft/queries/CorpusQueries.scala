@@ -104,6 +104,17 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Eval-set decontamination: train docs (id >= 100) sharing any 8-gram
+    // with the benchmark slice (id < 100) are flagged with hit counts —
+    // broadcast equi-join on eval shingles, corpus scanned once.
+    "dedup_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.DedupOps.contaminated(
+          docs.filter(col("doc_id") >= 100), "doc_id", "text",
+          docs.filter(col("doc_id") < 100), "text", shingleN = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // RAG-style overlapping chunker: 32-token windows every 24 tokens;
     // pure integer chunk arithmetic, no window operator.
     "text_chunk_overlap" -> ((s, dir) => {
@@ -273,6 +284,18 @@ object CorpusQueries extends QueryPack {
         |      '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS l FROM documents),
+         |sh AS (SELECT doc_id, s FROM (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(0, len(l) - 8),
+         |    i -> array_to_string(l[i+1 : i+8], ' ')))) AS s
+         |  FROM tok WHERE len(l) >= 8)),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 100)
+         |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM sh JOIN ev USING (s)
+         |WHERE sh.doc_id >= 100
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
     "text_chunk_overlap" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents WHERE doc_id < 50),
          |n AS (SELECT doc_id, l, len(l) AS n,

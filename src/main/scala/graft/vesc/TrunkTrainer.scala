@@ -106,28 +106,59 @@ object TrunkTrainer {
                                log: Seq[HeadTrainer.EpochLog],
                                stoppedEarly: Boolean)
 
+  /** Complete optimizer state at an epoch boundary — everything needed to
+    * resume training EXACTLY where it stopped (weights, Adam moments and
+    * step count, best-checkpoint tracking, patience counter). One row of
+    * parquet via [[saveCheckpoint]]/[[loadCheckpoint]]: the
+    * fault-tolerance story of a multi-day cluster run (S9 for the
+    * trainer, not just the scorer).
+    */
+  final case class TrunkState(p: Seq[Double], m: Seq[Double], v: Seq[Double],
+                              t: Long, nextEpoch: Int, bestVal: Double,
+                              bestEpoch: Int, bestP: Seq[Double], bad: Int)
+
+  def saveCheckpoint(spark: org.apache.spark.sql.SparkSession, path: String,
+                     st: TrunkState): Unit = {
+    import spark.implicits._
+    Seq(st).toDS().write.mode("overwrite").parquet(path)
+  }
+
+  def loadCheckpoint(spark: org.apache.spark.sql.SparkSession,
+                     path: String): TrunkState = {
+    import spark.implicits._
+    spark.read.parquet(path).as[TrunkState].head()
+  }
+
   /** The training loop — same structure as [[HeadTrainer.train]], over the
     * flat ~18k-parameter vector. `train`/`validation` need columns
     * (id long, win array&lt;array&lt;double&gt;&gt;, y array&lt;double&gt;).
+    *
+    * `resume` restarts from a [[TrunkState]] checkpoint bit-exactly (the
+    * deterministic batch assignment depends only on (id, epoch), so a
+    * resumed run replays the identical remaining trajectory); `onEpoch`
+    * fires with the post-epoch state — the checkpoint hook.
     */
   def train(trainDf: DataFrame, valDf: DataFrame, initWts: CnnWeights,
-            cfg: HeadTrainer.TrainConfig = HeadTrainer.TrainConfig()): TrunkResult = {
-    val p = TrunkGrad.flatten(initWts)
+            cfg: HeadTrainer.TrainConfig = HeadTrainer.TrainConfig(),
+            resume: Option[TrunkState] = None,
+            onEpoch: TrunkState => Unit = _ => ()): TrunkResult = {
+    val p = resume.map(_.p.toArray).getOrElse(TrunkGrad.flatten(initWts))
     val n = p.length
-    val m = Array.ofDim[Double](n); val v = Array.ofDim[Double](n)
-    var t = 0
+    val m = resume.map(_.m.toArray).getOrElse(Array.ofDim[Double](n))
+    val v = resume.map(_.v.toArray).getOrElse(Array.ofDim[Double](n))
+    var t = resume.map(_.t).getOrElse(0L)
 
     val cachedTrain = trainDf.persist()
     val cachedVal = valDf.persist()
     try {
-      var bestVal = Double.PositiveInfinity
-      var bestEpoch = -1
-      var bestP = p.clone()
-      var bad = 0
+      var bestVal = resume.map(_.bestVal).getOrElse(Double.PositiveInfinity)
+      var bestEpoch = resume.map(_.bestEpoch).getOrElse(-1)
+      var bestP = resume.map(_.bestP.toArray).getOrElse(p.clone())
+      var bad = resume.map(_.bad).getOrElse(0)
       var stopped = false
       val log = scala.collection.mutable.ArrayBuffer.empty[HeadTrainer.EpochLog]
 
-      var epoch = 0
+      var epoch = resume.map(_.nextEpoch).getOrElse(0)
       while (epoch < cfg.epochs && !stopped) {
         var num = 0.0; var den = 0.0
         var bi = 0
@@ -167,6 +198,8 @@ object TrunkTrainer {
         System.arraycopy(bestP, 0, p, 0, n)
         log += HeadTrainer.EpochLog(epoch, trainLoss, valLoss, improved)
         epoch += 1
+        onEpoch(TrunkState(p.toSeq, m.toSeq, v.toSeq, t, epoch,
+          bestVal, bestEpoch, bestP.toSeq, bad))
       }
       TrunkResult(TrunkGrad.unflatten(bestP, initWts), bestVal, bestEpoch,
         log.toSeq, stopped)

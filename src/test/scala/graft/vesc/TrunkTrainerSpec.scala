@@ -215,4 +215,31 @@ class TrunkTrainerSpec extends SparkSuite {
     assert(got.log.last.trainLoss < got.log.head.trainLoss,
       s"loss did not decrease: ${got.log.map(_.trainLoss)}")
   }
+
+  test("checkpoint + resume replays the straight run bit-exactly (parquet round-trip)") {
+    val trainRows = (0 until 12).map(i => (i.toLong, mkWindow(i), mkY(i)))
+    val valRows = (100 until 104).map(i => (i.toLong, mkWindow(i), mkY(i)))
+    val cfg4 = HeadTrainer.TrainConfig(epochs = 4, batches = 2, patience = 8)
+    val cfg2 = cfg4.copy(epochs = 2)
+
+    val straight = TrunkTrainer.train(toDf(trainRows), toDf(valRows), wts, cfg4)
+
+    // run 2 epochs, checkpoint the epoch-2 state through parquet...
+    var saved: Option[TrunkTrainer.TrunkState] = None
+    TrunkTrainer.train(toDf(trainRows), toDf(valRows), wts, cfg2,
+      onEpoch = st => saved = Some(st))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    TrunkTrainer.saveCheckpoint(spark, dir, saved.get)
+    val loaded = TrunkTrainer.loadCheckpoint(spark, dir)
+    assert(loaded.nextEpoch == 2 && loaded.t == saved.get.t)
+
+    // ...and resume for epochs 2-3: identical final weights and best-val
+    val resumed = TrunkTrainer.train(toDf(trainRows), toDf(valRows), wts, cfg4,
+      resume = Some(loaded))
+    assert(resumed.bestVal == straight.bestVal)
+    assert(resumed.bestEpoch == straight.bestEpoch)
+    val a = TrunkGrad.flatten(straight.weights)
+    val b = TrunkGrad.flatten(resumed.weights)
+    a.indices.foreach(i => assert(a(i) == b(i), s"param $i diverged after resume"))
+  }
 }

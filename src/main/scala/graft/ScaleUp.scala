@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   * the property a real 10× corpus has and a naive `union(identity × 10)`
   * does not:
   *
-  *  - `documents.text`: every whitespace token in copy i>0 gets an `_i`
-  *    suffix. Within a copy, pairwise shingle overlap is exactly the
-  *    original corpus's (suffixing is a bijection on tokens), so each copy
+  *  - `documents.text`: every whitespace token in copy i>0 gets a
+  *    `<U+0001>i` suffix (U+0001 is non-whitespace, so it stays inside the
+  *    token, and it cannot occur in the source corpus — checked loudly
+  *    below, since a base token already ending in the separator+digit
+  *    would alias a suffixed token and create cross-copy shingle matches).
+  *    Within a copy, pairwise shingle overlap is exactly the original
+  *    corpus's (suffixing is a bijection on tokens), so each copy
   *    contributes the same near-dup groups; across copies no shingle
   *    matches, so MinHash/SimHash/Jaccard pair counts grow ×k, not ×k².
   *    An unperturbed union would make every document a near-dup of its
@@ -47,11 +51,16 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = Tables.documents(spark, src)
+    val sep = "\u0001" // token-suffix separator; must be absent from the source
+    val dirty = docs.filter(col("text").contains(sep)).count()
+    require(dirty == 0,
+      s"ScaleUp precondition violated: $dirty source documents already contain " +
+        "U+0001 — suffixed tokens would alias base tokens and break ×k linearity")
     (0 until k).map { i =>
       if (i == 0) docs
       else docs
         .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_" + i))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1" + sep + i))
         .withColumn("n_chars", length(col("text")))
     }.reduce(_ unionByName _)
       .repartition(cpus.toInt)

@@ -84,21 +84,40 @@ object EmbeddingOps {
     * more than 2k items before re-trimming, and partial (map-side) buffers
     * merge by concat + trim, so per-task state is O(k) regardless of group
     * size. Order: score desc, then id asc — ties deterministic.
+    *
+    * The buffer is typed `collection.Seq` so `reduce` can mutate an
+    * ArrayBuffer in place — Aggregator permits buffer mutation — making
+    * appends amortized O(1) and each 2k trim one in-place sort, instead of
+    * the O(k) copy per element a `b :+ a` on an immutable Seq costs.
+    * Matters once k is in the thousands; a decode boundary (after shuffle)
+    * hands back a read-only Seq, which is converted to a fresh ArrayBuffer
+    * exactly once.
     */
   class TopKAgg(k: Int)
-      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
-    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      s.sortBy { case (score, id) => (-score, id) }.take(k)
-    override def zero: Seq[(Double, Long)] = Seq.empty
-    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
-      val appended = b :+ a
-      if (appended.size >= 2 * k) trim(appended) else appended
+      extends Aggregator[(Double, Long), collection.Seq[(Double, Long)], Seq[(Double, Long)]] {
+    import scala.collection.mutable.ArrayBuffer
+    private def trimInPlace(b: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
+      b.sortInPlaceBy { case (score, id) => (-score, id) }
+      if (b.size > k) b.remove(k, b.size - k)
+      b
     }
-    override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      trim(x ++ y)
-    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
+    override def zero: collection.Seq[(Double, Long)] = ArrayBuffer.empty
+    override def reduce(b: collection.Seq[(Double, Long)],
+                        a: (Double, Long)): collection.Seq[(Double, Long)] = {
+      val buf = b match {
+        case ab: ArrayBuffer[(Double, Long)] @unchecked => ab
+        case other => ArrayBuffer.from(other)
+      }
+      buf += a
+      if (buf.size >= 2 * k) trimInPlace(buf) else buf
+    }
+    override def merge(x: collection.Seq[(Double, Long)],
+                       y: collection.Seq[(Double, Long)]): collection.Seq[(Double, Long)] =
+      trimInPlace(ArrayBuffer.from(x) ++= y)
+    override def finish(r: collection.Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trimInPlace(ArrayBuffer.from(r)).toSeq
     override def bufferEncoder =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[collection.Seq[(Double, Long)]]()
     override def outputEncoder =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }

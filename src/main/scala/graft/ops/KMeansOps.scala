@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   *    1e-6 grid longs, so distances are EXACT integer sums — immune to
   *    float summation order, which differs between Spark's ordered
   *    `aggregate` fold and SQL engines' unordered `sum` and would
-  *    otherwise flip argmin ties. Centroid update divides an exact
-  *    integer sum by the member count (one correctly-rounded double op)
-  *    and re-quantizes.
+  *    otherwise flip argmin ties. Centroid update keeps the sum an exact
+  *    long and divides once (correctly rounded while per-cluster mass
+  *    stays below 2^53) and re-quantizes.
   *
   * Scale shape: per iteration, one broadcast of k·dim longs to the
   * assignment scan (map-side, no shuffle), one hash aggregation of
@@ -68,7 +68,8 @@ object KMeansOps {
       val updated = q.join(assign(cents), "__id")
         .select(col("cid"), posexplode(col("__qv")).as(Seq("__i", "__x")))
         .groupBy(col("cid"), col("__i"))
-        .agg(floor(avg(col("__x")) + lit(0.5)).cast("long").as("__cx"))
+        .agg(floor(sum(col("__x")).cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("__cx"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>

@@ -124,7 +124,9 @@ object SamplingOps {
     * salted hash — the k smallest keys ARE the weighted sample, so the
     * whole thing is one bounded aggregation (O(k) per-task partials, no
     * global sort, no RNG state). Reproducible on any engine via the md5
-    * idiom, exactly like [[hashSample]]. Weights must be positive.
+    * idiom, exactly like [[hashSample]]. Weights must be positive —
+    * enforced loudly: a zero/negative/null weight fails the job instead of
+    * silently producing a -Inf/NaN key that scrambles the sample.
     *
     * Output: (id, pick) with pick = 1..k in key order.
     */
@@ -132,8 +134,12 @@ object SamplingOps {
                      salt: String = "wsmp:"): DataFrame = {
     val minK = udaf(new MinKDoubleAgg(k))
     val u = (hash60(col(idCol), salt) + lit(1L)).cast("double") / lit(1.152921504606846976e18)
+    val w = col(weightCol).cast("double")
+    val wChecked = when(w > 0d, w).otherwise(raise_error(concat(
+      lit(s"weightedSample: non-positive weight in '$weightCol' for id="),
+      col(idCol).cast("string"))))
     df.select(col(idCol).cast("long").as("__id"),
-        (-log(u) / col(weightCol).cast("double")).as("__key"))
+        (-log(u) / wChecked).as("__key"))
       .agg(minK(col("__key"), col("__id")).as("__top"))
       .select(posexplode(col("__top")).as(Seq("__pos", "__item")))
       .select(col("__item._2").as(idCol),

@@ -52,7 +52,9 @@ object Export {
   def fmtMmss(x: Double): String = {
     val m = (x / 60).toInt
     val s = (x % 60).toInt
-    f"$m%d:$s%02d"
+    // Locale.ROOT: the emitted JSON is a wire contract — a comma-decimal or
+    // non-ASCII-digit default locale must not leak into it
+    String.format(java.util.Locale.ROOT, "%d:%02d", Int.box(m), Int.box(s))
   }
 
   private def jstr(s: String) =
@@ -81,7 +83,8 @@ object Export {
         if (v.isNaN || v <= MinDisplayThresh) "null" else jnum(v)).mkString("[", ",", "]")
       val hoverJson = ys.zip(tsec).map { case (v, t) =>
         if (v.isNaN || v <= MinDisplayThresh) "null"
-        else jstr(f"$b: $v%.3f at ${fmtMmss(t)}")
+        else jstr(String.format(java.util.Locale.ROOT,
+          "%s: %.3f at %s", b, Double.box(v), fmtMmss(t)))
       }.mkString("[", ",", "]")
       s"""{"type":"bar","name":${jstr(b)},"x":${tsec.map(jnum).mkString("[", ",", "]")},
          |"y":$yJson,"width":$barWidth,"hoverinfo":"text","hovertext":$hoverJson,

@@ -137,9 +137,9 @@ object DedupOps {
     * fixed-round unrolling stays valid whenever it, too, has converged.
     *
     * Lineage is cut with `localCheckpoint` every other round — iterative
-    * plans otherwise double per round and choke analysis. At adversarial
-    * diameter/scale you'd switch to large-star/small-star contraction
-    * (same join shape, O(log n) rounds).
+    * plans otherwise double per round and choke analysis. For adversarial
+    * diameters (long chains, not clique-like dedup graphs) use
+    * [[connectedComponentsStar]] — same output contract, O(log n) rounds.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           checkEvery: Int = 8, maxRounds: Int = 64): DataFrame = {
@@ -180,6 +180,97 @@ object DedupOps {
         "(graph diameter exceeds the bound — raise maxRounds or switch to " +
         "star contraction)")
     labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the scale path for ADVERSARIAL diameters. Label
+    * propagation ([[connectedComponents]]) needs diameter-many rounds; a
+    * diameter-10⁶ chain (pathological crawl graphs, linked doc chains)
+    * would never finish. Star contraction halves component height every
+    * alternation, converging in O(log n) rounds regardless of diameter,
+    * with the same per-round shape Spark executes well: one shuffle
+    * (groupBy min per center) + one equi-join per star step.
+    *
+    *  - '''large-star''': every node x links each strictly-larger
+    *    neighbor y to m(x) = min(Γ(x) ∪ x) — emitted as edge (y, m).
+    *  - '''small-star''': every edge is oriented (hi → lo); each center
+    *    hi links its smaller neighbors and itself to the minimum — stars
+    *    centered at local minima.
+    *
+    * Both steps preserve connectivity and only ever link toward smaller
+    * ids, so the fixed point is the unique min-id star forest — exactly
+    * the labels [[connectedComponents]] converges to (machine-checked in
+    * ConnectedComponentsSpec against union-find and against the
+    * propagation path). Convergence IS the edge set reaching that fixed
+    * point: checked per round on the materialized checkpoint, loud
+    * failure past `maxRounds` (which would indicate a bug, not an input
+    * property — unlike label propagation there is no diameter bound to
+    * outgrow).
+    *
+    * Output contract matches [[connectedComponents]]: (id, component)
+    * for every vertex that appears in `pairs`.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxRounds: Int = 32): DataFrame = {
+    connectedComponentsStarCounted(pairs, aCol, bCol, maxRounds)._1
+  }
+
+  /** [[connectedComponentsStar]] plus the number of alternation rounds it
+    * took — exposed so tests can assert the O(log n) bound.
+    */
+  private[graft] def connectedComponentsStarCounted(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 32): (DataFrame, Int) = {
+    val ckpt = (df: DataFrame) => df.localCheckpoint(true)
+    val init = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val nodes = ckpt(
+      init.select(col("u").as("id")).union(init.select(col("v").as("id"))).distinct())
+    // canonical orientation (small, large); self-loops already dropped
+    var edges = ckpt(init
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct())
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      // large-star: for each center x, m = min(neighbors ∪ x); every
+      // LARGER neighbor y re-links to m. Each input edge contributes
+      // exactly one output edge (from its smaller endpoint's star).
+      val nbrs = edges.select(col("u").as("x"), col("v").as("y"))
+        .union(edges.select(col("v").as("x"), col("u").as("y")))
+      val mins = nbrs.groupBy(col("x")).agg(min(col("y")).as("__ny"))
+        .select(col("x"), least(col("__ny"), col("x")).as("m"))
+      val ls = nbrs.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(least(col("y"), col("m")).as("u"), greatest(col("y"), col("m")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: orient (hi → lo); center hi and all smaller
+      // neighbors link to the local minimum.
+      val or = ls.select(col("v").as("x"), col("u").as("y")) // y < x by construction
+      val mins2 = or.groupBy(col("x")).agg(min(col("y")).as("m"))
+      val next = ckpt(
+        or.join(mins2, "x").filter(col("y") =!= col("m"))
+          .select(col("m").as("u"), col("y").as("v"))
+          .union(mins2.select(col("m").as("u"), col("x").as("v")))
+          .filter(col("u") =!= col("v"))
+          .distinct())
+      round += 1
+      // fixed point = identical edge set (both are (min, member) oriented
+      // and deduped, so count + one-sided except decide equality)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).limit(1).isEmpty
+      edges = next
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge within $maxRounds rounds — " +
+        "this exceeds the O(log n) bound and indicates a bug, not an input property")
+    val labels = nodes
+      .join(edges.select(col("v").as("id"), col("u").as("__root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
+    (labels, round)
   }
 
   // ---- eval-set decontamination ----

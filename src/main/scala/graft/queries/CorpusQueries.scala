@@ -90,6 +90,19 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF + int8 quantization COMPOSED: candidates cut to the query's
+    // coarse cluster by an equi-join below the shortlist aggregation, then
+    // the integer-dot shortlist, then exact-cosine rerank — both scale
+    // levers (1/clusters scan fraction, 4x smaller index reads) in one
+    // operator.
+    "embed_ann_ivf_quantized" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.EmbeddingOps.ivfQuantizedTopK(
+          emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 3, oversample = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // PII scrub (emails / NANP phones / IPv4) over deterministically
     // dirtied documents — RE2-compatible patterns, chained codegen'd
     // regexp_replace, zero shuffle.
@@ -251,6 +264,37 @@ object CorpusQueries extends QueryPack {
         |         sum(floor(CAST(qv[i] AS DOUBLE) * 127 / m.maxabs + 0.5)
         |           * floor(CAST(embedding[i] AS DOUBLE) * 127 / m.maxabs + 0.5)) AS qdp
         |       FROM q CROSS JOIN c CROSS JOIN dims CROSS JOIN m
+        |       GROUP BY q.query_id, c.vec_id),
+        |sl AS (SELECT query_id, vec_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY qdp DESC, vec_id ASC) AS r
+        |       FROM qd),
+        |cand AS (SELECT query_id, vec_id FROM sl WHERE r <= 9),
+        |p AS (SELECT cand.query_id, cand.vec_id,
+        |        sum(CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS dp,
+        |        sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS qn,
+        |        sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS cn
+        |      FROM cand JOIN q USING (query_id) JOIN c USING (vec_id) CROSS JOIN dims
+        |      GROUP BY cand.query_id, cand.vec_id),
+        |r AS (SELECT query_id, vec_id AS neighbor_id,
+        |        floor((dp / (qn * cn)) * 10000 + 0.5) / 10000.0 AS score FROM p),
+        |t AS (SELECT query_id, neighbor_id, score,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score DESC, neighbor_id ASC) AS rank
+        |      FROM r)
+        |SELECT query_id, rank, neighbor_id, score FROM t WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    "embed_ann_ivf_quantized" ->
+      """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |m AS (SELECT max(abs(CAST(embedding[i] AS DOUBLE))) AS maxabs
+        |      FROM embeddings CROSS JOIN dims WHERE vec_id >= 10),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+        |      FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
+        |qd AS (SELECT q.query_id, c.vec_id,
+        |         sum(floor(CAST(qv[i] AS DOUBLE) * 127 / m.maxabs + 0.5)
+        |           * floor(CAST(embedding[i] AS DOUBLE) * 127 / m.maxabs + 0.5)) AS qdp
+        |       FROM q JOIN c ON c.label = q.qlabel CROSS JOIN dims CROSS JOIN m
         |       GROUP BY q.query_id, c.vec_id),
         |sl AS (SELECT query_id, vec_id,
         |         row_number() OVER (PARTITION BY query_id

@@ -84,17 +84,36 @@ object DataPipelineQueries extends QueryPack {
     }),
 
     // Connected components over the LSH candidate pairs: pairwise matches
-    // → canonical dedup groups (keep min-id per component). Min-label
-    // propagation checks convergence every 3 rounds — near-dup graphs are
-    // small cliques (diameter 1-2), so this stops after one batch instead
-    // of burning a fixed CC_ROUNDS rounds; the fixed point is unique, so
-    // the oracle's CC_ROUNDS-round unrolling matches whenever both have
-    // converged.
+    // → canonical dedup groups (keep min-id per component). Runs the
+    // large-star/small-star contraction path — O(log n) rounds regardless
+    // of diameter, so it is also the adversarial-input default. The fixed
+    // point (min id per component) is unique and shared with the label-
+    // propagation path (equality machine-checked in
+    // ConnectedComponentsSpec), so the oracle's fixed-round label-
+    // propagation unrolling still matches.
     "dedup_components" -> ((s, dir) => {
       val pairs = DedupOps.minhashCandidates(Tables.documents(s, dir),
         "doc_id", "text", shingleN = 3, numHashes = 8, bands = 4)
-      DedupOps.connectedComponents(pairs, "id_a", "id_b", checkEvery = 3)
+      DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The PRODUCTION fuzzy-dedup pipeline, end to end: MinHash+LSH
+    // candidate pairs → star-contraction connected components → canonical
+    // keep-min-id per component → anti-join the drops out of the corpus.
+    // This is the composed shape users actually run; each stage is the
+    // scale-safe operator benched individually (banded equi-join, O(log n)
+    // contraction, one hash-agg, one anti-join).
+    "dedup_e2e_fuzzy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = DedupOps.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, bands = 4)
+      val comps = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
+      val drops = comps.filter(col("component") < col("id"))
+        .select(col("id").as("doc_id"))
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
 
@@ -246,6 +265,38 @@ object DataPipelineQueries extends QueryPack {
     s"""sig AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id)"""
   }
 
+  /** Banded LSH candidate pairs (4 bands × 2 signature rows). */
+  private val minhashCandSql =
+    s"""cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b
+       |    ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+       |    ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+       |    ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+       |    ON a.mh6 = b.mh6 AND a.mh7 = b.mh7 AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** CC_ROUNDS-round min-label-propagation unrolling over `cand` —
+    * converges to the same unique fixed point (min id per component) as
+    * both engine CC paths, label propagation and star contraction.
+    */
+  private val ccUnrollSql = {
+    val rounds = (1 to CC_ROUNDS).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT l.id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+         |  FROM l${k - 1} l LEFT JOIN e ON e.u = l.id
+         |  LEFT JOIN l${k - 1} n ON n.id = e.v
+         |  GROUP BY l.id, l.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM cand
+       |      UNION ALL SELECT id_b AS u, id_a AS v FROM cand),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM e),
+       |$rounds""".stripMargin
+  }
+
   private val simhashSumsSql = (0 until SIMHASH_BITS)
     .map(b => s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
     .mkString(", ")
@@ -285,47 +336,24 @@ object DataPipelineQueries extends QueryPack {
     "dedup_minhash_lsh" ->
       s"""WITH $shingleSql,
          |$minhashSigSql,
-         |cand AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b
-         |    ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-         |    ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-         |    ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-         |    ON a.mh6 = b.mh6 AND a.mh7 = b.mh7 AND a.doc_id < b.doc_id)
+         |$minhashCandSql
          |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
-    "dedup_components" -> {
-      val rounds = (1 to CC_ROUNDS).map { k =>
-        s"""l$k AS MATERIALIZED (SELECT l.id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
-           |  FROM l${k - 1} l LEFT JOIN e ON e.u = l.id
-           |  LEFT JOIN l${k - 1} n ON n.id = e.v
-           |  GROUP BY l.id, l.lbl)""".stripMargin
-      }.mkString(",\n")
+    "dedup_components" ->
       s"""WITH $shingleSql,
          |$minhashSigSql,
-         |cand AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b
-         |    ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-         |    ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-         |    ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-         |    ON a.mh6 = b.mh6 AND a.mh7 = b.mh7 AND a.doc_id < b.doc_id),
-         |e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM cand
-         |      UNION ALL SELECT id_b AS u, id_a AS v FROM cand),
-         |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM e),
-         |$rounds
+         |$minhashCandSql,
+         |$ccUnrollSql
          |SELECT id AS doc_id, lbl AS component FROM l$CC_ROUNDS
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_e2e_fuzzy" ->
+      s"""WITH $shingleSql,
+         |$minhashSigSql,
+         |$minhashCandSql,
+         |$ccUnrollSql
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM l$CC_ROUNDS x WHERE x.id = d.doc_id AND x.lbl < x.id)
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleSql,
          |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MAX_DF),

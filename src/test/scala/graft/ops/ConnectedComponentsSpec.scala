@@ -66,4 +66,46 @@ class ConnectedComponentsSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("converge"))
   }
+
+  private def runStar(edges: Seq[(Long, Long)],
+                      maxRounds: Int = 32): (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val df = edges.toDF("a", "b")
+    val (labels, rounds) =
+      DedupOps.connectedComponentsStarCounted(df, "a", "b", maxRounds)
+    (labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("star contraction matches union-find and label propagation on mixed graphs") {
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (1, 3),            // triangle
+      (10, 11), (11, 12),                // path
+      (20, 21), (21, 22), (22, 23), (23, 24), (24, 25), // chain
+      (40, 41))                          // isolated pair
+    val (got, _) = runStar(edges)
+    assert(got == unionFind(50, edges))
+    assert(got == run(edges))
+  }
+
+  test("star contraction: diameter-50 chain converges in O(log n) rounds") {
+    // 51-node path, diameter 50: label propagation needs ~50 rounds; star
+    // contraction must stay within ceil(log2 n) + c alternations
+    val edges = (300L until 350L).map(i => (i, i + 1))
+    val (got, rounds) = runStar(edges)
+    assert(got.values.toSet == Set(300L), s"single component expected: $got")
+    assert(got == unionFind(351, edges))
+    val bound = math.ceil(math.log(51.0) / math.log(2.0)).toInt + 3
+    assert(rounds <= bound, s"took $rounds rounds, O(log n) bound is $bound")
+  }
+
+  test("star contraction: ids out of order and duplicate edges are handled") {
+    val edges = Seq[(Long, Long)]((9, 1), (1, 9), (9, 5), (5, 1), (7, 7), (2, 7))
+    val (got, _) = runStar(edges)
+    assert(got == unionFind(10, edges.filter(e => e._1 != e._2)))
+  }
+
+  test("star contraction on an empty edge set returns empty labels") {
+    val (got, rounds) = runStar(Seq.empty)
+    assert(got.isEmpty && rounds == 0)
+  }
 }

@@ -32,6 +32,25 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("ivf-quantized ANN plans the cluster equi-join BELOW the shortlist aggregate") {
+    val p = planOf("embed_ann_ivf_quantized")
+    assert(!p.contains("Window"), "top-k must stay the bounded aggregate")
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.indexWhere(l =>
+      l.contains("BroadcastHashJoin") && l.contains("__qc"))
+    assert(joinIdx >= 0, s"cluster equi-join missing from plan:\n${p.take(3000)}")
+    val aggIdx = lines.indexWhere(l => l.contains("Aggregate"))
+    assert(aggIdx >= 0 && aggIdx < joinIdx,
+      "the shortlist aggregation must sit above the cluster equi-join " +
+        "(candidates are cut to the cluster before any top-k state)")
+  }
+
+  test("fuzzy-dedup e2e pipeline never plans a cartesian product") {
+    val p = planOf("dedup_e2e_fuzzy")
+    assert(!p.contains("CartesianProduct"), "e2e dedup plans a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "e2e dedup plans a nested-loop join")
+  }
+
   test("stratified sampling is a bounded aggregate, not a per-stratum window") {
     val p = planOf("sample_stratified")
     assert(!p.contains("Window"), "stratified sample regressed to a sort window")

@@ -9,11 +9,19 @@ import org.apache.spark.sql.types._
   * batch functions (the Scala analog of `mapInPandas` — one JVM call per
   * batch of rows, vectorizable inside).
   *
-  * The actual codec work (JPEG decode, resample, frame-sample) needs native
-  * libraries that are intentionally NOT part of this engine; the decode
-  * hook is pluggable and the default is a deterministic stub that derives
-  * "features" from the bytes, so the Spark-side contract — schema, batch
-  * shape, partitioning, null behavior — is real and tested end-to-end.
+  * The decode story has two layers:
+  *
+  *  - '''header decode is REAL''': [[graft.functions.ImageHeader]] parses
+  *    actual PNG/JPEG/GIF/BMP container headers (dimensions + format) as a
+  *    codegen'd scan-side expression — the decision data (route, filter,
+  *    size-bucket) a curation pipeline needs before paying for pixels.
+  *    [[withMediaMeta]] exposes it alongside length/hash/mime.
+  *  - '''pixel decode is a pluggable seam''': full JPEG/audio/video
+  *    decoding needs native codec libraries that are intentionally NOT
+  *    part of this engine; [[decodeFeatures]] takes any `Decoder` and the
+  *    default is a deterministic stub, so the Spark-side contract —
+  *    schema, batch shape, partitioning, null behavior — is real and
+  *    tested end-to-end.
   */
 object MultimodalOps {
 
@@ -21,18 +29,23 @@ object MultimodalOps {
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("mime", StringType),
     StructField("n_bytes", LongType),
-    StructField("sha_hex", StringType)))
+    StructField("sha_hex", StringType),
+    StructField("image", graft.functions.ImageHeader.schema)))
 
   /** Attach metadata to a binary column: byte length + content hash + mime
-    * guess from magic bytes. Pure expressions — stays in codegen.
+    * guess from magic bytes + parsed image header (format/width/height,
+    * null for non-images). Pure codegen'd expressions, no UDF.
     */
-  def withMediaMeta(df: DataFrame, binCol: String): DataFrame =
+  def withMediaMeta(df: DataFrame, binCol: String): DataFrame = {
+    graft.functions.ImageHeader.register(df.sparkSession)
     df.withColumn(binCol + "_meta", struct(
       when(hex(substring(col(binCol), 1, 2)) === "FFD8", "image/jpeg")
         .when(hex(substring(col(binCol), 1, 4)) === "89504E47", "image/png")
         .otherwise("application/octet-stream").as("mime"),
       octet_length(col(binCol)).cast("long").as("n_bytes"),
-      sha2(col(binCol), 256).as("sha_hex")))
+      sha2(col(binCol), 256).as("sha_hex"),
+      call_function("image_header", col(binCol)).as("image")))
+  }
 
   /** A decode hook: bytes → fixed-size feature vector. */
   type Decoder = Array[Byte] => Array[Float]

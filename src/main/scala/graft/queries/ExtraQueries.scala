@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -119,6 +119,40 @@ object ExtraQueries extends QueryPack {
           octet_length(col("blob")).cast("long").as("n_bytes"),
           lower(sha2(col("blob"), 256)).as("sha_hex"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Real header-only image decode (graft.functions.ImageHeader): PNG /
+    // JPEG / GIF containers are SYNTHESIZED with dimensions derived from
+    // doc_id (width = id%640+1, height = id%480+1), so the oracle states
+    // ground truth by arithmetic while the engine must actually parse the
+    // bytes — including a JPEG marker walk over a COM segment whose length
+    // varies per row (id%5 padding bytes). One codegen'd scan-side
+    // expression; no UDF, no shuffle.
+    "mm_image_meta" -> ((s, dir) => {
+      graft.functions.ImageHeader.register(s)
+      val w = (col("doc_id") % 640 + 1).cast("int")
+      val h = (col("doc_id") % 480 + 1).cast("int")
+      val be16 = (c: Column) => lpad(hex(c), 4, "0")
+      val be32 = (c: Column) => lpad(hex(c), 8, "0")
+      val le16 = (c: Column) => concat(
+        lpad(hex(pmod(c, lit(256))), 2, "0"),
+        lpad(hex((c.cast("long") / 256).cast("int")), 2, "0"))
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        be32(w), be32(h), lit("0806000000"))
+      val jpegHex = concat(lit("FFD8FFFE"),
+        be16((col("doc_id") % 5).cast("int") + lit(2)),
+        expr("repeat('41', cast(doc_id % 5 as int))"),
+        lit("FFC0001108"), be16(h), be16(w))
+      val gifHex = concat(lit("474946383961"), le16(w), le16(h), lit("F70000"))
+      Tables.documents(s, dir)
+        .withColumn("blob", unhex(
+          when(col("doc_id") % 3 === 0, pngHex)
+            .when(col("doc_id") % 3 === 1, jpegHex)
+            .otherwise(gifHex)))
+        .selectExpr("doc_id", "image_header(blob) AS m")
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"))
+        .orderBy(col("doc_id"))
     }))
 
   override val oracle: Map[String, String] = Map(
@@ -189,6 +223,14 @@ object ExtraQueries extends QueryPack {
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS sha_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // ground truth by construction: the fixtures embed these dimensions
+    "mm_image_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    ELSE 'gif' END AS format,
+        |  CAST(doc_id % 640 + 1 AS INT) AS width,
+        |  CAST(doc_id % 480 + 1 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -36,6 +36,66 @@ class MultimodalSpec extends SparkSuite {
     assert(mime == "image/jpeg")
   }
 
+  // ---- real header decode (graft.functions.ImageHeader) ----
+
+  private def hexBytes(hx: String): Array[Byte] =
+    hx.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def parseDf(blobs: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    graft.functions.ImageHeader.register(spark)
+    blobs.toDF("id", "blob")
+      .selectExpr("id", "image_header(blob) AS m")
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getString(1), r.getInt(2), r.getInt(3)))))
+      .toMap
+  }
+
+  test("image headers: PNG, GIF, BMP dimensions parse from real container bytes") {
+    // hand-computed: PNG 800x600 BE, GIF 320x200 LE, BMP 64x48 LE
+    val png = hexBytes("89504E470D0A1A0A 0000000D 49484452 00000320 00000258 0806000000")
+    val gif = hexBytes("474946383961 4001 C800 F70000")
+    val bmp = hexBytes("424D 46000000 00000000 36000000 28000000" +
+      "40000000 30000000 0100 1800")
+    val got = parseDf(Seq((1L, png), (2L, gif), (3L, bmp)))
+    assert(got(1L).contains(("png", 800, 600)))
+    assert(got(2L).contains(("gif", 320, 200)))
+    assert(got(3L).contains(("bmp", 64, 48)))
+  }
+
+  test("jpeg marker walk skips APP/COM segments of varying length to the SOF") {
+    // SOI + APP0 (16 bytes) + COM (5 bytes payload) + SOF2 (progressive):
+    // height 0x0100=256, width 0x0180=384
+    val jpeg = hexBytes("FFD8" +
+      "FFE0 0010 4A46494600 0101 00 0048 0048 00 00" + // APP0 len 16
+      "FFFE 0007 48 45 4C 4C 4F" +                     // COM len 7
+      "FFC2 0011 08 0100 0180 03 012200 021101 031101")
+    val got = parseDf(Seq((1L, jpeg)))
+    assert(got(1L).contains(("jpeg", 384, 256)))
+  }
+
+  test("corrupt, truncated, and non-image bytes yield null, not garbage") {
+    val truncatedPng = hexBytes("89504E470D0A1A0A 0000000D 4948") // cut mid-IHDR
+    val sosBeforeSof = hexBytes("FFD8 FFDA 0002")                 // JPEG with no frame
+    val garbage = "not an image at all".getBytes("UTF-8")
+    val got = parseDf(Seq((1L, truncatedPng), (2L, sosBeforeSof), (3L, garbage)))
+    assert(got(1L).isEmpty && got(2L).isEmpty && got(3L).isEmpty)
+  }
+
+  test("withMediaMeta exposes the parsed image header next to length/hash") {
+    import spark.implicits._
+    val png = hexBytes("89504E470D0A1A0A 0000000D 49484452 00000010 00000020 0806000000")
+    val rows = MultimodalOps.withMediaMeta(
+        Seq((1L, png), (2L, "plain".getBytes("UTF-8"))).toDF("id", "blob"), "blob")
+      .select(col("id"), col("blob_meta.mime"), col("blob_meta.image.width"),
+        col("blob_meta.image"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(1) == "image/png" && rows(1L).getInt(2) == 16)
+    assert(rows(2L).isNullAt(3), "non-image blob must carry a null image header")
+  }
+
   test("stub decode produces deterministic fixed-dim features") {
     val out = MultimodalOps.decodeFeatures(docs, "blob", dim = 8)
       .select(col("id"), col("blob_features"))

@@ -153,6 +153,53 @@ object VescFixtureQueries extends QueryPack {
       out.toDF("block", "value").orderBy(col("block"))
     }),
 
+    // M7 TRAIN-MODE (batch-statistics) full-network gradient: the exact
+    // SyncBatchNorm-shaped distributed pass (TrunkTrainer.gradPassBn — 5
+    // stat syncs + 5 moment syncs + 1 gradient aggregation, every one
+    // bounded and map-side combined) over the same golden windows as ONE
+    // batch, vs an independent NumPy train-mode backprop
+    // (tools/golden_trunk_grad_bn.py, FD-self-checked with the d(stats)/dx
+    // coupling in the FD). Same log-scale 3-decimal encoding as
+    // m7_trunk_gradient.
+    "m7_trunk_gradient_bn" -> ((s, _) => {
+      val wts = CnnScorer.loadWeights(s, cnnWeights)
+      val statsRows = s.read.parquet(normStats).collect()
+      val mean = statsRows.map(_.getDouble(1))
+      val std = statsRows.map(_.getDouble(2))
+      val base = s.read.parquet(cnnGolden).select(
+        lit("g").as("ride_id"),
+        col("win_id").cast("long").as("window_start"),
+        expr("transform(sequence(0, 29), t -> slice(window, t*24 + 1, 24))")
+          .as("features"))
+      val withY = VescSchema.ConfidenceCols.zipWithIndex.foldLeft(base) {
+        case (df, (c, i)) =>
+          df.withColumn("y_" + c,
+            when(pmod(col("window_start") + i, lit(5)) === 0, lit(Double.NaN))
+              .otherwise(pmod(col("window_start") + i, lit(3)).cast("double") / 2.0))
+      }
+      // the 11 passes re-scan the batch — persist it like the trainer does
+      val rows = TrunkTrainer.normalizedWindows(withY, mean, std)
+        .select(col("win"), col("y")).persist()
+      val (buf, _) = try TrunkTrainer.gradPassBn(rows, wts)
+        finally rows.unpersist()
+      // conv biases feeding straight into a BN layer have an EXACTLY-zero
+      // gradient in train mode (the batch mean absorbs them) — both
+      // engines compute ~1e-8 float noise there, so norms below 1e-6
+      // encode as a sentinel instead of log(noise)
+      def enc(x: Double) =
+        if (x < 1e-6) -999.0 else math.floor(math.log(x) * 1000 + 0.5) / 1000.0
+      val spec = TrunkGrad.blockSpec(wts)
+      val offs = spec.scanLeft(0)(_ + _._2).init
+      val out = spec.zip(offs).map { case ((name, len), off) =>
+        var ss = 0.0
+        var i = off
+        while (i < off + len) { ss += buf.g(i) * buf.g(i); i += 1 }
+        (name, enc(math.sqrt(ss)))
+      } ++ Seq(("loss", enc(buf.loss)), ("labeled", buf.labeled.toDouble))
+      import s.implicits._
+      out.toDF("block", "value").orderBy(col("block"))
+    }),
+
     // W13: video-timestamp anchoring through the full CLI sync path
     // (preprocess + --vid_time/--log_time), vs the pandas-derived golden
     // (tools/golden_video_anchor.py) — exact string compare.
@@ -254,6 +301,10 @@ object VescFixtureQueries extends QueryPack {
     "m7_trunk_gradient" ->
       s"""SELECT block, value
          |FROM '/root/repo/src/test/resources/trunk_grad_golden.parquet'
+         |ORDER BY block""".stripMargin,
+    "m7_trunk_gradient_bn" ->
+      s"""SELECT block, value
+         |FROM '/root/repo/src/test/resources/trunk_grad_bn_golden.parquet'
          |ORDER BY block""".stripMargin
   )
 }

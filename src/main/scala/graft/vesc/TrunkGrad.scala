@@ -7,17 +7,19 @@ import CnnScorer.{BnW, CnnWeights, ConvW, LinearW}
   * loss with respect to EVERY trainable tensor — all conv weights/biases,
   * all BatchNorm γ/β, and the linear head.
   *
-  * Semantics vs the reference: the reference trains from scratch with
-  * train-mode BatchNorm (batch statistics). Batch statistics couple the
-  * rows of a mini-batch, which would force one extra synchronization pass
-  * per BN layer per batch (the SyncBatchNorm shape) and break the
-  * one-aggregation-per-batch design that makes the trainer scale. This
-  * implementation instead trains with FROZEN BN statistics (running
-  * mean/var from the checkpoint; γ/β still learned) — the standard
-  * fine-tuning recipe, and the configuration under which per-row gradients
-  * are exactly independent, so the whole batch gradient is one
-  * map-side-combinable aggregation ([[TrunkTrainer.TrunkGradAgg]]). The
-  * deviation is documented in README §limits.
+  * Two BatchNorm modes, matching the two training recipes:
+  *
+  *  - '''frozen stats''' (running mean/var from the checkpoint; γ/β still
+  *    learned) — the fine-tuning recipe. Per-row gradients are exactly
+  *    independent, so the whole batch gradient is ONE map-side-combinable
+  *    aggregation ([[TrunkTrainer.TrunkGradAgg]]).
+  *  - '''batch statistics''' (train-mode BN, the reference's from-scratch
+  *    recipe, model/model_training.py:76-103). Batch statistics couple
+  *    the rows of a mini-batch in both the forward (through μ/σ²) and the
+  *    backward (through dμ/dx, dσ²/dx), so the exact distributed shape is
+  *    SyncBatchNorm's: one bounded synchronization per BN layer per
+  *    direction plus a final gradient pass — see the train-mode section
+  *    below and [[TrunkTrainer.gradPassBn]].
   *
   * Numerics: forward runs in float32 exactly like [[CnnScorer]] (same op
   * order — TrunkTrainerSpec asserts the cached forward reproduces
@@ -280,6 +282,309 @@ object TrunkGrad {
       }
       o += 1
     }
+    (loss, labeled)
+  }
+
+  // ---- train-mode (batch-statistics) BatchNorm ----
+  //
+  // The reference trains from scratch with train-mode BN
+  // (model/model_training.py:76-103,115-177): normalization uses the
+  // CURRENT BATCH's per-channel mean/biased-variance, which couples the
+  // rows of a batch in both directions — forward through the stats,
+  // backward through d(stats)/d(x). The exact distributed shape is
+  // SyncBatchNorm's: one synchronization per BN layer per batch on the
+  // way down (stats) and one on the way up (the Σdy / Σdy·x̂ moments the
+  // train-mode backward needs), plus a final gradient pass —
+  // 2·L+1 = 11 bounded aggregations per batch for this net's 5 BN
+  // layers. [[TrunkTrainer.gradPassBn]] drives the phases; the helpers
+  // below are the per-row kernels. (A cluster implementation would keep
+  // per-row activations resident across the syncs — barrier stage +
+  // task-local state — making each sync an O(channels) all-reduce; here
+  // each pass recomputes its forward, trading idempotent-task safety for
+  // ~L× compute on the trunk, still per-batch-bounded.)
+  //
+  // Frozen-stats mode above remains the fine-tuning default; batch mode
+  // closes the last semantic gap with the reference trainer.
+
+  /** BN layers in forward-dependency order: the batch stats of layer k
+    * depend on the resolved stats of layers before it.
+    */
+  val BnOrder: Seq[String] = Seq("bn1", "resbn", "bn2", "bn3", "bn4")
+
+  /** Batch moments of one BN layer needed by the train-mode backward:
+    * per-channel Σdy and Σdy·x̂ over the whole batch, and the element
+    * count m (= rows · T of that layer).
+    */
+  final case class BnMom(sumDy: Array[Double], sumDyXhat: Array[Double], m: Long)
+
+  def bnOf(wts: CnnWeights, layer: String): BnW = layer match {
+    case "bn1" => wts.bn1
+    case "resbn" => wts.resBn
+    case "bn2" => wts.bn2
+    case "bn3" => wts.bn3
+    case "bn4" => wts.bn4
+  }
+
+  /** Weights with the given layers' BN mean/variance slots replaced by
+    * batch statistics — the forward then IS the train-mode forward for
+    * those layers, through the unchanged [[CnnScorer.batchNorm]] path.
+    */
+  def withBnStats(wts: CnnWeights,
+                  stats: Map[String, (Array[Float], Array[Float])]): CnnWeights = {
+    def sub(name: String, bn: BnW): BnW = stats.get(name)
+      .map { case (m, v) => BnW(bn.gamma, bn.beta, m, v, bn.eps) }
+      .getOrElse(bn)
+    wts.copy(bn1 = sub("bn1", wts.bn1), resBn = sub("resbn", wts.resBn),
+      bn2 = sub("bn2", wts.bn2), bn3 = sub("bn3", wts.bn3),
+      bn4 = sub("bn4", wts.bn4))
+  }
+
+  private def preActOf(c: Cache, layer: String): Array[Array[Float]] = layer match {
+    case "bn1" => c.c1pre
+    case "resbn" => c.r2pre
+    case "bn2" => c.c2pre
+    case "bn3" => c.c3pre
+    case "bn4" => c.c4pre
+  }
+
+  /** Phase-1 kernel: accumulate per-channel (Σx, Σx²) of `layer`'s pre-BN
+    * input into sum/sumsq, forwarding with the batch stats resolved so
+    * far (layers after `layer` still carry stale stats — harmless, the
+    * pre-activation of `layer` never reads them). Returns the element
+    * count per channel contributed by this row.
+    */
+  def rowPreBnSums(window: Array[Array[Float]], wts: CnnWeights, layer: String,
+                   sum: Array[Double], sumsq: Array[Double]): Long = {
+    val pre = preActOf(forwardCached(window, wts), layer)
+    var c = 0
+    while (c < pre.length) {
+      val row = pre(c)
+      var t = 0
+      while (t < row.length) {
+        val x = row(t).toDouble
+        sum(c) += x
+        sumsq(c) += x * x
+        t += 1
+      }
+      c += 1
+    }
+    pre(0).length.toLong
+  }
+
+  /** Train-mode BN backward: with μ/σ² treated as functions of the batch,
+    * dx_i = γ·inv·(dy_i − Σdy/m − x̂_i·Σ(dy·x̂)/m). dγ/dβ accumulate into
+    * `grad` when non-null (full-gradient pass) and are skipped in the
+    * moment passes.
+    */
+  private def bnBackwardTrain(xPre: Array[Array[Float]], bn: BnW, mom: BnMom,
+                              dy: Array[Array[Double]],
+                              grad: Array[Double], off: Int): Array[Array[Double]] = {
+    val cN = xPre.length
+    val t = xPre(0).length
+    val dx = Array.ofDim[Double](cN, t)
+    val acc = grad != null
+    var c = 0
+    while (c < cN) {
+      val inv = 1.0 / math.sqrt(bn.variance(c).toDouble + bn.eps.toDouble)
+      val g = bn.gamma(c).toDouble
+      val m = bn.mean(c).toDouble
+      val mDy = mom.sumDy(c) / mom.m
+      val mDyX = mom.sumDyXhat(c) / mom.m
+      var ti = 0
+      while (ti < t) {
+        val d = dy(c)(ti)
+        val xhat = (xPre(c)(ti) - m) * inv
+        if (acc) {
+          grad(off + c) += d * xhat
+          grad(off + cN + c) += d
+        }
+        dx(c)(ti) = g * inv * (d - mDy - xhat * mDyX)
+        ti += 1
+      }
+      c += 1
+    }
+    dx
+  }
+
+  /** Accumulate one row's (Σdy, Σdy·x̂) for a BN layer into outDy/outDyX. */
+  private def momentsAt(xPre: Array[Array[Float]], bn: BnW,
+                        dy: Array[Array[Double]],
+                        outDy: Array[Double], outDyX: Array[Double]): Unit = {
+    var c = 0
+    while (c < xPre.length) {
+      val inv = 1.0 / math.sqrt(bn.variance(c).toDouble + bn.eps.toDouble)
+      val m = bn.mean(c).toDouble
+      var ti = 0
+      while (ti < xPre(c).length) {
+        val d = dy(c)(ti)
+        outDy(c) += d
+        outDyX(c) += d * (xPre(c)(ti) - m) * inv
+        ti += 1
+      }
+      c += 1
+    }
+  }
+
+  /** dx of a conv layer without weight-gradient accumulation — the moment
+    * passes only propagate dy downward.
+    */
+  private def convBackwardDx(cw: ConvW, dy: Array[Array[Double]],
+                             cIn: Int, tIn: Int): Array[Array[Double]] = {
+    val cOut = cw.w.length
+    val k = cw.w(0)(0).length
+    val tOut = dy(0).length
+    val dx = Array.ofDim[Double](cIn, tIn)
+    var o = 0
+    while (o < cOut) {
+      val dyo = dy(o)
+      var ti = 0
+      while (ti < tOut) {
+        val d = dyo(ti)
+        if (d != 0.0) {
+          var ci = 0
+          while (ci < cIn) {
+            val dxi = dx(ci)
+            val wo = cw.w(o)(ci)
+            var kk = 0
+            while (kk < k) {
+              val src = ti - cw.padding + kk * cw.dilation
+              if (src >= 0 && src < tIn) dxi(src) += wo(kk) * d
+              kk += 1
+            }
+            ci += 1
+          }
+        }
+        ti += 1
+      }
+      o += 1
+    }
+    dx
+  }
+
+  /** Shared backward walker for batch-stats BN. Walks from the BCE dz
+    * toward the input; at `stopAt` (a BN layer name) it accumulates that
+    * layer's moments into outDy/outDyX and returns; with stopAt == null it
+    * applies every layer's train-mode backward and accumulates the FULL
+    * gradient into `grad`. `moments` must contain every BN layer above
+    * the stopping point (all five when stopAt == null).
+    */
+  private def backwardWithBatchBn(c: Cache, wts: CnnWeights, dz: Array[Double],
+                                  moments: Map[String, BnMom], stopAt: String,
+                                  grad: Array[Double], outDy: Array[Double],
+                                  outDyX: Array[Double]): Unit = {
+    val k = wts.head.b.length
+    val dHid = wts.head.w(0).length
+    val full = stopAt == null
+    val offOf: Map[String, Int] =
+      if (full) {
+        val spec = blockSpec(wts)
+        spec.map(_._1).zip(spec.scanLeft(0)(_ + _._2).init).toMap
+      } else Map.empty
+
+    val dPooled = Array.ofDim[Double](dHid)
+    var o = 0
+    while (o < k) {
+      val d = dz(o)
+      if (d != 0.0) {
+        if (full) {
+          grad(offOf("head.b") + o) += d
+          val hwOff = offOf("head.w")
+          var j = 0
+          while (j < dHid) { grad(hwOff + o * dHid + j) += d * c.pooled(j); j += 1 }
+        }
+        val row = wts.head.w(o)
+        var j = 0
+        while (j < dHid) { dPooled(j) += d * row(j); j += 1 }
+      }
+      o += 1
+    }
+    val t4 = c.h5(0).length
+    var dH = Array.tabulate(c.h5.length, t4)((ch, _) => dPooled(ch) / t4)
+
+    dH = reluBackward(c.b4out, dH)
+    if (stopAt == "bn4") { momentsAt(c.c4pre, wts.bn4, dH, outDy, outDyX); return }
+    dH = bnBackwardTrain(c.c4pre, wts.bn4, moments("bn4"), dH,
+      if (full) grad else null, if (full) offOf("bn4.g") else 0)
+    dH = if (full) convBackward(c.h4, wts.conv4, dH, grad, offOf("conv4.w"))
+         else convBackwardDx(wts.conv4, dH, c.h4.length, c.h4(0).length)
+
+    dH = reluBackward(c.b3out, dH)
+    if (stopAt == "bn3") { momentsAt(c.c3pre, wts.bn3, dH, outDy, outDyX); return }
+    dH = bnBackwardTrain(c.c3pre, wts.bn3, moments("bn3"), dH,
+      if (full) grad else null, if (full) offOf("bn3.g") else 0)
+    dH = if (full) convBackward(c.h3, wts.conv3, dH, grad, offOf("conv3.w"))
+         else convBackwardDx(wts.conv3, dH, c.h3.length, c.h3(0).length)
+
+    dH = reluBackward(c.b2out, dH)
+    if (stopAt == "bn2") { momentsAt(c.c2pre, wts.bn2, dH, outDy, outDyX); return }
+    dH = bnBackwardTrain(c.c2pre, wts.bn2, moments("bn2"), dH,
+      if (full) grad else null, if (full) offOf("bn2.g") else 0)
+    dH = if (full) convBackward(c.h2, wts.conv2, dH, grad, offOf("conv2.w"))
+         else convBackwardDx(wts.conv2, dH, c.h2.length, c.h2(0).length)
+
+    val dS2 = reluBackward(c.s2, dH)
+    var dBlk = reluBackward(c.rbnOut, dS2)
+    if (stopAt == "resbn") { momentsAt(c.r2pre, wts.resBn, dBlk, outDy, outDyX); return }
+    dBlk = bnBackwardTrain(c.r2pre, wts.resBn, moments("resbn"), dBlk,
+      if (full) grad else null, if (full) offOf("resbn.g") else 0)
+    dBlk = if (full) convBackward(c.r1post, wts.resConv2, dBlk, grad, offOf("res2.w"))
+           else convBackwardDx(wts.resConv2, dBlk, c.r1post.length, c.r1post(0).length)
+    dBlk = reluBackward(c.r1pre, dBlk)
+    dBlk = if (full) convBackward(c.h1, wts.resConv1, dBlk, grad, offOf("res1.w"))
+           else convBackwardDx(wts.resConv1, dBlk, c.h1.length, c.h1(0).length)
+    val dH1 = Array.tabulate(dS2.length, dS2(0).length)((ch, ti) =>
+      dS2(ch)(ti) + dBlk(ch)(ti))
+
+    var dB1 = reluBackward(c.b1out, dH1)
+    if (stopAt == "bn1") { momentsAt(c.c1pre, wts.bn1, dB1, outDy, outDyX); return }
+    dB1 = bnBackwardTrain(c.c1pre, wts.bn1, moments("bn1"), dB1,
+      if (full) grad else null, if (full) offOf("bn1.g") else 0)
+    if (full) convBackward(c.x0, wts.conv1, dB1, grad, offOf("conv1.w"))
+  }
+
+  /** Masked-BCE dz (∂L/∂logit) + summed loss + labeled count. */
+  private def bceDz(logits: Array[Double], y: Array[Double]): (Double, Long, Array[Double]) = {
+    val k = logits.length
+    val dz = Array.ofDim[Double](k)
+    var loss = 0.0
+    var labeled = 0L
+    var o = 0
+    while (o < k) {
+      val yk = y(o)
+      if (!yk.isNaN) {
+        val z = logits(o)
+        loss += math.max(z, 0.0) - z * yk + math.log1p(math.exp(-math.abs(z)))
+        dz(o) = 1.0 / (1.0 + math.exp(-z)) - yk
+        labeled += 1L
+      }
+      o += 1
+    }
+    (loss, labeled, dz)
+  }
+
+  /** Phase-2 kernel: one row's (Σdy, Σdy·x̂) contribution for `layer`,
+    * given the moments of every BN layer above it. `wts` must carry the
+    * batch stats ([[withBnStats]]).
+    */
+  def rowBnMoments(window: Array[Array[Float]], y: Array[Double],
+                   wts: CnnWeights, moments: Map[String, BnMom], layer: String,
+                   outDy: Array[Double], outDyX: Array[Double]): Unit = {
+    val c = forwardCached(window, wts)
+    val (_, labeled, dz) = bceDz(c.logits, y)
+    if (labeled == 0L) return // dy ≡ 0 contributes nothing
+    backwardWithBatchBn(c, wts, dz, moments, layer, null, outDy, outDyX)
+  }
+
+  /** Phase-3 kernel: one row's full train-mode-BN gradient, all batch
+    * stats and moments known. Same contract as [[rowGradient]].
+    */
+  def rowGradientBn(window: Array[Array[Float]], y: Array[Double],
+                    wts: CnnWeights, moments: Map[String, BnMom],
+                    grad: Array[Double]): (Double, Long) = {
+    val c = forwardCached(window, wts)
+    val (loss, labeled, dz) = bceDz(c.logits, y)
+    if (labeled == 0L) return (0.0, 0L)
+    backwardWithBatchBn(c, wts, dz, moments, null, grad, null, null)
     (loss, labeled)
   }
 

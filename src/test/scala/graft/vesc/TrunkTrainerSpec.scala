@@ -119,6 +119,188 @@ class TrunkTrainerSpec extends SparkSuite {
     }
   }
 
+  // ---- train-mode (batch-statistics) BatchNorm ----
+
+  /** Double-precision BATCH forward: per-layer batch stats computed in
+    * float64 from the batch itself (no float32 casts anywhere), masked-BCE
+    * loss summed over the rows. Independent of production code — the FD
+    * oracle that carries the d(stats)/dθ coupling.
+    */
+  private def dLossBatch(rows: Seq[(Array[Array[Float]], Array[Double])],
+                         w: CnnWeights): Double = {
+    def stats(pres: Seq[Array[Array[Double]]]): (Array[Double], Array[Double]) = {
+      val ch = pres.head.length
+      val mean = Array.ofDim[Double](ch); val varb = Array.ofDim[Double](ch)
+      var m = 0L
+      pres.foreach(p => m += p(0).length)
+      for (c <- 0 until ch) {
+        var s = 0.0; var sq = 0.0
+        pres.foreach(_.apply(c).foreach { x => s += x; sq += x * x })
+        mean(c) = s / m
+        varb(c) = math.max(sq / m - mean(c) * mean(c), 0.0)
+      }
+      (mean, varb)
+    }
+    def bnWith(x: Array[Array[Double]], bn: BnW, mean: Array[Double],
+               varb: Array[Double]): Array[Array[Double]] =
+      Array.tabulate(x.length, x(0).length) { (c, t) =>
+        (x(c)(t) - mean(c)) / math.sqrt(varb(c) + bn.eps.toDouble) *
+          bn.gamma(c) + bn.beta(c)
+      }
+    val x0s = rows.map { case (win, _) =>
+      Array.tabulate(C, T)((c, t) => win(t)(c).toDouble)
+    }
+    val c1 = x0s.map(dConv(_, w.conv1))
+    val (m1, v1) = stats(c1)
+    val h1 = c1.map(x => dRelu(bnWith(x, w.bn1, m1, v1)))
+    val r2 = h1.map(h => dConv(dRelu(dConv(h, w.resConv1)), w.resConv2))
+    val (mr, vr) = stats(r2)
+    val h2 = r2.zip(h1).map { case (r, h) =>
+      val blk = dRelu(bnWith(r, w.resBn, mr, vr))
+      dRelu(Array.tabulate(h.length, h(0).length)((c, t) => h(c)(t) + blk(c)(t)))
+    }
+    val c2 = h2.map(dConv(_, w.conv2))
+    val (m2, v2) = stats(c2)
+    val h3 = c2.map(x => dRelu(bnWith(x, w.bn2, m2, v2)))
+    val c3 = h3.map(dConv(_, w.conv3))
+    val (m3, v3) = stats(c3)
+    val h4 = c3.map(x => dRelu(bnWith(x, w.bn3, m3, v3)))
+    val c4 = h4.map(dConv(_, w.conv4))
+    val (m4, v4) = stats(c4)
+    val h5 = c4.map(x => dRelu(bnWith(x, w.bn4, m4, v4)))
+    var loss = 0.0
+    h5.zip(rows).foreach { case (h, (_, y)) =>
+      val pooled = h.map(ch => ch.sum / ch.length)
+      for (o <- 0 until K) if (!y(o).isNaN) {
+        var z = w.head.b(o).toDouble
+        for (j <- pooled.indices) z += w.head.w(o)(j).toDouble * pooled(j)
+        loss += math.max(z, 0.0) - z * y(o) + math.log1p(math.exp(-math.abs(z)))
+      }
+    }
+    loss
+  }
+
+  /** Local (driver-side) replica of the gradPassBn phases over in-memory
+    * rows, exercising the same TrunkGrad kernels the Spark aggregators
+    * call — used both for FD checking and Spark-parity.
+    */
+  private def localGradBn(rows: Seq[(Array[Array[Float]], Array[Double])],
+                          w: CnnWeights): (Array[Double], Double, Long) = {
+    var stats = Map.empty[String, (Array[Float], Array[Float])]
+    var ms = Map.empty[String, Long]
+    TrunkGrad.BnOrder.foreach { layer =>
+      val resolved = TrunkGrad.withBnStats(w, stats)
+      val ch = TrunkGrad.bnOf(w, layer).gamma.length
+      val sum = Array.ofDim[Double](ch); val sumsq = Array.ofDim[Double](ch)
+      var m = 0L
+      rows.foreach { case (win, _) =>
+        m += TrunkGrad.rowPreBnSums(win, resolved, layer, sum, sumsq)
+      }
+      val mean = sum.map(_ / m)
+      val varb = sumsq.zip(sum).map { case (sq, s) =>
+        math.max(sq / m - (s / m) * (s / m), 0.0)
+      }
+      stats += layer -> (mean.map(_.toFloat), varb.map(_.toFloat))
+      ms += layer -> m
+    }
+    val resolved = TrunkGrad.withBnStats(w, stats)
+    var moments = Map.empty[String, TrunkGrad.BnMom]
+    TrunkGrad.BnOrder.reverse.foreach { layer =>
+      val ch = TrunkGrad.bnOf(w, layer).gamma.length
+      val dy = Array.ofDim[Double](ch); val dyx = Array.ofDim[Double](ch)
+      rows.foreach { case (win, y) =>
+        TrunkGrad.rowBnMoments(win, y, resolved, moments, layer, dy, dyx)
+      }
+      moments += layer -> TrunkGrad.BnMom(dy, dyx, ms(layer))
+    }
+    val g = Array.ofDim[Double](TrunkGrad.nParams(w))
+    var loss = 0.0; var labeled = 0L
+    rows.foreach { case (win, y) =>
+      val (l, lab) = TrunkGrad.rowGradientBn(win, y, resolved, moments, g)
+      loss += l; labeled += lab
+    }
+    (g, loss, labeled)
+  }
+
+  test("train-mode BN gradient matches finite differences of the coupled batch forward") {
+    val rows = (0 until 4).map(i => (mkWindow(20 + i), mkY(i)))
+    val flat = TrunkGrad.flatten(wts)
+    val (grad, _, _) = localGradBn(rows, wts)
+
+    val spec = TrunkGrad.blockSpec(wts)
+    val offs = spec.scanLeft(0)(_ + _._2).init
+    val rng = new scala.util.Random(9)
+    val checked = spec.zip(offs).flatMap { case ((name, len), off) =>
+      Seq.fill(2)(off + rng.nextInt(len)).distinct.map(name -> _)
+    }
+    val delta = 1e-4
+    checked.foreach { case (block, i) =>
+      val fp = flat.clone(); fp(i) += delta
+      val fm = flat.clone(); fm(i) -= delta
+      val wp = TrunkGrad.unflatten(fp, wts)
+      val wm = TrunkGrad.unflatten(fm, wts)
+      val dTheta = TrunkGrad.flatten(wp)(i) - TrunkGrad.flatten(wm)(i)
+      assert(dTheta != 0.0, s"$block[$i]: delta collapsed in float32")
+      // FD of the batch forward: perturbing a weight re-derives the batch
+      // stats, so this checks the d(stats)/dθ coupling terms too
+      val fd = (dLossBatch(rows, wp) - dLossBatch(rows, wm)) / dTheta
+      val an = grad(i)
+      val err = math.abs(fd - an) / math.max(1e-4, math.max(math.abs(fd), math.abs(an)))
+      assert(err < 2e-2, s"$block[$i]: analytic $an vs fd $fd (rel $err)")
+    }
+  }
+
+  test("batch-stats BN: frozen-path gradient differs (the coupling is real)") {
+    // sanity: with batch stats the BN-layer gradients must NOT equal the
+    // frozen-stats gradients — otherwise the new path is a no-op
+    val rows = (0 until 4).map(i => (mkWindow(30 + i), mkY(i + 1)))
+    val (gBn, _, _) = localGradBn(rows, wts)
+    val gFrozen = Array.ofDim[Double](TrunkGrad.nParams(wts))
+    rows.foreach { case (win, y) => TrunkGrad.rowGradient(win, y, wts, gFrozen) }
+    val diff = gBn.zip(gFrozen).map { case (a, b) => math.abs(a - b) }.max
+    assert(diff > 1e-6, "train-mode gradient identical to frozen-stats gradient")
+  }
+
+  test("distributed gradPassBn equals the local phase replica bit-for-bit") {
+    val rows = (0 until 6).map(i => (mkWindow(40 + i), mkY(i)))
+    val df = toDf(rows.zipWithIndex.map { case ((w, y), i) => (i.toLong, w, y) })
+      .select(org.apache.spark.sql.functions.col("win"),
+        org.apache.spark.sql.functions.col("y")).persist()
+    try {
+      val (buf, bstats) = TrunkTrainer.gradPassBn(df, wts)
+      val (eg, el, elab) = localGradBn(rows, wts)
+      assert(bstats.nonEmpty)
+      assert(buf.labeled == elab)
+      assert(buf.loss == el, s"loss ${buf.loss} vs $el")
+      buf.g.indices.foreach(i => assert(buf.g(i) == eg(i), s"grad[$i]"))
+    } finally df.unpersist()
+  }
+
+  test("empty batch in BN mode yields zero gradient and no stats") {
+    val df = toDf(Seq.empty)
+      .select(org.apache.spark.sql.functions.col("win"),
+        org.apache.spark.sql.functions.col("y"))
+    val (buf, bstats) = TrunkTrainer.gradPassBn(df, wts)
+    assert(bstats.isEmpty && buf.labeled == 0L && buf.g.forall(_ == 0.0))
+  }
+
+  test("batch-stats BN training runs, updates running stats, and reduces loss") {
+    val trainRows = (0 until 12).map(i => (i.toLong, mkWindow(i), mkY(i)))
+    val valRows = (300 until 304).map(i => (i.toLong, mkWindow(i), mkY(i)))
+    val cfg = HeadTrainer.TrainConfig(epochs = 3, batches = 2, patience = 6, lr = 1e-3)
+    var lastState: Option[TrunkTrainer.TrunkState] = None
+    val got = TrunkTrainer.train(toDf(trainRows), toDf(valRows), wts, cfg,
+      onEpoch = st => lastState = Some(st), batchStatsBn = true)
+    assert(got.log.nonEmpty)
+    assert(got.log.last.trainLoss < got.log.head.trainLoss,
+      s"loss did not decrease: ${got.log.map(_.trainLoss)}")
+    // running stats must have moved off the checkpoint values
+    val ckptStats = TrunkTrainer.flattenBnStats(wts)
+    val newStats = lastState.get.bnStats
+    assert(newStats.size == ckptStats.size)
+    assert(newStats != ckptStats, "running stats never updated")
+  }
+
   // ---- distributed == sequential ----
 
   private def toDf(rows: Seq[(Long, Array[Array[Float]], Array[Double])]) = {

@@ -95,16 +95,37 @@ object Bench {
         if (ok) samples(name) = dt :: samples(name)
       }
     }
+    // Streaming throughput row: the stateful watermark-expiring resampler
+    // over a memory source — rows/s plus the MEASURED state ceiling across
+    // watermark cycles (bounded-state evidence in the artifact itself).
+    // Single run: processAllAvailable barriers make it stall-insensitive
+    // relative to its length, and the median machinery above is per-query.
+    val streaming: Option[graft.streaming.StreamBench.Result] =
+      if (wanted.isEmpty || wanted.contains("streaming_resample"))
+        try Some(graft.streaming.StreamBench.run(spark))
+        catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate("streaming_resample",
+              (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(200))
+            None
+        }
+      else None
+
     val results = selected.map { case (name, _) =>
       val times = samples(name)
       name -> (if (times.isEmpty) -1.0 else median(times))
-    }
+    } ++ streaming.map(r => "streaming_resample" -> r.seconds)
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val streamJson = streaming.map(r =>
+      s""","streaming":{"input_rows":${r.inputRows},"output_rows":${r.outputRows},""" +
+        s""""rows_per_sec":${math.round(r.rowsPerSec)},"max_state_rows":${r.maxStateRows},""" +
+        s""""active_ride_bound":${r.activeRideBound},"watermark_cycles":${r.watermarkCycles},""" +
+        s""""state_bounded":${r.maxStateRows <= r.activeRideBound}}""").getOrElse("")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"errors":$errJson$streamJson,"sf":${jstr(sfDir)}}"""
     println(line)
     try Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }

@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   *    matches, so MinHash/SimHash/Jaccard pair counts grow ×k, not ×k².
   *    An unperturbed union would make every document a near-dup of its
   *    k−1 clones and inflate pair outputs quadratically.
-  *  - `embeddings.embedding`: copy i is rotated by i positions. Rotation
-  *    preserves the norm and all within-copy dot products (both operands
-  *    rotate), but decorrelates vectors across copies — cosine-pair and
-  *    ANN outputs again grow ×k.
+  *  - `embeddings.embedding`: copy i is rotated by i mod dim positions
+  *    (rotation preserves the norm and all within-copy dot products —
+  *    both operands rotate) AND its `label` bucket shifts by i·1000.
+  *    The label shift is what guarantees ×k linearity at ANY k: every
+  *    threshold-based pair operator (cosine near-dup, IVF ANN) blocks on
+  *    the label, so cross-copy candidates never meet even when two
+  *    copies share a rotation (k > dim); top-k operators are
+  *    count-stable by construction.
   *  - `events`: `user_id` (the series key everywhere) shifts by
   *    i·1,000,000 — k× more series of the original per-series length,
   *    which is how telemetry actually grows (more rides, not longer
@@ -69,10 +73,15 @@ object ScaleUp {
     val emb = Tables.embeddings(spark, src)
     (0 until k).map { i =>
       if (i == 0) emb
-      else emb
-        .withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
-        .withColumn("embedding", expr(
-          s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), slice(embedding, 1, $i))"))
+      else {
+        val shifted = emb
+          .withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+          .withColumn("label", col("label") + lit(i * 1000L))
+        val rot = i % 64 // embedding dim; rotation by 0 is the identity
+        if (rot == 0) shifted
+        else shifted.withColumn("embedding", expr(
+          s"concat(slice(embedding, ${rot + 1}, size(embedding) - $rot), slice(embedding, 1, $rot))"))
+      }
     }.reduce(_ unionByName _)
       .repartition(cpus.toInt)
       .write.mode(SaveMode.Overwrite).parquet(s"$dest/embeddings.parquet")

@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   * assignment scan (map-side, no shuffle), one hash aggregation of
   * (cid, dim) partial sums, and a k·dim collect to the driver — the same
   * driver-holds-model / data-parallel pattern as
-  * [[graft.vesc.HeadTrainer]]. Iterations are sequential by nature.
+  * [[graft.vesc.HeadTrainer]]. The assignment itself is a FUSED argmin
+  * projection: distances to all k centroids and the argmin are computed
+  * per row by HOF expressions over the centroid array literal, so no
+  * n·k (id, cid, dist) intermediate ever materializes and the assign
+  * step plans ZERO exchanges (the previous formulation exploded n·k
+  * rows through a groupBy-min shuffle per iteration).
   */
 object KMeansOps {
 
@@ -54,14 +59,19 @@ object KMeansOps {
       .map(_.getSeq[Long](0)).zipWithIndex.map { case (v, i) => (i, v) }
 
     def assign(c: Seq[(Int, Seq[Long])]): DataFrame = {
-      val cdf = c.toDF("__cid", "__cv")
-      q.crossJoin(broadcast(cdf))
-        .withColumn("__d",
-          aggregate(zip_with(col("__qv"), col("__cv"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (s, x) => s + x))
-        .groupBy(col("__id"))
-        .agg(min(struct(col("__d"), col("__cid"))).as("__m"))
-        .select(col("__id"), col("__m.__cid").as("cid"))
+      // centroids ordered by cid as one array literal; per-row distances
+      // via transform + the integer dot idiom, argmin via array_position
+      // of the min (FIRST position → ties break to the smallest cid,
+      // identical to the previous min(struct(dist, cid)) semantics)
+      val cents = array(c.sortBy(_._1).map { case (_, v) =>
+        array(v.map(lit): _*)
+      }: _*)
+      q.withColumn("__ds", transform(cents, cv =>
+          aggregate(zip_with(col("__qv"), cv, (a, b) => (a - b) * (a - b)),
+            lit(0L), (s, x) => s + x)))
+        .select(col("__id"),
+          (array_position(col("__ds"), array_min(col("__ds"))) - 1)
+            .cast("int").as("cid"))
     }
 
     (1 to iters).foreach { _ =>

@@ -153,6 +153,42 @@ object ExtraQueries extends QueryPack {
         .select(col("doc_id"), col("m.format").as("format"),
           col("m.width").as("width"), col("m.height").as("height"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Real header-only AUDIO decode (graft.functions.AudioHeader): WAV
+    // containers with a variable-length JUNK chunk before `fmt ` (the
+    // parser must actually walk the RIFF chunks) and FLAC STREAMINFO
+    // blocks whose rate/channels/bits are packed 20/3/5-bit fields (the
+    // parser must actually unpack bits). Dimensions derive from doc_id,
+    // so the oracle states ground truth by arithmetic.
+    "mm_audio_meta" -> ((s, dir) => {
+      graft.functions.AudioHeader.register(s)
+      val chSql = "(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)"
+      val rateSql = "(doc_id % 8 * 4000 + 8000)"
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val wavHex =
+        s"""concat('52494646', ${le("100", 4)}, '57415645',
+           |  '4A554E4B', ${le("2 * (doc_id % 4)", 4)}, repeat('00', cast(2 * (doc_id % 4) as int)),
+           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le(chSql, 2)},
+           |  ${le(rateSql, 4)}, ${le(s"$rateSql * $chSql * 2", 4)},
+           |  ${le(s"$chSql * 2", 2)}, ${le("16", 2)})""".stripMargin
+      val flacHex =
+        s"""concat('664C6143', '80', '000022', '1000', '1000', '000000', '000000',
+           |  lpad(hex($rateSql div 4096), 2, '0'),
+           |  lpad(hex($rateSql div 16 % 256), 2, '0'),
+           |  lpad(hex($rateSql % 16 * 16 + ($chSql - 1) * 2), 2, '0'),
+           |  'F0')""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(
+          s"unhex(CASE WHEN doc_id % 2 = 0 THEN $wavHex ELSE $flacHex END)"))
+        .selectExpr("doc_id", "audio_header(blob) AS m")
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits_per_sample").as("bits_per_sample"))
+        .orderBy(col("doc_id"))
     }))
 
   override val oracle: Map[String, String] = Map(
@@ -231,6 +267,13 @@ object ExtraQueries extends QueryPack {
         |    ELSE 'gif' END AS format,
         |  CAST(doc_id % 640 + 1 AS INT) AS width,
         |  CAST(doc_id % 480 + 1 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS channels,
+        |  CAST(doc_id % 8 * 4000 + 8000 AS INT) AS sample_rate,
+        |  CAST(16 AS INT) AS bits_per_sample
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

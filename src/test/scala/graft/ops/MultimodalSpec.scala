@@ -84,6 +84,49 @@ class MultimodalSpec extends SparkSuite {
     assert(got(1L).isEmpty && got(2L).isEmpty && got(3L).isEmpty)
   }
 
+  private def parseAudioDf(blobs: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    graft.functions.AudioHeader.register(spark)
+    blobs.toDF("id", "blob")
+      .selectExpr("id", "audio_header(blob) AS m")
+      .select(col("id"), col("m.format"), col("m.channels"),
+        col("m.sample_rate"), col("m.bits_per_sample"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))))
+      .toMap
+  }
+
+  test("audio headers: WAV chunk walk over a JUNK chunk, FLAC bit unpacking") {
+    // WAV 44100 Hz stereo 16-bit with a 6-byte JUNK chunk before fmt
+    val wav = hexBytes("52494646 64000000 57415645" +
+      "4A554E4B 06000000 010203040506" +
+      "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000")
+    // FLAC STREAMINFO 44100 Hz stereo 16-bit: rate 20 bits, channels-1 3
+    // bits, bits-1 5 bits packed into bytes 18..21 = 0A C4 42 F0
+    val flac = hexBytes("664C6143 80 000022 1000 1000 000000 000000 0AC442F0")
+    val got = parseAudioDf(Seq((1L, wav), (2L, flac)))
+    assert(got(1L).contains(("wav", 2, 44100, 16)))
+    assert(got(2L).contains(("flac", 2, 44100, 16)))
+  }
+
+  test("audio headers: odd-sized RIFF chunks are word-aligned in the walk") {
+    // a 3-byte LIST chunk (padded to 4) before fmt; mono 8000 Hz 16-bit
+    val wav = hexBytes("52494646 40000000 57415645" +
+      "4C495354 03000000 AABBCC 00" +
+      "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000")
+    val got = parseAudioDf(Seq((1L, wav)))
+    assert(got(1L).contains(("wav", 1, 8000, 16)))
+  }
+
+  test("audio headers: truncated and non-audio bytes yield null") {
+    val noFmt = hexBytes("52494646 10000000 57415645 4A554E4B 40000000 00")
+    val garbage = "definitely not audio".getBytes("UTF-8")
+    val tinyFlac = hexBytes("664C6143 80 0000")
+    val got = parseAudioDf(Seq((1L, noFmt), (2L, garbage), (3L, tinyFlac)))
+    assert(got(1L).isEmpty && got(2L).isEmpty && got(3L).isEmpty)
+  }
+
   test("withMediaMeta exposes the parsed image header next to length/hash") {
     import spark.implicits._
     val png = hexBytes("89504E470D0A1A0A 0000000D 49484452 00000010 00000020 0806000000")

@@ -1,0 +1,97 @@
+package graft.vesc
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** The serving boundary of the reference application
+  * (application/app.py:96-116,354-366): after an upload is analyzed the
+  * app serves the plot-ready figure and metric tables over HTTP. The
+  * engine equivalent: [[Export]] materializes the deliverables
+  * (timeline_bars.json, timeline/mae/reliability CSVs) to a directory,
+  * and this zero-dependency JDK `HttpServer` serves that directory —
+  * the last mile from engine output to a browser.
+  *
+  * Deliberately NOT a Spark process: serving is read-only I/O over
+  * already-materialized artifacts, so it needs no session, no executors,
+  * and restarts in milliseconds. At real scale the same artifacts sit in
+  * object storage behind a CDN; this server is the single-node stand-in
+  * with the identical contract.
+  *
+  * Endpoints:
+  *  - `GET /health`           → `{"ok":true}`
+  *  - `GET /figure`           → `timeline_bars.json` (the Plotly figure
+  *                               [[Export.timelineBarsJson]] wrote)
+  *  - `GET /files/<name>`     → any regular file in the export dir
+  *                               (csv/json content types); path traversal
+  *                               outside the dir is rejected with 403.
+  */
+object Serve {
+
+  private def contentType(name: String): String =
+    if (name.endsWith(".json")) "application/json"
+    else if (name.endsWith(".csv")) "text/csv"
+    else if (name.endsWith(".html")) "text/html"
+    else "application/octet-stream"
+
+  private def respond(ex: HttpExchange, code: Int, body: Array[Byte],
+                      ctype: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, body.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(body) finally os.close()
+  }
+
+  private def respondJson(ex: HttpExchange, code: Int, json: String): Unit =
+    respond(ex, code, json.getBytes(StandardCharsets.UTF_8), "application/json")
+
+  /** Start serving `dir` on `port` (0 = ephemeral; read the bound port
+    * from the returned server). Non-blocking — caller owns stop().
+    */
+  def start(dir: Path, port: Int): HttpServer = {
+    val root = dir.toAbsolutePath.normalize
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      try {
+        val path = ex.getRequestURI.getPath
+        if (ex.getRequestMethod != "GET") {
+          respondJson(ex, 405, """{"error":"method not allowed"}""")
+        } else if (path == "/health") {
+          respondJson(ex, 200, """{"ok":true}""")
+        } else if (path == "/figure") {
+          val f = root.resolve("timeline_bars.json")
+          if (Files.isRegularFile(f))
+            respond(ex, 200, Files.readAllBytes(f), "application/json")
+          else respondJson(ex, 404, """{"error":"no figure exported"}""")
+        } else if (path.startsWith("/files/")) {
+          // resolve + normalize, then REQUIRE the result stays inside the
+          // export dir — the standard traversal guard ("/files/../../etc")
+          val f = root.resolve(path.stripPrefix("/files/")).normalize
+          if (!f.startsWith(root))
+            respondJson(ex, 403, """{"error":"forbidden"}""")
+          else if (Files.isRegularFile(f))
+            respond(ex, 200, Files.readAllBytes(f), contentType(f.toString))
+          else respondJson(ex, 404, """{"error":"not found"}""")
+        } else {
+          respondJson(ex, 404, """{"error":"not found"}""")
+        }
+      } finally ex.close()
+    })
+    server.start()
+    server
+  }
+
+  /** `runMain graft.vesc.Serve <exportDir> [port]` — serve an
+    * [[Export]] output directory until killed.
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Serve <exportDir> [port]")
+    val dir = Paths.get(args(0))
+    val port = if (args.length > 1) args(1).toInt else 8080
+    val server = start(dir, port)
+    println(s"""{"serving":"${dir.toAbsolutePath}","port":${server.getAddress.getPort}}""")
+    Thread.currentThread.join() // serve until killed
+  }
+}

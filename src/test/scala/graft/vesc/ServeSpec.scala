@@ -1,0 +1,68 @@
+package graft.vesc
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The serving boundary: endpoints, content types, 404s, and the path
+  * traversal guard — exercised over a real socket with the JDK client.
+  * No Spark needed: serving reads already-materialized export artifacts.
+  */
+class ServeSpec extends AnyFunSuite {
+
+  private def get(port: Int, path: String): (Int, String, String) = {
+    val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+    (code, body, String.valueOf(conn.getContentType))
+  }
+
+  test("health, figure, files, 404, and traversal guard over a real socket") {
+    val dir = Files.createTempDirectory("graft_serve_")
+    val figure = """{"data":[],"layout":{"barmode":"overlay"}}"""
+    Files.write(dir.resolve("timeline_bars.json"),
+      figure.getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("mae.csv"),
+      "behavior,mae\ncf_brake,0.1\n".getBytes(StandardCharsets.UTF_8))
+    // a file OUTSIDE the export dir that traversal must not reach
+    val secret = Files.createTempFile("graft_secret_", ".txt")
+    Files.write(secret, "nope".getBytes(StandardCharsets.UTF_8))
+
+    val server = Serve.start(dir, 0)
+    val port = server.getAddress.getPort
+    try {
+      val (hc, hb, ht) = get(port, "/health")
+      assert(hc == 200 && hb == """{"ok":true}""" && ht.startsWith("application/json"))
+
+      val (fc, fb, ft) = get(port, "/figure")
+      assert(fc == 200 && fb == figure && ft.startsWith("application/json"))
+
+      val (cc, cb, ct) = get(port, "/files/mae.csv")
+      assert(cc == 200 && cb.startsWith("behavior,mae") && ct.startsWith("text/csv"))
+
+      val (nc, _, _) = get(port, "/files/absent.csv")
+      assert(nc == 404)
+      val (uc, _, _) = get(port, "/nonsense")
+      assert(uc == 404)
+
+      val traverse = s"/files/..%2F..%2F..%2F..%2F..%2F..%2Ftmp%2F${secret.getFileName}"
+      val (tc, tb, _) = get(port, traverse)
+      assert(tc == 403 || tc == 404, s"traversal must not serve: $tc $tb")
+      assert(!tb.contains("nope"), "traversal leaked file contents")
+    } finally server.stop(0)
+  }
+
+  test("figure 404s gracefully when nothing was exported") {
+    val empty = Files.createTempDirectory("graft_serve_empty_")
+    val server = Serve.start(empty, 0)
+    try {
+      val (code, body, _) = get(server.getAddress.getPort, "/figure")
+      assert(code == 404 && body.contains("no figure"))
+    } finally server.stop(0)
+  }
+}

@@ -189,6 +189,48 @@ object ExtraQueries extends QueryPack {
           col("m.sample_rate").as("sample_rate"),
           col("m.bits_per_sample").as("bits_per_sample"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Real header-only VIDEO decode (graft.functions.VideoHeader): MP4
+    // fixtures force a real nested box walk (ftyp, then moov -> mvhd for
+    // timescale/duration and moov -> trak -> tkhd for 16.16 fixed-point
+    // dimensions; the per-row timescale varies so the ms conversion is
+    // exercised), AVI fixtures force the RIFF LIST(hdrl) -> avih path.
+    // All parameters derive from doc_id; the oracle is pure arithmetic.
+    "mm_video_meta" -> ((s, dir) => {
+      graft.functions.VideoHeader.register(s)
+      val wSql = "(doc_id % 1280 + 16)"
+      val hSql = "(doc_id % 720 + 16)"
+      def be32(x: String) = s"lpad(hex($x), 8, '0')"
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val tsSql = "(500 * (doc_id % 4 + 1))"
+      val mp4Hex =
+        s"""concat('0000001066747970 69736F6D00000000',
+           |  '000000886D6F6F76',
+           |  '0000001C6D766864', '00000000', '00000000', '00000000',
+           |  ${be32(tsSql)}, ${be32(s"(doc_id % 120 + 1) * $tsSql")},
+           |  '000000647472616B',
+           |  '0000005C746B6864', '00000000', repeat('00', 20),
+           |  repeat('00', 8), repeat('00', 8), repeat('00', 36),
+           |  ${be32(s"$wSql * 65536")}, ${be32(s"$hSql * 65536")})""".stripMargin
+      val aviHex =
+        s"""concat('52494646', ${le("80", 4)}, '41564920',
+           |  '4C495354', ${le("68", 4)}, '6864726C',
+           |  '61766968', ${le("56", 4)},
+           |  ${le("1000 * (doc_id % 40 + 10)", 4)}, ${le("0", 4)}, ${le("0", 4)},
+           |  ${le("16", 4)}, ${le("doc_id % 100 + 1", 4)}, ${le("0", 4)},
+           |  ${le("1", 4)}, ${le("0", 4)}, ${le(wSql, 4)}, ${le(hSql, 4)},
+           |  repeat('00', 16))""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(
+          s"unhex(replace(CASE WHEN doc_id % 2 = 0 THEN $mp4Hex ELSE $aviHex END, ' ', ''))"))
+        .selectExpr("doc_id", "video_header(blob) AS m")
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
     }))
 
   override val oracle: Map[String, String] = Map(
@@ -274,6 +316,15 @@ object ExtraQueries extends QueryPack {
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS channels,
         |  CAST(doc_id % 8 * 4000 + 8000 AS INT) AS sample_rate,
         |  CAST(16 AS INT) AS bits_per_sample
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_video_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format,
+        |  CAST(doc_id % 1280 + 16 AS INT) AS width,
+        |  CAST(doc_id % 720 + 16 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 120 + 1) * 1000
+        |       ELSE (doc_id % 40 + 10) * (doc_id % 100 + 1) END AS BIGINT)
+        |    AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

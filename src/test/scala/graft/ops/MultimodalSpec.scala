@@ -127,6 +127,55 @@ class MultimodalSpec extends SparkSuite {
     assert(got(1L).isEmpty && got(2L).isEmpty && got(3L).isEmpty)
   }
 
+  private def parseVideoDf(blobs: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    graft.functions.VideoHeader.register(spark)
+    blobs.toDF("id", "blob")
+      .selectExpr("id", "video_header(blob) AS m")
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"),
+        col("m.duration_ms"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4)))))
+      .toMap
+  }
+
+  test("video headers: MP4 nested box walk (ftyp skipped, mvhd + tkhd read)") {
+    // handcrafted: timescale 600, duration 1200 ticks (= 2000 ms),
+    // 320x240 in 16.16 fixed point; a free box between ftyp and moov
+    // forces the top-level walk to skip an unrelated box
+    val mp4 = hexBytes(
+      "00000010 66747970 69736F6D 00000000" +  // ftyp
+      "00000010 66726565 00000000 00000000" +  // free (skipped)
+      "00000088 6D6F6F76" +                    // moov (136)
+      "0000001C 6D766864 00000000 00000000 00000000 00000258 000004B0" +
+      "00000064 7472616B" +                    // trak (100)
+      "0000005C 746B6864 00000000" + "00" * 20 + "00" * 8 + "00" * 8 +
+      "00" * 36 + "01400000 00F00000")         // 320.0 x 240.0
+    val got = parseVideoDf(Seq((1L, mp4)))
+    assert(got(1L).contains(("mp4", 320, 240, 2000L)))
+  }
+
+  test("video headers: AVI LIST(hdrl)->avih with little-endian fields") {
+    // 40000 us/frame * 250 frames = 10000 ms, 640x480
+    val avi = hexBytes(
+      "52494646 50000000 41564920" +
+      "4C495354 44000000 6864726C" +
+      "61766968 38000000" +
+      "409C0000 00000000 00000000 10000000 FA000000 00000000" +
+      "01000000 00000000 80020000 E0010000" + "00" * 16)
+    val got = parseVideoDf(Seq((1L, avi)))
+    assert(got(1L).contains(("avi", 640, 480, 10000L)))
+  }
+
+  test("video headers: truncated moov and non-video bytes yield null") {
+    val noMoov = hexBytes("00000010 66747970 69736F6D 00000000")
+    val badSize = hexBytes("00000010 66747970 69736F6D 00000000 FFFFFFFF 6D6F6F76")
+    val garbage = "movie night".getBytes("UTF-8")
+    val got = parseVideoDf(Seq((1L, noMoov), (2L, badSize), (3L, garbage)))
+    assert(got(1L).isEmpty && got(2L).isEmpty && got(3L).isEmpty)
+  }
+
   test("withMediaMeta exposes the parsed image header next to length/hash") {
     import spark.implicits._
     val png = hexBytes("89504E470D0A1A0A 0000000D 49484452 00000010 00000020 0806000000")

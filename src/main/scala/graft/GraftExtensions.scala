@@ -14,10 +14,12 @@ import graft.functions._
   * SparkSession.builder().withExtensions(new GraftExtensions()) ...
   * }}}
   *
-  * After that, `simhash64`, `cosine_sim`, `vec_dot`, `vec_dot_int` and
-  * `vec_norm_l2` resolve in SQL and `expr()` on every session of the
-  * context — no per-session `register` calls. The operator library also
-  * self-registers (idempotently) so it works on plain sessions too.
+  * After that, `simhash64`, `cosine_sim`, `vec_dot`, `vec_dot_int`,
+  * `vec_norm_l2`, and the multimodal header parsers `image_header` /
+  * `audio_header` / `video_header` resolve in SQL and `expr()` on every
+  * session of the context — no per-session `register` calls. The
+  * operator library also self-registers (idempotently) so it works on
+  * plain sessions too.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -31,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("vec_dot_int", es => DotProductInt(es(0), es(1))))
     ext.injectFunction(fn("vec_norm_l2", es => L2Norm(es.head)))
     ext.injectFunction(fn("interp_state", es => InterpState(es.head, es.tail)))
+    ext.injectFunction(fn("image_header", es => ImageHeader(es.head)))
+    ext.injectFunction(fn("audio_header", es => AudioHeader(es.head)))
+    ext.injectFunction(fn("video_header", es => VideoHeader(es.head)))
     ext.injectFunction(fn("bloom_agg",
       es => org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(es(0), es(1), es(2), 0, 0)))

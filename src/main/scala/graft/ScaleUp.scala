@@ -71,13 +71,17 @@ object ScaleUp {
       .write.mode(SaveMode.Overwrite).parquet(s"$dest/documents.parquet")
 
     val emb = Tables.embeddings(spark, src)
+    // rotation amount wraps at the ACTUAL dimensionality, not an assumed
+    // constant — a 32-dim corpus at k > 32 would otherwise feed slice() a
+    // negative length at runtime
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
     (0 until k).map { i =>
       if (i == 0) emb
       else {
         val shifted = emb
           .withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
           .withColumn("label", col("label") + lit(i * 1000L))
-        val rot = i % 64 // embedding dim; rotation by 0 is the identity
+        val rot = i % dim // rotation by 0 is the identity
         if (rot == 0) shifted
         else shifted.withColumn("embedding", expr(
           s"concat(slice(embedding, ${rot + 1}, size(embedding) - $rot), slice(embedding, 1, $rot))"))

@@ -73,16 +73,11 @@ object ImageHeader {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "image_header", exprs => ImageHeader(exprs.head), "built-in")
 
-  private def be16(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-  private def be32(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
-      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-  private def le16(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
-      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  // shared overflow-safe readers (Long returns — see graft.functions.Bytes)
+  private def be16(b: Array[Byte], i: Int): Int = Bytes.be16(b, i).toInt
+  private def be32(b: Array[Byte], i: Int): Int = Bytes.be32(b, i).toInt
+  private def le16(b: Array[Byte], i: Int): Int = Bytes.le16(b, i).toInt
+  private def le32(b: Array[Byte], i: Int): Int = Bytes.le32(b, i).toInt
 
   private def row(fmt: String, w: Int, h: Int): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w, h))
@@ -106,6 +101,9 @@ object ImageHeader {
         if ((b(p) & 0xff) != 0xff) return null // lost marker sync
         var m = b(p + 1) & 0xff
         while (m == 0xff && p + 2 < b.length) { p += 1; m = b(p + 1) & 0xff } // fill bytes
+        // the fill-byte skip may have advanced p to the end of the buffer
+        // (all-0xFF padding on a truncated blob) — null, never read past
+        if (p + 3 >= b.length) return null
         if (m == 0xd9 || m == 0xda) return null // EOI / SOS: no frame header seen
         if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
           // SOF: len(2) precision(1) height(2) width(2)

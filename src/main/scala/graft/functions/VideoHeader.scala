@@ -59,14 +59,10 @@ object VideoHeader {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "video_header", exprs => VideoHeader(exprs.head), "built-in")
 
-  private def be32(b: Array[Byte], i: Int): Long =
-    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
-      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
-  private def be64(b: Array[Byte], i: Int): Long =
-    (be32(b, i) << 32) | be32(b, i + 4)
-  private def le32(b: Array[Byte], i: Int): Long =
-    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  // shared overflow-safe readers (Long returns — see graft.functions.Bytes)
+  private def be32(b: Array[Byte], i: Int): Long = Bytes.be32(b, i)
+  private def be64(b: Array[Byte], i: Int): Long = Bytes.be64(b, i)
+  private def le32(b: Array[Byte], i: Int): Long = Bytes.le32(b, i)
   private def fourcc(b: Array[Byte], i: Int): String =
     new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)),
       java.nio.charset.StandardCharsets.US_ASCII)
@@ -117,7 +113,8 @@ object VideoHeader {
     val trak = findBox(b, moov(0), moov(1), "trak")
     if (trak != null) {
       val tkhd = findBox(b, trak(0), trak(1), "tkhd")
-      if (tkhd != null) {
+      // an empty (header-only) tkhd has no version byte to read
+      if (tkhd != null && tkhd(0) + 4 <= tkhd(1)) {
         val tp = tkhd(0).toInt
         val tv = b(tp) & 0xff
         // matrix ends 36 bytes before width; width/height are 16.16 fixed

@@ -209,7 +209,11 @@ object DedupOps {
     * outgrow).
     *
     * Output contract matches [[connectedComponents]]: (id, component)
-    * for every vertex that appears in `pairs`.
+    * for every vertex that appears in `pairs` — including vertices whose
+    * only appearance is a self-loop pair (they label themselves). One
+    * deliberate difference: ids are cast to long (dedup keys in this
+    * engine are numeric); the propagation path works on any orderable
+    * id type.
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
                               maxRounds: Int = 32): DataFrame = {
@@ -223,11 +227,13 @@ object DedupOps {
       pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 32): (DataFrame, Int) = {
     val ckpt = (df: DataFrame) => df.localCheckpoint(true)
-    val init = pairs
+    val all = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
+    // vertex set BEFORE the self-loop filter: a vertex whose only pair is
+    // (x, x) still gets a (x, x) singleton label, like the propagation path
     val nodes = ckpt(
-      init.select(col("u").as("id")).union(init.select(col("v").as("id"))).distinct())
+      all.select(col("u").as("id")).union(all.select(col("v").as("id"))).distinct())
+    val init = all.filter(col("u") =!= col("v"))
     // canonical orientation (small, large); self-loops already dropped
     var edges = ckpt(init
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))

@@ -27,6 +27,25 @@ object StreamBench {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
 
+    // every progress event flows through a listener, so the state ceiling
+    // is measured over ALL micro-batches — recentProgress alone is a
+    // bounded rolling buffer (default 100 entries) and could silently
+    // drop early batches from the "measured" claim
+    var maxState = 0L
+    var outputRows = 0L
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        e.progress.stateOperators.foreach(so =>
+          maxState = math.max(maxState, so.numRowsTotal))
+        if (e.progress.sink.numOutputRows > 0)
+          outputRows += e.progress.sink.numOutputRows
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+
     val input = MemoryStream[StreamingPipeline.TimedSample]
     val query = StreamingPipeline
       .resampleStreamExpiring(input.toDS(), watermark = "2 seconds",
@@ -38,37 +57,36 @@ object StreamBench {
     val base = 1700000000000L // fixed epoch ms — deterministic event time
     val stepMs = 300L         // 300 ms cadence → ~3 grid rows per sample pair
     var inputRows = 0L
-    var maxState = 0L
-    var outputRows = 0L
 
-    def drainProgress(): Unit = {
-      // recentProgress accumulates; snapshot state/output after each barrier
+    val t0 = System.nanoTime()
+    var seconds = 0.0
+    try {
+      (0 until gens).foreach { g =>
+        // generation g: its own ride keys, event time 60 s past generation
+        // g-1 — the first sample of gen g pushes the watermark far beyond
+        // gen g-1's last sample + closeAfter, expiring all of its state
+        val genStart = base + g * 60000L
+        val rows = for {
+          r <- 0 until ridesPerGen
+          i <- 0 until samplesPerRide
+        } yield StreamingPipeline.TimedSample(
+          s"g${g}_r$r", new java.sql.Timestamp(genStart + i * stepMs),
+          (i % 17).toDouble)
+        input.addData(rows)
+        inputRows += rows.size
+        query.processAllAvailable()
+      }
+      seconds = (System.nanoTime() - t0) / 1e9
+    } finally {
+      query.stop()
+      // listener events are delivered asynchronously; give the bus a
+      // moment, then also fold in recentProgress as a backstop
+      Thread.sleep(200)
       query.recentProgress.foreach { p =>
         p.stateOperators.foreach(so => maxState = math.max(maxState, so.numRowsTotal))
       }
-      outputRows = query.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+      spark.streams.removeListener(listener)
     }
-
-    val t0 = System.nanoTime()
-    (0 until gens).foreach { g =>
-      // generation g: its own ride keys, event time 60 s past generation
-      // g-1 — the first sample of gen g pushes the watermark far beyond
-      // gen g-1's last sample + closeAfter, expiring all of its state
-      val genStart = base + g * 60000L
-      val rows = for {
-        r <- 0 until ridesPerGen
-        i <- 0 until samplesPerRide
-      } yield StreamingPipeline.TimedSample(
-        s"g${g}_r$r", new java.sql.Timestamp(genStart + i * stepMs),
-        (i % 17).toDouble)
-      input.addData(rows)
-      inputRows += rows.size
-      query.processAllAvailable()
-      drainProgress()
-    }
-    val seconds = (System.nanoTime() - t0) / 1e9
-    drainProgress()
-    query.stop()
 
     Result(inputRows, outputRows, seconds,
       rowsPerSec = inputRows / math.max(seconds, 1e-9),

@@ -47,12 +47,14 @@ object Serve {
   private def respondJson(ex: HttpExchange, code: Int, json: String): Unit =
     respond(ex, code, json.getBytes(StandardCharsets.UTF_8), "application/json")
 
-  /** Start serving `dir` on `port` (0 = ephemeral; read the bound port
-    * from the returned server). Non-blocking — caller owns stop().
+  /** Start serving `dir` on `host:port` (port 0 = ephemeral; read the
+    * bound port from the returned server). The default bind is LOOPBACK —
+    * exposing the server beyond the machine is an explicit opt-in, not a
+    * default. Non-blocking — caller owns stop().
     */
-  def start(dir: Path, port: Int): HttpServer = {
+  def start(dir: Path, port: Int, host: String = "127.0.0.1"): HttpServer = {
     val root = dir.toAbsolutePath.normalize
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/", (ex: HttpExchange) => {
       try {
         val path = ex.getRequestURI.getPath
@@ -66,31 +68,45 @@ object Serve {
             respond(ex, 200, Files.readAllBytes(f), "application/json")
           else respondJson(ex, 404, """{"error":"no figure exported"}""")
         } else if (path.startsWith("/files/")) {
-          // resolve + normalize, then REQUIRE the result stays inside the
-          // export dir — the standard traversal guard ("/files/../../etc")
+          // resolve, then REQUIRE the REAL path (symlinks resolved) stays
+          // inside the export dir — a syntactic normalize alone lets a
+          // symlink placed in the dir escape it
           val f = root.resolve(path.stripPrefix("/files/")).normalize
-          if (!f.startsWith(root))
-            respondJson(ex, 403, """{"error":"forbidden"}""")
-          else if (Files.isRegularFile(f))
-            respond(ex, 200, Files.readAllBytes(f), contentType(f.toString))
-          else respondJson(ex, 404, """{"error":"not found"}""")
+          val real =
+            try Some(f.toRealPath()) catch { case _: java.io.IOException => None }
+          real match {
+            case Some(r) if !r.startsWith(root.toRealPath()) =>
+              respondJson(ex, 403, """{"error":"forbidden"}""")
+            case Some(r) if Files.isRegularFile(r) =>
+              respond(ex, 200, Files.readAllBytes(r), contentType(r.toString))
+            case _ =>
+              respondJson(ex, 404, """{"error":"not found"}""")
+          }
         } else {
           respondJson(ex, 404, """{"error":"not found"}""")
         }
+      } catch {
+        // a file vanishing between check and read must yield a response,
+        // not an aborted exchange
+        case _: Throwable =>
+          try respondJson(ex, 500, """{"error":"internal"}""")
+          catch { case _: Throwable => () }
       } finally ex.close()
     })
     server.start()
     server
   }
 
-  /** `runMain graft.vesc.Serve <exportDir> [port]` — serve an
-    * [[Export]] output directory until killed.
+  /** `runMain graft.vesc.Serve <exportDir> [port] [host]` — serve an
+    * [[Export]] output directory until killed (loopback unless a host is
+    * given explicitly).
     */
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Serve <exportDir> [port]")
+    require(args.nonEmpty, "usage: Serve <exportDir> [port] [host]")
     val dir = Paths.get(args(0))
     val port = if (args.length > 1) args(1).toInt else 8080
-    val server = start(dir, port)
+    val host = if (args.length > 2) args(2) else "127.0.0.1"
+    val server = start(dir, port, host)
     println(s"""{"serving":"${dir.toAbsolutePath}","port":${server.getAddress.getPort}}""")
     Thread.currentThread.join() // serve until killed
   }

@@ -18,11 +18,13 @@ import CnnScorer.CnnWeights
   * per batch moves O(tasks · 18k) doubles, never rows); the driver holds
   * the optimizer state and applies Adam.
   *
-  * BN statistics are FROZEN (γ/β trained) — see [[TrunkGrad]] for why
-  * that is the configuration under which per-row gradients are
-  * independent and the one-aggregation-per-batch shape survives; the
-  * reference's train-mode batch statistics would need a SyncBatchNorm
-  * pass per BN layer per batch.
+  * Two BN modes: the default FREEZES statistics (γ/β trained) — the
+  * configuration under which per-row gradients are independent and the
+  * one-aggregation-per-batch shape holds — while
+  * `train(batchStatsBn = true)` runs the reference's train-mode batch
+  * statistics exactly, via [[gradPassBn]]'s SyncBatchNorm-shaped
+  * 2·L+1 bounded aggregations per batch (see [[TrunkGrad]]'s train-mode
+  * section for the math).
   *
   * Loop semantics (batching, Adam, epoch loss weighting, patience-based
   * early stopping, in-loop best-checkpoint restore) are IDENTICAL to
@@ -304,7 +306,15 @@ object TrunkTrainer {
   def loadCheckpoint(spark: org.apache.spark.sql.SparkSession,
                      path: String): TrunkState = {
     import spark.implicits._
-    spark.read.parquet(path).as[TrunkState].head()
+    val df = spark.read.parquet(path)
+    // checkpoints written before the bnStats slot existed (frozen-BN-only
+    // builds) lack the column; the encoder does not apply case-class
+    // defaults, so supply the empty vector explicitly for forward compat
+    val compat =
+      if (df.columns.contains("bnStats")) df
+      else df.withColumn("bnStats",
+        org.apache.spark.sql.functions.typedLit(Seq.empty[Double]))
+    compat.as[TrunkState].head()
   }
 
   /** The training loop — same structure as [[HeadTrainer.train]], over the

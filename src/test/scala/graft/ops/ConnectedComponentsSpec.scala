@@ -108,4 +108,11 @@ class ConnectedComponentsSpec extends SparkSuite {
     val (got, rounds) = runStar(Seq.empty)
     assert(got.isEmpty && rounds == 0)
   }
+
+  test("star contraction: a vertex appearing only in a self-loop labels itself") {
+    val edges = Seq[(Long, Long)]((5, 5), (1, 2))
+    val (got, _) = runStar(edges)
+    assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+    assert(got == run(edges), "must match the propagation path")
+  }
 }

@@ -176,6 +176,29 @@ class MultimodalSpec extends SparkSuite {
     assert(got(1L).isEmpty && got(2L).isEmpty && got(3L).isEmpty)
   }
 
+  test("adversarial blobs return null, never crash the task") {
+    // JPEG SOI followed by nothing but 0xFF fill bytes: the marker walk's
+    // fill-skip used to run past the buffer end
+    val jpegPad = hexBytes("FFD8" + "FF" * 8)
+    val gotI = parseDf(Seq((1L, jpegPad)))
+    assert(gotI(1L).isEmpty)
+    // WAV whose first chunk declares size 0x7FFFFFF0: an Int-typed size
+    // used to wrap the walk offset negative
+    val wavHuge = hexBytes("52494646 20000000 57415645 4A554E4B F0FFFF7F 0000")
+    val gotA = parseAudioDf(Seq((1L, wavHuge)))
+    assert(gotA(1L).isEmpty)
+    // MP4 whose tkhd is header-only and the last bytes of the buffer: the
+    // version-byte read used to index one past the array. Dimensions
+    // default to 0; mvhd duration still parses
+    val mp4EmptyTkhd = hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+      "00000034 6D6F6F76" +
+      "0000001C 6D766864 00000000 00000000 00000000 00000258 000004B0" +
+      "00000010 7472616B" + "00000008 746B6864")
+    val gotV = parseVideoDf(Seq((1L, mp4EmptyTkhd)))
+    assert(gotV(1L).contains(("mp4", 0, 0, 2000L)))
+  }
+
   test("withMediaMeta exposes the parsed image header next to length/hash") {
     import spark.implicits._
     val png = hexBytes("89504E470D0A1A0A 0000000D 49484452 00000010 00000020 0806000000")

@@ -54,6 +54,13 @@ class ServeSpec extends AnyFunSuite {
       val (tc, tb, _) = get(port, traverse)
       assert(tc == 403 || tc == 404, s"traversal must not serve: $tc $tb")
       assert(!tb.contains("nope"), "traversal leaked file contents")
+
+      // a symlink placed INSIDE the export dir pointing outside must not
+      // escape either (the guard checks the real path, not just the name)
+      Files.createSymbolicLink(dir.resolve("leak"), secret)
+      val (sc2, sb2, _) = get(port, "/files/leak")
+      assert(sc2 == 403, s"symlink escape must 403: $sc2 $sb2")
+      assert(!sb2.contains("nope"), "symlink leaked file contents")
     } finally server.stop(0)
   }
 

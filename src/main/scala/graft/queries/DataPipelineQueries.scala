@@ -234,6 +234,32 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN quality evaluation: recall@k of the IVF index against the
+    // exact brute-force ground truth, per query. This is the measurement
+    // every production ANN deployment runs before trusting an index; at
+    // 100 TB the exact side runs over a SAMPLED query set (brute force is
+    // the expensive half) while the index side is the production path —
+    // the composition here is exactly that shape with the sample = the
+    // broadcastable query set.
+    "embed_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = EmbeddingOps.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", k = 3)
+      val approx = EmbeddingOps.ivfTopK(corpus, queries,
+        "vec_id", "embedding", "label", k = 3)
+      exact.alias("e")
+        .join(approx.alias("a"),
+          col("e.query_id") === col("a.query_id") &&
+            col("e.neighbor_id") === col("a.neighbor_id"), "left")
+        .groupBy(col("e.query_id").as("query_id"))
+        .agg(count(col("a.neighbor_id")).as("hits"),
+          (floor(count(col("a.neighbor_id")) / 3.0 * 1e4 + lit(0.5)) / 1e4)
+            .as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // Per-cluster mean L2 norm (array aggregation exercise).
     "embed_norms" -> ((s, dir) => {
       Tables.embeddings(s, dir)
@@ -479,6 +505,14 @@ object DataPipelineQueries extends QueryPack {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "embed_cosine_topk" -> cosineTopkSql(5, "TRUE"),
     "embed_ann_ivf" -> cosineTopkSql(3, "c.label = q.qlabel"),
+    "embed_ann_recall" ->
+      s"""WITH e AS (${cosineTopkSql(3, "TRUE")}),
+         |a AS (${cosineTopkSql(3, "c.label = q.qlabel")})
+         |SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+         |  floor(count(a.neighbor_id) / 3.0 * 1e4 + 0.5) / 1e4 AS recall
+         |FROM e LEFT JOIN a
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     "embed_norms" ->
       """WITH n AS (SELECT label,
         |    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm

@@ -123,9 +123,17 @@ object ImageHeader {
     if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return row("gif", le16(b, 6), le16(b, 8))
-    // BMP: BM + BITMAPINFOHEADER (width/height at 18/22, little-endian)
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-      return row("bmp", le32(b, 18), le32(b, 22))
+    // BMP: BM + a DIB header. Width/height live at 18/22 ONLY for the
+    // 40-byte-plus BITMAPINFOHEADER family; the legacy 12-byte
+    // BITMAPCOREHEADER packs 16-bit dims at 18/20 instead, so reading
+    // le32 there would return garbage — check the header-size field at 14
+    // and handle each layout (null, never garbage, like the other formats).
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      val dibSize = le32(b, 14)
+      if (dibSize >= 40) return row("bmp", le32(b, 18), le32(b, 22))
+      if (dibSize == 12) return row("bmp", le16(b, 18), le16(b, 20))
+      return null
+    }
     null
   }
 }

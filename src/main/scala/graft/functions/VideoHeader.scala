@@ -125,6 +125,11 @@ object VideoHeader {
         }
       }
     }
+    // be64 reads the v1 duration as a SIGNED Long, so a hostile value past
+    // 2^63 arrives negative, and anything past Long.MaxValue/1000 would
+    // wrap in the ms conversion — corrupt container yields null, never a
+    // garbage/negative duration
+    if (duration < 0L || duration > Long.MaxValue / 1000L) return null
     row("mp4", w.toInt, h.toInt, duration * 1000L / timescale)
   }
 
@@ -149,6 +154,9 @@ object VideoHeader {
             val frames = le32(b, q + 24)
             val w = le32(b, q + 40)
             val h = le32(b, q + 44)
+            // both fields are unsigned 32-bit, so the µs product can reach
+            // ~1.8e19 and wrap a signed Long — reject before multiplying
+            if (frames > 0L && usPerFrame > Long.MaxValue / frames) return null
             return row("avi", w.toInt, h.toInt, usPerFrame * frames / 1000L)
           }
           q += 8 + csize.toInt + (csize.toInt & 1)

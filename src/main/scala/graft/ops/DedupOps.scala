@@ -227,8 +227,11 @@ object DedupOps {
       pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 32): (DataFrame, Int) = {
     val ckpt = (df: DataFrame) => df.localCheckpoint(true)
-    val all = pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    // Materialize the candidate pairs ONCE: `nodes` and `edges` below each
+    // consume this DF, and upstream candidate generators (banded minhash
+    // self-joins) are exactly the plans too expensive to execute twice.
+    val all = ckpt(pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
     // vertex set BEFORE the self-loop filter: a vertex whose only pair is
     // (x, x) still gets a (x, x) singleton label, like the propagation path
     val nodes = ckpt(

@@ -78,8 +78,11 @@ object MultimodalOps {
     * insert an analysis barrier around the seam.
     */
   def decodeFeatures(df: DataFrame, binCol: String, dim: Int,
-                     decoder: Decoder = null): DataFrame = {
-    val dec = Option(decoder).getOrElse(stubDecoder(dim))
+                     decoder: Decoder): DataFrame = {
+    require(decoder != null,
+      "decodeFeatures requires an explicit decoder; pass stubDecoder(dim) " +
+        "deliberately if you want the deterministic hash stand-in")
+    val dec = decoder
     val outSchema = StructType(df.schema.fields :+
       StructField(binCol + "_features", ArrayType(FloatType), nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)

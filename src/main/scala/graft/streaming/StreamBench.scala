@@ -30,17 +30,20 @@ object StreamBench {
     // every progress event flows through a listener, so the state ceiling
     // is measured over ALL micro-batches — recentProgress alone is a
     // bounded rolling buffer (default 100 entries) and could silently
-    // drop early batches from the "measured" claim
-    var maxState = 0L
-    var outputRows = 0L
+    // drop early batches from the "measured" claim. AtomicLongs because
+    // the listener runs on the event-bus thread and the driver thread
+    // reads the totals after stop(): plain vars carry no visibility
+    // guarantee across that handoff.
+    val maxState = new java.util.concurrent.atomic.AtomicLong(0L)
+    val outputRows = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = {
         e.progress.stateOperators.foreach(so =>
-          maxState = math.max(maxState, so.numRowsTotal))
+          maxState.getAndAccumulate(so.numRowsTotal, math.max _))
         if (e.progress.sink.numOutputRows > 0)
-          outputRows += e.progress.sink.numOutputRows
+          outputRows.addAndGet(e.progress.sink.numOutputRows)
       }
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     }
@@ -83,14 +86,15 @@ object StreamBench {
       // moment, then also fold in recentProgress as a backstop
       Thread.sleep(200)
       query.recentProgress.foreach { p =>
-        p.stateOperators.foreach(so => maxState = math.max(maxState, so.numRowsTotal))
+        p.stateOperators.foreach(so =>
+          maxState.getAndAccumulate(so.numRowsTotal, math.max _))
       }
       spark.streams.removeListener(listener)
     }
 
-    Result(inputRows, outputRows, seconds,
+    Result(inputRows, outputRows.get(), seconds,
       rowsPerSec = inputRows / math.max(seconds, 1e-9),
-      maxStateRows = maxState,
+      maxStateRows = maxState.get(),
       activeRideBound = 2L * ridesPerGen,
       watermarkCycles = gens - 1)
   }

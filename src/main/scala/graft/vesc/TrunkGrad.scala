@@ -571,7 +571,12 @@ object TrunkGrad {
                    outDy: Array[Double], outDyX: Array[Double]): Unit = {
     val c = forwardCached(window, wts)
     val (_, labeled, dz) = bceDz(c.logits, y)
-    if (labeled == 0L) return // dy ≡ 0 contributes nothing
+    // A zero-label row has dy ≡ 0 only down to the TOPMOST BN layer — its
+    // moment contribution there is identically zero, so the walk can skip.
+    // BELOW that layer the batch coupling terms (−Σdy/m − x̂·Σdy·x̂/m,
+    // with Σ over the whole batch) inject nonzero dy into this row's
+    // path, so its lower-layer moments must still be accumulated.
+    if (labeled == 0L && layer == BnOrder.last) return
     backwardWithBatchBn(c, wts, dz, moments, layer, null, outDy, outDyX)
   }
 
@@ -583,7 +588,11 @@ object TrunkGrad {
                     grad: Array[Double]): (Double, Long) = {
     val c = forwardCached(window, wts)
     val (loss, labeled, dz) = bceDz(c.logits, y)
-    if (labeled == 0L) return (0.0, 0L)
+    // No early-out on a zero-label row: with batch statistics its dz ≡ 0
+    // only above the topmost BN layer — the coupling terms give it nonzero
+    // dy below, so it still owes conv/BN gradient contributions whenever
+    // any OTHER row in the batch carries labels. (With a fully-unlabeled
+    // batch all moments are zero and the walk accumulates exact zeros.)
     backwardWithBatchBn(c, wts, dz, moments, null, grad, null, null)
     (loss, labeled)
   }

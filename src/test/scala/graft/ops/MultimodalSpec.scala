@@ -211,15 +211,23 @@ class MultimodalSpec extends SparkSuite {
     assert(rows(2L).isNullAt(3), "non-image blob must carry a null image header")
   }
 
+  test("decodeFeatures refuses a null decoder — the stub is opt-in") {
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeFeatures(docs, "blob", dim = 8, decoder = null)
+    }
+  }
+
   test("stub decode produces deterministic fixed-dim features") {
-    val out = MultimodalOps.decodeFeatures(docs, "blob", dim = 8)
+    val out = MultimodalOps.decodeFeatures(docs, "blob", dim = 8,
+        MultimodalOps.stubDecoder(8))
       .select(col("id"), col("blob_features"))
       .collect().map(r => r.getLong(0) ->
         Option(r.getAs[scala.collection.Seq[Float]](1))).toMap
     assert(out(1L).get.length == 8)
     assert(out(2L).get.forall(_ == 0f))
     // deterministic: decoding twice gives identical vectors
-    val again = MultimodalOps.decodeFeatures(docs, "blob", dim = 8)
+    val again = MultimodalOps.decodeFeatures(docs, "blob", dim = 8,
+        MultimodalOps.stubDecoder(8))
       .select(col("id"), col("blob_features"))
       .collect().map(r => r.getLong(0) ->
         r.getAs[scala.collection.Seq[Float]](1)).toMap

@@ -250,6 +250,47 @@ class TrunkTrainerSpec extends SparkSuite {
     }
   }
 
+  test("a fully-unlabeled row still couples through batch statistics (FD check)") {
+    // One row has ALL-NaN labels: its dy is 0 at the topmost BN layer, but
+    // the batch coupling terms (−Σdy/m − x̂·Σdy·x̂/m) give it nonzero dy
+    // below bn4, so it owes moment and gradient contributions to every
+    // lower layer. The coupled-batch FD oracle (dLossBatch puts the row in
+    // the stats but not the loss) is the ground truth for exactly that.
+    val rows = (0 until 3).map(i => (mkWindow(50 + i), mkY(i))) :+
+      ((mkWindow(53), Array.fill(K)(Double.NaN)))
+    val flat = TrunkGrad.flatten(wts)
+    val (grad, _, labeled) = localGradBn(rows, wts)
+    assert(labeled > 0L)
+
+    val spec = TrunkGrad.blockSpec(wts)
+    val offs = spec.scanLeft(0)(_ + _._2).init
+    val rng = new scala.util.Random(13)
+    // bias toward the blocks the coupling feeds: conv/BN layers below bn4
+    val checked = spec.zip(offs)
+      .filter { case ((name, _), _) => !name.startsWith("head") }
+      .flatMap { case ((name, len), off) =>
+        Seq.fill(2)(off + rng.nextInt(len)).distinct.map(name -> _)
+      }
+    // smaller delta than the labeled-batch FD test: the coupling gradients
+    // here are small (one row's indirect stat effect), so the ReLU-kink
+    // truncation error at 1e-4 is not negligible against them — at 3e-5
+    // the FD estimate converges to the analytic value (verified by a
+    // delta sweep; the PRE-fix analytic had the wrong SIGN on bn1.b)
+    val delta = 3e-5
+    checked.foreach { case (block, i) =>
+      val fp = flat.clone(); fp(i) += delta
+      val fm = flat.clone(); fm(i) -= delta
+      val wp = TrunkGrad.unflatten(fp, wts)
+      val wm = TrunkGrad.unflatten(fm, wts)
+      val dTheta = TrunkGrad.flatten(wp)(i) - TrunkGrad.flatten(wm)(i)
+      assert(dTheta != 0.0, s"$block[$i]: delta collapsed in float32")
+      val fd = (dLossBatch(rows, wp) - dLossBatch(rows, wm)) / dTheta
+      val an = grad(i)
+      val err = math.abs(fd - an) / math.max(1e-4, math.max(math.abs(fd), math.abs(an)))
+      assert(err < 2e-2, s"$block[$i]: analytic $an vs fd $fd (rel $err)")
+    }
+  }
+
   test("batch-stats BN: frozen-path gradient differs (the coupling is real)") {
     // sanity: with batch stats the BN-layer gradients must NOT equal the
     // frozen-stats gradients — otherwise the new path is a no-op

@@ -195,6 +195,91 @@ object EmbeddingOps {
     takeTopK(scored, idCol, k)
   }
 
+  /** Per-cluster mean-of-members centroids — the SQL-replayable IVF
+    * coarse codebook: per-dimension average over each cluster's member
+    * vectors, rounded to `roundDigits` so a DuckDB oracle replaying the
+    * same formula lands on identical values. One explode + two bounded
+    * aggregations (groups are dim-sized, the collect_list is exactly one
+    * row per dimension); output is cluster-count rows — broadcastable at
+    * any corpus scale, like every IVF codebook.
+    */
+  def meanCentroids(corpus: DataFrame, vecCol: String, clusterCol: String,
+                    roundDigits: Int = 4): DataFrame = {
+    val scale = math.pow(10, roundDigits)
+    corpus
+      .select(col(clusterCol).cast("long").as("cluster"),
+        posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .groupBy(col("cluster"), col("__d"))
+      .agg((floor(avg(col("__x").cast("double")) * scale + lit(0.5)) / scale)
+        .as("__c"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("__d"), col("__c")))),
+        s => s.getField("__c")).as("centroid"))
+  }
+
+  /** The IVF probe step: for every query, its `nprobe` nearest centroids
+    * by exact cosine → (query_id, probe_rank, cluster), probe_rank 1-based
+    * in (cosine desc, cluster asc) order after rounding — deterministic
+    * and oracle-replayable.
+    *
+    * The scoring join is the centroid table broadcast against every query
+    * with no join key — that is the probe step's inherent shape (each
+    * query must score ALL centroids to find its nearest), and the
+    * codebook side is O(√n) rows, so the product is queries × centroids,
+    * never anything corpus-sized. Selection is the bounded [[TopKAgg]].
+    */
+  def probeAssignments(queries: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame, nprobe: Int,
+                       roundDigits: Int = 4): DataFrame = {
+    reg(queries)
+    val scale = math.pow(10, roundDigits)
+    val scored = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .join(broadcast(centroids))
+      .withColumn("__score",
+        floor(cosine(col("__qv"), col("centroid")) * scale + lit(0.5)) / scale)
+    val topk = udaf(new TopKAgg(nprobe))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("__score"), col("cluster")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__item")))
+      .select(col("query_id"), (col("__pos") + 1).cast("int").as("probe_rank"),
+        col("__item._2").as("cluster"))
+  }
+
+  /** Multi-probe IVF top-k: candidates are the corpus rows whose cluster
+    * appears in the query's probe table ([[probeAssignments]] output,
+    * optionally rank-filtered to vary nprobe without re-scoring the
+    * codebook) — an EQUI-join on the cluster id below the bounded top-k
+    * aggregate, exactly the [[ivfTopK]] plan shape but with the scanned
+    * fraction nprobe/clusters instead of 1/clusters. A corpus row joins a
+    * query at most once (its single cluster either is or isn't probed),
+    * so no dedup is needed before the top-k.
+    */
+  def ivfTopKProbed(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, clusterCol: String, probes: DataFrame,
+                    k: Int, roundDigits: Int = 4): DataFrame = {
+    reg(corpus)
+    val scale = math.pow(10, roundDigits)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val probeQ = probes.select(col("query_id"), col("cluster")).join(q, "query_id")
+    val scored = corpus
+      .join(broadcast(probeQ), col(clusterCol).cast("long") === col("cluster"))
+      .withColumn("score",
+        floor(cosine(col("__qv"), col(vecCol)) * scale + lit(0.5)) / scale)
+    takeTopK(scored, idCol, k)
+  }
+
+  /** [[ivfTopKProbed]] with the codebook probe built in: train nothing,
+    * probe the `nprobe` nearest [[meanCentroids]]-style centroids.
+    */
+  def ivfTopKMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, clusterCol: String,
+                        centroids: DataFrame, k: Int, nprobe: Int,
+                        roundDigits: Int = 4): DataFrame =
+    ivfTopKProbed(corpus, queries, idCol, vecCol, clusterCol,
+      probeAssignments(queries, idCol, vecCol, centroids, nprobe, roundDigits),
+      k, roundDigits)
+
   /** Int8-style scalar-quantized ANN with exact rerank — the memory-
     * bandwidth scale path: candidate generation runs on vectors quantized
     * against ONE global symmetric scale (127/max|x| over the corpus — a

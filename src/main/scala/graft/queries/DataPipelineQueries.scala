@@ -234,30 +234,40 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ANN quality evaluation: recall@k of the IVF index against the
-    // exact brute-force ground truth, per query. This is the measurement
-    // every production ANN deployment runs before trusting an index; at
-    // 100 TB the exact side runs over a SAMPLED query set (brute force is
-    // the expensive half) while the index side is the production path —
-    // the composition here is exactly that shape with the sample = the
-    // broadcastable query set.
+    // ANN quality evaluation: recall@k of the MULTI-PROBE IVF index
+    // against the exact brute-force ground truth, per query and per
+    // nprobe ∈ {1, 2, 4} — the recall/scan-fraction trade-off curve every
+    // production ANN deployment measures before trusting an index. The
+    // coarse codebook is the mean-of-members centroid table; probes are
+    // resolved ONCE at the largest nprobe and rank-filtered per setting
+    // (the codebook is scored once, not once per curve point). At 100 TB
+    // the exact side runs over a SAMPLED query set (brute force is the
+    // expensive half) while the probed side is the production path.
     "embed_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val corpus = emb.filter(col("vec_id") >= 10)
       val queries = emb.filter(col("vec_id") < 10)
       val exact = EmbeddingOps.bruteForceTopK(corpus, queries,
         "vec_id", "embedding", k = 3)
-      val approx = EmbeddingOps.ivfTopK(corpus, queries,
-        "vec_id", "embedding", "label", k = 3)
-      exact.alias("e")
-        .join(approx.alias("a"),
-          col("e.query_id") === col("a.query_id") &&
-            col("e.neighbor_id") === col("a.neighbor_id"), "left")
-        .groupBy(col("e.query_id").as("query_id"))
-        .agg(count(col("a.neighbor_id")).as("hits"),
-          (floor(count(col("a.neighbor_id")) / 3.0 * 1e4 + lit(0.5)) / 1e4)
-            .as("recall"))
-        .orderBy(col("query_id"))
+      val cent = EmbeddingOps.meanCentroids(corpus, "embedding", "label")
+      val probes = EmbeddingOps.probeAssignments(queries, "vec_id", "embedding",
+        cent, nprobe = 4)
+      Seq(1, 2, 4).map { np =>
+        val approx = EmbeddingOps.ivfTopKProbed(corpus, queries,
+          "vec_id", "embedding", "label",
+          probes.filter(col("probe_rank") <= np), k = 3)
+        exact.alias("e")
+          .join(approx.alias("a"),
+            col("e.query_id") === col("a.query_id") &&
+              col("e.neighbor_id") === col("a.neighbor_id"), "left")
+          .groupBy(col("e.query_id").as("query_id"))
+          .agg(count(col("a.neighbor_id")).as("hits"),
+            (floor(count(col("a.neighbor_id")) / 3.0 * 1e4 + lit(0.5)) / 1e4)
+              .as("recall"))
+          .withColumn("nprobe", lit(np))
+      }.reduce(_ unionByName _)
+        .select(col("query_id"), col("nprobe"), col("hits"), col("recall"))
+        .orderBy(col("query_id"), col("nprobe"))
     }),
 
     // Per-cluster mean L2 norm (array aggregation exercise).
@@ -506,13 +516,70 @@ object DataPipelineQueries extends QueryPack {
     "embed_cosine_topk" -> cosineTopkSql(5, "TRUE"),
     "embed_ann_ivf" -> cosineTopkSql(3, "c.label = q.qlabel"),
     "embed_ann_recall" ->
-      s"""WITH e AS (${cosineTopkSql(3, "TRUE")}),
-         |a AS (${cosineTopkSql(3, "c.label = q.qlabel")})
-         |SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS hits,
-         |  floor(count(a.neighbor_id) / 3.0 * 1e4 + 0.5) / 1e4 AS recall
-         |FROM e LEFT JOIN a
-         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |    FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |cent AS (
+        |  SELECT label, i,
+        |    floor(avg(CAST(embedding[i] AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS cv
+        |  FROM c CROSS JOIN dims GROUP BY label, i),
+        |cn AS (SELECT label, sqrt(sum(cv * cv)) AS ncv FROM cent GROUP BY label),
+        |qn AS (SELECT query_id,
+        |    sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS nqv
+        |  FROM q CROSS JOIN dims GROUP BY query_id),
+        |qc AS (
+        |  SELECT q.query_id, cent.label,
+        |    sum(CAST(q.qv[cent.i] AS DOUBLE) * cent.cv) AS dp
+        |  FROM q CROSS JOIN cent GROUP BY q.query_id, cent.label),
+        |probes AS (
+        |  SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      floor(dp / (nqv * ncv) * 1e4 + 0.5) / 1e4 DESC, label ASC) AS pr
+        |  FROM qc JOIN qn USING (query_id) JOIN cn USING (label)),
+        |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+        |cand AS (
+        |  SELECT n.nprobe, p.query_id, c.vec_id,
+        |    floor(sum(CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+        |      / (qn.nqv * sqrt(sum(CAST(c.embedding[i] AS DOUBLE)
+        |                           * CAST(c.embedding[i] AS DOUBLE))))
+        |      * 1e4 + 0.5) / 1e4 AS score
+        |  FROM np n
+        |  JOIN probes p ON p.pr <= n.nprobe
+        |  JOIN c ON c.label = p.label
+        |  JOIN q ON q.query_id = p.query_id
+        |  JOIN qn ON qn.query_id = p.query_id
+        |  CROSS JOIN dims
+        |  GROUP BY n.nprobe, p.query_id, c.vec_id, qn.nqv),
+        |appr AS (
+        |  SELECT nprobe, query_id, vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY nprobe, query_id
+        |      ORDER BY score DESC, vec_id ASC) AS rk
+        |  FROM cand),
+        |a AS (SELECT nprobe, query_id, neighbor_id FROM appr WHERE rk <= 3),
+        |ep AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    sum(CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS dp,
+        |    sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS qn2,
+        |    sqrt(sum(CAST(embedding[i] AS DOUBLE)
+        |             * CAST(embedding[i] AS DOUBLE))) AS cn2
+        |  FROM q CROSS JOIN c CROSS JOIN dims
+        |  GROUP BY q.query_id, c.vec_id),
+        |et AS (
+        |  SELECT query_id, vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      floor((dp / (qn2 * cn2)) * 10000 + 0.5) / 10000.0 DESC,
+        |      vec_id ASC) AS rank
+        |  FROM ep),
+        |e AS (SELECT query_id, neighbor_id FROM et WHERE rank <= 3)
+        |SELECT e.query_id, CAST(n.nprobe AS INTEGER) AS nprobe,
+        |  CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+        |  floor(count(a.neighbor_id) / 3.0 * 1e4 + 0.5) / 1e4 AS recall
+        |FROM np n CROSS JOIN e
+        |LEFT JOIN a ON a.nprobe = n.nprobe AND a.query_id = e.query_id
+        |  AND a.neighbor_id = e.neighbor_id
+        |GROUP BY e.query_id, n.nprobe
+        |ORDER BY e.query_id, n.nprobe""".stripMargin,
     "embed_norms" ->
       """WITH n AS (SELECT label,
         |    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm

@@ -45,6 +45,46 @@ class PlanAuditSpec extends SparkSuite {
         "(candidates are cut to the cluster before any top-k state)")
   }
 
+  test("multi-probe IVF joins candidates on the cluster id below the top-k aggregate") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val queries = emb.filter(col("vec_id") < 10)
+    val cent = EmbeddingOps.meanCentroids(corpus, "embedding", "label")
+    val probes = EmbeddingOps.probeAssignments(queries, "vec_id", "embedding",
+      cent, nprobe = 2)
+    val df = EmbeddingOps.ivfTopKProbed(corpus, queries, "vec_id", "embedding",
+      "label", probes, k = 3)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "probed top-k must stay the bounded aggregate")
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.indexWhere(l =>
+      l.contains("BroadcastHashJoin") && l.contains("cluster"))
+    assert(joinIdx >= 0, s"cluster equi-join missing from plan:\n${p.take(3000)}")
+    val aggIdx = lines.indexWhere(_.contains("Aggregate"))
+    assert(aggIdx >= 0 && aggIdx < joinIdx,
+      "the top-k aggregation must sit above the cluster equi-join " +
+        "(candidates are cut to the probed clusters before any top-k state)")
+  }
+
+  test("multi-probe IVF recall rises monotonically with nprobe to 1.0 at full probe") {
+    val df = SparkEntry.queries("embed_ann_recall")(spark, sf("sf0.001"))
+    val rows = df.collect().map(r =>
+      (r.getAs[Number]("query_id").longValue, r.getAs[Number]("nprobe").intValue,
+        r.getAs[Double]("recall")))
+    val byQuery = rows.groupBy(_._1)
+    byQuery.foreach { case (q, rs) =>
+      val recallByNp = rs.map(r => r._2 -> r._3).toMap
+      assert(recallByNp.keySet == Set(1, 2, 4), s"query $q missing nprobe rows")
+      assert(recallByNp(1) <= recallByNp(2) && recallByNp(2) <= recallByNp(4),
+        s"query $q recall not monotone in nprobe: $recallByNp")
+    }
+    // probing 4 of the 5 clusters must dominate single-probe somewhere, and
+    // the AVERAGE curve must actually rise (the index trade-off is real)
+    val avg1 = rows.filter(_._2 == 1).map(_._3).sum / byQuery.size
+    val avg4 = rows.filter(_._2 == 4).map(_._3).sum / byQuery.size
+    assert(avg4 > avg1, s"recall@4probes ($avg4) not above recall@1 ($avg1)")
+  }
+
   test("fuzzy-dedup e2e pipeline never plans a cartesian product") {
     val p = planOf("dedup_e2e_fuzzy")
     assert(!p.contains("CartesianProduct"), "e2e dedup plans a cartesian product")

@@ -27,8 +27,29 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *  - `GET /files/<name>`     → any regular file in the export dir
   *                               (csv/json content types); path traversal
   *                               outside the dir is rejected with 403.
+  *  - `POST /upload?name=<f>` → (only when an upload dir is configured)
+  *                               store the request body as `<f>` in the
+  *                               upload directory — the reference's
+  *                               upload box (app.py:354-366). The name is
+  *                               sanitized to a single `.csv` path
+  *                               component; the body lands via
+  *                               write-temp-then-atomic-rename so a
+  *                               file-source stream watching the dir
+  *                               ([[graft.streaming.StreamingPipeline.uploadAnalysis]])
+  *                               never observes a half-written log.
   */
 object Serve {
+
+  /** Uploaded names must be one plain `.csv` path component — no
+    * separators, no traversal, nothing hidden. Anything else is a 400,
+    * not a best-effort mangle.
+    */
+  private[vesc] val SafeCsvName = "^[A-Za-z0-9][A-Za-z0-9._ -]{0,120}\\.csv$".r
+
+  /** Refuse uploads past this size rather than buffering them (the
+    * reference's logs are a few MB; 256 MiB is generous headroom).
+    */
+  private[vesc] val MaxUploadBytes: Long = 256L * 1024 * 1024
 
   private def contentType(name: String): String =
     if (name.endsWith(".json")) "application/json"
@@ -52,13 +73,16 @@ object Serve {
     * exposing the server beyond the machine is an explicit opt-in, not a
     * default. Non-blocking — caller owns stop().
     */
-  def start(dir: Path, port: Int, host: String = "127.0.0.1"): HttpServer = {
+  def start(dir: Path, port: Int, host: String = "127.0.0.1",
+            uploadTo: Option[Path] = None): HttpServer = {
     val root = dir.toAbsolutePath.normalize
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/", (ex: HttpExchange) => {
       try {
         val path = ex.getRequestURI.getPath
-        if (ex.getRequestMethod != "GET") {
+        if (ex.getRequestMethod == "POST" && path == "/upload") {
+          handleUpload(ex, uploadTo)
+        } else if (ex.getRequestMethod != "GET") {
           respondJson(ex, 405, """{"error":"method not allowed"}""")
         } else if (path == "/health") {
           respondJson(ex, 200, """{"ok":true}""")
@@ -96,6 +120,51 @@ object Serve {
     server.start()
     server
   }
+
+  /** Accept one uploaded raw log. The filename arrives as `?name=` (the
+    * reference keeps the original name because the ride date is inferred
+    * from it — app.py:107 `infer_log_date_from_filename`); the body is
+    * the raw CSV bytes. The write is temp-file + atomic rename INTO the
+    * watched directory, with the temp name carrying no `.csv` suffix, so
+    * the streaming file source only ever lists complete logs.
+    */
+  private def handleUpload(ex: HttpExchange, uploadTo: Option[Path]): Unit =
+    uploadTo match {
+      case None =>
+        respondJson(ex, 404, """{"error":"uploads not enabled"}""")
+      case Some(dirRaw) =>
+        val dir = dirRaw.toAbsolutePath.normalize
+        val name = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split('&').collectFirst {
+            case q if q.startsWith("name=") =>
+              java.net.URLDecoder.decode(q.stripPrefix("name="), "UTF-8")
+          }.getOrElse("")
+        if (SafeCsvName.findFirstIn(name).isEmpty) {
+          respondJson(ex, 400, """{"error":"name must be a plain .csv filename"}""")
+        } else {
+          val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+          if (declared.exists(_ > MaxUploadBytes)) {
+            respondJson(ex, 413, """{"error":"upload too large"}""")
+          } else {
+            val body = ex.getRequestBody.readNBytes((MaxUploadBytes + 1).toInt)
+            if (body.length.toLong > MaxUploadBytes) {
+              respondJson(ex, 413, """{"error":"upload too large"}""")
+            } else if (body.isEmpty) {
+              respondJson(ex, 400, """{"error":"empty body"}""")
+            } else {
+              Files.createDirectories(dir)
+              val tmp = Files.createTempFile(dir, ".part_", ".tmp")
+              Files.write(tmp, body)
+              Files.move(tmp, dir.resolve(name),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              respondJson(ex, 200,
+                s"""{"uploaded":${"\"" + name + "\""},"bytes":${body.length}}""")
+            }
+          }
+        }
+    }
 
   /** `runMain graft.vesc.Serve <exportDir> [port] [host]` — serve an
     * [[Export]] output directory until killed (loopback unless a host is

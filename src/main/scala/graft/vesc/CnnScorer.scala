@@ -214,6 +214,13 @@ object CnnScorer {
 
   // ---- weight loading (neutral parquet: layer, shape, data) ----
 
+  /** Load the reference's own `.pt` checkpoint directly (pure JVM —
+    * [[TorchCheckpoint]]); the neutral-parquet path below remains for
+    * pre-exported weight tables and as the golden-oracle format.
+    */
+  def loadCheckpoint(path: String): CnnWeights =
+    fromTensors(TorchCheckpoint.stateDict(path))
+
   def loadWeights(spark: SparkSession, path: String): CnnWeights = {
     val rows = spark.read.parquet(path).collect()
     val tensors: Map[String, (Seq[Int], Array[Float])] = rows.map { r =>

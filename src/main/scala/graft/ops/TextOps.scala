@@ -37,6 +37,68 @@ object TextOps {
   def tokenHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
 
+  // ---- BPE merge application (subword-nmt semantics) ----
+
+  /** A small well-formed merge table (each side is a single char or the
+    * product of an earlier merge), rank = position. Stands in for a
+    * learned vocabulary; real deployments pass their own table — the
+    * operator is rank-generic.
+    */
+  val DefaultBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
+    ("e", "r"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("an", "d"), ("o", "u"), ("e", "s"), ("s", "t"), ("l", "l"),
+    ("o", "o"), ("i", "s"), ("i", "t"), ("a", "l"), ("e", "d"),
+    ("in", "g"), ("a", "r"), ("o", "f"), ("t", "o"))
+
+  /** Apply BPE merges to one word, in rank order, each merge replacing
+    * every current non-overlapping occurrence left-to-right — the
+    * subword-nmt `apply_bpe` definition (merges are applied in the order
+    * they were learned; a well-formed table lists a pair only after both
+    * of its components exist, so rank order is also dependency order).
+    *
+    * The trick that keeps this a pure codegen'd expression chain — no
+    * UDF, no loop, and REPLAYABLE VERBATIM IN SQL for the oracle — is
+    * the symbol encoding: the word becomes `"  s1  s2  ...  "` (symbols
+    * joined by TWO spaces, double-space guards at both ends), and merge
+    * (a,b)→ab is `replace(s, " a  b ", " ab ")`. Each pattern consumes
+    * one of the two boundary spaces on each side and the replacement
+    * restores it, so consecutive matches stay matchable ("a b a b" →
+    * "ab ab" in one pass) while `replace`'s resume-after-replacement
+    * scan gives exactly the left-to-right non-overlap BPE needs
+    * ("a a a" → "aa a"). The double separator makes a symbol boundary
+    * unforgeable: " a  b " can never match inside a larger symbol.
+    *
+    * Scale shape: one chained string expression per word inside
+    * `transform`, fully inside WholeStageCodegen, zero shuffle; the
+    * merge table is compiled into the plan (the moral equivalent of a
+    * broadcast — every executor holds the table, no join).
+    */
+  def bpeSpaced(word: Column, merges: Seq[(String, String)]): Column = {
+    val init = concat(lit("  "), regexp_replace(word, "(.)", "$1  "))
+    merges.foldLeft(init) { case (acc, (a, b)) =>
+      replace(acc, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+  }
+
+  /** BPE token array of one word: merge, trim the guards, split on the
+    * double separator.
+    */
+  def bpeTokens(word: Column, merges: Seq[(String, String)] = DefaultBpeMerges): Column =
+    split(trim(bpeSpaced(word, merges)), "  ")
+
+  /** The same merge chain as DuckDB SQL over a word expression — the
+    * oracle replays the identical ranks, not a reimplementation.
+    */
+  def bpeTokensSql(wordExpr: String,
+                   merges: Seq[(String, String)] = DefaultBpeMerges): String = {
+    val init = s"'  ' || regexp_replace($wordExpr, '(.)', '\\1  ', 'g')"
+    val spaced = merges.foldLeft(init) { case (acc, (a, b)) =>
+      s"replace($acc, ' $a  $b ', ' $a$b ')"
+    }
+    s"string_split(trim($spaced), '  ')"
+  }
+
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed,
     * trimmed text. Deterministic, join-able, and identical across engines.
     */

@@ -180,6 +180,22 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE merge application: the rank-ordered merge chain over every
+    // [a-z0-9]+ word (TextOps.bpeTokens — subword-nmt semantics as a
+    // pure codegen'd replace chain). n_bpe_tokens is the token count a
+    // training-data budget would meter; head_tokens pins the actual
+    // segmentation (not just counts) in the hash compare.
+    "text_bpe" -> ((s, dir) => {
+      val words = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+      val tokArr = flatten(transform(words, w => TextOps.bpeTokens(w)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(tokArr).cast("long").as("n_bpe_tokens"),
+          size(words).cast("long").as("n_words"),
+          array_join(slice(tokArr, 1, 8), "|").as("head_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality scoring: stopword ratio + length-normalized score.
     "text_quality" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -483,6 +499,18 @@ object DataPipelineQueries extends QueryPack {
         |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_pieces,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bpe" -> {
+      val bpe = graft.ops.TextOps.bpeTokensSql("w")
+      s"""WITH t AS (SELECT doc_id,
+         |    flatten(list_transform(
+         |      regexp_extract_all(lower(text), '[a-z0-9]+'), w -> $bpe)) AS toks,
+         |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(nw AS BIGINT) AS n_words,
+         |  array_to_string(toks[1:8], '|') AS head_tokens
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     "text_tokens" ->
       s"""SELECT doc_id, len($tokSql) AS n_tokens,
          |  len(list_distinct($tokSql)) AS n_distinct,

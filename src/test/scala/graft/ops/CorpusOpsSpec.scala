@@ -197,6 +197,33 @@ class CorpusOpsSpec extends SparkSuite {
       (2L, 0L, "a b", 2L)))
   }
 
+  test("bpeTokens applies merges in rank order with left-to-right non-overlap") {
+    import spark.implicits._
+    def seg(word: String, merges: Seq[(String, String)]): List[String] =
+      Seq(word).toDF("w")
+        .select(TextOps.bpeTokens(col("w"), merges).as("t"))
+        .as[List[String]].head()
+
+    // expectations from an independent Python replay of subword-nmt
+    // rank-ordered merge-all application (not derived from the impl)
+    val m = TextOps.DefaultBpeMerges
+    assert(seg("the", m) == List("the"))
+    assert(seg("thinking", m) == List("th", "in", "k", "ing"))
+    assert(seg("another", m) == List("an", "o", "the", "r"))
+    assert(seg("interesting", m) == List("in", "t", "er", "es", "t", "ing"))
+    assert(seg("stood", m) == List("st", "oo", "d"))
+    assert(seg("toother", m) == List("t", "oo", "the", "r"))
+    assert(seg("a", m) == List("a"))
+
+    // left-to-right non-overlap on repeated pairs
+    assert(seg("aaaa", Seq(("a", "a"))) == List("aa", "aa"))
+    assert(seg("aaa", Seq(("a", "a"))) == List("aa", "a"))
+    // a later merge consumes an earlier merge's product
+    assert(seg("abc", Seq(("a", "b"), ("ab", "c"))) == List("abc"))
+    // rank order is the application order, not table order reversed
+    assert(seg("abab", Seq(("a", "b"))) == List("ab", "ab"))
+  }
+
   test("mixtureSample keeps per-source rates deterministically; unknown sources drop") {
     import spark.implicits._
     val df = (1L to 300L).map(i =>

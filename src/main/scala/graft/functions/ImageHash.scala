@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Perceptual image hashes over REAL pixel data — `image_ahash(bin)` and
+  * `image_dhash(bin)` decode an uncompressed 24-bit BMP (the format whose
+  * pixel layout is ~30 lines of header walk + stride arithmetic — no
+  * codec library) and produce the classic 64-bit average-hash /
+  * difference-hash, or null for anything that is not a decodable BMP.
+  *
+  * This composes the multimodal seam with the dedup family: where
+  * [[SimHash64]] fingerprints token streams, these fingerprint pixels,
+  * and the SAME hamming-band near-dup join works downstream (a 4×16-bit
+  * band equality is pigeonhole-complete for hamming ≤ 3 and a strong
+  * recall prefilter beyond).
+  *
+  * Definitions (all integer arithmetic, so an oracle can replay them
+  * exactly):
+  *  - grayscale: `(299·r + 587·g + 114·b) / 1000` per pixel.
+  *  - block grid: cell (bx,by) of a gw×gh grid covers x ∈
+  *    [bx·W/gw, (bx+1)·W/gw) (floor division), same for y; cell value =
+  *    pixel-gray sum / cell pixel count.
+  *  - aHash: 8×8 grid; mean = Σcells/64; bit (by·8+bx) set iff
+  *    cell ≥ mean.
+  *  - dHash: 9×8 grid; bit (by·8+bx) set iff cell(bx,by) < cell(bx+1,by)
+  *    (horizontal gradient sign).
+  *
+  * Scale shape: scan-side expression inside WholeStageCodegen (static
+  * call, same pattern as [[ImageHeader]]); each blob is decoded once and
+  * reduced to 8 bytes before anything shuffles — the hash, not the
+  * image, is what the dedup join carries.
+  */
+abstract class ImageHash64 extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+}
+
+case class AHash64(child: Expression) extends ImageHash64 {
+  override def prettyName: String = "image_ahash"
+  override def nullSafeEval(input: Any): Any =
+    ImageHash.ahash(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long __h = graft.functions.ImageHash.ahash($c);
+      ${ev.isNull} = __h == null;
+      ${ev.value} = __h == null ? 0L : __h.longValue();
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AHash64 =
+    copy(child = newChild)
+}
+
+case class DHash64(child: Expression) extends ImageHash64 {
+  override def prettyName: String = "image_dhash"
+  override def nullSafeEval(input: Any): Any =
+    ImageHash.dhash(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long __h = graft.functions.ImageHash.dhash($c);
+      ${ev.isNull} = __h == null;
+      ${ev.value} = __h == null ? 0L : __h.longValue();
+    """)
+  override protected def withNewChildInternal(newChild: Expression): DHash64 =
+    copy(child = newChild)
+}
+
+object ImageHash {
+
+  /** Register both hashes on a session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "image_ahash", exprs => AHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "image_dhash", exprs => DHash64(exprs.head), "built-in")
+  }
+
+  /** Decoded grayscale image: row-major top-down `gray(y*w + x)`. */
+  private final class Gray(val w: Int, val h: Int, val px: Array[Int])
+
+  /** Uncompressed 24-bit BMP (BITMAPINFOHEADER family) → grayscale, or
+    * null: wrong magic, compressed, palette-indexed, truncated pixel
+    * data, or zero-area. Negative height = top-down row order (handled,
+    * not rejected); width must be positive.
+    */
+  private def decode(b: Array[Byte]): Gray = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val dibSize = Bytes.le32(b, 14)
+    if (dibSize < 40) return null // core/OS2-short headers are not 24-bit pixel paths here
+    val w = Bytes.le32(b, 18).toInt
+    val hRaw = Bytes.le32(b, 22).toInt
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bitCount = Bytes.le16(b, 28).toInt
+    val compression = Bytes.le32(b, 30)
+    if (w <= 0 || h == 0 || bitCount != 24 || compression != 0L) return null
+    val dataOffset = Bytes.le32(b, 10)
+    val stride = (w * 3 + 3) & ~3
+    if (dataOffset < 0 || dataOffset + stride.toLong * h > b.length) return null
+    val off = dataOffset.toInt
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      // stored row 0 is the BOTTOM image row unless top-down
+      val srcRow = if (topDown) y else h - 1 - y
+      var x = 0
+      val base = off + srcRow * stride
+      while (x < w) {
+        val blue = b(base + x * 3) & 0xff
+        val green = b(base + x * 3 + 1) & 0xff
+        val red = b(base + x * 3 + 2) & 0xff
+        px(y * w + x) = (299 * red + 587 * green + 114 * blue) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    new Gray(w, h, px)
+  }
+
+  /** Cell values of a gw×gh block grid (floor-division cell bounds,
+    * integer mean per cell), row-major.
+    */
+  private def cells(g: Gray, gw: Int, gh: Int): Array[Int] = {
+    val out = new Array[Int](gw * gh)
+    var by = 0
+    while (by < gh) {
+      val y0 = by * g.h / gh; val y1 = (by + 1) * g.h / gh
+      var bx = 0
+      while (bx < gw) {
+        val x0 = bx * g.w / gw; val x1 = (bx + 1) * g.w / gw
+        var sum = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += g.px(y * g.w + x); n += 1; x += 1 }
+          y += 1
+        }
+        // degenerate cells (image smaller than the grid) read one pixel
+        out(by * gw + bx) =
+          if (n > 0) (sum / n).toInt
+          else g.px(math.min(y0, g.h - 1) * g.w + math.min(x0, g.w - 1))
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  def ahash(b: Array[Byte]): java.lang.Long = {
+    val g = decode(b)
+    if (g == null) return null
+    val c = cells(g, 8, 8)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += c(i); i += 1 }
+    val mean = sum / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) { if (c(i) >= mean) hash |= (1L << i); i += 1 }
+    java.lang.Long.valueOf(hash)
+  }
+
+  def dhash(b: Array[Byte]): java.lang.Long = {
+    val g = decode(b)
+    if (g == null) return null
+    val c = cells(g, 9, 8)
+    var hash = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        if (c(by * 9 + bx) < c(by * 9 + bx + 1)) hash |= (1L << (by * 8 + bx))
+        bx += 1
+      }
+      by += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+}

@@ -123,15 +123,26 @@ object ImageHeader {
     if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return row("gif", le16(b, 6), le16(b, 8))
-    // BMP: BM + a DIB header. Width/height live at 18/22 ONLY for the
-    // 40-byte-plus BITMAPINFOHEADER family; the legacy 12-byte
+    // BMP: BM + a DIB header. Width/height live as le32 at 18/22 for
+    // every header from the 16-byte OS/2 2.x short form up through the
+    // BITMAPINFOHEADER family (dibSize >= 16); the legacy 12-byte
     // BITMAPCOREHEADER packs 16-bit dims at 18/20 instead, so reading
-    // le32 there would return garbage — check the header-size field at 14
-    // and handle each layout (null, never garbage, like the other formats).
+    // le32 there would return garbage — dispatch on the header-size
+    // field at 14. A negative stored height means top-down row order,
+    // not a negative dimension: report abs(h). Non-positive results
+    // (garbage widths, h == Int.MinValue) yield null, never garbage.
     if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
       val dibSize = le32(b, 14)
-      if (dibSize >= 40) return row("bmp", le32(b, 18), le32(b, 22))
-      if (dibSize == 12) return row("bmp", le16(b, 18), le16(b, 20))
+      if (dibSize >= 16) {
+        val w = le32(b, 18).toInt
+        val h = math.abs(le32(b, 22).toInt)
+        return if (w > 0 && h > 0) row("bmp", w, h) else null
+      }
+      if (dibSize == 12) {
+        val w = le16(b, 18)
+        val h = le16(b, 20)
+        return if (w > 0 && h > 0) row("bmp", w, h) else null
+      }
       return null
     }
     null

@@ -231,6 +231,55 @@ object ExtraQueries extends QueryPack {
           col("m.width").as("width"), col("m.height").as("height"),
           col("m.duration_ms").as("duration_ms"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Perceptual image dedup — the multimodal seam composed with the
+    // dedup family. Fixtures are REAL uncompressed 24-bit BMPs (72×16,
+    // full header + bottom-up BGR pixel rows) synthesized per doc: docs
+    // 2g and 2g+1 share a block pattern keyed by g, the odd doc carrying
+    // a +25 brightness perturbation on one 9×2 block — a near-duplicate
+    // with known-small hamming distance. The engine must actually parse
+    // the BMP and hash pixels (graft.functions.ImageHash aHash/dHash);
+    // the oracle replays the integer hash arithmetic from the same
+    // doc_id-derived pixel values. Candidate generation is the SimHash
+    // template: 4×16-bit hamming bands, equi-join, filter before
+    // distinct so only true near-dups shuffle.
+    "mm_image_dedup" -> ((s, dir) => {
+      graft.functions.ImageHash.register(s)
+      // 54-byte header: BM, fileSize 3510, dataOffset 54, BITMAPINFOHEADER
+      // 40, 72×16, 1 plane, 24bpp, BI_RGB, imageSize 3456
+      val hdr = "424DB60D0000000000003600000028000000480000001000000001001800" +
+        "00000000800D000000000000000000000000000000000000"
+      val vSql = // grayscale value at (x, image-row y): r=g=b=v so luma==v
+        """(((doc_id div 2) * 37 + (x div 9) * 23 + (y div 2) * 41) % 200
+          | + (CASE WHEN doc_id % 2 = 1 AND x div 9 = (doc_id div 2) % 8
+          |    AND y div 2 = ((doc_id div 2) div 8) % 8 THEN 25 ELSE 0 END))"""
+          .stripMargin.replace("\n", "")
+      val pixelsSql = // stored rows bottom-up: row k holds image row y=15-k
+        s"""array_join(transform(sequence(0, 15), k ->
+           |  array_join(transform(sequence(0, 71), x ->
+           |    repeat(lpad(hex(${vSql.replace("y", "(15 - k)")}), 2, '0'), 3)
+           |  ), '')), '')""".stripMargin.replace("\n", "")
+      val hashed = Tables.documents(s, dir)
+        .selectExpr("doc_id", s"unhex(concat('$hdr', $pixelsSql)) AS blob")
+        .selectExpr("doc_id", "image_ahash(blob) AS ahash",
+          "image_dhash(blob) AS dhash")
+      val banded = hashed.select(col("doc_id"), col("ahash"), col("dhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band_idx"),
+          expr(s"shiftright(ahash, ${b * 16}) & 65535").as("band_val"))): _*)).as("band"))
+        .select(col("doc_id"), col("ahash"), col("dhash"),
+          col("band.band_idx"), col("band.band_val"))
+      val a = banded.alias("a")
+      val b = banded.alias("b")
+      a.join(b, col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long").as("ham_a"),
+          bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).cast("long").as("ham_d"))
+        .filter(col("ham_a") <= 6)
+        .distinct()
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   override val oracle: Map[String, String] = Map(
@@ -325,6 +374,56 @@ object ExtraQueries extends QueryPack {
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 120 + 1) * 1000
         |       ELSE (doc_id % 40 + 10) * (doc_id % 100 + 1) END AS BIGINT)
         |    AS duration_ms
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // replay of the integer hash arithmetic over the same doc_id-derived
+    // pixel values the fixtures embed (r=g=b=v so luma==v); 64-bit hashes
+    // assembled from two 32-bit halves to stay inside signed BIGINT
+    "mm_image_dedup" ->
+      """WITH px AS (
+        |  SELECT doc_id, xs.x, ys.y,
+        |    ((doc_id // 2) * 37 + (xs.x // 9) * 23 + (ys.y // 2) * 41) % 200
+        |    + (CASE WHEN doc_id % 2 = 1 AND xs.x // 9 = (doc_id // 2) % 8
+        |        AND ys.y // 2 = ((doc_id // 2) // 8) % 8 THEN 25 ELSE 0 END) AS v
+        |  FROM documents,
+        |    (SELECT unnest(generate_series(0, 71)) AS x) xs,
+        |    (SELECT unnest(generate_series(0, 15)) AS y) ys),
+        |acell AS (SELECT doc_id, y // 2 AS by, x // 9 AS bx, sum(v) // 18 AS val
+        |  FROM px GROUP BY 1, 2, 3),
+        |amean AS (SELECT doc_id, sum(val) // 64 AS mean FROM acell GROUP BY 1),
+        |ah AS (SELECT acell.doc_id,
+        |    CAST(sum(CASE WHEN val >= mean AND by * 8 + bx < 32
+        |        THEN CAST(1 AS BIGINT) << CAST(by * 8 + bx AS INT) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN val >= mean AND by * 8 + bx >= 32
+        |        THEN CAST(1 AS BIGINT) << CAST(by * 8 + bx - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM acell JOIN amean USING (doc_id) GROUP BY 1),
+        |ahf AS (SELECT doc_id,
+        |    (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |      * 4294967296 + lo AS ahash FROM ah),
+        |dcell AS (SELECT doc_id, y // 2 AS by, x // 8 AS bx, sum(v) // 16 AS val
+        |  FROM px GROUP BY 1, 2, 3),
+        |dh AS (SELECT l.doc_id,
+        |    CAST(sum(CASE WHEN l.val < r.val AND l.by * 8 + l.bx < 32
+        |        THEN CAST(1 AS BIGINT) << CAST(l.by * 8 + l.bx AS INT) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN l.val < r.val AND l.by * 8 + l.bx >= 32
+        |        THEN CAST(1 AS BIGINT) << CAST(l.by * 8 + l.bx - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM dcell l JOIN dcell r
+        |    ON l.doc_id = r.doc_id AND l.by = r.by AND r.bx = l.bx + 1
+        |  GROUP BY 1),
+        |dhf AS (SELECT doc_id,
+        |    (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |      * 4294967296 + lo AS dhash FROM dh),
+        |f AS (SELECT ahf.doc_id, ahash, dhash FROM ahf JOIN dhf USING (doc_id)),
+        |bands AS (SELECT doc_id, ahash, dhash, g.b AS band_idx,
+        |    (ahash >> (g.b * 16)) & 65535 AS band_val
+        |  FROM f, (SELECT unnest(generate_series(0, 3)) AS b) g),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(xor(a.ahash, b.ahash)) AS ham_a,
+        |    bit_count(xor(a.dhash, b.dhash)) AS ham_d
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |      AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(ham_a AS BIGINT) AS ham_a,
+        |  CAST(ham_d AS BIGINT) AS ham_d
+        |FROM cand WHERE ham_a <= 6 ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -211,6 +211,111 @@ class MultimodalSpec extends SparkSuite {
     assert(rows(2L).isNullAt(3), "non-image blob must carry a null image header")
   }
 
+  // ---- perceptual hashes over real BMP pixel data (ImageHash) ----
+
+  /** Build a real uncompressed 24-bit BMP: full header, stride padding,
+    * BGR pixel order, bottom-up rows (or top-down when `topDown`, stored
+    * with negative height). `px(x, y)` is the gray value for IMAGE row y
+    * (y=0 is the top), written to all three channels.
+    */
+  private def bmp24(w: Int, h: Int, topDown: Boolean = false)
+                   (px: (Int, Int) => Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val size = 54 + stride * h
+    val out = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+      .putShort(1).putShort(24).putInt(0).putInt(stride * h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    for (k <- 0 until h) {
+      val y = if (topDown) k else h - 1 - k // stored row k -> image row y
+      for (x <- 0 until w) {
+        val v = px(x, y).toByte
+        out.put(v).put(v).put(v) // b, g, r
+      }
+      out.put(new Array[Byte](stride - w * 3))
+    }
+    out.array()
+  }
+
+  private def hashDf(blobs: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    graft.functions.ImageHash.register(spark)
+    blobs.toDF("id", "blob")
+      .selectExpr("id", "image_ahash(blob) AS a", "image_dhash(blob) AS d")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+  }
+
+  test("aHash: half-dark half-bright 16x16 gives exactly the right-half bits") {
+    val half = bmp24(16, 16)((x, _) => if (x < 8) 0 else 200)
+    val got = hashDf(Seq((1L, half)))(1L).get
+    // mean 100; cells bx>=4 set -> byte 0xF0 per grid row
+    assert(got._1 == 0xF0F0F0F0F0F0F0F0L, f"ahash=${got._1}%016X")
+  }
+
+  test("dHash: monotone horizontal gradient sets all 64 bits; reversed sets none") {
+    // w=18 -> stride 56 != 54 exercises row padding; every 2px dHash cell
+    // strictly increases left to right
+    val inc = bmp24(18, 16)((x, _) => x * 10)
+    val dec = bmp24(18, 16)((x, _) => 170 - x * 10)
+    val got = hashDf(Seq((1L, inc), (2L, dec)))
+    assert(got(1L).get._2 == -1L, f"dhash=${got(1L).get._2}%016X")
+    assert(got(2L).get._2 == 0L)
+  }
+
+  test("top-down BMP (negative height) hashes identically to bottom-up") {
+    def pat(x: Int, y: Int) = (x * 2 + y * 3) % 200
+    val up = bmp24(72, 16)(pat)
+    val down = bmp24(72, 16, topDown = true)(pat)
+    val got = hashDf(Seq((1L, up), (2L, down)))
+    assert(got(1L).get == got(2L).get)
+  }
+
+  test("near-duplicate pixels hash close; unrelated patterns hash far") {
+    def base(x: Int, y: Int) = ((x / 9) * 23 + (y / 2) * 41) % 200
+    val a = bmp24(72, 16)(base)
+    // +40 brightness on one 9x2 block — a typical re-encode/levels tweak
+    val b = bmp24(72, 16)((x, y) =>
+      base(x, y) + (if (x / 9 == 2 && y / 2 == 3) 40 else 0))
+    // different pattern seed entirely
+    val far = bmp24(72, 16)((x, y) => ((x * 7 + 3) * (y + 5)) % 251)
+    val got = hashDf(Seq((1L, a), (2L, b), (3L, far)))
+    val hamA = java.lang.Long.bitCount(got(1L).get._1 ^ got(2L).get._1)
+    val hamFar = java.lang.Long.bitCount(got(1L).get._1 ^ got(3L).get._1)
+    assert(hamA <= 6, s"near-dup drifted $hamA bits")
+    assert(hamFar > 6, s"unrelated patterns collided at $hamFar bits")
+  }
+
+  test("non-BMP, compressed, palette, and truncated blobs hash to null") {
+    val png = hexBytes("89504E470D0A1A0A 0000000D 49484452 00000010 00000020 0806000000")
+    val rle = { // biCompression = 1 (RLE8)
+      val b = bmp24(16, 16)((_, _) => 50); b(30) = 1; b
+    }
+    val pal8 = { // biBitCount = 8
+      val b = bmp24(16, 16)((_, _) => 50); b(28) = 8; b
+    }
+    val cut = bmp24(16, 16)((_, _) => 50).take(100) // pixel data truncated
+    val got = hashDf(Seq((1L, png), (2L, rle), (3L, pal8), (4L, cut),
+      (5L, "plain text".getBytes("UTF-8"))))
+    (1L to 5L).foreach(i => assert(got(i).isEmpty, s"blob $i must hash null"))
+  }
+
+  test("image headers: 16-byte OS/2 2.x short header and top-down height") {
+    // dibSize 16: le32 dims at 18/22, like BITMAPINFOHEADER
+    val os2 = hexBytes("424D 3A000000 00000000 1A000000 10000000" +
+      "40000000 30000000")
+    // BITMAPINFOHEADER with height -48 (top-down): abs reported
+    val topDown = hexBytes("424D 46000000 00000000 36000000 28000000" +
+      "40000000 D0FFFFFF 0100 1800")
+    val got = parseDf(Seq((1L, os2), (2L, topDown)))
+    assert(got(1L).contains(("bmp", 64, 48)))
+    assert(got(2L).contains(("bmp", 64, 48)))
+  }
+
   test("decodeFeatures refuses a null decoder — the stub is opt-in") {
     intercept[IllegalArgumentException] {
       MultimodalOps.decodeFeatures(docs, "blob", dim = 8, decoder = null)

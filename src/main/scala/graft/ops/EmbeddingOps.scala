@@ -261,9 +261,12 @@ object EmbeddingOps {
     reg(corpus)
     val scale = math.pow(10, roundDigits)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val probeQ = probes.select(col("query_id"), col("cluster")).join(q, "query_id")
+    // probe-side cluster under a reserved name: a corpus clusterCol that is
+    // itself named "cluster" must not make the join condition ambiguous
+    val probeQ = probes.select(col("query_id"),
+      col("cluster").as("__pcluster")).join(q, "query_id")
     val scored = corpus
-      .join(broadcast(probeQ), col(clusterCol).cast("long") === col("cluster"))
+      .join(broadcast(probeQ), col(clusterCol).cast("long") === col("__pcluster"))
       .withColumn("score",
         floor(cosine(col("__qv"), col(vecCol)) * scale + lit(0.5)) / scale)
     takeTopK(scored, idCol, k)

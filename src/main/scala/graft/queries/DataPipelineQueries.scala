@@ -251,39 +251,51 @@ object DataPipelineQueries extends QueryPack {
     }),
 
     // ANN quality evaluation: recall@k of the MULTI-PROBE IVF index
-    // against the exact brute-force ground truth, per query and per
-    // nprobe ∈ {1, 2, 4} — the recall/scan-fraction trade-off curve every
-    // production ANN deployment measures before trusting an index. The
-    // coarse codebook is the mean-of-members centroid table; probes are
-    // resolved ONCE at the largest nprobe and rank-filtered per setting
-    // (the codebook is scored once, not once per curve point). At 100 TB
-    // the exact side runs over a SAMPLED query set (brute force is the
-    // expensive half) while the probed side is the production path.
+    // against the exact brute-force ground truth, per query, per nprobe
+    // ∈ {1, 2, 4}, and per CODEBOOK — the label-bucket centroids (the
+    // fixture's idealized clustering) AND the k-means-trained codebook
+    // (KMeansOps.assignments k=4, the index a production deployment
+    // would actually serve, where nprobe=4 is a full probe and recall
+    // must hit 1.0 exactly). Ground truth and each codebook's probe
+    // table are materialized ONCE (localCheckpoint) and rank-filtered
+    // per curve point, so neither brute force nor codebook scoring
+    // physically re-runs per setting. At 100 TB the exact side runs
+    // over a SAMPLED query set (brute force is the expensive half)
+    // while the probed side is the production path.
     "embed_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val corpus = emb.filter(col("vec_id") >= 10)
       val queries = emb.filter(col("vec_id") < 10)
       val exact = EmbeddingOps.bruteForceTopK(corpus, queries,
-        "vec_id", "embedding", k = 3)
-      val cent = EmbeddingOps.meanCentroids(corpus, "embedding", "label")
-      val probes = EmbeddingOps.probeAssignments(queries, "vec_id", "embedding",
-        cent, nprobe = 4)
-      Seq(1, 2, 4).map { np =>
-        val approx = EmbeddingOps.ivfTopKProbed(corpus, queries,
-          "vec_id", "embedding", "label",
-          probes.filter(col("probe_rank") <= np), k = 3)
-        exact.alias("e")
-          .join(approx.alias("a"),
-            col("e.query_id") === col("a.query_id") &&
-              col("e.neighbor_id") === col("a.neighbor_id"), "left")
-          .groupBy(col("e.query_id").as("query_id"))
-          .agg(count(col("a.neighbor_id")).as("hits"),
-            (floor(count(col("a.neighbor_id")) / 3.0 * 1e4 + lit(0.5)) / 1e4)
-              .as("recall"))
-          .withColumn("nprobe", lit(np))
-      }.reduce(_ unionByName _)
-        .select(col("query_id"), col("nprobe"), col("hits"), col("recall"))
-        .orderBy(col("query_id"), col("nprobe"))
+        "vec_id", "embedding", k = 3).localCheckpoint(true)
+      def curve(corpusC: DataFrame, clusterCol: String, tag: String): DataFrame = {
+        val cent = EmbeddingOps.meanCentroids(corpusC, "embedding", clusterCol)
+        val probes = EmbeddingOps.probeAssignments(queries, "vec_id",
+          "embedding", cent, nprobe = 4).localCheckpoint(true)
+        Seq(1, 2, 4).map { np =>
+          val approx = EmbeddingOps.ivfTopKProbed(corpusC, queries,
+            "vec_id", "embedding", clusterCol,
+            probes.filter(col("probe_rank") <= np), k = 3)
+          exact.alias("e")
+            .join(approx.alias("a"),
+              col("e.query_id") === col("a.query_id") &&
+                col("e.neighbor_id") === col("a.neighbor_id"), "left")
+            .groupBy(col("e.query_id").as("query_id"))
+            .agg(count(col("a.neighbor_id")).as("hits"),
+              (floor(count(col("a.neighbor_id")) / 3.0 * 1e4 + lit(0.5)) / 1e4)
+                .as("recall"))
+            .withColumn("nprobe", lit(np))
+            .withColumn("codebook", lit(tag))
+        }.reduce(_ unionByName _)
+      }
+      val trained = corpus.join(
+        graft.ops.KMeansOps.assignments(emb, "vec_id", "embedding",
+          k = 4, iters = 1), "vec_id")
+      curve(corpus, "label", "label")
+        .unionByName(curve(trained, "cid", "trained"))
+        .select(col("query_id"), col("codebook"), col("nprobe"),
+          col("hits"), col("recall"))
+        .orderBy(col("query_id"), col("codebook"), col("nprobe"))
     }),
 
     // Per-cluster mean L2 norm (array aggregation exercise).
@@ -310,6 +322,82 @@ object DataPipelineQueries extends QueryPack {
        |  FROM tok, (SELECT unnest(generate_series(1,
        |    (SELECT max(len(ws)) FROM tok))) AS i) g
        |  WHERE i + 2 <= len(ws))""".stripMargin
+
+  /** Replay of KMeansOps.assignments(k=4, iters=1, salt "km:") over the
+    * full embeddings table — identical to the embed_kmeans_assign oracle
+    * (CorpusQueries) modulo CTE names, ending in `a1(id, cid)`.
+    */
+  private val kmeansReplaySql =
+    """ev AS (SELECT vec_id AS id,
+      |        list_transform(embedding,
+      |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv2,
+      |        ('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |      FROM embeddings),
+      |sk AS (SELECT qv2, rn - 1 AS cid FROM (
+      |        SELECT qv2, row_number() OVER (ORDER BY h, id) AS rn FROM ev)
+      |      WHERE rn <= 4),
+      |d0 AS (SELECT ev.id, sk.cid,
+      |         sum((ev.qv2[i] - sk.qv2[i]) * (ev.qv2[i] - sk.qv2[i])) AS d
+      |       FROM ev CROSS JOIN sk CROSS JOIN dims GROUP BY ev.id, sk.cid),
+      |a0 AS (SELECT id, cid FROM (
+      |         SELECT id, cid, row_number() OVER (PARTITION BY id
+      |           ORDER BY d, cid) AS rnk FROM d0)
+      |       WHERE rnk = 1),
+      |c1 AS (SELECT a0.cid, d.i, CAST(floor(avg(ev.qv2[d.i]) + 0.5) AS BIGINT) AS cx
+      |       FROM ev JOIN a0 ON ev.id = a0.id CROSS JOIN dims d
+      |       GROUP BY a0.cid, d.i),
+      |cf AS (SELECT sk.cid, d.i, coalesce(c1.cx, sk.qv2[d.i]) AS cx
+      |       FROM sk CROSS JOIN dims d
+      |       LEFT JOIN c1 ON c1.cid = sk.cid AND c1.i = d.i),
+      |d1 AS (SELECT ev.id, cc.cid,
+      |         sum((ev.qv2[cc.i] - cc.cx) * (ev.qv2[cc.i] - cc.cx)) AS d
+      |       FROM ev CROSS JOIN cf cc GROUP BY ev.id, cc.cid),
+      |a1 AS (SELECT id, cid FROM (
+      |         SELECT id, cid, row_number() OVER (PARTITION BY id
+      |           ORDER BY d, cid) AS rnk FROM d1)
+      |       WHERE rnk = 1)""".stripMargin
+
+  /** One codebook's multi-probe recall-curve CTEs over `src(vec_id,
+    * embedding, cluster)`: mean centroids → probe ranks → per-nprobe
+    * candidates → approximate top-3 (`a_<sfx>`). Shared CTEs `q`, `qn`,
+    * `dims`, `np` come from the enclosing query.
+    */
+  private def annCurveSql(sfx: String, src: String): String =
+    s"""cent_$sfx AS (
+       |  SELECT cluster, i,
+       |    floor(avg(CAST(embedding[i] AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS cv
+       |  FROM $src CROSS JOIN dims GROUP BY cluster, i),
+       |cn_$sfx AS (SELECT cluster, sqrt(sum(cv * cv)) AS ncv
+       |  FROM cent_$sfx GROUP BY cluster),
+       |qc_$sfx AS (
+       |  SELECT q.query_id, cent_$sfx.cluster,
+       |    sum(CAST(q.qv[cent_$sfx.i] AS DOUBLE) * cent_$sfx.cv) AS dp
+       |  FROM q CROSS JOIN cent_$sfx GROUP BY q.query_id, cent_$sfx.cluster),
+       |probes_$sfx AS (
+       |  SELECT query_id, cluster,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      floor(dp / (nqv * ncv) * 1e4 + 0.5) / 1e4 DESC, cluster ASC) AS pr
+       |  FROM qc_$sfx JOIN qn USING (query_id) JOIN cn_$sfx USING (cluster)),
+       |cand_$sfx AS (
+       |  SELECT n.nprobe, p.query_id, c2.vec_id,
+       |    floor(sum(CAST(q.qv[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE))
+       |      / (qn.nqv * sqrt(sum(CAST(c2.embedding[i] AS DOUBLE)
+       |                           * CAST(c2.embedding[i] AS DOUBLE))))
+       |      * 1e4 + 0.5) / 1e4 AS score
+       |  FROM np n
+       |  JOIN probes_$sfx p ON p.pr <= n.nprobe
+       |  JOIN $src c2 ON c2.cluster = p.cluster
+       |  JOIN q ON q.query_id = p.query_id
+       |  JOIN qn ON qn.query_id = p.query_id
+       |  CROSS JOIN dims
+       |  GROUP BY n.nprobe, p.query_id, c2.vec_id, qn.nqv),
+       |appr_$sfx AS (
+       |  SELECT nprobe, query_id, vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY nprobe, query_id
+       |      ORDER BY score DESC, vec_id ASC) AS rk
+       |  FROM cand_$sfx),
+       |a_$sfx AS (SELECT nprobe, query_id, neighbor_id
+       |  FROM appr_$sfx WHERE rk <= 3)""".stripMargin
 
   private val minhashSigSql = {
     val aggs = (0 until 8)
@@ -544,70 +632,54 @@ object DataPipelineQueries extends QueryPack {
     "embed_cosine_topk" -> cosineTopkSql(5, "TRUE"),
     "embed_ann_ivf" -> cosineTopkSql(3, "c.label = q.qlabel"),
     "embed_ann_recall" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-        |    FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
-        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
-        |cent AS (
-        |  SELECT label, i,
-        |    floor(avg(CAST(embedding[i] AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS cv
-        |  FROM c CROSS JOIN dims GROUP BY label, i),
-        |cn AS (SELECT label, sqrt(sum(cv * cv)) AS ncv FROM cent GROUP BY label),
-        |qn AS (SELECT query_id,
-        |    sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS nqv
-        |  FROM q CROSS JOIN dims GROUP BY query_id),
-        |qc AS (
-        |  SELECT q.query_id, cent.label,
-        |    sum(CAST(q.qv[cent.i] AS DOUBLE) * cent.cv) AS dp
-        |  FROM q CROSS JOIN cent GROUP BY q.query_id, cent.label),
-        |probes AS (
-        |  SELECT query_id, label,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY
-        |      floor(dp / (nqv * ncv) * 1e4 + 0.5) / 1e4 DESC, label ASC) AS pr
-        |  FROM qc JOIN qn USING (query_id) JOIN cn USING (label)),
-        |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
-        |cand AS (
-        |  SELECT n.nprobe, p.query_id, c.vec_id,
-        |    floor(sum(CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
-        |      / (qn.nqv * sqrt(sum(CAST(c.embedding[i] AS DOUBLE)
-        |                           * CAST(c.embedding[i] AS DOUBLE))))
-        |      * 1e4 + 0.5) / 1e4 AS score
-        |  FROM np n
-        |  JOIN probes p ON p.pr <= n.nprobe
-        |  JOIN c ON c.label = p.label
-        |  JOIN q ON q.query_id = p.query_id
-        |  JOIN qn ON qn.query_id = p.query_id
-        |  CROSS JOIN dims
-        |  GROUP BY n.nprobe, p.query_id, c.vec_id, qn.nqv),
-        |appr AS (
-        |  SELECT nprobe, query_id, vec_id AS neighbor_id,
-        |    row_number() OVER (PARTITION BY nprobe, query_id
-        |      ORDER BY score DESC, vec_id ASC) AS rk
-        |  FROM cand),
-        |a AS (SELECT nprobe, query_id, neighbor_id FROM appr WHERE rk <= 3),
-        |ep AS (
-        |  SELECT q.query_id, c.vec_id,
-        |    sum(CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS dp,
-        |    sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS qn2,
-        |    sqrt(sum(CAST(embedding[i] AS DOUBLE)
-        |             * CAST(embedding[i] AS DOUBLE))) AS cn2
-        |  FROM q CROSS JOIN c CROSS JOIN dims
-        |  GROUP BY q.query_id, c.vec_id),
-        |et AS (
-        |  SELECT query_id, vec_id AS neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY
-        |      floor((dp / (qn2 * cn2)) * 10000 + 0.5) / 10000.0 DESC,
-        |      vec_id ASC) AS rank
-        |  FROM ep),
-        |e AS (SELECT query_id, neighbor_id FROM et WHERE rank <= 3)
-        |SELECT e.query_id, CAST(n.nprobe AS INTEGER) AS nprobe,
-        |  CAST(count(a.neighbor_id) AS BIGINT) AS hits,
-        |  floor(count(a.neighbor_id) / 3.0 * 1e4 + 0.5) / 1e4 AS recall
-        |FROM np n CROSS JOIN e
-        |LEFT JOIN a ON a.nprobe = n.nprobe AND a.query_id = e.query_id
-        |  AND a.neighbor_id = e.neighbor_id
-        |GROUP BY e.query_id, n.nprobe
-        |ORDER BY e.query_id, n.nprobe""".stripMargin,
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |    FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |qn AS (SELECT query_id,
+         |    sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS nqv
+         |  FROM q CROSS JOIN dims GROUP BY query_id),
+         |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         |cl AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS cluster FROM c),
+         |$kmeansReplaySql,
+         |ct AS (SELECT c.vec_id, c.embedding, CAST(a1.cid AS BIGINT) AS cluster
+         |  FROM c JOIN a1 ON a1.id = c.vec_id),
+         |${annCurveSql("l", "cl")},
+         |${annCurveSql("t", "ct")},
+         |ep AS (
+         |  SELECT q.query_id, c.vec_id,
+         |    sum(CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS dp,
+         |    sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS qn2,
+         |    sqrt(sum(CAST(embedding[i] AS DOUBLE)
+         |             * CAST(embedding[i] AS DOUBLE))) AS cn2
+         |  FROM q CROSS JOIN c CROSS JOIN dims
+         |  GROUP BY q.query_id, c.vec_id),
+         |et AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      floor((dp / (qn2 * cn2)) * 10000 + 0.5) / 10000.0 DESC,
+         |      vec_id ASC) AS rank
+         |  FROM ep),
+         |e AS (SELECT query_id, neighbor_id FROM et WHERE rank <= 3)
+         |SELECT query_id, codebook, nprobe, hits, recall FROM (
+         |  SELECT e.query_id, 'label' AS codebook,
+         |    CAST(n.nprobe AS INTEGER) AS nprobe,
+         |    CAST(count(a_l.neighbor_id) AS BIGINT) AS hits,
+         |    floor(count(a_l.neighbor_id) / 3.0 * 1e4 + 0.5) / 1e4 AS recall
+         |  FROM np n CROSS JOIN e
+         |  LEFT JOIN a_l ON a_l.nprobe = n.nprobe AND a_l.query_id = e.query_id
+         |    AND a_l.neighbor_id = e.neighbor_id
+         |  GROUP BY e.query_id, n.nprobe
+         |  UNION ALL
+         |  SELECT e.query_id, 'trained' AS codebook,
+         |    CAST(n.nprobe AS INTEGER) AS nprobe,
+         |    CAST(count(a_t.neighbor_id) AS BIGINT) AS hits,
+         |    floor(count(a_t.neighbor_id) / 3.0 * 1e4 + 0.5) / 1e4 AS recall
+         |  FROM np n CROSS JOIN e
+         |  LEFT JOIN a_t ON a_t.nprobe = n.nprobe AND a_t.query_id = e.query_id
+         |    AND a_t.neighbor_id = e.neighbor_id
+         |  GROUP BY e.query_id, n.nprobe)
+         |ORDER BY query_id, codebook, nprobe""".stripMargin,
     "embed_norms" ->
       """WITH n AS (SELECT label,
         |    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm

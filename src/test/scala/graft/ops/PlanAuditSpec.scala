@@ -66,23 +66,30 @@ class PlanAuditSpec extends SparkSuite {
         "(candidates are cut to the probed clusters before any top-k state)")
   }
 
-  test("multi-probe IVF recall rises monotonically with nprobe to 1.0 at full probe") {
+  test("multi-probe IVF recall is monotone in nprobe; trained full probe hits 1.0") {
     val df = SparkEntry.queries("embed_ann_recall")(spark, sf("sf0.001"))
     val rows = df.collect().map(r =>
-      (r.getAs[Number]("query_id").longValue, r.getAs[Number]("nprobe").intValue,
-        r.getAs[Double]("recall")))
-    val byQuery = rows.groupBy(_._1)
-    byQuery.foreach { case (q, rs) =>
-      val recallByNp = rs.map(r => r._2 -> r._3).toMap
-      assert(recallByNp.keySet == Set(1, 2, 4), s"query $q missing nprobe rows")
-      assert(recallByNp(1) <= recallByNp(2) && recallByNp(2) <= recallByNp(4),
-        s"query $q recall not monotone in nprobe: $recallByNp")
+      (r.getAs[String]("codebook"), r.getAs[Number]("query_id").longValue,
+        r.getAs[Number]("nprobe").intValue, r.getAs[Double]("recall")))
+    Seq("label", "trained").foreach { cb =>
+      val byQuery = rows.filter(_._1 == cb).groupBy(_._2)
+      assert(byQuery.nonEmpty, s"no rows for codebook $cb")
+      byQuery.foreach { case (q, rs) =>
+        val recallByNp = rs.map(r => r._3 -> r._4).toMap
+        assert(recallByNp.keySet == Set(1, 2, 4), s"$cb query $q missing nprobe rows")
+        assert(recallByNp(1) <= recallByNp(2) && recallByNp(2) <= recallByNp(4),
+          s"$cb query $q recall not monotone in nprobe: $recallByNp")
+      }
+      // the AVERAGE curve must actually rise (the index trade-off is real)
+      val avg1 = rows.filter(r => r._1 == cb && r._3 == 1).map(_._4).sum / byQuery.size
+      val avg4 = rows.filter(r => r._1 == cb && r._3 == 4).map(_._4).sum / byQuery.size
+      assert(avg4 > avg1, s"$cb recall@4probes ($avg4) not above recall@1 ($avg1)")
     }
-    // probing 4 of the 5 clusters must dominate single-probe somewhere, and
-    // the AVERAGE curve must actually rise (the index trade-off is real)
-    val avg1 = rows.filter(_._2 == 1).map(_._3).sum / byQuery.size
-    val avg4 = rows.filter(_._2 == 4).map(_._3).sum / byQuery.size
-    assert(avg4 > avg1, s"recall@4probes ($avg4) not above recall@1 ($avg1)")
+    // the trained codebook has exactly k=4 clusters, so nprobe=4 is a FULL
+    // probe: the candidate set is the whole corpus and recall is exactly 1.0
+    rows.filter(r => r._1 == "trained" && r._3 == 4).foreach { r =>
+      assert(r._4 == 1.0, s"trained full probe must be exhaustive: query ${r._2} recall ${r._4}")
+    }
   }
 
   test("fuzzy-dedup e2e pipeline never plans a cartesian product") {

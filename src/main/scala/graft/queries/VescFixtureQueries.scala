@@ -171,10 +171,14 @@ object VescFixtureQueries extends QueryPack {
         col("win_id").cast("long").as("window_start"),
         expr("transform(sequence(0, 29), t -> slice(window, t*24 + 1, 24))")
           .as("features"))
+      // window 3 is FULLY unlabeled (zero-label rows couple into every
+      // layer below the topmost BN via the batch stats — the fixture row
+      // that would have caught the r05 sign bug at the driver gate)
       val withY = VescSchema.ConfidenceCols.zipWithIndex.foldLeft(base) {
         case (df, (c, i)) =>
           df.withColumn("y_" + c,
-            when(pmod(col("window_start") + i, lit(5)) === 0, lit(Double.NaN))
+            when(col("window_start") === 3, lit(Double.NaN))
+              .when(pmod(col("window_start") + i, lit(5)) === 0, lit(Double.NaN))
               .otherwise(pmod(col("window_start") + i, lit(3)).cast("double") / 2.0))
       }
       // the 11 passes re-scan the batch — persist it like the trainer does

@@ -239,8 +239,13 @@ def main():
     for win_id, flat in zip(golden["win_id"], golden["window"]):
         raw = np.array(flat, dtype=np.float32).reshape(30, 24)
         wins.append(((raw - mean) / std).astype(np.float32))
-        ys.append(np.array([np.nan if (win_id + k) % 5 == 0
-                            else ((win_id + k) % 3) / 2.0 for k in range(K)]))
+        # win_id 3 is FULLY unlabeled: zero-label rows still couple into
+        # every layer below the topmost BN through the batch-statistics
+        # terms — the r05 sign bug survived this oracle because no fixture
+        # row exercised that path; now the driver gate pins it
+        ys.append(np.full(K, np.nan) if win_id == 3
+                  else np.array([np.nan if (win_id + k) % 5 == 0
+                                 else ((win_id + k) % 3) / 2.0 for k in range(K)]))
 
     self_check(wins, ys, sd)
     g, total_loss, total_labeled = batch_gradient(wins, ys, p)

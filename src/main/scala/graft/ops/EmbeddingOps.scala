@@ -274,6 +274,12 @@ object EmbeddingOps {
 
   /** [[ivfTopKProbed]] with the codebook probe built in: train nothing,
     * probe the `nprobe` nearest [[meanCentroids]]-style centroids.
+    *
+    * Each invocation scores the codebook afresh (an O(queries × √n)
+    * broadcast product — cheap, but not free). Callers sweeping k or
+    * nprobe should call [[probeAssignments]] ONCE at the largest nprobe,
+    * materialize it, and rank-filter into [[ivfTopKProbed]] per setting —
+    * exactly what the `embed_ann_recall` curve does.
     */
   def ivfTopKMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, clusterCol: String,

@@ -158,10 +158,18 @@ object Export {
 
     flags.map(_.stripPrefix("--metrics=")).foreach { p =>
       val labeled = spark.read.parquet(p)
-      maeTable(labeled).coalesce(1).write.mode("overwrite")
+      val mae = maeTable(labeled)
+      mae.coalesce(1).write.mode("overwrite")
         .option("header", "true").csv(s"$outDir/mae.csv")
-      reliabilityTable(labeled).coalesce(1).write.mode("overwrite")
+      val rel = reliabilityTable(labeled)
+      rel.coalesce(1).write.mode("overwrite")
         .option("header", "true").csv(s"$outDir/reliability.csv")
+      // the reference also ships RENDERED metric plots (plot_metrics.py);
+      // Figures rasterizes the same two from the same aggregated tables
+      Files.write(Paths.get(s"$outDir/mae.png"), Figures.maePng(
+        mae.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq))
+      Files.write(Paths.get(s"$outDir/reliability.png"), Figures.reliabilityPng(
+        rel.collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq))
     }
     println(s"""{"exported":"$outDir","rides":${rawPaths.length}}""")
     spark.stop()

@@ -55,6 +55,7 @@ object Serve {
     if (name.endsWith(".json")) "application/json"
     else if (name.endsWith(".csv")) "text/csv"
     else if (name.endsWith(".html")) "text/html"
+    else if (name.endsWith(".png")) "image/png"
     else "application/octet-stream"
 
   private def respond(ex: HttpExchange, code: Int, body: Array[Byte],

@@ -250,20 +250,36 @@ object ExtraQueries extends QueryPack {
       // 40, 72×16, 1 plane, 24bpp, BI_RGB, imageSize 3456
       val hdr = "424DB60D0000000000003600000028000000480000001000000001001800" +
         "00000000800D000000000000000000000000000000000000"
-      val vSql = // grayscale value at (x, image-row y): r=g=b=v so luma==v
-        """(((doc_id div 2) * 37 + (x div 9) * 23 + (y div 2) * 41) % 200
+      // grayscale value at (x, image-row y): r=g=b=v so luma==v. The
+      // (g div 200)·(position) term keeps pattern diversity growing with
+      // the corpus: without it every g ≡ g' (mod 200) pair shares an
+      // identical base image and the pair output goes quadratic at 100×
+      // (identical-image classes stay O(corpus/40000) with it)
+      val vSql =
+        """(((doc_id div 2) * 37
+          | + ((doc_id div 2) div 200) * (x div 9 + 3 * (y div 2) + 1)
+          | + (x div 9) * 23 + (y div 2) * 41) % 200
           | + (CASE WHEN doc_id % 2 = 1 AND x div 9 = (doc_id div 2) % 8
           |    AND y div 2 = ((doc_id div 2) div 8) % 8 THEN 25 ELSE 0 END))"""
           .stripMargin.replace("\n", "")
-      val pixelsSql = // stored rows bottom-up: row k holds image row y=15-k
+      // stored rows bottom-up: row k holds image row y=15-k. v is constant
+      // across each 9-px block, so one hex repeat covers 27 bytes (9 px ×
+      // BGR) — 128 string ops per doc instead of 1152
+      val pixelsSql =
         s"""array_join(transform(sequence(0, 15), k ->
-           |  array_join(transform(sequence(0, 71), x ->
-           |    repeat(lpad(hex(${vSql.replace("y", "(15 - k)")}), 2, '0'), 3)
+           |  array_join(transform(sequence(0, 7), bx ->
+           |    repeat(lpad(hex(${vSql.replace("x div 9", "bx")
+                 .replace("y", "(15 - k)")}), 2, '0'), 27)
            |  ), '')), '')""".stripMargin.replace("\n", "")
+      // materialize the 24-byte-per-doc hash table ONCE before the
+      // self-join: without this the full BMP synthesis + decode lineage
+      // re-runs on BOTH join sides (measured 19 s → the fixture build,
+      // not the dedup, dominating the query)
       val hashed = Tables.documents(s, dir)
         .selectExpr("doc_id", s"unhex(concat('$hdr', $pixelsSql)) AS blob")
         .selectExpr("doc_id", "image_ahash(blob) AS ahash",
           "image_dhash(blob) AS dhash")
+        .localCheckpoint(true)
       val banded = hashed.select(col("doc_id"), col("ahash"), col("dhash"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band_idx"),
           expr(s"shiftright(ahash, ${b * 16}) & 65535").as("band_val"))): _*)).as("band"))
@@ -381,7 +397,9 @@ object ExtraQueries extends QueryPack {
     "mm_image_dedup" ->
       """WITH px AS (
         |  SELECT doc_id, xs.x, ys.y,
-        |    ((doc_id // 2) * 37 + (xs.x // 9) * 23 + (ys.y // 2) * 41) % 200
+        |    ((doc_id // 2) * 37
+        |     + ((doc_id // 2) // 200) * (xs.x // 9 + 3 * (ys.y // 2) + 1)
+        |     + (xs.x // 9) * 23 + (ys.y // 2) * 41) % 200
         |    + (CASE WHEN doc_id % 2 = 1 AND xs.x // 9 = (doc_id // 2) % 8
         |        AND ys.y // 2 = ((doc_id // 2) // 8) % 8 THEN 25 ELSE 0 END) AS v
         |  FROM documents,

@@ -92,6 +92,24 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("perceptual image dedup joins on hamming bands, never all-pairs") {
+    val p = planOf("mm_image_dedup")
+    assert(!p.contains("CartesianProduct"), "image dedup plans a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "image dedup plans a nested-loop join")
+    // candidate generation must be the band equi-join (band_idx, band_val)
+    assert(p.contains("band_val"), s"band equi-join missing:\n${p.take(2000)}")
+  }
+
+  test("BPE token counting is scan-side: no join, no window, no mid-plan shuffle") {
+    val df = SparkEntry.queries("text_bpe")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "BPE must not join (the merge table is compiled in)")
+    assert(!p.contains("Window"), "BPE must not window")
+    // the only exchange is the final presentation orderBy
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"BPE plans $exchanges exchanges — merge chain left the scan")
+  }
+
   test("fuzzy-dedup e2e pipeline never plans a cartesian product") {
     val p = planOf("dedup_e2e_fuzzy")
     assert(!p.contains("CartesianProduct"), "e2e dedup plans a cartesian product")

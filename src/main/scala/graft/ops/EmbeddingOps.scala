@@ -123,9 +123,10 @@ object EmbeddingOps {
   }
 
   /** Shared tail: group scored rows per query through the bounded top-k
-    * aggregate, then unnest ranks 1..k.
+    * aggregate, then unnest ranks 1..k. (`private[graft]`: [[PqOps]] reuses
+    * it for the ADC shortlist and rerank.)
     */
-  private def takeTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+  private[graft] def takeTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k))
     scored.groupBy(col("query_id"))
       .agg(topk(col("score"), col(idCol).cast("long")).as("__top"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** IVF coarse-quantizer training: deterministic Lloyd's k-means over the
@@ -36,46 +36,45 @@ object KMeansOps {
 
   private val Q = 1e6
 
-  /** Final cluster assignment (idCol, cid) after `iters` Lloyd rounds
-    * (assign → update, then one final assign against the last centroids).
-    * An emptied cluster keeps its previous centroid.
+  /** The hashed+quantized projection every scan of every iteration reads
+    * (seeds, 2 scans per round, final assign): 1e-6 grid longs + the
+    * derandomized seed hash. `vec` is a Column so a SLICE of the embedding
+    * works too — [[PqOps]] trains one codebook per subspace this way.
     */
-  def assignments(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-                  iters: Int, salt: String = "km:"): DataFrame = {
-    require(k > 0 && iters >= 0)
-    val spark = emb.sparkSession
-    import spark.implicits._
-    // the hashed+quantized projection feeds every scan of every iteration
-    // (seeds, 2 scans per round, final assign) — persist it once instead of
-    // re-running md5 + per-element quantization each time
-    val q = emb.select(col(idCol).cast("long").as("__id"),
-      transform(col(vecCol), x => floor(x.cast("double") * Q + lit(0.5)).cast("long"))
+  private def quantized(emb: DataFrame, idCol: String, vec: Column,
+                        salt: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("__id"),
+      transform(vec, x => floor(x.cast("double") * Q + lit(0.5)).cast("long"))
         .as("__qv"),
       SamplingOps.hash60(col(idCol), salt).as("__h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Fused argmin assignment of every row of `q` to its nearest centroid:
+    * distances to all k centroids and the argmin are computed per row by
+    * HOF expressions over the centroid array literal (ties break to the
+    * smallest cid via FIRST position of the min), planning zero exchanges.
+    */
+  private def assignTo(q: DataFrame, c: Seq[(Int, Seq[Long])]): DataFrame = {
+    val cents = array(c.sortBy(_._1).map { case (_, v) =>
+      array(v.map(lit): _*)
+    }: _*)
+    q.withColumn("__ds", transform(cents, cv =>
+        aggregate(zip_with(col("__qv"), cv, (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x)))
+      .select(col("__id"),
+        (array_position(col("__ds"), array_min(col("__ds"))) - 1)
+          .cast("int").as("cid"))
+  }
+
+  /** Seed selection + `iters` Lloyd rounds over the persisted projection;
+    * returns the final (cid, centroid) pairs. An emptied cluster keeps its
+    * previous centroid.
+    */
+  private def lloyd(q: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Long])] = {
     var cents: Seq[(Int, Seq[Long])] = q.orderBy(col("__h"), col("__id")).limit(k)
       .select(col("__qv")).collect().toSeq
       .map(_.getSeq[Long](0)).zipWithIndex.map { case (v, i) => (i, v) }
-
-    def assign(c: Seq[(Int, Seq[Long])]): DataFrame = {
-      // centroids ordered by cid as one array literal; per-row distances
-      // via transform + the integer dot idiom, argmin via array_position
-      // of the min (FIRST position → ties break to the smallest cid,
-      // identical to the previous min(struct(dist, cid)) semantics)
-      val cents = array(c.sortBy(_._1).map { case (_, v) =>
-        array(v.map(lit): _*)
-      }: _*)
-      q.withColumn("__ds", transform(cents, cv =>
-          aggregate(zip_with(col("__qv"), cv, (a, b) => (a - b) * (a - b)),
-            lit(0L), (s, x) => s + x)))
-        .select(col("__id"),
-          (array_position(col("__ds"), array_min(col("__ds"))) - 1)
-            .cast("int").as("cid"))
-    }
-
     (1 to iters).foreach { _ =>
-      val updated = q.join(assign(cents), "__id")
+      val updated = q.join(assignTo(q, cents), "__id")
         .select(col("cid"), posexplode(col("__qv")).as(Seq("__i", "__x")))
         .groupBy(col("cid"), col("__i"))
         .agg(floor(sum(col("__x")).cast("double") / count(lit(1)) + lit(0.5))
@@ -87,11 +86,39 @@ object KMeansOps {
         }
       cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
+    cents
+  }
+
+  /** Final cluster assignment (idCol, cid) after `iters` Lloyd rounds
+    * (assign → update, then one final assign against the last centroids).
+    */
+  def assignments(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                  iters: Int, salt: String = "km:"): DataFrame = {
+    require(k > 0 && iters >= 0)
+    val q = quantized(emb, idCol, col(vecCol), salt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = lloyd(q, k, iters)
     // materialize the (id, cid) result eagerly so q can be unpersisted here
     // rather than leaking the cache until the caller's first action
-    val out = assign(cents).select(col("__id").as(idCol), col("cid"))
+    val out = assignTo(q, cents).select(col("__id").as(idCol), col("cid"))
       .localCheckpoint(true)
     q.unpersist()
     out
+  }
+
+  /** The trained codebook itself, cid-ordered, on the 1e-6 integer grid —
+    * what a product quantizer ([[PqOps]]) or an IVF index build wants:
+    * k·dim longs on the driver, broadcastable as a literal into any
+    * assignment or ADC scan. `vec` is a Column so callers can train on a
+    * `slice()` of the embedding (one codebook per PQ subspace).
+    */
+  def trainCentroids(emb: DataFrame, idCol: String, vec: Column, k: Int,
+                     iters: Int, salt: String): Seq[Seq[Long]] = {
+    require(k > 0 && iters >= 0)
+    val q = quantized(emb, idCol, vec, salt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = lloyd(q, k, iters)
+    q.unpersist()
+    cents.sortBy(_._1).map(_._2)
   }
 }

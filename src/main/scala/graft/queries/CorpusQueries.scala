@@ -160,6 +160,20 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // IVF + PRODUCT quantization: per-subspace codebooks, corpus stored as
+    // m integer codes (64 floats -> 4 codes), per-query ADC lookup table,
+    // cluster-restricted candidate join, exact rerank on the shortlist.
+    // iters=0 here so the oracle replays the hash-seeded codebooks; the
+    // trained path (iters>0) is exercised by PqOpsSpec.
+    "embed_ann_ivf_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.PqOps.ivfPqTopK(
+          emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", dim = 64, m = 4, codebookK = 8,
+          iters = 0, k = 3, oversample = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF coarse-quantizer training: derandomized integer-quantized Lloyd's
     // k-means — the operator that produces ivfTopK's cluster id in-engine.
     // Integer distances make the full iteration engine-exact, so the oracle
@@ -187,6 +201,78 @@ object CorpusQueries extends QueryPack {
   )
 
   private val tokSql = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  /** DuckDB replay of the full IVF+PQ path at iters=0: per subspace s the
+    * codebook is the 8 corpus subvectors with the smallest md5('pq<s>:'||id)
+    * hash (exactly [[graft.ops.KMeansOps]]'s derandomized seeds), codes are
+    * integer argmins, ADC is the exact integer inner-product sum of the 4
+    * per-subspace partials, shortlist rank ≤ 9 on (adc DESC, id), then the
+    * identical exact-cosine rerank tail as embed_ann_ivf_quantized. The
+    * subspace CTEs are generated by this loop so Spark's m and the SQL's m
+    * cannot drift.
+    */
+  private def pqOracleSql: String = {
+    val m = 4; val sub = 16; val kb = 8
+    val books = (0 until m).map { s =>
+      s"""b$s AS (SELECT cid, cv FROM (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+         |         qv[${s * sub + 1} : ${s * sub + sub}] AS cv
+         |  FROM (SELECT vec_id, qv,
+         |          ('0x' || substr(md5('pq$s:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |        FROM c)) WHERE cid < $kb)""".stripMargin
+    }
+    val codes = (0 until m).map { s =>
+      s"""d$s AS (SELECT c.vec_id, b.cid,
+         |         sum((c.qv[${s * sub} + i] - b.cv[i]) * (c.qv[${s * sub} + i] - b.cv[i])) AS d
+         |       FROM c CROSS JOIN b$s b CROSS JOIN dims GROUP BY 1, 2),
+         |k$s AS (SELECT vec_id, cid AS code FROM (
+         |         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY d, cid) AS rnk FROM d$s) WHERE rnk = 1)""".stripMargin
+    }
+    val partials = (0 until m).map { s =>
+      s"""p$s AS (SELECT q.vec_id AS query_id, cc.vec_id AS cand_id,
+         |         sum(q.qv[${s * sub} + i] * b.cv[i]) AS ip
+         |       FROM q JOIN c cc ON cc.label = q.label
+         |         JOIN k$s kk ON kk.vec_id = cc.vec_id
+         |         JOIN b$s b ON b.cid = kk.code
+         |         CROSS JOIN dims
+         |       GROUP BY 1, 2)""".stripMargin
+    }
+    s"""WITH dims AS (SELECT unnest(generate_series(1, $sub)) AS i),
+       |e AS (SELECT vec_id, label,
+       |        list_transform(embedding,
+       |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+       |      FROM embeddings),
+       |c AS (SELECT * FROM e WHERE vec_id >= 10),
+       |q AS (SELECT * FROM e WHERE vec_id < 10),
+       |${books.mkString(",\n")},
+       |${codes.mkString(",\n")},
+       |${partials.mkString(",\n")},
+       |adc AS (SELECT query_id, cand_id, p0.ip + p1.ip + p2.ip + p3.ip AS a_dc
+       |        FROM p0 JOIN p1 USING (query_id, cand_id)
+       |          JOIN p2 USING (query_id, cand_id)
+       |          JOIN p3 USING (query_id, cand_id)),
+       |sl AS (SELECT query_id, cand_id FROM (
+       |        SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY a_dc DESC, cand_id ASC) AS r FROM adc) WHERE r <= 9),
+       |dims64 AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |qf AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |cf AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+       |rr AS (SELECT sl.query_id, sl.cand_id AS neighbor_id,
+       |        sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+       |        sqrt(sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS qn,
+       |        sqrt(sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS cn
+       |      FROM sl JOIN qf USING (query_id)
+       |        JOIN cf ON cf.vec_id = sl.cand_id CROSS JOIN dims64
+       |      GROUP BY 1, 2),
+       |sc AS (SELECT query_id, neighbor_id,
+       |        floor((dp / (qn * cn)) * 10000 + 0.5) / 10000.0 AS score FROM rr),
+       |t AS (SELECT query_id, neighbor_id, score,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id ASC) AS rank FROM sc)
+       |SELECT query_id, rank, neighbor_id, score FROM t WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   override val oracle: Map[String, String] = Map(
     "url_canonical_dedup" ->
@@ -374,6 +460,7 @@ object CorpusQueries extends QueryPack {
         |  shard * 1099511627776 + CAST(strt // 512 AS BIGINT) AS pack_id,
         |  strt % 512 AS pack_offset, n AS n_tokens
         |FROM w ORDER BY doc_id""".stripMargin,
+    "embed_ann_ivf_pq" -> pqOracleSql,
     "embed_kmeans_assign" ->
       """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
         |e AS (SELECT vec_id AS id,

@@ -99,8 +99,9 @@ object PqOps {
     }: _*)
   }
 
-  /** IVF + PQ top-k: codebook training, corpus encoding, ADC shortlist,
-    * exact rerank — the full compressed-index query path as one lazy plan.
+  /** The ADC-ranked shortlist: codebook training, corpus encoding, the
+    * cluster-restricted candidate join, ADC scoring, and the bounded
+    * top-`width` selection — everything in the compressed domain.
     *
     *  - candidates: equi-join corpus codes × broadcast queries on the
     *    coarse `clusterCol` (scan fraction 1/clusters, like
@@ -108,35 +109,59 @@ object PqOps {
     *  - ADC score: `Σ_s lut[s][code_s]` — m element_at lookups + m adds
     *    per candidate, an exact integer (zip_with over the code array and
     *    the LUT, both length m);
-    *  - shortlist: bounded [[EmbeddingOps.TopKAgg]] at k·oversample
-    *    (score desc, id asc);
-    *  - rerank: exact float cosine on the shortlist only, rounded to
-    *    `roundDigits`, final rank ≤ k.
+    *  - selection: bounded [[EmbeddingOps.TopKAgg]] at `width`
+    *    (score desc, id asc).
+    *
+    * Output (query_id, rank, neighbor_id, score): `rank` is the ADC rank,
+    * which is what the recall curve rank-filters per oversample setting —
+    * the ADC scan runs ONCE at the widest shortlist.
     */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                vecCol: String, clusterCol: String, dim: Int, m: Int,
-                codebookK: Int, iters: Int, k: Int, oversample: Int = 3,
-                roundDigits: Int = 4): DataFrame = {
+  def adcShortlist(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, clusterCol: String, dim: Int, m: Int,
+                   codebookK: Int, iters: Int, width: Int): DataFrame = {
     val books = codebooks(corpus, idCol, vecCol, dim, m, codebookK, iters)
     val enc = corpus.select(col(idCol), col(clusterCol).as("__cc"),
       encode(vecCol, books, dim).as("__codes"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+    val q = queries.select(col(idCol).as("query_id"),
       col(clusterCol).as("__qc"), adcLut(vecCol, books, dim).as("__lut"))
     val scored = enc.join(broadcast(q), col("__cc") === col("__qc"))
       .withColumn("score",
         aggregate(zip_with(col("__codes"), col("__lut"),
             (code, row) => element_at(row, code + 1)),
           lit(0L), (acc, x) => acc + x).cast("double"))
-    val shortlist = EmbeddingOps.takeTopK(scored, idCol, k * oversample)
-    // exact float cosine rerank of the shortlist only (same tail as the
-    // scalar-quantized path)
+    EmbeddingOps.takeTopK(scored, idCol, width)
+  }
+
+  /** Exact float-cosine rerank of a (query_id, neighbor_id) shortlist:
+    * joins the float vectors back for the SHORTLIST ONLY (k·oversample
+    * rows per query — the only point in the PQ path that touches a float
+    * vector per candidate), scores rounded to `roundDigits`, final
+    * bounded top-k. Same tail as the scalar-quantized path.
+    */
+  def rerankExact(shortlist: DataFrame, corpus: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, roundDigits: Int = 4): DataFrame = {
     val scale = math.pow(10, roundDigits)
     val rerank = shortlist.select(col("query_id"), col("neighbor_id"))
       .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).as("__cv")), "neighbor_id")
-      .join(broadcast(q.select(col("query_id"), col("__qv"))), "query_id")
+      .join(broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("__qv"))), "query_id")
       .withColumn("score",
         floor(EmbeddingOps.cosine(col("__qv"), col("__cv")) * scale + lit(0.5)) / scale)
     EmbeddingOps.takeTopK(rerank, "neighbor_id", k)
+  }
+
+  /** IVF + PQ top-k — the full compressed-index query path as one lazy
+    * plan: [[adcShortlist]] at k·oversample, then [[rerankExact]] down
+    * to the final rank ≤ k.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, clusterCol: String, dim: Int, m: Int,
+                codebookK: Int, iters: Int, k: Int, oversample: Int = 3,
+                roundDigits: Int = 4): DataFrame = {
+    val shortlist = adcShortlist(corpus, queries, idCol, vecCol, clusterCol,
+      dim, m, codebookK, iters, width = k * oversample)
+    rerankExact(shortlist, corpus, queries, idCol, vecCol, k, roundDigits)
   }
 }

@@ -174,6 +174,52 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // PQ quality evaluation: recall@3 of the IVF+PQ index vs the exact
+    // within-cluster top-3, per query, per oversample ∈ {1, 3, 10} — the
+    // compressed-domain analog of embed_ann_recall's nprobe curve, and the
+    // knob a deployment actually tunes (how wide an ADC shortlist buys how
+    // much recall). The ADC scan runs ONCE at the widest shortlist (30)
+    // and each curve point is a rank-filter of that one checkpointed
+    // table; the float rerank also runs once over the 30-wide shortlist.
+    // At 100 TB the exact side runs over a SAMPLED query set (it is the
+    // expensive half); the probed side is the production path.
+    "embed_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = graft.ops.EmbeddingOps.ivfTopK(corpus, queries,
+        "vec_id", "embedding", "label", k = 3).localCheckpoint(true)
+      val sl = graft.ops.PqOps.adcShortlist(corpus, queries,
+        "vec_id", "embedding", "label", dim = 64, m = 4, codebookK = 8,
+        iters = 0, width = 30)
+      // exact cosine for every shortlist pair, once; `rank` is the ADC rank
+      val scored = sl.select(col("query_id"), col("rank").as("__ar"),
+          col("neighbor_id"))
+        .join(corpus.select(col("vec_id").cast("long").as("neighbor_id"),
+          col("embedding").as("__cv")), "neighbor_id")
+        .join(broadcast(queries.select(col("vec_id").cast("long").as("query_id"),
+          col("embedding").as("__qv"))), "query_id")
+        .withColumn("score",
+          floor(graft.ops.EmbeddingOps.cosine(col("__qv"), col("__cv"))
+            * 1e4 + lit(0.5)) / 1e4)
+        .localCheckpoint(true)
+      Seq(1, 3, 10).map { os =>
+        val top = graft.ops.EmbeddingOps.takeTopK(
+          scored.filter(col("__ar") <= 3 * os), "neighbor_id", 3)
+        exact.alias("e")
+          .join(top.alias("a"),
+            col("e.query_id") === col("a.query_id") &&
+              col("e.neighbor_id") === col("a.neighbor_id"), "left")
+          .groupBy(col("e.query_id").as("query_id"))
+          .agg(count(col("a.neighbor_id")).as("hits"),
+            (floor(count(col("a.neighbor_id")) / 3.0 * 1e4 + lit(0.5)) / 1e4)
+              .as("recall"))
+          .withColumn("oversample", lit(os))
+      }.reduce(_ unionByName _)
+        .select(col("query_id"), col("oversample"), col("hits"), col("recall"))
+        .orderBy(col("query_id"), col("oversample"))
+    }),
+
     // IVF coarse-quantizer training: derandomized integer-quantized Lloyd's
     // k-means — the operator that produces ivfTopK's cluster id in-engine.
     // Integer distances make the full iteration engine-exact, so the oracle
@@ -211,7 +257,12 @@ object CorpusQueries extends QueryPack {
     * subspace CTEs are generated by this loop so Spark's m and the SQL's m
     * cannot drift.
     */
-  private def pqOracleSql: String = {
+  /** The CTE core both PQ oracles share: 1e-6-grid quantization, the m
+    * per-subspace codebooks (hash-seeded, = iters=0), integer-argmin
+    * codes, ADC partial inner products, and their sum `adc` — everything
+    * up to (query, candidate, adc_score).
+    */
+  private def pqCoreCtes: String = {
     val m = 4; val sub = 16; val kb = 8
     val books = (0 until m).map { s =>
       s"""b$s AS (SELECT cid, cv FROM (
@@ -238,7 +289,7 @@ object CorpusQueries extends QueryPack {
          |         CROSS JOIN dims
          |       GROUP BY 1, 2)""".stripMargin
     }
-    s"""WITH dims AS (SELECT unnest(generate_series(1, $sub)) AS i),
+    s"""dims AS (SELECT unnest(generate_series(1, $sub)) AS i),
        |e AS (SELECT vec_id, label,
        |        list_transform(embedding,
        |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
@@ -251,7 +302,11 @@ object CorpusQueries extends QueryPack {
        |adc AS (SELECT query_id, cand_id, p0.ip + p1.ip + p2.ip + p3.ip AS a_dc
        |        FROM p0 JOIN p1 USING (query_id, cand_id)
        |          JOIN p2 USING (query_id, cand_id)
-       |          JOIN p3 USING (query_id, cand_id)),
+       |          JOIN p3 USING (query_id, cand_id))""".stripMargin
+  }
+
+  private def pqOracleSql: String =
+    s"""WITH $pqCoreCtes,
        |sl AS (SELECT query_id, cand_id FROM (
        |        SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
        |          ORDER BY a_dc DESC, cand_id ASC) AS r FROM adc) WHERE r <= 9),
@@ -272,7 +327,59 @@ object CorpusQueries extends QueryPack {
        |          ORDER BY score DESC, neighbor_id ASC) AS rank FROM sc)
        |SELECT query_id, rank, neighbor_id, score FROM t WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** Recall-curve replay: same core, shortlist kept at the widest setting
+    * (ADC rank ≤ 30) WITH its ADC rank, one exact-cosine pass over those
+    * pairs, then each oversample point is a rank filter + re-rank — the
+    * identical once-scored/filter-per-point shape as the Spark side. The
+    * ground truth is the exact within-cluster top-3 (PQ approximates
+    * shortlist MEMBERSHIP; the cluster restriction is shared with
+    * embed_ann_ivf, whose oracle pins it).
+    */
+  private def pqRecallOracleSql: String =
+    s"""WITH $pqCoreCtes,
+       |sl AS (SELECT query_id, cand_id, ar FROM (
+       |        SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY a_dc DESC, cand_id ASC) AS ar FROM adc) WHERE ar <= 30),
+       |dims64 AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |qf AS (SELECT vec_id AS query_id, label, embedding AS qe
+       |       FROM embeddings WHERE vec_id < 10),
+       |cf AS (SELECT vec_id, label, embedding AS ce
+       |       FROM embeddings WHERE vec_id >= 10),
+       |rr AS (SELECT sl.query_id, sl.cand_id, sl.ar,
+       |        sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+       |        sqrt(sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS qn,
+       |        sqrt(sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS cn
+       |      FROM sl JOIN qf USING (query_id)
+       |        JOIN cf ON cf.vec_id = sl.cand_id CROSS JOIN dims64
+       |      GROUP BY 1, 2, 3),
+       |sc AS (SELECT query_id, cand_id, ar,
+       |        floor((dp / (qn * cn)) * 10000 + 0.5) / 10000.0 AS score FROM rr),
+       |o AS (SELECT unnest([1, 3, 10]) AS os),
+       |rk AS (SELECT o.os, s.query_id, s.cand_id,
+       |        row_number() OVER (PARTITION BY o.os, s.query_id
+       |          ORDER BY s.score DESC, s.cand_id ASC) AS r
+       |      FROM sc s CROSS JOIN o WHERE s.ar <= 3 * o.os),
+       |t3 AS (SELECT os, query_id, cand_id FROM rk WHERE r <= 3),
+       |xr AS (SELECT qf.query_id, cf.vec_id AS cand_id,
+       |        sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+       |        sqrt(sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS qn,
+       |        sqrt(sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS cn
+       |      FROM qf JOIN cf ON cf.label = qf.label CROSS JOIN dims64
+       |      GROUP BY 1, 2),
+       |xs AS (SELECT query_id, cand_id,
+       |        floor((dp / (qn * cn)) * 10000 + 0.5) / 10000.0 AS score FROM xr),
+       |x3 AS (SELECT query_id, cand_id FROM (
+       |        SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, cand_id ASC) AS r FROM xs) WHERE r <= 3)
+       |SELECT x.query_id AS query_id, CAST(o.os AS INTEGER) AS oversample,
+       |       CAST(count(t.cand_id) AS BIGINT) AS hits,
+       |       floor(count(t.cand_id) / 3.0 * 1e4 + 0.5) / 1e4 AS recall
+       |FROM x3 x CROSS JOIN o
+       |  LEFT JOIN t3 t ON t.query_id = x.query_id AND t.cand_id = x.cand_id
+       |    AND t.os = o.os
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
 
   override val oracle: Map[String, String] = Map(
     "url_canonical_dedup" ->
@@ -461,6 +568,7 @@ object CorpusQueries extends QueryPack {
         |  strt % 512 AS pack_offset, n AS n_tokens
         |FROM w ORDER BY doc_id""".stripMargin,
     "embed_ann_ivf_pq" -> pqOracleSql,
+    "embed_pq_recall" -> pqRecallOracleSql,
     "embed_kmeans_assign" ->
       """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
         |e AS (SELECT vec_id AS id,

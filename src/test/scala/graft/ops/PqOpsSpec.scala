@@ -61,6 +61,25 @@ class PqOpsSpec extends SparkSuite {
       s"oversample 3→10 must lift recall: $recall → $recallWide")
   }
 
+  test("PQ recall curve is monotone in oversample per query and rises on average") {
+    val df = graft.SparkEntry.queries("embed_pq_recall")(spark, sf("sf0.001"))
+    val rows = df.collect().map(r =>
+      (r.getAs[Number]("query_id").longValue,
+        r.getAs[Number]("oversample").intValue, r.getAs[Double]("recall")))
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, rs) =>
+      val byOs = rs.map(r => r._2 -> r._3).toMap
+      assert(byOs.keySet == Set(1, 3, 10), s"query $q missing oversample rows")
+      assert(byOs(1) <= byOs(3) && byOs(3) <= byOs(10),
+        s"query $q recall not monotone in oversample: $byOs")
+    }
+    val avg1 = rows.filter(_._2 == 1).map(_._3).sum / byQuery.size
+    val avg10 = rows.filter(_._2 == 10).map(_._3).sum / byQuery.size
+    assert(avg10 > avg1,
+      s"oversample must buy recall: avg@1 $avg1 vs avg@10 $avg10")
+  }
+
   test("ivfPqTopK plans the cluster equi-join below the shortlist aggregate, no cartesian") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val (corpus, queries) = split(emb)

@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("interp_state", es => InterpState(es.head, es.tail)))
     ext.injectFunction(fn("image_header", es => ImageHeader(es.head)))
     ext.injectFunction(fn("audio_header", es => AudioHeader(es.head)))
+    ext.injectFunction(fn("audio_pcm_stats", es => AudioPcmStats(es.head)))
     ext.injectFunction(fn("video_header", es => VideoHeader(es.head)))
     ext.injectFunction(fn("bloom_agg",
       es => org.apache.spark.sql.catalyst.expressions.aggregate

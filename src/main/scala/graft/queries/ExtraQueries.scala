@@ -296,6 +296,45 @@ object ExtraQueries extends QueryPack {
         .filter(col("ham_a") <= 6)
         .distinct()
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SAMPLE-LEVEL audio decode (graft.functions.AudioPcmStats): real mono
+    // 16-bit PCM WAVs synthesized per doc — a JUNK chunk before `fmt `
+    // forces the chunk walk, then n = doc_id%17+24 samples with
+    // s(k) = (doc_id*37 + k*451) % 4001 - 2000 written little-endian. The
+    // engine must actually decode the waveform (peak / Σs² / strict
+    // sign-flip zero crossings — the silence/clipping/activity gates of
+    // audio curation); the oracle replays the integer arithmetic from the
+    // same doc_id-derived formula. RMS is the only float, computed from
+    // the exact integers and rounded on both sides.
+    "mm_audio_features" -> ((s, dir) => {
+      graft.functions.AudioPcmStats.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val nSql = "(doc_id % 17 + 24)"
+      def sSql(k: String) = s"((doc_id * 37 + $k * 451) % 4001 - 2000)"
+      val leSampleSql = { // LE16 of the two's-complement sample
+        val u = s"(${sSql("k")} % 65536 + 65536) % 65536"
+        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), substr(lpad(hex($u), 4, '0'), 1, 2))"
+      }
+      val wavHex =
+        s"""concat('52494646', ${le("100", 4)}, '57415645',
+           |  '4A554E4B', ${le("2 * (doc_id % 4)", 4)}, repeat('00', cast(2 * (doc_id % 4) as int)),
+           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
+           |  ${le("16000", 4)}, ${le("32000", 4)}, ${le("2", 2)}, ${le("16", 2)},
+           |  '64617461', ${le(s"2 * $nSql", 4)},
+           |  array_join(transform(sequence(0, $nSql - 1), k -> $leSampleSql), ''))"""
+          .stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($wavHex)"))
+        .selectExpr("doc_id", "audio_pcm_stats(blob) AS st")
+        .select(col("doc_id"), col("st.n_samples").as("n_samples"),
+          col("st.peak").as("peak"),
+          col("st.zero_crossings").as("zero_crossings"),
+          (floor(sqrt(col("st.sum_sq").cast("double") / col("st.n_samples"))
+            * 1e4 + lit(0.5)) / 1e4).as("rms"))
+        .orderBy(col("doc_id"))
     }))
 
   override val oracle: Map[String, String] = Map(
@@ -442,6 +481,24 @@ object ExtraQueries extends QueryPack {
         |      AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(ham_a AS BIGINT) AS ham_a,
         |  CAST(ham_d AS BIGINT) AS ham_d
-        |FROM cand WHERE ham_a <= 6 ORDER BY id_a, id_b""".stripMargin
+        |FROM cand WHERE ham_a <= 6 ORDER BY id_a, id_b""".stripMargin,
+    // replay of the exact integer sample arithmetic from the same
+    // doc_id-derived waveform formula the WAV fixtures embed; only the
+    // RMS is float, rounded identically on both sides
+    "mm_audio_features" ->
+      """WITH d AS (SELECT doc_id, doc_id % 17 + 24 AS n FROM documents),
+        |k AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM d),
+        |s AS (SELECT doc_id, n, k,
+        |    (doc_id * 37 + k * 451) % 4001 - 2000 AS v FROM k),
+        |s2 AS (SELECT doc_id, n, k, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM s),
+        |a AS (SELECT doc_id, max(n) AS n_samples, max(abs(v)) AS peak,
+        |    sum(v * v) AS sum_sq,
+        |    sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS zc
+        |  FROM s2 GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_samples AS INTEGER) AS n_samples,
+        |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
+        |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
+        |FROM a ORDER BY doc_id""".stripMargin
   )
 }

@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("audio_header", es => AudioHeader(es.head)))
     ext.injectFunction(fn("audio_pcm_stats", es => AudioPcmStats(es.head)))
     ext.injectFunction(fn("video_header", es => VideoHeader(es.head)))
+    ext.injectFunction(fn("video_frame_sample", es => VideoFrameSample(es(0), es(1))))
     ext.injectFunction(fn("bloom_agg",
       es => org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(es(0), es(1), es(2), 0, 0)))

@@ -335,6 +335,40 @@ object ExtraQueries extends QueryPack {
           (floor(sqrt(col("st.sum_sq").cast("double") / col("st.n_samples"))
             * 1e4 + lit(0.5)) / 1e4).as("rms"))
         .orderBy(col("doc_id"))
+    }),
+
+    // FRAME SAMPLING from real video containers (graft.functions
+    // .VideoFrames): AVIs synthesized per doc with an hdrl LIST the walk
+    // must skip and f = doc_id%6+4 uncompressed 8×2 BGR24 frames in the
+    // movi LIST; the engine walks the chunks, samples every 2nd frame,
+    // and reduces each sampled frame to its exact integer mean luma
+    // (pixels are r=g=b=v so luma == v, and the oracle states ground
+    // truth from the same doc_id-derived formula). Only sampled frames'
+    // bytes are read — the curation shape for video at scale.
+    "mm_video_framesample" -> ((s, dir) => {
+      graft.functions.VideoFrames.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val fSql = "(doc_id % 6 + 4)"
+      val vSql = "((doc_id * 13 + t * 17 + x * 7 + y * 29) % 256)"
+      val frameHex =
+        s"""concat('30306462', ${le("48", 4)},
+           |  array_join(transform(sequence(0, 1), y ->
+           |    array_join(transform(sequence(0, 7), x ->
+           |      repeat(lpad(hex($vSql), 2, '0'), 3)), '')), ''))""".stripMargin
+      val aviHex =
+        s"""concat('52494646', ${le("100", 4)}, '41564920',
+           |  '4C495354', ${le("4", 4)}, '6864726C',
+           |  '4C495354', ${le(s"4 + 56 * $fSql", 4)}, '6D6F7669',
+           |  array_join(transform(sequence(0, $fSql - 1), t -> $frameHex), ''))"""
+          .stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($aviHex)"))
+        .selectExpr("doc_id", "explode(video_frame_sample(blob, 2)) AS fr")
+        .select(col("doc_id"), col("fr.frame_idx").as("frame_idx"),
+          col("fr.mean_luma").as("mean_luma"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }))
 
   override val oracle: Map[String, String] = Map(
@@ -499,6 +533,21 @@ object ExtraQueries extends QueryPack {
         |SELECT doc_id, CAST(n_samples AS INTEGER) AS n_samples,
         |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
         |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
-        |FROM a ORDER BY doc_id""".stripMargin
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // replay of the exact integer mean-luma arithmetic over the same
+    // doc_id-derived frame pixels the AVI fixtures embed (r=g=b=v so
+    // per-pixel luma == v); sampling = every 2nd frame index
+    "mm_video_framesample" ->
+      """WITH d AS (SELECT doc_id, doc_id % 6 + 4 AS f FROM documents),
+        |t AS (SELECT doc_id, unnest(generate_series(0, f - 1)) AS t FROM d),
+        |st AS (SELECT doc_id, t FROM t WHERE t % 2 = 0),
+        |px AS (SELECT st.doc_id, st.t, xs.x, ys.y,
+        |    (doc_id * 13 + t * 17 + x * 7 + y * 29) % 256 AS v
+        |  FROM st,
+        |    (SELECT unnest(generate_series(0, 7)) AS x) xs,
+        |    (SELECT unnest(generate_series(0, 1)) AS y) ys)
+        |SELECT doc_id, CAST(t AS INTEGER) AS frame_idx,
+        |  CAST(sum(v) // 16 AS INTEGER) AS mean_luma
+        |FROM px GROUP BY doc_id, t ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -56,6 +56,33 @@ case class AHash64(child: Expression) extends ImageHash64 {
     copy(child = newChild)
 }
 
+/** `image_resize_gray(bin, gw, gh)` → row-major `array<int>` of the
+  * gw×gh block-mean grayscale grid (see [[ImageHash.resizeGray]]).
+  */
+case class ImageResizeGray(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_resize_gray"
+  override def checkInputDataTypes() =
+    if (first.dataType == BinaryType && second.dataType == IntegerType &&
+        third.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (binary, int, int)")
+  override def nullSafeEval(b: Any, gw: Any, gh: Any): Any =
+    ImageHash.resizeGray(b.asInstanceOf[Array[Byte]],
+      gw.asInstanceOf[Int], gh.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, gw, gh) => s"""
+      ${ev.value} = graft.functions.ImageHash.resizeGray($b, $gw, $gh);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): ImageResizeGray = copy(first = f, second = s, third = t)
+}
+
 case class DHash64(child: Expression) extends ImageHash64 {
   override def prettyName: String = "image_dhash"
   override def nullSafeEval(input: Any): Any =
@@ -72,12 +99,15 @@ case class DHash64(child: Expression) extends ImageHash64 {
 
 object ImageHash {
 
-  /** Register both hashes on a session (idempotent). */
+  /** Register the hashes + resize on a session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "image_ahash", exprs => AHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "image_dhash", exprs => DHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "image_resize_gray", exprs => ImageResizeGray(exprs(0), exprs(1), exprs(2)),
+      "built-in")
   }
 
   /** Decoded grayscale image: row-major top-down `gray(y*w + x)`. */
@@ -149,6 +179,22 @@ object ImageHash {
       by += 1
     }
     out
+  }
+
+  /** Grayscale RESIZE — the decoded image reduced to a gw×gh block grid
+    * (row-major integer cell means, the same floor-division grid the
+    * hashes use), or null for anything not a decodable BMP or a
+    * degenerate grid. This is the multimodal "resize / feature-extract"
+    * surface: a thumbnail-as-vector that downstream ops treat like any
+    * embedding (ANN, cosine near-dup), computed scan-side so only
+    * gw·gh ints per image ever shuffle.
+    */
+  def resizeGray(b: Array[Byte], gw: Int, gh: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (gw < 1 || gh < 1 || gw > 256 || gh > 256) return null
+    val g = decode(b)
+    if (g == null) return null
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(cells(g, gw, gh))
   }
 
   def ahash(b: Array[Byte]): java.lang.Long = {

@@ -12,6 +12,34 @@ import graft.Tables
   */
 object ExtraQueries extends QueryPack {
 
+  // --- shared BMP fixture (mm_image_dedup + mm_image_resize) ---
+  // 54-byte header: BM, fileSize 3510, dataOffset 54, BITMAPINFOHEADER
+  // 40, 72×16, 1 plane, 24bpp, BI_RGB, imageSize 3456
+  private val bmpHdrHex =
+    "424DB60D0000000000003600000028000000480000001000000001001800" +
+      "00000000800D000000000000000000000000000000000000"
+  // grayscale value at (x, image-row y): r=g=b=v so luma==v. The
+  // (g div 200)·(position) term keeps pattern diversity growing with
+  // the corpus: without it every g ≡ g' (mod 200) pair shares an
+  // identical base image and the pair output goes quadratic at 100×
+  // (identical-image classes stay O(corpus/40000) with it)
+  private val bmpVSql =
+    """(((doc_id div 2) * 37
+      | + ((doc_id div 2) div 200) * (x div 9 + 3 * (y div 2) + 1)
+      | + (x div 9) * 23 + (y div 2) * 41) % 200
+      | + (CASE WHEN doc_id % 2 = 1 AND x div 9 = (doc_id div 2) % 8
+      |    AND y div 2 = ((doc_id div 2) div 8) % 8 THEN 25 ELSE 0 END))"""
+      .stripMargin.replace("\n", "")
+  // stored rows bottom-up: row k holds image row y=15-k. v is constant
+  // across each 9-px block, so one hex repeat covers 27 bytes (9 px ×
+  // BGR) — 128 string ops per doc instead of 1152
+  private val bmpPixelsSql =
+    s"""array_join(transform(sequence(0, 15), k ->
+       |  array_join(transform(sequence(0, 7), bx ->
+       |    repeat(lpad(hex(${bmpVSql.replace("x div 9", "bx")
+           .replace("y", "(15 - k)")}), 2, '0'), 27)
+       |  ), '')), '')""".stripMargin.replace("\n", "")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A2+A3: per-(user, 10-min bucket) null-ignoring label mean with
     // all-null → 0.0, plus finite-cell validity ratio (reference
@@ -246,37 +274,12 @@ object ExtraQueries extends QueryPack {
     // distinct so only true near-dups shuffle.
     "mm_image_dedup" -> ((s, dir) => {
       graft.functions.ImageHash.register(s)
-      // 54-byte header: BM, fileSize 3510, dataOffset 54, BITMAPINFOHEADER
-      // 40, 72×16, 1 plane, 24bpp, BI_RGB, imageSize 3456
-      val hdr = "424DB60D0000000000003600000028000000480000001000000001001800" +
-        "00000000800D000000000000000000000000000000000000"
-      // grayscale value at (x, image-row y): r=g=b=v so luma==v. The
-      // (g div 200)·(position) term keeps pattern diversity growing with
-      // the corpus: without it every g ≡ g' (mod 200) pair shares an
-      // identical base image and the pair output goes quadratic at 100×
-      // (identical-image classes stay O(corpus/40000) with it)
-      val vSql =
-        """(((doc_id div 2) * 37
-          | + ((doc_id div 2) div 200) * (x div 9 + 3 * (y div 2) + 1)
-          | + (x div 9) * 23 + (y div 2) * 41) % 200
-          | + (CASE WHEN doc_id % 2 = 1 AND x div 9 = (doc_id div 2) % 8
-          |    AND y div 2 = ((doc_id div 2) div 8) % 8 THEN 25 ELSE 0 END))"""
-          .stripMargin.replace("\n", "")
-      // stored rows bottom-up: row k holds image row y=15-k. v is constant
-      // across each 9-px block, so one hex repeat covers 27 bytes (9 px ×
-      // BGR) — 128 string ops per doc instead of 1152
-      val pixelsSql =
-        s"""array_join(transform(sequence(0, 15), k ->
-           |  array_join(transform(sequence(0, 7), bx ->
-           |    repeat(lpad(hex(${vSql.replace("x div 9", "bx")
-                 .replace("y", "(15 - k)")}), 2, '0'), 27)
-           |  ), '')), '')""".stripMargin.replace("\n", "")
       // materialize the 24-byte-per-doc hash table ONCE before the
       // self-join: without this the full BMP synthesis + decode lineage
       // re-runs on BOTH join sides (measured 19 s → the fixture build,
       // not the dedup, dominating the query)
       val hashed = Tables.documents(s, dir)
-        .selectExpr("doc_id", s"unhex(concat('$hdr', $pixelsSql)) AS blob")
+        .selectExpr("doc_id", s"unhex(concat('$bmpHdrHex', $bmpPixelsSql)) AS blob")
         .selectExpr("doc_id", "image_ahash(blob) AS ahash",
           "image_dhash(blob) AS dhash")
         .localCheckpoint(true)
@@ -369,6 +372,23 @@ object ExtraQueries extends QueryPack {
         .select(col("doc_id"), col("fr.frame_idx").as("frame_idx"),
           col("fr.mean_luma").as("mean_luma"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // RESIZE / feature-extract over real pixels: the same BMP fixtures as
+    // mm_image_dedup reduced to a 6×4 block-mean grayscale grid
+    // (image_resize_gray — the thumbnail-as-vector a downstream ANN or
+    // near-dup op consumes). 6 cells across a 72-px row cut across the
+    // 9-px fixture blocks (12 = 9 + 3), so every cell mean mixes two
+    // block values and the oracle must replay the real floor-division
+    // grid arithmetic, not just echo block constants.
+    "mm_image_resize" -> ((s, dir) => {
+      graft.functions.ImageHash.register(s)
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", s"unhex(concat('$bmpHdrHex', $bmpPixelsSql)) AS blob")
+        .selectExpr("doc_id",
+          "posexplode(image_resize_gray(blob, 6, 4)) AS (cell_idx, gray)")
+        .select(col("doc_id"), col("cell_idx"), col("gray"))
+        .orderBy(col("doc_id"), col("cell_idx"))
     }))
 
   override val oracle: Map[String, String] = Map(
@@ -548,6 +568,26 @@ object ExtraQueries extends QueryPack {
         |    (SELECT unnest(generate_series(0, 1)) AS y) ys)
         |SELECT doc_id, CAST(t AS INTEGER) AS frame_idx,
         |  CAST(sum(v) // 16 AS INTEGER) AS mean_luma
-        |FROM px GROUP BY doc_id, t ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM px GROUP BY doc_id, t ORDER BY doc_id, frame_idx""".stripMargin,
+    // replay of the floor-division block-grid means over the same
+    // doc_id-derived pixels as mm_image_dedup (r=g=b=v so luma==v);
+    // 6×4 grid over 72×16 → 12×4-px cells, cell_idx row-major
+    "mm_image_resize" ->
+      """WITH px AS (
+        |  SELECT doc_id, xs.x, ys.y,
+        |    ((doc_id // 2) * 37
+        |     + ((doc_id // 2) // 200) * (xs.x // 9 + 3 * (ys.y // 2) + 1)
+        |     + (xs.x // 9) * 23 + (ys.y // 2) * 41) % 200
+        |    + (CASE WHEN doc_id % 2 = 1 AND xs.x // 9 = (doc_id // 2) % 8
+        |        AND ys.y // 2 = ((doc_id // 2) // 8) % 8 THEN 25 ELSE 0 END) AS v
+        |  FROM documents,
+        |    (SELECT unnest(generate_series(0, 71)) AS x) xs,
+        |    (SELECT unnest(generate_series(0, 15)) AS y) ys),
+        |cell AS (SELECT doc_id, y // 4 AS by, x // 12 AS bx,
+        |    sum(v) // 48 AS gray
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(by * 6 + bx AS INTEGER) AS cell_idx,
+        |  CAST(gray AS INTEGER) AS gray
+        |FROM cell ORDER BY doc_id, cell_idx""".stripMargin
   )
 }

@@ -339,4 +339,29 @@ class MultimodalSpec extends SparkSuite {
     assert(out(1L).get == again(1L))
     assert(out(3L).get == again(3L))
   }
+
+  test("image_resize_gray: exact block means, grid cells cut across pattern blocks") {
+    graft.functions.ImageHash.register(spark)
+    import spark.implicits._
+    // 12-px-wide cells over 9-px-wide constant blocks: cell 0 mixes 9 px
+    // of block 0 and 3 px of block 1 per row → mean is the weighted mix
+    def base(x: Int, y: Int) = (x / 9) * 20 + (y / 2) * 3
+    val img = bmp24(72, 16)(base)
+    val got = Seq((1L, img)).toDF("id", "blob")
+      .selectExpr("id", "image_resize_gray(blob, 6, 4) AS g")
+      .collect().head.getAs[scala.collection.Seq[Int]](1)
+    assert(got.size == 24)
+    val expected = for (by <- 0 until 4; bx <- 0 until 6) yield {
+      val vs = for (y <- by * 4 until by * 4 + 4; x <- bx * 12 until bx * 12 + 12)
+        yield base(x, y)
+      vs.sum / vs.size
+    }
+    assert(got == expected, s"grid mismatch: $got vs $expected")
+    // degenerate grids and non-BMP refuse with null
+    val nulls = Seq((1L, img)).toDF("id", "blob")
+      .selectExpr("image_resize_gray(blob, 0, 4) AS a",
+        "image_resize_gray(unhex('00'), 6, 4) AS b")
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
 }

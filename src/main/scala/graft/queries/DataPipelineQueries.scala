@@ -196,6 +196,22 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE merge TRAINING: learn the 8 top merges from the corpus word
+    // vocabulary (TextOps.trainBpeMerges — one corpus pass to (word,
+    // freq), then vocab-sized pair-count rounds; ties break (count desc,
+    // pair asc) so the table is deterministic). Output is the learned
+    // table itself with its counts — the artifact a tokenizer deployment
+    // ships — and the oracle replays all 8 rounds as a generated CTE
+    // chain over the identical encode/count/argmax/replace steps.
+    "text_bpe_train" -> ((s, dir) => {
+      val merges = TextOps.trainBpeMerges(Tables.documents(s, dir), "text", 8)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+        .toDF("rank", "lhs", "rhs", "pair_count")
+        .orderBy(col("rank"))
+    }),
+
     // Quality scoring: stopword ratio + length-normalized score.
     "text_quality" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -310,6 +326,43 @@ object DataPipelineQueries extends QueryPack {
   // ---- oracle SQL ----
 
   private val tokSql = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  /** Replay of TextOps.trainBpeMerges(nMerges = 8): the vocabulary CTE,
+    * then one generated (pairs → argmax → replace) block per round —
+    * identical double-space encoding, identical (cnt desc, pair asc)
+    * tie-break, identical replace rewrite — so Spark's loop count and the
+    * SQL's cannot drift. The pair-position series is bounded by the
+    * longest encoded word in that round's vocabulary, not a constant.
+    */
+  private def bpeTrainOracleSql: String = {
+    val n = 8
+    val rounds = (1 to n).map { i =>
+      val prev = s"e${i - 1}"
+      s"""s$i AS (SELECT string_split(trim(enc), '  ') AS s, freq FROM $prev),
+         |p$i AS (SELECT s[g.i] AS a, s[g.i + 1] AS b, sum(freq) AS cnt
+         |  FROM s$i t, (SELECT unnest(generate_series(1,
+         |    (SELECT max(len(s)) FROM s$i))) AS i) g
+         |  WHERE g.i + 1 <= len(t.s)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, cnt FROM p$i
+         |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |e$i AS (SELECT replace(t.enc, ' ' || b.a || '  ' || b.b || ' ',
+         |    ' ' || b.a || b.b || ' ') AS enc, t.freq
+         |  FROM $prev t CROSS JOIN b$i b)""".stripMargin
+    }
+    val ranks = (1 to n).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS rank, a AS lhs, b AS rhs,
+         |  CAST(cnt AS BIGINT) AS pair_count FROM b$i""".stripMargin
+    }
+    s"""WITH v AS (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |    FROM documents) GROUP BY w),
+       |e0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS enc,
+       |    freq FROM v),
+       |${rounds.mkString(",\n")}
+       |${ranks.mkString(" UNION ALL ")}
+       |ORDER BY rank""".stripMargin
+  }
 
   /** doc_id → distinct word-3-gram shingles (mirrors TextOps.shingles).
     * The position series bound is derived from the data (longest token
@@ -599,6 +652,7 @@ object DataPipelineQueries extends QueryPack {
          |  array_to_string(toks[1:8], '|') AS head_tokens
          |FROM t ORDER BY doc_id""".stripMargin
     },
+    "text_bpe_train" -> bpeTrainOracleSql,
     "text_tokens" ->
       s"""SELECT doc_id, len($tokSql) AS n_tokens,
          |  len(list_distinct($tokSql)) AS n_distinct,

@@ -224,6 +224,28 @@ class CorpusOpsSpec extends SparkSuite {
     assert(seg("abab", Seq(("a", "b"))) == List("ab", "ab"))
   }
 
+  test("trainBpeMerges learns the hand-computed top pairs in order") {
+    import spark.implicits._
+    // vocab: the(1), there(1), other(1) — all freq 1.
+    // round 1: th=3, he=3, er=2, re=1, ot=1, te... tie th/he at 3 →
+    //   lexicographic asc picks (h,e).
+    // round 2: t-he=3, he-r=2, r-e=1, o-t=1 → (t,he)=3.
+    // round 3: the-r=2, r-e=1, o-the=1 → (the,r)=2.
+    val docs = Seq((1L, "the there"), (2L, "other")).toDF("doc_id", "text")
+    val merges = TextOps.trainBpeMerges(docs, "text", 3)
+    assert(merges == Seq(("h", "e", 3L), ("t", "he", 3L), ("the", "r", 2L)),
+      s"got $merges")
+    // learned table round-trips through the applier: o|t|h|e|r → he →
+    // t+he → the+r leaves o|ther
+    val seg = Seq("other").toDF("w")
+      .select(TextOps.bpeTokens(col("w"), merges.map(m => (m._1, m._2))).as("t"))
+      .as[List[String]].head()
+    assert(seg == List("o", "ther"))
+    // single-char-word corpora have no pairs: training stops empty
+    assert(TextOps.trainBpeMerges(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      "text", 2).isEmpty)
+  }
+
   test("mixtureSample keeps per-source rates deterministically; unknown sources drop") {
     import spark.implicits._
     val df = (1L to 300L).map(i =>

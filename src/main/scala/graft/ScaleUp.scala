@@ -36,9 +36,10 @@ import org.apache.spark.sql.functions._
   *    rides) and exactly what partition-parallel window plans should
   *    absorb linearly.
   *
-  * `events.ts` is written as raw NANOS longs to keep the
-  * [[Tables.eventsRaw]] loading contract (timestamp_micros(ts div 1000))
-  * identical at every scale factor.
+  * `events.ts` is written as a microsecond timestamp, matching the current
+  * testdata generation's `timestamp[us]` layout; [[Tables.eventsRaw]]
+  * branches on the loaded schema, so the derived directory loads through
+  * the identical code path as the source directory.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
@@ -97,7 +98,6 @@ object ScaleUp {
         .withColumn("event_id", col("event_id") + lit(i * 10000000000L))
         .withColumn("user_id", col("user_id") + lit(i * 1000000L))
     }.reduce(_ unionByName _)
-      .withColumn("ts", expr("unix_micros(ts) * 1000")) // back to nanos longs
       .repartition(cpus.toInt)
       .write.mode(SaveMode.Overwrite).parquet(s"$dest/events.parquet")
 

@@ -101,49 +101,40 @@ object TextOps {
 
   /** BPE merge TRAINING — learn the `nMerges` highest-count merges from a
     * corpus (the counterpart of [[bpeTokens]], which only applies a given
-    * table). Classic subword-nmt learning over the WORD VOCABULARY:
+    * table). The shape every production tokenizer trainer uses:
     *
-    *  1. one corpus-sized pass builds (word, freq) — the only scan whose
-    *     cost tracks the corpus; everything after iterates over the
-    *     compressed vocabulary (Zipf: orders of magnitude smaller);
-    *  2. per round: count adjacent symbol pairs weighted by word freq
-    *     (explode of zip-shifted symbol arrays, one hash agg), take the
-    *     top pair — deterministically: count desc, then (left, right)
-    *     lexicographic asc, where reference subword-nmt leaves ties to
-    *     dict order — and extend the merge chain;
-    *  3. re-encode is the same double-space `replace` chain as
-    *     application, so training and application share one definition.
+    *  1. ONE distributed corpus pass builds the (word, freq) vocabulary —
+    *     the only work that tracks corpus size — capped DETERMINISTICALLY
+    *     at `maxVocab` entries (freq desc, word asc), the standard
+    *     frequency cutoff that bounds what the driver holds at 100 TB
+    *     (Zipf: the tail it drops is singleton junk);
+    *  2. the merge loop itself runs DRIVER-SIDE over the compressed
+    *     vocabulary with INCREMENTAL pair-count maintenance
+    *     ([[BpeTrainer.learn]]): adopting a merge re-encodes only the
+    *     words that contain it and applies the exact count delta —
+    *     no per-round Spark job, no O(merges²) re-encoding. 8 merges
+    *     and 32k merges launch the same single Spark job.
     *
-    * Returns (left, right, pair_count) in rank order. Driver holds the
-    * merge table (like [[KMeansOps]] holds centroids): k rows, broadcast
-    * into every re-encode. At 100 TB the per-round agg shuffles vocab-
-    * sized pair counts, never corpus rows.
+    * Selection is deterministic — count desc, then (left, right)
+    * lexicographic asc (reference subword-nmt leaves ties to dict
+    * order) — and stops early when the vocabulary is fully merged.
+    * Returns (left, right, pair_count_at_adoption) in rank order; the
+    * DuckDB oracle replays every round as a full re-encode and must
+    * produce the identical table, which is what proves the incremental
+    * deltas exact.
     */
-  def trainBpeMerges(docs: DataFrame, textCol: String,
-                     nMerges: Int): Seq[(String, String, Long)] = {
-    require(nMerges >= 0)
+  def trainBpeMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                     maxVocab: Int = 1 << 20): Seq[(String, String, Long)] = {
+    require(nMerges >= 0 && maxVocab > 0)
     val vocab = docs.select(
         explode(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"))
           .as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    (0 until nMerges).foreach { _ =>
-      val syms = split(trim(bpeSpaced(col("w"), out.toSeq.map(t => (t._1, t._2)))), "  ")
-      val top = vocab
-        .select(col("freq"), syms.as("__s"))
-        .select(col("freq"),
-          explode(zip_with(col("__s"), slice(col("__s"), lit(2), size(col("__s")) - 1),
-            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
-        .filter(col("p.b").isNotNull) // zip_with pads the shifted side
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      top.foreach(r => out += ((r.getString(0), r.getString(1), r.getLong(2))))
-    }
-    vocab.unpersist()
-    out.toSeq
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    BpeTrainer.learn(vocab, nMerges)
   }
 
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed,

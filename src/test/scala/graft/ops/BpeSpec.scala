@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** BPE contract tests across the three formulations:
+  *
+  *  - plan-time replace chain (TextOps.bpeSpaced — oracle-replayable),
+  *  - runtime-looping native expression (functions.BpeApply — the 32k-rule
+  *    scale path),
+  *  - driver-side incremental trainer (BpeTrainer) vs a from-scratch
+  *    recount reference.
+  *
+  * The chain and the expression must agree on every word (for well-formed
+  * tables — see BpeApply's scaladoc for why); the trainer's incremental
+  * deltas must equal a full recount at every round.
+  */
+class BpeSpec extends SparkSuite {
+
+  private val adversarial = Seq(
+    "a", "aa", "aaa", "aaaa", "ababab", "thethethe", "oooo",
+    "and", "anand", "ingingin", "z", "thethe", "attat", "stst",
+    "x1y2z3", "0000", "ororor", "edited", "alll", "lllll")
+
+  test("runtime expression == replace chain on fixture corpus + adversarial words") {
+    graft.functions.BpeApply.register(spark, TextOps.DefaultBpeMerges)
+    import spark.implicits._
+    val corpusWords = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .distinct()
+    val words = corpusWords.union(adversarial.toDF("w"))
+    val both = words.select(
+        col("w"),
+        array_join(TextOps.bpeTokens(col("w")), " ").as("chain"),
+        call_function("graft_bpe_apply", col("w")).as("rt"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"word=${r.getString(0)} chain=${r.getString(1)} runtime=${r.getString(2)}")
+    }
+  }
+
+  test("expression handles a deep learned table the chain could not codegen") {
+    // learn a deep table from the corpus, then apply it via the runtime
+    // expression — segmentations must be valid (concat of tokens == word)
+    val merges3 = BpeTrainer.learn(
+      Array(("banana", 3L), ("bandana", 2L), ("analysis", 1L)), nMerges = 1000)
+    assert(merges3.nonEmpty && merges3.size < 1000, "tiny vocab must saturate")
+    graft.functions.BpeApply.register(spark,
+      merges3.map(m => (m._1, m._2)), name = "bpe_deep")
+    import spark.implicits._
+    val out = Seq("banana", "bandana", "analysis", "banan", "xyzzy")
+      .toDF("w")
+      .select(col("w"), call_function("bpe_deep", col("w")).as("t"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1).replace(" ", "") == r.getString(0),
+        s"lossy segmentation: ${r.getString(0)} -> ${r.getString(1)}")
+    }
+    // the three training words saturate to a single symbol each
+    assert(out.take(3).forall(r => !r.getString(1).contains(" ")))
+  }
+
+  test("incremental trainer == from-scratch recount at every round") {
+    // reference: recount pair stats from the current encoding each round
+    def recountReference(vocab: Array[(String, Long)],
+                         n: Int): Seq[(String, String, Long)] = {
+      var words = vocab.map(_._1.toCharArray.map(String.valueOf))
+      val freqs = vocab.map(_._2)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var continue = true
+      while (continue && out.size < n) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        for (wi <- words.indices; i <- 0 until words(wi).length - 1)
+          counts((words(wi)(i), words(wi)(i + 1))) =
+            counts.getOrElse((words(wi)(i), words(wi)(i + 1)), 0L) + freqs(wi)
+        if (counts.isEmpty) continue = false
+        else {
+          val (p, c) = counts.minBy { case ((a, b), cnt) => (-cnt, a, b) }
+          out += ((p._1, p._2, c))
+          words = words.map { s =>
+            val o = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == p._1 && s(i + 1) == p._2) {
+                o += p._1 + p._2; i += 2
+              } else { o += s(i); i += 1 }
+            }
+            o.toArray
+          }
+        }
+      }
+      out.toSeq
+    }
+
+    val vocab = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(vocab.nonEmpty)
+    val incremental = BpeTrainer.learn(vocab, 300)
+    val reference = recountReference(vocab, 300)
+    assert(incremental == reference,
+      s"first divergence at rank ${
+        incremental.zip(reference).indexWhere { case (a, b) => a != b }}")
+    // the corpus saturates below 300 — early stop exercised, and deep
+    // enough to flush out any delta bookkeeping drift
+    assert(incremental.size < 300 && incremental.size > 50,
+      s"unexpected depth ${incremental.size}")
+  }
+
+  test("trainer determinism and tie-break order on a crafted tie") {
+    // both pairs occur exactly twice; (a,b) < (b,a) lexicographically
+    val got = BpeTrainer.learn(Array(("abba", 1L), ("ab", 1L)), 1)
+    assert(got.head._1 == "a" && got.head._2 == "b" && got.head._3 == 2L)
+  }
+}

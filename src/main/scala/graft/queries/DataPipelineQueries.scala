@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{DedupOps, EmbeddingOps, TextOps}
+import graft.ops.{DedupOps, EmbeddingOps, SamplingOps, TextOps}
 
 /** Large-scale training-data pipeline operators (dedup, similarity search,
   * text analysis) over the `documents` / `embeddings` tables, each with a
@@ -180,14 +180,19 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // BPE merge application: the rank-ordered merge chain over every
-    // [a-z0-9]+ word (TextOps.bpeTokens — subword-nmt semantics as a
-    // pure codegen'd replace chain). n_bpe_tokens is the token count a
-    // training-data budget would meter; head_tokens pins the actual
-    // segmentation (not just counts) in the hash compare.
+    // BPE merge application via the RUNTIME-LOOPING native expression
+    // (functions.BpeApply): the merge table is plan-time data, not
+    // plan-time structure, so a 32k-rule vocabulary costs the same one
+    // expression node as the 24-rule demo table here. The oracle replays
+    // the plan-time replace CHAIN (TextOps.bpeTokensSql) — the hash
+    // compare is what proves the two formulations equivalent on real
+    // text. n_bpe_tokens is the token count a training-data budget would
+    // meter; head_tokens pins the actual segmentation in the hash.
     "text_bpe" -> ((s, dir) => {
+      graft.functions.BpeApply.register(s, TextOps.DefaultBpeMerges)
       val words = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
-      val tokArr = flatten(transform(words, w => TextOps.bpeTokens(w)))
+      val tokArr = flatten(transform(words,
+        w => split(call_function("graft_bpe_apply", w), " ")))
       Tables.documents(s, dir)
         .select(col("doc_id"),
           size(tokArr).cast("long").as("n_bpe_tokens"),
@@ -196,15 +201,22 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // BPE merge TRAINING: learn the 8 top merges from the corpus word
-    // vocabulary (TextOps.trainBpeMerges — one corpus pass to (word,
-    // freq), then vocab-sized pair-count rounds; ties break (count desc,
-    // pair asc) so the table is deterministic). Output is the learned
-    // table itself with its counts — the artifact a tokenizer deployment
-    // ships — and the oracle replays all 8 rounds as a generated CTE
-    // chain over the identical encode/count/argmax/replace steps.
+    // BPE merge TRAINING at real depth: up to 256 merges learned from
+    // the corpus word vocabulary in ONE distributed pass + a driver-side
+    // incremental pair-count loop (TextOps.trainBpeMerges /
+    // BpeTrainer.learn — no per-round Spark job, exact count deltas,
+    // deterministic (count desc, pair asc) ties, early stop when the
+    // vocabulary is fully merged; this fixture saturates before 256, and
+    // the oracle's replay saturates at the identical round). The vocab
+    // is capped at 65536 entries (freq desc, word asc — mirrored in the
+    // oracle), the explicit bound on what the driver holds at 100 TB.
+    // Output is the learned table itself with adoption counts — the
+    // artifact a tokenizer deployment ships — and the oracle replays
+    // EVERY round as a generated full-re-encode CTE chain, which is
+    // precisely what certifies the incremental deltas exact.
     "text_bpe_train" -> ((s, dir) => {
-      val merges = TextOps.trainBpeMerges(Tables.documents(s, dir), "text", 8)
+      val merges = TextOps.trainBpeMerges(Tables.documents(s, dir), "text",
+        nMerges = 256, maxVocab = 65536)
       import s.implicits._
       merges.zipWithIndex
         .map { case ((a, b, c), i) => (i + 1, a, b, c) }
@@ -275,13 +287,17 @@ object DataPipelineQueries extends QueryPack {
     // must hit 1.0 exactly). Ground truth and each codebook's probe
     // table are materialized ONCE (localCheckpoint) and rank-filtered
     // per curve point, so neither brute force nor codebook scoring
-    // physically re-runs per setting. At 100 TB the exact side runs
-    // over a SAMPLED query set (brute force is the expensive half)
-    // while the probed side is the production path.
+    // physically re-runs per setting. The query set is hash-SAMPLED (60%,
+    // deterministic md5 threshold — no RNG) before anything runs: recall
+    // is a statistic, and brute force is the expensive half, so at 100 TB
+    // the eval pays exact-side cost only for the sampled queries while
+    // the probed side stays the production path. The sampling is in the
+    // query shape itself (and mirrored in the oracle), not a docstring.
     "embed_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val corpus = emb.filter(col("vec_id") >= 10)
-      val queries = emb.filter(col("vec_id") < 10)
+      val queries = SamplingOps.hashSample(
+        emb.filter(col("vec_id") < 10), col("vec_id"), 60, "annq:")
       val exact = EmbeddingOps.bruteForceTopK(corpus, queries,
         "vec_id", "embedding", k = 3).localCheckpoint(true)
       def curve(corpusC: DataFrame, clusterCol: String, tag: String): DataFrame = {
@@ -327,37 +343,55 @@ object DataPipelineQueries extends QueryPack {
 
   private val tokSql = """string_split_regex(trim(lower(text)), '\s+')"""
 
-  /** Replay of TextOps.trainBpeMerges(nMerges = 8): the vocabulary CTE,
-    * then one generated (pairs → argmax → replace) block per round —
-    * identical double-space encoding, identical (cnt desc, pair asc)
-    * tie-break, identical replace rewrite — so Spark's loop count and the
-    * SQL's cannot drift. The pair-position series is bounded by the
-    * longest encoded word in that round's vocabulary, not a constant.
+  /** Replay of TextOps.trainBpeMerges(nMerges = 256, maxVocab = 65536):
+    * the capped vocabulary CTE, then one generated (pairs → argmax →
+    * replace) block per round — identical double-space encoding,
+    * identical (cnt desc, pair asc) tie-break, identical replace
+    * rewrite — so Spark's loop count and the SQL's cannot drift. When
+    * the vocabulary saturates (no pair left), that round's argmax CTE is
+    * empty, the cross-join re-encode empties every later round, and the
+    * rank union stops emitting — the same early stop as the trainer.
+    * The pair-position series is bounded by the longest encoded word in
+    * that round's vocabulary, not a constant.
+    *
+    * Two structural constraints at 256 rounds, both hit in testing:
+    *  - every round CTE is `AS MATERIALIZED` — DuckDB's default CTE
+    *    inlining re-expands the chain per reference (observed as
+    *    thousands of parquet re-opens → "Too many open files");
+    *  - ONE fused CTE per round (argmax as a nested subquery, merge
+    *    metadata carried as repeated columns) — four CTEs per round put
+    *    the binder's reference chain past its 1000 expression-depth
+    *    limit; fused, the chain is ~n+1 deep.
     */
   private def bpeTrainOracleSql: String = {
-    val n = 8
+    val n = 256
     val rounds = (1 to n).map { i =>
       val prev = s"e${i - 1}"
-      s"""s$i AS (SELECT string_split(trim(enc), '  ') AS s, freq FROM $prev),
-         |p$i AS (SELECT s[g.i] AS a, s[g.i + 1] AS b, sum(freq) AS cnt
-         |  FROM s$i t, (SELECT unnest(generate_series(1,
-         |    (SELECT max(len(s)) FROM s$i))) AS i) g
-         |  WHERE g.i + 1 <= len(t.s)
-         |  GROUP BY 1, 2),
-         |b$i AS (SELECT a, b, cnt FROM p$i
-         |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-         |e$i AS (SELECT replace(t.enc, ' ' || b.a || '  ' || b.b || ' ',
-         |    ' ' || b.a || b.b || ' ') AS enc, t.freq
-         |  FROM $prev t CROSS JOIN b$i b)""".stripMargin
+      s"""e$i AS MATERIALIZED (
+         |  SELECT replace(t.enc, ' ' || b.a || '  ' || b.b || ' ',
+         |      ' ' || b.a || b.b || ' ') AS enc, t.freq,
+         |    b.a AS a, b.b AS b, b.cnt AS cnt
+         |  FROM $prev t CROSS JOIN (
+         |    SELECT a, b, cnt FROM (
+         |      SELECT s[g.i] AS a, s[g.i + 1] AS b, sum(freq) AS cnt
+         |      FROM (SELECT string_split(trim(enc), '  ') AS s, freq
+         |            FROM $prev) t2,
+         |        (SELECT unnest(generate_series(1,
+         |          (SELECT max(len(string_split(trim(enc), '  ')))
+         |           FROM $prev))) AS i) g
+         |      WHERE g.i + 1 <= len(t2.s)
+         |      GROUP BY 1, 2)
+         |    ORDER BY cnt DESC, a ASC, b ASC LIMIT 1) b)""".stripMargin
     }
     val ranks = (1 to n).map { i =>
-      s"""SELECT CAST($i AS INTEGER) AS rank, a AS lhs, b AS rhs,
-         |  CAST(cnt AS BIGINT) AS pair_count FROM b$i""".stripMargin
+      s"""SELECT DISTINCT CAST($i AS INTEGER) AS rank, a AS lhs, b AS rhs,
+         |  CAST(cnt AS BIGINT) AS pair_count FROM e$i""".stripMargin
     }
-    s"""WITH v AS (SELECT w, count(*) AS freq FROM (
+    s"""WITH v AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-       |    FROM documents) GROUP BY w),
-       |e0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS enc,
+       |    FROM documents) GROUP BY w
+       |    ORDER BY freq DESC, w ASC LIMIT 65536),
+       |e0 AS MATERIALIZED (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS enc,
        |    freq FROM v),
        |${rounds.mkString(",\n")}
        |${ranks.mkString(" UNION ALL ")}
@@ -687,7 +721,9 @@ object DataPipelineQueries extends QueryPack {
     "embed_ann_ivf" -> cosineTopkSql(3, "c.label = q.qlabel"),
     "embed_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-         |    FROM embeddings WHERE vec_id < 10),
+         |    FROM embeddings WHERE vec_id < 10
+         |    AND ('0x' || substr(md5('annq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+         |        % 100 < 60),
          |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
          |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
          |qn AS (SELECT query_id,

@@ -68,9 +68,19 @@ object Export {
     * conflict-suppressed, downsampled — [[Postprocess.displayTimeline]]
     * output). Behaviors with no value above the display threshold still get
     * a trace (all-null y), like the reference's always-added Bar.
+    *
+    * `stack` mirrors the reference's "Stack bars vertically" checkbox
+    * (app.py:331,355 — `barmode=("stack" if stack else "overlay")`);
+    * `classes` mirrors its "Plot classes" multiselect (app.py:347):
+    * when given, only the named behaviors get traces. Both default to the
+    * reference's export-everything/overlay behavior so existing callers
+    * (App streaming loop, CLI) are unchanged.
     */
-  def timelineBarsJson(timeline: DataFrame): String = {
+  def timelineBarsJson(timeline: DataFrame, stack: Boolean = false,
+                       classes: Option[Seq[String]] = None): String = {
+    val selected = classes.map(_.toSet)
     val cfCols = timeline.columns.filter(_.startsWith("cf_")).toSeq.sorted
+      .filter(c => selected.forall(_.contains(c)))
     val rows = timeline.select(
         (col("tsec") +: cfCols.map(col)): _*)
       .orderBy(col("tsec"))
@@ -91,7 +101,8 @@ object Export {
          |"opacity":$BarOpacity,"marker":{"color":${jstr(ColorMap.getOrElse(b, DefaultColor))},"line":{"width":0}}}"""
         .stripMargin.replace("\n", "")
     }
-    s"""{"data":${traces.mkString("[", ",", "]")},"layout":{"barmode":"overlay","hovermode":"x unified","xaxis":{"title":"Time (s)"},"yaxis":{"title":"Confidence","range":[0.0,1.0]},"legend":{"orientation":"h","y":1.12},"template":"plotly_dark"}}"""
+    val barmode = if (stack) "stack" else "overlay"
+    s"""{"data":${traces.mkString("[", ",", "]")},"layout":{"barmode":"$barmode","hovermode":"x unified","xaxis":{"title":"Time (s)"},"yaxis":{"title":"Confidence","range":[0.0,1.0]},"legend":{"orientation":"h","y":1.12},"template":"plotly_dark"}}"""
   }
 
   /** Per-class masked MAE, worst first (plot_metrics.py:6-25): rows where

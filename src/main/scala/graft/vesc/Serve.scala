@@ -23,7 +23,15 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * Endpoints:
   *  - `GET /health`           → `{"ok":true}`
   *  - `GET /figure`           → `timeline_bars.json` (the Plotly figure
-  *                               [[Export.timelineBarsJson]] wrote)
+  *                               [[Export.timelineBarsJson]] wrote).
+  *                               `?stack=true` rewrites `layout.barmode`
+  *                               to `stack` (the reference's checkbox,
+  *                               app.py:331,355); `?classes=cf_a,cf_b`
+  *                               keeps only the named traces (the
+  *                               multiselect, app.py:347). Both are
+  *                               JSON-level transforms of the exported
+  *                               artifact — no Spark recompute to serve
+  *                               a display toggle.
   *  - `GET /files/<name>`     → any regular file in the export dir
   *                               (csv/json content types); path traversal
   *                               outside the dir is rejected with 403.
@@ -50,6 +58,47 @@ object Serve {
     * reference's logs are a few MB; 256 MiB is generous headroom).
     */
   private[vesc] val MaxUploadBytes: Long = 256L * 1024 * 1024
+
+  private def parseQuery(raw: String): Map[String, String] =
+    Option(raw).toSeq.flatMap(_.split("&")).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+
+  /** Display-toggle transform of an exported figure: filter `data` traces
+    * by `name` and/or set `layout.barmode` to `stack`. Operates on the
+    * figure JSON itself (json4s, already on Spark's classpath) so the
+    * served variants stay byte-consistent with the exporter's contract —
+    * numbers, hover strings, and colors pass through untouched.
+    */
+  private[vesc] def figureVariant(figureJson: String, stack: Boolean,
+                                  classes: Option[Set[String]]): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val fig = JsonMethods.parse(figureJson)
+    val filtered = classes match {
+      case None => fig
+      case Some(keep) => fig.transformField {
+        case ("data", JArray(traces)) =>
+          "data" -> JArray(traces.filter { t =>
+            (t \ "name") match {
+              case JString(n) => keep.contains(n)
+              case _          => true
+            }
+          })
+      }
+    }
+    val moded =
+      if (!stack) filtered
+      else filtered.transformField {
+        case ("barmode", JString(_)) => "barmode" -> JString("stack")
+      }
+    JsonMethods.compact(JsonMethods.render(moded))
+  }
 
   private def contentType(name: String): String =
     if (name.endsWith(".json")) "application/json"
@@ -89,9 +138,18 @@ object Serve {
           respondJson(ex, 200, """{"ok":true}""")
         } else if (path == "/figure") {
           val f = root.resolve("timeline_bars.json")
-          if (Files.isRegularFile(f))
-            respond(ex, 200, Files.readAllBytes(f), "application/json")
-          else respondJson(ex, 404, """{"error":"no figure exported"}""")
+          if (Files.isRegularFile(f)) {
+            val params = parseQuery(ex.getRequestURI.getRawQuery)
+            val stack = params.get("stack").exists(v => v == "true" || v == "1")
+            val classes = params.get("classes")
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+            val body =
+              if (!stack && classes.isEmpty) Files.readAllBytes(f)
+              else figureVariant(
+                new String(Files.readAllBytes(f), StandardCharsets.UTF_8),
+                stack, classes).getBytes(StandardCharsets.UTF_8)
+            respond(ex, 200, body, "application/json")
+          } else respondJson(ex, 404, """{"error":"no figure exported"}""")
         } else if (path.startsWith("/files/")) {
           // resolve, then REQUIRE the REAL path (symlinks resolved) stays
           // inside the export dir — a syntactic normalize alone lets a

@@ -35,6 +35,24 @@ class ExportSpec extends SparkSuite {
     assert(json.contains("\"width\":0.45")) // 0.9 * display_dt(0.5)
   }
 
+  test("stack barmode and class selection (app.py:331,347 parity)") {
+    import spark.implicits._
+    val timeline = Seq((0.0, 0.8, 0.9)).toDF("tsec", "cf_accel", "cf_brake")
+
+    val stacked = Export.timelineBarsJson(timeline, stack = true)
+    assert(stacked.contains("\"barmode\":\"stack\""))
+    assert(stacked.contains("cf_accel") && stacked.contains("cf_brake"))
+
+    val filtered = Export.timelineBarsJson(timeline,
+      classes = Some(Seq("cf_brake")))
+    assert(!filtered.contains("\"name\":\"cf_accel\""))
+    assert(filtered.contains("\"name\":\"cf_brake\""))
+    assert(filtered.contains("\"barmode\":\"overlay\""))
+    // unknown names select nothing rather than erroring (UI contract)
+    assert(Export.timelineBarsJson(timeline, classes = Some(Seq("cf_nope")))
+      .contains("\"data\":[]"))
+  }
+
   test("unknown behaviors fall back to the default color") {
     import spark.implicits._
     val timeline = Seq((0.0, 0.9)).toDF("tsec", "cf_mystery")

@@ -64,6 +64,40 @@ class ServeSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("figure display toggles: ?stack + ?classes (app.py:331,347 parity)") {
+    val dir = Files.createTempDirectory("graft_serve_fig_")
+    // two named traces + one name-less annotation-style entry (must survive
+    // class filtering untouched)
+    val figure = """{"data":[{"type":"bar","name":"cf_accel","y":[1]},""" +
+      """{"type":"bar","name":"cf_brake","y":[2]},{"type":"scatter","y":[3]}],""" +
+      """"layout":{"barmode":"overlay","template":"plotly_dark"}}"""
+    Files.write(dir.resolve("timeline_bars.json"),
+      figure.getBytes(StandardCharsets.UTF_8))
+    val server = Serve.start(dir, 0)
+    val port = server.getAddress.getPort
+    try {
+      // no params → byte-identical artifact passthrough
+      val (c0, b0, _) = get(port, "/figure")
+      assert(c0 == 200 && b0 == figure)
+
+      val (c1, b1, _) = get(port, "/figure?stack=true")
+      assert(c1 == 200 && b1.contains("\"barmode\":\"stack\""))
+      assert(b1.contains("cf_accel") && b1.contains("cf_brake"))
+
+      val (c2, b2, _) = get(port, "/figure?classes=cf_brake")
+      assert(c2 == 200 && !b2.contains("cf_accel") && b2.contains("cf_brake"))
+      assert(b2.contains("\"barmode\":\"overlay\""), "classes alone keeps barmode")
+      assert(b2.contains("scatter"), "name-less trace survives class filter")
+
+      val (c3, b3, _) = get(port, "/figure?stack=1&classes=cf_accel,cf_brake")
+      assert(c3 == 200 && b3.contains("\"barmode\":\"stack\""))
+      assert(b3.contains("cf_accel") && b3.contains("cf_brake"))
+
+      val (c4, b4, _) = get(port, "/figure?classes=cf_nope")
+      assert(c4 == 200 && !b4.contains("cf_accel") && !b4.contains("cf_brake"))
+    } finally server.stop(0)
+  }
+
   test("figure 404s gracefully when nothing was exported") {
     val empty = Files.createTempDirectory("graft_serve_empty_")
     val server = Serve.start(empty, 0)

@@ -181,12 +181,17 @@ object CorpusQueries extends QueryPack {
     // much recall). The ADC scan runs ONCE at the widest shortlist (30)
     // and each curve point is a rank-filter of that one checkpointed
     // table; the float rerank also runs once over the 30-wide shortlist.
-    // At 100 TB the exact side runs over a SAMPLED query set (it is the
-    // expensive half); the probed side is the production path.
+    // The query set is hash-SAMPLED (60%, deterministic md5 threshold,
+    // mirrored in the oracle) before anything runs — recall is a
+    // statistic, and the exact side is the expensive half, so at 100 TB
+    // the eval pays it only for sampled queries. Sampling lives in the
+    // query shape (same contract as embed_ann_recall), not a docstring;
+    // the production index query embed_ann_ivf_pq stays unsampled.
     "embed_pq_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val corpus = emb.filter(col("vec_id") >= 10)
-      val queries = emb.filter(col("vec_id") < 10)
+      val queries = SamplingOps.hashSample(
+        emb.filter(col("vec_id") < 10), col("vec_id"), 60, "pqrecall:")
       val exact = graft.ops.EmbeddingOps.ivfTopK(corpus, queries,
         "vec_id", "embedding", "label", k = 3).localCheckpoint(true)
       val sl = graft.ops.PqOps.adcShortlist(corpus, queries,
@@ -340,10 +345,14 @@ object CorpusQueries extends QueryPack {
     s"""WITH $pqCoreCtes,
        |sl AS (SELECT query_id, cand_id, ar FROM (
        |        SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
-       |          ORDER BY a_dc DESC, cand_id ASC) AS ar FROM adc) WHERE ar <= 30),
+       |          ORDER BY a_dc DESC, cand_id ASC) AS ar FROM adc
+       |        WHERE ('0x' || substr(md5('pqrecall:' || CAST(query_id AS VARCHAR)), 1, 15))::BIGINT
+       |          % 100 < 60) WHERE ar <= 30),
        |dims64 AS (SELECT unnest(generate_series(1, 64)) AS i),
        |qf AS (SELECT vec_id AS query_id, label, embedding AS qe
-       |       FROM embeddings WHERE vec_id < 10),
+       |       FROM embeddings WHERE vec_id < 10
+       |       AND ('0x' || substr(md5('pqrecall:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |         % 100 < 60),
        |cf AS (SELECT vec_id, label, embedding AS ce
        |       FROM embeddings WHERE vec_id >= 10),
        |rr AS (SELECT sl.query_id, sl.cand_id, sl.ar,

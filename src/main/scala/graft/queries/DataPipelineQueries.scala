@@ -224,6 +224,32 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("rank"))
     }),
 
+    // Tokenizer END-TO-END: learn a 32-merge table from the corpus
+    // (TextOps.trainBpeMerges — the same single-pass incremental
+    // trainer), then segment the SAME corpus with it through the
+    // runtime-looping BpeApply expression — train→deploy→apply in one
+    // gated query, at a depth where segmentation is still partial
+    // (256 saturates this fixture; 32 leaves real subword structure).
+    // The oracle replays the 32 training rounds as the re-encode CTE
+    // chain, then applies the learned table with a RECURSIVE CTE that
+    // steps rank-by-rank over the distinct corpus words — a genuinely
+    // data-driven apply (the merge table is rows, not SQL literals), so
+    // trainer AND applier are certified in one hash compare.
+    "text_bpe_e2e" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextOps.trainBpeMerges(docs, "text",
+        nMerges = 32, maxVocab = 65536).map(m => (m._1, m._2))
+      graft.functions.BpeApply.register(s, merges, name = "graft_bpe_e2e")
+      val words = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+      val tokArr = flatten(transform(words,
+        w => split(call_function("graft_bpe_e2e", w), " ")))
+      docs.select(col("doc_id"),
+          size(tokArr).cast("long").as("n_bpe_tokens"),
+          size(words).cast("long").as("n_words"),
+          array_join(slice(tokArr, 1, 8), "|").as("head_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality scoring: stopword ratio + length-normalized score.
     "text_quality" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -363,9 +389,15 @@ object DataPipelineQueries extends QueryPack {
     *    the binder's reference chain past its 1000 expression-depth
     *    limit; fused, the chain is ~n+1 deep.
     */
-  private def bpeTrainOracleSql: String = {
-    val n = 256
-    val rounds = (1 to n).map { i =>
+  private def bpeTrainOracleSql: String = bpeTrainOracleSql(256)
+
+  private def bpeTrainOracleSql(n: Int): String =
+    s"""WITH ${bpeVocabCtes(bpeRoundCtes(n))}
+       |${bpeRanksUnion(n)}
+       |ORDER BY rank""".stripMargin
+
+  private def bpeRoundCtes(n: Int): Seq[String] =
+    (1 to n).map { i =>
       val prev = s"e${i - 1}"
       s"""e$i AS MATERIALIZED (
          |  SELECT replace(t.enc, ' ' || b.a || '  ' || b.b || ' ',
@@ -383,20 +415,66 @@ object DataPipelineQueries extends QueryPack {
          |      GROUP BY 1, 2)
          |    ORDER BY cnt DESC, a ASC, b ASC LIMIT 1) b)""".stripMargin
     }
-    val ranks = (1 to n).map { i =>
-      s"""SELECT DISTINCT CAST($i AS INTEGER) AS rank, a AS lhs, b AS rhs,
-         |  CAST(cnt AS BIGINT) AS pair_count FROM e$i""".stripMargin
-    }
-    s"""WITH v AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+
+  /** Replay of the text_bpe_e2e query: train 32 rounds (the same CTE
+    * chain as bpeTrainOracleSql(32)), collect the learned table as ROWS,
+    * then apply it to every distinct corpus word with a RECURSIVE CTE
+    * stepping rank-by-rank (LEFT JOIN keeps stepping past a saturated
+    * rank with the encoding unchanged), and finally reassemble per-doc
+    * token counts/heads by joining words back in document order. The
+    * applier consumes the merge table as data — the SQL text contains no
+    * learned literals — so one hash compare certifies trainer AND
+    * runtime applier together.
+    */
+  private def bpeE2eOracleSql: String = {
+    val n = 32
+    s"""WITH RECURSIVE ${bpeVocabCtes(bpeRoundCtes(n))},
+       |merges AS MATERIALIZED (${bpeRanksUnion(n)}),
+       |mx AS (SELECT coalesce(max(rank), 0) AS r FROM merges),
+       |dw AS MATERIALIZED (SELECT DISTINCT
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |  FROM documents),
+       |app AS (
+       |  SELECT w, 0 AS r,
+       |    '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS enc FROM dw
+       |  UNION ALL
+       |  SELECT a.w, a.r + 1,
+       |    CASE WHEN m.rank IS NULL THEN a.enc
+       |         ELSE replace(a.enc, ' ' || m.lhs || '  ' || m.rhs || ' ',
+       |                      ' ' || m.lhs || m.rhs || ' ') END
+       |  FROM app a LEFT JOIN merges m ON m.rank = a.r + 1
+       |  WHERE a.r < (SELECT r FROM mx)),
+       |appf AS MATERIALIZED (SELECT w, string_split(trim(enc), '  ') AS tok
+       |  FROM app WHERE r = (SELECT r FROM mx)),
+       |docw AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+       |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS ord
+       |  FROM documents),
+       |agg AS (SELECT d.doc_id, flatten(list(a.tok ORDER BY d.ord)) AS toks
+       |  FROM docw d JOIN appf a USING (w) GROUP BY d.doc_id)
+       |SELECT doc.doc_id,
+       |  CAST(coalesce(len(g.toks), 0) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(len(regexp_extract_all(lower(doc.text), '[a-z0-9]+')) AS BIGINT)
+       |    AS n_words,
+       |  coalesce(array_to_string(g.toks[1:8], '|'), '') AS head_tokens
+       |FROM documents doc LEFT JOIN agg g USING (doc_id)
+       |ORDER BY doc.doc_id""".stripMargin
+  }
+
+  private def bpeVocabCtes(rounds: Seq[String]): String =
+    s"""v AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
        |    FROM documents) GROUP BY w
        |    ORDER BY freq DESC, w ASC LIMIT 65536),
        |e0 AS MATERIALIZED (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS enc,
        |    freq FROM v),
-       |${rounds.mkString(",\n")}
-       |${ranks.mkString(" UNION ALL ")}
-       |ORDER BY rank""".stripMargin
-  }
+       |${rounds.mkString(",\n")}""".stripMargin
+
+  private def bpeRanksUnion(n: Int): String =
+    (1 to n).map { i =>
+      s"""SELECT DISTINCT CAST($i AS INTEGER) AS rank, a AS lhs, b AS rhs,
+         |  CAST(cnt AS BIGINT) AS pair_count FROM e$i""".stripMargin
+    }.mkString(" UNION ALL ")
 
   /** doc_id → distinct word-3-gram shingles (mirrors TextOps.shingles).
     * The position series bound is derived from the data (longest token
@@ -687,6 +765,7 @@ object DataPipelineQueries extends QueryPack {
          |FROM t ORDER BY doc_id""".stripMargin
     },
     "text_bpe_train" -> bpeTrainOracleSql,
+    "text_bpe_e2e" -> bpeE2eOracleSql,
     "text_tokens" ->
       s"""SELECT doc_id, len($tokSql) AS n_tokens,
          |  len(list_distinct($tokSql)) AS n_distinct,

@@ -113,12 +113,26 @@ object ImageHash {
   /** Decoded grayscale image: row-major top-down `gray(y*w + x)`. */
   private final class Gray(val w: Int, val h: Int, val px: Array[Int])
 
+  /** Container dispatch on magic bytes: uncompressed 24-bit BMP or
+    * zlib-compressed PNG. Every consumer (aHash / dHash / resize) is
+    * format-transparent — the SAME image content must hash identically
+    * from either container (pinned by ImagePixelSpec's cross-format
+    * round-trip).
+    */
+  private def decode(b: Array[Byte]): Gray = {
+    if (b == null || b.length < 8) null
+    else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      decodePng(b)
+    else null
+  }
+
   /** Uncompressed 24-bit BMP (BITMAPINFOHEADER family) → grayscale, or
     * null: wrong magic, compressed, palette-indexed, truncated pixel
     * data, or zero-area. Negative height = top-down row order (handled,
     * not rejected); width must be positive.
     */
-  private def decode(b: Array[Byte]): Gray = {
+  private def decodeBmp(b: Array[Byte]): Gray = {
     if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
     val dibSize = Bytes.le32(b, 14)
     if (dibSize < 40) return null // core/OS2-short headers are not 24-bit pixel paths here
@@ -145,6 +159,138 @@ object ImageHash {
         val green = b(base + x * 3 + 1) & 0xff
         val red = b(base + x * 3 + 2) & 0xff
         px(y * w + x) = (299 * red + 587 * green + 114 * blue) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    new Gray(w, h, px)
+  }
+
+  /** Pixel-count ceiling for PNG decode: a 16-byte IHDR can declare any
+    * dimensions, and inflate would then materialize them (decompression-
+    * bomb shape). BMP has no such gap (pixel bytes must be present in the
+    * blob); for PNG the guard is explicit.
+    */
+  private val MaxPngPixels = 1 << 24
+
+  /** Non-interlaced 8-bit-depth PNG → grayscale, or null: color types
+    * 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five
+    * scanline filters (None/Sub/Up/Average/Paeth); IDAT segments
+    * concatenated and inflated with the JDK Inflater (real zlib, not a
+    * store-mode shortcut — the ImagePixelSpec fixtures are written by an
+    * independent encoder at max compression with per-row filter
+    * diversity). Alpha is ignored (hash practice: content, not
+    * compositing); palette entries map through the same luma weights.
+    * Anything malformed — bad signature, truncated chunk, wrong depth,
+    * interlaced, inflate error, short pixel data, out-of-range palette
+    * index — returns null rather than throwing: scan-side decode must
+    * degrade per-row, never kill a 100 TB stage.
+    */
+  private def decodePng(b: Array[Byte]): Gray = {
+    if (b.length < 33) return null
+    var pos = 8
+    var w = 0; var h = 0; var colorType = -1
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream
+    var sawIhdr = false; var sawIend = false
+    while (!sawIend && pos + 8 <= b.length) {
+      val len = Bytes.be32(b, pos).toInt
+      if (len < 0 || pos + 12L + len > b.length) return null
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      val dataOff = pos + 8
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return null
+          w = Bytes.be32(b, dataOff).toInt
+          h = Bytes.be32(b, dataOff + 4).toInt
+          val depth = b(dataOff + 8) & 0xff
+          colorType = b(dataOff + 9) & 0xff
+          val compression = b(dataOff + 10) & 0xff
+          val filterMethod = b(dataOff + 11) & 0xff
+          val interlace = b(dataOff + 12) & 0xff
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPngPixels ||
+              depth != 8 || compression != 0 || filterMethod != 0 ||
+              interlace != 0 ||
+              (colorType != 0 && colorType != 2 && colorType != 3 &&
+                colorType != 4 && colorType != 6)) return null
+          sawIhdr = true
+        case "PLTE" =>
+          if (len % 3 != 0 || len > 768) return null
+          palette = java.util.Arrays.copyOfRange(b, dataOff, dataOff + len)
+        case "IDAT" => idat.write(b, dataOff, len)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunks (tRNS, tEXt, gAMA, ...) skipped
+      }
+      pos += 12 + len
+    }
+    if (!sawIhdr || idat.size() == 0) return null
+    if (colorType == 3 && palette == null) return null
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
+    val rowBytes = 1 + w * channels
+    val expected = rowBytes * h
+    val raw = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < expected && !inf.finished()) {
+        val n = inf.inflate(raw, got, expected - got)
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        got += n
+      }
+      if (got < expected) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    // defilter in place, row by row (bpp = channels at depth 8)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val base = y * rowBytes
+      val filter = raw(base) & 0xff
+      if (filter > 4) return null
+      var i = 1
+      while (i < rowBytes) {
+        val x = raw(base + i) & 0xff
+        val a = if (i > bpp) raw(base + i - bpp) & 0xff else 0
+        val up = if (y > 0) raw(base - rowBytes + i) & 0xff else 0
+        val c = if (y > 0 && i > bpp) raw(base - rowBytes + i - bpp) & 0xff else 0
+        val v = filter match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + (a + up) / 2
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }
+        raw(base + i) = v.toByte
+        i += 1
+      }
+      y += 1
+    }
+    val px = new Array[Int](w * h)
+    y = 0
+    while (y < h) {
+      val base = y * rowBytes + 1
+      var x = 0
+      while (x < w) {
+        val o = base + x * channels
+        val gray = colorType match {
+          case 0 | 4 => raw(o) & 0xff
+          case 2 | 6 =>
+            (299 * (raw(o) & 0xff) + 587 * (raw(o + 1) & 0xff) +
+              114 * (raw(o + 2) & 0xff)) / 1000
+          case 3 =>
+            val idx = raw(o) & 0xff
+            if (idx * 3 + 2 >= palette.length) return null
+            (299 * (palette(idx * 3) & 0xff) + 587 * (palette(idx * 3 + 1) & 0xff) +
+              114 * (palette(idx * 3 + 2) & 0xff)) / 1000
+        }
+        px(y * w + x) = gray
         x += 1
       }
       y += 1

@@ -389,6 +389,31 @@ object ExtraQueries extends QueryPack {
           "posexplode(image_resize_gray(blob, 6, 4)) AS (cell_idx, gray)")
         .select(col("doc_id"), col("cell_idx"), col("gray"))
         .orderBy(col("doc_id"), col("cell_idx"))
+    }),
+
+    // PNG round-trip over table data: quantize each embedding to an 8×8
+    // gray raster, encode it as a REAL zlib-compressed PNG scan-side
+    // (png_encode_gray — JDK Deflater through the repo's Png encoder),
+    // decode it back through the PNG pixel decoder (image_resize_gray at
+    // the identity grid), and emit the pixels. The oracle replays ONLY
+    // the quantization arithmetic — any loss or bias in the compressed
+    // round-trip breaks the hash. Decoder-vs-independent-encoder
+    // correctness is pinned separately in ImagePixelSpec (python-zlib
+    // fixtures, all five filters, palette/alpha color types). Scale
+    // shape: encode+decode live in one projection between scan and
+    // explode — blobs never shuffle.
+    "mm_image_png" -> ((s, dir) => {
+      graft.functions.ImageHash.register(s)
+      graft.functions.PngEncodeGray.register(s)
+      Tables.embeddings(s, dir)
+        .selectExpr("vec_id",
+          "transform(embedding, e -> CAST(CAST(floor(abs(CAST(e AS DOUBLE)) " +
+            "* 1000000 + 0.5) AS BIGINT) % 256 AS INT)) AS qv")
+        .selectExpr("vec_id", "png_encode_gray(qv, 8, 8) AS blob")
+        .selectExpr("vec_id",
+          "posexplode(image_resize_gray(blob, 8, 8)) AS (cell_idx, gray)")
+        .select(col("vec_id"), col("cell_idx"), col("gray"))
+        .orderBy(col("vec_id"), col("cell_idx"))
     }))
 
   override val oracle: Map[String, String] = Map(
@@ -588,6 +613,13 @@ object ExtraQueries extends QueryPack {
         |  FROM px GROUP BY 1, 2, 3)
         |SELECT doc_id, CAST(by * 6 + bx AS INTEGER) AS cell_idx,
         |  CAST(gray AS INTEGER) AS gray
-        |FROM cell ORDER BY doc_id, cell_idx""".stripMargin
+        |FROM cell ORDER BY doc_id, cell_idx""".stripMargin,
+    "mm_image_png" ->
+      """SELECT vec_id, CAST(i - 1 AS INTEGER) AS cell_idx,
+        |  CAST(CAST(floor(abs(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5)
+        |    AS BIGINT) % 256 AS INTEGER) AS gray
+        |FROM embeddings CROSS JOIN
+        |  (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |ORDER BY vec_id, cell_idx""".stripMargin
   )
 }

@@ -34,6 +34,55 @@ object DedupOps {
       .select(col(idCol),
         explode(array_distinct(TextOps.shinglesOf(col("__toks"), shingleN))).as("__sh"))
 
+  /** Per-ROW MinHash signature as one scan-side expression — identical
+    * values to [[minhashSignature]] (same salted-md5 family, same
+    * lexicographic min over distinct shingles) but computed with
+    * higher-order functions instead of explode + aggregate, so it needs
+    * NO shuffle and NO stateful aggregation. That is exactly what a
+    * STREAMING near-dup path requires (append-mode streams allow one
+    * stateful op per query — the signature must not consume it) and it
+    * doubles as the cheaper batch formulation when the signature feeds a
+    * per-row projection rather than a band join. Null when the document
+    * has fewer than `shingleN` tokens (no shingles → no signature), same
+    * as the aggregate form emitting no row.
+    *
+    * The token array is materialized ONCE by binding it through a
+    * single-element `transform` lambda — passing `tokens(text)` straight
+    * into `shinglesOf` would re-run the regex split per element access
+    * (the O(tokens²) trap documented on [[TextOps.shinglesOf]]).
+    */
+  def minhashSignatureRow(textCol: Column, shingleN: Int,
+                          numHashes: Int): Column = {
+    val sigOf = (toks: Column) => {
+      val sh = array_distinct(TextOps.shinglesOf(toks, shingleN))
+      when(size(sh) > 0,
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(sh,
+            s => md5(concat(i.cast("string"), lit(":"), s))))))
+    }
+    element_at(transform(array(TextOps.tokens(textCol)), sigOf), 1)
+  }
+
+  /** LSH band keys of a per-row signature: array of `bands` structs
+    * (band_idx, band_key) with `numHashes / bands` signature elements
+    * joined per key — the same banding as [[minhashCandidates]], row-wise.
+    * Empty array (not null) when the signature is null, so `explode`
+    * simply drops shingle-less documents.
+    */
+  def minhashBandsRow(textCol: Column, shingleN: Int, numHashes: Int,
+                      bands: Int): Column = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatureRow(textCol, shingleN, numHashes)
+    val bandOf = (s: Column) => when(s.isNotNull,
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.cast("int").as("band_idx"),
+          concat_ws("|", (0 until rowsPerBand).map(r =>
+            element_at(s, b * rowsPerBand + r + 1)): _*).as("band_key"))))
+    coalesce(element_at(transform(array(sig), bandOf), 1),
+      array().cast("array<struct<band_idx:int,band_key:string>>"))
+  }
+
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, shingleN)

@@ -32,6 +32,23 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Row-wise MinHash signature (DedupOps.minhashSignatureRow): the
+    // higher-order-function formulation that powers the STREAMING
+    // near-dup path (no aggregation, so it doesn't consume append mode's
+    // stateful-op budget) — gated here in batch against the same DuckDB
+    // replay as the aggregate form, proving the two formulations one
+    // signature family. Docs with fewer than 3 tokens have no shingles
+    // and drop out on both sides.
+    "dedup_minhash_rowsig" -> ((s, dir) => {
+      val sig = DedupOps.minhashSignatureRow(col("text"), 3, 8)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), sig.as("__sig"))
+        .filter(col("__sig").isNotNull)
+        .select(col("doc_id") +: (0 until 8).map(i =>
+          element_at(col("__sig"), i + 1).as(s"mh$i")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // Word-3-gram Jaccard for every pair sharing a shingle (shingle-keyed
     // self-join — never a cross join), with shingles appearing in more than
     // MAX_DF documents dropped before the join so no block is quadratic.
@@ -643,6 +660,11 @@ object DataPipelineQueries extends QueryPack {
          |$minhashSigSql,
          |$minhashCandSql
          |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_rowsig" ->
+      s"""WITH $shingleSql,
+         |$minhashSigSql
+         |SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+         |FROM sig ORDER BY doc_id""".stripMargin,
     "dedup_components" ->
       s"""WITH $shingleSql,
          |$minhashSigSql,

@@ -197,6 +197,92 @@ object StreamingPipeline {
       .withColumn("n_tokens", size(TextOps.tokens(col("clean_text"))).cast("long"))
   }
 
+  // ---- streaming NEAR-dup (MinHash/LSH band registry) ----
+
+  final case class BandRow(docId: Long, ts: java.sql.Timestamp,
+                           bandIdx: Int, bandKey: String)
+  final case class BandHit(docId: Long, ts: java.sql.Timestamp,
+                           bandIdx: Int, bandSeen: Boolean)
+  /** Per-band-key state: the last event time this band was touched. */
+  final case class BandState(lastSeenMs: Long)
+
+  /** Band-registry transition: every incoming (doc, band) row reports
+    * whether its band key was already registered — by a previous batch or
+    * by an earlier doc of THIS batch (docs ordered by (docId, ts) within
+    * the group, so within-batch semantics are deterministic and match
+    * the batch family's id-ordered canonicalization). Late rows at or
+    * behind the watermark are dropped before touching state (same
+    * ignore-late contract as the resampler). State expires when the
+    * watermark passes the band's last touch by `retainMs` — the dedup
+    * HORIZON: a near-dup arriving later than the horizon re-registers
+    * instead of matching, which is the explicit boundedness/recall
+    * trade every streaming dedup at ingest scale must choose.
+    */
+  def nearDupFlatMap(retainMs: Long)(
+      bandKey: String, rows: Iterator[BandRow],
+      state: GroupState[BandState]): Iterator[BandHit] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val wm = state.getCurrentWatermarkMs()
+    val live = rows.filter(_.ts.getTime > wm).toSeq.sortBy(r => (r.docId, r.ts.getTime))
+    if (live.isEmpty) return Iterator.empty
+    var seen = state.exists
+    val out = live.map { r =>
+      val hit = BandHit(r.docId, r.ts, r.bandIdx, seen)
+      seen = true
+      hit
+    }
+    val maxTs = math.max(live.map(_.ts.getTime).max,
+      state.getOption.map(_.lastSeenMs).getOrElse(Long.MinValue))
+    state.update(BandState(maxTs))
+    state.setTimeoutTimestamp(math.max(wm + 1, maxTs + retainMs))
+    out.iterator
+  }
+
+  /** Streaming MinHash/LSH near-dup detection — the streaming analog of
+    * [[graft.ops.DedupOps.minhashCandidates]]: is each arriving document
+    * a near-duplicate of ANYTHING already ingested (within the retention
+    * horizon)?
+    *
+    * Shape: the signature is a pure scan-side expression
+    * ([[graft.ops.DedupOps.minhashSignatureRow]] — higher-order
+    * functions, no aggregation, so it does not consume append mode's
+    * stateful-operator budget), bands explode to (doc, band) rows, and
+    * the ONLY stateful op is the band-key registry above — state is one
+    * row per DISTINCT band key seen within the horizon, never a function
+    * of corpus size, and never the documents themselves. Emits one row
+    * per (doc, band) with the band's seen-verdict; fold to per-doc
+    * verdicts with [[nearDupVerdicts]] in the sink (a doc is near-dup
+    * iff ANY band matched — the same any-band rule as the batch
+    * candidate join).
+    */
+  def nearDupStream(docs: DataFrame, tsCol: String, idCol: String,
+                    textCol: String, shingleN: Int = 3, numHashes: Int = 8,
+                    bands: Int = 4, watermark: String = "10 minutes",
+                    retainMs: Long = 600000L)
+                   (implicit spark: SparkSession): org.apache.spark.sql.Dataset[BandHit] = {
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("docId"),
+        col(tsCol).cast("timestamp").as("ts"),
+        explode(graft.ops.DedupOps.minhashBandsRow(
+          col(textCol), shingleN, numHashes, bands)).as("band"))
+      .select(col("docId"), col("ts"),
+        col("band.band_idx").as("bandIdx"), col("band.band_key").as("bandKey"))
+      .as[BandRow]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.bandKey)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        nearDupFlatMap(retainMs))
+  }
+
+  /** Batch-side fold of [[nearDupStream]] output (run it in the sink /
+    * foreachBatch): per-doc any-band verdict.
+    */
+  def nearDupVerdicts(bandHits: DataFrame): DataFrame =
+    bandHits.groupBy(col("docId").as("doc_id"))
+      .agg(max(col("bandSeen")).as("is_near_dup"),
+        count(lit(1)).as("n_bands"))
+
   /** Per-upload re-analysis, end-to-end (reference app.py:354-366: every
     * upload triggers a fresh raw → resample → window → score → timeline
     * run). The upload directory is a file-source stream; each micro-batch

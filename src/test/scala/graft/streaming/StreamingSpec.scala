@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, element_at}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSuite
 import StreamingPipeline.{GridRow, Sample}
@@ -170,6 +171,77 @@ class StreamingSpec extends SparkSuite {
     assert(ms == List(0L, 100L, 200L, 59000L),
       s"expected a fresh single-row restart, got $ms")
     assert(fresh.length == 1 && fresh.head.value.contains(5.0) && !fresh.head.interpolated)
+  }
+
+  test("streaming near-dup: band registry flags any-band matches, expires horizon") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingPipeline
+      .nearDupStream(input.toDF().toDF("doc_id", "ts", "text"),
+        "ts", "doc_id", "text", watermark = "5 seconds", retainMs = 2000L)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append()).start()
+
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def at(ms: Long) = new java.sql.Timestamp(base + ms)
+    def verdicts(): Map[Long, Boolean] = StreamingPipeline
+      .nearDupVerdicts(spark.table("neardup_out"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+    val textA = "the quick brown fox jumps over the lazy dog tonight"
+    val textB = "completely different content about spark catalyst planning"
+
+    // batch 1: two novel docs + an in-batch duplicate pair (5 before 6)
+    input.addData((1L, at(0), textA), (2L, at(0), textB),
+      (5L, at(100), "alpha beta gamma delta epsilon zeta"),
+      (6L, at(100), "alpha beta gamma delta epsilon zeta"))
+    q.processAllAvailable()
+    assert(verdicts() == Map(1L -> false, 2L -> false, 5L -> false, 6L -> true),
+      s"got ${verdicts()}")
+
+    // batch 2: exact re-ingest of A's content -> every band matches;
+    // a genuinely novel doc stays novel; a 2-token doc has no shingles,
+    // emits no bands, and gets no verdict row at all
+    input.addData((3L, at(1000), textA), (4L, at(1000), "fresh novel words entirely"),
+      (7L, at(1000), "too short"))
+    q.processAllAvailable()
+    val v2 = verdicts()
+    assert(v2(3L) && !v2(4L) && !v2.contains(7L), s"got $v2")
+
+    // advance the watermark far past every band's retention horizon...
+    input.addData((8L, at(60000), "watermark advancing sentinel document here"))
+    q.processAllAvailable()
+    // ...then re-ingest A's content again: its bands expired, so it
+    // re-registers as NOVEL — the explicit horizon/recall trade
+    input.addData((9L, at(58000), textA))
+    q.processAllAvailable()
+    q.stop()
+    val v3 = verdicts()
+    assert(v3(9L) == false,
+      s"bands past the horizon must re-register, got $v3")
+    // every doc emitted exactly its band count (4 bands configured)
+    val counts = spark.table("neardup_out").groupBy("docId").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 4L), s"band rows per doc: $counts")
+  }
+
+  test("row-wise minhash signature matches the batch aggregate signature") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf("sf0.001")).limit(200)
+    val batchSig = graft.ops.DedupOps
+      .minhashSignature(docs, "doc_id", "text", shingleN = 3, numHashes = 8)
+    val rowSig = docs.select(col("doc_id"),
+      graft.ops.DedupOps.minhashSignatureRow(col("text"), 3, 8).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +: (0 until 8).map(i =>
+        element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+    assert(batchSig.count() > 0)
+    assert(batchSig.exceptAll(rowSig).count() == 0 &&
+      rowSig.exceptAll(batchSig).count() == 0,
+      "row-wise and aggregate signatures must be identical")
   }
 
   test("streaming corpus ingest dedupes, scrubs PII, and counts tokens") {

@@ -166,6 +166,63 @@ object DedupOps {
           (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
   }
 
+  /** Verbatim-overlap detection (the ExactSubstr dedup signal: near-dup
+    * metrics like Jaccard miss a long copied PASSAGE inside otherwise
+    * different documents — the thing training-data pipelines must catch
+    * for memorization and license hygiene). For every document pair, the
+    * longest run of consecutive identical tokens, found WITHOUT suffix
+    * arrays: positioned `shingleN`-token shingles equi-join on content
+    * (df-capped, the same anti-quadratic guard as
+    * [[ngramJaccardPairs]]), matches land on alignment DIAGONALS
+    * (pos_a − pos_b); within one (pair, diagonal) partition a run of c
+    * consecutive matching shingle positions is a verbatim run of
+    * c + shingleN − 1 tokens, extracted with the classic
+    * pos − row_number() island trick. Pairs below `minRunTokens` are
+    * dropped.
+    *
+    * Scale shape: the only corpus-sized shuffle is the shingle
+    * equi-join; diagonal islands are window work over (pair, diag)
+    * partitions — thousands of tiny partitions, no global sort. A
+    * longer `shingleN` (default 8) makes the blocking key more
+    * selective, the exact trade a 100 TB run tunes.
+    */
+  def substringRuns(df: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 8, maxDf: Int = 1000,
+                    minRunTokens: Int = 16): DataFrame = {
+    require(minRunTokens >= shingleN,
+      s"minRunTokens ($minRunTokens) below shingleN ($shingleN) is unmeasurable")
+    import org.apache.spark.sql.expressions.Window
+    val positioned = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode(TextOps.shinglesOf(col("__toks"), shingleN))
+          .as(Seq("__pos", "__sh")))
+    val rare = positioned.groupBy(col("__sh"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("__sh"))
+    val capped = positioned.join(rare, "__sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    val matches = a.join(b, col("a.__sh") === col("b.__sh") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.__pos").as("pos_a"),
+        (col("a.__pos") - col("b.__pos")).as("diag"))
+      .distinct() // a shingle repeated in one doc can duplicate a (pos_a, diag) cell
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    val runs = matches
+      .withColumn("__grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("__grp"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("run_tokens", col("__c") + lit(shingleN - 1))
+    runs.groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("run_tokens")).cast("long").as("max_run_tokens"))
+      .filter(col("max_run_tokens") >= minRunTokens)
+  }
+
   /** Connected components over near-dup PAIRS — the step that turns
     * pairwise matches into canonical dedup GROUPS (keep min-id per
     * component, drop the rest). Min-label propagation: each round every

@@ -49,6 +49,18 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Verbatim-passage detection (DedupOps.substringRuns — the
+    // ExactSubstr dedup signal): longest run of consecutive identical
+    // tokens per pair via positioned-8-shingle equi-join + alignment
+    // diagonals + the pos − row_number() island trick. Catches a copied
+    // passage inside otherwise-different documents, which Jaccard-style
+    // whole-doc similarity dilutes away.
+    "dedup_substring_runs" -> ((s, dir) => {
+      DedupOps.substringRuns(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 8, maxDf = MAX_DF, minRunTokens = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Word-3-gram Jaccard for every pair sharing a shingle (shingle-keyed
     // self-join — never a cross join), with shingles appearing in more than
     // MAX_DF documents dropped before the join so no block is quadratic.
@@ -665,6 +677,27 @@ object DataPipelineQueries extends QueryPack {
          |$minhashSigSql
          |SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
          |FROM sig ORDER BY doc_id""".stripMargin,
+    "dedup_substring_runs" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS ws FROM documents),
+         |psh AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS s
+         |  FROM tok, (SELECT unnest(generate_series(1,
+         |    (SELECT max(len(ws)) FROM tok))) AS i) g
+         |  WHERE i + 7 <= len(ws)),
+         |rare AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df
+         |  FROM psh GROUP BY s) WHERE df <= $MAX_DF),
+         |m AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.pos AS pos_a, a.pos - b.pos AS diag
+         |  FROM psh a JOIN rare USING (s) JOIN psh b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id),
+         |r AS (SELECT id_a, id_b, diag,
+         |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag
+         |      ORDER BY pos_a) AS grp
+         |  FROM m),
+         |c AS (SELECT id_a, id_b, count(*) + 7 AS run
+         |  FROM r GROUP BY id_a, id_b, diag, grp)
+         |SELECT id_a, id_b, CAST(max(run) AS BIGINT) AS max_run_tokens
+         |FROM c GROUP BY id_a, id_b HAVING max(run) >= 10
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_components" ->
       s"""WITH $shingleSql,
          |$minhashSigSql,

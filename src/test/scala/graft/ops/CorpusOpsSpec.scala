@@ -8,6 +8,38 @@ import graft.SparkSuite
   */
 class CorpusOpsSpec extends SparkSuite {
 
+  test("substringRuns finds the longest verbatim token run per pair") {
+    import spark.implicits._
+    val w = (1 to 16).map(i => s"w$i")
+    val docs = Seq(
+      (1L, w.mkString(" ")),                                   // w1..w16
+      (2L, ("x1 x2 " + w.slice(2, 14).mkString(" ") + " x3")), // shares w3..w14 = 12
+      (3L, "y1 " + w.slice(4, 9).mkString(" ") + " y2")        // shares w5..w9 = 5 (< min)
+    ).toDF("doc_id", "text")
+    val got = DedupOps
+      .substringRuns(docs, "doc_id", "text", shingleN = 4, maxDf = 100,
+        minRunTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // only (1,2) reaches 6 tokens; its longest run is exactly the 12
+    // copied tokens — (1,3) and (2,3) share a 5-run and are dropped
+    assert(got == Map((1L, 2L) -> 12L), s"got $got")
+  }
+
+  test("substringRuns counts separated runs on one diagonal as islands") {
+    import spark.implicits._
+    // two copied 6-token passages from doc 1 at the SAME alignment offset,
+    // separated by a non-matching token: islands must NOT concatenate
+    val w = (1 to 20).map(i => s"v$i")
+    val copied = w.slice(0, 6).mkString(" ") + " DIFF " + w.slice(7, 13).mkString(" ")
+    val original = w.slice(0, 6).mkString(" ") + " v7 " + w.slice(7, 13).mkString(" ")
+    val docs = Seq((1L, original), (2L, copied)).toDF("doc_id", "text")
+    val got = DedupOps
+      .substringRuns(docs, "doc_id", "text", shingleN = 3, maxDf = 100,
+        minRunTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 6L), s"got $got")
+  }
+
   test("canonicalizeUrl folds scheme/host case, ports, www, params, slash, fragment") {
     import spark.implicits._
     val cases = Seq(

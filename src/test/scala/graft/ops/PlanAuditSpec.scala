@@ -17,11 +17,32 @@ class PlanAuditSpec extends SparkSuite {
 
   test("near-dup pair generation never plans a cartesian product") {
     Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_hamming",
-      "dedup_embed_cosine").foreach { q =>
+      "dedup_embed_cosine", "dedup_substring_runs").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
     }
+  }
+
+  test("substring-run islands window on (pair, diagonal), never one partition") {
+    val p = planOf("dedup_substring_runs")
+    // every Window in the plan must carry a partition spec with the pair
+    // ids — a partition-less window is the single-partition funnel
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winSpecs.nonEmpty, "expected a window for the island trick")
+    winSpecs.foreach(l =>
+      assert(l.contains("id_a") && l.contains("diag"),
+        s"island window lost its (pair, diag) partitioning: $l"))
+  }
+
+  test("png round-trip keeps blobs inside one projection — no binary shuffle") {
+    val df = SparkEntry.queries("mm_image_png")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    // the blob column must not appear in any Exchange's output — it is
+    // created and consumed between scan and explode
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    exchanges.foreach(l =>
+      assert(!l.contains("blob"), s"PNG blob crosses a shuffle: $l"))
   }
 
   test("embedding top-k uses the bounded aggregate, not a global-window sort") {

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{DedupOps, EmbeddingOps, SamplingOps, TextOps}
+import graft.ops.{DedupOps, EmbeddingOps, SamplingOps, TextOps, TextQualityOps}
 
 /** Large-scale training-data pipeline operators (dedup, similarity search,
   * text analysis) over the `documents` / `embeddings` tables, each with a
@@ -143,6 +143,47 @@ object DataPipelineQueries extends QueryPack {
         .select(col("id").as("doc_id"))
       docs.join(drops, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The COMPLETE corpus-preparation pipeline as one gated query — the
+    // production "raw crawl → training set" chain, every stage an
+    // already-gated operator, composed: (1) fuzzy dedup (minhash → star
+    // CC → canonical keep-min anti-join) over the full corpus; (2)
+    // Gopher-style quality gate; (3) language-ID keep-'en'; (4)
+    // benchmark decontamination (8-gram overlap vs the doc_id<100 eval
+    // slice, train side only); (5) PII scrub + final token count. One
+    // hash compare certifies the composition ORDER and every stage's
+    // interaction, which per-stage gates cannot. Stage order is the
+    // production order: dedup first (cheapest corpus reduction, and a
+    // canonical doc that later fails a filter must NOT resurrect its
+    // dropped duplicates), per-doc filters next, decontamination on the
+    // survivors, scrub last.
+    "corpus_e2e_prepare" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = DedupOps.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, bands = 4)
+      val comps = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
+      val drops = comps.filter(col("component") < col("id"))
+        .select(col("id").as("doc_id"))
+      val deduped = docs.join(drops, Seq("doc_id"), "left_anti")
+      val passIds = TextQualityOps.qualityGate(
+          TextQualityOps.repetitionStats(deduped, "doc_id", "text"),
+          minTokens = 40, maxTokens = 100000, maxTopUnigramFrac = 0.09,
+          maxDupTokenFrac = 0.9, maxTopBigramFrac = 0.06)
+        .filter(col("quality_pass")).select(col("doc_id"))
+      val en = deduped.join(passIds, "doc_id")
+        .filter(
+          TextOps.tokenHits(col("text"), Seq("the", "a", "of", "and")) >=
+            TextOps.tokenHits(col("text"), Seq("el", "la", "de", "y")) &&
+          TextOps.tokenHits(col("text"), Seq("the", "a", "of", "and")) >=
+            TextOps.tokenHits(col("text"), Seq("de", "shi", "le", "zai")))
+      DedupOps.decontaminate(
+          en.filter(col("doc_id") >= 100), "doc_id", "text",
+          docs.filter(col("doc_id") < 100), "text", shingleN = 8)
+        .select(col("doc_id"),
+          size(TextOps.tokens(TextOps.scrubPii(col("text"))))
+            .cast("long").as("n_tokens_clean"))
         .orderBy(col("doc_id"))
     }),
 
@@ -713,6 +754,55 @@ object DataPipelineQueries extends QueryPack {
          |SELECT d.doc_id, d.n_chars FROM documents d
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM l$CC_ROUNDS x WHERE x.id = d.doc_id AND x.lbl < x.id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "corpus_e2e_prepare" ->
+      s"""WITH $shingleSql,
+         |$minhashSigSql,
+         |$minhashCandSql,
+         |$ccUnrollSql,
+         |surv AS (SELECT d.* FROM documents d
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM l$CC_ROUNDS x WHERE x.id = d.doc_id AND x.lbl < x.id)),
+         |qt AS (SELECT doc_id, $tokSql AS l FROM surv),
+         |qp AS (SELECT doc_id, unnest(l) AS g, generate_subscripts(l, 1) AS pos FROM qt),
+         |quc AS (SELECT doc_id, g, count(*) AS c FROM qp GROUP BY 1, 2),
+         |qus AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_uni,
+         |         coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup_mass
+         |       FROM quc GROUP BY 1),
+         |qbg AS (SELECT doc_id,
+         |         g || ' ' || lead(g) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+         |       FROM qp),
+         |qbc AS (SELECT doc_id, b, count(*) AS c FROM qbg WHERE b IS NOT NULL GROUP BY 1, 2),
+         |qbs AS (SELECT doc_id, sum(c) AS n_bi, max(c) AS top_bi FROM qbc GROUP BY 1),
+         |pass AS (SELECT qus.doc_id FROM qus LEFT JOIN qbs ON qus.doc_id = qbs.doc_id
+         |  WHERE n_tokens >= 40 AND n_tokens <= 100000
+         |    AND top_uni / CAST(n_tokens AS DOUBLE) <= 0.09
+         |    AND dup_mass / CAST(n_tokens AS DOUBLE) <= 0.9
+         |    AND coalesce(top_bi / CAST(n_bi AS DOUBLE), 0.0) <= 0.06),
+         |en AS (SELECT qt.doc_id FROM qt JOIN pass USING (doc_id)
+         |  WHERE len(list_filter(l, x -> x IN ('the','a','of','and')))
+         |      >= len(list_filter(l, x -> x IN ('el','la','de','y')))
+         |    AND len(list_filter(l, x -> x IN ('the','a','of','and')))
+         |      >= len(list_filter(l, x -> x IN ('de','shi','le','zai')))),
+         |dsh AS (SELECT doc_id, s FROM (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(0, len(l) - 8),
+         |    i -> array_to_string(l[i+1 : i+8], ' ')))) AS s
+         |  FROM (SELECT doc_id, $tokSql AS l FROM documents) WHERE len(l) >= 8)),
+         |ev AS (SELECT DISTINCT s FROM dsh WHERE doc_id < 100),
+         |hit AS (SELECT DISTINCT dsh.doc_id FROM dsh JOIN ev USING (s)
+         |  WHERE dsh.doc_id >= 100)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split_regex(trim(lower(
+         |    regexp_replace(regexp_replace(regexp_replace(d.text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g'),
+         |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+         |    )), '\\s+')) AS BIGINT) AS n_tokens_clean
+         |FROM documents d
+         |  JOIN en ON en.doc_id = d.doc_id
+         |WHERE d.doc_id >= 100
+         |  AND NOT EXISTS (SELECT 1 FROM hit WHERE hit.doc_id = d.doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleSql,

@@ -14,6 +14,11 @@ object DataPipelineQueries extends QueryPack {
   private val SIMHASH_BITS = 60
   private val MAX_DF = 100 // shingle document-frequency cap for jaccard dedup
   private val MAX_HAMMING = 3 // ≤ 3 bit flips over 4 bands: pigeonhole-sound
+  // embeddings: hamming/60 estimates the ANGLE (Charikar), so the cutoff
+  // is a cosine threshold, not a near-exactness bound — 20/60 ≈ 60° ≈
+  // cos 0.5 (this corpus has no near-identical vectors; the fixture
+  // distribution spans hamming 12..32 and 20 keeps the close half)
+  private val EMBED_MAX_HAMMING = 20
   private val MIN_COS = 0.35 // cosine near-dup threshold (synthetic data)
   private val CC_ROUNDS = 8 // min-label propagation rounds (≥ component diameter)
 
@@ -185,6 +190,34 @@ object DataPipelineQueries extends QueryPack {
           size(TextOps.tokens(TextOps.scrubPii(col("text"))))
             .cast("long").as("n_tokens_clean"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Random-hyperplane SimHash LSH over EMBEDDINGS (functions
+    // .EmbedSimHash): the classic cosine-LSH — bit i = sign of the
+    // integer projection onto a deterministic md5-derived ±1 hyperplane
+    // — bucketed by the same 4×15-bit hamming bands as token SimHash.
+    // The third ANN blocking strategy next to IVF (needs centroids) and
+    // PQ (needs codebooks): no training step at all. Quantized integer
+    // dots make every bit engine-exact, so the oracle regenerates the
+    // matrix (60·64 md5s, once) and replays the projections.
+    "embed_simhash_lsh" -> ((s, dir) => {
+      graft.functions.EmbedSimHash.register(s, bits = SIMHASH_BITS, dim = 64)
+      val sig = Tables.embeddings(s, dir)
+        .selectExpr("vec_id", "embed_simhash(embedding) AS fp")
+      val banded = sig.select(col("vec_id"), col("fp"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band_idx"),
+          expr(s"shiftright(fp, ${b * 15}) & 32767").as("band_val"))): _*)).as("band"))
+        .select(col("vec_id"), col("fp"), col("band.band_idx"), col("band.band_val"))
+      val a = banded.alias("a")
+      val b = banded.alias("b")
+      a.join(b, col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= EMBED_MAX_HAMMING)
+        .distinct()
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // Embedding-cosine near-dup pairs, IVF-bucketed on `label`.
@@ -840,6 +873,31 @@ object DataPipelineQueries extends QueryPack {
          |      AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
          |FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    "embed_simhash_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT i.i, j.j,
+         |    CASE WHEN ('0x' || substr(md5('rp:' || i.i || ':' || j.j), 1, 2))::INT % 2 = 1
+         |         THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT unnest(generate_series(0, ${SIMHASH_BITS - 1})) AS i) i,
+         |       (SELECT unnest(generate_series(0, 63)) AS j) j),
+         |qv AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |proj AS (SELECT v.vec_id, p.i, sum(v.q[p.j + 1] * p.s) AS sm
+         |  FROM qv v JOIN planes p ON TRUE GROUP BY 1, 2),
+         |fp AS (SELECT vec_id,
+         |    sum(CASE WHEN sm > 0 THEN (1::BIGINT << i) ELSE 0 END) AS h
+         |  FROM proj GROUP BY vec_id),
+         |bands AS (SELECT vec_id, h, g.b, (h >> (g.b * 15)) & 32767 AS bv
+         |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) g),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    bit_count(xor(a.h, b.h)) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM cand WHERE hamming <= $EMBED_MAX_HAMMING
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_embed_cosine" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
         |p AS (

@@ -103,6 +103,27 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Unicode NFC normalization (functions.NfcNormalize): the same
+    // logical text arrives precomposed or decomposed depending on the
+    // source; dedup keys / shingles / token counts must not fork on
+    // encoding form. Fixture text is ASCII, so each doc gets a
+    // deterministic decomposed suffix (e+COMBINING ACUTE, a+COMBINING
+    // TILDE) that NFC must fold to single codepoints; the fingerprint
+    // of the normalized text pins the exact bytes against DuckDB's own
+    // nfc_normalize — two independent implementations of UAX#15.
+    "text_nfc_normalize" -> ((s, dir) => {
+      graft.functions.NfcNormalize.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" café ã")).as("dirty"))
+        .selectExpr("doc_id", "dirty", "graft_nfc(dirty) AS norm")
+        .selectExpr("doc_id",
+          "CAST(length(norm) AS BIGINT) AS n_chars_nfc",
+          "CAST(length(norm) - length(dirty) AS BIGINT) AS delta_chars",
+          "md5(norm) AS fp_nfc")
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrub (emails / NANP phones / IPv4) over deterministically
     // dirtied documents — RE2-compatible patterns, chained codegen'd
     // regexp_replace, zero shuffle.
@@ -517,6 +538,15 @@ object CorpusQueries extends QueryPack {
         |      FROM r)
         |SELECT query_id, rank, neighbor_id, score FROM t WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    "text_nfc_normalize" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' a' || chr(771) AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(nfc_normalize(dirty)) AS BIGINT) AS n_chars_nfc,
+        |  CAST(len(nfc_normalize(dirty)) - len(dirty) AS BIGINT) AS delta_chars,
+        |  md5(nfc_normalize(dirty)) AS fp_nfc
+        |FROM d ORDER BY doc_id""".stripMargin,
     "text_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(

@@ -111,10 +111,25 @@ object Bench {
         }
       else None
 
+    // Second streaming row: the LSH band-registry near-dup stream —
+    // docs/s plus the measured band-key state ceiling vs the analytic
+    // bound (bounded-state evidence for the dedup-at-ingest path).
+    val neardup: Option[graft.streaming.NearDupBench.Result] =
+      if (wanted.isEmpty || wanted.contains("streaming_neardup"))
+        try Some(graft.streaming.NearDupBench.run(spark))
+        catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate("streaming_neardup",
+              (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(200))
+            None
+        }
+      else None
+
     val results = selected.map { case (name, _) =>
       val times = samples(name)
       name -> (if (times.isEmpty) -1.0 else median(times))
-    } ++ streaming.map(r => "streaming_resample" -> r.seconds)
+    } ++ streaming.map(r => "streaming_resample" -> r.seconds) ++
+      neardup.map(r => "streaming_neardup" -> r.seconds)
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
@@ -122,7 +137,12 @@ object Bench {
       s""","streaming":{"input_rows":${r.inputRows},"output_rows":${r.outputRows},""" +
         s""""rows_per_sec":${math.round(r.rowsPerSec)},"max_state_rows":${r.maxStateRows},""" +
         s""""active_ride_bound":${r.activeRideBound},"watermark_cycles":${r.watermarkCycles},""" +
-        s""""state_bounded":${r.maxStateRows <= r.activeRideBound}}""").getOrElse("")
+        s""""state_bounded":${r.maxStateRows <= r.activeRideBound}}""").getOrElse("") +
+      neardup.map(r =>
+        s""","streaming_neardup":{"input_docs":${r.inputDocs},"band_rows":${r.bandRows},""" +
+          s""""docs_per_sec":${math.round(r.docsPerSec)},"max_state_rows":${r.maxStateRows},""" +
+          s""""band_key_bound":${r.bandKeyBound},"horizon_cycles":${r.horizonCycles},""" +
+          s""""state_bounded":${r.maxStateRows <= r.bandKeyBound}}""").getOrElse("")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"errors":$errJson$streamJson,"sf":${jstr(sfDir)}}"""

@@ -56,6 +56,42 @@ class ImagePixelSpec extends SparkSuite {
     assert(decodeViaSql(cut, 4, 4).isEmpty, "truncated PNG must be null")
   }
 
+  test("decoder never throws on adversarial bytes — null only") {
+    // deterministic xorshift garbage, plus structured corruptions of a
+    // valid PNG: every outcome must be null or a value, never an exception
+    ImageHash.register(spark)
+    import spark.implicits._
+    var x = 0x9E3779B97F4A7C15L
+    def nextBytes(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        b(i) = x.toByte; i += 1
+      }
+      b
+    }
+    val valid = fixture("gray8.png")
+    val corrupted = (0 until 50).map { i =>
+      val c = valid.clone()
+      val pos = 8 + (i * 37) % (c.length - 8)
+      c(pos) = (c(pos) ^ 0xff).toByte
+      c
+    }
+    val garbage = (0 until 50).map(i => nextBytes(16 + i * 7))
+    // garbage wearing a PNG signature (chunk walker must bounds-check)
+    val fakePng = (0 until 20).map { i =>
+      val b = nextBytes(64)
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++ b
+    }
+    val all = (corrupted ++ garbage ++ fakePng).zipWithIndex.map(_.swap)
+    val out = all.toDF("id", "blob")
+      .selectExpr("id", "image_ahash(blob) AS a",
+        "image_resize_gray(blob, 4, 4) AS r")
+      .collect() // any decoder exception fails the test here
+    assert(out.length == all.size)
+  }
+
   test("format transparency: same raster as BMP and PNG hashes identically") {
     val w = 24; val h = 16
     val gray = (x: Int, y: Int) => (x * 11 + y * 31 + (x * y) % 5) % 256

@@ -98,6 +98,68 @@ object SketchOps {
       .agg(min(coalesce(col("__c"), lit(0L))).as("est_count"))
   }
 
+  /** Misra-Gries partial state: at most `cap` counters. Decrement-all on
+    * overflow preserves the MG guarantee under arbitrary merge order:
+    * any item with true count > N/(cap+1) survives to the final keys.
+    */
+  class MisraGriesAgg(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, Map[String, Long], Seq[String]] {
+    private def offer(m: Map[String, Long], k: String, c: Long): Map[String, Long] = {
+      val updated = m.updated(k, m.getOrElse(k, 0L) + c)
+      if (updated.size <= cap) updated
+      else {
+        val dec = updated.values.min
+        updated.collect { case (key, v) if v > dec => key -> (v - dec) }
+      }
+    }
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      offer(b, a, 1L)
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+      y.foldLeft(x) { case (acc, (k, c)) => offer(acc, k, c) }
+    override def finish(r: Map[String, Long]): Seq[String] = r.keys.toSeq.sorted
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
+  /** EXACT top-`k` heavy hitters with bounded memory — the two-pass
+    * classic: (1) one Misra-Gries pass with `cap` counters produces a
+    * candidate SUPERSET (each task ships ≤ cap counters, raw keys never
+    * shuffle for the sketch); (2) candidates broadcast back and counted
+    * EXACTLY in a second scan, then (count desc, key asc) top-k. The MG
+    * internals are merge-order-dependent, but the recount makes the
+    * OUTPUT deterministic — provided the true k-th count exceeds
+    * N/(cap+1), MG's retention bound. That sufficiency condition is
+    * MACHINE-CHECKED per call (same philosophy as connectedComponents'
+    * convergence check): a distribution too flat for the cap fails
+    * loudly instead of returning a silently wrong top-k.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int,
+                   cap: Int = 256): DataFrame = {
+    require(k >= 1 && cap >= k, s"need cap ($cap) >= k ($k)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string")).as[String]
+    val n = keys.count()
+    val candidates = keys
+      .select(udaf(new MisraGriesAgg(cap)).apply(col(keyCol)).as("cands"))
+      .select(explode(col("cands")).as(keyCol))
+    val top = keys.toDF(keyCol)
+      .join(broadcast(candidates), keyCol)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(k)
+      .localCheckpoint(true)
+    val kth = top.agg(min(col("cnt"))).head.getLong(0)
+    require(kth > n / (cap + 1L),
+      s"heavyHitters sufficiency violated: k-th count $kth <= N/(cap+1) = " +
+        s"${n / (cap + 1L)} — raise cap (distribution too flat for exactness)")
+    top
+  }
+
   /** Equi-width histogram quantile estimate of `valueCol` per `groupCol`:
     * `bins` buckets between the group's min/max, cumulative counts, linear
     * interpolation inside the bucket containing rank q·n. Two aggregation

@@ -48,6 +48,19 @@ object SketchQueries extends QueryPack {
       val ev = Tables.events(s, dir).filter(col("value").isNotNull)
       SketchOps.histQuantile(ev, "event_type", "value", q = 0.95, bins = 128)
         .orderBy(col("event_type"))
+    }),
+
+    // EXACT top-10 tokens with bounded memory (SketchOps.heavyHitters):
+    // Misra-Gries candidate pass (≤256 counters per task ever shuffle)
+    // + exact broadcast recount, with the MG sufficiency bound
+    // machine-checked so the answer is provably the true top-k. Oracle
+    // is the plain exact top-k — determinism of the two-pass form is
+    // the point under test.
+    "sketch_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      SketchOps.heavyHitters(toks, "token", k = 10, cap = 256)
+        .orderBy(col("cnt").desc, col("token").asc)
     })
   )
 
@@ -97,6 +110,12 @@ object SketchQueries extends QueryPack {
          |SELECT est.user_id, CAST(est.est_count AS BIGINT) AS est_count,
          |  coalesce(ex.exact_count, 0) AS exact_count
          |FROM est LEFT JOIN ex USING (user_id) ORDER BY est.user_id""".stripMargin,
+    "sketch_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM t GROUP BY token
+        |ORDER BY cnt DESC, token ASC LIMIT 10""".stripMargin,
     "sketch_hist_quantile" ->
       """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
         |b AS (SELECT event_type, min(value) AS lo, max(value) AS hi,

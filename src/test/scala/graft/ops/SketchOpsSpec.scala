@@ -76,4 +76,33 @@ class SketchOpsSpec extends SparkSuite {
     // register max() is order/partition-insensitive, so the estimate is too
     assert(whole == merged)
   }
+
+  test("heavyHitters is EXACT top-k under real MG eviction (cap << distinct)") {
+    import spark.implicits._
+    // 10 heavy keys (800+i occurrences — distinct counts, so the exact
+    // ranking is unique) over 490 tail keys × 5: N ≈ 10500, bound
+    // N/(cap+1) ≈ 318 < 800, so MG with cap 32 must retain every heavy
+    // key through constant eviction pressure from the tail
+    val heavy = (0 until 10).flatMap(i => Seq.fill(800 + i)(f"h$i%02d"))
+    val tail = (0 until 490).flatMap(i => Seq.fill(5)(f"t$i%03d"))
+    val rows = heavy ++ tail
+    val df = rows.toDF("key").repartition(8)
+    val got = SketchOps.heavyHitters(df, "key", k = 10, cap = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toList
+      .sortBy { case (k, c) => (-c, k) }.take(10)
+    assert(got.sortBy(t => (-t._2, t._1)) == exact, s"got $got want $exact")
+  }
+
+  test("heavyHitters fails loudly when the distribution is too flat for cap") {
+    import spark.implicits._
+    // 400 keys, all equal frequency 5: k-th count (5) <= N/(cap+1) for
+    // cap 32 (2000/33 = 60) — the sufficiency check must throw, never
+    // return a silently arbitrary "top"-k
+    val flat = (0 until 400).flatMap(i => Seq.fill(5)(s"f$i")).toDF("key")
+    val e = intercept[IllegalArgumentException] {
+      SketchOps.heavyHitters(flat, "key", k = 10, cap = 32).collect()
+    }
+    assert(e.getMessage.contains("sufficiency"), e.getMessage)
+  }
 }

@@ -51,15 +51,21 @@ object SketchQueries extends QueryPack {
     }),
 
     // EXACT top-10 tokens with bounded memory (SketchOps.heavyHitters):
-    // Misra-Gries candidate pass (≤256 counters per task ever shuffle)
+    // Misra-Gries candidate pass (≤cap counters per task ever shuffle)
     // + exact broadcast recount, with the MG sufficiency bound
     // machine-checked so the answer is provably the true top-k. Oracle
     // is the plain exact top-k — determinism of the two-pass form is
-    // the point under test.
+    // the point under test. cap sizes to the SUPPORT you care about
+    // (~1/φ for frequency ≥ φ·N): 4096 covers the top-token support of
+    // this corpus through the 10× ScaleUp derivation, whose ×k-distinct
+    // suffixing flattens the distribution relative to N — the check
+    // fired at cap=256/sf1 exactly as designed (real Zipf corpora grow
+    // top counts WITH N; the synthetic ×k derivation deliberately
+    // doesn't).
     "sketch_heavy_hitters" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
-      SketchOps.heavyHitters(toks, "token", k = 10, cap = 256)
+      SketchOps.heavyHitters(toks, "token", k = 10, cap = 4096)
         .orderBy(col("cnt").desc, col("token").asc)
     })
   )

@@ -78,12 +78,27 @@ object AudioPcmStats {
   /** Invoked from both interpreted eval and generated code; null unless
     * the bytes are a complete mono 16-bit PCM RIFF/WAVE.
     */
-  def stats(b: Array[Byte]): InternalRow = {
+  def stats(b: Array[Byte]): InternalRow = statsImpl(b, allowStereo = false)
+
+  /** Like [[stats]], but also accepts STEREO 16-bit PCM, downmixing each
+    * frame to `(L + R) / 2` with Java's truncating integer division —
+    * deliberately truncation, not floor, because SQL engines' integer
+    * division (`//` in DuckDB) truncates toward zero and the oracle
+    * replays the downmix arithmetically. Zero crossings, peak, and Σs²
+    * are then computed over the downmixed stream, which is the standard
+    * mono-ize-first curation contract (per-channel crossings over an
+    * interleaved stream would be meaningless — the reason [[stats]]
+    * refuses stereo outright).
+    */
+  def statsDownmix(b: Array[Byte]): InternalRow = statsImpl(b, allowStereo = true)
+
+  private def statsImpl(b: Array[Byte], allowStereo: Boolean): InternalRow = {
     if (b == null || b.length < 12) return null
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
     var p = 12
     var fmtOk = false
+    var channels = 0
     var dataAt = -1
     var dataLen = -1L
     while (p + 8 <= b.length) {
@@ -91,9 +106,11 @@ object AudioPcmStats {
       if (size < 0 || p + 8L + size > b.length) return null
       if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
         if (size < 16) return null
-        // PCM (tag 1), mono, 16-bit — anything else is a null, not a guess
-        fmtOk = le16u(b, p + 8) == 1 && le16u(b, p + 10) == 1 &&
-          le16u(b, p + 22) == 16
+        channels = le16u(b, p + 10)
+        // PCM (tag 1), 16-bit, mono (or stereo when downmixing) —
+        // anything else is a null, not a guess
+        fmtOk = le16u(b, p + 8) == 1 && le16u(b, p + 22) == 16 &&
+          (channels == 1 || (allowStereo && channels == 2))
       } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' &&
                  b(p + 3) == 'a') {
         dataAt = p + 8
@@ -101,16 +118,23 @@ object AudioPcmStats {
       }
       p += (8 + size + (size & 1)).toInt
     }
-    if (!fmtOk || dataAt < 0 || (dataLen & 1) != 0) return null
-    val n = (dataLen / 2).toInt
+    if (!fmtOk || dataAt < 0) return null
+    val bytesPerFrame = 2 * channels
+    if (dataLen % bytesPerFrame != 0) return null
+    val n = (dataLen / bytesPerFrame).toInt
+    def sample(idx: Int): Int = {
+      val lo = b(dataAt + 2 * idx) & 0xff
+      (b(dataAt + 2 * idx + 1) << 8) | lo // sign from the high byte
+    }
     var peak = 0
     var sumSq = 0L
     var zc = 0
     var prev = 0
     var k = 0
     while (k < n) {
-      val lo = b(dataAt + 2 * k) & 0xff
-      val s = (b(dataAt + 2 * k + 1) << 8) | lo // sign from the high byte
+      val s =
+        if (channels == 1) sample(k)
+        else (sample(2 * k) + sample(2 * k + 1)) / 2 // truncating, see scaladoc
       val a = if (s < 0) -s else s
       if (a > peak) peak = a
       sumSq += s.toLong * s
@@ -120,4 +144,34 @@ object AudioPcmStats {
     }
     new GenericInternalRow(Array[Any](n, peak, sumSq, zc))
   }
+}
+
+/** `audio_pcm_downmix(bin)` — [[AudioPcmStats]] semantics extended to
+  * stereo via truncating (L+R)/2 downmix; see
+  * [[AudioPcmStats.statsDownmix]].
+  */
+case class AudioPcmDownmix(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = AudioPcmStats.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_pcm_downmix"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"audio_pcm_downmix needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    AudioPcmStats.statsDownmix(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AudioPcmStats.statsDownmix($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AudioPcmDownmix =
+    copy(child = newChild)
+}
+
+object AudioPcmDownmix {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "audio_pcm_downmix", exprs => AudioPcmDownmix(exprs.head), "built-in")
 }

@@ -340,6 +340,43 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STEREO WAV decode via truncating (L+R)/2 downmix
+    // (functions.AudioPcmDownmix): the mono-ize-first curation contract
+    // over real interleaved PCM16 frames — mono-only audio_pcm_stats
+    // refuses these same bytes by design. The oracle replays the
+    // downmix ARITHMETIC (DuckDB's // truncates toward zero exactly
+    // like Java int division — the reason downmix is truncation, not
+    // floor), never parsing a byte.
+    "mm_audio_stereo" -> ((s, dir) => {
+      graft.functions.AudioPcmDownmix.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val nSql = "(doc_id % 13 + 20)"
+      val lSql = "((doc_id * 37 + k * 451) % 4001 - 2000)"
+      val rSql = "((doc_id * 53 + k * 293) % 3001 - 1500)"
+      def le16(sample: String) = {
+        val u = s"(($sample) % 65536 + 65536) % 65536"
+        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), substr(lpad(hex($u), 4, '0'), 1, 2))"
+      }
+      val wavHex =
+        s"""concat('52494646', ${le("100", 4)}, '57415645',
+           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("2", 2)},
+           |  ${le("16000", 4)}, ${le("64000", 4)}, ${le("4", 2)}, ${le("16", 2)},
+           |  '64617461', ${le(s"4 * $nSql", 4)},
+           |  array_join(transform(sequence(0, $nSql - 1),
+           |    k -> concat(${le16(lSql)}, ${le16(rSql)})), ''))""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($wavHex)"))
+        .selectExpr("doc_id", "audio_pcm_downmix(blob) AS st")
+        .select(col("doc_id"), col("st.n_samples").as("n_samples"),
+          col("st.peak").as("peak"),
+          col("st.zero_crossings").as("zero_crossings"),
+          (floor(sqrt(col("st.sum_sq").cast("double") / col("st.n_samples"))
+            * 1e4 + lit(0.5)) / 1e4).as("rms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // FRAME SAMPLING from real video containers (graft.functions
     // .VideoFrames): AVIs synthesized per doc with an hdrl LIST the walk
     // must skip and f = doc_id%6+4 uncompressed 8×2 BGR24 frames in the
@@ -569,6 +606,22 @@ object ExtraQueries extends QueryPack {
         |k AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM d),
         |s AS (SELECT doc_id, n, k,
         |    (doc_id * 37 + k * 451) % 4001 - 2000 AS v FROM k),
+        |s2 AS (SELECT doc_id, n, k, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM s),
+        |a AS (SELECT doc_id, max(n) AS n_samples, max(abs(v)) AS peak,
+        |    sum(v * v) AS sum_sq,
+        |    sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS zc
+        |  FROM s2 GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_samples AS INTEGER) AS n_samples,
+        |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
+        |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "mm_audio_stereo" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 + 20 AS n FROM documents),
+        |k AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM d),
+        |s AS (SELECT doc_id, n, k,
+        |    (((doc_id * 37 + k * 451) % 4001 - 2000)
+        |     + ((doc_id * 53 + k * 293) % 3001 - 1500)) // 2 AS v FROM k),
         |s2 AS (SELECT doc_id, n, k, v,
         |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM s),
         |a AS (SELECT doc_id, max(n) AS n_samples, max(abs(v)) AS peak,

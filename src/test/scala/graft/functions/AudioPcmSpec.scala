@@ -71,4 +71,27 @@ class AudioPcmSpec extends SparkSuite {
       (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4))).toSet
     assert(rows == Set((1L, 3, 20, 600L, 2), (2L, 3, 0, 0L, 0)))
   }
+
+  test("stereo downmix: truncating (L+R)/2, parity with pre-mixed mono") {
+    def dm(b: Array[Byte]): Option[(Int, Int, Long, Int)] =
+      Option(AudioPcmStats.statsDownmix(b)).map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    // frames (L, R): (100, 201) -> 150 (truncates from 150.5);
+    // (-100, -201) -> -150 (toward zero, NOT floor -151); (5, -4) -> 0;
+    // (-7, 2) -> -2
+    val stereo = wav(Seq(100, 201, -100, -201, 5, -4, -7, 2), channels = 2)
+    val mixed = Seq(150, -150, 0, -2)
+    assert(dm(stereo) == stats(wav(mixed)),
+      "downmixed stereo must equal stats of the pre-mixed mono stream")
+    assert(dm(stereo).get._1 == 4)
+    // mono passes through the downmix path unchanged
+    val mono = wav(Seq(10, -20, 30))
+    assert(dm(mono) == stats(mono))
+    // the mono-only expression still refuses the stereo bytes
+    assert(stats(stereo).isEmpty, "audio_pcm_stats must refuse stereo")
+    // and the downmix path refuses what it can't mono-ize
+    assert(dm(wav(Seq(1, 2, 3), channels = 3)).isEmpty, "3-channel is null")
+    assert(dm(wav(Seq(1, 2, 3), channels = 2)).isEmpty,
+      "stereo data not divisible into frames is null")
+  }
 }

@@ -141,8 +141,11 @@ object SketchOps {
     require(k >= 1 && cap >= k, s"need cap ($cap) >= k ($k)")
     val spark = df.sparkSession
     import spark.implicits._
-    val keys = df.select(col(keyCol).cast("string")).as[String]
+    // nulls carry no frequency information and would NPE MisraGriesAgg's
+    // finish (Ordering[String] on a null key) — drop them up front
+    val keys = df.filter(col(keyCol).isNotNull).select(col(keyCol).cast("string")).as[String]
     val n = keys.count()
+    if (n == 0L) return keys.toDF(keyCol).withColumn("cnt", lit(0L)).limit(0)
     val candidates = keys
       .select(udaf(new MisraGriesAgg(cap)).apply(col(keyCol)).as("cands"))
       .select(explode(col("cands")).as(keyCol))
@@ -153,7 +156,13 @@ object SketchOps {
       .orderBy(col("cnt").desc, col(keyCol).asc)
       .limit(k)
       .localCheckpoint(true)
-    val kth = top.agg(min(col("cnt"))).head.getLong(0)
+    // MG can legitimately end with an empty counter map (decrement-all on a
+    // perfectly flat stream) — that's a sufficiency failure, not an NPE
+    val kthRow = top.agg(min(col("cnt"))).head
+    require(!kthRow.isNullAt(0),
+      s"heavyHitters sufficiency violated: no candidate survived the " +
+        s"Misra-Gries pass (distribution too flat for cap=$cap) — raise cap")
+    val kth = kthRow.getLong(0)
     require(kth > n / (cap + 1L),
       s"heavyHitters sufficiency violated: k-th count $kth <= N/(cap+1) = " +
         s"${n / (cap + 1L)} — raise cap (distribution too flat for exactness)")

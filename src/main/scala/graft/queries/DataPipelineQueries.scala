@@ -38,8 +38,10 @@ object DataPipelineQueries extends QueryPack {
     }),
 
     // Row-wise MinHash signature (DedupOps.minhashSignatureRow): the
-    // higher-order-function formulation that powers the STREAMING
-    // near-dup path (no aggregation, so it doesn't consume append mode's
+    // native MinHashSig expression that powers the STREAMING near-dup
+    // path (an earlier higher-order-function form was rejected — HOFs
+    // are CodegenFallback, the repo's 15.6s-vs-1.0s lesson; and it's
+    // scan-side, so it doesn't consume append mode's
     // stateful-op budget) — gated here in batch against the same DuckDB
     // replay as the aggregate form, proving the two formulations one
     // signature family. Docs with fewer than 3 tokens have no shingles

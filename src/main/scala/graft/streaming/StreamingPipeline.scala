@@ -244,9 +244,11 @@ object StreamingPipeline {
     * horizon)?
     *
     * Shape: the signature is a pure scan-side expression
-    * ([[graft.ops.DedupOps.minhashSignatureRow]] — higher-order
-    * functions, no aggregation, so it does not consume append mode's
-    * stateful-operator budget), bands explode to (doc, band) rows, and
+    * ([[graft.ops.DedupOps.minhashSignatureRow]], backed by the native
+    * [[graft.functions.MinHashSig]] codegen'd expression — the earlier
+    * higher-order-function formulation was rejected as a CodegenFallback
+    * hot-path anti-pattern; no aggregation, so it does not consume append
+    * mode's stateful-operator budget), bands explode to (doc, band) rows, and
     * the ONLY stateful op is the band-key registry above — state is one
     * row per DISTINCT band key seen within the horizon, never a function
     * of corpus size, and never the documents themselves. Emits one row

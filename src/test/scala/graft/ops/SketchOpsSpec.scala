@@ -105,4 +105,27 @@ class SketchOpsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("sufficiency"), e.getMessage)
   }
+
+  test("heavyHitters on zero rows returns an empty frame, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("key")
+    val got = SketchOps.heavyHitters(empty, "key", k = 5, cap = 32)
+    assert(got.columns.toSeq == Seq("key", "cnt"))
+    assert(got.count() == 0L)
+  }
+
+  test("heavyHitters ignores null keys instead of NPE-ing in the MG pass") {
+    import spark.implicits._
+    // nulls outnumber everything; they must neither crash Ordering[String]
+    // in MisraGriesAgg.finish nor appear in the output
+    val rows = Seq.fill(50)(Option.empty[String]) ++
+      (0 until 20).flatMap(i => Seq.fill(30 + i)(Option(s"k$i")))
+    val df = rows.toDF("key").repartition(4)
+    val got = SketchOps.heavyHitters(df, "key", k = 5, cap = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    val exact = rows.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+      .toList.sortBy { case (k, c) => (-c, k) }.take(5)
+    assert(got.sortBy(t => (-t._2, t._1)) == exact)
+    assert(got.forall(_._1 != null))
+  }
 }

@@ -90,15 +90,92 @@ object DedupOps {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Banded self-join with a per-block anti-quadratic cap — the shared
+    * engine under every LSH-family candidate generator ([[minhashCandidates]]
+    * and the SimHash / embedding-SimHash hamming-band joins).
+    *
+    * The failure mode it guards: a self-equi-join on a blocking key is
+    * quadratic IN EACH BLOCK. m boilerplate-identical documents (empty
+    * docs, license headers, templated pages) share every band key, so one
+    * block emits m(m−1)/2 pairs — at crawl scale a million-doc clique is
+    * O(10¹²) rows from a single key. Uniform benchmarks never trigger it;
+    * real corpora always do. Same bug class [[ngramJaccardPairs]]' `maxDf`
+    * already guards against, applied to band blocks.
+    *
+    * The cap: blocks with ≤ `maxBlock` members run the exact all-pairs
+    * join (bit-identical output to the uncapped form). Bigger blocks emit
+    * only the CONSECUTIVE-BY-ID chain (m−1 edges, via `lead` in one
+    * window partitioned by the very same block key — no extra shuffle
+    * granularity). Recall argument: a chain connects exactly the same
+    * vertex set as the clique, so connected components — what every
+    * downstream dedup path (groups, anti-join, e2e funnel) computes —
+    * are IDENTICAL to the uncapped join's. Only direct pair listing
+    * inside oversized blocks is sampled; pair-level verifiers (e.g. a
+    * hamming filter on the payload) still see every chained edge, and a
+    * chain edge that fails verification splits the block's component
+    * exactly where an all-pairs clique would have had to split too —
+    * near-dup relations inside one band block are transitive at the
+    * similarity levels banding targets.
+    *
+    * One interaction to respect downstream: a chained block has graph
+    * DIAMETER m where the clique had diameter 1, so components over
+    * capped pairs must run [[connectedComponentsStar]] (O(log n) rounds
+    * regardless of diameter — what every production dedup path here
+    * already uses), not diameter-bound label propagation.
+    *
+    * Output: `id_a`, `id_b` (id_a < id_b within small blocks; chain
+    * order ascending so the invariant holds everywhere), plus
+    * `<p>_a`/`<p>_b` for every payload column — NOT distinct'd, callers
+    * dedup after their own filters so the shuffle carries verified pairs
+    * only.
+    */
+  def cappedBandPairs(banded: DataFrame, idCol: String,
+                      keyCols: Seq[String], payload: Seq[String],
+                      maxBlock: Int): DataFrame = {
+    def outSmall(small: DataFrame): DataFrame = {
+      val sa = small.alias("a"); val sb = small.alias("b")
+      sa.join(sb, keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a") +: col(s"b.$idCol").as("id_b") +:
+          payload.flatMap(p =>
+            Seq(col(s"a.$p").as(s"${p}_a"), col(s"b.$p").as(s"${p}_b"))): _*)
+    }
+    if (maxBlock == Int.MaxValue) outSmall(banded)
+    else {
+      val sizes = banded.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__bsz"))
+      // same key as the self-join → co-partitioned, no new shuffle shape
+      val withSz = banded.join(sizes, keyCols)
+      val small = withSz.filter(col("__bsz") <= maxBlock).drop("__bsz")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+      val chained = withSz.filter(col("__bsz") > maxBlock)
+        .select(col(idCol).as("id_a") +:
+          lead(col(idCol), 1).over(w).as("id_b") +:
+          payload.flatMap(p => Seq(col(p).as(s"${p}_a"),
+            lead(col(p), 1).over(w).as(s"${p}_b"))): _*)
+        .filter(col("id_b").isNotNull)
+      outSmall(small).unionByName(chained)
+    }
+  }
+
   /** LSH candidate pairs: signatures are cut into `bands` bands of
     * `numHashes / bands` rows; documents sharing any band key become a
     * candidate pair (id_a < id_b, distinct). The band table is
     * (docs × bands) rows; the self-equi-join on (band_idx, band_key) is the
     * only shuffle and touches only same-bucket documents.
+    *
+    * `maxBandBlock` caps each band block's contribution via
+    * [[cappedBandPairs]] — finite BY DEFAULT (1000, mirroring
+    * [[ngramJaccardPairs]]' `maxDf`: a df-1000 block still allows ~500k
+    * pairs) so m identical documents cost O(m) edges, not O(m²); the
+    * quadratic behavior is opt-in via `maxBandBlock = Int.MaxValue`.
+    * Downstream connected components are unaffected by the cap (chain
+    * edges span exactly the block's clique).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 8,
-                        bands: Int = 4): DataFrame = {
+                        bands: Int = 4, maxBandBlock: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = minhashSignature(df, idCol, textCol, shingleN, numHashes)
     val bandKey = (b: Int) => concat_ws("|",
@@ -111,12 +188,8 @@ object DedupOps {
         struct(lit(b).as("band_idx"), bandKey(b).as("band_key"))): _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bandTable.alias("a")
-    val b = bandTable.alias("b")
-    a.join(b, col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    cappedBandPairs(bandTable, idCol, Seq("band_idx", "band_key"),
+        payload = Nil, maxBlock = maxBandBlock)
       .distinct()
   }
 

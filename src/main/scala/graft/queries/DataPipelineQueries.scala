@@ -105,13 +105,12 @@ object DataPipelineQueries extends QueryPack {
         explode(array((0 until 4).map(b => struct(lit(b).as("band_idx"),
           expr(s"shiftright(fp, ${b * 15}) & 32767").as("band_val"))): _*)).as("band"))
         .select(col("doc_id"), col("fp"), col("band.band_idx"), col("band.band_val"))
-      val a = banded.alias("a")
-      val b = banded.alias("b")
-      a.join(b, col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
+      // band-block-capped self-join (DedupOps.cappedBandPairs): a crawl's
+      // boilerplate clique sharing one band value stays O(m) edges
+      DedupOps.cappedBandPairs(banded, "doc_id",
+          Seq("band_idx", "band_val"), payload = Seq("fp"), maxBlock = 1000)
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
         // filter BEFORE distinct: the dedup shuffle then carries only true
         // near-dup pairs, not every band-collision candidate
         .filter(col("hamming") <= MAX_HAMMING)
@@ -210,13 +209,11 @@ object DataPipelineQueries extends QueryPack {
         explode(array((0 until 4).map(b => struct(lit(b).as("band_idx"),
           expr(s"shiftright(fp, ${b * 15}) & 32767").as("band_val"))): _*)).as("band"))
         .select(col("vec_id"), col("fp"), col("band.band_idx"), col("band.band_val"))
-      val a = banded.alias("a")
-      val b = banded.alias("b")
-      a.join(b, col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
+      // same band-block cap as the token-SimHash join above
+      DedupOps.cappedBandPairs(banded, "vec_id",
+          Seq("band_idx", "band_val"), payload = Seq("fp"), maxBlock = 1000)
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
         .filter(col("hamming") <= EMBED_MAX_HAMMING)
         .distinct()
         .orderBy(col("id_a"), col("id_b"))

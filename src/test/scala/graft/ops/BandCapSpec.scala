@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The anti-quadratic band-block cap (DedupOps.cappedBandPairs): oversized
+  * blocks — a crawl's boilerplate cliques — must cost O(m) edges while
+  * leaving downstream connected components bit-identical to the uncapped
+  * all-pairs join.
+  */
+class BandCapSpec extends SparkSuite {
+
+  test("10k-doc identical-text clique completes with O(m) edges, not m^2/2") {
+    import spark.implicits._
+    val m = 10000
+    // every doc shares every band key -> one block of 10k per band;
+    // uncapped this is ~50M pairs per band and would not finish here
+    val docs = (0 until m).map(i =>
+      (i.toLong, "the same boilerplate license header text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minhashCandidates(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 8, bands = 4, maxBandBlock = 256)
+    // all 4 bands chain the same ascending id order -> distinct leaves
+    // exactly the m-1 chain edges
+    assert(pairs.count() == (m - 1).toLong)
+    // chain connects the whole clique: one component, min id everywhere.
+    // The chain has diameter m, so this MUST be the star-contraction CC
+    // (O(log n) rounds) — exactly what every production dedup path uses;
+    // label propagation would need m rounds
+    val comp = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
+    val labels = comp.select(col("component")).distinct().collect()
+    assert(labels.length == 1)
+  }
+
+  test("capped pairs give IDENTICAL connected components to uncapped all-pairs") {
+    import spark.implicits._
+    // 3 dup groups: sizes 50 (over the cap of 10), 8 (under), 2; plus
+    // 20 singletons that must produce no pairs at all
+    val texts = Map(
+      "g1" -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "g2" -> "one two three four five six seven eight nine ten eleven",
+      "g3" -> "red orange yellow green blue indigo violet ultraviolet infrared")
+    val rows =
+      (0 until 50).map(i => (100L + i, texts("g1"))) ++
+      (0 until 8).map(i => (500L + i, texts("g2"))) ++
+      (0 until 2).map(i => (700L + i, texts("g3"))) ++
+      // singletons share NO tokens with anything (minhash bands over
+      // partially-shared shingles can legitimately collide)
+      (0 until 20).map(i => (900L + i,
+        (0 until 10).map(j => s"w${i}x$j").mkString(" ")))
+    val docs = rows.toDF("doc_id", "text")
+    def components(maxBlock: Int): Map[Long, Long] =
+      DedupOps.connectedComponentsStar(
+          DedupOps.minhashCandidates(docs, "doc_id", "text",
+            maxBandBlock = maxBlock), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val capped = components(10)
+    val uncapped = components(Int.MaxValue)
+    assert(capped == uncapped)
+    // sanity on the shape: three components, labeled by min id
+    assert(uncapped.values.toSet == Set(100L, 500L, 700L))
+  }
+
+  test("blocks at or below the cap emit the exact all-pairs set") {
+    import spark.implicits._
+    val banded = Seq(
+      (1L, 0, "k1"), (2L, 0, "k1"), (3L, 0, "k1"),   // block of 3
+      (7L, 0, "k2"), (8L, 0, "k2"),                  // block of 2
+      (9L, 1, "k1")                                  // lone row, no pairs
+    ).toDF("id", "band_idx", "band_key")
+    val got = DedupOps.cappedBandPairs(banded, "id",
+        Seq("band_idx", "band_key"), payload = Nil, maxBlock = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L)))
+  }
+
+  test("oversized block chains consecutive ids and carries both payloads") {
+    import spark.implicits._
+    val banded = Seq(
+      (5L, 0, "k", 50L), (1L, 0, "k", 10L), (3L, 0, "k", 30L),
+      (2L, 0, "k", 20L), (4L, 0, "k", 40L)
+    ).toDF("id", "band_idx", "band_key", "fp")
+    val got = DedupOps.cappedBandPairs(banded, "id",
+        Seq("band_idx", "band_key"), payload = Seq("fp"), maxBlock = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 2L, 10L, 20L), (2L, 3L, 20L, 30L),
+      (3L, 4L, 30L, 40L), (4L, 5L, 40L, 50L)))
+    // id_a < id_b everywhere — chain order is ascending by construction
+    assert(got.forall { case (a, b, _, _) => a < b })
+  }
+}

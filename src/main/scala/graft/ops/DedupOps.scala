@@ -15,6 +15,35 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Conf key: when set to a writable directory, corpus-sized dedup
+    * intermediates (MinHash band tables, df-capped shingle tables) are
+    * CHECKPOINTED as parquet under it instead of cached executor-side.
+    */
+  val IntermediateDirKey = "spark.graft.intermediate.dir"
+
+  /** Materialize a corpus-sized intermediate that multiple downstream
+    * branches consume (both sides of a self-join, sizes + join, …).
+    *
+    * Local default: `MEMORY_AND_DISK` persist — right for a single box,
+    * but a SINGLE-BOX ASSUMPTION at 100 TB, where caching a
+    * corpus-token-sized table pins the cluster's block managers. With
+    * [[IntermediateDirKey]] set, the table is written to
+    * `<dir>/<name>-<uuid>` and read back: lineage is cut, executors hold
+    * nothing, re-reads are parquet scans (column-pruned and
+    * splittable), and the files double as a restart point. Same contract
+    * either way: the returned frame is evaluated once and cheap to
+    * consume repeatedly.
+    */
+  private[graft] def materialize(df: DataFrame, name: String): DataFrame =
+    df.sparkSession.conf.getOption(IntermediateDirKey) match {
+      case Some(dir) =>
+        val path = s"${dir.stripSuffix("/")}/$name-${java.util.UUID.randomUUID()}"
+        df.write.parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Exact dedup groups: canonical id = min(id) per identical `key`. */
   def exactGroups(df: DataFrame, idCol: String, key: Column): DataFrame =
     df.groupBy(key.as("dedup_key"))
@@ -180,14 +209,14 @@ object DedupOps {
     val sig = minhashSignature(df, idCol, textCol, shingleN, numHashes)
     val bandKey = (b: Int) => concat_ws("|",
       (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
-    // persisted: both sides of the self-join consume it — without this the
-    // full shingle+hash pipeline runs twice (at corpus scale you'd
-    // checkpoint signatures to a table; this is the in-session equivalent)
-    val bandTable = sig.select(col(idCol),
+    // materialized: both sides of the self-join consume it — without this
+    // the full shingle+hash pipeline runs twice. In-memory persist
+    // locally; a parquet checkpoint table when IntermediateDirKey is set
+    val bandTable = materialize(sig.select(col(idCol),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band_idx"), bandKey(b).as("band_key"))): _*)).as("band"))
-      .select(col(idCol), col("band.band_idx"), col("band.band_key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol), col("band.band_idx"), col("band.band_key")),
+      "minhash-bands")
     cappedBandPairs(bandTable, idCol, Seq("band_idx", "band_key"),
         payload = Nil, maxBlock = maxBandBlock)
       .distinct()
@@ -221,8 +250,7 @@ object DedupOps {
           .select(col("__sh"))
         shAll.join(rare, "__sh")
       }
-    val sh = shCapped
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = materialize(shCapped, "jaccard-shingles")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val a = sh.alias("a")
     val b = sh.alias("b")
@@ -273,8 +301,9 @@ object DedupOps {
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select(col("__sh"))
-    val capped = positioned.join(rare, "__sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus-token-sized when uncapped — exactly the table the
+    // IntermediateDirKey checkpoint path exists for
+    val capped = materialize(positioned.join(rare, "__sh"), "substr-shingles")
     val a = capped.alias("a")
     val b = capped.alias("b")
     val matches = a.join(b, col("a.__sh") === col("b.__sh") &&

@@ -113,18 +113,22 @@ object ImageHash {
   /** Decoded grayscale image: row-major top-down `gray(y*w + x)`. */
   private final class Gray(val w: Int, val h: Int, val px: Array[Int])
 
-  /** Container dispatch on magic bytes: uncompressed 24-bit BMP or
-    * zlib-compressed PNG. Every consumer (aHash / dHash / resize) is
-    * format-transparent — the SAME image content must hash identically
-    * from either container (pinned by ImagePixelSpec's cross-format
-    * round-trip).
+  /** Container dispatch on magic bytes: uncompressed 24-bit BMP,
+    * zlib-compressed PNG, or baseline JPEG ([[JpegDecode]] — luma
+    * channel, the dominant web-image format). Every consumer (aHash /
+    * dHash / resize) is format-transparent — the SAME image content must
+    * hash identically from any container (pinned by ImagePixelSpec's
+    * cross-format round-trip and JpegPixelSpec's DC-exact mosaics).
     */
   private def decode(b: Array[Byte]): Gray = {
     if (b == null || b.length < 8) null
     else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
     else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
       decodePng(b)
-    else null
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      val l = JpegDecode.decode(b)
+      if (l == null) null else new Gray(l.w, l.h, l.px)
+    } else null
   }
 
   /** Uncompressed 24-bit BMP (BITMAPINFOHEADER family) → grayscale, or

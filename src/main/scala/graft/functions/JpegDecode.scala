@@ -1,0 +1,500 @@
+package graft.functions
+
+/** Baseline sequential JPEG → luma raster, written from the public JPEG
+  * specification (ITU-T T.81): marker parse (DQT/DHT/SOF/DRI/SOS),
+  * canonical Huffman entropy decode with byte-unstuffing and restart
+  * markers, dequantization, separable double-precision IDCT, and
+  * MCU/plane assembly for both non-interleaved (Ns=1) and interleaved
+  * scans at any legal sampling (4:4:4, 4:2:2, 4:2:0, …).
+  *
+  * Scope decisions, in 100 TB-curation terms:
+  *  - LUMA ONLY. Every consumer behind the [[ImageHash]] seam is
+  *    grayscale (aHash/dHash/resize), and JPEG luma IS the Y channel —
+  *    no chroma upsampling or color conversion enters the result.
+  *    Chroma blocks still must be Huffman-WALKED to keep the entropy
+  *    stream in sync, but they skip dequant + IDCT entirely (for 4:2:0
+  *    that is 6× less IDCT work than a full decode per MCU).
+  *  - Baseline/extended-sequential Huffman only (SOF0/SOF1). Progressive
+  *    (SOF2), lossless, hierarchical, and arithmetic coding return null
+  *    — the caller treats null as "not decodable here", the same
+  *    per-row degradation contract as the PNG/BMP paths: a corrupt or
+  *    exotic blob must never kill a stage.
+  *  - Any malformed structure (truncation, lost marker sync, over-long
+  *    Huffman walk, coefficient index overflow) aborts to null via a
+  *    single control-flow exception caught at the boundary.
+  *
+  * Verification: JpegPixelSpec pins decoded rasters against committed
+  * fixtures from an independent python encoder (tools/
+  * gen_jpeg_fixtures.py — exact on DC-only mosaics, ±1 elsewhere) and
+  * cross-checks against the JDK's own ImageIO JPEG codec (readRaster
+  * band 0 = raw Y plane) on both those fixtures and ImageIO-encoded
+  * images — two unrelated codecs on each side of the contract.
+  *
+  * Reference for WHAT the multimodal seam computes:
+  * preprocessing/build_dataset.py:1 (the reference pipeline's media
+  * ingestion boundary); the decode itself is spec-derived.
+  */
+private[functions] object JpegDecode {
+
+  final class Luma(val w: Int, val h: Int, val px: Array[Int])
+
+  /** Same decompression-bomb ceiling as the PNG path: a 10-byte SOF can
+    * declare 65535×65535 and the MCU loop would materialize it.
+    */
+  private val MaxPixels = 1 << 24
+
+  // zigzag scan order: decode index k -> natural position (row*8 + col)
+  private val ZZ: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // orthonormal IDCT basis: F(u)(y) = k(u)·cos((2y+1)uπ/16)
+  private val F: Array[Array[Double]] = Array.tabulate(8, 8) { (u, y) =>
+    (if (u == 0) math.sqrt(1.0 / 8) else math.sqrt(2.0 / 8)) *
+      math.cos((2 * y + 1) * u * math.Pi / 16)
+  }
+
+  /** Canonical Huffman table in the spec's mincode/maxcode/valptr form. */
+  private final class HTab(bits: Array[Int], val values: Array[Int]) {
+    val mincode = new Array[Int](17)
+    val maxcode: Array[Int] = Array.fill(17)(-1)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l) > 0) {
+          valptr(l) = k
+          mincode(l) = code
+          code += bits(l)
+          k += bits(l)
+          maxcode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** Single abort channel: thrown on any malformed structure, caught once
+    * at the decode() boundary. Stackless — decode failure is a data
+    * property, not an exceptional event worth a stack walk per blob.
+    */
+  private final class DecodeFail
+      extends RuntimeException(null, null, false, false)
+  private def fail(): Nothing = throw new DecodeFail
+
+  /** MSB-first bit reader over entropy-coded data: 0xFF00 unstuffing,
+    * loud failure on any real marker inside the stream, byte-aligned
+    * RSTn consumption between restart intervals.
+    */
+  private final class Bits(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        if (pos >= b.length) fail()
+        val v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) fail()
+          if ((b(pos) & 0xff) == 0x00) pos += 1 // stuffed 0xFF data byte
+          else fail() // marker mid-stream: truncated/desynced scan
+        }
+        acc = v
+        n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def receive(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def restart(expectMod8: Int): Unit = {
+      n = 0 // drop padding bits to the byte boundary
+      if (pos + 1 >= b.length) fail()
+      if ((b(pos) & 0xff) != 0xff) fail()
+      var p = pos + 1
+      while (p < b.length && (b(p) & 0xff) == 0xff) p += 1 // fill bytes
+      if (p >= b.length) fail()
+      if ((b(p) & 0xff) != 0xd0 + expectMod8) fail()
+      pos = p + 1
+    }
+  }
+
+  private def huffDecode(t: HTab, r: Bits): Int = {
+    var code = r.bit()
+    var l = 1
+    while (code > t.maxcode(l)) {
+      code = (code << 1) | r.bit()
+      l += 1
+      if (l > 16) fail()
+    }
+    t.values(t.valptr(l) + code - t.mincode(l))
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode one 8×8 block. `outNat` null ⇒ Huffman-walk only (chroma);
+    * otherwise natural-order DEQUANTIZED coefficients land there
+    * (`q` is the zigzag-order table). Returns the new DC predictor.
+    */
+  private def decodeBlock(r: Bits, dc: HTab, ac: HTab, pred: Int,
+                          q: Array[Int], outNat: Array[Int]): Int = {
+    val t = huffDecode(dc, r)
+    if (t > 15) fail()
+    val diff = extend(r.receive(t), t)
+    val newPred = pred + diff
+    if (outNat != null) {
+      java.util.Arrays.fill(outNat, 0)
+      outNat(0) = newPred * q(0)
+    }
+    var k = 1
+    while (k < 64) {
+      val rs = huffDecode(ac, r)
+      val s = rs & 0x0f
+      if (s == 0) {
+        if (rs == 0xf0) k += 16 // ZRL: sixteen zeros
+        else if (rs == 0x00) k = 64 // EOB
+        else fail()
+      } else {
+        k += (rs >> 4)
+        if (k > 63) fail()
+        val v = extend(r.receive(s), s)
+        if (outNat != null) outNat(ZZ(k)) = v * q(k)
+        k += 1
+      }
+    }
+    newPred
+  }
+
+  /** Separable IDCT of natural-order coefficients into the plane at
+    * block origin (ox, oy), clipping to plane bounds; +128 level shift,
+    * round-half-up, clamp to [0, 255].
+    */
+  private def idctInto(coef: Array[Int], plane: Array[Int],
+                       pw: Int, ph: Int, ox: Int, oy: Int): Unit = {
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += coef(u * 8 + v) * F(v)(x); v += 1 }
+        tmp(u * 8 + x) = s
+        x += 1
+      }
+      u += 1
+    }
+    var y = 0
+    while (y < 8) {
+      val py = oy + y
+      if (py < ph) {
+        var x = 0
+        while (x < 8) {
+          val px = ox + x
+          if (px < pw) {
+            var s = 0.0
+            var uu = 0
+            while (uu < 8) { s += F(uu)(y) * tmp(uu * 8 + x); uu += 1 }
+            val g = math.floor(s + 128.5).toInt
+            plane(py * pw + px) = if (g < 0) 0 else if (g > 255) 255 else g
+          }
+          x += 1
+        }
+      }
+      y += 1
+    }
+  }
+
+  /** Entry: luma raster at full image resolution, or null. */
+  def decode(b: Array[Byte]): Luma =
+    try decodeOrFail(b)
+    catch {
+      case _: DecodeFail | _: ArrayIndexOutOfBoundsException |
+          _: NegativeArraySizeException => null
+    }
+
+  private def decodeOrFail(b: Array[Byte]): Luma = {
+    if (b == null || b.length < 4 ||
+        (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
+    def be16(i: Int): Int = {
+      if (i + 1 >= b.length) fail()
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    }
+    val qz = Array.ofDim[Int](4, 64)
+    val qSeen = new Array[Boolean](4)
+    val dcTabs = new Array[HTab](4)
+    val acTabs = new Array[HTab](4)
+    var ri = 0
+    var w = 0
+    var h = 0
+    var cH: Array[Int] = null
+    var cV: Array[Int] = null
+    var cQ: Array[Int] = null
+    var cIds: Array[Int] = null
+    var sofSeen = false
+    var p = 2
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xff) != 0xff) return null // lost marker sync
+      var m = b(p + 1) & 0xff
+      while (m == 0xff) { // fill bytes
+        p += 1
+        if (p + 1 >= b.length) return null
+        m = b(p + 1) & 0xff
+      }
+      p += 2
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        // standalone markers outside a scan: nothing to skip
+      } else if (m == 0xd9) {
+        return null // EOI with no scan decoded
+      } else if (m == 0xdb) { // DQT: one or more tables
+        val end = p + be16(p)
+        var q = p + 2
+        while (q < end) {
+          val pq = (b(q) & 0xff) >> 4
+          val tq = b(q) & 0x0f
+          if (tq > 3) fail()
+          if (pq == 0) {
+            if (q + 65 > end) fail()
+            var k = 0
+            while (k < 64) { qz(tq)(k) = b(q + 1 + k) & 0xff; k += 1 }
+            q += 65
+          } else if (pq == 1) { // 16-bit precision (extended sequential)
+            if (q + 129 > end) fail()
+            var k = 0
+            while (k < 64) { qz(tq)(k) = be16(q + 1 + 2 * k); k += 1 }
+            q += 129
+          } else fail()
+          qSeen(tq) = true
+        }
+        p = end
+      } else if (m == 0xc4) { // DHT: one or more tables
+        val end = p + be16(p)
+        var q = p + 2
+        while (q < end) {
+          val tc = (b(q) & 0xff) >> 4
+          val th = b(q) & 0x0f
+          if (tc > 1 || th > 3) fail()
+          val bits = new Array[Int](17)
+          var total = 0
+          var i = 1
+          while (i <= 16) {
+            if (q + i >= b.length) fail()
+            bits(i) = b(q + i) & 0xff
+            total += bits(i)
+            i += 1
+          }
+          if (total > 256 || q + 17 + total > end) fail()
+          val vals = new Array[Int](total)
+          i = 0
+          while (i < total) { vals(i) = b(q + 17 + i) & 0xff; i += 1 }
+          val tab = new HTab(bits, vals)
+          if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+          q += 17 + total
+        }
+        p = end
+      } else if (m == 0xc0 || m == 0xc1) { // SOF0/SOF1: sequential huffman
+        if (sofSeen) fail()
+        sofSeen = true
+        val len = be16(p)
+        val prec = b(p + 2) & 0xff
+        h = be16(p + 3)
+        w = be16(p + 5)
+        val nc = b(p + 7) & 0xff
+        if (prec != 8 || w <= 0 || h <= 0 || nc < 1 || nc > 4 ||
+            len != 8 + 3 * nc || w.toLong * h > MaxPixels) return null
+        cIds = new Array[Int](nc)
+        cH = new Array[Int](nc)
+        cV = new Array[Int](nc)
+        cQ = new Array[Int](nc)
+        var i = 0
+        while (i < nc) {
+          val o = p + 8 + 3 * i
+          if (o + 2 >= b.length) fail()
+          cIds(i) = b(o) & 0xff
+          cH(i) = (b(o + 1) & 0xff) >> 4
+          cV(i) = b(o + 1) & 0x0f
+          cQ(i) = b(o + 2) & 0xff
+          if (cH(i) < 1 || cH(i) > 4 || cV(i) < 1 || cV(i) > 4 || cQ(i) > 3)
+            return null
+          i += 1
+        }
+        p += len
+      } else if (m >= 0xc2 && m <= 0xcf) {
+        // SOF2 progressive, SOF3/7 lossless, C5/6 differential, C8 JPG,
+        // C9-CB/CD-CF arithmetic, CC conditioning: out of scope → null
+        return null
+      } else if (m == 0xdd) { // DRI
+        if (be16(p) != 4) fail()
+        ri = be16(p + 2)
+        p += 4
+      } else if (m == 0xda) { // SOS: decode the first scan and finish
+        if (!sofSeen) return null
+        val len = be16(p)
+        val ns = b(p + 2) & 0xff
+        if (ns < 1 || ns > 4 || len != 6 + 2 * ns) fail()
+        val scanComp = new Array[Int](ns)
+        val scanDc = new Array[HTab](ns)
+        val scanAc = new Array[HTab](ns)
+        var i = 0
+        while (i < ns) {
+          val cs = b(p + 3 + 2 * i) & 0xff
+          val tt = b(p + 4 + 2 * i) & 0xff
+          val ci = cIds.indexOf(cs)
+          if (ci < 0) fail()
+          scanComp(i) = ci
+          scanDc(i) = dcTabs(tt >> 4)
+          scanAc(i) = acTabs(tt & 0x0f)
+          if (scanDc(i) == null || scanAc(i) == null) fail()
+          i += 1
+        }
+        val ss = b(p + 3 + 2 * ns) & 0xff
+        val se = b(p + 4 + 2 * ns) & 0xff
+        val aa = b(p + 5 + 2 * ns) & 0xff
+        if (ss != 0 || se != 63 || aa != 0) return null // partial scan
+        // the FIRST scan must carry luma (frame component 0) — true for
+        // every interleaved baseline file and every grayscale file
+        if (!scanComp.contains(0)) return null
+        if (!qSeen(cQ(0))) fail()
+        return decodeScan(b, p + len, w, h, scanComp, scanDc, scanAc,
+          cH, cV, cQ, qz, ri)
+      } else { // APPn / COM / anything else with a length field
+        val len = be16(p)
+        if (len < 2) fail()
+        p += len
+      }
+    }
+    null
+  }
+
+  private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
+                         scanComp: Array[Int], scanDc: Array[HTab],
+                         scanAc: Array[HTab], cH: Array[Int], cV: Array[Int],
+                         cQ: Array[Int], qz: Array[Array[Int]],
+                         ri: Int): Luma = {
+    val ns = scanComp.length
+    var maxH = 1
+    var maxV = 1
+    var i = 0
+    while (i < cH.length) {
+      if (cH(i) > maxH) maxH = cH(i)
+      if (cV(i) > maxV) maxV = cV(i)
+      i += 1
+    }
+    val r = new Bits(b, start)
+    val coef = new Array[Int](64)
+    var plane: Array[Int] = null
+    var pw = 0
+    var ph = 0
+    if (ns == 1) {
+      // non-interleaved: MCU = one block, raster over the component plane
+      val ci = scanComp(0)
+      val cw = (w * cH(ci) + maxH - 1) / maxH
+      val chh = (h * cV(ci) + maxV - 1) / maxV
+      if (cw.toLong * chh > MaxPixels) fail()
+      val nbx = (cw + 7) / 8
+      val nby = (chh + 7) / 8
+      plane = new Array[Int](cw * chh)
+      pw = cw
+      ph = chh
+      val q = qz(cQ(ci))
+      var pred = 0
+      var mcu = 0
+      var by = 0
+      while (by < nby) {
+        var bx = 0
+        while (bx < nbx) {
+          if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+            r.restart((mcu / ri - 1) % 8)
+            pred = 0
+          }
+          pred = decodeBlock(r, scanDc(0), scanAc(0), pred, q, coef)
+          idctInto(coef, plane, pw, ph, bx * 8, by * 8)
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+    } else {
+      val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+      val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+      pw = mcusX * 8 * cH(0)
+      ph = mcusY * 8 * cV(0)
+      if (pw.toLong * ph > MaxPixels.toLong * 4) fail()
+      plane = new Array[Int](pw * ph)
+      val preds = new Array[Int](ns)
+      var mcu = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+            r.restart((mcu / ri - 1) % 8)
+            java.util.Arrays.fill(preds, 0)
+          }
+          var si = 0
+          while (si < ns) {
+            val ci = scanComp(si)
+            val q = qz(cQ(ci))
+            var byy = 0
+            while (byy < cV(ci)) {
+              var bxx = 0
+              while (bxx < cH(ci)) {
+                if (ci == 0) {
+                  preds(si) = decodeBlock(r, scanDc(si), scanAc(si),
+                    preds(si), q, coef)
+                  idctInto(coef, plane, pw, ph,
+                    (mx * cH(0) + bxx) * 8, (my * cV(0) + byy) * 8)
+                } else {
+                  // chroma: walk the entropy stream, render nothing
+                  preds(si) = decodeBlock(r, scanDc(si), scanAc(si),
+                    preds(si), q, null)
+                }
+                bxx += 1
+              }
+              byy += 1
+            }
+            si += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+    }
+    // assemble full-resolution luma. In (virtually) every real file the
+    // luma component samples at (maxH, maxV) so this is a crop; the
+    // nearest-index map keeps legal-but-odd subsampled-luma files correct.
+    val lw = (w * cH(0) + maxH - 1) / maxH
+    val lh = (h * cV(0) + maxV - 1) / maxV
+    val px = new Array[Int](w * h)
+    if (lw == w && lh == h) {
+      var y = 0
+      while (y < h) {
+        System.arraycopy(plane, y * pw, px, y * w, w)
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        val sy = y * cV(0) / maxV
+        var x = 0
+        while (x < w) {
+          px(y * w + x) = plane(sy * pw + x * cH(0) / maxH)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    new Luma(w, h, px)
+  }
+}

@@ -451,7 +451,47 @@ object ExtraQueries extends QueryPack {
           "posexplode(image_resize_gray(blob, 8, 8)) AS (cell_idx, gray)")
         .select(col("vec_id"), col("cell_idx"), col("gray"))
         .orderBy(col("vec_id"), col("cell_idx"))
+    }),
+
+    // Baseline-JPEG pixel decode behind the same seam: two committed
+    // DC-only block-mosaic fixtures (tools/gen_jpeg_fixtures.py — one
+    // grayscale Ns=1 scan, one interleaved 4:2:0 whose chroma blocks
+    // must be huffman-walked to stay in sync) embedded as hex. q[0]=8
+    // makes DC quantization lossless and a DC-only block renders EXACTLY
+    // as its constant under any correct decoder, so the oracle replays
+    // the mosaic formula arithmetically — no literal dumps; any drift in
+    // marker parse / huffman decode / MCU layout / chroma sync breaks
+    // the hash. AC-rich and real-encoder coverage lives in JpegPixelSpec
+    // (±1 vs the JDK ImageIO codec both ways).
+    "mm_image_jpeg" -> ((s, dir) => {
+      graft.functions.ImageHash.register(s)
+      import s.implicits._
+      Seq(("gray_blocks", jpegGrayBlocksHex, 4, 3),
+          ("blocks420", jpegBlocks420Hex, 4, 4))
+        .map { case (img, hex, gw, gh) =>
+          Seq((img, hex)).toDF("img", "hex").selectExpr("img",
+            s"posexplode(image_resize_gray(unhex(hex), $gw, $gh)) AS (cell_idx, gray)")
+        }
+        .reduce(_ unionByName _)
+        .orderBy(col("img"), col("cell_idx"))
     }))
+
+  // committed fixture bytes (src/test/resources/jpeg_fixtures), hex-embedded
+  // so the oracle side sees the identical blobs: 32×24 grayscale mosaic
+  // v = (37·bx + 59·by + 23) % 256 …
+  private val jpegGrayBlocksHex =
+    "FFD8FFDB004300080C0C0E0E0E1010101012121212121414141414141616161616161618181818181818181A1A1A1A1A1A1A" +
+      "1C1C1C1C1C1C1E1E1E1E1E20202020222222242426FFC0000B080018002001011100FFC40014100100000000000000000000" +
+      "000000000000FFC4001500000200000000000000000000000000000607FFDA0008010100003F004B0944A25058944A250589" +
+      "44A257FFD9"
+  // … and 32×32 4:2:0 with constant chroma, v = (29·bx + 43·by + 50) % 256
+  private val jpegBlocks420Hex =
+    "FFD8FFDB004300080C0C0E0E0E1010101012121212121414141414141616161616161618181818181818181A1A1A1A1A1A1A" +
+      "1C1C1C1C1C1C1E1E1E1E1E20202020222222242426FFDB004301081313161616191919191C1C1C1C1C1F1F1F1F1F1F222222" +
+      "222222222525252525252525282828282828282B2B2B2B2B2B2E2E2E2E2E3131313134343437373AFFC00011080020002003" +
+      "012200021101031101FFC40014100100000000000000000000000000000000FFC40014110100000000000000000000000000" +
+      "000000FFC4001800000005000000000000000000000000000405060708FFC400150100020000000000000000000000000000" +
+      "0006FFDA000C03010002110311003F006C47A1C3D059011E870F4024C7A1C3D00047A1C83803FFD9"
 
   override val oracle: Map[String, String] = Map(
     "a2_label_mean_a3_valid" ->
@@ -673,6 +713,17 @@ object ExtraQueries extends QueryPack {
         |    AS BIGINT) % 256 AS INTEGER) AS gray
         |FROM embeddings CROSS JOIN
         |  (SELECT unnest(generate_series(1, 64)) AS i) dims
-        |ORDER BY vec_id, cell_idx""".stripMargin
+        |ORDER BY vec_id, cell_idx""".stripMargin,
+    "mm_image_jpeg" ->
+      """SELECT 'gray_blocks' AS img, CAST(by * 4 + bx AS INTEGER) AS cell_idx,
+        |  CAST((37 * bx + 59 * by + 23) % 256 AS INTEGER) AS gray
+        |FROM (SELECT unnest(generate_series(0, 3)) AS bx) a,
+        |     (SELECT unnest(generate_series(0, 2)) AS by) b
+        |UNION ALL
+        |SELECT 'blocks420' AS img, CAST(by * 4 + bx AS INTEGER) AS cell_idx,
+        |  CAST((29 * bx + 43 * by + 50) % 256 AS INTEGER) AS gray
+        |FROM (SELECT unnest(generate_series(0, 3)) AS bx) a,
+        |     (SELECT unnest(generate_series(0, 3)) AS by) b
+        |ORDER BY img, cell_idx""".stripMargin
   )
 }

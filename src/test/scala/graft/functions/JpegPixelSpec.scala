@@ -1,0 +1,179 @@
+package graft.functions
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSuite
+
+/** Baseline-JPEG decode contract, pinned from BOTH sides by independent
+  * codecs:
+  *
+  *  1. Committed fixtures written by an independent python encoder
+  *     (tools/gen_jpeg_fixtures.py) with sidecar `.grays` rasters —
+  *     EXACT equality on the DC-only block mosaics (no decoder has
+  *     rounding freedom on a DC-only block with q0=8), ±1 elsewhere
+  *     (integer- vs float-IDCT freedom).
+  *  2. The JDK's own ImageIO JPEG codec as an independent DECODER:
+  *     `readRaster` band 0 is the raw Y plane with no color conversion —
+  *     compared ±1 against this repo's decoder on every fixture.
+  *  3. ImageIO as an independent ENCODER: images written in-test at
+  *     several qualities/subsamplings (real Annex-K-style tables) must
+  *     decode within ±1 of ImageIO's own raster read-back.
+  *
+  * Plus: format transparency (a DC-only mosaic byte-identical in gray
+  * values to a BMP must aHash identically), and reject paths
+  * (progressive, truncation, garbage) that return null, never throw.
+  */
+class JpegPixelSpec extends SparkSuite {
+
+  private def fixture(name: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(getClass.getResource(s"/jpeg_fixtures/$name").toURI))
+
+  private def expectedGrays(name: String): (Int, Int, Array[Int]) = {
+    val lines = new String(fixture(name + ".jpg.grays"), "UTF-8").trim.split("\n")
+    val Array(w, h) = lines(0).split(" ").map(_.toInt)
+    (w, h, lines(1).split(" ").map(_.toInt))
+  }
+
+  private def decodeViaSql(blob: Array[Byte], gw: Int, gh: Int): Option[Array[Int]] = {
+    ImageHash.register(spark)
+    import spark.implicits._
+    val row = Seq(Tuple1(blob)).toDF("blob")
+      .selectExpr(s"image_resize_gray(blob, $gw, $gh) AS g")
+      .collect()(0)
+    if (row.isNullAt(0)) None else Some(row.getSeq[Int](0).toArray)
+  }
+
+  /** JDK ImageIO raster read: band 0 of readRaster is the stored Y plane
+    * (no chroma upsample, no RGB conversion) — the independent decoder.
+    */
+  private def imageioLuma(blob: Array[Byte]): (Int, Int, Array[Int]) = {
+    val r = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    try {
+      r.setInput(in)
+      val ras = r.readRaster(0, null)
+      val w = ras.getWidth
+      val h = ras.getHeight
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = ras.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      (w, h, px)
+    } finally { r.dispose(); in.close() }
+  }
+
+  private def maxAbsDiff(a: Array[Int], b: Array[Int]): Int =
+    a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+
+  private val exactFixtures = Seq("gray_blocks", "blocks420")
+  private val tolFixtures =
+    Seq("gray_ac", "gray_pad", "gray_restart", "color420", "color444")
+
+  for (name <- exactFixtures) {
+    test(s"$name: decode EXACTLY matches the independent encoder's raster") {
+      val (w, h, want) = expectedGrays(name)
+      val got = decodeViaSql(fixture(name + ".jpg"), w, h)
+      assert(got.isDefined, s"$name failed to decode")
+      assert(got.get.toSeq == want.toSeq,
+        s"$name first diff at ${got.get.toSeq.zip(want).indexWhere(p => p._1 != p._2)}")
+    }
+  }
+
+  for (name <- tolFixtures) {
+    test(s"$name: decode within ±1 of the independent encoder's reference") {
+      val (w, h, want) = expectedGrays(name)
+      val got = decodeViaSql(fixture(name + ".jpg"), w, h)
+      assert(got.isDefined, s"$name failed to decode")
+      assert(maxAbsDiff(got.get, want) <= 1, s"$name exceeded ±1")
+    }
+  }
+
+  for (name <- exactFixtures ++ tolFixtures) {
+    test(s"$name: decode within ±1 of the JDK ImageIO decoder's Y plane") {
+      val (w, h, want) = imageioLuma(fixture(name + ".jpg"))
+      val got = decodeViaSql(fixture(name + ".jpg"), w, h)
+      assert(got.isDefined)
+      assert(maxAbsDiff(got.get, want) <= 1, s"$name vs ImageIO exceeded ±1")
+    }
+  }
+
+  test("ImageIO-ENCODED images (real tables, several qualities) decode within ±1") {
+    // gradient + texture, gray and color, quality sweep: real Annex-K
+    // style tables, real subsampling decisions by a production encoder
+    val w = 40
+    val h = 24
+    for (gray <- Seq(true, false); q <- Seq(0.5f, 0.85f, 1.0f)) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 7 + y * 13 + (x * y) % 5 * 10) % 256
+        val rgb = if (gray) (v << 16) | (v << 8) | v
+        else (((x * 11 + 30) % 256) << 16) | (v << 8) | ((y * 9 + 77) % 256)
+        img.setRGB(x, y, rgb)
+      }
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      wr.dispose(); ios.close()
+      val blob = bos.toByteArray
+      val (rw, rh, want) = imageioLuma(blob)
+      assert(rw == w && rh == h)
+      val got = decodeViaSql(blob, w, h)
+      assert(got.isDefined, s"gray=$gray q=$q failed to decode")
+      assert(maxAbsDiff(got.get, want) <= 1, s"gray=$gray q=$q exceeded ±1")
+    }
+  }
+
+  test("DC-only mosaic hashes identically from JPEG and from BMP (format transparency)") {
+    ImageHash.register(spark)
+    import spark.implicits._
+    val (w, h, grays) = expectedGrays("gray_blocks")
+    // synthesize the same raster as a bottom-up 24-bit BMP
+    val stride = (w * 3 + 3) & ~3
+    val bmp = new Array[Byte](54 + stride * h)
+    val bb = java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(bmp.length).putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    bb.putInt(0).putInt(stride * h).putInt(0).putInt(0).putInt(0).putInt(0)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = grays(y * w + x).toByte
+      val o = 54 + (h - 1 - y) * stride + x * 3
+      bmp(o) = v; bmp(o + 1) = v; bmp(o + 2) = v
+    }
+    val df = Seq((fixture("gray_blocks.jpg"), bmp)).toDF("j", "b")
+      .selectExpr("image_ahash(j) AS aj", "image_ahash(b) AS ab",
+        "image_dhash(j) AS dj", "image_dhash(b) AS db")
+      .collect()(0)
+    assert(df.getLong(0) == df.getLong(1), "aHash differs between containers")
+    assert(df.getLong(2) == df.getLong(3), "dHash differs between containers")
+  }
+
+  test("progressive, truncated, and garbage JPEGs are null, never a throw") {
+    assert(decodeViaSql(fixture("reject_progressive.jpg"), 4, 4).isEmpty,
+      "progressive must be rejected")
+    val good = fixture("color420.jpg")
+    for (cut <- Seq(10, good.length / 2, good.length - 5))
+      assert(decodeViaSql(good.take(cut), 4, 4).isEmpty, s"truncated at $cut")
+    // flip bytes through the entropy segment: null or a decode, never a throw
+    for (seed <- 1 to 20) {
+      val bad = good.clone()
+      var s = seed * 2654435761L
+      for (_ <- 0 until 6) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        val idx = math.abs(s % bad.length).toInt
+        bad(idx) = (s >>> 24).toByte
+      }
+      decodeViaSql(bad, 4, 4) // must not throw
+    }
+  }
+}

@@ -8,27 +8,39 @@ import org.apache.spark.sql.types._
 
 /** Native Catalyst expression: FRAME SAMPLING from a binary video column —
   * `video_frame_sample(bin, k)` → `array<struct<frame_idx, mean_luma>>`
-  * for every k-th frame of an AVI whose frames are uncompressed BGR24
-  * (`##db` chunks), or null for anything else. The video analog of
-  * [[ImageHash]]'s pixel decode and [[AudioPcmStats]]'s waveform decode —
-  * the third leg of the multimodal seam, and the operation a curation
-  * pipeline runs before any model sees a video (sample sparse frames,
-  * featurize, route/filter on the features).
+  * for every k-th frame of an AVI or MP4 whose frames are uncompressed,
+  * or null for anything else. The video analog of [[ImageHash]]'s pixel
+  * decode and [[AudioPcmStats]]'s waveform decode — the third leg of the
+  * multimodal seam, and the operation a curation pipeline runs before any
+  * model sees a video (sample sparse frames, featurize, route/filter on
+  * the features).
   *
-  * The walk is real: RIFF/`AVI ` top-level chunks, `LIST` containers
-  * skipped unless their type is `movi`, then the frame chunks inside —
-  * word-aligned sizes throughout, every bound checked against the buffer.
-  * Frame chunks are ids matching `..db` (uncompressed DIB) or `..dc`
+  * AVI: RIFF/`AVI ` top-level chunks, `LIST` containers skipped unless
+  * their type is `movi`, then the frame chunks inside — word-aligned
+  * sizes throughout, every bound checked against the buffer. Frame
+  * chunks are ids matching `..db` (uncompressed DIB, BGR24) or `..dc`
   * (compressed); ALL frame chunks advance the frame index, only every
   * k-th is decoded. A SAMPLED compressed frame is a null for the whole
   * row (this expression does not pretend to decode codecs), as is a
-  * sampled frame whose payload is not a whole number of BGR triples —
-  * null, never garbage.
+  * sampled frame whose payload is not a whole number of triples — null,
+  * never garbage.
+  *
+  * MP4/ISO-BMFF: a real sample-table walk — `moov`→`trak`→`mdia`→`minf`
+  * →`stbl`, the codec gate from `stsd` (only the uncompressed `raw `
+  * RGB24 sample-entry is decodable; any compressed codec refuses up
+  * front since it covers every frame of the track), per-sample sizes
+  * from `stsz` (both the fixed-size and per-sample-table layouts),
+  * chunk layout from `stsc` run-length entries, chunk file offsets from
+  * `stco` — so only the sampled frames' byte ranges inside `mdat` are
+  * ever touched, exactly the access pattern that lets a columnar reader
+  * skip bytes at scale. Inconsistent tables (samples than cannot be
+  * placed in chunks, ranges past the buffer) refuse with null.
   *
   * `mean_luma` is exact integer arithmetic — per pixel
   * `(299·r + 587·g + 114·b) / 1000` (the [[ImageHash]] grayscale), frame
   * mean = Σluma / pixel-count (floor) — so an oracle replays it from the
-  * fixture formula without touching bytes.
+  * fixture formula without touching bytes. AVI `..db` payloads are BGR
+  * (DIB convention); MP4 `raw ` payloads are RGB (QuickTime convention).
   *
   * Scale shape: scan-side, codegen'd static call; each blob reduces to
   * (frames/k) pairs of ints before anything shuffles, and only sampled
@@ -82,6 +94,8 @@ object VideoFrames {
     */
   def sample(b: Array[Byte], k: Int): ArrayData = {
     if (b == null || k < 1 || b.length < 12) return null
+    if (b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+        b(7) == 'p') return sampleMp4(b, k)
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return null
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
@@ -130,6 +144,106 @@ object VideoFrames {
       p += (8 + size + (size & 1)).toInt
     }
     if (!moviSeen) return null
+    new GenericArrayData(out.toArray)
+  }
+
+  /** MP4 path: locate samples through stsd/stsz/stsc/stco, decode only
+    * the every-k-th ones as RGB24. Null on compressed codecs, missing or
+    * inconsistent tables, or any byte range outside the buffer.
+    */
+  private def sampleMp4(b: Array[Byte], k: Int): ArrayData = {
+    import VideoHeader.findBox
+    val len = b.length.toLong
+    val moov = findBox(b, 0, len, "moov")
+    if (moov == null) return null
+    val trak = findBox(b, moov(0), moov(1), "trak")
+    if (trak == null) return null
+    val mdia = findBox(b, trak(0), trak(1), "mdia")
+    if (mdia == null) return null
+    val minf = findBox(b, mdia(0), mdia(1), "minf")
+    if (minf == null) return null
+    val stbl = findBox(b, minf(0), minf(1), "stbl")
+    if (stbl == null) return null
+
+    // stsd: the codec gate — one sample description covers every frame
+    // of the track, so a compressed codec refuses the whole row up front
+    val stsd = findBox(b, stbl(0), stbl(1), "stsd")
+    if (stsd == null || stsd(0) + 16 > stsd(1)) return null
+    val sdP = stsd(0).toInt
+    if (Bytes.be32(b, sdP + 4) < 1) return null // entry_count
+    // first entry: size(4) fourcc(4)
+    if (!(b(sdP + 12) == 'r' && b(sdP + 13) == 'a' && b(sdP + 14) == 'w' &&
+          b(sdP + 15) == ' ')) return null
+
+    // stsz: version/flags(4) sample_size(4) count(4) [+ per-sample table]
+    val stsz = findBox(b, stbl(0), stbl(1), "stsz")
+    if (stsz == null || stsz(0) + 12 > stsz(1)) return null
+    val szP = stsz(0).toInt
+    val fixedSize = Bytes.be32(b, szP + 4)
+    val nSamples = Bytes.be32(b, szP + 8)
+    if (nSamples < 0 || nSamples > Int.MaxValue) return null
+    if (fixedSize == 0 && stsz(0) + 12 + 4L * nSamples > stsz(1)) return null
+    def sampleSize(i: Int): Long =
+      if (fixedSize != 0) fixedSize else Bytes.be32(b, szP + 12 + 4 * i)
+
+    // stsc: version/flags(4) count(4), runs of (first_chunk,
+    // samples_per_chunk, sample_description_index)
+    val stsc = findBox(b, stbl(0), stbl(1), "stsc")
+    if (stsc == null || stsc(0) + 8 > stsc(1)) return null
+    val scP = stsc(0).toInt
+    val nRuns = Bytes.be32(b, scP + 4)
+    if (nRuns < 1 || stsc(0) + 8 + 12L * nRuns > stsc(1)) return null
+    def runFirstChunk(r: Int): Long = Bytes.be32(b, scP + 8 + 12 * r)
+    def runSpc(r: Int): Long = Bytes.be32(b, scP + 8 + 12 * r + 4)
+
+    // stco: version/flags(4) count(4), 32-bit chunk offsets (co64 is a
+    // >4 GiB-file affordance a single in-memory blob cannot need)
+    val stco = findBox(b, stbl(0), stbl(1), "stco")
+    if (stco == null || stco(0) + 8 > stco(1)) return null
+    val coP = stco(0).toInt
+    val nChunks = Bytes.be32(b, coP + 4)
+    if (nChunks < 1 || stco(0) + 8 + 4L * nChunks > stco(1)) return null
+    def chunkOffset(c: Int): Long = Bytes.be32(b, coP + 8 + 4 * c)
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var sampleIdx = 0
+    var run = 0
+    var chunk = 0 // 0-based; stsc first_chunk is 1-based
+    while (chunk < nChunks && sampleIdx < nSamples) {
+      // advance to the stsc run covering this chunk
+      while (run + 1 < nRuns && runFirstChunk(run + 1) <= chunk + 1) run += 1
+      if (runFirstChunk(run) > chunk + 1) return null // chunk before run 0
+      val spc = runSpc(run)
+      if (spc < 0 || spc > Int.MaxValue) return null
+      var off = chunkOffset(chunk)
+      var s = 0
+      while (s < spc && sampleIdx < nSamples) {
+        val size = sampleSize(sampleIdx)
+        if (size < 0 || off < 0 || off + size > len) return null
+        if (sampleIdx % k == 0) {
+          if (size == 0 || size % 3 != 0) return null
+          val npx = (size / 3).toInt
+          var sum = 0L
+          var i = off.toInt
+          val stop = (off + size).toInt
+          while (i < stop) {
+            val red = b(i) & 0xff
+            val green = b(i + 1) & 0xff
+            val blue = b(i + 2) & 0xff
+            sum += (299 * red + 587 * green + 114 * blue) / 1000
+            i += 3
+          }
+          out += new GenericInternalRow(
+            Array[Any](sampleIdx, (sum / npx).toInt))
+        }
+        off += size
+        sampleIdx += 1
+        s += 1
+      }
+      chunk += 1
+    }
+    // every stsz sample must have been placed in some chunk
+    if (sampleIdx < nSamples) return null
     new GenericArrayData(out.toArray)
   }
 }

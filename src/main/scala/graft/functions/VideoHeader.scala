@@ -72,9 +72,10 @@ object VideoHeader {
 
   /** Find an ISO-BMFF box of `typ` inside [start, end); returns
     * (payloadStart, payloadEnd) or null. Handles 64-bit extended sizes.
+    * Shared with [[VideoFrames]]' MP4 sample-table walk.
     */
-  private def findBox(b: Array[Byte], start: Long, end: Long,
-                      typ: String): Array[Long] = {
+  private[functions] def findBox(b: Array[Byte], start: Long, end: Long,
+                                 typ: String): Array[Long] = {
     var p = start
     while (p + 8 <= end) {
       var size = be32(b, p.toInt)

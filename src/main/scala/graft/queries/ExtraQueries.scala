@@ -377,6 +377,92 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // SAMPLE WIDTHS beyond PCM16: per doc a mono WAV whose width cycles
+    // 8/16/24-bit by doc_id%3 — 8-bit stored UNSIGNED (spec) and
+    // centered by the decoder, 24-bit signed little-endian — through
+    // the same audio_pcm_stats seam. Amplitudes are width-scaled so a
+    // wrong sign-extension or centering is a loud hash break, and the
+    // oracle replays the exact integer stats from the formula.
+    "mm_audio_widths" -> ((s, dir) => {
+      graft.functions.AudioPcmStats.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val bitsSql = "(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END)"
+      val mSql = "(CASE doc_id % 3 WHEN 0 THEN 120 WHEN 1 THEN 2000 ELSE 1500000 END)"
+      val nSql = "(doc_id % 11 + 16)"
+      val vSql = s"((doc_id * 37 + k * 451) % (2 * $mSql + 1) - $mSql)"
+      def leU(v: String, modulus: Long, bytes: Int) =
+        le(s"(($v) % $modulus + $modulus) % $modulus", bytes)
+      val sampleHex =
+        s"""CASE doc_id % 3
+           |  WHEN 0 THEN lpad(hex($vSql + 128), 2, '0')
+           |  WHEN 1 THEN ${leU(vSql, 65536L, 2)}
+           |  ELSE ${leU(vSql, 16777216L, 3)} END""".stripMargin
+      val bpsSql = s"($bitsSql div 8)"
+      val wavHex =
+        s"""concat('52494646', ${le("100", 4)}, '57415645',
+           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
+           |  ${le("16000", 4)}, ${le(s"16000 * $bpsSql", 4)},
+           |  ${le(bpsSql, 2)}, ${le(bitsSql, 2)},
+           |  '64617461', ${le(s"$bpsSql * $nSql", 4)},
+           |  array_join(transform(sequence(0, $nSql - 1),
+           |    k -> $sampleHex), ''))""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($wavHex)"))
+        .selectExpr("doc_id", s"$bitsSql AS bits",
+          "audio_pcm_stats(blob) AS st")
+        .select(col("doc_id"), col("bits"),
+          col("st.n_samples").as("n_samples"), col("st.peak").as("peak"),
+          col("st.zero_crossings").as("zero_crossings"),
+          (floor(sqrt(col("st.sum_sq").cast("double") / col("st.n_samples"))
+            * 1e4 + lit(0.5)) / 1e4).as("rms"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // NATIVE FLAC sample decode (graft.functions.AudioFlacStats): per
+    // doc a real fLaC stream — STREAMINFO (packed sr/channels/bits/
+    // total-samples field), then a CONSTANT frame (c = doc_id%7+10
+    // copies of one sample, stored once) and a VERBATIM frame
+    // (n1 = doc_id%9+4 explicit samples) with genuine frame headers
+    // (sync, blocksize code 0111 + explicit 16-bit field, UTF-8 frame
+    // number). Rice-coded FIXED/LPC subframes refuse by contract. The
+    // oracle replays the sample arithmetic: the constant run
+    // contributes c copies, crossings only at run boundaries.
+    "mm_audio_flac" -> ((s, dir) => {
+      graft.functions.AudioFlacStats.register(s)
+      def be(x: String, bytes: Int) = (bytes - 1 to 0 by -1)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      def be16u(v: String) = be(s"(($v) % 65536 + 65536) % 65536", 2)
+      val cSql = "(doc_id % 7 + 10)"
+      val v0Sql = "((doc_id * 29) % 4001 - 2000)"
+      val n1Sql = "(doc_id % 9 + 4)"
+      val v1Sql = "((doc_id * 37 + k * 451) % 4001 - 2000)"
+      val totalSql = s"($cSql + $n1Sql)"
+      val packedSql =
+        s"(16000 * ${1L << 44} + 15 * ${1L << 36} + $totalSql)"
+      val flacHex =
+        s"""concat('664C6143',
+           |  '80', '000022', ${be("16", 2)}, ${be("65535", 2)},
+           |  '000000', '000000', ${be(packedSql, 8)},
+           |  repeat('00', 16),
+           |  'FFF87008', '00', ${be(s"$cSql - 1", 2)}, '00',
+           |    '00', ${be16u(v0Sql)}, '0000',
+           |  'FFF87008', '01', ${be(s"$n1Sql - 1", 2)}, '00',
+           |    '02', array_join(transform(sequence(0, $n1Sql - 1),
+           |      k -> ${be16u(v1Sql)}), ''), '0000')""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($flacHex)"))
+        .selectExpr("doc_id", "audio_flac_stats(blob) AS st")
+        .select(col("doc_id"),
+          col("st.n_samples").as("n_samples"), col("st.peak").as("peak"),
+          col("st.zero_crossings").as("zero_crossings"),
+          (floor(sqrt(col("st.sum_sq").cast("double") / col("st.n_samples"))
+            * 1e4 + lit(0.5)) / 1e4).as("rms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // FRAME SAMPLING from real video containers (graft.functions
     // .VideoFrames): AVIs synthesized per doc with an hdrl LIST the walk
     // must skip and f = doc_id%6+4 uncompressed 8×2 BGR24 frames in the
@@ -406,6 +492,48 @@ object ExtraQueries extends QueryPack {
       Tables.documents(s, dir)
         .withColumn("blob", expr(s"unhex($aviHex)"))
         .selectExpr("doc_id", "explode(video_frame_sample(blob, 2)) AS fr")
+        .select(col("doc_id"), col("fr.frame_idx").as("frame_idx"),
+          col("fr.mean_luma").as("mean_luma"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // FRAME SAMPLING from MP4/ISO-BMFF containers (the same
+    // VideoFrames seam): per doc a minimal-but-real box tree —
+    // ftyp, moov→trak→mdia→minf→stbl with stsd ('raw ' RGB24 codec
+    // gate), stsz (fixed 48-byte samples, count f = doc_id%5+6), stsc
+    // (one run, f samples in 1 chunk) and stco (absolute offset 164
+    // into mdat) — and f 8×2 RGB24 frames in mdat. The engine walks
+    // the sample tables and touches ONLY every 3rd frame's byte range;
+    // pixels are r=g=b=v so luma == v and the oracle replays the
+    // doc_id-derived mosaic formula, never a byte.
+    "mm_video_framesample_mp4" -> ((s, dir) => {
+      graft.functions.VideoFrames.register(s)
+      def be(x: String, bytes: Int) = (bytes - 1 to 0 by -1)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val fSql = "(doc_id % 5 + 6)"
+      val vSql = "((doc_id * 19 + t * 31 + x * 11 + y * 53) % 256)"
+      val frameHex =
+        s"""array_join(transform(sequence(0, 1), y ->
+           |  array_join(transform(sequence(0, 7), x ->
+           |    repeat(lpad(hex($vSql), 2, '0'), 3)), '')), '')""".stripMargin
+      val mp4Hex =
+        s"""concat(
+           |  '0000001066747970', '69736F6D', '00000000',
+           |  '0000008C6D6F6F76', '000000847472616B', '0000007C6D646961',
+           |  '000000746D696E66', '0000006C7374626C',
+           |  '0000002073747364', '00000000', '00000001',
+           |    '0000001072617720', '0000000000000000',
+           |  '000000147374737A', '00000000', '00000030', ${be(fSql, 4)},
+           |  '0000001C73747363', '00000000', '00000001',
+           |    '00000001', ${be(fSql, 4)}, '00000001',
+           |  '000000147374636F', '00000000', '00000001', '000000A4',
+           |  ${be(s"8 + 48 * $fSql", 4)}, '6D646174',
+           |  array_join(transform(sequence(0, $fSql - 1), t -> $frameHex), ''))"""
+          .stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($mp4Hex)"))
+        .selectExpr("doc_id", "explode(video_frame_sample(blob, 3)) AS fr")
         .select(col("doc_id"), col("fr.frame_idx").as("frame_idx"),
           col("fr.mean_luma").as("mean_luma"))
         .orderBy(col("doc_id"), col("frame_idx"))
@@ -672,6 +800,50 @@ object ExtraQueries extends QueryPack {
         |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
         |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
         |FROM a ORDER BY doc_id""".stripMargin,
+    // replay of the width-scaled integer sample arithmetic — same
+    // formula the WAV fixtures embed per width (8/16/24-bit)
+    "mm_audio_widths" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END AS bits,
+        |    CASE doc_id % 3 WHEN 0 THEN 120 WHEN 1 THEN 2000
+        |      ELSE 1500000 END AS m,
+        |    doc_id % 11 + 16 AS n FROM documents),
+        |k AS (SELECT doc_id, bits, m, n,
+        |    unnest(generate_series(0, n - 1)) AS k FROM d),
+        |s AS (SELECT doc_id, bits, n, k,
+        |    (doc_id * 37 + k * 451) % (2 * m + 1) - m AS v FROM k),
+        |s2 AS (SELECT doc_id, bits, n, k, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM s),
+        |a AS (SELECT doc_id, max(bits) AS bits, max(n) AS n_samples,
+        |    max(abs(v)) AS peak, sum(v * v) AS sum_sq,
+        |    sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS zc
+        |  FROM s2 GROUP BY doc_id)
+        |SELECT doc_id, bits, CAST(n_samples AS INTEGER) AS n_samples,
+        |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
+        |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // replay of the FLAC stream's sample arithmetic: c copies of the
+    // constant-frame value followed by the verbatim-frame samples
+    "mm_audio_flac" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 + 10 AS c,
+        |    (doc_id * 29) % 4001 - 2000 AS v0, doc_id % 9 + 4 AS n1
+        |  FROM documents),
+        |k AS (SELECT doc_id, c, v0, n1,
+        |    unnest(generate_series(0, c + n1 - 1)) AS k FROM d),
+        |s AS (SELECT doc_id, c + n1 AS n, k,
+        |    CASE WHEN k < c THEN v0
+        |      ELSE (doc_id * 37 + (k - c) * 451) % 4001 - 2000 END AS v
+        |  FROM k),
+        |s2 AS (SELECT doc_id, n, k, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM s),
+        |a AS (SELECT doc_id, max(n) AS n_samples, max(abs(v)) AS peak,
+        |    sum(v * v) AS sum_sq,
+        |    sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS zc
+        |  FROM s2 GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_samples AS INTEGER) AS n_samples,
+        |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
+        |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
+        |FROM a ORDER BY doc_id""".stripMargin,
     // replay of the exact integer mean-luma arithmetic over the same
     // doc_id-derived frame pixels the AVI fixtures embed (r=g=b=v so
     // per-pixel luma == v); sampling = every 2nd frame index
@@ -681,6 +853,21 @@ object ExtraQueries extends QueryPack {
         |st AS (SELECT doc_id, t FROM t WHERE t % 2 = 0),
         |px AS (SELECT st.doc_id, st.t, xs.x, ys.y,
         |    (doc_id * 13 + t * 17 + x * 7 + y * 29) % 256 AS v
+        |  FROM st,
+        |    (SELECT unnest(generate_series(0, 7)) AS x) xs,
+        |    (SELECT unnest(generate_series(0, 1)) AS y) ys)
+        |SELECT doc_id, CAST(t AS INTEGER) AS frame_idx,
+        |  CAST(sum(v) // 16 AS INTEGER) AS mean_luma
+        |FROM px GROUP BY doc_id, t ORDER BY doc_id, frame_idx""".stripMargin,
+    // replay of the exact integer mean-luma arithmetic over the same
+    // doc_id-derived MP4 frame pixels (r=g=b=v so per-pixel luma == v);
+    // sampling = every 3rd sample-table index
+    "mm_video_framesample_mp4" ->
+      """WITH d AS (SELECT doc_id, doc_id % 5 + 6 AS f FROM documents),
+        |t AS (SELECT doc_id, unnest(generate_series(0, f - 1)) AS t FROM d),
+        |st AS (SELECT doc_id, t FROM t WHERE t % 3 = 0),
+        |px AS (SELECT st.doc_id, st.t, xs.x, ys.y,
+        |    (doc_id * 19 + t * 31 + x * 11 + y * 53) % 256 AS v
         |  FROM st,
         |    (SELECT unnest(generate_series(0, 7)) AS x) xs,
         |    (SELECT unnest(generate_series(0, 1)) AS y) ys)

@@ -79,6 +79,107 @@ class VideoFramesSpec extends SparkSuite {
     assert(sample("RIFF0000AVI ".getBytes, 1).isEmpty)
   }
 
+  /** Build an MP4: ftyp + moov(trak/mdia/minf/stbl{stsd,stsz,stsc,stco})
+    * + mdat holding the frame payloads. `chunks` groups frames into mdat
+    * chunks (stsc runs are emitted run-length-compressed); `perSample`
+    * forces the stsz per-sample-table layout even for equal sizes.
+    */
+  private def mp4(codec: String, chunks: Seq[Seq[Array[Byte]]],
+                  perSample: Boolean = false): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes).put(payload)
+      bb.array()
+    }
+    val frames = chunks.flatten
+    val sizes = frames.map(_.length)
+    val fixed = sizes.distinct.size == 1 && !perSample
+    val stsd = box("stsd", {
+      val bb = ByteBuffer.allocate(24)
+      bb.putInt(0).putInt(1).putInt(16).put(codec.getBytes).putLong(0L)
+      bb.array()
+    })
+    val stsz = box("stsz", {
+      val bb = ByteBuffer.allocate(12 + (if (fixed) 0 else 4 * sizes.size))
+      bb.putInt(0).putInt(if (fixed) sizes.head else 0).putInt(sizes.size)
+      if (!fixed) sizes.foreach(bb.putInt)
+      bb.array()
+    })
+    // stsc: run-length encode samples-per-chunk
+    val runs = chunks.map(_.size).zipWithIndex
+      .filter { case (n, i) => i == 0 || chunks(i - 1).size != n }
+      .map { case (n, i) => (i + 1, n) }
+    val stsc = box("stsc", {
+      val bb = ByteBuffer.allocate(8 + 12 * runs.size)
+      bb.putInt(0).putInt(runs.size)
+      runs.foreach { case (fc, n) => bb.putInt(fc).putInt(n).putInt(1) }
+      bb.array()
+    })
+    val stblInner = Array(stsd, stsz, stsc).flatten // stco appended below
+    // mdat starts after ftyp(16) + moov; moov = nested boxes around stbl
+    val stcoLen = 8 + 8 + 4 * chunks.size
+    val moovLen = 8 + 8 + 8 + 8 + 8 + stblInner.length + stcoLen
+    var off = 16 + moovLen + 8 // first mdat payload byte
+    val offsets = chunks.map { c => val o = off; off += c.map(_.length).sum; o }
+    val stco = box("stco", {
+      val bb = ByteBuffer.allocate(8 + 4 * chunks.size)
+      bb.putInt(0).putInt(chunks.size)
+      offsets.foreach(bb.putInt)
+      bb.array()
+    })
+    val stbl = box("stbl", stblInner ++ stco)
+    val moov = box("moov", box("trak", box("mdia", box("minf", stbl))))
+    val ftyp = {
+      val bb = ByteBuffer.allocate(16)
+      bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      bb.array()
+    }
+    val mdat = box("mdat", frames.flatten.toArray)
+    ftyp ++ moov ++ mdat
+  }
+
+  /** npx pixels as RGB24 triples. */
+  private def rgb(px: (Int, Int, Int)*): Array[Byte] =
+    px.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }.toArray
+
+  test("mp4: sample-table walk with exact mean luma, RGB order") {
+    val b = mp4("raw ", Seq(Seq(
+      gray(10, 20),                  // frame 0: mean 15
+      gray(200, 201),                // frame 1 (unsampled at k=2)
+      rgb((100, 0, 0), (100, 0, 0)), // frame 2: RGB ⇒ 299·100/1000 = 29
+      gray(0, 255))))
+    assert(sample(b, 2) == Some(Seq(0 -> 15, 2 -> 29)),
+      "BGR order would read frame 2 as 11 (114·100/1000)")
+    assert(sample(b, 1).map(_.size) == Some(4))
+  }
+
+  test("mp4: per-sample stsz table and multi-chunk stsc both place samples") {
+    val b = mp4("raw ",
+      Seq(Seq(gray(50), gray(60, 62)), Seq(gray(70)), Seq(gray(80))),
+      perSample = true)
+    assert(sample(b, 2) == Some(Seq(0 -> 50, 2 -> 70)))
+    assert(sample(b, 1) == Some(Seq(0 -> 50, 1 -> 61, 2 -> 70, 3 -> 80)))
+  }
+
+  test("mp4: refusals — compressed codec, truncation, unplaceable samples") {
+    val frames = Seq(Seq(gray(10), gray(20)))
+    assert(sample(mp4("avc1", frames), 1).isEmpty,
+      "compressed codec must refuse up front")
+    val ok = mp4("raw ", frames)
+    assert(sample(ok.dropRight(2), 1).isEmpty,
+      "sample range past the buffer must refuse")
+    // stsz count beyond what chunks hold: claim 3 samples, provide 2
+    val inflated = mp4("raw ", frames)
+    // stsz count field: find 'stsz' then +12 bytes (hdr 8 + ver 4) +4 size
+    val szAt = inflated.indexOfSlice("stsz".getBytes) + 4 + 8
+    val patched = inflated.clone()
+    ByteBuffer.wrap(patched).putInt(szAt, 3)
+    assert(sample(patched, 1).isEmpty, "unplaceable stsz samples must refuse")
+    // non-triple payload
+    val ragged = mp4("raw ", Seq(Seq(Array[Byte](1, 2, 3, 4))))
+    assert(sample(ragged, 1).isEmpty)
+  }
+
   test("codegen path agrees through the SQL surface") {
     VideoFrames.register(spark)
     import spark.implicits._

@@ -26,10 +26,12 @@ import org.apache.spark.sql.types._
   *    unvoiced discriminator.
   *
   * Contract: RIFF/WAVE chunk walk (word-aligned, arbitrary chunks before
-  * `fmt `), then PCM only (format tag 1), 16-bit only, MONO only — zero
-  * crossings over interleaved channels would be meaningless, so stereo is
-  * a null, never a garbage number. The `data` chunk must be complete and
-  * even-sized. Null, never garbage, for anything else.
+  * `fmt `), then PCM only (format tag 1), 8/16/24-bit widths, MONO only —
+  * zero crossings over interleaved channels would be meaningless, so
+  * stereo is a null, never a garbage number. 8-bit WAV is UNSIGNED by
+  * spec, so samples are centered (`byte − 128`); 16- and 24-bit are
+  * signed little-endian. The `data` chunk must be a whole number of
+  * frames. Null, never garbage, for anything else.
   *
   * Scale shape: scan-side expression inside WholeStageCodegen (static
   * call, the [[ImageHash]] pattern); each blob is decoded once and
@@ -99,6 +101,7 @@ object AudioPcmStats {
     var p = 12
     var fmtOk = false
     var channels = 0
+    var bits = 0
     var dataAt = -1
     var dataLen = -1L
     while (p + 8 <= b.length) {
@@ -107,9 +110,11 @@ object AudioPcmStats {
       if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
         if (size < 16) return null
         channels = le16u(b, p + 10)
-        // PCM (tag 1), 16-bit, mono (or stereo when downmixing) —
+        bits = le16u(b, p + 22)
+        // PCM (tag 1), 8/16/24-bit, mono (or stereo when downmixing) —
         // anything else is a null, not a guess
-        fmtOk = le16u(b, p + 8) == 1 && le16u(b, p + 22) == 16 &&
+        fmtOk = le16u(b, p + 8) == 1 &&
+          (bits == 8 || bits == 16 || bits == 24) &&
           (channels == 1 || (allowStereo && channels == 2))
       } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' &&
                  b(p + 3) == 'a') {
@@ -119,12 +124,17 @@ object AudioPcmStats {
       p += (8 + size + (size & 1)).toInt
     }
     if (!fmtOk || dataAt < 0) return null
-    val bytesPerFrame = 2 * channels
+    val bps = bits / 8
+    val bytesPerFrame = bps * channels
     if (dataLen % bytesPerFrame != 0) return null
     val n = (dataLen / bytesPerFrame).toInt
     def sample(idx: Int): Int = {
-      val lo = b(dataAt + 2 * idx) & 0xff
-      (b(dataAt + 2 * idx + 1) << 8) | lo // sign from the high byte
+      val i = dataAt + bps * idx
+      bps match {
+        case 1 => (b(i) & 0xff) - 128 // 8-bit WAV is unsigned, centered
+        case 2 => (b(i + 1) << 8) | (b(i) & 0xff) // sign from the high byte
+        case _ => (b(i + 2) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+      }
     }
     var peak = 0
     var sumSq = 0L
@@ -174,4 +184,174 @@ object AudioPcmDownmix {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "audio_pcm_downmix", exprs => AudioPcmDownmix(exprs.head), "built-in")
+}
+
+/** `audio_flac_stats(bin)` — the [[AudioPcmStats]] stats struct decoded
+  * from a native FLAC stream: magic + metadata-block walk (STREAMINFO
+  * required: mono, 16-bit), then real frame parsing — sync code,
+  * blocksize/sample-rate codes including their trailing explicit fields,
+  * UTF-8 coded frame number, and CONSTANT / VERBATIM subframes. Those two
+  * subframe types are exactly the ones a bit-exact integer oracle can
+  * replay (and, for mono 16-bit, the ones that keep the stream
+  * byte-aligned); FIXED/LPC subframes carry Rice-coded residuals and
+  * refuse with null — a documented boundary, not a wrong number. Frame
+  * CRCs are skipped, not verified: the value contract here is sample
+  * arithmetic, and a flipped bit surfaces as a hash mismatch anyway.
+  *
+  * The decoded sample count must equal STREAMINFO's total-samples field
+  * (when nonzero) — a truncated stream refuses rather than returning
+  * stats over a prefix.
+  */
+case class AudioFlacStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = AudioPcmStats.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_flac_stats"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"audio_flac_stats needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    AudioFlacStats.stats(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AudioFlacStats.stats($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AudioFlacStats =
+    copy(child = newChild)
+}
+
+object AudioFlacStats {
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "audio_flac_stats", exprs => AudioFlacStats(exprs.head), "built-in")
+
+  /** Invoked from both interpreted eval and generated code; null unless
+    * the bytes are a complete mono 16-bit FLAC whose every subframe is
+    * CONSTANT or VERBATIM.
+    */
+  def stats(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 42) return null
+    if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return null
+
+    // --- metadata blocks: need STREAMINFO (type 0, 34 bytes) ---
+    var p = 4
+    var last = false
+    var totalSamples = -1L
+    var haveInfo = false
+    while (!last) {
+      if (p + 4 > b.length) return null
+      val hdr = b(p) & 0xff
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7f
+      val len = ((b(p + 1) & 0xffL) << 16) | ((b(p + 2) & 0xffL) << 8) |
+        (b(p + 3) & 0xffL)
+      if (p + 4L + len > b.length) return null
+      if (typ == 0) {
+        if (len < 34) return null
+        val f = p + 4
+        // packed 64 bits at +10: sr(20) | channels-1(3) | bits-1(5) | total(36)
+        val packed = Bytes.be64(b, f + 10)
+        val chan = ((packed >>> 41) & 0x7) + 1
+        val bits = ((packed >>> 36) & 0x1f) + 1
+        if (chan != 1 || bits != 16) return null
+        totalSamples = packed & ((1L << 36) - 1)
+        haveInfo = true
+      }
+      p += 4 + len.toInt
+    }
+    if (!haveInfo) return null
+
+    // --- frames ---
+    var peak = 0
+    var sumSq = 0L
+    var zc = 0
+    var prev = 0
+    var count = 0L
+    def s16(i: Int): Int = (b(i) << 8) | (b(i + 1) & 0xff)
+    while (p < b.length) {
+      // frame header: sync 11111111 111110xx (fixed-blocksize streams
+      // have bit 1 = 0; variable-blocksize frames also parse — the
+      // UTF-8 number is just wider)
+      if (p + 5 > b.length) return null
+      if ((b(p) & 0xff) != 0xff || ((b(p + 1) & 0xfc) != 0xf8)) return null
+      val bsCode = (b(p + 2) >> 4) & 0xf
+      val srCode = b(p + 2) & 0xf
+      val chanAsgn = (b(p + 3) >> 4) & 0xf
+      val sizeCode = (b(p + 3) >> 1) & 0x7
+      if (chanAsgn != 0) return null          // mono only
+      if (sizeCode != 0 && sizeCode != 4) return null // 16-bit only
+      if (srCode == 0xf) return null          // invalid
+      if (bsCode == 0) return null            // reserved
+      var q = p + 4
+      // UTF-8 coded frame/sample number: leading byte tells the width
+      val lead = b(q) & 0xff
+      val extra =
+        if (lead < 0x80) 0
+        else if (lead >= 0xc0 && lead < 0xe0) 1
+        else if (lead < 0xf0) 2
+        else if (lead < 0xf8) 3
+        else if (lead < 0xfc) 4
+        else if (lead < 0xfe) 5
+        else 6
+      q += 1 + extra
+      // explicit blocksize field
+      var blockSize = bsCode match {
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => -1 // 8-bit value-1 follows
+        case 7 => -2 // 16-bit value-1 follows
+        case c => 256 << (c - 8)
+      }
+      if (blockSize == -1) { if (q + 1 > b.length) return null
+        blockSize = (b(q) & 0xff) + 1; q += 1 }
+      else if (blockSize == -2) { if (q + 2 > b.length) return null
+        blockSize = Bytes.be16(b, q).toInt + 1; q += 2 }
+      // explicit sample-rate field
+      if (srCode == 12) q += 1
+      else if (srCode == 13 || srCode == 14) q += 2
+      q += 1 // CRC-8, not verified (see scaladoc)
+      if (q > b.length) return null
+      // subframe header: 1 pad bit, 6 type bits, 1 wasted-bits flag
+      if (q + 1 > b.length) return null
+      val sh = b(q) & 0xff
+      if ((sh & 0x80) != 0 || (sh & 1) != 0) return null // pad/wasted-bits
+      val typ = (sh >> 1) & 0x3f
+      q += 1
+      if (typ == 0) { // CONSTANT: one 16-bit sample, blockSize copies
+        if (q + 2 > b.length) return null
+        val v = s16(q)
+        q += 2
+        val a = if (v < 0) -v else v
+        if (a > peak) peak = a
+        sumSq += v.toLong * v * blockSize
+        // sign flips only at the boundary with the previous frame
+        if (count > 0 && prev.toLong * v < 0) zc += 1
+        prev = v
+        count += blockSize
+      } else if (typ == 1) { // VERBATIM: blockSize 16-bit samples
+        if (q + 2L * blockSize > b.length) return null
+        var k = 0
+        while (k < blockSize) {
+          val v = s16(q + 2 * k)
+          val a = if (v < 0) -v else v
+          if (a > peak) peak = a
+          sumSq += v.toLong * v
+          if (count + k > 0 && prev.toLong * v < 0) zc += 1
+          prev = v
+          k += 1
+        }
+        q += 2 * blockSize
+        count += blockSize
+      } else return null // FIXED/LPC: Rice-coded residuals — refuse
+      q += 2 // frame CRC-16, not verified
+      if (q > b.length) return null
+      p = q
+    }
+    if (totalSamples != 0 && count != totalSamples) return null
+    if (count > Int.MaxValue) return null
+    new GenericInternalRow(Array[Any](count.toInt, peak, sumSq, zc))
+  }
 }

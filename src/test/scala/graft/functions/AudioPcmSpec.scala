@@ -5,17 +5,29 @@ import java.nio.{ByteBuffer, ByteOrder}
 import graft.SparkSuite
 
 /** Sample-level WAV decode: exact stats on a hand-built waveform, the
-  * chunk walk past leading junk, and the null-not-garbage refusals
-  * (stereo, 8-bit, non-PCM, truncated data, odd data size).
+  * chunk walk past leading junk, 8/24-bit widths, FLAC constant/verbatim
+  * frames, and the null-not-garbage refusals (stereo, unsupported width,
+  * non-PCM, truncated data, odd data size, Rice-coded subframes).
   */
 class AudioPcmSpec extends SparkSuite {
 
-  /** Minimal RIFF/WAVE builder — fmt (tag/channels/bits) + data chunk. */
+  /** Minimal RIFF/WAVE builder — fmt (tag/channels/bits) + data chunk.
+    * `dataBits` controls how samples are physically written (defaults to
+    * the declared `bits`): 8-bit unsigned centered, 16/24-bit signed LE.
+    */
   private def wav(samples: Seq[Int], tag: Int = 1, channels: Int = 1,
                   bits: Int = 16, junk: Int = 0,
                   truncateData: Int = 0): Array[Byte] = {
-    val data = ByteBuffer.allocate(samples.size * 2).order(ByteOrder.LITTLE_ENDIAN)
-    samples.foreach(s => data.putShort(s.toShort))
+    val bps = if (bits == 8) 1 else if (bits == 24) 3 else 2
+    val data = ByteBuffer.allocate(samples.size * bps)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    samples.foreach { s =>
+      bps match {
+        case 1 => data.put((s + 128).toByte)
+        case 2 => data.putShort(s.toShort)
+        case 3 => data.put(s.toByte).put((s >> 8).toByte).put((s >> 16).toByte)
+      }
+    }
     val dataBytes = data.array().dropRight(truncateData)
     val body = ByteBuffer.allocate(1024).order(ByteOrder.LITTLE_ENDIAN)
     body.put("WAVE".getBytes)
@@ -47,16 +59,30 @@ class AudioPcmSpec extends SparkSuite {
     assert(stats(wav(s, junk = 6)) == Some((6, 32768, expectSq, 3)))
   }
 
-  test("null, never garbage: stereo, 8-bit, non-PCM, truncated, odd data") {
+  test("null, never garbage: stereo, odd width, non-PCM, truncated, odd data") {
     val s = Seq(1, -1, 2, -2)
     assert(stats(wav(s, channels = 2)).isEmpty, "stereo must refuse")
-    assert(stats(wav(s, bits = 8)).isEmpty, "8-bit must refuse")
+    assert(stats(wav(s, bits = 12)).isEmpty, "12-bit must refuse")
+    assert(stats(wav(s, bits = 32)).isEmpty, "32-bit must refuse")
     assert(stats(wav(s, tag = 3)).isEmpty, "IEEE-float tag must refuse")
     assert(stats(wav(s, truncateData = 1)).isEmpty, "odd data size must refuse")
     val whole = wav(s)
     assert(stats(whole.dropRight(3)).isEmpty, "truncated container must refuse")
     assert(stats("RIFFxxxxWAVE".getBytes).isEmpty, "no chunks must refuse")
     assert(stats(Array[Byte]()).isEmpty)
+  }
+
+  test("8-bit unsigned centering and 24-bit sign extension are exact") {
+    // 8-bit: stored v+128, decoded back to v; full-scale −128 peaks 128
+    val s8 = Seq(0, 127, -128, 5, -5)
+    val sq8 = s8.map(x => x.toLong * x).sum
+    assert(stats(wav(s8, bits = 8)) == Some((5, 128, sq8, 3)),
+      "crossings: 127→−128, −128→5, 5→−5")
+    // 24-bit: signed LE; full-scale negative peaks 8388608, and a value
+    // with bit 23 set must come back negative, not as 8-million-positive
+    val s24 = Seq(8388607, -8388608, 1000000, -1)
+    val sq24 = s24.map(x => x.toLong * x).sum
+    assert(stats(wav(s24, bits = 24)) == Some((4, 8388608, sq24, 3)))
   }
 
   test("codegen and interpreted paths agree on the fixture query shape") {
@@ -70,6 +96,78 @@ class AudioPcmSpec extends SparkSuite {
     val rows = df.collect().map(r =>
       (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4))).toSet
     assert(rows == Set((1L, 3, 20, 600L, 2), (2L, 3, 0, 0L, 0)))
+  }
+
+  /** Minimal FLAC builder: STREAMINFO + frames. Each frame is either
+    * Left(constant, blockSize) or Right(samples) (verbatim); mono 16-bit
+    * keeps every field byte-aligned. Blocksize code 0111 (explicit
+    * 16-bit), sample-rate code 0 (from STREAMINFO).
+    */
+  private def flac(frames: Seq[Either[(Int, Int), Seq[Int]]],
+                   channels: Int = 1, bits: Int = 16,
+                   totalOverride: Long = -1L): Array[Byte] = {
+    val total =
+      if (totalOverride >= 0) totalOverride
+      else frames.map { case Left((_, n)) => n; case Right(s) => s.size }
+        .map(_.toLong).sum
+    val bb = ByteBuffer.allocate(65536)
+    bb.put("fLaC".getBytes)
+    bb.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
+    bb.putShort(16).putShort(-1) // min/max blocksize
+    bb.put(new Array[Byte](6))   // min/max framesize (24-bit each)
+    val packed = (16000L << 44) | ((channels - 1).toLong << 41) |
+      ((bits - 1).toLong << 36) | total
+    bb.putLong(packed)
+    bb.put(new Array[Byte](16)) // MD5
+    frames.zipWithIndex.foreach { case (fr, i) =>
+      val n = fr.fold(_._2, _.size)
+      bb.put(0xff.toByte).put(0xf8.toByte).put(0x70.toByte).put(0x08.toByte)
+      bb.put(i.toByte)            // UTF-8 frame number (< 128)
+      bb.putShort((n - 1).toShort) // explicit blocksize
+      bb.put(0.toByte)            // CRC-8 (unverified)
+      fr match {
+        case Left((v, _)) => bb.put(0x00.toByte).putShort(v.toShort)
+        case Right(s) =>
+          bb.put(0x02.toByte); s.foreach(v => bb.putShort(v.toShort))
+      }
+      bb.putShort(0) // CRC-16 (unverified)
+    }
+    val out = new Array[Byte](bb.position()); bb.flip(); bb.get(out); out
+  }
+
+  private def fstats(b: Array[Byte]): Option[(Int, Int, Long, Int)] =
+    Option(AudioFlacStats.stats(b)).map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+
+  test("flac: constant + verbatim frames decode to exact stats") {
+    // constant run of 5×(−40), then verbatim 30, −10, 0, 7
+    val b = flac(Seq(Left((-40, 5)), Right(Seq(30, -10, 0, 7))))
+    val sq = 5L * 40 * 40 + 900 + 100 + 0 + 49
+    // crossings: −40→30 (run boundary), 30→−10; −10→0→7 never flip
+    assert(fstats(b) == Some((9, 40, sq, 2)))
+    // constant-only stream: a run has no internal crossings
+    assert(fstats(flac(Seq(Left((100, 7))))) == Some((7, 100, 7L * 10000, 0)))
+    // two constant runs of opposite sign: exactly one boundary crossing
+    assert(fstats(flac(Seq(Left((3, 4)), Left((-2, 3))))) ==
+      Some((7, 3, 4L * 9 + 3L * 4, 1)))
+  }
+
+  test("flac: refusals — rice subframes, stereo, width, truncation, count") {
+    val ok = flac(Seq(Right(Seq(1, -2, 3))))
+    assert(fstats(ok).isDefined)
+    // FIXED subframe (type 8): Rice-coded residuals — documented refusal
+    val fixedSub = ok.clone()
+    // subframe header byte is 9 before the end: [hdr][3×2 samples][crc16]
+    fixedSub(fixedSub.length - 9) = 0x10 // type bits 001000 → FIXED order 0
+    assert(fstats(fixedSub).isEmpty, "FIXED subframe must refuse")
+    assert(fstats(flac(Seq(Right(Seq(1, 2))), channels = 2)).isEmpty,
+      "stereo STREAMINFO must refuse")
+    assert(fstats(flac(Seq(Right(Seq(1, 2))), bits = 24)).isEmpty,
+      "24-bit STREAMINFO must refuse")
+    assert(fstats(ok.dropRight(3)).isEmpty, "truncated stream must refuse")
+    assert(fstats(flac(Seq(Right(Seq(1, 2))), totalOverride = 5)).isEmpty,
+      "decoded count must match STREAMINFO total-samples")
+    assert(fstats("fLaC".getBytes).isEmpty)
   }
 
   test("stereo downmix: truncating (L+R)/2, parity with pre-mixed mono") {

@@ -28,9 +28,18 @@ import scala.collection.mutable
 object BpeTrainer {
 
   def learn(vocab: Array[(String, Long)],
-            nMerges: Int): Seq[(String, String, Long)] = {
-    val words: Array[Array[String]] =
-      vocab.map(_._1.toCharArray.map(String.valueOf))
+            nMerges: Int): Seq[(String, String, Long)] =
+    learnSymbols(vocab.map { case (w, f) =>
+      (w.toCharArray.map(String.valueOf), f) }, nMerges)
+
+  /** The same merge loop over PRE-SPLIT initial symbol sequences — the
+    * seam that lets byte-level training (symbols = UTF-8 bytes as hex
+    * pairs, [[TextOps.trainBpeMergesBytes]]) share every line of the
+    * incremental bookkeeping with character-level training.
+    */
+  def learnSymbols(vocab: Array[(Array[String], Long)],
+                   nMerges: Int): Seq[(String, String, Long)] = {
+    val words: Array[Array[String]] = vocab.map(_._1)
     val freqs: Array[Long] = vocab.map(_._2)
 
     val counts = mutable.HashMap.empty[(String, String), Long]

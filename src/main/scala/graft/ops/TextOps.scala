@@ -137,6 +137,46 @@ object TextOps {
     BpeTrainer.learn(vocab, nMerges)
   }
 
+  /** GPT-2-style BYTE-LEVEL pre-tokenizer regex: a leading-space-glued
+    * run of unicode letters, digits, or other non-space symbols. This is
+    * the production shape ([a-z0-9]+ lowercase cannot reproduce a real
+    * tokenizer): case is KEPT, punctuation and non-Latin text become
+    * trainable pre-tokens, and the leading space rides with the word so
+    * word boundaries survive byte-level encoding. Deliberately no
+    * lookahead pieces (GPT-2's `\s+(?!\S)`) — this exact pattern runs
+    * identically under Java regex (Spark) and RE2 (the DuckDB oracle).
+    */
+  val BytePretokenRegex = """ ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+
+  /** [[trainBpeMerges]] at BYTE level: pre-tokens from
+    * [[BytePretokenRegex]], initial symbols = the pre-token's UTF-8
+    * bytes as two-char uppercase hex (so merged symbols are hex strings
+    * with engine-identical lexicographic ties, and a multi-byte
+    * character's bytes are ordinary mergeable symbols — the way GPT-2's
+    * byte-level trainer sees text). Same single distributed vocab pass,
+    * same capped driver state, same incremental merge loop
+    * ([[BpeTrainer.learnSymbols]]).
+    */
+  def trainBpeMergesBytes(docs: DataFrame, textCol: String, nMerges: Int,
+                          maxVocab: Int = 1 << 20): Seq[(String, String, Long)] = {
+    require(nMerges >= 0 && maxVocab > 0)
+    // \p{L}/\p{N}/\s in a Spark SQL literal need doubled backslashes
+    val sqlRegex = BytePretokenRegex.replace("\\", "\\\\")
+    val vocab = docs.select(
+        explode(expr(s"regexp_extract_all($textCol, '$sqlRegex', 0)"))
+          .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val split = vocab.map { case (w, f) =>
+      (w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"${b & 0xff}%02X"), f)
+    }
+    BpeTrainer.learnSymbols(split, nMerges)
+  }
+
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed,
     * trimmed text. Deterministic, join-able, and identical across engines.
     */

@@ -326,6 +326,24 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("rank"))
     }),
 
+    // BYTE-LEVEL BPE training (TextOps.trainBpeMergesBytes): the GPT-2
+    // production shape — unicode-category pre-tokens with the leading
+    // space glued on (case KEPT, punctuation trainable), initial symbols
+    // = UTF-8 bytes as uppercase hex pairs, so multi-byte characters are
+    // ordinary mergeable byte symbols. Same single vocab pass + driver
+    // merge loop as text_bpe_train; the oracle rebuilds the byte
+    // encoding with hex(encode(w)) and replays all 64 rounds through
+    // the identical re-encode CTE chain.
+    "text_bpe_train_bytes" -> ((s, dir) => {
+      val merges = TextOps.trainBpeMergesBytes(Tables.documents(s, dir),
+        "text", nMerges = 64, maxVocab = 65536)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+        .toDF("rank", "lhs", "rhs", "pair_count")
+        .orderBy(col("rank"))
+    }),
+
     // Tokenizer END-TO-END: learn a 32-merge table from the corpus
     // (TextOps.trainBpeMerges — the same single-pass incremental
     // trainer), then segment the SAME corpus with it through the
@@ -561,6 +579,29 @@ object DataPipelineQueries extends QueryPack {
        |  coalesce(array_to_string(g.toks[1:8], '|'), '') AS head_tokens
        |FROM documents doc LEFT JOIN agg g USING (doc_id)
        |ORDER BY doc.doc_id""".stripMargin
+  }
+
+  /** Byte-level variant of [[bpeVocabCtes]]: unicode pre-tokens (case
+    * kept), e0 = UTF-8 bytes as uppercase hex pairs via hex(encode(w)) —
+    * the same double-space encoding, so every round CTE is shared
+    * verbatim with the char-level replay.
+    */
+  private def bpeVocabCtesBytes(rounds: Seq[String]): String =
+    s"""v AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(text,
+       |      '${TextOps.BytePretokenRegex}')) AS w
+       |    FROM documents) GROUP BY w
+       |    ORDER BY freq DESC, w ASC LIMIT 65536),
+       |e0 AS MATERIALIZED (SELECT
+       |    '  ' || regexp_replace(hex(encode(w)), '(..)', '\\1  ', 'g') AS enc,
+       |    freq FROM v),
+       |${rounds.mkString(",\n")}""".stripMargin
+
+  private def bpeTrainBytesOracleSql: String = {
+    val n = 64
+    s"""WITH ${bpeVocabCtesBytes(bpeRoundCtes(n))}
+       |${bpeRanksUnion(n)}
+       |ORDER BY rank""".stripMargin
   }
 
   private def bpeVocabCtes(rounds: Seq[String]): String =
@@ -967,6 +1008,7 @@ object DataPipelineQueries extends QueryPack {
          |FROM t ORDER BY doc_id""".stripMargin
     },
     "text_bpe_train" -> bpeTrainOracleSql,
+    "text_bpe_train_bytes" -> bpeTrainBytesOracleSql,
     "text_bpe_e2e" -> bpeE2eOracleSql,
     "text_tokens" ->
       s"""SELECT doc_id, len($tokSql) AS n_tokens,

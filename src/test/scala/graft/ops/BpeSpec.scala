@@ -116,4 +116,38 @@ class BpeSpec extends SparkSuite {
     val got = BpeTrainer.learn(Array(("abba", 1L), ("ab", 1L)), 1)
     assert(got.head._1 == "a" && got.head._2 == "b" && got.head._3 == 2L)
   }
+
+  test("byte-level: multi-byte UTF-8 symbols merge across char boundaries") {
+    import spark.implicits._
+    // "éé" = C3 A9 C3 A9; "é!" = C3 A9 21. The dominant pair is the
+    // INTRA-character (C3, A9) — a char-level trainer can't even see it.
+    val docs = Seq("éé éé é!").toDF("text")
+    val merges = TextOps.trainBpeMergesBytes(docs, "text", nMerges = 3)
+    assert(merges.head._1 == "C3" && merges.head._2 == "A9",
+      s"first merge must be the é byte pair, got ${merges.head}")
+    assert(merges.head._3 == 5L, "é occurs 5 times across the pre-tokens")
+    // after (C3,A9)→C3A9, (20,C3A9) and (C3A9,C3A9) tie at count 2 and
+    // the lexicographic tie-break picks "20" < "C3A9" — the merged hex
+    // symbols partake in ordinary symbol ordering
+    assert(merges(1)._1 == "20" && merges(1)._2 == "C3A9",
+      s"tie-break must pick (20, C3A9), got ${merges(1)}")
+    assert(merges(2)._1 == "20C3A9" && merges(2)._2 == "C3A9",
+      "round 3: (20C3A9, C3A9) and (C3A9, C3A9) tie at 1; '2' < 'C'")
+  }
+
+  test("byte-level: pre-tokens keep case and leading spaces, unlike char-level") {
+    import spark.implicits._
+    val docs = Seq("The cat the cat THE").toDF("text")
+    val vocabWords = docs.select(
+        explode(expr("regexp_extract_all(text, '" +
+          TextOps.BytePretokenRegex.replace("\\", "\\\\") + "', 0)")).as("w"))
+      .collect().map(_.getString(0)).toSeq
+    // leading spaces glued, case preserved: "The", " cat", " the", " THE"
+    assert(vocabWords == Seq("The", " cat", " the", " cat", " THE"))
+    // and the trainer's merged symbols are hex strings over those bytes:
+    // " cat" (freq 2) has the highest-count pairs, starting (20, 63)
+    val merges = TextOps.trainBpeMergesBytes(docs, "text", nMerges = 1)
+    assert(merges.head._1 == "20" && merges.head._2 == "63",
+      s"space+c must be the top pair, got ${merges.head}")
+  }
 }

@@ -22,6 +22,13 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *
   * Endpoints:
   *  - `GET /health`           → `{"ok":true}`
+  *  - `GET /` (or /index.html)→ the browser shell: a static HTML page
+  *                               (plotly.js from its CDN) that renders
+  *                               `/figure` with stacked-bars and
+  *                               behavior-class controls wired to the
+  *                               `stack`/`classes` query params — the
+  *                               reference's Streamlit page
+  *                               (app.py:247-366) as a served artifact.
   *  - `GET /figure`           → `timeline_bars.json` (the Plotly figure
   *                               [[Export.timelineBarsJson]] wrote).
   *                               `?stack=true` rewrites `layout.barmode`
@@ -100,6 +107,76 @@ object Serve {
     JsonMethods.compact(JsonMethods.render(moded))
   }
 
+  /** The browser shell over `GET /figure` — the engine-side equivalent of
+    * the reference's Streamlit page (application/app.py:247-366): a
+    * stacked/grouped toggle and a behavior-class multiselect, both wired
+    * to the `/figure` query params so every display change is served from
+    * the exported artifact, never recomputed. plotly.js loads from its
+    * public CDN (the one external reference a browser page needs); the
+    * class checklist is populated from the figure's own trace names, so
+    * the page has no baked-in class list to drift.
+    */
+  private[vesc] val IndexHtml: String =
+    """<!doctype html>
+      |<html lang="en">
+      |<head>
+      |<meta charset="utf-8">
+      |<title>graft — ride timeline</title>
+      |<script src="https://cdn.plot.ly/plotly-2.35.2.min.js"></script>
+      |<style>
+      |  body { font-family: system-ui, sans-serif; margin: 1.5rem; }
+      |  #controls { margin-bottom: 1rem; display: flex; gap: 1.5rem;
+      |              align-items: center; flex-wrap: wrap; }
+      |  #classes label { margin-right: .75rem; }
+      |  #fig { width: 100%; height: 70vh; }
+      |</style>
+      |</head>
+      |<body>
+      |<h2>Ride behavior timeline</h2>
+      |<div id="controls">
+      |  <label><input type="checkbox" id="stack"> stacked bars</label>
+      |  <span id="classes"></span>
+      |</div>
+      |<div id="fig"></div>
+      |<script>
+      |const stackBox = document.getElementById('stack');
+      |const classBox = document.getElementById('classes');
+      |let allClasses = null;
+      |function figureUrl() {
+      |  const q = [];
+      |  if (stackBox.checked) q.push('stack=true');
+      |  if (allClasses) {
+      |    const picked = [...classBox.querySelectorAll('input:checked')]
+      |      .map(b => b.value);
+      |    if (picked.length < allClasses.length)
+      |      q.push('classes=' + encodeURIComponent(picked.join(',')));
+      |  }
+      |  return '/figure' + (q.length ? '?' + q.join('&') : '');
+      |}
+      |async function draw() {
+      |  const r = await fetch(figureUrl());
+      |  if (!r.ok) {
+      |    document.getElementById('fig').textContent = 'no figure exported';
+      |    return;
+      |  }
+      |  const fig = await r.json();
+      |  if (allClasses === null) {
+      |    allClasses = fig.data.map(t => t.name).filter(n => n);
+      |    classBox.innerHTML = allClasses.map(n =>
+      |      `<label><input type="checkbox" value="${n}" checked> ${n}</label>`
+      |    ).join('');
+      |    classBox.querySelectorAll('input')
+      |      .forEach(b => b.addEventListener('change', draw));
+      |  }
+      |  Plotly.react('fig', fig.data, fig.layout, {responsive: true});
+      |}
+      |stackBox.addEventListener('change', draw);
+      |draw();
+      |</script>
+      |</body>
+      |</html>
+      |""".stripMargin
+
   private def contentType(name: String): String =
     if (name.endsWith(".json")) "application/json"
     else if (name.endsWith(".csv")) "text/csv"
@@ -136,6 +213,9 @@ object Serve {
           respondJson(ex, 405, """{"error":"method not allowed"}""")
         } else if (path == "/health") {
           respondJson(ex, 200, """{"ok":true}""")
+        } else if (path == "/" || path == "/index.html") {
+          respond(ex, 200, IndexHtml.getBytes(StandardCharsets.UTF_8),
+            "text/html")
         } else if (path == "/figure") {
           val f = root.resolve("timeline_bars.json")
           if (Files.isRegularFile(f)) {

@@ -98,6 +98,26 @@ class ServeSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("index page: html shell wiring /figure with stack/classes controls") {
+    val dir = Files.createTempDirectory("graft_serve_idx_")
+    val server = Serve.start(dir, 0)
+    try {
+      val port = server.getAddress.getPort
+      for (path <- Seq("/", "/index.html")) {
+        val (code, body, ctype) = get(port, path)
+        assert(code == 200 && ctype.startsWith("text/html"), s"$path")
+        // the shell fetches the exported figure, never recomputes
+        assert(body.contains("/figure"), "page must render from /figure")
+        // display controls wired to the query params the server honors
+        assert(body.contains("stack=true"), "stacked-bars toggle")
+        assert(body.contains("classes="), "class multiselect param")
+        assert(body.contains("id=\"stack\"") && body.contains("id=\"classes\""))
+        // plotly renders it; class list comes from the figure's traces
+        assert(body.contains("Plotly.react") && body.contains("t.name"))
+      }
+    } finally server.stop(0)
+  }
+
   test("figure 404s gracefully when nothing was exported") {
     val empty = Files.createTempDirectory("graft_serve_empty_")
     val server = Serve.start(empty, 0)

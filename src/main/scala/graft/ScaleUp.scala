@@ -42,10 +42,39 @@ import org.apache.spark.sql.functions._
   * the identical code path as the source directory.
   */
 object ScaleUp {
+
+  /** Adversarial-mode constants (arg 4 = "adversarial"). The uniform
+    * derivation scales structure linearly — which is exactly why it can
+    * NEVER catch quadratic-in-a-block bugs: no block is ever big. Real
+    * crawls are the opposite — empty docs, license headers, and templated
+    * pages form million-member identical cliques, and boilerplate
+    * sentences give a Zipf-heavy shingle distribution. This mode injects
+    * both, scaled-down but far past every cap threshold:
+    *
+    *  - a `CliqueSize`-doc IDENTICAL-text clique (one band block per LSH
+    *    band; the uncapped join would emit ~50M pairs per band from it,
+    *    the capped one a 9,999-edge chain);
+    *  - a fixed boilerplate sentence appended to `HotDocPct`% of all
+    *    documents (hot shingles with df ≈ 0.3·corpus — far above the
+    *    `maxDf` caps in ngramJaccardPairs / substringRuns, forcing the
+    *    drop paths to carry real weight instead of trimming a tail).
+    */
+  val CliqueSize = 10000
+  val HotDocPct = 30
+  val CliqueText: String =
+    "this page is intentionally left blank all rights reserved " +
+      "unauthorized reproduction of this template page is prohibited " +
+      "please contact the site administrator for further information " +
+      "about licensing terms and conditions of use"
+  val HotSentence: String =
+    "all rights reserved terms of service privacy policy cookie settings " +
+      "do not sell my personal information"
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dest = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val k = if (args.length > 2) args(2).toInt else 10
+    val adversarial = args.length > 3 && args(3) == "adversarial"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,13 +93,36 @@ object ScaleUp {
     require(dirty == 0,
       s"ScaleUp precondition violated: $dirty source documents already contain " +
         "U+0001 — suffixed tokens would alias base tokens and break ×k linearity")
-    (0 until k).map { i =>
+    val copies = (0 until k).map { i =>
       if (i == 0) docs
       else docs
         .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
         .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1" + sep + i))
         .withColumn("n_chars", length(col("text")))
     }.reduce(_ unionByName _)
+    val docsOut =
+      if (!adversarial) copies
+      else {
+        // Zipf-heavy shingles: the same boilerplate sentence on 30% of
+        // every copy's documents — applied AFTER per-copy suffixing so
+        // the hot shingles are genuinely CROSS-copy hot
+        val hot = copies.withColumn("text",
+            when(col("doc_id") % 10 < lit(HotDocPct / 10),
+              concat(col("text"), lit(" " + HotSentence)))
+              .otherwise(col("text")))
+          .withColumn("n_chars", length(col("text")))
+        // identical-text clique: one template row stamped CliqueSize
+        // times with fresh ids past every copy's range
+        val clique = docs.orderBy(col("doc_id")).limit(1)
+          .select(explode(sequence(lit(0L), lit(CliqueSize - 1L))).as("__i"),
+            col("lang"), col("source"))
+          .withColumn("doc_id", lit(k * 10000000L) + col("__i"))
+          .withColumn("text", lit(CliqueText))
+          .withColumn("n_chars", length(col("text")))
+          .drop("__i")
+        hot.unionByName(clique.select(hot.columns.map(col): _*))
+      }
+    docsOut
       .repartition(cpus.toInt)
       .write.mode(SaveMode.Overwrite).parquet(s"$dest/documents.parquet")
 
@@ -104,7 +156,7 @@ object ScaleUp {
       .repartition(cpus.toInt)
       .write.mode(SaveMode.Overwrite).parquet(s"$dest/events.parquet")
 
-    println(s"""{"scaled":"$dest","from":"$src","k":$k}""")
+    println(s"""{"scaled":"$dest","from":"$src","k":$k,"adversarial":$adversarial}""")
     spark.stop()
   }
 }

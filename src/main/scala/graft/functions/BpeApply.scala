@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * same increasing order. The ScalaTest property check and the DuckDB
   * oracle (which replays the replace chain) both pin the equivalence.
   */
-case class BpeApply(child: Expression, merges: Seq[(String, String)])
+case class BpeApply(child: Expression, merges: Seq[(String, String)],
+                    byteLevel: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = StringType
@@ -43,13 +44,13 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
   @transient private lazy val table = BpeApply.buildTable(merges)
 
   override def nullSafeEval(input: Any): Any =
-    BpeApply.encode(input.asInstanceOf[UTF8String], table)
+    BpeApply.encode(input.asInstanceOf[UTF8String], table, byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tableRef = ctx.addReferenceObj("bpeTable", table,
       classOf[java.util.HashMap[String, Integer]].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeApply.encode($c, $tableRef);")
+      s"${ev.value} = graft.functions.BpeApply.encode($c, $tableRef, $byteLevel);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeApply =
@@ -64,9 +65,10 @@ object BpeApply {
     */
   def register(spark: org.apache.spark.sql.SparkSession,
                merges: Seq[(String, String)],
-               name: String = "graft_bpe_apply"): Unit =
+               name: String = "graft_bpe_apply",
+               byteLevel: Boolean = false): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => BpeApply(exprs.head, merges), "built-in")
+      name, exprs => BpeApply(exprs.head, merges, byteLevel), "built-in")
 
   /** Rank map keyed by `"a\u0000b"` (NUL can't occur inside `[a-z0-9]+`
     * symbols, so the key is unambiguous without a tuple allocation per
@@ -80,12 +82,31 @@ object BpeApply {
     m
   }
 
-  /** Invoked from both interpreted eval and generated code. */
-  def encode(word: UTF8String, table: java.util.HashMap[String, Integer]): UTF8String = {
-    val s = word.toString
-    var syms = new Array[String](s.length)
-    var i = 0
-    while (i < s.length) { syms(i) = String.valueOf(s.charAt(i)); i += 1 }
+  private val Hex = "0123456789ABCDEF"
+
+  /** Invoked from both interpreted eval and generated code. `byteLevel`
+    * starts from the word's UTF-8 bytes as two-char uppercase hex
+    * symbols (the [[graft.ops.TextOps.trainBpeMergesBytes]] alphabet)
+    * instead of its characters; the merge loop is identical.
+    */
+  def encode(word: UTF8String, table: java.util.HashMap[String, Integer],
+             byteLevel: Boolean): UTF8String = {
+    var syms: Array[String] = null
+    if (byteLevel) {
+      val bytes = word.getBytes
+      syms = new Array[String](bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        syms(i) = new String(Array(Hex.charAt(b >> 4), Hex.charAt(b & 0xf)))
+        i += 1
+      }
+    } else {
+      val s = word.toString
+      syms = new Array[String](s.length)
+      var i = 0
+      while (i < s.length) { syms(i) = String.valueOf(s.charAt(i)); i += 1 }
+    }
     var n = syms.length
     var done = n <= 1
     while (!done) {

@@ -344,6 +344,30 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("rank"))
     }),
 
+    // BYTE-LEVEL tokenizer end-to-end: learn 16 byte merges, bake them
+    // into the byteLevel BpeApply expression (initial symbols = the
+    // pre-token's UTF-8 bytes as hex pairs), segment the SAME corpus's
+    // unicode pre-tokens. The oracle trains via the shared byte CTE
+    // chain then applies with the recursive rank-stepping CTE over
+    // hex(encode(w)) — trainer AND byte-level runtime applier certified
+    // in one hash compare, the full GPT-2-shape loop.
+    "text_bpe_bytes_e2e" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextOps.trainBpeMergesBytes(docs, "text",
+        nMerges = 16, maxVocab = 65536).map(m => (m._1, m._2))
+      graft.functions.BpeApply.register(s, merges, name = "graft_bpe_bytes",
+        byteLevel = true)
+      val sqlRegex = TextOps.BytePretokenRegex.replace("\\", "\\\\")
+      val words = expr(s"regexp_extract_all(text, '$sqlRegex', 0)")
+      val tokArr = flatten(transform(words,
+        w => split(call_function("graft_bpe_bytes", w), " ")))
+      docs.select(col("doc_id"),
+          size(tokArr).cast("long").as("n_bpe_tokens"),
+          size(words).cast("long").as("n_words"),
+          array_join(slice(tokArr, 1, 8), "|").as("head_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Tokenizer END-TO-END: learn a 32-merge table from the corpus
     // (TextOps.trainBpeMerges — the same single-pass incremental
     // trainer), then segment the SAME corpus with it through the
@@ -602,6 +626,48 @@ object DataPipelineQueries extends QueryPack {
     s"""WITH ${bpeVocabCtesBytes(bpeRoundCtes(n))}
        |${bpeRanksUnion(n)}
        |ORDER BY rank""".stripMargin
+  }
+
+  /** Byte-level replay of text_bpe_bytes_e2e: train 16 rounds through
+    * the byte CTE chain, then the same recursive rank-stepping applier
+    * as [[bpeE2eOracleSql]] with the word encoding rebuilt from
+    * hex(encode(w)) — the applier consumes the learned table as rows, so
+    * the SQL text contains no learned literals and one hash compare
+    * certifies the byte trainer AND the byteLevel BpeApply runtime.
+    */
+  private def bpeBytesE2eOracleSql: String = {
+    val n = 16
+    val pretok =
+      s"regexp_extract_all(text, '${TextOps.BytePretokenRegex}')"
+    s"""WITH RECURSIVE ${bpeVocabCtesBytes(bpeRoundCtes(n))},
+       |merges AS MATERIALIZED (${bpeRanksUnion(n)}),
+       |mx AS (SELECT coalesce(max(rank), 0) AS r FROM merges),
+       |dw AS MATERIALIZED (SELECT DISTINCT unnest($pretok) AS w
+       |  FROM documents),
+       |app AS (
+       |  SELECT w, 0 AS r,
+       |    '  ' || regexp_replace(hex(encode(w)), '(..)', '\\1  ', 'g') AS enc
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT a.w, a.r + 1,
+       |    CASE WHEN m.rank IS NULL THEN a.enc
+       |         ELSE replace(a.enc, ' ' || m.lhs || '  ' || m.rhs || ' ',
+       |                      ' ' || m.lhs || m.rhs || ' ') END
+       |  FROM app a LEFT JOIN merges m ON m.rank = a.r + 1
+       |  WHERE a.r < (SELECT r FROM mx)),
+       |appf AS MATERIALIZED (SELECT w, string_split(trim(enc), '  ') AS tok
+       |  FROM app WHERE r = (SELECT r FROM mx)),
+       |docw AS (SELECT doc_id, unnest($pretok) AS w,
+       |    generate_subscripts($pretok, 1) AS ord
+       |  FROM documents),
+       |agg AS (SELECT d.doc_id, flatten(list(a.tok ORDER BY d.ord)) AS toks
+       |  FROM docw d JOIN appf a USING (w) GROUP BY d.doc_id)
+       |SELECT doc.doc_id,
+       |  CAST(coalesce(len(g.toks), 0) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(len($pretok) AS BIGINT) AS n_words,
+       |  coalesce(array_to_string(g.toks[1:8], '|'), '') AS head_tokens
+       |FROM documents doc LEFT JOIN agg g USING (doc_id)
+       |ORDER BY doc.doc_id""".stripMargin
   }
 
   private def bpeVocabCtes(rounds: Seq[String]): String =
@@ -1009,6 +1075,7 @@ object DataPipelineQueries extends QueryPack {
     },
     "text_bpe_train" -> bpeTrainOracleSql,
     "text_bpe_train_bytes" -> bpeTrainBytesOracleSql,
+    "text_bpe_bytes_e2e" -> bpeBytesE2eOracleSql,
     "text_bpe_e2e" -> bpeE2eOracleSql,
     "text_tokens" ->
       s"""SELECT doc_id, len($tokSql) AS n_tokens,

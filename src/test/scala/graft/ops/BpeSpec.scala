@@ -135,6 +135,33 @@ class BpeSpec extends SparkSuite {
       "round 3: (20C3A9, C3A9) and (C3A9, C3A9) tie at 1; '2' < 'C'")
   }
 
+  test("byte-level applier: hex-pair symbols, lossless over multi-byte UTF-8") {
+    import spark.implicits._
+    // learned byte table from a tiny corpus, applied through the
+    // byteLevel runtime expression — segmentation must re-concatenate
+    // to the word's exact UTF-8 hex, including across é's two bytes
+    val docs = Seq("éé éé é!").toDF("text")
+    val merges = TextOps.trainBpeMergesBytes(docs, "text", nMerges = 3)
+      .map(m => (m._1, m._2))
+    graft.functions.BpeApply.register(spark, merges, name = "bpe_bytes_t",
+      byteLevel = true)
+    val out = Seq("éé", " é", "!", "x").toDF("w")
+      .select(col("w"), call_function("bpe_bytes_t", col("w")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    out.foreach { case (w, t) =>
+      val hex = w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+      assert(t.replace(" ", "") == hex, s"lossy byte segmentation: $w -> $t")
+    }
+    // the (C3,A9) merge applies: "éé" becomes two C3A9 symbols — then
+    // rank-2 (20,C3A9) can't apply (no space) and rank-3 (20C3A9,C3A9)
+    // needs the 20-prefix, so it stays 2 symbols
+    assert(out("éé") == "C3A9 C3A9")
+    // " é" = 20 C3 A9 → (C3,A9) then (20,C3A9) → one symbol
+    assert(out(" é") == "20C3A9")
+    // untrained bytes stay single hex symbols
+    assert(out("!") == "21" && out("x") == "78")
+  }
+
   test("byte-level: pre-tokens keep case and leading spaces, unlike char-level") {
     import spark.implicits._
     val docs = Seq("The cat the cat THE").toDF("text")

@@ -74,4 +74,47 @@ object TextQualityOps {
         col("top_unigram_frac") <= maxTopUnigramFrac &&
         col("dup_token_frac") <= maxDupTokenFrac &&
         col("top_bigram_frac") <= maxTopBigramFrac)
+
+  /** Language-model quality scoring, the CCNet/perplexity-filter family
+    * (Wenzek et al. 2020): score each document by the mean add-one-
+    * smoothed unigram log-probability of its tokens under the corpus's
+    * own LM. Junk (random strings, OCR noise, rare-token soup) scores
+    * far below fluent text; a downstream gate keeps the head of the
+    * distribution.
+    *
+    * Two passes over the corpus:
+    *  1. the LM — token counts df-capped DETERMINISTICALLY at `maxVocab`
+    *    entries (count desc, token asc): the droppped Zipf tail is
+    *    singleton junk, and the cap bounds what ships to every scorer
+    *    task at 100 TB (the same cap argument as BPE's vocab pass).
+    *    Smoothing totals N (all tokens) and V (all distinct tokens) are
+    *    computed BEFORE the cap, so the cap only moves tail tokens to
+    *    the unseen bucket — it never changes the denominator.
+    *  2. scoring — exploded tokens left-join the capped LM (a broadcast
+    *    at real scale: maxVocab rows) and aggregate per document:
+    *    `n_tokens`, `n_oov` (tokens outside the capped LM — itself a
+    *    useful junk signal, and exactly integer), and `avg_logprob` =
+    *    mean ln((c+1)/(N+V)), with c = 0 for unseen.
+    *
+    * Perplexity is `exp(-avg_logprob)` — left to the caller: exp would
+    * re-amplify the rounded mean into a magnitude where a 4-decimal
+    * hash compare tests float library bits, not engine correctness.
+    */
+  def unigramLogProb(df: DataFrame, docId: String, textCol: String,
+                     maxVocab: Int = 65536): DataFrame = {
+    val tok = df.select(col(docId), explode(toks(col(textCol))).as("t"))
+    val totals = tok.agg(count(lit(1)).as("__n"),
+      count_distinct(col("t")).as("__v"))
+    val lm = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc)
+      .limit(maxVocab)
+    tok.join(broadcast(lm), Seq("t"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
+        (floor(avg(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double")
+          / (col("__n") + col("__v")).cast("double"))) * 1e4 + lit(0.5)) / 1e4)
+          .as("avg_logprob"))
+  }
 }

@@ -70,6 +70,19 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("quality_pass"))
     }),
 
+    // CCNet-style LM quality scoring (TextQualityOps.unigramLogProb):
+    // mean add-one-smoothed unigram log-prob of each document under the
+    // corpus's own capped LM, plus the exact-integer OOV count. The
+    // smoothing totals N/V are pre-cap (the cap only moves tail tokens
+    // to the unseen bucket); the capped LM broadcasts to the scorers.
+    "text_lm_logprob" -> ((s, dir) => {
+      TextQualityOps.unigramLogProb(Tables.documents(s, dir),
+          "doc_id", "text", maxVocab = 65536)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis,
     // derandomized): longer documents proportionally likelier; one bounded
     // min-k aggregation, no RNG, no global sort.
@@ -442,6 +455,21 @@ object CorpusQueries extends QueryPack {
          |  floor(coalesce(top_bi / CAST(n_bi AS DOUBLE), 0.0) * 1e4 + 0.5) / 1e4 AS top_bigram_frac
          |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
          |ORDER BY us.doc_id""".stripMargin,
+    // replay of the capped-LM scoring: counts, pre-cap N/V totals,
+    // (count desc, token asc) cap, left join, smoothed ln, 4-dp floor
+    "text_lm_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
+         |p AS (SELECT doc_id, unnest(l) AS t FROM t),
+         |tot AS (SELECT count(*) AS n, count(DISTINCT t) AS v FROM p),
+         |lm AS (SELECT t, count(*) AS c FROM p GROUP BY t
+         |       ORDER BY c DESC, t ASC LIMIT 65536),
+         |j AS (SELECT p.doc_id, lm.c FROM p LEFT JOIN lm USING (t))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  floor(avg(ln((coalesce(c, 0) + 1.0)
+         |    / ((SELECT n FROM tot) + (SELECT v FROM tot)))) * 1e4 + 0.5) / 1e4
+         |    AS avg_logprob
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_quality_gate" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
          |p AS (SELECT doc_id, unnest(l) AS g, generate_subscripts(l, 1) AS pos FROM t),

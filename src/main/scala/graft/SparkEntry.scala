@@ -21,7 +21,8 @@ object SparkEntry {
     ScaleQueries,
     SketchQueries,
     VescFixtureQueries,
-    CorpusQueries
+    CorpusQueries,
+    WebQueries
   )
 
   /** Flagship query; driver smoke-checks rows>0. The engine's headline is

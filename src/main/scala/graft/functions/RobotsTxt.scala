@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt (RFC 9309) as scan-side expressions — the politeness gate
+  * of a crawl-curation pipeline: before a fetched URL enters the corpus
+  * (or a recrawl list), the pipeline checks it against its host's
+  * robots rules.
+  *
+  * Two pieces, split so the expensive part runs once per HOST and the
+  * per-URL part is a cheap match:
+  *
+  *  - `robots_rules(txt)` → `array<struct<agent, allow, path>>`: one
+  *    linear parse of the file into its rule list. Line-based; group
+  *    structure (consecutive `User-agent:` lines share the following
+  *    rule block, RFC 9309 §2.2.1) is flattened to one row per
+  *    (agent, rule). Directives are case-insensitive; comments (`#`)
+  *    and unknown directives (crawl-delay, sitemap) are ignored; an
+  *    empty-path `Disallow:` (allow-all idiom) is dropped.
+  *  - `robots_match_len(pattern, path)` → the pattern's SPECIFICITY
+  *    (its length) when it matches the path, else -1 — the RFC's
+  *    longest-match-wins needs the length, not just a boolean. `*`
+  *    matches any char run (greedy with backtracking), `$` at
+  *    pattern-end anchors; both per RFC 9309 §2.2.3.
+  *
+  * Scale shape: rules tables are HOSTS-sized (robots files are small
+  * and one per host), so parse output stays tiny next to the URL
+  * corpus; the per-URL work is one codegen'd match call per candidate
+  * rule of its own host's group.
+  */
+object RobotsTxt {
+
+  val ruleSchema: StructType = StructType(Seq(
+    StructField("agent", StringType, nullable = false),
+    StructField("allow", BooleanType, nullable = false),
+    StructField("path", StringType, nullable = false)))
+
+  val schema: DataType = ArrayType(ruleSchema, containsNull = false)
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "robots_rules", exprs => RobotsRules(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "robots_match_len", exprs => RobotsMatchLen(exprs(0), exprs(1)), "built-in")
+  }
+
+  def parse(txt: UTF8String): GenericArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[GenericInternalRow]
+    var agents = List.empty[String]
+    var inRules = false // false while collecting consecutive User-agent lines
+    txt.toString.split("\r?\n").foreach { raw =>
+      val line = raw.indexOf('#') match {
+        case -1 => raw.trim
+        case i => raw.substring(0, i).trim
+      }
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val directive = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          directive match {
+            case "user-agent" =>
+              if (inRules) { agents = Nil; inRules = false } // new group starts
+              agents = value.toLowerCase(java.util.Locale.ROOT) :: agents
+            case "allow" | "disallow" =>
+              inRules = true
+              val allow = directive == "allow"
+              // empty Disallow = allow-everything idiom → no rule;
+              // empty Allow is meaningless → no rule
+              if (value.nonEmpty)
+                agents.reverse.foreach { a =>
+                  out += new GenericInternalRow(Array[Any](
+                    UTF8String.fromString(a), allow, UTF8String.fromString(value)))
+                }
+            case _ => () // crawl-delay, sitemap, unknown — ignored
+          }
+        }
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** Specificity (pattern length) when `pattern` matches `path` per RFC
+    * 9309 wildcard semantics, else -1. Patterns are PREFIX matches
+    * unless `$`-anchored; `*` spans any characters.
+    */
+  def matchLen(pattern: UTF8String, path: UTF8String): Int = {
+    val p = pattern.toString
+    val s = path.toString
+    val anchored = p.endsWith("$")
+    val pat = if (anchored) p.substring(0, p.length - 1) else p
+    if (wildMatch(pat, 0, s, 0, anchored)) p.length else -1
+  }
+
+  /** Greedy `*` with backtracking; prefix semantics unless anchored. */
+  private def wildMatch(pat: String, pi: Int, s: String, si: Int,
+                        anchored: Boolean): Boolean = {
+    if (pi == pat.length) return if (anchored) si == s.length else true
+    pat.charAt(pi) match {
+      case '*' =>
+        var k = si
+        while (k <= s.length) {
+          if (wildMatch(pat, pi + 1, s, k, anchored)) return true
+          k += 1
+        }
+        false
+      case c =>
+        si < s.length && s.charAt(si) == c && wildMatch(pat, pi + 1, s, si + 1, anchored)
+    }
+  }
+}
+
+/** `robots_rules(string)` → flattened (agent, allow, path) rule rows. */
+case class RobotsRules(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RobotsTxt.schema
+  override def prettyName: String = "robots_rules"
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    RobotsTxt.parse(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RobotsTxt.parse($c);")
+  override protected def withNewChildInternal(newChild: Expression): RobotsRules =
+    copy(child = newChild)
+}
+
+/** `robots_match_len(pattern, path)` → specificity or -1. */
+case class RobotsMatchLen(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "robots_match_len"
+  override def checkInputDataTypes() =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (string, string), got (${left.dataType}, ${right.dataType})")
+  override def nullSafeEval(pattern: Any, path: Any): Any =
+    RobotsTxt.matchLen(pattern.asInstanceOf[UTF8String], path.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, s) =>
+      s"${ev.value} = graft.functions.RobotsTxt.matchLen($p, $s);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): RobotsMatchLen =
+    copy(left = newLeft, right = newRight)
+}

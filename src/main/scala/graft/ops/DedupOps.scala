@@ -529,4 +529,54 @@ object DedupOps {
       contaminated(train, idCol, textCol, eval, evalTextCol, shingleN, minHits)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** CCNet-style LINE-level dedup (Wenzek et al. 2020 §3.1: the crawl's
+    * boilerplate — cookie banners, nav bars, footers — repeats across
+    * pages at the line level, and dropping repeated lines removes most
+    * of it before any document-level pass). Each document is segmented
+    * into lines, every line is keyed corpus-wide, and only the FIRST
+    * occurrence (min (doc, position) — deterministic) survives;
+    * documents are then re-assembled from their surviving lines.
+    *
+    * `lineCol` must yield the document's array of lines. Corpora whose
+    * documents are single unstructured strings segment synthetically
+    * (e.g. fixed token windows via [[TextOps.chunkTokens]] arithmetic) —
+    * the operator only sees the array.
+    *
+    * Scale shape: ONE shuffle keyed by the line hash (the keep-first
+    * min-agg), one join back from surviving keys to line rows, one
+    * per-doc re-assembly agg. The hot case — a boilerplate line on 30%
+    * of all pages — is a single large group under a min-aggregate:
+    * map-side partials bound it at one row per task, the same reason
+    * [[exactDedup]] tolerates giant duplicate groups. No window over the
+    * whole corpus, no sort.
+    *
+    * Output: (idCol, n_lines, n_kept, text_kept) — every input document
+    * appears, `text_kept` empty when every line was someone else's.
+    */
+  def lineDedup(df: DataFrame, idCol: String, lines: Column): DataFrame = {
+    val lineRows = df
+      .select(col(idCol), posexplode(lines).as(Seq("line_pos", "line")))
+    // first occurrence per distinct line, totally ordered by (doc, pos)
+    val keep = lineRows
+      .groupBy(col("line"))
+      .agg(min(struct(col(idCol), col("line_pos"))).as("first"))
+      .select(col("line"), col("first").getField(idCol).as("keep_id"),
+        col("first").getField("line_pos").as("keep_pos"))
+    val kept = lineRows
+      .join(keep,
+        lineRows("line") === keep("line") &&
+          col(idCol) === col("keep_id") && col("line_pos") === col("keep_pos"),
+        "left_semi")
+    val total = lineRows.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    val survived = kept
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("line_pos"), col("line")))),
+          s => s.getField("line")), " ").as("text_kept"))
+    total.join(survived, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
 }

@@ -62,4 +62,62 @@ object UrlOps {
     df.select(canonicalizeUrl(urlCol).as("canonical_url"), idCol.as("id"))
       .groupBy(col("canonical_url"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_variants"))
+
+  /** Host of an absolute url (lowercased, port dropped), empty string
+    * when the url has no `scheme://host` form.
+    */
+  def hostOf(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      ":\\d+$", "")
+
+  /** Multi-part public suffixes recognized by [[registeredDomain]] — a
+    * deliberately small built-in slice of the Mozilla Public Suffix List
+    * covering the common two-label country suffixes; real deployments
+    * pass the full PSL through the same lookup.
+    */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "co.in", "co.kr", "com.cn",
+    "com.mx", "co.nz")
+
+  /** RFC 3986 reference resolution (the crawl-frontier subset): absolute
+    * references pass through; protocol-relative `//host/x` take the
+    * base's scheme; root-relative `/x` join the base origin;
+    * query-only `?x` replace the base's query; anything else joins the
+    * base path's directory. Dot-segment normalization (`../`) is left
+    * to [[canonicalizeUrl]]-style cleanup — frontier dedup hashes the
+    * resolved string, and a consistent resolution matters more than a
+    * minimal one. Pure codegen'd chain.
+    */
+  def resolveUrl(base: Column, ref: Column): Column = {
+    val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1)
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val path = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val dir = regexp_replace(path, "/[^/]*$", "")
+    val baseNoQuery = concat(origin, path)
+    when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), ref)
+      .when(ref.startsWith("//"), concat(scheme, lit(":"), ref))
+      .when(ref.startsWith("/"), concat(origin, ref))
+      .when(ref.startsWith("?"), concat(baseNoQuery, ref))
+      .otherwise(concat(origin, dir, lit("/"), ref))
+  }
+
+  /** Registered domain (PSL semantics): one label more than the public
+    * suffix — `news.bbc.co.uk` → `bbc.co.uk`, `a.b.example.com` →
+    * `example.com`. Hosts with fewer labels than that (bare TLDs,
+    * localhost) return verbatim. Pure codegen'd chain — this is the
+    * standard crawl-curation GROUP KEY (per-domain quality statistics,
+    * domain caps, blocklists), so it runs on every url of the corpus.
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+      element_at(labels, -1))
+    when(n >= 3 && last2.isin(MultiPartSuffixes.map(lit): _*), last3)
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
 }

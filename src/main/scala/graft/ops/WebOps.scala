@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Gzip, HtmlToText, RobotsTxt, WarcParse}
+
+/** Web-crawl ingestion: WARC record assembly/parsing and HTML text
+  * extraction — the first mile of a 100 TB training-data pipeline.
+  * Everything downstream (dedup, quality, language-ID, tokenization)
+  * consumes what these operators produce.
+  *
+  * The read path (`extractRecords` / `extractPages`) is the operator; the
+  * write path (`buildRecord` / `buildCrawlFiles`) exists so correctness
+  * is provable ROUND-TRIP on synthetic corpora: build byte-exact crawl
+  * files from the documents table scan-side, read them back through the
+  * full gzip→WARC→HTTP→HTML stack, and hash-compare the extracted fields
+  * against the original rows — any drift anywhere in the stack breaks
+  * the gate.
+  *
+  * Scale shape: crawl files parallelize per-file (Common Crawl writes
+  * ~1 GiB segments precisely so that file granularity saturates a
+  * cluster); within a file, records reduce to rows in one scan-side
+  * projection chain (inflate → record parse → http split → html
+  * extract), all codegen'd static calls — markup and headers are
+  * discarded before the first shuffle.
+  */
+object WebOps {
+
+  /** Idempotent; needed at plan-build time (same posture as
+    * [[DedupOps.minhashSignatureRow]]'s registration).
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    Gzip.register(spark); WarcParse.register(spark); HtmlToText.register(spark)
+    RobotsTxt.register(spark)
+  }
+
+  private def registered(): Unit =
+    SparkSession.getActiveSession.foreach(registerAll)
+
+  /** Deterministic synthetic URL for a document row — includes multi-part
+    * public-suffix hosts so registered-domain grouping is exercised.
+    */
+  def syntheticUrl(docId: Column, source: Column): Column =
+    concat(lit("https://"),
+      when(pmod(docId, lit(4)) === 0, concat(lit("news."), source, lit(".co.uk")))
+        .when(pmod(docId, lit(4)) === 1, concat(lit("www."), source, lit(".example.com")))
+        .when(pmod(docId, lit(4)) === 2, concat(source, lit(".example.org")))
+        .otherwise(concat(lit("cdn."), source, lit(".com.au"))),
+      lit("/doc/"), docId.cast("string"))
+
+  /** One WARC/1.0 `response` record (ISO 28500 framing) wrapping an HTTP
+    * 200 response whose body is `html`. Pure expression chain — the
+    * record is assembled as a string (all components here are ASCII or
+    * UTF-8 text) and cast to binary at the end.
+    *
+    * `Content-Length` headers are BYTE lengths (`octet_length`), not
+    * character counts — the framing authority for both layers.
+    */
+  def buildRecord(docId: Column, url: Column, html: Column): Column = {
+    val httpHead = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\nContent-Length: "),
+      octet_length(html.cast("binary")).cast("string"), lit("\r\n\r\n"))
+    val payload = concat(httpHead, html)
+    val warcHead = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:"),
+      docId.cast("string"),
+      lit(">\r\nWARC-Target-URI: "), url,
+      lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"),
+      lit("Content-Type: application/http; msgtype=response\r\nContent-Length: "),
+      octet_length(payload.cast("binary")).cast("string"), lit("\r\n\r\n"))
+    concat(warcHead, payload, lit("\r\n\r\n")).cast("binary")
+  }
+
+  /** Group per-document records into multi-record crawl files of
+    * `perFile` records each (record-at-time gzip, members concatenated
+    * in doc-id order — the Common Crawl layout). Returns
+    * `(file_id, blob)`. The only shuffle of the write path, keyed by
+    * file id; each group folds a bounded `perFile` members.
+    */
+  def buildCrawlFiles(records: DataFrame, docId: Column, record: Column,
+      perFile: Int): DataFrame = {
+    registered()
+    records
+      .select((docId / perFile).cast("long").as("file_id"), docId.as("doc_id"),
+        call_function("gzip_member", record).as("member"))
+      .groupBy(col("file_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("member")))),
+          s => s.getField("member")),
+        lit(Array.empty[Byte]),
+        (acc, m) => concat(acc, m)).as("blob"))
+  }
+
+  /** Parse crawl files back to one row per record: inflate every member,
+    * parse the WARC framing, split the HTTP message. One projection
+    * chain per blob; explode only after records are parsed.
+    */
+  def extractRecords(files: DataFrame, blob: Column): DataFrame = {
+    registered()
+    files
+      .select(explode(call_function("warc_records",
+        call_function("gunzip_all", blob))).as("rec"))
+      .select(
+        col("rec.warc_type").as("warc_type"),
+        col("rec.record_id").as("record_id"),
+        col("rec.target_uri").as("target_uri"),
+        col("rec.warc_date").as("warc_date"),
+        col("rec.content_length").as("content_length"),
+        call_function("http_status", col("rec.payload")).as("http_status"),
+        call_function("http_body", col("rec.payload")).as("body"))
+  }
+
+  /** The full first mile: crawl files → visible page text, one row per
+    * successfully fetched page — `(record_id, target_uri, http_status,
+    * text)`.
+    */
+  def extractPages(files: DataFrame, blob: Column): DataFrame = {
+    registered()
+    extractRecords(files, blob)
+      .filter(col("http_status") === 200)
+      .select(col("record_id"), col("target_uri"), col("http_status"),
+        call_function("html_to_text", col("body").cast("string")).as("text"))
+  }
+
+  /** RFC 9309 robots verdict per URL — the politeness gate.
+    *
+    * `urls` must carry (`host`, `path`) columns; `robots` is one row
+    * per host with its robots.txt content. Steps, all hosts-sized until
+    * the final URL join:
+    *  1. parse each file once ([[graft.functions.RobotsRules]]) and
+    *     flatten to (host, agent, allow, path) rule rows;
+    *  2. RFC group selection: a group naming `agent` exactly beats the
+    *     `*` group, which beats nothing; losing groups are DISCARDED,
+    *     never merged (RFC 9309 §2.2.1);
+    *  3. join URLs to their host's surviving rules, score each rule
+    *     with `robots_match_len` (wildcard/anchor-aware specificity);
+    *  4. longest match wins, allow wins length ties (§2.2.2); no
+    *     matching rule (or no robots at all) → allowed.
+    *
+    * Scale shape: steps 1-2 are one pass over the hosts table; step 3
+    * shuffles URLs once by host (the join key a crawl frontier is
+    * usually already partitioned by); step 4 is a max-struct agg — no
+    * window, no sort.
+    */
+  def robotsFilter(urls: DataFrame, robots: DataFrame, agent: String): DataFrame = {
+    registered()
+    val rules = robots
+      .select(col("host"),
+        explode(call_function("robots_rules", col("txt"))).as("r"))
+      .select(col("host"), col("r.agent").as("agent"),
+        col("r.allow").as("allow"), col("r.path").as("rule_path"))
+      .withColumn("rank",
+        when(col("agent") === lit(agent.toLowerCase(java.util.Locale.ROOT)), 2)
+          .when(col("agent") === "*", 1).otherwise(0))
+      .filter(col("rank") > 0)
+    val best = rules.groupBy(col("host")).agg(max(col("rank")).as("rank"))
+    val group = rules.join(best, Seq("host", "rank"))
+    val verdicts = urls
+      .join(group, Seq("host"), "left")
+      .withColumn("mlen",
+        call_function("robots_match_len", col("rule_path"), col("path")))
+      .withColumn("hit",
+        when(col("mlen") >= 0,
+          struct(col("mlen"), col("allow").cast("int").as("allow_i"))))
+      .groupBy(urls.columns.map(col): _*)
+      .agg(max(col("hit")).as("best"))
+    verdicts.withColumn("allowed",
+      coalesce(col("best.allow_i") === 1, lit(true)))
+      .drop("best")
+  }
+}

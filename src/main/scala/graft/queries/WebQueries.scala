@@ -1,0 +1,432 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{DedupOps, ImportanceOps, QualityClassifierOps, TextOps, UrlOps, WebOps}
+
+/** Web-crawl ingestion + curation queries — the first mile of a training
+  * pipeline (gzip'd WARC segments → records → HTTP → visible text) and
+  * the corpus-selection operators that consume it (line-level dedup,
+  * DSIR importance weights, registered-domain statistics), plus the
+  * bucketed co-located join.
+  *
+  * The crawl queries are ROUND-TRIP gates: crawl bytes are assembled
+  * scan-side from the documents table with byte-exact framing
+  * ([[WebOps.buildRecord]]), pushed through the real read stack
+  * (inflate → WARC parse → HTTP split → HTML extract), and the oracle
+  * replays only the ORIGINAL row arithmetic — so a drift anywhere in
+  * compression, framing, header parse, or entity decoding breaks the
+  * hash without the oracle ever touching a byte of the container
+  * formats.
+  */
+object WebQueries extends QueryPack {
+
+  /** Deterministic page markup around a document's text: style/script
+    * containers with hostile content (a fake close tag in a JS string,
+    * `<` comparisons), an HTML comment, and a trailer exercising named,
+    * decimal, and hex character references plus NBSP collapse. The
+    * extractor must reduce this to
+    * `<text> & ABC <tag> café` (single-spaced).
+    */
+  private def htmlOf(text: Column): Column = concat(
+    lit("<html><head><title>Doc</title><style>p{color:red}\nbody{margin:0}</style>"),
+    lit("<script type=\"text/javascript\">var s=\"</closetag>\"; if(a<b){a=1}</script></head>\n"),
+    lit("<body><!-- boilerplate -->\n<div class=\"main\"><p>"),
+    text,
+    lit("</p>\n<p>&amp;&nbsp;ABC&#32;&lt;tag&gt;&nbsp;caf&#xE9;</p></div></body></html>"))
+
+  private def docUrl: Column = WebOps.syntheticUrl(col("doc_id"), col("source"))
+
+  /** documents → WARC records → record-at-time-gzip'd crawl files. */
+  private def crawlFiles(s: SparkSession, dir: String, body: Column): DataFrame = {
+    WebOps.registerAll(s)
+    val recs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        WebOps.buildRecord(col("doc_id"), docUrl, body).as("rec"))
+    WebOps.buildCrawlFiles(recs, col("doc_id"), col("rec"), perFile = 5)
+  }
+
+  /** The oracle-side url replay (kept next to [[WebOps.syntheticUrl]]).
+    * Single-line: it is interpolated into stripMargin'd statements, where
+    * a line starting with `||` would lose its first pipe.
+    */
+  private val urlSql =
+    "'https://' || CASE doc_id % 4 WHEN 0 THEN 'news.' || source || '.co.uk' " +
+      "WHEN 1 THEN 'www.' || source || '.example.com' " +
+      "WHEN 2 THEN source || '.example.org' " +
+      "ELSE 'cdn.' || source || '.com.au' END || '/doc/' || CAST(doc_id AS VARCHAR)"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Crawl-file READ path over raw-text bodies: every framing field of
+    // every record — ids, uris, dates, both Content-Lengths, HTTP status,
+    // body bytes — certified against the original rows after a real
+    // gzip-member + WARC + HTTP round trip.
+    "web_warc_extract" -> ((s, dir) => {
+      val files = crawlFiles(s, dir, col("text"))
+      WebOps.extractRecords(files, col("blob"))
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("target_uri"), col("warc_date"),
+          col("content_length"), col("http_status"),
+          octet_length(col("body")).cast("long").as("body_bytes"),
+          col("body").cast("string").as("body_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // HTML → visible text alone (no container formats): script/style
+    // content dropped, comments dropped, tags to separators, character
+    // references decoded, whitespace collapsed.
+    "web_html_extract" -> ((s, dir) => {
+      WebOps.registerAll(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          call_function("html_to_text", htmlOf(col("text"))).as("page_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The COMPOSED first mile: html-wrapped bodies through gzip → WARC →
+    // HTTP → html_to_text; one hash certifies the whole read stack.
+    "web_crawl_e2e" -> ((s, dir) => {
+      val files = crawlFiles(s, dir, htmlOf(col("text")))
+      WebOps.extractPages(files, col("blob"))
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), col("text").as("page_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Registered-domain statistics (the PSL group key of crawl curation:
+    // domain caps, per-domain quality): host → eTLD+1 over urls that
+    // exercise both plain and multi-part public suffixes. The oracle
+    // derives each branch's registered domain INDEPENDENTLY (hand-applied
+    // PSL semantics), not by replaying the label arithmetic.
+    "web_domain_agg" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          UrlOps.registeredDomain(UrlOps.hostOf(docUrl)).as("domain"),
+          col("n_chars"), col("lang"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          count_distinct(col("lang")).as("n_langs"))
+        .orderBy(col("domain"))
+    }),
+
+    // CCNet line-level dedup over synthetic 10-token lines: corpus-wide
+    // keep-first per distinct line, documents re-assembled from their
+    // surviving lines.
+    "dedup_line_level" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val lines = toks.select(col("doc_id"),
+        expr("""transform(
+                  sequence(0, greatest(CAST(ceil(size(toks)/10.0) AS INT), 1) - 1),
+                  i -> array_join(slice(toks, i*10+1, 10), ' '))""").as("lines"))
+      DedupOps.lineDedup(lines, "doc_id", col("lines"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("text_kept")).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance weights: hashed-unigram target/raw models (target =
+    // the English slice), per-doc average log importance ratio.
+    "text_dsir_weights" -> ((s, dir) => {
+      ImportanceOps.dsirLogRatio(Tables.documents(s, dir), "doc_id", "text",
+          isTarget = col("lang") === "en", numBuckets = 128)
+        .orderBy(col("doc_id"))
+    }),
+
+    // robots.txt politeness gate (RFC 9309): every host serves a file
+    // whose `*` group disallows everything and whose graftbot group
+    // carries overlapping prefix rules — so the verdicts certify group
+    // selection (specific group DISCARDS `*`, never merges), longest-
+    // match-wins, and allow-beats-disallow-on-tie. The oracle hand-
+    // derives each verdict from the prefix semantics, independently of
+    // the parser/matcher.
+    "web_robots_filter" -> ((s, dir) => {
+      WebOps.registerAll(s)
+      val urls = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          UrlOps.hostOf(docUrl).as("host"),
+          concat(lit("/doc/"), col("doc_id").cast("string")).as("path"))
+      val robots = urls.select(col("host")).distinct()
+        .withColumn("txt", lit(
+          "# synthetic robots fixture\n" +
+            "User-agent: *\nDisallow: /\n\n" +
+            "User-agent: graftbot\nUser-agent: otherbot\n" +
+            "Disallow: /doc/1\nAllow: /doc/12\nDisallow: /doc/3\n" +
+            "Crawl-delay: 10\n"))
+      WebOps.robotsFilter(urls, robots, "graftbot")
+        .select(col("doc_id"), col("host"), col("path"), col("allowed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Trained quality classifier (fastText shape): hashed
+    // unigram+bigram+bias features, integer-state logistic regression,
+    // ClassifierRounds momentum-GD rounds. The oracle replays EVERY
+    // round (features → score → quantized error → gradient → momentum →
+    // weight update) — exact because all cross-row sums are integer and
+    // the one float step is a per-doc scalar.
+    "text_quality_train" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val feat = QualityClassifierOps.features(docs, "doc_id", "text", 256)
+      val labels = docs.select(col("doc_id"),
+        (col("n_chars") >= 300).cast("int").as("y"))
+      val w = QualityClassifierOps.trainLogReg(feat, labels, "doc_id",
+        numBuckets = 256, rounds = ClassifierRounds, lr = 1.0)
+      w.zipWithIndex.map { case (v, b) => (b.toLong, v) }.toSeq
+        .toDF("b", "w").orderBy(col("b"))
+    }),
+
+    // The trained model applied back to the corpus: integer scores and
+    // the 0.5-boundary prediction per document.
+    "text_quality_classify" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val feat = QualityClassifierOps.features(docs, "doc_id", "text", 256)
+      val labels = docs.select(col("doc_id"),
+        (col("n_chars") >= 300).cast("int").as("y"))
+      val w = QualityClassifierOps.trainLogReg(feat, labels, "doc_id",
+        numBuckets = 256, rounds = ClassifierRounds, lr = 1.0)
+      QualityClassifierOps.classify(feat, "doc_id", w)
+        .join(labels, Seq("doc_id"))
+        .select(col("doc_id"), col("score_int"), col("pred"), col("y"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bucketed co-located join: both sides written bucketed-by-join-key
+    // (8 buckets, sorted), then joined bucket-to-bucket — the repeated-
+    // join posture at 100 TB (pay the partitioning once at write, every
+    // subsequent join/agg on that key runs shuffle-free; the no-Exchange
+    // plan is machine-asserted in BucketJoinSpec). The oracle is the
+    // plain join — bucketing must not change a single row.
+    "j_bucketed_join" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^a-z0-9]", "_")
+      val ot = s"g_orders_b$suffix"; val lt = s"g_lineitem_b$suffix"
+      // write the bucketed layout ONCE per session (the whole point of
+      // bucketing: pay the key-partitioning at write time, then every
+      // join on that key is shuffle-free — bench repeats measure the
+      // join, not the write). A stray warehouse dir from a previous JVM
+      // (whose in-memory catalog is gone) is deleted first, else the
+      // managed-table create fails with LOCATION_ALREADY_EXISTS.
+      if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
+        Seq(ot, lt).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+          val dirFile = new java.io.File(
+            if (wh.getScheme == null) new java.io.File(wh.toString)
+            else java.nio.file.Paths.get(wh).toFile, t)
+          if (dirFile.exists()) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dirFile.toPath).iterator().asScala.toSeq
+              .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+        Tables.orders(s, dir).write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+        Tables.lineitem(s, dir).write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      }
+      s.table(lt)
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_orderstatus"))
+    }))
+
+  /** Rounds of the quality-classifier training loop; the oracle CTEs are
+    * GENERATED for the same count, so the gate replays every round.
+    */
+  val ClassifierRounds = 20
+
+  /** Shared training replay for the quality-classifier oracles: hashed
+    * features, then [[ClassifierRounds]] rounds exactly as
+    * [[QualityClassifierOps.trainLogReg]] computes them — integer dot
+    * products, per-doc sigmoid re-quantized to micro-error, integer
+    * gradient, integer floor-div momentum, frequency-normalized half-up
+    * weight update. Round 1 inlines the error as `(0.5 − y)` because
+    * w₀ = 0 makes every score exactly 0.
+    */
+  private val classifierTrainCtes: String = {
+    val base =
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, '1:' || tk AS k
+        |  FROM (SELECT doc_id, unnest(t) AS tk FROM toks)
+        |  UNION ALL
+        |  SELECT doc_id, '2:' || t[i] || ' ' || t[i+1] AS k
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+        |  WHERE len(t) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, '0:bias' AS k FROM documents),
+        |feat AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('ftq:' || k), 1, 15))::BIGINT % 256 AS b,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM grams GROUP BY 1, 2),
+        |lab AS MATERIALIZED (SELECT doc_id,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y FROM documents),
+        |spine AS MATERIALIZED (SELECT unnest(generate_series(0, 255)) AS b),
+        |freqs AS MATERIALIZED (SELECT s.b,
+        |    CAST(greatest(coalesce(f.c, 0), 1) AS BIGINT) AS fq
+        |  FROM spine s LEFT JOIN
+        |    (SELECT b, sum(x) AS c FROM feat GROUP BY b) f USING (b)),
+        |e1 AS MATERIALIZED (SELECT doc_id,
+        |    CAST(floor((0.5 - y)*1e6 + 0.5) AS BIGINT) AS err FROM lab),
+        |g1 AS MATERIALIZED (SELECT f.b, sum(f.x * e.err) AS gr
+        |  FROM feat f JOIN e1 e USING (doc_id) GROUP BY f.b),
+        |v1 AS MATERIALIZED (SELECT s.b, CAST(coalesce(g.gr, 0) AS BIGINT) AS v
+        |  FROM spine s LEFT JOIN g1 g USING (b)),
+        |w1 AS MATERIALIZED (SELECT v1.b,
+        |    0 - CAST(floor(CAST(v1.v AS DOUBLE) / fq + 0.5) AS BIGINT) AS w
+        |  FROM v1 JOIN freqs USING (b))""".stripMargin
+    val rounds = (2 to ClassifierRounds).map { k =>
+      val p = k - 1
+      s"""s$k AS MATERIALIZED (SELECT f.doc_id, sum(w$p.w * f.x) AS s
+         |  FROM feat f JOIN w$p USING (b) GROUP BY 1),
+         |e$k AS MATERIALIZED (SELECT l.doc_id,
+         |    CAST(floor((1.0/(1.0 + exp(-(CAST(coalesce(s.s, 0) AS DOUBLE)/1e6)))
+         |      - CAST(y AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS err
+         |  FROM lab l LEFT JOIN s$k s USING (doc_id)),
+         |g$k AS MATERIALIZED (SELECT f.b, sum(f.x * e.err) AS gr
+         |  FROM feat f JOIN e$k e USING (doc_id) GROUP BY f.b),
+         |v$k AS MATERIALIZED (SELECT v$p.b,
+         |    CAST(CAST(floor(v$p.v * 9 / 10.0) AS BIGINT)
+         |      + coalesce(g.gr, 0) AS BIGINT) AS v
+         |  FROM v$p LEFT JOIN g$k g USING (b)),
+         |w$k AS MATERIALIZED (SELECT w$p.b,
+         |    w$p.w - CAST(floor(CAST(v$k.v AS DOUBLE) / fq + 0.5) AS BIGINT) AS w
+         |  FROM w$p JOIN v$k USING (b) JOIN freqs USING (b))""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
+  override def oracle: Map[String, String] = Map(
+
+    "web_robots_filter" ->
+      s"""WITH u AS (SELECT doc_id,
+         |    CASE doc_id % 4
+         |      WHEN 0 THEN 'news.' || source || '.co.uk'
+         |      WHEN 1 THEN 'www.' || source || '.example.com'
+         |      WHEN 2 THEN source || '.example.org'
+         |      ELSE 'cdn.' || source || '.com.au' END AS host,
+         |    '/doc/' || CAST(doc_id AS VARCHAR) AS path
+         |  FROM documents)
+         |SELECT doc_id, host, path,
+         |  NOT ((starts_with(path, '/doc/1') AND NOT starts_with(path, '/doc/12'))
+         |       OR starts_with(path, '/doc/3')) AS allowed
+         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "text_quality_train" ->
+      (classifierTrainCtes +
+        s"\nSELECT b, w FROM w$ClassifierRounds ORDER BY b"),
+
+    "text_quality_classify" ->
+      (classifierTrainCtes + s""",
+        |sc AS (SELECT f.doc_id,
+        |    CAST(sum(w$ClassifierRounds.w * f.x) AS BIGINT) AS score_int
+        |  FROM feat f JOIN w$ClassifierRounds USING (b) GROUP BY 1)
+        |SELECT l.doc_id,
+        |  coalesce(s.score_int, 0) AS score_int,
+        |  CASE WHEN coalesce(s.score_int, 0) > 0 THEN 1 ELSE 0 END AS pred,
+        |  y
+        |FROM lab l LEFT JOIN sc s USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin),
+
+    "web_warc_extract" ->
+      s"""SELECT doc_id,
+         |  'response' AS warc_type,
+         |  $urlSql AS target_uri,
+         |  '2026-01-01T00:00:00Z' AS warc_date,
+         |  CAST(strlen(text) + 77 + length(CAST(strlen(text) AS VARCHAR)) AS BIGINT)
+         |    AS content_length,
+         |  200 AS http_status,
+         |  CAST(strlen(text) AS BIGINT) AS body_bytes,
+         |  text AS body_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "web_html_extract" ->
+      """SELECT doc_id,
+        |  concat(regexp_replace(trim(text), '\s+', ' ', 'g'),
+        |         ' & ABC <tag> café') AS page_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "web_crawl_e2e" ->
+      s"""SELECT doc_id,
+         |  $urlSql AS target_uri,
+         |  concat(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+         |         ' & ABC <tag> café') AS page_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "web_domain_agg" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN source || '.co.uk'
+        |      WHEN 1 THEN 'example.com'
+        |      WHEN 2 THEN 'example.org'
+        |      ELSE source || '.com.au' END AS domain
+        |  FROM documents)
+        |SELECT domain, count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "dedup_line_level" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i AS line_pos,
+        |    array_to_string(t[(i*10+1):(i*10+10)], ' ') AS line
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(ceil(greatest(len(t), 1)/10.0) AS INT) - 1)) AS i) g),
+        |keep AS (SELECT line, min(doc_id*1000000 + line_pos) AS k
+        |  FROM lines GROUP BY line),
+        |kept AS (SELECT l.doc_id, l.line_pos, l.line
+        |  FROM lines l JOIN keep k ON l.line = k.line
+        |    AND l.doc_id*1000000 + l.line_pos = k.k),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+        |srv AS (SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(line, ' ' ORDER BY line_pos)) AS kept_md5
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_lines,
+        |  coalesce(s.n_kept, 0) AS n_kept,
+        |  coalesce(s.kept_md5, md5('')) AS kept_md5
+        |FROM tot t LEFT JOIN srv s USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "text_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, (lang = 'en') AS t,
+        |    ('0x' || substr(md5('dsir:' || tk), 1, 15))::BIGINT % 128 AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+        |        FROM documents)),
+        |model AS (SELECT b,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct, count(*) AS cr
+        |  FROM tok GROUP BY b),
+        |tot AS (SELECT sum(CASE WHEN t THEN 1 ELSE 0 END) AS nt, count(*) AS nr
+        |  FROM tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor(avg(ln((m.ct + 1) / (tot.nt + 128.0))
+        |          - ln((m.cr + 1) / (tot.nr + 128.0))) * 1e4 + 0.5) / 1e4
+        |    AS log_ratio
+        |FROM tok JOIN model m USING (b) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "j_bucketed_join" ->
+      """SELECT o_orderstatus,
+        |  round(sum(l_extendedprice*(1-l_discount)), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+}

@@ -310,4 +310,35 @@ object StreamingPipeline {
       }
       .start()
   }
+
+  /** Streaming crawl ingestion: the batch first mile
+    * ([[graft.ops.WebOps.extractPages]] — gzip members → WARC records →
+    * HTTP split → HTML text) over a file-watched directory of crawl
+    * segments. Drop a `.warc.gz` in, get page-text rows in the next
+    * micro-batch.
+    *
+    * STATELESS by construction — the whole chain is projections and one
+    * explode, no aggregation, no watermark, so it runs append-mode with
+    * the EXACT batch operators (batch/stream parity is definitional,
+    * per-file) and state never grows with the crawl. At cluster scale
+    * the same query runs against a bucket notification source; each
+    * ~1 GiB segment is one task, which is the parallelism crawl dumps
+    * are sized for.
+    */
+  def crawlStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.WebOps.registerAll(spark)
+    val files = spark.readStream
+      .format("binaryFile")
+      .schema(StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(dir)
+    graft.ops.WebOps.extractPages(files, col("content"))
+  }
 }

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 9309 robots.txt edges the oracle's plain-prefix fixture can't
+  * exercise: wildcards, anchors, group structure, directive leniency.
+  */
+class RobotsSpec extends AnyFunSuite {
+
+  private def rules(txt: String): Seq[(String, Boolean, String)] = {
+    val arr = RobotsTxt.parse(UTF8String.fromString(txt))
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 3)
+      (r.getUTF8String(0).toString, r.getBoolean(1), r.getUTF8String(2).toString)
+    }
+  }
+
+  private def mlen(pat: String, path: String): Int =
+    RobotsTxt.matchLen(UTF8String.fromString(pat), UTF8String.fromString(path))
+
+  test("parse: groups, shared user-agent lines, comments, unknown directives") {
+    val txt =
+      """# politeness file
+        |User-agent: a
+        |User-agent: b
+        |Disallow: /private # trailing comment
+        |Allow: /private/ok
+        |Crawl-delay: 10
+        |Sitemap: https://x/sitemap.xml
+        |
+        |User-agent: c
+        |Disallow:
+        |Allow: /x
+        |""".stripMargin
+    assert(rules(txt) == Seq(
+      ("a", false, "/private"), ("b", false, "/private"),
+      ("a", true, "/private/ok"), ("b", true, "/private/ok"),
+      ("c", true, "/x"))) // empty Disallow (allow-all idiom) emits no rule
+  }
+
+  test("parse: a user-agent line after rules starts a NEW group") {
+    val txt = "User-agent: a\nDisallow: /one\nUser-agent: b\nDisallow: /two\n"
+    assert(rules(txt) == Seq(("a", false, "/one"), ("b", false, "/two")))
+  }
+
+  test("parse: directives are case-insensitive, agents lowercased") {
+    assert(rules("USER-AGENT: GraftBot\nDISALLOW: /X\n") ==
+      Seq(("graftbot", false, "/X"))) // path case preserved — paths are case-sensitive
+  }
+
+  test("match: plain prefixes, specificity = pattern length") {
+    assert(mlen("/doc/1", "/doc/123") == 6)
+    assert(mlen("/doc/12", "/doc/123") == 7)
+    assert(mlen("/doc/2", "/doc/123") == -1)
+    assert(mlen("/", "/anything") == 1)
+  }
+
+  test("match: * spans any run, including empty; backtracking works") {
+    assert(mlen("/*/private", "/a/b/private") == 10) // * takes "a/b"
+    assert(mlen("/*.pdf", "/files/report.pdf") == 6)
+    assert(mlen("/a*b*c", "/axxbyyc") == 6)
+    assert(mlen("/a*b*c", "/abc") == 6) // both stars empty
+    assert(mlen("/a*z", "/abc") == -1)
+  }
+
+  test("match: $ anchors the end; unanchored patterns are prefixes") {
+    assert(mlen("/doc/1$", "/doc/1") == 7)
+    assert(mlen("/doc/1$", "/doc/12") == -1)
+    assert(mlen("/*.php$", "/index.php") == 7)
+    assert(mlen("/*.php$", "/index.php?x=1") == -1)
+  }
+}

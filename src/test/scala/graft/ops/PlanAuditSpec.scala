@@ -202,4 +202,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Window") && !p.contains("Join"),
       s"canonical dedup should be one hash agg:\n${p.take(2000)}")
   }
+
+  test("web-crawl family: equi-joins only, no windows over the corpus") {
+    Seq("web_crawl_e2e", "dedup_line_level", "text_dsir_weights",
+      "web_robots_filter").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("Window"), s"$q funnels the corpus through a window")
+    }
+    // line dedup's keep-first must be an aggregate (map-side-combinable),
+    // never a per-line rank window
+    assert(planOf("dedup_line_level").contains("Aggregate"))
+  }
 }

@@ -1,0 +1,229 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSuite
+import graft.functions.{Gzip, HtmlToText, WarcParse}
+
+/** Web-crawl ingestion edges: gzip member framing, WARC record grammar,
+  * HTTP splitting, HTML text extraction, registered domains, line-level
+  * dedup, DSIR weights. The happy path is oracle-gated end-to-end
+  * (web_warc_extract / web_crawl_e2e); this spec pins the refusal paths
+  * and the cross-codec independence the oracle can't see.
+  */
+class WebOpsSpec extends SparkSuite {
+
+  private def s(x: String): Array[Byte] = x.getBytes(UTF_8)
+
+  // ---- gzip ----
+
+  test("gzip: our member inflates under the INDEPENDENT JDK decoder, and vice versa") {
+    val raw = ("crawl payload " * 100).getBytes(UTF_8)
+    // ours -> JDK
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(Gzip.compress(raw)))
+    assert(in.readAllBytes().sameElements(raw))
+    // JDK -> ours
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    assert(Gzip.inflateAll(bos.toByteArray).sameElements(raw))
+  }
+
+  test("gzip: concatenated members inflate in order; per-member isolation") {
+    val a = s("alpha "); val b = s("beta"); val c = s("")
+    val blob = Gzip.compress(a) ++ Gzip.compress(b) ++ Gzip.compress(c)
+    assert(new String(Gzip.inflateAll(blob), UTF_8) == "alpha beta")
+  }
+
+  test("gzip: optional header fields (FNAME, FEXTRA, FCOMMENT) are skipped") {
+    val raw = s("payload with header extras")
+    val base = Gzip.compress(raw)
+    // rebuild the member with FLG=FNAME|FEXTRA|FCOMMENT and the extra fields
+    val deflate = java.util.Arrays.copyOfRange(base, 10, base.length)
+    val header = Array[Byte](0x1f, 0x8b.toByte, 8, (4 | 8 | 16).toByte,
+      0, 0, 0, 0, 0, 0xff.toByte) ++
+      Array[Byte](3, 0) ++ s("xtr") ++ // FEXTRA: XLEN=3 LE, then 3 bytes
+      (s("name.warc") :+ 0.toByte) ++ // FNAME, NUL-terminated
+      (s("a comment") :+ 0.toByte) // FCOMMENT, NUL-terminated
+    assert(Gzip.inflateAll(header ++ deflate).sameElements(raw))
+  }
+
+  test("gzip: refusals — bad magic, flipped CRC, truncation, trailing junk") {
+    val raw = s("x" * 50)
+    val ok = Gzip.compress(raw)
+    assert(Gzip.inflateAll(ok).sameElements(raw))
+    val badMagic = ok.clone(); badMagic(0) = 0x1e
+    assert(Gzip.inflateAll(badMagic) == null)
+    val badCrc = ok.clone(); badCrc(ok.length - 5) = (badCrc(ok.length - 5) ^ 1).toByte
+    assert(Gzip.inflateAll(badCrc) == null)
+    assert(Gzip.inflateAll(ok.dropRight(3)) == null)
+    assert(Gzip.inflateAll(ok ++ s("junk")) == null)
+  }
+
+  test("gzip: decompression-bomb ceiling refuses, never allocates the bomb") {
+    // ~80 MiB of zeros deflates to ~80 KiB; inflating must stop at the cap
+    val bomb = new Array[Byte](80 << 20)
+    assert(Gzip.inflateAll(Gzip.compress(bomb)) == null)
+  }
+
+  // ---- WARC ----
+
+  private def record(id: Int, payload: String,
+                     extraHeader: String = ""): String =
+    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:$id>\r\n" +
+      s"WARC-Target-URI: https://ex.com/$id\r\n$extraHeader" +
+      s"Content-Length: ${payload.getBytes(UTF_8).length}\r\n\r\n$payload\r\n\r\n"
+
+  test("warc: multi-record buffer parses every field; unknown headers ignored") {
+    val buf = s(record(1, "first body", "X-Custom-Header: whatever\r\n") +
+      record(2, "second"))
+    val recs = WarcParse.parse(buf)
+    assert(recs.numElements() == 2)
+    val r0 = recs.getStruct(0, 7)
+    assert(r0.getUTF8String(0).toString == "response")
+    assert(r0.getUTF8String(1).toString == "<urn:graft:1>")
+    assert(r0.getUTF8String(2).toString == "https://ex.com/1")
+    assert(r0.getLong(5) == 10L)
+    assert(new String(r0.getBinary(6), UTF_8) == "first body")
+    assert(new String(recs.getStruct(1, 7).getBinary(6), UTF_8) == "second")
+  }
+
+  test("warc: Content-Length is the framing authority — payloads may contain header-lookalikes") {
+    val tricky = "WARC/1.0\r\nContent-Length: 999\r\n\r\nnot a real record"
+    val buf = s(record(7, tricky))
+    val recs = WarcParse.parse(buf)
+    assert(recs.numElements() == 1)
+    assert(new String(recs.getStruct(0, 7).getBinary(6), UTF_8) == tricky)
+  }
+
+  test("warc: LWS-folded header values unfold") {
+    val payload = "x"
+    val folded = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ex.com/\r\n very/long/path\r\n" +
+      s"Content-Length: 1\r\n\r\n$payload\r\n\r\n"
+    val recs = WarcParse.parse(s(folded))
+    assert(recs.numElements() == 1)
+    assert(recs.getStruct(0, 7).getUTF8String(2).toString ==
+      "https://ex.com/ very/long/path")
+  }
+
+  test("warc: final record separator is optional at buffer end only") {
+    assert(WarcParse.parse(s(record(1, "a").stripSuffix("\r\n\r\n"))).numElements() == 1)
+    val midMissing = record(1, "a").stripSuffix("\r\n\r\n") + record(2, "b")
+    assert(WarcParse.parse(s(midMissing)) == null)
+  }
+
+  test("warc: refusals — bad version, no Content-Length, overrun, junk") {
+    assert(WarcParse.parse(s("HTTP/1.1 200 OK\r\n\r\n")) == null)
+    assert(WarcParse.parse(s("WARC/1.0\r\nWARC-Type: response\r\n\r\nbody")) == null)
+    assert(WarcParse.parse(s("WARC/1.0\r\nContent-Length: 100\r\n\r\nshort")) == null)
+    assert(WarcParse.parse(s(record(1, "a") + "garbage")) == null)
+    assert(WarcParse.parse(Array.empty[Byte]).numElements() == 0)
+  }
+
+  test("http: body/status split; non-HTTP payloads refuse") {
+    val payload = s("HTTP/1.1 404 Not Found\r\nServer: x\r\n\r\nthe body")
+    assert(WarcParse.status(payload) == 404)
+    assert(new String(WarcParse.body(payload), UTF_8) == "the body")
+    assert(WarcParse.status(s("not http")) == -1)
+    assert(WarcParse.body(s("no header split")) == null)
+    assert(WarcParse.status(s("HTTP/1.1 99x\r\n\r\n")) == -1)
+  }
+
+  // ---- HTML ----
+
+  private def html(in: String): String =
+    HtmlToText.extract(UTF8String.fromString(in)).toString
+
+  test("html: tags separate words, whitespace collapses, case-insensitive containers drop") {
+    assert(html("<p>a</p><p>b</p>") == "a b")
+    assert(html("a<b>bold</b>c") == "a bold c")
+    assert(html("  lots\n\tof   space  ") == "lots of space")
+    assert(html("<SCRIPT>var x=1;</SCRIPT>visible<STYLE>p{}</STYLE>") == "visible")
+    assert(html("<script src=\"x.js\">var s=\"</fake>\";</script>after") == "after")
+    assert(html("<title>Page Chrome</title>body text") == "body text")
+  }
+
+  test("html: unclosed raw-text containers and comments drop to end-of-input") {
+    assert(html("before<script>var x = 'runs off") == "before")
+    assert(html("before<!-- never closed") == "before")
+    assert(html("before<!DOCTYPE html>after") == "before after")
+    assert(html("a<?php echo ?>b") == "a b")
+  }
+
+  test("html: character references — named, decimal, hex, and HTML5 leniency") {
+    assert(html("&amp;&lt;&gt;&quot;&apos;") == "&<>\"'")
+    assert(html("A&#66;&#x43;") == "ABC")
+    assert(html("caf&#xE9;") == "café")
+    assert(html("a&nbsp;b") == "a b")
+    assert(html("AT&T and R&D") == "AT&T and R&D") // bare & stays literal
+    assert(html("&bogus; &#xZZ; &#99999999999;") == "&bogus; &#xZZ; &#99999999999;")
+    assert(html("&#128512;") == new String(Character.toChars(128512))) // astral plane
+  }
+
+  // ---- registered domain ----
+
+  test("registered domain: PSL semantics over plain and multi-part suffixes") {
+    import spark.implicits._
+    val hosts = Seq("news.bbc.co.uk", "bbc.co.uk", "a.b.example.com",
+      "example.com", "localhost", "cdn.shop.com.au", "x.co.kr")
+    val got = hosts.toDF("h")
+      .select(UrlOps.registeredDomain(col("h")).as("d")).as[String].collect()
+    assert(got.toSeq == Seq("bbc.co.uk", "bbc.co.uk", "example.com",
+      "example.com", "localhost", "shop.com.au", "x.co.kr"))
+  }
+
+  // ---- line-level dedup ----
+
+  test("lineDedup: corpus-wide keep-first, reassembly order, empty survivors") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("cookie banner", "unique one", "cookie banner")),
+      (2L, Seq("cookie banner", "unique two")),
+      (3L, Seq("cookie banner"))).toDF("doc_id", "lines")
+    val got = DedupOps.lineDedup(docs, "doc_id", col("lines"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, "cookie banner unique one"), // first occurrence wins; in-doc repeat drops too
+      (2L, 2L, 1L, "unique two"),
+      (3L, 1L, 0L, ""))) // all lines were someone else's
+  }
+
+  // ---- DSIR ----
+
+  test("dsir: weights rank target-like docs above raw-like docs; select filters") {
+    import spark.implicits._
+    // corpora large enough that the +1/(n+B) smoothing doesn't swamp the
+    // count signal (the operator is built for corpus-sized n)
+    val docs = Seq(
+      (1L, "en", "quality prose " * 25),
+      (2L, "en", "quality prose insight " * 10),
+      (3L, "xx", "spam junk " * 25),
+      (4L, "xx", "quality spam " * 10)).toDF("doc_id", "lang", "text")
+    val w = ImportanceOps.dsirLogRatio(docs, "doc_id", "text",
+        col("lang") === "en", numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // target tokens score positive, off-target negative, mixed in between
+    assert(w(1L) > 0 && w(2L) > 0)
+    assert(w(3L) < 0)
+    assert(w(3L) < w(4L) && w(4L) < w(1L))
+    val kept = ImportanceOps.dsirSelect(docs, "doc_id", "text",
+        col("lang") === "en", minLogRatio = 0.0, numBuckets = 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("dsir: model tables stay bucket-bounded (no corpus-sized broadcast)") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "a b c"), (2L, "xx", "d e f")).toDF("doc_id", "lang", "text")
+    val plan = ImportanceOps.dsirLogRatio(docs, "doc_id", "text",
+      col("lang") === "en", numBuckets = 8).queryExecution.executedPlan.toString
+    // the totals cross join must be the broadcast of ONE row, never a cartesian
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

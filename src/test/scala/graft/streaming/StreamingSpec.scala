@@ -296,4 +296,38 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.map(_.toString).sorted.toSeq ==
       batch.map(_.toString).sorted.toSeq)
   }
+
+  test("crawl ingestion stream: gzip'd WARC segments arrive → page text, incrementally") {
+    import spark.implicits._
+    import graft.ops.WebOps
+    val dir = java.nio.file.Files.createTempDirectory("crawl_in_")
+    val docs = (0L until 10L).map(i => (i, s"crawl body $i words"))
+      .toDF("doc_id", "text")
+    val recs = docs.select(col("doc_id"),
+      WebOps.buildRecord(col("doc_id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("https://h.example.com/doc/"),
+          col("doc_id").cast("string")),
+        col("text")).as("rec"))
+    val blobs = WebOps.buildCrawlFiles(recs, col("doc_id"), col("rec"), perFile = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("blob")).toMap
+    java.nio.file.Files.write(dir.resolve("seg0.warc.gz"), blobs(0L))
+
+    val q = StreamingPipeline.crawlStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("crawl_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("crawl_out").count() == 5)
+      // a second segment lands later — only its records are new output
+      java.nio.file.Files.write(dir.resolve("seg1.warc.gz"), blobs(1L))
+      q.processAllAvailable()
+      val got = spark.table("crawl_out")
+        .select(col("text")).as[String].collect().toSet
+      assert(got == (0 until 10).map(i => s"crawl body $i words").toSet)
+      val uris = spark.table("crawl_out")
+        .select(col("target_uri")).as[String].collect().toSet
+      assert(uris == (0 until 10).map(i => s"https://h.example.com/doc/$i").toSet)
+    } finally q.stop()
+  }
 }

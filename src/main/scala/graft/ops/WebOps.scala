@@ -32,7 +32,7 @@ object WebOps {
     */
   def registerAll(spark: SparkSession): Unit = {
     Gzip.register(spark); WarcParse.register(spark); HtmlToText.register(spark)
-    RobotsTxt.register(spark)
+    RobotsTxt.register(spark); graft.functions.HtmlLinks.register(spark)
   }
 
   private def registered(): Unit =

@@ -344,6 +344,30 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("rank"))
     }),
 
+    // Tokenizer DECODE round trip: segment every pre-token with the
+    // trained byte-level table, then decode the hex-pair symbols back
+    // (concat → unhex → UTF-8) and re-join. The oracle only replays the
+    // pre-tokenization — it never runs BPE — so the hash passes IFF
+    // segment→decode is lossless through the engine for every document
+    // (the detokenization guarantee a training pipeline relies on when
+    // it reconstructs text from token ids).
+    "text_bpe_decode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextOps.trainBpeMergesBytes(docs, "text",
+        nMerges = 16, maxVocab = 65536).map(m => (m._1, m._2))
+      graft.functions.BpeApply.register(s, merges, name = "graft_bpe_dec",
+        byteLevel = true)
+      val sqlRegex = TextOps.BytePretokenRegex.replace("\\", "\\\\")
+      val words = expr(s"regexp_extract_all(text, '$sqlRegex', 0)")
+      val decoded = transform(words, w =>
+        decode(unhex(regexp_replace(call_function("graft_bpe_dec", w),
+          lit(" "), lit(""))), "UTF-8"))
+      docs.select(col("doc_id"),
+          size(words).cast("long").as("n_words"),
+          array_join(decoded, "").as("rejoined"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BYTE-LEVEL tokenizer end-to-end: learn 16 byte merges, bake them
     // into the byteLevel BpeApply expression (initial symbols = the
     // pre-token's UTF-8 bytes as hex pairs), segment the SAME corpus's
@@ -1076,6 +1100,13 @@ object DataPipelineQueries extends QueryPack {
     "text_bpe_train" -> bpeTrainOracleSql,
     "text_bpe_train_bytes" -> bpeTrainBytesOracleSql,
     "text_bpe_bytes_e2e" -> bpeBytesE2eOracleSql,
+    "text_bpe_decode" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.BytePretokenRegex}')) AS BIGINT)
+         |    AS n_words,
+         |  array_to_string(regexp_extract_all(text, '${TextOps.BytePretokenRegex}'),
+         |    '') AS rejoined
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_bpe_e2e" -> bpeE2eOracleSql,
     "text_tokens" ->
       s"""SELECT doc_id, len($tokSql) AS n_tokens,

@@ -39,6 +39,30 @@ object WebQueries extends QueryPack {
 
   private def docUrl: Column = WebOps.syntheticUrl(col("doc_id"), col("source"))
 
+  /** Page markup with five real outlinks (double-quoted, single-quoted
+    * with an entity-encoded `&`, unquoted, relative, absolute-external)
+    * plus two NON-links (an `<a>` inside a JS string, a bare fragment).
+    * Link targets are closed-form in doc_id so the oracle reconstructs
+    * them without parsing anything.
+    */
+  private def linkHtmlOf(docId: Column, n: Long): Column = concat(
+    lit("<html><body><p>intro</p><a href=\"/doc/"),
+    pmod(docId * 7 + 1, lit(n)).cast("string"),
+    lit("\">a</a>\n<a href='/doc/"),
+    pmod(docId * 13 + 2, lit(n)).cast("string"),
+    lit("?a=1&amp;b=2'>b</a>\n<a href=/doc/"),
+    pmod(docId * 3 + 5, lit(n)).cast("string"),
+    lit(" class=x>c</a>\n<a href=\"rel/page\">d</a>\n"),
+    lit("<a href=\"https://ext.example.net/x\">e</a>\n"),
+    lit("<script>var s = \"<a href=/evil>\";</script>\n<a href=\"#frag\">f</a></body></html>"))
+
+  /** Oracle-side host replay (the host part of [[urlSql]]). */
+  private val hostSql =
+    "CASE doc_id % 4 WHEN 0 THEN 'news.' || source || '.co.uk' " +
+      "WHEN 1 THEN 'www.' || source || '.example.com' " +
+      "WHEN 2 THEN source || '.example.org' " +
+      "ELSE 'cdn.' || source || '.com.au' END"
+
   /** documents → WARC records → record-at-time-gzip'd crawl files. */
   private def crawlFiles(s: SparkSession, dir: String, body: Column): DataFrame = {
     WebOps.registerAll(s)
@@ -139,6 +163,46 @@ object WebQueries extends QueryPack {
       ImportanceOps.dsirLogRatio(Tables.documents(s, dir), "doc_id", "text",
           isTarget = col("lang") === "en", numBuckets = 128)
         .orderBy(col("doc_id"))
+    }),
+
+    // Outlink extraction + resolution (the frontier side of HTML
+    // processing): quoted/unquoted/entity-encoded hrefs, links inside
+    // script strings and bare fragments excluded, every RFC 3986
+    // resolution branch exercised. The oracle reconstructs all five
+    // links per page from the closed-form target arithmetic.
+    "web_link_extract" -> ((s, dir) => {
+      WebOps.registerAll(s)
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      docs
+        .select(col("doc_id"), docUrl.as("base_url"),
+          call_function("html_links", linkHtmlOf(col("doc_id"), n)).as("ls"))
+        .select(col("doc_id"), col("base_url"),
+          posexplode(col("ls")).as(Seq("pos", "href")))
+        .select(col("doc_id"), col("pos"),
+          UrlOps.resolveUrl(col("base_url"), col("href")).as("link"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // PageRank over the EXTRACTED link graph (composition: html →
+    // links → edges → 5 integer-exact iterations). The oracle rebuilds
+    // the edges from the same closed-form targets and replays every
+    // iteration — certifying extraction, resolution, and the rank
+    // arithmetic in one hash.
+    "web_pagerank" -> ((s, dir) => {
+      WebOps.registerAll(s)
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id"), docUrl.as("base_url"),
+          explode(call_function("html_links", linkHtmlOf(col("doc_id"), n))).as("href"))
+        .select(col("doc_id").as("src"),
+          regexp_extract(UrlOps.resolveUrl(col("base_url"), col("href")),
+            "/doc/(\\d+)", 1).as("dst_s"))
+        .filter(col("dst_s") =!= "")
+        .select(col("src"), col("dst_s").cast("long").as("dst"))
+      graft.ops.GraphOps.pageRank(edges, "src", "dst", iters = 5)
+        .orderBy(col("node"))
     }),
 
     // robots.txt politeness gate (RFC 9309): every host serves a file
@@ -310,7 +374,58 @@ object WebQueries extends QueryPack {
     (base +: rounds).mkString(",\n")
   }
 
+  /** PageRank oracle: edges from the closed-form link targets, then 5
+    * generated iterations of the exact integer arithmetic (`//` is
+    * floor division — equal to Spark's `div` truncation because every
+    * operand is positive). This graph has no dangling nodes (every doc
+    * emits 3 in-graph links), so the dangling share is 0 on both sides;
+    * the dangling path is pinned in GraphOpsSpec instead.
+    */
+  private val pagerankSql: String = {
+    val base =
+      """WITH n AS (SELECT count(*) AS c FROM documents),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_id AS src, (doc_id*7+1) % c AS dst FROM documents, n
+        |  UNION ALL SELECT doc_id, (doc_id*13+2) % c FROM documents, n
+        |  UNION ALL SELECT doc_id, (doc_id*3+5) % c FROM documents, n),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |odeg AS MATERIALIZED (
+        |  SELECT src, count(*) AS od FROM edges GROUP BY src),
+        |p0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS p FROM nodes)""".stripMargin
+    val iters = (1 to 5).map { k =>
+      val p = k - 1
+      s"""c$k AS MATERIALIZED (SELECT e.dst, (p.p * 85) // (100 * o.od) AS cb
+         |  FROM edges e JOIN p$p p ON e.src = p.node
+         |  JOIN odeg o ON e.src = o.src),
+         |i$k AS MATERIALIZED (SELECT dst, sum(cb) AS s FROM c$k GROUP BY dst),
+         |p$k AS MATERIALIZED (SELECT n2.node,
+         |    CAST(150000 + coalesce(i.s, 0) AS BIGINT) AS p
+         |  FROM nodes n2 LEFT JOIN i$k i ON n2.node = i.dst)""".stripMargin
+    }
+    (base +: iters).mkString(",\n") + "\nSELECT node, p FROM p5 ORDER BY node"
+  }
+
   override def oracle: Map[String, String] = Map(
+
+    "web_link_extract" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM documents),
+         |d AS (SELECT doc_id, 'https://' || $hostSql AS origin FROM documents)
+         |SELECT doc_id, pos, link FROM (
+         |  SELECT d.doc_id, 0 AS pos,
+         |    origin || '/doc/' || CAST((doc_id*7+1) % c AS VARCHAR) AS link
+         |  FROM d, n
+         |  UNION ALL SELECT d.doc_id, 1,
+         |    origin || '/doc/' || CAST((doc_id*13+2) % c AS VARCHAR) || '?a=1&b=2'
+         |  FROM d, n
+         |  UNION ALL SELECT d.doc_id, 2,
+         |    origin || '/doc/' || CAST((doc_id*3+5) % c AS VARCHAR)
+         |  FROM d, n
+         |  UNION ALL SELECT d.doc_id, 3, origin || '/doc/rel/page' FROM d
+         |  UNION ALL SELECT d.doc_id, 4, 'https://ext.example.net/x' FROM d
+         |) ORDER BY doc_id, pos""".stripMargin,
+
+    "web_pagerank" -> pagerankSql,
 
     "web_robots_filter" ->
       s"""WITH u AS (SELECT doc_id,

@@ -44,5 +44,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("might_contain",
       es => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(es(0), es(1))))
+    // web-crawl ingestion family
+    ext.injectFunction(fn("gzip_member", es => GzipMember(es.head)))
+    ext.injectFunction(fn("gunzip_all", es => GunzipAll(es.head)))
+    ext.injectFunction(fn("warc_records", es => WarcRecords(es.head)))
+    ext.injectFunction(fn("http_body", es => HttpBody(es.head)))
+    ext.injectFunction(fn("http_status", es => HttpStatus(es.head)))
+    ext.injectFunction(fn("html_to_text", es => HtmlToText(es.head)))
+    ext.injectFunction(fn("html_links", es => HtmlLinks(es.head)))
+    ext.injectFunction(fn("robots_rules", es => RobotsRules(es.head)))
+    ext.injectFunction(fn("robots_match_len", es => RobotsMatchLen(es(0), es(1))))
   }
 }

@@ -97,7 +97,9 @@ object Gzip {
     try {
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) return -1 // truncated deflate stream
+        // 0 without finishing = truncated stream or preset-dictionary
+        // demand (FDICT is illegal in gzip) — refuse, never spin
+        if (n == 0 && !inf.finished()) return -1
         crc.update(buf, 0, n); out.write(buf, 0, n)
         total += n
         if (total > MaxInflatedBytes) return -1

@@ -558,14 +558,17 @@ object DedupOps {
     val lineRows = df
       .select(col(idCol), posexplode(lines).as(Seq("line_pos", "line")))
     // first occurrence per distinct line, totally ordered by (doc, pos)
+    // aliased keep-side columns: the self-derived join would otherwise
+    // resolve `line === line` ambiguously (dataset-id disambiguation is
+    // fragile across optimizer changes)
     val keep = lineRows
       .groupBy(col("line"))
       .agg(min(struct(col(idCol), col("line_pos"))).as("first"))
-      .select(col("line"), col("first").getField(idCol).as("keep_id"),
+      .select(col("line").as("keep_line"), col("first").getField(idCol).as("keep_id"),
         col("first").getField("line_pos").as("keep_pos"))
     val kept = lineRows
       .join(keep,
-        lineRows("line") === keep("line") &&
+        col("line") === col("keep_line") &&
           col(idCol) === col("keep_id") && col("line_pos") === col("keep_pos"),
         "left_semi")
     val total = lineRows.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))

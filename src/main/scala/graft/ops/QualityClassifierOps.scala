@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Trained quality classifier — the fastText-style third leg of corpus
@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   * the same derandomization posture as [[KMeansOps]] — which is what
   * lets a SQL oracle replay every round.
   *
-  * Scale shape: the model is `numBuckets` integers (broadcast each
-  * round); each round is two bounded shuffles (doc-keyed score agg,
-  * bucket-keyed gradient agg) over the cached feature table, and the
-  * driver collects exactly `numBuckets` gradient rows. Nothing
+  * Scale shape: the model is `numBuckets` integers (closure-shipped
+  * each round); each round is ONE single-stage aggregation over the
+  * cached per-doc feature layout with map-side combine — the shuffle
+  * carries one `numBuckets` array per task, never corpus rows — and
+  * the driver receives exactly one gradient array. Nothing
   * corpus-sized is ever collected. Magnitude note: per-round gradient
   * sums are `Σ err_µ·x` with |err_µ| ≤ 5·10⁵ — exact in int64 up to
   * ~10¹³ feature occurrences per bucket, far past any real corpus
@@ -57,6 +58,60 @@ object QualityClassifierOps {
       .agg(count(lit(1)).as("x"))
   }
 
+  /** Per-document feature bundle: one row per doc with its bucket ids,
+    * counts, and label — the cached training layout. Bounded per row by
+    * the document's own gram count.
+    */
+  case class DocFeats(doc: Long, bs: Array[Long], xs: Array[Long], y: Int)
+
+  /** One training round as ONE typed aggregation: per doc, the exact
+    * integer score under the broadcast weights, the quantized error,
+    * and the per-task gradient partial (a `numBuckets` array) — merged
+    * elementwise. Map-side combine bounds the shuffle at one array per
+    * task regardless of corpus size, and per-doc work never crosses a
+    * row boundary, so the whole round is a single stage + a
+    * `numBuckets`-sized reduce (the [[graft.vesc.HeadTrainer.GradAgg]]
+    * shape).
+    */
+  private class RoundGrad(w: Array[Long], numBuckets: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[DocFeats, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](numBuckets)
+    override def reduce(buf: Array[Long], d: DocFeats): Array[Long] = {
+      var s = 0L
+      var i = 0
+      while (i < d.bs.length) { s += w(d.bs(i).toInt) * d.xs(i); i += 1 }
+      val p = 1.0 / (1.0 + math.exp(-(s.toDouble / 1e6)))
+      val err = math.floor((p - d.y.toDouble) * 1e6 + 0.5).toLong
+      i = 0
+      while (i < d.bs.length) { buf(d.bs(i).toInt) += err * d.xs(i); i += 1 }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Long]]
+    override def outputEncoder = org.apache.spark.sql.Encoders.kryo[Array[Long]]
+  }
+
+  /** The cached per-doc layout for training: features grouped by doc and
+    * joined with the label — computed once, reused every round.
+    */
+  def docFeatures(feat: DataFrame, labels: DataFrame, docId: String): Dataset[DocFeats] = {
+    val spark = feat.sparkSession
+    import spark.implicits._
+    feat.join(labels, Seq(docId))
+      .groupBy(col(docId), col("y"))
+      .agg(collect_list(struct(col("b"), col("x"))).as("f"))
+      .select(col(docId).cast("long").as("doc"),
+        expr("transform(f, p -> p.b)").as("bs"),
+        expr("transform(f, p -> p.x)").as("xs"),
+        col("y").cast("int").as("y"))
+      .as[DocFeats]
+  }
+
   /** Full-batch gradient descent with FREQUENCY-NORMALIZED momentum,
     * micro-unit integer weights. Plain GD is badly conditioned here —
     * hot token buckets see 10⁴× the bias feature's gradient mass and
@@ -74,7 +129,10 @@ object QualityClassifierOps {
     *
     * Every cross-row reduction is an integer sum, so training is
     * bit-reproducible on any engine and a SQL oracle replays every
-    * round.
+    * round — and each round executes as ONE [[RoundGrad]] aggregation
+    * over the cached [[docFeatures]] layout (single stage + a
+    * `numBuckets`-sized reduce; summation order cannot matter because
+    * every cross-row sum is integer).
     *
     * @param labels (docId, y) with y ∈ {0,1}
     * @return final weights, index = bucket id
@@ -82,32 +140,14 @@ object QualityClassifierOps {
   def trainLogReg(feat: DataFrame, labels: DataFrame, docId: String,
                   numBuckets: Int = 256, rounds: Int = 20,
                   lr: Double = 1.0): Array[Long] = {
-    val spark = feat.sparkSession
-    import spark.implicits._
-    val f = feat.persist()
     val freq = new Array[Long](numBuckets)
-    f.groupBy(col("b")).agg(sum(col("x")).as("c")).collect()
+    feat.groupBy(col("b")).agg(sum(col("x")).as("c")).collect()
       .foreach(r => freq(r.getLong(0).toInt) = r.getLong(1))
+    val docs = docFeatures(feat, labels, docId).persist()
     val w = new Array[Long](numBuckets)
     val v = new Array[Long](numBuckets)
     (1 to rounds).foreach { _ =>
-      val wDf = w.zipWithIndex.map { case (x, b) => (b.toLong, x) }
-        .toSeq.toDF("b", "w")
-      val scores = f.join(broadcast(wDf), Seq("b"))
-        .groupBy(col(docId))
-        .agg(sum(col("w") * col("x")).as("s"))
-      val errs = labels.join(scores, Seq(docId), "left")
-        .select(col(docId),
-          floor((lit(1.0) / (lit(1.0) +
-            exp(-(coalesce(col("s"), lit(0L)).cast("double") / lit(1e6))))
-            - col("y").cast("double")) * lit(1e6) + lit(0.5))
-            .cast("long").as("err"))
-      val grads = f.join(errs, Seq(docId))
-        .groupBy(col("b"))
-        .agg(sum(col("err") * col("x")).as("gr"))
-        .collect() // ≤ numBuckets rows — the model, never the corpus
-      val gr = new Array[Long](numBuckets)
-      grads.foreach(r => gr(r.getLong(0).toInt) = r.getLong(1))
+      val gr = docs.select(new RoundGrad(w.clone(), numBuckets).toColumn).head()
       (0 until numBuckets).foreach { b =>
         v(b) = Math.floorDiv(9L * v(b), 10L) + gr(b)
         val delta =
@@ -115,7 +155,7 @@ object QualityClassifierOps {
         w(b) -= delta
       }
     }
-    f.unpersist()
+    docs.unpersist()
     w
   }
 

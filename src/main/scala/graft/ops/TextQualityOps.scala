@@ -117,4 +117,36 @@ object TextQualityOps {
           / (col("__n") + col("__v")).cast("double"))) * 1e4 + lit(0.5)) / 1e4)
           .as("avg_logprob"))
   }
+
+  /** Compression-ratio quality signal (the MassiveText/Gopher-family
+    * cheap gibberish detector): highly repetitive or templated text
+    * deflates far below normal prose, random noise barely deflates at
+    * all, so `deflated_bytes / raw_bytes` separates both junk tails
+    * with ONE scan-side pass and zero linguistic machinery. Built on
+    * the engine's own gzip member codec ([[graft.functions.Gzip]]), so
+    * the whole signal is a codegen'd projection.
+    *
+    * Ratio is an integer milli-ratio (⌊1000·deflated/raw⌋) — the
+    * gate-threshold arithmetic stays float-free. Compressed size is a
+    * zlib-implementation detail, so this signal has no cross-engine
+    * oracle; the ORDERING properties (repetition < prose < noise) are
+    * pinned in CorpusOpsSpec instead.
+    *
+    * Output: (docId, raw_bytes, deflated_bytes, ratio_milli); docs
+    * shorter than `minBytes` get ratio null (too short to mean
+    * anything — the empty-document guard).
+    */
+  def compressionRatio(df: DataFrame, docId: String, textCol: String,
+                       minBytes: Int = 32): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.Gzip.register)
+    val raw = octet_length(col(textCol).cast("binary"))
+    val deflated = octet_length(call_function("gzip_member", col(textCol).cast("binary")))
+    df.select(col(docId),
+      raw.cast("long").as("raw_bytes"),
+      deflated.cast("long").as("deflated_bytes"),
+      when(raw >= minBytes,
+        floor(deflated.cast("double") * 1000 / raw.cast("double")).cast("long"))
+        .as("ratio_milli"))
+  }
 }

@@ -165,6 +165,18 @@ object WebQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Compression-ratio quality signal (MassiveText-family): deflate
+    // each document with the engine's gzip codec, gate on the
+    // milli-ratio. zlib output size is implementation detail, so no
+    // cross-engine oracle — the driver records the weaker rows-only
+    // check, and the ordering semantics (repetition < prose < noise)
+    // are pinned in CorpusOpsSpec.
+    "text_compression_ratio" -> ((s, dir) => {
+      graft.ops.TextQualityOps.compressionRatio(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Outlink extraction + resolution (the frontier side of HTML
     // processing): quoted/unquoted/entity-encoded hrefs, links inside
     // script strings and bare fragments excluded, every RFC 3986

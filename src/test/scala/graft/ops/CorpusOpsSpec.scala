@@ -332,4 +332,23 @@ class CorpusOpsSpec extends SparkSuite {
     val joinLine = plan.linesIterator.indexWhere(_.contains("Join LeftSemi"))
     assert(joinLine < filterLine, s"filter must be below the semi join\n$plan")
   }
+
+  test("compression ratio orders repetition < prose < noise; short docs null") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val docs = Seq(
+      (1L, "the same line over and over " * 40), // boilerplate
+      (2L, ("the quick brown fox jumps over a lazy dog while mixed words " +
+        "vary across this sentence and keep entropy moderate ") * 6), // prose-ish
+      (3L, Array.fill(800)(rng.nextPrintableChar()).mkString), // noise
+      (4L, "tiny")).toDF("doc_id", "text")
+    val got = TextQualityOps.compressionRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(4L).isEmpty, "short doc must not get a ratio")
+    val (rep, prose, noise) = (got(1L).get, got(2L).get, got(3L).get)
+    assert(rep < prose && prose < noise, s"rep=$rep prose=$prose noise=$noise")
+    assert(noise > 500, "random printable text must barely deflate")
+    assert(rep < 150, "pure repetition must collapse")
+  }
 }

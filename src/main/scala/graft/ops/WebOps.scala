@@ -92,9 +92,26 @@ object WebOps {
         (acc, m) => concat(acc, m)).as("blob"))
   }
 
+  /** One WET-style `conversion` record (the pre-extracted-text layout
+    * Common Crawl ships alongside raw responses): no HTTP layer, the
+    * content block IS the page text.
+    */
+  def buildWetRecord(docId: Column, url: Column, text: Column): Column = {
+    val warcHead = concat(
+      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:graft:"),
+      docId.cast("string"),
+      lit(">\r\nWARC-Target-URI: "), url,
+      lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"),
+      lit("Content-Type: text/plain\r\nContent-Length: "),
+      octet_length(text.cast("binary")).cast("string"), lit("\r\n\r\n"))
+    concat(warcHead, text, lit("\r\n\r\n")).cast("binary")
+  }
+
   /** Parse crawl files back to one row per record: inflate every member,
-    * parse the WARC framing, split the HTTP message. One projection
-    * chain per blob; explode only after records are parsed.
+    * parse the WARC framing, split the HTTP message (null http fields
+    * for non-HTTP payloads — WET conversion records, metadata records).
+    * One projection chain per blob; explode only after records are
+    * parsed.
     */
   def extractRecords(files: DataFrame, blob: Column): DataFrame = {
     registered()
@@ -107,9 +124,20 @@ object WebOps {
         col("rec.target_uri").as("target_uri"),
         col("rec.warc_date").as("warc_date"),
         col("rec.content_length").as("content_length"),
+        col("rec.payload").as("payload"),
         call_function("http_status", col("rec.payload")).as("http_status"),
         call_function("http_body", col("rec.payload")).as("body"))
   }
+
+  /** WET read path: `conversion` records' content blocks ARE the page
+    * text — no HTTP split, no HTML extraction. The branch most corpus
+    * consumers actually read (Common Crawl WET files).
+    */
+  def extractWetText(files: DataFrame, blob: Column): DataFrame =
+    extractRecords(files, blob)
+      .filter(col("warc_type") === "conversion")
+      .select(col("record_id"), col("target_uri"),
+        col("payload").cast("string").as("text"))
 
   /** The full first mile: crawl files → visible page text, one row per
     * successfully fetched page — `(record_id, target_uri, http_status,

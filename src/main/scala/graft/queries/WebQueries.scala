@@ -165,6 +165,35 @@ object WebQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // WET (conversion-record) read path: the same gzip+WARC stack with
+    // the content block AS the text — no HTTP layer. Certifies the
+    // non-HTTP branch (null http fields) end to end.
+    "web_wet_extract" -> ((s, dir) => {
+      WebOps.registerAll(s)
+      val recs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          WebOps.buildWetRecord(col("doc_id"), docUrl, col("text")).as("rec"))
+      val files = WebOps.buildCrawlFiles(recs, col("doc_id"), col("rec"), perFile = 5)
+      WebOps.extractWetText(files, col("blob"))
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-domain cap (the anti-domination sampler: no single registered
+    // domain may contribute more than k documents; deterministic by the
+    // shared hash order): the bounded-MinK stratified sampler with
+    // eTLD+1 strata.
+    "web_domain_cap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("domain", UrlOps.registeredDomain(UrlOps.hostOf(docUrl)))
+      graft.ops.SamplingOps.stratifiedSample(docs, "domain", "doc_id", "n_chars", k = 5)
+        .select(col("domain"), col("doc_id"), col("n_chars"), col("pick"))
+        .orderBy(col("domain"), col("pick"))
+    }),
+
     // Compression-ratio quality signal (MassiveText-family): deflate
     // each document with the engine's gzip codec, gate on the
     // milli-ratio. zlib output size is implementation detail, so no
@@ -419,6 +448,24 @@ object WebQueries extends QueryPack {
   }
 
   override def oracle: Map[String, String] = Map(
+
+    "web_wet_extract" ->
+      s"""SELECT doc_id, $urlSql AS target_uri, text
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "web_domain_cap" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN source || '.co.uk'
+        |      WHEN 1 THEN 'example.com'
+        |      WHEN 2 THEN 'example.org'
+        |      ELSE source || '.com.au' END AS domain,
+        |    ('0x' || substr(md5('str:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS pick
+        |  FROM d)
+        |SELECT domain, doc_id, n_chars, CAST(pick AS BIGINT) AS pick
+        |FROM r WHERE pick <= 5 ORDER BY domain, pick""".stripMargin,
 
     "web_link_extract" ->
       s"""WITH n AS (SELECT count(*) AS c FROM documents),

@@ -133,6 +133,25 @@ class WebOpsSpec extends SparkSuite {
     assert(WarcParse.status(s("HTTP/1.1 99x\r\n\r\n")) == -1)
   }
 
+  test("wet conversion records round-trip multi-byte text (byte-length framing)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = Seq((1L, "café 中文 text"), (2L, "plain ascii")).toDF("doc_id", "text")
+    val recs = docs.select(col("doc_id"),
+      WebOps.buildWetRecord(col("doc_id"),
+        concat(lit("https://h/x/"), col("doc_id").cast("string")),
+        col("text")).as("rec"))
+    val files = WebOps.buildCrawlFiles(recs, col("doc_id"), col("rec"), perFile = 2)
+    val got = WebOps.extractWetText(files, col("blob"))
+      .select(col("target_uri"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("https://h/x/1" -> "café 中文 text", "https://h/x/2" -> "plain ascii"))
+    // and the non-HTTP payload yields null http fields on the generic path
+    val rec = WebOps.extractRecords(files, col("blob"))
+      .filter(col("warc_type") === "conversion").select(col("http_status")).collect()
+    assert(rec.forall(_.isNullAt(0)))
+  }
+
   // ---- HTML ----
 
   private def html(in: String): String =

@@ -56,6 +56,16 @@ object WebQueries extends QueryPack {
     lit("<a href=\"https://ext.example.net/x\">e</a>\n"),
     lit("<script>var s = \"<a href=/evil>\";</script>\n<a href=\"#frag\">f</a></body></html>"))
 
+  /** Shared robots.txt fixture: a disallow-all `*` group plus a
+    * graftbot group with overlapping prefix rules.
+    */
+  private val robotsFixture =
+    "# synthetic robots fixture\n" +
+      "User-agent: *\nDisallow: /\n\n" +
+      "User-agent: graftbot\nUser-agent: otherbot\n" +
+      "Disallow: /doc/1\nAllow: /doc/12\nDisallow: /doc/3\n" +
+      "Crawl-delay: 10\n"
+
   /** Oracle-side host replay (the host part of [[urlSql]]). */
   private val hostSql =
     "CASE doc_id % 4 WHEN 0 THEN 'news.' || source || '.co.uk' " +
@@ -260,14 +270,44 @@ object WebQueries extends QueryPack {
           UrlOps.hostOf(docUrl).as("host"),
           concat(lit("/doc/"), col("doc_id").cast("string")).as("path"))
       val robots = urls.select(col("host")).distinct()
-        .withColumn("txt", lit(
-          "# synthetic robots fixture\n" +
-            "User-agent: *\nDisallow: /\n\n" +
-            "User-agent: graftbot\nUser-agent: otherbot\n" +
-            "Disallow: /doc/1\nAllow: /doc/12\nDisallow: /doc/3\n" +
-            "Crawl-delay: 10\n"))
+        .withColumn("txt", lit(robotsFixture))
       WebOps.robotsFilter(urls, robots, "graftbot")
         .select(col("doc_id"), col("host"), col("path"), col("allowed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The COMPOSED crawl→training-set funnel: crawl files (gzip+WARC+
+    // HTTP round trip) → robots gate → corpus-wide line-level dedup on
+    // the SURVIVING pages → per-doc kept-text fingerprint. One hash
+    // certifies the stage composition — in particular that the line
+    // keep-first runs on the robots-filtered corpus (a disallowed doc's
+    // lines must NOT claim first-occurrence), which no per-stage gate
+    // can see.
+    "web_corpus_e2e" -> ((s, dir) => {
+      val files = crawlFiles(s, dir, col("text"))
+      val pages = WebOps.extractRecords(files, col("blob"))
+        .filter(col("http_status") === 200)
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), col("body").cast("string").as("text"))
+      val urls = pages.select(col("doc_id"),
+        UrlOps.hostOf(col("target_uri")).as("host"),
+        regexp_extract(col("target_uri"), "^[a-z]+://[^/]+(/.*)$", 1).as("path"))
+      val robots = urls.select(col("host")).distinct()
+        .withColumn("txt", lit(robotsFixture))
+      val allowedIds = WebOps.robotsFilter(urls, robots, "graftbot")
+        .filter(col("allowed")).select(col("doc_id"))
+      val kept = pages.join(allowedIds, Seq("doc_id"))
+      val toks = kept.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val lines = toks.select(col("doc_id"),
+        expr("""transform(
+                  sequence(0, greatest(CAST(ceil(size(toks)/10.0) AS INT), 1) - 1),
+                  i -> array_join(slice(toks, i*10+1, 10), ' '))""").as("lines"))
+      DedupOps.lineDedup(lines, "doc_id", col("lines"))
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("text_kept")).as("kept_md5"))
         .orderBy(col("doc_id"))
     }),
 
@@ -466,6 +506,33 @@ object WebQueries extends QueryPack {
         |  FROM d)
         |SELECT domain, doc_id, n_chars, CAST(pick AS BIGINT) AS pick
         |FROM r WHERE pick <= 5 ORDER BY domain, pick""".stripMargin,
+
+    "web_corpus_e2e" ->
+      """WITH surv AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE NOT ((starts_with('/doc/' || CAST(doc_id AS VARCHAR), '/doc/1')
+        |              AND NOT starts_with('/doc/' || CAST(doc_id AS VARCHAR), '/doc/12'))
+        |             OR starts_with('/doc/' || CAST(doc_id AS VARCHAR), '/doc/3'))),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM surv),
+        |lines AS (
+        |  SELECT doc_id, i AS line_pos,
+        |    array_to_string(t[(i*10+1):(i*10+10)], ' ') AS line
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(ceil(greatest(len(t), 1)/10.0) AS INT) - 1)) AS i) g),
+        |keep AS (SELECT line, min(doc_id*1000000 + line_pos) AS k
+        |  FROM lines GROUP BY line),
+        |kept AS (SELECT l.doc_id, l.line_pos, l.line
+        |  FROM lines l JOIN keep k ON l.line = k.line
+        |    AND l.doc_id*1000000 + l.line_pos = k.k),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+        |srv AS (SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(line, ' ' ORDER BY line_pos)) AS kept_md5
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_lines, s.n_kept, s.kept_md5
+        |FROM tot t JOIN srv s USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "web_link_extract" ->
       s"""WITH n AS (SELECT count(*) AS c FROM documents),

@@ -205,7 +205,7 @@ class PlanAuditSpec extends SparkSuite {
 
   test("web-crawl family: equi-joins only, no windows over the corpus") {
     Seq("web_crawl_e2e", "dedup_line_level", "text_dsir_weights",
-      "web_robots_filter", "web_link_extract", "web_pagerank").foreach { q =>
+      "web_robots_filter", "web_link_extract", "web_pagerank", "web_corpus_e2e").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("Window"), s"$q funnels the corpus through a window")

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `html_meta(string)` → `struct<title, meta_description, canonical,
+  * lang>` — the page-metadata complement of [[HtmlToText]] (which
+  * deliberately DROPS `<title>` from corpus text: title, description,
+  * declared language, and the canonical link are metadata columns a
+  * curation pipeline stores next to the text — the declared lang feeds
+  * language-ID priors, the canonical link feeds URL dedup, and
+  * title/description feed retrieval).
+  *
+  * One linear scan with the same tag discipline as the text extractor
+  * (tags inside comments don't count); each field is the FIRST
+  * occurrence (browser behavior for title/canonical), entity-decoded
+  * via the [[HtmlToText]] reference rules, whitespace-collapsed.
+  * Missing fields are null, never empty strings — downstream `coalesce`
+  * against fetched-language guesses must be able to tell "absent" from
+  * "declared empty".
+  */
+case class HtmlMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = HtmlMeta.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "html_meta"
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    HtmlMeta.extract(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HtmlMeta.extract($c);")
+  override protected def withNewChildInternal(newChild: Expression): HtmlMeta =
+    copy(child = newChild)
+}
+
+object HtmlMeta {
+
+  val schema: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("meta_description", StringType, nullable = true),
+    StructField("canonical", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true)))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "html_meta", exprs => HtmlMeta(exprs.head), "built-in")
+
+  def extract(in: UTF8String): GenericInternalRow = {
+    val s = in.toString
+    val n = s.length
+    var title: String = null
+    var desc: String = null
+    var canonical: String = null
+    var lang: String = null
+    var i = 0
+    while (i < n && (title == null || desc == null || canonical == null || lang == null)) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4); i = if (e < 0) n else e + 3
+        } else if (tagAt(s, i, "title") && title == null) {
+          val open = s.indexOf('>', i + 1)
+          val close = if (open < 0) -1 else indexOfIgnoreCase(s, "</title", open)
+          if (open >= 0 && close >= 0)
+            title = clean(s.substring(open + 1, close))
+          i = if (close < 0) n else close + 1
+        } else if (tagAt(s, i, "meta")) {
+          val end = tagEnd(s, i)
+          val body = s.substring(i, end)
+          if (desc == null &&
+              "(?i)name\\s*=\\s*[\"']?description".r.findFirstIn(body).isDefined)
+            attr(body, "content").foreach(v => desc = clean(v))
+          i = end
+        } else if (tagAt(s, i, "link")) {
+          val end = tagEnd(s, i)
+          val body = s.substring(i, end)
+          if (canonical == null &&
+              "(?i)rel\\s*=\\s*[\"']?canonical".r.findFirstIn(body).isDefined)
+            attr(body, "href").foreach(v => canonical = v.trim)
+          i = end
+        } else if (tagAt(s, i, "html")) {
+          val end = tagEnd(s, i)
+          if (lang == null)
+            attr(s.substring(i, end), "lang").foreach(v => lang = v.trim)
+          i = end
+        } else {
+          val e = s.indexOf('>', i + 1); i = if (e < 0) n else e + 1
+        }
+      } else i += 1
+    }
+    def u(x: String): UTF8String = if (x == null) null else UTF8String.fromString(x)
+    new GenericInternalRow(Array[Any](u(title), u(desc), u(canonical), u(lang)))
+  }
+
+  private def tagAt(s: String, i: Int, name: String): Boolean =
+    s.regionMatches(true, i + 1, name, 0, name.length) && {
+      val a = i + 1 + name.length
+      a < s.length && (s.charAt(a) == '>' || Character.isWhitespace(s.charAt(a)) ||
+        s.charAt(a) == '/')
+    }
+
+  private def tagEnd(s: String, i: Int): Int = {
+    val e = s.indexOf('>', i + 1); if (e < 0) s.length else e + 1
+  }
+
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    var i = from
+    val last = s.length - needle.length
+    while (i <= last) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Attribute value (quoted or unquoted) within one tag's body. */
+  private def attr(tag: String, name: String): Option[String] = {
+    val m = s"(?is)\\b$name\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))".r
+      .findFirstMatchIn(tag)
+    m.map(g => Option(g.group(2)).orElse(Option(g.group(3))).getOrElse(g.group(4)))
+  }
+
+  /** Entity-decode + whitespace-collapse via the text extractor's rules. */
+  private def clean(raw: String): String =
+    HtmlToText.extract(UTF8String.fromString(raw)).toString
+}

@@ -175,6 +175,55 @@ object WebQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Page-metadata extraction: title / meta description / canonical
+    // link / declared lang — the metadata columns a curation pipeline
+    // stores NEXT TO the text (html_to_text deliberately drops <title>
+    // from corpus text; html_meta is where it goes instead). The title
+    // carries an entity and the fields use mixed quoting styles.
+    "web_meta_extract" -> ((s, dir) => {
+      WebOps.registerAll(s)
+      val html = concat(
+        lit("<html lang=\""), col("lang"), lit("\"><head>"),
+        lit("<!-- <title>not this one</title> -->"),
+        lit("<title> Doc &amp; "), col("doc_id").cast("string"),
+        lit(" </title><meta name=description content='chars: "),
+        col("n_chars").cast("string"),
+        lit("'><link rel=\"canonical\" href="), docUrl,
+        lit(" /></head><body>x</body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), call_function("html_meta", html).as("m"))
+        .select(col("doc_id"),
+          col("m.title").as("title"),
+          col("m.meta_description").as("meta_description"),
+          col("m.canonical").as("canonical"),
+          col("m.lang").as("page_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sitemap ingestion (frontier seeding): per-host urlset XML built
+    // from the host's own documents, <loc> entries extracted with a
+    // pure codegen'd regexp chain — no custom code on the read side, so
+    // the oracle replays the identical extraction semantics from the
+    // url arithmetic.
+    "web_sitemap_extract" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), UrlOps.hostOf(docUrl).as("host"), docUrl.as("url"))
+      val xml = docs.groupBy(col("host"))
+        .agg(concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("url")))),
+            e => concat(lit("  <url><loc> "), e.getField("url"),
+              lit(" </loc><changefreq>daily</changefreq></url>\n"))), ""),
+          lit("</urlset>")).as("xml"))
+      xml.select(col("host"),
+          explode(expr("regexp_extract_all(xml, '<loc>\\\\s*([^<]+?)\\\\s*</loc>', 1)"))
+            .as("loc"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_locs"),
+          min(col("loc")).as("first_loc"), max(col("loc")).as("last_loc"))
+        .orderBy(col("host"))
+    }),
+
     // WET (conversion-record) read path: the same gzip+WARC stack with
     // the content block AS the text — no HTTP layer. Certifies the
     // non-HTTP branch (null http fields) end to end.
@@ -492,6 +541,21 @@ object WebQueries extends QueryPack {
     "web_wet_extract" ->
       s"""SELECT doc_id, $urlSql AS target_uri, text
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "web_meta_extract" ->
+      s"""SELECT doc_id,
+         |  'Doc & ' || CAST(doc_id AS VARCHAR) AS title,
+         |  'chars: ' || CAST(n_chars AS VARCHAR) AS meta_description,
+         |  $urlSql AS canonical,
+         |  lang AS page_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "web_sitemap_extract" ->
+      s"""WITH d AS (SELECT doc_id, $hostSql AS host, $urlSql AS url
+         |  FROM documents)
+         |SELECT host, count(*) AS n_locs,
+         |  min(url) AS first_loc, max(url) AS last_loc
+         |FROM d GROUP BY host ORDER BY host""".stripMargin,
 
     "web_domain_cap" ->
       """WITH d AS (SELECT doc_id, n_chars,

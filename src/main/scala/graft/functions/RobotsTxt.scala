@@ -87,29 +87,44 @@ object RobotsTxt {
   /** Specificity (pattern length) when `pattern` matches `path` per RFC
     * 9309 wildcard semantics, else -1. Patterns are PREFIX matches
     * unless `$`-anchored; `*` spans any characters.
+    *
+    * Backtracking is budgeted: a hostile robots file can craft a
+    * pattern of alternating `*a` pairs whose naive match is exponential
+    * in the path length, and the matcher runs once per (rule, URL) pair
+    * across the whole crawl — a budget overrun counts as NO MATCH (the
+    * fail-open direction robots semantics already give unmatched
+    * paths), never a hung executor.
     */
   def matchLen(pattern: UTF8String, path: UTF8String): Int = {
     val p = pattern.toString
     val s = path.toString
     val anchored = p.endsWith("$")
     val pat = if (anchored) p.substring(0, p.length - 1) else p
-    if (wildMatch(pat, 0, s, 0, anchored)) p.length else -1
+    val budget = new Array[Int](1)
+    budget(0) = 100000
+    if (wildMatch(pat, 0, s, 0, anchored, budget)) p.length else -1
   }
 
-  /** Greedy `*` with backtracking; prefix semantics unless anchored. */
+  /** Greedy `*` with budgeted backtracking; prefix semantics unless
+    * anchored.
+    */
   private def wildMatch(pat: String, pi: Int, s: String, si: Int,
-                        anchored: Boolean): Boolean = {
+                        anchored: Boolean, budget: Array[Int]): Boolean = {
+    budget(0) -= 1
+    if (budget(0) <= 0) return false
     if (pi == pat.length) return if (anchored) si == s.length else true
     pat.charAt(pi) match {
       case '*' =>
         var k = si
         while (k <= s.length) {
-          if (wildMatch(pat, pi + 1, s, k, anchored)) return true
+          if (wildMatch(pat, pi + 1, s, k, anchored, budget)) return true
+          if (budget(0) <= 0) return false
           k += 1
         }
         false
       case c =>
-        si < s.length && s.charAt(si) == c && wildMatch(pat, pi + 1, s, si + 1, anchored)
+        si < s.length && s.charAt(si) == c &&
+          wildMatch(pat, pi + 1, s, si + 1, anchored, budget)
     }
   }
 }

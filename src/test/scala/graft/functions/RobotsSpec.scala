@@ -64,6 +64,15 @@ class RobotsSpec extends AnyFunSuite {
     assert(mlen("/a*z", "/abc") == -1)
   }
 
+  test("match: hostile backtracking patterns terminate (budget → no-match)") {
+    val pat = "/" + ("*a" * 20) + "$"
+    val path = "/" + ("a" * 200) + "b"
+    val t0 = System.nanoTime()
+    assert(mlen(pat, path) == -1)
+    assert((System.nanoTime() - t0) / 1e6 < 500.0,
+      "hostile pattern must fail fast, not backtrack exponentially")
+  }
+
   test("match: $ anchors the end; unanchored patterns are prefixes") {
     assert(mlen("/doc/1$", "/doc/1") == 7)
     assert(mlen("/doc/1$", "/doc/12") == -1)

@@ -327,7 +327,11 @@ object StreamingPipeline {
     */
   def crawlStream(spark: SparkSession, dir: String): DataFrame = {
     graft.ops.WebOps.registerAll(spark)
-    val files = spark.readStream
+    graft.ops.WebOps.extractPages(crawlFiles(spark, dir), col("content"))
+  }
+
+  private def crawlFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
       .format("binaryFile")
       .schema(StructType(Seq(
         org.apache.spark.sql.types.StructField("path",
@@ -339,6 +343,43 @@ object StreamingPipeline {
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType))))
       .load(dir)
-    graft.ops.WebOps.extractPages(files, col("content"))
+
+  /** Streaming FRONTIER discovery — the loop that makes a crawler: as
+    * crawl segments land, every fetched page's outlinks are extracted
+    * ([[graft.functions.HtmlLinks]]), resolved against their page
+    * ([[graft.ops.UrlOps.resolveUrl]]), canonicalized
+    * ([[graft.ops.UrlOps.canonicalizeUrl]] — scheme/tracking/fragment
+    * variants of one page must not enqueue twice), and emitted ONCE:
+    * `dropDuplicatesWithinWatermark` on the canonical url keyed by the
+    * segment's file time, so dedup state is bounded by the retention
+    * horizon, never frontier-sized — the same bounded-state posture as
+    * [[nearDupStream]].
+    *
+    * Output: append-mode stream of (url, first_seen) — newly discovered
+    * canonical URLs, the feed a fetch scheduler consumes.
+    */
+  def frontierStream(spark: SparkSession, dir: String,
+                     retention: String = "10 minutes"): DataFrame = {
+    graft.ops.WebOps.registerAll(spark)
+    // inline the record explode (rather than WebOps.extractRecords) so the
+    // segment's file time survives next to each record — it is the
+    // event-time column that bounds the dedup state
+    val pages = crawlFiles(spark, dir)
+      .select(col("modificationTime").as("seg_time"), col("content"))
+      .select(col("seg_time"), explode(
+        call_function("warc_records", call_function("gunzip_all", col("content"))))
+        .as("rec"))
+      .filter(call_function("http_status", col("rec.payload")) === 200)
+      .select(col("seg_time"), col("rec.target_uri").as("base_url"),
+        call_function("http_body", col("rec.payload")).cast("string").as("html"))
+    pages
+      .select(col("seg_time"), col("base_url"),
+        explode(call_function("html_links", col("html"))).as("href"))
+      .select(col("seg_time"),
+        graft.ops.UrlOps.canonicalizeUrl(
+          graft.ops.UrlOps.resolveUrl(col("base_url"), col("href"))).as("url"))
+      .withWatermark("seg_time", retention)
+      .dropDuplicatesWithinWatermark("url")
+      .select(col("url"), col("seg_time").as("first_seen"))
   }
 }

@@ -297,6 +297,46 @@ class StreamingSpec extends SparkSuite {
       batch.map(_.toString).sorted.toSeq)
   }
 
+  test("frontier stream: outlinks discovered once across segments, canonical variants collapse") {
+    import spark.implicits._
+    import graft.ops.WebOps
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("frontier_in_")
+    def page(id: Long, links: Seq[String]): (Long, String) =
+      id -> links.map(l => s"""<a href="$l">x</a>""").mkString(
+        "<html><body>", "\n", "</body></html>")
+    // segment 0: two pages; /b is linked twice (once as a tracking variant)
+    val seg0 = Seq(
+      page(0L, Seq("/a", "https://h.example.com/b?utm_source=x")),
+      page(1L, Seq("/b", "/c#frag")))
+    // segment 1: an already-seen link plus one genuinely new
+    val seg1 = Seq(page(2L, Seq("/a", "/new")))
+    def blobOf(pages: Seq[(Long, String)]): Array[Byte] = {
+      val df = pages.toDF("doc_id", "html")
+      val recs = df.select(col("doc_id"), WebOps.buildRecord(col("doc_id"),
+        lit("https://h.example.com/p"), col("html")).as("rec"))
+      WebOps.buildCrawlFiles(recs, col("doc_id"), col("rec"), perFile = 10)
+        .head.getAs[Array[Byte]]("blob")
+    }
+    java.nio.file.Files.write(dir.resolve("seg0.warc.gz"), blobOf(seg0))
+    val q = StreamingPipeline.frontierStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("frontier_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("frontier_out").select(col("url")).as[String].collect().toSet
+      // /b's tracking variant and plain /b collapse to ONE canonical url
+      assert(first == Set("https://h.example.com/a", "https://h.example.com/b",
+        "https://h.example.com/c"))
+      java.nio.file.Files.write(dir.resolve("seg1.warc.gz"), blobOf(seg1))
+      q.processAllAvailable()
+      val all = spark.table("frontier_out").select(col("url")).as[String].collect()
+      // /a arrived again in segment 1 but was already discovered — only /new is emitted
+      assert(all.length == 4 && all.count(_.endsWith("/a")) == 1)
+      assert(all.toSet.contains("https://h.example.com/new"))
+    } finally q.stop()
+  }
+
   test("crawl ingestion stream: gzip'd WARC segments arrive → page text, incrementally") {
     import spark.implicits._
     import graft.ops.WebOps

@@ -226,6 +226,28 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup via the embedding
+    // space — k-means clusters the corpus (the published recipe's
+    // blocking step: candidate pairs only WITHIN a cluster, never
+    // all-pairs), cosine near-dup pairs inside each cluster, connected
+    // components, keep the min-id representative per component. Every
+    // stage is an already-gated operator; this composes them in the
+    // paper's shape with the TRAINED (not label) clustering, and the
+    // oracle replays kmeans → within-cluster cosine → CC in one
+    // statement.
+    "dedup_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val assign = graft.ops.KMeansOps.assignments(emb, "vec_id", "embedding",
+        k = 4, iters = 1)
+      val clustered = emb.join(assign, Seq("vec_id"))
+      val pairs = EmbeddingOps.cosinePairs(clustered, "vec_id", "embedding",
+        "cid", minCos = MIN_COS)
+      DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
+        .select(col("id").cast("long").as("vec_id"), col("component"),
+          (col("component") === col("id")).as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // M6 distributed mini-batch gradient: one epoch-0 pass of the head
     // trainer's gradient aggregation (graft.vesc.HeadTrainer.GradAgg —
     // map-side-combined masked-BCE loss + ∂L/∂W + ∂L/∂b per deterministic
@@ -1028,6 +1050,53 @@ object DataPipelineQueries extends QueryPack {
          |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
          |FROM cand WHERE hamming <= $EMBED_MAX_HAMMING
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_semdedup" ->
+      s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |ke AS (SELECT vec_id AS id,
+         |        list_transform(embedding,
+         |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv,
+         |        ('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |      FROM embeddings),
+         |sd AS (SELECT qv, rn - 1 AS cid FROM (
+         |        SELECT qv, row_number() OVER (ORDER BY h, id) AS rn FROM ke)
+         |      WHERE rn <= 4),
+         |d0 AS (SELECT ke.id, sd.cid,
+         |         sum((ke.qv[i] - sd.qv[i]) * (ke.qv[i] - sd.qv[i])) AS d
+         |       FROM ke CROSS JOIN sd CROSS JOIN dims GROUP BY ke.id, sd.cid),
+         |a0 AS (SELECT id, cid FROM (
+         |         SELECT id, cid, row_number() OVER (PARTITION BY id
+         |           ORDER BY d, cid) AS rnk FROM d0)
+         |       WHERE rnk = 1),
+         |c1 AS (SELECT a0.cid, d.i, CAST(floor(avg(ke.qv[d.i]) + 0.5) AS BIGINT) AS cx
+         |       FROM ke JOIN a0 ON ke.id = a0.id CROSS JOIN dims d
+         |       GROUP BY a0.cid, d.i),
+         |cf AS (SELECT sd.cid, d.i, coalesce(c1.cx, sd.qv[d.i]) AS cx
+         |       FROM sd CROSS JOIN dims d
+         |       LEFT JOIN c1 ON c1.cid = sd.cid AND c1.i = d.i),
+         |d1 AS (SELECT ke.id, c.cid,
+         |         sum((ke.qv[c.i] - c.cx) * (ke.qv[c.i] - c.cx)) AS d
+         |       FROM ke CROSS JOIN cf c GROUP BY ke.id, c.cid),
+         |a1 AS MATERIALIZED (SELECT id, cid FROM (
+         |         SELECT id, cid, row_number() OVER (PARTITION BY id
+         |           ORDER BY d, cid) AS rnk FROM d1)
+         |       WHERE rnk = 1),
+         |pp AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+         |    sqrt(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) AS na,
+         |    sqrt(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS nb
+         |  FROM embeddings a JOIN a1 ca ON ca.id = a.vec_id
+         |  JOIN embeddings b JOIN a1 cb ON cb.id = b.vec_id
+         |    ON ca.cid = cb.cid AND a.vec_id < b.vec_id
+         |  CROSS JOIN dims
+         |  GROUP BY 1, 2),
+         |cand AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM pp
+         |  WHERE floor((dp / (na * nb)) * 10000 + 0.5) / 10000.0 >= $MIN_COS),
+         |$ccUnrollSql
+         |SELECT id AS vec_id, lbl AS component, (lbl = id) AS kept
+         |FROM l$CC_ROUNDS ORDER BY vec_id""".stripMargin,
+
     "dedup_embed_cosine" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
         |p AS (

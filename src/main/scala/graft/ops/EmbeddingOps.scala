@@ -363,4 +363,28 @@ object EmbeddingOps {
         floor(cosine(col("__qv"), col("__cv")) * scale + lit(0.5)) / scale)
     takeTopK(rerank, "neighbor_id", k)
   }
+
+  /** SEMANTIC decontamination support: per train row, the maximum cosine
+    * against a benchmark/eval embedding set — the embedding-space
+    * sibling of the n-gram leak scrub ([[DedupOps.contaminated]]): a
+    * paraphrased eval item shares no 8-gram but sits next to its source
+    * in embedding space.
+    *
+    * Scale shape: eval sets are benchmark-sized, so the whole set
+    * broadcasts and the corpus is scanned ONCE (train × broadcast-eval
+    * expansion, then one max-agg per train row keyed by id — map-side
+    * partials bound it). Nothing all-pairs over the corpus.
+    */
+  def maxEvalCosine(train: DataFrame, eval: DataFrame, idCol: String,
+                    vecCol: String, roundDigits: Int = 4): DataFrame = {
+    reg(train)
+    val scale = math.pow(10, roundDigits)
+    val ev = broadcast(eval.select(col(vecCol).as("__ev")))
+    train.select(col(idCol), col(vecCol).as("__tv"))
+      .crossJoin(ev)
+      .withColumn("__cos",
+        floor(cosine(col("__tv"), col("__ev")) * scale + lit(0.5)) / scale)
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("max_eval_cos"))
+  }
 }

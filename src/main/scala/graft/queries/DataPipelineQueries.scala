@@ -226,6 +226,19 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SEMANTIC decontamination: the embedding-space sibling of the
+    // 8-gram leak scrub — a paraphrased eval item shares no n-gram but
+    // sits next to its source in embedding space. Eval slice broadcast,
+    // corpus scanned once, max-cos per train row, threshold flag.
+    "dedup_decontam_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val eval = emb.filter(col("vec_id") < 50)
+      val train = emb.filter(col("vec_id") >= 50)
+      EmbeddingOps.maxEvalCosine(train, eval, "vec_id", "embedding")
+        .withColumn("contaminated", col("max_eval_cos") >= MIN_COS)
+        .orderBy(col("vec_id"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup via the embedding
     // space — k-means clusters the corpus (the published recipe's
     // blocking step: candidate pairs only WITHIN a cluster, never
@@ -1050,6 +1063,22 @@ object DataPipelineQueries extends QueryPack {
          |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
          |FROM cand WHERE hamming <= $EMBED_MAX_HAMMING
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_decontam_semantic" ->
+      s"""WITH t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50),
+         |ev AS (SELECT vec_id AS eid, embedding AS ee FROM embeddings WHERE vec_id < 50),
+         |p AS (
+         |  SELECT t.vec_id, ev.eid,
+         |    floor((sum(CAST(t.embedding[i] AS DOUBLE) * CAST(ev.ee[i] AS DOUBLE))
+         |      / (sqrt(sum(CAST(t.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
+         |         * sqrt(sum(CAST(ev.ee[i] AS DOUBLE) * CAST(ev.ee[i] AS DOUBLE)))))
+         |      * 10000 + 0.5) / 10000.0 AS cos
+         |  FROM t CROSS JOIN ev
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+         |  GROUP BY t.vec_id, ev.eid)
+         |SELECT vec_id, max(cos) AS max_eval_cos,
+         |  (max(cos) >= $MIN_COS) AS contaminated
+         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "dedup_semdedup" ->
       s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
          |ke AS (SELECT vec_id AS id,

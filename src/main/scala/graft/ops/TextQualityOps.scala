@@ -118,6 +118,47 @@ object TextQualityOps {
           .as("avg_logprob"))
   }
 
+  /** BIGRAM conditional LM score — one order up from
+    * [[unigramLogProb]] toward the n-gram perplexity filter CCNet
+    * actually ships: per document, the mean add-one-smoothed
+    * `ln p(w₂|w₁) = ln (c(w₁w₂)+1) / (c(w₁)+V)` under the corpus's own
+    * counts. Both count tables are df-capped deterministically at
+    * `maxVocab` (count desc / gram asc — the cap only moves tail grams
+    * to the unseen bucket) and broadcast; `V` (distinct unigrams) is
+    * computed PRE-cap, same posture as the unigram scorer. `n_oov2`
+    * (bigrams outside the capped table) is the junk signal: templated
+    * text repeats few bigrams, gibberish hits none.
+    *
+    * Docs with fewer than 2 tokens have no bigram evidence and are
+    * absent, like the unigram scorer's empty docs.
+    */
+  def bigramLogProb(df: DataFrame, docId: String, textCol: String,
+                    maxVocab: Int = 65536): DataFrame = {
+    val tok = df.select(col(docId), explode(toks(col(textCol))).as("t"))
+    val totals = tok.agg(count_distinct(col("t")).as("__v"))
+    val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+      .orderBy(col("c1").desc, col("t").asc)
+      .limit(maxVocab)
+      .withColumnRenamed("t", "w1")
+    // token array materialized into its own column BEFORE shinglesOf —
+    // the documented O(tokens²) re-split trap of passing tokens() inline
+    val bi = df.select(col(docId), toks(col(textCol)).as("__l"))
+      .select(col(docId), explode(TextOps.shinglesOf(col("__l"), 2)).as("b"))
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+    val blm = bi.groupBy(col("b")).agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("b").asc)
+      .limit(maxVocab)
+    bi.join(broadcast(blm), Seq("b"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_oov2"),
+        (floor(avg(log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double")
+          / (coalesce(col("c1"), lit(0L)) + col("__v")).cast("double"))) * 1e4
+          + lit(0.5)) / 1e4).as("avg_logprob2"))
+  }
+
   /** Compression-ratio quality signal (the MassiveText/Gopher-family
     * cheap gibberish detector): highly repetitive or templated text
     * deflates far below normal prose, random noise barely deflates at

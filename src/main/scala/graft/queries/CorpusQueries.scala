@@ -83,6 +83,19 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // One LM order up: mean add-one-smoothed bigram CONDITIONAL
+    // log-prob ln p(w2|w1) under the corpus's own df-capped count
+    // tables — the step from the unigram scorer toward CCNet's n-gram
+    // perplexity filter. The oracle replays counts → caps → smoothed
+    // ln → 4dp floor.
+    "text_lm_bigram" -> ((s, dir) => {
+      TextQualityOps.bigramLogProb(Tables.documents(s, dir),
+          "doc_id", "text", maxVocab = 65536)
+        .select(col("doc_id"), col("n_bigrams"), col("n_oov2"),
+          col("avg_logprob2"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis,
     // derandomized): longer documents proportionally likelier; one bounded
     // min-k aggregation, no RNG, no global sort.
@@ -469,6 +482,25 @@ object CorpusQueries extends QueryPack {
          |  floor(avg(ln((coalesce(c, 0) + 1.0)
          |    / ((SELECT n FROM tot) + (SELECT v FROM tot)))) * 1e4 + 0.5) / 1e4
          |    AS avg_logprob
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_lm_bigram" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
+         |p AS (SELECT doc_id, unnest(l) AS t FROM t),
+         |tot AS (SELECT count(DISTINCT t) AS v FROM p),
+         |u AS (SELECT t, count(*) AS c1 FROM p GROUP BY t
+         |      ORDER BY c1 DESC, t ASC LIMIT 65536),
+         |bgr AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS b, l[i] AS w1
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) g
+         |  WHERE len(l) >= 2),
+         |blm AS (SELECT b, count(*) AS c2 FROM bgr GROUP BY b
+         |       ORDER BY c2 DESC, b ASC LIMIT 65536),
+         |j AS (SELECT bgr.doc_id, blm.c2, u.c1
+         |  FROM bgr LEFT JOIN blm USING (b) LEFT JOIN u ON u.t = bgr.w1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov2,
+         |  floor(avg(ln((coalesce(c2, 0) + 1.0)
+         |    / (coalesce(c1, 0) + (SELECT v FROM tot)))) * 1e4 + 0.5) / 1e4
+         |    AS avg_logprob2
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_quality_gate" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),

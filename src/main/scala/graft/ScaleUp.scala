@@ -131,7 +131,7 @@ object ScaleUp {
     // constant — a 32-dim corpus at k > 32 would otherwise feed slice() a
     // negative length at runtime
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    (0 until k).map { i =>
+    val embCopies = (0 until k).map { i =>
       if (i == 0) emb
       else {
         val shifted = emb
@@ -143,6 +143,24 @@ object ScaleUp {
           s"concat(slice(embedding, ${rot + 1}, size(embedding) - $rot), slice(embedding, 1, $rot))"))
       }
     }.reduce(_ unionByName _)
+    val embOut =
+      if (!adversarial) embCopies
+      else {
+        // EMBEDDING clique: CliqueSize identical vectors in one label
+        // bucket past every copy's range — the SemDeDup failure input
+        // (near-dups CONCENTRATE in one cluster by design), invisible to
+        // the text clique because embeddings are an independent table.
+        // An uncapped within-block cosine join would emit ~50M pairs each
+        // carrying two full vectors; the capped path must chain it O(m).
+        val embClique = emb.orderBy(col("vec_id")).limit(1)
+          .select(explode(sequence(lit(0L), lit(CliqueSize - 1L))).as("__i"),
+            col("embedding"))
+          .withColumn("vec_id", lit(k * 10000000L) + col("__i"))
+          .withColumn("label", lit(k * 1000L + 999L))
+          .drop("__i")
+        embCopies.unionByName(embClique.select(embCopies.columns.map(col): _*))
+      }
+    embOut
       .repartition(cpus.toInt)
       .write.mode(SaveMode.Overwrite).parquet(s"$dest/embeddings.parquet")
 

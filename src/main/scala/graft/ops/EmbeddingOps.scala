@@ -135,29 +135,42 @@ object EmbeddingOps {
         col("__item._2").as("neighbor_id"), col("__item._1").as("score"))
   }
 
-  /** Embedding-cosine near-duplicate pairs, bucketed: candidate pairs are
-    * restricted to rows sharing `bucketCol` (an IVF/LSH coarse bucket), so
-    * generation is an equi-join on the bucket — never an all-pairs cross
-    * join — and each block is (n/buckets)² instead of n². Scores are
-    * rounded to `roundDigits` before the threshold so float noise can't
-    * flip borderline pairs between engines.
+  /** Embedding-cosine near-duplicate pairs, bucketed AND block-capped:
+    * candidate pairs are restricted to rows sharing `bucketCol` (an
+    * IVF/LSH coarse bucket), so generation is an equi-join on the bucket —
+    * never an all-pairs cross join — and each block is (n/buckets)²
+    * instead of n². Scores are rounded to `roundDigits` before the
+    * threshold so float noise can't flip borderline pairs between engines.
+    *
+    * The within-bucket self-join goes through
+    * [[DedupOps.cappedBandPairs]] because bucketing alone does NOT bound
+    * block size — SemDeDup's premise is that near-duplicates CONCENTRATE
+    * in clusters, so a boilerplate-heavy corpus yields one giant cluster
+    * and an uncapped join emits O(m²) pairs each shuffling TWO full
+    * embedding vectors (the payload multiplies the shuffle bytes, unlike
+    * string-id band pairs). Blocks ≤ `maxBlock` run the exact all-pairs
+    * join (bit-identical to the uncapped form); bigger blocks emit only
+    * the consecutive-by-id chain, and the exact cosine filter still runs
+    * on every chained edge — a chain edge failing the threshold splits
+    * the downstream component exactly where the clique would have split.
+    * Connected components over the output (what SemDeDup consumes) are
+    * therefore identical whenever within-block similarity is transitive
+    * at the threshold — the regime clustering targets; components must
+    * use [[DedupOps.connectedComponentsStar]] (chains have diameter m).
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   bucketCol: String, minCos: Double,
-                  roundDigits: Int = 4): DataFrame = {
+                  roundDigits: Int = 4, maxBlock: Int = 1000): DataFrame = {
     reg(emb)
     val scale = math.pow(10, roundDigits)
     // norms once per ROW before the join — recomputing them per PAIR would
     // triple the work of every block
     val normed = emb.select(col(bucketCol).as("__bk"), col(idCol),
-      col(vecCol), l2Norm(col(vecCol)).as("__n"))
-    val a = normed.select(col("__bk"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"), col("__n").as("__na"))
-    val b = normed.select(col("__bk"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"), col("__n").as("__nb"))
-    a.join(b, "__bk").filter(col("id_a") < col("id_b"))
+      col(vecCol).as("__v"), l2Norm(col(vecCol)).as("__n"))
+    DedupOps.cappedBandPairs(normed, idCol, Seq("__bk"),
+        payload = Seq("__v", "__n"), maxBlock = maxBlock)
       .withColumn("cos",
-        floor(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+        floor(dot(col("__v_a"), col("__v_b")) / (col("__n_a") * col("__n_b"))
           * scale + lit(0.5)) / scale)
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
@@ -374,10 +387,24 @@ object EmbeddingOps {
     * broadcasts and the corpus is scanned ONCE (train × broadcast-eval
     * expansion, then one max-agg per train row keyed by id — map-side
     * partials bound it). Nothing all-pairs over the corpus.
+    *
+    * `maxEvalRows` (default 100k) is a loud guard against passing a
+    * CORPUS as `eval`: the operator's whole design is a broadcast
+    * expansion, so a corpus-sized eval side would be an accidental n²
+    * cross join. The pre-count is one cheap job over the (small) eval
+    * side — and when the side is NOT small, failing before the cross
+    * join is exactly the point.
     */
   def maxEvalCosine(train: DataFrame, eval: DataFrame, idCol: String,
-                    vecCol: String, roundDigits: Int = 4): DataFrame = {
+                    vecCol: String, roundDigits: Int = 4,
+                    maxEvalRows: Long = 100000L): DataFrame = {
     reg(train)
+    val evalCount = eval.limit(Math.toIntExact(maxEvalRows) + 1).count()
+    require(evalCount <= maxEvalRows,
+      s"maxEvalCosine eval side exceeds $maxEvalRows rows — it is broadcast " +
+        "whole against every train row, so a corpus-sized eval set makes this " +
+        "an all-pairs cross join. Pass the benchmark/eval slice, not a corpus " +
+        "(or raise maxEvalRows deliberately).")
     val scale = math.pow(10, roundDigits)
     val ev = broadcast(eval.select(col(vecCol).as("__ev")))
     train.select(col(idCol), col(vecCol).as("__tv"))

@@ -90,4 +90,48 @@ class BandCapSpec extends SparkSuite {
     // id_a < id_b everywhere — chain order is ascending by construction
     assert(got.forall { case (a, b, _, _) => a < b })
   }
+
+  test("cosinePairs: one giant embedding cluster costs O(m) edges, not m^2/2") {
+    import spark.implicits._
+    // SemDeDup's failure input: near-dups CONCENTRATE in one cluster, so
+    // m boilerplate embeddings share a bucket — uncapped that is
+    // ~12.5M pairs each shuffling two full vectors
+    val m = 5000
+    val emb = (0 until m).map(i => (i.toLong, 0, Seq(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "bucket", "embedding")
+    val pairs = EmbeddingOps.cosinePairs(emb, "vec_id", "embedding",
+      "bucket", minCos = 0.9, maxBlock = 256)
+    // identical vectors -> every chained edge passes the cosine filter
+    assert(pairs.count() == (m - 1).toLong)
+    val comp = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
+    assert(comp.select(col("component")).distinct().count() == 1)
+  }
+
+  test("cosinePairs: capped components identical to uncapped all-pairs") {
+    import spark.implicits._
+    val dim = 24
+    def basis(k: Int): Seq[Float] =
+      (0 until dim).map(j => if (j == k) 1.0f else 0.0f)
+    // dup groups of 50 (over the cap of 10), 8, 2 — each its own bucket —
+    // plus 20 mutually-ORTHOGONAL rows sharing one oversized bucket: its
+    // chain edges must all FAIL the cosine filter (no false merges from
+    // capping)
+    val rows =
+      (0 until 50).map(i => (100L + i, 1, basis(0))) ++
+      (0 until 8).map(i => (500L + i, 2, basis(1))) ++
+      (0 until 2).map(i => (700L + i, 3, basis(2))) ++
+      (0 until 20).map(i => (900L + i, 4, basis(3 + i)))
+    val emb = rows.toDF("vec_id", "bucket", "embedding")
+    def components(maxBlock: Int): Map[Long, Long] =
+      DedupOps.connectedComponentsStar(
+          EmbeddingOps.cosinePairs(emb, "vec_id", "embedding", "bucket",
+            minCos = 0.9, maxBlock = maxBlock), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val capped = components(10)
+    val uncapped = components(Int.MaxValue)
+    assert(capped == uncapped)
+    assert(uncapped.values.toSet == Set(100L, 500L, 700L))
+    // the orthogonal bucket contributed no vertices at all
+    assert(!uncapped.keySet.exists(_ >= 900L))
+  }
 }

@@ -351,4 +351,21 @@ class CorpusOpsSpec extends SparkSuite {
     assert(noise > 500, "random printable text must barely deflate")
     assert(rep < 150, "pure repetition must collapse")
   }
+
+  test("maxEvalCosine refuses a corpus-sized eval side, runs at the bound") {
+    import spark.implicits._
+    val emb = (0 until 20).map(i => (i.toLong, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    // the operator broadcasts eval whole — a corpus passed as eval would be
+    // an accidental all-pairs cross join, so it must fail BEFORE the join
+    val ex = intercept[IllegalArgumentException] {
+      EmbeddingOps.maxEvalCosine(emb, emb, "vec_id", "embedding",
+        maxEvalRows = 10L)
+    }
+    assert(ex.getMessage.contains("eval side exceeds"))
+    // exactly at the bound it runs: every train row scores the eval slice
+    val ok = EmbeddingOps.maxEvalCosine(emb, emb.limit(10), "vec_id",
+      "embedding", maxEvalRows = 10L)
+    assert(ok.count() == 20)
+  }
 }

@@ -190,13 +190,22 @@ object AudioPcmDownmix {
   * from a native FLAC stream: magic + metadata-block walk (STREAMINFO
   * required: mono, 16-bit), then real frame parsing — sync code,
   * blocksize/sample-rate codes including their trailing explicit fields,
-  * UTF-8 coded frame number, and CONSTANT / VERBATIM subframes. Those two
-  * subframe types are exactly the ones a bit-exact integer oracle can
-  * replay (and, for mono 16-bit, the ones that keep the stream
-  * byte-aligned); FIXED/LPC subframes carry Rice-coded residuals and
-  * refuse with null — a documented boundary, not a wrong number. Frame
-  * CRCs are skipped, not verified: the value contract here is sample
-  * arithmetic, and a flipped bit surfaces as a hash mismatch anyway.
+  * UTF-8 coded frame number, and ALL FOUR subframe types: CONSTANT,
+  * VERBATIM, and — since round 9 — FIXED (orders 0–4) and LPC (any
+  * order) with their Rice-coded residual partitions (both 4-bit RICE and
+  * 5-bit RICE2 parameter widths, escape partitions included). Real-world
+  * FLAC is essentially always Rice-coded FIXED/LPC — constant/verbatim
+  * frames are degenerate cases — so this is what lets the audio curation
+  * gates (silence / clipping / activity) run on actual FLAC uploads, not
+  * just WAV. Prediction is the spec's exact integer arithmetic (fixed
+  * polynomial predictors; LPC as a 64-bit accumulated dot product with
+  * arithmetic right shift), so every decoded sample is bit-exact and an
+  * integer oracle replays the stats from the source formula without ever
+  * touching bytes. Wasted-bits subframes refuse with null (a documented
+  * boundary — rare in practice and never produced by fixed-point
+  * encoders at default settings). Frame CRCs are skipped, not verified:
+  * the value contract here is sample arithmetic, and a flipped bit
+  * surfaces as a hash mismatch anyway.
   *
   * The decoded sample count must equal STREAMINFO's total-samples field
   * (when nonzero) — a truncated stream refuses rather than returning
@@ -228,11 +237,155 @@ object AudioFlacStats {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "audio_flac_stats", exprs => AudioFlacStats(exprs.head), "built-in")
 
-  /** Invoked from both interpreted eval and generated code; null unless
-    * the bytes are a complete mono 16-bit FLAC whose every subframe is
-    * CONSTANT or VERBATIM.
+  /** Control-flow signal for malformed streams — refuse-to-null, never a
+    * garbage number. Stackless singleton: thrown only on bad input, and
+    * the interesting cost there is NOT building a stack trace per blob.
     */
-  def stats(b: Array[Byte]): InternalRow = {
+  private object Malformed extends Exception {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** MSB-first bit cursor over the frame payload — FLAC subframe bodies
+    * (warmups, LPC coefficients, Rice residuals) are bit-aligned; only
+    * frame and metadata headers are whole bytes.
+    */
+  private final class BitReader(b: Array[Byte], startByte: Int) {
+    private var pos: Long = startByte.toLong << 3
+    private val limit: Long = b.length.toLong << 3
+    def bytePos: Int = { // call only when byte-aligned
+      if ((pos & 7) != 0) throw Malformed
+      (pos >> 3).toInt
+    }
+    def alignByte(): Unit = pos = (pos + 7) & ~7L
+    def readBits(n: Int): Int = { // 0 <= n <= 31, unsigned result
+      if (n == 0) return 0
+      if (pos + n > limit) throw Malformed
+      var acc = 0L
+      var got = 0
+      while (got < n) {
+        val byteIdx = (pos >> 3).toInt
+        val bitOff = (pos & 7).toInt
+        val take = math.min(8 - bitOff, n - got)
+        val chunk = ((b(byteIdx) & 0xff) >> (8 - bitOff - take)) & ((1 << take) - 1)
+        acc = (acc << take) | chunk
+        got += take
+        pos += take
+      }
+      acc.toInt
+    }
+    def readSignedBits(n: Int): Int = {
+      val v = readBits(n)
+      (v << (32 - n)) >> (32 - n) // sign-extend
+    }
+    def readUnary(): Int = { // run of 0-bits terminated by a 1-bit
+      var q = 0
+      while (true) {
+        if (pos >= limit) throw Malformed
+        val bit = ((b((pos >> 3).toInt) >> (7 - (pos & 7).toInt)) & 1)
+        pos += 1
+        if (bit == 1) return q
+        q += 1
+        if (q > (1 << 20)) throw Malformed // corrupt unary run bound
+      }
+      q
+    }
+  }
+
+  /** Decode one FIXED/LPC/VERBATIM subframe body (warmup + coefficients +
+    * Rice residual partitions + prediction reconstruction) into exact
+    * 16-bit samples. `order` 0 with `coefs == null` doubles as VERBATIM
+    * (every sample is its own 16-bit literal — the spec's order-0
+    * degenerate shares no residual coding, so VERBATIM is dispatched
+    * before calling here).
+    */
+  private def decodePredicted(br: BitReader, blockSize: Int, order: Int,
+                              lpc: Boolean): Array[Int] = {
+    val s = new Array[Int](blockSize)
+    var i = 0
+    while (i < order) { s(i) = br.readSignedBits(16); i += 1 }
+    var coefs: Array[Int] = null
+    var shift = 0
+    if (lpc) {
+      val precM1 = br.readBits(4)
+      if (precM1 == 15) throw Malformed // invalid by spec
+      val prec = precM1 + 1
+      shift = br.readSignedBits(5)
+      if (shift < 0) throw Malformed // negative shifts are spec-forbidden
+      coefs = new Array[Int](order)
+      var j = 0
+      while (j < order) { coefs(j) = br.readSignedBits(prec); j += 1 }
+    }
+    // residual: 2-bit method (0=RICE 4-bit params, 1=RICE2 5-bit), then
+    // 4-bit partition order; partition 0 is short by `order` warmups
+    val method = br.readBits(2)
+    if (method > 1) throw Malformed
+    val pBits = if (method == 0) 4 else 5
+    val escape = (1 << pBits) - 1
+    val po = br.readBits(4)
+    val parts = 1 << po
+    if (blockSize % parts != 0 || (blockSize >> po) < order) throw Malformed
+    var idx = order
+    var pi = 0
+    while (pi < parts) {
+      val cnt = (blockSize >> po) - (if (pi == 0) order else 0)
+      val param = br.readBits(pBits)
+      if (param == escape) {
+        val rawBits = br.readBits(5) // 0 = the whole partition is zeros
+        var j = 0
+        while (j < cnt) {
+          s(idx) = if (rawBits == 0) 0 else br.readSignedBits(rawBits)
+          idx += 1; j += 1
+        }
+      } else {
+        var j = 0
+        while (j < cnt) {
+          val q = br.readUnary()
+          val u = (q.toLong << param) | (br.readBits(param) & 0xffffffffL)
+          // zigzag unfold: even -> u/2, odd -> -(u/2)-1
+          s(idx) = (if ((u & 1L) != 0) -((u >> 1) + 1) else u >> 1).toInt
+          idx += 1; j += 1
+        }
+      }
+      pi += 1
+    }
+    // prediction reconstruction, in place and in order (each sample only
+    // depends on already-reconstructed history)
+    if (lpc) {
+      i = order
+      while (i < blockSize) {
+        var acc = 0L
+        var j = 0
+        while (j < order) { acc += coefs(j).toLong * s(i - 1 - j); j += 1 }
+        s(i) += (acc >> shift).toInt
+        i += 1
+      }
+    } else {
+      order match {
+        case 0 => // residuals ARE the samples
+        case 1 =>
+          i = 1; while (i < blockSize) { s(i) += s(i - 1); i += 1 }
+        case 2 =>
+          i = 2; while (i < blockSize) { s(i) += 2 * s(i - 1) - s(i - 2); i += 1 }
+        case 3 =>
+          i = 3; while (i < blockSize) {
+            s(i) += 3 * s(i - 1) - 3 * s(i - 2) + s(i - 3); i += 1 }
+        case _ =>
+          i = 4; while (i < blockSize) {
+            s(i) += 4 * s(i - 1) - 6 * s(i - 2) + 4 * s(i - 3) - s(i - 4); i += 1 }
+      }
+    }
+    s
+  }
+
+  /** Invoked from both interpreted eval and generated code; null unless
+    * the bytes are a complete mono 16-bit FLAC (all four subframe types
+    * decode; wasted-bits subframes refuse).
+    */
+  def stats(b: Array[Byte]): InternalRow =
+    try statsOrThrow(b)
+    catch { case Malformed => null }
+
+  private def statsOrThrow(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 42) return null
     if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return null
 
@@ -345,7 +498,29 @@ object AudioFlacStats {
         }
         q += 2 * blockSize
         count += blockSize
-      } else return null // FIXED/LPC: Rice-coded residuals — refuse
+      } else if ((typ >= 8 && typ <= 12) || typ >= 32) {
+        // FIXED (order typ-8, 0..4) or LPC (order (typ&31)+1): bit-aligned
+        // warmup + Rice residual partitions + exact integer prediction
+        val lpc = typ >= 32
+        val order = if (lpc) (typ & 0x1f) + 1 else typ - 8
+        if (order > blockSize) return null
+        val br = new BitReader(b, q)
+        val samples = decodePredicted(br, blockSize, order, lpc)
+        var k = 0
+        while (k < blockSize) {
+          val v = samples(k)
+          if (v < -32768 || v > 32767) return null // predictor overflow = corrupt
+          val a = if (v < 0) -v else v
+          if (a > peak) peak = a
+          sumSq += v.toLong * v
+          if (count + k > 0 && prev.toLong * v < 0) zc += 1
+          prev = v
+          k += 1
+        }
+        count += blockSize
+        br.alignByte() // subframe bodies end on a bit; the frame pads to a byte
+        q = br.bytePos
+      } else return null // reserved subframe types — refuse
       q += 2 // frame CRC-16, not verified
       if (q > b.length) return null
       p = q

@@ -463,6 +463,28 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // RICE-CODED FLAC decode — the subframe types real-world FLAC
+    // actually uses (FIXED orders 0-4 and LPC, Rice/Rice2 residual
+    // partitions, escape partitions) over committed fixtures from an
+    // INDEPENDENT encoder (tools/gen_flac_fixtures.py, written from the
+    // public spec with no shared code — the mm_image_jpeg pattern). The
+    // samples follow v[k] = (seed*37 + k*451) % 4001 - 2000, so the
+    // oracle replays the exact integer stats from the formula and never
+    // touches a byte: any drift in Rice decoding, partition walking,
+    // warmup handling or predictor arithmetic breaks the hash.
+    "mm_audio_flac_rice" -> ((s, dir) => {
+      graft.functions.AudioFlacStats.register(s)
+      import s.implicits._
+      flacRiceFixtures.toDF("img", "seed", "n", "hex")
+        .selectExpr("img", "audio_flac_stats(unhex(hex)) AS st")
+        .select(col("img"),
+          col("st.n_samples").as("n_samples"), col("st.peak").as("peak"),
+          col("st.zero_crossings").as("zero_crossings"),
+          (floor(sqrt(col("st.sum_sq").cast("double") / col("st.n_samples"))
+            * 1e4 + lit(0.5)) / 1e4).as("rms"))
+        .orderBy(col("img"))
+    }),
+
     // FRAME SAMPLING from real video containers (graft.functions
     // .VideoFrames): AVIs synthesized per doc with an hdrl LIST the walk
     // must skip and f = doc_id%6+4 uncompressed 8×2 BGR24 frames in the
@@ -620,6 +642,61 @@ object ExtraQueries extends QueryPack {
       "012200021101031101FFC40014100100000000000000000000000000000000FFC40014110100000000000000000000000000" +
       "000000FFC4001800000005000000000000000000000000000405060708FFC400150100020000000000000000000000000000" +
       "0006FFDA000C03010002110311003F006C47A1C3D059011E870F4024C7A1C3D00047A1C83803FFD9"
+
+  // committed FLAC fixture bytes (tools/gen_flac_fixtures.py →
+  // src/test/resources/flac_fixtures), hex-embedded so the oracle side
+  // sees identical blobs; samples v[k] = (seed*37 + k*451) % 4001 - 2000
+  private val flacRice_fixed0 =
+    "664C6143800000220010FFFF00000000000003E800F00000004000000000000000000000000000000000FFF8700800003F00" +
+      "1002859218A4D46E3BE5E08F746FA3400C0C2DA98BDAA791C62FD0EDC6F419E85412DDB1AEAF9AC8B8FC47681BB84CD2A3AE" +
+      "0E3BA949A04563EE0EC422C934D536E3DBE54426508A03B59F948BE9B354F192DC14F84C41BDCEE2FD68CB37F5331616C853" +
+      "81A0C00000"
+  private val flacRice_fixed1 =
+    "664C6143800000220010FFFF00000000000003E800F00000004000000000000000000000000000000000FFF8700800003F00" +
+      "1206EE0680F77E1BC3786F0DE1BC3786F0C07BBF0DE1BC3786F0DE1BC378603DDF86F0DE1BC3786F0DE1BC301EEFC3786F0D" +
+      "5E1BC3786F0C07BBF0DE1BC3786F0DE1BC378603DDF86F0DE1BC3786F0DE1BC301EEFC3786F0DE1BC3786F0DE180F7600000"
+  private val flacRice_fixed2 =
+    "664C6143800000220010FFFF00000000000003E800F00000004000000000000000000000000000000000FFF8700800003F00" +
+      "140713F9350A80742801002004008010020000E8203A1400801002005400801000074101D0A004008010020040080003A080" +
+      "E850020054008010020000E8203A140080100200400801000074101D0A0054008010020040080003A080E850020040080100" +
+      "20040001D0400000"
+  private val flacRice_fixed34 =
+    "664C6143800000220010FFFF00000000000003E800F00000004000000000000000000000000000000000FFF8700800001F00" +
+      "160738F95AFB1D02C7A0C004004004004004000F4101D083D060020020020020020007A080E841E830010010010010003D04" +
+      "07420F418008000000FFF8700801001F0018011402D7049A065D077F413DC63DC5FD0A00080020008002000FD04F718F7171" +
+      "F4280040020010008003E820EE303B8AFA140020010008004001F4100000"
+  private val flacRice_lpc2 =
+    "664C6143800000220010FFFF00000000000003E800F00000004000000000000000000000000000000000FFF8700800003F00" +
+      "42075DF97FB281E7F1814022140A84D10A2F47A92D2C80673011120742A88D18A3F49A01A2C042C8170421744A8CD20A4F00" +
+      "D0E02184078290C22646A90D2880683010D201C188691423648894C033F808710020E4388A91C2464A8019F4043A8090821E" +
+      "4588E92425600CF20000"
+  private val flacRice_lpc4r2 =
+    "664C6143800000220010FFFF00000000000003E800F00000004000000000000000000000000000000000FFF8700800003F00" +
+      "460782F9A4FB67FD2AD300CBFE8802FFFAA2A734B71672C0564A90030A8722FDAE616DACD57CAC002FE873AFAAE9573AD959" +
+      "6AF557806010E6DF65D1AE52AD7592AED56806030E69F75D0AE35AAB1D5CAAB00C0E1CC3EFB9F5C4B4D62AB75520182C3967" +
+      "E373AB81692C456AA9C030780000"
+  private val flacRice_esc =
+    "664C6143800000220010FFFF00000000000003E800F00000004000000000000000000000000000000000FFF8700800003F00" +
+      "1007DA7A7CE4EE33A9FF1206A8A608B661EC20680F78DD89FA6043C5A449532C61EB47BC00EE1FE1829230C2679A4B169A77" +
+      "E1D77F7F81ED0C18D18A126CCC776AC78E9E37FFD06F470054338364A35D7CAEF3880D03EE3BA2BE9D032C5B25E747AAC0DC" +
+      "2311FA16DCEF599C0000"
+  private val flacRice_lpc8 =
+    "664C6143800000220010FFFF00000000000003E800F00000004000000000000000000000000000000000FFF8700800003F00" +
+      "4E07CCF9EEFBB1FD74FF3700FA02BD0480B28147F60057FD801FFF000FFF85494C06EB1341845172127BACE14829F080DAA2" +
+      "722FDA3943AFA1A190A3EC01B044FA5E54888A15F9B4E21F7EE03558A20B9E93D193FE6B2454404034A8A4CB7379690F5825" +
+      "58D8D583429FDA79B479951218515B990185C29A400000"
+  private val flacRiceFixtures = Seq(
+    ("fixed0", 101L, 64, flacRice_fixed0), ("fixed1", 102L, 64, flacRice_fixed1),
+    ("fixed2", 103L, 64, flacRice_fixed2), ("fixed34", 104L, 64, flacRice_fixed34),
+    ("lpc2", 105L, 64, flacRice_lpc2), ("lpc4r2", 106L, 64, flacRice_lpc4r2),
+    ("esc", 107L, 64, flacRice_esc), ("lpc8", 108L, 64, flacRice_lpc8))
+
+  /** The same (img, seed, n) rows as [[flacRiceFixtures]], as a SQL VALUES
+    * table for the oracle's formula replay.
+    */
+  private val flacRiceValuesSql = flacRiceFixtures
+    .map { case (img, seed, n, _) => s"('$img', $seed, $n)" }
+    .mkString(", ")
 
   override val oracle: Map[String, String] = Map(
     "a2_label_mean_a3_valid" ->
@@ -844,6 +921,24 @@ object ExtraQueries extends QueryPack {
         |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
         |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
         |FROM a ORDER BY doc_id""".stripMargin,
+    // replay of the Rice fixtures' generator formula — the oracle never
+    // parses FLAC bytes; agreement certifies the whole decode chain
+    "mm_audio_flac_rice" ->
+      s"""WITH f AS (SELECT * FROM (VALUES $flacRiceValuesSql) t(img, seed, n)),
+        |k AS (SELECT img, seed, n,
+        |    unnest(generate_series(0, n - 1)) AS k FROM f),
+        |s AS (SELECT img, n, k,
+        |    (seed * 37 + k * 451) % 4001 - 2000 AS v FROM k),
+        |s2 AS (SELECT img, n, k, v,
+        |    lag(v) OVER (PARTITION BY img ORDER BY k) AS pv FROM s),
+        |a AS (SELECT img, max(n) AS n_samples, max(abs(v)) AS peak,
+        |    sum(v * v) AS sum_sq,
+        |    sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS zc
+        |  FROM s2 GROUP BY img)
+        |SELECT img, CAST(n_samples AS INTEGER) AS n_samples,
+        |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
+        |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
+        |FROM a ORDER BY img""".stripMargin,
     // replay of the exact integer mean-luma arithmetic over the same
     // doc_id-derived frame pixels the AVI fixtures embed (r=g=b=v so
     // per-pixel luma == v); sampling = every 2nd frame index

@@ -22,7 +22,8 @@ object SparkEntry {
     SketchQueries,
     VescFixtureQueries,
     CorpusQueries,
-    WebQueries
+    WebQueries,
+    LangIdQueries
   )
 
   /** Flagship query; driver smoke-checks rows>0. The engine's headline is

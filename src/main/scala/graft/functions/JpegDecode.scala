@@ -14,11 +14,18 @@ package graft.functions
   *    Chroma blocks still must be Huffman-WALKED to keep the entropy
   *    stream in sync, but they skip dequant + IDCT entirely (for 4:2:0
   *    that is 6× less IDCT work than a full decode per MCU).
-  *  - Baseline/extended-sequential Huffman only (SOF0/SOF1). Progressive
-  *    (SOF2), lossless, hierarchical, and arithmetic coding return null
-  *    — the caller treats null as "not decodable here", the same
-  *    per-row degradation contract as the PNG/BMP paths: a corrupt or
-  *    exotic blob must never kill a stage.
+  *  - Baseline/extended-sequential (SOF0/SOF1) AND progressive (SOF2)
+  *    Huffman. Progressive files — which large web JPEGs skew toward —
+  *    accumulate luma coefficients across their scans (spectral
+  *    selection + successive approximation per ITU-T T.81 §G, including
+  *    EOB runs and AC refinement), then run the one final IDCT; scans
+  *    that carry no luma are byte-skipped without entropy decode (the
+  *    marker-escape framing makes scan boundaries findable without
+  *    decoding — at curation scale most progressive chroma data is
+  *    never touched). Lossless, hierarchical, and arithmetic coding
+  *    return null — the caller treats null as "not decodable here", the
+  *    same per-row degradation contract as the PNG/BMP paths: a corrupt
+  *    or exotic blob must never kill a stage.
   *  - Any malformed structure (truncation, lost marker sync, over-long
   *    Huffman walk, coefficient index overflow) aborts to null via a
   *    single control-flow exception caught at the boundary.
@@ -242,6 +249,8 @@ private[functions] object JpegDecode {
     var cQ: Array[Int] = null
     var cIds: Array[Int] = null
     var sofSeen = false
+    var progressive = false
+    var prog: ProgState = null
     var p = 2
     while (p + 1 < b.length) {
       if ((b(p) & 0xff) != 0xff) return null // lost marker sync
@@ -255,7 +264,11 @@ private[functions] object JpegDecode {
       if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
         // standalone markers outside a scan: nothing to skip
       } else if (m == 0xd9) {
-        return null // EOI with no scan decoded
+        // EOI: a progressive file finishes HERE (its scans accumulated);
+        // anything else reaching EOI decoded nothing
+        if (progressive && prog != null && prog.anyLumaScan && qSeen(cQ(0)))
+          return finishProgressive(prog, qz(cQ(0)))
+        return null
       } else if (m == 0xdb) { // DQT: one or more tables
         val end = p + be16(p)
         var q = p + 2
@@ -302,9 +315,11 @@ private[functions] object JpegDecode {
           q += 17 + total
         }
         p = end
-      } else if (m == 0xc0 || m == 0xc1) { // SOF0/SOF1: sequential huffman
+      } else if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+        // SOF0/SOF1 sequential, SOF2 progressive huffman
         if (sofSeen) fail()
         sofSeen = true
+        progressive = m == 0xc2
         val len = be16(p)
         val prec = b(p + 2) & 0xff
         h = be16(p + 3)
@@ -329,9 +344,9 @@ private[functions] object JpegDecode {
           i += 1
         }
         p += len
-      } else if (m >= 0xc2 && m <= 0xcf) {
-        // SOF2 progressive, SOF3/7 lossless, C5/6 differential, C8 JPG,
-        // C9-CB/CD-CF arithmetic, CC conditioning: out of scope → null
+      } else if (m >= 0xc3 && m <= 0xcf) {
+        // SOF3/7 lossless, C5/6 differential, C8 JPG, C9-CB/CD-CF
+        // arithmetic, CC conditioning: out of scope → null
         return null
       } else if (m == 0xdd) { // DRI
         if (be16(p) != 4) fail()
@@ -354,19 +369,47 @@ private[functions] object JpegDecode {
           scanComp(i) = ci
           scanDc(i) = dcTabs(tt >> 4)
           scanAc(i) = acTabs(tt & 0x0f)
-          if (scanDc(i) == null || scanAc(i) == null) fail()
+          // progressive scans legitimately omit the unused table (DC
+          // refinement needs neither; AC scans need no DC table) — each
+          // decode shape checks the table it actually consumes
+          if (!progressive && (scanDc(i) == null || scanAc(i) == null)) fail()
           i += 1
         }
         val ss = b(p + 3 + 2 * ns) & 0xff
         val se = b(p + 4 + 2 * ns) & 0xff
         val aa = b(p + 5 + 2 * ns) & 0xff
-        if (ss != 0 || se != 63 || aa != 0) return null // partial scan
-        // the FIRST scan must carry luma (frame component 0) — true for
-        // every interleaved baseline file and every grayscale file
-        if (!scanComp.contains(0)) return null
-        if (!qSeen(cQ(0))) fail()
-        return decodeScan(b, p + len, w, h, scanComp, scanDc, scanAc,
-          cH, cV, cQ, qz, ri)
+        if (progressive) {
+          // accumulate this scan (or byte-skip it if it has no luma) and
+          // keep walking markers — a progressive image is the SUM of its
+          // scans, finished at EOI
+          val ah = aa >> 4
+          val al = aa & 0x0f
+          if (ss > 63 || al > 13) fail()
+          if (prog == null) {
+            var maxH = 1
+            var maxV = 1
+            var j = 0
+            while (j < cH.length) {
+              if (cH(j) > maxH) maxH = cH(j)
+              if (cV(j) > maxV) maxV = cV(j)
+              j += 1
+            }
+            prog = new ProgState(w, h, cH, cV, maxH, maxV)
+          }
+          p =
+            if (scanComp.contains(0))
+              decodeProgScan(b, p + len, prog, scanComp, scanDc, scanAc,
+                cH, cV, ss, se, ah, al, ri)
+            else skipEntropy(b, p + len) // chroma-only: zero decode work
+        } else {
+          if (ss != 0 || se != 63 || aa != 0) return null // partial scan
+          // the FIRST scan must carry luma (frame component 0) — true for
+          // every interleaved baseline file and every grayscale file
+          if (!scanComp.contains(0)) return null
+          if (!qSeen(cQ(0))) fail()
+          return decodeScan(b, p + len, w, h, scanComp, scanDc, scanAc,
+            cH, cV, cQ, qz, ri)
+        }
       } else { // APPn / COM / anything else with a length field
         val len = be16(p)
         if (len < 2) fail()
@@ -471,11 +514,18 @@ private[functions] object JpegDecode {
         my += 1
       }
     }
-    // assemble full-resolution luma. In (virtually) every real file the
-    // luma component samples at (maxH, maxV) so this is a crop; the
-    // nearest-index map keeps legal-but-odd subsampled-luma files correct.
-    val lw = (w * cH(0) + maxH - 1) / maxH
-    val lh = (h * cV(0) + maxV - 1) / maxV
+    assembleLuma(plane, pw, w, h, cH(0), cV(0), maxH, maxV)
+  }
+
+  /** Assemble full-resolution luma from the decoded component plane. In
+    * (virtually) every real file the luma component samples at
+    * (maxH, maxV) so this is a crop; the nearest-index map keeps
+    * legal-but-odd subsampled-luma files correct.
+    */
+  private def assembleLuma(plane: Array[Int], pw: Int, w: Int, h: Int,
+                           ch0: Int, cv0: Int, maxH: Int, maxV: Int): Luma = {
+    val lw = (w * ch0 + maxH - 1) / maxH
+    val lh = (h * cv0 + maxV - 1) / maxV
     val px = new Array[Int](w * h)
     if (lw == w && lh == h) {
       var y = 0
@@ -486,15 +536,268 @@ private[functions] object JpegDecode {
     } else {
       var y = 0
       while (y < h) {
-        val sy = y * cV(0) / maxV
+        val sy = y * cv0 / maxV
         var x = 0
         while (x < w) {
-          px(y * w + x) = plane(sy * pw + x * cH(0) / maxH)
+          px(y * w + x) = plane(sy * pw + x * ch0 / maxH)
           x += 1
         }
         y += 1
       }
     }
     new Luma(w, h, px)
+  }
+
+  /** Advance past one scan's entropy-coded bytes WITHOUT decoding them:
+    * stuffed 0xFF00 and RSTn markers stay inside the scan, anything else
+    * after 0xFF (fill bytes skipped) is the next real marker. This is
+    * what lets progressive chroma scans cost zero decode work.
+    */
+  private def skipEntropy(b: Array[Byte], start: Int): Int = {
+    var p = start
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xff) != 0xff) p += 1
+      else {
+        val m = b(p + 1) & 0xff
+        if (m == 0x00 || (m >= 0xd0 && m <= 0xd7)) p += 2
+        else if (m == 0xff) p += 1 // fill byte
+        else return p
+      }
+    }
+    fail()
+  }
+
+  /** Per-file progressive state: the accumulated (zigzag-order,
+    * undequantized) luma coefficient buffer over the PADDED block grid —
+    * interleaved DC scans cover the padded MCU grid while
+    * non-interleaved AC scans cover only the component's real blocks,
+    * so the padded layout is the one both index schemes embed into.
+    */
+  private final class ProgState(val w: Int, val h: Int,
+                                cH: Array[Int], cV: Array[Int],
+                                val maxH: Int, val maxV: Int) {
+    val ch0: Int = cH(0)
+    val cv0: Int = cV(0)
+    val cw: Int = (w * ch0 + maxH - 1) / maxH
+    val chh: Int = (h * cv0 + maxV - 1) / maxV
+    val mcusX: Int = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcusY: Int = (h + 8 * maxV - 1) / (8 * maxV)
+    val nbx: Int = (cw + 7) / 8
+    val nby: Int = (chh + 7) / 8
+    val nbxPad: Int = mcusX * ch0
+    val nbyPad: Int = mcusY * cv0
+    if (nbxPad.toLong * nbyPad * 64 > MaxPixels.toLong * 4) fail()
+    val coef = new Array[Int](nbxPad * nbyPad * 64)
+    var anyLumaScan = false
+  }
+
+  /** Decode one progressive scan that CONTAINS luma (scans without luma
+    * are byte-skipped by the caller), accumulating into `st.coef`;
+    * returns the position of the next marker. Shapes per T.81 §G:
+    * interleaved DC (walk chroma inline to stay in sync), single-comp
+    * luma DC, single-comp luma AC with EOB runs; Ah>0 scans are
+    * successive-approximation refinements.
+    */
+  private def decodeProgScan(b: Array[Byte], start: Int, st: ProgState,
+                             scanComp: Array[Int], scanDc: Array[HTab],
+                             scanAc: Array[HTab], cH: Array[Int],
+                             cV: Array[Int], ss: Int, se: Int, ah: Int,
+                             al: Int, ri: Int): Int = {
+    val ns = scanComp.length
+    val r = new Bits(b, start)
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var eobrun = 0
+
+    // one DC step for a block at padded-grid index `bi` of component ci
+    // (luma writes, chroma only keeps the predictor in sync); returns the
+    // new predictor
+    def dcStep(bi: Int, isLuma: Boolean, dcTab: HTab, pred: Int): Int = {
+      if (ah == 0) {
+        val t = huffDecode(dcTab, r)
+        if (t > 15) fail()
+        val newPred = pred + extend(r.receive(t), t)
+        if (isLuma) st.coef(bi * 64) = newPred << al
+        newPred
+      } else {
+        if (r.bit() == 1 && isLuma) st.coef(bi * 64) |= p1
+        pred
+      }
+    }
+
+    if (ss == 0) { // DC scan (first or refinement)
+      if (ah == 0 && scanDc.exists(_ == null)) fail()
+      val preds = new Array[Int](ns)
+      if (ns == 1) { // non-interleaved: the component's real block grid
+        var mcu = 0
+        var by = 0
+        while (by < st.nby) {
+          var bx = 0
+          while (bx < st.nbx) {
+            if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+              r.restart((mcu / ri - 1) % 8)
+              preds(0) = 0
+            }
+            preds(0) = dcStep(by * st.nbxPad + bx, isLuma = true,
+              scanDc(0), preds(0))
+            mcu += 1
+            bx += 1
+          }
+          by += 1
+        }
+      } else { // interleaved over the padded MCU grid
+        var mcu = 0
+        var my = 0
+        while (my < st.mcusY) {
+          var mx = 0
+          while (mx < st.mcusX) {
+            if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+              r.restart((mcu / ri - 1) % 8)
+              java.util.Arrays.fill(preds, 0)
+            }
+            var si = 0
+            while (si < ns) {
+              val ci = scanComp(si)
+              var byy = 0
+              while (byy < cV(ci)) {
+                var bxx = 0
+                while (bxx < cH(ci)) {
+                  val bi =
+                    if (ci == 0)
+                      (my * cV(0) + byy) * st.nbxPad + mx * cH(0) + bxx
+                    else 0
+                  preds(si) = dcStep(bi, isLuma = ci == 0, scanDc(si), preds(si))
+                  bxx += 1
+                }
+                byy += 1
+              }
+              si += 1
+            }
+            mcu += 1
+            mx += 1
+          }
+          my += 1
+        }
+      }
+    } else { // AC scan: spec requires Ns = 1, and the caller ensured luma
+      if (ns != 1 || se < ss || se > 63) fail()
+      val ac = scanAc(0)
+      if (ac == null) fail()
+      var mcu = 0
+      var by = 0
+      while (by < st.nby) {
+        var bx = 0
+        while (bx < st.nbx) {
+          if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+            r.restart((mcu / ri - 1) % 8)
+            eobrun = 0
+          }
+          val base = (by * st.nbxPad + bx) * 64
+          if (ah == 0) { // first AC scan for this band
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              while (k <= se) {
+                val rs = huffDecode(ac, r)
+                val s = rs & 0x0f
+                val run = rs >> 4
+                if (s == 0) {
+                  if (run < 15) {
+                    eobrun = (1 << run) - 1
+                    if (run > 0) eobrun += r.receive(run)
+                    k = 64 // EOB for this block
+                  } else k += 16 // ZRL
+                } else {
+                  k += run
+                  if (k > se) fail()
+                  st.coef(base + k) = extend(r.receive(s), s) << al
+                  k += 1
+                }
+              }
+            }
+          } else { // AC refinement (T.81 G.1.2.3)
+            var k = ss
+            if (eobrun == 0) {
+              var done = false
+              while (!done && k <= se) {
+                val rs = huffDecode(ac, r)
+                var run = rs >> 4
+                val s = rs & 0x0f
+                var newval = 0
+                if (s == 0) {
+                  if (run < 15) {
+                    eobrun = 1 << run
+                    if (run > 0) eobrun += r.receive(run)
+                    done = true // fall through to the EOB correction loop
+                  }
+                  // run == 15: skip 16 zero-history coefficients below
+                } else {
+                  if (s != 1) fail()
+                  newval = if (r.bit() == 1) p1 else m1
+                }
+                if (!done) {
+                  var placed = false
+                  while (!placed && k <= se) {
+                    val c = st.coef(base + k)
+                    if (c != 0) {
+                      if (r.bit() == 1 && (c & p1) == 0)
+                        st.coef(base + k) = c + (if (c >= 0) p1 else m1)
+                      k += 1
+                    } else {
+                      if (run == 0) {
+                        if (newval != 0) st.coef(base + k) = newval
+                        k += 1
+                        placed = true
+                      } else {
+                        run -= 1
+                        k += 1
+                      }
+                    }
+                  }
+                  if (!placed && (rs & 0x0f) != 0) fail() // ran off the band
+                }
+              }
+            }
+            if (eobrun > 0) {
+              while (k <= se) {
+                val c = st.coef(base + k)
+                if (c != 0 && r.bit() == 1 && (c & p1) == 0)
+                  st.coef(base + k) = c + (if (c >= 0) p1 else m1)
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    st.anyLumaScan = true
+    skipEntropy(b, r.pos)
+  }
+
+  /** Final progressive assembly: dequantize each real luma block's
+    * accumulated coefficients and run the one IDCT pass.
+    */
+  private def finishProgressive(st: ProgState, q: Array[Int]): Luma = {
+    val pw = st.cw
+    val ph = st.chh
+    val plane = new Array[Int](pw * ph)
+    val nat = new Array[Int](64)
+    var by = 0
+    while (by < st.nby) {
+      var bx = 0
+      while (bx < st.nbx) {
+        val base = (by * st.nbxPad + bx) * 64
+        var k = 0
+        while (k < 64) { nat(ZZ(k)) = st.coef(base + k) * q(k); k += 1 }
+        idctInto(nat, plane, pw, ph, bx * 8, by * 8)
+        bx += 1
+      }
+      by += 1
+    }
+    assembleLuma(plane, pw, st.w, st.h, st.ch0, st.cv0, st.maxH, st.maxV)
   }
 }

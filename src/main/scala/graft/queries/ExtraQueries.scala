@@ -624,7 +624,38 @@ object ExtraQueries extends QueryPack {
         }
         .reduce(_ unionByName _)
         .orderBy(col("img"), col("cell_idx"))
+    }),
+
+    // PROGRESSIVE (SOF2) JPEG decode behind the same seam: a committed
+    // DC-mosaic fixture from the independent progressive encoder
+    // (tools/gen_jpeg_prog_fixtures.py — libjpeg's default scan script:
+    // DC first at Al=1, spectral-selection AC first scans at Al=2, AC
+    // refinements 2→1→0, DC refinement). Successive approximation is
+    // lossless at Al=0 and q[0]=8 makes DC quantization exact, so the
+    // mosaic renders EXACTLY and the oracle replays the formula — any
+    // drift in scan accumulation, EOB runs, or refinement breaks the
+    // hash. AC-rich + real-encoder progressive coverage lives in
+    // JpegPixelSpec (±1 vs ImageIO both ways).
+    "mm_image_jpeg_prog" -> ((s, dir) => {
+      graft.functions.ImageHash.register(s)
+      import s.implicits._
+      Seq(("prog_blocks", jpegProgBlocksHex)).toDF("img", "hex")
+        .selectExpr("img",
+          "posexplode(image_resize_gray(unhex(hex), 4, 3)) AS (cell_idx, gray)")
+        .orderBy(col("img"), col("cell_idx"))
     }))
+
+  // committed progressive fixture bytes (tools/gen_jpeg_prog_fixtures.py →
+  // src/test/resources/jpeg_fixtures/prog_blocks.jpg), hex-embedded so the
+  // oracle side sees the identical blob: 32×24 grayscale mosaic
+  // v = (37·bx + 59·by + 23) % 256 across six progressive scans
+  private val jpegProgBlocksHex =
+    "FFD8FFDB004300080C0C0E0E0E1010101012121212121414141414141616161616161618181818181818181A1A1A1A1A1A1A" +
+      "1C1C1C1C1C1C1E1E1E1E1E20202020222222242426FFC2000B080018002001011100FFC40015000002000000000000000000" +
+      "00000000000506FFDA00080101000000014A2648985244C90526489FFFC40014100100000000000000000000000000000030" +
+      "FFDA00080101000105024FFFC40014100100000000000000000000000000000030FFDA0008010100063F024FFFC400141001" +
+      "00000000000000000000000000000030FFDA0008010100013F214FFFDA0008010100000010A5AFFFC4001410010000000000" +
+      "0000000000000000000030FFDA0008010100013F104FFFD9"
 
   // committed fixture bytes (src/test/resources/jpeg_fixtures), hex-embedded
   // so the oracle side sees the identical blobs: 32×24 grayscale mosaic
@@ -996,6 +1027,12 @@ object ExtraQueries extends QueryPack {
         |FROM embeddings CROSS JOIN
         |  (SELECT unnest(generate_series(1, 64)) AS i) dims
         |ORDER BY vec_id, cell_idx""".stripMargin,
+    "mm_image_jpeg_prog" ->
+      """SELECT 'prog_blocks' AS img, CAST(by * 4 + bx AS INTEGER) AS cell_idx,
+        |  CAST((37 * bx + 59 * by + 23) % 256 AS INTEGER) AS gray
+        |FROM (SELECT unnest(generate_series(0, 3)) AS bx) a,
+        |     (SELECT unnest(generate_series(0, 2)) AS by) b
+        |ORDER BY img, cell_idx""".stripMargin,
     "mm_image_jpeg" ->
       """SELECT 'gray_blocks' AS img, CAST(by * 4 + bx AS INTEGER) AS cell_idx,
         |  CAST((37 * bx + 59 * by + 23) % 256 AS INTEGER) AS gray

@@ -69,9 +69,10 @@ class JpegPixelSpec extends SparkSuite {
   private def maxAbsDiff(a: Array[Int], b: Array[Int]): Int =
     a.zip(b).map { case (x, y) => math.abs(x - y) }.max
 
-  private val exactFixtures = Seq("gray_blocks", "blocks420")
+  private val exactFixtures = Seq("gray_blocks", "blocks420", "prog_blocks")
   private val tolFixtures =
-    Seq("gray_ac", "gray_pad", "gray_restart", "color420", "color444")
+    Seq("gray_ac", "gray_pad", "gray_restart", "color420", "color444",
+      "prog_ac", "prog_pad")
 
   for (name <- exactFixtures) {
     test(s"$name: decode EXACTLY matches the independent encoder's raster") {
@@ -158,9 +159,50 @@ class JpegPixelSpec extends SparkSuite {
     assert(df.getLong(2) == df.getLong(3), "dHash differs between containers")
   }
 
-  test("progressive, truncated, and garbage JPEGs are null, never a throw") {
+  test("ImageIO-ENCODED progressive images decode within ±1 (real scan script)") {
+    // a production encoder's own progressive scan script (spectral
+    // selection + successive approximation chosen by ImageIO), gray and
+    // color — the strongest independent check of the multi-scan path
+    val w = 40
+    val h = 24
+    for (gray <- Seq(true, false); q <- Seq(0.5f, 0.9f)) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 7 + y * 13 + (x * y) % 5 * 10) % 256
+        val rgb = if (gray) (v << 16) | (v << 8) | v
+        else (((x * 11 + 30) % 256) << 16) | (v << 8) | ((y * 9 + 77) % 256)
+        img.setRGB(x, y, rgb)
+      }
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      wr.dispose(); ios.close()
+      val blob = bos.toByteArray
+      // really progressive: the stream must carry an SOF2 marker
+      assert(blob.sliding(2).exists(s =>
+        (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2))
+      val (rw, rh, want) = imageioLuma(blob)
+      assert(rw == w && rh == h)
+      val got = decodeViaSql(blob, w, h)
+      assert(got.isDefined, s"progressive gray=$gray q=$q failed to decode")
+      assert(maxAbsDiff(got.get, want) <= 1,
+        s"progressive gray=$gray q=$q exceeded ±1")
+    }
+  }
+
+  test("scanless-progressive, truncated, and garbage JPEGs null, never throw") {
+    // SOF2 with no scan data: progressive is DECODED now, but a file
+    // with nothing accumulated must still refuse
     assert(decodeViaSql(fixture("reject_progressive.jpg"), 4, 4).isEmpty,
-      "progressive must be rejected")
+      "scanless progressive must refuse")
     val good = fixture("color420.jpg")
     for (cut <- Seq(10, good.length / 2, good.length - 5))
       assert(decodeViaSql(good.take(cut), 4, 4).isEmpty, s"truncated at $cut")
@@ -168,6 +210,18 @@ class JpegPixelSpec extends SparkSuite {
     for (seed <- 1 to 20) {
       val bad = good.clone()
       var s = seed * 2654435761L
+      for (_ <- 0 until 6) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        val idx = math.abs(s % bad.length).toInt
+        bad(idx) = (s >>> 24).toByte
+      }
+      decodeViaSql(bad, 4, 4) // must not throw
+    }
+    // and the same corruption sweep over a PROGRESSIVE stream
+    val prog = fixture("prog_ac.jpg")
+    for (seed <- 1 to 20) {
+      val bad = prog.clone()
+      var s = seed * 0x9e3779b9L
       for (_ <- 0 until 6) {
         s ^= s << 13; s ^= s >>> 7; s ^= s << 17
         val idx = math.abs(s % bad.length).toInt

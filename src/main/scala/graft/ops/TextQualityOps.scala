@@ -169,25 +169,32 @@ object TextQualityOps {
     *
     * Ratio is an integer milli-ratio (⌊1000·deflated/raw⌋) — the
     * gate-threshold arithmetic stays float-free. Compressed size is a
-    * zlib-implementation detail, so this signal has no cross-engine
-    * oracle; the ORDERING properties (repetition < prose < noise) are
-    * pinned in CorpusOpsSpec instead.
+    * zlib-implementation detail, so the TABLE-doc sizes have no
+    * cross-engine oracle; certification is layered instead:
+    * `roundtrip_ok` (gunzip of the member reproduces the input bytes
+    * exactly — computed per row inside the same projection, so the hash
+    * gate certifies invertibility corpus-wide), pinned python-zlib
+    * sizes over committed fixture docs in the gated query, and the
+    * ORDERING properties (repetition < prose < noise) in CorpusOpsSpec.
     *
-    * Output: (docId, raw_bytes, deflated_bytes, ratio_milli); docs
-    * shorter than `minBytes` get ratio null (too short to mean
-    * anything — the empty-document guard).
+    * Output: (docId, raw_bytes, deflated_bytes, ratio_milli,
+    * roundtrip_ok); docs shorter than `minBytes` get ratio null (too
+    * short to mean anything — the empty-document guard).
     */
   def compressionRatio(df: DataFrame, docId: String, textCol: String,
                        minBytes: Int = 32): DataFrame = {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.functions.Gzip.register)
     val raw = octet_length(col(textCol).cast("binary"))
-    val deflated = octet_length(call_function("gzip_member", col(textCol).cast("binary")))
+    val member = call_function("gzip_member", col(textCol).cast("binary"))
+    val deflated = octet_length(member)
     df.select(col(docId),
       raw.cast("long").as("raw_bytes"),
       deflated.cast("long").as("deflated_bytes"),
       when(raw >= minBytes,
         floor(deflated.cast("double") * 1000 / raw.cast("double")).cast("long"))
-        .as("ratio_milli"))
+        .as("ratio_milli"),
+      (call_function("gunzip_all", member) === col(textCol).cast("binary"))
+        .as("roundtrip_ok"))
   }
 }

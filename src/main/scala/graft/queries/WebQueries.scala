@@ -253,16 +253,29 @@ object WebQueries extends QueryPack {
         .orderBy(col("domain"), col("pick"))
     }),
 
-    // Compression-ratio quality signal (MassiveText-family): deflate
-    // each document with the engine's gzip codec, gate on the
-    // milli-ratio. zlib output size is implementation detail, so no
-    // cross-engine oracle — the driver records the weaker rows-only
-    // check, and the ordering semantics (repetition < prose < noise)
-    // are pinned in CorpusOpsSpec.
+    // Compression-ratio quality signal (MassiveText-family), CERTIFIED:
+    // zlib output size is an implementation detail DuckDB cannot
+    // replay, so the gated output carries (a) a per-row ROUND-TRIP
+    // invariant over the whole table (gunzip(gzip(text)) == text,
+    // computed in the same projection — any codec drift breaks the
+    // hash) and (b) committed fixture docs whose exact deflate sizes
+    // are pinned from an INDEPENDENT zlib (python, recorded in
+    // tools/pin_compression_fixtures.py) and replayed by the oracle;
+    // table rows mask the engine-specific size columns to null. The
+    // full measurement over table docs still runs (it feeds the
+    // roundtrip flag and the bench); ordering semantics stay pinned in
+    // CorpusOpsSpec.
     "text_compression_ratio" -> ((s, dir) => {
-      graft.ops.TextQualityOps.compressionRatio(
+      import s.implicits._
+      val fx = graft.ops.TextQualityOps.compressionRatio(
+        compressionFixtures.toDF("doc_id", "text"), "doc_id", "text")
+      val tbl = graft.ops.TextQualityOps.compressionRatio(
           Tables.documents(s, dir), "doc_id", "text")
-        .orderBy(col("doc_id"))
+        .select(col("doc_id"), col("raw_bytes"),
+          lit(null).cast("long").as("deflated_bytes"),
+          lit(null).cast("long").as("ratio_milli"),
+          col("roundtrip_ok"))
+      fx.unionByName(tbl).orderBy(col("doc_id"))
     }),
 
     // Outlink extraction + resolution (the frontier side of HTML
@@ -440,6 +453,37 @@ object WebQueries extends QueryPack {
     */
   val ClassifierRounds = 20
 
+  /** Committed compression fixtures (negative ids keep them disjoint
+    * from table docs); exact gzip-member sizes pinned from python zlib —
+    * an independent DEFLATE implementation at the same default level —
+    * by tools/pin_compression_fixtures.py. Covers the three quality
+    * regimes (repetition / prose / noise), the short-doc guard, the
+    * empty document, and multi-byte UTF-8.
+    */
+  private val compressionNoise =
+    "UfexM~0HYr#!09sJ^+8[0fyROrU<IzuRexq(}rKD =4(GXwlOBM_ +]<4n6Va@0VujAr8!kr^9kBaF4!u3}3o1%[/f,Pw;YJE&%h" +
+      ":xKFEni=s@APAFU3k;4+%[Ih2f0_U76{UR/zE@/t8[Y<S7e9830T#&gJkX>V/x0bet}b4Rq.#5Un8*eFIFs;/H>Dk9EN-z-J#~]" +
+      "[AbMTK.c;)H474!kp-fytEx6d>*0=uT4Xkn>~O@a!i&]R69ADg@^D^_C*g7>Ds5Ob-&:5:[O3K9K(w!gDy!OR|JSHeX-H2.eBq<" +
+      "cn%v|ji5a;#z}LUPE+>9>_-F?;,5Y[w.YfE=>x]_w@4hO[>~ArKd#xQdypIV/TIt8LgL](q*MJwxAP:_Q~s_|&4dg;:&:ZQ{E7:" +
+      "1uN,!0LYh]VE&#=UniBWV/&/l|&8{-D8x>b/_mr2+Q5]<}&o+QL}.I+8BAr,+]3qzc5CJy<YtYh-lS3wJG7][|_2H [cPMXcxQJ" +
+      ":r6zo&y<]XeBA7G{Ur:jGl}jc*}vsVwRqLoz>v>Lc;i*i;>(kpg(09ydY9M3:dQ!8+c9s.Q_udcDo_|[?=Cn4duBoD,le!?BSrWLUrUF"
+  private val compressionFixtures: Seq[(Long, String)] = Seq(
+    (-6L, "the same line over and over " * 40),
+    (-5L, ("the quick brown fox jumps over a lazy dog while mixed words " +
+      "vary across this sentence and keep entropy moderate ") * 6),
+    (-4L, compressionNoise),
+    (-3L, "tiny"),
+    (-2L, ""),
+    (-1L, "naïve café über straße — 文字化けテスト " * 3))
+
+  /** (doc_id, raw_bytes, deflated_bytes) pinned by python zlib for the
+    * fixtures above — the oracle joins these, so a single byte of codec
+    * drift breaks the gate.
+    */
+  private val compressionPinnedSql =
+    "(-6, 1120, 55), (-5, 672, 116), (-4, 600, 537), " +
+      "(-3, 4, 24), (-2, 0, 20), (-1, 159, 79)"
+
   /** Shared training replay for the quality-classifier oracles: hashed
     * features, then [[ClassifierRounds]] rounds exactly as
     * [[QualityClassifierOps.trainLogReg]] computes them — integer dot
@@ -537,6 +581,26 @@ object WebQueries extends QueryPack {
   }
 
   override def oracle: Map[String, String] = Map(
+
+    // pinned python-zlib sizes for the committed fixtures; table rows
+    // contribute raw bytes + the roundtrip invariant (their deflate
+    // sizes are masked to null — engine-specific, by design)
+    "text_compression_ratio" ->
+      s"""WITH fx AS (SELECT * FROM (VALUES $compressionPinnedSql)
+         |  t(doc_id, raw_bytes, deflated_bytes))
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(raw_bytes AS BIGINT) AS raw_bytes,
+         |  CAST(deflated_bytes AS BIGINT) AS deflated_bytes,
+         |  CASE WHEN raw_bytes >= 32
+         |    THEN CAST(floor(deflated_bytes * 1000.0 / raw_bytes) AS BIGINT)
+         |  END AS ratio_milli,
+         |  TRUE AS roundtrip_ok
+         |FROM fx
+         |UNION ALL
+         |SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT),
+         |  NULL, NULL, TRUE
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
 
     "web_wet_extract" ->
       s"""SELECT doc_id, $urlSql AS target_uri, text

@@ -159,6 +159,76 @@ object TextQualityOps {
           + lit(0.5)) / 1e4).as("avg_logprob2"))
   }
 
+  /** INTERPOLATED TRIGRAM LM score — the next order up from
+    * [[bigramLogProb]], closing most of the gap to CCNet's 5-gram
+    * perplexity filter with the same df-capped broadcast design:
+    * per trigram position, fixed-weight Jelinek-Mercer interpolation of
+    * three add-one-smoothed conditionals
+    *
+    *   p = λ₃·(c(w₁w₂w₃)+1)/(c(w₁w₂)+V)
+    *     + λ₂·(c(w₂w₃)+1)/(c(w₂)+V)
+    *     + λ₁·(c(w₃)+1)/(N+V)
+    *
+    * so an unseen trigram backs off smoothly to bigram and unigram
+    * evidence instead of cratering to the add-one floor. Fixed λ (no EM
+    * fitting) keeps the score deterministic and oracle-replayable; all
+    * three count tables are df-capped deterministically at `maxVocab`
+    * (count desc / gram asc) and broadcast — the scorer's working set is
+    * three bounded tables regardless of corpus size, and N/V totals are
+    * computed PRE-cap (the cap only moves tail grams to the unseen
+    * bucket). `n_oov3` (trigrams outside the capped table) is the junk
+    * signal at this order. Docs with fewer than 3 tokens are absent.
+    */
+  def trigramLogProb(df: DataFrame, docId: String, textCol: String,
+                     maxVocab: Int = 65536, l3: Double = 0.6,
+                     l2: Double = 0.3, l1: Double = 0.1): DataFrame = {
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9, "interpolation weights must sum to 1")
+    val tok = df.select(col(docId), explode(toks(col(textCol))).as("t"))
+    val totals = tok.agg(count(lit(1)).as("__n"),
+      count_distinct(col("t")).as("__v"))
+    val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      .orderBy(col("cu").desc, col("t").asc)
+      .limit(maxVocab)
+    // token array materialized once; trigram rows carry their backoff
+    // keys (both bigrams + both context words) so scoring is pure joins
+    val arr = df.select(col(docId), toks(col(textCol)).as("__l"))
+    val tri = arr
+      .select(col(docId), explode(TextOps.shinglesOf(col("__l"), 3)).as("g3"))
+      .withColumn("__p", split(col("g3"), " "))
+      .withColumn("b12", concat_ws(" ", col("__p").getItem(0), col("__p").getItem(1)))
+      .withColumn("b23", concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)))
+      .withColumn("w2", col("__p").getItem(1))
+      .withColumn("w3", col("__p").getItem(2))
+      .drop("__p")
+    val bi = arr.select(explode(TextOps.shinglesOf(col("__l"), 2)).as("b"))
+    val blm = bi.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("b").asc)
+      .limit(maxVocab)
+    val tlm = tri.groupBy(col("g3")).agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("g3").asc)
+      .limit(maxVocab)
+    val c = (x: String) => coalesce(col(x), lit(0L)).cast("double")
+    tri
+      .join(broadcast(tlm), Seq("g3"), "left")
+      .join(broadcast(blm.withColumnRenamed("b", "b12")
+        .withColumnRenamed("cb", "cb12")), Seq("b12"), "left")
+      .join(broadcast(blm.withColumnRenamed("b", "b23")
+        .withColumnRenamed("cb", "cb23")), Seq("b23"), "left")
+      .join(broadcast(uni.withColumnRenamed("t", "w2")
+        .withColumnRenamed("cu", "cu2")), Seq("w2"), "left")
+      .join(broadcast(uni.withColumnRenamed("t", "w3")
+        .withColumnRenamed("cu", "cu3")), Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("ct").isNull, 1L).otherwise(0L)).as("n_oov3"),
+        (floor(avg(log(
+          lit(l3) * (c("ct") + 1.0) / (c("cb12") + col("__v")) +
+            lit(l2) * (c("cb23") + 1.0) / (c("cu2") + col("__v")) +
+            lit(l1) * (c("cu3") + 1.0) / (col("__n") + col("__v"))))
+          * 1e4 + lit(0.5)) / 1e4).as("avg_logprob3"))
+  }
+
   /** Compression-ratio quality signal (the MassiveText/Gopher-family
     * cheap gibberish detector): highly repetitive or templated text
     * deflates far below normal prose, random noise barely deflates at

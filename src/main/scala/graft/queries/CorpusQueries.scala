@@ -96,6 +96,18 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated trigram LM (fixed-weight Jelinek-Mercer backoff to
+    // bigram and unigram evidence) — the CCNet-perplexity-filter shape
+    // one more order up; the oracle replays counts → deterministic caps
+    // → the interpolation arithmetic per trigram position.
+    "text_lm_trigram" -> ((s, dir) => {
+      TextQualityOps.trigramLogProb(Tables.documents(s, dir),
+          "doc_id", "text", maxVocab = 65536)
+        .select(col("doc_id"), col("n_trigrams"), col("n_oov3"),
+          col("avg_logprob3"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis,
     // derandomized): longer documents proportionally likelier; one bounded
     // min-k aggregation, no RNG, no global sort.
@@ -501,6 +513,40 @@ object CorpusQueries extends QueryPack {
          |  floor(avg(ln((coalesce(c2, 0) + 1.0)
          |    / (coalesce(c1, 0) + (SELECT v FROM tot)))) * 1e4 + 0.5) / 1e4
          |    AS avg_logprob2
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_lm_trigram" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
+         |p AS (SELECT doc_id, unnest(l) AS t FROM t),
+         |tot AS (SELECT count(*) AS n, count(DISTINCT t) AS v FROM p),
+         |u AS (SELECT t, count(*) AS cu FROM p GROUP BY t
+         |      ORDER BY cu DESC, t ASC LIMIT 65536),
+         |bgr AS (SELECT l[i] || ' ' || l[i+1] AS b
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) g
+         |  WHERE len(l) >= 2),
+         |blm AS (SELECT b, count(*) AS cb FROM bgr GROUP BY b
+         |       ORDER BY cb DESC, b ASC LIMIT 65536),
+         |tgr AS (SELECT doc_id,
+         |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g3,
+         |    l[i] || ' ' || l[i+1] AS b12, l[i+1] || ' ' || l[i+2] AS b23,
+         |    l[i+1] AS w2, l[i+2] AS w3
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(l)-2)) AS i) g
+         |  WHERE len(l) >= 3),
+         |tlm AS (SELECT g3, count(*) AS ct FROM tgr GROUP BY g3
+         |       ORDER BY ct DESC, g3 ASC LIMIT 65536),
+         |j AS (SELECT tgr.doc_id, tlm.ct, b1.cb AS cb12, b2.cb AS cb23,
+         |    u2.cu AS cu2, u3.cu AS cu3
+         |  FROM tgr LEFT JOIN tlm USING (g3)
+         |  LEFT JOIN blm b1 ON b1.b = tgr.b12
+         |  LEFT JOIN blm b2 ON b2.b = tgr.b23
+         |  LEFT JOIN u u2 ON u2.t = tgr.w2
+         |  LEFT JOIN u u3 ON u3.t = tgr.w3)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |  CAST(sum(CASE WHEN ct IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov3,
+         |  floor(avg(ln(
+         |    0.6 * (coalesce(ct, 0) + 1.0) / (coalesce(cb12, 0) + (SELECT v FROM tot)) +
+         |    0.3 * (coalesce(cb23, 0) + 1.0) / (coalesce(cu2, 0) + (SELECT v FROM tot)) +
+         |    0.1 * (coalesce(cu3, 0) + 1.0) / ((SELECT n FROM tot) + (SELECT v FROM tot))))
+         |    * 1e4 + 0.5) / 1e4 AS avg_logprob3
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_quality_gate" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),

@@ -352,6 +352,26 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rep < 150, "pure repetition must collapse")
   }
 
+  test("trigram LM: repetition scores above rare text; cap forces OOV; short docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c a b c"),
+      (2L, "x y z q w e r t v u i o"),
+      (3L, "one two")).toDF("doc_id", "text")
+    val got = TextQualityOps.trigramLogProb(docs, "doc_id", "text", maxVocab = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!got.contains(3L), "2-token doc has no trigram evidence")
+    // doc 1's single repeated trigram dominates the capped table; doc 2's
+    // ten distinct trigrams mostly fall outside the cap of 4
+    assert(got(1L)._3 > got(2L)._3,
+      s"repeated trigrams must score higher: ${got(1L)._3} vs ${got(2L)._3}")
+    assert(got(2L)._2 > 0, "cap must push doc 2's tail trigrams OOV")
+    assert(got(1L)._2 == 0, "doc 1's trigrams all survive the cap")
+    // interpolation keeps every position finite even when fully OOV
+    assert(!got(2L)._3.isNegInfinity)
+  }
+
   test("maxEvalCosine refuses a corpus-sized eval side, runs at the bound") {
     import spark.implicits._
     val emb = (0 until 20).map(i => (i.toLong, Seq(1.0f, 0.0f)))

@@ -33,6 +33,8 @@ object Gzip {
       "gzip_member", exprs => GzipMember(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gunzip_all", exprs => GunzipAll(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "codec_probe", exprs => CodecProbe(exprs.head), "built-in")
   }
 
   /** One deterministic gzip member (RFC 1952): fixed header — MTIME=0,
@@ -53,6 +55,20 @@ object Gzip {
     var n = raw.length.toLong
     (0 until 4).foreach { _ => out.write((n & 0xff).toInt); n >>= 8 }
     out.toByteArray
+  }
+
+  /** Container magic sniff for [[CodecProbe]]. */
+  def probe(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    val name =
+      if (b.length == 0) "empty"
+      else if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+        "gzip"
+      else if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+          (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd) "zstd"
+      else if (b.length >= 4 && (b(0) & 0xf0) == 0x50 && (b(1) & 0xff) == 0x2a &&
+          (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18) "zstd"
+      else "unknown"
+    org.apache.spark.unsafe.types.UTF8String.fromString(name)
   }
 
   /** Inflate EVERY member of a concatenated-gzip stream and return the
@@ -114,6 +130,33 @@ object Gzip {
       case _: java.util.zip.DataFormatException => -1
     } finally inf.end()
   }
+}
+
+/** `codec_probe(binary)` → `'gzip' | 'zstd' | 'empty' | 'unknown'` by
+  * container magic: gzip `1F 8B`, zstd frame `28 B5 2F FD`
+  * (0xFD2FB528 LE) and zstd skippable frames `5? 2A 4D 18`
+  * (0x184D2A50-5F LE). The crawl read path has a JDK codec only for
+  * gzip; newer Common Crawl dumps are moving to zstd, for which there
+  * is none — so mixed-codec segment dirs must be DETECTED and
+  * quarantined loudly (the WARC whole-or-refuse posture), never parsed
+  * as garbage or silently dropped as "malformed gzip".
+  */
+case class CodecProbe(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "codec_probe"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    Gzip.probe(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Gzip.probe($c);")
+  override protected def withNewChildInternal(newChild: Expression): CodecProbe =
+    copy(child = newChild)
 }
 
 /** `gzip_member(binary)` → one deterministic RFC 1952 member. */

@@ -142,7 +142,10 @@ object WebOps {
 
   /** The full first mile: crawl files → visible page text, one row per
     * successfully fetched page — `(record_id, target_uri, http_status,
-    * text)`.
+    * text)`. A segment whose bytes don't inflate contributes zero rows
+    * (the whole-or-refuse posture); run [[segmentAudit]] alongside to
+    * COUNT what was refused and why — a mixed-codec dir (zstd segments
+    * in a gzip pipeline) must fail loudly, not shrink silently.
     */
   def extractPages(files: DataFrame, blob: Column): DataFrame = {
     registered()
@@ -150,6 +153,33 @@ object WebOps {
       .filter(col("http_status") === 200)
       .select(col("record_id"), col("target_uri"), col("http_status"),
         call_function("html_to_text", col("body").cast("string")).as("text"))
+  }
+
+  /** Per-segment QUARANTINE accounting — the loud-refusal companion to
+    * [[extractPages]]: for every crawl file, its sniffed container codec
+    * ([[graft.functions.CodecProbe]] — gzip vs zstd frame/skippable
+    * magic vs unknown), whether the segment is quarantined (non-gzip
+    * codec, for which no JDK decoder exists, OR gzip that fails strict
+    * whole-stream inflation), and the record count it would contribute.
+    * One scan-side projection per file, same task grain as extraction;
+    * `sum(quarantined)` ≠ 0 is the signal a 100 TB ingest must ALERT on
+    * rather than quietly processing the subset it could read.
+    */
+  def segmentAudit(files: DataFrame, idCol: Column, blob: Column): DataFrame = {
+    registered()
+    files
+      .select(idCol.as("segment_id"), blob.as("__b"))
+      .withColumn("codec", call_function("codec_probe", col("__b")))
+      .withColumn("__payload",
+        when(col("codec") === "gzip", call_function("gunzip_all", col("__b"))))
+      .withColumn("quarantined",
+        col("codec") =!= "gzip" || col("__payload").isNull)
+      .withColumn("n_records",
+        when(col("quarantined"), lit(0L)).otherwise(coalesce(
+          size(call_function("warc_records", col("__payload"))).cast("long"),
+          lit(0L))))
+      .select(col("segment_id"), col("codec"), col("quarantined"),
+        col("n_records"))
   }
 
   /** RFC 9309 robots verdict per URL — the politeness gate.
@@ -172,8 +202,11 @@ object WebOps {
     * usually already partitioned by); step 4 is a max-struct agg — no
     * window, no sort.
     */
-  def robotsFilter(urls: DataFrame, robots: DataFrame, agent: String): DataFrame = {
-    registered()
+  /** The rule group that governs `agent` per host: specific-agent rules
+    * when any exist, else the `*` group — the RFC 9309 group-selection
+    * step shared by [[robotsFilter]] and [[robotsRuleArrays]].
+    */
+  private def agentRuleGroup(robots: DataFrame, agent: String): DataFrame = {
     val rules = robots
       .select(col("host"),
         explode(call_function("robots_rules", col("txt"))).as("r"))
@@ -184,7 +217,26 @@ object WebOps {
           .when(col("agent") === "*", 1).otherwise(0))
       .filter(col("rank") > 0)
     val best = rules.groupBy(col("host")).agg(max(col("rank")).as("rank"))
-    val group = rules.join(best, Seq("host", "rank"))
+    rules.join(best, Seq("host", "rank"))
+  }
+
+  /** Per-host rule ARRAYS — the broadcastable robots gate for STREAMS:
+    * one row per host with its governing rules collected, so a streaming
+    * frontier can evaluate the best-match verdict scan-side (a
+    * stream-static join plus array HOFs) without any streaming
+    * aggregation. Robots tables are host-cardinality — broadcast-sized
+    * at any crawl scale.
+    */
+  def robotsRuleArrays(robots: DataFrame, agent: String): DataFrame = {
+    registered()
+    agentRuleGroup(robots, agent)
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("allow"), col("rule_path"))).as("rules"))
+  }
+
+  def robotsFilter(urls: DataFrame, robots: DataFrame, agent: String): DataFrame = {
+    registered()
+    val group = agentRuleGroup(robots, agent)
     val verdicts = urls
       .join(group, Seq("host"), "left")
       .withColumn("mlen",

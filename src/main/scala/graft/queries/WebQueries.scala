@@ -253,6 +253,30 @@ object WebQueries extends QueryPack {
         .orderBy(col("domain"), col("pick"))
     }),
 
+    // Mixed-codec segment QUARANTINE (the whole-or-refuse read posture):
+    // per synthetic segment — gzip'd WARC, zstd frame, zstd skippable
+    // frame, unknown bytes by doc_id%4 — the sniffed codec, the
+    // quarantine verdict, and the record count. Newer crawl dumps move
+    // to zstd, for which the JVM has no codec: those segments must be
+    // DETECTED and counted, never parsed as garbage or silently dropped.
+    // The oracle replays codec/verdict/count from the construction rule.
+    "web_segment_audit" -> ((s, dir) => {
+      WebOps.registerAll(s)
+      val docs = Tables.documents(s, dir)
+      val rec = WebOps.buildRecord(col("doc_id"),
+        WebOps.syntheticUrl(col("doc_id"), col("source")), col("text"))
+      val blob = when(col("doc_id") % 4 === 0,
+          call_function("gzip_member", rec.cast("binary")))
+        .when(col("doc_id") % 4 === 1,
+          concat(unhex(lit("28B52FFD")), col("text").cast("binary")))
+        .when(col("doc_id") % 4 === 2,
+          concat(unhex(lit("502A4D18")), col("text").cast("binary")))
+        .otherwise(concat(unhex(lit("00")), col("text").cast("binary")))
+      WebOps.segmentAudit(docs.withColumn("blob", blob),
+          col("doc_id"), col("blob"))
+        .orderBy(col("segment_id"))
+    }),
+
     // Compression-ratio quality signal (MassiveText-family), CERTIFIED:
     // zlib output size is an implementation detail DuckDB cannot
     // replay, so the gated output carries (a) a per-row ROUND-TRIP
@@ -581,6 +605,18 @@ object WebQueries extends QueryPack {
   }
 
   override def oracle: Map[String, String] = Map(
+
+    // replay of the segment-audit construction rule: codec and verdict
+    // are functions of doc_id % 4; only the gzip'd WARC contributes a
+    // record
+    "web_segment_audit" ->
+      """SELECT doc_id AS segment_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 3 THEN 'unknown'
+        |    ELSE 'zstd' END AS codec,
+        |  (doc_id % 4 <> 0) AS quarantined,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_records
+        |FROM documents ORDER BY segment_id""".stripMargin,
 
     // pinned python-zlib sizes for the committed fixtures; table rows
     // contribute raw bytes + the roundtrip invariant (their deflate

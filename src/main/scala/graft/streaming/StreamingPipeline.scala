@@ -361,9 +361,19 @@ object StreamingPipeline {
   def frontierStream(spark: SparkSession, dir: String,
                      retention: String = "10 minutes"): DataFrame = {
     graft.ops.WebOps.registerAll(spark)
-    // inline the record explode (rather than WebOps.extractRecords) so the
-    // segment's file time survives next to each record — it is the
-    // event-time column that bounds the dedup state
+    discoveredUrls(spark, dir)
+      .withWatermark("seg_time", retention)
+      .dropDuplicatesWithinWatermark("url")
+      .select(col("url"), col("seg_time").as("first_seen"))
+  }
+
+  /** Shared discovery head: crawl segments → fetched pages → resolved,
+    * canonicalized outlink rows (seg_time, url). The record explode is
+    * inlined (rather than WebOps.extractRecords) so the segment's file
+    * time survives next to each record — it is the event-time column
+    * that bounds every downstream state.
+    */
+  private def discoveredUrls(spark: SparkSession, dir: String): DataFrame = {
     val pages = crawlFiles(spark, dir)
       .select(col("modificationTime").as("seg_time"), col("content"))
       .select(col("seg_time"), explode(
@@ -378,8 +388,130 @@ object StreamingPipeline {
       .select(col("seg_time"),
         graft.ops.UrlOps.canonicalizeUrl(
           graft.ops.UrlOps.resolveUrl(col("base_url"), col("href"))).as("url"))
+  }
+
+  /** `"10 minutes"`-style watermark interval → milliseconds (the units
+    * streaming retention strings actually use).
+    */
+  private def intervalMs(s: String): Long = {
+    val parts = s.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    require(parts.length == 2, s"unsupported interval: '$s'")
+    val v = parts(0).toLong
+    parts(1) match {
+      case u if u.startsWith("milli")  => v
+      case u if u.startsWith("second") => v * 1000L
+      case u if u.startsWith("minute") => v * 60000L
+      case u if u.startsWith("hour")   => v * 3600000L
+      case u if u.startsWith("day")    => v * 86400000L
+      case u => throw new IllegalArgumentException(s"unsupported unit: $u")
+    }
+  }
+
+  final case class FrontierRow(domain: String, url: String,
+                               ts: java.sql.Timestamp)
+  final case class FrontierOut(url: String, domain: String,
+                               ts: java.sql.Timestamp)
+
+  /** Per-domain politeness state: URLs emitted within the horizon (the
+    * rate budget) plus the recently-seen canonical URL set (the dedup
+    * registry, pruned to the horizon) and the last touch time. Both
+    * members are horizon-bounded — the counter is one int and the map
+    * holds only URLs seen inside `retainMs`, never the frontier.
+    */
+  final case class DomainState(emitted: Int, seen: Map[String, Long],
+                               lastSeenMs: Long)
+
+  /** Politeness transition for one registered domain: canonical-URL
+    * dedup against the horizon-bounded registry, then the per-domain
+    * emission cap — a domain that exhausts its budget keeps REGISTERING
+    * discoveries (so re-links inside the horizon stay deduped) but
+    * stops emitting until the horizon passes and its state expires,
+    * which is exactly a crawl rate limit per politeness window. Rows
+    * ordered by (url, ts) within the group so within-batch semantics
+    * are deterministic; late rows at or behind the watermark drop
+    * before touching state.
+    */
+  def politeFlatMap(retainMs: Long, perDomainCap: Int)(
+      domain: String, rows: Iterator[FrontierRow],
+      state: GroupState[DomainState]): Iterator[FrontierOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val wm = state.getCurrentWatermarkMs()
+    val live = rows.filter(_.ts.getTime > wm).toSeq
+      .sortBy(r => (r.url, r.ts.getTime))
+    if (live.isEmpty) return Iterator.empty
+    val st = state.getOption.getOrElse(DomainState(0, Map.empty, Long.MinValue))
+    var seen = st.seen.filter { case (_, t) => t > wm - retainMs }
+    var emitted = st.emitted
+    val out = scala.collection.mutable.ArrayBuffer.empty[FrontierOut]
+    live.foreach { r =>
+      val isNew = !seen.contains(r.url)
+      seen += (r.url ->
+        math.max(r.ts.getTime, seen.getOrElse(r.url, Long.MinValue)))
+      if (isNew && emitted < perDomainCap) {
+        out += FrontierOut(r.url, domain, r.ts)
+        emitted += 1
+      }
+    }
+    val maxTs = math.max(live.map(_.ts.getTime).max, st.lastSeenMs)
+    state.update(DomainState(emitted, seen, maxTs))
+    state.setTimeoutTimestamp(math.max(wm + 1, maxTs + retainMs))
+    out.iterator
+  }
+
+  /** The COMPOSED streaming crawl loop — discover → robots-filter →
+    * per-domain cap → emit — in one query, because the individually
+    * gated stages are not the thing a user runs: composition bugs
+    * (a disallowed URL sneaking through cross-segment, a capped domain
+    * still emitting) are invisible to per-stage gates (the repo's own
+    * `web_corpus_e2e` lesson).
+    *
+    * Shape: discovery is stateless projections; the robots gate is a
+    * STREAM-STATIC join against the broadcastable per-host rule arrays
+    * ([[graft.ops.WebOps.robotsRuleArrays]]) with the best-match
+    * verdict computed scan-side by array HOFs (longest-match rule, tie
+    * → allow — the same semantics as the batch
+    * [[graft.ops.WebOps.robotsFilter]], machine-checked in
+    * StreamingSpec); the ONLY stateful operator is the per-domain
+    * [[politeFlatMap]], whose state is horizon-bounded (dedup registry
+    * pruned to the watermark horizon, one emission counter). Append
+    * mode, one stateful op — same budget discipline as every stream
+    * here.
+    *
+    * Output: append-mode (url, domain, first_seen) — the deduped,
+    * robots-allowed, rate-capped fetch feed.
+    */
+  def politeFrontierStream(spark: SparkSession, dir: String,
+                           robots: DataFrame, agent: String,
+                           perDomainCap: Int,
+                           retention: String = "10 minutes"): DataFrame = {
+    graft.ops.WebOps.registerAll(spark)
+    import spark.implicits._
+    val retainMs = intervalMs(retention)
+    val ruleArrays = broadcast(
+      graft.ops.WebOps.robotsRuleArrays(robots, agent))
+    val gated = discoveredUrls(spark, dir)
+      .withColumn("host", graft.ops.UrlOps.hostOf(col("url")))
+      .withColumn("path",
+        regexp_extract(col("url"), "^[a-z]+://[^/]+(/.*)$", 1))
+      .join(ruleArrays, Seq("host"), "left")
+      .withColumn("__best", array_max(expr(
+        """filter(transform(rules, r ->
+          |  struct(robots_match_len(r.rule_path, path) AS mlen,
+          |         CAST(r.allow AS INT) AS allow_i)),
+          |  h -> h.mlen >= 0)""".stripMargin)))
+      .filter(coalesce(col("__best.allow_i") === 1, lit(true)))
+      .withColumn("domain",
+        graft.ops.UrlOps.registeredDomain(col("host")))
       .withWatermark("seg_time", retention)
-      .dropDuplicatesWithinWatermark("url")
-      .select(col("url"), col("seg_time").as("first_seen"))
+      .select(col("domain"), col("url"), col("seg_time").as("ts"))
+      .as[FrontierRow]
+    gated
+      .groupByKey(_.domain)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
+        politeFlatMap(retainMs, perDomainCap))
+      .toDF()
+      .select(col("url"), col("domain"), col("ts").as("first_seen"))
   }
 }

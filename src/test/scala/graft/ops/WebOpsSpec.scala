@@ -245,4 +245,34 @@ class WebOpsSpec extends SparkSuite {
     // the totals cross join must be the broadcast of ONE row, never a cartesian
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("zstd-magic and unknown blobs quarantine loudly; corrupt gzip too") {
+    import spark.implicits._
+    graft.functions.Gzip.register(spark)
+    val goodGz = graft.functions.Gzip.compress("payload".getBytes("UTF-8"))
+    val corruptGz = goodGz.clone()
+    corruptGz(corruptGz.length - 5) = (corruptGz(corruptGz.length - 5) ^ 0x7f).toByte
+    val blobs = Seq(
+      (1L, goodGz),
+      (2L, corruptGz),                                       // gzip magic, bad CRC
+      (3L, Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte, 1, 2, 3)), // zstd frame
+      (4L, Array[Byte](0x5a, 0x2a, 0x4d, 0x18, 9, 9)),       // zstd skippable
+      (5L, "plain bytes".getBytes("UTF-8")),                 // unknown
+      (6L, Array.empty[Byte]))                               // empty
+      .toDF("id", "blob")
+    val got = WebOps.segmentAudit(blobs, col("id"), col("blob"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("gzip", false, 0L))) // inflates but holds no WARC records
+    assert(got(2L) == (("gzip", true, 0L)), "bad CRC must quarantine, not pass")
+    assert(got(3L) == (("zstd", true, 0L)))
+    assert(got(4L) == (("zstd", true, 0L)))
+    assert(got(5L) == (("unknown", true, 0L)))
+    assert(got(6L) == (("empty", true, 0L)))
+    // the extraction path itself yields zero pages from a zstd segment —
+    // refusal, never garbage
+    val pages = WebOps.extractPages(blobs.filter(col("id") === 3L), col("blob"))
+    assert(pages.count() == 0)
+  }
 }

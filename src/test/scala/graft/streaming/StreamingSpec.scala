@@ -337,6 +337,57 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("polite frontier: robots-disallowed URLs never emit, capped domains stop, state bounded") {
+    import spark.implicits._
+    import graft.ops.WebOps
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("polite_in_")
+    def page(id: Long, links: Seq[String]): (Long, String) =
+      id -> links.map(l => s"""<a href="$l">x</a>""").mkString(
+        "<html><body>", "\n", "</body></html>")
+    def blobOf(pages: Seq[(Long, String)]): Array[Byte] = {
+      val df = pages.toDF("doc_id", "html")
+      val recs = df.select(col("doc_id"), WebOps.buildRecord(col("doc_id"),
+        lit("https://h.example.com/p"), col("html")).as("rec"))
+      WebOps.buildCrawlFiles(recs, col("doc_id"), col("rec"), perFile = 10)
+        .head.getAs[Array[Byte]]("blob")
+    }
+    val robots = Seq(
+      ("h.example.com", "User-agent: *\nDisallow: /secret"))
+      .toDF("host", "txt")
+    // segment 0: /a /p1 /p2 fill example.com's cap of 3; /secret/x is
+    // robots-disallowed; one cross-domain link
+    java.nio.file.Files.write(dir.resolve("seg0.warc.gz"), blobOf(Seq(
+      page(0L, Seq("/a", "/secret/x", "/p1", "/p2", "https://w.other.org/q1")))))
+    val q = StreamingPipeline.politeFrontierStream(spark, dir.toString,
+        robots, "graftbot", perDomainCap = 3)
+      .writeStream.format("memory").queryName("polite_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("polite_out").select(col("url")).as[String]
+        .collect().toSet
+      assert(first == Set("https://h.example.com/a", "https://h.example.com/p1",
+        "https://h.example.com/p2", "https://w.other.org/q1"), s"got $first")
+      // segment 1: a disallowed URL discovered CROSS-segment must never
+      // emit; /p3 is new but example.com's budget is exhausted; /a is a
+      // dup; the other domain still has budget
+      java.nio.file.Files.write(dir.resolve("seg1.warc.gz"), blobOf(Seq(
+        page(1L, Seq("/secret/y", "/p3", "/a", "https://w.other.org/q2")))))
+      q.processAllAvailable()
+      val all = spark.table("polite_out").select(col("url")).as[String].collect()
+      assert(all.length == 5, s"got ${all.toSeq.sorted}")
+      assert(all.toSet.contains("https://w.other.org/q2"))
+      assert(!all.exists(_.contains("/secret")), "disallowed URL emitted")
+      assert(!all.toSet.contains("https://h.example.com/p3"),
+        "capped domain kept emitting")
+      assert(all.count(_.endsWith("/a")) == 1, "dedup across segments broke")
+      // politeness state is per-DOMAIN (2 domains), never frontier-sized
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2, s"state rows $stateRows exceed the domain count")
+    } finally q.stop()
+  }
+
   test("crawl ingestion stream: gzip'd WARC segments arrive → page text, incrementally") {
     import spark.implicits._
     import graft.ops.WebOps

@@ -114,9 +114,10 @@ object ImageHash {
   private final class Gray(val w: Int, val h: Int, val px: Array[Int])
 
   /** Container dispatch on magic bytes: uncompressed 24-bit BMP,
-    * zlib-compressed PNG, or baseline JPEG ([[JpegDecode]] — luma
-    * channel, the dominant web-image format). Every consumer (aHash /
-    * dHash / resize) is format-transparent — the SAME image content must
+    * zlib-compressed PNG, baseline+progressive JPEG ([[JpegDecode]] —
+    * luma channel, the dominant web-image format), or GIF
+    * ([[GifDecode]] — first frame, LZW). Every consumer (aHash / dHash
+    * / resize) is format-transparent — the SAME image content must
     * hash identically from any container (pinned by ImagePixelSpec's
     * cross-format round-trip and JpegPixelSpec's DC-exact mosaics).
     */
@@ -127,6 +128,9 @@ object ImageHash {
       decodePng(b)
     else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
       val l = JpegDecode.decode(b)
+      if (l == null) null else new Gray(l.w, l.h, l.px)
+    } else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
+      val l = GifDecode.decode(b)
       if (l == null) null else new Gray(l.w, l.h, l.px)
     } else null
   }

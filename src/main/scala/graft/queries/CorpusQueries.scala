@@ -96,6 +96,33 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ENCODING hygiene gate (graft.functions.Utf8Stats): strict UTF-8
+    // validity statistics over raw bytes — per doc the ASCII text plus a
+    // doc_id-derived byte tail (valid 2-byte é / invalid 0xFF / U+FFFD
+    // replacement scars by doc_id%4, length doc_id%5+1), so the oracle
+    // replays every counter from the construction rule and any drift in
+    // the strict decoder (overlong/surrogate/truncation policy) breaks
+    // the hash.
+    "text_utf8_stats" -> ((s, dir) => {
+      graft.functions.Utf8Stats.register(s)
+      val tail = expr(
+        """CASE CAST(doc_id % 4 AS INT)
+          |  WHEN 1 THEN repeat('C3A9', CAST(doc_id % 5 + 1 AS INT))
+          |  WHEN 2 THEN repeat('FF', CAST(doc_id % 5 + 1 AS INT))
+          |  WHEN 3 THEN repeat('EFBFBD', CAST(doc_id % 5 + 1 AS INT))
+          |  ELSE '' END""".stripMargin)
+      Tables.documents(s, dir)
+        .withColumn("blob", concat(col("text").cast("binary"), unhex(tail)))
+        .selectExpr("doc_id", "utf8_stats(blob) AS st")
+        .select(col("doc_id"),
+          col("st.n_bytes").as("n_bytes"), col("st.n_cp").as("n_cp"),
+          col("st.n_ascii").as("n_ascii"), col("st.n_2byte").as("n_2byte"),
+          col("st.n_3byte").as("n_3byte"), col("st.n_4byte").as("n_4byte"),
+          col("st.n_invalid").as("n_invalid"),
+          col("st.n_replacement").as("n_replacement"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Interpolated trigram LM (fixed-weight Jelinek-Mercer backoff to
     // bigram and unigram evidence) — the CCNet-perplexity-filter shape
     // one more order up; the oracle replays counts → deterministic caps
@@ -514,6 +541,22 @@ object CorpusQueries extends QueryPack {
          |    / (coalesce(c1, 0) + (SELECT v FROM tot)))) * 1e4 + 0.5) / 1e4
          |    AS avg_logprob2
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replay of the utf8-stats construction rule: counters are closed
+    // forms of doc_id%4 (tail kind) and doc_id%5+1 (tail length)
+    "text_utf8_stats" ->
+      """WITH d AS (SELECT doc_id, length(text) AS nc,
+        |    doc_id % 5 + 1 AS k, doc_id % 4 AS m FROM documents)
+        |SELECT doc_id,
+        |  CAST(nc + CASE m WHEN 1 THEN 2*k WHEN 2 THEN k
+        |    WHEN 3 THEN 3*k ELSE 0 END AS INTEGER) AS n_bytes,
+        |  CAST(nc + CASE WHEN m IN (1, 3) THEN k ELSE 0 END AS INTEGER) AS n_cp,
+        |  CAST(nc AS INTEGER) AS n_ascii,
+        |  CAST(CASE WHEN m = 1 THEN k ELSE 0 END AS INTEGER) AS n_2byte,
+        |  CAST(CASE WHEN m = 3 THEN k ELSE 0 END AS INTEGER) AS n_3byte,
+        |  CAST(0 AS INTEGER) AS n_4byte,
+        |  CAST(CASE WHEN m = 2 THEN k ELSE 0 END AS INTEGER) AS n_invalid,
+        |  CAST(CASE WHEN m = 3 THEN k ELSE 0 END AS INTEGER) AS n_replacement
+        |FROM d ORDER BY doc_id""".stripMargin,
     "text_lm_trigram" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
          |p AS (SELECT doc_id, unnest(l) AS t FROM t),

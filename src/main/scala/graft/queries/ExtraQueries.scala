@@ -636,6 +636,23 @@ object ExtraQueries extends QueryPack {
     // drift in scan accumulation, EOB runs, or refinement breaks the
     // hash. AC-rich + real-encoder progressive coverage lives in
     // JpegPixelSpec (±1 vs ImageIO both ways).
+    // GIF first-frame decode behind the same seam: a committed
+    // block-mosaic fixture from the independent python LZW encoder
+    // (tools/gen_gif_fixtures.py). The palette is r=g=b so luma equals
+    // the palette index EXACTLY (no rounding freedom), and the oracle
+    // replays the mosaic formula arithmetically; any drift in the LZW
+    // decode, palette mapping, or block walk breaks the hash.
+    // Interlace/local-table/KwKwK/ImageIO cross-checks live in
+    // GifPixelSpec.
+    "mm_image_gif" -> ((s, dir) => {
+      graft.functions.ImageHash.register(s)
+      import s.implicits._
+      Seq(("gif_blocks", gifBlocksHex)).toDF("img", "hex")
+        .selectExpr("img",
+          "posexplode(image_resize_gray(unhex(hex), 4, 3)) AS (cell_idx, gray)")
+        .orderBy(col("img"), col("cell_idx"))
+    }),
+
     "mm_image_jpeg_prog" -> ((s, dir) => {
       graft.functions.ImageHash.register(s)
       import s.implicits._
@@ -644,6 +661,31 @@ object ExtraQueries extends QueryPack {
           "posexplode(image_resize_gray(unhex(hex), 4, 3)) AS (cell_idx, gray)")
         .orderBy(col("img"), col("cell_idx"))
     }))
+
+  // committed GIF fixture bytes (tools/gen_gif_fixtures.py →
+  // src/test/resources/gif_fixtures/gif_blocks.gif): 32×24 mosaic
+  // v = (37·bx + 59·by + 23) % 256 over a 256-entry r=g=b palette
+  private val gifBlocksHex =
+    "474946383961200018008700000000000101010202020303030404040505050606060707070808080909090A0A0A0B0B0B0C" +
+      "0C0C0D0D0D0E0E0E0F0F0F1010101111111212121313131414141515151616161717171818181919191A1A1A1B1B1B1C1C1C" +
+      "1D1D1D1E1E1E1F1F1F2020202121212222222323232424242525252626262727272828282929292A2A2A2B2B2B2C2C2C2D2D" +
+      "2D2E2E2E2F2F2F3030303131313232323333333434343535353636363737373838383939393A3A3A3B3B3B3C3C3C3D3D3D3E" +
+      "3E3E3F3F3F4040404141414242424343434444444545454646464747474848484949494A4A4A4B4B4B4C4C4C4D4D4D4E4E4E" +
+      "4F4F4F5050505151515252525353535454545555555656565757575858585959595A5A5A5B5B5B5C5C5C5D5D5D5E5E5E5F5F" +
+      "5F6060606161616262626363636464646565656666666767676868686969696A6A6A6B6B6B6C6C6C6D6D6D6E6E6E6F6F6F70" +
+      "70707171717272727373737474747575757676767777777878787979797A7A7A7B7B7B7C7C7C7D7D7D7E7E7E7F7F7F808080" +
+      "8181818282828383838484848585858686868787878888888989898A8A8A8B8B8B8C8C8C8D8D8D8E8E8E8F8F8F9090909191" +
+      "919292929393939494949595959696969797979898989999999A9A9A9B9B9B9C9C9C9D9D9D9E9E9E9F9F9FA0A0A0A1A1A1A2" +
+      "A2A2A3A3A3A4A4A4A5A5A5A6A6A6A7A7A7A8A8A8A9A9A9AAAAAAABABABACACACADADADAEAEAEAFAFAFB0B0B0B1B1B1B2B2B2" +
+      "B3B3B3B4B4B4B5B5B5B6B6B6B7B7B7B8B8B8B9B9B9BABABABBBBBBBCBCBCBDBDBDBEBEBEBFBFBFC0C0C0C1C1C1C2C2C2C3C3" +
+      "C3C4C4C4C5C5C5C6C6C6C7C7C7C8C8C8C9C9C9CACACACBCBCBCCCCCCCDCDCDCECECECFCFCFD0D0D0D1D1D1D2D2D2D3D3D3D4" +
+      "D4D4D5D5D5D6D6D6D7D7D7D8D8D8D9D9D9DADADADBDBDBDCDCDCDDDDDDDEDEDEDFDFDFE0E0E0E1E1E1E2E2E2E3E3E3E4E4E4" +
+      "E5E5E5E6E6E6E7E7E7E8E8E8E9E9E9EAEAEAEBEBEBECECECEDEDEDEEEEEEEFEFEFF0F0F0F1F1F1F2F2F2F3F3F3F4F4F4F5F5" +
+      "F5F6F6F6F7F7F7F8F8F8F9F9F9FAFAFAFBFBFBFCFCFCFDFDFDFEFEFEFFFFFF2C00000000200018000008CD002F081C289087" +
+      "C18306C3285CA8D090C3870E091244889021438810250EA478D0E2428C0F3516E4C8C363439086445E2059D224CA9422599A" +
+      "0CF352A54C97286D929CF9528ACF9F3EEF081D2A9493D1A34683295DAA142850A244912265CAD4E94FA843A51EA5BAD46A50" +
+      "AC77B426E51ACCAB14B061C5922DEB15AD584E6BCDBA554B562ED8B76B1BE9DDAB5796DFBF7EAF091E2C989FE1C386F9F205" +
+      "0C983061C48815EF65FCD7F160C88725F7A52CCB7261CCFC3437E2DCD933E8D09A497BBE765AB46AD3A05D735E7D3A20003B"
 
   // committed progressive fixture bytes (tools/gen_jpeg_prog_fixtures.py →
   // src/test/resources/jpeg_fixtures/prog_blocks.jpg), hex-embedded so the
@@ -1027,6 +1069,12 @@ object ExtraQueries extends QueryPack {
         |FROM embeddings CROSS JOIN
         |  (SELECT unnest(generate_series(1, 64)) AS i) dims
         |ORDER BY vec_id, cell_idx""".stripMargin,
+    "mm_image_gif" ->
+      """SELECT 'gif_blocks' AS img, CAST(by * 4 + bx AS INTEGER) AS cell_idx,
+        |  CAST((37 * bx + 59 * by + 23) % 256 AS INTEGER) AS gray
+        |FROM (SELECT unnest(generate_series(0, 3)) AS bx) a,
+        |     (SELECT unnest(generate_series(0, 2)) AS by) b
+        |ORDER BY img, cell_idx""".stripMargin,
     "mm_image_jpeg_prog" ->
       """SELECT 'prog_blocks' AS img, CAST(by * 4 + bx AS INTEGER) AS cell_idx,
         |  CAST((37 * bx + 59 * by + 23) % 256 AS INTEGER) AS gray

@@ -203,6 +203,48 @@ class PlanAuditSpec extends SparkSuite {
       s"canonical dedup should be one hash agg:\n${p.take(2000)}")
   }
 
+  test("trigram LM scoring is broadcast joins below one per-doc aggregation") {
+    val p = planOf("text_lm_trigram")
+    assert(!p.contains("Window"), "trigram scorer funnels through a window")
+    assert(!p.contains("CartesianProduct"), "trigram scorer plans a cartesian")
+    // all five count-table joins must be broadcasts — the tables are
+    // maxVocab-bounded, never corpus-sized
+    assert(p.contains("BroadcastHashJoin"), s"count tables not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      "a capped count table fell back to a corpus-shaped shuffle join")
+  }
+
+  test("utf8 stats and segment audit stay scan-side: no joins, no windows") {
+    Seq("text_utf8_stats", "web_segment_audit").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Join"), s"$q joins — the stats must be a projection")
+      assert(!p.contains("Window"), s"$q windows over the corpus")
+      // only the presentation orderBy may exchange
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"$q plans $exchanges exchanges")
+    }
+  }
+
+  test("image decode queries keep blobs inside one projection — no binary shuffle") {
+    Seq("mm_image_gif", "mm_image_jpeg_prog").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
+      val p = df.queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+      exchanges.foreach(l =>
+        assert(!l.contains("hex") && !l.contains("blob"),
+          s"$q: fixture bytes cross a shuffle: $l"))
+    }
+  }
+
+  test("trained LID classify joins only the broadcast model grid") {
+    // weight grid is numClasses*numBuckets rows — model-sized; the join
+    // must be a broadcast, never a corpus-shaped shuffle join
+    val p = planOf("text_langid_trained")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"model-grid join regressed to sort-merge:\n${p.take(2000)}")
+  }
+
   test("web-crawl family: equi-joins only, no windows over the corpus") {
     Seq("web_crawl_e2e", "dedup_line_level", "text_dsir_weights",
       "web_robots_filter", "web_link_extract", "web_pagerank", "web_corpus_e2e").foreach { q =>

@@ -229,6 +229,55 @@ object TextQualityOps {
           * 1e4 + lit(0.5)) / 1e4).as("avg_logprob3"))
   }
 
+  /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020 §3.3): score
+    * every document under the corpus LM ([[trigramLogProb]]), then
+    * split the corpus into equal-count head / middle / tail buckets —
+    * the head is what CCNet keeps for training, the tail is dropped,
+    * the middle is the tunable margin.
+    *
+    * Scale shape — thresholds WITHOUT a corpus sort: scores are
+    * quantized to centi-log-prob integers, histogrammed (the value
+    * space is score-granularity-bounded — a few thousand cells
+    * regardless of corpus size — so the table is broadcast-sized by
+    * construction), and the two tercile boundaries fall out of one
+    * cumulative count over that bounded histogram. The only window in
+    * the plan runs over histogram CELLS, never documents; bucket
+    * assignment is a broadcast of two scalars. This is the
+    * sampled-quantile posture production CCNet uses, made exact and
+    * engine-replayable by the quantization.
+    *
+    * Tie handling is deterministic: a boundary cell's documents all
+    * land in the BETTER bucket (thresholds are inclusive maxima), so
+    * buckets are equal-count up to boundary-cell ties.
+    *
+    * Output: (docId, avg_logprob3, lp_centi, ppl_bucket); docs with
+    * fewer than 3 tokens are absent (no trigram evidence), as in
+    * [[trigramLogProb]].
+    */
+  def perplexityBuckets(df: DataFrame, docId: String, textCol: String,
+                        maxVocab: Int = 65536): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = trigramLogProb(df, docId, textCol, maxVocab)
+      .withColumn("lp_centi", floor(col("avg_logprob3") * 100).cast("long"))
+    val hist = scored.groupBy(col("lp_centi")).agg(count(lit(1)).as("__c"))
+    // single-partition window over the BOUNDED histogram (≈ value-space
+    // cells), deliberately — never over documents
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.orderBy(col("lp_centi").desc)))
+    val tot = scored.agg(count(lit(1)).as("__n"))
+    val ths = cum.crossJoin(broadcast(tot))
+      .agg(
+        max(when(col("__cum") >= expr("(__n + 2) div 3"), col("lp_centi")))
+          .as("__t1"),
+        max(when(col("__cum") >= expr("(2 * __n + 2) div 3"), col("lp_centi")))
+          .as("__t2"))
+    scored.crossJoin(broadcast(ths))
+      .select(col(docId), col("avg_logprob3"), col("lp_centi"),
+        when(col("lp_centi") >= col("__t1"), "head")
+          .when(col("lp_centi") >= col("__t2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Compression-ratio quality signal (the MassiveText/Gopher-family
     * cheap gibberish detector): highly repetitive or templated text
     * deflates far below normal prose, random noise barely deflates at

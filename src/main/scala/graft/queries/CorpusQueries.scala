@@ -135,6 +135,16 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet §3.3 head/middle/tail perplexity bucketing — tercile
+    // thresholds from a cumulative count over the BOUNDED centi-quantized
+    // score histogram (never a corpus sort); the oracle replays scoring,
+    // histogram, and the inclusive threshold maxima.
+    "text_ppl_buckets" -> ((s, dir) => {
+      TextQualityOps.perplexityBuckets(Tables.documents(s, dir),
+          "doc_id", "text", maxVocab = 65536)
+        .orderBy(col("doc_id"))
+    }),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis,
     // derandomized): longer documents proportionally likelier; one bounded
     // min-k aggregation, no RNG, no global sort.
@@ -338,6 +348,47 @@ object CorpusQueries extends QueryPack {
   )
 
   private val tokSql = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  /** Shared trigram-LM scoring replay (counts → deterministic caps →
+    * fixed-weight interpolation, mirroring
+    * [[graft.ops.TextQualityOps.trigramLogProb]]) ending in a `score`
+    * CTE — consumed by both `text_lm_trigram` and `text_ppl_buckets`.
+    */
+  private lazy val trigramScoreCtes: String =
+    s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
+       |p AS (SELECT doc_id, unnest(l) AS t FROM t),
+       |tot0 AS (SELECT count(*) AS n, count(DISTINCT t) AS v FROM p),
+       |u AS MATERIALIZED (SELECT t, count(*) AS cu FROM p GROUP BY t
+       |      ORDER BY cu DESC, t ASC LIMIT 65536),
+       |bgr AS (SELECT l[i] || ' ' || l[i+1] AS b
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) g
+       |  WHERE len(l) >= 2),
+       |blm AS MATERIALIZED (SELECT b, count(*) AS cb FROM bgr GROUP BY b
+       |       ORDER BY cb DESC, b ASC LIMIT 65536),
+       |tgr AS MATERIALIZED (SELECT doc_id,
+       |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g3,
+       |    l[i] || ' ' || l[i+1] AS b12, l[i+1] || ' ' || l[i+2] AS b23,
+       |    l[i+1] AS w2, l[i+2] AS w3
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(l)-2)) AS i) g
+       |  WHERE len(l) >= 3),
+       |tlm AS MATERIALIZED (SELECT g3, count(*) AS ct FROM tgr GROUP BY g3
+       |       ORDER BY ct DESC, g3 ASC LIMIT 65536),
+       |j AS (SELECT tgr.doc_id, tlm.ct, b1.cb AS cb12, b2.cb AS cb23,
+       |    u2.cu AS cu2, u3.cu AS cu3
+       |  FROM tgr LEFT JOIN tlm USING (g3)
+       |  LEFT JOIN blm b1 ON b1.b = tgr.b12
+       |  LEFT JOIN blm b2 ON b2.b = tgr.b23
+       |  LEFT JOIN u u2 ON u2.t = tgr.w2
+       |  LEFT JOIN u u3 ON u3.t = tgr.w3),
+       |score AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |    CAST(sum(CASE WHEN ct IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov3,
+       |    floor(avg(ln(
+       |      0.6 * (coalesce(ct, 0) + 1.0) / (coalesce(cb12, 0) + (SELECT v FROM tot0)) +
+       |      0.3 * (coalesce(cb23, 0) + 1.0) / (coalesce(cu2, 0) + (SELECT v FROM tot0)) +
+       |      0.1 * (coalesce(cu3, 0) + 1.0) / ((SELECT n FROM tot0) + (SELECT v FROM tot0))))
+       |      * 1e4 + 0.5) / 1e4 AS avg_logprob3
+       |  FROM j GROUP BY doc_id)""".stripMargin
 
   /** DuckDB replay of the full IVF+PQ path at iters=0: per subspace s the
     * codebook is the 8 corpus subvectors with the smallest md5('pq<s>:'||id)
@@ -558,39 +609,28 @@ object CorpusQueries extends QueryPack {
         |  CAST(CASE WHEN m = 3 THEN k ELSE 0 END AS INTEGER) AS n_replacement
         |FROM d ORDER BY doc_id""".stripMargin,
     "text_lm_trigram" ->
-      s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
-         |p AS (SELECT doc_id, unnest(l) AS t FROM t),
-         |tot AS (SELECT count(*) AS n, count(DISTINCT t) AS v FROM p),
-         |u AS (SELECT t, count(*) AS cu FROM p GROUP BY t
-         |      ORDER BY cu DESC, t ASC LIMIT 65536),
-         |bgr AS (SELECT l[i] || ' ' || l[i+1] AS b
-         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) g
-         |  WHERE len(l) >= 2),
-         |blm AS (SELECT b, count(*) AS cb FROM bgr GROUP BY b
-         |       ORDER BY cb DESC, b ASC LIMIT 65536),
-         |tgr AS (SELECT doc_id,
-         |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g3,
-         |    l[i] || ' ' || l[i+1] AS b12, l[i+1] || ' ' || l[i+2] AS b23,
-         |    l[i+1] AS w2, l[i+2] AS w3
-         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(l)-2)) AS i) g
-         |  WHERE len(l) >= 3),
-         |tlm AS (SELECT g3, count(*) AS ct FROM tgr GROUP BY g3
-         |       ORDER BY ct DESC, g3 ASC LIMIT 65536),
-         |j AS (SELECT tgr.doc_id, tlm.ct, b1.cb AS cb12, b2.cb AS cb23,
-         |    u2.cu AS cu2, u3.cu AS cu3
-         |  FROM tgr LEFT JOIN tlm USING (g3)
-         |  LEFT JOIN blm b1 ON b1.b = tgr.b12
-         |  LEFT JOIN blm b2 ON b2.b = tgr.b23
-         |  LEFT JOIN u u2 ON u2.t = tgr.w2
-         |  LEFT JOIN u u3 ON u3.t = tgr.w3)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-         |  CAST(sum(CASE WHEN ct IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov3,
-         |  floor(avg(ln(
-         |    0.6 * (coalesce(ct, 0) + 1.0) / (coalesce(cb12, 0) + (SELECT v FROM tot)) +
-         |    0.3 * (coalesce(cb23, 0) + 1.0) / (coalesce(cu2, 0) + (SELECT v FROM tot)) +
-         |    0.1 * (coalesce(cu3, 0) + 1.0) / ((SELECT n FROM tot) + (SELECT v FROM tot))))
-         |    * 1e4 + 0.5) / 1e4 AS avg_logprob3
-         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$trigramScoreCtes
+         |SELECT doc_id, n_trigrams, n_oov3, avg_logprob3
+         |FROM score ORDER BY doc_id""".stripMargin,
+    // replay of the bucketed-threshold arithmetic: centi-quantized
+    // scores, cumulative histogram, inclusive tercile maxima
+    "text_ppl_buckets" ->
+      s"""$trigramScoreCtes,
+         |q AS MATERIALIZED (SELECT doc_id, avg_logprob3,
+         |    CAST(floor(avg_logprob3 * 100) AS BIGINT) AS lp_centi FROM score),
+         |hist AS (SELECT lp_centi, count(*) AS c FROM q GROUP BY lp_centi),
+         |cum AS (SELECT lp_centi,
+         |    sum(c) OVER (ORDER BY lp_centi DESC) AS cumc FROM hist),
+         |tot AS (SELECT count(*) AS n FROM q),
+         |th AS (SELECT
+         |    max(CASE WHEN cumc >= (n + 2) // 3 THEN lp_centi END) AS t1,
+         |    max(CASE WHEN cumc >= (2 * n + 2) // 3 THEN lp_centi END) AS t2
+         |  FROM cum, tot)
+         |SELECT q.doc_id, q.avg_logprob3, q.lp_centi,
+         |  CASE WHEN q.lp_centi >= th.t1 THEN 'head'
+         |       WHEN q.lp_centi >= th.t2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM q, th ORDER BY doc_id""".stripMargin,
     "text_quality_gate" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
          |p AS (SELECT doc_id, unnest(l) AS g, generate_subscripts(l, 1) AS pos FROM t),

@@ -372,6 +372,34 @@ class CorpusOpsSpec extends SparkSuite {
     assert(!got(2L)._3.isNegInfinity)
   }
 
+  test("perplexity buckets: near-equal terciles, head strictly above tail") {
+    import spark.implicits._
+    // 30 docs across three fluency regimes: repeated fluent phrases,
+    // mixed, and unique-token soup
+    val docs = (0 until 30).map { i =>
+      val text =
+        if (i < 10) "the quick brown fox jumps over the lazy dog " * 5
+        else if (i < 20) ("the quick brown fox " + (0 until 10)
+          .map(j => s"mid${i}x$j").mkString(" "))
+        else (0 until 20).map(j => s"junk${i}y$j").mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val got = TextQualityOps.perplexityBuckets(docs, "doc_id", "text",
+        maxVocab = 65536)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(3)))
+    val byBucket = got.groupBy(_._3).view.mapValues(_.length).toMap
+    // equal-count up to boundary-cell ties
+    assert(byBucket.keySet == Set("head", "middle", "tail"), s"got $byBucket")
+    assert(byBucket.values.forall(c => c >= 8 && c <= 12), s"got $byBucket")
+    // every head score >= every tail score (buckets are score-ordered)
+    val headMin = got.filter(_._3 == "head").map(_._2).min
+    val tailMax = got.filter(_._3 == "tail").map(_._2).max
+    assert(headMin >= tailMax, s"head min $headMin below tail max $tailMax")
+    // the fluent-repetition docs land in head, the soup in tail
+    assert(got.filter(_._1 < 10).forall(_._3 == "head"))
+    assert(got.filter(_._1 >= 20).forall(_._3 == "tail"))
+  }
+
   test("maxEvalCosine refuses a corpus-sized eval side, runs at the bound") {
     import spark.implicits._
     val emb = (0 until 20).map(i => (i.toLong, Seq(1.0f, 0.0f)))

@@ -427,6 +427,31 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Training-data MATERIALIZATION end-to-end: learn the byte-level
+    // tokenizer from the corpus, tokenize every document through the
+    // native BpeApply expression, and pack the REAL token counts into
+    // fixed-budget sequences with the sharded greedy packer — the
+    // tokenize→pack chain a pre-training data drop actually runs. The
+    // oracle replays BPE training, application, AND the packer's
+    // placement arithmetic in one statement, so a drift anywhere in the
+    // chain breaks the hash.
+    "text_bpe_pack_e2e" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextOps.trainBpeMergesBytes(docs, "text",
+        nMerges = 16, maxVocab = 65536).map(m => (m._1, m._2))
+      graft.functions.BpeApply.register(s, merges, name = "graft_bpe_pack",
+        byteLevel = true)
+      val sqlRegex = TextOps.BytePretokenRegex.replace("\\", "\\\\")
+      val words = expr(s"regexp_extract_all(text, '$sqlRegex', 0)")
+      val tokArr = flatten(transform(words,
+        w => split(call_function("graft_bpe_pack", w), " ")))
+      val counted = docs.select(col("doc_id"),
+        size(tokArr).cast("long").as("n_bpe"))
+      graft.ops.PackingOps.packTokenStream(counted, "doc_id", "n_bpe",
+          budget = 512, shards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Tokenizer END-TO-END: learn a 32-merge table from the corpus
     // (TextOps.trainBpeMerges — the same single-pass incremental
     // trainer), then segment the SAME corpus with it through the
@@ -694,14 +719,19 @@ object DataPipelineQueries extends QueryPack {
     * the SQL text contains no learned literals and one hash compare
     * certifies the byte trainer AND the byteLevel BpeApply runtime.
     */
-  private def bpeBytesE2eOracleSql: String = {
+  private val bytePretokSql =
+    s"regexp_extract_all(text, '${TextOps.BytePretokenRegex}')"
+
+  /** Byte-level BPE train+apply replay ending in an `agg` CTE of
+    * (doc_id, toks) — shared by `text_bpe_bytes_e2e` and the packed
+    * materialization `text_bpe_pack_e2e`.
+    */
+  private def bpeBytesCtes: String = {
     val n = 16
-    val pretok =
-      s"regexp_extract_all(text, '${TextOps.BytePretokenRegex}')"
     s"""WITH RECURSIVE ${bpeVocabCtesBytes(bpeRoundCtes(n))},
        |merges AS MATERIALIZED (${bpeRanksUnion(n)}),
        |mx AS (SELECT coalesce(max(rank), 0) AS r FROM merges),
-       |dw AS MATERIALIZED (SELECT DISTINCT unnest($pretok) AS w
+       |dw AS MATERIALIZED (SELECT DISTINCT unnest($bytePretokSql) AS w
        |  FROM documents),
        |app AS (
        |  SELECT w, 0 AS r,
@@ -716,18 +746,39 @@ object DataPipelineQueries extends QueryPack {
        |  WHERE a.r < (SELECT r FROM mx)),
        |appf AS MATERIALIZED (SELECT w, string_split(trim(enc), '  ') AS tok
        |  FROM app WHERE r = (SELECT r FROM mx)),
-       |docw AS (SELECT doc_id, unnest($pretok) AS w,
-       |    generate_subscripts($pretok, 1) AS ord
+       |docw AS (SELECT doc_id, unnest($bytePretokSql) AS w,
+       |    generate_subscripts($bytePretokSql, 1) AS ord
        |  FROM documents),
        |agg AS (SELECT d.doc_id, flatten(list(a.tok ORDER BY d.ord)) AS toks
-       |  FROM docw d JOIN appf a USING (w) GROUP BY d.doc_id)
+       |  FROM docw d JOIN appf a USING (w) GROUP BY d.doc_id)""".stripMargin
+  }
+
+  private def bpeBytesE2eOracleSql: String =
+    s"""$bpeBytesCtes
        |SELECT doc.doc_id,
        |  CAST(coalesce(len(g.toks), 0) AS BIGINT) AS n_bpe_tokens,
-       |  CAST(len($pretok) AS BIGINT) AS n_words,
+       |  CAST(len($bytePretokSql) AS BIGINT) AS n_words,
        |  coalesce(array_to_string(g.toks[1:8], '|'), '') AS head_tokens
        |FROM documents doc LEFT JOIN agg g USING (doc_id)
        |ORDER BY doc.doc_id""".stripMargin
-  }
+
+  /** The full training-data MATERIALIZATION replay: byte-BPE token
+    * counts feeding the sharded greedy packer's placement arithmetic.
+    */
+  private def bpePackE2eOracleSql: String =
+    s"""$bpeBytesCtes,
+       |cnt AS MATERIALIZED (SELECT doc.doc_id,
+       |    CAST(coalesce(len(g.toks), 0) AS BIGINT) AS n,
+       |    ('0x' || substr(md5('pack:' || CAST(doc.doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+       |  FROM documents doc LEFT JOIN agg g USING (doc_id)),
+       |w2 AS (SELECT doc_id, shard, n,
+       |    CAST(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+       |  FROM cnt)
+       |SELECT doc_id, shard,
+       |  shard * 1099511627776 + CAST(strt // 512 AS BIGINT) AS pack_id,
+       |  strt % 512 AS pack_offset, n AS n_tokens
+       |FROM w2 ORDER BY doc_id""".stripMargin
 
   private def bpeVocabCtes(rounds: Seq[String]): String =
     s"""v AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
@@ -1198,6 +1249,7 @@ object DataPipelineQueries extends QueryPack {
     "text_bpe_train" -> bpeTrainOracleSql,
     "text_bpe_train_bytes" -> bpeTrainBytesOracleSql,
     "text_bpe_bytes_e2e" -> bpeBytesE2eOracleSql,
+    "text_bpe_pack_e2e" -> bpePackE2eOracleSql,
     "text_bpe_decode" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${TextOps.BytePretokenRegex}')) AS BIGINT)

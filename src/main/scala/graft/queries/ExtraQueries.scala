@@ -636,6 +636,36 @@ object ExtraQueries extends QueryPack {
     // drift in scan accumulation, EOB runs, or refinement breaks the
     // hash. AC-rich + real-encoder progressive coverage lives in
     // JpegPixelSpec (±1 vs ImageIO both ways).
+    // EXIF ORIENTATION (graft.functions.ExifMeta): the rotation tag
+    // perceptual dedup must normalize before hashing — the same photo
+    // stored rotated-with-tag vs baked-in hashes differently otherwise.
+    // Per doc a synthesized JPEG whose APP1/TIFF block cycles byte order
+    // (II/MM by doc_id%2) and orientation (doc_id%8+1); every 9th doc
+    // carries only a JFIF APP0 (no EXIF → null). The oracle replays the
+    // construction rule; any drift in the marker walk, byte-order
+    // handling, or IFD scan breaks the hash.
+    "mm_image_exif" -> ((s, dir) => {
+      graft.functions.ExifMeta.register(s)
+      val vSql = "(doc_id % 8 + 1)"
+      val hexSql =
+        s"""CASE
+           |  WHEN doc_id % 9 = 0 THEN
+           |    concat('FFD8', 'FFE000104A46494600010100000100010000', 'FFD9')
+           |  WHEN doc_id % 2 = 0 THEN
+           |    concat('FFD8FFE10022457869660000', '49492A0008000000',
+           |      '0100', '12010300', '01000000',
+           |      lpad(hex($vSql), 2, '0'), '000000', '00000000', 'FFD9')
+           |  ELSE
+           |    concat('FFD8FFE10022457869660000', '4D4D002A00000008',
+           |      '0001', '01120003', '00000001',
+           |      '00', lpad(hex($vSql), 2, '0'), '0000', '00000000', 'FFD9')
+           |END""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($hexSql)"))
+        .selectExpr("doc_id", "jpeg_exif_orientation(blob) AS orientation")
+        .orderBy(col("doc_id"))
+    }),
+
     // GIF first-frame decode behind the same seam: a committed
     // block-mosaic fixture from the independent python LZW encoder
     // (tools/gen_gif_fixtures.py). The palette is r=g=b so luma equals
@@ -1069,6 +1099,11 @@ object ExtraQueries extends QueryPack {
         |FROM embeddings CROSS JOIN
         |  (SELECT unnest(generate_series(1, 64)) AS i) dims
         |ORDER BY vec_id, cell_idx""".stripMargin,
+    "mm_image_exif" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE CAST(doc_id % 8 + 1 AS INTEGER) END AS orientation
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_image_gif" ->
       """SELECT 'gif_blocks' AS img, CAST(by * 4 + bx AS INTEGER) AS cell_idx,
         |  CAST((37 * bx + 59 * by + 23) % 256 AS INTEGER) AS gray

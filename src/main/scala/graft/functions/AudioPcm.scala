@@ -291,18 +291,47 @@ object AudioFlacStats {
     }
   }
 
-  /** Decode one FIXED/LPC/VERBATIM subframe body (warmup + coefficients +
-    * Rice residual partitions + prediction reconstruction) into exact
-    * 16-bit samples. `order` 0 with `coefs == null` doubles as VERBATIM
-    * (every sample is its own 16-bit literal — the spec's order-0
-    * degenerate shares no residual coding, so VERBATIM is dispatched
-    * before calling here).
+  /** One complete subframe (header + body) through the bit reader — the
+    * stereo path, where the second channel's subframe starts mid-byte.
+    * CONSTANT and VERBATIM expand to arrays here (the mono fast path
+    * keeps its allocation-free form); FIXED/LPC share
+    * [[decodePredicted]]. Wasted-bits subframes refuse, as everywhere.
+    */
+  private def decodeSubframe(br: BitReader, blockSize: Int,
+                             bps: Int): Array[Int] = {
+    val sh = br.readBits(8)
+    if ((sh & 0x80) != 0 || (sh & 1) != 0) throw Malformed
+    val typ = (sh >> 1) & 0x3f
+    if (typ == 0) {
+      val v = br.readSignedBits(bps)
+      val s = new Array[Int](blockSize)
+      java.util.Arrays.fill(s, v)
+      s
+    } else if (typ == 1) {
+      val s = new Array[Int](blockSize)
+      var i = 0
+      while (i < blockSize) { s(i) = br.readSignedBits(bps); i += 1 }
+      s
+    } else if (typ >= 8 && typ <= 12) {
+      if (typ - 8 > blockSize) throw Malformed
+      decodePredicted(br, blockSize, typ - 8, lpc = false, bps)
+    } else if (typ >= 32) {
+      val order = (typ & 0x1f) + 1
+      if (order > blockSize) throw Malformed
+      decodePredicted(br, blockSize, order, lpc = true, bps)
+    } else throw Malformed
+  }
+
+  /** Decode one FIXED/LPC subframe body (warmup + coefficients + Rice
+    * residual partitions + prediction reconstruction) into exact
+    * samples at `bps` bits (17 for a stereo SIDE channel — the spec's
+    * one-extra-bit rule for difference channels).
     */
   private def decodePredicted(br: BitReader, blockSize: Int, order: Int,
-                              lpc: Boolean): Array[Int] = {
+                              lpc: Boolean, bps: Int): Array[Int] = {
     val s = new Array[Int](blockSize)
     var i = 0
-    while (i < order) { s(i) = br.readSignedBits(16); i += 1 }
+    while (i < order) { s(i) = br.readSignedBits(bps); i += 1 }
     var coefs: Array[Int] = null
     var shift = 0
     if (lpc) {
@@ -393,6 +422,7 @@ object AudioFlacStats {
     var p = 4
     var last = false
     var totalSamples = -1L
+    var streamChannels = 0
     var haveInfo = false
     while (!last) {
       if (p + 4 > b.length) return null
@@ -409,7 +439,8 @@ object AudioFlacStats {
         val packed = Bytes.be64(b, f + 10)
         val chan = ((packed >>> 41) & 0x7) + 1
         val bits = ((packed >>> 36) & 0x1f) + 1
-        if (chan != 1 || bits != 16) return null
+        if ((chan != 1 && chan != 2) || bits != 16) return null
+        streamChannels = chan.toInt
         totalSamples = packed & ((1L << 36) - 1)
         haveInfo = true
       }
@@ -434,7 +465,13 @@ object AudioFlacStats {
       val srCode = b(p + 2) & 0xf
       val chanAsgn = (b(p + 3) >> 4) & 0xf
       val sizeCode = (b(p + 3) >> 1) & 0x7
-      if (chanAsgn != 0) return null          // mono only
+      // frame channel layout must match STREAMINFO: 0 = mono; 1 =
+      // independent L/R; 8/9/10 = left-side / right-side / mid-side
+      val stereo = chanAsgn == 1 || chanAsgn == 8 || chanAsgn == 9 ||
+        chanAsgn == 10
+      if (chanAsgn == 0) { if (streamChannels != 1) return null }
+      else if (stereo) { if (streamChannels != 2) return null }
+      else return null
       if (sizeCode != 0 && sizeCode != 4) return null // 16-bit only
       if (srCode == 0xf) return null          // invalid
       if (bsCode == 0) return null            // reserved
@@ -467,6 +504,49 @@ object AudioFlacStats {
       else if (srCode == 13 || srCode == 14) q += 2
       q += 1 // CRC-8, not verified (see scaladoc)
       if (q > b.length) return null
+      if (stereo) {
+        // STEREO frame: both subframes are bit-contiguous (the second
+        // starts mid-byte), so the whole channel pair goes through the
+        // bit reader; SIDE channels carry bps+1 = 17 bits (the spec's
+        // extra bit for difference channels). Reconstruct L/R, then the
+        // truncating (L+R)/2 downmix — the [[AudioPcmDownmix]] contract,
+        // so stats over stereo FLAC and stereo WAV of the same content
+        // agree exactly.
+        val br = new BitReader(b, q)
+        val bps0 = if (chanAsgn == 9) 17 else 16 // right-side: ch0 IS the side
+        val bps1 = if (chanAsgn == 8 || chanAsgn == 10) 17 else 16
+        val c0 = decodeSubframe(br, blockSize, bps0)
+        val c1 = decodeSubframe(br, blockSize, bps1)
+        var k = 0
+        while (k < blockSize) {
+          var l = 0
+          var rr = 0
+          if (chanAsgn == 1) { l = c0(k); rr = c1(k) }
+          else if (chanAsgn == 8) { l = c0(k); rr = c0(k) - c1(k) }
+          else if (chanAsgn == 9) { l = c0(k) + c1(k); rr = c1(k) }
+          else { // mid-side: mid = (L+R)>>1 floored, side = L-R
+            val side = c1(k)
+            val mid2 = (c0(k) << 1) | (side & 1)
+            l = (mid2 + side) >> 1
+            rr = (mid2 - side) >> 1
+          }
+          if (l < -32768 || l > 32767 || rr < -32768 || rr > 32767)
+            return null // reconstruction overflow = corrupt stream
+          val v = (l + rr) / 2 // truncating, see AudioPcmDownmix
+          val a = if (v < 0) -v else v
+          if (a > peak) peak = a
+          sumSq += v.toLong * v
+          if (count + k > 0 && prev.toLong * v < 0) zc += 1
+          prev = v
+          k += 1
+        }
+        count += blockSize
+        br.alignByte()
+        q = br.bytePos
+        q += 2 // frame CRC-16, not verified
+        if (q > b.length) return null
+        p = q
+      } else {
       // subframe header: 1 pad bit, 6 type bits, 1 wasted-bits flag
       if (q + 1 > b.length) return null
       val sh = b(q) & 0xff
@@ -505,7 +585,7 @@ object AudioFlacStats {
         val order = if (lpc) (typ & 0x1f) + 1 else typ - 8
         if (order > blockSize) return null
         val br = new BitReader(b, q)
-        val samples = decodePredicted(br, blockSize, order, lpc)
+        val samples = decodePredicted(br, blockSize, order, lpc, 16)
         var k = 0
         while (k < blockSize) {
           val v = samples(k)
@@ -524,6 +604,7 @@ object AudioFlacStats {
       q += 2 // frame CRC-16, not verified
       if (q > b.length) return null
       p = q
+      }
     }
     if (totalSamples != 0 && count != totalSamples) return null
     if (count > Int.MaxValue) return null

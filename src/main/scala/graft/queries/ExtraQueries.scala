@@ -485,6 +485,25 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("img"))
     }),
 
+    // STEREO FLAC decode — the four channel assignments real stereo
+    // FLAC uses (independent L/R, left-side, right-side, mid-side; side
+    // channels carry the spec's extra bit), reconstructed exactly and
+    // downmixed with the truncating (L+R)/2 AudioPcmDownmix contract.
+    // Committed fixtures from the independent encoder; the oracle
+    // replays both channel formulas, the downmix, and the stats.
+    "mm_audio_flac_stereo" -> ((s, dir) => {
+      graft.functions.AudioFlacStats.register(s)
+      import s.implicits._
+      flacStereoFixtures.toDF("img", "seed", "n", "hex")
+        .selectExpr("img", "audio_flac_stats(unhex(hex)) AS st")
+        .select(col("img"),
+          col("st.n_samples").as("n_samples"), col("st.peak").as("peak"),
+          col("st.zero_crossings").as("zero_crossings"),
+          (floor(sqrt(col("st.sum_sq").cast("double") / col("st.n_samples"))
+            * 1e4 + lit(0.5)) / 1e4).as("rms"))
+        .orderBy(col("img"))
+    }),
+
     // FRAME SAMPLING from real video containers (graft.functions
     // .VideoFrames): AVIs synthesized per doc with an hdrl LIST the walk
     // must skip and f = doc_id%6+4 uncompressed 8×2 BGR24 frames in the
@@ -794,6 +813,40 @@ object ExtraQueries extends QueryPack {
     ("lpc2", 105L, 64, flacRice_lpc2), ("lpc4r2", 106L, 64, flacRice_lpc4r2),
     ("esc", 107L, 64, flacRice_esc), ("lpc8", 108L, 64, flacRice_lpc8))
 
+  // stereo fixtures: L[k] = (seed*37+k*451)%4001-2000,
+  // R[k] = (seed*53+k*211)%3001-1500; one frame per channel assignment
+  private val flacStereo_st_ind =
+    "664C6143800000220010FFFF00000000000003E802F00000004000000000000000000000000000000000FFF8701800003F00" +
+      "14059C075F06C7A08F428008008008008008008001E823D0A0020020020020020007A08F428008008008008008008001E823" +
+      "D0A002002A004008010020000E8203A140080100200400801000074101D0A004008010020040080003A080E8500200400801" +
+      "00200400120096027A6E9BA6E9BA6E9800F2FA6E9BA6E9BA6E9BA6E9BA6E9BA6E9BA6003CBE9BA6E9BA6E9BA6E9BA6E9BA6E" +
+      "9BA6E9800F2FA6E9BA6E9BA6E9BA6E9BA6E9BA6E9BA6E9800F2FA6E9BA6E9BA6E9BA6E9BA6E9BA6E9BA60000"
+  private val flacStereo_st_ls =
+    "664C6143800000220010FFFF00000000000003E802F00000004000000000000000000000000000000000FFF8708800003F00" +
+      "1405C10784028074101D0A004008010020040080003A080E85002004008010020000E8203A14008010020040080100007410" +
+      "1D0A004008010020040080003A080E85002004008010020040001D040742801002004008010020000E8203A1400801002004" +
+      "008010004809EC0D5E001586F05E0BC17800AA5782F05E001586F05E0BC1782F05E0BC002B0DE002A95E0BC1782F05E0BC00" +
+      "2B0DE0BC1782AF05E0BC00552BC002B0DE0BC1782F05E0BC1782F000AC3782F00154AF05E0BC1782F000AC3782F05E0BC178" +
+      "2F05E0BC000000"
+  private val flacStereo_st_rs =
+    "664C6143800000220010FFFF00000000000003E802F00000004000000000000000000000000000000000FFF8709800003F00" +
+      "1002D398BAC26D5FAADF560AB4F1E3847E15B8A85452F62E72D82C92C5D54D63D08E73C1E92B0AB82BFA9394BAA6C53F5DBE" +
+      "EC1751BA15F9DF25CCBA3A6BB1F39EC1E49E2E2A631E396107069496924B4FF42721750D887B41290C1951CA1679E7266AE6" +
+      "36641852C21008000E9D940F3F8C0991A529826E0017B8018644B0CC170041D0E4511B485284BD354F0002ED0031686E0F80" +
+      "60C862268CA4093A5A9A274001778018943F08C0B0442D114611E4952C4C939000BCC00C42218560781A128822C8EA489526" +
+      "29B8005EA00000"
+  private val flacStereo_st_ms =
+    "664C6143800000220010FFFF00000000000003E802F00000004000000000000000000000000000000000FFF870A800003F00" +
+      "1403A004EB0687A11E8A004003DB9EE2004001E847A280100200400801002000F3FF98F7500200400801002000F3E3D04008" +
+      "015002004003DC9EE879F1E8200400801002004008003D08F45000F6E7B8801002004001E847A280100200400801000F6E28" +
+      "04D602E320B1E823D0A002000F723DC60020007A08F428008008008008008008001E82075A1EE30010010010010010003D04" +
+      "7A14004004004004001EE47B88F411E850010010010010010010003D047A14001EE47B8C004004004000F411E85001001001" +
+      "0010010007B9000000"
+  private val flacStereoFixtures = Seq(("st_ind", 201L, 64, flacStereo_st_ind), ("st_ls", 202L, 64, flacStereo_st_ls), ("st_rs", 203L, 64, flacStereo_st_rs), ("st_ms", 204L, 64, flacStereo_st_ms))
+  private val flacStereoValuesSql = flacStereoFixtures
+    .map { case (img, seed, n, _) => s"('$img', $seed, $n)" }
+    .mkString(", ")
+
   /** The same (img, seed, n) rows as [[flacRiceFixtures]], as a SQL VALUES
     * table for the oracle's formula replay.
     */
@@ -1024,6 +1077,25 @@ object ExtraQueries extends QueryPack {
         |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
         |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
         |FROM a ORDER BY doc_id""".stripMargin,
+    // replay of the stereo fixtures: both channel formulas, truncating
+    // downmix, stats — the oracle never parses FLAC bytes
+    "mm_audio_flac_stereo" ->
+      s"""WITH f AS (SELECT * FROM (VALUES $flacStereoValuesSql) t(img, seed, n)),
+        |k AS (SELECT img, seed, n,
+        |    unnest(generate_series(0, n - 1)) AS k FROM f),
+        |s AS (SELECT img, n, k,
+        |    ((seed * 37 + k * 451) % 4001 - 2000
+        |     + (seed * 53 + k * 211) % 3001 - 1500) // 2 AS v FROM k),
+        |s2 AS (SELECT img, n, k, v,
+        |    lag(v) OVER (PARTITION BY img ORDER BY k) AS pv FROM s),
+        |a AS (SELECT img, max(n) AS n_samples, max(abs(v)) AS peak,
+        |    sum(v * v) AS sum_sq,
+        |    sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS zc
+        |  FROM s2 GROUP BY img)
+        |SELECT img, CAST(n_samples AS INTEGER) AS n_samples,
+        |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
+        |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
+        |FROM a ORDER BY img""".stripMargin,
     // replay of the Rice fixtures' generator formula — the oracle never
     // parses FLAC bytes; agreement certifies the whole decode chain
     "mm_audio_flac_rice" ->

@@ -58,6 +58,31 @@ class FlacRiceSpec extends SparkSuite {
     }
   }
 
+  /** Stereo generator formulas, replicated — not imported. */
+  private def samplesLR(seed: Long, n: Int): (Seq[Int], Seq[Int]) = (
+    (0 until n).map(k => ((seed * 37 + k * 451) % 4001).toInt - 2000),
+    (0 until n).map(k => ((seed * 53 + k * 211) % 3001).toInt - 1500))
+
+  private def expectedStereo(seed: Long, n: Int): (Int, Int, Long, Int) = {
+    val (l, r) = samplesLR(seed, n)
+    val mono = l.zip(r).map { case (a, b) => (a + b) / 2 } // truncating
+    val zc = mono.sliding(2).count(p => p.head.toLong * p(1) < 0)
+    (n, mono.map(math.abs).max, mono.map(v => v.toLong * v).sum, zc)
+  }
+
+  private val stereoCases = Seq(
+    ("st_ind", 201L, 64), ("st_ls", 202L, 64),
+    ("st_rs", 203L, 64), ("st_ms", 204L, 64))
+
+  test("stereo frames decode through all four channel assignments to exact downmix stats") {
+    stereoCases.foreach { case (name, seed, n) =>
+      val row = AudioFlacStats.stats(fixture(name))
+      assert(row != null, s"$name refused to decode")
+      val got = (row.getInt(0), row.getInt(1), row.getLong(2), row.getInt(3))
+      assert(got == expectedStereo(seed, n), s"$name: got $got")
+    }
+  }
+
   test("truncated Rice stream refuses to null, never a prefix answer") {
     val full = fixture("fixed2")
     // cut mid-residual: frame payload starts well past the 42-byte header

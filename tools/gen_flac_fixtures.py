@@ -104,6 +104,70 @@ def write_residuals(w, resids, order, block, po, method, escape_bits=None):
     assert idx == len(resids)
 
 
+def write_subframe(w, samples, sub, bps=16):
+    """Append one subframe (header + body) to BitWriter w."""
+    block = len(samples)
+    kind = sub["kind"]
+    if kind == "constant":
+        w.write(0 << 1, 8)
+        w.write_signed(samples[0], bps)
+        assert all(s == samples[0] for s in samples)
+        return
+    if kind == "verbatim":
+        w.write(1 << 1, 8)
+        for s in samples:
+            w.write_signed(s, bps)
+        return
+    if kind == "fixed":
+        order = sub["order"]
+        w.write((0b001000 | order) << 1, 8)
+        coefs, shift = FIXED_COEFS[order], 0
+    else:  # lpc
+        order = sub["order"]
+        coefs = sub["coefs"]
+        shift = sub["shift"]
+        prec = sub["prec"]
+        w.write((0b100000 | (order - 1)) << 1, 8)
+    for s in samples[:order]:
+        w.write_signed(s, bps)
+    if kind == "lpc":
+        w.write(prec - 1, 4)
+        w.write_signed(shift, 5)
+        for c in coefs:
+            w.write_signed(c, prec)
+    resids = [samples[i] - predict(samples[i - order:i], coefs, shift)
+              for i in range(order, block)]
+    write_residuals(w, resids, order, block, sub.get("po", 0),
+                    sub.get("method", 0), sub.get("escape_bits"))
+
+
+def encode_stereo_frame(frame_idx, left, right, chan_asgn, subs):
+    """chan_asgn: 1 independent, 8 left-side, 9 right-side, 10 mid-side;
+    subs: (sub_ch0, sub_ch1)."""
+    block = len(left)
+    assert len(right) == block
+    head = bytes([0xFF, 0xF8, 0x70, (chan_asgn << 4) | 0x08])
+    assert frame_idx < 128
+    head += bytes([frame_idx])
+    head += (block - 1).to_bytes(2, "big")
+    head += b"\x00"  # CRC-8 (decoder skips)
+    side = [l - r for l, r in zip(left, right)]
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+    if chan_asgn == 1:
+        ch = [(left, 16), (right, 16)]
+    elif chan_asgn == 8:
+        ch = [(left, 16), (side, 17)]
+    elif chan_asgn == 9:
+        ch = [(side, 17), (right, 16)]
+    else:
+        ch = [(mid, 16), (side, 17)]
+    w = BitWriter()
+    for (samples, bps), sub in zip(ch, subs):
+        write_subframe(w, samples, sub, bps)
+    w.align()
+    return head + w.bytes() + b"\x00\x00"
+
+
 def encode_frame(frame_idx, samples, sub):
     block = len(samples)
     head = bytes([0xFF, 0xF8, 0x70, 0x08])  # sync, bs=explicit16, sr=STREAMINFO, mono 16-bit
@@ -147,11 +211,11 @@ def encode_frame(frame_idx, samples, sub):
     return head + w.bytes() + b"\x00\x00"  # CRC-16 (decoder skips)
 
 
-def streaminfo(total):
+def streaminfo(total, channels=1):
     out = b"\x80\x00\x00\x22"              # last block, type 0, len 34
     out += (16).to_bytes(2, "big") + (65535).to_bytes(2, "big")
     out += b"\x00" * 6                      # min/max framesize unknown
-    packed = (16000 << 44) | (0 << 41) | (15 << 36) | total
+    packed = (16000 << 44) | ((channels - 1) << 41) | (15 << 36) | total
     out += packed.to_bytes(8, "big")
     out += b"\x00" * 16                     # MD5 unset
     return out
@@ -185,10 +249,47 @@ FIXTURES = [
 ]
 
 
+def samples_lr(seed, n):
+    left = [(seed * 37 + k * 451) % 4001 - 2000 for k in range(n)]
+    right = [(seed * 53 + k * 211) % 3001 - 1500 for k in range(n)]
+    return left, right
+
+
+def encode_stereo(seed, n, chan_asgn, subs):
+    out = b"fLaC" + streaminfo(n, channels=2)
+    left, right = samples_lr(seed, n)
+    out += encode_stereo_frame(0, left, right, chan_asgn, subs)
+    return out
+
+
+STEREO_FIXTURES = [
+    ("st_ind", 201, 64, 1, (dict(kind="fixed", order=2, po=1),
+                            dict(kind="fixed", order=1, po=0))),
+    ("st_ls", 202, 64, 8, (dict(kind="fixed", order=2, po=0),
+                           dict(kind="fixed", order=1, po=1))),
+    ("st_rs", 203, 64, 9, (dict(kind="fixed", order=0, po=0),
+                           dict(kind="lpc", order=2, prec=12, shift=5,
+                                coefs=[60, -29], po=0))),
+    ("st_ms", 204, 64, 10, (dict(kind="fixed", order=2, po=1),
+                            dict(kind="fixed", order=2, po=0, method=1))),
+]
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     print("  // committed FLAC fixtures (tools/gen_flac_fixtures.py) --")
     print("  // samples v[k] = (seed*37 + k*451) % 4001 - 2000")
+    for name, seed, n, chan_asgn, subs in STEREO_FIXTURES:
+        blob = encode_stereo(seed, n, chan_asgn, subs)
+        with open(os.path.join(OUT, name + ".flac"), "wb") as f:
+            f.write(blob)
+        hexs = blob.hex().upper()
+        chunks = [hexs[i:i + 100] for i in range(0, len(hexs), 100)]
+        lines = " +\n      ".join('"%s"' % c for c in chunks)
+        print('  private val flacStereo_%s =\n    %s' % (name, lines))
+    srows = ", ".join('("%s", %dL, %d, flacStereo_%s)' % (nm, seed, n, nm)
+                      for nm, seed, n, _, _ in STEREO_FIXTURES)
+    print("  private val flacStereoFixtures = Seq(%s)" % srows)
     for name, seed, n, frames in FIXTURES:
         blob = encode(seed, frames)
         with open(os.path.join(OUT, name + ".flac"), "wb") as f:

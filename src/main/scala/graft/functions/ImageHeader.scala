@@ -145,6 +145,45 @@ object ImageHeader {
       }
       return null
     }
+    // WebP: RIFF....WEBP + a VP8 (lossy) / VP8L (lossless) / VP8X
+    // (extended) first chunk — the fourth web-image container; the
+    // formats carry dimensions three different ways (14-bit fields
+    // after the VP8 sync code, packed 14-bit minus-one in VP8L's
+    // stream header, 24-bit minus-one canvas fields in VP8X)
+    if (b.length >= 25 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P') {
+      val pay = 20 // first chunk payload: RIFF hdr(12) + fourcc(4) + size(4)
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == ' ') {
+        // lossy: 3-byte frame tag, sync 9D 01 2A, then 14-bit dims
+        if (b.length >= 30 &&
+            (b(pay + 3) & 0xff) == 0x9d && (b(pay + 4) & 0xff) == 0x01 &&
+            (b(pay + 5) & 0xff) == 0x2a) {
+          val w = le16(b, pay + 6) & 0x3fff
+          val h = le16(b, pay + 8) & 0x3fff
+          return if (w > 0 && h > 0) row("webp", w, h) else null
+        }
+        return null
+      }
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'L') {
+        if ((b(pay) & 0xff) == 0x2f) {
+          val v = le32(b, pay + 1)
+          val w = (v & 0x3fff) + 1
+          val h = ((v >> 14) & 0x3fff) + 1
+          return row("webp", w, h)
+        }
+        return null
+      }
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X') {
+        if (b.length < 30) return null
+        val w = ((b(pay + 4) & 0xff) | ((b(pay + 5) & 0xff) << 8) |
+          ((b(pay + 6) & 0xff) << 16)) + 1
+        val h = ((b(pay + 7) & 0xff) | ((b(pay + 8) & 0xff) << 8) |
+          ((b(pay + 9) & 0xff) << 16)) + 1
+        return row("webp", w, h)
+      }
+      return null
+    }
     null
   }
 }

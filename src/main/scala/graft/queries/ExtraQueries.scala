@@ -655,6 +655,38 @@ object ExtraQueries extends QueryPack {
     // drift in scan accumulation, EOB runs, or refinement breaks the
     // hash. AC-rich + real-encoder progressive coverage lives in
     // JpegPixelSpec (±1 vs ImageIO both ways).
+    // WebP HEADER metadata: the fourth web-image container through the
+    // same image_header seam — per doc one of the three WebP flavors
+    // (lossy VP8 with its sync code, lossless VP8L packed minus-one
+    // dims, extended VP8X 24-bit canvas) by doc_id%3, dims from the doc
+    // formula. The oracle replays format/width/height from construction.
+    "mm_image_webp_meta" -> ((s, dir) => {
+      graft.functions.ImageHeader.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val wSql = "(doc_id % 300 + 16)"
+      val hSql = "(doc_id % 200 + 16)"
+      val hexSql =
+        s"""CASE CAST(doc_id % 3 AS INT)
+           |  WHEN 0 THEN concat('52494646', ${le("20", 4)}, '57454250',
+           |    '56503820', ${le("10", 4)}, '000000', '9D012A',
+           |    ${le(wSql, 2)}, ${le(hSql, 2)})
+           |  WHEN 1 THEN concat('52494646', ${le("20", 4)}, '57454250',
+           |    '5650384C', ${le("5", 4)}, '2F',
+           |    ${le(s"($wSql - 1) + ($hSql - 1) * 16384", 4)})
+           |  ELSE concat('52494646', ${le("20", 4)}, '57454250',
+           |    '56503858', ${le("10", 4)}, '00', '000000',
+           |    ${le(s"$wSql - 1", 3)}, ${le(s"$hSql - 1", 3)})
+           |END""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($hexSql)"))
+        .selectExpr("doc_id", "image_header(blob) AS m")
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXIF ORIENTATION (graft.functions.ExifMeta): the rotation tag
     // perceptual dedup must normalize before hashing — the same photo
     // stored rotated-with-tag vs baked-in hashes differently otherwise.
@@ -1171,6 +1203,11 @@ object ExtraQueries extends QueryPack {
         |FROM embeddings CROSS JOIN
         |  (SELECT unnest(generate_series(1, 64)) AS i) dims
         |ORDER BY vec_id, cell_idx""".stripMargin,
+    "mm_image_webp_meta" ->
+      """SELECT doc_id, 'webp' AS format,
+        |  CAST(doc_id % 300 + 16 AS INTEGER) AS width,
+        |  CAST(doc_id % 200 + 16 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_image_exif" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 9 = 0 THEN NULL

@@ -65,6 +65,29 @@ class MultimodalSpec extends SparkSuite {
     assert(got(3L).contains(("bmp", 64, 48)))
   }
 
+  test("webp headers: VP8 lossy, VP8L lossless, VP8X extended; bad sync refuses") {
+    // VP8 lossy 320x200: sync 9D012A then 14-bit LE dims
+    val vp8 = hexBytes("52494646 14000000 57454250 56503820 0A000000" +
+      "000000 9D012A 4001 C800")
+    // VP8L: 0x2F then (w-1) | (h-1)<<14 packed LE32; 17x33
+    val v = 16 | (32 << 14)
+    val vp8l = hexBytes("52494646 14000000 57454250 5650384C 05000000 2F" +
+      f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X${(v >> 16) & 0xff}%02X${(v >> 24) & 0xff}%02X")
+    // VP8X: flags + reserved + 24-bit minus-one canvas dims; 100x50
+    val vp8x = hexBytes("52494646 14000000 57454250 56503858 0A000000" +
+      "00 000000 630000 310000")
+    // VP8 with a WRONG sync code must refuse
+    val badSync = hexBytes("52494646 14000000 57454250 56503820 0A000000" +
+      "000000 9D012B 4001 C800")
+    val got = parseDf(Seq((1L, vp8), (2L, vp8l), (3L, vp8x), (4L, badSync),
+      (5L, vp8l.take(20))))
+    assert(got(1L).contains(("webp", 320, 200)))
+    assert(got(2L).contains(("webp", 17, 33)))
+    assert(got(3L).contains(("webp", 100, 50)))
+    assert(got(4L).isEmpty, "bad VP8 sync must refuse")
+    assert(got(5L).isEmpty, "truncated VP8L must refuse")
+  }
+
   test("jpeg marker walk skips APP/COM segments of varying length to the SOF") {
     // SOI + APP0 (16 bytes) + COM (5 bytes payload) + SOF2 (progressive):
     // height 0x0100=256, width 0x0180=384

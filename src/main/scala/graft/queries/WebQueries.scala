@@ -430,6 +430,29 @@ object WebQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // PARTITION-PRUNED scan: the documents table written PARTITIONED BY
+    // its language column (once per session — the pay-at-write posture,
+    // like the bucketed join), then queried with a partition filter: at
+    // 100 TB this is the difference between scanning one language's
+    // directories and scanning the corpus. PartitionPruneSpec asserts
+    // the physical scan carries the PartitionFilter and reads only the
+    // matching directories; the oracle is the plain filtered aggregate —
+    // the layout must not change a single row.
+    "src_partition_prune" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^a-z0-9]", "_")
+      val path = s"/tmp/graft_docs_bylang_$suffix"
+      val f = new java.io.File(path)
+      if (!f.exists()) {
+        Tables.documents(s, dir)
+          .write.mode("overwrite").partitionBy("lang").parquet(path)
+      }
+      s.read.parquet(path)
+        .filter(col("lang") === "en" || col("lang") === "de")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Bucketed co-located join: both sides written bucketed-by-join-key
     // (8 buckets, sorted), then joined bucket-to-bucket — the repeated-
     // join posture at 100 TB (pay the partitioning once at write, every
@@ -605,6 +628,13 @@ object WebQueries extends QueryPack {
   }
 
   override def oracle: Map[String, String] = Map(
+
+    // the partitioned layout must not change a row: plain filtered agg
+    "src_partition_prune" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // replay of the segment-audit construction rule: codec and verdict
     // are functions of doc_id % 4; only the gzip'd WARC contributes a

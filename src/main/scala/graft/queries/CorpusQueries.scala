@@ -352,10 +352,13 @@ object CorpusQueries extends QueryPack {
   /** Shared trigram-LM scoring replay (counts → deterministic caps →
     * fixed-weight interpolation, mirroring
     * [[graft.ops.TextQualityOps.trigramLogProb]]) ending in a `score`
-    * CTE — consumed by both `text_lm_trigram` and `text_ppl_buckets`.
+    * CTE — consumed by `text_lm_trigram`, `text_ppl_buckets`, and (as
+    * the WITH-less body) the composed curation funnel in
+    * [[DataPipelineQueries]]. CTE names (t/p/u/bgr/blm/tgr/tlm/j/score/
+    * tot0) are chosen not to collide with the minhash fragments there.
     */
-  private lazy val trigramScoreCtes: String =
-    s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
+  private[queries] lazy val trigramScoreCtesBody: String =
+    s"""t AS (SELECT doc_id, $tokSql AS l FROM documents),
        |p AS (SELECT doc_id, unnest(l) AS t FROM t),
        |tot0 AS (SELECT count(*) AS n, count(DISTINCT t) AS v FROM p),
        |u AS MATERIALIZED (SELECT t, count(*) AS cu FROM p GROUP BY t
@@ -389,6 +392,8 @@ object CorpusQueries extends QueryPack {
        |      0.1 * (coalesce(cu3, 0) + 1.0) / ((SELECT n FROM tot0) + (SELECT v FROM tot0))))
        |      * 1e4 + 0.5) / 1e4 AS avg_logprob3
        |  FROM j GROUP BY doc_id)""".stripMargin
+
+  private lazy val trigramScoreCtes: String = "WITH " + trigramScoreCtesBody
 
   /** DuckDB replay of the full IVF+PQ path at iters=0: per subspace s the
     * codebook is the 8 corpus subvectors with the smallest md5('pq<s>:'||id)

@@ -75,6 +75,59 @@ object TextQualityOps {
         col("dup_token_frac") <= maxDupTokenFrac &&
         col("top_bigram_frac") <= maxTopBigramFrac)
 
+  /** The REST of the Gopher rule set (Rae et al. 2021 §A1.1) beyond the
+    * repetition fractions: per document —
+    *
+    *  - `n_words`, `mean_word_len` (the published gate keeps 3–10);
+    *  - `frac_alpha_words`: words containing at least one alphabetic
+    *    character (gate ≥ 0.8 — OCR junk and markup soup fail here);
+    *  - `frac_symbol_words`: words carrying `#` or ellipsis (gate ≤ 0.1);
+    *  - line shape over `\n`-split lines: `n_lines`,
+    *    `frac_bullet_lines` (leading -, *, • — gate ≤ 0.9),
+    *    `frac_ellipsis_lines` (trailing ... or … — gate ≤ 0.3),
+    *    `frac_dup_lines` (1 − distinct/total — WITHIN-document
+    *    boilerplate, distinct from the corpus-wide [[DedupOps.lineDedup]]);
+    *  - `gopher_pass`: the conjunction at the published thresholds.
+    *
+    * All fractions are floor-rounded to 4dp BEFORE the gate compares, so
+    * the verdict is bit-identical across engines. Pure per-document
+    * arithmetic — one projection, no joins, no windows, embarrassingly
+    * parallel in the document dimension.
+    */
+  def gopherRules(df: DataFrame, docId: String, textCol: String): DataFrame = {
+    val r4 = (c: Column) => floor(c * 1e4 + lit(0.5)) / 1e4
+    val base = df.select(col(docId), toks(col(textCol)).as("__w"),
+      transform(split(col(textCol), "\n"), l => trim(l)).as("__l"))
+    val n = size(col("__w")).cast("long")
+    val nl = size(col("__l")).cast("long")
+    val nD = n.cast("double")
+    val nlD = nl.cast("double")
+    val scored = base.select(col(docId),
+      n.as("n_words"),
+      r4(aggregate(col("__w"), lit(0L), (a, w) => a + length(w)).cast("double")
+        / nD).as("mean_word_len"),
+      r4(size(filter(col("__w"), w => w.rlike("[a-z]"))).cast("double") / nD)
+        .as("frac_alpha_words"),
+      r4(size(filter(col("__w"), w =>
+        w.contains("#") || w.contains("...") || w.contains("…")))
+        .cast("double") / nD).as("frac_symbol_words"),
+      nl.as("n_lines"),
+      r4(size(filter(col("__l"), l =>
+        l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+        .cast("double") / nlD).as("frac_bullet_lines"),
+      r4(size(filter(col("__l"), l =>
+        l.endsWith("...") || l.endsWith("…"))).cast("double") / nlD)
+        .as("frac_ellipsis_lines"),
+      r4((nl - size(array_distinct(col("__l")))).cast("double") / nlD)
+        .as("frac_dup_lines"))
+    scored.withColumn("gopher_pass",
+      col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("frac_alpha_words") >= 0.8 &&
+        col("frac_symbol_words") <= 0.1 &&
+        col("frac_bullet_lines") <= 0.9 &&
+        col("frac_ellipsis_lines") <= 0.3)
+  }
+
   /** Language-model quality scoring, the CCNet/perplexity-filter family
     * (Wenzek et al. 2020): score each document by the mean add-one-
     * smoothed unigram log-probability of its tokens under the corpus's

@@ -70,6 +70,28 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("quality_pass"))
     }),
 
+    // The REST of the Gopher rule set (word-shape and line-shape rules
+    // beyond the repetition fractions): docs augmented with
+    // doc_id-derived line structure (a bullet line on %3, an
+    // ellipsis-terminated line on %4, a DUPLICATE bullet line on %6) so
+    // the line metrics are non-degenerate, and the oracle replays the
+    // construction plus every fraction and the composed gate verdict.
+    "text_gopher_rules" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("\n- item "), (col("doc_id") % 5).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("\nread more..."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("\n- item "), (col("doc_id") % 5).cast("string")))
+          .otherwise(lit("")))
+      TextQualityOps.gopherRules(
+          Tables.documents(s, dir).withColumn("text2", aug),
+          "doc_id", "text2")
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style LM quality scoring (TextQualityOps.unigramLogProb):
     // mean add-one-smoothed unigram log-prob of each document under the
     // corpus's own capped LM, plus the exact-integer OOV count. The
@@ -597,6 +619,52 @@ object CorpusQueries extends QueryPack {
          |    / (coalesce(c1, 0) + (SELECT v FROM tot)))) * 1e4 + 0.5) / 1e4
          |    AS avg_logprob2
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replay of the augmented-text construction plus every Gopher word-
+    // and line-shape fraction and the composed gate verdict
+    "text_gopher_rules" ->
+      """WITH d AS (SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN chr(10) || '- item ' || CAST(doc_id % 5 AS VARCHAR)
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'read more...'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0
+        |         THEN chr(10) || '- item ' || CAST(doc_id % 5 AS VARCHAR)
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(t)), '\s+') AS wl,
+        |    list_transform(string_split(t, chr(10)), x -> trim(x)) AS ll
+        |  FROM d),
+        |m AS (SELECT doc_id,
+        |    CAST(len(wl) AS BIGINT) AS n_words,
+        |    floor(CAST(list_sum(list_transform(wl, x -> len(x))) AS DOUBLE)
+        |      / len(wl) * 1e4 + 0.5) / 1e4 AS mean_word_len,
+        |    floor(CAST(len(list_filter(wl, x -> regexp_matches(x, '[a-z]')))
+        |      AS DOUBLE) / len(wl) * 1e4 + 0.5) / 1e4 AS frac_alpha_words,
+        |    floor(CAST(len(list_filter(wl, x ->
+        |        contains(x, '#') OR contains(x, '...') OR contains(x, '…')))
+        |      AS DOUBLE) / len(wl) * 1e4 + 0.5) / 1e4 AS frac_symbol_words,
+        |    CAST(len(ll) AS BIGINT) AS n_lines,
+        |    floor(CAST(len(list_filter(ll, x ->
+        |        x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%'))
+        |      AS DOUBLE) / len(ll) * 1e4 + 0.5) / 1e4 AS frac_bullet_lines,
+        |    floor(CAST(len(list_filter(ll, x ->
+        |        x LIKE '%...' OR x LIKE '%…'))
+        |      AS DOUBLE) / len(ll) * 1e4 + 0.5) / 1e4 AS frac_ellipsis_lines,
+        |    floor(CAST(len(ll) - len(list_distinct(ll)) AS DOUBLE)
+        |      / len(ll) * 1e4 + 0.5) / 1e4 AS frac_dup_lines
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+        |  frac_symbol_words, n_lines, frac_bullet_lines,
+        |  frac_ellipsis_lines, frac_dup_lines,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND frac_alpha_words >= 0.8 AND frac_symbol_words <= 0.1
+        |   AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3)
+        |  AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // replay of the utf8-stats construction rule: counters are closed
     // forms of doc_id%4 (tail kind) and doc_id%5+1 (tail length)
     "text_utf8_stats" ->

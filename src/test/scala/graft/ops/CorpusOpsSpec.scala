@@ -372,6 +372,30 @@ class CorpusOpsSpec extends SparkSuite {
     assert(!got(2L)._3.isNegInfinity)
   }
 
+  test("gopher rules: word/line-shape fractions and the composed gate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a normal document with sensible words across several lines\n" +
+        "another fluent line of text here\nand one more closing line"),
+      (2L, "#### ## ### #tag ##x\n$$$ %%% ^^^ &&&"),            // symbol soup
+      (3L, "- one\n- two\n- three\n- four"),                    // all bullets
+      (4L, "read the rest...\nclick to continue...\nmore soon…\nok"),
+      (5L, "same line\nsame line\nsame line\ndifferent line"),  // dup lines
+      (6L, "supercalifragilisticexpialidocious " * 8))          // huge words
+      .toDF("doc_id", "text")
+    val got = TextQualityOps.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(9), "fluent doc must pass")
+    assert(!got(2L).getBoolean(9), "symbol soup must fail")
+    assert(got(2L).getDouble(3) < 0.8, "symbol soup has few alphabetic words")
+    assert(!got(3L).getBoolean(9), "all-bullet doc must fail")
+    assert(got(3L).getDouble(6) == 1.0)
+    assert(!got(4L).getBoolean(9), "ellipsis-heavy doc must fail")
+    assert(got(4L).getDouble(7) == 0.75)
+    assert(got(5L).getDouble(8) == 0.5, "2 of 4 lines are duplicates")
+    assert(!got(6L).getBoolean(9), "34-char words fail the 3-10 mean")
+  }
+
   test("perplexity buckets: near-equal terciles, head strictly above tail") {
     import spark.implicits._
     // 30 docs across three fluency regimes: repeated fluent phrases,

@@ -128,6 +128,48 @@ object TextQualityOps {
         col("frac_ellipsis_lines") <= 0.3)
   }
 
+  /** The C4 cleaning rules (Raffel et al. 2020 §2.2) — the third
+    * published rule family next to Gopher shape rules and CCNet LM
+    * gates, operating line-first:
+    *
+    *  - LINE filter: keep lines that end in terminal punctuation
+    *    (`.`/`!`/`?`/`"`) AND carry at least `minLineWords` words;
+    *    lines containing "javascript" (case-insensitive) are dropped
+    *    regardless (cookie/JS boilerplate);
+    *  - PAGE filter: drop any page containing "lorem ipsum"
+    *    (case-insensitive) or a curly brace (code leakage), or whose
+    *    KEPT line count is below `minLines` (C4's ≥-sentences rule with
+    *    kept terminal-punctuated lines as the sentence proxy).
+    *
+    * Output per document: `n_lines`, `n_kept`, `n_words_kept`,
+    * `has_lorem`, `has_brace`, `page_keep`, and `text_kept` (the
+    * surviving lines re-joined — what downstream tokenization consumes).
+    * One projection over the line array — no joins, no windows, no
+    * shuffles before the caller's own aggregation.
+    */
+  def c4Rules(df: DataFrame, docId: String, textCol: String,
+              minLineWords: Int = 3, minLines: Int = 3): DataFrame = {
+    val lines = transform(split(col(textCol), "\n"), l => trim(l))
+    val isKept = (l: Column) =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+        size(split(l, "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript")
+    val base = df.select(col(docId), col(textCol).as("__t"), lines.as("__l"))
+      .withColumn("__kept", filter(col("__l"), isKept))
+    base.select(col(docId),
+      size(col("__l")).cast("long").as("n_lines"),
+      size(col("__kept")).cast("long").as("n_kept"),
+      aggregate(col("__kept"), lit(0L),
+        (a, l) => a + size(split(l, "\\s+"))).as("n_words_kept"),
+      lower(col("__t")).contains("lorem ipsum").as("has_lorem"),
+      (col("__t").contains("{") || col("__t").contains("}")).as("has_brace"),
+      (!lower(col("__t")).contains("lorem ipsum") &&
+        !col("__t").contains("{") && !col("__t").contains("}") &&
+        size(col("__kept")) >= minLines).as("page_keep"),
+      array_join(col("__kept"), " ").as("text_kept"))
+  }
+
   /** Language-model quality scoring, the CCNet/perplexity-filter family
     * (Wenzek et al. 2020): score each document by the mean add-one-
     * smoothed unigram log-probability of its tokens under the corpus's

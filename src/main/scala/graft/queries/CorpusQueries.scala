@@ -92,6 +92,29 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // C4 cleaning rules (Raffel et al. 2020 §2.2): docs augmented into
+    // line structure by doc_id formula — a short no-punctuation line
+    // (%3), a javascript line (%4), a proper second sentence (%5), a
+    // lorem-ipsum page poison (%17), a curly-brace code line (%19) —
+    // and the oracle replays every counter, the page verdict, and the
+    // re-joined surviving text from the construction rule.
+    "text_c4_rules" -> ((s, dir) => {
+      val aug = concat(col("text"), lit("."),
+        when(col("doc_id") % 3 === 0, lit("\nclick here")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("\nenable javascript to continue.")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\na second proper sentence right here.")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit("\nlorem ipsum filler text.")).otherwise(lit("")),
+        when(col("doc_id") % 19 === 0,
+          lit("\nfunction f() { return 1; }")).otherwise(lit("")))
+      TextQualityOps.c4Rules(
+          Tables.documents(s, dir).withColumn("t2", aug), "doc_id", "t2",
+          minLineWords = 3, minLines = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style LM quality scoring (TextQualityOps.unigramLogProb):
     // mean add-one-smoothed unigram log-prob of each document under the
     // corpus's own capped LM, plus the exact-integer OOV count. The
@@ -619,6 +642,32 @@ object CorpusQueries extends QueryPack {
          |    / (coalesce(c1, 0) + (SELECT v FROM tot)))) * 1e4 + 0.5) / 1e4
          |    AS avg_logprob2
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replay of the C4 construction: counters and the page verdict are
+    // closed forms of the doc_id mod classes; text_kept is rebuilt from
+    // the same rule
+    "text_c4_rules" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    len(string_split_regex(trim(text), '\s+')) AS nw FROM documents)
+        |SELECT doc_id,
+        |  CAST(1 + (doc_id % 3 = 0)::INT + (doc_id % 4 = 0)::INT
+        |    + (doc_id % 5 = 0)::INT + (doc_id % 17 = 0)::INT
+        |    + (doc_id % 19 = 0)::INT AS BIGINT) AS n_lines,
+        |  CAST(1 + (doc_id % 5 = 0)::INT + (doc_id % 17 = 0)::INT AS BIGINT)
+        |    AS n_kept,
+        |  CAST(nw + CASE WHEN doc_id % 5 = 0 THEN 6 ELSE 0 END
+        |    + CASE WHEN doc_id % 17 = 0 THEN 4 ELSE 0 END AS BIGINT)
+        |    AS n_words_kept,
+        |  (doc_id % 17 = 0) AS has_lorem,
+        |  (doc_id % 19 = 0) AS has_brace,
+        |  (doc_id % 17 <> 0 AND doc_id % 19 <> 0
+        |   AND 1 + (doc_id % 5 = 0)::INT >= 2) AS page_keep,
+        |  text || '.'
+        |  || CASE WHEN doc_id % 5 = 0
+        |       THEN ' a second proper sentence right here.' ELSE '' END
+        |  || CASE WHEN doc_id % 17 = 0
+        |       THEN ' lorem ipsum filler text.' ELSE '' END AS text_kept
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // replay of the augmented-text construction plus every Gopher word-
     // and line-shape fraction and the composed gate verdict
     "text_gopher_rules" ->

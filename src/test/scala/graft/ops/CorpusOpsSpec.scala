@@ -372,6 +372,31 @@ class CorpusOpsSpec extends SparkSuite {
     assert(!got(2L)._3.isNegInfinity)
   }
 
+  test("c4 rules: line filter, javascript drop, page poisons, kept-text assembly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "this sentence ends properly.\nshort one\nso does this one!\n" +
+        "a quoted line ends here\"\nplease enable javascript to view."),
+      (2L, "only one good sentence lives here.\nnope\nnah"),
+      (3L, "lorem ipsum dolor sit amet.\nanother fine sentence follows here."),
+      (4L, "var x = { a: 1 };\na real sentence is here.\nand another one here."))
+      .toDF("doc_id", "text")
+    val got = TextQualityOps.c4Rules(docs, "doc_id", "text",
+        minLineWords = 3, minLines = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 5 lines; kept = terminal + >=3 words + no javascript = 3
+    assert(got(1L).getLong(1) == 5 && got(1L).getLong(2) == 3)
+    assert(got(1L).getBoolean(6), "doc 1 passes the page gate")
+    assert(got(1L).getString(7) ==
+      "this sentence ends properly. so does this one! a quoted line ends here\"")
+    // doc 2: only 1 kept line -> below minLines
+    assert(got(2L).getLong(2) == 1 && !got(2L).getBoolean(6))
+    // doc 3: lorem ipsum poisons the page even with fine sentences
+    assert(got(3L).getBoolean(4) && !got(3L).getBoolean(6))
+    // doc 4: curly braces poison the page
+    assert(got(4L).getBoolean(5) && !got(4L).getBoolean(6))
+  }
+
   test("gopher rules: word/line-shape fractions and the composed gate") {
     import spark.implicits._
     val docs = Seq(

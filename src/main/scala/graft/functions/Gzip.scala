@@ -143,7 +143,10 @@ object Gzip {
   */
 case class CodecProbe(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StringType
-  override def nullable: Boolean = false
+  // Inherits nullability from the child: declaring nullable=false over a
+  // nullable binary child would let nullSafeCodeGen skip the null check
+  // and NPE the task on a null blob (r9 ADVICE).
+  override def nullable: Boolean = child.nullable
   override def prettyName: String = "codec_probe"
   override def checkInputDataTypes() =
     if (child.dataType == BinaryType)

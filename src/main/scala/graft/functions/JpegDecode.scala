@@ -385,6 +385,13 @@ private[functions] object JpegDecode {
           val ah = aa >> 4
           val al = aa & 0x0f
           if (ss > 63 || al > 13) fail()
+          // T.81 G.1 scan-header constraints: a DC scan (ss=0) must carry
+          // se=0 (no AC spectral range to silently ignore), and a
+          // refinement scan's prior point transform must be exactly one
+          // above the current (ah == al+1) — anything else is a
+          // nonconforming file that would decode to a wrong raster
+          if (ss == 0 && se != 0) fail()
+          if (ah != 0 && ah != al + 1) fail()
           if (prog == null) {
             var maxH = 1
             var maxV = 1

@@ -106,7 +106,7 @@ object TextQualityOps {
       n.as("n_words"),
       r4(aggregate(col("__w"), lit(0L), (a, w) => a + length(w)).cast("double")
         / nD).as("mean_word_len"),
-      r4(size(filter(col("__w"), w => w.rlike("[a-z]"))).cast("double") / nD)
+      r4(size(filter(col("__w"), w => w.rlike("\\p{L}"))).cast("double") / nD)
         .as("frac_alpha_words"),
       r4(size(filter(col("__w"), w =>
         w.contains("#") || w.contains("...") || w.contains("…")))

@@ -690,7 +690,7 @@ object CorpusQueries extends QueryPack {
         |    CAST(len(wl) AS BIGINT) AS n_words,
         |    floor(CAST(list_sum(list_transform(wl, x -> len(x))) AS DOUBLE)
         |      / len(wl) * 1e4 + 0.5) / 1e4 AS mean_word_len,
-        |    floor(CAST(len(list_filter(wl, x -> regexp_matches(x, '[a-z]')))
+        |    floor(CAST(len(list_filter(wl, x -> regexp_matches(x, '\p{L}')))
         |      AS DOUBLE) / len(wl) * 1e4 + 0.5) / 1e4 AS frac_alpha_words,
         |    floor(CAST(len(list_filter(wl, x ->
         |        contains(x, '#') OR contains(x, '...') OR contains(x, '…')))

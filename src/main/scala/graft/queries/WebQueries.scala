@@ -439,10 +439,21 @@ object WebQueries extends QueryPack {
     // matching directories; the oracle is the plain filtered aggregate —
     // the layout must not change a single row.
     "src_partition_prune" -> ((s, dir) => {
-      val suffix = dir.replaceAll("[^a-z0-9]", "_")
-      val path = s"/tmp/graft_docs_bylang_$suffix"
+      // Cache key is a CONTENT fingerprint of the source files (name,
+      // size, mtime), not just the dir string, and the cached copy is
+      // only trusted behind its _SUCCESS marker — a regenerated testdata
+      // dir or a crashed partial write can never serve stale rows
+      // (r9 ADVICE / the r6 regenerated-testdata failure shape).
+      val src = new java.io.File(dir, "documents.parquet")
+      val srcFiles: Seq[java.io.File] =
+        if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)
+      val fpInput = srcFiles.map(f =>
+        s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(fpInput.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val path = s"/tmp/graft_docs_bylang_$fp"
       val f = new java.io.File(path)
-      if (!f.exists()) {
+      if (!new java.io.File(f, "_SUCCESS").exists()) {
         Tables.documents(s, dir)
           .write.mode("overwrite").partitionBy("lang").parquet(path)
       }

@@ -324,6 +324,149 @@ object TextQualityOps {
           * 1e4 + lit(0.5)) / 1e4).as("avg_logprob3"))
   }
 
+  /** MODIFIED KNESER-NEY trigram LM score — the smoothing CCNet's
+    * published 5-gram filter actually uses (Kneser & Ney 1995; the
+    * three-discount "modified" variant of Chen & Goodman 1999),
+    * replacing [[trigramLogProb]]'s fixed-weight Jelinek-Mercer
+    * interpolation with count-dependent absolute discounting over
+    * CONTINUATION counts:
+    *
+    *   p(w₃|w₁w₂) = (c(w₁w₂w₃) − D(c))⁺/c(w₁w₂) + γ(w₁w₂)·p(w₃|w₂)
+    *   p(w₃|w₂)   = (N₁₊(•w₂w₃) − D′(N))⁺/N₁₊(•w₂•) + γ′(w₂)·p(w₃)
+    *   p(w₃)      = (N₁₊(•w₃) + 1)/(N₁₊(••) + V)     [add-one for OOV]
+    *
+    * with per-order discounts D₁,D₂,D₃₊ from the count-of-counts
+    * (Y = n₁/(n₁+2n₂); Dᵢ = i − (i+1)·Y·nᵢ₊₁/nᵢ, clamped ≥ 0, slot
+    * defaults 0.5/1.0/1.5 when a count-of-count is empty) and backoff
+    * mass γ = (D₁N₁ + D₂N₂ + D₃₊N₃₊)/denominator. A context absent
+    * from its (capped) table falls through to the next order whole.
+    *
+    * Scale shape is [[trigramLogProb]]'s: every model table df-capped
+    * deterministically (magnitude desc / key asc) at `maxVocab` and
+    * broadcast — the trigram, the b12-context (counts + follower-class
+    * counts, one table so presence is consistent), the b23 continuation
+    * counts, the w2 middle-order table, the w3 unigram-continuation
+    * counts; count-of-counts and totals are two tiny aggregates over
+    * the PRE-cap tables (the cap only moves tail grams to the unseen
+    * bucket). All discount arithmetic is closed-form over integers, so
+    * the oracle replays it to the bit. `ln` takes a 1e-10 floor (a
+    * pathological corpus could zero every γ); docs with < 3 tokens are
+    * absent.
+    */
+  def knTrigramLogProb(df: DataFrame, docId: String, textCol: String,
+                       maxVocab: Int = 65536): DataFrame = {
+    val arr = df.select(col(docId), toks(col(textCol)).as("__l"))
+    val tok = arr.select(col(docId), explode(col("__l")).as("t"))
+    val vTot = tok.agg(count_distinct(col("t")).as("__v"))
+    val tri = arr
+      .select(col(docId), explode(TextOps.shinglesOf(col("__l"), 3)).as("g3"))
+      .withColumn("__p", split(col("g3"), " "))
+      .withColumn("b12", concat_ws(" ", col("__p").getItem(0), col("__p").getItem(1)))
+      .withColumn("b23", concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)))
+      .withColumn("w2", col("__p").getItem(1))
+      .withColumn("w3", col("__p").getItem(2))
+      .drop("__p")
+    val triCounts = tri.groupBy(col("g3")).agg(count(lit(1)).as("ct"))
+    // trigram-order count-of-counts (for the top-level discounts)
+    val cocT = triCounts.agg(
+      sum(when(col("ct") === 1, 1L).otherwise(0L)).as("t_n1"),
+      sum(when(col("ct") === 2, 1L).otherwise(0L)).as("t_n2"),
+      sum(when(col("ct") === 3, 1L).otherwise(0L)).as("t_n3"),
+      sum(when(col("ct") === 4, 1L).otherwise(0L)).as("t_n4"))
+    val triTypes = triCounts.withColumn("__p", split(col("g3"), " "))
+      .select(col("ct"),
+        concat_ws(" ", col("__p").getItem(0), col("__p").getItem(1)).as("b12"),
+        concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)).as("b23"))
+    // b12 context table: bigram count + follower-type counts by class —
+    // ONE table so cb12 and the γ numerator are present/absent together
+    val biCounts = arr.select(explode(TextOps.shinglesOf(col("__l"), 2)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val nf = triTypes.groupBy(col("b12")).agg(
+      sum(when(col("ct") === 1, 1L).otherwise(0L)).as("nf1"),
+      sum(when(col("ct") === 2, 1L).otherwise(0L)).as("nf2"),
+      sum(when(col("ct") >= 3, 1L).otherwise(0L)).as("nf3p"))
+    val ctx12 = biCounts.withColumnRenamed("b", "b12")
+      .join(nf, Seq("b12"), "left")
+      .select(col("b12"), col("cb"),
+        coalesce(col("nf1"), lit(0L)).as("nf1"),
+        coalesce(col("nf2"), lit(0L)).as("nf2"),
+        coalesce(col("nf3p"), lit(0L)).as("nf3p"))
+    // middle order: continuation counts per b23 type + their
+    // count-of-counts + the per-w2 denominators / follower classes
+    val cont23 = triTypes.groupBy(col("b23")).agg(count(lit(1)).as("n123"))
+    val cocC = cont23.agg(
+      sum(when(col("n123") === 1, 1L).otherwise(0L)).as("c_n1"),
+      sum(when(col("n123") === 2, 1L).otherwise(0L)).as("c_n2"),
+      sum(when(col("n123") === 3, 1L).otherwise(0L)).as("c_n3"),
+      sum(when(col("n123") === 4, 1L).otherwise(0L)).as("c_n4"))
+    val mid = cont23.withColumn("w2", split(col("b23"), " ").getItem(0))
+      .groupBy(col("w2")).agg(
+        sum(col("n123")).as("midden"),
+        sum(when(col("n123") === 1, 1L).otherwise(0L)).as("m1"),
+        sum(when(col("n123") === 2, 1L).otherwise(0L)).as("m2"),
+        sum(when(col("n123") >= 3, 1L).otherwise(0L)).as("m3p"))
+    // lowest order: unigram continuation counts over bigram TYPES
+    val biTypes = biCounts.withColumn("w3", split(col("b"), " ").getItem(1))
+    val contW = biTypes.groupBy(col("w3")).agg(count(lit(1)).as("nw"))
+    val nbTot = biCounts.agg(count(lit(1)).as("__nb"))
+    // deterministic df-caps (magnitude desc / key asc) on every
+    // broadcast table — the scorer's working set stays bounded
+    val tlmC = triCounts.orderBy(col("ct").desc, col("g3").asc).limit(maxVocab)
+    val ctxC = ctx12.orderBy(col("cb").desc, col("b12").asc).limit(maxVocab)
+    val c23C = cont23.orderBy(col("n123").desc, col("b23").asc).limit(maxVocab)
+    val midC = mid.orderBy(col("midden").desc, col("w2").asc).limit(maxVocab)
+    val cwC = contW.orderBy(col("nw").desc, col("w3").asc).limit(maxVocab)
+    // discounts: Y = n1/(n1+2n2); Di = i - (i+1)·Y·n(i+1)/ni, clamped
+    val disc = (n1: Column, n2: Column, n3: Column, n4: Column,
+        slot: Int, dflt: Double) => {
+      val y = n1.cast("double") / (n1 + lit(2) * n2).cast("double")
+      val (num, den, base) = slot match {
+        case 1 => (n2, n1, 1.0); case 2 => (n3, n2, 2.0); case _ => (n4, n3, 3.0)
+      }
+      when(den > 0 && (n1 + lit(2) * n2) > 0,
+        greatest(lit(base) - lit(base + 1) * y * num.cast("double")
+          / den.cast("double"), lit(0.0))).otherwise(lit(dflt))
+    }
+    val scored = tri
+      .join(broadcast(tlmC), Seq("g3"), "left")
+      .join(broadcast(ctxC), Seq("b12"), "left")
+      .join(broadcast(c23C), Seq("b23"), "left")
+      .join(broadcast(midC), Seq("w2"), "left")
+      .join(broadcast(cwC), Seq("w3"), "left")
+      .crossJoin(broadcast(cocT))
+      .crossJoin(broadcast(cocC))
+      .crossJoin(broadcast(vTot))
+      .crossJoin(broadcast(nbTot))
+    val tD1 = disc(col("t_n1"), col("t_n2"), col("t_n3"), col("t_n4"), 1, 0.5)
+    val tD2 = disc(col("t_n1"), col("t_n2"), col("t_n3"), col("t_n4"), 2, 1.0)
+    val tD3 = disc(col("t_n1"), col("t_n2"), col("t_n3"), col("t_n4"), 3, 1.5)
+    val cD1 = disc(col("c_n1"), col("c_n2"), col("c_n3"), col("c_n4"), 1, 0.5)
+    val cD2 = disc(col("c_n1"), col("c_n2"), col("c_n3"), col("c_n4"), 2, 1.0)
+    val cD3 = disc(col("c_n1"), col("c_n2"), col("c_n3"), col("c_n4"), 3, 1.5)
+    val dOf = (c: Column, d1: Column, d2: Column, d3: Column) =>
+      when(c >= 3, d3).when(c === 2, d2).when(c === 1, d1).otherwise(lit(0.0))
+    val p1 = (coalesce(col("nw"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__nb") + col("__v")).cast("double")
+    val n123v = coalesce(col("n123"), lit(0L))
+    val p2 = when(col("midden").isNull, p1).otherwise(
+      greatest(n123v.cast("double") - dOf(n123v, cD1, cD2, cD3), lit(0.0))
+        / col("midden").cast("double")
+        + ((cD1 * col("m1") + cD2 * col("m2") + cD3 * col("m3p"))
+          / col("midden").cast("double")) * p1)
+    val ctv = coalesce(col("ct"), lit(0L))
+    val p3 = when(col("cb").isNull, p2).otherwise(
+      greatest(ctv.cast("double") - dOf(ctv, tD1, tD2, tD3), lit(0.0))
+        / col("cb").cast("double")
+        + ((tD1 * col("nf1") + tD2 * col("nf2") + tD3 * col("nf3p"))
+          / col("cb").cast("double")) * p2)
+    scored
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("ct").isNull, 1L).otherwise(0L)).as("n_oov3"),
+        (floor(avg(log(greatest(p3, lit(1e-10)))) * 1e4 + lit(0.5)) / 1e4)
+          .as("avg_logprob_kn"))
+  }
+
   /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020 §3.3): score
     * every document under the corpus LM ([[trigramLogProb]]), then
     * split the corpus into equal-count head / middle / tail buckets —

@@ -33,7 +33,7 @@ object WebOps {
   def registerAll(spark: SparkSession): Unit = {
     Gzip.register(spark); WarcParse.register(spark); HtmlToText.register(spark)
     RobotsTxt.register(spark); graft.functions.HtmlLinks.register(spark)
-    graft.functions.HtmlMeta.register(spark)
+    graft.functions.HtmlMeta.register(spark); graft.functions.Zstd.register(spark)
   }
 
   private def registered(): Unit =
@@ -80,11 +80,16 @@ object WebOps {
     * file id; each group folds a bounded `perFile` members.
     */
   def buildCrawlFiles(records: DataFrame, docId: Column, record: Column,
-      perFile: Int): DataFrame = {
+      perFile: Int, codec: String = "gzip"): DataFrame = {
     registered()
+    val memberFn = codec match {
+      case "gzip" => "gzip_member"
+      case "zstd" => "zstd_frame" // record-at-time frames, same layout
+      case other => throw new IllegalArgumentException(s"codec $other")
+    }
     records
       .select((docId / perFile).cast("long").as("file_id"), docId.as("doc_id"),
-        call_function("gzip_member", record).as("member"))
+        call_function(memberFn, record).as("member"))
       .groupBy(col("file_id"))
       .agg(aggregate(
         transform(array_sort(collect_list(struct(col("doc_id"), col("member")))),
@@ -118,7 +123,7 @@ object WebOps {
     registered()
     files
       .select(explode(call_function("warc_records",
-        call_function("gunzip_all", blob))).as("rec"))
+        call_function("decompress_any", blob))).as("rec"))
       .select(
         col("rec.warc_type").as("warc_type"),
         col("rec.record_id").as("record_id"),
@@ -158,10 +163,11 @@ object WebOps {
   /** Per-segment QUARANTINE accounting — the loud-refusal companion to
     * [[extractPages]]: for every crawl file, its sniffed container codec
     * ([[graft.functions.CodecProbe]] — gzip vs zstd frame/skippable
-    * magic vs unknown), whether the segment is quarantined (non-gzip
-    * codec, for which no JDK decoder exists, OR gzip that fails strict
-    * whole-stream inflation), and the record count it would contribute.
-    * One scan-side projection per file, same task grain as extraction;
+    * magic vs unknown), whether the segment is quarantined (unknown
+    * codec, OR a gzip/zstd stream that fails the strict whole-or-refuse
+    * decode — since round 10 both codecs DECODE, [[graft.functions.Zstd]]
+    * from RFC 8878 spec), and the record count it contributes. One
+    * scan-side projection per file, same task grain as extraction;
     * `sum(quarantined)` ≠ 0 is the signal a 100 TB ingest must ALERT on
     * rather than quietly processing the subset it could read.
     */
@@ -171,9 +177,10 @@ object WebOps {
       .select(idCol.as("segment_id"), blob.as("__b"))
       .withColumn("codec", call_function("codec_probe", col("__b")))
       .withColumn("__payload",
-        when(col("codec") === "gzip", call_function("gunzip_all", col("__b"))))
+        when(col("codec") === "gzip", call_function("gunzip_all", col("__b")))
+          .when(col("codec") === "zstd", call_function("zunstd_all", col("__b"))))
       .withColumn("quarantined",
-        col("codec") =!= "gzip" || col("__payload").isNull)
+        col("codec") === "unknown" || col("__payload").isNull)
       .withColumn("n_records",
         when(col("quarantined"), lit(0L)).otherwise(coalesce(
           size(call_function("warc_records", col("__payload"))).cast("long"),

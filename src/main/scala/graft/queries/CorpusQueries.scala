@@ -180,6 +180,20 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // MODIFIED KNESER-NEY trigram LM — the smoothing CCNet's published
+    // filter actually uses: continuation counts, count-of-counts-derived
+    // discounts D1/D2/D3+, absolute-discount interpolation down to a
+    // unigram-continuation floor. The oracle replays the entire ladder —
+    // counts → continuation counts → discounts → per-position p — so a
+    // drift anywhere in the KN arithmetic breaks the hash.
+    "text_lm_kn" -> ((s, dir) => {
+      TextQualityOps.knTrigramLogProb(Tables.documents(s, dir),
+          "doc_id", "text", maxVocab = 65536)
+        .select(col("doc_id"), col("n_trigrams"), col("n_oov3"),
+          col("avg_logprob_kn"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet §3.3 head/middle/tail perplexity bucketing — tercile
     // thresholds from a cumulative count over the BOUNDED centi-quantized
     // score histogram (never a corpus sort); the oracle replays scoring,
@@ -439,6 +453,126 @@ object CorpusQueries extends QueryPack {
        |  FROM j GROUP BY doc_id)""".stripMargin
 
   private lazy val trigramScoreCtes: String = "WITH " + trigramScoreCtesBody
+
+  /** Full replay of [[graft.ops.TextQualityOps.knTrigramLogProb]] —
+    * counts → continuation counts → count-of-counts → modified-KN
+    * discounts → the interpolated probability per trigram position,
+    * with every capped table's deterministic (magnitude desc, key asc)
+    * order restated. Expression shapes mirror the Spark column tree so
+    * the IEEE-double arithmetic lands on identical bits. CTE names
+    * kn-prefixed to compose with the other fragments.
+    */
+  private[queries] lazy val knScoreCtesBody: String =
+    s"""knt AS (SELECT doc_id, $tokSql AS l FROM documents),
+       |knp AS (SELECT doc_id, unnest(l) AS t FROM knt),
+       |kntgr AS MATERIALIZED (SELECT doc_id,
+       |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g3,
+       |    l[i] || ' ' || l[i+1] AS b12, l[i+1] || ' ' || l[i+2] AS b23,
+       |    l[i+1] AS w2, l[i+2] AS w3
+       |  FROM knt, LATERAL (SELECT unnest(generate_series(1, len(l)-2)) AS i) g
+       |  WHERE len(l) >= 3),
+       |knbgr AS (SELECT l[i] || ' ' || l[i+1] AS b
+       |  FROM knt, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) g
+       |  WHERE len(l) >= 2),
+       |kntc AS MATERIALIZED (SELECT g3, count(*) AS ct FROM kntgr GROUP BY g3),
+       |knbc AS MATERIALIZED (SELECT b, count(*) AS cb FROM knbgr GROUP BY b),
+       |knnf AS (SELECT split_part(g3, ' ', 1) || ' ' || split_part(g3, ' ', 2) AS b12,
+       |    sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS nf1,
+       |    sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS nf2,
+       |    sum(CASE WHEN ct >= 3 THEN 1 ELSE 0 END) AS nf3p
+       |  FROM kntc GROUP BY 1),
+       |knctx AS MATERIALIZED (SELECT knbc.b AS b12, cb,
+       |    coalesce(nf1, 0) AS nf1, coalesce(nf2, 0) AS nf2,
+       |    coalesce(nf3p, 0) AS nf3p
+       |  FROM knbc LEFT JOIN knnf ON knnf.b12 = knbc.b
+       |  ORDER BY cb DESC, b12 ASC LIMIT 65536),
+       |knc23 AS MATERIALIZED (SELECT
+       |    split_part(g3, ' ', 2) || ' ' || split_part(g3, ' ', 3) AS b23,
+       |    count(*) AS n123 FROM kntc GROUP BY 1),
+       |knmid AS MATERIALIZED (SELECT split_part(b23, ' ', 1) AS w2,
+       |    sum(n123) AS midden,
+       |    sum(CASE WHEN n123 = 1 THEN 1 ELSE 0 END) AS m1,
+       |    sum(CASE WHEN n123 = 2 THEN 1 ELSE 0 END) AS m2,
+       |    sum(CASE WHEN n123 >= 3 THEN 1 ELSE 0 END) AS m3p
+       |  FROM knc23 GROUP BY 1 ORDER BY midden DESC, w2 ASC LIMIT 65536),
+       |knc23c AS MATERIALIZED (SELECT b23, n123 FROM knc23
+       |  ORDER BY n123 DESC, b23 ASC LIMIT 65536),
+       |kncw AS MATERIALIZED (SELECT split_part(b, ' ', 2) AS w3, count(*) AS nw
+       |  FROM knbc GROUP BY 1 ORDER BY nw DESC, w3 ASC LIMIT 65536),
+       |kntlm AS MATERIALIZED (SELECT g3, ct FROM kntc
+       |  ORDER BY ct DESC, g3 ASC LIMIT 65536),
+       |kntot AS (SELECT (SELECT count(DISTINCT t) FROM knp) AS v,
+       |  (SELECT count(*) FROM knbc) AS nb),
+       |knd AS (SELECT
+       |    CASE WHEN t_n1 > 0 AND (t_n1 + 2*t_n2) > 0 THEN greatest(
+       |      1.0 - 2.0 * (CAST(t_n1 AS DOUBLE) / CAST(t_n1 + 2*t_n2 AS DOUBLE))
+       |        * CAST(t_n2 AS DOUBLE) / CAST(t_n1 AS DOUBLE), 0.0)
+       |      ELSE 0.5 END AS td1,
+       |    CASE WHEN t_n2 > 0 AND (t_n1 + 2*t_n2) > 0 THEN greatest(
+       |      2.0 - 3.0 * (CAST(t_n1 AS DOUBLE) / CAST(t_n1 + 2*t_n2 AS DOUBLE))
+       |        * CAST(t_n3 AS DOUBLE) / CAST(t_n2 AS DOUBLE), 0.0)
+       |      ELSE 1.0 END AS td2,
+       |    CASE WHEN t_n3 > 0 AND (t_n1 + 2*t_n2) > 0 THEN greatest(
+       |      3.0 - 4.0 * (CAST(t_n1 AS DOUBLE) / CAST(t_n1 + 2*t_n2 AS DOUBLE))
+       |        * CAST(t_n4 AS DOUBLE) / CAST(t_n3 AS DOUBLE), 0.0)
+       |      ELSE 1.5 END AS td3,
+       |    CASE WHEN c_n1 > 0 AND (c_n1 + 2*c_n2) > 0 THEN greatest(
+       |      1.0 - 2.0 * (CAST(c_n1 AS DOUBLE) / CAST(c_n1 + 2*c_n2 AS DOUBLE))
+       |        * CAST(c_n2 AS DOUBLE) / CAST(c_n1 AS DOUBLE), 0.0)
+       |      ELSE 0.5 END AS cd1,
+       |    CASE WHEN c_n2 > 0 AND (c_n1 + 2*c_n2) > 0 THEN greatest(
+       |      2.0 - 3.0 * (CAST(c_n1 AS DOUBLE) / CAST(c_n1 + 2*c_n2 AS DOUBLE))
+       |        * CAST(c_n3 AS DOUBLE) / CAST(c_n2 AS DOUBLE), 0.0)
+       |      ELSE 1.0 END AS cd2,
+       |    CASE WHEN c_n3 > 0 AND (c_n1 + 2*c_n2) > 0 THEN greatest(
+       |      3.0 - 4.0 * (CAST(c_n1 AS DOUBLE) / CAST(c_n1 + 2*c_n2 AS DOUBLE))
+       |        * CAST(c_n4 AS DOUBLE) / CAST(c_n3 AS DOUBLE), 0.0)
+       |      ELSE 1.5 END AS cd3
+       |  FROM (SELECT
+       |      sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS t_n1,
+       |      sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS t_n2,
+       |      sum(CASE WHEN ct = 3 THEN 1 ELSE 0 END) AS t_n3,
+       |      sum(CASE WHEN ct = 4 THEN 1 ELSE 0 END) AS t_n4 FROM kntc),
+       |    (SELECT
+       |      sum(CASE WHEN n123 = 1 THEN 1 ELSE 0 END) AS c_n1,
+       |      sum(CASE WHEN n123 = 2 THEN 1 ELSE 0 END) AS c_n2,
+       |      sum(CASE WHEN n123 = 3 THEN 1 ELSE 0 END) AS c_n3,
+       |      sum(CASE WHEN n123 = 4 THEN 1 ELSE 0 END) AS c_n4 FROM knc23)),
+       |knj AS (SELECT g.doc_id, t.ct, x.cb, x.nf1, x.nf2, x.nf3p,
+       |    c.n123, m.midden, m.m1, m.m2, m.m3p, w.nw,
+       |    td1, td2, td3, cd1, cd2, cd3, v, nb
+       |  FROM kntgr g
+       |  LEFT JOIN kntlm t USING (g3)
+       |  LEFT JOIN knctx x ON x.b12 = g.b12
+       |  LEFT JOIN knc23c c ON c.b23 = g.b23
+       |  LEFT JOIN knmid m ON m.w2 = g.w2
+       |  LEFT JOIN kncw w ON w.w3 = g.w3, knd, kntot),
+       |knpr AS (SELECT doc_id, ct,
+       |    CAST(coalesce(nw, 0) + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE) AS p1,
+       |    CASE WHEN midden IS NULL THEN p1 ELSE
+       |      greatest(CAST(coalesce(n123, 0) AS DOUBLE) -
+       |        (CASE WHEN coalesce(n123, 0) >= 3 THEN cd3
+       |              WHEN coalesce(n123, 0) = 2 THEN cd2
+       |              WHEN coalesce(n123, 0) = 1 THEN cd1 ELSE 0.0 END), 0.0)
+       |        / CAST(midden AS DOUBLE)
+       |      + ((cd1 * m1 + cd2 * m2 + cd3 * m3p) / CAST(midden AS DOUBLE)) * p1
+       |    END AS p2,
+       |    CASE WHEN cb IS NULL THEN p2 ELSE
+       |      greatest(CAST(coalesce(ct, 0) AS DOUBLE) -
+       |        (CASE WHEN coalesce(ct, 0) >= 3 THEN td3
+       |              WHEN coalesce(ct, 0) = 2 THEN td2
+       |              WHEN coalesce(ct, 0) = 1 THEN td1 ELSE 0.0 END), 0.0)
+       |        / CAST(cb AS DOUBLE)
+       |      + ((td1 * nf1 + td2 * nf2 + td3 * nf3p) / CAST(cb AS DOUBLE)) * p2
+       |    END AS p3
+       |  FROM knj),
+       |knscore AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |    CAST(sum(CASE WHEN ct IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov3,
+       |    floor(avg(ln(greatest(p3, 1e-10))) * 1e4 + 0.5) / 1e4 AS avg_logprob_kn
+       |  FROM knpr GROUP BY doc_id)""".stripMargin
+
+  private lazy val knScoreCtes: String = "WITH " + knScoreCtesBody
 
   /** DuckDB replay of the full IVF+PQ path at iters=0: per subspace s the
     * codebook is the 8 corpus subvectors with the smallest md5('pq<s>:'||id)
@@ -734,6 +868,12 @@ object CorpusQueries extends QueryPack {
       s"""$trigramScoreCtes
          |SELECT doc_id, n_trigrams, n_oov3, avg_logprob3
          |FROM score ORDER BY doc_id""".stripMargin,
+    // full modified-KN replay: counts → continuation counts →
+    // count-of-counts → discounts → interpolated ln per position
+    "text_lm_kn" ->
+      s"""$knScoreCtes
+         |SELECT doc_id, n_trigrams, n_oov3, avg_logprob_kn
+         |FROM knscore ORDER BY doc_id""".stripMargin,
     // replay of the bucketed-threshold arithmetic: centi-quantized
     // scores, cumulative histogram, inclusive tercile maxima
     "text_ppl_buckets" ->

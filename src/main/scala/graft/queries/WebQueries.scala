@@ -92,6 +92,181 @@ object WebQueries extends QueryPack {
       "WHEN 2 THEN source || '.example.org' " +
       "ELSE 'cdn.' || source || '.com.au' END || '/doc/' || CAST(doc_id AS VARCHAR)"
 
+  // committed zstd fixture frames from the independent CLI compressor
+  // (tools/gen_zstd_fixtures.py -> src/test/resources/zstd_fixtures),
+  // hex-embedded so oracle and engine see identical blobs; payloads are
+  // deterministic constructions whose (len, md5) the generator pinned
+  private val zstdFx_small_l1 =
+    "28B52FFD64400AB5060062C91E1C608775D807D03FB0D1DA8686340E5C00F0CF711CB7845E14740A1401113ED7D85269" +
+      "F18AF0B9C6964A8A5584CF35B6544A9C227CAEB1A55ADAA3E59BCE043AD38F7D852C337844A7215F2440E0769DB497B9" +
+      "FC12ACFC5D14A770C3319DC36F2B0683BC7637B59FBE8F12063DC222EFA479C1CCCCEFA376535B102A20D01B6D3DC5D0" +
+      "1394192A023D4399A062E8151417140365868AA0672813A8187A82324385A0B8A018283354043D439940C5D01394192A" +
+      "04C505C54099A122E819CA042A869E1494D9245149A403F54DB8411D2ACD21CF563FF9B7"
+  private val zstdFx_small_l19 =
+    "28B52FFD64400ADD0500E2081D1960AF0E9FECF2237FA48FF4440041B228B7DCAE9053D010C40142A55346F81C6C50A8" +
+      "74CA089F7BED09954E19E173AE39A1D229237C8DE0A391B76317EB5257F8D7C29271CCB105F2C10141EE6B9D862CF4AC" +
+      "60E4197A28E6CD61A9E8B99F424A7EBBEA7C2C2B9C5F38792FD387F63E6E4FB7892CA831B49B67D9E506C033DB114004" +
+      "0E61860009FFFF8CC00FB5C41256AC4B2AB2C24A2B19D27A58698B251652156C61B215C02679592203A86F7034866E44" +
+      "2A6169B568563FF9B7"
+  private val zstdFx_medium_l19_chk =
+    "28B52FFD6420FCDD2A005A5AD40A1A505539070F253D94F45012283B33AA496869936C3174678A981ADF008C009D0071" +
+      "1CC7711CC7711CC7711CC7711C43420A9AAE633534239C98E72A564223420959AEB4220D850CCE6B58054D0823E2B86E" +
+      "35CDC2E3F8E36A45238CFBAE5634C2E8BD5AD108C3B66B59154D092BEABA5AD10883A6AB158D30E6B98A95D088504296" +
+      "2BAD48432183F31A564113C28838AE5B4DB310C1010906101C7840F080C1020D0F15106490F0104183840A051E383C60" +
+      "40E0C083800010C00282080C1E2098C060C2830505120E3C5898000143830707061860A0F0600101040215123C444090" +
+      "018185070E1D083C78D82021C1038205171E04FC80C04004041722201810DDAEE959E63CD78A4618F75DAD4818BD572B" +
+      "1A61D876B5A211465D572B1A61D074B5A211CAB22CCBB22CCBB22CCBB2C8B22CCBB22CCBB22CCBB22CCBB22CCBB22CCB" +
+      "B25C2B1A61DC77B5A21146EFD58A46C8C939E79C73CEAF5634C2A0E96A4523E49C73CE39E79C73CE39E79C73CE39E79C" +
+      "7372CE39E79C73CE39AF158D308EE3388EE3388EE3388EE3380E5FAD688441D3D58A4658D7755DD7755DD7755DD7755D" +
+      "D7755DD7755DD7755D575DD7755DD7755DD775AD688471DFD58A4618BD572B1A61D876B5A211465D572B12064D572B1A" +
+      "61CC73523129211911A1842CC7D258240E8564705E342C2A2826241811C7DDED9A9E65D2F43C45238CFBAE5634C2E8BD" +
+      "5AD108C3B6AB158D30EABA5AD10883A6AB158D70AE5634C290E56A45230CCEAB158D0423E2B803BD9746D87BEFBDF7DE" +
+      "7BBF5AD1087BEFBDF7DE7BBFAE5634C2A0E96A4523ECEDBDF7DE7BEFBDF7DE7BEFBDF7DE7BEFBDF7DE7BEFBDF7DE7BAF" +
+      "158D30EEBB5AD1987DAF5634C2B0EDAA6555453525C58ABAAE5634C2A0E96A4523B46DDBB66DDBB66DDBB66DDB46189C" +
+      "572B1A61441C77B76B7A9669DBB5A211C67D572B1A61F45EAD6884755D755DD7755D578399A862D0F5A44EADE9D26FA4" +
+      "CD12801050108C204008FEFF1102FEB7865BD14A430050430975A8B186AB62238D68852128ACB1861A4AA81BD5981156" +
+      "58D988128CD40823AC4353914558628D259650E33AD658A31A4AA8430D6BA8A1C43AD658C32A43155698D2C81A6DC94A" +
+      "7BA0348D95D10A235A696509755C638D35D4C19456B4D290351A614A239887E51A6BA8A10875A8B1862AA24A4BAE8315" +
+      "5636C2C412D4B8C61A0B82E0AAA84A2BAC6C44898C68841156D482918D68852168D660861A6B5CE2D7D0084B58C18A12" +
+      "8C688511CC82530D25D4A18C35D450621D6BACF1124B2871895596B0C41A95586295A10A5B98D2C81AAD64A529ADA805" +
+      "238D6885254B34849146DAA2C68D3007DE31B111251AC294565A59C72AD4A8861A4AA8438D35A8A1C475ACB1C612AB50" +
+      "E2126BAC0B94752C28AAB0C28835B6C288565A59224332D28856946884296D69658D5B6985950D5182118D30C23A94BA" +
+      "898D34A2154696D810461A698B1A1BC914469658428D6BAC6341B056C5AAB4C2948D28C1884690AE5A16B18A565AC14A" +
+      "5B96C008238C686515596108238DA882918C34A43DC8D6B10C359458C71A6BB0620D65A8710D3594B08E35D658620925" +
+      "5C1497C208230D59A3254C69841125B08429AC6C00A75594A1861AABC01A35C21256B0A204235A6104B3E0A851097528" +
+      "630D359458C71A6B5CE2124A5CA289252CB14625965832D4C216A63402D51ACB50438975AC718D552CA1C425D6586209" +
+      "6A5C631DCB006584D560821A8C60A2194DACA31D6D34918D35D868044634B14413DB6805136A6CA3095630760C0F6884" +
+      "298D30A2048CB0C2CA8D28C1889630C28A2A9868831137B1042B0C61A425AA60849186B445894D6CA30926D4D8862698" +
+      "6045259A60823D9850A38D46B4D16E13AD5E27870F40FD9037689FB49B03D322C0C1B4A30556BDFC94"
+  private val zstdFx_medium_l3_nochk =
+    "28B52FFD6020FC4D2100A6FF831B405392030F253D94F4884A5E0AAB824196362525E16A241D8FBB17A8006000600092" +
+      "244992244992244992244992A44799BB9C1E028F4799BB9C8A407994B9CB6904E651E62EA70BFC51E62E270BF851E62E" +
+      "A70AF451E62E270AF051E62EA709EC51E62E2709E851E62E9720481C240848F2C0B0A08154241912488486448501C2F1" +
+      "C05080800C0820C02289607848261826100B050904C4620202A301713860C0A0402C1288828A042422492E22928CC402" +
+      "E1E82878403624129064E102191040928388E42222210824499224499224499224499224499224499224499224499224" +
+      "499224499224499224B96DDBB66DDBB66DDBB66DDBB66DDBB66DDBB66DDBB66DDBB66DDBB66DDBB66DDBB66DDBB66D92" +
+      "2449922449922449922449922449922449922449922429FFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFDFB66DDBB66DDBB6" +
+      "6DDBB66DDBB66DDBB66DDBB66DDBB66DDBB66DDBB66DDBB66DDBB66DDBB6DBB66DDBB66DDBB66DDBB66DDBB66DDBB66D" +
+      "DBB66DDBB66DDBB66DDBB66DDBB66DDBB66DDB96244932A594524A29A594524A29A594524A29A594524A29A594524A29" +
+      "A594524A29A594524A29A594524A29A594524A29A594524A29A594524A29A594524A29A5943233333333333333333333" +
+      "333333333333333333333333333333333333333333333333333333333333333333333333333333F3FFFFFFFFFFFFFFFF" +
+      "FFFFFFFFFFFFFFFFFFFFFF0F8387A822D0B3C77EAC01D26FA4CD124010501018410041F0FF8F20E00F3731316262D2C4" +
+      "C4C4C4A41526262626264D4C4C8C34B16262626262D2C4888915132B262626264C9A98583131B16262C5C4C4A4894913" +
+      "1313564C4C4C4C4C9A3431626262C5C4C4C4C4A42526262626564C4C4C9858696262626262C58A89894993262626264C" +
+      "AC98989834316962C4C4C4C48A89891513234D4C4C4C4CAC9858616262D2C4C4C4C4C41693262626264D4C4C98985869" +
+      "62626262D288898989892D262626464C9A98989858B162C2C4C4C4A4898989492B564C4C4C4C4C9A9830696262C5C4C4" +
+      "C4C44813132B2626564C4C8C989834B162626262858989898949932626564CAC98989898986CC2C4C4C4C48A89898911" +
+      "2B4D4C4C4C4CAC981831B162D2C4C4C4C4841513139326264D4CAC9898583131696262A2898989898915132B464C4C9A" +
+      "9898989858B1C4C4C4C4A489898909132B4D4C4C4C4C9A5831313169C5C4C4C48449131313132B564C8C989898343131" +
+      "B162628A89898989491313934C4CAC9898989898B462D2C4C4C48A898909139326564C4C4CAC183131313169C5C4C4C4" +
+      "881513131313934D4C989898583131313169A5898989898915131326751B613069626248C20A26464C6C15576162C2C4" +
+      "AAD00AA69898D896B0C2C4C4C456E12A9A9830B12AB4C28A8915DB1256583131B1555C85091326568556D8626232B189" +
+      "96BC4B0E7980FA61AA0D5ADEC18DA905601C02"
+  private val zstdFx_large_l19_chk =
+    "28B52FFDA4409D04007C2C004A59300B1870D97450FA43E90FA58F77FF3F2BA59429A52402F8F4EEE1DA0099009B008B" +
+      "2DB6D8628B2DB6D8628B2DB6D8628B2DB6D8622BBF2F5EE411DF2E3D2F5CD491DE2DBB2E5AC411DE2C392E58B491DD2B" +
+      "B72D563472978B45ACA846EAAEB25651452377390A2A1AB9CB4D4CD1C85D4E428A46EE728F178DDCE51C2E1AB9CB355A" +
+      "34729763B068E42EB758D1C85D223820C10082030F081E3058A0E1A102820C121E22689050A1C00387070C081C781030" +
+      "00012C2088C0E00182090C263C585020E1C08385091030347870608001060A0F161040205021C143040419105878E0D0" +
+      "81C083870D12123C205870E141403C20301001C18508080604BC598E0E166D64F7CACDB1A21889BBB48B6AA4EE2A578D" +
+      "2AA291BBA30615CDC8DC536E1A532423724B396948D1477EBFDC1B2FF2886F9773C3451DE95DB6D1465BB31C1B2CDAC8" +
+      "EE955B6345311277D916D548DD55AE185544237453396250D18CCC5D92418EC82DE58421451FF9FD7267BCC823BE5DCE" +
+      "0C1775A477CB95D1228EF06639325834B27B25634531127749C6165B6CB1C5165B2C2221451FF9FD72977891477CBB9C" +
+      "255CD491DE2D578916718437CB5182451BD95D8A14C548DCA548518DD45DE5EA514534423795A30715CDC8DC536E1E53" +
+      "242372977FFCF1C77FEE8F1779C4B7CBF9E1A28EF46EB93E5AC411DE2CC7078B36B27BE5F658518CC45DFE61877D57B9" +
+      "7254118DD04DE5C841453332F7941BC714C988DC524E1C52F491DF2F77C78B3CE2BBB44D1DE9DD7275B4882301141414" +
+      "E42A57514534423795A3A0A219997BCA4D4C918CC82DE524A4E823BF5FEEF1228FC5B75DD33305D148EF966BB48823BC" +
+      "598EC1A28DEC5EB9C58A6224EE2829A8A846EAAE72155544342474329526A86846E69E7213532423724B390929FAC8EF" +
+      "977BBCC823BE5DCEE1A28EF46EB9468B3832538E132CDAC8EE95DBC48A6224EE72A6A846EAAE72255145344237952309" +
+      "2A9A91B94B911011915BCA05839AA84230D6D7AA351DB25F4A9B0112801050108C204008FEFFFD03B1842245895628C1" +
+      "46736883154BB0C14636B4E40A6C30810D439480156C64D11635B471192AA10C3ED6C01B9045261A528D2636A109562A" +
+      "C10E3632A3912BB0C10476180E90AE845660820DAC50821AD6588F33D643946842136CB4E412ADC0041BAC50821D5A60" +
+      "062BD468A2099A60A522D860231B8DBC021BCC05A36602534922139AC044AB9246169968645390D04C608716D8C04EA4" +
+      "C8441BDA6158D29845261A690A664C304C914436D8881499688776189634B2C8441B18115464810D2658102464811D4C" +
+      "B02048648119ACB00A8292096C68C10AF6407A19801D6D68811D49238B4CB48311416216D8608205894416D8C80A5370" +
+      "31811D6DB0AD9040A4C8441BDAB058D2984526DA60449090053632C1822091053630C18244220B6CB0C2285830818DD2" +
+      "804DB0102932B18DDA302C6964918936304490C8021B4CB02048C8043698604190C8021BB0C2146CAC2CD0D0021BD889" +
+      "1459D186360C4B1AB3C88436181124B2C046569802D7C00436B4C0067622C54C34D2142CBC5944820D5964A2A1483113" +
+      "6D68836149238B4C688311414416D860820581441698C10A531061021BC61193C842A4C8C436B46158D29845261AD114" +
+      "340A13D8A10536B0132932D18676189634669189469A821913102334910D36224526B6A11D86258D2C32D10C46041559" +
+      "608309160411596007132C0812AD68231B916A259144169B68A429E864021B6DB0918D3634111B4C60A30D36B2D10C5A" +
+      "6083096CB4C1866C68438B121BE180654891096DD0468B80041B596C62DB01892CB0C104B6918A4C6802132C0212ACB0" +
+      "C28A26C52930A1093664630DACB0D24A2B94C88811ADB0650D4698C284299660A595565A52092B1A6984116B60851123" +
+      "DAB24623AC6C85912BB0C20A234CA9042B4CB0526C132D454A0E1F80FA21EFA07D2C6E0E4C8B0007938F16A40800C611" +
+      "1C0AC0E51A24D2D884554F09230024000F00346106C889390345200C0012043893220923404AC8D9A26102399E455184" +
+      "0920171701610EC88B3BB3220B63405AD85915559802B2A2CEA888C210901474168A42981B229C4D05FFFFFFFFFFFF31" +
+      "C618638CD1AEE802FFFFFFFFFFFFFFFFFF80E6AC20F003E1EFDF0162C58A152B56ACD862C58A152B56ACD862C58A152B" +
+      "56AC98C58A152B56AC58B1C58A152B56AC58B1C58A152B56AC58318B152B56AC58B1628B152B56AC58B1628B152BE696" +
+      "A18C8AA08AAAA816550A2A36B1455BA8C01E5A64C3946B68910D6DB4858A6C68910D53AE438B6C9806E78CA004366891" +
+      "0D53AEA1457668D1162AB2A14536AC720D2DB2A1455BA8C80E2D64C33438286F8102EC0300750E3180E7540100282626" +
+      "262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626" +
+      "262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626" +
+      "262626262626262626262626262626262616CC0700E51C3181CE58010012F85F41E0FFFD076262626262626262626262" +
+      "6262626262626262626262626262626262626262C2C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4" +
+      "C4C4C4C4A489898989898989898989898989898989898989898989898989898989898989491313131313131313131313" +
+      "131313131313131313131313131313131313131393262626262626262626262626262626262626262626262626262626" +
+      "26262626264D4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C9A98989898989898989898" +
+      "98989898989898989898989898989898989898989834313131313131D90414070096D10F06F03982C808020E000C0009" +
+      "006DDBB66DDBB66DDBB66DDBB66D0BFFFFFFFFB66DDBB66DDBB60DFFFFFFFFFFFFFFFFFF0000000000000000000000C0" +
+      "FFFF0F80E3A820F203E00F12F8FFFF4F10E01F26468C983061D2C48A15134C9834B162C58409932656583161C2A48915" +
+      "2B264C986862A51513264C9A58B1628209932656AC983061D2C40A2B264C9834B162C58409134DAC5831C98449132B56" +
+      "4C3061D2C48A1513264C9A5861C5840993868465BC88CA781195F14A54C68BA88C1751195F4465BC88CA78212AE34554" +
+      "C68BA88C1751192FA2325E88CA78C5100A5040E40300450E3280E4540100282626262626262626262626262626262626" +
+      "262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626" +
+      "262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626" +
+      "26016C0700751C3281C75401002862626262626262626262626262626262626262626262626262626262626262626262" +
+      "626262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626262" +
+      "626262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626262" +
+      "626262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626262" +
+      "626262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626262" +
+      "6212DC0300350E3280E35401002826262626262626262626262626262626262626262626262626262626262626262626" +
+      "262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626" +
+      "2626262626262626262626262626262626262626262626262626262626262616F40400428E0804E00F1119FFFFFFFFFF" +
+      "FFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFF01000000001080E454010028262626262626262626262626262626262626" +
+      "262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626" +
+      "262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626262626" +
+      "01B40700851C3381C858010012F8FFFF4F10E01F12131313131313131313131313131313131313131313131313131313" +
+      "1313131326262626262626262626262626262626262626262626262626262626262626264D4C4C4C4C4C4C4C4C4C4C4C" +
+      "4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C9A989898989898989898989898989898989898989898989898989898" +
+      "989898983431313131313131313131313131313131313131313131313131313131313131696262626262626262626262" +
+      "6262626262626262626262626262626262626262D2C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4" +
+      "C4C4C4C4A4898989C923C40700F6140E05E00F2069020B000B000B005555555555555555555515000000000000005555" +
+      "5515000000000000000000001000000000000000000000088118A821D00FE11F12F83F41E0FFE71F6262C5A489119326" +
+      "464C9818316162C48489111326468C303162C2C488091323264C2C316162C48489111326468C303162C2C48809132326" +
+      "4C8C98303162C2C48809132346583162C2C488091323264C8C98303162C2C488091323469818316162C4848911132646" +
+      "AC303162C2C488091323469818316162C416C13A5845AB6815ADA255B48A56D12A5A456BD12A5A45AB6815ADA2B56815" +
+      "ADA255B48A56D12A5A45AB6815ADA255B47A800C0465060086D10B04E00FC912090009000900000000000000000040FF" +
+      "FFFFFFFFFFFF0F40FFFFFFFFFFFFFFFF7FFFFFFFFFFFFFFFFF7F811858010012F8FFFF57F00F30313131313131313131" +
+      "313131313131313131313131313131313131313131316262626262626262626262626262626262626262626262626262" +
+      "626262626262C5C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C4C48A898989898989898989" +
+      "898989898989898989898989898989898989898989891513131313131313131313137B058226443E"
+  private val zstdFx_tiny_l19 =
+    "28B52FFD249025030082061517806D0E001009FA44D2A1A80D135A1B9A0302246CA8EA1E4070B6EBCC6F99407E7FD60A" +
+      "ED332CB554CCC40004F09AED2E9D21B2CCD0318EE265A5D3189E51EFB0FE51FF1C5A9A5473B4879F441382BFF4515F04" +
+      "0400EA8170433BCC4D3818002436288A86"
+  private val zstdFx_empty_l3 =
+    "28B52FFD240001000099E9D851"
+
+  private[queries] val zstdFixtures = Seq(
+    ("small_l1", zstdFx_small_l1),
+    ("small_l19", zstdFx_small_l19),
+    ("medium_l19_chk", zstdFx_medium_l19_chk),
+    ("medium_l3_nochk", zstdFx_medium_l3_nochk),
+    ("large_l19_chk", zstdFx_large_l19_chk),
+    ("tiny_l19", zstdFx_tiny_l19),
+    ("empty_l3", zstdFx_empty_l3))
+
+  // (name, raw_len, raw_md5) pinned by the generator at fixture time
+  private val zstdPinnedSql = Seq(
+    ("small_l1", 2880, "a2a926ccba7a15544d104fe9a8095728"),
+    ("small_l19", 2880, "a2a926ccba7a15544d104fe9a8095728"),
+    ("medium_l19_chk", 64800, "d4ac743c514662a174cf4b0a0032fe24"),
+    ("medium_l3_nochk", 64800, "d4ac743c514662a174cf4b0a0032fe24"),
+    ("large_l19_chk", 302400, "78c21e19375b50accedd032a9c262931"),
+    ("tiny_l19", 144, "b77d49b1549cab63a577239903119c6f"),
+    ("empty_l3", 0, "d41d8cd98f00b204e9800998ecf8427e"))
+    .map { case (n, l, m) => s"('$n', $l, '$m')" }.mkString(", ")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Crawl-file READ path over raw-text bodies: every framing field of
@@ -254,12 +429,12 @@ object WebQueries extends QueryPack {
     }),
 
     // Mixed-codec segment QUARANTINE (the whole-or-refuse read posture):
-    // per synthetic segment — gzip'd WARC, zstd frame, zstd skippable
-    // frame, unknown bytes by doc_id%4 — the sniffed codec, the
-    // quarantine verdict, and the record count. Newer crawl dumps move
-    // to zstd, for which the JVM has no codec: those segments must be
-    // DETECTED and counted, never parsed as garbage or silently dropped.
-    // The oracle replays codec/verdict/count from the construction rule.
+    // per synthetic segment — gzip'd WARC, VALID zstd-framed WARC (which
+    // since round 10 DECODES and contributes records), a truncated zstd
+    // frame (magic + junk — must refuse, never emit garbage), unknown
+    // bytes, by doc_id%4. The oracle replays codec/verdict/count from
+    // the construction rule: both real codecs count 1 record, the
+    // malformed zstd and the unknown bytes quarantine.
     "web_segment_audit" -> ((s, dir) => {
       WebOps.registerAll(s)
       val docs = Tables.documents(s, dir)
@@ -268,13 +443,54 @@ object WebQueries extends QueryPack {
       val blob = when(col("doc_id") % 4 === 0,
           call_function("gzip_member", rec.cast("binary")))
         .when(col("doc_id") % 4 === 1,
-          concat(unhex(lit("28B52FFD")), col("text").cast("binary")))
+          call_function("zstd_frame", rec.cast("binary")))
         .when(col("doc_id") % 4 === 2,
-          concat(unhex(lit("502A4D18")), col("text").cast("binary")))
+          concat(unhex(lit("28B52FFD")), col("text").cast("binary")))
         .otherwise(concat(unhex(lit("00")), col("text").cast("binary")))
       WebOps.segmentAudit(docs.withColumn("blob", blob),
           col("doc_id"), col("blob"))
         .orderBy(col("segment_id"))
+    }),
+
+    // The zstd first mile, composed end to end: the SAME html-wrapped
+    // bodies as web_crawl_e2e but record-at-time zstd frames instead of
+    // gzip members — decompress_any routes by magic into the from-spec
+    // RFC 8878 decoder, then WARC → HTTP → html_to_text as before. The
+    // oracle is identical to web_crawl_e2e's: the container swap must
+    // not change one byte of extracted text.
+    "web_crawl_e2e_zstd" -> ((s, dir) => {
+      WebOps.registerAll(s)
+      val recs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          WebOps.buildRecord(col("doc_id"), docUrl, htmlOf(col("text"))).as("rec"))
+      val files = WebOps.buildCrawlFiles(recs, col("doc_id"), col("rec"),
+        perFile = 5, codec = "zstd")
+      WebOps.extractPages(files, col("blob"))
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), col("text").as("page_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Real-compressor zstd certification: committed fixtures from the
+    // INDEPENDENT system zstd CLI (tools/gen_zstd_fixtures.py — levels
+    // 1/3/19, with and without XXH64 checksums, single- and multi-block
+    // > 128 KB frames, i.e. FSE-coded sequences, Huffman literals with
+    // FSE-compressed weights, Treeless/Repeat cross-block modes), each
+    // decoded scan-side; the oracle pins the generator's recorded
+    // (raw_len, raw_md5) — the decoder must reproduce the CLI's input
+    // bit-exactly or the hash breaks.
+    "web_zstd_decode" -> ((s, dir) => {
+      import s.implicits._
+      WebOps.registerAll(s)
+      zstdFixtures.toDF("name", "blob_hex")
+        .select(col("name"),
+          call_function("zunstd_all", unhex(col("blob_hex"))).as("raw"))
+        .select(col("name"),
+          octet_length(col("raw")).cast("long").as("raw_len"),
+          md5(col("raw")).as("raw_md5"))
+        .orderBy(col("name"))
     }),
 
     // Compression-ratio quality signal (MassiveText-family), CERTIFIED:
@@ -648,16 +864,33 @@ object WebQueries extends QueryPack {
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // replay of the segment-audit construction rule: codec and verdict
-    // are functions of doc_id % 4; only the gzip'd WARC contributes a
-    // record
+    // are functions of doc_id % 4; both REAL codecs (gzip'd and valid
+    // zstd-framed WARC) contribute a record, the truncated zstd frame
+    // and the unknown bytes quarantine
     "web_segment_audit" ->
       """SELECT doc_id AS segment_id,
         |  CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 3 THEN 'unknown'
         |    ELSE 'zstd' END AS codec,
-        |  (doc_id % 4 <> 0) AS quarantined,
-        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |  (doc_id % 4 IN (2, 3)) AS quarantined,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END AS BIGINT)
         |    AS n_records
         |FROM documents ORDER BY segment_id""".stripMargin,
+
+    // the container swap must not change a byte: identical replay to
+    // web_crawl_e2e
+    "web_crawl_e2e_zstd" ->
+      s"""SELECT doc_id,
+         |  $urlSql AS target_uri,
+         |  concat(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+         |         ' & ABC <tag> café') AS page_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the generator-pinned (len, md5) of each CLI-compressed fixture:
+    // the from-spec decoder must reproduce the CLI's input bit-exactly
+    "web_zstd_decode" ->
+      s"""SELECT name, CAST(raw_len AS BIGINT) AS raw_len, raw_md5
+         |FROM (VALUES $zstdPinnedSql) t(name, raw_len, raw_md5)
+         |ORDER BY name""".stripMargin,
 
     // pinned python-zlib sizes for the committed fixtures; table rows
     // contribute raw bytes + the roundtrip invariant (their deflate

@@ -246,19 +246,24 @@ class WebOpsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("zstd-magic and unknown blobs quarantine loudly; corrupt gzip too") {
+  test("malformed zstd and unknown blobs quarantine loudly; VALID zstd decodes") {
     import spark.implicits._
     graft.functions.Gzip.register(spark)
     val goodGz = graft.functions.Gzip.compress("payload".getBytes("UTF-8"))
     val corruptGz = goodGz.clone()
     corruptGz(corruptGz.length - 5) = (corruptGz(corruptGz.length - 5) ^ 0x7f).toByte
+    val warcRec = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:9>\r\n" +
+      "WARC-Target-URI: https://x.example/a\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "Content-Type: application/http; msgtype=response\r\nContent-Length: 40\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n").getBytes("UTF-8")
     val blobs = Seq(
       (1L, goodGz),
       (2L, corruptGz),                                       // gzip magic, bad CRC
-      (3L, Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte, 1, 2, 3)), // zstd frame
-      (4L, Array[Byte](0x5a, 0x2a, 0x4d, 0x18, 9, 9)),       // zstd skippable
+      (3L, Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte, 1, 2, 3)), // truncated frame
+      (4L, Array[Byte](0x5a, 0x2a, 0x4d, 0x18, 9, 9)),       // truncated skippable
       (5L, "plain bytes".getBytes("UTF-8")),                 // unknown
-      (6L, Array.empty[Byte]))                               // empty
+      (6L, Array.empty[Byte]),                               // empty
+      (7L, graft.functions.Zstd.compressRaw(warcRec)))       // VALID zstd'd WARC
       .toDF("id", "blob")
     val got = WebOps.segmentAudit(blobs, col("id"), col("blob"))
       .collect()
@@ -266,13 +271,14 @@ class WebOpsSpec extends SparkSuite {
       .toMap
     assert(got(1L) == (("gzip", false, 0L))) // inflates but holds no WARC records
     assert(got(2L) == (("gzip", true, 0L)), "bad CRC must quarantine, not pass")
-    assert(got(3L) == (("zstd", true, 0L)))
+    assert(got(3L) == (("zstd", true, 0L)), "truncated zstd must quarantine")
     assert(got(4L) == (("zstd", true, 0L)))
     assert(got(5L) == (("unknown", true, 0L)))
     assert(got(6L) == (("empty", true, 0L)))
-    // the extraction path itself yields zero pages from a zstd segment —
-    // refusal, never garbage
-    val pages = WebOps.extractPages(blobs.filter(col("id") === 3L), col("blob"))
-    assert(pages.count() == 0)
+    assert(got(7L) == (("zstd", false, 1L)), "valid zstd segment must COUNT")
+    // the extraction path: a malformed zstd segment yields zero pages
+    // (refusal, never garbage), a valid one yields its record
+    assert(WebOps.extractPages(blobs.filter(col("id") === 3L), col("blob")).count() == 0)
+    assert(WebOps.extractPages(blobs.filter(col("id") === 7L), col("blob")).count() == 1)
   }
 }

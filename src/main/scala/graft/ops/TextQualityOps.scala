@@ -493,10 +493,31 @@ object TextQualityOps {
     * [[trigramLogProb]].
     */
   def perplexityBuckets(df: DataFrame, docId: String, textCol: String,
-                        maxVocab: Int = 65536): DataFrame = {
+                        maxVocab: Int = 65536): DataFrame =
+    bucketize(trigramLogProb(df, docId, textCol, maxVocab)
+      .withColumnRenamed("avg_logprob3", "__score"), docId)
+      .withColumnRenamed("__score", "avg_logprob3")
+
+  /** [[perplexityBuckets]] over the modified-KN scorer
+    * ([[knTrigramLogProb]]) — CCNet's published combination: KN-smoothed
+    * LM scores into head/middle/tail terciles. Identical
+    * histogram-bounded threshold machinery.
+    */
+  def knPerplexityBuckets(df: DataFrame, docId: String, textCol: String,
+                          maxVocab: Int = 65536): DataFrame =
+    bucketize(knTrigramLogProb(df, docId, textCol, maxVocab)
+      .withColumnRenamed("avg_logprob_kn", "__score"), docId)
+      .withColumnRenamed("__score", "avg_logprob_kn")
+
+  /** The scorer-agnostic tercile machinery shared by both bucketing
+    * fronts: centi-quantize `__score`, histogram, cumulative count over
+    * the bounded cells, inclusive threshold maxima, bucket by broadcast
+    * scalars.
+    */
+  private def bucketize(scoredIn: DataFrame, docId: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = trigramLogProb(df, docId, textCol, maxVocab)
-      .withColumn("lp_centi", floor(col("avg_logprob3") * 100).cast("long"))
+    val scored = scoredIn
+      .withColumn("lp_centi", floor(col("__score") * 100).cast("long"))
     val hist = scored.groupBy(col("lp_centi")).agg(count(lit(1)).as("__c"))
     // single-partition window over the BOUNDED histogram (≈ value-space
     // cells), deliberately — never over documents
@@ -510,7 +531,7 @@ object TextQualityOps {
         max(when(col("__cum") >= expr("(2 * __n + 2) div 3"), col("lp_centi")))
           .as("__t2"))
     scored.crossJoin(broadcast(ths))
-      .select(col(docId), col("avg_logprob3"), col("lp_centi"),
+      .select(col(docId), col("__score"), col("lp_centi"),
         when(col("lp_centi") >= col("__t1"), "head")
           .when(col("lp_centi") >= col("__t2"), "middle")
           .otherwise("tail").as("ppl_bucket"))

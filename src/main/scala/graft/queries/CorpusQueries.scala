@@ -204,6 +204,14 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // the same tercile machinery over the KN scorer — CCNet's published
+    // combination (KN-smoothed LM + head/middle/tail split)
+    "text_ppl_buckets_kn" -> ((s, dir) => {
+      TextQualityOps.knPerplexityBuckets(Tables.documents(s, dir),
+          "doc_id", "text", maxVocab = 65536)
+        .orderBy(col("doc_id"))
+    }),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis,
     // derandomized): longer documents proportionally likelier; one bounded
     // min-k aggregation, no RNG, no global sort.
@@ -893,6 +901,24 @@ object CorpusQueries extends QueryPack {
          |       WHEN q.lp_centi >= th.t2 THEN 'middle'
          |       ELSE 'tail' END AS ppl_bucket
          |FROM q, th ORDER BY doc_id""".stripMargin,
+    // the same bucket arithmetic over the modified-KN scores
+    "text_ppl_buckets_kn" ->
+      s"""$knScoreCtes,
+         |knq AS MATERIALIZED (SELECT doc_id, avg_logprob_kn,
+         |    CAST(floor(avg_logprob_kn * 100) AS BIGINT) AS lp_centi FROM knscore),
+         |knhist AS (SELECT lp_centi, count(*) AS c FROM knq GROUP BY lp_centi),
+         |kncum AS (SELECT lp_centi,
+         |    sum(c) OVER (ORDER BY lp_centi DESC) AS cumc FROM knhist),
+         |knn AS (SELECT count(*) AS n FROM knq),
+         |knth AS (SELECT
+         |    max(CASE WHEN cumc >= (n + 2) // 3 THEN lp_centi END) AS t1,
+         |    max(CASE WHEN cumc >= (2 * n + 2) // 3 THEN lp_centi END) AS t2
+         |  FROM kncum, knn)
+         |SELECT knq.doc_id, knq.avg_logprob_kn, knq.lp_centi,
+         |  CASE WHEN knq.lp_centi >= knth.t1 THEN 'head'
+         |       WHEN knq.lp_centi >= knth.t2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM knq, knth ORDER BY doc_id""".stripMargin,
     "text_quality_gate" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS l FROM documents),
          |p AS (SELECT doc_id, unnest(l) AS g, generate_subscripts(l, 1) AS pos FROM t),

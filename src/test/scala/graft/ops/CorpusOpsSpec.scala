@@ -372,6 +372,25 @@ class CorpusOpsSpec extends SparkSuite {
     assert(!got(2L)._3.isNegInfinity)
   }
 
+  test("modified-KN LM: repetition beats rare text; probabilities stay finite; short docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c a b c"),
+      (2L, "x y z q w e r t v u i o"),
+      (3L, "one two")).toDF("doc_id", "text")
+    val got = TextQualityOps.knTrigramLogProb(docs, "doc_id", "text", maxVocab = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!got.contains(3L), "2-token doc has no trigram evidence")
+    assert(got(1L)._3 > got(2L)._3,
+      s"repeated trigrams must score higher: ${got(1L)._3} vs ${got(2L)._3}")
+    assert(got(2L)._2 > 0, "cap must push doc 2's tail trigrams OOV")
+    // KN interpolation must bottom out at the continuation floor, never -inf
+    assert(!got(1L)._3.isNegInfinity && !got(2L)._3.isNegInfinity)
+    // the discounted top-order numerator can never push p past 1
+    assert(got(1L)._3 <= 0.0, "ln p must be non-positive")
+  }
+
   test("c4 rules: line filter, javascript drop, page poisons, kept-text assembly") {
     import spark.implicits._
     val docs = Seq(

@@ -13,134 +13,242 @@ import graft.ops.LangIdOps
   *
   * The synthetic `documents` table's text is language-uncorrelated (the
   * `lang` column is a label, the words are the same English-ish pool), so
-  * a REAL train/evaluate demonstration needs real language text: 100
-  * hand-written fixture sentences, 25 per language (en/de/fr/es), split
-  * 75 train / 25 held-out by `doc_id % 4`. LangIdSpec asserts the trained
-  * model beats the marker-word argmax baseline on the held-out split.
+  * a REAL train/evaluate demonstration needs real language text. Round 10
+  * widened the corpus from 4 Western-European languages / 25 held-out
+  * sentences to TWELVE languages across four scripts — Latin (en, de, fr,
+  * es, it, pt, nl, sv), Cyrillic (ru), Arabic (ar), and CJK (zh, ja) —
+  * with 72 sentences per language (864 total), split 75% train / 25%
+  * held-out by `doc_id % 4` (216 held-out — enough to distinguish 90%
+  * from 70% accuracy, which 25 sentences could not). Sentences are
+  * composed deterministically from hand-written per-language phrase pools
+  * (subject/verb/object/adverbial, pool sizes 8/9/11/13 — coprime strides
+  * make all 72 compositions distinct); the composition is not always
+  * perfectly idiomatic, but the orthography, function words, and script
+  * statistics — exactly what char-trigram LID keys on — are real.
+  * LangIdSpec gates ≥ 90% held-out accuracy and per-language wins over
+  * the marker-word baseline (which cannot emit most of these languages).
   */
 object LangIdQueries extends QueryPack {
 
   /** Training rounds; oracle CTEs are generated for the same count. */
   val LangIdRounds = 12
 
-  val NumBuckets = 256
+  val NumBuckets = 512
 
   /** Class names sorted — index = class id on both engines. */
-  val LangClasses: Seq[String] = Seq("de", "en", "es", "fr")
+  val LangClasses: Seq[String] =
+    Seq("ar", "de", "en", "es", "fr", "it", "ja", "nl", "pt", "ru", "sv", "zh")
 
-  /** (doc_id, lang, text): ids 0-24 en, 25-49 de, 50-74 fr, 75-99 es;
-    * held-out = doc_id % 4 == 0 (6-7 docs per language).
+  /** Per-language phrase pools: subjects(8), verbs(9), objects(11),
+    * adverbials(13), with the word separator and phrase order of the
+    * language (SOV-ish tail placement for ja/zh).
     */
-  val fixture: Seq[(Long, String, String)] = {
-    val en = Seq(
-      "the old man walked slowly along the river bank and watched the boats",
-      "she bought fresh bread from the market before the rain started",
-      "we have been waiting for the train since early this morning",
-      "the children played in the garden until the sun went down",
-      "he could not remember where he had left his keys yesterday",
-      "a warm wind blew across the fields during the long afternoon",
-      "they decided to build a small house near the edge of the forest",
-      "my sister reads a new book almost every single week",
-      "the teacher asked the students to finish their work quietly",
-      "dark clouds gathered over the mountains before the storm arrived",
-      "i would like a cup of tea with a little milk please",
-      "the dog barked at the stranger who stood by the gate",
-      "many people believe that music makes the world a better place",
-      "the library closes early on friday evenings in the winter",
-      "his grandfather told wonderful stories about the old days",
-      "fresh snow covered the roofs of the quiet little town",
-      "she opened the window to let the cool evening air inside",
-      "the farmers harvested the wheat before the first frost came",
-      "a narrow path led through the woods to the hidden lake",
-      "the committee will discuss the new plans next tuesday",
-      "he fixed the broken chair with a hammer and some nails",
-      "the young artist painted the bridge at sunrise every day",
-      "we watched the ships sail slowly out of the harbour",
-      "her voice sounded tired after the long meeting yesterday",
-      "the bakery on the corner sells the best cakes in town")
-    val de = Seq(
-      "der alte mann ging langsam am fluss entlang und sah den booten zu",
-      "sie kaufte frisches brot auf dem markt bevor der regen begann",
-      "wir warten seit dem frühen morgen auf den zug nach berlin",
-      "die kinder spielten im garten bis die sonne unterging",
-      "er konnte sich nicht erinnern wo er seine schlüssel gelassen hatte",
-      "ein warmer wind wehte über die felder am langen nachmittag",
-      "sie beschlossen ein kleines haus am rand des waldes zu bauen",
-      "meine schwester liest fast jede woche ein neues buch",
-      "der lehrer bat die schüler ihre arbeit leise zu beenden",
-      "dunkle wolken sammelten sich über den bergen vor dem sturm",
-      "ich möchte bitte eine tasse tee mit etwas milch",
-      "der hund bellte den fremden an der am tor stand",
-      "viele menschen glauben dass musik die welt besser macht",
-      "die bibliothek schließt freitags im winter schon früh",
-      "sein großvater erzählte wunderbare geschichten von früher",
-      "frischer schnee bedeckte die dächer der kleinen stadt",
-      "sie öffnete das fenster um die kühle abendluft hereinzulassen",
-      "die bauern ernteten den weizen vor dem ersten frost",
-      "ein schmaler pfad führte durch den wald zum versteckten see",
-      "der ausschuss wird die neuen pläne am dienstag besprechen",
-      "er reparierte den kaputten stuhl mit hammer und nägeln",
-      "die junge künstlerin malte die brücke jeden morgen bei sonnenaufgang",
-      "wir sahen den schiffen zu wie sie langsam den hafen verließen",
-      "ihre stimme klang müde nach der langen sitzung gestern",
-      "die bäckerei an der ecke verkauft die besten kuchen der stadt")
-    val fr = Seq(
-      "le vieil homme marchait lentement le long de la rivière",
-      "elle a acheté du pain frais au marché avant la pluie",
-      "nous attendons le train depuis tôt ce matin",
-      "les enfants jouaient dans le jardin jusqu'au coucher du soleil",
-      "il ne se souvenait plus où il avait laissé ses clés",
-      "un vent chaud soufflait sur les champs pendant l'après-midi",
-      "ils ont décidé de construire une petite maison près de la forêt",
-      "ma sœur lit un nouveau livre presque chaque semaine",
-      "le professeur a demandé aux élèves de finir leur travail",
-      "des nuages sombres se rassemblaient sur les montagnes avant l'orage",
-      "je voudrais une tasse de thé avec un peu de lait",
-      "le chien aboyait contre l'étranger qui se tenait près du portail",
-      "beaucoup de gens croient que la musique rend le monde meilleur",
-      "la bibliothèque ferme tôt le vendredi soir en hiver",
-      "son grand-père racontait de merveilleuses histoires du passé",
-      "la neige fraîche couvrait les toits de la petite ville",
-      "elle a ouvert la fenêtre pour laisser entrer l'air du soir",
-      "les fermiers ont récolté le blé avant les premières gelées",
-      "un sentier étroit menait à travers les bois jusqu'au lac",
-      "le comité discutera des nouveaux plans mardi prochain",
-      "il a réparé la chaise cassée avec un marteau et des clous",
-      "la jeune artiste peignait le pont chaque matin au lever du soleil",
-      "nous avons regardé les bateaux quitter lentement le port",
-      "sa voix semblait fatiguée après la longue réunion d'hier",
-      "la boulangerie du coin vend les meilleurs gâteaux de la ville")
-    val es = Seq(
-      "el viejo caminaba despacio por la orilla del río mirando los barcos",
-      "ella compró pan fresco en el mercado antes de la lluvia",
-      "esperamos el tren desde muy temprano esta mañana",
-      "los niños jugaban en el jardín hasta la puesta del sol",
-      "no podía recordar dónde había dejado sus llaves ayer",
-      "un viento cálido soplaba sobre los campos durante la tarde",
-      "decidieron construir una casa pequeña cerca del bosque",
-      "mi hermana lee un libro nuevo casi cada semana",
-      "el maestro pidió a los alumnos que terminaran su trabajo",
-      "nubes oscuras se juntaban sobre las montañas antes de la tormenta",
-      "quisiera una taza de té con un poco de leche por favor",
-      "el perro ladraba al extraño que estaba junto a la puerta",
-      "mucha gente cree que la música hace el mundo mejor",
-      "la biblioteca cierra temprano los viernes en invierno",
-      "su abuelo contaba historias maravillosas de otros tiempos",
-      "la nieve fresca cubría los tejados del pueblo tranquilo",
-      "ella abrió la ventana para dejar entrar el aire de la noche",
-      "los campesinos cosecharon el trigo antes de la primera helada",
-      "un sendero estrecho llevaba por el bosque hasta el lago",
-      "el comité discutirá los nuevos planes el martes próximo",
-      "arregló la silla rota con un martillo y algunos clavos",
-      "la joven artista pintaba el puente cada mañana al amanecer",
-      "vimos los barcos salir lentamente del puerto",
-      "su voz sonaba cansada después de la larga reunión de ayer",
-      "la panadería de la esquina vende los mejores pasteles del pueblo")
-    (en.zipWithIndex.map { case (t, i) => (i.toLong, "en", t) } ++
-      de.zipWithIndex.map { case (t, i) => (25L + i, "de", t) } ++
-      fr.zipWithIndex.map { case (t, i) => (50L + i, "fr", t) } ++
-      es.zipWithIndex.map { case (t, i) => (75L + i, "es", t) })
-  }
+  private case class Pools(sep: String, order: String, s: Seq[String],
+      v: Seq[String], o: Seq[String], t: Seq[String])
+
+  private val pools: Map[String, Pools] = Map(
+    "en" -> Pools(" ", "svot",
+      Seq("the old man", "my sister", "the young teacher", "our neighbour",
+        "the little girl", "a tired worker", "the tall stranger",
+        "her best friend"),
+      Seq("watches", "bought", "will bring", "quietly reads", "found",
+        "carries", "forgot", "is holding", "sells"),
+      Seq("the fresh bread", "a small book", "the wooden chair",
+        "a cup of tea", "the green garden", "an open window",
+        "the heavy box", "a warm coat", "the silver key", "a long letter",
+        "the quiet street"),
+      Seq("near the river", "before the storm", "every single morning",
+        "after the long meeting", "in the old town", "under the bright moon",
+        "during the cold winter", "behind the white house",
+        "at the busy market", "without any doubt", "beside the deep lake",
+        "on a rainy evening", "close to the harbour")),
+    "de" -> Pools(" ", "svot",
+      Seq("der alte mann", "meine schwester", "die junge lehrerin",
+        "unser nachbar", "das kleine mädchen", "ein müder arbeiter",
+        "der große fremde", "ihre beste freundin"),
+      Seq("beobachtet", "kaufte", "wird bringen", "liest leise", "fand",
+        "trägt", "vergaß", "hält gerade", "verkauft"),
+      Seq("das frische brot", "ein kleines buch", "den hölzernen stuhl",
+        "eine tasse tee", "den grünen garten", "ein offenes fenster",
+        "die schwere kiste", "einen warmen mantel", "den silbernen schlüssel",
+        "einen langen brief", "die stille straße"),
+      Seq("am fluss", "vor dem sturm", "jeden einzelnen morgen",
+        "nach der langen sitzung", "in der alten stadt",
+        "unter dem hellen mond", "im kalten winter",
+        "hinter dem weißen haus", "auf dem belebten markt",
+        "ohne jeden zweifel", "neben dem tiefen see",
+        "an einem regnerischen abend", "nahe dem hafen")),
+    "fr" -> Pools(" ", "svot",
+      Seq("le vieil homme", "ma sœur", "la jeune institutrice",
+        "notre voisin", "la petite fille", "un ouvrier fatigué",
+        "le grand étranger", "sa meilleure amie"),
+      Seq("regarde", "a acheté", "apportera", "lit doucement", "a trouvé",
+        "porte", "a oublié", "tient", "vend"),
+      Seq("le pain frais", "un petit livre", "la chaise en bois",
+        "une tasse de thé", "le jardin vert", "une fenêtre ouverte",
+        "la boîte lourde", "un manteau chaud", "la clé argentée",
+        "une longue lettre", "la rue tranquille"),
+      Seq("près de la rivière", "avant l'orage", "chaque matin",
+        "après la longue réunion", "dans la vieille ville",
+        "sous la lune claire", "pendant l'hiver froid",
+        "derrière la maison blanche", "au marché animé", "sans aucun doute",
+        "au bord du lac profond", "par un soir pluvieux", "à côté du port")),
+    "es" -> Pools(" ", "svot",
+      Seq("el viejo señor", "mi hermana", "la joven maestra",
+        "nuestro vecino", "la niña pequeña", "un obrero cansado",
+        "el extraño alto", "su mejor amiga"),
+      Seq("observa", "compró", "traerá", "lee despacio", "encontró",
+        "lleva", "olvidó", "sostiene", "vende"),
+      Seq("el pan fresco", "un libro pequeño", "la silla de madera",
+        "una taza de té", "el jardín verde", "una ventana abierta",
+        "la caja pesada", "un abrigo caliente", "la llave plateada",
+        "una carta larga", "la calle tranquila"),
+      Seq("cerca del río", "antes de la tormenta", "cada mañana",
+        "después de la larga reunión", "en el pueblo viejo",
+        "bajo la luna clara", "durante el invierno frío",
+        "detrás de la casa blanca", "en el mercado animado",
+        "sin ninguna duda", "junto al lago profundo",
+        "en una tarde lluviosa", "al lado del puerto")),
+    "it" -> Pools(" ", "svot",
+      Seq("il vecchio signore", "mia sorella", "la giovane maestra",
+        "il nostro vicino", "la bambina piccola", "un operaio stanco",
+        "lo straniero alto", "la sua migliore amica"),
+      Seq("osserva", "ha comprato", "porterà", "legge piano", "ha trovato",
+        "porta", "ha dimenticato", "tiene", "vende"),
+      Seq("il pane fresco", "un piccolo libro", "la sedia di legno",
+        "una tazza di tè", "il giardino verde", "una finestra aperta",
+        "la scatola pesante", "un cappotto caldo", "la chiave argentata",
+        "una lunga lettera", "la strada tranquilla"),
+      Seq("vicino al fiume", "prima del temporale", "ogni mattina",
+        "dopo la lunga riunione", "nella vecchia città",
+        "sotto la luna chiara", "durante il freddo inverno",
+        "dietro la casa bianca", "al mercato affollato",
+        "senza alcun dubbio", "in riva al lago profondo",
+        "in una sera piovosa", "accanto al porto")),
+    "pt" -> Pools(" ", "svot",
+      Seq("o velho senhor", "a minha irmã", "a jovem professora",
+        "o nosso vizinho", "a menina pequena", "um operário cansado",
+        "o estranho alto", "a sua melhor amiga"),
+      Seq("observa", "comprou", "vai trazer", "lê devagar", "encontrou",
+        "carrega", "esqueceu", "segura", "vende"),
+      Seq("o pão fresco", "um livro pequeno", "a cadeira de madeira",
+        "uma chávena de chá", "o jardim verde", "uma janela aberta",
+        "a caixa pesada", "um casaco quente", "a chave prateada",
+        "uma carta longa", "a rua tranquila"),
+      Seq("perto do rio", "antes da tempestade", "todas as manhãs",
+        "depois da longa reunião", "na cidade velha", "sob a lua clara",
+        "durante o inverno frio", "atrás da casa branca",
+        "no mercado movimentado", "sem qualquer dúvida",
+        "à beira do lago fundo", "numa tarde chuvosa", "ao lado do porto")),
+    "nl" -> Pools(" ", "svot",
+      Seq("de oude man", "mijn zus", "de jonge lerares", "onze buurman",
+        "het kleine meisje", "een vermoeide arbeider",
+        "de lange vreemdeling", "haar beste vriendin"),
+      Seq("bekijkt", "kocht", "zal brengen", "leest rustig", "vond",
+        "draagt", "vergat", "houdt vast", "verkoopt"),
+      Seq("het verse brood", "een klein boek", "de houten stoel",
+        "een kopje thee", "de groene tuin", "een open raam",
+        "de zware doos", "een warme jas", "de zilveren sleutel",
+        "een lange brief", "de stille straat"),
+      Seq("bij de rivier", "voor de storm", "elke ochtend",
+        "na de lange vergadering", "in de oude stad",
+        "onder de heldere maan", "tijdens de koude winter",
+        "achter het witte huis", "op de drukke markt",
+        "zonder enige twijfel", "naast het diepe meer",
+        "op een regenachtige avond", "dicht bij de haven")),
+    "sv" -> Pools(" ", "svot",
+      Seq("den gamle mannen", "min syster", "den unga läraren",
+        "vår granne", "den lilla flickan", "en trött arbetare",
+        "den långe främlingen", "hennes bästa vän"),
+      Seq("betraktar", "köpte", "ska hämta", "läser tyst", "hittade",
+        "bär", "glömde", "håller", "säljer"),
+      Seq("det färska brödet", "en liten bok", "trästolen", "en kopp te",
+        "den gröna trädgården", "ett öppet fönster", "den tunga lådan",
+        "en varm rock", "den silverfärgade nyckeln", "ett långt brev",
+        "den tysta gatan"),
+      Seq("vid floden", "före stormen", "varje morgon",
+        "efter det långa mötet", "i den gamla staden",
+        "under den klara månen", "under den kalla vintern",
+        "bakom det vita huset", "på den livliga marknaden",
+        "utan minsta tvivel", "bredvid den djupa sjön", "en regnig kväll",
+        "nära hamnen")),
+    "ru" -> Pools(" ", "svot",
+      Seq("старый человек", "моя сестра", "молодая учительница",
+        "наш сосед", "маленькая девочка", "усталый рабочий",
+        "высокий незнакомец", "её лучшая подруга"),
+      Seq("наблюдает", "купила", "принесёт", "тихо читает", "нашла",
+        "несёт", "забыла", "держит", "продаёт"),
+      Seq("свежий хлеб", "маленькую книгу", "деревянный стул",
+        "чашку чая", "зелёный сад", "открытое окно", "тяжёлую коробку",
+        "тёплое пальто", "серебряный ключ", "длинное письмо",
+        "тихую улицу"),
+      Seq("у реки", "перед грозой", "каждое утро",
+        "после долгого собрания", "в старом городе", "под ясной луной",
+        "холодной зимой", "за белым домом", "на шумном рынке",
+        "без всякого сомнения", "возле глубокого озера",
+        "дождливым вечером", "рядом с гаванью")),
+    "ar" -> Pools(" ", "svot",
+      Seq("الرجل العجوز", "أختي الصغيرة", "المعلمة الشابة", "جارنا الطيب",
+        "الفتاة الصغيرة", "عامل متعب", "الغريب الطويل", "صديقتها المقربة"),
+      Seq("يراقب", "اشترت", "سوف يجلب", "يقرأ بهدوء", "وجدت", "يحمل",
+        "نسيت", "يمسك", "يبيع"),
+      Seq("الخبز الطازج", "كتابا صغيرا", "الكرسي الخشبي", "كوبا من الشاي",
+        "الحديقة الخضراء", "نافذة مفتوحة", "الصندوق الثقيل", "معطفا دافئا",
+        "المفتاح الفضي", "رسالة طويلة", "الشارع الهادئ"),
+      Seq("قرب النهر", "قبل العاصفة", "كل صباح", "بعد الاجتماع الطويل",
+        "في المدينة القديمة", "تحت القمر الساطع", "خلال الشتاء البارد",
+        "خلف البيت الأبيض", "في السوق المزدحم", "من دون أي شك",
+        "بجانب البحيرة العميقة", "في مساء ممطر", "قرب الميناء")),
+    "zh" -> Pools("", "stvo",
+      Seq("那位老人", "我的姐姐", "年轻的老师", "我们的邻居", "小女孩",
+        "疲惫的工人", "高个子的陌生人", "她最好的朋友"),
+      Seq("观察着", "买了", "会带来", "安静地读着", "找到了", "拿着",
+        "忘记了", "握着", "出售"),
+      Seq("新鲜的面包", "一本小书", "木头椅子", "一杯热茶", "绿色的花园",
+        "打开的窗户", "沉重的箱子", "温暖的外套", "银色的钥匙", "一封长信",
+        "安静的街道"),
+      Seq("在河边", "在暴风雨之前", "每天早晨", "在漫长的会议之后",
+        "在古老的城里", "在明亮的月光下", "在寒冷的冬天", "在白色房子后面",
+        "在热闹的市场上", "毫无疑问", "在深深的湖边", "在下雨的傍晚",
+        "在港口附近")),
+    "ja" -> Pools("", "stov",
+      Seq("その老人は", "私の姉は", "若い先生は", "隣の人は",
+        "小さな女の子は", "疲れた労働者は", "背の高い見知らぬ人は",
+        "彼女の親友は"),
+      Seq("見ている", "買った", "持ってくる", "静かに読んでいる",
+        "見つけた", "運んでいる", "忘れた", "持っている", "売っている"),
+      Seq("新しいパンを", "小さな本を", "木の椅子を", "お茶を一杯",
+        "緑の庭を", "開いた窓を", "重い箱を", "暖かいコートを",
+        "銀色の鍵を", "長い手紙を", "静かな通りを"),
+      Seq("川のそばで", "嵐の前に", "毎朝", "長い会議の後で", "古い町で",
+        "明るい月の下で", "寒い冬の間", "白い家の後ろで",
+        "にぎやかな市場で", "間違いなく", "深い湖のほとりで", "雨の夜に",
+        "港の近くで")))
+
+  /** Sentences per language; held-out = doc_id % 4 == 0 (18/language). */
+  val SentencesPerLang = 72
+
+  /** (doc_id, lang, text): ids langIdx·72 + i, composed with coprime
+    * strides so all 72 per-language sentences are distinct.
+    */
+  val fixture: Seq[(Long, String, String)] =
+    LangClasses.zipWithIndex.flatMap { case (lang, li) =>
+      val p = pools(lang)
+      (0 until SentencesPerLang).map { i =>
+        val parts = {
+          val s = p.s(i % 8)
+          val v = p.v((i * 4 + 1) % 9)
+          val o = p.o((i * 6 + 2) % 11)
+          val t = p.t((i * 10 + 3) % 13)
+          p.order match {
+            case "stvo" => Seq(s, t, v, o) // zh: preposed adverbial, SVO
+            case "stov" => Seq(s, t, o, v) // ja: SOV
+            case _ => Seq(s, v, o, t)
+          }
+        }
+        ((li * SentencesPerLang + i).toLong, lang, parts.mkString(p.sep))
+      }
+    }
 
   /** The fixture docs as a DataFrame. */
   def fixtureDf(s: SparkSession): DataFrame = {

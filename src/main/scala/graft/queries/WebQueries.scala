@@ -493,6 +493,39 @@ object WebQueries extends QueryPack {
         .orderBy(col("name"))
     }),
 
+    // Declared-lang × detected-lang AUDIT (a standard corpus QA signal):
+    // per registered domain, how often the page's DECLARED language (the
+    // html lang attribute, via html_meta) disagrees with the DETECTED
+    // language (the marker-word heuristic over the extracted page text).
+    // Composes html_meta + html_to_text + the LID heuristic + eTLD+1
+    // grouping in one statement; the oracle replays declared (= the
+    // construction's lang column) and detected (= the marker arithmetic
+    // over the original text — extraction adds no marker tokens) from
+    // the row arithmetic alone.
+    "web_lang_audit" -> ((s, dir) => {
+      WebOps.registerAll(s)
+      val docs = Tables.documents(s, dir)
+      val html = concat(
+        lit("<html lang=\""), col("lang"),
+        lit("\"><head><title>t</title></head><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      val base = docs.select(col("doc_id"),
+        UrlOps.registeredDomain(UrlOps.hostOf(docUrl)).as("domain"),
+        call_function("html_meta", html).getField("lang").as("declared"),
+        call_function("html_to_text", html).as("__txt"))
+      val en = TextOps.tokenHits(col("__txt"), Seq("the", "a", "of", "and"))
+      val es = TextOps.tokenHits(col("__txt"), Seq("el", "la", "de", "y"))
+      val zh = TextOps.tokenHits(col("__txt"), Seq("de", "shi", "le", "zai"))
+      base
+        .withColumn("detected",
+          when(en >= es && en >= zh, "en").when(es >= zh, "es").otherwise("zh"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("declared") =!= col("detected")).cast("long")).as("n_disagree"))
+        .withColumn("disagree_milli", expr("(n_disagree * 1000) div n_docs"))
+        .orderBy(col("domain"))
+    }),
+
     // Compression-ratio quality signal (MassiveText-family), CERTIFIED:
     // zlib output size is an implementation detail DuckDB cannot
     // replay, so the gated output carries (a) a per-row ROUND-TRIP
@@ -884,6 +917,35 @@ object WebQueries extends QueryPack {
          |  concat(regexp_replace(trim(text), '\\s+', ' ', 'g'),
          |         ' & ABC <tag> café') AS page_text
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // declared = the construction's lang; detected = the marker argmax
+    // over the original text (extraction adds no marker tokens)
+    "web_lang_audit" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE doc_id % 4
+         |      WHEN 0 THEN source || '.co.uk'
+         |      WHEN 1 THEN 'example.com'
+         |      WHEN 2 THEN 'example.org'
+         |      ELSE source || '.com.au' END AS domain,
+         |    lang AS declared,
+         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x IN ('the','a','of','and'))) AS en_hits,
+         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x IN ('el','la','de','y'))) AS es_hits,
+         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x IN ('de','shi','le','zai'))) AS zh_hits
+         |  FROM documents),
+         |v AS (SELECT domain, declared,
+         |    CASE WHEN en_hits >= es_hits AND en_hits >= zh_hits THEN 'en'
+         |         WHEN es_hits >= zh_hits THEN 'es'
+         |         ELSE 'zh' END AS detected
+         |  FROM d)
+         |SELECT domain, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN declared <> detected THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_disagree,
+         |  CAST(sum(CASE WHEN declared <> detected THEN 1 ELSE 0 END) * 1000
+         |    // count(*) AS BIGINT) AS disagree_milli
+         |FROM v GROUP BY domain ORDER BY domain""".stripMargin,
 
     // the generator-pinned (len, md5) of each CLI-compressed fixture:
     // the from-spec decoder must reproduce the CLI's input bit-exactly

@@ -5,39 +5,52 @@ import graft.queries.LangIdQueries
 import org.apache.spark.sql.functions._
 
 /** Trained multiclass LID vs the marker-word argmax baseline on the
-  * held-out quarter of the committed multilingual fixture corpus: the
-  * trained classifier must clearly beat the heuristic (which cannot even
-  * emit 'de' or 'fr'), and the OVR argmax must be deterministic.
+  * held-out quarter of the committed 12-language fixture corpus (Latin,
+  * Cyrillic, Arabic, and CJK scripts; 216 held-out sentences): the
+  * trained classifier must reach ≥ 90% and beat the heuristic in EVERY
+  * language (the marker baseline cannot even emit most of them), and the
+  * OVR argmax must be deterministic.
   */
 class LangIdSpec extends SparkSuite {
 
-  test("trained LID beats the marker-word baseline on held-out fixture docs") {
-    val res = LangIdQueries.queries("text_langid_trained")(spark, sf("sf0.001"))
-      .collect()
-    assert(res.length == 25)
-    val trainedAcc = res.count(r => r.getString(1) == r.getString(2)) / 25.0
+  private lazy val res =
+    LangIdQueries.queries("text_langid_trained")(spark, sf("sf0.001")).collect()
 
+  test("trained LID reaches 90% on the 216-sentence held-out slice") {
+    assert(res.length == 216, s"expected 216 held-out rows, got ${res.length}")
+    val acc = res.count(r => r.getString(1) == r.getString(2)).toDouble / res.length
+    assert(acc >= 0.90, s"trained accuracy $acc below 0.90")
+  }
+
+  test("trained LID beats the marker-word baseline in every language") {
     // the marker baseline (text_langid's en/es/zh marker sets) on the same
-    // held-out docs
+    // held-out docs — it cannot emit 9 of the 12 classes at all
     val ho = LangIdQueries.fixtureDf(spark).filter(col("doc_id") % 4 === 0)
     val en = TextOps.tokenHits(col("text"), Seq("the", "a", "of", "and"))
     val es = TextOps.tokenHits(col("text"), Seq("el", "la", "de", "y"))
     val zh = TextOps.tokenHits(col("text"), Seq("de", "shi", "le", "zai"))
-    val marker = ho.select(col("lang"),
+    val markerByLang = ho.select(col("lang"),
         when(en >= es && en >= zh, "en").when(es >= zh, "es")
           .otherwise("zh").as("pred"))
-      .collect()
-    val markerAcc = marker.count(r => r.getString(0) == r.getString(1)) / 25.0
-
-    assert(trainedAcc >= 0.8, s"trained accuracy $trainedAcc below 0.8")
+      .collect().groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        l -> rs.count(r => r.getString(0) == r.getString(1)).toDouble / rs.length }
+    val trainedByLang = res.groupBy(_.getString(1))
+      .map { case (l, rs) =>
+        l -> rs.count(r => r.getString(1) == r.getString(2)).toDouble / rs.length }
+    for (l <- LangIdQueries.LangClasses) {
+      assert(trainedByLang(l) >= markerByLang(l),
+        s"$l: trained ${trainedByLang(l)} below marker ${markerByLang(l)}")
+    }
+    val trainedAcc = res.count(r => r.getString(1) == r.getString(2)).toDouble / res.length
+    val markerAcc = markerByLang.values.sum / markerByLang.size
     assert(trainedAcc > markerAcc,
-      s"trained ($trainedAcc) must beat marker baseline ($markerAcc)")
+      s"trained ($trainedAcc) must beat marker baseline ($markerAcc) overall")
   }
 
-  test("all four languages appear among trained predictions") {
-    val res = LangIdQueries.queries("text_langid_trained")(spark, sf("sf0.001"))
-      .select(col("pred_lang")).distinct().collect().map(_.getString(0)).toSet
-    assert(res == Set("de", "en", "es", "fr"), s"got $res")
+  test("all twelve languages appear among trained predictions") {
+    val preds = res.map(_.getString(2)).toSet
+    assert(preds == LangIdQueries.LangClasses.toSet, s"got $preds")
   }
 
   test("charNgramFeatures: short docs contribute only the bias feature") {

@@ -133,30 +133,31 @@ object DedupOps {
     *
     * The cap: blocks with ≤ `maxBlock` members run the exact all-pairs
     * join (bit-identical output to the uncapped form). Bigger blocks emit
-    * only the CONSECUTIVE-BY-ID chain (m−1 edges, via `lead` in one
-    * window partitioned by the very same block key — no extra shuffle
-    * granularity). Recall argument: a chain connects exactly the same
-    * vertex set as the clique, so connected components — what every
-    * downstream dedup path (groups, anti-join, e2e funnel) computes —
-    * are IDENTICAL to the uncapped join's. Only direct pair listing
-    * inside oversized blocks is sampled; pair-level verifiers (e.g. a
-    * hamming filter on the payload) still see every chained edge, and a
-    * chain edge that fails verification splits the block's component
-    * exactly where an all-pairs clique would have had to split too —
-    * near-dup relations inside one band block are transitive at the
-    * similarity levels banding targets.
+    * the CONSECUTIVE-BY-ID chain plus DOUBLING SKIP-LINKS — each row
+    * pairs with the rows 1, 2, 4, …, 2ʲ positions ahead in block order
+    * (all via `lead` in ONE window partitioned by the very same block
+    * key — no extra shuffle granularity), so an m-row block costs
+    * O(m·log m) edges instead of O(m²) and its graph DIAMETER is
+    * O(log m) instead of m — star-contraction components over the capped
+    * output converge in the same round count as on uniform inputs
+    * (the r9 adversarial dedup_semdedup finding: chain-only capping made
+    * CC rounds grow with the clique's diameter).
     *
-    * One interaction to respect downstream: a chained block has graph
-    * DIAMETER m where the clique had diameter 1, so components over
-    * capped pairs must run [[connectedComponentsStar]] (O(log n) rounds
-    * regardless of diameter — what every production dedup path here
-    * already uses), not diameter-bound label propagation.
+    * Recall argument: chain + skips connect exactly the same vertex set
+    * as the clique, so connected components — what every downstream
+    * dedup path (groups, anti-join, e2e funnel) computes — are
+    * IDENTICAL to the uncapped join's. Only direct pair listing inside
+    * oversized blocks is sampled; pair-level verifiers (e.g. a hamming
+    * or exact-cosine filter on the payload) still see every emitted
+    * edge, and every emitted edge is an edge the clique had too — a
+    * skip edge surviving the filter is always a TRUE positive, so
+    * capped components stay a refinement-free subset of the uncapped
+    * ones even when verification splits blocks.
     *
-    * Output: `id_a`, `id_b` (id_a < id_b within small blocks; chain
-    * order ascending so the invariant holds everywhere), plus
-    * `<p>_a`/`<p>_b` for every payload column — NOT distinct'd, callers
-    * dedup after their own filters so the shuffle carries verified pairs
-    * only.
+    * Output: `id_a`, `id_b` (id_a < id_b everywhere; block order is
+    * ascending by id), plus `<p>_a`/`<p>_b` for every payload column —
+    * NOT distinct'd, callers dedup after their own filters so the
+    * shuffle carries verified pairs only.
     */
   def cappedBandPairs(banded: DataFrame, idCol: String,
                       keyCols: Seq[String], payload: Seq[String],
@@ -178,12 +179,27 @@ object DedupOps {
       val small = withSz.filter(col("__bsz") <= maxBlock).drop("__bsz")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
-      val chained = withSz.filter(col("__bsz") > maxBlock)
-        .select(col(idCol).as("id_a") +:
-          lead(col(idCol), 1).over(w).as("id_b") +:
-          payload.flatMap(p => Seq(col(p).as(s"${p}_a"),
-            lead(col(p), 1).over(w).as(s"${p}_b"))): _*)
-        .filter(col("id_b").isNotNull)
+      // chain (offset 1) + doubling skip-links (2, 4, …, 2³⁰); leads past
+      // the block end are null and filtered — all offsets share one
+      // window sort
+      val offsets = 1 +: (1 to 30).map(1 << _)
+      val withLeads = withSz.filter(col("__bsz") > maxBlock)
+        .select((col(idCol).as("id_a") +:
+          payload.map(p => col(p).as(s"${p}_a"))) ++
+          offsets.zipWithIndex.flatMap { case (o, j) =>
+            lead(col(idCol), o).over(w).as(s"__idb_$j") +:
+              payload.map(p => lead(col(p), o).over(w).as(s"__pb_${p}_$j"))
+          }: _*)
+      val chained = withLeads
+        .select(col("id_a") +: payload.map(p => col(s"${p}_a")) :+
+          explode(array(offsets.indices.map(j =>
+            struct(col(s"__idb_$j").as("id_b") +:
+              payload.map(p => col(s"__pb_${p}_$j").as(s"${p}_b")): _*)): _*))
+            .as("__e"): _*)
+        .filter(col("__e.id_b").isNotNull)
+        .select(col("id_a") +: col("__e.id_b").as("id_b") +:
+          payload.flatMap(p =>
+            Seq(col(s"${p}_a"), col(s"__e.${p}_b").as(s"${p}_b"))): _*)
       outSmall(small).unionByName(chained)
     }
   }

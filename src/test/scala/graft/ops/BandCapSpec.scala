@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 class BandCapSpec extends SparkSuite {
 
-  test("10k-doc identical-text clique completes with O(m) edges, not m^2/2") {
+  test("10k-doc identical-text clique completes with O(m log m) edges, not m^2/2") {
     import spark.implicits._
     val m = 10000
     // every doc shares every band key -> one block of 10k per band;
@@ -20,13 +20,15 @@ class BandCapSpec extends SparkSuite {
       .toDF("doc_id", "text")
     val pairs = DedupOps.minhashCandidates(docs, "doc_id", "text",
       shingleN = 3, numHashes = 8, bands = 4, maxBandBlock = 256)
-    // all 4 bands chain the same ascending id order -> distinct leaves
-    // exactly the m-1 chain edges
-    assert(pairs.count() == (m - 1).toLong)
-    // chain connects the whole clique: one component, min id everywhere.
-    // The chain has diameter m, so this MUST be the star-contraction CC
-    // (O(log n) rounds) — exactly what every production dedup path uses;
-    // label propagation would need m rounds
+    // all 4 bands produce the same ascending-id chain + doubling
+    // skip-links -> distinct leaves Σ (m - o) over offsets 1,2,4,…
+    val expected = (1 +: (1 to 30).map(1 << _)).filter(_ < m)
+      .map(o => (m - o).toLong).sum
+    assert(pairs.count() == expected)
+    assert(expected < 15L * m, "edge count must stay O(m log m)")
+    // skip-links cut the block's diameter to O(log m) — components still
+    // run star contraction (O(log n) rounds on ANY shape), but now the
+    // adversarial clique converges in the uniform-input round count
     val comp = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
     val labels = comp.select(col("component")).distinct().collect()
     assert(labels.length == 1)
@@ -74,7 +76,7 @@ class BandCapSpec extends SparkSuite {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L)))
   }
 
-  test("oversized block chains consecutive ids and carries both payloads") {
+  test("oversized block emits chain + doubling skips and carries both payloads") {
     import spark.implicits._
     val banded = Seq(
       (5L, 0, "k", 50L), (1L, 0, "k", 10L), (3L, 0, "k", 30L),
@@ -84,14 +86,18 @@ class BandCapSpec extends SparkSuite {
         Seq("band_idx", "band_key"), payload = Seq("fp"), maxBlock = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getLong(2), r.getLong(3))).toSet
+    // offset 1 (chain) + offset 2 + offset 4 skip-links, each with the
+    // correct payload pair
     assert(got == Set(
       (1L, 2L, 10L, 20L), (2L, 3L, 20L, 30L),
-      (3L, 4L, 30L, 40L), (4L, 5L, 40L, 50L)))
-    // id_a < id_b everywhere — chain order is ascending by construction
+      (3L, 4L, 30L, 40L), (4L, 5L, 40L, 50L),
+      (1L, 3L, 10L, 30L), (2L, 4L, 20L, 40L), (3L, 5L, 30L, 50L),
+      (1L, 5L, 10L, 50L)))
+    // id_a < id_b everywhere — block order is ascending by construction
     assert(got.forall { case (a, b, _, _) => a < b })
   }
 
-  test("cosinePairs: one giant embedding cluster costs O(m) edges, not m^2/2") {
+  test("cosinePairs: one giant embedding cluster costs O(m log m) edges, not m^2/2") {
     import spark.implicits._
     // SemDeDup's failure input: near-dups CONCENTRATE in one cluster, so
     // m boilerplate embeddings share a bucket — uncapped that is
@@ -101,8 +107,10 @@ class BandCapSpec extends SparkSuite {
       .toDF("vec_id", "bucket", "embedding")
     val pairs = EmbeddingOps.cosinePairs(emb, "vec_id", "embedding",
       "bucket", minCos = 0.9, maxBlock = 256)
-    // identical vectors -> every chained edge passes the cosine filter
-    assert(pairs.count() == (m - 1).toLong)
+    // identical vectors -> every chain + skip edge passes the cosine filter
+    val expected = (1 +: (1 to 30).map(1 << _)).filter(_ < m)
+      .map(o => (m - o).toLong).sum
+    assert(pairs.count() == expected)
     val comp = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
     assert(comp.select(col("component")).distinct().count() == 1)
   }

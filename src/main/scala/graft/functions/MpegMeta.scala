@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MPEG audio (MP3-family) FRAME-HEADER metadata — the lossy-audio
+  * counterpart of the WAV/FLAC header walk and the `mm_video_meta`
+  * posture: most web audio is MP3/AAC, and the curation signals that
+  * gate it (duration and bitrate floors, sample-rate sanity, frame
+  * integrity) need only the 4-byte frame headers (ISO/IEC 11172-3 /
+  * 13818-3 framing), never a PCM decode.
+  *
+  * `audio_mpeg_meta(binary)` walks the whole file: an optional ID3v2
+  * container up front (syncsafe size, optional footer), then every
+  * MPEG audio frame — 11-bit sync, version (1 / 2 / 2.5), layer
+  * (I/II/III), bitrate and sample-rate table lookups, padding — sized
+  * exactly and stepped over, then an optional trailing ID3v1 "TAG"
+  * block. Whole-or-refuse (the engine's container posture): null on
+  * broken sync, reserved version/layer/sample-rate codes, FREE-FORMAT
+  * bitrate (frame size is then undefined without scanning for the next
+  * sync — refuse loudly rather than guess), truncated final frames,
+  * cross-frame version/layer/rate changes, or trailing junk. VBR
+  * streams (bitrate varying per frame) are legal and common —
+  * `bitrate_kbps` reports the FIRST frame, `duration_ms` sums actual
+  * per-frame samples.
+  *
+  * Output struct: (version, layer, sample_rate, bitrate_kbps,
+  * channels, n_frames, duration_ms).
+  */
+object MpegMeta {
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "audio_mpeg_meta", exprs => MpegAudioMeta(exprs.head), "built-in")
+
+  val schema: StructType = StructType(Seq(
+    StructField("version", StringType),
+    StructField("layer", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bitrate_kbps", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  // bitrate tables in kbps, index 1-14 (0 = free format, 15 = invalid)
+  private val BrV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val BrV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val BrV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val BrV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val BrV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val SrV1 = Array(44100, 48000, 32000)
+  private val SrV2 = Array(22050, 24000, 16000)
+  private val SrV25 = Array(11025, 12000, 8000)
+
+  def parse(b: Array[Byte]): InternalRow = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    var pos = 0
+    // ID3v2 container: "ID3", version 2 bytes, flags, 4 syncsafe size bytes
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      if ((u8(6) | u8(7) | u8(8) | u8(9)) >= 0x80) return null // non-syncsafe
+      val sz = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      pos = 10 + sz + (if ((u8(5) & 0x10) != 0) 10 else 0) // footer flag
+      if (pos > b.length) return null
+    }
+    var version = -1 // 0 = MPEG1, 1 = MPEG2, 2 = MPEG2.5
+    var layer = -1
+    var sr = -1
+    var channels = -1
+    var firstKbps = -1
+    var frames = 0
+    var samples = 0L
+    while (pos < b.length) {
+      // trailing ID3v1 tag: exactly 128 bytes of "TAG..."
+      if (b.length - pos == 128 && b(pos) == 'T' && b(pos + 1) == 'A' &&
+        b(pos + 2) == 'G') { pos = b.length }
+      else {
+        if (pos + 4 > b.length) return null
+        val h = (u8(pos) << 24) | (u8(pos + 1) << 16) | (u8(pos + 2) << 8) | u8(pos + 3)
+        if ((h >>> 21) != 0x7ff) return null // broken sync
+        val verBits = (h >>> 19) & 3
+        val ver = verBits match {
+          case 3 => 0; case 2 => 1; case 0 => 2; case _ => return null // reserved
+        }
+        val layerBits = (h >>> 17) & 3
+        if (layerBits == 0) return null // reserved layer
+        val lay = 4 - layerBits
+        val brIdx = (h >>> 12) & 15
+        if (brIdx == 0 || brIdx == 15) return null // free format / invalid
+        val srIdx = (h >>> 10) & 3
+        if (srIdx == 3) return null // reserved
+        val pad = (h >>> 9) & 1
+        val mode = (h >>> 6) & 3
+        val kbps = (ver, lay) match {
+          case (0, 1) => BrV1L1(brIdx)
+          case (0, 2) => BrV1L2(brIdx)
+          case (0, 3) => BrV1L3(brIdx)
+          case (_, 1) => BrV2L1(brIdx)
+          case _ => BrV2L23(brIdx)
+        }
+        val rate = ver match {
+          case 0 => SrV1(srIdx); case 1 => SrV2(srIdx); case _ => SrV25(srIdx)
+        }
+        if (frames == 0) {
+          version = ver; layer = lay; sr = rate; firstKbps = kbps
+          channels = if (mode == 3) 1 else 2
+        } else if (ver != version || lay != layer || rate != sr) return null
+        val bps = kbps * 1000
+        val frameSize = lay match {
+          case 1 => (12 * bps / rate + pad) * 4
+          case 2 => 144 * bps / rate + pad
+          case _ => if (ver == 0) 144 * bps / rate + pad else 72 * bps / rate + pad
+        }
+        val frameSamples = lay match {
+          case 1 => 384
+          case 2 => 1152
+          case _ => if (ver == 0) 1152 else 576
+        }
+        if (pos + frameSize > b.length) return null // truncated frame
+        pos += frameSize
+        frames += 1
+        samples += frameSamples
+      }
+    }
+    if (frames == 0) return null
+    val verStr = version match { case 0 => "1"; case 1 => "2"; case _ => "2.5" }
+    InternalRow(UTF8String.fromString(verStr), layer, sr, firstKbps, channels,
+      frames, samples * 1000L / sr)
+  }
+}
+
+/** `audio_mpeg_meta(binary)` → frame-walk metadata struct or null. */
+case class MpegAudioMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MpegMeta.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_mpeg_meta"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    MpegMeta.parse(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MpegMeta.parse($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MpegAudioMeta =
+    copy(child = newChild)
+}

@@ -40,6 +40,56 @@ object ExtraQueries extends QueryPack {
            .replace("y", "(15 - k)")}), 2, '0'), 27)
        |  ), '')), '')""".stripMargin.replace("\n", "")
 
+  /** Construction-side MPEG audio config: header bytes, frame size, and
+    * samples per frame derived from the published ISO 11172-3 / 13818-3
+    * tables (the WAV/FLAC construction posture — the query builds frames
+    * from closed-form arithmetic; the parser must walk them back).
+    */
+  private case class MpegCfg(verBits: Int, layerBits: Int, brIdx: Int,
+      srIdx: Int, mode: Int) {
+    val layer: Int = 4 - layerBits
+    private val v1 = verBits == 3
+    val kbps: Int = (v1, layer) match {
+      case (true, 1) => Seq(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)(brIdx)
+      case (true, 2) => Seq(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)(brIdx)
+      case (true, 3) => Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+      case (false, 1) => Seq(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)(brIdx)
+      case _ => Seq(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)(brIdx)
+    }
+    val sampleRate: Int = verBits match {
+      case 3 => Seq(44100, 48000, 32000)(srIdx)
+      case 2 => Seq(22050, 24000, 16000)(srIdx)
+      case _ => Seq(11025, 12000, 8000)(srIdx)
+    }
+    val versionStr: String = verBits match {
+      case 3 => "1"; case 2 => "2"; case _ => "2.5"
+    }
+    val channels: Int = if (mode == 3) 1 else 2
+    val frameSize: Int = layer match {
+      case 1 => (12 * kbps * 1000 / sampleRate) * 4
+      case 2 => 144 * kbps * 1000 / sampleRate
+      case _ => if (v1) 144 * kbps * 1000 / sampleRate
+        else 72 * kbps * 1000 / sampleRate
+    }
+    val samplesPerFrame: Int = layer match {
+      case 1 => 384; case 2 => 1152; case _ => if (v1) 1152 else 576
+    }
+    val headerHex: String = f"FF${0xe0 | (verBits << 3) | (layerBits << 1) | 1}%02X" +
+      f"${(brIdx << 4) | (srIdx << 2)}%02X" + f"${mode << 6}%02X"
+    val frameHex: String = headerHex + "00" * (frameSize - 4)
+  }
+
+  /** Six configurations spanning both MPEG versions + 2.5, all three
+    * layers, mono/stereo, and three sample-rate families.
+    */
+  private val mp3Cfgs: Seq[MpegCfg] = Seq(
+    MpegCfg(3, 1, 9, 0, 0),  // MPEG1  L3 128k 44100 stereo
+    MpegCfg(3, 2, 12, 1, 1), // MPEG1  L2 256k 48000 joint
+    MpegCfg(3, 3, 1, 2, 3),  // MPEG1  L1  32k 32000 mono
+    MpegCfg(2, 1, 8, 0, 3),  // MPEG2  L3  64k 22050 mono
+    MpegCfg(0, 1, 4, 2, 0),  // MPEG2.5 L3 32k  8000 stereo
+    MpegCfg(2, 2, 14, 1, 1)) // MPEG2  L2 160k 24000 joint
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A2+A3: per-(user, 10-min bucket) null-ignoring label mean with
     // all-null → 0.0, plus finite-cell validity ratio (reference
@@ -189,6 +239,46 @@ object ExtraQueries extends QueryPack {
     // blocks whose rate/channels/bits are packed 20/3/5-bit fields (the
     // parser must actually unpack bits). Dimensions derive from doc_id,
     // so the oracle states ground truth by arithmetic.
+
+
+
+    // MPEG audio (MP3) frame-header walk — the lossy-audio metadata
+    // gate: per document a multi-frame MPEG stream is assembled from
+    // closed-form config arithmetic (six version/layer/rate configs by
+    // doc_id%6, 1-5 frames, an ID3v2 container for doc_id%3=0, an ID3v1
+    // TAG for doc_id%7=0) and walked back by audio_mpeg_meta; doc_id%11=0
+    // rows carry a FREE-FORMAT header that must refuse to null (frame
+    // size undefined — the whole-or-refuse posture). The oracle states
+    // every output as a closed form of doc_id.
+    "mm_audio_mp3_meta" -> ((s, dir) => {
+      graft.functions.MpegMeta.register(s)
+      val frameCase = "CASE doc_id % 6 " + mp3Cfgs.zipWithIndex
+        .map { case (c, i) => s"WHEN $i THEN '${c.frameHex}'" }
+        .mkString(" ") + " END"
+      val id3Hex = "494433040000" + "00000010" + "00" * 16
+      val tagHex = "544147" + "00" * 125
+      val blobHex =
+        s"""CASE WHEN doc_id % 11 = 0 THEN 'FFFB0400'
+           |ELSE concat(
+           |  CASE WHEN doc_id % 3 = 0 THEN '$id3Hex' ELSE '' END,
+           |  repeat($frameCase, cast(1 + doc_id % 5 as int)),
+           |  CASE WHEN doc_id % 7 = 0 THEN '$tagHex' ELSE '' END)
+           |END""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($blobHex)"))
+        .selectExpr("doc_id", "audio_mpeg_meta(blob) AS m")
+        .select(col("doc_id"),
+          col("m").isNotNull.as("ok"),
+          col("m.version").as("version"),
+          col("m.layer").as("layer"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bitrate_kbps").as("bitrate_kbps"),
+          col("m.channels").as("channels"),
+          col("m.n_frames").as("n_frames"),
+          col("m.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_audio_meta" -> ((s, dir) => {
       graft.functions.AudioHeader.register(s)
       val chSql = "(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)"
@@ -963,6 +1053,35 @@ object ExtraQueries extends QueryPack {
         |  CAST(doc_id % 640 + 1 AS INT) AS width,
         |  CAST(doc_id % 480 + 1 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // closed-form replay of the six-config construction; free-format
+    // rows (doc_id%11=0) are refused to all-null
+    "mm_audio_mp3_meta" -> {
+      def cfgCase(f: MpegCfg => Any): String =
+        "CASE doc_id % 6 " + mp3Cfgs.zipWithIndex.map { case (c, i) =>
+          f(c) match {
+            case s: String => s"WHEN $i THEN '$s'"
+            case v => s"WHEN $i THEN $v"
+          }
+        }.mkString(" ") + " END"
+      s"""SELECT doc_id,
+         |  (doc_id % 11 <> 0) AS ok,
+         |  CASE WHEN doc_id % 11 = 0 THEN NULL
+         |    ELSE ${cfgCase(_.versionStr)} END AS version,
+         |  CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+         |    ELSE ${cfgCase(_.layer)} END AS INT) AS layer,
+         |  CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+         |    ELSE ${cfgCase(_.sampleRate)} END AS INT) AS sample_rate,
+         |  CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+         |    ELSE ${cfgCase(_.kbps)} END AS INT) AS bitrate_kbps,
+         |  CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+         |    ELSE ${cfgCase(_.channels)} END AS INT) AS channels,
+         |  CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+         |    ELSE 1 + doc_id % 5 END AS INT) AS n_frames,
+         |  CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+         |    ELSE (1 + doc_id % 5) * ${cfgCase(_.samplesPerFrame)} * 1000
+         |      // ${cfgCase(_.sampleRate)} END AS BIGINT) AS duration_ms
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "mm_audio_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,

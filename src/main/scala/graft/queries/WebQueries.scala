@@ -267,6 +267,79 @@ object WebQueries extends QueryPack {
     ("empty_l3", 0, "d41d8cd98f00b204e9800998ecf8427e"))
     .map { case (n, l, m) => s"('$n', $l, '$m')" }.mkString(", ")
 
+  // committed classic-PDF fixtures from the independent python
+  // generator (tools/gen_pdf_fixtures.py -> src/test/resources/
+  // pdf_fixtures), hex-embedded; expected extractions pinned below
+  private val pdfFx_raw =
+    "255044462D312E340A312030206F626A203C3C202F54797065202F436174616C6F67202F506167657320322030205220" +
+      "3E3E20656E646F626A0A322030206F626A203C3C202F54797065202F5061676573202F4B696473205B33203020525D20" +
+      "2F436F756E742031203E3E20656E646F626A0A332030206F626A203C3C202F54797065202F50616765202F506172656E" +
+      "74203220302052202F4D65646961426F78205B30203020363132203739325D202F436F6E74656E747320342030205220" +
+      "3E3E20656E646F626A0A342030206F626A203C3C202F4C656E677468203830203E3E2073747265616D0A4254202F4631" +
+      "20313220546620373220373230205464202848656C6C6F205C28636C61737369635C2920504446205C3130315C313032" +
+      "2920546A2028636F6E74696E756564206C696E652920272045540A656E6473747265616D20656E646F626A0A78726566" +
+      "0A3020350A303030303030303030302036353533352066200A30303030303030303039203030303030206E200A303030" +
+      "30303030303538203030303030206E200A30303030303030313135203030303030206E200A3030303030303032303220" +
+      "3030303030206E200A747261696C6572203C3C202F53697A652035202F526F6F74203120302052203E3E0A7374617274" +
+      "787265660A3333320A2525454F460A"
+  private val pdfFx_flate =
+    "255044462D312E340A312030206F626A203C3C202F54797065202F436174616C6F67202F506167657320322030205220" +
+      "3E3E20656E646F626A0A322030206F626A203C3C202F54797065202F5061676573202F4B696473205B33203020525D20" +
+      "2F436F756E742031203E3E20656E646F626A0A332030206F626A203C3C202F54797065202F50616765202F506172656E" +
+      "74203220302052202F4D65646961426F78205B30203020363132203739325D202F436F6E74656E747320342030205220" +
+      "3E3E20656E646F626A0A342030206F626A203C3C202F4C656E677468203931202F46696C746572202F466C6174654465" +
+      "636F6465203E3E2073747265616D0A78DA730A51D0773354303450084953303550303700B25214A235B2538BF2525314" +
+      "3415740D8D0C14344A522B4A34158C8D1534148A4AF334631542BC1442B4146C4C2CCC4CCD2D8C0CCC8DCD2CCD4CEC14" +
+      "42B2145C430071CA14880A656E6473747265616D20656E646F626A0A787265660A3020350A3030303030303030303020" +
+      "36353533352066200A30303030303030303039203030303030206E200A30303030303030303538203030303030206E20" +
+      "0A30303030303030313135203030303030206E200A30303030303030323032203030303030206E200A747261696C6572" +
+      "203C3C202F53697A652035202F526F6F74203120302052203E3E0A7374617274787265660A3336340A2525454F460A"
+  private val pdfFx_pages =
+    "255044462D312E340A312030206F626A203C3C202F54797065202F436174616C6F67202F506167657320322030205220" +
+      "3E3E20656E646F626A0A322030206F626A203C3C202F54797065202F5061676573202F4B696473205B33203020522036" +
+      "203020525D202F436F756E742033203E3E20656E646F626A0A332030206F626A203C3C202F54797065202F5061676573" +
+      "202F506172656E74203220302052202F4B696473205B34203020522035203020525D202F436F756E742032203E3E2065" +
+      "6E646F626A0A342030206F626A203C3C202F54797065202F50616765202F506172656E74203320302052202F436F6E74" +
+      "656E7473203720302052203E3E20656E646F626A0A352030206F626A203C3C202F54797065202F50616765202F506172" +
+      "656E74203320302052202F436F6E74656E7473203820302052203E3E20656E646F626A0A362030206F626A203C3C202F" +
+      "54797065202F50616765202F506172656E74203220302052202F436F6E74656E7473203920302052203E3E20656E646F" +
+      "626A0A372030206F626A203C3C202F4C656E677468203139203E3E2073747265616D0A4254202870616765206F6E6529" +
+      "20546A2045540A656E6473747265616D20656E646F626A0A382030206F626A203C3C202F4C656E677468203139203E3E" +
+      "2073747265616D0A42542028706167652074776F2920546A2045540A656E6473747265616D20656E646F626A0A392030" +
+      "206F626A203C3C202F4C656E677468203231203E3E2073747265616D0A42542028706167652074687265652920546A20" +
+      "45540A656E6473747265616D20656E646F626A0A787265660A302031300A303030303030303030302036353533352066" +
+      "200A30303030303030303039203030303030206E200A30303030303030303538203030303030206E200A303030303030" +
+      "30313231203030303030206E200A30303030303030313938203030303030206E200A3030303030303032363120303030" +
+      "3030206E200A30303030303030333234203030303030206E200A30303030303030333837203030303030206E200A3030" +
+      "3030303030343536203030303030206E200A30303030303030353235203030303030206E200A747261696C6572203C3C" +
+      "202F53697A65203130202F526F6F74203120302052203E3E0A7374617274787265660A3539360A2525454F460A"
+  private val pdfFx_update =
+    "255044462D312E340A312030206F626A203C3C202F54797065202F436174616C6F67202F506167657320322030205220" +
+      "3E3E20656E646F626A0A322030206F626A203C3C202F54797065202F5061676573202F4B696473205B33203020525D20" +
+      "2F436F756E742031203E3E20656E646F626A0A332030206F626A203C3C202F54797065202F50616765202F506172656E" +
+      "74203220302052202F4D65646961426F78205B30203020363132203739325D202F436F6E74656E747320342030205220" +
+      "3E3E20656E646F626A0A342030206F626A203C3C202F4C656E677468203238203E3E2073747265616D0A425420286F6C" +
+      "64207265766973696F6E20746578742920546A2045540A656E6473747265616D20656E646F626A0A787265660A302035" +
+      "0A303030303030303030302036353533352066200A30303030303030303039203030303030206E200A30303030303030" +
+      "303538203030303030206E200A30303030303030313135203030303030206E200A303030303030303230322030303030" +
+      "30206E200A747261696C6572203C3C202F53697A652035202F526F6F74203120302052203E3E0A737461727478726566" +
+      "0A3238300A2525454F460A342030206F626A203C3C202F4C656E677468203332203E3E2073747265616D0A4254202875" +
+      "706461746564207265766973696F6E20746578742920546A2045540A656E6473747265616D20656E646F626A0A787265" +
+      "660A3420310A30303030303030343433203030303030206E200A747261696C6572203C3C202F53697A652035202F526F" +
+      "6F74203120302052202F5072657620323830203E3E0A7374617274787265660A3532350A2525454F460A"
+
+  private[queries] val pdfFixtures = Seq(
+    ("raw", pdfFx_raw), ("flate", pdfFx_flate),
+    ("pages", pdfFx_pages), ("update", pdfFx_update))
+
+  // expected extraction per fixture under the documented operator
+  // semantics, as stated by the generator
+  private val pdfPinned = Seq(
+    ("raw", "Hello (classic) PDF AB\ncontinued line"),
+    ("flate", "kerned text run\nHex sid"),
+    ("pages", "page one\npage two\npage three"),
+    ("update", "updated revision text"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Crawl-file READ path over raw-text bodies: every framing field of
@@ -491,6 +564,37 @@ object WebQueries extends QueryPack {
           octet_length(col("raw")).cast("long").as("raw_len"),
           md5(col("raw")).as("raw_md5"))
         .orderBy(col("name"))
+    }),
+
+
+    // PDF text extraction - the second-biggest corpus document format
+    // after HTML, now on the read surface: (a) committed fixtures from
+    // the INDEPENDENT python generator (raw + Flate streams, TJ kerning
+    // arrays, hex strings, escapes, nested page trees, incremental
+    // /Prev updates) extracted scan-side against pinned text; (b) every
+    // table document round-tripped through the deterministic engine
+    // writer (pdf_text(pdf_doc(ascii_clean)) == ascii_clean - literal-
+    // string escaping, Flate, and the xref walk certified corpus-wide).
+    // The oracle replays pinned strings and the ascii-clean arithmetic.
+    "web_pdf_extract" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.PdfText.register(s)
+      val fx = pdfFixtures.toDF("name", "blob_hex")
+        .select(concat(lit("fx:"), col("name")).as("src"),
+          call_function("pdf_text", unhex(col("blob_hex"))).as("text_out"))
+        .select(col("src"),
+          length(col("text_out")).cast("long").as("n_chars"),
+          md5(col("text_out").cast("binary")).as("text_md5"),
+          col("text_out").isNotNull.as("ok"))
+      val docs = Tables.documents(s, dir)
+        .withColumn("__clean", regexp_replace(col("text"), "[^ -~]", " "))
+        .select(concat(lit("doc:"), col("doc_id").cast("string")).as("src"),
+          length(col("__clean")).cast("long").as("n_chars"),
+          md5(col("__clean").cast("binary")).as("text_md5"),
+          (call_function("pdf_text",
+            call_function("pdf_doc", col("__clean").cast("binary")))
+            === col("__clean")).as("ok"))
+      fx.unionByName(docs).orderBy(col("src"))
     }),
 
     // Declared-lang × detected-lang AUDIT (a standard corpus QA signal):
@@ -917,6 +1021,23 @@ object WebQueries extends QueryPack {
          |  concat(regexp_replace(trim(text), '\\s+', ' ', 'g'),
          |         ' & ABC <tag> café') AS page_text
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // pinned generator strings for the fixtures; ascii-clean closed
+    // forms for the table docs (the engine's round trip must hold)
+    "web_pdf_extract" -> {
+      val fxSql = pdfPinned.map { case (n, t) =>
+        val esc = t.replace("'", "''").replace("\n", "' || chr(10) || '")
+        s"('fx:$n', '$esc')"
+      }.mkString(", ")
+      s"""WITH fx AS (SELECT * FROM (VALUES $fxSql) t(src, txt)),
+         |d AS (SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS src,
+         |    regexp_replace(text, '[^ -~]', ' ', 'g') AS txt
+         |  FROM documents)
+         |SELECT src, CAST(length(txt) AS BIGINT) AS n_chars,
+         |  md5(txt) AS text_md5, TRUE AS ok
+         |FROM (SELECT * FROM fx UNION ALL SELECT * FROM d)
+         |ORDER BY src""".stripMargin
+    },
 
     // declared = the construction's lang; detected = the marker argmax
     // over the original text (extraction adds no marker tokens)

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Independent classic-PDF fixtures (hand-built ISO 32000-1 syntax with
+self-computed xref offsets, python zlib for Flate) for PdfTextSpec:
+raw and Flate content streams, TJ arrays with kerning and hex strings,
+octal/paren escapes, a nested page tree, and an incremental-update
+(/Prev) chain. Prints each fixture's expected extraction under the
+documented operator semantics (Tj/TJ/' append, Td/TD/T*/' newline,
+pages join with newline).
+
+Writes src/test/resources/pdf_fixtures/*.pdf.
+"""
+import os
+import zlib
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test",
+                   "resources", "pdf_fixtures")
+os.makedirs(OUT, exist_ok=True)
+
+
+class Pdf:
+    def __init__(self):
+        self.buf = bytearray(b"%PDF-1.4\n")
+        self.offsets = {}
+
+    def obj(self, num, body, stream=None):
+        self.offsets[num] = len(self.buf)
+        self.buf += b"%d 0 obj " % num + body
+        if stream is not None:
+            self.buf += b" stream\n" + stream + b"\nendstream"
+        self.buf += b" endobj\n"
+
+    def finish(self, root=1, prev=None, size=None):
+        size = size or (max(self.offsets) + 1)
+        xref_at = len(self.buf)
+        nums = sorted(self.offsets)
+        self.buf += b"xref\n"
+        # one subsection per contiguous run (free entry 0 only in run 1)
+        runs = []
+        for n in nums:
+            if runs and runs[-1][-1] == n - 1:
+                runs[-1].append(n)
+            else:
+                runs.append([n])
+        first = True
+        for run in runs:
+            if first and run[0] == 1:
+                self.buf += b"0 %d\n" % (len(run) + 1)
+                self.buf += b"0000000000 65535 f \n"
+            else:
+                self.buf += b"%d %d\n" % (run[0], len(run))
+            for n in run:
+                self.buf += b"%010d 00000 n \n" % self.offsets[n]
+            first = False
+        tr = b"trailer << /Size %d /Root %d 0 R" % (size, root)
+        if prev is not None:
+            tr += b" /Prev %d" % prev
+        tr += b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_at
+        self.buf += tr
+        return xref_at
+
+
+def page_objs(p, contents_ref=4):
+    p.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    p.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    p.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents %d 0 R >>" % contents_ref)
+
+
+# 1. raw content stream: Td + Tj, ' operator, octal + paren escapes
+p = Pdf()
+page_objs(p)
+content = (b"BT /F1 12 Tf 72 720 Td (Hello \\(classic\\) PDF \\101\\102) Tj "
+           b"(continued line) ' ET")
+p.obj(4, b"<< /Length %d >>" % len(content), stream=content)
+p.finish()
+open(os.path.join(OUT, "raw.pdf"), "wb").write(p.buf)
+print("raw.pdf ->", repr("Hello (classic) PDF AB\ncontinued line"))
+
+# 2. Flate stream with TJ kerning array + hex string
+p = Pdf()
+page_objs(p)
+content = (b"BT /F1 10 Tf 50 700 Td [(kerned ) -120 (text) 33 ( run)] TJ "
+           b"T* <48657820736964> Tj ET")
+flate = zlib.compress(content, 9)
+p.obj(4, b"<< /Length %d /Filter /FlateDecode >>" % len(flate), stream=flate)
+p.finish()
+open(os.path.join(OUT, "flate.pdf"), "wb").write(p.buf)
+print("flate.pdf ->", repr("kerned text run\nHex sid"))
+
+# 3. nested page tree: 3 pages across 2 Pages nodes
+p = Pdf()
+p.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+p.obj(2, b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 3 >>")
+p.obj(3, b"<< /Type /Pages /Parent 2 0 R /Kids [4 0 R 5 0 R] /Count 2 >>")
+c1 = b"BT (page one) Tj ET"
+c2 = b"BT (page two) Tj ET"
+c3 = b"BT (page three) Tj ET"
+p.obj(4, b"<< /Type /Page /Parent 3 0 R /Contents 7 0 R >>")
+p.obj(5, b"<< /Type /Page /Parent 3 0 R /Contents 8 0 R >>")
+p.obj(6, b"<< /Type /Page /Parent 2 0 R /Contents 9 0 R >>")
+p.obj(7, b"<< /Length %d >>" % len(c1), stream=c1)
+p.obj(8, b"<< /Length %d >>" % len(c2), stream=c2)
+p.obj(9, b"<< /Length %d >>" % len(c3), stream=c3)
+p.finish()
+open(os.path.join(OUT, "pages.pdf"), "wb").write(p.buf)
+print("pages.pdf ->", repr("page one\npage two\npage three"))
+
+# 4. incremental update: original says old, the update's xref (with /Prev)
+#    replaces the content object
+p = Pdf()
+page_objs(p)
+c_old = b"BT (old revision text) Tj ET"
+p.obj(4, b"<< /Length %d >>" % len(c_old), stream=c_old)
+first_xref = p.finish()
+# append the update: new object 4 + its own xref pointing back
+upd = Pdf()
+upd.buf = p.buf
+upd.offsets = {}
+c_new = b"BT (updated revision text) Tj ET"
+upd.obj(4, b"<< /Length %d >>" % len(c_new), stream=c_new)
+upd.finish(prev=first_xref, size=5)
+open(os.path.join(OUT, "update.pdf"), "wb").write(upd.buf)
+print("update.pdf ->", repr("updated revision text"))

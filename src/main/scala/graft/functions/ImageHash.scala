@@ -132,6 +132,10 @@ object ImageHash {
     } else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
       val l = GifDecode.decode(b)
       if (l == null) null else new Gray(l.w, l.h, l.px)
+    } else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+      // WebP: VP8L (lossless) decodes ([[WebpDecode]]); lossy VP8 nulls
+      val l = WebpDecode.decode(b)
+      if (l == null) null else new Gray(l.w, l.h, l.px)
     } else null
   }
 

@@ -90,6 +90,80 @@ object ExtraQueries extends QueryPack {
     MpegCfg(0, 1, 4, 2, 0),  // MPEG2.5 L3 32k  8000 stereo
     MpegCfg(2, 2, 14, 1, 1)) // MPEG2  L2 160k 24000 joint
 
+  // committed VP8L fixtures from the independent python encoder
+  // (tools/gen_webp_fixtures.py -> src/test/resources/webp_fixtures),
+  // hex-embedded; rasters are closed forms of (x, y)
+  private val webpFx_literals =
+    "5249464686020000574542505650384C790200002F0FC002008008000000020000000000000000000000000000000000" +
+      "0000000000000000000000000000600302000000080800000020FA5F007474741E1E1E4343C3B0B0B0EAEAEA858585D7" +
+      "D7572C2C2C7E7E7E131393C8C8C8BABABAE5E5E58F8F0F5C5C5C2121212525257777F79C9C9CC1C1C1B3B33368686806" +
+      "06065555552F2FAFFCFCFC919191CBCB4B3838386666660D0D0D5F5FDFD8D8D8A6A6A6F5F5F59F9F1F4242423131316B" +
+      "6BEB848484D6D6D6ADADADFFFF7F1212124949493B3BBBE4E4E48E8E8E898989DBDB5B2424247676761D1D9DC0C0C0B2" +
+      "B2B2E9E9E98787075454542E2E2E7D7DFD909090CACACAB9B9B9E7E7676060600A0A0A5959592727A7F4F4F49E9E9EC3" +
+      "C3433030306A6A6A0505055757D7ACACACFEFEFE9393134848483A3A3A3E3E3E6363E3888888DADADAA5A5A5F7F7771C" +
+      "1C1C4141413333B3E8E8E8868686D5D5D5AFAF2F7C7C7C1111114B4B4B4F4FCFBCBCBCE1E1E18B8B0B58585826262675" +
+      "75751F1F9FC2C2C2B1B1B1EBEB6B0404045656562D2D2D7F7FFF929292969696CDCDCDBFBF3F6262620909095B5BDBA4" +
+      "A4A4F6F6F69D9D1D404040323232696969070787D4D4D4AEAEAEFDFDFDFBFB7B1414144E4E4E3D3DBDE0E0E08A8A8AD9" +
+      "D9D9A7A7277474741E1E1E4343C3B0B0B0EAEAEA858585D7D7572C2C2C2A2A2A797979171797CCCCCCBEBEBEE3E36308" +
+      "08085A5A5A2525257777F79C9C9CC1C1C1B3B3336868680606065555555353D3A8A8A8FAFAFA959595CFCF4F3C3C3C61" +
+      "61610B0B8BD8D8D8A6A6A6F5F5F59F9F1F4242423131316B6BEB848484828282D1D1D1ABAB2B7878781616164D4D4D3F" +
+      "3FBFE2E2E2898989DBDB5B2424247676761D1D9DC0C0C0B2B2B2E9E96900"
+  private val webpFx_subgreen =
+    "52494646FE000000574542505650384CF20000002F0FC002000544000000100000000000000000000000000000000000" +
+      "0000000000000000000000000000001B052840FF0B80CE631856BDF08AC56F1259B7FC812BA4E49E337806CDA0EA953F" +
+      "7209C7ACE11BDBB4FE4328669DD0BAF54F226997DC31718BC4AE135836FD80CAA51F5239F70C4C21EB94DE730846ADE0" +
+      "9AD57F0249C7671C51BBF48E236816DDB0FA852F62E999377C01CBA4EE5338768DC0AAE55FD2B2F9472C619BD4BE0348" +
+      "26ED90DAB57F8FC2A9175C31FB84CE631856BDF08A4525EF92D9770C41ABE49E337806CDA06A1A55BFF289276C11DBB4" +
+      "FE4328669D50307A05CFA2E9573C718BC4AE1358360D"
+  private val webpFx_palette4 =
+    "52494646B6000000574542505650384CAA0000002F0FC002001F00110000000400000000000000000000000000000000" +
+      "000000000000000000000000000000C00604000000101000000040400000000051002828A87F1E1E1E001E1E1E003131" +
+      "310040040000000100000000000000000000000000000000000000000000000000000000000000B051800214A0002727" +
+      "27279C9C9C9C72727272C9C9C9C9272727279C9C9C9C72727272C9C9C9C9272727279C9C9C9C72727272C9C9C9C9"
+  private val webpFx_palette20 =
+    "5249464686010000574542505650384C7A0100002F0FC002009F00110000000400000000000000000000000000000000" +
+      "000000000000000000000000000000C00604000000101000000040400000000051005050D07F18181800181818001818" +
+      "180018181800181818001818180018181800181818001818180018181800181818001818180018181800181818001818" +
+      "180018181800181818001818180018181800400400000001000000000000000000000000000000000000000000000000" +
+      "00000000000000B051800214A00000C0609030F0488020E050B008C840A08020E050B008C840A010D0708800C06040A0" +
+      "10D0708800C0609030F0488020E0C0609030F0488020E050B008C840A01020E050B008C840A010D0708800C06090A010" +
+      "D0708800C0609030F0488020E050609030F0488020E050B008C840A010D0E050B008C840A010D0708800C060903010D0" +
+      "708800C0609030F0488020E050B09030F0488020E050B008C840A010D07050B008C840A010D0708800C0609030F0D070" +
+      "8800C0609030F0488020E050B008"
+  private val webpFx_lz77 =
+    "52494646AE000000574542505650384CA20000002F0FC002009012000000240000000000000000000000000000000000" +
+      "0000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000080D1" +
+      "0B10000000404000000000D17F802014E8404747E7E1E13134340C0B0BABAEAE5E5858787D7DC5C2C2E2E7E737313189" +
+      "8C8CACABAB5B5E5EFEF8F8C0C5C5151212FABFFF3FFEEFFF8FFFFBFFE3FFFEFFF8BFFF3FFE0F"
+  private val webpFx_cache =
+    "5249464654000000574542505650384C480000002F0FC002001AA100A2933F4ABC9D2C8E227D14E9FE1700BCBBBBBBEF" +
+      "EEEEEEBABBBBBBEFEEEEEEBABBBBBBEFEEEEEEBABBBBBBEFEEEEEEBABBBBBBEFEEEEEEBABBBBBBEFEEEEEE00"
+  private val webpFx_pred_top =
+    "5249464652030000574542505650384C450300002F0FC00200910A14A000052800200200008000000000000000000000" +
+      "00000000000000000000000000000000000000000000D8800000000002020000000808000000200A808E8E0E404A4A0A" +
+      "404A4A0A404A4A0A404A4A0A404A4A0A404A4A0A404A4A0A404A4A0A404A4A0A404A4A0A404A4A0A404A4A0A404A4A0A" +
+      "404A4A0A404A4A0AC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0D" +
+      "C0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0D" +
+      "C0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0D" +
+      "C0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0D" +
+      "C0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0D" +
+      "C0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0D" +
+      "C0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0D" +
+      "C0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0D" +
+      "C0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0D" +
+      "C0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0D" +
+      "C0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0D" +
+      "C0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0D" +
+      "C0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0D" +
+      "C0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0D" +
+      "C0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0DC0CDCD0D0000"
+
+  private val webpFixtures = Seq(
+    ("literals", webpFx_literals), ("subgreen", webpFx_subgreen),
+    ("palette4", webpFx_palette4), ("palette20", webpFx_palette20),
+    ("lz77", webpFx_lz77), ("cache", webpFx_cache),
+    ("pred_top", webpFx_pred_top))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A2+A3: per-(user, 10-min bucket) null-ignoring label mean with
     // all-null → 0.0, plus finite-cell validity ratio (reference
@@ -278,6 +352,26 @@ object ExtraQueries extends QueryPack {
           col("m.duration_ms").as("duration_ms"))
         .orderBy(col("doc_id"))
     }),
+
+
+    // VP8L (lossless WebP) PIXEL decode - the fourth web-image container
+    // joins the perceptual-dedup surface: seven committed fixtures from
+    // an INDEPENDENT python VP8L encoder (flat code-length-coded trees,
+    // subtract-green, bundled + plain palettes, LZ77 via plain AND 2D
+    // distance codes, the color cache, the predictor transform) decoded
+    // scan-side to their 16x12 rasters; every gray is a closed form of
+    // (img, x, y) the oracle restates without touching a byte.
+    "mm_image_webp" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.ImageHash.register(s)
+      webpFixtures.toDF("img", "blob_hex")
+        .selectExpr("img", "image_resize_gray(unhex(blob_hex), 16, 12) AS g")
+        .select(col("img"), posexplode(col("g")).as(Seq("pos", "gray")))
+        .select(col("img"), (col("pos") % 16).as("x"),
+          (col("pos") / 16).cast("int").as("y"), col("gray"))
+        .orderBy(col("img"), col("pos"))
+    }),
+
 
     "mm_audio_meta" -> ((s, dir) => {
       graft.functions.AudioHeader.register(s)
@@ -1082,6 +1176,25 @@ object ExtraQueries extends QueryPack {
          |      // ${cfgCase(_.sampleRate)} END AS BIGINT) AS duration_ms
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // every fixture's gray as a closed form of (img, x, y)
+    "mm_image_webp" ->
+      """WITH grid AS (SELECT img, x, y FROM
+        |    (SELECT unnest(['cache','literals','lz77','palette20',
+        |                    'palette4','pred_top','subgreen']) AS img),
+        |    (SELECT unnest(generate_series(0, 15)) AS x),
+        |    (SELECT unnest(generate_series(0, 11)) AS y))
+        |SELECT img, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+        |  CAST(CASE img
+        |    WHEN 'literals' THEN (37*x + 59*y + 23) % 256
+        |    WHEN 'subgreen' THEN (37*x + 59*y + 23) % 256
+        |    WHEN 'pred_top' THEN (37*x + 59*y + 23) % 256
+        |    WHEN 'lz77' THEN (37*x + 23) % 256
+        |    WHEN 'palette4' THEN [10, 70, 130, 200][(x + y) % 4 + 1]
+        |    WHEN 'palette20' THEN 5 + 12 * ((3*x + y) % 20)
+        |    ELSE CASE WHEN (x + y) % 2 = 0 THEN 40 ELSE 210 END
+        |  END AS INT) AS gray
+        |FROM grid ORDER BY img, y * 16 + x""".stripMargin,
+
     "mm_audio_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,

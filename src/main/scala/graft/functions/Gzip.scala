@@ -135,11 +135,12 @@ object Gzip {
 /** `codec_probe(binary)` → `'gzip' | 'zstd' | 'empty' | 'unknown'` by
   * container magic: gzip `1F 8B`, zstd frame `28 B5 2F FD`
   * (0xFD2FB528 LE) and zstd skippable frames `5? 2A 4D 18`
-  * (0x184D2A50-5F LE). The crawl read path has a JDK codec only for
-  * gzip; newer Common Crawl dumps are moving to zstd, for which there
-  * is none — so mixed-codec segment dirs must be DETECTED and
-  * quarantined loudly (the WARC whole-or-refuse posture), never parsed
-  * as garbage or silently dropped as "malformed gzip".
+  * (0x184D2A50-5F LE). Both codecs DECODE on the crawl read path since
+  * round 10 (gzip via the JDK, zstd via the from-spec [[Zstd]]
+  * decoder); the probe routes [[graft.ops.WebOps.segmentAudit]]'s
+  * per-codec accounting, and unknown-magic segments still quarantine
+  * loudly (the WARC whole-or-refuse posture), never parse as garbage
+  * or silently drop as "malformed gzip".
   */
 case class CodecProbe(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StringType

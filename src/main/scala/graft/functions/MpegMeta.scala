@@ -32,9 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MpegMeta {
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "audio_mpeg_meta", exprs => MpegAudioMeta(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "audio_adts_meta", exprs => AdtsAudioMeta(exprs.head), "built-in")
+  }
 
   val schema: StructType = StructType(Seq(
     StructField("version", StringType),
@@ -129,6 +132,66 @@ object MpegMeta {
     InternalRow(UTF8String.fromString(verStr), layer, sr, firstKbps, channels,
       frames, samples * 1000L / sr)
   }
+
+  // ------------------------------------------------------------ AAC / ADTS
+
+  val adtsSchema: StructType = StructType(Seq(
+    StructField("mpeg_version", IntegerType), // 2 or 4
+    StructField("profile", IntegerType), // 1=Main 2=LC 3=SSR 4=LTP
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** ADTS (AAC transport) frame walk — ISO 13818-7 / 14496-3 framing:
+    * 12-bit sync, version, profile, sampling-frequency index, channel
+    * configuration, 13-bit frame length, raw-data-block count (each
+    * block = 1024 samples), optional CRC. Whole-or-refuse like
+    * [[parse]]: null on broken sync, reserved/forbidden frequency
+    * indices, PCE-dependent channel config 0, truncated frames,
+    * cross-frame parameter changes, or trailing junk.
+    */
+  def adtsParse(b: Array[Byte]): InternalRow = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    var pos = 0
+    var version = -1
+    var profile = -1
+    var sr = -1
+    var channels = -1
+    var frames = 0
+    var samples = 0L
+    while (pos < b.length) {
+      if (pos + 7 > b.length) return null
+      if (u8(pos) != 0xff || (u8(pos + 1) & 0xf0) != 0xf0) return null // sync
+      if ((u8(pos + 1) & 0x06) != 0) return null // layer must be 00
+      val ver = if ((u8(pos + 1) & 0x08) != 0) 2 else 4
+      val protAbsent = u8(pos + 1) & 1
+      val prof = ((u8(pos + 2) >> 6) & 3) + 1
+      val srIdx = (u8(pos + 2) >> 2) & 0xf
+      if (srIdx >= AdtsRates.length) return null // reserved / forbidden
+      val rate = AdtsRates(srIdx)
+      val chCfg = ((u8(pos + 2) & 1) << 2) | ((u8(pos + 3) >> 6) & 3)
+      if (chCfg == 0) return null // PCE-defined: outside the subset
+      val ch = if (chCfg == 7) 8 else chCfg
+      val frameLen = ((u8(pos + 3) & 3) << 11) | (u8(pos + 4) << 3) |
+        ((u8(pos + 5) >> 5) & 7)
+      val blocks = (u8(pos + 6) & 3) + 1
+      val minHeader = if (protAbsent == 1) 7 else 9
+      if (frameLen < minHeader || pos + frameLen > b.length) return null
+      if (frames == 0) {
+        version = ver; profile = prof; sr = rate; channels = ch
+      } else if (ver != version || prof != profile || rate != sr ||
+        ch != channels) return null
+      pos += frameLen
+      frames += 1
+      samples += 1024L * blocks
+    }
+    if (frames == 0) return null
+    InternalRow(version, profile, sr, channels, frames, samples * 1000L / sr)
+  }
 }
 
 /** `audio_mpeg_meta(binary)` → frame-walk metadata struct or null. */
@@ -149,5 +212,26 @@ case class MpegAudioMeta(child: Expression) extends UnaryExpression {
       ${ev.isNull} = ${ev.value} == null;
     """)
   override protected def withNewChildInternal(newChild: Expression): MpegAudioMeta =
+    copy(child = newChild)
+}
+
+/** `audio_adts_meta(binary)` → ADTS frame-walk metadata struct or null. */
+case class AdtsAudioMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MpegMeta.adtsSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_adts_meta"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    MpegMeta.adtsParse(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MpegMeta.adtsParse($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AdtsAudioMeta =
     copy(child = newChild)
 }

@@ -164,6 +164,38 @@ object ExtraQueries extends QueryPack {
     ("lz77", webpFx_lz77), ("cache", webpFx_cache),
     ("pred_top", webpFx_pred_top))
 
+  /** Construction-side ADTS config (the [[MpegCfg]] posture for AAC):
+    * 7-byte protection-absent headers from the published ISO 13818-7
+    * fields, zero-filled payloads.
+    */
+  private case class AdtsCfg(mpeg2: Boolean, profIdx: Int, srIdx: Int,
+      chCfg: Int, blocks: Int, payload: Int) {
+    val sampleRate: Int = Seq(96000, 88200, 64000, 48000, 44100, 32000,
+      24000, 22050, 16000, 12000, 11025, 8000, 7350)(srIdx)
+    val channels: Int = if (chCfg == 7) 8 else chCfg
+    val profile: Int = profIdx + 1
+    val version: Int = if (mpeg2) 2 else 4
+    val frameLen: Int = 7 + payload
+    val frameHex: String = {
+      val b1 = 0xf0 | (if (mpeg2) 8 else 0) | 1
+      val b2 = (profIdx << 6) | (srIdx << 2) | (chCfg >> 2)
+      val b3 = ((chCfg & 3) << 6) | ((frameLen >> 11) & 3)
+      val b4 = (frameLen >> 3) & 0xff
+      val b5 = ((frameLen & 7) << 5) | 0x1f // buffer fullness 0x7ff
+      val b6 = 0xfc | (blocks - 1)
+      f"FF$b1%02X$b2%02X$b3%02X$b4%02X$b5%02X$b6%02X" + "00" * payload
+    }
+  }
+
+  /** Four configurations spanning both MPEG versions, three profiles,
+    * mono through 7.1, and multi-block frames.
+    */
+  private val adtsCfgs: Seq[AdtsCfg] = Seq(
+    AdtsCfg(mpeg2 = false, 1, 4, 2, 1, 64),   // MPEG-4 LC   44100 stereo
+    AdtsCfg(mpeg2 = false, 0, 3, 1, 1, 32),   // MPEG-4 Main 48000 mono
+    AdtsCfg(mpeg2 = true, 1, 7, 6, 1, 100),   // MPEG-2 LC   22050 5.1
+    AdtsCfg(mpeg2 = false, 3, 11, 7, 2, 80))  // MPEG-4 LTP   8000 7.1 2-block
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A2+A3: per-(user, 10-min bucket) null-ignoring label mean with
     // all-null → 0.0, plus finite-cell validity ratio (reference
@@ -370,6 +402,37 @@ object ExtraQueries extends QueryPack {
         .select(col("img"), (col("pos") % 16).as("x"),
           (col("pos") / 16).cast("int").as("y"), col("gray"))
         .orderBy(col("img"), col("pos"))
+    }),
+
+
+
+    // AAC/ADTS frame-header walk - the other dominant lossy-audio
+    // transport next to MP3: per document a multi-frame ADTS stream
+    // (four version/profile/rate/channel configs by doc_id%4, 1-4
+    // frames, a 2-raw-data-block config) walked back by
+    // audio_adts_meta; doc_id%13=0 rows carry a forbidden
+    // sampling-frequency index and must refuse to null. The oracle
+    // states every output as a closed form of doc_id.
+    "mm_audio_adts_meta" -> ((s, dir) => {
+      graft.functions.MpegMeta.register(s)
+      val frameCase = "CASE doc_id % 4 " + adtsCfgs.zipWithIndex
+        .map { case (c, i) => s"WHEN $i THEN '${c.frameHex}'" }
+        .mkString(" ") + " END"
+      val blobHex =
+        s"""CASE WHEN doc_id % 13 = 0 THEN 'FFF17E00411FFC'
+           |ELSE repeat($frameCase, cast(1 + doc_id % 4 as int)) END""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($blobHex)"))
+        .selectExpr("doc_id", "audio_adts_meta(blob) AS m")
+        .select(col("doc_id"),
+          col("m").isNotNull.as("ok"),
+          col("m.mpeg_version").as("mpeg_version"),
+          col("m.profile").as("profile"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.channels").as("channels"),
+          col("m.n_frames").as("n_frames"),
+          col("m.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
     }),
 
 
@@ -1147,6 +1210,30 @@ object ExtraQueries extends QueryPack {
         |  CAST(doc_id % 640 + 1 AS INT) AS width,
         |  CAST(doc_id % 480 + 1 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // closed-form replay of the four-config ADTS construction
+    "mm_audio_adts_meta" -> {
+      def cfgCase(f: AdtsCfg => Int): String =
+        "CASE doc_id % 4 " + adtsCfgs.zipWithIndex.map { case (c, i) =>
+          s"WHEN $i THEN ${f(c)}"
+        }.mkString(" ") + " END"
+      s"""SELECT doc_id,
+         |  (doc_id % 13 <> 0) AS ok,
+         |  CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+         |    ELSE ${cfgCase(_.version)} END AS INT) AS mpeg_version,
+         |  CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+         |    ELSE ${cfgCase(_.profile)} END AS INT) AS profile,
+         |  CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+         |    ELSE ${cfgCase(_.sampleRate)} END AS INT) AS sample_rate,
+         |  CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+         |    ELSE ${cfgCase(_.channels)} END AS INT) AS channels,
+         |  CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+         |    ELSE 1 + doc_id % 4 END AS INT) AS n_frames,
+         |  CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+         |    ELSE (1 + doc_id % 4) * 1024 * ${cfgCase(_.blocks)} * 1000
+         |      // ${cfgCase(_.sampleRate)} END AS BIGINT) AS duration_ms
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     // closed-form replay of the six-config construction; free-format
     // rows (doc_id%11=0) are refused to all-null
     "mm_audio_mp3_meta" -> {

@@ -45,6 +45,44 @@ class MpegMetaSpec extends AnyFunSuite {
     }
   }
 
+  test("adts: frame walk across versions/profiles, multi-block duration, CRC headers") {
+    // hand-built headers (independent arithmetic from the query helper)
+    def frame(mpeg2: Boolean, profIdx: Int, srIdx: Int, chCfg: Int,
+        blocks: Int, payload: Int, crc: Boolean = false): Array[Byte] = {
+      val len = (if (crc) 9 else 7) + payload
+      val out = new Array[Byte](len)
+      out(0) = 0xff.toByte
+      out(1) = (0xf0 | (if (mpeg2) 8 else 0) | (if (crc) 0 else 1)).toByte
+      out(2) = ((profIdx << 6) | (srIdx << 2) | (chCfg >> 2)).toByte
+      out(3) = (((chCfg & 3) << 6) | ((len >> 11) & 3)).toByte
+      out(4) = ((len >> 3) & 0xff).toByte
+      out(5) = (((len & 7) << 5) | 0x1f).toByte
+      out(6) = (0xfc | (blocks - 1)).toByte
+      out
+    }
+    // MPEG-4 LC 44100 stereo, 3 single-block frames
+    val lc = Array.fill(3)(frame(mpeg2 = false, 1, 4, 2, 1, 50)).flatten
+    val r1 = MpegMeta.adtsParse(lc)
+    assert(r1 != null && r1.getInt(0) == 4 && r1.getInt(1) == 2 &&
+      r1.getInt(2) == 44100 && r1.getInt(3) == 2 && r1.getInt(4) == 3 &&
+      r1.getLong(5) == 3L * 1024 * 1000 / 44100)
+    // MPEG-2 with CRC header and 2 raw data blocks per frame
+    val crc2 = Array.fill(2)(frame(mpeg2 = true, 0, 7, 1, 2, 40, crc = true)).flatten
+    val r2 = MpegMeta.adtsParse(crc2)
+    assert(r2 != null && r2.getInt(0) == 2 && r2.getInt(1) == 1 &&
+      r2.getInt(2) == 22050 && r2.getInt(4) == 2 &&
+      r2.getLong(5) == 2L * 2048 * 1000 / 22050)
+    // refusals: forbidden freq index, PCE channel config, truncation,
+    // layer bits set, cross-frame rate change
+    assert(MpegMeta.adtsParse(frame(mpeg2 = false, 1, 15, 2, 1, 10)) == null)
+    assert(MpegMeta.adtsParse(frame(mpeg2 = false, 1, 4, 0, 1, 10)) == null)
+    assert(MpegMeta.adtsParse(lc.dropRight(1)) == null)
+    val badLayer = lc.clone(); badLayer(1) = (badLayer(1) | 0x02).toByte
+    assert(MpegMeta.adtsParse(badLayer) == null)
+    assert(MpegMeta.adtsParse(
+      frame(mpeg2 = false, 1, 4, 2, 1, 10) ++ frame(mpeg2 = false, 1, 5, 2, 1, 10)) == null)
+  }
+
   test("refusal matrix: free format, reserved codes, truncation, junk") {
     val good = fixture("cbr_v2l2")
     // free-format bitrate index (0): frame size undefined -> refuse

@@ -232,6 +232,40 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The same trained-signal funnel gated by the MODIFIED-KN LM —
+    // CCNet's actual published smoothing — instead of the fixed-weight
+    // JM trigram: capped-minhash dedup → UTF-8 gate → Gopher gate →
+    // KN-perplexity-bucket gate. One oracle statement replays dedup
+    // fragments, gate arithmetic, the full KN ladder (continuation
+    // counts, count-of-counts discounts), the bucket thresholds, and
+    // the final intersection.
+    "corpus_e2e_curate3" -> ((s, dir) => {
+      graft.functions.Utf8Stats.register(s)
+      val docs = Tables.documents(s, dir)
+      val pairs = DedupOps.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, bands = 4)
+      val comps = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
+      val drops = comps.filter(col("component") < col("id"))
+        .select(col("id").as("doc_id"))
+      val deduped = docs.join(drops, Seq("doc_id"), "left_anti")
+      val utf8Ok = deduped
+        .selectExpr("doc_id", "utf8_stats(CAST(text AS BINARY)) AS st")
+        .filter(col("st.n_invalid") === 0).select("doc_id")
+      val passIds = TextQualityOps.qualityGate(
+          TextQualityOps.repetitionStats(deduped, "doc_id", "text"),
+          minTokens = 40, maxTokens = 100000, maxTopUnigramFrac = 0.09,
+          maxDupTokenFrac = 0.9, maxTopBigramFrac = 0.06)
+        .filter(col("quality_pass")).select(col("doc_id"))
+      val kept = TextQualityOps.knPerplexityBuckets(docs, "doc_id", "text")
+        .filter(col("ppl_bucket") =!= "tail")
+        .select(col("doc_id"), col("ppl_bucket"))
+      deduped.join(utf8Ok, Seq("doc_id")).join(passIds, Seq("doc_id"))
+        .join(kept, Seq("doc_id"))
+        .select(col("doc_id"), col("ppl_bucket"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Random-hyperplane SimHash LSH over EMBEDDINGS (functions
     // .EmbedSimHash): the classic cosine-LSH — bit i = sign of the
     // integer projection onto a deterministic md5-derived ±1 hyperplane
@@ -1142,6 +1176,55 @@ object DataPipelineQueries extends QueryPack {
          |FROM surv s
          |JOIN pass ON pass.doc_id = s.doc_id
          |JOIN bkept k ON k.doc_id = s.doc_id AND k.ppl_bucket <> 'tail'
+         |ORDER BY s.doc_id""".stripMargin,
+    // curate2's composition with the KN ladder (CorpusQueries.
+    // knScoreCtesBody) replacing the JM trigram scorer; kb-prefixed
+    // bucket CTEs avoid the b-prefix family above
+    "corpus_e2e_curate3" ->
+      s"""WITH $shingleSql,
+         |$minhashSigSql,
+         |$minhashCandSql,
+         |$ccUnrollSql,
+         |surv AS MATERIALIZED (SELECT d.* FROM documents d
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM l$CC_ROUNDS x WHERE x.id = d.doc_id AND x.lbl < x.id)),
+         |qt AS (SELECT doc_id, $tokSql AS l FROM surv),
+         |qp AS (SELECT doc_id, unnest(l) AS g, generate_subscripts(l, 1) AS pos FROM qt),
+         |quc AS (SELECT doc_id, g, count(*) AS c FROM qp GROUP BY 1, 2),
+         |qus AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_uni,
+         |         coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup_mass
+         |       FROM quc GROUP BY 1),
+         |qbg AS (SELECT doc_id,
+         |         g || ' ' || lead(g) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+         |       FROM qp),
+         |qbc AS (SELECT doc_id, b, count(*) AS c FROM qbg WHERE b IS NOT NULL GROUP BY 1, 2),
+         |qbs AS (SELECT doc_id, sum(c) AS n_bi, max(c) AS top_bi FROM qbc GROUP BY 1),
+         |pass AS (SELECT qus.doc_id FROM qus LEFT JOIN qbs ON qus.doc_id = qbs.doc_id
+         |  WHERE n_tokens >= 40 AND n_tokens <= 100000
+         |    AND top_uni / CAST(n_tokens AS DOUBLE) <= 0.09
+         |    AND dup_mass / CAST(n_tokens AS DOUBLE) <= 0.9
+         |    AND coalesce(top_bi / CAST(n_bi AS DOUBLE), 0.0) <= 0.06),
+         |${CorpusQueries.knScoreCtesBody},
+         |kbq AS MATERIALIZED (SELECT doc_id, avg_logprob_kn,
+         |    CAST(floor(avg_logprob_kn * 100) AS BIGINT) AS lp_centi FROM knscore),
+         |kbhist AS (SELECT lp_centi, count(*) AS c FROM kbq GROUP BY lp_centi),
+         |kbcum AS (SELECT lp_centi,
+         |    sum(c) OVER (ORDER BY lp_centi DESC) AS cumc FROM kbhist),
+         |kbtot AS (SELECT count(*) AS n FROM kbq),
+         |kbth AS (SELECT
+         |    max(CASE WHEN cumc >= (n + 2) // 3 THEN lp_centi END) AS t1,
+         |    max(CASE WHEN cumc >= (2 * n + 2) // 3 THEN lp_centi END) AS t2
+         |  FROM kbcum, kbtot),
+         |kbkept AS (SELECT kbq.doc_id,
+         |    CASE WHEN kbq.lp_centi >= kbth.t1 THEN 'head'
+         |         WHEN kbq.lp_centi >= kbth.t2 THEN 'middle'
+         |         ELSE 'tail' END AS ppl_bucket
+         |  FROM kbq, kbth)
+         |SELECT s.doc_id, k.ppl_bucket,
+         |  CAST(len($tokSql) AS BIGINT) AS n_tokens
+         |FROM surv s
+         |JOIN pass ON pass.doc_id = s.doc_id
+         |JOIN kbkept k ON k.doc_id = s.doc_id AND k.ppl_bucket <> 'tail'
          |ORDER BY s.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->

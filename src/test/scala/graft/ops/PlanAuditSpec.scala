@@ -24,6 +24,17 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("KN LM joins every model table as a broadcast; no cartesian, no corpus window") {
+    val p = planOf("text_lm_kn")
+    assert(!p.contains("CartesianProduct"), "KN scorer plans a cartesian product")
+    // the five capped model tables (trigram / b12-context / b23-continuation /
+    // w2-middle / w3-continuation) must reach the trigram rows as broadcast
+    // hash joins — a shuffled join would move the corpus for a bounded table
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5,
+      "capped KN model tables must broadcast")
+    assert(!p.contains("WindowExec"), "KN scoring must not window over documents")
+  }
+
   test("substring-run islands window on (pair, diagonal), never one partition") {
     val p = planOf("dedup_substring_runs")
     // every Window in the plan must carry a partition spec with the pair

@@ -388,7 +388,7 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("crawl ingestion stream: gzip'd WARC segments arrive → page text, incrementally") {
+  test("crawl ingestion stream: gzip AND zstd WARC segments arrive → page text, incrementally") {
     import spark.implicits._
     import graft.ops.WebOps
     val dir = java.nio.file.Files.createTempDirectory("crawl_in_")
@@ -402,6 +402,9 @@ class StreamingSpec extends SparkSuite {
         col("text")).as("rec"))
     val blobs = WebOps.buildCrawlFiles(recs, col("doc_id"), col("rec"), perFile = 5)
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("blob")).toMap
+    val zblobs = WebOps.buildCrawlFiles(recs, col("doc_id"), col("rec"),
+        perFile = 5, codec = "zstd")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("blob")).toMap
     java.nio.file.Files.write(dir.resolve("seg0.warc.gz"), blobs(0L))
 
     val q = StreamingPipeline.crawlStream(spark, dir.toString)
@@ -410,8 +413,10 @@ class StreamingSpec extends SparkSuite {
     try {
       q.processAllAvailable()
       assert(spark.table("crawl_out").count() == 5)
-      // a second segment lands later — only its records are new output
-      java.nio.file.Files.write(dir.resolve("seg1.warc.gz"), blobs(1L))
+      // a second segment lands later — as a ZSTD segment (the mixed-codec
+      // dir newer crawl stores ship): decompress_any routes it through
+      // the from-spec decoder inside the SAME running query
+      java.nio.file.Files.write(dir.resolve("seg1.warc.zst"), zblobs(1L))
       q.processAllAvailable()
       val got = spark.table("crawl_out")
         .select(col("text")).as[String].collect().toSet

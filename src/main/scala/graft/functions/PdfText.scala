@@ -11,13 +11,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * second-biggest document format in real LLM corpora after HTML, now
   * part of the crawl read surface next to [[HtmlToText]].
   *
-  * `pdf_text(binary)` implements the classic-PDF path end to end:
-  * `%PDF` header → `startxref` → cross-reference TABLE walk (with
-  * `/Prev` incremental-update chains, newest entry winning) → trailer
-  * `/Root` → `/Pages` tree recursion → per-page `/Contents` streams
-  * (raw or single `/FlateDecode`, inflated with the same JDK zlib the
-  * gzip path uses) → the text-showing operators. Extraction semantics
-  * (deterministic, shared with the fixture generator):
+  * `pdf_text(binary)` implements BOTH generations of the format:
+  * classic — `%PDF` header → `startxref` → cross-reference TABLE walk
+  * (with `/Prev` incremental-update chains, newest entry winning) —
+  * AND the PDF 1.5+ layout most modern writers emit: cross-reference
+  * STREAMS (`/W` field widths, `/Index` subsections, binary entries,
+  * `/Predictor` 2/10–15 pre-filters inverted after Flate), compressed
+  * objects inside `/ObjStm` containers, and hybrid files whose classic
+  * trailer points at a supplementary stream via `/XRefStm`. Then:
+  * trailer `/Root` → `/Pages` tree recursion → per-page `/Contents`
+  * streams (raw or single `/FlateDecode`, inflated with the same JDK
+  * zlib the gzip path uses) → the text-showing operators. Extraction
+  * semantics (deterministic, shared with the fixture generator):
   *
   *  - `Tj`, `TJ` (kerning numbers ignored), `'` and `"` append their
   *    string; `'`/`"` and the positioning operators `Td`/`TD`/`T*`
@@ -28,10 +33,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    byte pairs; bytes map through Latin-1.
   *
   * Whole-or-refuse, like every container here: null on missing/odd
-  * xref (including PDF 1.5 cross-reference STREAMS — out of the
-  * subset), `/Encrypt` (refuse loudly, never garbage), non-Flate
-  * filters or `/DecodeParms` predictors, malformed objects, cyclic or
-  * over-deep page trees, or output past the bomb ceiling.
+  * xref, `/Encrypt` (refuse loudly, never garbage), non-Flate filters
+  * or predictors outside 1/2/10–15, malformed objects or object
+  * streams, cyclic or over-deep page trees, or output past the bomb
+  * ceiling.
   *
   * `pdf_doc(binary)` is the deterministic single-page writer (catalog,
   * page tree, Helvetica, one Flate content stream, byte-exact xref) —
@@ -257,10 +262,18 @@ object PdfText {
   }
 
   // --------------------------------------------------------------- document
+  private type Dict = scala.collection.mutable.LinkedHashMap[String, Any]
+
   private final class Doc(b: Array[Byte]) {
-    // offsets from the xref table chain (newest first; first write wins)
+    // direct file offsets and in-object-stream locations, from the xref
+    // chain (newest first; first write wins)
     private val offsets = scala.collection.mutable.HashMap[Int, Int]()
+    private val inStream = scala.collection.mutable.HashMap[Int, (Int, Int)]()
+    // parsed /ObjStm cache: num → (first, header pairs, decoded bytes)
+    private val objStms =
+      scala.collection.mutable.HashMap[Int, (Int, Array[(Int, Int)], Array[Byte])]()
     var root: Ref = _
+    private var rootSet = false
 
     def load(): Unit = {
       if (b.length < 16) fail()
@@ -277,46 +290,126 @@ object PdfText {
         case _ => fail()
       }
       var guard = 0
-      var rootSet = false
       while (xrefOff >= 0) {
         guard += 1
         if (guard > 64) fail() // cyclic /Prev chain
         if (xrefOff >= b.length) fail()
         val xp = new P(b, xrefOff)
-        if (!xp.peekIs("xref")) fail() // PDF 1.5 xref STREAM → out of subset
-        xp.expect("xref")
-        xp.ws()
-        while (!xp.peekIs("trailer")) {
-          val start = xp.parseNumber().asInstanceOf[Long].toInt
-          val count = xp.parseNumber().asInstanceOf[Long].toInt
-          if (count < 0 || count > 1000000) fail()
-          var i = 0
-          while (i < count) {
-            xp.ws()
-            if (xp.p + 18 > b.length) fail()
-            val off = new String(b, xp.p, 10, "ISO-8859-1").trim.toInt
-            val kind = b(xp.p + 17).toChar
-            if (kind == 'n' && !offsets.contains(start + i)) offsets(start + i) = off
-            xp.p += 18
-            i += 1
-          }
-          xp.ws()
-        }
-        xp.expect("trailer")
-        val tr = xp.parseObj(0).asInstanceOf[scala.collection.mutable.LinkedHashMap[String, Any]]
-        if (tr.contains("Encrypt")) fail() // refuse encrypted, loudly
-        if (tr.contains("XRefStm")) fail() // hybrid files → out of subset
-        if (!rootSet) tr.get("Root") match {
-          case Some(r: Ref) => root = r; rootSet = true
-          case _ => fail()
-        }
-        xrefOff = tr.get("Prev") match {
-          case Some(l: Long) => l.toInt
-          case None => -1
-          case _ => fail()
-        }
+        xrefOff =
+          if (xp.peekIs("xref")) loadXrefTable(xp)
+          else loadXrefStream(xrefOff) // PDF 1.5 cross-reference stream
       }
       if (!rootSet) fail()
+    }
+
+    /** Classic xref TABLE section at the cursor; returns the next
+      * offset in the chain (/Prev, or the hybrid /XRefStm first).
+      */
+    private def loadXrefTable(xp: P): Int = {
+      xp.expect("xref")
+      xp.ws()
+      while (!xp.peekIs("trailer")) {
+        val start = xp.parseNumber().asInstanceOf[Long].toInt
+        val count = xp.parseNumber().asInstanceOf[Long].toInt
+        if (count < 0 || count > 1000000) fail()
+        var i = 0
+        while (i < count) {
+          xp.ws()
+          if (xp.p + 18 > b.length) fail()
+          val off = new String(b, xp.p, 10, "ISO-8859-1").trim.toInt
+          val kind = b(xp.p + 17).toChar
+          if (kind == 'n' && !known(start + i)) offsets(start + i) = off
+          xp.p += 18
+          i += 1
+        }
+        xp.ws()
+      }
+      xp.expect("trailer")
+      val tr = xp.parseObj(0).asInstanceOf[Dict]
+      if (tr.contains("Encrypt")) fail() // refuse encrypted, loudly
+      if (!rootSet) tr.get("Root") match {
+        case Some(r: Ref) => root = r; rootSet = true
+        case _ => fail()
+      }
+      // hybrid files: the supplementary xref STREAM fills the entries
+      // the table marks free; its own /Prev is ignored (the classic
+      // /Prev carries the chain, per the hybrid-reference layout)
+      tr.get("XRefStm").foreach {
+        case l: Long => loadXrefStream(l.toInt)
+        case _ => fail()
+      }
+      tr.get("Prev") match {
+        case Some(l: Long) => l.toInt
+        case None => -1
+        case _ => fail()
+      }
+    }
+
+    @inline private def known(num: Int): Boolean =
+      offsets.contains(num) || inStream.contains(num)
+
+    /** PDF 1.5 cross-reference STREAM at `off`: /W field widths,
+      * /Index subsections, binary big-endian entries (type 0 free /
+      * 1 file offset / 2 object-stream location); the stream dict IS
+      * the trailer. Returns /Prev or −1.
+      */
+    private def loadXrefStream(off: Int): Int = {
+      val (v, raw) = objAtOffset(off)
+      if (raw == null) fail()
+      val dict = v.asInstanceOf[Dict]
+      if (dict.get("Type") != Some(Name("XRef"))) fail()
+      if (dict.contains("Encrypt")) fail()
+      val data = decodeStream(dict, raw)
+      val w = resolve(dict.getOrElse("W", fail())) match {
+        case s: Seq[_] if s.length == 3 =>
+          s.map { case l: Long => l.toInt; case _ => fail() }
+        case _ => fail()
+      }
+      if (w.exists(x => x < 0 || x > 8)) fail()
+      val entryLen = w.sum
+      if (entryLen <= 0) fail()
+      val size = resolve(dict.getOrElse("Size", fail())).asInstanceOf[Long].toInt
+      val index: Seq[Int] = dict.get("Index").map(resolve(_)) match {
+        case Some(s: Seq[_]) => s.map {
+          case l: Long => l.toInt; case _ => fail()
+        }
+        case None => Seq(0, size)
+        case _ => fail()
+      }
+      if (index.length % 2 != 0) fail()
+      var pos = 0
+      @inline def field(width: Int): Long = {
+        var v2 = 0L
+        var k = 0
+        while (k < width) { v2 = (v2 << 8) | (data(pos) & 0xffL); pos += 1; k += 1 }
+        v2
+      }
+      index.grouped(2).foreach { pair =>
+        val start = pair(0)
+        val count = pair(1)
+        if (count < 0 || count > 1000000) fail()
+        var i = 0
+        while (i < count) {
+          if (pos + entryLen > data.length) fail()
+          val t = if (w(0) == 0) 1L else field(w(0))
+          val f1 = field(w(1))
+          val f2 = field(w(2))
+          t match {
+            case 1L => if (!known(start + i)) offsets(start + i) = f1.toInt
+            case 2L => if (!known(start + i)) inStream(start + i) = (f1.toInt, f2.toInt)
+            case _ => // free / unknown types: skipped per spec
+          }
+          i += 1
+        }
+      }
+      if (!rootSet) dict.get("Root") match {
+        case Some(r: Ref) => root = r; rootSet = true
+        case _ => fail()
+      }
+      resolve(dict.getOrElse("Prev", -1L)) match {
+        case l: Long => l.toInt
+        case _ => fail()
+      }
     }
 
     def resolve(v: Any, depth: Int = 0): Any = v match {
@@ -324,12 +417,13 @@ object PdfText {
       case other => other
     }
 
-    /** (value, streamBytesOrNull) of object `num`. */
-    def obj(num: Int): (Any, Array[Byte]) = {
-      val off = offsets.getOrElse(num, fail())
+    /** Parse `N G obj …` at a file offset. */
+    private def objAtOffset(off: Int): (Any, Array[Byte]) = {
       val op = new P(b, off)
-      val n = op.parseNumber().asInstanceOf[Long].toInt
-      if (n != num) fail()
+      op.parseNumber() match {
+        case _: Long =>
+        case _ => fail()
+      }
       op.parseNumber() // generation
       op.expect("obj")
       val v = op.parseObj(0)
@@ -339,7 +433,7 @@ object PdfText {
         // EOL after the keyword: CRLF or LF
         if (op.u8(op.p) == '\r') op.p += 1
         if (op.u8(op.p) == '\n') op.p += 1
-        val dict = v.asInstanceOf[scala.collection.mutable.LinkedHashMap[String, Any]]
+        val dict = v.asInstanceOf[Dict]
         val len = resolve(dict.getOrElse("Length", fail())) match {
           case l: Long => l.toInt
           case _ => fail()
@@ -350,15 +444,124 @@ object PdfText {
       } else (v, null)
     }
 
-    def decodeStream(dict: scala.collection.mutable.LinkedHashMap[String, Any],
-        raw: Array[Byte]): Array[Byte] = {
-      if (dict.contains("DecodeParms")) fail() // predictors unsupported
-      dict.get("Filter") match {
-        case None => raw
-        case Some(Name("FlateDecode")) => inflateZlib(raw)
-        case Some(seq: Seq[_]) if seq == Seq(Name("FlateDecode")) => inflateZlib(raw)
+    /** (value, streamBytesOrNull) of object `num` — from its file
+      * offset, or out of its compressed /ObjStm container.
+      */
+    def obj(num: Int): (Any, Array[Byte]) =
+      offsets.get(num) match {
+        case Some(off) => objAtOffset(off)
+        case None =>
+          val (stmNum, idx2) = inStream.getOrElse(num, fail())
+          val (first, pairs, data) = objStms.getOrElseUpdate(stmNum, {
+            val (sv, sraw) = offsets.get(stmNum) match {
+              case Some(o) => objAtOffset(o)
+              case None => fail() // an objstm can't live inside an objstm
+            }
+            val sd = sv.asInstanceOf[Dict]
+            if (sd.get("Type") != Some(Name("ObjStm"))) fail()
+            if (sraw == null) fail()
+            val n = resolve(sd.getOrElse("N", fail())).asInstanceOf[Long].toInt
+            val first2 = resolve(sd.getOrElse("First", fail())).asInstanceOf[Long].toInt
+            if (n < 0 || n > 100000) fail()
+            val dec = decodeStream(sd, sraw)
+            val hp = new P(dec, 0)
+            val prs = new Array[(Int, Int)](n)
+            var i = 0
+            while (i < n) {
+              val on = hp.parseNumber().asInstanceOf[Long].toInt
+              val rel = hp.parseNumber().asInstanceOf[Long].toInt
+              prs(i) = (on, rel)
+              i += 1
+            }
+            (first2, prs, dec)
+          })
+          if (idx2 < 0 || idx2 >= pairs.length) fail()
+          val (onum, rel) = pairs(idx2)
+          if (onum != num) fail()
+          if (first + rel >= data.length) fail()
+          val vp = new P(data, first + rel)
+          (vp.parseObj(0), null) // in-stream objects carry no streams
+      }
+
+    def decodeStream(dict: Dict, raw: Array[Byte]): Array[Byte] = {
+      val inflated = resolve(dict.getOrElse("Filter", null)) match {
+        case null => raw
+        case Name("FlateDecode") => inflateZlib(raw)
+        case seq: Seq[_] if seq == Seq(Name("FlateDecode")) => inflateZlib(raw)
         case _ => fail() // other filters out of the subset
       }
+      resolve(dict.getOrElse("DecodeParms", null)) match {
+        case null => inflated
+        case d: Dict @unchecked => unpredict(d, inflated)
+        case seq: Seq[_] if seq.length == 1 => seq.head match {
+          case d: Dict @unchecked => unpredict(d, inflated)
+          case null => inflated
+          case _ => fail()
+        }
+        case _ => fail()
+      }
+    }
+
+    /** Invert the /Predictor pre-filter: 1 = none, 2 = TIFF horizontal
+      * (8-bit), 10–15 = the PNG row filters (None/Sub/Up/Average/Paeth
+      * per-row tags). Anything else is outside the subset.
+      */
+    private def unpredict(parms: Dict, data: Array[Byte]): Array[Byte] = {
+      val pred = resolve(parms.getOrElse("Predictor", 1L)).asInstanceOf[Long].toInt
+      if (pred == 1) return data
+      val colors = resolve(parms.getOrElse("Colors", 1L)).asInstanceOf[Long].toInt
+      val bpc = resolve(parms.getOrElse("BitsPerComponent", 8L)).asInstanceOf[Long].toInt
+      val columns = resolve(parms.getOrElse("Columns", 1L)).asInstanceOf[Long].toInt
+      if (bpc != 8 || colors < 1 || columns < 1) fail()
+      val bpp = colors
+      val rowLen = columns * colors
+      if (pred == 2) { // TIFF horizontal differencing
+        val out = data.clone()
+        var r = 0
+        while (r + rowLen <= out.length) {
+          var i = bpp
+          while (i < rowLen) {
+            out(r + i) = ((out(r + i) + out(r + i - bpp)) & 0xff).toByte
+            i += 1
+          }
+          r += rowLen
+        }
+        return out
+      }
+      if (pred < 10 || pred > 15) fail()
+      // PNG predictors: each row is 1 tag byte + rowLen filtered bytes
+      val stride = rowLen + 1
+      if (data.length % stride != 0) fail()
+      val rows = data.length / stride
+      val out = new Array[Byte](rows * rowLen)
+      var r = 0
+      while (r < rows) {
+        val tag = data(r * stride) & 0xff
+        var i = 0
+        while (i < rowLen) {
+          val x = data(r * stride + 1 + i) & 0xff
+          val left = if (i >= bpp) out(r * rowLen + i - bpp) & 0xff else 0
+          val up = if (r > 0) out((r - 1) * rowLen + i) & 0xff else 0
+          val ul = if (r > 0 && i >= bpp) out((r - 1) * rowLen + i - bpp) & 0xff else 0
+          val v = tag match {
+            case 0 => x
+            case 1 => x + left
+            case 2 => x + up
+            case 3 => x + (left + up) / 2
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left)
+              val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            case _ => fail()
+          }
+          out(r * rowLen + i) = (v & 0xff).toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
     }
 
     private def inflateZlib(raw: Array[Byte]): Array[Byte] = {

@@ -47,6 +47,15 @@ class PdfTextSpec extends AnyFunSuite {
     assert(extract(fixture("update")) == "updated revision text")
   }
 
+  test("PDF 1.5: xref STREAM (predictor 12) + /ObjStm compressed objects") {
+    assert(extract(fixture("xrefstream")) ==
+      "modern xref stream text\nsecond modern line")
+  }
+
+  test("hybrid file: classic table + /XRefStm supplementary stream") {
+    assert(extract(fixture("hybrid")) == "hybrid file text")
+  }
+
   test("writer round trip: pdf_text(pdf_doc(text)) == text incl. escapes") {
     for (t <- Seq(
       "plain ascii text",
@@ -70,8 +79,8 @@ class PdfTextSpec extends AnyFunSuite {
     val enc = new String(good, "ISO-8859-1")
       .replace("/Size", "/Encrypt 9 0 R /Size").getBytes("ISO-8859-1")
     assert(PdfText.extract(enc) == null)
-    // a cross-reference STREAM (PDF 1.5): startxref points at an object,
-    // not an 'xref' keyword -> outside the subset, refuse
+    // startxref pointing at a NON-XRef object (here: a content stream)
+    // must refuse — not be misread as a cross-reference stream
     val xs = new String(good, "ISO-8859-1")
     val objAt = xs.indexOf("4 0 obj")
     val xrefStream = xs.replaceAll("startxref\\n\\d+", s"startxref\\n$objAt")

@@ -121,3 +121,111 @@ upd.obj(4, b"<< /Length %d >>" % len(c_new), stream=c_new)
 upd.finish(prev=first_xref, size=5)
 open(os.path.join(OUT, "update.pdf"), "wb").write(upd.buf)
 print("update.pdf ->", repr("updated revision text"))
+
+
+def xref_stream_entry(w, t, f1, f2):
+    out = b""
+    for width, v in zip(w, (t, f1, f2)):
+        out += v.to_bytes(width, "big")
+    return out
+
+
+def png_up_filter(data, row_len):
+    """Apply the PNG 'Up' filter (tag 2) row-wise — the predictor-12
+    pre-filter modern writers use on xref streams."""
+    rows = [data[i:i + row_len] for i in range(0, len(data), row_len)]
+    out = bytearray()
+    prev = bytes(row_len)
+    for row in rows:
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(row_len))
+        prev = row
+    return bytes(out)
+
+
+# 5. PDF 1.5: xref STREAM (predictor 12) + objects in an /ObjStm
+buf = bytearray(b"%PDF-1.5\n")
+offsets = {}
+
+
+def emit(num, body, stream=None):
+    offsets[num] = len(buf)
+    buf.extend(b"%d 0 obj " % num + body)
+    if stream is not None:
+        buf.extend(b" stream\n" + stream + b"\nendstream")
+    buf.extend(b" endobj\n")
+
+
+# object stream 6 holds objects 1 (catalog), 2 (pages), 3 (page)
+inner = [
+    (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+    (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+    (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+]
+hdr = b""
+body = b""
+for num, ob in inner:
+    hdr += b"%d %d " % (num, len(body))
+    body += ob + b" "
+objstm_payload = hdr + body
+first = len(hdr)
+flate_stm = zlib.compress(objstm_payload, 9)
+content = b"BT /F1 9 Tf 40 700 Td (modern xref stream text) Tj " \
+    b"(second modern line) ' ET"
+flate_content = zlib.compress(content, 9)
+emit(4, b"<< /Length %d /Filter /FlateDecode >>" % len(flate_content),
+     stream=flate_content)
+emit(6, b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+     % (len(inner), first, len(flate_stm)), stream=flate_stm)
+# xref stream object 7: W [1 2 1]; entries for objects 0-7
+w = (1, 2, 1)
+xref_at = len(buf)
+entries = b"".join([
+    xref_stream_entry(w, 0, 0, 255),          # 0 free
+    xref_stream_entry(w, 2, 6, 0),            # 1 in objstm 6, idx 0
+    xref_stream_entry(w, 2, 6, 1),            # 2 in objstm 6, idx 1
+    xref_stream_entry(w, 2, 6, 2),            # 3 in objstm 6, idx 2
+    xref_stream_entry(w, 1, offsets[4], 0),   # 4 file
+    xref_stream_entry(w, 0, 0, 0),            # 5 free
+    xref_stream_entry(w, 1, offsets[6], 0),   # 6 file
+    xref_stream_entry(w, 1, xref_at, 0),      # 7 the xref stream itself
+])
+row_len = sum(w)
+filtered = png_up_filter(entries, row_len)
+xdata = zlib.compress(filtered, 9)
+emit(7, b"<< /Type /XRef /W [1 2 1] /Size 8 /Root 1 0 R "
+     b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns %d >> "
+     b"/Length %d >>" % (row_len, len(xdata)), stream=xdata)
+buf.extend(b"startxref\n%d\n%%%%EOF\n" % xref_at)
+open(os.path.join(OUT, "xrefstream.pdf"), "wb").write(buf)
+print("xrefstream.pdf ->", repr("modern xref stream text\nsecond modern line"))
+
+# 6. hybrid: classic table marks the page objects free; /XRefStm points
+#    at a supplementary xref stream that locates them in an /ObjStm
+buf = bytearray(b"%PDF-1.5\n")
+offsets = {}
+c2 = b"BT (hybrid file text) Tj ET"
+emit(4, b"<< /Length %d >>" % len(c2), stream=c2)
+emit(6, b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+     % (len(inner), first, len(flate_stm)), stream=flate_stm)
+xstm_at = len(buf)
+entries = b"".join([
+    xref_stream_entry(w, 2, 6, 0),
+    xref_stream_entry(w, 2, 6, 1),
+    xref_stream_entry(w, 2, 6, 2),
+])
+xdata = zlib.compress(entries, 9)
+emit(7, b"<< /Type /XRef /W [1 2 1] /Size 8 /Index [1 3] /Root 1 0 R "
+     b"/Filter /FlateDecode /Length %d >>" % len(xdata), stream=xdata)
+xref_at = len(buf)
+buf.extend(b"xref\n0 8\n")
+buf.extend(b"0000000000 65535 f \n")
+for n in range(1, 8):
+    if n in offsets:
+        buf.extend(b"%010d 00000 n \n" % offsets[n])
+    else:
+        buf.extend(b"0000000000 65535 f \n")
+buf.extend(b"trailer << /Size 8 /Root 1 0 R /XRefStm %d >>\n" % xstm_at)
+buf.extend(b"startxref\n%d\n%%%%EOF\n" % xref_at)
+open(os.path.join(OUT, "hybrid.pdf"), "wb").write(buf)
+print("hybrid.pdf ->", repr("hybrid file text"))

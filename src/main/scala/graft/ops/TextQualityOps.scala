@@ -509,6 +509,215 @@ object TextQualityOps {
       .withColumnRenamed("avg_logprob_kn", "__score"), docId)
       .withColumnRenamed("__score", "avg_logprob_kn")
 
+  /** MODIFIED KNESER-NEY **5-gram** LM score — the exact order of
+    * CCNet's published filter (Wenzek et al. 2020 use KenLM's 5-gram
+    * modified-KN models), extending [[knTrigramLogProb]]'s ladder two
+    * orders up:
+    *
+    *   p₅(w₅|w₁..w₄) = (c(g₅) − D₅(c))⁺/c(w₁..w₄) + γ₅·p₄(w₅|w₂w₃w₄)
+    *   p₄(w₅|w₂w₃w₄) = (N₁₊(•w₂..w₅) − D₄)⁺/N₁₊(•w₂w₃w₄•) + γ₄·p₃
+    *   p₃(w₅|w₃w₄)   = (N₁₊(•w₃w₄w₅) − D₃)⁺/N₁₊(•w₃w₄•)   + γ₃·p₂
+    *   p₂(w₅|w₄)     = (N₁₊(•w₄w₅) − D₂)⁺/N₁₊(•w₄•)       + γ₂·p₁
+    *   p₁(w₅)        = (N₁₊(•w₅) + 1)/(N₁₊(••) + V)
+    *
+    * Only the top order uses raw counts; each middle order's ĉ is a
+    * continuation count — the number of distinct NEXT-higher-order raw
+    * n-gram types ending in the gram (Chen & Goodman 1999 eq. 18) — and
+    * each order carries its own three-discount set D₁/D₂/D₃₊ derived
+    * from that order's count-of-counts (same Y/Dᵢ arithmetic and slot
+    * defaults as [[knTrigramLogProb]]). A context missing from its
+    * (capped) denominator table falls through to the next order whole.
+    *
+    * Scale shape is unchanged: nine model tables (the 5-gram LM, the
+    * w₁..w₄ context table, and a continuation + denominator table pair
+    * per middle order plus the unigram-continuation floor), each
+    * df-capped deterministically (magnitude desc / key asc) at
+    * `maxVocab` and broadcast; count-of-counts are four tiny aggregates
+    * over the PRE-cap tables; all arithmetic is closed-form over
+    * integers so the oracle replays it to the bit. Docs with < 5 tokens
+    * are absent (no 5-gram evidence).
+    */
+  def kn5LogProb(df: DataFrame, docId: String, textCol: String,
+                 maxVocab: Int = 65536): DataFrame = {
+    val arr = df.select(col(docId), toks(col(textCol)).as("__l"))
+    val tok = arr.select(col(docId), explode(col("__l")).as("t"))
+    val vTot = tok.agg(count_distinct(col("t")).as("__v"))
+    val pp = (i: Int) => col("__p").getItem(i)
+    val g5 = arr
+      .select(col(docId), explode(TextOps.shinglesOf(col("__l"), 5)).as("g5"))
+      .withColumn("__p", split(col("g5"), " "))
+      .withColumn("b1234", concat_ws(" ", pp(0), pp(1), pp(2), pp(3)))
+      .withColumn("s2345", concat_ws(" ", pp(1), pp(2), pp(3), pp(4)))
+      .withColumn("c234", concat_ws(" ", pp(1), pp(2), pp(3)))
+      .withColumn("s345", concat_ws(" ", pp(2), pp(3), pp(4)))
+      .withColumn("c34", concat_ws(" ", pp(2), pp(3)))
+      .withColumn("s45", concat_ws(" ", pp(3), pp(4)))
+      .withColumn("w4", pp(3))
+      .withColumn("w5", pp(4))
+      .drop("__p")
+    // raw 5-gram counts, carrying the derived keys (all functions of g5)
+    val g5cFull = g5.groupBy(col("g5"), col("b1234"), col("s2345"),
+      col("c234")).agg(count(lit(1)).as("ct"))
+    val g5c = g5cFull.select(col("g5"), col("ct"))
+    // per-order count-of-counts helper (PRE-cap, for the discounts)
+    def coc(dfc: DataFrame, cc: String, pfx: String): DataFrame = dfc.agg(
+      sum(when(col(cc) === 1, 1L).otherwise(0L)).as(pfx + "_n1"),
+      sum(when(col(cc) === 2, 1L).otherwise(0L)).as(pfx + "_n2"),
+      sum(when(col(cc) === 3, 1L).otherwise(0L)).as(pfx + "_n3"),
+      sum(when(col(cc) === 4, 1L).otherwise(0L)).as(pfx + "_n4"))
+    val coc5 = coc(g5c, "ct", "a")
+    // raw lower-order n-gram count tables (their TYPES feed the
+    // continuation ladder), each carrying its suffix/prefix keys
+    val q4c = arr.select(explode(TextOps.shinglesOf(col("__l"), 4)).as("q4"))
+      .withColumn("__p", split(col("q4"), " "))
+      .select(col("q4"), concat_ws(" ", pp(1), pp(2), pp(3)).as("s345k"),
+        concat_ws(" ", pp(1), pp(2)).as("c34k"))
+      .groupBy(col("q4"), col("s345k"), col("c34k"))
+      .agg(count(lit(1)).as("cq4"))
+    val q3c = arr.select(explode(TextOps.shinglesOf(col("__l"), 3)).as("q3"))
+      .withColumn("__p", split(col("q3"), " "))
+      .select(col("q3"), concat_ws(" ", pp(1), pp(2)).as("s45k"),
+        pp(1).as("w4k"))
+      .groupBy(col("q3"), col("s45k"), col("w4k"))
+      .agg(count(lit(1)).as("cq3"))
+    val q2c = arr.select(explode(TextOps.shinglesOf(col("__l"), 2)).as("q2"))
+      .withColumn("__p", split(col("q2"), " "))
+      .select(col("q2"), pp(1).as("w5k"))
+      .groupBy(col("q2"), col("w5k")).agg(count(lit(1)).as("cq2"))
+    // top-order context table: raw 4-gram count + follower classes from
+    // the raw 5-gram type counts — ONE table so presence is consistent
+    val nf5 = g5cFull.groupBy(col("b1234")).agg(
+      sum(when(col("ct") === 1, 1L).otherwise(0L)).as("nf1"),
+      sum(when(col("ct") === 2, 1L).otherwise(0L)).as("nf2"),
+      sum(when(col("ct") >= 3, 1L).otherwise(0L)).as("nf3p"))
+    val ctx5 = q4c.select(col("q4").as("b1234"), col("cq4").as("cb1234"))
+      .join(nf5, Seq("b1234"), "left")
+      .select(col("b1234"), col("cb1234"),
+        coalesce(col("nf1"), lit(0L)).as("nf1"),
+        coalesce(col("nf2"), lit(0L)).as("nf2"),
+        coalesce(col("nf3p"), lit(0L)).as("nf3p"))
+    // order-4 continuation: distinct 5-gram types per 4-suffix, and the
+    // per-context (w2w3w4) denominators / follower classes
+    val cont4F = g5cFull.groupBy(col("s2345"), col("c234"))
+      .agg(count(lit(1)).as("n4"))
+    val cont4 = cont4F.select(col("s2345"), col("n4"))
+    val coc4 = coc(cont4, "n4", "b")
+    val den4 = cont4F.groupBy(col("c234")).agg(
+      sum(col("n4")).as("d4"),
+      sum(when(col("n4") === 1, 1L).otherwise(0L)).as("e4_1"),
+      sum(when(col("n4") === 2, 1L).otherwise(0L)).as("e4_2"),
+      sum(when(col("n4") >= 3, 1L).otherwise(0L)).as("e4_3p"))
+    // order-3 continuation from raw 4-gram TYPES
+    val cont3F = q4c.groupBy(col("s345k"), col("c34k"))
+      .agg(count(lit(1)).as("n3"))
+    val cont3 = cont3F.select(col("s345k").as("s345"), col("n3"))
+    val coc3 = coc(cont3, "n3", "c")
+    val den3 = cont3F.groupBy(col("c34k")).agg(
+        sum(col("n3")).as("d3"),
+        sum(when(col("n3") === 1, 1L).otherwise(0L)).as("e3_1"),
+        sum(when(col("n3") === 2, 1L).otherwise(0L)).as("e3_2"),
+        sum(when(col("n3") >= 3, 1L).otherwise(0L)).as("e3_3p"))
+      .withColumnRenamed("c34k", "c34")
+    // order-2 continuation from raw trigram TYPES
+    val cont2F = q3c.groupBy(col("s45k"), col("w4k"))
+      .agg(count(lit(1)).as("n2"))
+    val cont2 = cont2F.select(col("s45k").as("s45"), col("n2"))
+    val coc2 = coc(cont2, "n2", "d")
+    val den2 = cont2F.groupBy(col("w4k")).agg(
+        sum(col("n2")).as("d2"),
+        sum(when(col("n2") === 1, 1L).otherwise(0L)).as("e2_1"),
+        sum(when(col("n2") === 2, 1L).otherwise(0L)).as("e2_2"),
+        sum(when(col("n2") >= 3, 1L).otherwise(0L)).as("e2_3p"))
+      .withColumnRenamed("w4k", "w4")
+    // lowest order: unigram continuation counts over raw bigram TYPES
+    val contW = q2c.groupBy(col("w5k")).agg(count(lit(1)).as("nw"))
+      .withColumnRenamed("w5k", "w5")
+    val nbTot = q2c.agg(count(lit(1)).as("__nb"))
+    // deterministic df-caps (magnitude desc / key asc) on every
+    // broadcast table — the scorer's working set stays bounded
+    val g5lm = g5c.orderBy(col("ct").desc, col("g5").asc).limit(maxVocab)
+    val ctx5C = ctx5.orderBy(col("cb1234").desc, col("b1234").asc).limit(maxVocab)
+    val cont4C = cont4.orderBy(col("n4").desc, col("s2345").asc).limit(maxVocab)
+    val den4C = den4.orderBy(col("d4").desc, col("c234").asc).limit(maxVocab)
+    val cont3C = cont3.orderBy(col("n3").desc, col("s345").asc).limit(maxVocab)
+    val den3C = den3.orderBy(col("d3").desc, col("c34").asc).limit(maxVocab)
+    val cont2C = cont2.orderBy(col("n2").desc, col("s45").asc).limit(maxVocab)
+    val den2C = den2.orderBy(col("d2").desc, col("w4").asc).limit(maxVocab)
+    val cwC = contW.orderBy(col("nw").desc, col("w5").asc).limit(maxVocab)
+    // discounts: Y = n1/(n1+2n2); Di = i - (i+1)·Y·n(i+1)/ni, clamped
+    val disc = (n1: Column, n2: Column, n3: Column, n4: Column,
+        slot: Int, dflt: Double) => {
+      val y = n1.cast("double") / (n1 + lit(2) * n2).cast("double")
+      val (num, den, base) = slot match {
+        case 1 => (n2, n1, 1.0); case 2 => (n3, n2, 2.0); case _ => (n4, n3, 3.0)
+      }
+      when(den > 0 && (n1 + lit(2) * n2) > 0,
+        greatest(lit(base) - lit(base + 1) * y * num.cast("double")
+          / den.cast("double"), lit(0.0))).otherwise(lit(dflt))
+    }
+    val scored = g5
+      .join(broadcast(g5lm), Seq("g5"), "left")
+      .join(broadcast(ctx5C), Seq("b1234"), "left")
+      .join(broadcast(cont4C), Seq("s2345"), "left")
+      .join(broadcast(den4C), Seq("c234"), "left")
+      .join(broadcast(cont3C), Seq("s345"), "left")
+      .join(broadcast(den3C), Seq("c34"), "left")
+      .join(broadcast(cont2C), Seq("s45"), "left")
+      .join(broadcast(den2C), Seq("w4"), "left")
+      .join(broadcast(cwC), Seq("w5"), "left")
+      .crossJoin(broadcast(coc5)).crossJoin(broadcast(coc4))
+      .crossJoin(broadcast(coc3)).crossJoin(broadcast(coc2))
+      .crossJoin(broadcast(vTot)).crossJoin(broadcast(nbTot))
+    def d3of(pfx: String): (Column, Column, Column) = (
+      disc(col(pfx + "_n1"), col(pfx + "_n2"), col(pfx + "_n3"),
+        col(pfx + "_n4"), 1, 0.5),
+      disc(col(pfx + "_n1"), col(pfx + "_n2"), col(pfx + "_n3"),
+        col(pfx + "_n4"), 2, 1.0),
+      disc(col(pfx + "_n1"), col(pfx + "_n2"), col(pfx + "_n3"),
+        col(pfx + "_n4"), 3, 1.5))
+    val (aD1, aD2, aD3) = d3of("a")
+    val (bD1, bD2, bD3) = d3of("b")
+    val (cD1, cD2, cD3) = d3of("c")
+    val (dD1, dD2, dD3) = d3of("d")
+    val dOf = (c: Column, d1: Column, d2: Column, d3: Column) =>
+      when(c >= 3, d3).when(c === 2, d2).when(c === 1, d1).otherwise(lit(0.0))
+    val p1 = (coalesce(col("nw"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__nb") + col("__v")).cast("double")
+    def mid(cnt: Column, den: Column, d1: Column, d2: Column, d3: Column,
+        e1: Column, e2: Column, e3p: Column, lower: Column): Column =
+      when(den.isNull, lower).otherwise(
+        greatest(cnt.cast("double") - dOf(cnt, d1, d2, d3), lit(0.0))
+          / den.cast("double")
+          + ((d1 * e1 + d2 * e2 + d3 * e3p) / den.cast("double")) * lower)
+    val p2 = mid(coalesce(col("n2"), lit(0L)), col("d2"), dD1, dD2, dD3,
+      col("e2_1"), col("e2_2"), col("e2_3p"), p1)
+    val p3 = mid(coalesce(col("n3"), lit(0L)), col("d3"), cD1, cD2, cD3,
+      col("e3_1"), col("e3_2"), col("e3_3p"), p2)
+    val p4 = mid(coalesce(col("n4"), lit(0L)), col("d4"), bD1, bD2, bD3,
+      col("e4_1"), col("e4_2"), col("e4_3p"), p3)
+    val ctv = coalesce(col("ct"), lit(0L))
+    val p5 = when(col("cb1234").isNull, p4).otherwise(
+      greatest(ctv.cast("double") - dOf(ctv, aD1, aD2, aD3), lit(0.0))
+        / col("cb1234").cast("double")
+        + ((aD1 * col("nf1") + aD2 * col("nf2") + aD3 * col("nf3p"))
+          / col("cb1234").cast("double")) * p4)
+    scored
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_5grams"),
+        sum(when(col("ct").isNull, 1L).otherwise(0L)).as("n_oov5"),
+        (floor(avg(log(greatest(p5, lit(1e-10)))) * 1e4 + lit(0.5)) / 1e4)
+          .as("avg_logprob_kn5"))
+  }
+
+  /** [[perplexityBuckets]] over the 5-gram modified-KN scorer
+    * ([[kn5LogProb]]) — the full CCNet recipe at its published order.
+    */
+  def kn5PerplexityBuckets(df: DataFrame, docId: String, textCol: String,
+                           maxVocab: Int = 65536): DataFrame =
+    bucketize(kn5LogProb(df, docId, textCol, maxVocab)
+      .withColumnRenamed("avg_logprob_kn5", "__score"), docId)
+      .withColumnRenamed("__score", "avg_logprob_kn5")
+
   /** The scorer-agnostic tercile machinery shared by both bucketing
     * fronts: centi-quantize `__score`, histogram, cumulative count over
     * the bounded cells, inclusive threshold maxima, bucket by broadcast

@@ -212,6 +212,27 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // MODIFIED KNESER-NEY at 5-GRAM order — CCNet's filter at its
+    // PUBLISHED order (KenLM 5-gram modified-KN): raw counts at the top,
+    // continuation counts for the three middle orders, a
+    // unigram-continuation add-one floor, per-order count-of-counts
+    // discounts. The oracle replays the whole 5-order ladder.
+    "text_lm_kn5" -> ((s, dir) => {
+      TextQualityOps.kn5LogProb(Tables.documents(s, dir),
+          "doc_id", "text", maxVocab = 65536)
+        .select(col("doc_id"), col("n_5grams"), col("n_oov5"),
+          col("avg_logprob_kn5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the tercile machinery over the 5-gram KN scorer — the full CCNet
+    // recipe (5-gram modified-KN LM + head/middle/tail split)
+    "text_ppl_buckets_kn5" -> ((s, dir) => {
+      TextQualityOps.kn5PerplexityBuckets(Tables.documents(s, dir),
+          "doc_id", "text", maxVocab = 65536)
+        .orderBy(col("doc_id"))
+    }),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis,
     // derandomized): longer documents proportionally likelier; one bounded
     // min-k aggregation, no RNG, no global sort.
@@ -582,6 +603,181 @@ object CorpusQueries extends QueryPack {
 
   private lazy val knScoreCtes: String = "WITH " + knScoreCtesBody
 
+  /** One order's three modified-KN discounts (D1/D2/D3+) as CASE
+    * expressions over its count-of-counts columns `{p}_n1..{p}_n4` —
+    * the same Y/Di arithmetic and slot defaults as the trigram replay,
+    * emitted once per ladder order of the 5-gram oracle.
+    */
+  private def knDiscCases(p: String): String =
+    s"""CASE WHEN ${p}_n1 > 0 AND (${p}_n1 + 2*${p}_n2) > 0 THEN greatest(
+       |      1.0 - 2.0 * (CAST(${p}_n1 AS DOUBLE) / CAST(${p}_n1 + 2*${p}_n2 AS DOUBLE))
+       |        * CAST(${p}_n2 AS DOUBLE) / CAST(${p}_n1 AS DOUBLE), 0.0)
+       |      ELSE 0.5 END AS ${p}d1,
+       |    CASE WHEN ${p}_n2 > 0 AND (${p}_n1 + 2*${p}_n2) > 0 THEN greatest(
+       |      2.0 - 3.0 * (CAST(${p}_n1 AS DOUBLE) / CAST(${p}_n1 + 2*${p}_n2 AS DOUBLE))
+       |        * CAST(${p}_n3 AS DOUBLE) / CAST(${p}_n2 AS DOUBLE), 0.0)
+       |      ELSE 1.0 END AS ${p}d2,
+       |    CASE WHEN ${p}_n3 > 0 AND (${p}_n1 + 2*${p}_n2) > 0 THEN greatest(
+       |      3.0 - 4.0 * (CAST(${p}_n1 AS DOUBLE) / CAST(${p}_n1 + 2*${p}_n2 AS DOUBLE))
+       |        * CAST(${p}_n4 AS DOUBLE) / CAST(${p}_n3 AS DOUBLE), 0.0)
+       |      ELSE 1.5 END AS ${p}d3""".stripMargin
+
+  /** One order's count-of-counts (n1..n4 of its count column) as a
+    * FROM-list subquery for the 5-gram discount CTE.
+    */
+  private def knCocSql(src: String, cc: String, p: String): String =
+    s"""(SELECT
+       |      sum(CASE WHEN $cc = 1 THEN 1 ELSE 0 END) AS ${p}_n1,
+       |      sum(CASE WHEN $cc = 2 THEN 1 ELSE 0 END) AS ${p}_n2,
+       |      sum(CASE WHEN $cc = 3 THEN 1 ELSE 0 END) AS ${p}_n3,
+       |      sum(CASE WHEN $cc = 4 THEN 1 ELSE 0 END) AS ${p}_n4 FROM $src)""".stripMargin
+
+  /** One middle order's discounted-probability CASE over its
+    * continuation count `cn`, denominator `dn`, follower classes
+    * `e1/e2/e3p`, discounts `{p}d1..{p}d3`, and the next-lower
+    * probability alias `lower` — mirrors
+    * [[graft.ops.TextQualityOps.kn5LogProb]]'s `mid`.
+    */
+  private def knMidSql(cn: String, dn: String, e1: String, e2: String,
+      e3p: String, p: String, lower: String): String =
+    s"""CASE WHEN $dn IS NULL THEN $lower ELSE
+       |      greatest(CAST(coalesce($cn, 0) AS DOUBLE) -
+       |        (CASE WHEN coalesce($cn, 0) >= 3 THEN ${p}d3
+       |              WHEN coalesce($cn, 0) = 2 THEN ${p}d2
+       |              WHEN coalesce($cn, 0) = 1 THEN ${p}d1 ELSE 0.0 END), 0.0)
+       |        / CAST($dn AS DOUBLE)
+       |      + ((${p}d1 * $e1 + ${p}d2 * $e2 + ${p}d3 * $e3p)
+       |        / CAST($dn AS DOUBLE)) * $lower
+       |    END""".stripMargin
+
+  /** DuckDB replay of the full 5-gram modified-KN ladder
+    * ([[graft.ops.TextQualityOps.kn5LogProb]]): raw 5-gram counts →
+    * the w1..w4 context table → continuation counts for orders 4/3/2
+    * from the next-higher raw n-gram TYPES → unigram-continuation
+    * floor → per-order count-of-counts discounts → the interpolated
+    * per-position probability — ending in a `kn5score` CTE.
+    */
+  private[queries] lazy val kn5ScoreCtesBody: String =
+    s"""kn5t AS (SELECT doc_id, $tokSql AS l FROM documents),
+       |kn5p AS (SELECT doc_id, unnest(l) AS t FROM kn5t),
+       |kn5g AS MATERIALIZED (SELECT doc_id,
+       |    l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4] AS g5,
+       |    l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3] AS b1234,
+       |    l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4] AS s2345,
+       |    l[i+1]||' '||l[i+2]||' '||l[i+3] AS c234,
+       |    l[i+2]||' '||l[i+3]||' '||l[i+4] AS s345,
+       |    l[i+2]||' '||l[i+3] AS c34,
+       |    l[i+3]||' '||l[i+4] AS s45,
+       |    l[i+3] AS w4, l[i+4] AS w5
+       |  FROM kn5t, LATERAL (SELECT unnest(generate_series(1, len(l)-4)) AS i) g
+       |  WHERE len(l) >= 5),
+       |kn5c AS MATERIALIZED (SELECT g5, b1234, s2345, c234, count(*) AS ct
+       |  FROM kn5g GROUP BY 1, 2, 3, 4),
+       |kn5q4 AS MATERIALIZED (SELECT
+       |    l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3] AS q4,
+       |    l[i+1]||' '||l[i+2]||' '||l[i+3] AS s345k,
+       |    l[i+1]||' '||l[i+2] AS c34k, count(*) AS cq4
+       |  FROM kn5t, LATERAL (SELECT unnest(generate_series(1, len(l)-3)) AS i) g
+       |  WHERE len(l) >= 4 GROUP BY 1, 2, 3),
+       |kn5q3 AS MATERIALIZED (SELECT l[i]||' '||l[i+1]||' '||l[i+2] AS q3,
+       |    l[i+1]||' '||l[i+2] AS s45k, l[i+1] AS w4k, count(*) AS cq3
+       |  FROM kn5t, LATERAL (SELECT unnest(generate_series(1, len(l)-2)) AS i) g
+       |  WHERE len(l) >= 3 GROUP BY 1, 2, 3),
+       |kn5q2 AS MATERIALIZED (SELECT l[i]||' '||l[i+1] AS q2, l[i+1] AS w5k,
+       |    count(*) AS cq2
+       |  FROM kn5t, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) g
+       |  WHERE len(l) >= 2 GROUP BY 1, 2),
+       |kn5nf AS (SELECT b1234,
+       |    sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS nf1,
+       |    sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS nf2,
+       |    sum(CASE WHEN ct >= 3 THEN 1 ELSE 0 END) AS nf3p
+       |  FROM kn5c GROUP BY 1),
+       |kn5ctx AS MATERIALIZED (SELECT q4 AS b1234, cq4 AS cb1234,
+       |    coalesce(nf1, 0) AS nf1, coalesce(nf2, 0) AS nf2,
+       |    coalesce(nf3p, 0) AS nf3p
+       |  FROM kn5q4 LEFT JOIN kn5nf ON kn5nf.b1234 = kn5q4.q4
+       |  ORDER BY cb1234 DESC, b1234 ASC LIMIT 65536),
+       |kn5c4 AS MATERIALIZED (SELECT s2345, c234, count(*) AS n4
+       |  FROM kn5c GROUP BY 1, 2),
+       |kn5d4 AS MATERIALIZED (SELECT c234, sum(n4) AS d4,
+       |    sum(CASE WHEN n4 = 1 THEN 1 ELSE 0 END) AS e4_1,
+       |    sum(CASE WHEN n4 = 2 THEN 1 ELSE 0 END) AS e4_2,
+       |    sum(CASE WHEN n4 >= 3 THEN 1 ELSE 0 END) AS e4_3p
+       |  FROM kn5c4 GROUP BY 1 ORDER BY d4 DESC, c234 ASC LIMIT 65536),
+       |kn5c4c AS MATERIALIZED (SELECT s2345, n4 FROM kn5c4
+       |  ORDER BY n4 DESC, s2345 ASC LIMIT 65536),
+       |kn5c3 AS MATERIALIZED (SELECT s345k, c34k, count(*) AS n3
+       |  FROM kn5q4 GROUP BY 1, 2),
+       |kn5d3 AS MATERIALIZED (SELECT c34k AS c34, sum(n3) AS d3,
+       |    sum(CASE WHEN n3 = 1 THEN 1 ELSE 0 END) AS e3_1,
+       |    sum(CASE WHEN n3 = 2 THEN 1 ELSE 0 END) AS e3_2,
+       |    sum(CASE WHEN n3 >= 3 THEN 1 ELSE 0 END) AS e3_3p
+       |  FROM kn5c3 GROUP BY 1 ORDER BY d3 DESC, c34 ASC LIMIT 65536),
+       |kn5c3c AS MATERIALIZED (SELECT s345k AS s345, n3 FROM kn5c3
+       |  ORDER BY n3 DESC, s345 ASC LIMIT 65536),
+       |kn5c2 AS MATERIALIZED (SELECT s45k, w4k, count(*) AS n2
+       |  FROM kn5q3 GROUP BY 1, 2),
+       |kn5d2 AS MATERIALIZED (SELECT w4k AS w4, sum(n2) AS d2,
+       |    sum(CASE WHEN n2 = 1 THEN 1 ELSE 0 END) AS e2_1,
+       |    sum(CASE WHEN n2 = 2 THEN 1 ELSE 0 END) AS e2_2,
+       |    sum(CASE WHEN n2 >= 3 THEN 1 ELSE 0 END) AS e2_3p
+       |  FROM kn5c2 GROUP BY 1 ORDER BY d2 DESC, w4 ASC LIMIT 65536),
+       |kn5c2c AS MATERIALIZED (SELECT s45k AS s45, n2 FROM kn5c2
+       |  ORDER BY n2 DESC, s45 ASC LIMIT 65536),
+       |kn5cw AS MATERIALIZED (SELECT w5k AS w5, count(*) AS nw
+       |  FROM kn5q2 GROUP BY 1 ORDER BY nw DESC, w5 ASC LIMIT 65536),
+       |kn5lm AS MATERIALIZED (SELECT g5, ct FROM kn5c
+       |  ORDER BY ct DESC, g5 ASC LIMIT 65536),
+       |kn5tot AS (SELECT (SELECT count(DISTINCT t) FROM kn5p) AS v,
+       |  (SELECT count(*) FROM kn5q2) AS nb),
+       |kn5dd AS (SELECT
+       |    ${knDiscCases("a")},
+       |    ${knDiscCases("b")},
+       |    ${knDiscCases("c")},
+       |    ${knDiscCases("d")}
+       |  FROM ${knCocSql("kn5c", "ct", "a")},
+       |    ${knCocSql("kn5c4", "n4", "b")},
+       |    ${knCocSql("kn5c3", "n3", "c")},
+       |    ${knCocSql("kn5c2", "n2", "d")}),
+       |kn5j AS (SELECT g.doc_id, t.ct, x.cb1234, x.nf1, x.nf2, x.nf3p,
+       |    j4.n4, k4.d4, k4.e4_1, k4.e4_2, k4.e4_3p,
+       |    j3.n3, k3.d3, k3.e3_1, k3.e3_2, k3.e3_3p,
+       |    j2.n2, k2.d2, k2.e2_1, k2.e2_2, k2.e2_3p,
+       |    w.nw, ad1, ad2, ad3, bd1, bd2, bd3, cd1, cd2, cd3,
+       |    dd1, dd2, dd3, v, nb
+       |  FROM kn5g g
+       |  LEFT JOIN kn5lm t USING (g5)
+       |  LEFT JOIN kn5ctx x ON x.b1234 = g.b1234
+       |  LEFT JOIN kn5c4c j4 ON j4.s2345 = g.s2345
+       |  LEFT JOIN kn5d4 k4 ON k4.c234 = g.c234
+       |  LEFT JOIN kn5c3c j3 ON j3.s345 = g.s345
+       |  LEFT JOIN kn5d3 k3 ON k3.c34 = g.c34
+       |  LEFT JOIN kn5c2c j2 ON j2.s45 = g.s45
+       |  LEFT JOIN kn5d2 k2 ON k2.w4 = g.w4
+       |  LEFT JOIN kn5cw w ON w.w5 = g.w5, kn5dd, kn5tot),
+       |kn5pr AS (SELECT doc_id, ct,
+       |    CAST(coalesce(nw, 0) + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE) AS p1,
+       |    ${knMidSql("n2", "d2", "e2_1", "e2_2", "e2_3p", "d", "p1")} AS p2,
+       |    ${knMidSql("n3", "d3", "e3_1", "e3_2", "e3_3p", "c", "p2")} AS p3,
+       |    ${knMidSql("n4", "d4", "e4_1", "e4_2", "e4_3p", "b", "p3")} AS p4,
+       |    CASE WHEN cb1234 IS NULL THEN p4 ELSE
+       |      greatest(CAST(coalesce(ct, 0) AS DOUBLE) -
+       |        (CASE WHEN coalesce(ct, 0) >= 3 THEN ad3
+       |              WHEN coalesce(ct, 0) = 2 THEN ad2
+       |              WHEN coalesce(ct, 0) = 1 THEN ad1 ELSE 0.0 END), 0.0)
+       |        / CAST(cb1234 AS DOUBLE)
+       |      + ((ad1 * nf1 + ad2 * nf2 + ad3 * nf3p)
+       |        / CAST(cb1234 AS DOUBLE)) * p4
+       |    END AS p5
+       |  FROM kn5j),
+       |kn5score AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_5grams,
+       |    CAST(sum(CASE WHEN ct IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov5,
+       |    floor(avg(ln(greatest(p5, 1e-10))) * 1e4 + 0.5) / 1e4 AS avg_logprob_kn5
+       |  FROM kn5pr GROUP BY doc_id)""".stripMargin
+
+  private lazy val kn5ScoreCtes: String = "WITH " + kn5ScoreCtesBody
+
   /** DuckDB replay of the full IVF+PQ path at iters=0: per subspace s the
     * codebook is the 8 corpus subvectors with the smallest md5('pq<s>:'||id)
     * hash (exactly [[graft.ops.KMeansOps]]'s derandomized seeds), codes are
@@ -882,6 +1078,27 @@ object CorpusQueries extends QueryPack {
       s"""$knScoreCtes
          |SELECT doc_id, n_trigrams, n_oov3, avg_logprob_kn
          |FROM knscore ORDER BY doc_id""".stripMargin,
+    "text_lm_kn5" ->
+      s"""$kn5ScoreCtes
+         |SELECT doc_id, n_5grams, n_oov5, avg_logprob_kn5
+         |FROM kn5score ORDER BY doc_id""".stripMargin,
+    "text_ppl_buckets_kn5" ->
+      s"""$kn5ScoreCtes,
+         |kn5bq AS MATERIALIZED (SELECT doc_id, avg_logprob_kn5,
+         |    CAST(floor(avg_logprob_kn5 * 100) AS BIGINT) AS lp_centi FROM kn5score),
+         |kn5bh AS (SELECT lp_centi, count(*) AS c FROM kn5bq GROUP BY lp_centi),
+         |kn5bc AS (SELECT lp_centi,
+         |    sum(c) OVER (ORDER BY lp_centi DESC) AS cumc FROM kn5bh),
+         |kn5bn AS (SELECT count(*) AS n FROM kn5bq),
+         |kn5bt AS (SELECT
+         |    max(CASE WHEN cumc >= (n + 2) // 3 THEN lp_centi END) AS t1,
+         |    max(CASE WHEN cumc >= (2 * n + 2) // 3 THEN lp_centi END) AS t2
+         |  FROM kn5bc, kn5bn)
+         |SELECT kn5bq.doc_id, kn5bq.avg_logprob_kn5, kn5bq.lp_centi,
+         |  CASE WHEN kn5bq.lp_centi >= kn5bt.t1 THEN 'head'
+         |       WHEN kn5bq.lp_centi >= kn5bt.t2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM kn5bq, kn5bt ORDER BY doc_id""".stripMargin,
     // replay of the bucketed-threshold arithmetic: centi-quantized
     // scores, cumulative histogram, inclusive tercile maxima
     "text_ppl_buckets" ->

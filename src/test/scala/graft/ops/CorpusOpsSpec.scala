@@ -391,6 +391,30 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got(1L)._3 <= 0.0, "ln p must be non-positive")
   }
 
+  test("5-gram modified-KN: repetition beats rare text; <5-token docs absent; finite") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e a b c d e a b c d e a b c d e"),
+      (2L, "x y z q w e r t v u i o p l k j h g f d"),
+      (3L, "one two three four")).toDF("doc_id", "text")
+    val got = TextQualityOps.kn5LogProb(docs, "doc_id", "text", maxVocab = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!got.contains(3L), "4-token doc has no 5-gram evidence")
+    assert(got(1L)._1 == 16L && got(2L)._1 == 16L, "20 tokens -> 16 5-grams")
+    assert(got(1L)._3 > got(2L)._3,
+      s"repeated 5-grams must score higher: ${got(1L)._3} vs ${got(2L)._3}")
+    assert(got(2L)._2 > 0, "cap must push doc 2's tail 5-grams OOV")
+    assert(!got(1L)._3.isNegInfinity && !got(2L)._3.isNegInfinity)
+    assert(got(1L)._3 <= 0.0, "ln p must be non-positive")
+    // the 5-gram ladder must use MORE context than the trigram one:
+    // on the heavily-repeated doc its average log-prob is at least as high
+    val tri = TextQualityOps.knTrigramLogProb(docs, "doc_id", "text",
+      maxVocab = 6).collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L)._3 >= tri(1L) - 1.0,
+      "5-gram score on pure repetition should not collapse vs trigram")
+  }
+
   test("c4 rules: line filter, javascript drop, page poisons, kept-text assembly") {
     import spark.implicits._
     val docs = Seq(

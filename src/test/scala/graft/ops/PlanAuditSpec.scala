@@ -35,6 +35,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("WindowExec"), "KN scoring must not window over documents")
   }
 
+  test("5-gram KN joins all nine model tables as broadcasts; no cartesian/window") {
+    val p = planOf("text_lm_kn5")
+    assert(!p.contains("CartesianProduct"), "kn5 scorer plans a cartesian product")
+    // nine capped model tables (5-gram LM, w1..w4 context, and a
+    // continuation + denominator pair per middle order plus the unigram
+    // floor) must reach the 5-gram rows as broadcast hash joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 9,
+      "capped kn5 model tables must broadcast")
+    assert(!p.contains("WindowExec"), "kn5 scoring must not window over documents")
+  }
+
   test("substring-run islands window on (pair, diagonal), never one partition") {
     val p = planOf("dedup_substring_runs")
     // every Window in the plan must carry a partition spec with the pair

@@ -196,6 +196,77 @@ object ExtraQueries extends QueryPack {
     AdtsCfg(mpeg2 = true, 1, 7, 6, 1, 100),   // MPEG-2 LC   22050 5.1
     AdtsCfg(mpeg2 = false, 3, 11, 7, 2, 80))  // MPEG-4 LTP   8000 7.1 2-block
 
+  /** Construction-side Ogg config: RFC 3533 pages sealed with the
+    * engine's own CRC ([[graft.functions.OggMeta.pageCrc]] — the
+    * INDEPENDENT-CRC direction is covered by OggMetaSpec's python
+    * fixtures), a Vorbis or Opus id packet on the BOS page, then
+    * `granStep`-granule audio pages with the EOS bit on the last.
+    */
+  private case class OggCfg(codec: String, channels: Int, rate: Int,
+      brNom: Int, preSkip: Int, granStep: Long) {
+    private val serial = 0x47524146 // arbitrary fixed stream serial
+
+    private def idPacket: Array[Byte] = codec match {
+      case "vorbis" =>
+        val b = java.nio.ByteBuffer.allocate(30)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put(0x01.toByte).put("vorbis".getBytes)
+        b.putInt(0).put(channels.toByte).putInt(rate)
+        b.putInt(0).putInt(brNom).putInt(0)
+        b.put(0xB8.toByte).put(0x01.toByte)
+        b.array()
+      case _ =>
+        val b = java.nio.ByteBuffer.allocate(19)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("OpusHead".getBytes).put(1.toByte).put(channels.toByte)
+        b.putShort(preSkip.toShort).putInt(rate)
+        b.putShort(0.toShort).put(0.toByte)
+        b.array()
+    }
+
+    private def page(payload: Array[Byte], seq: Int, granule: Long,
+        bos: Boolean, eos: Boolean): Array[Byte] = {
+      val hdrType = (if (bos) 2 else 0) | (if (eos) 4 else 0)
+      val out = java.nio.ByteBuffer.allocate(27 + 1 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("OggS".getBytes).put(0.toByte).put(hdrType.toByte)
+      out.putLong(granule).putInt(serial).putInt(seq).putInt(0)
+      out.put(1.toByte).put(payload.length.toByte).put(payload)
+      val b = out.array()
+      val crc = graft.functions.OggMeta.pageCrc(b, 0, b.length)
+      b(22) = (crc & 0xff).toByte
+      b(23) = ((crc >>> 8) & 0xff).toByte
+      b(24) = ((crc >>> 16) & 0xff).toByte
+      b(25) = ((crc >>> 24) & 0xff).toByte
+      b
+    }
+
+    /** Full stream hex with `n` audio pages after the BOS id page. */
+    def streamHex(n: Int): String = {
+      val pages = page(idPacket, 0, 0L, bos = true, eos = false) +:
+        (1 to n).map { i =>
+          val payload = Array.tabulate(16)(k => ((i * 31 + k * 7) % 256).toByte)
+          page(payload, i, preSkip.toLong + granStep * i, bos = false,
+            eos = i == n)
+        }
+      pages.flatten.map(b => f"${b & 0xff}%02X").mkString
+    }
+
+    def durationMs(n: Int): Long = codec match {
+      case "vorbis" => (preSkip.toLong + granStep * n) * 1000L / rate
+      case _ => granStep * n * 1000L / 48000L
+    }
+  }
+
+  /** Four configurations spanning both codecs, mono/stereo, three
+    * rates, and the Opus pre-skip subtraction.
+    */
+  private val oggCfgs: Seq[OggCfg] = Seq(
+    OggCfg("vorbis", 1, 44100, 128000, 0, 44100L), // 1 s pages
+    OggCfg("vorbis", 2, 48000, 192000, 0, 24000L), // 0.5 s pages
+    OggCfg("opus", 1, 48000, 0, 312, 960L),        // 20 ms frames
+    OggCfg("opus", 2, 24000, 0, 0, 48000L))        // 1 s pages, 24k input rate
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A2+A3: per-(user, 10-min bucket) null-ignoring label mean with
     // all-null → 0.0, plus finite-cell validity ratio (reference
@@ -431,6 +502,40 @@ object ExtraQueries extends QueryPack {
           col("m.sample_rate").as("sample_rate"),
           col("m.channels").as("channels"),
           col("m.n_frames").as("n_frames"),
+          col("m.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Ogg container walk - the third lossy-audio transport: per document
+    // a CRC-sealed Ogg stream (four codec configs by doc_id%4 spanning
+    // Vorbis/Opus, mono/stereo, three rates and the Opus pre-skip
+    // subtraction; 1-3 audio pages by doc_id%3) walked back by
+    // audio_ogg_meta; doc_id%9=0 rows carry a flipped payload byte under
+    // a stale CRC and must refuse to null. The oracle states every
+    // output as a closed form of doc_id.
+    "mm_audio_ogg_meta" -> ((s, dir) => {
+      graft.functions.OggMeta.register(s)
+      val streamCase = "CASE (doc_id % 4) * 3 + (doc_id % 3) " +
+        (for (c <- 0 until 4; n <- 0 until 3)
+          yield s"WHEN ${c * 3 + n} THEN '${oggCfgs(c).streamHex(n + 1)}'")
+          .mkString(" ") + " END"
+      val goodHex = oggCfgs.head.streamHex(1)
+      val badHex = goodHex.dropRight(2) +
+        (if (goodHex.endsWith("00")) "FF" else "00")
+      val blobHex =
+        s"""CASE WHEN doc_id % 9 = 0 THEN '$badHex'
+           |ELSE $streamCase END""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($blobHex)"))
+        .selectExpr("doc_id", "audio_ogg_meta(blob) AS m")
+        .select(col("doc_id"),
+          col("m").isNotNull.as("ok"),
+          col("m.codec").as("codec"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bitrate_nominal").as("bitrate_nominal"),
+          col("m.pre_skip").as("pre_skip"),
+          col("m.n_pages").as("n_pages"),
           col("m.duration_ms").as("duration_ms"))
         .orderBy(col("doc_id"))
     }),
@@ -1261,6 +1366,41 @@ object ExtraQueries extends QueryPack {
          |  CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
          |    ELSE (1 + doc_id % 5) * ${cfgCase(_.samplesPerFrame)} * 1000
          |      // ${cfgCase(_.sampleRate)} END AS BIGINT) AS duration_ms
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // closed-form replay of the four-config Ogg construction; stale-CRC
+    // rows (doc_id%9=0) are refused to all-null
+    "mm_audio_ogg_meta" -> {
+      def cfgCase(f: OggCfg => Any): String =
+        "CASE doc_id % 4 " + oggCfgs.zipWithIndex.map { case (c, i) =>
+          f(c) match {
+            case s: String => s"WHEN $i THEN '$s'"
+            case v => s"WHEN $i THEN $v"
+          }
+        }.mkString(" ") + " END"
+      // per-page duration divides evenly for every config:
+      // granStep*1000/rate (vorbis) or granStep*1000/48000 (opus)
+      def durPerPage(c: OggCfg): Long = c.codec match {
+        case "vorbis" => c.granStep * 1000L / c.rate
+        case _ => c.granStep * 1000L / 48000L
+      }
+      s"""SELECT doc_id,
+         |  (doc_id % 9 <> 0) AS ok,
+         |  CASE WHEN doc_id % 9 = 0 THEN NULL
+         |    ELSE ${cfgCase(_.codec)} END AS codec,
+         |  CAST(CASE WHEN doc_id % 9 = 0 THEN NULL
+         |    ELSE ${cfgCase(_.channels)} END AS INT) AS channels,
+         |  CAST(CASE WHEN doc_id % 9 = 0 THEN NULL
+         |    ELSE ${cfgCase(_.rate)} END AS INT) AS sample_rate,
+         |  CAST(CASE WHEN doc_id % 9 = 0 OR doc_id % 4 >= 2 THEN NULL
+         |    ELSE ${cfgCase(_.brNom)} END AS INT) AS bitrate_nominal,
+         |  CAST(CASE WHEN doc_id % 9 = 0 OR doc_id % 4 < 2 THEN NULL
+         |    ELSE ${cfgCase(_.preSkip)} END AS INT) AS pre_skip,
+         |  CAST(CASE WHEN doc_id % 9 = 0 THEN NULL
+         |    ELSE 2 + doc_id % 3 END AS INT) AS n_pages,
+         |  CAST(CASE WHEN doc_id % 9 = 0 THEN NULL
+         |    ELSE (1 + doc_id % 3) * ${cfgCase(durPerPage)} END AS BIGINT)
+         |    AS duration_ms
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     // every fixture's gray as a closed form of (img, x, y)

@@ -184,6 +184,43 @@ object ImageHeader {
       }
       return null
     }
+    // TIFF: "II*\0" (little-endian) / "MM\0*" (big-endian) + an IFD0
+    // walk for ImageWidth (256) / ImageLength (257) — the scanned-
+    // document container. SHORT (type 3) and LONG (type 4) values are
+    // LEFT-JUSTIFIED in the 4-byte value field (TIFF 6.0 §2), so a
+    // SHORT reads from the field's first two bytes in file byte order.
+    // Whole-or-refuse: null on a bad magic, an out-of-range IFD offset,
+    // a truncated entry table, missing/zero dimensions, or multi-count
+    // dimension tags.
+    if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 42))) {
+      val littleEndian = b(0) == 'I'
+      def r16(i: Int): Int = if (littleEndian) le16(b, i) else be16(b, i)
+      def r32(i: Int): Int = if (littleEndian) le32(b, i) else be32(b, i)
+      val ifd = r32(4)
+      if (ifd < 8 || ifd + 2 > b.length) return null
+      val n = r16(ifd)
+      if (n <= 0 || ifd + 2 + 12 * n > b.length) return null
+      var w = -1
+      var h = -1
+      var e = 0
+      while (e < n) {
+        val off = ifd + 2 + 12 * e
+        val tag = r16(off)
+        if (tag == 256 || tag == 257) {
+          if (r32(off + 4) != 1) return null // multi-count dims: refuse
+          val v = r16(off + 2) match {
+            case 3 => r16(off + 8) // SHORT, left-justified
+            case 4 => r32(off + 8) // LONG
+            case _ => return null
+          }
+          if (tag == 256) w = v else h = v
+        }
+        e += 1
+      }
+      return if (w > 0 && h > 0) row("tiff", w, h) else null
+    }
     null
   }
 }

@@ -410,6 +410,56 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // TIFF IFD walk - the scanned-document image container: per document
+    // a TIFF header in one of four constructions (LE/BE x SHORT/LONG
+    // dimension types, an offset IFD behind pad bytes, an extra
+    // BitsPerSample entry the walk must step over) read back by
+    // image_header's IFD0 walk; doc_id%7=0 rows carry magic 43 and must
+    // refuse to null. The oracle states width/height by arithmetic.
+    "mm_image_tiff_meta" -> ((s, dir) => {
+      graft.functions.ImageHeader.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      def be(x: String, bytes: Int) = s"lpad(hex($x), ${2 * bytes}, '0')"
+      val wS = "(doc_id % 800 + 1)"
+      val hS = "(doc_id % 600 + 1)"
+      def tagLe(t: Int) = f"${t & 0xff}%02X${(t >> 8) & 0xff}%02X"
+      def tagBe(t: Int) = f"$t%04X"
+      // 12-byte IFD entries, count 1, value left-justified
+      def eLeS(t: Int, v: String) =
+        s"concat('${tagLe(t)}', '0300', '01000000', ${le(v, 2)}, '0000')"
+      def eLeL(t: Int, v: String) =
+        s"concat('${tagLe(t)}', '0400', '01000000', ${le(v, 4)})"
+      def eBeS(t: Int, v: String) =
+        s"concat('${tagBe(t)}', '0003', '00000001', ${be(v, 2)}, '0000')"
+      def eBeL(t: Int, v: String) =
+        s"concat('${tagBe(t)}', '0004', '00000001', ${be(v, 4)})"
+      val cfg0 = s"concat('49492A00', '08000000', '0200', " +
+        s"${eLeS(256, wS)}, ${eLeS(257, hS)}, '00000000')"
+      val cfg1 = s"concat('4D4D002A', '00000008', '0002', " +
+        s"${eBeL(256, wS)}, ${eBeL(257, hS)}, '00000000')"
+      val cfg2 = s"concat('49492A00', '10000000', 'DEADBEEF00000000', " +
+        s"'0200', ${eLeL(256, wS)}, ${eLeL(257, hS)}, '00000000')"
+      val cfg3 = s"concat('4D4D002A', '00000008', '0003', " +
+        s"${eBeS(258, "8")}, ${eBeS(256, wS)}, ${eBeS(257, hS)}, '00000000')"
+      val blobHex =
+        s"""CASE WHEN doc_id % 7 = 0 THEN '49492B0008000000'
+           |WHEN doc_id % 4 = 0 THEN $cfg0
+           |WHEN doc_id % 4 = 1 THEN $cfg1
+           |WHEN doc_id % 4 = 2 THEN $cfg2
+           |ELSE $cfg3 END""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($blobHex)"))
+        .selectExpr("doc_id", "image_header(blob) AS m")
+        .select(col("doc_id"),
+          col("m").isNotNull.as("ok"),
+          col("m.format").as("format"),
+          col("m.width").as("width"),
+          col("m.height").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Real header-only AUDIO decode (graft.functions.AudioHeader): WAV
     // containers with a variable-length JUNK chunk before `fmt ` (the
     // parser must actually walk the RIFF chunks) and FLAC STREAMINFO
@@ -1368,6 +1418,17 @@ object ExtraQueries extends QueryPack {
          |      // ${cfgCase(_.sampleRate)} END AS BIGINT) AS duration_ms
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // closed-form replay of the four-construction TIFF walk; magic-43
+    // rows (doc_id%7=0) are refused to all-null
+    "mm_image_tiff_meta" ->
+      """SELECT doc_id,
+        |  (doc_id % 7 <> 0) AS ok,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'tiff' END AS format,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL
+        |    ELSE doc_id % 800 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL
+        |    ELSE doc_id % 600 + 1 END AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // closed-form replay of the four-config Ogg construction; stale-CRC
     // rows (doc_id%9=0) are refused to all-null
     "mm_audio_ogg_meta" -> {

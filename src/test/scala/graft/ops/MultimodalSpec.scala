@@ -65,6 +65,48 @@ class MultimodalSpec extends SparkSuite {
     assert(got(3L).contains(("bmp", 64, 48)))
   }
 
+  test("tiff headers: both endiannesses, SHORT/LONG dims, offset IFD, refusals") {
+    // hand-computed: LE SHORT 320x200 at IFD 8
+    val leShort = hexBytes("49492A00 08000000 0200" +
+      "0001 0300 01000000 40010000" + // 256 SHORT 320
+      "0101 0300 01000000 C8000000" + // 257 SHORT 200
+      "00000000")
+    // BE LONG 800x600 at IFD 8
+    val beLong = hexBytes("4D4D002A 00000008 0002" +
+      "0100 0004 00000001 00000320" +
+      "0101 0004 00000001 00000258" +
+      "00000000")
+    // LE LONG dims behind 8 pad bytes (IFD at 16), extra entry first
+    val leOffset = hexBytes("49492A00 10000000 DEADBEEFDEADBEEF 0300" +
+      "0201 0300 01000000 08000000" + // 258 BitsPerSample: walked over
+      "0001 0400 01000000 10000000" + // 256 LONG 16
+      "0101 0400 01000000 0C000000" + // 257 LONG 12
+      "00000000")
+    val got = parseDf(Seq((1L, leShort), (2L, beLong), (3L, leOffset)))
+    assert(got(1L).contains(("tiff", 320, 200)))
+    assert(got(2L).contains(("tiff", 800, 600)))
+    assert(got(3L).contains(("tiff", 16, 12)))
+    // refusals: bad magic, IFD past the end, truncated entry table,
+    // missing height, zero width, unknown dim type
+    assert(graft.functions.ImageHeader.parse(
+      hexBytes("49492B00 08000000")) == null)
+    assert(graft.functions.ImageHeader.parse(
+      hexBytes("49492A00 40000000")) == null)
+    assert(graft.functions.ImageHeader.parse(
+      hexBytes("49492A00 08000000 0200 0001030001000000 4001")) == null)
+    assert(graft.functions.ImageHeader.parse(
+      hexBytes("49492A00 08000000 0100" +
+        "0001 0300 01000000 40010000 00000000")) == null)
+    assert(graft.functions.ImageHeader.parse(
+      hexBytes("49492A00 08000000 0200" +
+        "0001 0300 01000000 00000000" +
+        "0101 0300 01000000 C8000000 00000000")) == null)
+    assert(graft.functions.ImageHeader.parse(
+      hexBytes("49492A00 08000000 0200" +
+        "0001 0500 01000000 40010000" + // RATIONAL width: refuse
+        "0101 0300 01000000 C8000000 00000000")) == null)
+  }
+
   test("webp headers: VP8 lossy, VP8L lossless, VP8X extended; bad sync refuses") {
     // VP8 lossy 320x200: sync 9D012A then 14-bit LE dims
     val vp8 = hexBytes("52494646 14000000 57454250 56503820 0A000000" +

@@ -282,6 +282,25 @@ object DedupOps {
           (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
   }
 
+  /** ASYMMETRIC near-dup: Broder containment C(A→B) = |S(A)∩S(B)| / |S(A)|.
+    * Symmetric Jaccard structurally misses a short document wholly
+    * embedded in a long one (quoted articles, boilerplate-wrapped
+    * copies, licence pages stapled to payloads) — the intersection is
+    * all of A but a sliver of A∪B. Containment is exactly that signal:
+    * ≈1 in the A→B direction while Jaccard stays small. Derived from
+    * the SAME df-capped shingle equi-join as [[ngramJaccardPairs]]
+    * (shared counts + per-doc shingle sizes), so the anti-quadratic
+    * guard and the scale shape carry over unchanged — only the
+    * denominators differ.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, maxDf: Int = 1000): DataFrame =
+    ngramJaccardPairs(df, idCol, textCol, shingleN, maxDf)
+      .withColumn("cont_a",
+        col("shared").cast("double") / col("sz_a").cast("double"))
+      .withColumn("cont_b",
+        col("shared").cast("double") / col("sz_b").cast("double"))
+
   /** Verbatim-overlap detection (the ExactSubstr dedup signal: near-dup
     * metrics like Jaccard miss a long copied PASSAGE inside otherwise
     * different documents — the thing training-data pipelines must catch

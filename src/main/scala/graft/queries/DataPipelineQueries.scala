@@ -78,6 +78,22 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Broder CONTAINMENT on the same df-capped shingle join — the
+    // asymmetric signal Jaccard misses: a short document embedded in a
+    // long one scores containment ~1 while Jaccard stays small. The
+    // `asym` flag isolates exactly those pairs (high one-way containment,
+    // low symmetric overlap).
+    "dedup_containment" -> ((s, dir) => {
+      DedupOps.containmentPairs(Tables.documents(s, dir), "doc_id", "text", 3,
+          maxDf = MAX_DF)
+        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.5)
+        .select(col("id_a"), col("id_b"), col("shared"),
+          col("cont_a"), col("cont_b"),
+          (greatest(col("cont_a"), col("cont_b")) >= 0.8 &&
+            col("jaccard") <= 0.5).as("asym"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SimHash fingerprints (60-bit, md5-derived token hashes — stable across
     // engines) via the native Catalyst expression graft.functions.SimHash64:
     // one scan-side projection, no explode, no shuffle. The aggregate
@@ -1239,6 +1255,26 @@ object DataPipelineQueries extends QueryPack {
          |SELECT id_a, id_b, shared,
          |  CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
          |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $shingleSql,
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MAX_DF),
+         |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT id_a, id_b, shared,
+         |    CAST(shared AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a,
+         |    CAST(shared AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b,
+         |    CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
+         |      AS jac
+         |  FROM pairs JOIN sz sa ON sa.doc_id = id_a
+         |    JOIN sz sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, shared, cont_a, cont_b,
+         |  (greatest(cont_a, cont_b) >= 0.8 AND jac <= 0.5) AS asym
+         |FROM sc WHERE greatest(cont_a, cont_b) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (

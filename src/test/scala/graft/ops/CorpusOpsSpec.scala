@@ -415,6 +415,25 @@ class CorpusOpsSpec extends SparkSuite {
       "5-gram score on pure repetition should not collapse vs trigram")
   }
 
+  test("containment: embedded document scores ~1 one-way while Jaccard stays low") {
+    import spark.implicits._
+    val inner = "alpha beta gamma delta epsilon zeta eta theta"
+    val outer = ((0 until 30).map("pre" + _) ++ inner.split(" ") ++
+      (0 until 30).map("post" + _)).mkString(" ")
+    val docs = Seq((1L, inner), (2L, outer),
+      (3L, "totally unrelated words live here on their own")).toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"),
+          r.getAs[Double]("jaccard")))).toMap
+    val (ca, cb, j) = got((1L, 2L))
+    assert(ca == 1.0, s"inner doc fully contained, got $ca")
+    assert(cb < 0.2, s"outer doc barely covered, got $cb")
+    assert(j < 0.2, s"symmetric Jaccard must miss this pair, got $j")
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc shares no shingles")
+  }
+
   test("c4 rules: line filter, javascript drop, page poisons, kept-text assembly") {
     import spark.implicits._
     val docs = Seq(

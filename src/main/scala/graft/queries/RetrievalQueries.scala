@@ -84,6 +84,56 @@ object RetrievalQueries extends QueryPack {
         .limit(10)
     }),
 
+    // HYBRID retrieval via Reciprocal-Rank Fusion (Cormack et al. 2009,
+    // the standard hybrid-search combiner): the certified BM25 text
+    // ranking and an exact-cosine vector ranking against the vec_id-0
+    // query embedding, each cut to a top-20 with deterministic ranks,
+    // fused by Σ 1/(60+rank) and re-ranked. Scores are rank-derived
+    // integers (micro-units), so the fusion is engine-exact. Both
+    // row_number windows run over ≤20 POST-LIMIT rows — bounded by k,
+    // never by the corpus; the corpus-sized work is the same TakeOrdered
+    // top-k both source rankings already ship.
+    "retrieval_rrf_fusion" -> ((s, dir) => {
+      import graft.ops.EmbeddingOps
+      val (tf, dl) = termFreq(s, dir)
+      val nDf = Tables.documents(s, dir).agg(count(lit(1)).as("__n"))
+      val avgdlDf = dl.agg(avg(col("dl")).as("__avgdl"))
+      val qtf = tf.filter(col("token").isin(QUERY_TERMS: _*))
+      val df = qtf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val idf = log(lit(1.0) + (col("__n").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+      val denom = col("tf") + lit(BM25_K1) *
+        (lit(1 - BM25_B) + lit(BM25_B) * col("dl") / col("__avgdl"))
+      val bscored = qtf.join(broadcast(df), "token").join(dl, "doc_id")
+        .crossJoin(broadcast(nDf)).crossJoin(broadcast(avgdlDf))
+        .withColumn("__s", idf * (col("tf") * lit(BM25_K1 + 1)) / denom)
+        .groupBy(col("doc_id")).agg(r4(sum(col("__s"))).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+      val btop = bscored.withColumn("rank_t", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank_t"))
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      val vscored = emb.filter(col("vec_id") > 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          (floor(EmbeddingOps.cosine(col("__qv"), col("embedding")) * 1e4
+            + lit(0.5)) / 1e4).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+      val vtop = vscored.withColumn("rank_v", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank_v"))
+      btop.join(vtop, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_micro", floor((
+            coalesce(lit(1.0) / (col("rank_t") + lit(60)), lit(0.0)) +
+            coalesce(lit(1.0) / (col("rank_v") + lit(60)), lit(0.0))) * 1e6
+          + lit(0.5)).cast("long"))
+        .orderBy(col("rrf_micro").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), col("rrf_micro"),
+          col("rank_t").cast("long").as("rank_t"),
+          col("rank_v").cast("long").as("rank_v"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic ~10% sample: keep rows whose salted 60-bit md5 hash
     // falls under the threshold. Reproducible on any engine, prunable at
     // the scan, no shuffle at all — THE way to sample at 100 TB.
@@ -147,6 +197,52 @@ object RetrievalQueries extends QueryPack {
          |  CAST(count(*) AS BIGINT) AS terms_hit
          |FROM scored GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "retrieval_rrf_fusion" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+         |       WHERE token IN ('data', 'model', 'the') GROUP BY 1, 2),
+         |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    ln(1.0 + (CAST(n.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+         |      * (tf.tf * ${BM25_K1 + 1})
+         |      / (tf.tf + $BM25_K1 * ((1 - $BM25_B) + $BM25_B
+         |           * dl.dl / avgdl.avgdl)) AS s
+         |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+         |  CROSS JOIN n CROSS JOIN avgdl),
+         |bt AS (SELECT doc_id, floor(sum(s) * 1e4 + 0.5) / 1e4 AS bm25
+         |       FROM scored GROUP BY doc_id
+         |       ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+         |btr AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_t
+         |  FROM bt),
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |p AS (SELECT c.vec_id AS doc_id,
+         |        sum(CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS dp,
+         |        sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS qn,
+         |        sqrt(sum(CAST(embedding[i] AS DOUBLE)
+         |          * CAST(embedding[i] AS DOUBLE))) AS cn
+         |      FROM embeddings c CROSS JOIN q CROSS JOIN dims
+         |      WHERE c.vec_id > 0 GROUP BY c.vec_id),
+         |vt AS (SELECT doc_id,
+         |         floor((dp / (qn * cn)) * 10000 + 0.5) / 10000.0 AS cos
+         |       FROM p ORDER BY cos DESC, doc_id ASC LIMIT 20),
+         |vtr AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank_v
+         |  FROM vt),
+         |f AS (SELECT doc_id, rank_t, rank_v,
+         |    CAST(floor((coalesce(1.0 / (rank_t + 60), 0)
+         |      + coalesce(1.0 / (rank_v + 60), 0)) * 1e6 + 0.5) AS BIGINT)
+         |      AS rrf_micro
+         |  FROM btr FULL OUTER JOIN vtr USING (doc_id)),
+         |top AS (SELECT * FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10)
+         |SELECT doc_id, rrf_micro, CAST(rank_t AS BIGINT) AS rank_t,
+         |  CAST(rank_v AS BIGINT) AS rank_v
+         |FROM top ORDER BY doc_id""".stripMargin,
     "sample_hash" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS sampled,
         |  floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value

@@ -119,6 +119,42 @@ object SamplingOps {
       .drop("__src", "__base", "__thr", "__n")
   }
 
+  /** TEMPERATURE-scaled mixture sampling (the T5/LLaMA-family source
+    * re-balancing step): per-source keep probabilities derived FROM the
+    * corpus itself — p_src ∝ n_src^α with α = 0.5 — so over-represented
+    * sources are down-sampled toward a `targetRows`-sized mix and rare
+    * sources keep proportionally more. α is fixed at 0.5 because sqrt
+    * is the one fractional power IEEE 754 defines correctly rounded:
+    * every engine computes the identical weight, where a generic
+    * `pow(n, α)` could drift in the last ulp. All downstream arithmetic
+    * is INTEGER (milli-sqrt weights, ppm thresholds via integer
+    * division), so the rates — not just the sampled set — are
+    * engine-exact.
+    *
+    * Scale shape: one tiny per-source aggregate (≤ #sources rows,
+    * broadcast back), then the same scan-side hash-threshold filter as
+    * [[hashSample]] — no shuffle of the corpus, prunable at the scan.
+    * The int64 headroom bounds targetRows·√n·10⁶ < 2⁶³ — comfortable
+    * through petabyte row counts (n ≈ 10¹², targetRows ≈ 10⁵ gives
+    * ~10¹⁷).
+    */
+  def temperatureMixture(df: DataFrame, keyCol: Column, srcCol: Column,
+                         targetRows: Long, salt: String = "tmp:"): DataFrame = {
+    val counts = df.groupBy(srcCol.as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n")) * 1000 + lit(0.5)).cast("long"))
+    val tot = counts.agg(sum(col("__w")).as("__sumw"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("__ppm", least(lit(1000000L),
+        expr(s"($targetRows * __w * 1000000) div (__sumw * __n)")))
+      .select(col("__src"), col("__n"), col("__ppm"))
+    df.join(broadcast(rates), srcCol === col("__src"))
+      .filter(pmod(hash60(keyCol, salt), lit(1000000L)) < col("__ppm"))
+      .withColumnRenamed("__ppm", "ppm")
+      .withColumnRenamed("__n", "src_total")
+      .drop("__src")
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis 2006),
     * derandomized: key_i = −ln(u_i)/w_i with u_i ∈ (0,1] derived from the
     * salted hash — the k smallest keys ARE the weighted sample, so the

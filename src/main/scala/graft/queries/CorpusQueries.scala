@@ -333,6 +333,21 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // TEMPERATURE mixture (n^0.5 source re-balancing): keep rates derived
+    // from the corpus's own per-source counts via integer milli-sqrt
+    // weights and ppm thresholds — the oracle replays the entire rate
+    // derivation, not just the sampled set.
+    "sample_temperature" -> ((s, dir) => {
+      graft.ops.SamplingOps.temperatureMixture(
+          Tables.documents(s, dir), col("doc_id"), col("lang"),
+          targetRows = 200)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          first(col("ppm")).as("ppm"),
+          first(col("src_total")).as("src_total"))
+        .orderBy(col("lang"))
+    }),
+
     // GPT-style training-sequence packing: documents become one token
     // stream per hash shard, cut at 512-token boundaries; the only window
     // is `shards` wide, never global.
@@ -1285,6 +1300,21 @@ object CorpusQueries extends QueryPack {
         |            % 1000000 < CAST(r.rate * 1000000 AS BIGINT))
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
         |  floor(avg(CAST(n_chars AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS avg_chars
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS wq
+        |  FROM c),
+        |s AS (SELECT sum(wq) AS sumw FROM w),
+        |r AS (SELECT lang, n,
+        |    least(1000000, (200 * wq * 1000000) // (sumw * n)) AS ppm
+        |  FROM w, s),
+        |k AS (SELECT d.lang, r.ppm, r.n FROM documents d JOIN r USING (lang)
+        |  WHERE ('0x' || substr(md5('tmp:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000 < r.ppm)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(min(ppm) AS BIGINT) AS ppm, CAST(min(n) AS BIGINT) AS src_total
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (

@@ -267,6 +267,71 @@ object ExtraQueries extends QueryPack {
     OggCfg("opus", 1, 48000, 0, 312, 960L),        // 20 ms frames
     OggCfg("opus", 2, 24000, 0, 0, 48000L))        // 1 s pages, 24k input rate
 
+  /** Construction-side EBML builder (the OggCfg posture for WebM):
+    * shortest-form element IDs, 1-byte sizes (payloads stay < 127
+    * bytes by construction), big-endian uints/floats per RFC 8794.
+    * The INDEPENDENT-writer direction is covered by WebmMetaSpec's
+    * python fixtures (tools/gen_webm_fixtures.py).
+    */
+  private object WebmFx {
+    private def idBytes(eid: Long): Array[Byte] = {
+      val nid = (64 - java.lang.Long.numberOfLeadingZeros(eid) + 7) / 8
+      (0 until nid).reverse.map(i => ((eid >> (8 * i)) & 0xff).toByte).toArray
+    }
+    def elem(eid: Long, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127, "1-byte vint size only")
+      idBytes(eid) ++ Array((payload.length | 0x80).toByte) ++ payload
+    }
+    def uint(v: Long): Array[Byte] = {
+      val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      (0 until n).reverse.map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    }
+    def f64(d: Double): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putDouble(d).array()
+    def f32(d: Float): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putFloat(d).array()
+    def header(docType: String): Array[Byte] =
+      elem(0x1A45DFA3L, elem(0x4286L, uint(1)) ++ elem(0x42F7L, uint(1)) ++
+        elem(0x4282L, docType.getBytes))
+    def video(codec: String, w: Int, h: Int): Array[Byte] =
+      elem(0xAEL, elem(0x83L, uint(1)) ++ elem(0x86L, codec.getBytes) ++
+        elem(0xE0L, elem(0xB0L, uint(w)) ++ elem(0xBAL, uint(h))))
+    def audio(codec: String, rate: Float, ch: Int): Array[Byte] =
+      elem(0xAEL, elem(0x83L, uint(2)) ++ elem(0x86L, codec.getBytes) ++
+        elem(0xE1L, elem(0xB5L, f32(rate)) ++ elem(0x9FL, uint(ch))))
+    def info(durTicks: Double, tcScale: Long = -1L): Array[Byte] =
+      elem(0x1549A966L,
+        (if (tcScale > 0) elem(0x2AD7B1L, uint(tcScale)) else Array.empty[Byte])
+          ++ elem(0x4489L, f64(durTicks)))
+    def segment(payload: Array[Byte]): Array[Byte] =
+      elem(0x18538067L, payload)
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+  }
+
+  /** (streamHex, docType, durMs, vCodec, w, h, aCodec, rate, ch) — the
+    * four WebM constructions the query selects by doc_id%4.
+    */
+  private lazy val webmCfgs: Seq[(String, String, java.lang.Long, String,
+      java.lang.Integer, java.lang.Integer, String, java.lang.Integer,
+      java.lang.Integer)] = {
+    import WebmFx._
+    Seq(
+      (hex(header("webm") ++ segment(info(12345.0) ++
+        elem(0x1654AE6BL, video("V_VP9", 1920, 1080) ++
+          audio("A_OPUS", 48000f, 2)))),
+        "webm", 12345L, "V_VP9", 1920, 1080, "A_OPUS", 48000, 2),
+      (hex(header("webm") ++ segment(info(2000.0, tcScale = 500000L) ++
+        elem(0x1654AE6BL, video("V_VP8", 640, 360) ++
+          audio("A_VORBIS", 44100f, 1)))),
+        "webm", 1000L, "V_VP8", 640, 360, "A_VORBIS", 44100, 1),
+      (hex(header("matroska") ++ segment(
+        elem(0x1654AE6BL, video("V_MPEG4/ISO/AVC", 1280, 720)))),
+        "matroska", null, "V_MPEG4/ISO/AVC", 1280, 720, null, null, null),
+      (hex(header("webm") ++ segment(info(500.0) ++
+        elem(0x1654AE6BL, audio("A_OPUS", 24000f, 1)))),
+        "webm", 500L, null, null, null, "A_OPUS", 24000, 1))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A2+A3: per-(user, 10-min bucket) null-ignoring label mean with
     // all-null → 0.0, plus finite-cell validity ratio (reference
@@ -553,6 +618,38 @@ object ExtraQueries extends QueryPack {
           col("m.channels").as("channels"),
           col("m.n_frames").as("n_frames"),
           col("m.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WebM/Matroska EBML walk - the dominant open web-video container
+    // next to MP4: per document one of four constructions (webm/matroska
+    // doctypes, video+audio / video-only / audio-only tracks, default
+    // and non-default timecode scales) walked back by video_webm_meta;
+    // doc_id%8=0 rows carry doctype 'webp' and must refuse to null. The
+    // oracle states every output as a closed form of doc_id.
+    "mm_video_webm_meta" -> ((s, dir) => {
+      graft.functions.WebmMeta.register(s)
+      val streamCase = "CASE doc_id % 4 " + webmCfgs.zipWithIndex
+        .map { case (c, i) => s"WHEN $i THEN '${c._1}'" }
+        .mkString(" ") + " END"
+      val badHex = WebmFx.hex(WebmFx.header("webp") ++
+        WebmFx.segment(WebmFx.info(500.0)))
+      val blobHex =
+        s"""CASE WHEN doc_id % 8 = 0 THEN '$badHex'
+           |ELSE $streamCase END""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($blobHex)"))
+        .selectExpr("doc_id", "video_webm_meta(blob) AS m")
+        .select(col("doc_id"),
+          col("m").isNotNull.as("ok"),
+          col("m.doc_type").as("doc_type"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.video_codec").as("video_codec"),
+          col("m.width").as("width"),
+          col("m.height").as("height"),
+          col("m.audio_codec").as("audio_codec"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.channels").as("channels"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1416,6 +1513,39 @@ object ExtraQueries extends QueryPack {
          |  CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
          |    ELSE (1 + doc_id % 5) * ${cfgCase(_.samplesPerFrame)} * 1000
          |      // ${cfgCase(_.sampleRate)} END AS BIGINT) AS duration_ms
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // closed-form replay of the four-construction EBML walk; doctype
+    // 'webp' rows (doc_id%8=0) are refused to all-null
+    "mm_video_webm_meta" -> {
+      def cfgCase(f: ((String, String, java.lang.Long, String,
+          java.lang.Integer, java.lang.Integer, String, java.lang.Integer,
+          java.lang.Integer)) => Any): String =
+        "CASE doc_id % 4 " + webmCfgs.zipWithIndex.map { case (c, i) =>
+          f(c) match {
+            case null => s"WHEN $i THEN NULL"
+            case s: String => s"WHEN $i THEN '$s'"
+            case v => s"WHEN $i THEN $v"
+          }
+        }.mkString(" ") + " END"
+      s"""SELECT doc_id,
+         |  (doc_id % 8 <> 0) AS ok,
+         |  CASE WHEN doc_id % 8 = 0 THEN NULL
+         |    ELSE ${cfgCase(_._2)} END AS doc_type,
+         |  CAST(CASE WHEN doc_id % 8 = 0 THEN NULL
+         |    ELSE ${cfgCase(_._3)} END AS BIGINT) AS duration_ms,
+         |  CASE WHEN doc_id % 8 = 0 THEN NULL
+         |    ELSE ${cfgCase(_._4)} END AS video_codec,
+         |  CAST(CASE WHEN doc_id % 8 = 0 THEN NULL
+         |    ELSE ${cfgCase(_._5)} END AS INT) AS width,
+         |  CAST(CASE WHEN doc_id % 8 = 0 THEN NULL
+         |    ELSE ${cfgCase(_._6)} END AS INT) AS height,
+         |  CASE WHEN doc_id % 8 = 0 THEN NULL
+         |    ELSE ${cfgCase(_._7)} END AS audio_codec,
+         |  CAST(CASE WHEN doc_id % 8 = 0 THEN NULL
+         |    ELSE ${cfgCase(_._8)} END AS INT) AS sample_rate,
+         |  CAST(CASE WHEN doc_id % 8 = 0 THEN NULL
+         |    ELSE ${cfgCase(_._9)} END AS INT) AS channels
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     // closed-form replay of the four-construction TIFF walk; magic-43

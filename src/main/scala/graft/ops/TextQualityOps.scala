@@ -467,6 +467,110 @@ object TextQualityOps {
           .as("avg_logprob_kn"))
   }
 
+  /** PER-LANGUAGE interpolated trigram LM score — the sharding CCNet
+    * actually runs (Wenzek et al. 2020 §3.2-3.3 train ONE LM per
+    * language and bucket within the language): the [[trigramLogProb]]
+    * ladder with every model table, total, and cap keyed by `langCol`.
+    * A French document is scored under the French counts only; the
+    * per-language vocabulary size V_lang drives its own add-one floors.
+    *
+    * Scale shape: counts aggregate by (lang, gram) — still map-side
+    * partials, one shuffle per order; the deterministic df-cap becomes
+    * a row_number window over the MODEL table partitioned by lang
+    * (gram-vocabulary-sized, never documents); per-language totals are
+    * a #langs-row broadcast joined on lang. All tables stay broadcast
+    * (≤ #langs·maxVocab rows) and the interpolation arithmetic is
+    * bit-identical to the global scorer, so the oracle replays the
+    * whole lang-keyed ladder.
+    */
+  def langTrigramLogProb(df: DataFrame, docId: String, textCol: String,
+                         langCol: String, maxVocab: Int = 65536,
+                         l3: Double = 0.6, l2: Double = 0.3,
+                         l1: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9, "interpolation weights must sum to 1")
+    val lang = col(langCol)
+    val arr = df.select(col(docId), lang, toks(col(textCol)).as("__l"))
+    val tok = arr.select(lang, col(docId), explode(col("__l")).as("t"))
+    val totals = tok.groupBy(lang).agg(count(lit(1)).as("__n"),
+      count_distinct(col("t")).as("__v"))
+    def capped(grams: DataFrame, key: String, cnt: String): DataFrame =
+      grams.withColumn("__r", row_number().over(
+          Window.partitionBy(lang).orderBy(col(cnt).desc, col(key).asc)))
+        .filter(col("__r") <= maxVocab).drop("__r")
+    val uni = capped(tok.groupBy(lang, col("t")).agg(count(lit(1)).as("cu")),
+      "t", "cu")
+    val tri = arr
+      .select(col(docId), lang,
+        explode(TextOps.shinglesOf(col("__l"), 3)).as("g3"))
+      .withColumn("__p", split(col("g3"), " "))
+      .withColumn("b12", concat_ws(" ", col("__p").getItem(0), col("__p").getItem(1)))
+      .withColumn("b23", concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)))
+      .withColumn("w2", col("__p").getItem(1))
+      .withColumn("w3", col("__p").getItem(2))
+      .drop("__p")
+    val bi = arr.select(lang, explode(TextOps.shinglesOf(col("__l"), 2)).as("b"))
+    val blm = capped(bi.groupBy(lang, col("b")).agg(count(lit(1)).as("cb")),
+      "b", "cb")
+    val tlm = capped(tri.groupBy(lang, col("g3")).agg(count(lit(1)).as("ct")),
+      "g3", "ct")
+    val c = (x: String) => coalesce(col(x), lit(0L)).cast("double")
+    tri
+      .join(broadcast(tlm), Seq(langCol, "g3"), "left")
+      .join(broadcast(blm.withColumnRenamed("b", "b12")
+        .withColumnRenamed("cb", "cb12")), Seq(langCol, "b12"), "left")
+      .join(broadcast(blm.withColumnRenamed("b", "b23")
+        .withColumnRenamed("cb", "cb23")), Seq(langCol, "b23"), "left")
+      .join(broadcast(uni.withColumnRenamed("t", "w2")
+        .withColumnRenamed("cu", "cu2")), Seq(langCol, "w2"), "left")
+      .join(broadcast(uni.withColumnRenamed("t", "w3")
+        .withColumnRenamed("cu", "cu3")), Seq(langCol, "w3"), "left")
+      .join(broadcast(totals), Seq(langCol))
+      .groupBy(col(docId), lang)
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("ct").isNull, 1L).otherwise(0L)).as("n_oov3"),
+        (floor(avg(log(
+          lit(l3) * (c("ct") + 1.0) / (c("cb12") + col("__v")) +
+            lit(l2) * (c("cb23") + 1.0) / (c("cu2") + col("__v")) +
+            lit(l1) * (c("cu3") + 1.0) / (col("__n") + col("__v"))))
+          * 1e4 + lit(0.5)) / 1e4).as("avg_logprob3"))
+  }
+
+  /** PER-LANGUAGE perplexity bucketing — CCNet's published shard shape:
+    * [[langTrigramLogProb]] scores under each language's own LM, then
+    * head/middle/tail terciles WITHIN each language (an easy language
+    * must not crowd a hard one out of the head). Same bounded-histogram
+    * threshold machinery as [[perplexityBuckets]], with the histogram,
+    * cumulative window, and the two threshold scalars all keyed by
+    * lang — the window still runs over (lang, centi-cell) histogram
+    * rows, never documents, and assignment is a #langs-row broadcast.
+    */
+  def langPerplexityBuckets(df: DataFrame, docId: String, textCol: String,
+                            langCol: String,
+                            maxVocab: Int = 65536): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = langTrigramLogProb(df, docId, textCol, langCol, maxVocab)
+      .withColumn("lp_centi", floor(col("avg_logprob3") * 100).cast("long"))
+    val lang = col(langCol)
+    val hist = scored.groupBy(lang, col("lp_centi"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.partitionBy(lang).orderBy(col("lp_centi").desc)))
+    val tot = scored.groupBy(lang).agg(count(lit(1)).as("__n"))
+    val ths = cum.join(broadcast(tot), Seq(langCol))
+      .groupBy(lang)
+      .agg(
+        max(when(col("__cum") >= expr("(__n + 2) div 3"), col("lp_centi")))
+          .as("__t1"),
+        max(when(col("__cum") >= expr("(2 * __n + 2) div 3"), col("lp_centi")))
+          .as("__t2"))
+    scored.join(broadcast(ths), Seq(langCol))
+      .select(col(docId), lang, col("avg_logprob3"), col("lp_centi"),
+        when(col("lp_centi") >= col("__t1"), "head")
+          .when(col("lp_centi") >= col("__t2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020 §3.3): score
     * every document under the corpus LM ([[trigramLogProb]]), then
     * split the corpus into equal-count head / middle / tail buckets —

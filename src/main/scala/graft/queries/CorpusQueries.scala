@@ -204,6 +204,17 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // PER-LANGUAGE LM + terciles — the sharding CCNet actually runs
+    // (one LM per language, head/middle/tail WITHIN the language, so an
+    // easy language can't crowd a hard one out of the head). Every
+    // count table, cap, total, histogram, and threshold is keyed by
+    // lang; the oracle replays the whole lang-keyed ladder.
+    "text_ppl_buckets_lang" -> ((s, dir) => {
+      TextQualityOps.langPerplexityBuckets(Tables.documents(s, dir),
+          "doc_id", "text", "lang", maxVocab = 65536)
+        .orderBy(col("doc_id"))
+    }),
+
     // the same tercile machinery over the KN scorer — CCNet's published
     // combination (KN-smoothed LM + head/middle/tail split)
     "text_ppl_buckets_kn" -> ((s, dir) => {
@@ -497,6 +508,66 @@ object CorpusQueries extends QueryPack {
        |  FROM j GROUP BY doc_id)""".stripMargin
 
   private lazy val trigramScoreCtes: String = "WITH " + trigramScoreCtesBody
+
+  /** PER-LANGUAGE trigram-LM + tercile replay (mirrors
+    * [[graft.ops.TextQualityOps.langTrigramLogProb]] /
+    * `langPerplexityBuckets`): the [[trigramScoreCtesBody]] ladder with
+    * every count table, total, deterministic cap, histogram, and
+    * threshold keyed by `lang`. Parameterized on the source CTE (must
+    * expose doc_id, lang, text) so the CCNet funnel can feed it the
+    * line-deduped corpus; ends in `lgbuck`. CTE names are lg-prefixed
+    * against collisions.
+    */
+  private[queries] def langTrigramCtesBody(src: String): String =
+    s"""lgt AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS l FROM $src),
+       |lgp AS (SELECT doc_id, lang, unnest(l) AS t FROM lgt),
+       |lgtot AS (SELECT lang, count(*) AS n, count(DISTINCT t) AS v FROM lgp GROUP BY lang),
+       |lgu AS MATERIALIZED (SELECT lang, t, count(*) AS cu FROM lgp GROUP BY lang, t
+       |      QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cu DESC, t ASC) <= 65536),
+       |lgbgr AS (SELECT lang, l[i] || ' ' || l[i+1] AS b
+       |  FROM lgt, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) g
+       |  WHERE len(l) >= 2),
+       |lgblm AS MATERIALIZED (SELECT lang, b, count(*) AS cb FROM lgbgr GROUP BY lang, b
+       |       QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cb DESC, b ASC) <= 65536),
+       |lgtgr AS MATERIALIZED (SELECT doc_id, lang,
+       |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g3,
+       |    l[i] || ' ' || l[i+1] AS b12, l[i+1] || ' ' || l[i+2] AS b23,
+       |    l[i+1] AS w2, l[i+2] AS w3
+       |  FROM lgt, LATERAL (SELECT unnest(generate_series(1, len(l)-2)) AS i) g
+       |  WHERE len(l) >= 3),
+       |lgtlm AS MATERIALIZED (SELECT lang, g3, count(*) AS ct FROM lgtgr GROUP BY lang, g3
+       |       QUALIFY row_number() OVER (PARTITION BY lang ORDER BY ct DESC, g3 ASC) <= 65536),
+       |lgj AS (SELECT lgtgr.doc_id, lgtgr.lang, lgtlm.ct, b1.cb AS cb12, b2.cb AS cb23,
+       |    u2.cu AS cu2, u3.cu AS cu3
+       |  FROM lgtgr LEFT JOIN lgtlm ON lgtlm.lang = lgtgr.lang AND lgtlm.g3 = lgtgr.g3
+       |  LEFT JOIN lgblm b1 ON b1.lang = lgtgr.lang AND b1.b = lgtgr.b12
+       |  LEFT JOIN lgblm b2 ON b2.lang = lgtgr.lang AND b2.b = lgtgr.b23
+       |  LEFT JOIN lgu u2 ON u2.lang = lgtgr.lang AND u2.t = lgtgr.w2
+       |  LEFT JOIN lgu u3 ON u3.lang = lgtgr.lang AND u3.t = lgtgr.w3),
+       |lgscore AS MATERIALIZED (
+       |  SELECT j.doc_id, j.lang, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |    CAST(sum(CASE WHEN ct IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov3,
+       |    floor(avg(ln(
+       |      0.6 * (coalesce(ct, 0) + 1.0) / (coalesce(cb12, 0) + tt.v) +
+       |      0.3 * (coalesce(cb23, 0) + 1.0) / (coalesce(cu2, 0) + tt.v) +
+       |      0.1 * (coalesce(cu3, 0) + 1.0) / (tt.n + tt.v)))
+       |      * 1e4 + 0.5) / 1e4 AS avg_logprob3
+       |  FROM lgj j JOIN lgtot tt ON tt.lang = j.lang GROUP BY j.doc_id, j.lang),
+       |lgq AS MATERIALIZED (SELECT doc_id, lang, avg_logprob3,
+       |    CAST(floor(avg_logprob3 * 100) AS BIGINT) AS lp_centi FROM lgscore),
+       |lghist AS (SELECT lang, lp_centi, count(*) AS c FROM lgq GROUP BY lang, lp_centi),
+       |lgcum AS (SELECT lang, lp_centi,
+       |    sum(c) OVER (PARTITION BY lang ORDER BY lp_centi DESC) AS cumc FROM lghist),
+       |lgn AS (SELECT lang, count(*) AS n FROM lgq GROUP BY lang),
+       |lgth AS (SELECT c.lang,
+       |    max(CASE WHEN cumc >= (n + 2) // 3 THEN lp_centi END) AS t1,
+       |    max(CASE WHEN cumc >= (2 * n + 2) // 3 THEN lp_centi END) AS t2
+       |  FROM lgcum c JOIN lgn USING (lang) GROUP BY c.lang),
+       |lgbuck AS (SELECT q.doc_id, q.lang, q.avg_logprob3, q.lp_centi,
+       |    CASE WHEN q.lp_centi >= th.t1 THEN 'head'
+       |         WHEN q.lp_centi >= th.t2 THEN 'middle'
+       |         ELSE 'tail' END AS ppl_bucket
+       |  FROM lgq q JOIN lgth th ON th.lang = q.lang)""".stripMargin
 
   /** Full replay of [[graft.ops.TextQualityOps.knTrigramLogProb]] —
     * counts → continuation counts → count-of-counts → modified-KN
@@ -1133,6 +1204,13 @@ object CorpusQueries extends QueryPack {
          |       WHEN q.lp_centi >= th.t2 THEN 'middle'
          |       ELSE 'tail' END AS ppl_bucket
          |FROM q, th ORDER BY doc_id""".stripMargin,
+    // the full lang-keyed ladder: per-language counts, caps, totals,
+    // histograms, and tercile thresholds replayed in one statement
+    "text_ppl_buckets_lang" ->
+      s"""WITH ${langTrigramCtesBody("documents")}
+         |SELECT doc_id, lang, avg_logprob3, lp_centi, ppl_bucket
+         |FROM lgbuck ORDER BY doc_id""".stripMargin,
+
     // the same bucket arithmetic over the modified-KN scores
     "text_ppl_buckets_kn" ->
       s"""$knScoreCtes,

@@ -282,6 +282,37 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The CCNet pipeline PROPER, composed in its published order
+    // (Wenzek et al. 2020): §3.1 line-level dedup (corpus-wide
+    // keep-first per distinct line, docs reassembled from surviving
+    // lines) → §3.2 language split (the lang shard key; detection ops
+    // certified separately) → §3.3 PER-LANGUAGE LM + head/middle/tail
+    // terciles computed over the DEDUPED text (CCNet scores what
+    // survives dedup, not the raw page), tail dropped. One oracle
+    // statement replays line segmentation → keep-first → reassembly →
+    // the whole lang-keyed trigram ladder → per-language thresholds →
+    // the final intersection, so a composition bug anywhere breaks the
+    // hash.
+    "corpus_e2e_ccnet" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toksDf = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val lines = toksDf.select(col("doc_id"),
+        expr("""transform(
+                  sequence(0, greatest(CAST(ceil(size(toks)/10.0) AS INT), 1) - 1),
+                  i -> array_join(slice(toks, i*10+1, 10), ' '))""").as("lines"))
+      val kept = DedupOps.lineDedup(lines, "doc_id", col("lines"))
+        .filter(col("n_kept") > 0)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      TextQualityOps.langPerplexityBuckets(kept, "doc_id", "text_kept", "lang")
+        .filter(col("ppl_bucket") =!= "tail")
+        .join(kept.select(col("doc_id"),
+          size(TextOps.tokens(col("text_kept"))).cast("long")
+            .as("n_tokens_kept")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("ppl_bucket"),
+          col("n_tokens_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Random-hyperplane SimHash LSH over EMBEDDINGS (functions
     // .EmbedSimHash): the classic cosine-LSH — bit i = sign of the
     // integer projection onto a deterministic md5-derived ±1 hyperplane
@@ -1242,6 +1273,36 @@ object DataPipelineQueries extends QueryPack {
          |JOIN pass ON pass.doc_id = s.doc_id
          |JOIN kbkept k ON k.doc_id = s.doc_id AND k.ppl_bucket <> 'tail'
          |ORDER BY s.doc_id""".stripMargin,
+
+    // the published CCNet order replayed whole: line segmentation →
+    // corpus-wide keep-first → reassembly → the lang-keyed trigram
+    // ladder over the DEDUPED text → per-language terciles → tail drop
+    "corpus_e2e_ccnet" ->
+      s"""WITH lntoks AS (
+         |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |lnlines AS (
+         |  SELECT doc_id, lang, i AS line_pos,
+         |    array_to_string(t[(i*10+1):(i*10+10)], ' ') AS line
+         |  FROM lntoks, LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(ceil(greatest(len(t), 1)/10.0) AS INT) - 1)) AS i) g),
+         |lnkeep AS (SELECT line, min(doc_id*1000000 + line_pos) AS k
+         |  FROM lnlines GROUP BY line),
+         |lnkept AS (SELECT l.doc_id, l.lang, l.line_pos, l.line
+         |  FROM lnlines l JOIN lnkeep k ON l.line = k.line
+         |    AND l.doc_id*1000000 + l.line_pos = k.k),
+         |ccnetsrc AS MATERIALIZED (SELECT doc_id, lang,
+         |    string_agg(line, ' ' ORDER BY line_pos) AS text
+         |  FROM lnkept GROUP BY doc_id, lang),
+         |${CorpusQueries.langTrigramCtesBody("ccnetsrc")},
+         |ccnt AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+         |      AS n_tokens_kept
+         |  FROM ccnetsrc)
+         |SELECT b.doc_id, b.lang, b.ppl_bucket, ccnt.n_tokens_kept
+         |FROM lgbuck b JOIN ccnt USING (doc_id)
+         |WHERE b.ppl_bucket <> 'tail'
+         |ORDER BY b.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleSql,

@@ -35,6 +35,28 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("WindowExec"), "KN scoring must not window over documents")
   }
 
+  test("per-language LM buckets: model tables broadcast on (lang, gram); windows only over model/histogram rows") {
+    val p = planOf("text_ppl_buckets_lang")
+    assert(!p.contains("CartesianProduct"),
+      "lang-keyed scorer plans a cartesian product")
+    assert(!p.contains("SortMergeJoin"),
+      "a lang-keyed model table reached the trigram rows as a shuffled join")
+    // five model-table joins + the per-lang totals + the threshold join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 6,
+      "lang-keyed model tables must broadcast")
+    // windows exist (per-lang caps over gram tables, cumulative histogram)
+    // but every one must partition by lang — no single-partition corpus sort
+    assert(!p.contains("Window [") || !p.contains("PartitionBy []"),
+      "an unpartitioned window appeared in the lang-keyed plan")
+  }
+
+  test("ccnet funnel (line dedup -> per-lang LM terciles) plans no cartesian") {
+    val p = planOf("corpus_e2e_ccnet")
+    assert(!p.contains("CartesianProduct"), "ccnet funnel plans a cartesian")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 6,
+      "lang-keyed model tables must broadcast in the funnel")
+  }
+
   test("5-gram KN joins all nine model tables as broadcasts; no cartesian/window") {
     val p = planOf("text_lm_kn5")
     assert(!p.contains("CartesianProduct"), "kn5 scorer plans a cartesian product")

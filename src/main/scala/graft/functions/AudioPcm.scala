@@ -94,6 +94,81 @@ object AudioPcmStats {
     */
   def statsDownmix(b: Array[Byte]): InternalRow = statsImpl(b, allowStereo = true)
 
+  /** G.711 COMPANDED WAV — the telephony/speech-corpus encoding (call
+    * recordings, IVR dumps, much of the classic ASR world ships μ-law
+    * or A-law, not linear PCM): RIFF walk as in [[statsImpl]] but
+    * format tag 7 (μ-law) or 6 (A-law), 8 bits, MONO; each byte expands
+    * through the ITU-T G.711 segment arithmetic (the classic public
+    * `g711.c` decode: bias 0x84 / segment shifts for μ-law, 0x55 XOR /
+    * segment table for A-law) to a 13/14-bit linear sample at 16-bit
+    * scale, then the same stats contract. The expansion is closed-form
+    * integer arithmetic, so the oracle replays byte → linear exactly.
+    * Linear-PCM tags refuse here (that is [[stats]]'s surface), as
+    * companded tags refuse there — one decoder per contract.
+    */
+  def statsG711(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
+    var p = 12
+    var tag = -1
+    var dataAt = -1
+    var dataLen = -1L
+    while (p + 8 <= b.length) {
+      val size = le32(b, p + 4)
+      if (size < 0 || p + 8L + size > b.length) return null
+      if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
+        if (size < 16) return null
+        val t = le16u(b, p + 8)
+        if ((t == 6 || t == 7) && le16u(b, p + 10) == 1 &&
+          le16u(b, p + 22) == 8) tag = t
+      } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' &&
+                 b(p + 3) == 'a') {
+        dataAt = p + 8
+        dataLen = size
+      }
+      p += (8 + size + (size & 1)).toInt
+    }
+    if (tag < 0 || dataAt < 0) return null
+    val n = dataLen.toInt
+    var peak = 0
+    var sumSq = 0L
+    var zc = 0
+    var prev = 0
+    var k = 0
+    while (k < n) {
+      val s =
+        if (tag == 7) ulaw2linear(b(dataAt + k) & 0xff)
+        else alaw2linear(b(dataAt + k) & 0xff)
+      val a = if (s < 0) -s else s
+      if (a > peak) peak = a
+      sumSq += s.toLong * s
+      if (k > 0 && prev.toLong * s < 0) zc += 1
+      prev = s
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](n, peak, sumSq, zc))
+  }
+
+  /** ITU-T G.711 μ-law expansion (bias 0x84, 3-bit segment shift). */
+  def ulaw2linear(u0: Int): Int = {
+    val u = (~u0) & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law expansion (0x55 toggle, per-segment offsets). */
+  def alaw2linear(a0: Int): Int = {
+    val a = a0 ^ 0x55
+    var t = (a & 0x0f) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else { t += 0x108; t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
   private def statsImpl(b: Array[Byte], allowStereo: Boolean): InternalRow = {
     if (b == null || b.length < 12) return null
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
@@ -184,6 +259,36 @@ object AudioPcmDownmix {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "audio_pcm_downmix", exprs => AudioPcmDownmix(exprs.head), "built-in")
+}
+
+/** `audio_g711_stats(bin)` — [[AudioPcmStats]]'s stats contract over
+  * G.711 μ-law / A-law companded mono WAV; see
+  * [[AudioPcmStats.statsG711]].
+  */
+case class AudioG711Stats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = AudioPcmStats.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_g711_stats"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"audio_g711_stats needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    AudioPcmStats.statsG711(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AudioPcmStats.statsG711($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AudioG711Stats =
+    copy(child = newChild)
+}
+
+object AudioG711Stats {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "audio_g711_stats", exprs => AudioG711Stats(exprs.head), "built-in")
 }
 
 /** `audio_flac_stats(bin)` — the [[AudioPcmStats]] stats struct decoded

@@ -839,6 +839,41 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // G.711 COMPANDED WAV (μ-law tag 7 / A-law tag 6 by doc parity) —
+    // the telephony/speech-corpus encoding, decoded through the ITU-T
+    // segment arithmetic (functions.AudioG711Stats). Every data byte is
+    // a closed form of (doc_id, k), and the expansion is closed-form
+    // integer arithmetic, so the oracle replays byte → linear → stats
+    // without parsing the container.
+    "mm_audio_g711" -> ((s, dir) => {
+      graft.functions.AudioG711Stats.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val nSql = "(doc_id % 15 + 20)"
+      val tagSql = "(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END)"
+      val byteSql = "((doc_id * 31 + k * 97) % 256)"
+      val wavHex =
+        s"""concat('52494646', ${le("100", 4)}, '57415645',
+           |  '666D7420', ${le("16", 4)}, ${le(tagSql, 2)}, ${le("1", 2)},
+           |  ${le("8000", 4)}, ${le("8000", 4)}, ${le("1", 2)}, ${le("8", 2)},
+           |  '64617461', ${le(nSql, 4)},
+           |  array_join(transform(sequence(0, $nSql - 1),
+           |    k -> lpad(hex($byteSql), 2, '0')), ''))""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($wavHex)"))
+        .selectExpr("doc_id",
+          s"CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS encoding",
+          "audio_g711_stats(blob) AS st")
+        .select(col("doc_id"), col("encoding"),
+          col("st.n_samples").as("n_samples"),
+          col("st.peak").as("peak"),
+          col("st.zero_crossings").as("zero_crossings"),
+          (floor(sqrt(col("st.sum_sq").cast("double") / col("st.n_samples"))
+            * 1e4 + lit(0.5)) / 1e4).as("rms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STEREO WAV decode via truncating (L+R)/2 downmix
     // (functions.AudioPcmDownmix): the mono-ize-first curation contract
     // over real interleaved PCM16 frames — mono-only audio_pcm_stats
@@ -1696,6 +1731,37 @@ object ExtraQueries extends QueryPack {
         |    sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS zc
         |  FROM s2 GROUP BY doc_id)
         |SELECT doc_id, CAST(n_samples AS INTEGER) AS n_samples,
+        |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
+        |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // replay of the G.711 expansion: μ-law bias/segment-shift and A-law
+    // XOR/segment-offset arithmetic over the closed-form data bytes
+    "mm_audio_g711" ->
+      """WITH d AS (SELECT doc_id, doc_id % 15 + 20 AS n, doc_id % 2 AS m
+        |  FROM documents),
+        |k AS (SELECT doc_id, n, m, unnest(generate_series(0, n - 1)) AS k FROM d),
+        |e AS (SELECT doc_id, n, m, k, (doc_id * 31 + k * 97) % 256 AS u FROM k),
+        |s AS (SELECT doc_id, n, m, k,
+        |    CASE WHEN m = 0 THEN
+        |      CASE WHEN (255 - u) >= 128
+        |        THEN 132 - ((((255 - u) % 16) * 8 + 132) * (1 << (((255 - u) // 16) % 8)))
+        |        ELSE ((((255 - u) % 16) * 8 + 132) * (1 << (((255 - u) // 16) % 8))) - 132 END
+        |    ELSE
+        |      (CASE WHEN xor(u, 85) >= 128 THEN 1 ELSE -1 END) *
+        |      (CASE ((xor(u, 85) // 16) % 8)
+        |         WHEN 0 THEN (xor(u, 85) % 16) * 16 + 8
+        |         WHEN 1 THEN (xor(u, 85) % 16) * 16 + 264
+        |         ELSE ((xor(u, 85) % 16) * 16 + 264)
+        |           * (1 << (((xor(u, 85) // 16) % 8) - 1)) END)
+        |    END AS v FROM e),
+        |s2 AS (SELECT doc_id, n, m, k, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM s),
+        |a AS (SELECT doc_id, max(m) AS m, max(n) AS n_samples,
+        |    max(abs(v)) AS peak, sum(v * v) AS sum_sq,
+        |    sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS zc
+        |  FROM s2 GROUP BY doc_id)
+        |SELECT doc_id, CASE WHEN m = 0 THEN 'ulaw' ELSE 'alaw' END AS encoding,
+        |  CAST(n_samples AS INTEGER) AS n_samples,
         |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
         |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
         |FROM a ORDER BY doc_id""".stripMargin,

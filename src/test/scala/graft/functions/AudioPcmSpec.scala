@@ -170,6 +170,59 @@ class AudioPcmSpec extends SparkSuite {
     assert(fstats("fLaC".getBytes).isEmpty)
   }
 
+  private def g711wav(bytes: Seq[Int], tag: Int): Array[Byte] = {
+    val body = ByteBuffer.allocate(256).order(ByteOrder.LITTLE_ENDIAN)
+    body.put("WAVE".getBytes)
+    body.put("fmt ".getBytes).putInt(16)
+      .putShort(tag.toShort).putShort(1.toShort)
+      .putInt(8000).putInt(8000).putShort(1.toShort).putShort(8.toShort)
+    body.put("data".getBytes).putInt(bytes.length)
+    bytes.foreach(b => body.put(b.toByte))
+    val n = body.position()
+    val out = ByteBuffer.allocate(8 + n).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(n).put(body.array(), 0, n)
+    out.array()
+  }
+
+  test("g711: ITU endpoint values expand exactly (both laws)") {
+    // μ-law: 0xFF and 0x7F are the two zeros; 0x00 is -32124 (the
+    // table maximum magnitude 8031 × 4); A-law: 0x55/0xD5 are ∓8 (no
+    // true zero), 0x2A is -32256 (4032 × 8)
+    assert(AudioPcmStats.ulaw2linear(0xFF) == 0)
+    assert(AudioPcmStats.ulaw2linear(0x7F) == 0)
+    assert(AudioPcmStats.ulaw2linear(0x00) == -32124)
+    assert(AudioPcmStats.ulaw2linear(0x80) == 32124)
+    assert(AudioPcmStats.alaw2linear(0x55) == -8)
+    assert(AudioPcmStats.alaw2linear(0xD5) == 8)
+    assert(AudioPcmStats.alaw2linear(0x2A) == -32256)
+    assert(AudioPcmStats.alaw2linear(0xAA) == 32256)
+    // stats over a known μ-law run: [-32124, 0, +32124] → 2 crossings
+    // is wrong (0 breaks the sign run): exactly 0 crossings with the
+    // strict prev*s<0 contract, peak 32124
+    val r = Option(AudioPcmStats.statsG711(
+      g711wav(Seq(0x00, 0xFF, 0x80), tag = 7))).map(x =>
+      (x.getInt(0), x.getInt(1), x.getLong(2), x.getInt(3)))
+    assert(r.contains((3, 32124,
+      2L * 32124L * 32124L, 0)))
+    // direct sign flip does count
+    val r2 = Option(AudioPcmStats.statsG711(
+      g711wav(Seq(0x00, 0x80), tag = 7))).map(_.getInt(3))
+    assert(r2.contains(1))
+  }
+
+  test("g711: refusals — linear tag here, companded tag in stats, stereo, width") {
+    val ul = g711wav(Seq(0x00, 0x80), tag = 7)
+    assert(AudioPcmStats.stats(ul) == null) // linear decoder refuses G.711
+    assert(AudioPcmStats.statsG711(wav(Seq(1, -1))) == null) // and vice versa
+    assert(AudioPcmStats.statsG711(g711wav(Seq(0x00), tag = 2)) == null)
+    assert(AudioPcmStats.statsG711(ul.dropRight(1)) == null)
+    assert(AudioPcmStats.statsG711(Array[Byte]()) == null)
+    // A-law parity: the same byte stream under the other law differs
+    val a = AudioPcmStats.statsG711(g711wav(Seq(0x12, 0x34), tag = 6))
+    val u = AudioPcmStats.statsG711(g711wav(Seq(0x12, 0x34), tag = 7))
+    assert(a != null && u != null && a.getLong(2) != u.getLong(2))
+  }
+
   test("stereo downmix: truncating (L+R)/2, parity with pre-mixed mono") {
     def dm(b: Array[Byte]): Option[(Int, Int, Long, Int)] =
       Option(AudioPcmStats.statsDownmix(b)).map(r =>

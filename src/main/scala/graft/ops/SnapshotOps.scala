@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot-to-snapshot corpus diff — the incremental-curation
+  * primitive. Real pipelines re-crawl and re-curate continuously;
+  * between two corpus snapshots the operative question is WHAT CHANGED
+  * (a re-run over the unchanged 95% is the waste a 100 TB pipeline
+  * cannot afford): new documents enter the funnel, removed documents
+  * retire their derived artifacts, changed documents re-curate, and
+  * unchanged documents keep every cached stage.
+  *
+  * Scale shape: one full-outer equi-join keyed by the document id over
+  * (id, fingerprint) projections — a single shuffle of two id+hash
+  * columns, never the texts; with both snapshots stored bucketed by id
+  * (the `j_bucketed_join` posture) even that shuffle disappears. Status
+  * is a pure projection over presence + fingerprint equality.
+  */
+object SnapshotOps {
+
+  /** Per-id diff status between two snapshots, by content fingerprint:
+    * `added` (current only), `removed` (previous only), `changed`
+    * (present in both, fingerprints differ), `unchanged`. Fingerprints
+    * surface coalesced to '' so the row shape is null-free.
+    */
+  def diff(prev: DataFrame, cur: DataFrame, idCol: String,
+           fpCol: String): DataFrame = {
+    val p = prev.select(col(idCol), col(fpCol).as("__fp_prev"))
+    val c = cur.select(col(idCol), col(fpCol).as("__fp_cur"))
+    p.join(c, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fp_prev").isNull, "added")
+          .when(col("__fp_cur").isNull, "removed")
+          .when(col("__fp_prev") =!= col("__fp_cur"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("__fp_prev"), lit("")).as("fp_prev"),
+        coalesce(col("__fp_cur"), lit("")).as("fp_cur"))
+  }
+}

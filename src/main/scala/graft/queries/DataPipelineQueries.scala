@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{DedupOps, EmbeddingOps, SamplingOps, TextOps, TextQualityOps}
+import graft.ops.{DedupOps, EmbeddingOps, SamplingOps, SnapshotOps, TextOps, TextQualityOps}
 
 /** Large-scale training-data pipeline operators (dedup, similarity search,
   * text analysis) over the `documents` / `embeddings` tables, each with a
@@ -311,6 +311,26 @@ object DataPipelineQueries extends QueryPack {
         .select(col("doc_id"), col("lang"), col("ppl_bucket"),
           col("n_tokens_kept"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Snapshot-to-snapshot corpus diff (ops.SnapshotOps) — the
+    // incremental-curation primitive: between two crawl snapshots,
+    // which documents are new / retired / revised / untouched. Both
+    // snapshots are DERIVED deterministically from the table (salted
+    // hash membership; a ' [v1]' revision marker on every 7th doc in
+    // the previous snapshot), so the oracle replays membership,
+    // fingerprints, and the full-outer status arithmetic exactly.
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prev = docs
+        .filter(SamplingOps.hash60(col("doc_id"), "snap:") % 10 < 8)
+        .withColumn("__t", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" [v1]"))).otherwise(col("text")))
+        .select(col("doc_id"), md5(col("__t").cast("binary")).as("fp"))
+      val cur = docs
+        .filter(SamplingOps.hash60(col("doc_id"), "snap2:") % 20 =!= 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      SnapshotOps.diff(prev, cur, "doc_id", "fp").orderBy(col("doc_id"))
     }),
 
     // Random-hyperplane SimHash LSH over EMBEDDINGS (functions
@@ -1303,6 +1323,25 @@ object DataPipelineQueries extends QueryPack {
          |FROM lgbuck b JOIN ccnt USING (doc_id)
          |WHERE b.ppl_bucket <> 'tail'
          |ORDER BY b.doc_id""".stripMargin,
+
+    // replay of snapshot membership (salted hash60), fingerprints, and
+    // the full-outer status arithmetic
+    "corpus_snapshot_diff" ->
+      """WITH p AS (SELECT doc_id,
+        |    md5(text || CASE WHEN doc_id % 7 = 0 THEN ' [v1]' ELSE '' END) AS fp
+        |  FROM documents
+        |  WHERE ('0x' || substr(md5('snap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 8),
+        |c AS (SELECT doc_id, md5(text) AS fp FROM documents
+        |  WHERE ('0x' || substr(md5('snap2:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 20 <> 0)
+        |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN p.doc_id IS NULL THEN 'added'
+        |       WHEN c.doc_id IS NULL THEN 'removed'
+        |       WHEN p.fp <> c.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(p.fp, '') AS fp_prev,
+        |  coalesce(c.fp, '') AS fp_cur
+        |FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleSql,

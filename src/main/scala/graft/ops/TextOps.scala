@@ -137,6 +137,25 @@ object TextOps {
     BpeTrainer.learn(vocab, nMerges)
   }
 
+  /** [[trainBpeMerges]]'s WordPiece sibling (the BERT family): same
+    * single distributed vocab pass + capped (word, freq) table, merges
+    * selected by the quantized likelihood score — see
+    * [[WordPieceTrainer]]. Returns (lhs, rhs, pairCount, scoreMicro).
+    */
+  def trainWordPieceMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                           maxVocab: Int = 1 << 20): Seq[(String, String, Long, Long)] = {
+    require(nMerges >= 0 && maxVocab > 0)
+    val vocab = docs.select(
+        explode(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"))
+          .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    WordPieceTrainer.learn(vocab, nMerges)
+  }
+
   /** GPT-2-style BYTE-LEVEL pre-tokenizer regex: a leading-space-glued
     * run of unicode letters, digits, or other non-space symbols. This is
     * the production shape ([a-z0-9]+ lowercase cannot reproduce a real

@@ -501,6 +501,24 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("rank"))
     }),
 
+    // WORDPIECE training (ops.WordPieceTrainer) — the BERT tokenizer
+    // family next to BPE: continuation-prefixed symbols (w ##o ##r ##d),
+    // merges selected by the LIKELIHOOD score cnt/(ca·cb) quantized to
+    // exact micro-units (BigInt driver / HUGEINT oracle — ca·cb
+    // overflows 64 bits at corpus scale), ties (cnt desc, pair asc).
+    // Same one-corpus-pass + capped-vocab cost shape as text_bpe_train;
+    // the oracle replays all 64 rounds (pair counts, symbol counts,
+    // quantized scores, ##-stripping merge, re-encode) per round.
+    "text_wordpiece_train" -> ((s, dir) => {
+      val merges = TextOps.trainWordPieceMerges(Tables.documents(s, dir),
+        "text", nMerges = 64, maxVocab = 65536)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b, c, sc), i) => (i + 1, a, b, c, sc) }
+        .toDF("rank", "lhs", "rhs", "pair_count", "score_micro")
+        .orderBy(col("rank"))
+    }),
+
     // BYTE-LEVEL BPE training (TextOps.trainBpeMergesBytes): the GPT-2
     // production shape — unicode-category pre-tokens with the leading
     // space glued on (case KEPT, punctuation trainable), initial symbols
@@ -540,6 +558,39 @@ object DataPipelineQueries extends QueryPack {
       docs.select(col("doc_id"),
           size(words).cast("long").as("n_words"),
           array_join(decoded, "").as("rejoined"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WORDPIECE end-to-end: learn 32 likelihood merges, assemble the
+    // piece vocabulary (initial `w/##x` symbols of the capped vocab +
+    // every merge product), bake it into the native greedy
+    // longest-match-first WordPieceApply expression, and segment the
+    // SAME corpus. The oracle replays training through the wp CTE
+    // chain, derives the identical piece set in SQL, and re-runs the
+    // greedy matcher with a recursive position-stepping CTE — trainer,
+    // vocabulary assembly, AND the published inference algorithm
+    // certified by one hash.
+    "text_wordpiece_e2e" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocabWords = docs.select(
+          explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+            .as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w").asc).limit(65536)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val merges = graft.ops.WordPieceTrainer.learn(vocabWords, 32)
+      val pieceVocab =
+        (vocabWords.flatMap(v => graft.ops.WordPieceTrainer.initSymbols(v._1)).toSet
+          ++ merges.map(m => graft.ops.WordPieceTrainer.mergeSym(m._1, m._2))).toSeq
+      graft.functions.WordPieceApply.register(s, pieceVocab, "graft_wp")
+      val words = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+      val pieces = flatten(transform(words,
+        w => split(call_function("graft_wp", w), " ")))
+      docs.select(col("doc_id"),
+          size(words).cast("long").as("n_words"),
+          size(pieces).cast("long").as("n_pieces"),
+          size(filter(pieces, p => p === "[UNK]")).cast("long").as("n_unk"),
+          array_join(slice(pieces, 1, 8), "|").as("head_pieces"))
         .orderBy(col("doc_id"))
     }),
 
@@ -758,6 +809,144 @@ object DataPipelineQueries extends QueryPack {
     *    limit; fused, the chain is ~n+1 deep.
     */
   private def bpeTrainOracleSql: String = bpeTrainOracleSql(256)
+
+  /** WordPiece round replay: per round ONE fused MATERIALIZED CTE —
+    * pair counts and the two symbol-count joins feed the quantized
+    * HUGEINT likelihood `(cnt·10⁶) // (ca·cb)`, argmax (score desc, cnt
+    * desc, pair asc), ##-stripped merged symbol, replace re-encode —
+    * mirroring [[graft.ops.WordPieceTrainer.learn]] exactly. Same
+    * double-space encoding and structural constraints as
+    * [[bpeRoundCtes]].
+    */
+  private def wpRoundCtes(n: Int): Seq[String] =
+    (1 to n).map { i =>
+      val prev = s"wp${i - 1}"
+      s"""wp$i AS MATERIALIZED (
+         |  SELECT replace(t.enc, ' ' || b.a || '  ' || b.b || ' ',
+         |      ' ' || b.m || ' ') AS enc, t.freq,
+         |    b.a AS a, b.b AS b, b.cnt AS cnt, b.sc AS sc
+         |  FROM $prev t CROSS JOIN (
+         |    SELECT a, b,
+         |      a || CASE WHEN b LIKE '##%' THEN substr(b, 3) ELSE b END AS m,
+         |      cnt, sc FROM (
+         |      SELECT p.a, p.b, p.cnt,
+         |        CAST((p.cnt * 1000000) // (sa.c * sb.c) AS BIGINT) AS sc
+         |      FROM (SELECT s[g.i] AS a, s[g.i + 1] AS b, sum(freq) AS cnt
+         |            FROM (SELECT string_split(trim(enc), '  ') AS s, freq
+         |                  FROM $prev) t2,
+         |              (SELECT unnest(generate_series(1,
+         |                (SELECT max(len(string_split(trim(enc), '  ')))
+         |                 FROM $prev))) AS i) g
+         |            WHERE g.i + 1 <= len(t2.s)
+         |            GROUP BY 1, 2) p
+         |      JOIN (SELECT sym, sum(freq) AS c FROM
+         |              (SELECT unnest(string_split(trim(enc), '  ')) AS sym,
+         |                 freq FROM $prev) q1
+         |            GROUP BY sym) sa ON sa.sym = p.a
+         |      JOIN (SELECT sym, sum(freq) AS c FROM
+         |              (SELECT unnest(string_split(trim(enc), '  ')) AS sym,
+         |                 freq FROM $prev) q2
+         |            GROUP BY sym) sb ON sb.sym = p.b)
+         |    ORDER BY sc DESC, cnt DESC, a ASC, b ASC LIMIT 1) b)""".stripMargin
+    }
+
+  /** WordPiece e2e replay: 32 training rounds through [[wpRoundCtes]],
+    * the piece vocabulary derived in SQL (bare first chars + `##`
+    * continuation chars of the capped vocab, plus every round's merge
+    * product), then the published greedy longest-match-first inference
+    * re-run per distinct word with a RECURSIVE position-stepping CTE
+    * whose step picks the longest matching piece via a LATERAL argmax
+    * (an unmatchable position collapses the word to '[UNK]'), and
+    * finally per-doc reassembly in word order. The matcher consumes the
+    * learned pieces as ROWS — no learned literals in the SQL text.
+    */
+  private def wpE2eOracleSql: String = {
+    val n = 32
+    s"""WITH RECURSIVE v AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |    FROM documents) GROUP BY w
+       |    ORDER BY freq DESC, w ASC LIMIT 65536),
+       |wp0 AS MATERIALIZED (SELECT '  ' || substr(w, 1, 1) || '  ' ||
+       |    regexp_replace(substr(w, 2), '(.)', '##\\1  ', 'g') AS enc,
+       |    freq FROM v),
+       |${wpRoundCtes(n).mkString(",\n")},
+       |pieces AS MATERIALIZED (
+       |  SELECT DISTINCT p FROM (
+       |    SELECT substr(w, 1, 1) AS p FROM v
+       |    UNION
+       |    SELECT '##' || substr(w, g.i, 1) AS p FROM v,
+       |      (SELECT unnest(generate_series(2,
+       |        (SELECT max(len(w)) FROM v))) AS i) g
+       |      WHERE g.i <= len(w)
+       |    UNION
+       |    ${(1 to n).map(i =>
+      s"SELECT DISTINCT a || CASE WHEN b LIKE '##%' THEN substr(b, 3) ELSE b END AS p FROM wp$i")
+      .mkString(" UNION ")})),
+       |dw AS MATERIALIZED (SELECT DISTINCT unnest(
+       |    regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+       |mt AS MATERIALIZED (
+       |  SELECT w, pos, p FROM (
+       |    SELECT dw.w, g.i AS pos, pieces.p,
+       |      row_number() OVER (PARTITION BY dw.w, g.i
+       |        ORDER BY len(p) DESC, p ASC) AS rn
+       |    FROM dw, (SELECT unnest(generate_series(0,
+       |        (SELECT max(len(w)) - 1 FROM dw))) AS i) g, pieces
+       |    WHERE g.i < len(dw.w)
+       |      AND ((g.i = 0 AND p NOT LIKE '##%'
+       |              AND substr(dw.w, 1, len(p)) = p)
+       |        OR (g.i > 0 AND p LIKE '##%'
+       |              AND substr(dw.w, g.i + 1, len(p) - 2) = substr(p, 3))))
+       |  WHERE rn = 1),
+       |wapp AS (
+       |  SELECT w, 0 AS pos, CAST('' AS VARCHAR) AS toks FROM dw
+       |  UNION ALL
+       |  SELECT a.w,
+       |    CASE WHEN m.p IS NULL THEN len(a.w)
+       |         ELSE a.pos + len(m.p)
+       |           - CASE WHEN a.pos > 0 THEN 2 ELSE 0 END END AS pos,
+       |    CASE WHEN m.p IS NULL THEN '[UNK]'
+       |         WHEN a.toks = '' THEN m.p
+       |         ELSE a.toks || ' ' || m.p END AS toks
+       |  FROM wapp a LEFT JOIN mt m ON m.w = a.w AND m.pos = a.pos
+       |  WHERE a.pos < len(a.w)),
+       |wtoks AS MATERIALIZED (SELECT w, toks FROM wapp WHERE pos >= len(w)),
+       |docw AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |        FROM documents)),
+       |dp AS (SELECT d.doc_id, d.pos,
+       |    unnest(string_split(t.toks, ' ')) AS p,
+       |    generate_subscripts(string_split(t.toks, ' '), 1) AS pi
+       |  FROM docw d JOIN wtoks t USING (w)),
+       |aggp AS (SELECT doc_id, count(*) AS n_pieces,
+       |    sum(CASE WHEN p = '[UNK]' THEN 1 ELSE 0 END) AS n_unk,
+       |    array_to_string((list(p ORDER BY pos, pi))[1:8], '|') AS head_pieces
+       |  FROM dp GROUP BY doc_id),
+       |aggw AS (SELECT doc_id, count(*) AS n_words FROM docw GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(aggw.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(aggp.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |  CAST(coalesce(aggp.n_unk, 0) AS BIGINT) AS n_unk,
+       |  coalesce(aggp.head_pieces, '') AS head_pieces
+       |FROM documents d
+       |LEFT JOIN aggw ON aggw.doc_id = d.doc_id
+       |LEFT JOIN aggp ON aggp.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  private def wpTrainOracleSql(n: Int): String =
+    s"""WITH v AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |    FROM documents) GROUP BY w
+       |    ORDER BY freq DESC, w ASC LIMIT 65536),
+       |wp0 AS MATERIALIZED (SELECT '  ' || substr(w, 1, 1) || '  ' ||
+       |    regexp_replace(substr(w, 2), '(.)', '##\\1  ', 'g') AS enc,
+       |    freq FROM v),
+       |${wpRoundCtes(n).mkString(",\n")}
+       |${(1 to n).map { i =>
+      s"""SELECT DISTINCT CAST($i AS INTEGER) AS rank, a AS lhs, b AS rhs,
+         |  CAST(cnt AS BIGINT) AS pair_count, sc AS score_micro FROM wp$i""".stripMargin
+    }.mkString(" UNION ALL ")}
+       |ORDER BY rank""".stripMargin
 
   private def bpeTrainOracleSql(n: Int): String =
     s"""WITH ${bpeVocabCtes(bpeRoundCtes(n))}
@@ -1557,6 +1746,8 @@ object DataPipelineQueries extends QueryPack {
          |FROM t ORDER BY doc_id""".stripMargin
     },
     "text_bpe_train" -> bpeTrainOracleSql,
+    "text_wordpiece_train" -> wpTrainOracleSql(64),
+    "text_wordpiece_e2e" -> wpE2eOracleSql,
     "text_bpe_train_bytes" -> bpeTrainBytesOracleSql,
     "text_bpe_bytes_e2e" -> bpeBytesE2eOracleSql,
     "text_bpe_pack_e2e" -> bpePackE2eOracleSql,

@@ -414,4 +414,67 @@ object EmbeddingOps {
       .groupBy(col(idCol))
       .agg(max(col("__cos")).as("max_eval_cos"))
   }
+
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein 1998)
+    * — the standard retrieval DIVERSIFIER: from a per-query candidate
+    * pool, greedily pick k results maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` so near-duplicate hits
+    * don't crowd the result list.
+    *
+    * Determinism: relevance and candidate-pair similarities arrive
+    * MILLI-QUANTIZED (the caller floors the established cosine), λ as
+    * the integer fraction lamNum/lamDen, so the running score
+    * `lamNum·rel − (lamDen−lamNum)·maxsim` is exact integer arithmetic
+    * and the argmax (score desc, id asc) is a strict total order the
+    * oracle replays round by round.
+    *
+    * Scale shape: candidate pools are k-bounded per query BY
+    * CONSTRUCTION (they come from a top-k), so the pairwise `sims`
+    * input is O(k²) per query and each of the k rounds is a bounded
+    * join + max aggregate + per-query argmax — distributed over
+    * queries, never a driver collect (query batches can be millions of
+    * rows at serving scale). Per-round localCheckpoint keeps the
+    * iterative lineage flat, the [[graft.ops.GraphOps]] posture.
+    *
+    * Inputs: `cands` = (queryCol, idCol, relCol: milli long);
+    * `sims` = (queryCol, id_a, id_b, simCol: milli long), DIRECTED
+    * both ways. Output: (queryCol, rank, idCol, mmr_milli).
+    */
+  def mmrSelect(cands: DataFrame, sims: DataFrame, queryCol: String,
+                idCol: String, relCol: String, simCol: String, k: Int,
+                lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    require(k >= 1 && lamNum >= 0 && lamNum <= lamDen)
+    val c = cands.select(col(queryCol), col(idCol), col(relCol))
+      .localCheckpoint(true)
+    val muNum = lamDen - lamNum
+    def argmax(scored: DataFrame, rank: Int): DataFrame =
+      scored
+        .groupBy(col(queryCol))
+        .agg(min(struct((col("__mmr") * -1L).as("__neg"), col(idCol)))
+          .as("__best"))
+        .select(col(queryCol), lit(rank).as("rank"),
+          col(s"__best.$idCol").as(idCol),
+          (col("__best.__neg") * -1L).as("mmr_milli"))
+    var selected = argmax(
+      c.withColumn("__mmr", col(relCol) * lamNum), 1).localCheckpoint(true)
+    var r = 2
+    while (r <= k) {
+      val unsel = c.join(selected.select(col(queryCol), col(idCol)),
+        Seq(queryCol, idCol), "left_anti")
+      val scored = unsel
+        .join(sims.withColumnRenamed("id_a", idCol),
+          Seq(queryCol, idCol))
+        .join(selected.select(col(queryCol), col(idCol).as("id_b")),
+          Seq(queryCol, "id_b"))
+        .groupBy(col(queryCol), col(idCol), col(relCol))
+        .agg(max(col(simCol)).as("__maxsim"))
+        .withColumn("__mmr",
+          col(relCol) * lamNum - col("__maxsim") * muNum)
+      selected = selected
+        .unionByName(argmax(scored, r))
+        .localCheckpoint(true)
+      r += 1
+    }
+    selected
+  }
 }

@@ -134,6 +134,37 @@ object RetrievalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // MMR DIVERSIFICATION (Carbonell & Goldstein 1998): per query a
+    // top-8 cosine candidate pool (bounded aggregate, never a corpus
+    // window), pairwise candidate sims milli-quantized, then 5 greedy
+    // rounds of λ·rel − (1−λ)·max-sim-to-selected in exact integer
+    // arithmetic (λ = 7/10) — EmbeddingOps.mmrSelect, distributed over
+    // queries with per-round checkpoints. The oracle replays candidate
+    // selection, the pairwise sims, and every greedy round's argmax.
+    "retrieval_mmr" -> ((s, dir) => {
+      import graft.ops.EmbeddingOps
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 2)
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val cands = EmbeddingOps.bruteForceTopK(corpus, qs, "vec_id",
+          "embedding", k = 8, roundDigits = 3)
+        .select(col("query_id"), col("neighbor_id").as("vec_id"),
+          floor(col("score") * 1000 + lit(0.5)).cast("long").as("rel_milli"))
+      val vecs = corpus.select(col("vec_id"), col("embedding"))
+      val cv = cands.select(col("query_id"), col("vec_id")).join(vecs, "vec_id")
+      val sims = cv.select(col("query_id"), col("vec_id").as("id_a"),
+          col("embedding").as("__va"))
+        .join(cv.select(col("query_id"), col("vec_id").as("id_b"),
+          col("embedding").as("__vb")), Seq("query_id"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("query_id"), col("id_a"), col("id_b"),
+          floor(EmbeddingOps.cosine(col("__va"), col("__vb")) * 1000
+            + lit(0.5)).cast("long").as("sim_milli"))
+      EmbeddingOps.mmrSelect(cands, sims, "query_id", "vec_id",
+          "rel_milli", "sim_milli", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Deterministic ~10% sample: keep rows whose salted 60-bit md5 hash
     // falls under the threshold. Reproducible on any engine, prunable at
     // the scan, no shuffle at all — THE way to sample at 100 TB.
@@ -243,6 +274,73 @@ object RetrievalQueries extends QueryPack {
          |SELECT doc_id, rrf_micro, CAST(rank_t AS BIGINT) AS rank_t,
          |  CAST(rank_v AS BIGINT) AS rank_v
          |FROM top ORDER BY doc_id""".stripMargin,
+    // candidate selection, pairwise milli sims, and all five greedy
+    // integer-arithmetic rounds replayed (one fused CTE per round)
+    "retrieval_mmr" -> {
+      val k = 5
+      val rounds = (2 to k).map { r =>
+        val prevUnion = (1 until r)
+          .map(i => s"SELECT query_id, vec_id FROM ms$i")
+          .mkString(" UNION ALL ")
+        val notIn = (1 until r)
+          .map(i => s"NOT EXISTS (SELECT 1 FROM ms$i x$i WHERE " +
+            s"x$i.query_id = c.query_id AND x$i.vec_id = c.vec_id)")
+          .mkString(" AND ")
+        s"""mu$r AS (SELECT c.query_id, c.vec_id, c.rel, max(ss.sim) AS maxsim
+           |  FROM mcands c
+           |  JOIN msims ss ON ss.query_id = c.query_id AND ss.id_a = c.vec_id
+           |  JOIN ($prevUnion) sel
+           |    ON sel.query_id = ss.query_id AND sel.vec_id = ss.id_b
+           |  WHERE $notIn
+           |  GROUP BY c.query_id, c.vec_id, c.rel),
+           |ms$r AS MATERIALIZED (
+           |  SELECT query_id, $r AS rank, vec_id, rel * 7 - maxsim * 3 AS mmr
+           |  FROM mu$r
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY rel * 7 - maxsim * 3 DESC, vec_id ASC) = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH mdims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |mq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |       WHERE vec_id < 2),
+         |mp AS (SELECT mq.query_id, c.vec_id,
+         |        sum(CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS dp,
+         |        sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS qn,
+         |        sqrt(sum(CAST(embedding[i] AS DOUBLE)
+         |          * CAST(embedding[i] AS DOUBLE))) AS cn
+         |      FROM embeddings c CROSS JOIN mq CROSS JOIN mdims
+         |      WHERE c.vec_id >= 10 GROUP BY mq.query_id, c.vec_id),
+         |mcands AS MATERIALIZED (SELECT query_id, vec_id,
+         |    CAST(floor((dp / (qn * cn)) * 1000 + 0.5) AS BIGINT) AS rel
+         |  FROM mp
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY CAST(floor((dp / (qn * cn)) * 1000 + 0.5) AS BIGINT) DESC,
+         |      vec_id ASC) <= 8),
+         |mcv AS (SELECT c.query_id, c.vec_id, e.embedding
+         |  FROM mcands c JOIN embeddings e USING (vec_id)),
+         |msims AS MATERIALIZED (
+         |  SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CAST(floor(
+         |      sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+         |      / (sqrt(sum(CAST(a.embedding[i] AS DOUBLE)
+         |           * CAST(a.embedding[i] AS DOUBLE)))
+         |         * sqrt(sum(CAST(b.embedding[i] AS DOUBLE)
+         |           * CAST(b.embedding[i] AS DOUBLE))))
+         |      * 1000 + 0.5) AS BIGINT) AS sim
+         |  FROM mcv a JOIN mcv b
+         |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+         |  CROSS JOIN mdims
+         |  GROUP BY a.query_id, a.vec_id, b.vec_id),
+         |ms1 AS MATERIALIZED (SELECT query_id, 1 AS rank, vec_id,
+         |    rel * 7 AS mmr FROM mcands
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel * 7 DESC, vec_id ASC) = 1),
+         |$rounds
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+         |  CAST(mmr AS BIGINT) AS mmr_milli
+         |FROM (${(1 to k).map(i => s"SELECT * FROM ms$i").mkString(" UNION ALL ")})
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
     "sample_hash" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS sampled,
         |  floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value

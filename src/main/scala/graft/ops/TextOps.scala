@@ -137,6 +137,28 @@ object TextOps {
     BpeTrainer.learn(vocab, nMerges)
   }
 
+  /** Curated Unicode-confusable map (a bounded subset of the public
+    * Unicode confusables data): the Cyrillic and Greek letters most
+    * used to skin Latin text (spam obfuscation — "раypal" with a
+    * Cyrillic а survives every exact-hash dedup), plus the dash family
+    * and NBSP. Source and target strings are POSITIONALLY paired for
+    * `translate`; all BMP single-code-unit chars, so Spark's UTF-16
+    * translate and DuckDB's codepoint translate agree.
+    */
+  val ConfusableFrom: String =
+    "\u0430\u0435\u043E\u0440\u0441\u0443\u0445\u043A\u0432\u043C\u043D\u0442" + // Cyrillic a e o r s u kh k v m n t shapes
+      "\u03B1\u03B5\u03B9\u03BA\u03BD\u03BF\u03C1\u03C4\u03C5\u03C7" + // Greek alpha..chi lookalikes
+      "\u2010\u2011\u2012\u2013\u2014\u00A0" // hyphen family + NBSP
+  val ConfusableTo: String = "aeopcyxkbmht" + "aeiknoptyx" + "-----" + " "
+
+  /** Confusable SKELETON: lowercase, then fold every mapped confusable
+    * to its Latin target — one codegen'd `translate`, zero shuffle.
+    * Texts that differ only by homoglyph skinning collapse to the same
+    * skeleton, so any downstream exact/fuzzy dedup catches them.
+    */
+  def confusableSkeleton(text: Column): Column =
+    translate(lower(text), ConfusableFrom, ConfusableTo)
+
   /** [[trainBpeMerges]]'s WordPiece sibling (the BERT family): same
     * single distributed vocab pass + capped (word, freq) table, merges
     * selected by the quantized likelihood score — see

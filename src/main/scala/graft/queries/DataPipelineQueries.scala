@@ -313,6 +313,33 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // HOMOGLYPH (Unicode-confusable) dedup — the obfuscated-spam
+    // catcher: text skinned with Cyrillic/Greek lookalikes ("раypal")
+    // survives every exact-hash dedup, so fingerprints are taken over
+    // the confusable SKELETON (TextOps.confusableSkeleton — one
+    // codegen'd translate over a curated bounded map). The corpus is
+    // augmented with deterministic Cyrillic-skinned twins of every 5th
+    // doc; a doc whose skeleton group outnumbers its raw group is a
+    // homoglyph dup. The oracle replays the skinning, both fingerprint
+    // families, and the group counts.
+    "dedup_homoglyph" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val twins = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          translate(col("text"), "aeo", "аео").as("text"))
+      val all = docs.select(col("doc_id"), col("text")).unionByName(twins)
+      val fp = all.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp_raw"),
+        md5(TextOps.confusableSkeleton(col("text")).cast("binary"))
+          .as("fp_skel"))
+      val nraw = fp.groupBy("fp_raw").agg(count(lit(1)).as("n_raw"))
+      val nskel = fp.groupBy("fp_skel").agg(count(lit(1)).as("n_skel"))
+      fp.join(nraw, "fp_raw").join(nskel, "fp_skel")
+        .select(col("doc_id"), col("n_raw"), col("n_skel"),
+          (col("n_skel") > col("n_raw")).as("homoglyph_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Snapshot-to-snapshot corpus diff (ops.SnapshotOps) — the
     // incremental-curation primitive: between two crawl snapshots,
     // which documents are new / retired / revised / untouched. Both
@@ -1512,6 +1539,27 @@ object DataPipelineQueries extends QueryPack {
          |FROM lgbuck b JOIN ccnt USING (doc_id)
          |WHERE b.ppl_bucket <> 'tail'
          |ORDER BY b.doc_id""".stripMargin,
+
+    // replay of the Cyrillic skinning, both fingerprint families
+    // (raw md5 vs skeleton md5 through the same positional translate
+    // map), and the group-size comparison
+    "dedup_homoglyph" ->
+      s"""WITH twins AS (
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    translate(text, 'aeo', 'аео') AS text
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |allv AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM twins),
+         |hfp AS (SELECT doc_id, md5(text) AS fp_raw,
+         |    md5(translate(lower(text), '${TextOps.ConfusableFrom}',
+         |      '${TextOps.ConfusableTo}')) AS fp_skel FROM allv),
+         |hnr AS (SELECT fp_raw, count(*) AS n_raw FROM hfp GROUP BY fp_raw),
+         |hns AS (SELECT fp_skel, count(*) AS n_skel FROM hfp GROUP BY fp_skel)
+         |SELECT hfp.doc_id, CAST(n_raw AS BIGINT) AS n_raw,
+         |  CAST(n_skel AS BIGINT) AS n_skel,
+         |  n_skel > n_raw AS homoglyph_dup
+         |FROM hfp JOIN hnr USING (fp_raw) JOIN hns USING (fp_skel)
+         |ORDER BY doc_id""".stripMargin,
 
     // replay of snapshot membership (salted hash60), fingerprints, and
     // the full-outer status arithmetic

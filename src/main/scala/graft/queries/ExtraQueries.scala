@@ -839,6 +839,41 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ICO (favicon) DIRECTORY walk (functions.IcoMeta): per doc a
+    // multi-image icon built scan-side — stored width/height bytes
+    // exercising the 0-means-256 quirk, per-entry bit depths, embedded
+    // PNG vs classic DIB payloads sniffed by magic. The oracle states
+    // every field as a closed form of (doc_id, idx) — the walker is
+    // certified without the oracle parsing a byte.
+    "mm_image_ico" -> ((s, dir) => {
+      graft.functions.IcoMeta.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val nSql = "(doc_id % 3 + 1)"
+      val dirSql =
+        s"""array_join(transform(sequence(0, $nSql - 1), i -> concat(
+           |  lpad(hex((doc_id + 17*i) % 256), 2, '0'),
+           |  lpad(hex((doc_id + 29*i) % 256), 2, '0'),
+           |  '0000', ${le("1", 2)},
+           |  ${le("CASE CAST(i % 3 AS INT) WHEN 0 THEN 32 WHEN 1 THEN 8 ELSE 4 END", 2)},
+           |  ${le("8", 4)}, ${le(s"6 + 16 * $nSql + 8 * i", 4)})), '')""".stripMargin
+      val paySql =
+        s"""array_join(transform(sequence(0, $nSql - 1),
+           |  i -> IF((doc_id + i) % 2 = 0,
+           |    '89504E470D0A1A0A', '2800000000000000')), '')""".stripMargin
+      val icoHex = s"concat('00000100', ${le(nSql, 2)}, $dirSql, $paySql)"
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($icoHex)"))
+        .selectExpr("doc_id",
+          "posexplode(ico_entries(blob)) AS (idx, e)")
+        .select(col("doc_id"), col("idx"),
+          col("e.width").as("width"), col("e.height").as("height"),
+          col("e.bpp").as("bpp"), col("e.n_bytes").as("n_bytes"),
+          col("e.is_png").as("is_png"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
     // G.711 COMPANDED WAV (μ-law tag 7 / A-law tag 6 by doc parity) —
     // the telephony/speech-corpus encoding, decoded through the ITU-T
     // segment arithmetic (functions.AudioG711Stats). Every data byte is
@@ -1734,6 +1769,24 @@ object ExtraQueries extends QueryPack {
         |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
         |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
         |FROM a ORDER BY doc_id""".stripMargin,
+    // every field a closed form of (doc_id, idx): the stored byte with
+    // the 0-means-256 decode, the bpp cycle, the payload-parity sniff
+    "mm_image_ico" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS n FROM documents),
+        |k AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS idx FROM d),
+        |e AS (SELECT doc_id, CAST(idx AS INTEGER) AS idx,
+        |    CAST(CASE WHEN (doc_id + 17*idx) % 256 = 0 THEN 256
+        |         ELSE (doc_id + 17*idx) % 256 END AS INTEGER) AS width,
+        |    CAST(CASE WHEN (doc_id + 29*idx) % 256 = 0 THEN 256
+        |         ELSE (doc_id + 29*idx) % 256 END AS INTEGER) AS height,
+        |    CAST(CASE idx % 3 WHEN 0 THEN 32 WHEN 1 THEN 8 ELSE 4 END
+        |      AS INTEGER) AS bpp,
+        |    CAST(8 AS BIGINT) AS n_bytes,
+        |    (doc_id + idx) % 2 = 0 AS is_png
+        |  FROM k)
+        |SELECT doc_id, idx, width, height, bpp, n_bytes, is_png
+        |FROM e ORDER BY doc_id, idx""".stripMargin,
+
     // replay of the G.711 expansion: μ-law bias/segment-shift and A-law
     // XOR/segment-offset arithmetic over the closed-form data bytes
     "mm_audio_g711" ->

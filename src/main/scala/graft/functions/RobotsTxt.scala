@@ -46,6 +46,36 @@ object RobotsTxt {
       "robots_rules", exprs => RobotsRules(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "robots_match_len", exprs => RobotsMatchLen(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "robots_sitemaps", exprs => RobotsSitemaps(exprs.head), "built-in")
+  }
+
+  /** `Sitemap:` directive extraction — the standard frontier-seeding
+    * discovery channel (sitemaps.org protocol; RFC 9309 treats it as
+    * an other-record line): group-INDEPENDENT per the de-facto
+    * standard (a Sitemap line applies regardless of surrounding
+    * User-agent groups), case-insensitive directive, absolute-URL
+    * values kept verbatim, comments stripped, non-http(s) values and
+    * empties dropped. Order preserved, duplicates kept (the caller
+    * canonicalizes + dedups in the frontier, where that logic lives).
+    */
+  def sitemaps(txt: UTF8String): GenericArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    txt.toString.split("\r?\n").foreach { raw =>
+      val line = raw.indexOf('#') match {
+        case -1 => raw.trim
+        case i => raw.substring(0, i).trim
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+        line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.startsWith("http://") || v.startsWith("https://"))
+          out += UTF8String.fromString(v)
+      }
+    }
+    new GenericArrayData(out.toArray)
   }
 
   def parse(txt: UTF8String): GenericArrayData = {
@@ -165,4 +195,23 @@ case class RobotsMatchLen(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): RobotsMatchLen =
     copy(left = newLeft, right = newRight)
+}
+
+/** `robots_sitemaps(string)` → Sitemap-directive URLs in file order. */
+case class RobotsSitemaps(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "robots_sitemaps"
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    RobotsTxt.sitemaps(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RobotsTxt.sitemaps($c);")
+  override protected def withNewChildInternal(newChild: Expression): RobotsSitemaps =
+    copy(child = newChild)
 }

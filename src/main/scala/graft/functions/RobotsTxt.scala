@@ -48,6 +48,66 @@ object RobotsTxt {
       "robots_match_len", exprs => RobotsMatchLen(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "robots_sitemaps", exprs => RobotsSitemaps(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "robots_crawl_delay", exprs => RobotsCrawlDelay(exprs(0), exprs(1)),
+      "built-in")
+  }
+
+  /** `Crawl-delay:` for one agent — the de-facto politeness-interval
+    * extension (not in RFC 9309 but honored by most large crawlers):
+    * group selection matches the RULES parser exactly (consecutive
+    * User-agent lines share the following block; an exact-agent group
+    * DISCARDS `*`), the delay is whole seconds (non-negative integer
+    * values only — fractional or junk values are ignored lines), the
+    * LAST matching directive in the selected group wins. Returns -1
+    * when the selected group carries none (caller applies its default
+    * politeness window).
+    */
+  def crawlDelay(txt: UTF8String, agent: UTF8String): Int = {
+    val want = agent.toString.toLowerCase(java.util.Locale.ROOT)
+    var agents = List.empty[String]
+    var inRules = false
+    var exactDelay = -1
+    var starDelay = -1
+    var exactSeen = false
+    var starSeen = false
+    txt.toString.split("\r?\n").foreach { raw =>
+      val line = raw.indexOf('#') match {
+        case -1 => raw.trim
+        case i => raw.substring(0, i).trim
+      }
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val directive = line.substring(0, colon).trim
+            .toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          directive match {
+            case "user-agent" =>
+              if (inRules) { agents = Nil; inRules = false }
+              agents = value.toLowerCase(java.util.Locale.ROOT) :: agents
+            case "allow" | "disallow" => inRules = true
+            case "crawl-delay" =>
+              inRules = true
+              if (value.nonEmpty && value.forall(_.isDigit) &&
+                value.length <= 7) {
+                val d = value.toInt
+                if (agents.contains(want)) { exactDelay = d; exactSeen = true }
+                if (agents.contains("*")) { starDelay = d; starSeen = true }
+              }
+            case _ => ()
+          }
+          // group membership for delay accounting mirrors rule groups:
+          // an exact-agent group existing anywhere discards `*`
+          if (directive == "user-agent" && value
+            .toLowerCase(java.util.Locale.ROOT) == want) exactSeen = true
+        }
+      }
+    }
+    if (exactSeen && exactDelay >= 0) exactDelay
+    else if (exactSeen) -1 // exact group exists but carries no delay
+    else if (starSeen) starDelay
+    else -1
   }
 
   /** `Sitemap:` directive extraction — the standard frontier-seeding
@@ -214,4 +274,25 @@ case class RobotsSitemaps(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.RobotsTxt.sitemaps($c);")
   override protected def withNewChildInternal(newChild: Expression): RobotsSitemaps =
     copy(child = newChild)
+}
+
+/** `robots_crawl_delay(txt, agent)` → whole seconds or -1 (none). */
+case class RobotsCrawlDelay(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "robots_crawl_delay"
+  override def checkInputDataTypes() =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (string, string), got (${left.dataType}, ${right.dataType})")
+  override def nullSafeEval(txt: Any, agent: Any): Any =
+    RobotsTxt.crawlDelay(txt.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, a) =>
+      s"${ev.value} = graft.functions.RobotsTxt.crawlDelay($t, $a);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): RobotsCrawlDelay =
+    copy(left = newLeft, right = newRight)
 }

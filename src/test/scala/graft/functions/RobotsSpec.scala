@@ -19,6 +19,39 @@ class RobotsSpec extends AnyFunSuite {
   private def mlen(pat: String, path: String): Int =
     RobotsTxt.matchLen(UTF8String.fromString(pat), UTF8String.fromString(path))
 
+  private def delay(txt: String, agent: String): Int =
+    RobotsTxt.crawlDelay(UTF8String.fromString(txt),
+      UTF8String.fromString(agent))
+
+  private def maps(txt: String): Seq[String] = {
+    val arr = RobotsTxt.sitemaps(UTF8String.fromString(txt))
+    (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+  }
+
+  test("sitemaps: group-independent, case-insensitive, scheme-gated") {
+    val txt = "User-agent: a\nSitemap: https://x/1.xml\n" +
+      "SITEMAP: http://x/2.xml # c\nUser-agent: b\n" +
+      "sitemap: ftp://x/3.xml\nSitemap:\n# Sitemap: https://x/4.xml\n"
+    assert(maps(txt) == Seq("https://x/1.xml", "http://x/2.xml"))
+    assert(maps("") == Seq())
+  }
+
+  test("crawl-delay: exact group wins, last-match-wins, junk ignored") {
+    val t0 = "User-agent: *\nCrawl-delay: 10\n\nUser-agent: bot\n" +
+      "Disallow: /x\nCrawl-delay: 3\nCrawl-delay: 4\n"
+    assert(delay(t0, "bot") == 4)
+    assert(delay(t0, "other") == 10)
+    // exact group EXISTS but carries no delay -> star's value discarded
+    val t1 = "User-agent: bot\nDisallow: /y\n\nUser-agent: *\n" +
+      "Crawl-delay: 7\nCrawl-delay: 2.5\nCrawl-delay: abc\n"
+    assert(delay(t1, "bot") == -1)
+    assert(delay(t1, "other") == 7)
+    assert(delay("", "bot") == -1)
+    // shared user-agent lines cover both agents
+    val t2 = "User-agent: a\nUser-agent: b\nCrawl-delay: 5\n"
+    assert(delay(t2, "a") == 5 && delay(t2, "b") == 5)
+  }
+
   test("parse: groups, shared user-agent lines, comments, unknown directives") {
     val txt =
       """# politeness file

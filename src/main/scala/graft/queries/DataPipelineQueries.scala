@@ -313,6 +313,29 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // CORPUS HEALTH REPORT — the per-language QA dashboard a curation
+    // run emits before anyone trains on the drop: doc/token volumes,
+    // exact-duplicate mass, Gopher-floor short docs, and the length
+    // tail, per language. One groupBy(lang) over per-doc scalars plus
+    // a fingerprint-group join — two bounded shuffles, no windows.
+    "corpus_health_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val perDoc = docs.select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+        md5(col("text").cast("binary")).as("fp"))
+      val dupGroups = perDoc.groupBy("fp").agg(count(lit(1)).as("n_same"))
+      perDoc.join(dupGroups, "fp")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          (floor(avg(col("n_toks")) * 1e4 + lit(0.5)) / 1e4).as("avg_tokens"),
+          sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(when(col("n_toks") < 40, 1L).otherwise(0L)).as("n_short_docs"),
+          max(col("n_toks")).as("max_tokens"))
+        .withColumn("dup_milli", expr("(n_dup_docs * 1000) div n_docs"))
+        .orderBy(col("lang"))
+    }),
+
     // HOMOGLYPH (Unicode-confusable) dedup — the obfuscated-spam
     // catcher: text skinned with Cyrillic/Greek lookalikes ("раypal")
     // survives every exact-hash dedup, so fingerprints are taken over
@@ -1539,6 +1562,27 @@ object DataPipelineQueries extends QueryPack {
          |FROM lgbuck b JOIN ccnt USING (doc_id)
          |WHERE b.ppl_bucket <> 'tail'
          |ORDER BY b.doc_id""".stripMargin,
+
+    // the same per-doc scalars + fingerprint-group join replayed
+    "corpus_health_report" ->
+      """WITH p AS (SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+        |      AS n_toks,
+        |    md5(text) AS fp
+        |  FROM documents),
+        |g AS (SELECT fp, count(*) AS n_same FROM p GROUP BY fp)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  floor(avg(CAST(n_toks AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS avg_tokens,
+        |  CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST(sum(CASE WHEN n_toks < 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_short_docs,
+        |  CAST(max(n_toks) AS BIGINT) AS max_tokens,
+        |  CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) * 1000
+        |    // count(*) AS BIGINT) AS dup_milli
+        |FROM p JOIN g USING (fp)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // replay of the Cyrillic skinning, both fingerprint families
     // (raw md5 vs skeleton md5 through the same positional translate

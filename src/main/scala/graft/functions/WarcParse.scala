@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -53,6 +53,40 @@ object WarcParse {
       "http_body", exprs => HttpBody(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "http_status", exprs => HttpStatus(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "http_header", exprs => HttpHeader(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** One HTTP header's value from a response payload: the header block
+    * (up to CRLFCRLF, bytes decoded Latin-1 — header bytes are ASCII
+    * in practice and Latin-1 never fails), status line skipped, names
+    * case-insensitive, FIRST match wins, value trimmed. Null when the
+    * payload isn't HTTP or the header is absent — the dispatch seam
+    * for content-type routing (html/pdf/docx extractors).
+    */
+  def header(payload: Array[Byte], name: UTF8String): UTF8String = {
+    var limit = -1
+    var i = 0
+    while (limit < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n') limit = i
+      i += 1
+    }
+    if (limit < 0) return null
+    val head = new String(payload, 0, limit,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!head.startsWith("HTTP/")) return null
+    val want = name.toString
+    val lines = head.split("\r\n")
+    var k = 1
+    while (k < lines.length) {
+      val line = lines(k)
+      val colon = line.indexOf(':')
+      if (colon > 0 && line.substring(0, colon).trim.equalsIgnoreCase(want))
+        return UTF8String.fromString(line.substring(colon + 1).trim)
+      k += 1
+    }
+    null
   }
 
   def parse(buf: Array[Byte]): GenericArrayData = {
@@ -239,4 +273,28 @@ case class HttpStatus(child: Expression) extends UnaryExpression {
     """)
   override protected def withNewChildInternal(newChild: Expression): HttpStatus =
     copy(child = newChild)
+}
+
+/** `http_header(binary, name)` → one header's value or null. */
+case class HttpHeader(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "http_header"
+  override def checkInputDataTypes() =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (binary, string), got (${left.dataType}, ${right.dataType})")
+  override def nullSafeEval(payload: Any, name: Any): Any =
+    WarcParse.header(payload.asInstanceOf[Array[Byte]],
+      name.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, n) => s"""
+      ${ev.value} = graft.functions.WarcParse.header($p, $n);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HttpHeader =
+    copy(left = newLeft, right = newRight)
 }

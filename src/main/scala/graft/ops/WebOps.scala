@@ -73,6 +73,29 @@ object WebOps {
     concat(warcHead, payload, lit("\r\n\r\n")).cast("binary")
   }
 
+  /** [[buildRecord]] for BINARY bodies (PDF/DOCX/image payloads — a
+    * string concat would mangle non-UTF-8 bytes): the HTTP and WARC
+    * header blocks are built as strings, cast to binary, and
+    * concatenated with the body at the byte level; `Content-Type` is
+    * caller-supplied — the dispatch key the extraction side routes on.
+    */
+  def buildBinaryRecord(docId: Column, url: Column, body: Column,
+                        contentType: Column): Column = {
+    val httpHead = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: "), contentType,
+      lit("\r\nContent-Length: "),
+      octet_length(body).cast("string"), lit("\r\n\r\n")).cast("binary")
+    val payload = concat(httpHead, body)
+    val warcHead = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:"),
+      docId.cast("string"),
+      lit(">\r\nWARC-Target-URI: "), url,
+      lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"),
+      lit("Content-Type: application/http; msgtype=response\r\nContent-Length: "),
+      octet_length(payload).cast("string"), lit("\r\n\r\n")).cast("binary")
+    concat(warcHead, payload, lit("\r\n\r\n").cast("binary"))
+  }
+
   /** Group per-document records into multi-record crawl files of
     * `perFile` records each (record-at-time gzip, members concatenated
     * in doc-id order — the Common Crawl layout). Returns

@@ -551,6 +551,31 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("rank"))
     }),
 
+    // UNIGRAM-LM tokenizer training (ops.UnigramTrainer — the
+    // SentencePiece family, Kudo 2018, as the deterministic hard-EM
+    // variant): substring seed → milli-quantized log-prob scores →
+    // Viterbi E-step → integer recount M-step, twice. Completes the
+    // tokenizer triad (BPE/GPT, WordPiece/BERT, Unigram/T5). The
+    // oracle replays the seed cap, both EM rounds — the Viterbi DP as
+    // position-chained argmax CTEs with backlen tie-breaks, the
+    // backtrace as a second chain, the recount with the single-char
+    // floor — and the final score table.
+    "text_unigram_train" -> ((s, dir) => {
+      val vocab = Tables.documents(s, dir).select(
+          explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+            .as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w").asc).limit(65536)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      require(vocab.forall(_._1.length <= 12),
+        "unigram oracle DP chain is sized for words <= 12 chars")
+      val rows = graft.ops.UnigramTrainer.learn(vocab, maxPieceLen = 4,
+        maxPieces = 2048, emIters = 2)
+      import s.implicits._
+      rows.toDF("piece", "count", "score_milli")
+        .orderBy(col("count").desc, col("piece").asc)
+    }),
+
     // WORDPIECE training (ops.WordPieceTrainer) — the BERT tokenizer
     // family next to BPE: continuation-prefixed symbols (w ##o ##r ##d),
     // merges selected by the LIKELIHOOD score cnt/(ca·cb) quantized to
@@ -859,6 +884,89 @@ object DataPipelineQueries extends QueryPack {
     *    limit; fused, the chain is ~n+1 deep.
     */
   private def bpeTrainOracleSql: String = bpeTrainOracleSql(256)
+
+  /** Unigram hard-EM replay: seed substring counts + deterministic cap,
+    * then per EM round — scores (milli-quantized ln BEFORE any
+    * comparison), the Viterbi DP as position-chained argmax CTEs
+    * (candidates from the previous ≤4 positions, QUALIFY picks (score
+    * desc, backlen desc) — the trainer's smallest-split tie-break), the
+    * backtrace as a second position chain emitting pieces, and the
+    * integer recount with the single-char count floor. L = 12 (the
+    * Spark side asserts the corpus fits).
+    */
+  private def unigramOracleSql: String = {
+    val L = 12
+    val P = 4
+    def emRound(r: Int, prev: String): String = {
+      val dp = (1 to L).map { i =>
+        val srcs = ((math.max(0, i - P)) until i)
+          .map(j => s"SELECT w, pos, best FROM udp${r}_$j").mkString(" UNION ALL ")
+        s"""udp${r}_$i AS MATERIALIZED (
+           |  SELECT w, pos, best, backlen FROM (
+           |    SELECT d.w, $i AS pos, d.best + sc.s AS best,
+           |      $i - d.pos AS backlen,
+           |      row_number() OVER (PARTITION BY d.w
+           |        ORDER BY d.best + sc.s DESC, $i - d.pos DESC) AS rn
+           |    FROM ($srcs) d JOIN usc$r sc
+           |      ON sc.p = substr(d.w, d.pos + 1, $i - d.pos)
+           |    WHERE len(d.w) >= $i)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val segs = (1 to L).map { k =>
+        s"""useg${r}_$k AS MATERIALIZED (
+           |  SELECT s.w, s.pos - d.backlen AS pos,
+           |    substr(s.w, s.pos - d.backlen + 1, d.backlen) AS piece
+           |  FROM useg${r}_${k - 1} s JOIN udpall$r d
+           |    ON d.w = s.w AND d.pos = s.pos
+           |  WHERE s.pos > 0)""".stripMargin
+      }.mkString(",\n")
+      s"""utot$r AS (SELECT sum(c) AS t FROM $prev),
+         |usc$r AS MATERIALIZED (SELECT p,
+         |    CAST(floor(ln(CAST(c AS DOUBLE) / t) * 1000 + 0.5) AS BIGINT) AS s
+         |  FROM $prev, utot$r),
+         |udp${r}_0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS best,
+         |    0 AS backlen FROM v),
+         |$dp,
+         |udpall$r AS (${(1 to L).map(i => s"SELECT * FROM udp${r}_$i")
+          .mkString(" UNION ALL ")}),
+         |useg${r}_0 AS (SELECT w, len(w) AS pos FROM v),
+         |$segs,
+         |upieces$r AS MATERIALIZED (${(1 to L)
+          .map(k => s"SELECT w, piece FROM useg${r}_$k").mkString(" UNION ALL ")}),
+         |ucur$r AS MATERIALIZED (
+         |  SELECT p, c FROM (
+         |    SELECT cp.p,
+         |      coalesce(u.c, CASE WHEN length(cp.p) = 1 THEN 1 END) AS c
+         |    FROM $prev cp LEFT JOIN
+         |      (SELECT piece AS p, sum(freq) AS c
+         |       FROM upieces$r JOIN v USING (w) GROUP BY piece) u
+         |      ON u.p = cp.p)
+         |  WHERE c IS NOT NULL)""".stripMargin
+    }
+    s"""WITH v AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |    FROM documents) GROUP BY w
+       |    ORDER BY freq DESC, w ASC LIMIT 65536),
+       |usub AS (SELECT substr(w, gi.i, gl.l) AS p, sum(freq) AS c
+       |  FROM v,
+       |    (SELECT unnest(generate_series(1, $L)) AS i) gi,
+       |    (SELECT unnest(generate_series(1, $P)) AS l) gl
+       |  WHERE gi.i + gl.l - 1 <= len(w)
+       |  GROUP BY 1),
+       |ucur0 AS MATERIALIZED (
+       |  SELECT p, c FROM (
+       |    SELECT p, c, row_number() OVER (ORDER BY c DESC, p ASC) AS rn
+       |    FROM usub)
+       |  WHERE rn <= 2048 OR length(p) = 1),
+       |${emRound(1, "ucur0")},
+       |${emRound(2, "ucur1")},
+       |uft AS (SELECT sum(c) AS t FROM ucur2)
+       |SELECT p AS piece, CAST(c AS BIGINT) AS count,
+       |  CAST(floor(ln(CAST(c AS DOUBLE) / t) * 1000 + 0.5) AS BIGINT)
+       |    AS score_milli
+       |FROM ucur2, uft
+       |ORDER BY count DESC, piece ASC""".stripMargin
+  }
 
   /** WordPiece round replay: per round ONE fused MATERIALIZED CTE —
     * pair counts and the two symbol-count joins feed the quantized
@@ -1840,6 +1948,7 @@ object DataPipelineQueries extends QueryPack {
     "text_bpe_train" -> bpeTrainOracleSql,
     "text_wordpiece_train" -> wpTrainOracleSql(64),
     "text_wordpiece_e2e" -> wpE2eOracleSql,
+    "text_unigram_train" -> unigramOracleSql,
     "text_bpe_train_bytes" -> bpeTrainBytesOracleSql,
     "text_bpe_bytes_e2e" -> bpeBytesE2eOracleSql,
     "text_bpe_pack_e2e" -> bpePackE2eOracleSql,

@@ -576,6 +576,37 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("count").desc, col("piece").asc)
     }),
 
+    // UNIGRAM end-to-end: train the hard-EM table, bake the FINAL
+    // scores into the native Viterbi expression (functions
+    // .UnigramApply — identical DP and tie-breaks as the trainer's
+    // E-step), segment the corpus, aggregate per doc. The oracle
+    // replays training, then runs a THIRD Viterbi chain under the
+    // final score table and reassembles docs in word order — trainer
+    // AND runtime applier certified by one hash.
+    "text_unigram_e2e" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = docs.select(
+          explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+            .as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w").asc).limit(65536)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      require(vocab.forall(_._1.length <= 12),
+        "unigram oracle DP chain is sized for words <= 12 chars")
+      val rows = graft.ops.UnigramTrainer.learn(vocab, maxPieceLen = 4,
+        maxPieces = 2048, emIters = 2)
+      graft.functions.UnigramApply.register(s,
+        rows.map(r => (r._1, r._3)), maxPieceLen = 4, "graft_unigram")
+      val words = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+      val pieces = flatten(transform(words,
+        w => split(call_function("graft_unigram", w), " ")))
+      docs.select(col("doc_id"),
+          size(words).cast("long").as("n_words"),
+          size(pieces).cast("long").as("n_pieces"),
+          array_join(slice(pieces, 1, 8), "|").as("head_pieces"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WORDPIECE training (ops.WordPieceTrainer) — the BERT tokenizer
     // family next to BPE: continuation-prefixed symbols (w ##o ##r ##d),
     // merges selected by the LIKELIHOOD score cnt/(ca·cb) quantized to
@@ -885,6 +916,48 @@ object DataPipelineQueries extends QueryPack {
     */
   private def bpeTrainOracleSql: String = bpeTrainOracleSql(256)
 
+  /** One Viterbi DP + backtrace chain over `v`'s words under the score
+    * CTE `scSrc(p, s)`: dp as position-chained argmax CTEs (candidates
+    * from the previous ≤P positions, (score desc, backlen desc) — the
+    * trainer's smallest-split tie-break), backtrace as a second chain,
+    * ending in `upieces$tag(w, piece)`.
+    */
+  private def unigramViterbiChain(tag: String, scSrc: String, L: Int,
+                                  P: Int): String = {
+    val dp = (1 to L).map { i =>
+      val srcs = (math.max(0, i - P) until i)
+        .map(j => s"SELECT w, pos, best FROM udp${tag}_$j").mkString(" UNION ALL ")
+      s"""udp${tag}_$i AS MATERIALIZED (
+         |  SELECT w, pos, best, backlen FROM (
+         |    SELECT d.w, $i AS pos, d.best + sc.s AS best,
+         |      $i - d.pos AS backlen,
+         |      row_number() OVER (PARTITION BY d.w
+         |        ORDER BY d.best + sc.s DESC, $i - d.pos DESC) AS rn
+         |    FROM ($srcs) d JOIN $scSrc sc
+         |      ON sc.p = substr(d.w, d.pos + 1, $i - d.pos)
+         |    WHERE len(d.w) >= $i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val segs = (1 to L).map { k =>
+      s"""useg${tag}_$k AS MATERIALIZED (
+         |  SELECT s.w, s.pos - d.backlen AS pos,
+         |    substr(s.w, s.pos - d.backlen + 1, d.backlen) AS piece
+         |  FROM useg${tag}_${k - 1} s JOIN udpall$tag d
+         |    ON d.w = s.w AND d.pos = s.pos
+         |  WHERE s.pos > 0)""".stripMargin
+    }.mkString(",\n")
+    s"""udp${tag}_0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS best,
+       |    0 AS backlen FROM v),
+       |$dp,
+       |udpall$tag AS (${(1 to L).map(i => s"SELECT * FROM udp${tag}_$i")
+        .mkString(" UNION ALL ")}),
+       |useg${tag}_0 AS (SELECT w, len(w) AS pos FROM v),
+       |$segs,
+       |upieces$tag AS MATERIALIZED (${(1 to L)
+        .map(k => s"SELECT w, piece, $k AS krev FROM useg${tag}_$k")
+        .mkString(" UNION ALL ")})""".stripMargin
+  }
+
   /** Unigram hard-EM replay: seed substring counts + deterministic cap,
     * then per EM round — scores (milli-quantized ln BEFORE any
     * comparison), the Viterbi DP as position-chained argmax CTEs
@@ -897,42 +970,12 @@ object DataPipelineQueries extends QueryPack {
   private def unigramOracleSql: String = {
     val L = 12
     val P = 4
-    def emRound(r: Int, prev: String): String = {
-      val dp = (1 to L).map { i =>
-        val srcs = ((math.max(0, i - P)) until i)
-          .map(j => s"SELECT w, pos, best FROM udp${r}_$j").mkString(" UNION ALL ")
-        s"""udp${r}_$i AS MATERIALIZED (
-           |  SELECT w, pos, best, backlen FROM (
-           |    SELECT d.w, $i AS pos, d.best + sc.s AS best,
-           |      $i - d.pos AS backlen,
-           |      row_number() OVER (PARTITION BY d.w
-           |        ORDER BY d.best + sc.s DESC, $i - d.pos DESC) AS rn
-           |    FROM ($srcs) d JOIN usc$r sc
-           |      ON sc.p = substr(d.w, d.pos + 1, $i - d.pos)
-           |    WHERE len(d.w) >= $i)
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      val segs = (1 to L).map { k =>
-        s"""useg${r}_$k AS MATERIALIZED (
-           |  SELECT s.w, s.pos - d.backlen AS pos,
-           |    substr(s.w, s.pos - d.backlen + 1, d.backlen) AS piece
-           |  FROM useg${r}_${k - 1} s JOIN udpall$r d
-           |    ON d.w = s.w AND d.pos = s.pos
-           |  WHERE s.pos > 0)""".stripMargin
-      }.mkString(",\n")
+    def emRound(r: Int, prev: String): String =
       s"""utot$r AS (SELECT sum(c) AS t FROM $prev),
          |usc$r AS MATERIALIZED (SELECT p,
          |    CAST(floor(ln(CAST(c AS DOUBLE) / t) * 1000 + 0.5) AS BIGINT) AS s
          |  FROM $prev, utot$r),
-         |udp${r}_0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS best,
-         |    0 AS backlen FROM v),
-         |$dp,
-         |udpall$r AS (${(1 to L).map(i => s"SELECT * FROM udp${r}_$i")
-          .mkString(" UNION ALL ")}),
-         |useg${r}_0 AS (SELECT w, len(w) AS pos FROM v),
-         |$segs,
-         |upieces$r AS MATERIALIZED (${(1 to L)
-          .map(k => s"SELECT w, piece FROM useg${r}_$k").mkString(" UNION ALL ")}),
+         |${unigramViterbiChain(r.toString, s"usc$r", L, P)},
          |ucur$r AS MATERIALIZED (
          |  SELECT p, c FROM (
          |    SELECT cp.p,
@@ -942,7 +985,6 @@ object DataPipelineQueries extends QueryPack {
          |       FROM upieces$r JOIN v USING (w) GROUP BY piece) u
          |      ON u.p = cp.p)
          |  WHERE c IS NOT NULL)""".stripMargin
-    }
     s"""WITH v AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
        |    FROM documents) GROUP BY w
@@ -966,6 +1008,42 @@ object DataPipelineQueries extends QueryPack {
        |    AS score_milli
        |FROM ucur2, uft
        |ORDER BY count DESC, piece ASC""".stripMargin
+  }
+
+  /** [[unigramOracleSql]]'s training chain, then a THIRD Viterbi chain
+    * under the FINAL score table (what the runtime applier actually
+    * consumes) and per-doc reassembly in word order — pieces within a
+    * word ordered by the backtrace's reversed step index.
+    */
+  private def unigramE2eOracleSql: String = {
+    val L = 12
+    val P = 4
+    s"""${unigramOracleSql.substring(0, unigramOracleSql.indexOf("uft AS"))}
+       |uscF AS MATERIALIZED (SELECT p,
+       |    CAST(floor(ln(CAST(c AS DOUBLE) /
+       |      (SELECT sum(c) FROM ucur2)) * 1000 + 0.5) AS BIGINT) AS s
+       |  FROM ucur2),
+       |${unigramViterbiChain("F", "uscF", L, P)},
+       |udocw AS (SELECT doc_id, unnest(ws) AS w,
+       |    generate_subscripts(ws, 1) AS wpos
+       |  FROM (SELECT doc_id,
+       |          regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |        FROM documents)),
+       |udp AS (SELECT d.doc_id, d.wpos, p.piece, -p.krev AS porder
+       |  FROM udocw d JOIN upiecesF p USING (w)),
+       |uagg AS (SELECT doc_id, count(*) AS n_pieces,
+       |    array_to_string((list(piece ORDER BY wpos, porder))[1:8], '|')
+       |      AS head_pieces
+       |  FROM udp GROUP BY doc_id),
+       |uaggw AS (SELECT doc_id, count(*) AS n_words FROM udocw GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(uaggw.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(uagg.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |  coalesce(uagg.head_pieces, '') AS head_pieces
+       |FROM documents d
+       |LEFT JOIN uaggw ON uaggw.doc_id = d.doc_id
+       |LEFT JOIN uagg ON uagg.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** WordPiece round replay: per round ONE fused MATERIALIZED CTE —
@@ -1949,6 +2027,7 @@ object DataPipelineQueries extends QueryPack {
     "text_wordpiece_train" -> wpTrainOracleSql(64),
     "text_wordpiece_e2e" -> wpE2eOracleSql,
     "text_unigram_train" -> unigramOracleSql,
+    "text_unigram_e2e" -> unigramE2eOracleSql,
     "text_bpe_train_bytes" -> bpeTrainBytesOracleSql,
     "text_bpe_bytes_e2e" -> bpeBytesE2eOracleSql,
     "text_bpe_pack_e2e" -> bpePackE2eOracleSql,

@@ -839,6 +839,49 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // EXIF GPS extraction (functions.ExifMeta.gps) — the image
+    // PRIVACY-SCRUB signal: per doc a JPEG whose APP1 block carries a
+    // full GPS IFD (refs + degree/minute/second RATIONALs at data
+    // offsets, all four hemisphere combinations over the corpus),
+    // every 9th doc GPS-less. Coordinates fold to signed micro-degrees
+    // with per-term truncating division, so the oracle replays the
+    // arithmetic as closed forms of doc_id.
+    "mm_image_gps" -> ((s, dir) => {
+      graft.functions.ExifMeta.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val hexSql =
+        s"""CASE WHEN doc_id % 9 = 0 THEN
+           |  concat('FFD8', 'FFE000104A46494600010100000100010000', 'FFD9')
+           |ELSE concat('FFD8', 'FFE10088', '457869660000',
+           |  '49492A0008000000',
+           |  '0100', '2588', '0400', '01000000', '1A000000', '00000000',
+           |  '0400',
+           |  '0100', '0200', '02000000',
+           |  IF(doc_id % 2 = 0, '4E', '53'), '000000',
+           |  '0200', '0500', '03000000', '50000000',
+           |  '0300', '0200', '02000000',
+           |  IF(doc_id % 3 = 0, '57', '45'), '000000',
+           |  '0400', '0500', '03000000', '68000000',
+           |  '00000000',
+           |  ${le("doc_id % 90", 4)}, '01000000',
+           |  ${le("(doc_id * 3) % 60", 4)}, '01000000',
+           |  ${le("(doc_id * 37) % 6000", 4)}, '64000000',
+           |  ${le("doc_id % 180", 4)}, '01000000',
+           |  ${le("(doc_id * 7) % 60", 4)}, '01000000',
+           |  ${le("(doc_id * 53) % 6000", 4)}, '64000000',
+           |  'FFD9') END""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($hexSql)"))
+        .selectExpr("doc_id", "jpeg_gps(blob) AS g")
+        .select(col("doc_id"),
+          col("g").isNotNull.as("has_gps"),
+          coalesce(col("g.lat_micro"), lit(0L)).as("lat_micro"),
+          coalesce(col("g.lon_micro"), lit(0L)).as("lon_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ICO (favicon) DIRECTORY walk (functions.IcoMeta): per doc a
     // multi-image icon built scan-side — stored width/height bytes
     // exercising the 0-means-256 quirk, per-entry bit depths, embedded
@@ -1769,6 +1812,27 @@ object ExtraQueries extends QueryPack {
         |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
         |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
         |FROM a ORDER BY doc_id""".stripMargin,
+    // replay of the hemisphere signs + the per-term truncating
+    // micro-degree arithmetic as closed forms of doc_id
+    "mm_image_gps" ->
+      """WITH d AS (SELECT doc_id,
+        |    doc_id % 90 AS latd, (doc_id * 3) % 60 AS latm,
+        |    (doc_id * 37) % 6000 AS lats,
+        |    doc_id % 180 AS lond, (doc_id * 7) % 60 AS lonm,
+        |    (doc_id * 53) % 6000 AS lons,
+        |    doc_id % 9 = 0 AS nogps,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS lsign,
+        |    CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS osign
+        |  FROM documents)
+        |SELECT doc_id, NOT nogps AS has_gps,
+        |  CAST(CASE WHEN nogps THEN 0 ELSE lsign * (latd * 1000000
+        |    + (latm * 1000000) // 60 + (lats * 1000000) // 360000) END
+        |    AS BIGINT) AS lat_micro,
+        |  CAST(CASE WHEN nogps THEN 0 ELSE osign * (lond * 1000000
+        |    + (lonm * 1000000) // 60 + (lons * 1000000) // 360000) END
+        |    AS BIGINT) AS lon_micro
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // every field a closed form of (doc_id, idx): the stored byte with
     // the 0-means-256 decode, the bpp cycle, the payload-parity sniff
     "mm_image_ico" ->

@@ -150,6 +150,22 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Near-dup CLUSTER SIZE DISTRIBUTION — the dedup QA histogram
+    // (how much of the corpus sits in 2-clusters vs one giant
+    // boilerplate blob decides which dedup strategy to tune): minhash
+    // → star-CC → component sizes → size histogram. The histogram is
+    // value-space bounded; everything corpus-sized is the already-
+    // audited candidate/CC machinery.
+    "dedup_cluster_stats" -> ((s, dir) => {
+      val pairs = DedupOps.minhashCandidates(Tables.documents(s, dir),
+        "doc_id", "text", shingleN = 3, numHashes = 8, bands = 4)
+      DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
+        .groupBy(col("component")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // The PRODUCTION fuzzy-dedup pipeline, end to end: MinHash+LSH
     // candidate pairs → star-contraction connected components → canonical
     // keep-min-id per component → anti-join the drops out of the corpus.
@@ -1560,6 +1576,15 @@ object DataPipelineQueries extends QueryPack {
          |$ccUnrollSql
          |SELECT id AS doc_id, lbl AS component FROM l$CC_ROUNDS
          |ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_stats" ->
+      s"""WITH $shingleSql,
+         |$minhashSigSql,
+         |$minhashCandSql,
+         |$ccUnrollSql,
+         |compsz AS (SELECT lbl, count(*) AS sz FROM l$CC_ROUNDS GROUP BY lbl)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM compsz GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "dedup_e2e_fuzzy" ->
       s"""WITH $shingleSql,
          |$minhashSigSql,

@@ -330,6 +330,40 @@ object StreamingPipeline {
     graft.ops.WebOps.extractPages(crawlFiles(spark, dir), col("content"))
   }
 
+  /** Streaming FORMAT-DISPATCH ingestion — [[crawlStream]] widened to
+    * the multi-format first mile: as mixed segments land, each record's
+    * HTTP Content-Type routes its body to the right extractor
+    * (html_to_text / pdf_text / docx_text — the
+    * `web_doc_formats_e2e` dispatch, streaming). STATELESS like
+    * [[crawlStream]] (projections + one explode, no watermark), so
+    * append mode runs the EXACT batch operators and per-file
+    * batch/stream parity is definitional; state never grows with the
+    * crawl. Output: (uri, fmt, doc_text).
+    */
+  def docFormatsStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.WebOps.registerAll(spark)
+    graft.functions.PdfText.register(spark)
+    graft.functions.ZipDocx.register(spark)
+    val recs = crawlFiles(spark, dir)
+      .select(explode(call_function("warc_records",
+        call_function("decompress_any", col("content")))).as("rec"))
+      .select(col("rec.target_uri").as("uri"),
+        call_function("http_body", col("rec.payload")).as("body"),
+        call_function("http_header", col("rec.payload"), lit("Content-Type"))
+          .as("ct"))
+    recs
+      .withColumn("fmt",
+        when(col("ct").contains("text/html"), "html")
+          .when(col("ct") === "application/pdf", "pdf")
+          .otherwise("docx"))
+      .withColumn("doc_text",
+        when(col("fmt") === "html",
+          call_function("html_to_text", col("body").cast("string")))
+          .when(col("fmt") === "pdf", call_function("pdf_text", col("body")))
+          .otherwise(call_function("docx_text", col("body"))))
+      .select(col("uri"), col("fmt"), col("doc_text"))
+  }
+
   private def crawlFiles(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .format("binaryFile")

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, element_at}
+import org.apache.spark.sql.functions.{call_function, col, element_at, lit, when}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSuite
 import StreamingPipeline.{GridRow, Sample}
@@ -424,6 +424,50 @@ class StreamingSpec extends SparkSuite {
       val uris = spark.table("crawl_out")
         .select(col("target_uri")).as[String].collect().toSet
       assert(uris == (0 until 10).map(i => s"https://h.example.com/doc/$i").toSet)
+    } finally q.stop()
+  }
+
+  test("format-dispatch stream: html/pdf/docx route to their extractors incrementally") {
+    import spark.implicits._
+    import graft.ops.WebOps
+    graft.functions.PdfText.register(spark)
+    graft.functions.ZipDocx.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("fmt_in_")
+    val docs = (0L until 6L).map(i => (i, s"dispatch body $i words"))
+      .toDF("doc_id", "text")
+    val m = col("doc_id") % 3
+    val ctype = when(m === 0, lit("text/html; charset=utf-8"))
+      .when(m === 1, lit("application/pdf"))
+      .otherwise(lit("application/vnd.openxmlformats-officedocument" +
+        ".wordprocessingml.document"))
+    val body = when(m === 0,
+        org.apache.spark.sql.functions.concat(lit("<html><body><p>"),
+          col("text"), lit("</p></body></html>")).cast("binary"))
+      .when(m === 1, call_function("pdf_doc", col("text").cast("binary")))
+      .otherwise(call_function("docx_doc", col("text").cast("binary")))
+    val recs = docs.select(col("doc_id"),
+      WebOps.buildBinaryRecord(col("doc_id"),
+        org.apache.spark.sql.functions.concat(
+          lit("https://h.example.com/doc/"), col("doc_id").cast("string")),
+        body, ctype).as("rec"))
+    val blobs = WebOps.buildCrawlFiles(recs, col("doc_id"), col("rec"), perFile = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("blob")).toMap
+    java.nio.file.Files.write(dir.resolve("seg0.warc.gz"), blobs(0L))
+
+    val q = StreamingPipeline.docFormatsStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("fmt_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fmt_out").count() == 3)
+      java.nio.file.Files.write(dir.resolve("seg1.warc.gz"), blobs(1L))
+      q.processAllAvailable()
+      val rows = spark.table("fmt_out")
+        .select(col("fmt"), col("doc_text")).as[(String, String)]
+        .collect().toSet
+      assert(rows == (0 until 6).map { i =>
+        (Seq("html", "pdf", "docx")(i % 3), s"dispatch body $i words")
+      }.toSet)
     } finally q.stop()
   }
 }

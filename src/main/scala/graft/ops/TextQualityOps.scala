@@ -822,6 +822,28 @@ object TextQualityOps {
       .withColumnRenamed("avg_logprob_kn5", "__score"), docId)
       .withColumnRenamed("__score", "avg_logprob_kn5")
 
+  /** PER-LANGUAGE 5-gram modified-KN perplexity buckets — the EXACT
+    * published CCNet recipe (Wenzek et al. 2020 deploy one 5-gram KN
+    * model PER LANGUAGE and bucket within the language): one
+    * [[kn5PerplexityBuckets]] invocation per whitelisted language
+    * slice, unioned. The language list is an EXPLICIT whitelist (the
+    * way CCNet itself runs — a fixed set of supported languages, not a
+    * data-driven discovery), so plan size is bounded by the list, each
+    * language's model/thresholds see only its shard, and a regenerated
+    * corpus introducing a new language is excluded BY CONSTRUCTION on
+    * both engine and oracle sides rather than silently diverging. At
+    * cluster scale each language shard is its own independent job —
+    * the union here is the single-session rendering of that fan-out.
+    */
+  def langKn5PerplexityBuckets(df: DataFrame, docId: String, textCol: String,
+                               langCol: String, langs: Seq[String],
+                               maxVocab: Int = 65536): DataFrame =
+    langs.sorted.map { lg =>
+      kn5PerplexityBuckets(df.filter(col(langCol) === lg), docId, textCol,
+          maxVocab)
+        .withColumn(langCol, lit(lg))
+    }.reduce(_ unionByName _)
+
   /** The scorer-agnostic tercile machinery shared by both bucketing
     * fronts: centi-quantize `__score`, histogram, cumulative count over
     * the bounded cells, inclusive threshold maxima, bucket by broadcast

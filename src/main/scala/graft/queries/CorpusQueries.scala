@@ -215,6 +215,18 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // THE published CCNet recipe exactly: one 5-gram modified-KN model
+    // PER LANGUAGE (explicit whitelist, the way CCNet itself ships),
+    // head/middle/tail terciles within each language. The oracle
+    // replays the full kn5 ladder once per language over that
+    // language's shard and unions the bucket rows.
+    "text_ppl_buckets_kn5_lang" -> ((s, dir) => {
+      TextQualityOps.langKn5PerplexityBuckets(Tables.documents(s, dir),
+          "doc_id", "text", "lang", Seq("de", "en", "es", "fr", "zh"),
+          maxVocab = 65536)
+        .orderBy(col("doc_id"))
+    }),
+
     // the same tercile machinery over the KN scorer — CCNet's published
     // combination (KN-smoothed LM + head/middle/tail split)
     "text_ppl_buckets_kn" -> ((s, dir) => {
@@ -1168,6 +1180,43 @@ object CorpusQueries extends QueryPack {
       s"""$kn5ScoreCtes
          |SELECT doc_id, n_5grams, n_oov5, avg_logprob_kn5
          |FROM kn5score ORDER BY doc_id""".stripMargin,
+    // the kn5 ladder replayed once per whitelisted language over that
+    // language's shard (CTE names lang-prefixed, source lang-filtered),
+    // bucket rows unioned
+    "text_ppl_buckets_kn5_lang" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val perLang = langs.map { lg =>
+        val body = kn5ScoreCtesBody
+          .replace("FROM documents",
+            s"FROM (SELECT * FROM documents WHERE lang = '$lg')")
+          .replace("kn5", s"k5$lg")
+        s"""$body,
+           |k5${lg}bq AS MATERIALIZED (SELECT doc_id,
+           |    avg_logprob_k5$lg AS avg_logprob_kn5,
+           |    CAST(floor(avg_logprob_k5$lg * 100) AS BIGINT) AS lp_centi
+           |  FROM k5${lg}score),
+           |k5${lg}bh AS (SELECT lp_centi, count(*) AS c FROM k5${lg}bq
+           |  GROUP BY lp_centi),
+           |k5${lg}bc AS (SELECT lp_centi,
+           |    sum(c) OVER (ORDER BY lp_centi DESC) AS cumc FROM k5${lg}bh),
+           |k5${lg}bn AS (SELECT count(*) AS n FROM k5${lg}bq),
+           |k5${lg}bt AS (SELECT
+           |    max(CASE WHEN cumc >= (n + 2) // 3 THEN lp_centi END) AS t1,
+           |    max(CASE WHEN cumc >= (2 * n + 2) // 3 THEN lp_centi END) AS t2
+           |  FROM k5${lg}bc, k5${lg}bn)""".stripMargin
+      }.mkString(",\n")
+      val sel = langs.map { lg =>
+        s"""SELECT q.doc_id, '$lg' AS lang, q.avg_logprob_kn5, q.lp_centi,
+           |  CASE WHEN q.lp_centi >= t.t1 THEN 'head'
+           |       WHEN q.lp_centi >= t.t2 THEN 'middle'
+           |       ELSE 'tail' END AS ppl_bucket
+           |FROM k5${lg}bq q, k5${lg}bt t""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH $perLang
+         |$sel
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "text_ppl_buckets_kn5" ->
       s"""$kn5ScoreCtes,
          |kn5bq AS MATERIALIZED (SELECT doc_id, avg_logprob_kn5,

@@ -583,8 +583,8 @@ object DataPipelineQueries extends QueryPack {
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("w").asc).limit(65536)
         .collect().map(r => (r.getString(0), r.getLong(1)))
-      require(vocab.forall(_._1.length <= 12),
-        "unigram oracle DP chain is sized for words <= 12 chars")
+      require(vocab.forall(_._1.length <= 16),
+        "unigram oracle DP chain is sized for words <= 16 chars")
       val rows = graft.ops.UnigramTrainer.learn(vocab, maxPieceLen = 4,
         maxPieces = 2048, emIters = 2)
       import s.implicits._
@@ -607,8 +607,8 @@ object DataPipelineQueries extends QueryPack {
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("w").asc).limit(65536)
         .collect().map(r => (r.getString(0), r.getLong(1)))
-      require(vocab.forall(_._1.length <= 12),
-        "unigram oracle DP chain is sized for words <= 12 chars")
+      require(vocab.forall(_._1.length <= 16),
+        "unigram oracle DP chain is sized for words <= 16 chars")
       val rows = graft.ops.UnigramTrainer.learn(vocab, maxPieceLen = 4,
         maxPieces = 2048, emIters = 2)
       graft.functions.UnigramApply.register(s,
@@ -980,11 +980,12 @@ object DataPipelineQueries extends QueryPack {
     * (candidates from the previous ≤4 positions, QUALIFY picks (score
     * desc, backlen desc) — the trainer's smallest-split tie-break), the
     * backtrace as a second position chain emitting pieces, and the
-    * integer recount with the single-char count floor. L = 12 (the
-    * Spark side asserts the corpus fits).
+    * integer recount with the single-char count floor. L = 16 (the
+    * Spark side asserts the corpus fits — the adversarial derivation's
+    * suffixed words reach 13).
     */
   private def unigramOracleSql: String = {
-    val L = 12
+    val L = 16
     val P = 4
     def emRound(r: Int, prev: String): String =
       s"""utot$r AS (SELECT sum(c) AS t FROM $prev),
@@ -1032,7 +1033,7 @@ object DataPipelineQueries extends QueryPack {
     * word ordered by the backtrace's reversed step index.
     */
   private def unigramE2eOracleSql: String = {
-    val L = 12
+    val L = 16
     val P = 4
     s"""${unigramOracleSql.substring(0, unigramOracleSql.indexOf("uft AS"))}
        |uscF AS MATERIALIZED (SELECT p,

@@ -839,6 +839,35 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // AVIF/HEIF metadata (functions.AvifMeta) — the ISOBMFF-packaged
+    // image formats modern web corpora shift toward: ftyp brand gate,
+    // the meta FULL-box trap (4 version/flags bytes), iprp→ipco→ispe
+    // spatial extents. Per doc a scan-side box tree (avif/heic by
+    // parity, every 9th a non-image mp42 brand that must refuse);
+    // the oracle states brand/width/height as closed forms.
+    "mm_image_avif_meta" -> ((s, dir) => {
+      graft.functions.AvifMeta.register(s)
+      val hexSql =
+        s"""concat('00000014', '66747970',
+           |  CASE WHEN doc_id % 9 = 0 THEN '6D703432'
+           |       WHEN doc_id % 2 = 0 THEN '61766966' ELSE '68656963' END,
+           |  '00000000', '6D696631',
+           |  '00000030', '6D657461', '00000000',
+           |  '00000024', '69707270',
+           |  '0000001C', '6970636F',
+           |  '00000014', '69737065', '00000000',
+           |  lpad(hex(doc_id % 4000 + 16), 8, '0'),
+           |  lpad(hex(doc_id % 3000 + 16), 8, '0'))""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($hexSql)"))
+        .selectExpr("doc_id", "avif_meta(blob) AS m")
+        .select(col("doc_id"),
+          coalesce(col("m.brand"), lit("(refused)")).as("brand"),
+          coalesce(col("m.width"), lit(-1)).as("width"),
+          coalesce(col("m.height"), lit(-1)).as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXIF GPS extraction (functions.ExifMeta.gps) — the image
     // PRIVACY-SCRUB signal: per doc a JPEG whose APP1 block carries a
     // full GPS IFD (refs + degree/minute/second RATIONALs at data
@@ -1812,6 +1841,17 @@ object ExtraQueries extends QueryPack {
         |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
         |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
         |FROM a ORDER BY doc_id""".stripMargin,
+    // brand/extents as closed forms; the mp42 branch must refuse
+    "mm_image_avif_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN '(refused)'
+        |       WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS brand,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN -1
+        |       ELSE doc_id % 4000 + 16 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN -1
+        |       ELSE doc_id % 3000 + 16 END AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // replay of the hemisphere signs + the per-term truncating
     // micro-degree arithmetic as closed forms of doc_id
     "mm_image_gps" ->

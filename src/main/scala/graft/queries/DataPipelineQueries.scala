@@ -329,6 +329,26 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // BOILERPLATE PHRASE MINING — the diagnostic that finds template
+    // text before dedup tuning: the corpus's top 5-gram shingles by
+    // DOCUMENT frequency (per-doc presence, not raw occurrences, so a
+    // single spammy doc can't dominate) with the df share in
+    // milli-units. One distinct + one count per gram, then a bounded
+    // top-20 — the corpus-sized work is the shingle explode the dedup
+    // family already prices.
+    "text_boilerplate_ngrams" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val arr = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      arr.select(col("doc_id"), explode(TextOps.shinglesOf(col("toks"), 5)).as("g5"))
+        .distinct()
+        .groupBy(col("g5")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("g5").asc).limit(20)
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("__n"))))
+        .select(col("g5").as("ngram"), col("df"),
+          expr("(df * 1000) div __n").as("df_milli"))
+        .orderBy(col("df").desc, col("ngram").asc)
+    }),
+
     // CORPUS HEALTH REPORT — the per-language QA dashboard a curation
     // run emits before anyone trains on the drop: doc/token volumes,
     // exact-duplicate mass, Gopher-floor short docs, and the length
@@ -1774,6 +1794,20 @@ object DataPipelineQueries extends QueryPack {
          |FROM lgbuck b JOIN ccnt USING (doc_id)
          |WHERE b.ppl_bucket <> 'tail'
          |ORDER BY b.doc_id""".stripMargin,
+
+    // same per-doc-presence df + bounded top-20 replay
+    "text_boilerplate_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS ws FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g5
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) s
+         |  WHERE len(ws) >= 5),
+         |d AS (SELECT g5, count(*) AS df FROM g GROUP BY g5
+         |  ORDER BY df DESC, g5 ASC LIMIT 20),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT g5 AS ngram, CAST(df AS BIGINT) AS df,
+         |  CAST(df * 1000 // n AS BIGINT) AS df_milli
+         |FROM d, n ORDER BY df DESC, ngram ASC""".stripMargin,
 
     // the same per-doc scalars + fingerprint-group join replayed
     "corpus_health_report" ->

@@ -129,3 +129,83 @@ object HtmlMeta {
   private def clean(raw: String): String =
     HtmlToText.extract(UTF8String.fromString(raw)).toString
 }
+
+/** `html_jsonld(string)` → the raw payloads of every
+  * `<script type="application/ld+json">` block in document order —
+  * the schema.org STRUCTURED-DATA channel (articles, products,
+  * recipes publish machine-readable metadata here; a curation
+  * pipeline mines it for titles, authors, dates far more reliably
+  * than visible-text heuristics). One linear scan: script blocks are
+  * matched with attribute-order- and quote-style-insensitive type
+  * detection, HTML comments are skipped (a commented-out script is
+  * not data), payloads end at the first `</script>` (per the HTML
+  * spec script text cannot contain that sequence), and whitespace is
+  * trimmed. Downstream parsing stays in Spark's own JSON functions
+  * (`get_json_object` / `from_json`) — this expression only lifts the
+  * payloads out of markup.
+  */
+case class HtmlJsonLd(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "html_jsonld"
+  override def checkInputDataTypes() =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    HtmlJsonLd.extract(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HtmlJsonLd.extract($c);")
+  override protected def withNewChildInternal(newChild: Expression): HtmlJsonLd =
+    copy(child = newChild)
+}
+
+object HtmlJsonLd {
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "html_jsonld", exprs => HtmlJsonLd(exprs.head), "built-in")
+
+  def extract(html: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = html.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    var i = 0
+    while (i < s.length) {
+      val cm = lower.indexOf("<!--", i)
+      val sc = lower.indexOf("<script", i)
+      if (sc < 0) { i = s.length }
+      else if (cm >= 0 && cm < sc) {
+        val e = lower.indexOf("-->", cm + 4)
+        i = if (e < 0) s.length else e + 3
+      } else {
+        val gt = lower.indexOf('>', sc)
+        if (gt < 0) { i = s.length }
+        else {
+          val attrs = lower.substring(sc + 7, gt)
+          val isLd = attrs.replace("\"", "").replace("'", "")
+            .replace(" ", "").contains("type=application/ld+json")
+          val close = lower.indexOf("</script", gt + 1)
+          if (close < 0) { i = s.length }
+          else {
+            if (isLd) {
+              val payload = s.substring(gt + 1, close).trim
+              if (payload.nonEmpty)
+                out += org.apache.spark.unsafe.types.UTF8String
+                  .fromString(payload)
+            }
+            i = lower.indexOf('>', close) match {
+              case -1 => s.length
+              case e => e + 1
+            }
+          }
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}

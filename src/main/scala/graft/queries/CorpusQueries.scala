@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{BloomJoin, SamplingOps, TextQualityOps, UrlOps}
+import graft.ops.{BloomJoin, SamplingOps, TextOps, TextQualityOps, UrlOps}
 
 /** Corpus-hygiene operators for a web-scale training-data pipeline:
   * URL canonicalization dedup, Gopher-style repetition quality,
@@ -191,6 +191,35 @@ object CorpusQueries extends QueryPack {
           "doc_id", "text", maxVocab = 65536)
         .select(col("doc_id"), col("n_trigrams"), col("n_oov3"),
           col("avg_logprob_kn"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // READABILITY (Flesch reading-ease) — the classic prose-quality
+    // signal, made engine-exact: sentences are punctuation-terminated
+    // runs (RE2-safe pattern — no lookbehind, so Spark and DuckDB
+    // split identically), syllables are vowel-run counts floored at 1
+    // per word (the standard deterministic approximation), and the
+    // score is IEEE-double arithmetic floored to milli units (products
+    // and divisions are correctly rounded, so both engines agree).
+    // Zero shuffle — one projection per doc.
+    "text_readability" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("__w", TextOps.tokens(col("text")))
+        .withColumn("__s", expr(
+          "size(regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$', 0))"))
+        .withColumn("__sy", expr(
+          "aggregate(transform(__w, w -> " +
+            "greatest(size(regexp_extract_all(w, '[aeiouy]+', 0)), 1)), " +
+            "0L, (a, x) -> a + x)"))
+        .filter(size(col("__w")) > 0 && col("__s") > 0)
+        .select(col("doc_id"),
+          size(col("__w")).cast("long").as("n_words"),
+          col("__s").cast("long").as("n_sentences"),
+          col("__sy").cast("long").as("n_syllables"),
+          floor((lit(206.835)
+            - lit(1.015) * size(col("__w")).cast("double") / col("__s").cast("double")
+            - lit(84.6) * col("__sy").cast("double") / size(col("__w")).cast("double"))
+            * 1000).cast("long").as("flesch_milli"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1253,6 +1282,26 @@ object CorpusQueries extends QueryPack {
          |       WHEN q.lp_centi >= th.t2 THEN 'middle'
          |       ELSE 'tail' END AS ppl_bucket
          |FROM q, th ORDER BY doc_id""".stripMargin,
+    // same sentence split, vowel-run syllables, and floored IEEE
+    // arithmetic replayed
+    "text_readability" ->
+      s"""WITH r AS (SELECT doc_id,
+         |    $tokSql AS w,
+         |    len(regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$$')) AS s
+         |  FROM documents),
+         |y AS (SELECT doc_id, len(w) AS nw, s,
+         |    list_sum(list_transform(w, x ->
+         |      greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))) AS sy
+         |  FROM r WHERE len(w) > 0 AND s > 0)
+         |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+         |  CAST(s AS BIGINT) AS n_sentences,
+         |  CAST(sy AS BIGINT) AS n_syllables,
+         |  CAST(floor((206.835
+         |    - 1.015 * CAST(nw AS DOUBLE) / CAST(s AS DOUBLE)
+         |    - 84.6 * CAST(sy AS DOUBLE) / CAST(nw AS DOUBLE)) * 1000)
+         |    AS BIGINT) AS flesch_milli
+         |FROM y ORDER BY doc_id""".stripMargin,
+
     // the full lang-keyed ladder: per-language counts, caps, totals,
     // histograms, and tercile thresholds replayed in one statement
     "text_ppl_buckets_lang" ->

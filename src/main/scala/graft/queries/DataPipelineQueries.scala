@@ -329,6 +329,22 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // SEQUENCE-LENGTH HISTOGRAM — the packer-planning signal (choosing
+    // the context budget and padding strategy needs the corpus's token
+    // length distribution): log2 buckets (power-of-two boundaries are
+    // exact in IEEE doubles, so floor(log2(n)) is engine-exact),
+    // bucket → doc count + token mass. One aggregate, value-space
+    // bounded output.
+    "corpus_length_histogram" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        .filter(col("n") > 0)
+        .withColumn("bucket", floor(log2(col("n"))).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .orderBy(col("bucket"))
+    }),
+
     // BOILERPLATE PHRASE MINING — the diagnostic that finds template
     // text before dedup tuning: the corpus's top 5-gram shingles by
     // DOCUMENT frequency (per-doc presence, not raw occurrences, so a
@@ -1794,6 +1810,14 @@ object DataPipelineQueries extends QueryPack {
          |FROM lgbuck b JOIN ccnt USING (doc_id)
          |WHERE b.ppl_bucket <> 'tail'
          |ORDER BY b.doc_id""".stripMargin,
+
+    // exact log2 bucket replay (power-of-two boundaries are IEEE-exact)
+    "corpus_length_histogram" ->
+      s"""WITH n AS (SELECT CAST(len($tokSql) AS BIGINT) AS n FROM documents)
+         |SELECT CAST(floor(log2(n)) AS INTEGER) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens
+         |FROM n WHERE n > 0 GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // same per-doc-presence df + bounded top-20 replay
     "text_boilerplate_ngrams" ->

@@ -61,7 +61,7 @@ object HtmlToText {
   /** Elements whose content is invisible (or metadata, for `title`) and
     * must drop whole — corpus text is body prose, not page chrome.
     */
-  private val RawTextContainers = Array("script", "style", "noscript", "template", "title")
+  private[functions] val RawTextContainers = Array("script", "style", "noscript", "template", "title")
 
   def extract(in: UTF8String): UTF8String = {
     val s = in.toString
@@ -121,7 +121,7 @@ object HtmlToText {
   /** If the tag opening at `i` is a raw-text container, its lowercase
     * name; null otherwise.
     */
-  private def matchContainer(s: String, i: Int): String = {
+  private[functions] def matchContainer(s: String, i: Int): String = {
     var k = 0
     while (k < RawTextContainers.length) {
       val name = RawTextContainers(k)
@@ -136,10 +136,10 @@ object HtmlToText {
     null
   }
 
-  private def regionMatchesIgnoreCase(s: String, at: Int, needle: String): Boolean =
+  private[functions] def regionMatchesIgnoreCase(s: String, at: Int, needle: String): Boolean =
     s.regionMatches(true, at, needle, 0, needle.length)
 
-  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+  private[functions] def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
     var i = from
     val last = s.length - needle.length
     while (i <= last) {
@@ -152,7 +152,7 @@ object HtmlToText {
   /** Parse a character reference at `i` (s(i)=='&'); returns (codepoint,
     * index-after) or (-1, _) when not a valid reference.
     */
-  private def reference(s: String, i: Int): (Int, Int) = {
+  private[functions] def reference(s: String, i: Int): (Int, Int) = {
     val semi = s.indexOf(';', i + 1)
     if (semi < 0 || semi - i > 12) return (-1, i)
     val body = s.substring(i + 1, semi)

@@ -617,4 +617,42 @@ object DedupOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
+
+  /** Bloom-filter membership of `probe` units against `build` units — the
+    * Dolma/BFF posture for INCREMENTAL dedup: flag every paragraph of a
+    * new crawl that was (probably) already in the reference corpus,
+    * without ever joining against the reference corpus itself.
+    *
+    * The filter is the classic (m, k) Bloom construction with the
+    * engine's shared deterministic randomness ([[SamplingOps.hash60]],
+    * salts `bf0:`…`bf{k-1}:`): each build-side unit sets k bit positions
+    * in an m-bit space; a probe unit is flagged iff ALL its k positions
+    * are set (false positives possible at the standard Bloom rate,
+    * false negatives impossible — exactly the trade a 100 TB incremental
+    * ingest wants, since a stray FP costs one dropped paragraph while
+    * the alternative is re-shuffling last month's corpus every day).
+    *
+    * Physical shape: the bit-position table is `distinct` over the
+    * build side's k·n hashes — **bounded by m rows regardless of corpus
+    * size** — then BROADCAST to the probe side's scan, so the probe
+    * never shuffles on content at all: positions-explode → broadcast
+    * semi-probe → count==k. Returns `probe` grain `(id, unit_pos, hit)`.
+    */
+  def bloomMembership(build: DataFrame, probe: DataFrame, idCol: String,
+                      posCol: String, unitCol: String,
+                      mBits: Long = 65536L, k: Int = 4): DataFrame = {
+    def positions(df: DataFrame, extra: Seq[String]): DataFrame =
+      df.select(extra.map(col) :+
+        explode(array((0 until k).map(j =>
+          pmod(SamplingOps.hash60(col(unitCol), s"bf$j:"), lit(mBits))): _*))
+          .as("pos"): _*)
+    val bits = positions(build, Seq.empty).distinct()
+    positions(probe, Seq(idCol, posCol))
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(col(idCol), col(posCol))
+      .agg(count(lit(1)).as("__nhit"))
+      .join(probe.select(col(idCol), col(posCol)), Seq(idCol, posCol), "right")
+      .select(col(idCol), col(posCol),
+        (coalesce(col("__nhit"), lit(0L)) === k).as("hit"))
+  }
 }

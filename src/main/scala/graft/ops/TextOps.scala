@@ -306,4 +306,43 @@ object TextOps {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
+
+  /** Digit runs (13–19 digits, optional space/dash group separators)
+    * that might be payment-card numbers — the CANDIDATE set; a regex
+    * alone over-redacts (order ids, timestamps, EANs share the shape),
+    * which is why the scrub below gates on the checksum.
+    */
+  val CardRe = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  /** Luhn (ISO/IEC 7812) verdict for one candidate: separators
+    * stripped, every second digit from the right doubled (−9 when it
+    * overflows), sum ≡ 0 (mod 10). Pure integer higher-order-function
+    * arithmetic — native, no UDF, exactly replayable in SQL.
+    */
+  private def luhnOk(cand: Column): Column = {
+    val digits = transform(
+      filter(split(translate(cand, " -", ""), ""), ch => length(ch) === 1),
+      ch => ascii(ch) - lit(48))
+    val n = size(digits)
+    val summed = aggregate(
+      transform(digits, (x, i) =>
+        when(pmod(n - i, lit(2)) === 1, x)
+          .otherwise(when(x > 4, x * 2 - 9).otherwise(x * 2))),
+      lit(0), (a, b) => a + b)
+    n >= 13 && n <= 19 && pmod(summed, lit(10)) === 0
+  }
+
+  /** The Luhn-VALID card candidates in a text (array). */
+  def cardCandidates(text: Column): Column =
+    filter(regexp_extract_all(text, lit(CardRe), lit(0)), c => luhnOk(c))
+
+  /** Redact Luhn-valid card numbers with `<CARD>`, leaving checksum-
+    * failing digit runs (order numbers, SKUs) untouched — checksum-gated
+    * PII scrubbing, the pass regex-only pipelines cannot express. A
+    * candidate's characters are regex-inert (digits, spaces, dashes), so
+    * the fold's per-candidate `regexp_replace` is a literal replace.
+    */
+  def scrubCards(text: Column): Column =
+    aggregate(cardCandidates(text), text,
+      (acc, c) => regexp_replace(acc, c, lit("<CARD>")))
 }

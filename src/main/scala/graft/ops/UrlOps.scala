@@ -120,4 +120,42 @@ object UrlOps {
       .when(n >= 2, last2)
       .otherwise(host)
   }
+
+  /** URL shape features — the frontier-prioritization / spam-prior
+    * signals crawl schedulers compute per candidate URL BEFORE fetching
+    * (a 120-char, 7-deep, digit-heavy, 4-parameter URL is overwhelmingly
+    * a calendar/session/faceted-search trap; spending fetch budget there
+    * starves real pages). All integer arithmetic over the standard URL
+    * split, returned as one struct:
+    * `url_len, path_depth, n_params, digit_permille (digits per 1000
+    * path chars), host_labels, host_hyphens`, plus `spam_score` — the
+    * count of exceeded thresholds (len>80, params≥3, digits≥30%,
+    * depth≥5, hyphenated host≥2). Pure codegen'd chain, scan-side.
+    */
+  def urlFeatures(url: Column): Column = {
+    val host = hostOf(url)
+    val path =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val p2 = regexp_replace(path, "^/", "")
+    val depth = when(length(p2) === 0, lit(0L))
+      .otherwise(size(split(p2, "/")).cast("long"))
+    val nParams = when(length(query) === 0, lit(0L))
+      .otherwise(size(split(query, "&")).cast("long"))
+    val nDigits =
+      (length(path) - length(regexp_replace(path, "[0-9]", ""))).cast("long")
+    val digitPermille = when(length(path) === 0, lit(0L))
+      .otherwise(floor(nDigits * 1000 / length(path)).cast("long"))
+    val hostLabels = size(split(host, "\\.")).cast("long")
+    val hostHyphens =
+      (length(host) - length(regexp_replace(host, "-", ""))).cast("long")
+    val urlLen = length(url).cast("long")
+    val spam = (urlLen > 80).cast("long") + (nParams >= 3).cast("long") +
+      (digitPermille >= 300).cast("long") + (depth >= 5).cast("long") +
+      (hostHyphens >= 2).cast("long")
+    struct(urlLen.as("url_len"), depth.as("path_depth"),
+      nParams.as("n_params"), digitPermille.as("digit_permille"),
+      hostLabels.as("host_labels"), hostHyphens.as("host_hyphens"),
+      spam.as("spam_score"))
+  }
 }

@@ -34,6 +34,7 @@ object WebOps {
     Gzip.register(spark); WarcParse.register(spark); HtmlToText.register(spark)
     RobotsTxt.register(spark); graft.functions.HtmlLinks.register(spark)
     graft.functions.HtmlMeta.register(spark); graft.functions.Zstd.register(spark)
+    graft.functions.CharsetDecode.register(spark)
   }
 
   private def registered(): Unit =
@@ -181,6 +182,29 @@ object WebOps {
       .filter(col("http_status") === 200)
       .select(col("record_id"), col("target_uri"), col("http_status"),
         call_function("html_to_text", col("body").cast("string")).as("text"))
+  }
+
+  /** [[extractPages]] with the WHATWG charset chain in front — the first
+    * mile for the web that is NOT UTF-8. `extractPages`'s bare
+    * `cast("string")` reads bytes as UTF-8, which silently mangles every
+    * legacy page (a cp1252 `€` becomes U+FFFD); here each record's body
+    * is transcoded first: `charset_detect` replays the browser
+    * precedence chain (BOM → HTTP `Content-Type` charset → bounded meta
+    * prescan → UTF-8 sniff → windows-1252 default) and `charset_decode`
+    * maps the bytes through the WHATWG index. Same task grain as
+    * [[extractPages]]: one scan-side projection per record, no extra
+    * shuffle — charset handling must never change the plan shape.
+    */
+  def extractPagesCharset(files: DataFrame, blob: Column): DataFrame = {
+    registered()
+    extractRecords(files, blob)
+      .filter(col("http_status") === 200)
+      .withColumn("__ct",
+        call_function("http_header", col("payload"), lit("Content-Type")))
+      .withColumn("__txt", call_function("charset_decode", col("body"),
+        call_function("charset_detect", col("body"), col("__ct"))))
+      .select(col("record_id"), col("target_uri"), col("http_status"),
+        call_function("html_to_text", col("__txt")).as("text"))
   }
 
   /** Per-segment QUARANTINE accounting — the loud-refusal companion to

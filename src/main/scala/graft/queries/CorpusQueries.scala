@@ -353,6 +353,54 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Checksum-gated card redaction — the scrub a regex alone cannot
+    // express: each doc carries a VALID 16-digit card (check digit
+    // computed by the construction, shown grouped `#### #### #### ####`
+    // for even docs, plain for odd) and an INVALID sibling (check digit
+    // +5 mod 10 — never Luhn-valid). The engine extracts candidates,
+    // strips separators, replays ISO/IEC 7812 doubling as integer HOF
+    // arithmetic, and redacts ONLY the valid one; the IP then scrubs
+    // through the established PII pass. The oracle rebuilds the clean
+    // text closed-form — computing the same check digit — so a drift in
+    // candidate extraction, separator handling, doubling, or redaction
+    // order breaks the hash. Base text is digit/@-stripped so the only
+    // candidates are the constructed ones.
+    "text_pii_luhn" -> ((s, dir) => {
+      val b15 = substring(
+        repeat(lpad(col("doc_id").cast("string"), 5, "0"), 3), 1, 15)
+      val digits = transform(
+        filter(split(b15, ""), ch => length(ch) === 1),
+        ch => ascii(ch) - lit(48))
+      // 16-digit layout: b15 digit j (1-based) sits at even distance
+      // from the check digit when j is odd → doubled
+      val luhnSum = aggregate(
+        transform(digits, (x, i) =>
+          when(pmod(i, lit(2)) === 0,
+            when(x > 4, x * 2 - 9).otherwise(x * 2)).otherwise(x)),
+        lit(0), (a, b) => a + b)
+      val ck = pmod(lit(10) - pmod(luhnSum, lit(10)), lit(10))
+      val valid = concat(b15, ck.cast("string"))
+      val grouped = concat_ws(" ", substring(valid, 1, 4),
+        substring(valid, 5, 4), substring(valid, 9, 4),
+        substring(valid, 13, 4))
+      val shown = when(pmod(col("doc_id"), lit(2)) === 0, grouped)
+        .otherwise(valid)
+      val invalid = concat(b15, pmod(ck + 5, lit(10)).cast("string"))
+      val base = regexp_replace(
+        regexp_replace(substring(col("text"), 1, 60), "[^ -~]", " "),
+        "[0-9@]", "x")
+      val dirty = concat(base, lit(" pay "), shown, lit(" ref code "),
+        invalid, lit(" via 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 ok"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.ops.TextOps.scrubPii(
+            graft.ops.TextOps.scrubCards(dirty)).as("clean_text"),
+          size(graft.ops.TextOps.cardCandidates(dirty)).cast("long")
+            .as("n_cards"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Eval-set decontamination: train docs (id >= 100) sharing any 8-gram
     // with the benchmark slice (id < 100) are flagged with hit counts —
     // broadcast equi-join on eval shingles, corpus scanned once.
@@ -1445,6 +1493,32 @@ object CorpusQueries extends QueryPack {
         |      '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the oracle computes the SAME check digit (ISO/IEC 7812 doubling
+    // over the 15-digit base) and rebuilds the clean text closed-form:
+    // valid card → <CARD>, invalid sibling survives verbatim, IP → <IP>
+    "text_pii_luhn" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(substr(text, 1, 60),
+        |      '[^ -~]', ' ', 'g'), '[0-9@]', 'x', 'g') AS base,
+        |    substr(repeat(lpad(CAST(doc_id AS VARCHAR), 5, '0'), 3), 1, 15)
+        |      AS b15
+        |  FROM documents),
+        |s AS (SELECT doc_id, base, b15,
+        |    list_sum(list_transform(generate_series(1, 15), j ->
+        |      CASE WHEN j % 2 = 1 THEN
+        |        CASE WHEN ascii(substr(b15, j, 1)) - 48 > 4
+        |          THEN 2 * (ascii(substr(b15, j, 1)) - 48) - 9
+        |          ELSE 2 * (ascii(substr(b15, j, 1)) - 48) END
+        |      ELSE ascii(substr(b15, j, 1)) - 48 END)) AS luhn_sum
+        |  FROM d),
+        |c AS (SELECT doc_id, base, b15,
+        |    (10 - luhn_sum % 10) % 10 AS ck FROM s)
+        |SELECT doc_id,
+        |  base || ' pay <CARD> ref code ' || b15
+        |    || CAST((ck + 5) % 10 AS VARCHAR) || ' via <IP> ok' AS clean_text,
+        |  CAST(1 AS BIGINT) AS n_cards
+        |FROM c ORDER BY doc_id""".stripMargin,
     "dedup_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, $tokSql AS l FROM documents),
          |sh AS (SELECT doc_id, s FROM (

@@ -45,7 +45,8 @@ object HtmlMeta {
     StructField("title", StringType, nullable = true),
     StructField("meta_description", StringType, nullable = true),
     StructField("canonical", StringType, nullable = true),
-    StructField("lang", StringType, nullable = true)))
+    StructField("lang", StringType, nullable = true),
+    StructField("meta_robots", StringType, nullable = true)))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -58,8 +59,10 @@ object HtmlMeta {
     var desc: String = null
     var canonical: String = null
     var lang: String = null
+    var robots: String = null
     var i = 0
-    while (i < n && (title == null || desc == null || canonical == null || lang == null)) {
+    while (i < n && (title == null || desc == null || canonical == null ||
+        lang == null || robots == null)) {
       if (s.charAt(i) == '<') {
         if (s.startsWith("<!--", i)) {
           val e = s.indexOf("-->", i + 4); i = if (e < 0) n else e + 3
@@ -75,6 +78,13 @@ object HtmlMeta {
           if (desc == null &&
               "(?i)name\\s*=\\s*[\"']?description".r.findFirstIn(body).isDefined)
             attr(body, "content").foreach(v => desc = clean(v))
+          // robots directives are case-insensitive tokens (RFC 9309 /
+          // Google's robots-meta spec); normalize here so downstream
+          // gates match on plain substrings
+          if (robots == null &&
+              "(?i)name\\s*=\\s*[\"']?robots".r.findFirstIn(body).isDefined)
+            attr(body, "content").foreach(v =>
+              robots = v.trim.toLowerCase(java.util.Locale.ROOT))
           i = end
         } else if (tagAt(s, i, "link")) {
           val end = tagEnd(s, i)
@@ -94,7 +104,8 @@ object HtmlMeta {
       } else i += 1
     }
     def u(x: String): UTF8String = if (x == null) null else UTF8String.fromString(x)
-    new GenericInternalRow(Array[Any](u(title), u(desc), u(canonical), u(lang)))
+    new GenericInternalRow(Array[Any](u(title), u(desc), u(canonical), u(lang),
+      u(robots)))
   }
 
   private def tagAt(s: String, i: Int, name: String): Boolean =

@@ -83,6 +83,20 @@ case class ImageResizeGray(first: Expression, second: Expression,
       t: Expression): ImageResizeGray = copy(first = f, second = s, third = t)
 }
 
+case class PHash64(child: Expression) extends ImageHash64 {
+  override def prettyName: String = "image_phash"
+  override def nullSafeEval(input: Any): Any =
+    ImageHash.phash(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long __ph = graft.functions.ImageHash.phash($c);
+      ${ev.isNull} = __ph == null;
+      ${ev.value} = __ph == null ? 0L : __ph.longValue();
+    """)
+  override protected def withNewChildInternal(newChild: Expression): PHash64 =
+    copy(child = newChild)
+}
+
 case class DHash64(child: Expression) extends ImageHash64 {
   override def prettyName: String = "image_dhash"
   override def nullSafeEval(input: Any): Any =
@@ -108,6 +122,8 @@ object ImageHash {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "image_resize_gray", exprs => ImageResizeGray(exprs(0), exprs(1), exprs(2)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "image_phash", exprs => PHash64(exprs.head), "built-in")
   }
 
   /** Decoded grayscale image: row-major top-down `gray(y*w + x)`. */
@@ -366,6 +382,86 @@ object ImageHash {
     var hash = 0L
     i = 0
     while (i < 64) { if (c(i) >= mean) hash |= (1L << i); i += 1 }
+    java.lang.Long.valueOf(hash)
+  }
+
+  /** Fixed-point DCT-II basis for [[phash]], rows u < 8 only (higher
+    * frequencies never enter the hash): `C[u][y] = rint(2^14 · α(u) ·
+    * cos(π(2y+1)u/64))` with the orthonormalizing `α(0) = 1/√2`.
+    * StrictMath keeps the table bit-identical on every JVM, and the
+    * SAME integers are injected into the oracle — no libm drift can
+    * separate the two sides.
+    */
+  lazy val dctCoef: Array[Array[Long]] = Array.tabulate(8, 32) { (u, y) =>
+    val a = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+    StrictMath.rint(16384.0 * a *
+      StrictMath.cos(StrictMath.PI * (2 * y + 1) * u / 64.0)).toLong
+  }
+
+  /** Classic DCT pHash: 32×32 gray grid → 2-D DCT-II (integer matmul
+    * against [[dctCoef]]) → the 8×8 low-frequency block minus DC →
+    * threshold at the lower median (32nd smallest of the 63 ACs) →
+    * bit `u·8+v` set iff `coef > median` (DC bit always 0).
+    *
+    * The property that earns pHash its place next to aHash/dHash: a
+    * uniform brightness shift moves ONLY the DC coefficient, so the
+    * hash is exactly invariant to it (aHash is not), while block-local
+    * edits still flip a bounded number of AC signs. All arithmetic is
+    * Long-exact (|coef| ≤ 255·2^14·32·2^14·32 < 2^63), replayable.
+    */
+  def phash(b: Array[Byte]): java.lang.Long = {
+    val g = decode(b)
+    if (g == null) return null
+    val c = cells(g, 32, 32)
+    // T[u][x] = Σ_y C[u][y]·c[y][x]   (8×32, Long)
+    val t = Array.ofDim[Long](8, 32)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 32) {
+        var s = 0L; var y = 0
+        while (y < 32) { s += dctCoef(u)(y) * c(y * 32 + x); y += 1 }
+        t(u)(x) = s
+        x += 1
+      }
+      u += 1
+    }
+    // D[u][v] = Σ_x T[u][x]·C[v][x]   (8×8)
+    val d = Array.ofDim[Long](8, 8)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L; var x = 0
+        while (x < 32) { s += t(u)(x) * dctCoef(v)(x); x += 1 }
+        d(u)(v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val acs = new Array[Long](63)
+    var k = 0
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) { acs(k) = d(u)(v); k += 1 }
+        v += 1
+      }
+      u += 1
+    }
+    java.util.Arrays.sort(acs)
+    val med = acs(31)
+    var hash = 0L
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if ((u != 0 || v != 0) && d(u)(v) > med) hash |= (1L << (u * 8 + v))
+        v += 1
+      }
+      u += 1
+    }
     java.lang.Long.valueOf(hash)
   }
 

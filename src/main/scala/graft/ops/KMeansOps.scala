@@ -62,7 +62,8 @@ object KMeansOps {
           lit(0L), (s, x) => s + x)))
       .select(col("__id"),
         (array_position(col("__ds"), array_min(col("__ds"))) - 1)
-          .cast("int").as("cid"))
+          .cast("int").as("cid"),
+        array_min(col("__ds")).as("__dist"))
   }
 
   /** Seed selection + `iters` Lloyd rounds over the persisted projection;
@@ -101,6 +102,27 @@ object KMeansOps {
     // materialize the (id, cid) result eagerly so q can be unpersisted here
     // rather than leaking the cache until the caller's first action
     val out = assignTo(q, cents).select(col("__id").as(idCol), col("cid"))
+      .localCheckpoint(true)
+    q.unpersist()
+    out
+  }
+
+  /** [[assignments]] plus the squared distance to the chosen centroid
+    * (1e-6 integer grid, Long-exact) — the PROTOTYPICALITY signal:
+    * distance-to-centroid is the standard embedding-space outlier score
+    * (mislabeled, off-distribution, or junk rows sit far from every
+    * cluster), and because the whole k-means path is integer, the
+    * outlier gate replays exactly.
+    */
+  def assignmentsWithDist(emb: DataFrame, idCol: String, vecCol: String,
+                          k: Int, iters: Int,
+                          salt: String = "km:"): DataFrame = {
+    require(k > 0 && iters >= 0)
+    val q = quantized(emb, idCol, col(vecCol), salt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = lloyd(q, k, iters)
+    val out = assignTo(q, cents)
+      .select(col("__id").as(idCol), col("cid"), col("__dist").as("dist"))
       .localCheckpoint(true)
     q.unpersist()
     out

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{DedupOps, EmbeddingOps, SamplingOps, SnapshotOps, TextOps, TextQualityOps}
+import graft.ops.{DedupOps, EmbeddingOps, KMeansOps, SamplingOps, SnapshotOps, TextOps, TextQualityOps}
 
 /** Large-scale training-data pipeline operators (dedup, similarity search,
   * text analysis) over the `documents` / `embeddings` tables, each with a
@@ -490,6 +490,26 @@ object DataPipelineQueries extends QueryPack {
     // paper's shape with the TRAINED (not label) clustering, and the
     // oracle replays kmeans → within-cluster cosine → CC in one
     // statement.
+    // Embedding-space OUTLIER detection (prototypicality pruning, the
+    // SemDeDup paper's sibling signal): distance-to-assigned-centroid
+    // over the SAME trained k-means, flagged per cluster at 2.5× the
+    // cluster's mean squared distance — junk, mislabeled, and
+    // off-distribution rows sit far from every centroid. The whole path
+    // is Long-exact on the 1e-6 grid (per-cluster means by integer
+    // division, the flag an integer cross-multiplication), so the
+    // oracle replays training AND gate bit-identically.
+    "embed_outliers" -> ((s, dir) => {
+      val a = KMeansOps.assignmentsWithDist(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 4, iters = 1)
+      val stats = a.groupBy(col("cid"))
+        .agg(expr("sum(dist) div count(1)").as("mean_d"))
+      a.join(broadcast(stats), Seq("cid"))
+        .select(col("vec_id"), col("cid").cast("long").as("cid"),
+          col("dist"), col("mean_d"),
+          (col("dist") * 10 > col("mean_d") * 25).as("outlier"))
+        .orderBy(col("vec_id"))
+    }),
+
     "dedup_semdedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val assign = graft.ops.KMeansOps.assignments(emb, "vec_id", "embedding",
@@ -1990,6 +2010,21 @@ object DataPipelineQueries extends QueryPack {
          |SELECT vec_id, max(cos) AS max_eval_cos,
          |  (max(cos) >= $MIN_COS) AS contaminated
          |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // kmeans replay (same salt/k/iters as embed_kmeans_assign) + the
+    // assigned distance from d1 + integer-division cluster means
+    "embed_outliers" ->
+      s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |$kmeansReplaySql,
+         |ad AS (SELECT a1.id, a1.cid, d1.d AS dist
+         |  FROM a1 JOIN d1 ON d1.id = a1.id AND d1.cid = a1.cid),
+         |st AS (SELECT cid, sum(dist) // count(*) AS mean_d
+         |  FROM ad GROUP BY cid)
+         |SELECT ad.id AS vec_id, CAST(ad.cid AS BIGINT) AS cid,
+         |  CAST(ad.dist AS BIGINT) AS dist,
+         |  CAST(st.mean_d AS BIGINT) AS mean_d,
+         |  (ad.dist * 10 > st.mean_d * 25) AS outlier
+         |FROM ad JOIN st USING (cid) ORDER BY vec_id""".stripMargin,
 
     "dedup_semdedup" ->
       s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),

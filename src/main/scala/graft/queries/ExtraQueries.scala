@@ -40,6 +40,37 @@ object ExtraQueries extends QueryPack {
            .replace("y", "(15 - k)")}), 2, '0'), 27)
        |  ), '')), '')""".stripMargin.replace("\n", "")
 
+  /** 32×32 24-bit BMP for the pHash query (cells grid == pixels, so the
+    * oracle replays the DCT straight from the pixel formula). Header:
+    * 54-byte BM + BITMAPINFOHEADER, 32×32, bottom-up, stride 96 (no
+    * padding).
+    */
+  private val phashHdrHex =
+    "424D360C0000000000003600000028000000200000002000000001001800" +
+      "00000000000C000000000000000000000000000000000000"
+
+  /** Gray value at (x, image-row y): a gradient plus a doc-keyed block
+    * term — enough AC structure that every coefficient sign is
+    * informative. r=g=b=v so luma==v exactly.
+    */
+  private val phashVSql =
+    "((x * 3 + y * 5 + (doc_id % 97) * (1 + x div 8 + y div 8)) % 256)"
+
+  private val phashPxSql =
+    s"""array_join(transform(sequence(0, 31), k ->
+       |  array_join(transform(sequence(0, 31), x ->
+       |    repeat(lpad(hex(${phashVSql.replace("y", "(31 - k)")}), 2, '0'), 3)
+       |  ), '')), '')""".stripMargin.replace("\n", "")
+
+  /** The engine's own fixed-point DCT rows (u < 8), injected verbatim
+    * into the oracle as a VALUES table — one shared integer basis, no
+    * libm on either side.
+    */
+  private lazy val phashCoefSql =
+    graft.functions.ImageHash.dctCoef.zipWithIndex.flatMap {
+      case (row, u) => row.zipWithIndex.map { case (c, y) => s"($u, $y, $c)" }
+    }.mkString(", ")
+
   /** Construction-side MPEG audio config: header bytes, frame size, and
     * samples per frame derived from the published ISO 11172-3 / 13818-3
     * tables (the WAV/FLAC construction posture — the query builds frames
@@ -757,6 +788,24 @@ object ExtraQueries extends QueryPack {
         .select(col("doc_id"), col("m.format").as("format"),
           col("m.width").as("width"), col("m.height").as("height"),
           col("m.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DCT perceptual hash — the third member of the image-fingerprint
+    // family (aHash: block means; dHash: gradient signs; pHash: DCT
+    // low-frequency SIGN STRUCTURE — the one that survives uniform
+    // brightness shifts, since only DC moves). 32×32 BMPs are built
+    // from a closed-form gray formula; the hash is an integer matmul
+    // against the engine's fixed-point DCT basis, lower-median
+    // threshold over the 63 ACs. The oracle replays the ENTIRE DCT with
+    // the same injected integer basis — sign structure, median pick,
+    // and bit layout all certified, no libm on either side.
+    "mm_image_phash" -> ((s, dir) => {
+      graft.functions.ImageHash.register(s)
+      Tables.documents(s, dir)
+        .selectExpr("doc_id",
+          s"unhex(concat('$phashHdrHex', $phashPxSql)) AS blob")
+        .selectExpr("doc_id", "image_phash(blob) AS phash")
         .orderBy(col("doc_id"))
     }),
 
@@ -1774,6 +1823,38 @@ object ExtraQueries extends QueryPack {
     // replay of the integer hash arithmetic over the same doc_id-derived
     // pixel values the fixtures embed (r=g=b=v so luma==v); 64-bit hashes
     // assembled from two 32-bit halves to stay inside signed BIGINT
+    // full DCT replay from the shared integer basis: T = C·g, D = T·Cᵀ,
+    // lower-median of the 63 ACs, strict-> bits, DC bit 0
+    "mm_image_phash" -> {
+      s"""WITH px AS (SELECT doc_id, xs.x, ys.y,
+         |    (xs.x * 3 + ys.y * 5 + (doc_id % 97)
+         |      * (1 + xs.x // 8 + ys.y // 8)) % 256 AS v
+         |  FROM documents,
+         |    (SELECT unnest(generate_series(0, 31)) AS x) xs,
+         |    (SELECT unnest(generate_series(0, 31)) AS y) ys),
+         |coef AS (SELECT * FROM (VALUES $phashCoefSql) t(u, yy, c)),
+         |t1 AS (SELECT p.doc_id, cf.u, p.x, sum(cf.c * p.v) AS tv
+         |  FROM px p JOIN coef cf ON cf.yy = p.y GROUP BY 1, 2, 3),
+         |d2 AS (SELECT t1.doc_id, t1.u, cf.u AS v2, sum(t1.tv * cf.c) AS dv
+         |  FROM t1 JOIN coef cf ON cf.yy = t1.x GROUP BY 1, 2, 3),
+         |acs AS (SELECT doc_id, u, v2, dv,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY dv) AS rn
+         |  FROM d2 WHERE NOT (u = 0 AND v2 = 0)),
+         |med AS (SELECT doc_id, dv AS m FROM acs WHERE rn = 32),
+         |bits AS (SELECT a.doc_id,
+         |    CAST(sum(CASE WHEN a.dv > med.m AND a.u * 8 + a.v2 < 32
+         |      THEN CAST(1 AS BIGINT) << CAST(a.u * 8 + a.v2 AS INT)
+         |      ELSE 0 END) AS BIGINT) AS lo,
+         |    CAST(sum(CASE WHEN a.dv > med.m AND a.u * 8 + a.v2 >= 32
+         |      THEN CAST(1 AS BIGINT) << CAST(a.u * 8 + a.v2 - 32 AS INT)
+         |      ELSE 0 END) AS BIGINT) AS hi
+         |  FROM acs a JOIN med USING (doc_id) GROUP BY 1)
+         |SELECT doc_id,
+         |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+         |    * 4294967296 + lo AS phash
+         |FROM bits ORDER BY doc_id""".stripMargin
+    },
+
     "mm_image_dedup" ->
       """WITH px AS (
         |  SELECT doc_id, xs.x, ys.y,

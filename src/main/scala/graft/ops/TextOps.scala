@@ -307,6 +307,35 @@ object TextOps {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  /** Markdown → visible text — the extractor for the second-biggest
+    * PLAIN-TEXT corpus format (READMEs, docs sites, forum exports ship
+    * markdown; training on raw markup teaches the model to emit `**`).
+    * Deterministic subset, applied in this order: fence lines dropped
+    * (content kept — code is corpus text), images → alt, links → text,
+    * `**bold**`/`*italic*`/`` `code` `` unwrapped, ATX heading markers /
+    * `>` quote prefixes / list bullets stripped, then per-line
+    * whitespace collapse with empty lines dropped, newline-joined.
+    * Pure chained regexp_replace + array HOFs — codegen'd, scan-side,
+    * zero UDF.
+    */
+  def markdownToText(md: Column): Column = {
+    val noFence = regexp_replace(md, "(?m)^```[^\n]*$", "")
+    val noImg = regexp_replace(noFence, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noBold = regexp_replace(noLink, "\\*\\*([^*]+)\\*\\*", "$1")
+    val noItal = regexp_replace(noBold, "\\*([^*]+)\\*", "$1")
+    val noCode = regexp_replace(noItal, "`([^`]+)`", "$1")
+    val noHead = regexp_replace(noCode, "(?m)^#{1,6}\\s+", "")
+    val noQuote = regexp_replace(noHead, "(?m)^>\\s?", "")
+    val noList = regexp_replace(noQuote, "(?m)^\\s*([-*+]|\\d+\\.)\\s+", "")
+    array_join(
+      filter(
+        transform(split(noList, "\n"),
+          l => trim(regexp_replace(l, "\\s+", " "))),
+        l => length(l) > 0),
+      "\n")
+  }
+
   /** Digit runs (13–19 digits, optional space/dash group separators)
     * that might be payment-card numbers — the CANDIDATE set; a regex
     * alone over-redacts (order ids, timestamps, EANs share the shape),

@@ -97,6 +97,64 @@ object WebOps {
     concat(warcHead, payload, lit("\r\n\r\n").cast("binary"))
   }
 
+  /** [[buildRecord]] with a caller-supplied status line and extra HTTP
+    * headers — redirects (3xx + `Location`), errors, and any other
+    * non-200 response a crawl store actually contains.
+    */
+  def buildResponseRecord(docId: Column, url: Column, status: Column,
+                          extraHeaders: Column, body: Column): Column = {
+    val httpHead = concat(
+      lit("HTTP/1.1 "), status, lit("\r\n"), extraHeaders,
+      lit("Content-Type: text/html; charset=utf-8\r\nContent-Length: "),
+      octet_length(body.cast("binary")).cast("string"), lit("\r\n\r\n"))
+    val payload = concat(httpHead, body)
+    val warcHead = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:"),
+      docId.cast("string"),
+      lit(">\r\nWARC-Target-URI: "), url,
+      lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"),
+      lit("Content-Type: application/http; msgtype=response\r\nContent-Length: "),
+      octet_length(payload.cast("binary")).cast("string"), lit("\r\n\r\n"))
+    concat(warcHead, payload, lit("\r\n\r\n")).cast("binary")
+  }
+
+  /** Bounded redirect-chain resolution — the frontier remap every crawl
+    * pipeline runs before dedup/grouping (a page fetched at URL A that
+    * 301s to B must be keyed by B, or the corpus double-counts every
+    * moved site). Input `(url, status, loc)` rows; each of `maxHops`
+    * rounds advances only the still-redirecting rows (301/302/303/307/
+    * 308) through one equi-join on the Location target, everything else
+    * passes through untouched. A chain that hasn't reached a 200 within
+    * `maxHops` — loops, dead Locations, redirect walls — resolves to
+    * null (refuse, don't follow forever: RFC 9110's anti-loop posture).
+    *
+    * Scale shape: the joined side is the redirect SUBSET (3xx rows are
+    * a small fraction of any real crawl), each hop one bounded shuffle
+    * keyed by URL; terminal rows never re-join.
+    */
+  def resolveRedirects(t: DataFrame, maxHops: Int = 3): DataFrame = {
+    val redirecting = (c: Column) => c.isin(301, 302, 303, 307, 308)
+    val base = t.select(col("url"), col("url").as("cur"),
+      col("status").as("cur_status"), col("loc").as("cur_loc"),
+      lit(0L).as("hops"))
+    val targets = t.select(col("url").as("t_url"),
+      col("status").as("t_status"), col("loc").as("t_loc"))
+    val end = (1 to maxHops).foldLeft(base) { (st, _) =>
+      val done = st.filter(!coalesce(redirecting(col("cur_status")), lit(false)))
+      val stepped = st
+        .filter(coalesce(redirecting(col("cur_status")), lit(false)))
+        .join(targets, col("cur_loc") === col("t_url"), "left")
+        .select(col("url"), col("cur_loc").as("cur"),
+          col("t_status").as("cur_status"), col("t_loc").as("cur_loc"),
+          (col("hops") + 1).as("hops"))
+      done.unionByName(stepped)
+    }
+    end.select(col("url"),
+      when(col("cur_status") === 200, col("cur")).as("final_url"),
+      when(col("cur_status") === 200, col("hops")).as("n_hops"),
+      coalesce(col("cur_status") === 200, lit(false)).as("resolved"))
+  }
+
   /** Group per-document records into multi-record crawl files of
     * `perFile` records each (record-at-time gzip, members concatenated
     * in doc-id order — the Common Crawl layout). Returns

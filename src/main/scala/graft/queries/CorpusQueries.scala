@@ -365,6 +365,38 @@ object CorpusQueries extends QueryPack {
     // candidate extraction, separator handling, doubling, or redaction
     // order breaks the hash. Base text is digit/@-stripped so the only
     // candidates are the constructed ones.
+    // Markdown → visible text: the extractor for README/docs/forum
+    // corpora. Per-doc markdown exercises every rule — ATX heading,
+    // real-token paragraph, bold/italic/code unwrap, blockquote, both
+    // list-marker styles, link-text and image-alt extraction, and (even
+    // docs) a fenced code block whose CONTENT must survive while the
+    // fence lines vanish. The oracle states the extracted lines
+    // closed-form from the row — no regex replay, so an extraction
+    // drift in any rule breaks the md5.
+    "text_markdown_extract" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val cleanToks = regexp_replace(
+        expr("array_join(slice(__toks, 1, 5), ' ')"), "[^a-z0-9 ]", "")
+      val md = concat(
+        lit("# Heading "), id, lit("\n\npara "), cleanToks,
+        lit("\n**bold"), id, lit("** and *ital* plus `code"), id,
+        lit("` here.\n> quoted "), id,
+        lit("\n- item one\n1. item two\n[visit site](https://ex.com/"), id,
+        lit(") and ![logo alt](https://img/"), id, lit(".png)\n"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("```scala\nval x = "), id, lit("\n```\n")))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .withColumn("__toks", graft.ops.TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          graft.ops.TextOps.markdownToText(md).as("__txt"))
+        .select(col("doc_id"),
+          size(split(col("__txt"), "\n")).cast("long").as("n_lines"),
+          length(col("__txt")).cast("long").as("n_chars"),
+          md5(col("__txt").cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_pii_luhn" -> ((s, dir) => {
       val b15 = substring(
         repeat(lpad(col("doc_id").cast("string"), 5, "0"), 3), 1, 15)
@@ -1493,6 +1525,34 @@ object CorpusQueries extends QueryPack {
         |      '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // extracted lines stated closed-form from the row: heading, token
+    // paragraph, unwrapped emphasis/code, quote, both list items, the
+    // link-text+alt line, and (even docs) the surviving fence content
+    "text_markdown_extract" -> {
+      val id = "CAST(doc_id AS VARCHAR)"
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_replace(trim(regexp_replace(
+         |      array_to_string(
+         |        (string_split_regex(lower(trim(text)), '\\s+'))[1:5], ' '),
+         |      '[^a-z0-9 ]', '', 'g')), '\\s+', ' ', 'g') AS ptoks
+         |  FROM documents),
+         |e AS (SELECT doc_id,
+         |    'Heading ' || $id || chr(10)
+         |    || trim('para ' || ptoks) || chr(10)
+         |    || 'bold' || $id || ' and ital plus code' || $id || ' here.'
+         |    || chr(10) || 'quoted ' || $id || chr(10)
+         |    || 'item one' || chr(10) || 'item two' || chr(10)
+         |    || 'visit site and logo alt'
+         |    || CASE WHEN doc_id % 2 = 0
+         |         THEN chr(10) || 'val x = ' || $id ELSE '' END AS txt
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(len(string_split(txt, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(length(txt) AS BIGINT) AS n_chars,
+         |  md5(txt) AS text_md5
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
 
     // the oracle computes the SAME check digit (ISO/IEC 7812 doubling
     // over the 15-digit base) and rebuilds the clean text closed-form:

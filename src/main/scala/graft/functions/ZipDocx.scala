@@ -103,7 +103,7 @@ object ZipDocx {
                           rawLen: Long, crcOk: Boolean, data: Array[Byte])
 
   /** Structural walk + per-member decode. Throws on a refused archive. */
-  private def parseArchive(buf: Array[Byte]): Array[Member] = {
+  private[functions] def parseArchive(buf: Array[Byte]): Array[Member] = {
     if (buf.length < 22) fail()
     // End of central directory: last 0x06054b50 within sig+u16 comment reach
     var eocd = -1

@@ -1030,6 +1030,51 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // AIFF sample decode (functions.AiffStats) — the BIG-ENDIAN sibling
+    // of the WAV path with every byte-order/sign assumption inverted
+    // (16/24-bit BE, 8-bit SIGNED) plus the 80-bit IEEE-extended sample
+    // rate decoded exactly. Width AND rate cycle by doc parity
+    // (16b/44100, 8b/8000, 24b/48000); every sample is a closed form of
+    // (doc_id, k) so the oracle replays stats without parsing a byte —
+    // a wrong endianness or sign model breaks peak/rms/zc loudly.
+    "mm_audio_aiff" -> ((s, dir) => {
+      graft.functions.AiffStats.register(s)
+      def be(x: String, bytes: Int) = s"lpad(hex($x), ${2 * bytes}, '0')"
+      val bitsSql = "(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 24 END)"
+      val bpsSql = "(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 3 END)"
+      val mSql = "(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 2000 WHEN 1 THEN 120 ELSE 1000000 END)"
+      val modSql = "(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 65536 WHEN 1 THEN 256 ELSE 16777216 END)"
+      val rateHexSql = "(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '400EAC44000000000000' " +
+        "WHEN 1 THEN '400BFA00000000000000' ELSE '400EBB80000000000000' END)"
+      val nSql = "(doc_id % 11 + 16)"
+      val dataLenSql = s"($nSql * $bpsSql)"
+      val smpSql = s"((doc_id * 37 + k * 451) % (2 * $mSql + 1) - $mSql)"
+      val dataSql =
+        s"""array_join(transform(sequence(0, $nSql - 1), k ->
+           |  lpad(hex((($smpSql) % $modSql + $modSql) % $modSql),
+           |       2 * $bpsSql, '0')), '')""".stripMargin
+      val aiffHex =
+        s"""concat('464F524D',
+           |  ${be(s"(46 + $dataLenSql + ($dataLenSql) % 2)", 4)},
+           |  '41494646',
+           |  '434F4D4D', '00000012', '0001', ${be(nSql, 4)},
+           |  ${be(bitsSql, 2)}, $rateHexSql,
+           |  '53534E44', ${be(s"(8 + $dataLenSql)", 4)},
+           |  '0000000000000000', $dataSql,
+           |  IF(($dataLenSql) % 2 = 1, '00', ''))""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($aiffHex)"))
+        .selectExpr("doc_id", "audio_aiff_stats(blob) AS st")
+        .select(col("doc_id"), col("st.bits").as("bits"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.n_samples").as("n_samples"),
+          col("st.peak").as("peak"),
+          col("st.zero_crossings").as("zero_crossings"),
+          (floor(sqrt(col("st.sum_sq").cast("double") / col("st.n_samples"))
+            * 1e4 + lit(0.5)) / 1e4).as("rms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STEREO WAV decode via truncating (L+R)/2 downmix
     // (functions.AudioPcmDownmix): the mono-ize-first curation contract
     // over real interleaved PCM16 frames — mono-only audio_pcm_stats
@@ -1999,6 +2044,32 @@ object ExtraQueries extends QueryPack {
         |    sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS zc
         |  FROM s2 GROUP BY doc_id)
         |SELECT doc_id, CASE WHEN m = 0 THEN 'ulaw' ELSE 'alaw' END AS encoding,
+        |  CAST(n_samples AS INTEGER) AS n_samples,
+        |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
+        |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // replay of the per-variant sample arithmetic; bits/rate closed
+    // forms of the parity — endianness/sign live only in the engine
+    "mm_audio_aiff" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 24 END AS bits,
+        |    CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 8000
+        |      ELSE 48000 END AS rate,
+        |    CASE doc_id % 3 WHEN 0 THEN 2000 WHEN 1 THEN 120
+        |      ELSE 1000000 END AS m,
+        |    doc_id % 11 + 16 AS n FROM documents),
+        |k AS (SELECT doc_id, bits, rate, m, n,
+        |    unnest(generate_series(0, n - 1)) AS k FROM d),
+        |s AS (SELECT doc_id, bits, rate, n, k,
+        |    (doc_id * 37 + k * 451) % (2 * m + 1) - m AS v FROM k),
+        |s2 AS (SELECT doc_id, bits, rate, n, k, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM s),
+        |a AS (SELECT doc_id, max(bits) AS bits, max(rate) AS rate,
+        |    max(n) AS n_samples, max(abs(v)) AS peak, sum(v * v) AS sum_sq,
+        |    sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS zc
+        |  FROM s2 GROUP BY doc_id)
+        |SELECT doc_id, CAST(bits AS INTEGER) AS bits,
+        |  CAST(rate AS INTEGER) AS sample_rate,
         |  CAST(n_samples AS INTEGER) AS n_samples,
         |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
         |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms

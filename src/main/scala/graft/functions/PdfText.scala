@@ -47,6 +47,12 @@ object PdfText {
 
   val MaxTextBytes: Int = 16 << 20
 
+  /** Page ceiling for the /Pages walk — far above any real document the
+    * crawl gate would keep, low enough that a crafted shared-Kids tree
+    * can't multiply content-stream work (see pageStreams()).
+    */
+  val MaxPages: Int = 8192
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pdf_text", exprs => PdfTextExpr(exprs.head), "built-in")
@@ -582,13 +588,30 @@ object PdfText {
       out.toByteArray
     }
 
-    /** Page content streams in tree order. */
+    /** Page content streams in tree order.
+      *
+      * The /Pages tree is untrusted crawl input: /Kids entries are refs
+      * that may repeat or share nodes, so besides the depth cap the walk
+      * tracks VISITED object numbers (revisit = cyclic/shared tree →
+      * refuse, mirroring the /Prev-chain guard at :295) and enforces
+      * aggregate ceilings — total pages/content streams and total decoded
+      * bytes across streams — so a crafted tree can't multiply work or
+      * memory past a bound (MaxTextBytes alone only bounds each single
+      * inflate and the final text StringBuilder).
+      */
     def pageStreams(): Seq[Array[Byte]] = {
       val rootDict = resolve(root).asInstanceOf[scala.collection.mutable.LinkedHashMap[String, Any]]
       val pagesRef = rootDict.getOrElse("Pages", fail())
       val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      val visited = scala.collection.mutable.HashSet[Int]()
+      var pages = 0
+      var decodedBytes = 0L
       def walk(node: Any, depth: Int): Unit = {
         if (depth > 32) fail()
+        node match {
+          case Ref(n, _) => if (!visited.add(n)) fail() // shared/cyclic node
+          case _ => ()
+        }
         val d = resolve(node).asInstanceOf[scala.collection.mutable.LinkedHashMap[String, Any]]
         d.get("Type") match {
           case Some(Name("Pages")) =>
@@ -597,6 +620,8 @@ object PdfText {
               case _ => fail()
             }
           case Some(Name("Page")) =>
+            pages += 1
+            if (pages > MaxPages) fail()
             d.get("Contents").foreach { c =>
               val refs: Seq[Any] = resolveShallow(c) match {
                 case seq: Seq[_] => seq
@@ -609,8 +634,11 @@ object PdfText {
                 }
                 val (v, raw) = obj(num)
                 if (raw == null) fail()
-                out += decodeStream(
+                val dec = decodeStream(
                   v.asInstanceOf[scala.collection.mutable.LinkedHashMap[String, Any]], raw)
+                decodedBytes += dec.length
+                if (decodedBytes > MaxTextBytes.toLong * 2) fail()
+                out += dec
               }
             }
           case _ => fail()

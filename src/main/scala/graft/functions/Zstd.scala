@@ -675,7 +675,10 @@ object Zstd {
       return
     } else if (s0 < 128) numSeq = s0
     else if (s0 < 255) { numSeq = ((s0 - 128) << 8) | u8(p); p += 1 }
-    else { numSeq = u8(p) | (u8(p + 1) << 8) | 0x7f00; p += 2 }
+    // RFC 8878 §3.1.1.3.2.1: byte0==255 → numSeq = byte1 + (byte2<<8) +
+    // 0x7F00 — ADD, not OR: byte2's high bits overlap 0x7F00, so OR would
+    // lose the carry for any count in [0x8000, 0xFF00).
+    else { numSeq = (u8(p) | (u8(p + 1) << 8)) + 0x7f00; p += 2 }
 
     val modes = u8(p); p += 1
     if ((modes & 3) != 0) fail() // reserved bits

@@ -461,15 +461,21 @@ object EmbeddingOps {
     while (r <= k) {
       val unsel = c.join(selected.select(col(queryCol), col(idCol)),
         Seq(queryCol, idCol), "left_anti")
-      val scored = unsel
-        .join(sims.withColumnRenamed("id_a", idCol),
-          Seq(queryCol, idCol))
+      // LEFT-join the redundancy penalty: a candidate with no sims row
+      // against any already-selected item is maximally DIVERSE (penalty
+      // 0), not disqualified — an inner join here would silently drop
+      // it from every later round whenever the caller's pairwise pool
+      // is incomplete, returning fewer than k rows with no error.
+      val pen = sims.withColumnRenamed("id_a", idCol)
         .join(selected.select(col(queryCol), col(idCol).as("id_b")),
           Seq(queryCol, "id_b"))
-        .groupBy(col(queryCol), col(idCol), col(relCol))
+        .groupBy(col(queryCol), col(idCol))
         .agg(max(col(simCol)).as("__maxsim"))
+      val scored = unsel
+        .join(pen, Seq(queryCol, idCol), "left")
         .withColumn("__mmr",
-          col(relCol) * lamNum - col("__maxsim") * muNum)
+          col(relCol) * lamNum -
+            coalesce(col("__maxsim"), lit(0L)) * muNum)
       selected = selected
         .unionByName(argmax(scored, r))
         .localCheckpoint(true)

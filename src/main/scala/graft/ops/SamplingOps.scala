@@ -134,9 +134,15 @@ object SamplingOps {
     * Scale shape: one tiny per-source aggregate (≤ #sources rows,
     * broadcast back), then the same scan-side hash-threshold filter as
     * [[hashSample]] — no shuffle of the corpus, prunable at the scan.
-    * The int64 headroom bounds targetRows·√n·10⁶ < 2⁶³ — comfortable
-    * through petabyte row counts (n ≈ 10¹², targetRows ≈ 10⁵ gives
-    * ~10¹⁷).
+    * The ppm ratio is computed in DECIMAL(38,0): the int64 route
+    * overflows much earlier than it looks (numerator targetRows·√n·10⁹
+    * — the milli-sqrt weight already carries a 10³ — wraps at
+    * n ≈ 8.5·10⁹ rows for targetRows = 10⁵, and the denominator
+    * sumw·n wraps even sooner), and Spark long multiplication wraps
+    * SILENTLY into a garbage sample. 38 digits hold the numerator
+    * through targetRows ≈ 10¹⁸ at n ≈ 10¹⁹; if either product ever
+    * exceeds that, the explicit null-guard fails the job loudly
+    * instead of sampling from wrapped rates.
     */
   def temperatureMixture(df: DataFrame, keyCol: Column, srcCol: Column,
                          targetRows: Long, salt: String = "tmp:"): DataFrame = {
@@ -144,9 +150,14 @@ object SamplingOps {
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", floor(sqrt(col("__n")) * 1000 + lit(0.5)).cast("long"))
     val tot = counts.agg(sum(col("__w")).as("__sumw"))
+    val ppmRaw = expr(
+      s"(CAST($targetRows AS DECIMAL(38,0)) * __w * 1000000) div " +
+        "(CAST(__sumw AS DECIMAL(38,0)) * __n)")
     val rates = counts.crossJoin(broadcast(tot))
       .withColumn("__ppm", least(lit(1000000L),
-        expr(s"($targetRows * __w * 1000000) div (__sumw * __n)")))
+        when(ppmRaw.isNull, raise_error(lit(
+          "temperatureMixture: ppm ratio overflowed DECIMAL(38,0)")))
+          .otherwise(ppmRaw)))
       .select(col("__src"), col("__n"), col("__ppm"))
     df.join(broadcast(rates), srcCol === col("__src"))
       .filter(pmod(hash60(keyCol, salt), lit(1000000L)) < col("__ppm"))

@@ -1618,7 +1618,8 @@ object CorpusQueries extends QueryPack {
         |  FROM c),
         |s AS (SELECT sum(wq) AS sumw FROM w),
         |r AS (SELECT lang, n,
-        |    least(1000000, (200 * wq * 1000000) // (sumw * n)) AS ppm
+        |    least(1000000, (CAST(200 AS HUGEINT) * wq * 1000000)
+        |                   // (CAST(sumw AS HUGEINT) * n)) AS ppm
         |  FROM w, s),
         |k AS (SELECT d.lang, r.ppm, r.n FROM documents d JOIN r USING (lang)
         |  WHERE ('0x' || substr(md5('tmp:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT

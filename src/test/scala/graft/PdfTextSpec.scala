@@ -96,4 +96,67 @@ class PdfTextSpec extends AnyFunSuite {
     bad(streamAt) = (bad(streamAt) ^ 0x55).toByte
     assert(PdfText.extract(bad) == null)
   }
+
+  /** Assemble a classic-xref PDF from object bodies (1-based, in
+    * order), computing offsets so the refusals under test are about the
+    * page TREE, not a stale xref.
+    */
+  private def buildPdf(objs: Seq[String]): Array[Byte] = {
+    val out = new StringBuilder("%PDF-1.4\n")
+    val offsets = objs.zipWithIndex.map { case (body, i) =>
+      val at = out.length
+      out.append(s"${i + 1} 0 obj ").append(body).append(" endobj\n")
+      at
+    }
+    val xrefAt = out.length
+    out.append(s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => out.append(f"$o%010d 00000 n \n"))
+    out.append(s"trailer << /Size ${objs.length + 1} /Root 1 0 R >>\n")
+    out.append(s"startxref\n$xrefAt\n%%EOF\n")
+    out.toString.getBytes("ISO-8859-1")
+  }
+
+  test("shared /Kids node refuses: repeated ref = tree amplification") {
+    // the same Page object listed twice under one Pages node — the
+    // K^depth amplification primitive; the visited-set must refuse
+    val contents = "<< /Length 23 >> stream\nBT /F1 12 Tf (hi) Tj ET\nendstream"
+    val shared = buildPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R 3 0 R] /Count 2 >>",
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+      contents))
+    assert(PdfText.extract(shared) == null)
+    // same node shared at two LEVELS (Pages node under itself via a
+    // sibling) — the cyclic variant
+    val cyclic = buildPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R 2 0 R] /Count 2 >>",
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+      contents))
+    assert(PdfText.extract(cyclic) == null)
+    // control: the same shape WITHOUT sharing extracts fine
+    val ok = buildPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+      contents))
+    assert(extract(ok) == "hi")
+  }
+
+  test("page-count ceiling: > MaxPages distinct pages refuses") {
+    val n = PdfText.MaxPages + 1
+    val contents = "<< /Length 23 >> stream\nBT /F1 12 Tf (hi) Tj ET\nendstream"
+    val kids = (0 until n).map(i => s"${i + 3} 0 R").mkString(" ")
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      s"<< /Type /Pages /Kids [$kids] /Count $n >>") ++
+      (0 until n).map(_ =>
+        s"<< /Type /Page /Parent 2 0 R /Contents ${n + 3} 0 R >>") :+
+      contents
+    // distinct page objects, so the visited-set passes; the aggregate
+    // page ceiling is what must trip. NOTE each page shares one
+    // contents stream ref — content refs are not tree nodes and may
+    // legally repeat (the control in the previous test relies on it).
+    assert(PdfText.extract(buildPdf(objs)) == null)
+  }
 }

@@ -38,7 +38,13 @@ class ZstdSpec extends AnyFunSuite {
     ("large_l19_chk", 302400, "78c21e19375b50accedd032a9c262931"),
     ("entropy_l19", 5000, "20f775d3ecf021739ac4bc2ac6bc7c0e"),
     ("tiny_l19", 144, "b77d49b1549cab63a577239903119c6f"),
-    ("empty_l3", 0, "d41d8cd98f00b204e9800998ecf8427e"))
+    ("empty_l3", 0, "d41d8cd98f00b204e9800998ecf8427e"),
+    // hand-crafted long sequence-count header: one block with 0x8000
+    // sequences (byte0==255 form) — the count is byte1 + byte2<<8 +
+    // 0x7F00 (ADD; an OR loses the carry for any count in
+    // [0x8000, 0xFF00) and desyncs the bitstream). CLI-validated at
+    // generation time (tools/gen_zstd_fixtures.py craft_seq32k).
+    ("seq32k", 98308, "ca44fd73e6d57b7eb0ce448517f1c8f0"))
 
   for ((name, len, md5) <- manifest) {
     test(s"decodes CLI fixture $name exactly") {

@@ -46,4 +46,23 @@ class MmrSpec extends SparkSuite {
     assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
       Seq((0L, 1, 4L), (0L, 2, 5L), (1L, 1, 9L), (1L, 2, 8L)))
   }
+
+  test("missing pair similarity means no penalty, not disqualification") {
+    // d3 has NO sims row against anything — an incomplete pool. It must
+    // be treated as maximally diverse (penalty 0) and still selectable,
+    // and the result must have all k rows.
+    val cands = Seq((0L, 1L, 900L), (0L, 2L, 890L), (0L, 3L, 200L))
+      .toDF("query_id", "vec_id", "rel_milli")
+    val sims = Seq((0L, 1L, 2L, 980L), (0L, 2L, 1L, 980L))
+      .toDF("query_id", "id_a", "id_b", "sim_milli")
+    val out = EmbeddingOps.mmrSelect(cands, sims, "query_id", "vec_id",
+        "rel_milli", "sim_milli", k = 3)
+      .orderBy("rank").collect()
+    assert(out.length == 3)
+    // rank 2: d3 scores 7·200−3·0 = 1400 < d2's 7·890−3·980 = 3290 —
+    // d2 wins round 2 on score, but d3 is PRESENT and lands rank 3
+    // with zero penalty (the old inner join dropped it entirely).
+    assert(out(1).getLong(2) == 2L && out(1).getLong(3) == 3290L)
+    assert(out(2).getLong(2) == 3L && out(2).getLong(3) == 1400L)
+  }
 }

@@ -63,6 +63,39 @@ FIXTURES = [
 ]
 
 
+def craft_seq32k():
+    """Hand-craft a frame whose single compressed block carries 0x8000
+    sequences — the long sequence-count header (byte0==255, count =
+    byte1 + byte2<<8 + 0x7F00) where an OR instead of ADD loses the
+    carry. RLE tables (LL sym 0, OF sym 2, ML sym 0): every sequence is
+    0 literals + a 3-byte match at offset (1<<2)+0b11-3 = 4, so the
+    bitstream is exactly 2 one-bits per sequence. A 4-byte raw block
+    seeds the match history. Validated against the system zstd CLI at
+    generation time."""
+    numseq = 0x8000
+    content = 4 + 3 * numseq
+    frame = bytearray()
+    frame += bytes.fromhex("28B52FFD")
+    frame.append(0xA0)                      # single-segment, 4-byte FCS
+    frame += content.to_bytes(4, "little")
+    frame += ((4 << 3) | 0).to_bytes(3, "little")  # raw block, not last
+    frame += b"ABCD"
+    blk = bytearray()
+    blk.append(0x00)                        # literals: raw, size 0
+    blk += bytes([0xFF, 0x00, 0x01])        # numSeq = 0x100 + 0x7F00
+    blk.append((1 << 6) | (1 << 4) | (1 << 2))  # LL/OF/ML all RLE
+    blk += bytes([0, 2, 0])                 # RLE symbols
+    blk += b"\xFF" * 8192                   # 2 bits x 32768 sequences
+    blk.append(0x01)                        # sentinel, 0 payload bits
+    frame += ((len(blk) << 3) | (2 << 1) | 1).to_bytes(3, "little")
+    frame += blk
+    out = bytearray(b"ABCD")
+    for _ in range(numseq):
+        for _k in range(3):
+            out.append(out[-4])
+    return bytes(frame), bytes(out)
+
+
 def main():
     rows = []
     for name, raw, flags in FIXTURES:
@@ -78,6 +111,14 @@ def main():
             comp = f.read()
         rows.append((name, len(raw), hashlib.md5(raw).hexdigest(),
                      len(comp)))
+    frame, raw = craft_seq32k()
+    dec = subprocess.run([ZSTD, "-d", "-c"], input=frame,
+                         capture_output=True, check=True).stdout
+    assert dec == raw, "crafted seq32k frame disagrees with system zstd"
+    with open(os.path.join(OUT, "seq32k.zst"), "wb") as f:
+        f.write(frame)
+    rows.append(("seq32k", len(raw), hashlib.md5(raw).hexdigest(),
+                 len(frame)))
     print("name,raw_len,raw_md5,comp_len")
     for r in rows:
         print("%s,%d,%s,%d" % r)

@@ -23,7 +23,8 @@ object SparkEntry {
     VescFixtureQueries,
     CorpusQueries,
     WebQueries,
-    LangIdQueries
+    LangIdQueries,
+    CodeQueries
   )
 
   /** Flagship query; driver smoke-checks rows>0. The engine's headline is

@@ -67,4 +67,56 @@ object GraphOps {
     e.unpersist(); outdeg.unpersist()
     p
   }
+
+  /** HITS (Kleinberg 1999) hubs & authorities with EXACT INTEGER state
+    * — the second classic link-quality signal (authorities ≈ good
+    * content pages, hubs ≈ good link pages; curation uses the authority
+    * side much like PageRank). Per iteration:
+    *  - raw authority `Σ hub(u)` over in-edges, then rescale to
+    *    `⌊a_raw · 10⁶ / max a_raw⌋` (L∞ normalization — scale-free like
+    *    the classic L2 but exactly replayable in integers);
+    *  - raw hub `Σ auth(v)` over out-edges, rescaled the same way.
+    * The rescale ratio is computed in DECIMAL(38,0): a_raw is bounded
+    * by n·10⁶, so the ×10⁶ numerator would wrap int64 silently past
+    * n ≈ 9·10⁶ nodes (the temperatureMixture lesson).
+    *
+    * Scale shape: per iteration one shuffle keyed by dst (authority
+    * agg), one keyed by src (hub agg), and ONE driver scalar (the max)
+    * each — the [[pageRank]] posture; state persists per iteration
+    * with flat lineage.
+    *
+    * @return (node, auth, hub) in micro-units, hub init 10⁶
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 4): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    def rescale(raw: DataFrame, keyCol: String, valCol: String): DataFrame = {
+      val m = raw.agg(coalesce(max(col(valCol)), lit(1L))).head.getLong(0)
+      nodes.join(raw.withColumnRenamed(keyCol, "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(
+          expr(s"CAST((CAST($valCol AS DECIMAL(38,0)) * 1000000) div $m AS BIGINT)"),
+          lit(0L)).as(valCol))
+    }
+    var h = nodes.withColumn("h", lit(1000000L)).persist()
+    var a = nodes.withColumn("a", lit(0L)).persist()
+    (1 to iters).foreach { _ =>
+      val araw = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+      val aNext = rescale(araw, "dst", "a").persist()
+      aNext.count()
+      val hraw = e.join(aNext.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+      val hNext = rescale(hraw, "src", "h").persist()
+      hNext.count()
+      a.unpersist(); h.unpersist()
+      a = aNext; h = hNext
+    }
+    val out = nodes.join(a, Seq("node")).join(h, Seq("node"))
+      .select(col("node"), col("a").as("auth"), col("h").as("hub"))
+    e.unpersist()
+    out
+  }
 }

@@ -81,4 +81,46 @@ class GraphLinkSpec extends SparkSuite {
     assert(ranks(9L) > ranks(1L))
     assert((2L to 5L).forall(l => ranks(9L) > ranks(l)))
   }
+
+  test("hits: hubs and authorities separate on a bipartite core") {
+    import spark.implicits._
+    // 1,2,3 are pure hubs pointing at both authorities 10,11; 4 points
+    // only at 10; nothing links back — hub/auth roles are disjoint
+    val edges = (Seq(1L, 2L, 3L).flatMap(h => Seq(h -> 10L, h -> 11L)) :+
+      (4L -> 10L)).toDF("src", "dst")
+    val out = GraphOps.hits(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 10 has the extra in-edge: the top authority at exactly 10^6
+    assert(out(10L)._1 == 1000000L)
+    assert(out(11L)._1 < 1000000L && out(11L)._1 > 0L)
+    // pure hubs: zero authority; top hubs are the 2-out-edge nodes
+    assert(Seq(1L, 2L, 3L).forall(h => out(h)._1 == 0L &&
+      out(h)._2 == 1000000L))
+    assert(out(4L)._2 < 1000000L && out(4L)._2 > 0L)
+    // authorities have zero hub score (no out-edges)
+    assert(out(10L)._2 == 0L && out(11L)._2 == 0L)
+  }
+
+  test("hits: exact vs local integer replica on an asymmetric graph") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+    val got = GraphOps.hits(es.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = nodes.map(_ -> 0L).toMap
+    (1 to 3).foreach { _ =>
+      val araw = nodes.map(v =>
+        v -> es.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+      val am = araw.values.max max 1L
+      a = araw.map { case (v, r) =>
+        v -> (BigInt(r) * 1000000 / am).toLong }
+      val hraw = nodes.map(u =>
+        u -> es.filter(_._1 == u).map(e => a(e._2)).sum).toMap
+      val hm = hraw.values.max max 1L
+      h = hraw.map { case (u, r) =>
+        u -> (BigInt(r) * 1000000 / hm).toLong }
+    }
+    assert(got == nodes.map(v => v -> (a(v), h(v))).toMap)
+  }
 }

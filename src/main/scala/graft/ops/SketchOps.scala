@@ -210,4 +210,80 @@ object SketchOps {
       .select(col(groupCol),
         (floor(est * 1e4 + lit(0.5)) / 1e4).as("est_q"))
   }
+
+  /** Bounded K-MINIMUM-VALUES partial: a sorted DISTINCT Seq of the k
+    * smallest longs — ≤ 2k values per task partial on the wire, the
+    * [[SamplingOps.MinKDoubleAgg]] shape with set semantics (KMV is
+    * defined over distinct hash values, so dedup happens inside the
+    * partial instead of as a corpus-wide `distinct()` shuffle).
+    */
+  class MinKDistinctLongAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Seq[Long], Seq[Long]] {
+    private def trim(s: Seq[Long]): Seq[Long] = s.distinct.sorted.take(k)
+    override def zero: Seq[Long] = Seq.empty
+    override def reduce(b: Seq[Long], a: Long): Seq[Long] = {
+      val appended = b :+ a
+      if (appended.size >= 2 * k) trim(appended) else appended
+    }
+    override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = trim(x ++ y)
+    override def finish(r: Seq[Long]): Seq[Long] = trim(r)
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** KMV sketch of `keyCol`: ONE row holding the k smallest distinct
+    * salted 60-bit hashes, ascending (Beyer et al. 2007 — the theta-
+    * sketch family's base estimator). Mergeable by concat+resort; the
+    * estimate for a full sketch is `(k−1)·2⁶⁰ / h_k`.
+    */
+  def kmvSketch(df: DataFrame, keyCol: String, k: Int,
+                salt: String): DataFrame = {
+    val minK = udaf(new MinKDistinctLongAgg(k))
+    df.select(h60(col(keyCol), salt).as("__h"))
+      .agg(minK(col("__h")).as("sketch"))
+  }
+
+  /** KMV distinct-cardinality estimate of a sketch column (array of
+    * ascending hashes): exact size when the sketch never filled, else
+    * `(k−1)·2⁶⁰ / h_k` — numerator in DECIMAL(38,0), since
+    * (k−1)·2⁶⁰ wraps int64 already at k = 9.
+    */
+  private def kmvEst(name: String, k: Int): Column =
+    when(size(col(name)) < k, size(col(name)).cast("long")).otherwise(expr(
+      s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976) div " +
+        s"greatest(element_at($name, $k), 1) AS BIGINT)"))
+
+  /** Distinct-set overlap of two keyed inputs from two k-bounded
+    * sketches (theta-sketch intersection): the union sketch is the k
+    * smallest of the merged hash sets; the match fraction of union-
+    * sketch values present in BOTH input sketches scales the union
+    * estimate. ONE row out: est_a, est_b, est_union, est_intersect.
+    *
+    * Scale shape: two bounded aggregations (≤ 2k-value partials), one
+    * single-row cross join, array arithmetic on ≤ k elements — the
+    * corpus is never shuffled, only scanned.
+    */
+  def kmvIntersect(a: DataFrame, b: DataFrame, keyCol: String, k: Int,
+                   salt: String): DataFrame = {
+    val sa = kmvSketch(a, keyCol, k, salt).withColumnRenamed("sketch", "sk_a")
+    val sb = kmvSketch(b, keyCol, k, salt).withColumnRenamed("sketch", "sk_b")
+    val u = slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k)
+    val matches = size(filter(u, v =>
+      array_contains(col("sk_a"), v) && array_contains(col("sk_b"), v)))
+    sa.crossJoin(sb)
+      .withColumn("__u", u)
+      .withColumn("__m", matches.cast("long"))
+      .withColumn("est_a", kmvEst("sk_a", k))
+      .withColumn("est_b", kmvEst("sk_b", k))
+      .withColumn("est_union", kmvEst("__u", k))
+      // match-fraction × union estimate, DECIMAL-widened (est_union is
+      // corpus-sized; ×k would wrap int64 near 10^17 distinct)
+      .withColumn("est_intersect", expr(
+        "CAST((CAST(__m AS DECIMAL(38,0)) * est_union) div " +
+          "greatest(size(__u), 1) AS BIGINT)"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        col("est_intersect"))
+  }
 }

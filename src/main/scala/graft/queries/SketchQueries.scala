@@ -67,6 +67,26 @@ object SketchQueries extends QueryPack {
         .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
       SketchOps.heavyHitters(toks, "token", k = 10, cap = 4096)
         .orderBy(col("cnt").desc, col("token").asc)
+    }),
+
+    // KMV (theta-style) set-overlap estimation between two corpus
+    // slices — the "how much does snapshot B re-crawl of snapshot A"
+    // QA signal at sketch cost: two k=64 bounded aggregations, never a
+    // corpus-wide distinct or join. Estimates sit NEXT TO the exact
+    // counts in the same row, and the oracle recomputes sketches and
+    // estimator arithmetic (HUGEINT-widened (k−1)·2⁶⁰ numerator)
+    // independently.
+    "sketch_kmv_intersect" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val a = docs.filter(col("doc_id") % 3 =!= 0)
+      val b = docs.filter(col("doc_id") % 2 === 0)
+      val est = SketchOps.kmvIntersect(a, b, "doc_id", k = 64, salt = "kmv:")
+      val exact = docs.agg(
+        sum(when(col("doc_id") % 3 =!= 0, 1L).otherwise(0L)).as("exact_a"),
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("exact_b"),
+        sum(when(col("doc_id") % 3 =!= 0 && col("doc_id") % 2 === 0, 1L)
+          .otherwise(0L)).as("exact_intersect"))
+      est.crossJoin(exact)
     })
   )
 
@@ -74,6 +94,44 @@ object SketchQueries extends QueryPack {
   private val h60cm = "('0x' || substr(md5('cm' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
 
   override val oracle: Map[String, String] = Map(
+    // independent sketch rebuild: distinct salted hashes, ORDER BY h
+    // LIMIT k per slice, union-of-sketches re-limited, match count via
+    // membership in BOTH sketches, then the same integral estimator in
+    // HUGEINT ((k−1)·2⁶⁰ wraps int64 at k = 9; `//` floor == Spark
+    // `div` on the all-positive operands)
+    "sketch_kmv_intersect" ->
+      """WITH ka AS (
+        |  SELECT DISTINCT ('0x' || substr(md5('kmv:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE doc_id % 3 <> 0 ORDER BY h LIMIT 64),
+        |kb AS (
+        |  SELECT DISTINCT ('0x' || substr(md5('kmv:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE doc_id % 2 = 0 ORDER BY h LIMIT 64),
+        |ku AS (
+        |  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u
+        |  ORDER BY h LIMIT 64),
+        |ea AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+        |    ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+        |      // greatest(max(h), 1) AS BIGINT) END AS est_a FROM ka),
+        |eb AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+        |    ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+        |      // greatest(max(h), 1) AS BIGINT) END AS est_b FROM kb),
+        |eu AS (SELECT count(*) AS nu,
+        |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+        |    ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+        |      // greatest(max(h), 1) AS BIGINT) END AS est_union FROM ku),
+        |m AS (SELECT count(*) AS mm FROM ku
+        |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+        |ex AS (SELECT
+        |    CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_a,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_b,
+        |    CAST(sum(CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS exact_intersect
+        |  FROM documents)
+        |SELECT ea.est_a, eb.est_b, eu.est_union,
+        |  CAST((CAST(m.mm AS HUGEINT) * eu.est_union)
+        |    // greatest(eu.nu, 1) AS BIGINT) AS est_intersect,
+        |  ex.exact_a, ex.exact_b, ex.exact_intersect
+        |FROM ea, eb, eu, m, ex""".stripMargin,
     "sketch_hll_distinct" ->
       s"""WITH ev AS (SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
          |h AS (SELECT event_type, $h60hll AS h FROM ev),

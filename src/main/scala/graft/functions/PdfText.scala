@@ -490,22 +490,88 @@ object PdfText {
       }
 
     def decodeStream(dict: Dict, raw: Array[Byte]): Array[Byte] = {
+      val parms: Option[Dict] =
+        resolve(dict.getOrElse("DecodeParms", null)) match {
+          case null => None
+          case d: Dict @unchecked => Some(d)
+          case seq: Seq[_] if seq.length == 1 => seq.head match {
+            case d: Dict @unchecked => Some(d)
+            case null => None
+            case _ => fail()
+          }
+          case _ => fail()
+        }
+      def earlyChange: Int = parms match {
+        case Some(d) => resolve(d.getOrElse("EarlyChange", 1L)) match {
+          case l: Long if l == 0L || l == 1L => l.toInt
+          case _ => fail()
+        }
+        case None => 1
+      }
       val inflated = resolve(dict.getOrElse("Filter", null)) match {
         case null => raw
         case Name("FlateDecode") => inflateZlib(raw)
+        case Name("LZWDecode") => lzwDecode(raw, earlyChange)
         case seq: Seq[_] if seq == Seq(Name("FlateDecode")) => inflateZlib(raw)
+        case seq: Seq[_] if seq == Seq(Name("LZWDecode")) =>
+          lzwDecode(raw, earlyChange)
         case _ => fail() // other filters out of the subset
       }
-      resolve(dict.getOrElse("DecodeParms", null)) match {
-        case null => inflated
-        case d: Dict @unchecked => unpredict(d, inflated)
-        case seq: Seq[_] if seq.length == 1 => seq.head match {
-          case d: Dict @unchecked => unpredict(d, inflated)
-          case null => inflated
-          case _ => fail()
-        }
-        case _ => fail()
+      parms match {
+        case Some(d) => unpredict(d, inflated)
+        case None => inflated
       }
+    }
+
+    /** /LZWDecode (ISO 32000 §7.4.4 — the TIFF LZW variant): MSB-first
+      * code packing, 9→12-bit variable width, 256 = ClearTable,
+      * 257 = EOD, and the /EarlyChange width bump (default 1: widen
+      * when the table reaches 2^w − 1). Whole-or-refuse: an invalid
+      * code, missing EOD, or output past MaxTextBytes fails the
+      * extraction rather than yielding truncated text.
+      */
+    private def lzwDecode(data: Array[Byte], earlyChange: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length * 3 + 64)
+      val table = new Array[Array[Byte]](4096)
+      var i = 0
+      while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+      var next = 258
+      var width = 9
+      var prev: Array[Byte] = null
+      var bitBuf = 0L
+      var bitCnt = 0
+      var p = 0
+      var done = false
+      while (!done) {
+        while (bitCnt < width && p < data.length) {
+          bitBuf = (bitBuf << 8) | (data(p) & 0xffL)
+          bitCnt += 8
+          p += 1
+        }
+        if (bitCnt < width) fail() // bits exhausted before EOD
+        val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 256) { next = 258; width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry =
+            if (code < 256) table(code)
+            else if (code >= 258 && code < next) table(code)
+            else if (code == next && prev != null) prev :+ prev(0)
+            else fail()
+          out.write(entry, 0, entry.length)
+          if (out.size > MaxTextBytes) fail()
+          if (prev != null && next < 4096) {
+            table(next) = prev :+ entry(0)
+            next += 1
+            // widen when the table reaches 2^w − EarlyChange (511/1023/
+            // 2047 with the default, 512/1024/2048 without)
+            if (next + earlyChange >= (1 << width) && width < 12) width += 1
+          }
+          prev = entry
+        }
+      }
+      out.toByteArray
     }
 
     /** Invert the /Predictor pre-filter: 1 = none, 2 = TIFF horizontal

@@ -56,6 +56,36 @@ class PdfTextSpec extends AnyFunSuite {
     assert(extract(fixture("hybrid")) == "hybrid file text")
   }
 
+  test("LZWDecode: variable width through 12 bits, both EarlyChange modes") {
+    // fixtures from the independent tools/gen_pdf_fixtures.py LZW
+    // encoder: ~12.4k chars whose decoder table crosses 511/1023/2047,
+    // exercising every width transition; lzw_early0 pins the
+    // /DecodeParms << /EarlyChange 0 >> schedule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (name <- Seq("lzw", "lzw_early0")) {
+      val t = extract(fixture(name))
+      assert(t.length == 12434, name)
+      assert(t.startsWith("lzw stream0 twelve table strea"), name)
+      val hex = md.digest(t.getBytes("ISO-8859-1"))
+        .map("%02x".format(_)).mkString
+      assert(hex == "5429477204a4496a5bb8ecd1946b5355", name)
+    }
+  }
+
+  test("LZWDecode refusals: corrupt code stream, truncation before EOD") {
+    val good = fixture("lzw")
+    // flip a byte mid-stream: an out-of-table code must refuse, never
+    // emit partial text
+    val streamAt = new String(good, "ISO-8859-1").indexOf("stream\n") + 7
+    val bad = good.clone()
+    bad(streamAt + 400) = (bad(streamAt + 400) ^ 0xff).toByte
+    assert(PdfText.extract(bad) == null)
+    // shorten /Length so the bit reader exhausts before EOD
+    val cut = new String(good, "ISO-8859-1")
+      .replaceFirst("/Length (\\d+)", "/Length 100").getBytes("ISO-8859-1")
+    assert(PdfText.extract(cut) == null)
+  }
+
   test("writer round trip: pdf_text(pdf_doc(text)) == text incl. escapes") {
     for (t <- Seq(
       "plain ascii text",
@@ -86,10 +116,15 @@ class PdfTextSpec extends AnyFunSuite {
     val xrefStream = xs.replaceAll("startxref\\n\\d+", s"startxref\\n$objAt")
       .getBytes("ISO-8859-1")
     assert(PdfText.extract(xrefStream) == null)
-    // unsupported filter
+    // filter lies about the encoding: zlib bytes decoded as LZW hit an
+    // out-of-table code and refuse (LZW itself is supported since r11)
     val lzw = new String(good, "ISO-8859-1")
       .replace("/FlateDecode", "/LZWDecode").getBytes("ISO-8859-1")
     assert(PdfText.extract(lzw) == null)
+    // a genuinely unsupported filter refuses
+    val rle = new String(good, "ISO-8859-1")
+      .replace("/FlateDecode", "/RunLengthDecode").getBytes("ISO-8859-1")
+    assert(PdfText.extract(rle) == null)
     // corrupted flate bytes inside the stream
     val bad = good.clone()
     val streamAt = new String(good, "ISO-8859-1").indexOf("stream\n") + 10

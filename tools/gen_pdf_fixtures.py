@@ -229,3 +229,81 @@ buf.extend(b"trailer << /Size 8 /Root 1 0 R /XRefStm %d >>\n" % xstm_at)
 buf.extend(b"startxref\n%d\n%%%%EOF\n" % xref_at)
 open(os.path.join(OUT, "hybrid.pdf"), "wb").write(buf)
 print("hybrid.pdf ->", repr("hybrid file text"))
+
+
+# 7. /LZWDecode content streams (ISO 32000 §7.4.4, the TIFF LZW variant)
+# — an independent encoder, MSB-first packing, synchronized to the
+# DECODER's width schedule (pdf.js/mupdf rule: the decoder's table size
+# lags the encoder's by one at the same read position, so the encoder
+# widens from the decoder's count, not its own).
+def lzw_encode(data, early=1):
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+    width = 9
+
+    def emit(code):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    emit(256)  # clear
+    d = {bytes([i]): i for i in range(256)}
+    enc_next = 258
+    dec_next = 258
+    first = True
+    w = b""
+
+    def emit_word():
+        nonlocal first, dec_next, width
+        emit(d[w])
+        if not first and dec_next < 4096:
+            dec_next += 1
+            if dec_next + early >= (1 << width) and width < 12:
+                width += 1
+        first = False
+
+    for b in data:
+        c = bytes([b])
+        if w + c in d:
+            w += c
+        else:
+            emit_word()
+            if enc_next < 4096:
+                d[w + c] = enc_next
+                enc_next += 1
+            w = c
+    if w:
+        emit_word()
+    emit(257)  # EOD
+    if bitcnt > 0:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_text(n_words):
+    words = ["stream", "filter", "table", "width", "clear", "code",
+             "early", "change", "packing", "variable", "twelve", "bits"]
+    return " ".join(words[(i * 7 + i * i * 3) % len(words)]
+                    + (str(i) if i % 3 == 0 else "")
+                    for i in range(n_words))  # indexes force ~2200 codes: crosses 511/1023/2047
+
+
+import hashlib
+for name, early in (("lzw", 1), ("lzw_early0", 0)):
+    p = Pdf()
+    page_objs(p)
+    text = "lzw " + lzw_text(1600)  # ~10k chars: crosses 511/1023/2047
+    content = ("BT (" + text + ") Tj ET").encode("ascii")
+    comp = lzw_encode(content, early=early)
+    parms = b" /DecodeParms << /EarlyChange 0 >>" if early == 0 else b""
+    p.obj(4, b"<< /Length %d /Filter /LZWDecode%s >>" % (len(comp), parms),
+          stream=comp)
+    p.finish()
+    open(os.path.join(OUT, name + ".pdf"), "wb").write(p.buf)
+    print("%s.pdf -> len=%d md5=%s head=%r comp=%d" %
+          (name, len(text), hashlib.md5(text.encode()).hexdigest(),
+           text[:30], len(comp)))

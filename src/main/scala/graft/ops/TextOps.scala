@@ -147,9 +147,10 @@ object TextOps {
     */
   val ConfusableFrom: String =
     "\u0430\u0435\u043E\u0440\u0441\u0443\u0445\u043A\u0432\u043C\u043D\u0442" + // Cyrillic a e o r s u kh k v m n t shapes
+      "\u04CF\u0456\u0455\u0458" + // Cyrillic palochka-l, i, dze-s, je-j (IDN spoof letters)
       "\u03B1\u03B5\u03B9\u03BA\u03BD\u03BF\u03C1\u03C4\u03C5\u03C7" + // Greek alpha..chi lookalikes
       "\u2010\u2011\u2012\u2013\u2014\u00A0" // hyphen family + NBSP
-  val ConfusableTo: String = "aeopcyxkbmht" + "aeiknoptyx" + "-----" + " "
+  val ConfusableTo: String = "aeopcyxkbmht" + "lisj" + "aeiknoptyx" + "-----" + " "
 
   /** Confusable SKELETON: lowercase, then fold every mapped confusable
     * to its Latin target — one codegen'd `translate`, zero shuffle.

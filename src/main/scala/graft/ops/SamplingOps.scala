@@ -166,6 +166,25 @@ object SamplingOps {
       .drop("__src")
   }
 
+  /** LEAKAGE-SAFE train/valid/test assignment: the split key is the
+    * registered DOMAIN, not the page — near-duplicate pages from one
+    * site (boilerplate, mirrored articles, template families) land in
+    * the SAME split, the published domain-disjoint eval-hygiene
+    * practice for web corpora. Deterministic ppm thresholds over the
+    * salted domain hash; disjointness holds BY CONSTRUCTION (one hash
+    * per domain), and the query layer re-asserts it as a zero
+    * cross-split count. Scan-side expression — no shuffle.
+    */
+  def splitByDomain(df: DataFrame, domainCol: Column, validPpm: Long,
+                    testPpm: Long, salt: String = "split:"): DataFrame = {
+    require(validPpm >= 0 && testPpm >= 0 && validPpm + testPpm <= 1000000L)
+    val h = pmod(hash60(domainCol, salt), lit(1000000L))
+    df.withColumn("split",
+      when(h < testPpm, "test")
+        .when(h < testPpm + validPpm, "valid")
+        .otherwise("train"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis 2006),
     * derandomized: key_i = −ln(u_i)/w_i with u_i ∈ (0,1] derived from the
     * salted hash — the k smallest keys ARE the weighted sample, so the

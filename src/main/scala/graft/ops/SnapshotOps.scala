@@ -37,4 +37,32 @@ object SnapshotOps {
         coalesce(col("__fp_prev"), lit("")).as("fp_prev"),
         coalesce(col("__fp_cur"), lit("")).as("fp_cur"))
   }
+
+  /** CDC changelog COMPACTION — the lakehouse `MERGE INTO` shape: fold
+    * a changelog of (id, seq, op ∈ upsert|delete, payload…) onto a
+    * base snapshot. Latest entry per id wins (lexicographic max over
+    * (seq, op, payload), so even a seq tie resolves deterministically
+    * on any engine); `delete` tombstones the id; untouched base rows
+    * pass through.
+    *
+    * Scale shape: one hash aggregation over the CHANGELOG (usually ≪
+    * base) + one anti-join keyed by id + a union — the base never
+    * sorts, never windows; with base and log bucketed by id the
+    * anti-join co-locates too.
+    *
+    * `log` must carry every base column plus seqCol + opCol. Returns
+    * the compacted snapshot in base schema.
+    */
+  def applyChangelog(base: DataFrame, log: DataFrame, idCol: String,
+                     seqCol: String, opCol: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == idCol).toSeq
+    val packed = log.groupBy(col(idCol)).agg(
+      max(struct((seqCol +: opCol +: payload).map(col): _*)).as("__last"))
+    val latest = packed.select(
+      col(idCol) +: col(s"__last.$opCol").as("__op") +:
+        payload.map(c => col(s"__last.$c").as(c)): _*)
+    val untouched = base.join(packed.select(col(idCol)), Seq(idCol), "left_anti")
+    val upserts = latest.filter(col("__op") === "upsert").drop("__op")
+    untouched.unionByName(upserts.select(base.columns.toSeq.map(col): _*))
+  }
 }

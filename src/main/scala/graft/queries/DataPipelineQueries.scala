@@ -435,6 +435,32 @@ object DataPipelineQueries extends QueryPack {
       SnapshotOps.diff(prev, cur, "doc_id", "fp").orderBy(col("doc_id"))
     }),
 
+    // CDC changelog compaction (SnapshotOps.applyChangelog — the
+    // lakehouse MERGE INTO): deletes on every 5th doc, seq-2 upserts on
+    // every 7th (so doc_id%35 docs see delete-then-upsert and SURVIVE
+    // modified — the latest-wins edge), and brand-new ids. Output is
+    // the full compacted state, so one hash certifies tombstoning,
+    // latest-wins resolution, pass-through, and insertion together.
+    "corpus_apply_changelog" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+      val del = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("delete").as("op"),
+          col("text"), col("lang"), col("n_chars"), col("source"))
+      val upd = base.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+          concat(col("text"), lit(" v2")).as("text"), col("lang"),
+          (col("n_chars") + 3).as("n_chars"), col("source"))
+      val fresh = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), lit(1L).as("seq"),
+          lit("upsert").as("op"),
+          concat(lit("new "), col("doc_id").cast("string")).as("text"),
+          lit("xx").as("lang"), col("doc_id").as("n_chars"), col("source"))
+      val log = del.unionByName(upd).unionByName(fresh)
+      SnapshotOps.applyChangelog(base, log, "doc_id", "seq", "op")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Random-hyperplane SimHash LSH over EMBEDDINGS (functions
     // .EmbedSimHash): the classic cosine-LSH — bit i = sign of the
     // integer projection onto a deterministic md5-derived ±1 hyperplane
@@ -1912,6 +1938,32 @@ object DataPipelineQueries extends QueryPack {
         |  coalesce(p.fp, '') AS fp_prev,
         |  coalesce(c.fp, '') AS fp_cur
         |FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // replay of the changelog construction and the latest-wins fold:
+    // per-id max seq (seqs are unique per id by construction), delete
+    // tombstones, upsert payloads, untouched pass-through, new ids
+    "corpus_apply_changelog" ->
+      """WITH ch AS (
+        |  SELECT doc_id, 1 AS seq, 'delete' AS op, lang, n_chars
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'upsert', lang, n_chars + 3
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 100000 + doc_id, 1, 'upsert', 'xx', doc_id
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |last AS (
+        |  SELECT doc_id, op, lang, n_chars FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY seq DESC) AS rn FROM ch) q WHERE rn = 1),
+        |untouched AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM ch))
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (SELECT * FROM untouched
+        |      UNION ALL
+        |      SELECT doc_id, lang, n_chars FROM last WHERE op = 'upsert') f
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->

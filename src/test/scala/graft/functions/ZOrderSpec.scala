@@ -58,8 +58,12 @@ class ZOrderSpec extends SparkSuite {
       sHi: Long): (Int, Int) = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(dir).getFileSystem(conf)
-    val files = fs.listStatus(new Path(dir)).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
+    val it = fs.listFiles(new Path(dir), true)
+    val files = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) files += f
+    }
     var total = 0
     var cand = 0
     for (f <- files) {
@@ -96,18 +100,21 @@ class ZOrderSpec extends SparkSuite {
       .withColumn("pb", expr("((l_partkey - pmin) * 65536) div (pmax - pmin + 1)"))
       .withColumn("sb", expr("((l_suppkey - smin) * 65536) div (smax - smin + 1)"))
       .withColumn("z", expr("zorder2(pb, sb)"))
-      .select(col("l_partkey"), col("l_suppkey"), col("z"))
+      .select(col("l_partkey"), col("l_suppkey"), col("pb"), col("z"))
 
     val base = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
-    def write(df: DataFrame, key: String, out: String): Unit =
-      // 128 range partitions, one row group per file: file-level footer
-      // stats == row-group stats, so `candidates` measures exactly what
-      // a stats-pruning scan would read
-      df.repartitionByRange(128, col(key)).sortWithinPartitions(col(key))
-        .select(col("l_partkey"), col("l_suppkey"))
-        .write.mode("overwrite").parquet(out)
-    write(keyed, "z", s"$base/zorder")
-    write(keyed, "l_partkey", s"$base/bykey")
+    // 128 DETERMINISTIC buckets per layout (top 7 bits of the z-value /
+    // of the partkey rank), written as one directory each via
+    // partitionBy — every file carries exactly one bucket, so the
+    // footer stats measure the layout itself, not range-sampler noise
+    def write(df: DataFrame, bucket: org.apache.spark.sql.Column,
+        out: String): Unit =
+      df.withColumn("bucket", bucket)
+        .select(col("bucket"), col("l_partkey"), col("l_suppkey"))
+        .repartition(1)
+        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    write(keyed, shiftright(col("z"), 25), s"$base/zorder")
+    write(keyed, shiftright(col("pb"), 9), s"$base/bykey")
 
     // a box covering ~1/8 of each dimension at an unaligned offset
     // (1/16 in) — z-order's realistic case; a box straddling the

@@ -917,6 +917,42 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // MATRYOSHKA truncation evaluation (MRL, Kusupati et al. 2022 —
+    // the "serve the first d dims" memory/latency trade modern
+    // embedding APIs expose): brute-force top-1 retrieval at prefix
+    // dims 8/16/32/64, agreement against the full-dim truth, and the
+    // quantized top-1 score per tier — the curve an engineer reads
+    // before picking a serving dimension. Same broadcast-scored shape
+    // as embed_cosine_topk, one pass per tier over sliced vectors.
+    "embed_mrl_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      def top1(d: Int) = {
+        val sliced = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        EmbeddingOps.bruteForceTopK(
+            sliced.filter(col("vec_id") >= 10),
+            sliced.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 1)
+          .select(col("query_id"), col("neighbor_id"), col("score"))
+      }
+      val full = top1(64).select(col("query_id"),
+        col("neighbor_id").as("n64"))
+      val tiers = Seq(8, 16, 32, 64).map { d =>
+        top1(d).join(full, "query_id")
+          .agg(
+            sum(when(col("neighbor_id") === col("n64"), 1L).otherwise(0L))
+              .as("top1_agree"),
+            (floor(avg(col("score")) * 1e4 + lit(0.5)) / 1e4)
+              .as("avg_top1_score"),
+            count(lit(1)).as("n_queries"))
+          .withColumn("dim", lit(d.toLong))
+      }
+      tiers.reduce(_ unionByName _)
+        .select(col("dim"), col("n_queries"), col("top1_agree"),
+          col("avg_top1_score"))
+        .orderBy(col("dim"))
+    }),
+
     // IVF-style bucketed ANN: probe only the query's coarse cluster
     // (`label` plays the IVF centroid assignment).
     "embed_ann_ivf" -> ((s, dir) => {
@@ -1617,7 +1653,45 @@ object DataPipelineQueries extends QueryPack {
        |SELECT query_id, rank, neighbor_id, score FROM t WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** MRL oracle: per prefix dim, the cosineTopkSql arithmetic with
+    * generate_series(1, d), rank-1 winner (quantized score desc, id
+    * asc), agreement joined against the 64-dim winner.
+    */
+  private def mrlSql: String = {
+    val dims = Seq(8, 16, 32, 64)
+    val per = dims.map { d =>
+      s"""p$d AS MATERIALIZED (
+         |  SELECT q.query_id, c.vec_id,
+         |    sum(CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS dp,
+         |    sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS qn,
+         |    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS cn
+         |  FROM q JOIN c ON TRUE
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $d)) AS i) dims
+         |  GROUP BY q.query_id, c.vec_id),
+         |w$d AS MATERIALIZED (
+         |  SELECT query_id, vec_id,
+         |    floor((dp / (qn * cn)) * 10000 + 0.5) / 10000.0 AS score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY floor((dp / (qn * cn)) * 10000 + 0.5) / 10000.0 DESC,
+         |        vec_id ASC) AS rn FROM p$d) r WHERE rn = 1)""".stripMargin
+    }
+    val finals = dims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim,
+         |  CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(CASE WHEN a.vec_id = b.vec_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS top1_agree,
+         |  floor(avg(a.score) * 1e4 + 0.5) / 1e4 AS avg_top1_score
+         |FROM w$d a JOIN w64 b USING (query_id)""".stripMargin
+    }
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |    FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+      |""".stripMargin + per.mkString(",\n") +
+      "\n" + finals.mkString("\nUNION ALL\n") + "\nORDER BY dim"
+  }
+
   override val oracle: Map[String, String] = Map(
+    "embed_mrl_eval" -> mrlSql,
     "dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS group_size
         |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,

@@ -888,6 +888,47 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Rate normalization (functions.AudioResample): the same synthetic
+    // 16 kHz waveform resampled to 11025 Hz (down, even docs) or
+    // 22050 Hz (up, odd docs) via exact rational linear interpolation,
+    // then the standard stats contract over the RESAMPLED wav — the
+    // blob round trip audio_pcm_stats(audio_resample(x, r)) certifies
+    // the interpolation arithmetic, the emitted RIFF container
+    // (octet_length = 44 + 2·n_out), and the stats decode in one hash.
+    "mm_audio_resample" -> ((s, dir) => {
+      graft.functions.AudioPcmStats.register(s)
+      graft.functions.AudioResample.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val nSql = "(doc_id % 17 + 24)"
+      def sSql(k: String) = s"((doc_id * 37 + $k * 451) % 4001 - 2000)"
+      val leSampleSql = {
+        val u = s"(${sSql("k")} % 65536 + 65536) % 65536"
+        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), substr(lpad(hex($u), 4, '0'), 1, 2))"
+      }
+      val wavHex =
+        s"""concat('52494646', ${le("100", 4)}, '57415645',
+           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
+           |  ${le("16000", 4)}, ${le("32000", 4)}, ${le("2", 2)}, ${le("16", 2)},
+           |  '64617461', ${le(s"2 * $nSql", 4)},
+           |  array_join(transform(sequence(0, $nSql - 1), k -> $leSampleSql), ''))"""
+          .stripMargin
+      Tables.documents(s, dir)
+        .withColumn("dst",
+          expr("CAST(CASE WHEN doc_id % 2 = 0 THEN 11025 ELSE 22050 END AS INT)"))
+        .withColumn("rs", expr(s"audio_resample(unhex($wavHex), dst)"))
+        .selectExpr("doc_id", "dst", "octet_length(rs) AS n_bytes",
+          "audio_pcm_stats(rs) AS st")
+        .select(col("doc_id"), col("dst").cast("long").as("dst_rate"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("st.n_samples").as("n_out"), col("st.peak").as("peak"),
+          col("st.zero_crossings").as("zero_crossings"),
+          (floor(sqrt(col("st.sum_sq").cast("double") / col("st.n_samples"))
+            * 1e4 + lit(0.5)) / 1e4).as("rms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // AVIF/HEIF metadata (functions.AvifMeta) — the ISOBMFF-packaged
     // image formats modern web corpora shift toward: ftyp brand gate,
     // the meta FULL-box trap (4 version/flags bytes), iprp→ipco→ispe
@@ -1967,6 +2008,41 @@ object ExtraQueries extends QueryPack {
         |  CAST(peak AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings,
         |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e4 + 0.5) / 1e4 AS rms
         |FROM a ORDER BY doc_id""".stripMargin,
+    // replay of the rational interpolation: source samples from the
+    // closed form, output j at num = j·16000, i = num // dst,
+    // fn = num % dst, s = v_i + (v_{i+1} − v_i)·fn // dst (`//`
+    // truncates in DuckDB exactly like the decoder's Java division),
+    // then the stats arithmetic over the resampled stream
+    "mm_audio_resample" ->
+      """WITH d AS (SELECT doc_id, doc_id % 17 + 24 AS n,
+        |    CASE WHEN doc_id % 2 = 0 THEN 11025 ELSE 22050 END AS dst
+        |  FROM documents),
+        |o AS (SELECT doc_id, n, dst,
+        |    CAST((n - 1) * dst // 16000 + 1 AS INTEGER) AS n_out FROM d),
+        |j AS (SELECT doc_id, n, dst, n_out,
+        |    unnest(generate_series(0, n_out - 1)) AS j FROM o),
+        |ix AS (SELECT doc_id, dst, n_out, j,
+        |    (j * 16000) // dst AS i, (j * 16000) % dst AS fn FROM j),
+        |sv AS (SELECT doc_id, dst, n_out, j,
+        |    ((doc_id * 37 + i * 451) % 4001 - 2000)
+        |      + CASE WHEN fn = 0 THEN 0 ELSE
+        |          ((((doc_id * 37 + (i + 1) * 451) % 4001 - 2000)
+        |            - ((doc_id * 37 + i * 451) % 4001 - 2000)) * fn) // dst
+        |        END AS s
+        |  FROM ix),
+        |s2 AS (SELECT doc_id, dst, n_out, j, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY j) AS ps FROM sv),
+        |a AS (SELECT doc_id, max(dst) AS dst, max(n_out) AS n_out,
+        |    max(abs(s)) AS peak, sum(s * s) AS sum_sq,
+        |    sum(CASE WHEN ps * s < 0 THEN 1 ELSE 0 END) AS zc
+        |  FROM s2 GROUP BY doc_id)
+        |SELECT doc_id, CAST(dst AS BIGINT) AS dst_rate,
+        |  CAST(44 + 2 * n_out AS BIGINT) AS n_bytes,
+        |  CAST(n_out AS INTEGER) AS n_out, CAST(peak AS INTEGER) AS peak,
+        |  CAST(zc AS INTEGER) AS zero_crossings,
+        |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_out) * 1e4 + 0.5) / 1e4 AS rms
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     // brand/extents as closed forms; the mp42 branch must refuse
     "mm_image_avif_meta" ->
       """SELECT doc_id,

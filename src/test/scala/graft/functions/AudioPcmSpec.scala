@@ -245,4 +245,32 @@ class AudioPcmSpec extends SparkSuite {
     assert(dm(wav(Seq(1, 2, 3), channels = 2)).isEmpty,
       "stereo data not divisible into frames is null")
   }
+
+  test("resample: identity at same rate, exact 2:1 decimation, midpoints") {
+    val src = Seq(0, 1000, -2000, 3000, -4000, 5000, -600, 700)
+    // same rate: every sample lands on fn == 0 → byte-identical data
+    val same = AudioResample.resample(wav(src), 16000)
+    assert(stats(same) == stats(wav(src)))
+    // 2:1 decimation: every 2nd sample, nOut = (n−1)/2 + 1
+    val half = AudioResample.resample(wav(src), 8000)
+    assert(stats(half).get._1 == 4)
+    assert(stats(half) == stats(wav(Seq(0, -2000, -4000, -600))))
+    // 2x upsample: odd outputs are exact midpoints with truncating
+    // division ((−2000+1000)/2 = −500 toward zero)
+    val dbl = AudioResample.resample(wav(Seq(1000, -2000)), 32000)
+    assert(stats(dbl) == stats(wav(Seq(1000, -500, -2000))))
+  }
+
+  test("resample refusals: stereo, 8-bit, bad rate, output cap") {
+    assert(AudioResample.resample(wav(Seq(1, 2), channels = 2), 8000) == null)
+    assert(AudioResample.resample(wav(Seq(1, 2), bits = 8), 8000) == null)
+    assert(AudioResample.resample(wav(Seq(1, 2)), 0) == null)
+    assert(AudioResample.resample(wav(Seq(1, 2)), -1) == null)
+    // (n−1)·dst/src past MaxOutSamples must refuse, not allocate
+    // (199 · 2·10⁹ / 16000 ≈ 24.9M > the 16.7M cap)
+    assert(AudioResample.resample(wav(Seq.fill(200)(1)), 2000000000) == null)
+    // junk chunk still walks; resample then stats round-trips
+    val j = AudioResample.resample(wav(Seq(5, -5, 5), junk = 4), 16000)
+    assert(stats(j).get._1 == 3)
+  }
 }

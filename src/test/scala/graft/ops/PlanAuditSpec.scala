@@ -300,4 +300,48 @@ class PlanAuditSpec extends SparkSuite {
     // never a per-line rank window
     assert(planOf("dedup_line_level").contains("Aggregate"))
   }
+
+  test("round-11 families: scan-side ops plan no join/cartesian at all") {
+    // code gates, secret scan, lang-ID, csv sniff, idn decode: pure
+    // expression chains over the scan — any join in the plan (beyond
+    // the broadcast license/brand lookups) is a regression
+    Seq("code_stack_rules", "code_secret_scan", "code_comment_ratio",
+      "src_csv_sniff").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles a join: ${p.take(500)}")
+      assert(!p.contains("Window"), s"$q windows the corpus")
+    }
+    // license/brand joins must stay broadcast
+    Seq("code_license_detect", "code_lang_detect", "code_e2e_stack",
+      "web_idn_decode").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q regressed a lookup to sort-merge: ${p.take(500)}")
+    }
+  }
+
+  test("round-11 families: keyed shapes stay keyed") {
+    // z-order cells: scan -> project -> hash aggregate, no join
+    val z = planOf("src_zorder_layout")
+    assert(!z.contains("CartesianProduct") && !z.contains("SortMergeJoin"))
+    // HITS iterations: equi-joins only
+    val h = planOf("web_hits")
+    assert(!h.contains("CartesianProduct") && !h.contains("BroadcastNestedLoopJoin"))
+    // KMV: two bounded aggregates + single-row cross join (the only
+    // legitimate cross join — both sides are one row)
+    val kv = planOf("sketch_kmv_intersect")
+    assert(!kv.contains("SortMergeJoin"))
+    // changelog compaction: anti-join + union, never a corpus window
+    val cl = planOf("corpus_apply_changelog")
+    assert(!cl.contains("Window") && !cl.contains("CartesianProduct"))
+    // compaction planner: the window is PARTITIONED by the table
+    // partition key, never a single global ordering
+    val cp = SparkEntry.queries("src_compaction_plan")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("Window"))
+    assert(!cp.contains("Window [") || cp.contains("partitionBy") ||
+      cp.contains("lang"), "compaction window lost its partition key")
+  }
 }

@@ -626,6 +626,29 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer FERTILITY by language — THE cross-lingual tokenizer
+    // health metric (tokens per word / per kilochar): a vocabulary that
+    // over-fragments a language inflates its training cost and starves
+    // its effective context. Same plan-time BPE chain as text_bpe, one
+    // aggregate per language on top.
+    "text_bpe_fertility" -> ((s, dir) => {
+      graft.functions.BpeApply.register(s, TextOps.DefaultBpeMerges)
+      val words = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+      val tokArr = flatten(transform(words,
+        w => split(call_function("graft_bpe_apply", w), " ")))
+      Tables.documents(s, dir)
+        .select(col("lang"), size(tokArr).cast("long").as("nt"),
+          size(words).cast("long").as("nw"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nt")).as("n_tokens"), sum(col("nw")).as("n_words"),
+          (floor(sum(col("nt")).cast("double") / sum(col("nw")) * 1e4
+            + lit(0.5)) / 1e4).as("tokens_per_word"),
+          (floor(sum(col("nt")).cast("double") * 1000 / sum(col("nc")) * 1e4
+            + lit(0.5)) / 1e4).as("tokens_per_kchar"))
+        .orderBy(col("lang"))
+    }),
+
     // BPE merge TRAINING at real depth: up to 256 merges learned from
     // the corpus word vocabulary in ONE distributed pass + a driver-side
     // incremental pair-count loop (TextOps.trainBpeMerges /
@@ -2267,6 +2290,22 @@ object DataPipelineQueries extends QueryPack {
          |  CAST(nw AS BIGINT) AS n_words,
          |  array_to_string(toks[1:8], '|') AS head_tokens
          |FROM t ORDER BY doc_id""".stripMargin
+    },
+    "text_bpe_fertility" -> {
+      val bpe = graft.ops.TextOps.bpeTokensSql("w")
+      s"""WITH t AS (SELECT lang,
+         |    len(flatten(list_transform(
+         |      regexp_extract_all(lower(text), '[a-z0-9]+'), w -> $bpe))) AS nt,
+         |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw,
+         |    length(text) AS nc
+         |  FROM documents)
+         |SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  floor(CAST(sum(nt) AS DOUBLE) / sum(nw) * 1e4 + 0.5) / 1e4
+         |    AS tokens_per_word,
+         |  floor(CAST(sum(nt) AS DOUBLE) * 1000 / sum(nc) * 1e4 + 0.5) / 1e4
+         |    AS tokens_per_kchar
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin
     },
     "text_bpe_train" -> bpeTrainOracleSql,
     "text_wordpiece_train" -> wpTrainOracleSql(64),

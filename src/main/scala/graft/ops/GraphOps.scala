@@ -106,11 +106,12 @@ object GraphOps {
       val araw = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("h")).as("a"))
       val aNext = rescale(araw, "dst", "a").persist()
-      aNext.count()
+      // no explicit materialization action: the NEXT rescale's max-
+      // scalar head computes through aNext and materializes its cache
+      // before the previous generation unpersists
       val hraw = e.join(aNext.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("h"))
       val hNext = rescale(hraw, "src", "h").persist()
-      hNext.count()
       a.unpersist(); h.unpersist()
       a = aNext; h = hNext
     }

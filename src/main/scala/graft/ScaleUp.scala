@@ -174,6 +174,19 @@ object ScaleUp {
       .repartition(cpus.toInt)
       .write.mode(SaveMode.Overwrite).parquet(s"$dest/events.parquet")
 
+    // lineitem ×k for the layout/clustering family (src_zorder_layout):
+    // orderkeys shift per copy; part/supp keys keep their ranges, so the
+    // z-cell GRID stays fixed while every cell gets k× denser — the
+    // honest scale shape for a clustering key (same data space, more
+    // rows).
+    val li = Tables.lineitem(spark, src)
+    (0 until k).map { i =>
+      if (i == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dest/lineitem.parquet")
+
     println(s"""{"scaled":"$dest","from":"$src","k":$k,"adversarial":$adversarial}""")
     spark.stop()
   }

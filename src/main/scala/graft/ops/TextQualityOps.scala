@@ -324,6 +324,83 @@ object TextQualityOps {
           * 1e4 + lit(0.5)) / 1e4).as("avg_logprob3"))
   }
 
+  /** MIN-K% PROB membership signal (Shi et al. 2023, "Detecting
+    * Pretraining Data from Large Language Models"): the mean of the
+    * LOWEST k% per-position log-probabilities under the corpus LM —
+    * a member document's surprising tail is thin, a non-member's is
+    * fat, and the bottom-k mean separates them far better than the
+    * full mean. Positions score under the same interpolated trigram
+    * arithmetic as [[trigramLogProb]]; per-position log-probs are
+    * quantized to MILLI INTEGERS before ranking (the Viterbi lesson —
+    * a libm ulp must not flip a selection), selection ties break on
+    * position, and the bottom-⌈n/ (100/k)⌉ mean is emitted as an
+    * integer-exact e4 value via truncating division (identical in
+    * Spark `div` and DuckDB `//`, negative sums included).
+    *
+    * Scale shape: the [[trigramLogProb]] broadcast-join ladder plus
+    * ONE window partitioned by doc (per-doc bounded, the text_tfidf
+    * family) — no corpus-wide ordering.
+    *
+    * Output: (docId, n_trigrams, k_used, mink_e4, full_e4).
+    */
+  def minkProb(df: DataFrame, docId: String, textCol: String,
+               pctK: Int = 20, maxVocab: Int = 65536): DataFrame = {
+    require(pctK >= 1 && pctK <= 100)
+    val tok = df.select(col(docId), explode(toks(col(textCol))).as("t"))
+    val totals = tok.agg(count(lit(1)).as("__n"),
+      count_distinct(col("t")).as("__v"))
+    val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      .orderBy(col("cu").desc, col("t").asc).limit(maxVocab)
+    val arr = df.select(col(docId), toks(col(textCol)).as("__l"))
+    val tri = arr
+      .select(col(docId),
+        posexplode(TextOps.shinglesOf(col("__l"), 3)).as(Seq("pos", "g3")))
+      .withColumn("__p", split(col("g3"), " "))
+      .withColumn("b12", concat_ws(" ", col("__p").getItem(0), col("__p").getItem(1)))
+      .withColumn("b23", concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)))
+      .withColumn("w2", col("__p").getItem(1))
+      .withColumn("w3", col("__p").getItem(2))
+      .drop("__p")
+    val bi = arr.select(explode(TextOps.shinglesOf(col("__l"), 2)).as("b"))
+    val blm = bi.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("b").asc).limit(maxVocab)
+    val tlm = tri.groupBy(col("g3")).agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("g3").asc).limit(maxVocab)
+    val c = (x: String) => coalesce(col(x), lit(0L)).cast("double")
+    val lpMilli = floor(log(
+      lit(0.6) * (c("ct") + 1.0) / (c("cb12") + col("__v")) +
+        lit(0.3) * (c("cb23") + 1.0) / (c("cu2") + col("__v")) +
+        lit(0.1) * (c("cu3") + 1.0) / (col("__n") + col("__v"))) * 1000)
+      .cast("long")
+    val scored = tri
+      .join(broadcast(tlm), Seq("g3"), "left")
+      .join(broadcast(blm.withColumnRenamed("b", "b12")
+        .withColumnRenamed("cb", "cb12")), Seq("b12"), "left")
+      .join(broadcast(blm.withColumnRenamed("b", "b23")
+        .withColumnRenamed("cb", "cb23")), Seq("b23"), "left")
+      .join(broadcast(uni.withColumnRenamed("t", "w2")
+        .withColumnRenamed("cu", "cu2")), Seq("w2"), "left")
+      .join(broadcast(uni.withColumnRenamed("t", "w3")
+        .withColumnRenamed("cu", "cu3")), Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(docId), col("pos"), lpMilli.as("lp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(docId)).orderBy(col("lp").asc, col("pos").asc)
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(col(docId))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nt", count(lit(1)).over(n))
+      .withColumn("__k", expr(s"(__nt * $pctK + 99) div 100"))
+      .groupBy(col(docId))
+      .agg(first(col("__nt")).as("n_trigrams"),
+        first(col("__k")).as("k_used"),
+        expr("(sum(CASE WHEN __rn <= __k THEN lp ELSE 0 END) * 10) div max(__k)")
+          .as("mink_e4"),
+        expr("(sum(lp) * 10) div max(__nt)").as("full_e4"))
+      .withColumn("n_trigrams", col("n_trigrams").cast("long"))
+      .withColumn("k_used", col("k_used").cast("long"))
+  }
+
   /** MODIFIED KNESER-NEY trigram LM score — the smoothing CCNet's
     * published 5-gram filter actually uses (Kneser & Ney 1995; the
     * three-discount "modified" variant of Chen & Goodman 1999),

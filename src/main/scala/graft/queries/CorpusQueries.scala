@@ -180,6 +180,19 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // MIN-K% PROB membership signal (Shi et al. 2023): mean of the
+    // lowest 20% per-position trigram log-probs, milli-quantized before
+    // ranking, bottom-k selection tie-broken on position, integer-exact
+    // e4 means via truncating division. The oracle replays the LM
+    // ladder per position, the quantization, the ranked selection, and
+    // both divisions.
+    "text_mink_prob" -> ((s, dir) => {
+      TextQualityOps.minkProb(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"), col("k_used"),
+          col("mink_e4"), col("full_e4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MODIFIED KNESER-NEY trigram LM — the smoothing CCNet's published
     // filter actually uses: continuation counts, count-of-counts-derived
     // discounts D1/D2/D3+, absolute-discount interpolation down to a
@@ -1275,6 +1288,52 @@ object CorpusQueries extends QueryPack {
         |  CAST(CASE WHEN m = 2 THEN k ELSE 0 END AS INTEGER) AS n_invalid,
         |  CAST(CASE WHEN m = 3 THEN k ELSE 0 END AS INTEGER) AS n_replacement
         |FROM d ORDER BY doc_id""".stripMargin,
+    // per-position trigram-LM replay: same ladder as text_lm_trigram
+    // with the position carried, milli quantization BEFORE the ranked
+    // bottom-k selection, truncating integer means
+    "text_mink_prob" ->
+      s"""WITH mk_t AS (SELECT doc_id, $tokSql AS l FROM documents),
+         |mk_p AS (SELECT doc_id, unnest(l) AS t FROM mk_t),
+         |mk_tot AS (SELECT count(*) AS n, count(DISTINCT t) AS v FROM mk_p),
+         |mk_u AS MATERIALIZED (SELECT t, count(*) AS cu FROM mk_p GROUP BY t
+         |      ORDER BY cu DESC, t ASC LIMIT 65536),
+         |mk_bgr AS (SELECT l[i] || ' ' || l[i+1] AS b
+         |  FROM mk_t, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) g
+         |  WHERE len(l) >= 2),
+         |mk_blm AS MATERIALIZED (SELECT b, count(*) AS cb FROM mk_bgr GROUP BY b
+         |       ORDER BY cb DESC, b ASC LIMIT 65536),
+         |mk_tgr AS MATERIALIZED (SELECT doc_id, i,
+         |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g3,
+         |    l[i] || ' ' || l[i+1] AS b12, l[i+1] || ' ' || l[i+2] AS b23,
+         |    l[i+1] AS w2, l[i+2] AS w3
+         |  FROM mk_t, LATERAL (SELECT unnest(generate_series(1, len(l)-2)) AS i) g
+         |  WHERE len(l) >= 3),
+         |mk_tlm AS MATERIALIZED (SELECT g3, count(*) AS ct FROM mk_tgr GROUP BY g3
+         |       ORDER BY ct DESC, g3 ASC LIMIT 65536),
+         |mk_lp AS MATERIALIZED (
+         |  SELECT tgr.doc_id, tgr.i,
+         |    CAST(floor(ln(
+         |      0.6 * (coalesce(tlm.ct, 0) + 1.0) / (coalesce(b1.cb, 0) + (SELECT v FROM mk_tot)) +
+         |      0.3 * (coalesce(b2.cb, 0) + 1.0) / (coalesce(u2.cu, 0) + (SELECT v FROM mk_tot)) +
+         |      0.1 * (coalesce(u3.cu, 0) + 1.0) / ((SELECT n FROM mk_tot) + (SELECT v FROM mk_tot))
+         |    ) * 1000) AS BIGINT) AS lp
+         |  FROM mk_tgr tgr LEFT JOIN mk_tlm tlm USING (g3)
+         |  LEFT JOIN mk_blm b1 ON b1.b = tgr.b12
+         |  LEFT JOIN mk_blm b2 ON b2.b = tgr.b23
+         |  LEFT JOIN mk_u u2 ON u2.t = tgr.w2
+         |  LEFT JOIN mk_u u3 ON u3.t = tgr.w3),
+         |mk_r AS (SELECT doc_id, i, lp,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY lp, i) AS rn,
+         |    count(*) OVER (PARTITION BY doc_id) AS nt
+         |  FROM mk_lp),
+         |mk_k AS (SELECT doc_id, i, lp, rn, nt, (nt * 20 + 99) // 100 AS k FROM mk_r)
+         |SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_trigrams,
+         |  CAST(max(k) AS BIGINT) AS k_used,
+         |  CAST((sum(CASE WHEN rn <= k THEN lp ELSE 0 END) * 10) // max(k) AS BIGINT)
+         |    AS mink_e4,
+         |  CAST((sum(lp) * 10) // max(nt) AS BIGINT) AS full_e4
+         |FROM mk_k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_lm_trigram" ->
       s"""$trigramScoreCtes
          |SELECT doc_id, n_trigrams, n_oov3, avg_logprob3

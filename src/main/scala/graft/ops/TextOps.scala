@@ -31,6 +31,32 @@ object TextOps {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** ROUGE-N overlap between candidate and reference TOKEN ARRAYS —
+    * the summarization/extraction eval metric at corpus scale
+    * (Lin 2004): clipped multiset n-gram matches over reference length
+    * (recall), candidate length (precision), and their F1. Pure HOF
+    * arithmetic over two bounded arrays, scan-side; the clipped count
+    * is exact integer work, the three ratios are 4dp-quantized so an
+    * oracle replays them. Degenerate inputs (either side shorter than
+    * n) score 0, never null/NaN.
+    *
+    * Callers project token arrays into their own columns first (the
+    * [[shinglesOf]] contract).
+    */
+  def rougeN(cand: Column, ref: Column, n: Int): Column = {
+    val r4 = (c: Column) => floor(c * 1e4 + lit(0.5)) / 1e4
+    val cg = shinglesOf(cand, n)
+    val rg = shinglesOf(ref, n)
+    val m = coalesce(aggregate(array_distinct(cg), lit(0),
+      (acc, g) => acc + least(size(filter(cg, x => x === g)),
+        size(filter(rg, x => x === g)))), lit(0))
+    val p = when(size(cg) > 0, m.cast("double") / size(cg)).otherwise(lit(0.0))
+    val r = when(size(rg) > 0, m.cast("double") / size(rg)).otherwise(lit(0.0))
+    val f = when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0))
+    struct(m.cast("long").as("n_match"),
+      r4(p).as("precision"), r4(r).as("recall"), r4(f).as("f1"))
+  }
+
   /** Count of tokens found in `words` (a small allow-list — stopwords,
     * language markers).
     */

@@ -457,6 +457,24 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ROUGE-1/2 eval (TextOps.rougeN): candidate = lead-12 tokens,
+    // reference = tokens 5..20 — an overlapping extractive pair whose
+    // clipped-multiset matches vary with each doc's repetition. The
+    // oracle replays the gram construction, clipping, and 4dp ratios.
+    "text_rouge_eval" -> ((s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("l"))
+        .select(col("doc_id"), slice(col("l"), 1, 12).as("cand"),
+          slice(col("l"), 5, 16).as("ref"))
+      t.withColumn("r1", graft.ops.TextOps.rougeN(col("cand"), col("ref"), 1))
+        .withColumn("r2", graft.ops.TextOps.rougeN(col("cand"), col("ref"), 2))
+        .select(col("doc_id"),
+          col("r1.n_match").as("r1_match"), col("r1.precision").as("r1_p"),
+          col("r1.recall").as("r1_r"), col("r1.f1").as("r1_f"),
+          col("r2.f1").as("r2_f"))
+        .orderBy(col("doc_id"))
+    }),
+
     // RAG-style overlapping chunker: 32-token windows every 24 tokens;
     // pure integer chunk arithmetic, no window operator.
     "text_chunk_overlap" -> ((s, dir) => {
@@ -1288,6 +1306,39 @@ object CorpusQueries extends QueryPack {
         |  CAST(CASE WHEN m = 2 THEN k ELSE 0 END AS INTEGER) AS n_invalid,
         |  CAST(CASE WHEN m = 3 THEN k ELSE 0 END AS INTEGER) AS n_replacement
         |FROM d ORDER BY doc_id""".stripMargin,
+    // gram construction + clipped-multiset matching + 4dp ratio replay
+    "text_rouge_eval" -> {
+      def g2(a: String) =
+        s"CASE WHEN len($a) >= 2 THEN list_transform(range(1, len($a)), " +
+          s"i -> $a[i] || ' ' || $a[i+1]) ELSE []::VARCHAR[] END"
+      def m(cg: String, rg: String) =
+        s"coalesce(list_aggregate(list_transform(list_distinct($cg), " +
+          s"g -> least(len(list_filter($cg, x -> x = g)), " +
+          s"len(list_filter($rg, x -> x = g)))), 'sum'), 0)"
+      s"""WITH rt AS (SELECT doc_id, $tokSql AS l FROM documents),
+         |rc AS (SELECT doc_id, l[1:12] AS cand, l[5:20] AS ref FROM rt),
+         |rgr AS (SELECT doc_id, cand AS c1, ref AS r1g,
+         |    ${g2("cand")} AS c2, ${g2("ref")} AS r2g FROM rc),
+         |rm AS (SELECT doc_id,
+         |    ${m("c1", "r1g")} AS m1, ${m("c2", "r2g")} AS m2,
+         |    len(c1) AS nc1, len(r1g) AS nr1,
+         |    len(c2) AS nc2, len(r2g) AS nr2 FROM rgr),
+         |rp AS (SELECT doc_id, m1, m2,
+         |    CASE WHEN nc1 > 0 THEN m1 / CAST(nc1 AS DOUBLE) ELSE 0 END AS p1,
+         |    CASE WHEN nr1 > 0 THEN m1 / CAST(nr1 AS DOUBLE) ELSE 0 END AS r1,
+         |    CASE WHEN nc2 > 0 THEN m2 / CAST(nc2 AS DOUBLE) ELSE 0 END AS p2,
+         |    CASE WHEN nr2 > 0 THEN m2 / CAST(nr2 AS DOUBLE) ELSE 0 END AS r2
+         |  FROM rm)
+         |SELECT doc_id, CAST(m1 AS BIGINT) AS r1_match,
+         |  floor(p1 * 1e4 + 0.5) / 1e4 AS r1_p,
+         |  floor(r1 * 1e4 + 0.5) / 1e4 AS r1_r,
+         |  floor(CASE WHEN p1 + r1 > 0 THEN 2.0 * p1 * r1 / (p1 + r1)
+         |    ELSE 0 END * 1e4 + 0.5) / 1e4 AS r1_f,
+         |  floor(CASE WHEN p2 + r2 > 0 THEN 2.0 * p2 * r2 / (p2 + r2)
+         |    ELSE 0 END * 1e4 + 0.5) / 1e4 AS r2_f
+         |FROM rp ORDER BY doc_id""".stripMargin
+    },
+
     // per-position trigram-LM replay: same ladder as text_lm_trigram
     // with the position carried, milli quantization BEFORE the ranked
     // bottom-k selection, truncating integer means

@@ -197,6 +197,52 @@ object StreamingPipeline {
       .withColumn("n_tokens", size(TextOps.tokens(col("clean_text"))).cast("long"))
   }
 
+  // ---- streaming CDC apply (the stream side of MERGE INTO) ----
+
+  final case class ChangeRow(id: Long, seq: Long, op: String, payload: String)
+  /** Per-id resolved head: the winning (seq, op, payload). */
+  final case class CdcState(seq: Long, op: String, payload: String)
+  final case class CdcOut(id: Long, seq: Long, op: String, payload: String)
+
+  private def cdcGreater(a: CdcState, b: CdcState): Boolean =
+    a.seq > b.seq || (a.seq == b.seq &&
+      (a.op > b.op || (a.op == b.op && a.payload > b.payload)))
+
+  /** Streaming CDC APPLY — [[graft.ops.SnapshotOps.applyChangelog]]'s
+    * stream side: keyed latest-wins resolution over an unbounded
+    * changelog. State is ONE resolved head per LIVE key (the analytic
+    * bound for any CDC consumer — you cannot resolve latest-wins with
+    * less); a key emits only when its head CHANGES, so out-of-order
+    * lower-seq arrivals are absorbed silently and replays/duplicates
+    * are idempotent. The tie-break is the same lexicographic
+    * (seq, op, payload) order as the batch fold, so a suffix of the
+    * emitted stream compacted by max-seq equals the batch result —
+    * the parity StreamingSpec asserts.
+    */
+  def cdcApplyFlatMap(id: Long, rows: Iterator[ChangeRow],
+                      state: GroupState[CdcState]): Iterator[CdcOut] = {
+    val before = state.getOption
+    var best = before
+    rows.foreach { r =>
+      val cand = CdcState(r.seq, r.op, r.payload)
+      if (best.isEmpty || cdcGreater(cand, best.get)) best = Some(cand)
+    }
+    if (best != before) {
+      state.update(best.get)
+      val b = best.get
+      Iterator(CdcOut(id, b.seq, b.op, b.payload))
+    } else Iterator.empty
+  }
+
+  def cdcApplyStream(changes: org.apache.spark.sql.Dataset[ChangeRow])
+      : org.apache.spark.sql.Dataset[CdcOut] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        cdcApplyFlatMap)
+  }
+
   // ---- streaming NEAR-dup (MinHash/LSH band registry) ----
 
   final case class BandRow(docId: Long, ts: java.sql.Timestamp,

@@ -470,4 +470,63 @@ class StreamingSpec extends SparkSuite {
       }.toSet)
     } finally q.stop()
   }
+
+  test("streaming CDC apply: latest-wins heads, batch parity, idempotence") {
+    implicit val s = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingPipeline.{ChangeRow, CdcOut}
+
+    val input = MemoryStream[ChangeRow]
+    val q = StreamingPipeline.cdcApplyStream(input.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // batch 1: two keys
+      input.addData(ChangeRow(1L, 1L, "upsert", "a1"),
+        ChangeRow(2L, 1L, "upsert", "b1"))
+      q.processAllAvailable()
+      // batch 2: key 1 upgraded, key 2 deleted, key 3 born; an OUT-OF-
+      // ORDER lower-seq row for key 1 arrives too and must be absorbed
+      input.addData(ChangeRow(1L, 3L, "upsert", "a3"),
+        ChangeRow(1L, 2L, "upsert", "a2"),
+        ChangeRow(2L, 2L, "delete", "b1"),
+        ChangeRow(3L, 1L, "upsert", "c1"))
+      q.processAllAvailable()
+      // batch 3: pure replay of batch 2 — idempotent, emits NOTHING
+      input.addData(ChangeRow(1L, 3L, "upsert", "a3"),
+        ChangeRow(2L, 2L, "delete", "b1"))
+      q.processAllAvailable()
+
+      val emitted = spark.table("cdc_out").as[CdcOut].collect().toSeq
+      // heads = last emission per id
+      val heads = emitted.groupBy(_.id).map { case (k, v) =>
+        k -> v.maxBy(_.seq)
+      }
+      assert(heads(1L).payload == "a3" && heads(1L).op == "upsert")
+      assert(heads(2L).op == "delete")
+      assert(heads(3L).payload == "c1")
+      // key 1 emitted exactly twice (a1, a3) — the out-of-order a2 and
+      // the batch-3 replays were absorbed
+      assert(emitted.count(_.id == 1L) == 2)
+      assert(emitted.size == 5)
+
+      // BATCH PARITY: compacting the live heads like a consumer would
+      // equals SnapshotOps.applyChangelog on the same log over an
+      // empty base
+      val log = Seq(
+        (1L, 1L, "upsert", "a1"), (2L, 1L, "upsert", "b1"),
+        (1L, 3L, "upsert", "a3"), (1L, 2L, "upsert", "a2"),
+        (2L, 2L, "delete", "b1"), (3L, 1L, "upsert", "c1"))
+        .toDF("id", "seq", "op", "v")
+      val base = Seq.empty[(Long, String)].toDF("id", "v")
+      val batch = graft.ops.SnapshotOps
+        .applyChangelog(base, log, "id", "seq", "op")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val streamAlive = heads.collect {
+        case (k, v) if v.op == "upsert" => k -> v.payload
+      }
+      assert(streamAlive == batch)
+    } finally q.stop()
+  }
 }

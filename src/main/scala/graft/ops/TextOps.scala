@@ -43,10 +43,19 @@ object TextOps {
     * Callers project token arrays into their own columns first (the
     * [[shinglesOf]] contract).
     */
-  def rougeN(cand: Column, ref: Column, n: Int): Column = {
+  def rougeN(cand: Column, ref: Column, n: Int): Column =
+    rougeFromGrams(shinglesOf(cand, n), shinglesOf(ref, n))
+
+  /** [[rougeN]] over PRE-MATERIALIZED gram array columns. The clipped
+    * match references its inputs once per lambda element; passing a
+    * shinglesOf EXPRESSION here would re-evaluate the whole gram
+    * construction per reference inside the (interpreted) nested HOFs —
+    * measured 7 s vs sub-second per metric at sf0.1. Callers at scale
+    * project the gram arrays into their own columns behind a barrier
+    * first and pass plain references.
+    */
+  def rougeFromGrams(cg: Column, rg: Column): Column = {
     val r4 = (c: Column) => floor(c * 1e4 + lit(0.5)) / 1e4
-    val cg = shinglesOf(cand, n)
-    val rg = shinglesOf(ref, n)
     val m = coalesce(aggregate(array_distinct(cg), lit(0),
       (acc, g) => acc + least(size(filter(cg, x => x === g)),
         size(filter(rg, x => x === g)))), lit(0))

@@ -462,12 +462,23 @@ object CorpusQueries extends QueryPack {
     // clipped-multiset matches vary with each doc's repetition. The
     // oracle replays the gram construction, clipping, and 4dp ratios.
     "text_rouge_eval" -> ((s, dir) => {
+      // gram arrays are MATERIALIZED columns behind a barrier: the
+      // clipped-match HOFs reference their inputs once per lambda
+      // element, and an inlined shinglesOf expression would re-build
+      // the grams per reference inside the interpreted nested HOFs
+      // (the src_csv_sniff lesson; measured 34 s → ~1 s at sf0.1)
       val t = Tables.documents(s, dir)
         .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("l"))
         .select(col("doc_id"), slice(col("l"), 1, 12).as("cand"),
           slice(col("l"), 5, 16).as("ref"))
-      t.withColumn("r1", graft.ops.TextOps.rougeN(col("cand"), col("ref"), 1))
-        .withColumn("r2", graft.ops.TextOps.rougeN(col("cand"), col("ref"), 2))
+        .select(col("doc_id"),
+          graft.ops.TextOps.shinglesOf(col("cand"), 1).as("c1"),
+          graft.ops.TextOps.shinglesOf(col("ref"), 1).as("r1g"),
+          graft.ops.TextOps.shinglesOf(col("cand"), 2).as("c2"),
+          graft.ops.TextOps.shinglesOf(col("ref"), 2).as("r2g"))
+        .localCheckpoint(true)
+      t.withColumn("r1", graft.ops.TextOps.rougeFromGrams(col("c1"), col("r1g")))
+        .withColumn("r2", graft.ops.TextOps.rougeFromGrams(col("c2"), col("r2g")))
         .select(col("doc_id"),
           col("r1.n_match").as("r1_match"), col("r1.precision").as("r1_p"),
           col("r1.recall").as("r1_r"), col("r1.f1").as("r1_f"),

@@ -128,4 +128,33 @@ class SketchOpsSpec extends SparkSuite {
     assert(got.sortBy(t => (-t._2, t._1)) == exact)
     assert(got.forall(_._1 != null))
   }
+
+  test("kmv: exact below k, deterministic estimates near truth at k=64") {
+    import spark.implicits._
+    // 40 distinct ids < k: the sketch never fills, estimate is EXACT
+    val small = (0L until 40L).toDF("id")
+    val exact = SketchOps.kmvIntersect(small, small, "id", k = 64, salt = "kt:")
+      .collect()(0)
+    assert(exact.getAs[Long]("est_a") == 40L)
+    assert(exact.getAs[Long]("est_union") == 40L)
+    assert(exact.getAs[Long]("est_intersect") == 40L)
+
+    // identical 500-distinct sets: union sketch == per-set sketch, every
+    // union value matches both, so est_intersect == est_union == est_a
+    val big = (0L until 500L).toDF("id")
+    val same = SketchOps.kmvIntersect(big, big, "id", k = 64, salt = "kt:")
+      .collect()(0)
+    assert(same.getAs[Long]("est_a") == same.getAs[Long]("est_union"))
+    assert(same.getAs[Long]("est_intersect") == same.getAs[Long]("est_union"))
+    // deterministic md5 hashes: the estimate sits near truth (not a
+    // flaky tolerance - the value is pinned by the hash function)
+    val est = same.getAs[Long]("est_a")
+    assert(est > 350 && est < 700, s"est_a $est implausible for 500 distinct")
+
+    // disjoint sets: zero matches => intersect estimate 0
+    val b = (1000L until 1500L).toDF("id")
+    val disj = SketchOps.kmvIntersect(big, b, "id", k = 64, salt = "kt:")
+      .collect()(0)
+    assert(disj.getAs[Long]("est_intersect") == 0L)
+  }
 }

@@ -72,6 +72,10 @@ class PdfTextSpec extends AnyFunSuite {
     }
   }
 
+  test("LZWDecode + PNG predictor: the filter applies BEFORE unpredict") {
+    assert(extract(fixture("lzw_pred")) == "predictor text through LZW")
+  }
+
   test("LZWDecode refusals: corrupt code stream, truncation before EOD") {
     val good = fixture("lzw")
     // flip a byte mid-stream: an out-of-table code must refuse, never

@@ -307,3 +307,32 @@ for name, early in (("lzw", 1), ("lzw_early0", 0)):
     print("%s.pdf -> len=%d md5=%s head=%r comp=%d" %
           (name, len(text), hashlib.md5(text.encode()).hexdigest(),
            text[:30], len(comp)))
+
+
+# 8. /LZWDecode + /DecodeParms << /Predictor 12 >> — the filter+predictor
+# COMBINATION (tag-2 "Up" rows, 16 columns), certifying that the decoder
+# applies the predictor AFTER the LZW stage.
+def png_up_prefilter(data, cols):
+    pad = (-len(data)) % cols
+    data = data + b" " * pad
+    out = bytearray()
+    prev = bytes(cols)
+    for r in range(0, len(data), cols):
+        row = data[r:r + cols]
+        out.append(2)  # PNG Up
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = row
+    return bytes(out)
+
+
+p = Pdf()
+page_objs(p)
+content = b"BT (predictor text through LZW) Tj ET"
+filtered = png_up_prefilter(content, 16)
+comp = lzw_encode(filtered)
+p.obj(4, b"<< /Length %d /Filter /LZWDecode "
+         b"/DecodeParms << /Predictor 12 /Columns 16 >> >>" % len(comp),
+      stream=comp)
+p.finish()
+open(os.path.join(OUT, "lzw_pred.pdf"), "wb").write(p.buf)
+print("lzw_pred.pdf ->", repr("predictor text through LZW"))

@@ -170,6 +170,30 @@ object TextQualityOps {
       array_join(col("__kept"), " ").as("text_kept"))
   }
 
+  /** C4's page-level BLOCKLIST filter (Raffel et al. 2020 §2.2 — the
+    * "bad words" gate applied alongside the line rules): a page
+    * containing ANY blocklisted token drops. Token-level membership
+    * (not substring — "scunthorpe" must survive a "thorpe"-free list),
+    * list broadcast as a literal array, `arrays_overlap` + a filter
+    * count, all codegen'd scan-side. The embedded default list is a
+    * small spam/adult-lite REPRESENTATIVE set; a production deployment
+    * swaps in the full public blocklist — the mechanism, not the
+    * lexicon, is what the engine certifies.
+    */
+  def blocklistFilter(df: DataFrame, docId: String, textCol: String,
+                      words: Seq[String] = DefaultBlocklist): DataFrame = {
+    val lst = typedlit(words)
+    val t = TextOps.tokens(col(textCol))
+    df.select(col(docId), t.as("__t"))
+      .select(col(docId),
+        size(filter(col("__t"), x => array_contains(lst, x)))
+          .cast("long").as("n_blocked"),
+        (!arrays_overlap(col("__t"), lst)).as("keep_blocklist"))
+  }
+
+  val DefaultBlocklist: Seq[String] =
+    Seq("casino", "viagra", "xxx", "porn", "gambling", "escort")
+
   /** Language-model quality scoring, the CCNet/perplexity-filter family
     * (Wenzek et al. 2020): score each document by the mean add-one-
     * smoothed unigram log-probability of its tokens under the corpus's

@@ -180,6 +180,21 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // C4 blocklist gate: every 9th doc gets a planted blocked bigram,
+    // every 27th TWO occurrences — the oracle states counts and
+    // verdicts as closed forms, so a false positive on the clean 8/9
+    // of the corpus (or a missed plant) breaks the hash.
+    "text_badwords_filter" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 27 === 0,
+        concat(col("text"), lit(" casino bonus casino")))
+        .when(col("doc_id") % 9 === 0, concat(col("text"), lit(" viagra deal")))
+        .otherwise(col("text"))
+      TextQualityOps.blocklistFilter(
+          Tables.documents(s, dir).withColumn("text2", planted),
+          "doc_id", "text2")
+        .orderBy(col("doc_id"))
+    }),
+
     // MIN-K% PROB membership signal (Shi et al. 2023): mean of the
     // lowest 20% per-position trigram log-probs, milli-quantized before
     // ranking, bottom-k selection tie-broken on position, integer-exact
@@ -1317,6 +1332,14 @@ object CorpusQueries extends QueryPack {
         |  CAST(CASE WHEN m = 2 THEN k ELSE 0 END AS INTEGER) AS n_invalid,
         |  CAST(CASE WHEN m = 3 THEN k ELSE 0 END AS INTEGER) AS n_replacement
         |FROM d ORDER BY doc_id""".stripMargin,
+    // closed-form plant counts; the clean majority must count zero
+    "text_badwords_filter" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 27 = 0 THEN 2
+        |       WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_blocked,
+        |  (doc_id % 9 <> 0) AS keep_blocklist
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // gram construction + clipped-multiset matching + 4dp ratio replay
     "text_rouge_eval" -> {
       def g2(a: String) =

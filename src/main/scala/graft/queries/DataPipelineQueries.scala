@@ -150,6 +150,31 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Canonical selection by QUALITY, not arrival: per near-dup
+    // cluster keep the LONGEST member (the RefinedWeb-style choice —
+    // keep-first discards the best copy whenever the boilerplate-free
+    // rendition has a higher id). Deterministic integer argmax
+    // (n_chars desc, doc_id asc) via a struct-min aggregate — no
+    // per-cluster window; singletons canonicalize to themselves.
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = DedupOps.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, bands = 4)
+      val comp = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+      docs.select(col("doc_id"), col("n_chars"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          min(struct((col("n_chars") * -1).as("negc"), col("doc_id")))
+            .as("__best"),
+          max(col("n_chars")).as("max_chars"))
+        .select(col("component"), col("__best.doc_id").as("kept_doc"),
+          col("n_members"), col("max_chars"))
+        .orderBy(col("component"))
+    }),
+
     // Near-dup CLUSTER SIZE DISTRIBUTION — the dedup QA histogram
     // (how much of the corpus sits in 2-clusters vs one giant
     // boilerplate blob decides which dedup strategy to tune): minhash
@@ -1756,6 +1781,24 @@ object DataPipelineQueries extends QueryPack {
          |$ccUnrollSql
          |SELECT id AS doc_id, lbl AS component FROM l$CC_ROUNDS
          |ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH $shingleSql,
+         |$minhashSigSql,
+         |$minhashCandSql,
+         |$ccUnrollSql,
+         |kbw AS (SELECT d.doc_id, d.n_chars,
+         |    coalesce(x.lbl, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN l$CC_ROUNDS x ON x.id = d.doc_id),
+         |kbb AS (SELECT component, doc_id AS kept_doc FROM (
+         |    SELECT component, doc_id, row_number() OVER (
+         |      PARTITION BY component ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |    FROM kbw) q WHERE rn = 1)
+         |SELECT w.component, kbb.kept_doc,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(max(w.n_chars) AS BIGINT) AS max_chars
+         |FROM kbw w JOIN kbb USING (component)
+         |GROUP BY w.component, kbb.kept_doc
+         |ORDER BY w.component""".stripMargin,
     "dedup_cluster_stats" ->
       s"""WITH $shingleSql,
          |$minhashSigSql,

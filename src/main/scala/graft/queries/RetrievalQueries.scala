@@ -84,6 +84,41 @@ object RetrievalQueries extends QueryPack {
         .limit(10)
     }),
 
+    // HARD-NEGATIVE MINING (the DPR/contrastive-training recipe): the
+    // top BM25-ranked documents NOT in the labeled-relevant set are the
+    // negatives a retriever trains hardest against. Labels are the
+    // doc_id%50 closed form; margin = negative's score minus the best
+    // labeled positive's score (a positive margin = this negative
+    // outranks every true positive — the confusing kind). Same bounded
+    // TakeOrdered shape as text_bm25; the rank window runs over the
+    // post-limit 10 rows.
+    "retrieval_hard_negatives" -> ((s, dir) => {
+      val (tf, dl) = termFreq(s, dir)
+      val nDf = Tables.documents(s, dir).agg(count(lit(1)).as("__n"))
+      val avgdlDf = dl.agg(avg(col("dl")).as("__avgdl"))
+      val qtf = tf.filter(col("token").isin(QUERY_TERMS: _*))
+      val df = qtf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val idf = log(lit(1.0) + (col("__n").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+      val denom = col("tf") + lit(BM25_K1) *
+        (lit(1 - BM25_B) + lit(BM25_B) * col("dl") / col("__avgdl"))
+      val scored = qtf.join(broadcast(df), "token").join(dl, "doc_id")
+        .crossJoin(broadcast(nDf)).crossJoin(broadcast(avgdlDf))
+        .withColumn("__s", idf * (col("tf") * lit(BM25_K1 + 1)) / denom)
+        .groupBy(col("doc_id")).agg(r4(sum(col("__s"))).as("bm25"))
+      val posBest = scored.filter(col("doc_id") % 50 === 0)
+        .agg(coalesce(max(col("bm25")), lit(0.0)).as("__pos_best"))
+      val negs = scored.filter(col("doc_id") % 50 =!= 0)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+        .crossJoin(broadcast(posBest))
+      val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+      negs.withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("margin",
+          floor((col("bm25") - col("__pos_best")) * 1e4 + lit(0.5)) / 1e4)
+        .select(col("rank"), col("doc_id"), col("bm25"), col("margin"))
+        .orderBy(col("rank"))
+    }),
+
     // HYBRID retrieval via Reciprocal-Rank Fusion (Cormack et al. 2009,
     // the standard hybrid-search combiner): the certified BM25 text
     // ranking and an exact-cosine vector ranking against the vec_id-0
@@ -228,6 +263,31 @@ object RetrievalQueries extends QueryPack {
          |  CAST(count(*) AS BIGINT) AS terms_hit
          |FROM scored GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "retrieval_hard_negatives" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+         |       WHERE token IN ('data', 'model', 'the') GROUP BY 1, 2),
+         |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, floor(sum(
+         |    ln(1.0 + (CAST(n.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+         |      * (tf.tf * ${BM25_K1 + 1})
+         |      / (tf.tf + $BM25_K1 * ((1 - $BM25_B) + $BM25_B
+         |           * dl.dl / avgdl.avgdl))) * 1e4 + 0.5) / 1e4 AS bm25
+         |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+         |  CROSS JOIN n CROSS JOIN avgdl GROUP BY tf.doc_id),
+         |pb AS (SELECT coalesce(max(bm25), 0.0) AS pos_best FROM sc
+         |  WHERE doc_id % 50 = 0),
+         |neg AS (SELECT doc_id, bm25 FROM sc WHERE doc_id % 50 <> 0
+         |  ORDER BY bm25 DESC, doc_id ASC LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+         |    AS BIGINT) AS rank,
+         |  doc_id, bm25,
+         |  floor((bm25 - pb.pos_best) * 1e4 + 0.5) / 1e4 AS margin
+         |FROM neg, pb ORDER BY rank""".stripMargin,
     "retrieval_rrf_fusion" ->
       s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
          |n AS (SELECT count(*) AS n FROM documents),

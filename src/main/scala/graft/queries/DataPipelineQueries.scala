@@ -175,6 +175,37 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("component"))
     }),
 
+    // CONTRASTIVE TRAINING PAIRS from the dedup graph — the "free"
+    // embedder-training signal every curation pipeline sits on:
+    // positives = (member, canonical) edges of each near-dup cluster
+    // (semantically-same pairs found by MinHash, label 1), negatives =
+    // a hash-derived partner per anchor, kept only when it falls in a
+    // DIFFERENT cluster (label 0). Pair volume is bounded by the
+    // capped dedup graph; the negative check is one broadcast-sized
+    // join against the component table.
+    "dedup_training_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val pairs = DedupOps.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, bands = 4)
+      val comp = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .localCheckpoint(true)
+      val pos = comp.filter(col("doc_id") =!= col("component"))
+        .select(col("doc_id").as("anchor"), col("component").as("other"),
+          lit(1L).as("label"))
+      val negCand = comp.select(col("doc_id").as("anchor"),
+        pmod(col("doc_id") * 31 + 7, lit(n)).as("other"),
+        col("component").as("__ca"))
+      val neg = negCand
+        .join(comp.select(col("doc_id").as("other"),
+          col("component").as("__cb")), Seq("other"), "left")
+        .filter(col("__cb").isNull || col("__cb") =!= col("__ca"))
+        .filter(col("anchor") =!= col("other"))
+        .select(col("anchor"), col("other"), lit(0L).as("label"))
+      pos.unionByName(neg).orderBy(col("anchor"), col("other"), col("label"))
+    }),
+
     // Near-dup CLUSTER SIZE DISTRIBUTION — the dedup QA histogram
     // (how much of the corpus sits in 2-clusters vs one giant
     // boilerplate blob decides which dedup strategy to tune): minhash
@@ -1781,6 +1812,24 @@ object DataPipelineQueries extends QueryPack {
          |$ccUnrollSql
          |SELECT id AS doc_id, lbl AS component FROM l$CC_ROUNDS
          |ORDER BY doc_id""".stripMargin,
+    "dedup_training_pairs" ->
+      s"""WITH $shingleSql,
+         |$minhashSigSql,
+         |$minhashCandSql,
+         |$ccUnrollSql,
+         |tpn AS (SELECT count(*) AS n FROM documents),
+         |tpc AS (SELECT id AS doc_id, lbl AS component FROM l$CC_ROUNDS),
+         |tpp AS (SELECT doc_id AS anchor, component AS other, 1 AS label
+         |  FROM tpc WHERE doc_id <> component),
+         |tpnc AS (SELECT c.doc_id AS anchor, (c.doc_id*31+7) % n.n AS other,
+         |    c.component AS ca FROM tpc c, tpn n),
+         |tpneg AS (SELECT nc.anchor, nc.other, 0 AS label
+         |  FROM tpnc nc LEFT JOIN tpc cb ON cb.doc_id = nc.other
+         |  WHERE (cb.component IS NULL OR cb.component <> nc.ca)
+         |    AND nc.anchor <> nc.other)
+         |SELECT anchor, other, CAST(label AS BIGINT) AS label
+         |FROM (SELECT * FROM tpp UNION ALL SELECT * FROM tpneg) u
+         |ORDER BY anchor, other, label""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH $shingleSql,
          |$minhashSigSql,

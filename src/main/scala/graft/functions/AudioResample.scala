@@ -66,8 +66,9 @@ object AudioResample {
       val i = dataAt + 2 * idx
       (b(i + 1) << 8) | (b(i) & 0xff)
     }
-    val nOut = ((n - 1).toLong * dstRate / srcRate + 1).toInt
-    if (nOut <= 0 || nOut > MaxOutSamples) return null
+    val nOutL = (n - 1).toLong * dstRate / srcRate + 1
+    if (nOutL <= 0 || nOutL > MaxOutSamples) return null
+    val nOut = nOutL.toInt
     val data = new Array[Byte](2 * nOut)
     var j = 0
     while (j < nOut) {

@@ -94,6 +94,7 @@ object Punycode {
       }
       val np = out.size + 1
       bias = adapt(i - oldi, np, oldi == 0)
+      if (i / np > 0x10ffff - n) return null // RFC 3492 §6.2 overflow
       n += i / np
       if (n > 0x10ffff || (n >= 0xd800 && n <= 0xdfff)) return null
       i %= np

@@ -62,7 +62,12 @@ object SnapshotOps {
       col(idCol) +: col(s"__last.$opCol").as("__op") +:
         payload.map(c => col(s"__last.$c").as(c)): _*)
     val untouched = base.join(packed.select(col(idCol)), Seq(idCol), "left_anti")
-    val upserts = latest.filter(col("__op") === "upsert").drop("__op")
+    // refuse loudly on an op outside the domain — an unknown op must not
+    // silently tombstone the id like 'delete' would
+    val checkedOp = when(col("__op").isin("upsert", "delete"), col("__op"))
+      .otherwise(raise_error(concat(
+        lit("applyChangelog: unknown op '"), col("__op"), lit("'"))))
+    val upserts = latest.filter(checkedOp === "upsert").drop("__op")
     untouched.unionByName(upserts.select(base.columns.toSeq.map(col): _*))
   }
 }

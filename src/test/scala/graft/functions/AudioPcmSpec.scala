@@ -17,7 +17,7 @@ class AudioPcmSpec extends SparkSuite {
     */
   private def wav(samples: Seq[Int], tag: Int = 1, channels: Int = 1,
                   bits: Int = 16, junk: Int = 0,
-                  truncateData: Int = 0): Array[Byte] = {
+                  truncateData: Int = 0, rate: Int = 16000): Array[Byte] = {
     val bps = if (bits == 8) 1 else if (bits == 24) 3 else 2
     val data = ByteBuffer.allocate(samples.size * bps)
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -36,7 +36,7 @@ class AudioPcmSpec extends SparkSuite {
     }
     body.put("fmt ".getBytes).putInt(16)
       .putShort(tag.toShort).putShort(channels.toShort)
-      .putInt(16000).putInt(16000 * channels * bits / 8)
+      .putInt(rate).putInt(rate * channels * bits / 8)
       .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
     body.put("data".getBytes).putInt(dataBytes.length).put(dataBytes)
     val n = body.position()
@@ -272,5 +272,10 @@ class AudioPcmSpec extends SparkSuite {
     // junk chunk still walks; resample then stats round-trips
     val j = AudioResample.resample(wav(Seq(5, -5, 5), junk = 4), 16000)
     assert(stats(j).get._1 == 3)
+    // Int-wrap regression: srcRate=1 (attacker-controlled fmt chunk) with
+    // (n−1)·dst = 2³²+100 — the true count (2³²+101) must refuse on the
+    // Long, not wrap to 101 and emit a short garbage WAV
+    assert(AudioResample.resample(wav(Seq(1, 2, 3, 4, 5), rate = 1),
+      1073741849) == null)
   }
 }

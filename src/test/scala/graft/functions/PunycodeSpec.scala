@@ -50,6 +50,11 @@ class PunycodeSpec extends SparkSuite {
     // integer never terminates and the reader runs off the end
     assert(Punycode.decodeLabel("999999999") == null)
     assert(Punycode.decodeLabel("café-dma") == null) // basic must be ASCII
+    // RFC 3492 §6.2 n-overflow: with no basic code points (np=1) a digit
+    // sequence can drive i near Int.MaxValue; n += i/np must refuse, not
+    // wrap negative and crash appendCodePoint
+    assert(Punycode.decodeLabel("b116146o") == null)
+    assert(Punycode.decodeHost("xn--b116146o.com") == null)
   }
 
   test("expression: codegen path + null propagation") {

@@ -33,4 +33,14 @@ class SnapshotOpsSpec extends SparkSuite {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(out == Seq((2L, "b2"), (3L, "c"), (9L, "new")))
   }
+
+  test("unknown op fails loudly instead of silently tombstoning the id") {
+    val base = Seq((1L, "a")).toDF(baseCols: _*)
+    val log = Seq((1L, 1L, "Upsert", "a2")).toDF("id", "seq", "op", "v")
+    val e = intercept[Exception] {
+      SnapshotOps.applyChangelog(base, log, "id", "seq", "op").collect()
+    }
+    assert(e.getMessage.contains("unknown op") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown op")))
+  }
 }

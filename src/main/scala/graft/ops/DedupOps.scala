@@ -326,6 +326,20 @@ object DedupOps {
                     minRunTokens: Int = 16): DataFrame = {
     require(minRunTokens >= shingleN,
       s"minRunTokens ($minRunTokens) below shingleN ($shingleN) is unmeasurable")
+    runIslands(df, idCol, textCol, shingleN, maxDf)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("run_tokens")).cast("long").as("max_run_tokens"))
+      .filter(col("max_run_tokens") >= minRunTokens)
+  }
+
+  /** Verbatim-run ISLANDS per (pair, diagonal): one row per maximal run
+    * of consecutive matching shingle positions, with the run's start in
+    * both documents. Shared by [[substringRuns]] (pair-level max) and
+    * [[removeSubstringRuns]] (span cut). Columns: id_a < id_b, diag,
+    * `__amin` (run start in a, 0-based token pos), `run_tokens`.
+    */
+  private def runIslands(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int, maxDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val positioned = df
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
@@ -349,14 +363,63 @@ object DedupOps {
       .distinct() // a shingle repeated in one doc can duplicate a (pos_a, diag) cell
     val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
       .orderBy(col("pos_a"))
-    val runs = matches
+    matches
       .withColumn("__grp", col("pos_a") - row_number().over(w))
       .groupBy(col("id_a"), col("id_b"), col("diag"), col("__grp"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(min(col("pos_a")).as("__amin"), count(lit(1)).as("__c"))
       .withColumn("run_tokens", col("__c") + lit(shingleN - 1))
-    runs.groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("run_tokens")).cast("long").as("max_run_tokens"))
-      .filter(col("max_run_tokens") >= minRunTokens)
+      .drop("__c", "__grp")
+  }
+
+  /** ExactSubstr span REMOVAL (Lee et al. 2022 §4: all but one copy of
+    * every duplicated ≥k-token span is CUT from the corpus, keeping the
+    * rest of each document — doc-level and line-level dedup both miss a
+    * boilerplate passage inside an otherwise-unique page). Keep-first
+    * like [[lineDedup]]: for every verbatim run of at least
+    * `minRunTokens` tokens shared by a pair, the LATER document
+    * (id_b side, so the min-id copy always survives intact) loses the
+    * run's token span; a document is then reassembled from its
+    * surviving tokens in order.
+    *
+    * Overlapping spans need no interval-merge pass: each qualifying run
+    * explodes to its covered token POSITIONS and a map-side-partial
+    * `distinct` forms the union — the df-cap (`maxDf`) already bounds
+    * how many earlier docs can stamp the same span, and position rows
+    * are bounded by corpus tokens.
+    *
+    * Scale shape on top of [[runIslands]]' one shingle equi-join: one
+    * distinct keyed by (doc, pos), one anti-join at the same grain, one
+    * per-doc reassembly agg — no global sort, no corpus-sized window.
+    *
+    * Output: every input document as (idCol, n_tokens, n_removed,
+    * text_kept) — `text_kept` empty when every token was cut.
+    */
+  def removeSubstringRuns(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 8, maxDf: Int = 1000,
+                          minRunTokens: Int = 16): DataFrame = {
+    require(minRunTokens >= shingleN,
+      s"minRunTokens ($minRunTokens) below shingleN ($shingleN) is unmeasurable")
+    val removed = runIslands(df, idCol, textCol, shingleN, maxDf)
+      .filter(col("run_tokens") >= minRunTokens)
+      .select(col("id_b").as(idCol),
+        explode(sequence(col("__amin") - col("diag"),
+          col("__amin") - col("diag") + col("run_tokens") - 1)).as("__pos"))
+      .distinct()
+    val tokRows = df.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val kept = tokRows.join(removed, Seq(idCol, "__pos"), "left_anti")
+    val survived = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("text_kept"))
+    df.select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(survived, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .cast("long").as("n_removed"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
   /** Connected components over near-dup PAIRS — the step that turns

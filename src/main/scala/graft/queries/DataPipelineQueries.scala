@@ -68,6 +68,18 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ExactSubstr span REMOVAL (the action behind the signal above, per
+    // the published recipe: all but one copy of every duplicated ≥10-token
+    // span is CUT from the later document and the text reassembled from
+    // surviving tokens — the fix doc-level keep/drop and line-level dedup
+    // both miss when a boilerplate passage sits inside an otherwise-unique
+    // page). Keep-first: the min-id copy always survives intact.
+    "dedup_exactsubstr_remove" -> ((s, dir) => {
+      DedupOps.removeSubstringRuns(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 8, maxDf = MAX_DF, minRunTokens = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // Word-3-gram Jaccard for every pair sharing a shingle (shingle-keyed
     // self-join — never a cross join), with shingles appearing in more than
     // MAX_DF documents dropped before the join so no block is quadratic.
@@ -1805,6 +1817,40 @@ object DataPipelineQueries extends QueryPack {
          |SELECT id_a, id_b, CAST(max(run) AS BIGINT) AS max_run_tokens
          |FROM c GROUP BY id_a, id_b HAVING max(run) >= 10
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_exactsubstr_remove" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS ws FROM documents),
+         |psh AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS s
+         |  FROM tok, (SELECT unnest(generate_series(1,
+         |    (SELECT max(len(ws)) FROM tok))) AS i) g
+         |  WHERE i + 7 <= len(ws)),
+         |rare AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df
+         |  FROM psh GROUP BY s) WHERE df <= $MAX_DF),
+         |m AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.pos AS pos_a, a.pos - b.pos AS diag
+         |  FROM psh a JOIN rare USING (s) JOIN psh b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id),
+         |r AS (SELECT id_a, id_b, diag, pos_a,
+         |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag
+         |      ORDER BY pos_a) AS grp
+         |  FROM m),
+         |c AS (SELECT id_b, min(pos_a) - diag AS s0, count(*) + 7 AS run
+         |  FROM r GROUP BY id_a, id_b, diag, grp HAVING count(*) + 7 >= 10),
+         |rem AS (SELECT DISTINCT id_b AS doc_id, pos FROM (
+         |  SELECT id_b, unnest(generate_series(s0, s0 + run - 1)) AS pos
+         |  FROM c)),
+         |tokp AS (SELECT doc_id, unnest(ws) AS tk,
+         |  generate_subscripts(ws, 1) AS pos FROM tok),
+         |keep AS (SELECT t.doc_id, t.pos, t.tk FROM tokp t
+         |  WHERE NOT EXISTS (SELECT 1 FROM rem
+         |    WHERE rem.doc_id = t.doc_id AND rem.pos = t.pos)),
+         |surv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(tk, ' ' ORDER BY pos) AS text_kept
+         |  FROM keep GROUP BY doc_id)
+         |SELECT k.doc_id, CAST(len(k.ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(k.ws) - coalesce(s.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(s.text_kept, '') AS text_kept
+         |FROM tok k LEFT JOIN surv s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_components" ->
       s"""WITH $shingleSql,
          |$minhashSigSql,

@@ -40,6 +40,64 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got == Map((1L, 2L) -> 6L), s"got $got")
   }
 
+  test("removeSubstringRuns cuts the duplicated span from the later doc") {
+    import spark.implicits._
+    val w = (1 to 12).map(i => s"w$i")
+    val docs = Seq(
+      (1L, w.mkString(" ")),                                  // w1..w12, intact
+      (2L, "x1 x2 " + w.slice(2, 10).mkString(" ") + " x3"),  // shares w3..w10 = 8
+      (3L, "z1 z2 z3 z4 z5 z6 z7")                            // nothing shared
+    ).toDF("doc_id", "text")
+    val got = DedupOps
+      .removeSubstringRuns(docs, "doc_id", "text", shingleN = 4, maxDf = 100,
+        minRunTokens = 6)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 1 (earlier) keeps everything; doc 2 loses exactly w3..w10 and
+    // reassembles around the cut; doc 3 untouched
+    assert(got(1L) == ((12L, 0L, w.mkString(" "))), s"got ${got(1L)}")
+    assert(got(2L) == ((11L, 8L, "x1 x2 x3")), s"got ${got(2L)}")
+    assert(got(3L) == ((7L, 0L, "z1 z2 z3 z4 z5 z6 z7")))
+  }
+
+  test("removeSubstringRuns unions overlapping spans from different pairs") {
+    import spark.implicits._
+    val w = (1 to 14).map(i => s"u$i")
+    // doc 3 copies u1..u8 from doc 1 and u5..u12 from doc 2: the union
+    // u1..u12 must be cut once, leaving only the two tail tokens
+    val docs = Seq(
+      (1L, w.slice(0, 8).mkString(" ") + " a1 a2 a3"),
+      (2L, "b1 b2 b3 " + w.slice(4, 12).mkString(" ")),
+      (3L, w.slice(0, 12).mkString(" ") + " t1 t2")
+    ).toDF("doc_id", "text")
+    val got = DedupOps
+      .removeSubstringRuns(docs, "doc_id", "text", shingleN = 4, maxDf = 100,
+        minRunTokens = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got(1L)._2 == 0L && got(2L)._3.startsWith("b1 b2 b3"),
+      s"earlier docs keep their text: $got")
+    // doc 2 shares u5..u8 with doc 1 (4 tokens < minRunTokens) → intact
+    assert(got(2L) == ((11L, 0L, "b1 b2 b3 " + w.slice(4, 12).mkString(" "))))
+    assert(got(3L) == ((14L, 12L, "t1 t2")), s"got ${got(3L)}")
+  }
+
+  test("removeSubstringRuns empties a full duplicate and keeps every doc") {
+    import spark.implicits._
+    val t = (1 to 10).map(i => s"q$i").mkString(" ")
+    val docs = Seq((5L, t), (9L, t)).toDF("doc_id", "text")
+    val got = DedupOps
+      .removeSubstringRuns(docs, "doc_id", "text", shingleN = 4, maxDf = 100,
+        minRunTokens = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got(5L) == ((10L, 0L, t)))
+    assert(got(9L) == ((10L, 10L, "")), "later full duplicate empties")
+  }
+
   test("canonicalizeUrl folds scheme/host case, ports, www, params, slash, fragment") {
     import spark.implicits._
     val cases = Seq(

@@ -79,6 +79,18 @@ class PlanAuditSpec extends SparkSuite {
         s"island window lost its (pair, diag) partitioning: $l"))
   }
 
+  test("exactsubstr removal: (pair, diag) windows only, no cartesian") {
+    val p = planOf("dedup_exactsubstr_remove")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "span removal plans an all-pairs join")
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winSpecs.nonEmpty, "expected the island-trick window")
+    winSpecs.foreach(l =>
+      assert(l.contains("id_a") && l.contains("diag"),
+        s"island window lost its (pair, diag) partitioning: $l"))
+  }
+
   test("png round-trip keeps blobs inside one projection — no binary shuffle") {
     val df = SparkEntry.queries("mm_image_png")(spark, sf("sf0.001"))
     val p = df.queryExecution.executedPlan.toString

@@ -80,6 +80,14 @@ object ZipDocx {
       "docx_text", exprs => DocxTextExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "docx_doc", exprs => DocxDocExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "xlsx_text", exprs => XlsxTextExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "xlsx_doc", exprs => XlsxDocExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pptx_text", exprs => PptxTextExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pptx_doc", exprs => PptxDocExpr(exprs.head), "built-in")
   }
 
   private object Corrupt extends RuntimeException {
@@ -319,6 +327,309 @@ object ZipDocx {
     } catch { case Corrupt => null }
   }
 
+  // ---- SpreadsheetML (xlsx) ------------------------------------------
+
+  /** Tag name at `[lt, gt)`, closing tags prefixed "/" (namespace
+    * prefixes kept: "w:t", "a:p", …). */
+  @inline private def tagName(xml: String, lt: Int, gt: Int): String = {
+    var j = lt + 1
+    val closing = j < gt && xml.charAt(j) == '/'
+    if (closing) j += 1
+    var k = j
+    while (k < gt && !Character.isWhitespace(xml.charAt(k)) &&
+      xml.charAt(k) != '/') k += 1
+    if (closing) "/" + xml.substring(j, k) else xml.substring(j, k)
+  }
+
+  /** `name="value"` attribute inside one tag's `[lt, gt)` span, or
+    * null when absent. */
+  @inline private def attrIn(xml: String, lt: Int, gt: Int,
+                             name: String): String = {
+    val pat = " " + name + "=\""
+    val p = xml.indexOf(pat, lt)
+    if (p < 0 || p >= gt) null
+    else {
+      val vs = p + pat.length
+      val ve = xml.indexOf('"', vs)
+      if (ve < 0 || ve > gt) fail()
+      xml.substring(vs, ve)
+    }
+  }
+
+  /** Digits-only int (shared-string index, row number); refuses
+    * non-digits, emptiness, and > 7 digits. */
+  private def parseDigits(s: String): Int = {
+    if (s.isEmpty || s.length > 7) fail()
+    var i = 0; var v = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') fail()
+      v = v * 10 + (c - '0')
+      i += 1
+    }
+    v
+  }
+
+  /** A1-style column letters → 0-based column index (A=0 … XFD=16383,
+    * the SpreadsheetML cap). */
+  private def colIndex(ref: String): Int = {
+    var i = 0; var c = 0
+    while (i < ref.length && ref.charAt(i) >= 'A' && ref.charAt(i) <= 'Z') {
+      c = c * 26 + (ref.charAt(i) - 'A' + 1)
+      if (c > 16384) fail()
+      i += 1
+    }
+    if (i == 0) fail()
+    c - 1
+  }
+
+  /** xl/sharedStrings.xml → si texts; rich runs (`<r><t>…`)
+    * concatenated, phonetic `<rPh>` runs excluded per the spec. */
+  private def parseSharedStrings(xml: String): Array[String] = {
+    if (!xml.contains("<sst")) fail()
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = xml.length
+    var inSi = false
+    while (i < n) {
+      val lt = xml.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (xml.startsWith("<!--", lt)) {
+        val e = xml.indexOf("-->", lt + 4); if (e < 0) fail(); i = e + 3
+      } else if (xml.startsWith("<?", lt)) {
+        val e = xml.indexOf("?>", lt + 2); if (e < 0) fail(); i = e + 2
+      } else if (lt + 1 < n && xml.charAt(lt + 1) == '!') {
+        fail() // no CDATA/doctype in the subset
+      } else {
+        val gt = xml.indexOf('>', lt)
+        if (gt < 0) fail()
+        val selfClosed = xml.charAt(gt - 1) == '/'
+        tagName(xml, lt, gt) match {
+          case "si" => inSi = true; sb.setLength(0)
+          case "/si" =>
+            if (!inSi) fail()
+            out += sb.toString; inSi = false
+          case "t" =>
+            if (!selfClosed) {
+              val close = xml.indexOf("</t>", gt + 1)
+              if (close < 0) fail()
+              if (inSi) decodeEntities(xml, gt + 1, close, sb)
+              i = close + 4
+            }
+          case "rPh" =>
+            if (!selfClosed) {
+              val e = xml.indexOf("</rPh>", gt + 1)
+              if (e < 0) fail(); i = e + 6
+            }
+          case _ => ()
+        }
+        if (i <= gt) i = gt + 1
+        if (sb.length > MaxMemberBytes || out.length > MaxEntries) fail()
+      }
+    }
+    out.toArray
+  }
+
+  /** One worksheet's cells appended to `sb` as TSV: cells joined by
+    * tab, rows by newline, the `r=` references driving PADDING for
+    * skipped rows/cells (Excel omits empties). Cell kinds: `t="s"`
+    * shared-string ref, `t="inlineStr"` `<is><t>` runs, `<v>` text
+    * verbatim (numbers, booleans, formula results); `<f>` formula
+    * bodies skipped. */
+  private def sheetText(xml: String, shared: Array[String],
+                        sb: java.lang.StringBuilder): Unit = {
+    if (!xml.contains("<worksheet")) fail()
+    var i = 0
+    val n = xml.length
+    var nl = 0       // newline separators emitted
+    var tabs = 0     // tab separators emitted in the current row
+    var nextRow = 1  // next default 1-based row
+    var nextCol = 0  // next default 0-based column
+    var rowOpen = false
+    var cellType: String = null
+    var inIs = false
+    while (i < n) {
+      val lt = xml.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (xml.startsWith("<!--", lt)) {
+        val e = xml.indexOf("-->", lt + 4); if (e < 0) fail(); i = e + 3
+      } else if (xml.startsWith("<?", lt)) {
+        val e = xml.indexOf("?>", lt + 2); if (e < 0) fail(); i = e + 2
+      } else if (lt + 1 < n && xml.charAt(lt + 1) == '!') {
+        fail()
+      } else {
+        val gt = xml.indexOf('>', lt)
+        if (gt < 0) fail()
+        val selfClosed = xml.charAt(gt - 1) == '/'
+        tagName(xml, lt, gt) match {
+          case "row" =>
+            val rAttr = attrIn(xml, lt, gt, "r")
+            val r = if (rAttr == null) nextRow else parseDigits(rAttr)
+            if (r < nextRow || r > 1048576) fail() // monotone, spec cap
+            while (nl < r - 1) {
+              sb.append('\n'); nl += 1
+              if (sb.length > MaxMemberBytes) fail()
+            }
+            nextRow = r + 1
+            tabs = 0; nextCol = 0
+            rowOpen = !selfClosed
+          case "/row" => rowOpen = false
+          case "c" =>
+            if (!rowOpen) fail()
+            val rAttr = attrIn(xml, lt, gt, "r")
+            val target = if (rAttr == null) nextCol else colIndex(rAttr)
+            if (target < nextCol) fail() // columns must stay monotone
+            while (tabs < target) {
+              sb.append('\t'); tabs += 1
+              if (sb.length > MaxMemberBytes) fail()
+            }
+            nextCol = target + 1
+            cellType = if (selfClosed) null else attrIn(xml, lt, gt, "t")
+          case "/c" => cellType = null
+          case "v" =>
+            if (!selfClosed) {
+              val close = xml.indexOf("</v>", gt + 1)
+              if (close < 0) fail()
+              if (cellType == "s") {
+                if (shared == null) fail()
+                val idx = parseDigits(xml.substring(gt + 1, close))
+                if (idx >= shared.length) fail()
+                sb.append(shared(idx))
+              } else decodeEntities(xml, gt + 1, close, sb)
+              i = close + 4
+            }
+          case "is" => inIs = !selfClosed
+          case "/is" => inIs = false
+          case "t" =>
+            if (!selfClosed) {
+              val close = xml.indexOf("</t>", gt + 1)
+              if (close < 0) fail()
+              if (inIs) decodeEntities(xml, gt + 1, close, sb)
+              i = close + 4
+            }
+          case "f" =>
+            if (!selfClosed) {
+              val e = xml.indexOf("</f>", gt + 1)
+              if (e < 0) fail(); i = e + 4
+            }
+          case _ => ()
+        }
+        if (i <= gt) i = gt + 1
+        if (sb.length > MaxMemberBytes) fail()
+      }
+    }
+  }
+
+  /** Members named `prefix<N>.xml`, ascending N (NUMERIC order:
+    * sheet10 follows sheet2), with their decoded bytes; refuses a
+    * corrupt member or a malformed N. */
+  private def numberedMembers(ms: Array[Member],
+                              prefix: String): Array[(Int, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+    var i = 0
+    while (i < ms.length) {
+      val m = ms(i)
+      if (m.name.startsWith(prefix) && m.name.endsWith(".xml")) {
+        val num = m.name.substring(prefix.length, m.name.length - 4)
+        if (m.data == null) fail()
+        out += ((parseDigits(num), m.data))
+      }
+      i += 1
+    }
+    out.sortBy(_._1).toArray
+  }
+
+  /** xlsx_text: workbook text as TSV — cells joined by tab, rows by
+    * newline, worksheets (`xl/worksheets/sheet<N>.xml`, ascending N)
+    * by newline; null on a refused container/markup or when no
+    * worksheet member exists. */
+  def xlsxText(buf: Array[Byte]): UTF8String =
+    try {
+      val ms = parseArchive(buf)
+      var shared: Array[String] = null
+      var i = 0
+      while (i < ms.length) {
+        if (ms(i).name == "xl/sharedStrings.xml") {
+          if (ms(i).data == null) fail()
+          shared = parseSharedStrings(
+            new String(ms(i).data, java.nio.charset.StandardCharsets.UTF_8))
+        }
+        i += 1
+      }
+      val sheets = numberedMembers(ms, "xl/worksheets/sheet")
+      if (sheets.isEmpty) return null
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < sheets.length) {
+        if (k > 0) sb.append('\n')
+        sheetText(new String(sheets(k)._2,
+          java.nio.charset.StandardCharsets.UTF_8), shared, sb)
+        k += 1
+      }
+      UTF8String.fromString(sb.toString)
+    } catch { case Corrupt => null }
+
+  // ---- PresentationML (pptx) -----------------------------------------
+
+  /** One slide's DrawingML text runs appended to `sb`: `<a:t>` runs
+    * concatenated, `</a:p>` and `<a:br/>` emit newlines, the slide's
+    * trailing newline dropped (paragraphs JOIN, like docx_text). */
+  private def slideText(xml: String, sb: java.lang.StringBuilder): Unit = {
+    if (!xml.contains("<p:sld")) fail()
+    val start = sb.length
+    var i = 0
+    val n = xml.length
+    while (i < n) {
+      val lt = xml.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (xml.startsWith("<!--", lt)) {
+        val e = xml.indexOf("-->", lt + 4); if (e < 0) fail(); i = e + 3
+      } else if (xml.startsWith("<?", lt)) {
+        val e = xml.indexOf("?>", lt + 2); if (e < 0) fail(); i = e + 2
+      } else if (lt + 1 < n && xml.charAt(lt + 1) == '!') {
+        fail()
+      } else {
+        val gt = xml.indexOf('>', lt)
+        if (gt < 0) fail()
+        val selfClosed = xml.charAt(gt - 1) == '/'
+        tagName(xml, lt, gt) match {
+          case "a:t" =>
+            if (!selfClosed) {
+              val close = xml.indexOf("</a:t>", gt + 1)
+              if (close < 0) fail()
+              decodeEntities(xml, gt + 1, close, sb)
+              i = close + 6
+            }
+          case "/a:p" | "a:br" => sb.append('\n')
+          case _ => ()
+        }
+        if (i <= gt) i = gt + 1
+        if (sb.length > MaxMemberBytes) fail()
+      }
+    }
+    if (sb.length > start && sb.charAt(sb.length - 1) == '\n')
+      sb.setLength(sb.length - 1)
+  }
+
+  /** pptx_text: slide text (`ppt/slides/slide<N>.xml`, ascending N)
+    * joined by newline; null on refusal or when no slide exists. */
+  def pptxText(buf: Array[Byte]): UTF8String =
+    try {
+      val ms = parseArchive(buf)
+      val slides = numberedMembers(ms, "ppt/slides/slide")
+      if (slides.isEmpty) return null
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < slides.length) {
+        if (k > 0) sb.append('\n')
+        slideText(new String(slides(k)._2,
+          java.nio.charset.StandardCharsets.UTF_8), sb)
+        k += 1
+      }
+      UTF8String.fromString(sb.toString)
+    } catch { case Corrupt => null }
+
   // ---- deterministic writer ------------------------------------------
 
   private val ContentTypesXml: Array[Byte] =
@@ -363,6 +674,147 @@ object ZipDocx {
       ("[Content_Types].xml", ContentTypesXml),
       ("_rels/.rels", RelsXml),
       ("word/document.xml", doc)))
+  }
+
+  private val XlsxContentTypes: Array[Byte] =
+    ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+      """<Default Extension="xml" ContentType="application/xml"/>""" +
+      """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+      """<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>""" +
+      """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+      """</Types>""").getBytes("UTF-8")
+  private val XlsxRels: Array[Byte] =
+    ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+      """</Relationships>""").getBytes("UTF-8")
+  private val XlsxWorkbook: Array[Byte] =
+    ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+      """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>""" +
+      """</workbook>""").getBytes("UTF-8")
+
+  /** Canonical base-10 long (round-trips through parse→print: no
+    * leading zeros, no "-0", in long range) — the cells the writer
+    * stores as native numbers instead of shared strings. */
+  private def isCanonicalLong(s: String): Boolean =
+    s.nonEmpty && s.length <= 20 &&
+      (try java.lang.Long.toString(java.lang.Long.parseLong(s)) == s
+      catch { case _: NumberFormatException => false })
+
+  /** 0-based column index → A1-style letters. */
+  private def colName(c0: Int): String = {
+    var c = c0 + 1
+    val sb = new java.lang.StringBuilder(2)
+    while (c > 0) {
+      sb.append(('A' + (c - 1) % 26).toChar)
+      c = (c - 1) / 26
+    }
+    sb.reverse.toString
+  }
+
+  /** xlsx_doc: one deterministic single-sheet xlsx around TSV text —
+    * integer-canonical cells as native `<v>` numbers, everything else
+    * through a first-occurrence-deduped shared-string table (so both
+    * read paths get exercised by every round trip). */
+  def xlsxDoc(text: Array[Byte]): Array[Byte] = {
+    val s = new String(text, java.nio.charset.StandardCharsets.UTF_8)
+    val rows = s.split("\n", -1)
+    val sstIndex = new java.util.LinkedHashMap[String, Integer]
+    var total = 0L
+    val sheet = new java.lang.StringBuilder
+    sheet.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      .append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    var r = 0
+    while (r < rows.length) {
+      sheet.append("<row r=\"").append(r + 1).append("\">")
+      val cells = rows(r).split("\t", -1)
+      var c = 0
+      while (c < cells.length) {
+        val ref = colName(c) + (r + 1)
+        val v = cells(c)
+        if (isCanonicalLong(v))
+          sheet.append("<c r=\"").append(ref).append("\"><v>").append(v)
+            .append("</v></c>")
+        else {
+          var idx = sstIndex.get(v)
+          if (idx == null) {
+            idx = Integer.valueOf(sstIndex.size())
+            sstIndex.put(v, idx)
+          }
+          total += 1
+          sheet.append("<c r=\"").append(ref).append("\" t=\"s\"><v>")
+            .append(idx.intValue()).append("</v></c>")
+        }
+        c += 1
+      }
+      sheet.append("</row>")
+      r += 1
+    }
+    sheet.append("</sheetData></worksheet>")
+    val sst = new java.lang.StringBuilder
+    sst.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      .append("<sst xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\" count=\"")
+      .append(total).append("\" uniqueCount=\"").append(sstIndex.size())
+      .append("\">")
+    sstIndex.forEach((k, _) =>
+      sst.append("<si><t xml:space=\"preserve\">").append(xmlEscape(k))
+        .append("</t></si>"))
+    sst.append("</sst>")
+    writeZipStored(Seq(
+      ("[Content_Types].xml", XlsxContentTypes),
+      ("_rels/.rels", XlsxRels),
+      ("xl/workbook.xml", XlsxWorkbook),
+      ("xl/sharedStrings.xml",
+        sst.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      ("xl/worksheets/sheet1.xml",
+        sheet.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+  }
+
+  private val PptxRels: Array[Byte] =
+    ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="ppt/presentation.xml"/>""" +
+      """</Relationships>""").getBytes("UTF-8")
+  private val PptxPresentation: Array[Byte] =
+    ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<p:presentation xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"/>""").getBytes("UTF-8")
+
+  /** pptx_doc: one deterministic pptx around the text, one slide PER
+    * LINE (each a single paragraph run) — so every multi-line round
+    * trip exercises the numeric multi-slide walk. */
+  def pptxDoc(text: Array[Byte]): Array[Byte] = {
+    val lines = new String(text, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n", -1)
+    val ct = new java.lang.StringBuilder
+    ct.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      .append("""<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""")
+      .append("""<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""")
+      .append("""<Default Extension="xml" ContentType="application/xml"/>""")
+      .append("""<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>""")
+    var i = 0
+    while (i < lines.length) {
+      ct.append("<Override PartName=\"/ppt/slides/slide").append(i + 1)
+        .append(".xml\" ContentType=\"application/vnd.openxmlformats-officedocument.presentationml.slide+xml\"/>")
+      i += 1
+    }
+    ct.append("</Types>")
+    val slides = lines.zipWithIndex.map { case (line, j) =>
+      (s"ppt/slides/slide${j + 1}.xml",
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">""" +
+          "<p:cSld><p:spTree><p:sp><p:txBody><a:p><a:r><a:t>" +
+          xmlEscape(line) +
+          "</a:t></a:r></a:p></p:txBody></p:sp></p:spTree></p:cSld></p:sld>")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }.toSeq
+    writeZipStored(Seq(
+      ("[Content_Types].xml",
+        ct.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      ("_rels/.rels", PptxRels),
+      ("ppt/presentation.xml", PptxPresentation)) ++ slides)
   }
 
   /** Minimal stored-only PKZIP writer (fixed 1980-01-01 timestamps). */
@@ -483,5 +935,83 @@ case class DocxDocExpr(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.ZipDocx.docxDoc($c);")
   override protected def withNewChildInternal(newChild: Expression): DocxDocExpr =
+    copy(child = newChild)
+}
+
+/** `xlsx_text(binary)` → workbook TSV text or null (outside subset). */
+case class XlsxTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "xlsx_text"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    ZipDocx.xlsxText(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ZipDocx.xlsxText($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): XlsxTextExpr =
+    copy(child = newChild)
+}
+
+/** `xlsx_doc(binary)` → one deterministic xlsx around TSV text. */
+case class XlsxDocExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "xlsx_doc"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    ZipDocx.xlsxDoc(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ZipDocx.xlsxDoc($c);")
+  override protected def withNewChildInternal(newChild: Expression): XlsxDocExpr =
+    copy(child = newChild)
+}
+
+/** `pptx_text(binary)` → slide text or null (outside the subset). */
+case class PptxTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pptx_text"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    ZipDocx.pptxText(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ZipDocx.pptxText($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): PptxTextExpr =
+    copy(child = newChild)
+}
+
+/** `pptx_doc(binary)` → one deterministic pptx (slide per line). */
+case class PptxDocExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pptx_doc"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    ZipDocx.pptxDoc(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ZipDocx.pptxDoc($c);")
+  override protected def withNewChildInternal(newChild: Expression): PptxDocExpr =
     copy(child = newChild)
 }

@@ -130,4 +130,68 @@ class ZipDocxSpec extends AnyFunSuite {
     assert(ZipDocx.docxText(doc("<!-- c --><w:p><w:t>x</w:t></w:p>"))
       .toString == "x")
   }
+
+  private def ooxml(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/ooxml_fixtures/$name")
+    assert(in != null, s"missing fixture $name")
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  test("simple.xlsx: sst entities + rich runs (rPh excluded), number, " +
+    "inlineStr, formula cache, skipped column and row pad") {
+    assert(ZipDocx.xlsxText(ooxml("simple.xlsx")).toString ==
+      "name\t42\tinline str\n\tA & B <tag>\t7\n\nrichtext")
+  }
+
+  test("twosheets.xlsx: NUMERIC sheet order (10 after 2), sst-less path") {
+    assert(ZipDocx.xlsxText(ooxml("twosheets.xlsx")).toString ==
+      "second\t-17\ntenth")
+  }
+
+  test("xlsx refusals: no sheet, sst miss, out-of-range, non-monotone") {
+    assert(ZipDocx.xlsxText(ooxml("nosheet.xlsx")) == null)
+    def wb(sheet: String): Array[Byte] =
+      ZipDocx.writeZipStored(Seq(("xl/worksheets/sheet1.xml",
+        s"<worksheet><sheetData>$sheet</sheetData></worksheet>"
+          .getBytes("UTF-8"))))
+    assert(ZipDocx.xlsxText(wb("<row><c><v>ok</v></c></row>"))
+      .toString == "ok")
+    // t="s" with no sharedStrings member at all
+    assert(ZipDocx.xlsxText(
+      wb("""<row><c t="s"><v>0</v></c></row>""")) == null)
+    // rows and columns must stay monotone (padding can't go backwards)
+    assert(ZipDocx.xlsxText(
+      wb("""<row r="2"></row><row r="1"></row>""")) == null)
+    assert(ZipDocx.xlsxText(
+      wb("""<row><c r="B1"><v>1</v></c><c r="A1"><v>2</v></c></row>""")) ==
+      null)
+  }
+
+  test("xlsx writer round trip: numbers vs shared strings, empty cells") {
+    for (s <- Seq("a\tb\nc", "42\t-0\t007\tx", "", "a\t\t\nmid\n\nend\t",
+      "1\t2\n3\t4", "esc & < > cell\t-9223372036854775808")) {
+      val blob = ZipDocx.xlsxDoc(s.getBytes("UTF-8"))
+      assert(ZipDocx.xlsxText(blob).toString == s, s"round trip of '$s'")
+      assert(rows(blob).forall(_._5))
+    }
+  }
+
+  test("simple.pptx: split runs, break, entities, slide join; refusals") {
+    assert(ZipDocx.pptxText(ooxml("simple.pptx")).toString ==
+      "Hello world\nbreak\nafter & done\nslide two")
+    assert(ZipDocx.pptxText(ooxml("noslide.pptx")) == null)
+  }
+
+  test("pptx writer round trip: slide per line") {
+    for (s <- Seq("one", "a\nb\nc", "", "gap\n\nline", "tab\tin slide",
+      "a & b < c")) {
+      assert(ZipDocx.pptxText(ZipDocx.pptxDoc(s.getBytes("UTF-8")))
+        .toString == s, s"round trip of '$s'")
+    }
+  }
 }

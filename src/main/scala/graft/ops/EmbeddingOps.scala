@@ -377,6 +377,40 @@ object EmbeddingOps {
     takeTopK(rerank, "neighbor_id", k)
   }
 
+  /** LATE-INTERACTION (multi-vector MaxSim) retrieval — the ColBERT
+    * scoring shape: query and document are each a BAG of per-token
+    * vectors, and score(q, d) = Σ over query tokens of the MAX dot
+    * against any document token. Catches term-level matches a single
+    * pooled vector dilutes away (the published retrieval family between
+    * one-vector ANN and full cross-attention).
+    *
+    * `vecsCol` holds each row's per-token INTEGER vectors
+    * (`array<array<long>>` — quantized, so every dot is an exact
+    * integer and a SQL oracle replays every dot/max/sum bit-for-bit).
+    *
+    * Scale shape: query tokens explode on the (tiny, broadcast) query
+    * side only; documents stay ONE ROW each — the per-token max runs
+    * scan-side over the document's token array (`transform` +
+    * `array_max`, no doc-side explode), candidates are cut to the
+    * query's coarse cluster by an equi-join on `clusterCol` BELOW the
+    * shortlist aggregation (never all-pairs), and the final top-k is
+    * the bounded [[TopKAgg]] — map-side partials, no corpus window.
+    */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecsCol: String, clusterCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(clusterCol).as("__qc"),
+      posexplode(col(vecsCol)).as(Seq("__qt", "__qv")))
+    val cand = corpus.join(broadcast(q), col(clusterCol) === col("__qc"))
+    val perTok = cand.select(col("query_id"), col("__qt"), col(idCol),
+      array_max(transform(col(vecsCol), dv =>
+        aggregate(zip_with(col("__qv"), dv, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))).as("__m"))
+    val scored = perTok.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__m")).cast("double").as("score"))
+    takeTopK(scored, idCol, k)
+  }
+
   /** SEMANTIC decontamination support: per train row, the maximum cosine
     * against a benchmark/eval embedding set — the embedding-space
     * sibling of the n-gram leak scrub ([[DedupOps.contaminated]]): a

@@ -1044,6 +1044,28 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("dim"))
     }),
 
+    // LATE-INTERACTION retrieval (EmbeddingOps.maxSimTopK — the ColBERT
+    // MaxSim shape, the published family between one-vector ANN and
+    // full cross-attention): four per-token INTEGER vectors per row,
+    // derived deterministically from the base embedding (circular shift
+    // by token index, milli-quantized), scored Σ over query tokens of
+    // the max dot against any document token, candidates cut to the
+    // query's coarse cluster. The oracle replays every dot, max and sum
+    // as exact integers.
+    "retrieval_maxsim" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val toks = array((0 until 4).map(t =>
+        transform(sequence(lit(0), lit(63)), i =>
+          floor(element_at(col("embedding"),
+            pmod(i + lit(t), lit(64)) + 1).cast("double") * 1000 + lit(0.5))
+            .cast("long"))): _*)
+      val mv = emb.select(col("vec_id"), col("label"), toks.as("tvecs"))
+      EmbeddingOps.maxSimTopK(
+          mv.filter(col("vec_id") >= 10), mv.filter(col("vec_id") < 10),
+          "vec_id", "tvecs", "label", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF-style bucketed ANN: probe only the query's coarse cluster
     // (`label` plays the IVF centroid assignment).
     "embed_ann_ivf" -> ((s, dir) => {
@@ -2493,6 +2515,32 @@ object DataPipelineQueries extends QueryPack {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "embed_cosine_topk" -> cosineTopkSql(5, "TRUE"),
     "embed_ann_ivf" -> cosineTopkSql(3, "c.label = q.qlabel"),
+    "retrieval_maxsim" ->
+      """WITH mvq AS (SELECT vec_id AS query_id, label AS qlabel, t,
+        |    list_transform(range(0, 64), i ->
+        |      CAST(floor(CAST(embedding[((i + t) % 64) + 1] AS DOUBLE)
+        |        * 1000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings, (SELECT unnest(range(0, 4)) AS t) g
+        |  WHERE vec_id < 10),
+        |mvd AS (SELECT vec_id AS neighbor_id, label AS dlabel, s,
+        |    list_transform(range(0, 64), i ->
+        |      CAST(floor(CAST(embedding[((i + s) % 64) + 1] AS DOUBLE)
+        |        * 1000 + 0.5) AS BIGINT)) AS dv
+        |  FROM embeddings, (SELECT unnest(range(0, 4)) AS s) h
+        |  WHERE vec_id >= 10),
+        |mvp AS (SELECT q.query_id, d.neighbor_id, q.t,
+        |    max(list_aggregate(list_transform(range(1, 65),
+        |      j -> q.qv[j] * d.dv[j]), 'sum')) AS mx
+        |  FROM mvq q JOIN mvd d ON d.dlabel = q.qlabel
+        |  GROUP BY q.query_id, d.neighbor_id, q.t),
+        |mvs AS (SELECT query_id, neighbor_id, CAST(sum(mx) AS DOUBLE) AS score
+        |  FROM mvp GROUP BY query_id, neighbor_id),
+        |mvt AS (SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id ASC) AS rank
+        |  FROM mvs)
+        |SELECT query_id, rank, neighbor_id, score FROM mvt WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "embed_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |    FROM embeddings WHERE vec_id < 10

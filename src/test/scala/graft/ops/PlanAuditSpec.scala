@@ -122,6 +122,28 @@ class PlanAuditSpec extends SparkSuite {
         "(candidates are cut to the cluster before any top-k state)")
   }
 
+  test("maxsim: cluster equi-join below the shortlist agg, no doc explode") {
+    val p = planOf("retrieval_maxsim")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "MaxSim candidates must come from the cluster equi-join")
+    assert(!p.contains("Window"), "top-k must stay the bounded aggregate")
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.indexWhere(l =>
+      l.contains("BroadcastHashJoin") && l.contains("__qc"))
+    assert(joinIdx >= 0, s"cluster equi-join missing from plan:\n${p.take(3000)}")
+    val aggIdx = lines.indexWhere(l => l.contains("Aggregate"))
+    assert(aggIdx >= 0 && aggIdx < joinIdx,
+      "the shortlist aggregation must sit above the cluster equi-join")
+    // documents never explode: the only Generate in the plan is the
+    // broadcast QUERY side's token posexplode (40 rows), plus the final
+    // rank unnest above the aggregate
+    val genIdxs = lines.zipWithIndex.filter(_._1.contains("Generate")).map(_._2)
+    assert(genIdxs.forall(g => g < aggIdx || g > joinIdx),
+      "a Generate appeared between the cluster join and the shortlist agg " +
+        "- the document side must not explode")
+  }
+
   test("multi-probe IVF joins candidates on the cluster id below the top-k aggregate") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val corpus = emb.filter(col("vec_id") >= 10)

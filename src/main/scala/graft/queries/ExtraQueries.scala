@@ -71,6 +71,27 @@ object ExtraQueries extends QueryPack {
       case (row, u) => row.zipWithIndex.map { case (c, y) => s"($u, $y, $c)" }
     }.mkString(", ")
 
+  /** AudioMel's StrictMath basis tables as SQL literals (the
+    * phashCoefSql posture): (f, k, cos, sin) per DFT cell and the
+    * nonzero (m, f, w) mel-triangle weights. */
+  private lazy val melBasisSql = {
+    import graft.functions.AudioMel
+    (0 until AudioMel.NumBins).flatMap { f =>
+      (0 until AudioMel.WindowSamples).map { k =>
+        s"($f, $k, ${AudioMel.cosBasis(f)(k)}, ${AudioMel.sinBasis(f)(k)})"
+      }
+    }.mkString(", ")
+  }
+  private lazy val melWeightSql = {
+    import graft.functions.AudioMel
+    (0 until AudioMel.NumMels).flatMap { m =>
+      (0 until AudioMel.NumBins).collect {
+        case f if AudioMel.melWeights(m)(f) != 0L =>
+          s"($m, $f, ${AudioMel.melWeights(m)(f)})"
+      }
+    }.mkString(", ")
+  }
+
   /** Construction-side MPEG audio config: header bytes, frame size, and
     * samples per frame derived from the published ISO 11172-3 / 13818-3
     * tables (the WAV/FLAC construction posture — the query builds frames
@@ -927,6 +948,40 @@ object ExtraQueries extends QueryPack {
           (floor(sqrt(col("st.sum_sq").cast("double") / col("st.n_samples"))
             * 1e4 + lit(0.5)) / 1e4).as("rms"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Mel-filterbank energies (functions.AudioMel) — the spectral
+    // speech-curation gate: fixed-point 64-point DFT power spectrum of
+    // the first window folded through 8 HTK mel triangles, every
+    // product/sum/division an exact integer (StrictMath basis tables,
+    // the pHash posture). n crosses the window size both ways, so the
+    // zero-padded AND truncated paths are both certified; the oracle
+    // replays the whole pipeline from the same doc_id waveform with the
+    // basis values as literals.
+    "mm_audio_mel" -> ((s, dir) => {
+      graft.functions.AudioMel.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val nSql = "(doc_id % 80 + 24)"
+      def sSql(k: String) = s"((doc_id * 37 + $k * 451) % 4001 - 2000)"
+      val leSampleSql = {
+        val u = s"(${sSql("k")} % 65536 + 65536) % 65536"
+        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), substr(lpad(hex($u), 4, '0'), 1, 2))"
+      }
+      val wavHex =
+        s"""concat('52494646', ${le("100", 4)}, '57415645',
+           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
+           |  ${le("16000", 4)}, ${le("32000", 4)}, ${le("2", 2)}, ${le("16", 2)},
+           |  '64617461', ${le(s"2 * $nSql", 4)},
+           |  array_join(transform(sequence(0, $nSql - 1), k -> $leSampleSql), ''))"""
+          .stripMargin
+      Tables.documents(s, dir)
+        .withColumn("m", expr(s"audio_mel(unhex($wavHex))"))
+        .select(col("doc_id"), posexplode(col("m")).as(Seq("band", "energy")))
+        .select(col("doc_id"), col("band").cast("long").as("band"),
+          col("energy"))
+        .orderBy(col("doc_id"), col("band"))
     }),
 
     // AVIF/HEIF metadata (functions.AvifMeta) — the ISOBMFF-packaged
@@ -2042,6 +2097,33 @@ object ExtraQueries extends QueryPack {
         |  CAST(zc AS INTEGER) AS zero_crossings,
         |  floor(sqrt(CAST(sum_sq AS DOUBLE) / n_out) * 1e4 + 0.5) / 1e4 AS rms
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // the whole fixed-point mel pipeline replayed: window (zero-padded
+    // or truncated), DFT via the literal basis tables, truncating
+    // divisions, triangle weighting — every value an exact integer
+    "mm_audio_mel" ->
+      s"""WITH md AS (SELECT doc_id, doc_id % 80 + 24 AS n FROM documents),
+         |mk AS (SELECT doc_id, n,
+         |    unnest(generate_series(0, 63)) AS k FROM md),
+         |ms AS (SELECT doc_id, k,
+         |    CASE WHEN k < n THEN (doc_id * 37 + k * 451) % 4001 - 2000
+         |         ELSE 0 END AS s
+         |  FROM mk),
+         |mb AS (SELECT * FROM (VALUES $melBasisSql) t(f, k, c, sn)),
+         |mw AS (SELECT * FROM (VALUES $melWeightSql) t(m, f, w)),
+         |mr AS (SELECT s.doc_id, b.f,
+         |    CAST(sum(s.s * b.c) AS BIGINT) AS re,
+         |    CAST(sum(s.s * b.sn) AS BIGINT) AS im
+         |  FROM ms s JOIN mb b ON b.k = s.k GROUP BY 1, 2),
+         |mp AS (SELECT doc_id, f,
+         |    (re // 16384) * (re // 16384) + (im // 16384) * (im // 16384)
+         |      AS p
+         |  FROM mr),
+         |me AS (SELECT p.doc_id, w.m,
+         |    CAST(sum(w.w * p.p) // 1024 AS BIGINT) AS energy
+         |  FROM mp p JOIN mw w ON w.f = p.f GROUP BY 1, 2)
+         |SELECT doc_id, CAST(m AS BIGINT) AS band, energy
+         |FROM me ORDER BY doc_id, band""".stripMargin,
 
     // brand/extents as closed forms; the mp42 branch must refuse
     "mm_image_avif_meta" ->

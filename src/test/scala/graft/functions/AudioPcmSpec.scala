@@ -278,4 +278,45 @@ class AudioPcmSpec extends SparkSuite {
     assert(AudioResample.resample(wav(Seq(1, 2, 3, 4, 5), rate = 1),
       1073741849) == null)
   }
+
+  private def melOf(b: Array[Byte]): Option[Seq[Long]] =
+    Option(AudioMel.mel(b)).map(a =>
+      (0 until a.numElements()).map(a.getLong))
+
+  test("mel: pure tones land in the right bands, DC lands nowhere") {
+    def tone(binF: Int, amp: Int = 1000): Seq[Int] =
+      (0 until 64).map(k => StrictMath.rint(amp *
+        StrictMath.cos(2.0 * StrictMath.PI * binF * k / 64)).toInt)
+    // 250 Hz (bin 1) → band 0; 2 kHz (bin 8) → band 4; 5 kHz (bin 20)
+    // → band 6 — the HTK triangle layout for 16 kHz / 8 bands
+    for ((binF, band) <- Seq(1 -> 0, 8 -> 4, 20 -> 6)) {
+      val e = melOf(wav(tone(binF))).get
+      assert(e.indexOf(e.max) == band,
+        s"tone at bin $binF: energies $e, expected argmax $band")
+      assert(e.max > 0L)
+    }
+    // DC: all spectral mass sits in bin 0, where every triangle is 0
+    assert(melOf(wav(Seq.fill(64)(1500))).get.forall(_ == 0L))
+  }
+
+  test("mel: zero-pad below the window, truncate above, refusal matrix") {
+    // < 64 samples zero-pad: a short tone still wins its band
+    val short = (0 until 32).map(k => StrictMath.rint(1000 *
+      StrictMath.cos(2.0 * StrictMath.PI * 8 * k / 64)).toInt)
+    val es = melOf(wav(short)).get
+    assert(es.indexOf(es.max) == 4)
+    // > 64 samples: only the first window contributes — identical to
+    // the truncated signal
+    val long = short ++ short ++ Seq.fill(40)(777)
+    assert(melOf(wav(long)) == melOf(wav(long.take(64))))
+    // refusals: stereo, 8-bit, wrong rate, empty data
+    assert(melOf(wav(Seq(1, 2), channels = 2)).isEmpty)
+    assert(melOf(wav(Seq(1, 2), bits = 8)).isEmpty)
+    assert(melOf(wav(Seq(1, 2), rate = 8000)).isEmpty)
+    assert(melOf(wav(Seq.empty)).isEmpty)
+    // junk chunk walks; resample-to-16k then mel composes
+    assert(melOf(wav(Seq.fill(64)(9), junk = 4)).nonEmpty)
+    val up = AudioResample.resample(wav(short, rate = 8000), 16000)
+    assert(melOf(up).nonEmpty)
+  }
 }

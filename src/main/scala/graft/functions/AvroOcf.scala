@@ -1,0 +1,435 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Apache Avro OBJECT CONTAINER FILES from spec (the Avro 1.x "OCF"
+  * framing: `Obj\1` magic, metadata map carrying `avro.schema` JSON
+  * and `avro.codec`, a 16-byte sync marker, then blocks of
+  * zigzag-varint-framed records) — the remaining first-class row
+  * format real ingestion meets beside parquet/ORC/CSV/JSONL. No
+  * spark-avro module ships in this container, so the engine carries
+  * its own scan-side reader/writer pair, the zstd/PDF/JPEG posture;
+  * the Java avro library (avro-1.12.1, an INDEPENDENT implementation)
+  * cross-validates both directions in AvroOcfSpec.
+  *
+  * Schema subset: flat records of long / int / string / boolean /
+  * double / bytes, declared at registration as a Spark StructType.
+  * The reader refuses (nulls) anything outside the subset — unknown
+  * codec, schema mismatch, truncated varints, a bad sync — never a
+  * partial decode (whole-or-refuse, like every untrusted-input
+  * decoder here). Deflate blocks are RFC 1951 raw deflate per the
+  * spec.
+  *
+  * Scale shape: two scan-side expressions; container bytes never
+  * cross a stage boundary.
+  */
+object AvroOcf {
+
+  val Magic: Array[Byte] = Array('O'.toByte, 'b'.toByte, 'j'.toByte, 1.toByte)
+  /** Deterministic sync marker (the spec allows any 16 bytes). */
+  val Sync: Array[Byte] = "graftsyncmarker!".getBytes(UTF_8)
+  /** Decoded-payload ceiling, matching the other decompressors. */
+  val MaxBytes: Int = 16 << 20
+  val MaxRecords: Int = 1 << 20
+
+  /** Register `avro_file(array<struct>, codec)` and
+    * `avro_rows(binary)` for one record schema. */
+  def register(spark: org.apache.spark.sql.SparkSession,
+               schema: StructType): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "avro_file", exprs => AvroFileExpr(exprs(0), exprs(1), schema),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "avro_rows", exprs => AvroRowsExpr(exprs.head, schema), "built-in")
+  }
+
+  private def avroType(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType => "int"
+    case StringType => "string"
+    case BooleanType => "boolean"
+    case DoubleType => "double"
+    case BinaryType => "bytes"
+    case other => throw new IllegalArgumentException(
+      s"avro subset does not cover $other")
+  }
+
+  /** Canonical schema JSON for the writer. */
+  def schemaJson(schema: StructType): String =
+    schema.fields.map(f =>
+      s"""{"name":"${f.name}","type":"${avroType(f.dataType)}"}""")
+      .mkString("""{"type":"record","name":"row","fields":[""", ",", "]}")
+
+  // ---- minimal schema-JSON field extraction ---------------------------
+
+  private object Corrupt extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  @inline private def fail(): Nothing = throw Corrupt
+
+  /** Ordered (name, primitive-type) pairs from an avro.schema JSON —
+    * tolerant of attribute order, whitespace, namespaces, and the
+    * `{"type":"string"}` object form for field types, so files written
+    * by the Java library parse too. Throws Corrupt outside the subset.
+    */
+  private[functions] def parseFields(json: String): Seq[(String, String)] = {
+    val fi = json.indexOf("\"fields\"")
+    if (fi < 0) fail()
+    var i = json.indexOf('[', fi)
+    if (i < 0) fail()
+    i += 1
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def skipWs(): Unit = {
+      while (i < json.length && Character.isWhitespace(json.charAt(i))) i += 1
+    }
+    def str(): String = { // at opening quote
+      if (json.charAt(i) != '"') fail()
+      i += 1
+      val sb = new java.lang.StringBuilder
+      while (i < json.length && json.charAt(i) != '"') {
+        if (json.charAt(i) == '\\') fail() // subset: plain names only
+        sb.append(json.charAt(i)); i += 1
+      }
+      if (i >= json.length) fail()
+      i += 1
+      sb.toString
+    }
+    def skipValue(): Unit = { // any JSON value, for ignored attributes
+      skipWs()
+      json.charAt(i) match {
+        case '"' => str(); ()
+        case '{' | '[' =>
+          var depth = 0
+          var inStr = false
+          while (i < json.length) {
+            val c = json.charAt(i)
+            if (inStr) {
+              if (c == '\\') i += 1 else if (c == '"') inStr = false
+            } else c match {
+              case '"' => inStr = true
+              case '{' | '[' => depth += 1
+              case '}' | ']' =>
+                depth -= 1
+                if (depth == 0) { i += 1; return }
+              case _ => ()
+            }
+            i += 1
+          }
+          fail()
+        case _ =>
+          while (i < json.length && !",}]".contains(json.charAt(i))) i += 1
+      }
+    }
+    skipWs()
+    while (i < json.length && json.charAt(i) != ']') {
+      skipWs()
+      if (json.charAt(i) != '{') fail()
+      i += 1
+      var name: String = null
+      var tpe: String = null
+      var done = false
+      while (!done) {
+        skipWs()
+        val key = str()
+        skipWs()
+        if (json.charAt(i) != ':') fail()
+        i += 1
+        skipWs()
+        key match {
+          case "name" => name = str()
+          case "type" =>
+            if (json.charAt(i) == '"') tpe = str()
+            else if (json.charAt(i) == '{') {
+              // {"type":"string", ...} object form
+              val start = i
+              skipValue()
+              val inner = json.substring(start, i)
+              val m = "\"type\"\\s*:\\s*\"([a-z]+)\"".r
+                .findFirstMatchIn(inner).getOrElse(fail())
+              tpe = m.group(1)
+            } else fail() // unions etc. are outside the subset
+          case _ => skipValue()
+        }
+        skipWs()
+        json.charAt(i) match {
+          case ',' => i += 1
+          case '}' => i += 1; done = true
+          case _ => fail()
+        }
+      }
+      if (name == null || tpe == null) fail()
+      out += ((name, tpe))
+      skipWs()
+      if (i < json.length && json.charAt(i) == ',') i += 1
+    }
+    out.toSeq
+  }
+
+  // ---- varint / zigzag ------------------------------------------------
+
+  private def writeLong(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var n = (v << 1) ^ (v >> 63) // zigzag
+    while ((n & ~0x7FL) != 0L) {
+      out.write(((n & 0x7F) | 0x80).toInt)
+      n >>>= 7
+    }
+    out.write(n.toInt)
+  }
+
+  private final class Reader(val b: Array[Byte]) {
+    var p: Int = 0
+    def u8(): Int = {
+      if (p >= b.length) fail()
+      val v = b(p) & 0xFF; p += 1; v
+    }
+    def readLong(): Long = {
+      var n = 0L
+      var shift = 0
+      var bt = u8()
+      while ((bt & 0x80) != 0) {
+        if (shift > 56) fail()
+        n |= (bt & 0x7FL) << shift
+        shift += 7
+        bt = u8()
+      }
+      n |= (bt & 0x7FL) << shift
+      (n >>> 1) ^ -(n & 1L) // un-zigzag
+    }
+    def bytes(len: Long): Array[Byte] = {
+      if (len < 0 || len > MaxBytes || p + len > b.length) fail()
+      val out = java.util.Arrays.copyOfRange(b, p, p + len.toInt)
+      p += len.toInt
+      out
+    }
+  }
+
+  // ---- writer ---------------------------------------------------------
+
+  /** One OCF around the rows (one block), `codec` ∈ null|deflate. */
+  def file(rows: ArrayData, schema: StructType, codec: String): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream
+    val n = rows.numElements()
+    var r = 0
+    while (r < n) {
+      val row = rows.getStruct(r, schema.length)
+      var f = 0
+      while (f < schema.length) {
+        schema.fields(f).dataType match {
+          case LongType => writeLong(body, row.getLong(f))
+          case IntegerType => writeLong(body, row.getInt(f).toLong)
+          case BooleanType => body.write(if (row.getBoolean(f)) 1 else 0)
+          case DoubleType =>
+            val bits = java.lang.Double.doubleToLongBits(row.getDouble(f))
+            var k = 0
+            while (k < 8) { body.write(((bits >> (8 * k)) & 0xFF).toInt); k += 1 }
+          case StringType =>
+            val sb = row.getUTF8String(f).getBytes
+            writeLong(body, sb.length.toLong)
+            body.write(sb, 0, sb.length)
+          case BinaryType =>
+            val bb = row.getBinary(f)
+            writeLong(body, bb.length.toLong)
+            body.write(bb, 0, bb.length)
+          case other => throw new IllegalArgumentException(other.toString)
+        }
+        f += 1
+      }
+      r += 1
+    }
+    val payload =
+      if (codec == "deflate") {
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        d.setInput(body.toByteArray)
+        d.finish()
+        val out = new java.io.ByteArrayOutputStream
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end()
+        out.toByteArray
+      } else body.toByteArray
+    val out = new java.io.ByteArrayOutputStream
+    out.write(Magic, 0, 4)
+    writeLong(out, 2L) // metadata map: one block of two pairs
+    def metaPair(k: String, v: Array[Byte]): Unit = {
+      val kb = k.getBytes(UTF_8)
+      writeLong(out, kb.length.toLong); out.write(kb, 0, kb.length)
+      writeLong(out, v.length.toLong); out.write(v, 0, v.length)
+    }
+    metaPair("avro.schema", schemaJson(schema).getBytes(UTF_8))
+    metaPair("avro.codec",
+      (if (codec == "deflate") "deflate" else "null").getBytes(UTF_8))
+    writeLong(out, 0L) // end of map
+    out.write(Sync, 0, 16)
+    writeLong(out, n.toLong)
+    writeLong(out, payload.length.toLong)
+    out.write(payload, 0, payload.length)
+    out.write(Sync, 0, 16)
+    out.toByteArray
+  }
+
+  // ---- reader ---------------------------------------------------------
+
+  /** All records, or null on any refusal. */
+  def rows(buf: Array[Byte], schema: StructType): GenericArrayData =
+    try {
+      if (buf == null || buf.length < 20) fail()
+      var i = 0
+      while (i < 4) { if (buf(i) != Magic(i)) fail(); i += 1 }
+      val rd = new Reader(buf)
+      rd.p = 4
+      var schemaJsonStr: String = null
+      var codec = "null"
+      var blockCount = rd.readLong()
+      while (blockCount != 0L) {
+        val pairs = math.abs(blockCount)
+        if (pairs > 1000L || pairs < 0L) fail() // Long.MinValue guard too
+        if (blockCount < 0) rd.readLong() // byte size of block, unused
+        var k = 0L
+        while (k < pairs) {
+          val key = new String(rd.bytes(rd.readLong()), UTF_8)
+          val v = rd.bytes(rd.readLong())
+          key match {
+            case "avro.schema" => schemaJsonStr = new String(v, UTF_8)
+            case "avro.codec" => codec = new String(v, UTF_8)
+            case _ => ()
+          }
+          k += 1
+        }
+        blockCount = rd.readLong()
+      }
+      if (schemaJsonStr == null) fail()
+      if (codec != "null" && codec != "deflate") fail()
+      val fields = parseFields(schemaJsonStr)
+      if (fields.length != schema.length) fail()
+      var f = 0
+      while (f < schema.length) {
+        if (fields(f)._1 != schema.fields(f).name ||
+          fields(f)._2 != avroType(schema.fields(f).dataType)) fail()
+        f += 1
+      }
+      // the header sync may be ANY 16 bytes (the Java library draws a
+      // random one); block syncs must match it exactly
+      val sync = rd.bytes(16L)
+      val recs = scala.collection.mutable.ArrayBuffer[Any]()
+      while (rd.p < buf.length) {
+        val count = rd.readLong()
+        if (count < 0 || count > MaxRecords) fail()
+        val size = rd.readLong()
+        val block = rd.bytes(size)
+        val data =
+          if (codec == "deflate") {
+            val inf = new java.util.zip.Inflater(true)
+            inf.setInput(block)
+            val out = new java.io.ByteArrayOutputStream
+            val tmp = new Array[Byte](8192)
+            while (!inf.finished()) {
+              val got = inf.inflate(tmp)
+              if (got == 0 && !inf.finished()) fail()
+              out.write(tmp, 0, got)
+              if (out.size() > MaxBytes) fail()
+            }
+            inf.end()
+            out.toByteArray
+          } else block
+        val blockSync = rd.bytes(16L)
+        if (!java.util.Arrays.equals(blockSync, sync)) fail()
+        val br = new Reader(data)
+        var r = 0L
+        while (r < count) {
+          val vals = new Array[Any](schema.length)
+          var f2 = 0
+          while (f2 < schema.length) {
+            vals(f2) = schema.fields(f2).dataType match {
+              case LongType => br.readLong()
+              case IntegerType =>
+                val v = br.readLong()
+                if (v < Int.MinValue || v > Int.MaxValue) fail()
+                v.toInt
+              case BooleanType => br.u8() match {
+                case 0 => false
+                case 1 => true
+                case _ => fail()
+              }
+              case DoubleType =>
+                var bits = 0L
+                var k2 = 0
+                while (k2 < 8) { bits |= (br.u8().toLong << (8 * k2)); k2 += 1 }
+                java.lang.Double.longBitsToDouble(bits)
+              case StringType => UTF8String.fromBytes(br.bytes(br.readLong()))
+              case BinaryType => br.bytes(br.readLong())
+              case _ => fail()
+            }
+            f2 += 1
+          }
+          recs += new GenericInternalRow(vals)
+          if (recs.length > MaxRecords) fail()
+          r += 1
+        }
+        if (br.p != data.length) fail() // block consumed exactly
+      }
+      new GenericArrayData(recs.toArray)
+    } catch { case Corrupt => null }
+}
+
+/** `avro_file(array<struct>, codec)` → one OCF binary. */
+case class AvroFileExpr(left: Expression, right: Expression,
+                        schema: StructType)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "avro_file"
+  override def checkInputDataTypes() =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(st: StructType, _), StringType) if st == schema =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (array<struct matching $schema>, string), got $other")
+    }
+  override def nullSafeEval(rows: Any, codec: Any): Any =
+    AvroOcf.file(rows.asInstanceOf[ArrayData], schema, codec.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val schemaRef = ctx.addReferenceObj("avroSchema", schema,
+      classOf[StructType].getName)
+    nullSafeCodeGen(ctx, ev, (rows, codec) =>
+      s"${ev.value} = graft.functions.AvroOcf.file($rows, $schemaRef, " +
+        s"$codec.toString());")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AvroFileExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `avro_rows(binary)` → array<struct> records or null (refused). */
+case class AvroRowsExpr(child: Expression, schema: StructType)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(schema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "avro_rows"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    AvroOcf.rows(input.asInstanceOf[Array[Byte]], schema)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val schemaRef = ctx.addReferenceObj("avroSchema", schema,
+      classOf[StructType].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AvroOcf.rows($c, $schemaRef);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): AvroRowsExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+
+/** Avro OCF reader/writer vs the INDEPENDENT Java avro implementation
+  * (avro-1.12.1, the library Spark itself builds spark-avro on): the
+  * Java library must read every file our writer emits bit-for-bit
+  * (both codecs), and our reader must walk Java-written files —
+  * including multi-block files with the library's RANDOM sync marker
+  * and its own deflate stream. Plus the refusal matrix.
+  */
+class AvroOcfSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("ok", BooleanType), StructField("score", DoubleType)))
+
+  private def row(id: Long, name: String, ok: Boolean, d: Double) =
+    new GenericInternalRow(
+      Array[Any](id, UTF8String.fromString(name), ok, d))
+
+  private def ours(rows: Seq[GenericInternalRow], codec: String): Array[Byte] =
+    AvroOcf.file(new GenericArrayData(rows.toArray[Any]), schema, codec)
+
+  test("java avro reads our writer's files, both codecs, exact values") {
+    for (codec <- Seq("null", "deflate")) {
+      val blob = ours(Seq(
+        row(1L, "alpha", ok = true, 1.5),
+        row(-2L, "béta ☃", ok = false, -0.25)), codec)
+      val rdr = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(blob),
+        new GenericDatumReader[GenericRecord]())
+      val recs = Iterator.continually(rdr)
+        .takeWhile(_.hasNext).map(_.next()).toVector
+      rdr.close()
+      assert(recs.length == 2, s"codec=$codec")
+      assert(recs(0).get("id") == 1L && recs(0).get("name").toString == "alpha")
+      assert(recs(0).get("ok") == true && recs(0).get("score") == 1.5)
+      assert(recs(1).get("id") == -2L &&
+        recs(1).get("name").toString == "béta ☃")
+      assert(recs(1).get("ok") == false && recs(1).get("score") == -0.25)
+    }
+  }
+
+  test("our reader walks java-written multi-block files, both codecs") {
+    val js = new org.apache.avro.Schema.Parser().parse(
+      AvroOcf.schemaJson(schema))
+    for (deflate <- Seq(false, true)) {
+      val baos = new java.io.ByteArrayOutputStream
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](js))
+      if (deflate) w.setCodec(CodecFactory.deflateCodec(6))
+      w.create(js, baos)
+      def rec(id: Long, name: String, ok: Boolean, d: Double) = {
+        val r = new GenericData.Record(js)
+        r.put("id", id); r.put("name", name); r.put("ok", ok); r.put("score", d)
+        r
+      }
+      w.append(rec(10L, "first", ok = true, 0.5))
+      w.append(rec(11L, "second", ok = false, -1.0))
+      w.sync() // force a block boundary → multi-block walk
+      w.append(rec(12L, "third ü", ok = true, 42.0))
+      w.close()
+      val got = AvroOcf.rows(baos.toByteArray, schema)
+      assert(got != null, s"deflate=$deflate: java-written file refused")
+      assert(got.numElements() == 3)
+      val r0 = got.getStruct(0, 4)
+      val r2 = got.getStruct(2, 4)
+      assert(r0.getLong(0) == 10L && r0.getUTF8String(1).toString == "first" &&
+        r0.getBoolean(2) && r0.getDouble(3) == 0.5)
+      assert(r2.getLong(0) == 12L &&
+        r2.getUTF8String(1).toString == "third ü" && r2.getDouble(3) == 42.0)
+    }
+  }
+
+  test("round trip through our own pair, empty file, bytes/int fields") {
+    val blob = ours(Seq(row(7L, "", ok = false, 0.0)), "null")
+    val got = AvroOcf.rows(blob, schema)
+    assert(got.numElements() == 1 &&
+      got.getStruct(0, 4).getUTF8String(1).toString == "")
+    // zero records is a legal OCF
+    assert(AvroOcf.rows(ours(Seq.empty, "deflate"), schema).numElements() == 0)
+    // int + bytes subset fields
+    val s2 = StructType(Seq(StructField("n", IntegerType),
+      StructField("payload", BinaryType)))
+    val b2 = AvroOcf.file(new GenericArrayData(Array[Any](
+      new GenericInternalRow(Array[Any](-5, Array[Byte](0, 1, 2, -1))))),
+      s2, "null")
+    val g2 = AvroOcf.rows(b2, s2)
+    assert(g2.getStruct(0, 2).getInt(0) == -5)
+    assert(g2.getStruct(0, 2).getBinary(1).toSeq == Seq[Byte](0, 1, 2, -1))
+  }
+
+  test("refusal matrix: magic, codec, schema mismatch, sync, truncation") {
+    val good = ours(Seq(row(1L, "x", ok = true, 1.0)), "null")
+    def mutate(at: Int, v: Byte): Array[Byte] = {
+      val b = good.clone(); b(at) = v; b
+    }
+    assert(AvroOcf.rows(mutate(0, 'X'), schema) == null, "bad magic")
+    assert(AvroOcf.rows(good.dropRight(1), schema) == null, "truncated")
+    assert(AvroOcf.rows(mutate(good.length - 1, '?'), schema) == null,
+      "block sync mismatch")
+    // wrong schema for the reader
+    val other = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    assert(AvroOcf.rows(good, other) == null, "schema arity mismatch")
+    // unknown codec in metadata: write with a snappy claim
+    val js = new org.apache.avro.Schema.Parser().parse(
+      AvroOcf.schemaJson(schema))
+    val baos = new java.io.ByteArrayOutputStream
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](js))
+    w.setMeta("user.extra", "decoy") // arbitrary extra metadata is fine
+    w.create(js, baos)
+    w.close()
+    assert(AvroOcf.rows(baos.toByteArray, schema) != null,
+      "extra metadata keys must not refuse")
+    assert(AvroOcf.rows(Array[Byte](1, 2, 3), schema) == null)
+  }
+
+  test("schema JSON parsing tolerates namespaces and object-form types") {
+    assert(AvroOcf.parseFields(
+      """{"type":"record","name":"r","namespace":"com.example",
+        |"doc":"x","fields":[
+        |  {"name":"id","type":"long","doc":"pk"},
+        |  {"name":"name","type":{"type":"string","avro.java.string":"String"}},
+        |  {"name":"ok","type":"boolean"},
+        |  {"name":"score","type":"double"}]}""".stripMargin) ==
+      Seq("id" -> "long", "name" -> "string", "ok" -> "boolean",
+        "score" -> "double"))
+  }
+}

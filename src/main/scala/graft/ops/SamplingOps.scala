@@ -166,6 +166,63 @@ object SamplingOps {
       .drop("__src")
   }
 
+  /** UniMax epoch-capped language sampling (Chung et al. 2023) — the
+    * published successor to temperature mixing for multilingual
+    * corpora: instead of a power-law compromise, give every language
+    * an EQUAL share of the row budget, capped at `maxEpochs` passes
+    * over its data (so a tiny language is never repeated into
+    * memorization, and the budget it can't absorb flows to the
+    * remaining languages). The greedy: sources ascending by size
+    * (name-tie-broken), each takes min(maxEpochs·n, remaining budget /
+    * remaining sources).
+    *
+    * The greedy runs on the driver over the per-source count table —
+    * BOUNDED at one row per source (`maxSources` guard fails loudly on
+    * a non-categorical source column), the KMeansOps/pageRank
+    * driver-model posture — in BigInt, so nothing wraps. Sampling is
+    * then the scan-side integer idiom shared with [[mixtureSample]]:
+    * rate_ppm = alloc·10⁶ div n, whole epochs as copies, the
+    * fractional epoch as a salted-hash ppm threshold — every rate an
+    * exact integer a SQL oracle replays (the greedy unrolls as a
+    * recursive CTE).
+    *
+    * Output: input rows (possibly repeated with `copy` = 1..epochs)
+    * plus `src_total`, `alloc_rows`, `rate_ppm`.
+    */
+  def unimaxSample(df: DataFrame, keyCol: Column, srcCol: Column,
+                   budgetRows: Long, maxEpochs: Int, salt: String = "umx:",
+                   maxSources: Int = 10000): DataFrame = {
+    require(budgetRows >= 0, s"negative budget $budgetRows")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(srcCol.as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .limit(maxSources + 1).collect()
+    require(counts.length <= maxSources,
+      s"unimaxSample saw more than $maxSources sources — the source " +
+        "column looks non-categorical; the greedy is a driver-side " +
+        "per-source table by design (raise maxSources deliberately)")
+    val sorted = counts.map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, n) => (n, s) }
+    var rem = BigInt(budgetRows)
+    var left = sorted.length
+    val rates = sorted.map { case (s, n) =>
+      val quota = if (left == 0) BigInt(0) else rem / left
+      val alloc = (BigInt(maxEpochs) * n).min(quota)
+      rem -= alloc
+      left -= 1
+      (s, n, alloc.toLong, (alloc * 1000000 / n).toLong)
+    }.toSeq.toDF("__src", "src_total", "alloc_rows", "rate_ppm")
+    df.join(broadcast(rates), srcCol === col("__src"))
+      .withColumn("__copies", expr("rate_ppm div 1000000") +
+        when(pmod(hash60(keyCol, salt), lit(1000000L)) <
+          col("rate_ppm") % 1000000L, 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__src", "__copies")
+  }
+
   /** LEAKAGE-SAFE train/valid/test assignment: the split key is the
     * registered DOMAIN, not the page — near-duplicate pages from one
     * site (boilerplate, mirrored articles, template families) land in

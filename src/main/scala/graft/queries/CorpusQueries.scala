@@ -537,6 +537,33 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // UNIMAX epoch-capped sampling (SamplingOps.unimaxSample): equal
+    // budget shares per source, capped at 2 epochs, over a skewed
+    // synthetic source split (50/30/10/10) so all three behaviors are
+    // live at once — a small source hitting its full 2-epoch cap
+    // (copies > 1), a mid source on a fractional epoch (ppm
+    // threshold), and the big source square on the quota. Budget =
+    // 4/5 of the corpus so the shape holds at every SF; the oracle
+    // unrolls the greedy as a recursive CTE and replays every rate.
+    "sample_unimax" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // one scalar driver-side job: the budget input, like the greedy
+      // itself a bounded model-table read
+      val budget = docs.count() * 4 / 5
+      val src = when(col("doc_id") % 10 < 5, lit("big"))
+        .when(col("doc_id") % 10 < 8, lit("mid"))
+        .otherwise(concat(lit("s"), (col("doc_id") % 10).cast("string")))
+      graft.ops.SamplingOps.unimaxSample(
+          docs.withColumn("src", src), col("doc_id"), col("src"),
+          budgetRows = budget, maxEpochs = 2)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_kept"),
+          first(col("rate_ppm")).as("rate_ppm"),
+          first(col("alloc_rows")).as("alloc_rows"),
+          first(col("src_total")).as("src_total"))
+        .orderBy(col("src"))
+    }),
+
     // GPT-style training-sequence packing: documents become one token
     // stream per hash shard, cut at 512-token boundaries; the only window
     // is `shards` wide, never global.
@@ -1771,6 +1798,47 @@ object CorpusQueries extends QueryPack {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(min(ppm) AS BIGINT) AS ppm, CAST(min(n) AS BIGINT) AS src_total
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    // the greedy unrolled as a recursive CTE over the size-ordered
+    // source table; whole-epoch copies + the fractional-ppm threshold
+    // replayed per document
+    "sample_unimax" ->
+      """WITH RECURSIVE um_src AS MATERIALIZED (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 5 THEN 'big'
+        |         WHEN doc_id % 10 < 8 THEN 'mid'
+        |         ELSE 's' || CAST(doc_id % 10 AS VARCHAR) END AS src
+        |  FROM documents),
+        |um_cnt AS MATERIALIZED (
+        |  SELECT src, count(*) AS n FROM um_src GROUP BY src),
+        |um_ord AS MATERIALIZED (SELECT src, n,
+        |    CAST(row_number() OVER (ORDER BY n, src) AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS l
+        |  FROM um_cnt),
+        |um_g AS (
+        |  SELECT CAST(0 AS BIGINT) AS i,
+        |    (SELECT CAST(count(*) AS HUGEINT) * 4 // 5 FROM documents)
+        |      AS rem,
+        |    CAST(0 AS HUGEINT) AS alloc, '' AS src, CAST(0 AS BIGINT) AS n
+        |  UNION ALL
+        |  SELECT o.i,
+        |    g.rem - least(CAST(2 AS HUGEINT) * o.n,
+        |      g.rem // (o.l - o.i + 1)),
+        |    least(CAST(2 AS HUGEINT) * o.n, g.rem // (o.l - o.i + 1)),
+        |    o.src, o.n
+        |  FROM um_g g JOIN um_ord o ON o.i = g.i + 1),
+        |um_r AS MATERIALIZED (SELECT src, n, CAST(alloc AS BIGINT) AS alloc,
+        |    CAST(alloc * 1000000 // n AS BIGINT) AS rate_ppm
+        |  FROM um_g WHERE i > 0),
+        |um_k AS (SELECT s.src, r.rate_ppm, r.alloc, r.n,
+        |    (r.rate_ppm // 1000000) +
+        |    CASE WHEN ('0x' || substr(md5('umx:' ||
+        |        CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+        |      < r.rate_ppm % 1000000 THEN 1 ELSE 0 END AS copies
+        |  FROM um_src s JOIN um_r r USING (src))
+        |SELECT src, CAST(sum(copies) AS BIGINT) AS n_kept,
+        |  CAST(min(rate_ppm) AS BIGINT) AS rate_ppm,
+        |  CAST(min(alloc) AS BIGINT) AS alloc_rows,
+        |  CAST(min(n) AS BIGINT) AS src_total
+        |FROM um_k WHERE copies > 0 GROUP BY src ORDER BY src""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

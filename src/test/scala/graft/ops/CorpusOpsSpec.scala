@@ -368,6 +368,38 @@ class CorpusOpsSpec extends SparkSuite {
     assert(copies.length == 2 || copies.length == 3)
   }
 
+  test("unimaxSample: epoch cap, quota flow-down, exact-budget greedy") {
+    import spark.implicits._
+    // tiny=10, mid=30, big=160 rows; budget 100, 2 epochs:
+    //   tiny (first, quota 33): capped at 2·10=20 → rate 2.0
+    //   mid  (quota (100−20)/2=40): capped at 2·30=60? no — 40 < 60 →
+    //        takes 40 of 30 rows → rate 40/30 epochs (ppm 1333333)
+    //   big  (quota 40): 40 of 160 → rate 250000 ppm
+    val df = ((1L to 10L).map((_, "tiny")) ++ (11L to 40L).map((_, "mid")) ++
+      (41L to 200L).map((_, "big"))).toDF("id", "src")
+    val out = SamplingOps.unimaxSample(df, col("id"), col("src"),
+      budgetRows = 100, maxEpochs = 2)
+    val rates = out.select("src", "rate_ppm", "alloc_rows", "src_total")
+      .distinct().as[(String, Long, Long, Long)].collect()
+      .map { case (s, r, a, _) => s -> ((r, a)) }.toMap
+    assert(rates("tiny") == ((2000000L, 20L)), s"got $rates")
+    assert(rates("mid") == ((1333333L, 40L)))
+    assert(rates("big") == ((250000L, 40L)))
+    // every tiny row appears exactly twice (full epochs, no hash part)
+    assert(out.filter(col("src") === "tiny").count() == 20L)
+    assert(out.filter(col("id") === 1L).select("copy").as[Long]
+      .collect().sorted.toList == List(1L, 2L))
+    // determinism
+    val again = SamplingOps.unimaxSample(df, col("id"), col("src"),
+      budgetRows = 100, maxEpochs = 2)
+    assert(out.select("id", "copy").collect().toSet ==
+      again.select("id", "copy").collect().toSet)
+    // budget ≥ maxEpochs·total → everything at the epoch cap
+    val all = SamplingOps.unimaxSample(df, col("id"), col("src"),
+      budgetRows = 1000, maxEpochs = 2)
+    assert(all.count() == 400L)
+  }
+
   test("bloomPrunedSemiJoin is exact and prunes at the scan") {
     import spark.implicits._
     val big = (1L to 2000L).map(i => (i, i % 97)).toDF("k", "v")

@@ -68,6 +68,69 @@ object ImportanceOps {
           .as("log_ratio"))
   }
 
+  /** DoReMi domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining"): the
+    * published mixing method AFTER temperature/UniMax — domain weights
+    * follow an exponentiated-gradient ascent on per-domain EXCESS loss
+    * (proxy minus reference), clipped at zero, averaged over steps,
+    * then smoothed toward uniform. This operator is the update rule on
+    * an arbitrary (step, domain, excess) table; the caller supplies
+    * the losses (the query layer measures them per hash-sharded
+    * minibatch with the real df-capped unigram LM, the paper's
+    * one-loss-batch-per-step shape).
+    *
+    * Determinism: the EG step is LINEARIZED to integer multiplicative
+    * weights — factor = 10⁶ + η_ppm·max(excess, 0) div 10⁶ (first
+    * order in η, the standard hedge variant), normalization and the
+    * final (1−ε)·ᾱ + ε·uniform smoothing all in integer ppm via BigInt
+    * on the driver — so a SQL oracle unrolls every round exactly.
+    *
+    * Scale shape: the loss table is BOUNDED (steps × domains ≤
+    * `maxCells`, guarded loudly); the greedy is a driver-side model
+    * table like [[SamplingOps.unimaxSample]]'s. Output one row per
+    * domain: (domain, avg_weight_ppm, weight_ppm).
+    */
+  def doremiWeights(losses: DataFrame, stepCol: String, domainCol: String,
+                    excessCol: String, etaPpm: Long = 100000L,
+                    smoothPpm: Long = 50000L,
+                    maxCells: Int = 100000): DataFrame = {
+    require(etaPpm >= 0 && smoothPpm >= 0 && smoothPpm <= 1000000L)
+    val spark = losses.sparkSession
+    import spark.implicits._
+    val rows = losses
+      .select(col(stepCol).cast("long"), col(domainCol).cast("string"),
+        col(excessCol).cast("long"))
+      .limit(maxCells + 1).collect()
+    require(rows.length <= maxCells,
+      s"doremiWeights saw more than $maxCells (step, domain) cells — " +
+        "the update is a driver-side model table by design")
+    val steps = rows.map(_.getLong(0)).distinct.sorted
+    val domains = rows.map(_.getString(1)).distinct.sorted
+    require(domains.nonEmpty, "doremiWeights needs at least one domain")
+    val excess = rows.map(r =>
+      (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val d = domains.length
+    var alpha = domains.map(_ -> BigInt(1000000L / d)).toMap
+    var acc = domains.map(_ -> BigInt(0)).toMap
+    steps.foreach { t =>
+      val upd = domains.map { dom =>
+        val ex = math.max(excess.getOrElse((t, dom), 0L), 0L)
+        dom -> alpha(dom) * (BigInt(1000000) + BigInt(etaPpm) * ex / 1000000)
+      }.toMap
+      val tot = upd.values.sum
+      alpha = domains.map(dom =>
+        dom -> (if (tot == 0) BigInt(0) else upd(dom) * 1000000 / tot)).toMap
+      acc = domains.map(dom => dom -> (acc(dom) + alpha(dom))).toMap
+    }
+    val nSteps = math.max(steps.length, 1)
+    domains.map { dom =>
+      val avg = acc(dom) / nSteps
+      val w = (BigInt(1000000) - smoothPpm) * avg / 1000000 +
+        BigInt(smoothPpm) / d
+      (dom, avg.toLong, w.toLong)
+    }.toSeq.toDF("domain", "avg_weight_ppm", "weight_ppm")
+  }
+
   /** The selection step: importance-weighted top slice — keep documents
     * whose log_ratio clears `minLogRatio` (the paper resamples
     * proportionally to the weights; a threshold is the deterministic,

@@ -564,6 +564,43 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("src"))
     }),
 
+    // DOREMI domain reweighting (ImportanceOps.doremiWeights): the
+    // published exponentiated-gradient mixing method, linearized to
+    // integer multiplicative weights. Excess losses are MEASURED, not
+    // synthesized: per (hash-shard step, lang), the integer mean
+    // micro-surprisal under the corpus's own df-capped unigram LM
+    // (quantize-then-truncating-mean, the Min-K% idiom) minus the
+    // SHARD's all-domain mean (the reference-model stand-in: excess
+    // over the mixture, so hard domains sit positive and easy ones
+    // clip at zero) — four minibatch steps, weights averaged then
+    // smoothed toward uniform. The oracle replays the LM, the shards,
+    // and every EG round in HUGEINT.
+    "sample_doremi_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(graft.ops.TextOps.tokens(col("text"))).as("t"))
+      val totals = tok.agg(count(lit(1)).as("__n"),
+        count_distinct(col("t")).as("__v"))
+      val lm = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t").asc).limit(65536)
+      val scored = tok.join(broadcast(lm), Seq("t"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("__ms", floor(log((col("__n") + col("__v")).cast("double")
+          / (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double")) * 1e6
+          + lit(0.5)).cast("long"))
+        .withColumn("__step",
+          pmod(graft.ops.SamplingOps.hash60(col("doc_id"), "drm:"), lit(4L)))
+      val perLang = scored.groupBy(col("__step").as("step"), col("lang"))
+        .agg(expr("sum(__ms) div count(1)").as("__mean"))
+      val perStep = scored.groupBy(col("__step").as("step"))
+        .agg(expr("sum(__ms) div count(1)").as("__ref"))
+      val ex = perLang.join(broadcast(perStep), "step")
+        .withColumn("excess_micro", col("__mean") - col("__ref"))
+      graft.ops.ImportanceOps.doremiWeights(ex, "step", "lang",
+          "excess_micro", etaPpm = 1000000L)
+        .orderBy(col("domain"))
+    }),
+
     // GPT-style training-sequence packing: documents become one token
     // stream per hash shard, cut at 512-token boundaries; the only window
     // is `shards` wide, never global.
@@ -1798,6 +1835,58 @@ object CorpusQueries extends QueryPack {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(min(ppm) AS BIGINT) AS ppm, CAST(min(n) AS BIGINT) AS src_total
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    // the LM, the milli-quantized surprisals, the hash shards, and all
+    // four EG rounds replayed in HUGEINT — weights match the driver's
+    // BigInt loop bit-for-bit
+    "sample_doremi_weights" -> {
+      val rounds = (1 to 4).map { t =>
+        s"""u$t AS (SELECT p.lang,
+           |    p.w * (1000000 + 1000000 * greatest(coalesce(e.ex, 0), 0)
+           |      // 1000000) AS uw
+           |  FROM w${t - 1} p LEFT JOIN drm_ex e
+           |    ON e.lang = p.lang AND e.step = ${t - 1}),
+           |w$t AS MATERIALIZED (SELECT lang,
+           |    uw * 1000000 // (SELECT sum(uw) FROM u$t) AS w FROM u$t)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH drm_tok AS MATERIALIZED (SELECT doc_id, lang,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |  FROM documents),
+         |drm_tot AS MATERIALIZED (SELECT count(*) AS n,
+         |    count(DISTINCT t) AS v FROM drm_tok),
+         |drm_lm AS MATERIALIZED (SELECT t, c FROM (
+         |    SELECT t, count(*) AS c,
+         |      row_number() OVER (ORDER BY count(*) DESC, t ASC) AS rn
+         |    FROM drm_tok GROUP BY t) q WHERE rn <= 65536),
+         |drm_ms AS MATERIALIZED (SELECT k.doc_id, k.lang,
+         |    ('0x' || substr(md5('drm:' || CAST(k.doc_id AS VARCHAR)), 1, 15))
+         |      ::BIGINT % 4 AS step,
+         |    CAST(floor(ln(CAST(tot.n + tot.v AS DOUBLE)
+         |      / (coalesce(lm.c, 0) + 1)) * 1e6 + 0.5) AS BIGINT) AS ms
+         |  FROM drm_tok k LEFT JOIN drm_lm lm USING (t), drm_tot tot),
+         |drm_pl AS MATERIALIZED (SELECT step, lang,
+         |    CAST(sum(ms) AS BIGINT) // count(*) AS m
+         |  FROM drm_ms GROUP BY step, lang),
+         |drm_ref AS MATERIALIZED (SELECT step,
+         |    CAST(sum(ms) AS BIGINT) // count(*) AS r
+         |  FROM drm_ms GROUP BY step),
+         |drm_ex AS MATERIALIZED (SELECT p.step, p.lang, p.m - f.r AS ex
+         |  FROM drm_pl p JOIN drm_ref f USING (step)),
+         |drm_dom AS MATERIALIZED (SELECT DISTINCT lang FROM drm_ex),
+         |drm_d AS (SELECT CAST(count(*) AS BIGINT) AS d FROM drm_dom),
+         |w0 AS MATERIALIZED (SELECT lang, CAST(1000000 // d AS HUGEINT) AS w
+         |  FROM drm_dom, drm_d),
+         |$rounds,
+         |avgw AS (SELECT w1.lang,
+         |    (w1.w + w2.w + w3.w + w4.w) // 4 AS avg
+         |  FROM w1 JOIN w2 USING (lang) JOIN w3 USING (lang)
+         |    JOIN w4 USING (lang))
+         |SELECT a.lang AS domain, CAST(avg AS BIGINT) AS avg_weight_ppm,
+         |  CAST((1000000 - 50000) * avg // 1000000 + 50000 // d AS BIGINT)
+         |    AS weight_ppm
+         |FROM avgw a, drm_d ORDER BY domain""".stripMargin
+    },
+
     // the greedy unrolled as a recursive CTE over the size-ordered
     // source table; whole-epoch copies + the fractional-ppm threshold
     // replayed per document

@@ -368,6 +368,36 @@ class CorpusOpsSpec extends SparkSuite {
     assert(copies.length == 2 || copies.length == 3)
   }
 
+  test("doremiWeights: EG hand-trace, zero-clip, smoothing identity") {
+    import spark.implicits._
+    // all excess ≤ 0 → every factor is 1, weights stay uniform, and
+    // the (1−ε)·ᾱ + ε/D smoothing maps 500000 to itself
+    val flat = Seq((0L, "a", -3L), (0L, "b", 0L), (1L, "a", -1L))
+      .toDF("step", "dom", "ex")
+    val fw = ImportanceOps.doremiWeights(flat, "step", "dom", "ex")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(fw == Map("a" -> ((500000L, 500000L)),
+      "b" -> ((500000L, 500000L))), s"got $fw")
+    // one positive-excess step at η=1: factor 2 for a → α = 2/3 vs 1/3,
+    // then smoothing 0.95·ᾱ + 0.05/2 exactly
+    val oneUp = Seq((0L, "a", 1000000L), (0L, "b", -5L))
+      .toDF("step", "dom", "ex")
+    val w = ImportanceOps.doremiWeights(oneUp, "step", "dom", "ex",
+        etaPpm = 1000000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(w("a") == ((666666L, 658332L)), s"got $w")
+    assert(w("b") == ((333333L, 341666L)))
+    // a missing (step, domain) cell reads as zero excess
+    val sparse = Seq((0L, "a", 1000000L), (1L, "b", -1L))
+      .toDF("step", "dom", "ex")
+    val sw = ImportanceOps.doremiWeights(sparse, "step", "dom", "ex",
+        etaPpm = 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sw("a") > sw("b"), s"got $sw")
+  }
+
   test("unimaxSample: epoch cap, quota flow-down, exact-budget greedy") {
     import spark.implicits._
     // tiny=10, mid=30, big=160 rows; budget 100, 2 epochs:

@@ -43,4 +43,59 @@ object PackingOps {
         pmod(col("__start"), lit(budget)).as("pack_offset"),
         col("__n").as("n_tokens"))
   }
+
+  /** NO-SPLIT sequence packing by sorted-fold pairing — the
+    * document-boundary-respecting layout the truncation-averse packing
+    * line advocates (concatenate-then-chunk splits documents across
+    * examples; attention across the cut is noise): at most TWO
+    * sequences share a pack, documents longer than `budget` are capped
+    * and flagged, and pairing is the fold heuristic on the
+    * length-sorted order — rank r (length desc, id asc) pairs with
+    * rank N−1−r when the two fit a budget together, so long documents
+    * take the shortest partners and mid-length documents pair among
+    * themselves. Chosen over best-fit-decreasing deliberately: the
+    * fold is ONE window + one rank-keyed self-join — fully
+    * deterministic, fully SQL-replayable — where true BFD is a
+    * sequential bin state no engine parallelizes.
+    *
+    * Scale shape: same sharding contract as [[packTokenStream]] — the
+    * sort exists only INSIDE a shard (window partitioned `shards`
+    * wide), the partner lookup is an equi-join on (shard, rank), and
+    * pack ids are globally unique (`shard·2⁴⁰ + pair rank`).
+    *
+    * Output per document: (idCol, shard, pack_id, slot ∈ 0|1,
+    * n_tokens capped, truncated, pack_tokens).
+    */
+  def packFoldPairs(df: DataFrame, idCol: String, tokenCountCol: String,
+                    budget: Long, shards: Int = 64,
+                    salt: String = "pfp:"): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val sharded = df.select(col(idCol),
+      least(col(tokenCountCol).cast("long"), lit(budget)).as("__n"),
+      (col(tokenCountCol).cast("long") > budget).as("truncated"),
+      pmod(SamplingOps.hash60(col(idCol), salt), lit(shards.toLong))
+        .as("shard"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__n").desc, col(idCol).asc)
+    val ranked = sharded
+      .withColumn("__r", row_number().over(w).cast("long") - 1L)
+      .withColumn("__sz",
+        count(lit(1)).over(Window.partitionBy(col("shard"))))
+    val partners = ranked.select(col("shard").as("__ps"),
+      col("__r").as("__pr"), col("__n").as("__pn"))
+    ranked
+      .join(partners, col("shard") === col("__ps") &&
+        col("__pr") === col("__sz") - 1L - col("__r"), "left")
+      .withColumn("__pair", col("__pr") =!= col("__r") &&
+        col("__n") + col("__pn") <= budget)
+      .select(col(idCol), col("shard"),
+        (col("shard") * lit(1L << 40) +
+          when(col("__pair"), least(col("__r"), col("__pr")))
+            .otherwise(col("__r"))).as("pack_id"),
+        when(col("__pair") && col("__r") > col("__pr"), 1L).otherwise(0L)
+          .as("slot"),
+        col("__n").as("n_tokens"), col("truncated"),
+        when(col("__pair"), col("__n") + col("__pn")).otherwise(col("__n"))
+          .as("pack_tokens"))
+  }
 }

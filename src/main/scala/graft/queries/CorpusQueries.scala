@@ -612,6 +612,20 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // NO-SPLIT packing by sorted-fold pairing (PackingOps.packFoldPairs):
+    // at most two sequences per pack, budget-capped lengths flagged
+    // truncated, rank r pairing with rank N−1−r per shard — the
+    // document-boundary-respecting layout next to pack_sequences'
+    // concatenate-then-chunk. Budget 96 against 10..99-token docs keeps
+    // all three outcomes live (pairs, unpaired mids, truncations).
+    "pack_fold_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("n_tok",
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      graft.ops.PackingOps.packFoldPairs(docs, "doc_id", "n_tok",
+          budget = 96, shards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF + PRODUCT quantization: per-subspace codebooks, corpus stored as
     // m integer codes (64 floats -> 4 codes), per-query ADC lookup table,
     // cluster-restricted candidate join, exact rerank on the shortlist.
@@ -1928,6 +1942,35 @@ object CorpusQueries extends QueryPack {
         |  CAST(min(alloc) AS BIGINT) AS alloc_rows,
         |  CAST(min(n) AS BIGINT) AS src_total
         |FROM um_k WHERE copies > 0 GROUP BY src ORDER BY src""".stripMargin,
+    // window + rank-keyed self-join replay of the fold pairing; the
+    // symmetric fits-condition decides pair membership on both sides
+    "pack_fold_pairs" ->
+      """WITH pf_t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+        |      AS raw,
+        |    ('0x' || substr(md5('pfp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 8 AS shard
+        |  FROM documents),
+        |pf_c AS (SELECT doc_id, shard, least(raw, 96) AS n,
+        |    raw > 96 AS truncated FROM pf_t),
+        |pf_r AS (SELECT doc_id, shard, n, truncated,
+        |    CAST(row_number() OVER (PARTITION BY shard
+        |      ORDER BY n DESC, doc_id ASC) AS BIGINT) - 1 AS r,
+        |    CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS sz
+        |  FROM pf_c),
+        |pf_j AS (SELECT a.doc_id, a.shard, a.n, a.truncated, a.r,
+        |    b.n AS pn, b.r AS pr
+        |  FROM pf_r a LEFT JOIN pf_r b
+        |    ON b.shard = a.shard AND b.r = a.sz - 1 - a.r)
+        |SELECT doc_id, shard,
+        |  shard * 1099511627776 + CASE WHEN pr <> r AND n + pn <= 96
+        |    THEN least(r, pr) ELSE r END AS pack_id,
+        |  CAST(CASE WHEN pr <> r AND n + pn <= 96 AND r > pr
+        |    THEN 1 ELSE 0 END AS BIGINT) AS slot,
+        |  n AS n_tokens, truncated,
+        |  CASE WHEN pr <> r AND n + pn <= 96 THEN n + pn ELSE n END
+        |    AS pack_tokens
+        |FROM pf_j ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

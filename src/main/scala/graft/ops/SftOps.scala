@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Instruction-tuning (SFT) data assembly — the last mile between a
+  * curated corpus and a fine-tuning run: multi-turn conversations are
+  * rendered through a ChatML-style template
+  * (`<|im_start|>role\ntext\n<|im_end|>\n` per turn), laid out as one
+  * token stream per conversation, and annotated with the
+  * assistant-only LOSS MASK every SFT trainer needs (the model learns
+  * to produce assistant turns, not to parrot prompts).
+  *
+  * Token accounting is exact by construction: turn text must be
+  * single-spaced (the caller normalizes — the engine's ptoks
+  * convention), so the rendered conversation's whitespace tokens are
+  * precisely `wordcount(text) + 2` per turn (the glued
+  * `<|im_start|>role` header and `<|im_end|>` trailer are one token
+  * each). Offsets, masks and totals are therefore all integers a SQL
+  * oracle replays.
+  */
+object SftOps {
+
+  /** Per-turn layout of each conversation: token start offset, length,
+    * trainable-token count (assistant content + end marker — the role
+    * header is never trained on), conversation totals, and the md5 of
+    * the fully rendered conversation (the reassembly certificate).
+    * Conversations over `maxTokens` are DROPPED whole (the
+    * deterministic alternative to tail truncation; a split
+    * conversation teaches the model to answer without its context).
+    *
+    * Scale shape: one window partitioned by conversation (bounded
+    * partitions — a conversation is turns, not a corpus) + one
+    * per-conversation aggregate; no global sort.
+    */
+  def assembleChat(turns: DataFrame, convCol: String, turnCol: String,
+                   roleCol: String, textCol: String,
+                   maxTokens: Long): DataFrame = {
+    require(maxTokens > 0)
+    val wc = when(col(textCol) === "", 0L)
+      .otherwise(size(split(col(textCol), "\\s+")).cast("long"))
+    val seg = concat(lit("<|im_start|>"), col(roleCol), lit("\n"),
+      col(textCol), lit("\n<|im_end|>\n"))
+    val base = turns
+      .select(col(convCol), col(turnCol), col(roleCol), col(textCol))
+      .withColumn("__nt", wc + 2L)
+      .withColumn("__seg", seg)
+    val w = Window.partitionBy(col(convCol)).orderBy(col(turnCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.withColumn("start_tok",
+      coalesce(sum(col("__nt")).over(w), lit(0L)))
+    val conv = base.groupBy(col(convCol)).agg(
+      sum(col("__nt")).as("conv_tokens"),
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col(turnCol), col("__seg")))),
+        s => s.getField("__seg")), "").cast("binary")).as("rendered_md5"))
+    offs.join(conv, Seq(convCol))
+      .filter(col("conv_tokens") <= maxTokens)
+      .select(col(convCol), col(turnCol), col(roleCol).as("role"),
+        col("start_tok"), col("__nt").as("n_tok"),
+        when(col(roleCol) === "assistant", col("__nt") - 1L).otherwise(0L)
+          .as("n_trainable"),
+        col("conv_tokens"), col("rendered_md5"))
+  }
+}

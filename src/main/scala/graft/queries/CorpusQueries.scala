@@ -612,6 +612,30 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // SFT CHAT ASSEMBLY (SftOps.assembleChat): four-doc conversations
+    // (system/user/assistant/user by doc_id%4) rendered through the
+    // ChatML-style template with exact whitespace-token accounting —
+    // per-turn start offsets, assistant-only loss-mask counts, and the
+    // md5 of the fully rendered conversation; conversations over the
+    // token cap drop whole. The oracle replays the template, the
+    // offsets, the mask rule, and the reassembly hash closed-form.
+    "sft_chat_pack" -> ((s, dir) => {
+      val ptoks = trim(regexp_replace(regexp_replace(
+        expr("array_join(slice(__toks, 1, CAST(6 + doc_id % 9 AS INT)), ' ')"),
+        "[^a-z0-9 ]", ""), "\\s+", " "))
+      val turns = Tables.documents(s, dir)
+        .withColumn("__toks", graft.ops.TextOps.tokens(col("text")))
+        .select(expr("doc_id div 4").as("conv_id"),
+          (col("doc_id") % 4).as("turn_idx"),
+          when(col("doc_id") % 4 === 0, "system")
+            .when(col("doc_id") % 2 === 1, "user")
+            .otherwise("assistant").as("role"),
+          ptoks.as("txt"))
+      graft.ops.SftOps.assembleChat(turns, "conv_id", "turn_idx", "role",
+          "txt", maxTokens = 48)
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
     // NO-SPLIT packing by sorted-fold pairing (PackingOps.packFoldPairs):
     // at most two sequences per pack, budget-capped lengths flagged
     // truncated, rank r pairing with rank N−1−r per shard — the
@@ -1942,6 +1966,44 @@ object CorpusQueries extends QueryPack {
         |  CAST(min(alloc) AS BIGINT) AS alloc_rows,
         |  CAST(min(n) AS BIGINT) AS src_total
         |FROM um_k WHERE copies > 0 GROUP BY src ORDER BY src""".stripMargin,
+    // the ChatML render, the token accounting (wordcount+2 per turn),
+    // offsets, assistant mask, and the per-conversation reassembly md5
+    // all replayed closed-form
+    "sft_chat_pack" ->
+      """WITH sf_t AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'system'
+        |         WHEN doc_id % 2 = 1 THEN 'user'
+        |         ELSE 'assistant' END AS role,
+        |    trim(regexp_replace(regexp_replace(
+        |      array_to_string(
+        |        (string_split_regex(lower(trim(text)), '\s+'))
+        |          [1:CAST(6 + doc_id % 9 AS INTEGER)], ' '),
+        |      '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS txt
+        |  FROM documents),
+        |sf_n AS (SELECT conv_id, turn_idx, role, txt,
+        |    CASE WHEN txt = '' THEN 0
+        |      ELSE len(string_split_regex(txt, '\s+')) END + 2 AS nt,
+        |    '<|im_start|>' || role || chr(10) || txt || chr(10) ||
+        |      '<|im_end|>' || chr(10) AS seg
+        |  FROM sf_t),
+        |sf_o AS (SELECT conv_id, turn_idx, role, nt,
+        |    CAST(coalesce(sum(nt) OVER (PARTITION BY conv_id
+        |      ORDER BY turn_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_tok
+        |  FROM sf_n),
+        |sf_c AS (SELECT conv_id, CAST(sum(nt) AS BIGINT) AS conv_tokens,
+        |    md5(string_agg(seg, '' ORDER BY turn_idx)) AS rendered_md5
+        |  FROM sf_n GROUP BY conv_id)
+        |SELECT o.conv_id, o.turn_idx, o.role, o.start_tok,
+        |  CAST(o.nt AS BIGINT) AS n_tok,
+        |  CAST(CASE WHEN o.role = 'assistant' THEN o.nt - 1 ELSE 0 END
+        |    AS BIGINT) AS n_trainable,
+        |  c.conv_tokens, c.rendered_md5
+        |FROM sf_o o JOIN sf_c c USING (conv_id)
+        |WHERE c.conv_tokens <= 48
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+
     // window + rank-keyed self-join replay of the fold pairing; the
     // symmetric fits-condition decides pair membership on both sides
     "pack_fold_pairs" ->

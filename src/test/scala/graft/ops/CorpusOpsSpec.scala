@@ -368,6 +368,40 @@ class CorpusOpsSpec extends SparkSuite {
     assert(copies.length == 2 || copies.length == 3)
   }
 
+  test("assembleChat: offsets, assistant mask, empty turn, whole-drop") {
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 0L, "system", "be helpful"),
+      (1L, 1L, "user", ""),                    // empty content: 2 tokens
+      (1L, 2L, "assistant", "sure thing boss"),
+      (2L, 0L, "user", "a b c d e f g h i j")) // 12 tokens > cap 10
+      .toDF("conv", "t", "role", "txt")
+    val out = SftOps.assembleChat(turns, "conv", "t", "role", "txt",
+      maxTokens = 10).orderBy("conv", "t").collect()
+    // conv 2 (12 tokens) dropped whole; conv 1 = 4 + 2 + 5 = 11 > 10?
+    // be helpful → 2+2=4; "" → 0+2=2; sure thing boss → 3+2=5 = 11 → also
+    // dropped! raise the check data: cap 11 keeps conv 1 exactly
+    assert(out.isEmpty)
+    val kept = SftOps.assembleChat(turns, "conv", "t", "role", "txt",
+      maxTokens = 11).orderBy("conv", "t").collect()
+    assert(kept.length == 3 && kept.forall(_.getLong(0) == 1L))
+    assert(kept.map(_.getAs[Long]("start_tok")).toSeq == Seq(0L, 4L, 6L))
+    assert(kept.map(_.getAs[Long]("n_tok")).toSeq == Seq(4L, 2L, 5L))
+    assert(kept.map(_.getAs[Long]("n_trainable")).toSeq == Seq(0L, 0L, 4L),
+      "only the assistant turn trains, minus its role-header token")
+    assert(kept.forall(_.getAs[Long]("conv_tokens") == 11L))
+    // the rendered string is exactly the ChatML concatenation
+    val expect = "<|im_start|>system\nbe helpful\n<|im_end|>\n" +
+      "<|im_start|>user\n\n<|im_end|>\n" +
+      "<|im_start|>assistant\nsure thing boss\n<|im_end|>\n"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expect.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(kept.forall(_.getAs[String]("rendered_md5") == md))
+    // token-accounting identity: whitespace tokens of the render ==
+    // conv_tokens (the contract the offsets stand on)
+    assert(expect.trim.split("\\s+").length == 11)
+  }
+
   test("doremiWeights: EG hand-trace, zero-clip, smoothing identity") {
     import spark.implicits._
     // all excess ≤ 0 → every factor is 1, weights stay uniform, and

@@ -63,4 +63,44 @@ object SftOps {
           .as("n_trainable"),
         col("conv_tokens"), col("rendered_md5"))
   }
+
+  /** PREFERENCE-PAIR mining for reward-model / DPO bootstrapping: per
+    * hash bucket, the best-scoring document becomes `chosen` and the
+    * worst `rejected`, with the integer score margin — the
+    * quality-signal-to-preference-data step published pipelines use to
+    * seed a reward model before human labels exist. Tie-breaks are
+    * OPPOSED on purpose (best: score desc + id ASC; worst: score asc +
+    * id DESC), so an all-tied bucket still yields a deterministic,
+    * distinct pair; single-document buckets drop.
+    *
+    * Scale shape: two rank-1 windows partitioned by the hash bucket —
+    * partitions are corpus/buckets-sized by construction (pick buckets
+    * ≈ pairs wanted), and rank-1 selection bounds each partition's
+    * output at one row.
+    */
+  def preferencePairs(scored: DataFrame, idCol: String, scoreCol: String,
+                      buckets: Int, salt: String = "pref:"): DataFrame = {
+    require(buckets > 0)
+    val based = scored.select(col(idCol),
+      col(scoreCol).cast("long").as("__q"),
+      pmod(SamplingOps.hash60(col(idCol), salt), lit(buckets.toLong))
+        .as("bucket"))
+    val wTop = Window.partitionBy(col("bucket"))
+      .orderBy(col("__q").desc, col(idCol).asc)
+    val wBot = Window.partitionBy(col("bucket"))
+      .orderBy(col("__q").asc, col(idCol).desc)
+    val ranked = based
+      .withColumn("__rt", row_number().over(wTop))
+      .withColumn("__rb", row_number().over(wBot))
+    val top = ranked.filter(col("__rt") === 1)
+      .select(col("bucket"), col(idCol).as("chosen_id"),
+        col("__q").as("__qc"))
+    val bot = ranked.filter(col("__rb") === 1)
+      .select(col("bucket"), col(idCol).as("rejected_id"),
+        col("__q").as("__qr"))
+    top.join(bot, "bucket")
+      .filter(col("chosen_id") =!= col("rejected_id"))
+      .select(col("bucket"), col("chosen_id"), col("rejected_id"),
+        (col("__qc") - col("__qr")).as("margin"))
+  }
 }

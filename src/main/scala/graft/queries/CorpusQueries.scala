@@ -612,6 +612,22 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // PREFERENCE-PAIR mining (SftOps.preferencePairs): per hash bucket,
+    // best-vs-worst by the integer distinct-token-ratio quality score
+    // (e4 units, truncating div) — the quality-signal-to-preference-
+    // data step that seeds a reward model before human labels exist.
+    // Opposed tie-breaks make all-tied buckets deterministic; the
+    // oracle replays both rank-1 windows and every margin.
+    "rlhf_pref_pairs" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .withColumn("__t", graft.ops.TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          expr("CAST(size(array_distinct(__t)) AS BIGINT) * 10000" +
+            " div size(__t)").as("q"))
+      graft.ops.SftOps.preferencePairs(scored, "doc_id", "q", buckets = 40)
+        .orderBy(col("bucket"))
+    }),
+
     // SFT CHAT ASSEMBLY (SftOps.assembleChat): four-doc conversations
     // (system/user/assistant/user by doc_id%4) rendered through the
     // ChatML-style template with exact whitespace-token accounting —
@@ -1966,6 +1982,33 @@ object CorpusQueries extends QueryPack {
         |  CAST(min(alloc) AS BIGINT) AS alloc_rows,
         |  CAST(min(n) AS BIGINT) AS src_total
         |FROM um_k WHERE copies > 0 GROUP BY src ORDER BY src""".stripMargin,
+    // both rank-1 windows (opposed tie-breaks) + the e4 quality score
+    // replayed; single-doc buckets drop on the chosen<>rejected filter
+    "rlhf_pref_pairs" ->
+      """WITH pp_q AS (SELECT doc_id,
+        |    CAST(len(list_distinct(
+        |      string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+        |      * 10000 // len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS q,
+        |    ('0x' || substr(md5('pref:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 40 AS bucket
+        |  FROM documents),
+        |pp_r AS (SELECT doc_id, q, bucket,
+        |    row_number() OVER (PARTITION BY bucket
+        |      ORDER BY q DESC, doc_id ASC) AS rt,
+        |    row_number() OVER (PARTITION BY bucket
+        |      ORDER BY q ASC, doc_id DESC) AS rb
+        |  FROM pp_q),
+        |pp_t AS (SELECT bucket, doc_id AS chosen_id, q AS qc
+        |  FROM pp_r WHERE rt = 1),
+        |pp_b AS (SELECT bucket, doc_id AS rejected_id, q AS qr
+        |  FROM pp_r WHERE rb = 1)
+        |SELECT t.bucket, t.chosen_id, b.rejected_id,
+        |  CAST(t.qc - b.qr AS BIGINT) AS margin
+        |FROM pp_t t JOIN pp_b b USING (bucket)
+        |WHERE t.chosen_id <> b.rejected_id
+        |ORDER BY bucket""".stripMargin,
+
     // the ChatML render, the token accounting (wordcount+2 per turn),
     // offsets, assistant mask, and the per-conversation reassembly md5
     // all replayed closed-form

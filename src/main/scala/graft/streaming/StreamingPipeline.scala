@@ -379,8 +379,8 @@ object StreamingPipeline {
   /** Streaming FORMAT-DISPATCH ingestion — [[crawlStream]] widened to
     * the multi-format first mile: as mixed segments land, each record's
     * HTTP Content-Type routes its body to the right extractor
-    * (html_to_text / pdf_text / docx_text — the
-    * `web_doc_formats_e2e` dispatch, streaming). STATELESS like
+    * (html_to_text / pdf_text / docx_text / xlsx_text / pptx_text —
+    * the `web_doc_formats_e2e` dispatch, streaming). STATELESS like
     * [[crawlStream]] (projections + one explode, no watermark), so
     * append mode runs the EXACT batch operators and per-file
     * batch/stream parity is definitional; state never grows with the
@@ -401,11 +401,15 @@ object StreamingPipeline {
       .withColumn("fmt",
         when(col("ct").contains("text/html"), "html")
           .when(col("ct") === "application/pdf", "pdf")
+          .when(col("ct").contains("spreadsheetml"), "xlsx")
+          .when(col("ct").contains("presentationml"), "pptx")
           .otherwise("docx"))
       .withColumn("doc_text",
         when(col("fmt") === "html",
           call_function("html_to_text", col("body").cast("string")))
           .when(col("fmt") === "pdf", call_function("pdf_text", col("body")))
+          .when(col("fmt") === "xlsx", call_function("xlsx_text", col("body")))
+          .when(col("fmt") === "pptx", call_function("pptx_text", col("body")))
           .otherwise(call_function("docx_text", col("body"))))
       .select(col("uri"), col("fmt"), col("doc_text"))
   }

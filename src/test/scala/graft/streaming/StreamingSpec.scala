@@ -427,30 +427,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("format-dispatch stream: html/pdf/docx route to their extractors incrementally") {
+  test("format-dispatch stream: html/pdf/docx/xlsx/pptx route incrementally") {
     import spark.implicits._
     import graft.ops.WebOps
     graft.functions.PdfText.register(spark)
     graft.functions.ZipDocx.register(spark)
     val dir = java.nio.file.Files.createTempDirectory("fmt_in_")
-    val docs = (0L until 6L).map(i => (i, s"dispatch body $i words"))
+    val docs = (0L until 10L).map(i => (i, s"dispatch body $i words"))
       .toDF("doc_id", "text")
-    val m = col("doc_id") % 3
+    val m = col("doc_id") % 5
+    val oox = "application/vnd.openxmlformats-officedocument"
     val ctype = when(m === 0, lit("text/html; charset=utf-8"))
       .when(m === 1, lit("application/pdf"))
-      .otherwise(lit("application/vnd.openxmlformats-officedocument" +
-        ".wordprocessingml.document"))
+      .when(m === 2, lit(s"$oox.wordprocessingml.document"))
+      .when(m === 3, lit(s"$oox.spreadsheetml.sheet"))
+      .otherwise(lit(s"$oox.presentationml.presentation"))
     val body = when(m === 0,
         org.apache.spark.sql.functions.concat(lit("<html><body><p>"),
           col("text"), lit("</p></body></html>")).cast("binary"))
       .when(m === 1, call_function("pdf_doc", col("text").cast("binary")))
-      .otherwise(call_function("docx_doc", col("text").cast("binary")))
+      .when(m === 2, call_function("docx_doc", col("text").cast("binary")))
+      .when(m === 3, call_function("xlsx_doc", col("text").cast("binary")))
+      .otherwise(call_function("pptx_doc", col("text").cast("binary")))
     val recs = docs.select(col("doc_id"),
       WebOps.buildBinaryRecord(col("doc_id"),
         org.apache.spark.sql.functions.concat(
           lit("https://h.example.com/doc/"), col("doc_id").cast("string")),
         body, ctype).as("rec"))
-    val blobs = WebOps.buildCrawlFiles(recs, col("doc_id"), col("rec"), perFile = 3)
+    val blobs = WebOps.buildCrawlFiles(recs, col("doc_id"), col("rec"), perFile = 5)
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("blob")).toMap
     java.nio.file.Files.write(dir.resolve("seg0.warc.gz"), blobs(0L))
 
@@ -459,14 +463,15 @@ class StreamingSpec extends SparkSuite {
       .outputMode(OutputMode.Append).start()
     try {
       q.processAllAvailable()
-      assert(spark.table("fmt_out").count() == 3)
+      assert(spark.table("fmt_out").count() == 5)
       java.nio.file.Files.write(dir.resolve("seg1.warc.gz"), blobs(1L))
       q.processAllAvailable()
       val rows = spark.table("fmt_out")
         .select(col("fmt"), col("doc_text")).as[(String, String)]
         .collect().toSet
-      assert(rows == (0 until 6).map { i =>
-        (Seq("html", "pdf", "docx")(i % 3), s"dispatch body $i words")
+      assert(rows == (0 until 10).map { i =>
+        (Seq("html", "pdf", "docx", "xlsx", "pptx")(i % 5),
+          s"dispatch body $i words")
       }.toSet)
     } finally q.stop()
   }

@@ -122,6 +122,31 @@ class PlanAuditSpec extends SparkSuite {
         "(candidates are cut to the cluster before any top-k state)")
   }
 
+  test("new layout/mixing ops: every window carries its partition key") {
+    // (query, required substring of each windowspecdefinition line)
+    Seq(
+      "sft_chat_pack" -> "conv_id",     // conversation-partitioned
+      "pack_fold_pairs" -> "shard",     // shard-partitioned fold
+      "rlhf_pref_pairs" -> "bucket")    // hash-bucket rank-1 windows
+      .foreach { case (q, key) =>
+        val p = planOf(q)
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"), s"$q plans all-pairs")
+        val winSpecs =
+          p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+        assert(winSpecs.nonEmpty, s"$q lost its window")
+        winSpecs.foreach(l => assert(l.contains(key),
+          s"$q window lost its $key partitioning: $l"))
+      }
+    // doremi: the loss table is tiny; the corpus-side joins must all be
+    // broadcast (LM + totals), never a shuffled corpus-by-corpus join
+    val p = planOf("sample_doremi_weights")
+    assert(!p.contains("CartesianProduct") || p.contains("Broadcast"),
+      "doremi lost its broadcast posture")
+    assert(!p.contains("SortMergeJoin"),
+      "doremi shuffled a corpus-sized join; model tables must broadcast")
+  }
+
   test("maxsim: cluster equi-join below the shortlist agg, no doc explode") {
     val p = planOf("retrieval_maxsim")
     assert(!p.contains("CartesianProduct") &&

@@ -377,6 +377,65 @@ object EmbeddingOps {
     takeTopK(rerank, "neighbor_id", k)
   }
 
+  /** MARGIN-based bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix recipe behind every large parallel-corpus release):
+    * a source-language and a target-language embedding side are matched
+    * by the RATIO margin, cos(x,y) over the mean of both points'
+    * k-NN neighborhoods — absolute cosine alone over-selects hubs
+    * (vectors close to everything); the margin demands y be close to x
+    * RELATIVE to everything else either is close to. Forward direction:
+    * best target per source, thresholded.
+    *
+    * Integer determinism: cosines quantize to e4 integers BEFORE any
+    * sum (4dp doubles re-summed in arbitrary order would drift a ulp
+    * across engines), neighborhood sums are integer, and
+    * margin_e4 = cos_e4·2k·10⁴ div (sumNN_x + sumNN_y) — so a SQL
+    * oracle replays every margin exactly. Pairs whose neighborhood sum
+    * is not positive drop (the margin is undefined there).
+    *
+    * Scale shape: candidates are an equi-join on `bucketCol` (IVF
+    * coarse cluster — never all-pairs), materialized ONCE and reused
+    * for both neighborhoods; k-NN sums and the forward argmax are the
+    * bounded [[TopKAgg]] — map-side partials, no corpus window.
+    */
+  def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String,
+                 vecCol: String, bucketCol: String, k: Int = 4,
+                 minMarginE4: Long = 10100L): DataFrame = {
+    require(k > 0)
+    reg(src)
+    val a = src.select(col(bucketCol).as("__b"), col(idCol).as("src_id"),
+      col(vecCol).as("__xv"))
+    val b = tgt.select(col(bucketCol).as("__b"), col(idCol).as("tgt_id"),
+      col(vecCol).as("__yv"))
+    val cand = a.join(b, "__b")
+      .select(col("src_id"), col("tgt_id"),
+        floor(cosine(col("__xv"), col("__yv")) * 1e4 + lit(0.5)).cast("long")
+          .as("cos_e4"))
+      .localCheckpoint(true) // reused three times below
+    val topk = udaf(new TopKAgg(k))
+    def nnSum(key: String, other: String, out: String) = cand
+      .groupBy(col(key))
+      .agg(topk(col("cos_e4").cast("double"), col(other)).as("__t"))
+      .select(col(key),
+        aggregate(transform(col("__t"), s => s.getField("_1")),
+          lit(0.0), (acc, x) => acc + x).cast("long").as(out))
+    val scored = cand
+      .join(nnSum("src_id", "tgt_id", "__nnx"), "src_id")
+      .join(nnSum("tgt_id", "src_id", "__nny"), "tgt_id")
+      .filter(col("__nnx") + col("__nny") > 0)
+      .withColumn("margin_e4",
+        expr(s"cos_e4 * ${2 * k} * 10000 div (__nnx + __nny)"))
+    val top1 = udaf(new TopKAgg(1))
+    scored.groupBy(col("src_id"))
+      .agg(top1(col("margin_e4").cast("double"), col("tgt_id")).as("__m"))
+      .select(col("src_id"),
+        element_at(col("__m"), 1).getField("_2").as("tgt_id"),
+        element_at(col("__m"), 1).getField("_1").cast("long").as("margin_e4"))
+      .filter(col("margin_e4") >= minMarginE4)
+      .join(cand, Seq("src_id", "tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cos_e4"), col("margin_e4"))
+  }
+
   /** LATE-INTERACTION (multi-vector MaxSim) retrieval — the ColBERT
     * scoring shape: query and document are each a BAG of per-token
     * vectors, and score(q, d) = Σ over query tokens of the MAX dot

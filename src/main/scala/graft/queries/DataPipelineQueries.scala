@@ -1044,6 +1044,22 @@ object DataPipelineQueries extends QueryPack {
         .orderBy(col("dim"))
     }),
 
+    // MARGIN-based bitext mining (EmbeddingOps.bitextMine — the
+    // LASER/CCMatrix parallel-corpus recipe): even vec_ids play the
+    // source language, odd the target; candidates restricted to the
+    // IVF label bucket; ratio margin over both points' 4-NN
+    // neighborhoods in exact e4 integers; forward best-match per
+    // source above 1.01. The oracle replays cosines, both
+    // neighborhoods, every margin, and the thresholded argmax.
+    "bitext_mine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      EmbeddingOps.bitextMine(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", "label", k = 4, minMarginE4 = 10100L)
+        .orderBy(col("src_id"))
+    }),
+
     // LATE-INTERACTION retrieval (EmbeddingOps.maxSimTopK — the ColBERT
     // MaxSim shape, the published family between one-vector ANN and
     // full cross-attention): four per-token INTEGER vectors per row,
@@ -2515,6 +2531,43 @@ object DataPipelineQueries extends QueryPack {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "embed_cosine_topk" -> cosineTopkSql(5, "TRUE"),
     "embed_ann_ivf" -> cosineTopkSql(3, "c.label = q.qlabel"),
+    "bitext_mine" ->
+      """WITH bx_s AS (SELECT vec_id AS src_id, label, embedding AS xv
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |bx_t AS (SELECT vec_id AS tgt_id, label, embedding AS yv
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |bx_p AS (SELECT s.src_id, t.tgt_id,
+        |    sum(CAST(s.xv[i] AS DOUBLE) * CAST(t.yv[i] AS DOUBLE)) AS dp,
+        |    sqrt(sum(CAST(s.xv[i] AS DOUBLE) * CAST(s.xv[i] AS DOUBLE)))
+        |      AS xn,
+        |    sqrt(sum(CAST(t.yv[i] AS DOUBLE) * CAST(t.yv[i] AS DOUBLE)))
+        |      AS yn
+        |  FROM bx_s s JOIN bx_t t ON s.label = t.label
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY s.src_id, t.tgt_id),
+        |bx_c AS MATERIALIZED (SELECT src_id, tgt_id,
+        |    CAST(floor((dp / (xn * yn)) * 10000 + 0.5) AS BIGINT) AS cos_e4
+        |  FROM bx_p),
+        |bx_nx AS (SELECT src_id, CAST(sum(cos_e4) AS BIGINT) AS nx FROM (
+        |    SELECT src_id, cos_e4, row_number() OVER (PARTITION BY src_id
+        |      ORDER BY cos_e4 DESC, tgt_id ASC) AS rn FROM bx_c) q
+        |  WHERE rn <= 4 GROUP BY src_id),
+        |bx_ny AS (SELECT tgt_id, CAST(sum(cos_e4) AS BIGINT) AS ny FROM (
+        |    SELECT tgt_id, cos_e4, row_number() OVER (PARTITION BY tgt_id
+        |      ORDER BY cos_e4 DESC, src_id ASC) AS rn FROM bx_c) q
+        |  WHERE rn <= 4 GROUP BY tgt_id),
+        |bx_m AS (SELECT c.src_id, c.tgt_id, c.cos_e4,
+        |    c.cos_e4 * 8 * 10000 // (nx.nx + ny.ny) AS margin_e4
+        |  FROM bx_c c JOIN bx_nx nx USING (src_id)
+        |    JOIN bx_ny ny USING (tgt_id)
+        |  WHERE nx.nx + ny.ny > 0),
+        |bx_f AS (SELECT src_id, tgt_id, cos_e4, margin_e4,
+        |    row_number() OVER (PARTITION BY src_id
+        |      ORDER BY margin_e4 DESC, tgt_id ASC) AS rn
+        |  FROM bx_m)
+        |SELECT src_id, tgt_id, cos_e4, CAST(margin_e4 AS BIGINT) AS margin_e4
+        |FROM bx_f WHERE rn = 1 AND margin_e4 >= 10100
+        |ORDER BY src_id""".stripMargin,
     "retrieval_maxsim" ->
       """WITH mvq AS (SELECT vec_id AS query_id, label AS qlabel, t,
         |    list_transform(range(0, 64), i ->

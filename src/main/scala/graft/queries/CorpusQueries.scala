@@ -612,6 +612,50 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // POST-TRAINING funnel, END TO END: exact dedup (keep-first) →
+    // distinct-token-ratio quality gate → shard-ranked conversation
+    // assembly (user/assistant/user triples over the SURVIVORS) →
+    // ChatML render with assistant-only masks → per-(shard, role)
+    // keep stats. One hash certifies the stage COMPOSITION — dedup
+    // holes, gate holes, rank re-basing, and the token-cap drop all
+    // interact here (the corpus_e2e_* lesson applied to SFT prep).
+    "sft_e2e_prepare" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // stage 1: exact dedup, keep min doc_id per text
+      val keepIds = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      // stage 2: quality gate on the e4 distinct-token ratio
+      val gated = docs.join(keepIds, Seq("doc_id"), "left_semi")
+        .withColumn("__t", graft.ops.TextOps.tokens(col("text")))
+        .withColumn("__q", expr(
+          "CAST(size(array_distinct(__t)) AS BIGINT) * 10000 div size(__t)"))
+        .filter(col("__q") >= 5000L)
+      // stage 3: shard-ranked conversation triples over survivors
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__shard")).orderBy(col("doc_id"))
+      val turns = gated
+        .withColumn("__shard",
+          pmod(graft.ops.SamplingOps.hash60(col("doc_id"), "sfte:"), lit(8L)))
+        .withColumn("__r", row_number().over(w).cast("long") - 1L)
+        .select(
+          (col("__shard") * lit(1L << 20) + expr("__r div 3")).as("conv_id"),
+          col("__shard").as("shard"), (col("__r") % 3).as("turn_idx"),
+          when(col("__r") % 3 === 1, "assistant").otherwise("user").as("role"),
+          trim(regexp_replace(regexp_replace(
+            expr("array_join(slice(__t, 1, CAST(6 + doc_id % 9 AS INT)), ' ')"),
+            "[^a-z0-9 ]", ""), "\\s+", " ")).as("txt"))
+      // stage 4: assembly + cap; stage 5: per-(shard, role) stats
+      // (the shard is recoverable from the conv id by construction)
+      graft.ops.SftOps.assembleChat(turns, "conv_id", "turn_idx", "role",
+          "txt", maxTokens = 40)
+        .withColumn("shard", expr("conv_id div 1048576"))
+        .groupBy(col("shard"), col("role"))
+        .agg(count(lit(1)).as("n_turns"),
+          sum(col("n_trainable")).as("n_trainable"),
+          count_distinct(col("conv_id")).as("n_convs"))
+        .orderBy(col("shard"), col("role"))
+    }),
+
     // PREFERENCE-PAIR mining (SftOps.preferencePairs): per hash bucket,
     // best-vs-worst by the integer distinct-token-ratio quality score
     // (e4 units, truncating div) — the quality-signal-to-preference-
@@ -1982,6 +2026,45 @@ object CorpusQueries extends QueryPack {
         |  CAST(min(alloc) AS BIGINT) AS alloc_rows,
         |  CAST(min(n) AS BIGINT) AS src_total
         |FROM um_k WHERE copies > 0 GROUP BY src ORDER BY src""".stripMargin,
+    // the whole funnel in one statement: keep-first dedup, the e4
+    // quality gate, shard ranks, conversation arithmetic, the ChatML
+    // token accounting, the cap, and the final rollup
+    "sft_e2e_prepare" ->
+      """WITH se_k AS (SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY text),
+        |se_g AS (SELECT d.doc_id,
+        |    string_split_regex(trim(lower(d.text)), '\s+') AS ws
+        |  FROM documents d JOIN se_k USING (doc_id)),
+        |se_q AS (SELECT doc_id, ws FROM se_g
+        |  WHERE CAST(len(list_distinct(ws)) AS BIGINT) * 10000 // len(ws)
+        |    >= 5000),
+        |se_r AS (SELECT doc_id, ws,
+        |    ('0x' || substr(md5('sfte:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 8 AS shard
+        |  FROM se_q),
+        |se_t AS (SELECT shard, shard * 1048576 + (rn // 3) AS conv_id,
+        |    rn % 3 AS turn_idx,
+        |    CASE WHEN rn % 3 = 1 THEN 'assistant' ELSE 'user' END AS role,
+        |    trim(regexp_replace(regexp_replace(
+        |      array_to_string(ws[1:CAST(6 + doc_id % 9 AS INTEGER)], ' '),
+        |      '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS txt
+        |  FROM (SELECT doc_id, ws, shard,
+        |      CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+        |        AS BIGINT) - 1 AS rn
+        |    FROM se_r) z),
+        |se_n AS (SELECT shard, conv_id, turn_idx, role,
+        |    CASE WHEN txt = '' THEN 0
+        |      ELSE len(string_split_regex(txt, '\s+')) END + 2 AS nt
+        |  FROM se_t),
+        |se_c AS (SELECT conv_id, sum(nt) AS ct FROM se_n GROUP BY conv_id)
+        |SELECT n.shard, n.role, CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(sum(CASE WHEN n.role = 'assistant' THEN n.nt - 1 ELSE 0 END)
+        |    AS BIGINT) AS n_trainable,
+        |  CAST(count(DISTINCT n.conv_id) AS BIGINT) AS n_convs
+        |FROM se_n n JOIN se_c c USING (conv_id)
+        |WHERE c.ct <= 40
+        |GROUP BY n.shard, n.role ORDER BY n.shard, n.role""".stripMargin,
+
     // both rank-1 windows (opposed tie-breaks) + the e4 quality score
     // replayed; single-doc buckets drop on the chosen<>rejected filter
     "rlhf_pref_pairs" ->

@@ -44,6 +44,35 @@ object PackingOps {
         col("__n").as("n_tokens"))
   }
 
+  /** CLUSTER-ORDERED packing — the in-context-pretraining layout
+    * (related documents adjacent in the training stream, so attention
+    * sees coherent context instead of random concatenation): identical
+    * to [[packTokenStream]] except the per-shard stream orders by
+    * (cluster, id) — documents from one semantic cluster become
+    * CONTIGUOUS runs, and chunk boundaries mostly fall inside a
+    * cluster's run. Same scale contract: the only window is
+    * shard-partitioned, the cluster ordering is local to a shard.
+    */
+  def packClustered(df: DataFrame, idCol: String, tokenCountCol: String,
+                    clusterCol: String, budget: Long, shards: Int = 64,
+                    salt: String = "iclp:"): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val sharded = df.select(col(idCol), col(clusterCol),
+      col(tokenCountCol).cast("long").as("__n"),
+      pmod(SamplingOps.hash60(col(idCol), salt), lit(shards.toLong))
+        .as("shard"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col(clusterCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col(idCol), col(clusterCol), col("shard"),
+        (col("shard") * lit(1L << 40) +
+          floor(col("__start") / budget).cast("long")).as("pack_id"),
+        pmod(col("__start"), lit(budget)).as("pack_offset"),
+        col("__n").as("n_tokens"))
+  }
+
   /** NO-SPLIT sequence packing by sorted-fold pairing — the
     * document-boundary-respecting layout the truncation-averse packing
     * line advocates (concatenate-then-chunk splits documents across

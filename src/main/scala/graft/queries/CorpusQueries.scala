@@ -696,6 +696,21 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("conv_id"), col("turn_idx"))
     }),
 
+    // IN-CONTEXT-PRETRAINING packing (PackingOps.packClustered):
+    // documents join their embedding cluster and the per-shard stream
+    // orders by (cluster, id) — related docs become contiguous runs,
+    // the semantic-adjacency layout the ICLM line advocates over random
+    // concatenation. Oracle replays the cluster-ordered window.
+    "icl_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("n_tok",
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      val lab = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("label"))
+      graft.ops.PackingOps.packClustered(docs.join(lab, "doc_id"),
+          "doc_id", "n_tok", "label", budget = 512, shards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // NO-SPLIT packing by sorted-fold pairing (PackingOps.packFoldPairs):
     // at most two sequences per pack, budget-capped lengths flagged
     // truncated, rank r pairing with rank N−1−r per shard — the
@@ -2026,6 +2041,27 @@ object CorpusQueries extends QueryPack {
         |  CAST(min(alloc) AS BIGINT) AS alloc_rows,
         |  CAST(min(n) AS BIGINT) AS src_total
         |FROM um_k WHERE copies > 0 GROUP BY src ORDER BY src""".stripMargin,
+    // the cluster-ordered per-shard window replayed; label from the
+    // embeddings table keys the ordering
+    "icl_pack" ->
+      """WITH ic_t AS (SELECT d.doc_id, e.label,
+        |    CAST(len(string_split_regex(trim(lower(d.text)), '\s+'))
+        |      AS BIGINT) AS n,
+        |    ('0x' || substr(md5('iclp:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 8 AS shard
+        |  FROM documents d
+        |  JOIN embeddings e ON e.vec_id = d.doc_id),
+        |ic_w AS (SELECT doc_id, label, shard, n,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY shard
+        |      ORDER BY label, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS strt
+        |  FROM ic_t)
+        |SELECT doc_id, label, shard,
+        |  shard * 1099511627776 + CAST(strt // 512 AS BIGINT) AS pack_id,
+        |  strt % 512 AS pack_offset, n AS n_tokens
+        |FROM ic_w ORDER BY doc_id""".stripMargin,
+
     // the whole funnel in one statement: keep-first dedup, the e4
     // quality gate, shard ranks, conversation arithmetic, the ChatML
     // token accounting, the cap, and the final rollup

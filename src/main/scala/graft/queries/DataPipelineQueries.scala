@@ -197,6 +197,8 @@ object DataPipelineQueries extends QueryPack {
     // join against the component table.
     "dedup_training_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // one driver-side SCALAR (the pmod partner-range modulus), not a
+      // collect — a single count job, same posture as a broadcast total
       val n = docs.count()
       val pairs = DedupOps.minhashCandidates(docs, "doc_id", "text",
         shingleN = 3, numHashes = 8, bands = 4)

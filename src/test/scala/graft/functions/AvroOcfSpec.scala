@@ -125,6 +125,44 @@ class AvroOcfSpec extends AnyFunSuite {
     assert(AvroOcf.rows(Array[Byte](1, 2, 3), schema) == null)
   }
 
+  test("round trip holds under seeded random record fuzz, both codecs") {
+    val rnd = new scala.util.Random(4242)
+    val strings = Array("", "a", "café ☃", "line\nbreak",
+      "tab\there", "\"quotes\"", "x" * 500)
+    var i = 0
+    while (i < 60) {
+      val rows = Seq.fill(rnd.nextInt(5))(row(
+        rnd.nextLong(), strings(rnd.nextInt(strings.length)),
+        rnd.nextBoolean(),
+        java.lang.Double.longBitsToDouble(rnd.nextLong()) match {
+          case d if d.isNaN => 0.5 // NaN != NaN would fail equality
+          case d => d
+        }))
+      val codec = if (i % 2 == 0) "null" else "deflate"
+      val blob = ours(rows, codec)
+      val got = AvroOcf.rows(blob, schema)
+      assert(got != null && got.numElements() == rows.length,
+        s"fuzz case $i refused")
+      rows.zipWithIndex.foreach { case (r, j) =>
+        val g = got.getStruct(j, 4)
+        assert(g.getLong(0) == r.getLong(0) &&
+          g.getUTF8String(1).toString == r.getUTF8String(1).toString &&
+          g.getBoolean(2) == r.getBoolean(2) &&
+          java.lang.Double.doubleToLongBits(g.getDouble(3)) ==
+            java.lang.Double.doubleToLongBits(r.getDouble(3)),
+          s"fuzz case $i row $j mismatch")
+      }
+      // and the independent Java reader agrees on the count
+      val rdr = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(blob),
+        new GenericDatumReader[GenericRecord]())
+      assert(Iterator.continually(rdr).takeWhile(_.hasNext)
+        .map(_.next()).size == rows.length)
+      rdr.close()
+      i += 1
+    }
+  }
+
   test("schema JSON parsing tolerates namespaces and object-form types") {
     assert(AvroOcf.parseFields(
       """{"type":"record","name":"r","namespace":"com.example",

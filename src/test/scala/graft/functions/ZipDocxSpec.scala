@@ -194,4 +194,27 @@ class ZipDocxSpec extends AnyFunSuite {
         .toString == s, s"round trip of '$s'")
     }
   }
+
+  test("xlsx/pptx round trips hold under seeded random TSV fuzz") {
+    // deterministic fuzz: 200 random grids over an alphabet that leans
+    // on the hazards — XML metacharacters, unicode, numbers with and
+    // without canonical form, empties, lone separators
+    val cells = Array("", "0", "-0", "007", "42", "-9001",
+      "9223372036854775807", "9223372036854775808", "a b", "  padded  ",
+      "a&b", "<tag>", "\"q\"", "café", "üß", "☃",
+      "x'y", "1.5", "+7", " ")
+    val rnd = new scala.util.Random(42)
+    var i = 0
+    while (i < 200) {
+      val rows = Seq.fill(1 + rnd.nextInt(4))(
+        Seq.fill(1 + rnd.nextInt(5))(cells(rnd.nextInt(cells.length)))
+          .mkString("\t"))
+      val s = rows.mkString("\n")
+      assert(ZipDocx.xlsxText(ZipDocx.xlsxDoc(s.getBytes("UTF-8")))
+        .toString == s, s"xlsx fuzz case $i: ${s.take(120)}")
+      assert(ZipDocx.pptxText(ZipDocx.pptxDoc(s.getBytes("UTF-8")))
+        .toString == s, s"pptx fuzz case $i: ${s.take(120)}")
+      i += 1
+    }
+  }
 }

@@ -46,6 +46,28 @@ object TextOps {
   def rougeN(cand: Column, ref: Column, n: Int): Column =
     rougeFromGrams(shinglesOf(cand, n), shinglesOf(ref, n))
 
+  /** SQuAD-style answer metrics (Rajpurkar et al. 2016) over
+    * pre-normalized TOKEN ARRAYS: exact match (order-sensitive array
+    * equality) and unigram multiset-overlap F1 — which collapses to
+    * EXACT integer arithmetic, f1_e4 = 2·overlap·10⁴ div
+    * (|pred|+|ref|), because 2PR/(P+R) = 2o/(p+r). Scan-side HOFs
+    * over bounded answer arrays (the [[rougeFromGrams]] posture);
+    * degenerate inputs score 0, never null/NaN. Returns
+    * struct(n_pred, n_ref, overlap, em, f1_e4).
+    */
+  def emF1(pred: Column, ref: Column): Column = {
+    val o = coalesce(aggregate(array_distinct(pred), lit(0),
+      (acc, t) => acc + least(size(filter(pred, x => x === t)),
+        size(filter(ref, x => x === t)))), lit(0)).cast("long")
+    val np = size(pred).cast("long")
+    val nr = size(ref).cast("long")
+    struct(np.as("n_pred"), nr.as("n_ref"), o.as("overlap"),
+      (pred === ref).as("em"),
+      when(np + nr > 0,
+        floor((o * 2 * 10000).cast("double") / (np + nr)).cast("long"))
+        .otherwise(lit(0L)).as("f1_e4"))
+  }
+
   /** [[rougeN]] over PRE-MATERIALIZED gram array columns. The clipped
     * match references its inputs once per lambda element; passing a
     * shinglesOf EXPRESSION here would re-evaluate the whole gram

@@ -501,6 +501,31 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // SQuAD-style EM/F1 eval (TextOps.emF1): predictions derived from
+    // the 10-token reference with controlled corruption by doc_id%3 —
+    // one token replaced, one token dropped, or exact — so EM flips
+    // and F1 varies while every metric stays exact integer arithmetic
+    // (2PR/(P+R) = 2·overlap/(|p|+|r|)). The oracle replays the
+    // corruption, the multiset overlap, and every f1_e4.
+    "eval_em_f1" -> ((s, dir) => {
+      val pm = (col("doc_id") % 10).cast("int")
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          slice(graft.ops.TextOps.tokens(col("text")), 1, 10).as("ref"))
+        .withColumn("pred",
+          when(col("doc_id") % 3 === 0,
+            transform(col("ref"), (x, i) =>
+              when(i === pm, lit("wrong")).otherwise(x)))
+            .when(col("doc_id") % 3 === 1,
+              filter(col("ref"), (_, i) => i =!= pm))
+            .otherwise(col("ref")))
+      t.withColumn("m", graft.ops.TextOps.emF1(col("pred"), col("ref")))
+        .select(col("doc_id"), col("m.n_pred").as("n_pred"),
+          col("m.n_ref").as("n_ref"), col("m.overlap").as("overlap"),
+          col("m.em").as("em"), col("m.f1_e4").as("f1_e4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // RAG-style overlapping chunker: 32-token windows every 24 tokens;
     // pure integer chunk arithmetic, no window operator.
     "text_chunk_overlap" -> ((s, dir) => {
@@ -2041,6 +2066,35 @@ object CorpusQueries extends QueryPack {
         |  CAST(min(alloc) AS BIGINT) AS alloc_rows,
         |  CAST(min(n) AS BIGINT) AS src_total
         |FROM um_k WHERE copies > 0 GROUP BY src ORDER BY src""".stripMargin,
+    // corruption, multiset overlap (counts-join min-sum), EM array
+    // equality, and the exact integer F1 all replayed
+    "eval_em_f1" ->
+      """WITH ev_r AS (SELECT doc_id,
+        |    (string_split_regex(trim(lower(text)), '\s+'))[1:10] AS ref
+        |  FROM documents),
+        |ev_p AS (SELECT doc_id, ref,
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN list_transform(ref, (x, i) ->
+        |        CASE WHEN i - 1 = doc_id % 10 THEN 'wrong' ELSE x END)
+        |      WHEN 1 THEN list_filter(ref, (x, i) -> i - 1 <> doc_id % 10)
+        |      ELSE ref END AS pred
+        |  FROM ev_r),
+        |ev_pt AS (SELECT doc_id, t, count(*) AS cp FROM
+        |    (SELECT doc_id, unnest(pred) AS t FROM ev_p) z GROUP BY 1, 2),
+        |ev_rt AS (SELECT doc_id, t, count(*) AS cr FROM
+        |    (SELECT doc_id, unnest(ref) AS t FROM ev_p) z GROUP BY 1, 2),
+        |ev_o AS (SELECT p.doc_id, CAST(sum(least(p.cp, r.cr)) AS BIGINT) AS o
+        |  FROM ev_pt p JOIN ev_rt r ON r.doc_id = p.doc_id AND r.t = p.t
+        |  GROUP BY 1)
+        |SELECT e.doc_id, CAST(len(pred) AS BIGINT) AS n_pred,
+        |  CAST(len(ref) AS BIGINT) AS n_ref,
+        |  coalesce(o.o, 0) AS overlap, (pred = ref) AS em,
+        |  CAST(CASE WHEN len(pred) + len(ref) > 0
+        |    THEN 2 * coalesce(o.o, 0) * 10000 // (len(pred) + len(ref))
+        |    ELSE 0 END AS BIGINT) AS f1_e4
+        |FROM ev_p e LEFT JOIN ev_o o USING (doc_id)
+        |ORDER BY e.doc_id""".stripMargin,
+
     // the cluster-ordered per-shard window replayed; label from the
     // embeddings table keys the ordering
     "icl_pack" ->

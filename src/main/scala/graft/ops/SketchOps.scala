@@ -286,4 +286,41 @@ object SketchOps {
       .select(col("est_a"), col("est_b"), col("est_union"),
         col("est_intersect"))
   }
+
+  /** Theta-sketch set algebra — [[kmvIntersect]] plus the A-NOT-B and
+    * B-NOT-A estimates (the "how much of this snapshot is NEW"
+    * incremental-crawl signal at sketch cost): the union sketch's
+    * match fractions for in-A-only and in-B-only values scale the
+    * union estimate, exactly like the intersection fraction. Same
+    * scale shape: two k-bounded aggregations, one single-row join,
+    * array arithmetic on ≤ k elements.
+    */
+  def kmvSetOps(a: DataFrame, b: DataFrame, keyCol: String, k: Int,
+                salt: String): DataFrame = {
+    val sa = kmvSketch(a, keyCol, k, salt).withColumnRenamed("sketch", "sk_a")
+    val sb = kmvSketch(b, keyCol, k, salt).withColumnRenamed("sketch", "sk_b")
+    val u = slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k)
+    def frac(name: String, m: Column) =
+      expr(s"CAST((CAST($name AS DECIMAL(38,0)) * est_union) div " +
+        "greatest(size(__u), 1) AS BIGINT)")
+    sa.crossJoin(sb)
+      .withColumn("__u", u)
+      .withColumn("__mi", size(filter(col("__u"), v =>
+        array_contains(col("sk_a"), v) && array_contains(col("sk_b"), v)))
+        .cast("long"))
+      .withColumn("__ma", size(filter(col("__u"), v =>
+        array_contains(col("sk_a"), v) && !array_contains(col("sk_b"), v)))
+        .cast("long"))
+      .withColumn("__mb", size(filter(col("__u"), v =>
+        !array_contains(col("sk_a"), v) && array_contains(col("sk_b"), v)))
+        .cast("long"))
+      .withColumn("est_a", kmvEst("sk_a", k))
+      .withColumn("est_b", kmvEst("sk_b", k))
+      .withColumn("est_union", kmvEst("__u", k))
+      .withColumn("est_intersect", frac("__mi", col("__mi")))
+      .withColumn("est_a_not_b", frac("__ma", col("__ma")))
+      .withColumn("est_b_not_a", frac("__mb", col("__mb")))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        col("est_intersect"), col("est_a_not_b"), col("est_b_not_a"))
+  }
 }

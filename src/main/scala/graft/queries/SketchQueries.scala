@@ -87,6 +87,23 @@ object SketchQueries extends QueryPack {
         sum(when(col("doc_id") % 3 =!= 0 && col("doc_id") % 2 === 0, 1L)
           .otherwise(0L)).as("exact_intersect"))
       est.crossJoin(exact)
+    }),
+
+    // Theta-sketch A-NOT-B / B-NOT-A (SketchOps.kmvSetOps) — the
+    // incremental-crawl "what's NEW this snapshot" estimator at sketch
+    // cost, next to the exact differences; the oracle rebuilds both
+    // sketches and replays all three match fractions.
+    "sketch_kmv_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val a = docs.filter(col("doc_id") % 3 =!= 0)
+      val b = docs.filter(col("doc_id") % 2 === 0)
+      val est = SketchOps.kmvSetOps(a, b, "doc_id", k = 64, salt = "kmv:")
+      val exact = docs.agg(
+        sum(when(col("doc_id") % 3 =!= 0 && col("doc_id") % 2 =!= 0, 1L)
+          .otherwise(0L)).as("exact_a_not_b"),
+        sum(when(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0, 1L)
+          .otherwise(0L)).as("exact_b_not_a"))
+      est.crossJoin(exact)
     })
   )
 
@@ -132,6 +149,47 @@ object SketchQueries extends QueryPack {
         |    // greatest(eu.nu, 1) AS BIGINT) AS est_intersect,
         |  ex.exact_a, ex.exact_b, ex.exact_intersect
         |FROM ea, eb, eu, m, ex""".stripMargin,
+    "sketch_kmv_diff" ->
+      """WITH ka AS (
+        |  SELECT DISTINCT ('0x' || substr(md5('kmv:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE doc_id % 3 <> 0 ORDER BY h LIMIT 64),
+        |kb AS (
+        |  SELECT DISTINCT ('0x' || substr(md5('kmv:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE doc_id % 2 = 0 ORDER BY h LIMIT 64),
+        |ku AS (
+        |  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u
+        |  ORDER BY h LIMIT 64),
+        |ea AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+        |    ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+        |      // greatest(max(h), 1) AS BIGINT) END AS est_a FROM ka),
+        |eb AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+        |    ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+        |      // greatest(max(h), 1) AS BIGINT) END AS est_b FROM kb),
+        |eu AS (SELECT count(*) AS nu,
+        |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+        |    ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+        |      // greatest(max(h), 1) AS BIGINT) END AS est_union FROM ku),
+        |mi AS (SELECT count(*) AS m FROM ku
+        |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+        |ma AS (SELECT count(*) AS m FROM ku
+        |  WHERE h IN (SELECT h FROM ka) AND h NOT IN (SELECT h FROM kb)),
+        |mb AS (SELECT count(*) AS m FROM ku
+        |  WHERE h NOT IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+        |ex AS (SELECT
+        |    CAST(sum(CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 <> 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS exact_a_not_b,
+        |    CAST(sum(CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS exact_b_not_a
+        |  FROM documents)
+        |SELECT ea.est_a, eb.est_b, eu.est_union,
+        |  CAST((CAST(mi.m AS HUGEINT) * eu.est_union)
+        |    // greatest(eu.nu, 1) AS BIGINT) AS est_intersect,
+        |  CAST((CAST(ma.m AS HUGEINT) * eu.est_union)
+        |    // greatest(eu.nu, 1) AS BIGINT) AS est_a_not_b,
+        |  CAST((CAST(mb.m AS HUGEINT) * eu.est_union)
+        |    // greatest(eu.nu, 1) AS BIGINT) AS est_b_not_a,
+        |  ex.exact_a_not_b, ex.exact_b_not_a
+        |FROM ea, eb, eu, mi, ma, mb, ex""".stripMargin,
     "sketch_hll_distinct" ->
       s"""WITH ev AS (SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
          |h AS (SELECT event_type, $h60hll AS h FROM ev),

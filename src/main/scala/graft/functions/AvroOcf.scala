@@ -389,7 +389,11 @@ case class AvroFileExpr(left: Expression, right: Expression,
   override def prettyName: String = "avro_file"
   override def checkInputDataTypes() =
     (left.dataType, right.dataType) match {
-      case (ArrayType(st: StructType, _), StringType) if st == schema =>
+      // names + types must match; nullability may differ (struct() of
+      // scan columns carries whatever the source declared)
+      case (ArrayType(st: StructType, _), StringType)
+        if st.fields.map(f => (f.name, f.dataType)).toSeq ==
+          schema.fields.map(f => (f.name, f.dataType)).toSeq =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

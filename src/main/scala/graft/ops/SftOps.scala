@@ -30,6 +30,11 @@ object SftOps {
     * deterministic alternative to tail truncation; a split
     * conversation teaches the model to answer without its context).
     *
+    * `turnCol` must be UNIQUE within a conversation — it is the only
+    * ordering key, so duplicate turn ids would make the running
+    * offsets engine-dependent (the same contract every keyed window
+    * here carries).
+    *
     * Scale shape: one window partitioned by conversation (bounded
     * partitions — a conversation is turns, not a corpus) + one
     * per-conversation aggregate; no global sort.

@@ -71,9 +71,19 @@ object AudioMel {
     }
   }
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Frame hop for [[melFrames]] (50% overlap). */
+  val HopSamples: Int = 32
+  /** Spectrogram length cap — frames beyond it refuse, like every
+    * other decode ceiling here. */
+  val MaxFrames: Int = 4096
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "audio_mel", exprs => AudioMelExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "audio_mel_frames", exprs => AudioMelFramesExpr(exprs.head),
+      "built-in")
+  }
 
   @inline private def le16u(b: Array[Byte], p: Int): Int =
     (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
@@ -81,8 +91,8 @@ object AudioMel {
     (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
       ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
 
-  /** Mel band energies of the first window, or null (refused). */
-  def mel(b: Array[Byte]): GenericArrayData = {
+  /** Decoded mono 16-bit 16 kHz samples, or null (refused). */
+  private def parsePcm(b: Array[Byte]): Array[Long] = {
     if (b == null || b.length < 12) return null
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
@@ -110,14 +120,19 @@ object AudioMel {
     if (!fmtOk || dataAt < 0 || dataLen % 2 != 0) return null
     val n = (dataLen / 2).toInt
     if (n == 0) return null
-    val s = new Array[Long](WindowSamples) // zero-padded window
+    val s = new Array[Long](n)
     var k = 0
-    val m = math.min(n, WindowSamples)
-    while (k < m) {
+    while (k < n) {
       val i = dataAt + 2 * k
       s(k) = ((b(i + 1) << 8) | (b(i) & 0xFF)).toLong
       k += 1
     }
+    s
+  }
+
+  /** Mel energies of the window starting at sample `off` (zero-padded
+    * past the end). */
+  private def windowEnergies(s: Array[Long], off: Int): Array[Any] = {
     val pw = new Array[Long](NumBins)
     var f = 0
     while (f < NumBins) {
@@ -125,10 +140,11 @@ object AudioMel {
       var im = 0L
       val cr = cosBasis(f)
       val si = sinBasis(f)
-      k = 0
-      while (k < WindowSamples) {
-        re += s(k) * cr(k)
-        im += s(k) * si(k)
+      var k = 0
+      val m = math.min(WindowSamples, s.length - off)
+      while (k < m) {
+        re += s(off + k) * cr(k)
+        im += s(off + k) * si(k)
         k += 1
       }
       val rs = re / 16384L // truncating, replayed by SQL //
@@ -146,7 +162,33 @@ object AudioMel {
       out(b2) = acc / 1024L
       b2 += 1
     }
-    new GenericArrayData(out)
+    out
+  }
+
+  /** Mel band energies of the first window, or null (refused). */
+  def mel(b: Array[Byte]): GenericArrayData = {
+    val s = parsePcm(b)
+    if (s == null) null else new GenericArrayData(windowEnergies(s, 0))
+  }
+
+  /** The full mel SPECTROGRAM — one [[NumMels]]-band energy row per
+    * [[HopSamples]]-hop frame (50% window overlap, the standard
+    * speech-feature grain): frame f covers samples [f·hop, f·hop+64),
+    * the tail zero-padded. Refuses past [[MaxFrames]] like every other
+    * decode ceiling. Same fixed-point arithmetic as [[mel]] (which is
+    * exactly frame 0). */
+  def melFrames(b: Array[Byte]): GenericArrayData = {
+    val s = parsePcm(b)
+    if (s == null) return null
+    val nf = (s.length + HopSamples - 1) / HopSamples
+    if (nf > MaxFrames) return null
+    val frames = new Array[Any](nf)
+    var f = 0
+    while (f < nf) {
+      frames(f) = new GenericArrayData(windowEnergies(s, f * HopSamples))
+      f += 1
+    }
+    new GenericArrayData(frames)
   }
 }
 
@@ -168,5 +210,28 @@ case class AudioMelExpr(child: Expression) extends UnaryExpression {
       ${ev.isNull} = ${ev.value} == null;
     """)
   override protected def withNewChildInternal(newChild: Expression): AudioMelExpr =
+    copy(child = newChild)
+}
+
+/** `audio_mel_frames(binary)` → array<array<long>> spectrogram or null. */
+case class AudioMelFramesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_mel_frames"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    AudioMel.melFrames(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AudioMel.melFrames($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(
+      newChild: Expression): AudioMelFramesExpr =
     copy(child = newChild)
 }

@@ -984,6 +984,38 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"), col("band"))
     }),
 
+    // The full mel SPECTROGRAM (audio_mel_frames): one 8-band energy
+    // row per 32-sample hop frame (50% overlap, the standard speech
+    // grain), tail zero-padded — mm_audio_mel is exactly frame 0. The
+    // oracle adds the frame dimension to the same basis-literal replay.
+    "mm_audio_spectrogram" -> ((s, dir) => {
+      graft.functions.AudioMel.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val nSql = "(doc_id % 80 + 24)"
+      def sSql(k: String) = s"((doc_id * 37 + $k * 451) % 4001 - 2000)"
+      val leSampleSql = {
+        val u = s"(${sSql("k")} % 65536 + 65536) % 65536"
+        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), substr(lpad(hex($u), 4, '0'), 1, 2))"
+      }
+      val wavHex =
+        s"""concat('52494646', ${le("100", 4)}, '57415645',
+           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
+           |  ${le("16000", 4)}, ${le("32000", 4)}, ${le("2", 2)}, ${le("16", 2)},
+           |  '64617461', ${le(s"2 * $nSql", 4)},
+           |  array_join(transform(sequence(0, $nSql - 1), k -> $leSampleSql), ''))"""
+          .stripMargin
+      Tables.documents(s, dir)
+        .withColumn("sg", expr(s"audio_mel_frames(unhex($wavHex))"))
+        .select(col("doc_id"), posexplode(col("sg")).as(Seq("frame", "row")))
+        .select(col("doc_id"), col("frame").cast("long").as("frame"),
+          posexplode(col("row")).as(Seq("band", "energy")))
+        .select(col("doc_id"), col("frame"),
+          col("band").cast("long").as("band"), col("energy"))
+        .orderBy(col("doc_id"), col("frame"), col("band"))
+    }),
+
     // AVIF/HEIF metadata (functions.AvifMeta) — the ISOBMFF-packaged
     // image formats modern web corpora shift toward: ftyp brand gate,
     // the meta FULL-box trap (4 version/flags bytes), iprp→ipco→ispe
@@ -2124,6 +2156,37 @@ object ExtraQueries extends QueryPack {
          |  FROM mp p JOIN mw w ON w.f = p.f GROUP BY 1, 2)
          |SELECT doc_id, CAST(m AS BIGINT) AS band, energy
          |FROM me ORDER BY doc_id, band""".stripMargin,
+
+    // the framed replay: sample index fr·32+k against basis index k,
+    // frames to ceil(n/32), tail zeros — otherwise identical to
+    // mm_audio_mel's literal-basis pipeline
+    "mm_audio_spectrogram" ->
+      s"""WITH mfd AS (SELECT doc_id, doc_id % 80 + 24 AS n FROM documents),
+         |mff AS (SELECT doc_id, n,
+         |    unnest(generate_series(0, (n + 31) // 32 - 1)) AS fr FROM mfd),
+         |mfk AS (SELECT doc_id, n, fr,
+         |    unnest(generate_series(0, 63)) AS k FROM mff),
+         |mfs AS (SELECT doc_id, fr, k,
+         |    CASE WHEN fr * 32 + k < n
+         |      THEN (doc_id * 37 + (fr * 32 + k) * 451) % 4001 - 2000
+         |      ELSE 0 END AS s
+         |  FROM mfk),
+         |mfb AS (SELECT * FROM (VALUES $melBasisSql) t(f, k, c, sn)),
+         |mfw AS (SELECT * FROM (VALUES $melWeightSql) t(m, f, w)),
+         |mfr AS (SELECT s.doc_id, s.fr, b.f,
+         |    CAST(sum(s.s * b.c) AS BIGINT) AS re,
+         |    CAST(sum(s.s * b.sn) AS BIGINT) AS im
+         |  FROM mfs s JOIN mfb b ON b.k = s.k GROUP BY 1, 2, 3),
+         |mfp AS (SELECT doc_id, fr, f,
+         |    (re // 16384) * (re // 16384) + (im // 16384) * (im // 16384)
+         |      AS p
+         |  FROM mfr),
+         |mfe AS (SELECT p.doc_id, p.fr, w.m,
+         |    CAST(sum(w.w * p.p) // 1024 AS BIGINT) AS energy
+         |  FROM mfp p JOIN mfw w ON w.f = p.f GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(fr AS BIGINT) AS frame, CAST(m AS BIGINT)
+         |    AS band, energy
+         |FROM mfe ORDER BY doc_id, frame, band""".stripMargin,
 
     // brand/extents as closed forms; the mp42 branch must refuse
     "mm_image_avif_meta" ->

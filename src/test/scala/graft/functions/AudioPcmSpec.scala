@@ -319,4 +319,23 @@ class AudioPcmSpec extends SparkSuite {
     val up = AudioResample.resample(wav(short, rate = 8000), 16000)
     assert(melOf(up).nonEmpty)
   }
+
+  test("mel spectrogram: hop framing, frame 0 == mel, tail zero-pad") {
+    def framesOf(b: Array[Byte]): Option[Seq[Seq[Long]]] =
+      Option(AudioMel.melFrames(b)).map(a =>
+        (0 until a.numElements()).map { f =>
+          val r = a.getArray(f)
+          (0 until r.numElements()).map(r.getLong)
+        })
+    val sig = (0 until 100).map(k => (k * 37 % 4001) - 2000)
+    val fs = framesOf(wav(sig)).get
+    assert(fs.length == 4, s"ceil(100/32) frames, got ${fs.length}")
+    assert(fs.head == melOf(wav(sig)).get, "frame 0 is exactly audio_mel")
+    // the last frame covers samples 96..99 + zero pad: identical to a
+    // standalone window of just that tail
+    assert(fs(3) == melOf(wav(sig.drop(96))).get)
+    // refusals inherit the parse contract
+    assert(framesOf(wav(Seq(1, 2), channels = 2)).isEmpty)
+    assert(framesOf(wav(Seq(1, 2), rate = 8000)).isEmpty)
+  }
 }

@@ -220,9 +220,19 @@ object AvroOcf {
     val n = rows.numElements()
     var r = 0
     while (r < n) {
+      // The emitted Avro schema declares non-nullable primitives, so a
+      // null element or field cannot be encoded — refuse loudly rather
+      // than corrupt (silent 0/false for nulls).
+      if (rows.isNullAt(r))
+        throw new IllegalArgumentException(
+          s"avro_file: null record at index $r (schema has no unions)")
       val row = rows.getStruct(r, schema.length)
       var f = 0
       while (f < schema.length) {
+        if (row.isNullAt(f))
+          throw new IllegalArgumentException(
+            s"avro_file: null field '${schema.fields(f).name}' at record " +
+              s"$r (schema has no unions)")
         schema.fields(f).dataType match {
           case LongType => writeLong(body, row.getLong(f))
           case IntegerType => writeLong(body, row.getInt(f).toLong)
@@ -328,18 +338,24 @@ object AvroOcf {
         val block = rd.bytes(size)
         val data =
           if (codec == "deflate") {
+            // Inflater.inflate throws DataFormatException on malformed
+            // deflate bytes — that is a refusal, not a crash, and the
+            // native Inflater must be released either way.
             val inf = new java.util.zip.Inflater(true)
-            inf.setInput(block)
-            val out = new java.io.ByteArrayOutputStream
-            val tmp = new Array[Byte](8192)
-            while (!inf.finished()) {
-              val got = inf.inflate(tmp)
-              if (got == 0 && !inf.finished()) fail()
-              out.write(tmp, 0, got)
-              if (out.size() > MaxBytes) fail()
-            }
-            inf.end()
-            out.toByteArray
+            try {
+              inf.setInput(block)
+              val out = new java.io.ByteArrayOutputStream
+              val tmp = new Array[Byte](8192)
+              while (!inf.finished()) {
+                val got =
+                  try inf.inflate(tmp)
+                  catch { case _: java.util.zip.DataFormatException => fail() }
+                if (got == 0 && !inf.finished()) fail()
+                out.write(tmp, 0, got)
+                if (out.size() > MaxBytes) fail()
+              }
+              out.toByteArray
+            } finally inf.end()
           } else block
         val blockSync = rd.bytes(16L)
         if (!java.util.Arrays.equals(blockSync, sync)) fail()

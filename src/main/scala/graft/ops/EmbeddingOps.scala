@@ -423,8 +423,12 @@ object EmbeddingOps {
       .join(nnSum("src_id", "tgt_id", "__nnx"), "src_id")
       .join(nnSum("tgt_id", "src_id", "__nny"), "tgt_id")
       .filter(col("__nnx") + col("__nny") > 0)
+      // cos_e4 is clamped at 0 before the ratio: negative cosines are
+      // never mined (they fall below any sane minMarginE4), and the
+      // clamp keeps Spark `div` (truncates toward zero) and a floor-style
+      // replay identical — for negative numerators they differ by 1.
       .withColumn("margin_e4",
-        expr(s"cos_e4 * ${2 * k} * 10000 div (__nnx + __nny)"))
+        expr(s"greatest(cos_e4, 0L) * ${2 * k} * 10000 div (__nnx + __nny)"))
     val top1 = udaf(new TopKAgg(1))
     scored.groupBy(col("src_id"))
       .agg(top1(col("margin_e4").cast("double"), col("tgt_id")).as("__m"))

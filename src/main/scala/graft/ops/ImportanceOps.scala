@@ -93,7 +93,8 @@ object ImportanceOps {
   def doremiWeights(losses: DataFrame, stepCol: String, domainCol: String,
                     excessCol: String, etaPpm: Long = 100000L,
                     smoothPpm: Long = 50000L,
-                    maxCells: Int = 100000): DataFrame = {
+                    maxCells: Int = 100000,
+                    nSteps: Int = -1): DataFrame = {
     require(etaPpm >= 0 && smoothPpm >= 0 && smoothPpm <= 1000000L)
     val spark = losses.sparkSession
     import spark.implicits._
@@ -104,7 +105,20 @@ object ImportanceOps {
     require(rows.length <= maxCells,
       s"doremiWeights saw more than $maxCells (step, domain) cells — " +
         "the update is a driver-side model table by design")
-    val steps = rows.map(_.getLong(0)).distinct.sorted
+    // Null cells are a caller bug (a null step would silently drop an
+    // EG round; a null excess would NPE mid-update) — refuse loudly.
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+        s"doremiWeights: null $stepCol/$domainCol/$excessCol at row $i — " +
+          "every (step, domain, excess) cell must be non-null")
+    }
+    // With nSteps ≥ 0 the round count is FIXED at steps 0..nSteps−1 and
+    // an absent (step, domain) cell reads as zero excess — callers that
+    // shard steps by hash must pass this, or a shard that happens to be
+    // empty at small scale silently skips an EG round.
+    val steps: Seq[Long] =
+      if (nSteps >= 0) 0L until nSteps.toLong
+      else rows.map(_.getLong(0)).distinct.sorted.toSeq
     val domains = rows.map(_.getString(1)).distinct.sorted
     require(domains.nonEmpty, "doremiWeights needs at least one domain")
     val excess = rows.map(r =>
@@ -122,9 +136,9 @@ object ImportanceOps {
         dom -> (if (tot == 0) BigInt(0) else upd(dom) * 1000000 / tot)).toMap
       acc = domains.map(dom => dom -> (acc(dom) + alpha(dom))).toMap
     }
-    val nSteps = math.max(steps.length, 1)
+    val stepCount = math.max(steps.length, 1)
     domains.map { dom =>
-      val avg = acc(dom) / nSteps
+      val avg = acc(dom) / stepCount
       val w = (BigInt(1000000) - smoothPpm) * avg / 1000000 +
         BigInt(smoothPpm) / d
       (dom, avg.toLong, w.toLong)

@@ -56,13 +56,19 @@ object TextOps {
     * struct(n_pred, n_ref, overlap, em, f1_e4).
     */
   def emF1(pred: Column, ref: Column): Column = {
-    val o = coalesce(aggregate(array_distinct(pred), lit(0),
-      (acc, t) => acc + least(size(filter(pred, x => x === t)),
-        size(filter(ref, x => x === t)))), lit(0)).cast("long")
-    val np = size(pred).cast("long")
-    val nr = size(ref).cast("long")
+    // A null answer array reads as empty (token arrays are strings by
+    // contract): without the coalesce, `pred === ref` leaks null into
+    // `em` and size(null) legacy semantics poison the counts — the doc
+    // promises degenerate inputs score 0, never null/NaN.
+    val p = coalesce(pred, array().cast("array<string>"))
+    val r = coalesce(ref, array().cast("array<string>"))
+    val o = coalesce(aggregate(array_distinct(p), lit(0),
+      (acc, t) => acc + least(size(filter(p, x => x === t)),
+        size(filter(r, x => x === t)))), lit(0)).cast("long")
+    val np = size(p).cast("long")
+    val nr = size(r).cast("long")
     struct(np.as("n_pred"), nr.as("n_ref"), o.as("overlap"),
-      (pred === ref).as("em"),
+      coalesce(pred === ref, lit(false)).as("em"),
       when(np + nr > 0,
         floor((o * 2 * 10000).cast("double") / (np + nr)).cast("long"))
         .otherwise(lit(0L)).as("f1_e4"))

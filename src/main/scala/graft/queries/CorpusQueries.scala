@@ -622,7 +622,7 @@ object CorpusQueries extends QueryPack {
       val ex = perLang.join(broadcast(perStep), "step")
         .withColumn("excess_micro", col("__mean") - col("__ref"))
       graft.ops.ImportanceOps.doremiWeights(ex, "step", "lang",
-          "excess_micro", etaPpm = 1000000L)
+          "excess_micro", etaPpm = 1000000L, nSteps = 4)
         .orderBy(col("domain"))
     }),
 

@@ -2559,7 +2559,7 @@ object DataPipelineQueries extends QueryPack {
         |      ORDER BY cos_e4 DESC, src_id ASC) AS rn FROM bx_c) q
         |  WHERE rn <= 4 GROUP BY tgt_id),
         |bx_m AS (SELECT c.src_id, c.tgt_id, c.cos_e4,
-        |    c.cos_e4 * 8 * 10000 // (nx.nx + ny.ny) AS margin_e4
+        |    greatest(c.cos_e4, 0) * 8 * 10000 // (nx.nx + ny.ny) AS margin_e4
         |  FROM bx_c c JOIN bx_nx nx USING (src_id)
         |    JOIN bx_ny ny USING (tgt_id)
         |  WHERE nx.nx + ny.ny > 0),

@@ -125,6 +125,57 @@ class AvroOcfSpec extends AnyFunSuite {
     assert(AvroOcf.rows(Array[Byte](1, 2, 3), schema) == null)
   }
 
+  test("corrupt deflate block bytes refuse (null), never crash") {
+    val good = ours(Seq(
+      row(1L, "alpha", ok = true, 1.5),
+      row(2L, "beta", ok = false, -0.5)), "deflate")
+    // flip every payload byte in turn (after magic+header, before the
+    // trailing sync): Inflater.inflate throws DataFormatException on
+    // most of these — every one must surface as a refusal, not a crash
+    var at = 4
+    var refusedAtLeastOne = false
+    while (at < good.length - 16) {
+      val b = good.clone()
+      b(at) = (b(at) ^ 0x55).toByte
+      val got = AvroOcf.rows(b, schema) // must not throw
+      if (got == null) refusedAtLeastOne = true
+      at += 1
+    }
+    assert(refusedAtLeastOne)
+    // and a block whose payload is plainly not deflate data
+    val js = new org.apache.avro.Schema.Parser().parse(
+      AvroOcf.schemaJson(schema))
+    val baos = new java.io.ByteArrayOutputStream
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](js))
+    w.setCodec(CodecFactory.deflateCodec(6))
+    w.create(js, baos)
+    val r = new GenericData.Record(js)
+    r.put("id", 9L); r.put("name", "n"); r.put("ok", true); r.put("score", 2.0)
+    w.append(r)
+    w.close()
+    val blob = baos.toByteArray
+    // zero out the last 24 bytes before the final sync (deflate body)
+    val bad = blob.clone()
+    var k = blob.length - 40
+    while (k < blob.length - 16) { bad(k) = 0x07; k += 1 }
+    assert(AvroOcf.rows(bad, schema) == null, "garbled deflate must refuse")
+  }
+
+  test("writer refuses null records and null fields loudly") {
+    val nullRec = new GenericArrayData(Array[Any](null))
+    val e1 = intercept[IllegalArgumentException] {
+      AvroOcf.file(nullRec, schema, "null")
+    }
+    assert(e1.getMessage.contains("null record"))
+    val nullField = new GenericArrayData(Array[Any](
+      new GenericInternalRow(Array[Any](1L, null, true, 0.5))))
+    val e2 = intercept[IllegalArgumentException] {
+      AvroOcf.file(nullField, schema, "null")
+    }
+    assert(e2.getMessage.contains("null field 'name'"))
+  }
+
   test("round trip holds under seeded random record fuzz, both codecs") {
     val rnd = new scala.util.Random(4242)
     val strings = Array("", "a", "café ☃", "line\nbreak",

@@ -33,6 +33,7 @@ object WebOps {
   def registerAll(spark: SparkSession): Unit = {
     Gzip.register(spark); WarcParse.register(spark); HtmlToText.register(spark)
     RobotsTxt.register(spark); graft.functions.HtmlLinks.register(spark)
+    graft.functions.HtmlImages.register(spark)
     graft.functions.HtmlMeta.register(spark); graft.functions.Zstd.register(spark)
     graft.functions.CharsetDecode.register(spark)
   }

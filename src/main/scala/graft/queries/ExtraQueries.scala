@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.UrlOps
 
 /** Remaining SURVEY §2 operators not covered by the other packs: window
   * label means / validity (A2/A3), weighted epoch loss (A10), array pooling
@@ -868,6 +869,58 @@ object ExtraQueries extends QueryPack {
         .filter(col("ham_a") <= 6)
         .distinct()
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // INTERLEAVED image-text assembly — the MMC4/OBELICS/LAION step
+    // that turns a crawl into image-text training pairs: html_images
+    // (graft.functions.HtmlImages — <img> src/alt/title with document
+    // position, container discipline: a decoy <img> inside <script> or
+    // a comment must NOT pair) → UrlOps.resolveUrl against the page URL
+    // (absolute, protocol-relative, and path-relative forms all
+    // exercised) → LEFT join of the caption candidates to the
+    // decoded-image table (real BMP decode + aHash) keyed by canonical
+    // URL. The third image per page resolves onto the page's own host,
+    // which the image table doesn't carry — its row pairs with a null
+    // hash (caption candidate awaiting a fetch), the honest corpus
+    // shape. The oracle replays extraction, resolution, entity/space
+    // normalization, and the FULL integer aHash from the shared pixel
+    // formula. Plan: one scan-side explode, one equi-join on url —
+    // no cartesian; the hash table materializes once (localCheckpoint)
+    // so BMP synthesis+decode lineage doesn't re-run under the join.
+    "web_image_text_pairs" -> ((s, dir) => {
+      graft.functions.ImageHash.register(s)
+      graft.functions.HtmlImages.register(s)
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      def k(off: Int) = pmod(col("doc_id") + off, lit(n)).cast("string")
+      val base = concat(lit("https://docs.example.org/pages/sub/page"),
+        col("doc_id").cast("string"), lit(".html"))
+      val html = concat(
+        lit("<script>var x = \"<img src=decoy.bmp alt=no>\";</script>"),
+        lit("<!-- <img src=\"c.bmp\"> --><p>body text</p>"),
+        lit("<img src=\"https://img.example.net/i/"), k(0),
+        lit(".bmp\" alt=\"figure &amp; caption "), k(0), lit("\">"),
+        lit("<img src='//img.example.net/i/"), k(1),
+        lit(".bmp' title='t"), k(1), lit("'>"),
+        lit("<img alt=\"srcless, dropped\">"),
+        lit("<img src=gallery/"), k(2), lit(".bmp alt='local   "), k(2),
+        lit("'>"))
+      val images = docs
+        .selectExpr("doc_id AS img_id",
+          s"unhex(concat('$bmpHdrHex', $bmpPixelsSql)) AS blob")
+        .selectExpr(
+          "concat('https://img.example.net/i/', img_id, '.bmp') AS image_url",
+          "image_ahash(blob) AS ahash")
+        .localCheckpoint(true)
+      docs.select(col("doc_id"), base.as("__base"),
+          explode(call_function("html_images", html)).as("im"))
+        .select(col("doc_id"), col("im.pos").cast("long").as("pos"),
+          UrlOps.resolveUrl(col("__base"), col("im.src")).as("image_url"),
+          col("im.alt").as("alt_text"), col("im.title").as("title"))
+        .join(images, Seq("image_url"), "left")
+        .select(col("doc_id"), col("pos"), col("image_url"),
+          col("alt_text"), col("title"), col("ahash"))
+        .orderBy(col("doc_id"), col("pos"))
     }),
 
     // SAMPLE-LEVEL audio decode (graft.functions.AudioPcmStats): real mono
@@ -2077,6 +2130,66 @@ object ExtraQueries extends QueryPack {
         |SELECT id_a, id_b, CAST(ham_a AS BIGINT) AS ham_a,
         |  CAST(ham_d AS BIGINT) AS ham_d
         |FROM cand WHERE ham_a <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    // replay of extraction (3 kept images per page, positions 0-2; the
+    // script/comment decoys and the srcless <img> contribute nothing),
+    // resolution (absolute verbatim; '//' + base scheme; relative =
+    // origin + dir + '/' + ref), entity/space normalization of the
+    // captions, and the full integer aHash from the shared pixel
+    // formula; the third image's host is not in the image table → null
+    "web_image_text_pairs" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |itp_px AS (
+        |  SELECT doc_id, xs.x, ys.y,
+        |    ((doc_id // 2) * 37
+        |     + ((doc_id // 2) // 200) * (xs.x // 9 + 3 * (ys.y // 2) + 1)
+        |     + (xs.x // 9) * 23 + (ys.y // 2) * 41) % 200
+        |    + (CASE WHEN doc_id % 2 = 1 AND xs.x // 9 = (doc_id // 2) % 8
+        |        AND ys.y // 2 = ((doc_id // 2) // 8) % 8 THEN 25 ELSE 0 END) AS v
+        |  FROM documents,
+        |    (SELECT unnest(generate_series(0, 71)) AS x) xs,
+        |    (SELECT unnest(generate_series(0, 15)) AS y) ys),
+        |itp_acell AS (SELECT doc_id, y // 2 AS by, x // 9 AS bx,
+        |    sum(v) // 18 AS val
+        |  FROM itp_px GROUP BY 1, 2, 3),
+        |itp_amean AS (SELECT doc_id, sum(val) // 64 AS mean
+        |  FROM itp_acell GROUP BY 1),
+        |itp_ah AS (SELECT itp_acell.doc_id,
+        |    CAST(sum(CASE WHEN val >= mean AND by * 8 + bx < 32
+        |        THEN CAST(1 AS BIGINT) << CAST(by * 8 + bx AS INT)
+        |      ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN val >= mean AND by * 8 + bx >= 32
+        |        THEN CAST(1 AS BIGINT) << CAST(by * 8 + bx - 32 AS INT)
+        |      ELSE 0 END) AS BIGINT) AS hi
+        |  FROM itp_acell JOIN itp_amean USING (doc_id) GROUP BY 1),
+        |itp_ahf AS (SELECT doc_id AS img_id,
+        |    CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |      * 4294967296 + lo AS BIGINT) AS ahash FROM itp_ah),
+        |itp_pairs AS (
+        |  SELECT d.doc_id, 0 AS pos,
+        |    'https://img.example.net/i/' ||
+        |      CAST(d.doc_id % nn.n AS VARCHAR) || '.bmp' AS image_url,
+        |    'figure & caption ' || CAST(d.doc_id % nn.n AS VARCHAR)
+        |      AS alt_text,
+        |    '' AS title, d.doc_id % nn.n AS img_key
+        |  FROM documents d, nn
+        |  UNION ALL
+        |  SELECT d.doc_id, 1,
+        |    'https://img.example.net/i/' ||
+        |      CAST((d.doc_id + 1) % nn.n AS VARCHAR) || '.bmp',
+        |    '', 't' || CAST((d.doc_id + 1) % nn.n AS VARCHAR),
+        |    (d.doc_id + 1) % nn.n
+        |  FROM documents d, nn
+        |  UNION ALL
+        |  SELECT d.doc_id, 2,
+        |    'https://docs.example.org/pages/sub/gallery/' ||
+        |      CAST((d.doc_id + 2) % nn.n AS VARCHAR) || '.bmp',
+        |    'local ' || CAST((d.doc_id + 2) % nn.n AS VARCHAR), '', NULL
+        |  FROM documents d, nn)
+        |SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos, p.image_url,
+        |  p.alt_text, p.title, a.ahash
+        |FROM itp_pairs p LEFT JOIN itp_ahf a ON p.img_key = a.img_id
+        |ORDER BY p.doc_id, p.pos""".stripMargin,
     // replay of the exact integer sample arithmetic from the same
     // doc_id-derived waveform formula the WAV fixtures embed; only the
     // RMS is float, rounded identically on both sides

@@ -25,6 +25,16 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("image-text pairing: one equi-join on url, no cartesian, no corpus window") {
+    val p = planOf("web_image_text_pairs")
+    assert(!p.contains("CartesianProduct"),
+      "image-text pairing plans a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "image-text pairing plans a nested-loop join")
+    assert(!p.contains("WindowExec"),
+      "image-text pairing must not window over documents")
+  }
+
   test("KN LM joins every model table as a broadcast; no cartesian, no corpus window") {
     val p = planOf("text_lm_kn")
     assert(!p.contains("CartesianProduct"), "KN scorer plans a cartesian product")

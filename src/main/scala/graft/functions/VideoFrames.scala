@@ -80,22 +80,82 @@ object VideoFrames {
     StructField("mean_luma", IntegerType, nullable = false))),
     containsNull = false)
 
-  /** Register `video_frame_sample(binary, int)` on a session (idempotent). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  val hashSchema: DataType = ArrayType(StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("fhash", LongType, nullable = false))),
+    containsNull = false)
+
+  /** Register `video_frame_sample(binary, int)` and
+    * `video_frame_ahash(binary, int)` on a session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "video_frame_sample", exprs => VideoFrameSample(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "video_frame_ahash", exprs => VideoFrameAHash(exprs(0), exprs(1)),
+      "built-in")
+  }
 
   private def isDigit(c: Byte): Boolean = c >= '0' && c <= '9'
+
+  /** Exact integer luma of pixel triple at `i` ([[ImageHash]] weights;
+    * AVI payloads are BGR, MP4 `raw ` payloads RGB). */
+  @inline private def luma(b: Array[Byte], i: Int, bgr: Boolean): Long = {
+    val v0 = b(i) & 0xff; val v1 = b(i + 1) & 0xff; val v2 = b(i + 2) & 0xff
+    if (bgr) (299 * v2 + 587 * v1 + 114 * v0) / 1000
+    else (299 * v0 + 587 * v1 + 114 * v2) / 1000
+  }
+
+  /** Per-frame reduce: mean luma (hash=false) or the aHash-rule frame
+    * fingerprint (hash=true) — bit j set iff block j's mean luma ≥ the
+    * frame mean, blocks being min(npx, 64) equal contiguous pixel runs
+    * in payload order (for ≤64-px frames that is one bit per pixel).
+    * All floor-integer arithmetic, so an oracle replays it from the
+    * fixture pixel formula.
+    */
+  private def frameValue(b: Array[Byte], from: Int, npx: Int,
+                         bgr: Boolean, hash: Boolean): Long = {
+    var sum = 0L
+    var i = from
+    var c = 0
+    while (c < npx) { sum += luma(b, i, bgr); i += 3; c += 1 }
+    if (!hash) return sum / npx
+    val mean = sum / npx
+    val nb = math.min(npx, 64)
+    var h = 0L
+    var j = 0
+    while (j < nb) {
+      val lo = (j.toLong * npx / nb).toInt
+      val hi = ((j + 1).toLong * npx / nb).toInt
+      var bs = 0L
+      var p2 = from + 3 * lo
+      var cc = lo
+      while (cc < hi) { bs += luma(b, p2, bgr); p2 += 3; cc += 1 }
+      if (bs / (hi - lo) >= mean) h |= 1L << j
+      j += 1
+    }
+    h
+  }
+
+  @inline private def frameRow(frameIdx: Int, v: Long,
+                               hash: Boolean): GenericInternalRow =
+    if (hash) new GenericInternalRow(Array[Any](frameIdx, v))
+    else new GenericInternalRow(Array[Any](frameIdx, v.toInt))
 
   /** Invoked from both interpreted eval and generated code; null unless
     * the bytes are a bounded-complete AVI and every SAMPLED frame is an
     * uncompressed whole-triple payload.
     */
-  def sample(b: Array[Byte], k: Int): ArrayData = {
+  def sample(b: Array[Byte], k: Int): ArrayData = scan(b, k, hash = false)
+
+  /** [[sample]]'s fingerprint twin: every k-th frame reduced to its
+    * 64-bit aHash-rule hash — the signature video near-dup bands on. */
+  def sampleHash(b: Array[Byte], k: Int): ArrayData = scan(b, k, hash = true)
+
+  private def scan(b: Array[Byte], k: Int, hash: Boolean): ArrayData = {
     if (b == null || k < 1 || b.length < 12) return null
     if (b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
-        b(7) == 'p') return sampleMp4(b, k)
+        b(7) == 'p') return sampleMp4(b, k, hash)
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return null
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
@@ -121,19 +181,8 @@ object VideoFrames {
               if (frameIdx % k == 0) {
                 // sampled: must be decodable — uncompressed, whole triples
                 if (b(q + 3) == 'c' || s2 == 0 || s2 % 3 != 0) return null
-                val npx = (s2 / 3).toInt
-                var sum = 0L
-                var i = q + 8
-                val stop = (q + 8 + s2).toInt
-                while (i < stop) {
-                  val blue = b(i) & 0xff
-                  val green = b(i + 1) & 0xff
-                  val red = b(i + 2) & 0xff
-                  sum += (299 * red + 587 * green + 114 * blue) / 1000
-                  i += 3
-                }
-                out += new GenericInternalRow(
-                  Array[Any](frameIdx, (sum / npx).toInt))
+                out += frameRow(frameIdx,
+                  frameValue(b, q + 8, (s2 / 3).toInt, bgr = true, hash), hash)
               }
               frameIdx += 1
             }
@@ -151,7 +200,7 @@ object VideoFrames {
     * the every-k-th ones as RGB24. Null on compressed codecs, missing or
     * inconsistent tables, or any byte range outside the buffer.
     */
-  private def sampleMp4(b: Array[Byte], k: Int): ArrayData = {
+  private def sampleMp4(b: Array[Byte], k: Int, hash: Boolean): ArrayData = {
     import VideoHeader.findBox
     val len = b.length.toLong
     val moov = findBox(b, 0, len, "moov")
@@ -222,19 +271,9 @@ object VideoFrames {
         if (size < 0 || off < 0 || off + size > len) return null
         if (sampleIdx % k == 0) {
           if (size == 0 || size % 3 != 0) return null
-          val npx = (size / 3).toInt
-          var sum = 0L
-          var i = off.toInt
-          val stop = (off + size).toInt
-          while (i < stop) {
-            val red = b(i) & 0xff
-            val green = b(i + 1) & 0xff
-            val blue = b(i + 2) & 0xff
-            sum += (299 * red + 587 * green + 114 * blue) / 1000
-            i += 3
-          }
-          out += new GenericInternalRow(
-            Array[Any](sampleIdx, (sum / npx).toInt))
+          out += frameRow(sampleIdx,
+            frameValue(b, off.toInt, (size / 3).toInt, bgr = false, hash),
+            hash)
         }
         off += size
         sampleIdx += 1
@@ -246,4 +285,39 @@ object VideoFrames {
     if (sampleIdx < nSamples) return null
     new GenericArrayData(out.toArray)
   }
+}
+
+/** `video_frame_ahash(bin, k)` → `array<struct<frame_idx, fhash>>` —
+  * [[VideoFrameSample]]'s fingerprint twin: every k-th frame of an
+  * AVI/MP4 reduced to a 64-bit aHash-rule hash (bit j = contiguous
+  * pixel-block j's mean luma ≥ the frame mean). The per-video hash
+  * signature is what video perceptual dedup bands on — identical
+  * refusal contract as the sampler (null on compressed codecs,
+  * inconsistent tables, or out-of-range byte spans, never garbage).
+  */
+case class VideoFrameAHash(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = VideoFrames.hashSchema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"video_frame_ahash needs (binary, int), got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override def nullSafeEval(bin: Any, k: Any): Any =
+    VideoFrames.sampleHash(bin.asInstanceOf[Array[Byte]], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, k) => s"""
+      ${ev.value} = graft.functions.VideoFrames.sampleHash($b, $k);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VideoFrameAHash =
+    copy(left = newLeft, right = newRight)
 }

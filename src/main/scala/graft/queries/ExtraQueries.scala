@@ -1496,6 +1496,74 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // VIDEO PERCEPTUAL DEDUP — VideoFrames' sampled-frame decode
+    // composed with the aHash integer pipeline (video_frame_ahash) and
+    // the image-dedup banding posture: each sampled 8×8 frame reduces
+    // to a 64-bit sign-structure hash, candidates come from 4×16-bit
+    // hamming bands through DedupOps.cappedBandPairs (so a viral clip
+    // repeated 10k× costs a chain, not 50M pairs), per-frame hamming ≤6
+    // verifies, and a video pair is a near-dup when ≥2 sampled frames
+    // match. Fixtures: real AVIs, videos 2g/2g+1 share a g-keyed mosaic,
+    // the odd one perturbing ONE pixel of ONE sampled frame (+55) — the
+    // re-encoded-clip shape. The oracle replays pixels → frame means →
+    // every hash bit → bands → hamming → the pair rollup.
+    "mm_video_dedup" -> ((s, dir) => {
+      graft.functions.VideoFrames.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      // aHash is brightness-shift-invariant by design, so an ADDITIVE
+      // g-term would give unrelated videos identical sign structure
+      // (measured: 63k pairs for 500 docs). The Lehmer-style multiplier
+      // scrambles the whole pattern per g instead — distinct g → a
+      // distinct 64-bit sign structure, so only the designed 2g/2g+1
+      // near-dups (plus seed-class collisions every 65537 g) survive
+      // the hamming filter, and pair volume stays linear in the corpus.
+      val gSql = "(doc_id div 2)"
+      val seedSql = s"(($gSql * 48271) % 65537)"
+      val vSql =
+        s"((($seedSql * (y * 8 + x + 16 * t + 1)) % 65537) % 200" +
+        s" + (CASE WHEN doc_id % 2 = 1 AND t = 2 * ($gSql % 3)" +
+        s" AND x = $gSql % 8 AND y = 0 THEN 55 ELSE 0 END))"
+      val frameHex =
+        s"""concat('30306462', ${le("192", 4)},
+           |  array_join(transform(sequence(0, 7), y ->
+           |    array_join(transform(sequence(0, 7), x ->
+           |      repeat(lpad(hex($vSql), 2, '0'), 3)), '')), ''))""".stripMargin
+      val aviHex =
+        s"""concat('52494646', ${le("1216", 4)}, '41564920',
+           |  '4C495354', ${le("4", 4)}, '6864726C',
+           |  '4C495354', ${le("1204", 4)}, '6D6F7669',
+           |  array_join(transform(sequence(0, 5), t -> $frameHex), ''))"""
+          .stripMargin
+      // hash table materializes once — AVI synthesis + decode must not
+      // re-run under both sides of the band self-join
+      val frames = Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($aviHex)"))
+        .selectExpr("doc_id", "explode(video_frame_ahash(blob, 2)) AS fr")
+        .select(col("doc_id"), col("fr.frame_idx").as("frame_idx"),
+          col("fr.fhash").as("fhash"))
+        .localCheckpoint(true)
+      val banded = frames.select(col("doc_id"), col("frame_idx"),
+          col("fhash"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("bi"),
+            expr(s"shiftright(fhash, ${b * 16}) & 65535").as("bv"))): _*))
+            .as("band"))
+        .select(col("doc_id"), col("frame_idx"), col("fhash"),
+          col("band.bi").as("band_idx"), col("band.bv").as("band_val"))
+      graft.ops.DedupOps.cappedBandPairs(banded, "doc_id",
+          Seq("band_idx", "band_val"), Seq("fhash", "frame_idx"),
+          maxBlock = 4096)
+        .filter(bit_count(col("fhash_a").bitwiseXOR(col("fhash_b"))) <= 6)
+        .select(col("id_a"), col("id_b"),
+          col("frame_idx_a"), col("frame_idx_b"))
+        .distinct()
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_match"))
+        .filter(col("n_match") >= 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // RESIZE / feature-extract over real pixels: the same BMP fixtures as
     // mm_image_dedup reduced to a 6×4 block-mean grayscale grid
     // (image_resize_gray — the thumbnail-as-vector a downstream ANN or
@@ -2535,6 +2603,47 @@ object ExtraQueries extends QueryPack {
         |SELECT doc_id, CAST(t AS INTEGER) AS frame_idx,
         |  CAST(sum(v) // 16 AS INTEGER) AS mean_luma
         |FROM px GROUP BY doc_id, t ORDER BY doc_id, frame_idx""".stripMargin,
+    // replay of the full video near-dup pipeline from the shared pixel
+    // formula: sampled frames {0,2,4} → per-frame mean → every aHash
+    // sign bit (lo/hi halves, sign-fixed 64-bit) → 4×16-bit bands →
+    // hamming ≤ 6 frame pairs → distinct → per-video-pair rollup ≥ 2
+    "mm_video_dedup" ->
+      """WITH vd_d AS (SELECT doc_id, doc_id // 2 AS g FROM documents),
+        |vd_px AS (SELECT doc_id, g, ts.t, xs.x, ys.y,
+        |    (((g * 48271) % 65537)
+        |     * (ys.y * 8 + xs.x + 16 * ts.t + 1)) % 65537 % 200
+        |    + (CASE WHEN doc_id % 2 = 1 AND ts.t = 2 * (g % 3)
+        |        AND xs.x = g % 8 AND ys.y = 0 THEN 55 ELSE 0 END) AS v
+        |  FROM vd_d,
+        |    (SELECT unnest([0, 2, 4]) AS t) ts,
+        |    (SELECT unnest(generate_series(0, 7)) AS x) xs,
+        |    (SELECT unnest(generate_series(0, 7)) AS y) ys),
+        |vd_mean AS (SELECT doc_id, t, sum(v) // 64 AS mean
+        |  FROM vd_px GROUP BY 1, 2),
+        |vd_h AS (SELECT p.doc_id, p.t,
+        |    CAST(sum(CASE WHEN v >= mean AND y * 8 + x < 32
+        |        THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INT)
+        |      ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN v >= mean AND y * 8 + x >= 32
+        |        THEN CAST(1 AS BIGINT) << CAST(y * 8 + x - 32 AS INT)
+        |      ELSE 0 END) AS BIGINT) AS hi
+        |  FROM vd_px p JOIN vd_mean m ON p.doc_id = m.doc_id AND p.t = m.t
+        |  GROUP BY 1, 2),
+        |vd_f AS MATERIALIZED (SELECT doc_id, t,
+        |    CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |      * 4294967296 + lo AS BIGINT) AS fhash FROM vd_h),
+        |vd_bands AS (SELECT doc_id, t, fhash, g.b AS band_idx,
+        |    (fhash >> (g.b * 16)) & 65535 AS band_val
+        |  FROM vd_f, (SELECT unnest(generate_series(0, 3)) AS b) g),
+        |vd_cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.t AS ta, b.t AS tb
+        |  FROM vd_bands a JOIN vd_bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |      AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.fhash, b.fhash)) <= 6)
+        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_match
+        |FROM vd_cand GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // replay of the floor-division block-grid means over the same
     // doc_id-derived pixels as mm_image_dedup (r=g=b=v so luma==v);
     // 6×4 grid over 72×16 → 12×4-px cells, cell_idx row-major

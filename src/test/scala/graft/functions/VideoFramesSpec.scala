@@ -190,4 +190,51 @@ class VideoFramesSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(rows == Set((1L, 0, 15)))
   }
+
+  private def hashes(b: Array[Byte], k: Int): Option[Seq[(Int, Long)]] =
+    Option(VideoFrames.sampleHash(b, k)).map { ad =>
+      (0 until ad.numElements()).map { i =>
+        val r = ad.getStruct(i, 2)
+        (r.getInt(0), r.getLong(1))
+      }
+    }
+
+  test("frame ahash: per-pixel sign bits for small frames, both containers") {
+    // frame of 4 px: lumas 10, 20, 30, 200 → mean 65 → only bit 3 set
+    val b = avi(Seq("00db" -> gray(10, 20, 30, 200)))
+    assert(hashes(b, 1) == Some(Seq(0 -> 8L)))
+    // all-equal frame: every block mean == frame mean → all npx bits set
+    val flat = avi(Seq("00db" -> gray(50, 50, 50)))
+    assert(hashes(flat, 1) == Some(Seq(0 -> 7L)))
+    // MP4 path hashes RGB payloads with the same rule
+    val m = mp4("raw ", Seq(Seq(gray(10, 20, 30, 200))))
+    assert(hashes(m, 1) == Some(Seq(0 -> 8L)))
+    // brightness invariance: +40 on every pixel flips no sign bit
+    val shifted = avi(Seq("00db" -> gray(50, 60, 70, 240)))
+    assert(hashes(shifted, 1) == hashes(b, 1))
+  }
+
+  test("frame ahash: >64-px frames reduce via 64 contiguous pixel blocks") {
+    // 128 px: first 64 dark (10), last 64 bright (200) → blocks of 2 px,
+    // mean 105 → low 32 blocks 0, high 32 blocks 1
+    val px = Seq.fill(64)(10) ++ Seq.fill(64)(200)
+    val b = avi(Seq("00db" -> gray(px: _*)))
+    assert(hashes(b, 1) == Some(Seq(0 -> (-1L << 32))))
+    // refusal contract identical to the sampler
+    assert(hashes(avi(Seq("00dc" -> gray(1, 2))), 1).isEmpty)
+    assert(hashes(Array[Byte](1, 2, 3), 1).isEmpty)
+  }
+
+  test("frame ahash codegen path through the SQL surface") {
+    VideoFrames.register(spark)
+    import spark.implicits._
+    val rows = Seq((1L, avi(Seq("00db" -> gray(10, 20, 30, 200),
+        "00db" -> gray(1, 2, 3)))))
+      .toDF("id", "blob")
+      .selectExpr("id", "explode(video_frame_ahash(blob, 1)) AS fr")
+      .selectExpr("id", "fr.frame_idx", "fr.fhash")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // frame 1: lumas 1,2,3 mean 2 → bits 1,2 → 6
+    assert(rows == Set((1L, 0, 8L), (1L, 1, 6L)))
+  }
 }

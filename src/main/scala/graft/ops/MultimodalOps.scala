@@ -47,6 +47,46 @@ object MultimodalOps {
       call_function("image_header", col(binCol)).as("image")))
   }
 
+  /** Band-sign audio fingerprints over a mel spectrogram
+    * (`array<array<long>>` from `audio_mel_frames`) — the
+    * Chromaprint-family posture on the speech grain: per frame, bit m =
+    * band m's energy ROSE against the previous frame (strict >, frame 0
+    * contributes zero bits). The temporal-delta sign survives uniform
+    * gain changes (both frames scale together — the re-encoded-loudness
+    * invariance) while staying noise-diverse; a within-frame band
+    * ORDERING rule does not discriminate at all, because mel triangle
+    * widths dominate any flat-ish spectrum and every clip then shares
+    * one sign pattern (measured: 16k pairs for 500 docs). 8 consecutive
+    * frames pack into one 64-bit per-window fingerprint (bit =
+    * frame-in-window·8 + band), assembled from lo/hi 32-bit halves with
+    * the sign-fix idiom so neither engine nor oracle overflows a signed
+    * sum. Emits (id, win, fp) — the signature audio near-dup bands on.
+    * Pure integer column composition: the delta bits are a scan-side
+    * array transform (no window function), then one hash aggregation
+    * keyed by (id, window).
+    */
+  def audioFingerprints(df: DataFrame, idCol: String,
+                        framesCol: String): DataFrame = {
+    val nm = graft.functions.AudioMel.NumMels // 8 bands = 8 bits/frame
+    val bitsSql = (0 until nm).map(m =>
+      s"CASE WHEN __sg[f][$m] > __sg[f - 1][$m] THEN ${1L << m}L " +
+        "ELSE 0L END").mkString(" + ")
+    df.select(col(idCol), col(framesCol).as("__sg"))
+      .select(col(idCol), posexplode(expr(
+        "transform(sequence(0, size(__sg) - 1), f -> " +
+          s"CASE WHEN f = 0 THEN 0L ELSE $bitsSql END)"))
+        .as(Seq("__f", "__bits")))
+      .groupBy(col(idCol), expr("__f div 8").as("win"))
+      .agg(
+        sum(expr("CASE WHEN __f % 8 < 4 THEN shiftleft(__bits, " +
+          "cast(8 * (__f % 8) as int)) ELSE 0L END")).as("__lo"),
+        sum(expr("CASE WHEN __f % 8 >= 4 THEN shiftleft(__bits, " +
+          "cast(8 * (__f % 8 - 4) as int)) ELSE 0L END")).as("__hi"))
+      .select(col(idCol), col("win"),
+        (when(col("__hi") >= lit(2147483648L), col("__hi") - lit(4294967296L))
+          .otherwise(col("__hi")) * lit(4294967296L) + col("__lo")).as("fp"))
+  }
+
   /** A decode hook: bytes → fixed-size feature vector. */
   type Decoder = Array[Byte] => Array[Float]
 

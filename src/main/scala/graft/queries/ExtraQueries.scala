@@ -1069,6 +1069,64 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"), col("frame"), col("band"))
     }),
 
+    // AUDIO FINGERPRINT DEDUP — the perceptual-dedup triad's third leg
+    // (image ✓, video ✓): temporal-delta band-sign fingerprints over
+    // the mel spectrogram (MultimodalOps.audioFingerprints — bit = band
+    // energy ROSE vs the previous frame, 8 frames per 64-bit window
+    // fingerprint), then the same hamming-banded candidate/verify/
+    // rollup pipeline as mm_video_dedup through cappedBandPairs.
+    // Fixtures: real 512-sample WAVs, docs 2g/2g+1 carry the same
+    // Lehmer-scrambled waveform with the odd one re-encoded at 3/4
+    // amplitude — the loudness-renormed repost shape; the delta rule
+    // makes those collide while different-g waveforms scramble apart.
+    // The oracle replays PCM → fixed-point DFT (shared basis literals)
+    // → mel energies → every delta bit → bands → hamming → rollup.
+    "mm_audio_dedup" -> ((s, dir) => {
+      graft.functions.AudioMel.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val gSql = "(doc_id div 2)"
+      val seedSql = s"(($gSql * 48271) % 65537)"
+      val sEvenSql = s"((($seedSql * (k + 7)) % 65537) % 4001 - 2000)"
+      val sSql = s"(CASE WHEN doc_id % 2 = 1 THEN (3 * $sEvenSql) div 4" +
+        s" ELSE $sEvenSql END)"
+      val leSampleSql = {
+        val u = s"($sSql % 65536 + 65536) % 65536"
+        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), " +
+          s"substr(lpad(hex($u), 4, '0'), 1, 2))"
+      }
+      val wavHex =
+        s"""concat('52494646', ${le("100", 4)}, '57415645',
+           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
+           |  ${le("16000", 4)}, ${le("32000", 4)}, ${le("2", 2)}, ${le("16", 2)},
+           |  '64617461', ${le("1024", 4)},
+           |  array_join(transform(sequence(0, 511), k -> $leSampleSql), ''))"""
+          .stripMargin
+      // 512 samples → 16 frames → 2 fingerprint windows per doc; the
+      // fingerprint table materializes once before the band self-join
+      val fps = graft.ops.MultimodalOps.audioFingerprints(
+          Tables.documents(s, dir)
+            .withColumn("sg", expr(s"audio_mel_frames(unhex($wavHex))")),
+          "doc_id", "sg")
+        .localCheckpoint(true)
+      val banded = fps.select(col("doc_id"), col("win"), col("fp"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("bi"),
+            expr(s"shiftright(fp, ${b * 16}) & 65535").as("bv"))): _*))
+            .as("band"))
+        .select(col("doc_id"), col("win"), col("fp"),
+          col("band.bi").as("band_idx"), col("band.bv").as("band_val"))
+      graft.ops.DedupOps.cappedBandPairs(banded, "doc_id",
+          Seq("band_idx", "band_val"), Seq("fp", "win"), maxBlock = 4096)
+        .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= 6)
+        .select(col("id_a"), col("id_b"), col("win_a"), col("win_b"))
+        .distinct()
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_match"))
+        .filter(col("n_match") >= 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // AVIF/HEIF metadata (functions.AvifMeta) — the ISOBMFF-packaged
     // image formats modern web corpora shift toward: ftyp brand gate,
     // the meta FULL-box trap (4 version/flags bytes), iprp→ipco→ispe
@@ -2368,6 +2426,72 @@ object ExtraQueries extends QueryPack {
          |SELECT doc_id, CAST(fr AS BIGINT) AS frame, CAST(m AS BIGINT)
          |    AS band, energy
          |FROM mfe ORDER BY doc_id, frame, band""".stripMargin,
+
+    // replay of the full audio near-dup pipeline: Lehmer PCM (odd docs
+    // re-encoded at 3/4 amplitude with truncating division) → frames →
+    // fixed-point DFT with the shared basis literals → mel energies →
+    // per-frame lower-median sign bits → lo/hi-assembled 64-bit window
+    // fingerprints → 4×16-bit bands → hamming ≤ 6 → distinct → ≥ 2
+    "mm_audio_dedup" ->
+      s"""WITH ad_k AS (SELECT doc_id, doc_id // 2 AS g,
+         |    unnest(generate_series(0, 511)) AS k FROM documents),
+         |ad_s AS (SELECT doc_id, k,
+         |    CASE WHEN doc_id % 2 = 1
+         |      THEN (3 * ((((g * 48271) % 65537) * (k + 7)) % 65537
+         |        % 4001 - 2000)) // 4
+         |      ELSE (((g * 48271) % 65537) * (k + 7)) % 65537 % 4001 - 2000
+         |    END AS s
+         |  FROM ad_k),
+         |ad_fk AS (SELECT d.doc_id, fs.fr, ks.kk
+         |  FROM documents d,
+         |    (SELECT unnest(generate_series(0, 15)) AS fr) fs,
+         |    (SELECT unnest(generate_series(0, 63)) AS kk) ks),
+         |ad_fs AS (SELECT f.doc_id, f.fr, f.kk, coalesce(s.s, 0) AS s
+         |  FROM ad_fk f LEFT JOIN ad_s s
+         |    ON s.doc_id = f.doc_id AND s.k = f.fr * 32 + f.kk),
+         |ad_b AS (SELECT * FROM (VALUES $melBasisSql) t(f, k, c, sn)),
+         |ad_w AS (SELECT * FROM (VALUES $melWeightSql) t(m, f, w)),
+         |ad_r AS (SELECT s.doc_id, s.fr, b.f,
+         |    CAST(sum(s.s * b.c) AS BIGINT) AS re,
+         |    CAST(sum(s.s * b.sn) AS BIGINT) AS im
+         |  FROM ad_fs s JOIN ad_b b ON b.k = s.kk GROUP BY 1, 2, 3),
+         |ad_p AS (SELECT doc_id, fr, f,
+         |    (re // 16384) * (re // 16384) + (im // 16384) * (im // 16384)
+         |      AS p
+         |  FROM ad_r),
+         |ad_e AS (SELECT p.doc_id, p.fr, w.m,
+         |    CAST(sum(w.w * p.p) // 1024 AS BIGINT) AS energy
+         |  FROM ad_p p JOIN ad_w w ON w.f = p.f GROUP BY 1, 2, 3),
+         |ad_bits AS (SELECT e.doc_id, e.fr,
+         |    CAST(sum(CASE WHEN e.fr > 0 AND e.energy > p.energy
+         |        THEN CAST(1 AS BIGINT) << CAST(e.m AS INT)
+         |      ELSE 0 END) AS BIGINT) AS bits
+         |  FROM ad_e e LEFT JOIN ad_e p
+         |    ON p.doc_id = e.doc_id AND p.fr = e.fr - 1 AND p.m = e.m
+         |  GROUP BY 1, 2),
+         |ad_fp AS MATERIALIZED (SELECT doc_id, win,
+         |    CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296
+         |      ELSE hi END) * 4294967296 + lo AS BIGINT) AS fp
+         |  FROM (SELECT doc_id, fr // 8 AS win,
+         |      CAST(sum(CASE WHEN fr % 8 < 4
+         |          THEN bits << CAST(8 * (fr % 8) AS INT)
+         |        ELSE 0 END) AS BIGINT) AS lo,
+         |      CAST(sum(CASE WHEN fr % 8 >= 4
+         |          THEN bits << CAST(8 * (fr % 8 - 4) AS INT)
+         |        ELSE 0 END) AS BIGINT) AS hi
+         |    FROM ad_bits GROUP BY 1, 2)),
+         |ad_bands AS (SELECT doc_id, win, fp, gb.b AS band_idx,
+         |    (fp >> (gb.b * 16)) & 65535 AS band_val
+         |  FROM ad_fp, (SELECT unnest(generate_series(0, 3)) AS b) gb),
+         |ad_cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.win AS wa, b.win AS wb
+         |  FROM ad_bands a JOIN ad_bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |      AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.fp, b.fp)) <= 6)
+         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_match
+         |FROM ad_cand GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // brand/extents as closed forms; the mp42 branch must refuse
     "mm_image_avif_meta" ->

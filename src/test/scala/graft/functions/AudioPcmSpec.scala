@@ -2,6 +2,8 @@ package graft.functions
 
 import java.nio.{ByteBuffer, ByteOrder}
 
+import org.apache.spark.sql.functions.expr
+
 import graft.SparkSuite
 
 /** Sample-level WAV decode: exact stats on a hand-built waveform, the
@@ -337,5 +339,45 @@ class AudioPcmSpec extends SparkSuite {
     // refusals inherit the parse contract
     assert(framesOf(wav(Seq(1, 2), channels = 2)).isEmpty)
     assert(framesOf(wav(Seq(1, 2), rate = 8000)).isEmpty)
+  }
+
+  test("audio fingerprints: re-encoded loudness collides, other tones don't") {
+    // amplitude-modulated tone (tremolo) over broadband content keyed to
+    // the tone: every band carries real energy (a bare tone leaves 7
+    // bands at spectral-leakage level, where deltas flip under
+    // rescaling), and energy rises across frames so the temporal-delta
+    // bits carry structure a stationary tone lacks
+    def modTone(binF: Int, scaleNum: Int, scaleDen: Int): Seq[Int] =
+      (0 until 256).map { k =>
+        val amp = 400 + 150 * ((k / 32) % 4)
+        val tone = StrictMath.rint(amp *
+          StrictMath.cos(2.0 * StrictMath.PI * binF * k / 64)).toInt
+        val noise = (k * 48271 * (binF + 1)) % 65537 % 801 - 400
+        (tone + noise) * scaleNum / scaleDen
+      }
+    import spark.implicits._
+    AudioMel.register(spark)
+    val df = Seq(
+      (0L, wav(modTone(8, 1, 1))),
+      (1L, wav(modTone(8, 3, 4))), // same tone at 3/4 loudness
+      (2L, wav(modTone(20, 1, 1)))) // a different tone
+      .toDF("id", "blob")
+      .withColumn("sg", expr("audio_mel_frames(blob)"))
+    val fp = graft.ops.MultimodalOps.audioFingerprints(df, "id", "sg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(_._3).toSeq
+      }
+    assert(fp(0L).nonEmpty && fp(0L).exists(_ != 0L),
+      "modulated tone must produce nonzero delta bits")
+    // the match contract is the query's: hamming ≤ 6 (sample truncation
+    // under rescaling may flip a near-tie delta bit; exact equality is
+    // not the fingerprint promise)
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(ham(fp(0L), fp(1L)) <= 6,
+      s"re-encoded loudness must collide, ham ${ham(fp(0L), fp(1L))}")
+    assert(ham(fp(0L), fp(2L)) > 6,
+      s"a different tone must not collide, ham ${ham(fp(0L), fp(2L))}")
   }
 }

@@ -18,7 +18,7 @@ class PlanAuditSpec extends SparkSuite {
   test("near-dup pair generation never plans a cartesian product") {
     Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_hamming",
       "dedup_embed_cosine", "dedup_substring_runs", "dedup_semdedup",
-      "bitext_mine", "mm_video_dedup").foreach { q =>
+      "bitext_mine", "mm_video_dedup", "mm_audio_dedup").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")

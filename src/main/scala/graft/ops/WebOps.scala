@@ -34,6 +34,7 @@ object WebOps {
     Gzip.register(spark); WarcParse.register(spark); HtmlToText.register(spark)
     RobotsTxt.register(spark); graft.functions.HtmlLinks.register(spark)
     graft.functions.HtmlImages.register(spark)
+    graft.functions.SubtitleCues.register(spark)
     graft.functions.HtmlMeta.register(spark); graft.functions.Zstd.register(spark)
     graft.functions.CharsetDecode.register(spark)
   }

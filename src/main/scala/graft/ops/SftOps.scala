@@ -108,4 +108,42 @@ object SftOps {
       .select(col("bucket"), col("chosen_id"), col("rejected_id"),
         (col("__qc") - col("__qr")).as("margin"))
   }
+
+  /** Best-of-n / rejection-sampling assembly (the published RFT data
+    * path): per prompt, keep the top-1 of its n sampled completions by
+    * the integer quality score — rank-1 window with the opposed
+    * deterministic tie-breaks of [[preferencePairs]] — and emit the
+    * SFT-ready row with its MARGIN OVER THE GROUP MEDIAN (how far the
+    * kept completion clears the typical sample, the acceptance signal
+    * rejection sampling thresholds on). Median = the lower median
+    * (⌈n/2⌉-th smallest, id-ascending tie-break), exact integer.
+    *
+    * Output: (prompt, best_id, best_q, margin_med, n).
+    *
+    * Scale shape: windows carry the prompt key — partitions are
+    * n-completions-sized by construction, never corpus-wide; rank-1 and
+    * the single median row bound each partition's output at one row.
+    */
+  def bestOfN(scored: DataFrame, idCol: String, promptCol: String,
+              scoreCol: String): DataFrame = {
+    val based = scored.select(col(promptCol).as("prompt"), col(idCol),
+      col(scoreCol).cast("long").as("__q"))
+    val wTop = Window.partitionBy(col("prompt"))
+      .orderBy(col("__q").desc, col(idCol).asc)
+    val wAsc = Window.partitionBy(col("prompt"))
+      .orderBy(col("__q").asc, col(idCol).asc)
+    val ranked = based
+      .withColumn("__rt", row_number().over(wTop))
+      .withColumn("__ra", row_number().over(wAsc))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("prompt"))))
+    val best = ranked.filter(col("__rt") === 1)
+      .select(col("prompt"), col(idCol).as("best_id"),
+        col("__q").as("best_q"), col("__n").as("n"))
+    val median = ranked.filter(expr("__ra = (__n + 1) div 2"))
+      .select(col("prompt"), col("__q").as("__qm"))
+    best.join(median, "prompt")
+      .select(col("prompt"), col("best_id"), col("best_q"),
+        (col("best_q") - col("__qm")).as("margin_med"), col("n"))
+  }
 }

@@ -697,6 +697,21 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // BEST-OF-N / rejection-sampling assembly (SftOps.bestOfN): 8
+    // completions per prompt (doc_id div 8), keep the rank-1 by the
+    // same e4 quality score, margin over the group's lower median —
+    // the published RFT data path beside preference pairs. The oracle
+    // replays the score, both windows, the median pick, every margin.
+    "rlhf_best_of_n" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .withColumn("__t", graft.ops.TextOps.tokens(col("text")))
+        .select(col("doc_id"), expr("doc_id div 8").as("prompt_id"),
+          expr("CAST(size(array_distinct(__t)) AS BIGINT) * 10000" +
+            " div size(__t)").as("q"))
+      graft.ops.SftOps.bestOfN(scored, "doc_id", "prompt_id", "q")
+        .orderBy(col("prompt"))
+    }),
+
     // SFT CHAT ASSEMBLY (SftOps.assembleChat): four-doc conversations
     // (system/user/assistant/user by doc_id%4) rendered through the
     // ChatML-style template with exact whitespace-token accounting —
@@ -2181,6 +2196,30 @@ object CorpusQueries extends QueryPack {
         |FROM pp_t t JOIN pp_b b USING (bucket)
         |WHERE t.chosen_id <> b.rejected_id
         |ORDER BY bucket""".stripMargin,
+
+    // the e4 score, both windows (opposed tie-breaks), the lower-median
+    // pick, and every margin replayed
+    "rlhf_best_of_n" ->
+      """WITH bo_q AS (SELECT doc_id, doc_id // 8 AS prompt,
+        |    CAST(len(list_distinct(
+        |      string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+        |      * 10000 // len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS q
+        |  FROM documents),
+        |bo_r AS (SELECT doc_id, prompt, q,
+        |    row_number() OVER (PARTITION BY prompt
+        |      ORDER BY q DESC, doc_id ASC) AS rt,
+        |    row_number() OVER (PARTITION BY prompt
+        |      ORDER BY q ASC, doc_id ASC) AS ra,
+        |    count(*) OVER (PARTITION BY prompt) AS n
+        |  FROM bo_q),
+        |bo_b AS (SELECT prompt, doc_id AS best_id, q AS qb, n
+        |  FROM bo_r WHERE rt = 1),
+        |bo_m AS (SELECT prompt, q AS qm FROM bo_r WHERE ra = (n + 1) // 2)
+        |SELECT b.prompt, b.best_id, CAST(b.qb AS BIGINT) AS best_q,
+        |  CAST(b.qb - m.qm AS BIGINT) AS margin_med, CAST(b.n AS BIGINT) AS n
+        |FROM bo_b b JOIN bo_m m USING (prompt)
+        |ORDER BY b.prompt""".stripMargin,
 
     // the ChatML render, the token accounting (wordcount+2 per turn),
     // offsets, assistant mask, and the per-conversation reassembly md5

@@ -138,7 +138,8 @@ class PlanAuditSpec extends SparkSuite {
     Seq(
       "sft_chat_pack" -> "conv_id",     // conversation-partitioned
       "pack_fold_pairs" -> "shard",     // shard-partitioned fold
-      "rlhf_pref_pairs" -> "bucket")    // hash-bucket rank-1 windows
+      "rlhf_pref_pairs" -> "bucket",    // hash-bucket rank-1 windows
+      "rlhf_best_of_n" -> "prompt")     // prompt-keyed rank-1/median
       .foreach { case (q, key) =>
         val p = planOf(q)
         assert(!p.contains("CartesianProduct") &&

@@ -357,6 +357,53 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming SFT/packing last mile — [[uploadAnalysis]]'s posture on
+    * the post-training surface: a watched directory of conversation
+    * drops (JSON-lines turn rows: conv_id, turn_idx, role, text), each
+    * micro-batch running the EXACT batch operators —
+    * [[graft.ops.SftOps.assembleChat]] (ChatML render, exact offsets,
+    * assistant-only loss masks, over-budget conversations dropped
+    * whole) then [[graft.ops.PackingOps.packTokenStream]] over the
+    * assembled conversations — via foreachBatch, so batch/stream parity
+    * is definitional. The drop contract is the upload loop's: a file
+    * carries WHOLE conversations (assembleChat's ordering-key contract;
+    * a split conversation would assemble twice), and each drop packs
+    * independently — incremental SFT data lands as self-contained pack
+    * groups. No state survives a batch, so streaming state is bounded
+    * at zero by construction.
+    *
+    * `onBatch` receives the per-turn rows (assembleChat's output joined
+    * with the conversation's pack_id/pack_offset) and the batch id.
+    */
+  def sftIngest(spark: SparkSession, dir: String, maxTokens: Long,
+                packBudget: Long = 512, shards: Int = 8)
+               (onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("conv_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("turn_idx",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("role",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.format("json").schema(schema).load(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        val chats = graft.ops.SftOps.assembleChat(batch,
+          "conv_id", "turn_idx", "role", "text", maxTokens)
+        val convs = chats.select(col("conv_id"), col("conv_tokens"))
+          .distinct()
+        val packed = graft.ops.PackingOps.packTokenStream(convs,
+          "conv_id", "conv_tokens", packBudget, shards)
+          .select(col("conv_id"), col("pack_id"), col("pack_offset"))
+        onBatch(chats.join(packed, "conv_id"), id)
+      }
+      .start()
+  }
+
   /** Streaming crawl ingestion: the batch first mile
     * ([[graft.ops.WebOps.extractPages]] — gzip members → WARC records →
     * HTTP split → HTML text) over a file-watched directory of crawl

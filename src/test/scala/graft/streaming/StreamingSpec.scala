@@ -297,6 +297,54 @@ class StreamingSpec extends SparkSuite {
       batch.map(_.toString).sorted.toSeq)
   }
 
+  test("sft ingest stream: assembleChat + pack per drop matches batch exactly") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("sft_drops_")
+    // two conversation drops (whole conversations per file, the upload
+    // contract): 3 convs of 3 turns, one conv over the token budget
+    def turn(c: Long, t: Long, role: String, txt: String): String =
+      s"""{"conv_id":$c,"turn_idx":$t,"role":"$role","text":"$txt"}"""
+    val drop = Seq(
+      turn(0, 0, "system", "be helpful"),
+      turn(0, 1, "user", "what is spark"),
+      turn(0, 2, "assistant", "a distributed engine"),
+      turn(1, 0, "user", "count to three"),
+      turn(1, 1, "assistant", "one two three"),
+      turn(2, 0, "user", ("very " * 30).trim), // over budget → drops whole
+      turn(2, 1, "assistant", "too long anyway"))
+    java.nio.file.Files.write(dir.resolve("drop0.jsonl"),
+      drop.mkString("\n").getBytes("UTF-8"))
+
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[Array[org.apache.spark.sql.Row]]
+    val q = StreamingPipeline.sftIngest(spark, dir.toString,
+      maxTokens = 30, packBudget = 16, shards = 4) { (rows, _) =>
+      results.synchronized { results += rows.collect() }
+    }
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = results.synchronized { results.flatten }
+    // the batch pipeline over the same file, operator for operator
+    val batch = {
+      val turns = spark.read.schema(
+        "conv_id long, turn_idx long, role string, text string")
+        .json(dir.toString)
+      val chats = graft.ops.SftOps.assembleChat(turns,
+        "conv_id", "turn_idx", "role", "text", maxTokens = 30)
+      val convs = chats.select(col("conv_id"), col("conv_tokens")).distinct()
+      val packed = graft.ops.PackingOps.packTokenStream(convs,
+        "conv_id", "conv_tokens", budget = 16, shards = 4)
+        .select(col("conv_id"), col("pack_id"), col("pack_offset"))
+      chats.join(packed, "conv_id").collect()
+    }
+    assert(streamed.nonEmpty, "stream produced no assembled turns")
+    assert(streamed.map(_.toString).sorted.toSeq ==
+      batch.map(_.toString).sorted.toSeq)
+    // the over-budget conversation dropped whole on both sides
+    assert(!streamed.exists(_.getLong(0) == 2L))
+  }
+
   test("frontier stream: outlinks discovered once across segments, canonical variants collapse") {
     import spark.implicits._
     import graft.ops.WebOps

@@ -99,7 +99,8 @@ object HtmlImages {
   /** `name` attribute value within the tag body s[from, to), or null.
     * Same quoting rules as [[HtmlLinks]]: double, single, or unquoted.
     */
-  private def attr(s: String, from: Int, to: Int, name: String): String = {
+  private[functions] def attr(s: String, from: Int, to: Int,
+                              name: String): String = {
     val len = name.length
     var i = from
     while (i < to - len) {
@@ -131,12 +132,12 @@ object HtmlImages {
 
   /** URL attributes decode only the `&` forms (the [[HtmlLinks]] rule —
     * a literal `%26` etc. must survive verbatim). */
-  private def decodeUrlEntities(u: String): String =
+  private[functions] def decodeUrlEntities(u: String): String =
     u.replace("&amp;", "&").replace("&#38;", "&").replace("&#x26;", "&")
 
   /** Human-text attributes (alt/title) decode the full reference set and
     * collapse whitespace — the [[HtmlToText]] emit rules. */
-  private def decodeText(t: String): String = {
+  private[functions] def decodeText(t: String): String = {
     val out = new java.lang.StringBuilder(t.length)
     var pendingSpace = false
     var i = 0

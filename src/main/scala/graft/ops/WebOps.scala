@@ -35,6 +35,7 @@ object WebOps {
     RobotsTxt.register(spark); graft.functions.HtmlLinks.register(spark)
     graft.functions.HtmlImages.register(spark)
     graft.functions.SubtitleCues.register(spark)
+    graft.functions.HtmlSegments.register(spark)
     graft.functions.HtmlMeta.register(spark); graft.functions.Zstd.register(spark)
     graft.functions.CharsetDecode.register(spark)
   }

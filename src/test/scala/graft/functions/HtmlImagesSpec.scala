@@ -53,6 +53,40 @@ class HtmlImagesSpec extends AnyFunSuite {
       Seq(("/e.png", "café & friends", "<tag>", 0)))
   }
 
+  private def segs(html: String): Seq[(String, String, String, Int)] = {
+    val arr = HtmlSegments.segments(UTF8String.fromString(html))
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 4)
+      (r.getUTF8String(0).toString, r.getUTF8String(1).toString,
+        r.getUTF8String(2).toString, r.getInt(3))
+    }
+  }
+
+  test("html_segments: true interleave order, shared position counter") {
+    val html = "<p>one</p><img src=/a.png alt=A><p>two <b>bold</b></p>" +
+      "<img src=/b.png><p>three</p>"
+    assert(segs(html) == Seq(
+      ("text", "one", "", 0), ("image", "/a.png", "A", 1),
+      ("text", "two bold", "", 2), ("image", "/b.png", "", 3),
+      ("text", "three", "", 4)))
+  }
+
+  test("html_segments: decoys, srcless imgs, and inline tags don't split") {
+    val html = "<div>alpha <i>beta</i>" +
+      "<script>var s = \"<img src=x.png><p>no</p>\";</script>" +
+      "<!-- <img src=y.png> -->" +
+      "<img alt='srcless'> gamma</div><img src=/z.png alt='z   alt'>"
+    // container/comment/srcless contribute nothing; the inline <i> and
+    // the img-adjacent text stay one block until the div closes
+    assert(segs(html) == Seq(
+      ("text", "alpha beta gamma", "", 0),
+      ("image", "/z.png", "z alt", 1)))
+    // an image mid-block splits the text exactly there
+    assert(segs("<p>pre <img src=/m.png> post</p>") == Seq(
+      ("text", "pre", "", 0), ("image", "/m.png", "", 1),
+      ("text", "post", "", 2)))
+  }
+
   test("img-prefixed attributes and tags do not confuse the scan") {
     // data-src is not src; imgx is not an img tag
     assert(imgs("""<img data-src="/lazy.png" src="/eager.png">""") ==

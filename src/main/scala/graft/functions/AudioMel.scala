@@ -83,6 +83,9 @@ object AudioMel {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "audio_mel_frames", exprs => AudioMelFramesExpr(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "audio_frame_energy", exprs => AudioFrameEnergyExpr(exprs.head),
+      "built-in")
   }
 
   @inline private def le16u(b: Array[Byte], p: Int): Int =
@@ -171,6 +174,33 @@ object AudioMel {
     if (s == null) null else new GenericArrayData(windowEnergies(s, 0))
   }
 
+  /** Per-frame Σs² energies on the SAME framing grid as [[melFrames]]
+    * ([[HopSamples]] hop, [[WindowSamples]] window, tail zero-padded) —
+    * the time-domain signal VAD gates on: no DFT needed to know where
+    * the silence is, so voice-activity segmentation costs a scan, not
+    * a spectrogram. Samples are ≤ 2¹⁵ so Σ over 64 of s² fits far
+    * inside a long; every value is exact integer work a SQL oracle
+    * replays from the fixture formula. Same parse/refusal contract as
+    * [[mel]]. */
+  def frameEnergies(b: Array[Byte]): GenericArrayData = {
+    val s = parsePcm(b)
+    if (s == null) return null
+    val nf = (s.length + HopSamples - 1) / HopSamples
+    if (nf > MaxFrames) return null
+    val out = new Array[Any](nf)
+    var f = 0
+    while (f < nf) {
+      val off = f * HopSamples
+      val m = math.min(WindowSamples, s.length - off)
+      var acc = 0L
+      var k = 0
+      while (k < m) { val v = s(off + k); acc += v * v; k += 1 }
+      out(f) = acc
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** The full mel SPECTROGRAM — one [[NumMels]]-band energy row per
     * [[HopSamples]]-hop frame (50% window overlap, the standard
     * speech-feature grain): frame f covers samples [f·hop, f·hop+64),
@@ -233,5 +263,27 @@ case class AudioMelFramesExpr(child: Expression) extends UnaryExpression {
     """)
   override protected def withNewChildInternal(
       newChild: Expression): AudioMelFramesExpr =
+    copy(child = newChild)
+}
+
+/** `audio_frame_energy(binary)` → array<long> per-frame Σs² or null. */
+case class AudioFrameEnergyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_frame_energy"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    AudioMel.frameEnergies(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AudioMel.frameEnergies($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(
+      newChild: Expression): AudioFrameEnergyExpr =
     copy(child = newChild)
 }

@@ -1069,6 +1069,62 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"), col("frame"), col("band"))
     }),
 
+    // VOICE-ACTIVITY SEGMENTATION (VAD) — the first gate every speech
+    // pipeline runs (silence trimming, utterance cutting before ASR or
+    // audio-text alignment): per-frame Σs² energies on the mel framing
+    // grid (audio_frame_energy — time-domain, NO DFT, so the gate costs
+    // a scan, not a spectrogram), a frame is active when 4·e clears the
+    // clip's mean energy, and consecutive active frames merge into
+    // segments (gaps-and-islands: frame − active-rank, a doc-keyed
+    // bounded window) with a ≥2-frame floor. Fixtures alternate loud
+    // Lehmer-scrambled 128-sample bursts with a tiny noise floor, the
+    // phase flipped by doc parity; window straddles at burst edges
+    // carry half energy and still clear the threshold — both covered by
+    // the oracle, which replays every sample, energy, the mean, the
+    // island grouping, and the floor.
+    "mm_audio_vad" -> ((s, dir) => {
+      graft.functions.AudioMel.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val loudSql =
+        "((((doc_id * 48271) % 65537) * (k + 3)) % 65537 % 3001 - 1500)"
+      val sSql = s"(CASE WHEN ((k div 128) + doc_id) % 2 = 0" +
+        s" THEN $loudSql ELSE k % 5 - 2 END)"
+      val leSampleSql = {
+        val u = s"($sSql % 65536 + 65536) % 65536"
+        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), " +
+          s"substr(lpad(hex($u), 4, '0'), 1, 2))"
+      }
+      val wavHex =
+        s"""concat('52494646', ${le("100", 4)}, '57415645',
+           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
+           |  ${le("16000", 4)}, ${le("32000", 4)}, ${le("2", 2)}, ${le("16", 2)},
+           |  '64617461', ${le("1024", 4)},
+           |  array_join(transform(sequence(0, 511), k -> $leSampleSql), ''))"""
+          .stripMargin
+      // frame-energy table materializes once — it feeds both the
+      // per-clip mean and the activity filter
+      val frames = Tables.documents(s, dir)
+        .withColumn("fe", expr(s"audio_frame_energy(unhex($wavHex))"))
+        .select(col("doc_id"), posexplode(col("fe")).as(Seq("f", "e")))
+        .localCheckpoint(true)
+      val stats = frames.groupBy(col("doc_id"))
+        .agg(expr("sum(e) div count(1)").as("me"))
+      val act = frames.join(stats, "doc_id")
+        .filter(col("e") * 4 > col("me"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+      act.withColumn("seg", col("f") - row_number().over(w))
+        .groupBy(col("doc_id"), col("seg"))
+        .agg((min(col("f")) * 2).cast("long").as("start_ms"),
+          (max(col("f")) * 2 + 4).cast("long").as("end_ms"),
+          count(lit(1)).as("n_frames"), sum(col("e")).as("energy"))
+        .filter(col("n_frames") >= 2)
+        .select(col("doc_id"), col("start_ms"), col("end_ms"),
+          col("n_frames"), col("energy"))
+        .orderBy(col("doc_id"), col("start_ms"))
+    }),
+
     // AUDIO FINGERPRINT DEDUP — the perceptual-dedup triad's third leg
     // (image ✓, video ✓): temporal-delta band-sign fingerprints over
     // the mel spectrogram (MultimodalOps.audioFingerprints — bit = band
@@ -2426,6 +2482,42 @@ object ExtraQueries extends QueryPack {
          |SELECT doc_id, CAST(fr AS BIGINT) AS frame, CAST(m AS BIGINT)
          |    AS band, energy
          |FROM mfe ORDER BY doc_id, frame, band""".stripMargin,
+
+    // replay of the whole VAD gate: every sample, frame Σs² on the
+    // 32-hop/64-window grid (tail zero-padded), the per-clip mean, the
+    // 4·e > mean rule, the gaps-and-islands merge, and the ≥2 floor
+    "mm_audio_vad" ->
+      """WITH av_k AS (SELECT doc_id,
+        |    unnest(generate_series(0, 511)) AS k FROM documents),
+        |av_s AS (SELECT doc_id, k,
+        |    CASE WHEN ((k // 128) + doc_id) % 2 = 0
+        |      THEN (((doc_id * 48271) % 65537) * (k + 3)) % 65537
+        |        % 3001 - 1500
+        |      ELSE k % 5 - 2 END AS s
+        |  FROM av_k),
+        |av_fk AS (SELECT d.doc_id, fs.f, ks.kk FROM documents d,
+        |    (SELECT unnest(generate_series(0, 15)) AS f) fs,
+        |    (SELECT unnest(generate_series(0, 63)) AS kk) ks),
+        |av_e AS (SELECT fk.doc_id, fk.f,
+        |    CAST(sum(CASE WHEN s.s IS NULL THEN 0 ELSE s.s * s.s END)
+        |      AS BIGINT) AS e
+        |  FROM av_fk fk LEFT JOIN av_s s
+        |    ON s.doc_id = fk.doc_id AND s.k = fk.f * 32 + fk.kk
+        |  GROUP BY 1, 2),
+        |av_m AS (SELECT doc_id, CAST(sum(e) // count(*) AS BIGINT) AS me
+        |  FROM av_e GROUP BY 1),
+        |av_a AS (SELECT e.doc_id, e.f, e.e
+        |  FROM av_e e JOIN av_m m USING (doc_id)
+        |  WHERE e.e * 4 > m.me),
+        |av_g AS (SELECT doc_id, f, e,
+        |    f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS seg
+        |  FROM av_a)
+        |SELECT doc_id, CAST(2 * min(f) AS BIGINT) AS start_ms,
+        |  CAST(2 * max(f) + 4 AS BIGINT) AS end_ms,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(e) AS BIGINT) AS energy
+        |FROM av_g GROUP BY doc_id, seg HAVING count(*) >= 2
+        |ORDER BY doc_id, start_ms""".stripMargin,
 
     // replay of the full audio near-dup pipeline: Lehmer PCM (odd docs
     // re-encoded at 3/4 amplitude with truncating division) → frames →

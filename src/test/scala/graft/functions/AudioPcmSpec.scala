@@ -341,6 +341,22 @@ class AudioPcmSpec extends SparkSuite {
     assert(framesOf(wav(Seq(1, 2), rate = 8000)).isEmpty)
   }
 
+  test("frame energies: exact sums on the mel framing grid, refusals shared") {
+    def fe(b: Array[Byte]): Option[Seq[Long]] =
+      Option(AudioMel.frameEnergies(b)).map(a =>
+        (0 until a.numElements()).map(a.getLong))
+    // 40 samples → 2 frames: frame 0 = Σ all 40 (window 64 zero-padded),
+    // frame 1 = Σ samples 32..39
+    val sig = (0 until 40).map(k => k - 20)
+    val want0 = sig.map(v => v.toLong * v).sum
+    val want1 = sig.drop(32).map(v => v.toLong * v).sum
+    assert(fe(wav(sig)) == Some(Seq(want0, want1)))
+    // silence is exactly zero; refusal contract is the mel parser's
+    assert(fe(wav(Seq.fill(32)(0))) == Some(Seq(0L)))
+    assert(fe(wav(Seq(1, 2), channels = 2)).isEmpty)
+    assert(fe(wav(Seq(1, 2), rate = 8000)).isEmpty)
+  }
+
   test("audio fingerprints: re-encoded loudness collides, other tones don't") {
     // amplitude-modulated tone (tremolo) over broadband content keyed to
     // the tone: every band carries real energy (a bare tone leaves 7

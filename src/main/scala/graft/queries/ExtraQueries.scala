@@ -1125,6 +1125,67 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"), col("start_ms"))
     }),
 
+    // SUBTITLE-TO-AUDIO ALIGNMENT — the speech-pair assembly step
+    // (ASR/TTS corpora are (cue text, audio span) rows): subtitle cues
+    // (graft.functions.SubtitleCues) join to the frame-energy grid by
+    // pure integer arithmetic — frame f starts at 2f ms, a cue covers
+    // the frames whose start falls inside [start_ms, end_ms) — via an
+    // EXPLODED sequence + equi-join on (doc, frame), never a range
+    // join. Per cue: covered frames and their summed energy, the
+    // signal that flags cues over silence (bad alignments) before
+    // training. Fixtures: the VAD burst WAVs with VTT cues riding the
+    // parity-phased bursts; the oracle replays sample energies, cue
+    // spans, and the rollup.
+    "mm_subtitle_align" -> ((s, dir) => {
+      graft.functions.AudioMel.register(s)
+      graft.functions.SubtitleCues.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val loudSql =
+        "((((doc_id * 48271) % 65537) * (k + 3)) % 65537 % 3001 - 1500)"
+      val sSql = s"(CASE WHEN ((k div 128) + doc_id) % 2 = 0" +
+        s" THEN $loudSql ELSE k % 5 - 2 END)"
+      val leSampleSql = {
+        val u = s"($sSql % 65536 + 65536) % 65536"
+        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), " +
+          s"substr(lpad(hex($u), 4, '0'), 1, 2))"
+      }
+      val wavHex =
+        s"""concat('52494646', ${le("100", 4)}, '57415645',
+           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
+           |  ${le("16000", 4)}, ${le("32000", 4)}, ${le("2", 2)}, ${le("16", 2)},
+           |  '64617461', ${le("1024", 4)},
+           |  array_join(transform(sequence(0, 511), k -> $leSampleSql), ''))"""
+          .stripMargin
+      def ts(ms: String) = s"concat('00:00.', lpad(cast($ms as string), 3, '0'))"
+      def cueSql(c: Int) = {
+        val st = s"(${16 * c} + (doc_id % 2) * 8)"
+        s"${ts(st)}, ' --> ', ${ts(s"$st + 8")}, chr(10), " +
+          s"'cue $c of ', cast(doc_id as string), chr(10), chr(10)"
+      }
+      val vttSql = s"concat('WEBVTT', chr(10), chr(10), ${cueSql(0)}, " +
+        s"${cueSql(1)})"
+      val frames = Tables.documents(s, dir)
+        .withColumn("fe", expr(s"audio_frame_energy(unhex($wavHex))"))
+        .select(col("doc_id"), posexplode(col("fe")).as(Seq("f", "e")))
+        .localCheckpoint(true)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(expr(s"subtitle_cues($vttSql)")).as("cue"))
+        .select(col("doc_id"), col("cue.idx").cast("long").as("idx"),
+          col("cue.start_ms").as("start_ms"), col("cue.end_ms").as("end_ms"),
+          col("cue.text").as("text"))
+        .withColumn("f", explode(expr(
+          "sequence(cast((start_ms + 1) div 2 as int), " +
+            "cast((end_ms - 1) div 2 as int))")))
+        .join(frames, Seq("doc_id", "f"))
+        .groupBy(col("doc_id"), col("idx"), col("start_ms"),
+          col("end_ms"), col("text"))
+        .agg(count(lit(1)).as("n_frames"), sum(col("e")).as("energy"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
     // AUDIO FINGERPRINT DEDUP — the perceptual-dedup triad's third leg
     // (image ✓, video ✓): temporal-delta band-sign fingerprints over
     // the mel spectrogram (MultimodalOps.audioFingerprints — bit = band
@@ -2482,6 +2543,44 @@ object ExtraQueries extends QueryPack {
          |SELECT doc_id, CAST(fr AS BIGINT) AS frame, CAST(m AS BIGINT)
          |    AS band, energy
          |FROM mfe ORDER BY doc_id, frame, band""".stripMargin,
+
+    // replay of the alignment: sample energies (the VAD fixture's PCM),
+    // closed-form cue spans (16c + 8·parity, +8 wide), frame coverage
+    // 2f ∈ [start, end), and the per-cue rollup
+    "mm_subtitle_align" ->
+      """WITH sa_k AS (SELECT doc_id,
+        |    unnest(generate_series(0, 511)) AS k FROM documents),
+        |sa_s AS (SELECT doc_id, k,
+        |    CASE WHEN ((k // 128) + doc_id) % 2 = 0
+        |      THEN (((doc_id * 48271) % 65537) * (k + 3)) % 65537
+        |        % 3001 - 1500
+        |      ELSE k % 5 - 2 END AS s
+        |  FROM sa_k),
+        |sa_fk AS (SELECT d.doc_id, fs.f, ks.kk FROM documents d,
+        |    (SELECT unnest(generate_series(0, 15)) AS f) fs,
+        |    (SELECT unnest(generate_series(0, 63)) AS kk) ks),
+        |sa_e AS (SELECT fk.doc_id, fk.f,
+        |    CAST(sum(CASE WHEN s.s IS NULL THEN 0 ELSE s.s * s.s END)
+        |      AS BIGINT) AS e
+        |  FROM sa_fk fk LEFT JOIN sa_s s
+        |    ON s.doc_id = fk.doc_id AND s.k = fk.f * 32 + fk.kk
+        |  GROUP BY 1, 2),
+        |sa_c AS (SELECT d.doc_id, cs.c AS idx,
+        |    16 * cs.c + (d.doc_id % 2) * 8 AS start_ms,
+        |    16 * cs.c + (d.doc_id % 2) * 8 + 8 AS end_ms,
+        |    'cue ' || CAST(cs.c AS VARCHAR) || ' of ' ||
+        |      CAST(d.doc_id AS VARCHAR) AS text
+        |  FROM documents d, (SELECT unnest(generate_series(0, 1)) AS c) cs)
+        |SELECT c.doc_id, CAST(c.idx AS BIGINT) AS idx,
+        |  CAST(c.start_ms AS BIGINT) AS start_ms,
+        |  CAST(c.end_ms AS BIGINT) AS end_ms, c.text,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(e.e) AS BIGINT) AS energy
+        |FROM sa_c c JOIN sa_e e
+        |  ON e.doc_id = c.doc_id
+        |    AND 2 * e.f >= c.start_ms AND 2 * e.f < c.end_ms
+        |GROUP BY c.doc_id, c.idx, c.start_ms, c.end_ms, c.text
+        |ORDER BY c.doc_id, c.idx""".stripMargin,
 
     // replay of the whole VAD gate: every sample, frame Σs² on the
     // 32-hop/64-window grid (tail zero-padded), the per-clip mean, the

@@ -142,4 +142,33 @@ class BandCapSpec extends SparkSuite {
     // the orthogonal bucket contributed no vertices at all
     assert(!uncapped.keySet.exists(_ >= 900L))
   }
+
+  test("10k-video viral clip: frame-hash bands cost a chain, not m^2/2") {
+    import spark.implicits._
+    // the mm_video_dedup / mm_audio_dedup banding over cappedBandPairs:
+    // 10k videos whose sampled frames all hash identically (the viral
+    // re-upload clique) — one block of 10k per (band, value); uncapped
+    // ~50M pairs per band and would not finish here
+    val m = 10000
+    val fhash = 0x1234abcd5678ef01L
+    val banded = (0 until m).flatMap(i => (0 until 4).map(b =>
+        (i.toLong, 0, fhash, b, (fhash >> (b * 16)) & 0xffffL)))
+      .toDF("doc_id", "frame_idx", "fhash", "band_idx", "band_val")
+    val pairs = DedupOps.cappedBandPairs(banded, "doc_id",
+      Seq("band_idx", "band_val"), Seq("fhash", "frame_idx"),
+      maxBlock = 256)
+    val verified = pairs
+      .filter(bit_count(col("fhash_a").bitwiseXOR(col("fhash_b"))) <= 6)
+      .select(col("id_a"), col("id_b"), col("frame_idx_a"),
+        col("frame_idx_b"))
+      .distinct()
+    val expected = (1 +: (1 to 30).map(1 << _)).filter(_ < m)
+      .map(o => (m - o).toLong).sum
+    assert(verified.count() == expected)
+    assert(expected < 15L * m, "edge count must stay O(m log m)")
+    // and the clique still resolves to ONE component downstream
+    val comp = DedupOps.connectedComponentsStar(
+      verified.select(col("id_a"), col("id_b")), "id_a", "id_b")
+    assert(comp.select(col("component")).distinct().count() == 1)
+  }
 }

@@ -507,6 +507,30 @@ object CorpusQueries extends QueryPack {
     // and F1 varies while every metric stays exact integer arithmetic
     // (2PR/(P+R) = 2·overlap/(|p|+|r|)). The oracle replays the
     // corruption, the multiset overlap, and every f1_e4.
+    // SENTENCE SEGMENTATION (graft.functions.SentenceSplit): the grain
+    // under bitext mining, PII windows, and per-sentence dedup —
+    // Punkt-style fixed rules (boundary = .!?+ then whitespace then
+    // uppercase/digit; abbreviation and single-letter-initial periods
+    // never split; decimals never match the boundary shape; terminal
+    // punctuation stays with its sentence). The fixture packs every
+    // rule into one constructed paragraph per doc; the oracle states
+    // all four sentences closed-form.
+    "text_sentences" -> ((s, dir) => {
+      graft.functions.SentenceSplit.register(s)
+      val text = concat(
+        lit("Alpha w"), col("doc_id").cast("string"),
+        lit(". Dr. Smith met Ms. Jones at 3.14 pm!  Next part "),
+        (col("doc_id") % 7).cast("string"),
+        lit("? Final bit no. 5 tail"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(call_function("sentence_split", text))
+            .as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+          col("sentence"))
+        .orderBy(col("doc_id"), col("sent_idx"))
+    }),
+
     "eval_em_f1" -> ((s, dir) => {
       val pm = (col("doc_id") % 10).cast("int")
       val t = Tables.documents(s, dir)
@@ -2081,6 +2105,22 @@ object CorpusQueries extends QueryPack {
         |  CAST(min(alloc) AS BIGINT) AS alloc_rows,
         |  CAST(min(n) AS BIGINT) AS src_total
         |FROM um_k WHERE copies > 0 GROUP BY src ORDER BY src""".stripMargin,
+    // all four rule-exercising sentences stated closed-form
+    "text_sentences" ->
+      """WITH ts_s AS (
+        |  SELECT doc_id, 0 AS sent_idx,
+        |    'Alpha w' || CAST(doc_id AS VARCHAR) || '.' AS sentence
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, 1,
+        |    'Dr. Smith met Ms. Jones at 3.14 pm!' FROM documents
+        |  UNION ALL SELECT doc_id, 2,
+        |    'Next part ' || CAST(doc_id % 7 AS VARCHAR) || '?'
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, 3, 'Final bit no. 5 tail'
+        |  FROM documents)
+        |SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence
+        |FROM ts_s ORDER BY doc_id, sent_idx""".stripMargin,
+
     // corruption, multiset overlap (counts-join min-sum), EM array
     // equality, and the exact integer F1 all replayed
     "eval_em_f1" ->

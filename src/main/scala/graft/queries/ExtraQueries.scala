@@ -923,6 +923,61 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // IMAGE-TEXT PAIR FILTERING — the LAION-style gate between raw
+    // (alt, image) candidates and a training set: per pair, keep only
+    // captions that are real descriptions of a decoded image. Rules,
+    // applied in order: 'no_image' (the URL never decoded — null hash
+    // from the left join), 'alt_filename' (the alt is a camera filename
+    // or trailing image extension — IMG_0042.jpg describes the FILE,
+    // not the picture, however many tokens it has), 'alt_too_short'
+    // (< 2 whitespace tokens — kills generic one-worders like
+    // "image"), else 'kept'. Every pair
+    // carries its verdict + reason so downstream can audit the funnel.
+    // Fixture: four images per page, one per rule; the oracle replays
+    // extraction, resolution, the hash join, and each rule closed-form.
+    "web_image_text_filter" -> ((s, dir) => {
+      graft.functions.ImageHash.register(s)
+      graft.functions.HtmlImages.register(s)
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      def k(off: Int) = pmod(col("doc_id") + off, lit(n)).cast("string")
+      val base = concat(lit("https://docs.example.org/pages/sub/page"),
+        col("doc_id").cast("string"), lit(".html"))
+      val html = concat(
+        lit("<img src=\"https://img.example.net/i/"), k(0),
+        lit(".bmp\" alt=\"scenic mountain view "), k(0), lit("\">"),
+        lit("<img src=\"https://img.example.net/i/"), k(1),
+        lit(".bmp\" alt=\"IMG_0042.jpg\">"),
+        lit("<img src=\"https://img.example.net/i/"), k(2),
+        lit(".bmp\" alt=\"image\">"),
+        lit("<img src=\"/local/"), k(3),
+        lit(".bmp\" alt=\"a nice caption here\">"))
+      val images = docs
+        .selectExpr("doc_id AS img_id",
+          s"unhex(concat('$bmpHdrHex', $bmpPixelsSql)) AS blob")
+        .selectExpr(
+          "concat('https://img.example.net/i/', img_id, '.bmp') AS image_url",
+          "image_ahash(blob) AS ahash")
+        .localCheckpoint(true)
+      docs.select(col("doc_id"), base.as("__base"),
+          explode(call_function("html_images", html)).as("im"))
+        .select(col("doc_id"), col("im.pos").cast("long").as("pos"),
+          UrlOps.resolveUrl(col("__base"), col("im.src")).as("image_url"),
+          col("im.alt").as("alt_text"))
+        .join(images, Seq("image_url"), "left")
+        .withColumn("reason",
+          when(col("ahash").isNull, "no_image")
+            .when(col("alt_text").rlike("(?i)\\.(jpe?g|png|gif|webp|bmp)$") ||
+              col("alt_text").rlike("(?i)^(img|dsc|image|photo)[_ -]?[0-9]+$"),
+              "alt_filename")
+            .when(size(split(col("alt_text"), "\\s+")) < 2, "alt_too_short")
+            .otherwise("kept"))
+        .select(col("doc_id"), col("pos"), col("image_url"),
+          col("alt_text"), (col("reason") === "kept").as("keep"),
+          col("reason"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // SAMPLE-LEVEL audio decode (graft.functions.AudioPcmStats): real mono
     // 16-bit PCM WAVs synthesized per doc — a JUNK chunk before `fmt `
     // forces the chunk walk, then n = doc_id%17+24 samples with
@@ -2373,6 +2428,40 @@ object ExtraQueries extends QueryPack {
         |SELECT id_a, id_b, CAST(ham_a AS BIGINT) AS ham_a,
         |  CAST(ham_d AS BIGINT) AS ham_d
         |FROM cand WHERE ham_a <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    // the four per-page rule verdicts stated closed-form (img 0 kept,
+    // 1 filename-alt, 2 one-worder, 3 never decoded)
+    "web_image_text_filter" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |itf_p AS (
+        |  SELECT d.doc_id, 0 AS pos,
+        |    'https://img.example.net/i/' ||
+        |      CAST(d.doc_id % nn.n AS VARCHAR) || '.bmp' AS image_url,
+        |    'scenic mountain view ' || CAST(d.doc_id % nn.n AS VARCHAR)
+        |      AS alt_text,
+        |    TRUE AS keep, 'kept' AS reason
+        |  FROM documents d, nn
+        |  UNION ALL
+        |  SELECT d.doc_id, 1,
+        |    'https://img.example.net/i/' ||
+        |      CAST((d.doc_id + 1) % nn.n AS VARCHAR) || '.bmp',
+        |    'IMG_0042.jpg', FALSE, 'alt_filename'
+        |  FROM documents d, nn
+        |  UNION ALL
+        |  SELECT d.doc_id, 2,
+        |    'https://img.example.net/i/' ||
+        |      CAST((d.doc_id + 2) % nn.n AS VARCHAR) || '.bmp',
+        |    'image', FALSE, 'alt_too_short'
+        |  FROM documents d, nn
+        |  UNION ALL
+        |  SELECT d.doc_id, 3,
+        |    'https://docs.example.org/local/' ||
+        |      CAST((d.doc_id + 3) % nn.n AS VARCHAR) || '.bmp',
+        |    'a nice caption here', FALSE, 'no_image'
+        |  FROM documents d, nn)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, image_url, alt_text,
+        |  keep, reason
+        |FROM itf_p ORDER BY doc_id, pos""".stripMargin,
 
     // replay of extraction (3 kept images per page, positions 0-2; the
     // script/comment decoys and the srcless <img> contribute nothing),

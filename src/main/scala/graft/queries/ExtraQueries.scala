@@ -923,6 +923,72 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // INTERLEAVED MULTIMODAL FUNNEL, END TO END — the MMC4 assembly
+    // mile as one certified composition: crawl WARC bytes → record
+    // extraction → html_segments (text blocks + images in document
+    // order) → image URLs resolved against each page's own URL → LEFT
+    // join to the decoded-image table (real BMP decode + integer
+    // aHash) → one per-doc digest: segment counts, paired-image count,
+    // and the md5 of the canonical interleaved rendering (pos-sorted
+    // `t:`/`i:` lines, hash included) — stage COMPOSITION certified by
+    // one hash, the corpus_e2e posture. The oracle replays the page
+    // construction closed-form (never a container byte), the host-
+    // varied resolution, the full integer aHash, and the digest.
+    "web_interleaved_e2e" -> ((s, dir) => {
+      graft.ops.WebOps.registerAll(s)
+      graft.functions.ImageHash.register(s)
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      def k(off: Int) = pmod(col("doc_id") + off, lit(n)).cast("string")
+      val html = concat(
+        lit("<h1>head kw"), col("doc_id").cast("string"), lit("</h1>"),
+        lit("<p>intro text alpha <b>bold</b></p>"),
+        lit("<img src=\"https://img.example.net/i/"), k(0),
+        lit(".bmp\" alt=\"c\">"),
+        lit("<p>middle beta</p>"),
+        lit("<img src='/rel/"), k(1), lit(".png'>"))
+      val recs = docs.select(col("doc_id"),
+        graft.ops.WebOps.buildRecord(col("doc_id"),
+          graft.ops.WebOps.syntheticUrl(col("doc_id"), col("source")),
+          html).as("rec"))
+      val files = graft.ops.WebOps.buildCrawlFiles(recs, col("doc_id"),
+        col("rec"), perFile = 5)
+      val pages = graft.ops.WebOps.extractRecords(files, col("blob"))
+        .filter(col("http_status") === 200)
+        .select(regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+          col("target_uri"), col("body").cast("string").as("html"))
+      val segs = pages
+        .select(col("doc_id"), col("target_uri"),
+          explode(call_function("html_segments", col("html"))).as("seg"))
+        .select(col("doc_id"), col("target_uri"), col("seg.kind").as("kind"),
+          col("seg.content").as("content"), col("seg.pos").as("pos"))
+        .withColumn("image_url",
+          when(col("kind") === "image",
+            UrlOps.resolveUrl(col("target_uri"), col("content"))))
+      val images = docs
+        .selectExpr("doc_id AS img_id",
+          s"unhex(concat('$bmpHdrHex', $bmpPixelsSql)) AS blob")
+        .selectExpr(
+          "concat('https://img.example.net/i/', img_id, '.bmp') AS image_url",
+          "image_ahash(blob) AS ahash")
+        .localCheckpoint(true)
+      segs.join(images, Seq("image_url"), "left")
+        .withColumn("canon",
+          when(col("kind") === "text", concat(lit("t:"), col("content")))
+            .otherwise(concat(lit("i:"), col("image_url"), lit(":"),
+              coalesce(col("ahash").cast("string"), lit("")))))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("kind") === "text", 1L).otherwise(0L)).as("n_text"),
+          sum(when(col("kind") === "image", 1L).otherwise(0L)).as("n_images"),
+          sum(when(col("ahash").isNotNull, 1L).otherwise(0L)).as("n_paired"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("canon")))),
+            x => x.getField("canon")), "\n").cast("binary"))
+            .as("interleave_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // IMAGE-TEXT PAIR FILTERING — the LAION-style gate between raw
     // (alt, image) candidates and a training set: per pair, keep only
     // captions that are real descriptions of a decoded image. Rules,
@@ -2428,6 +2494,59 @@ object ExtraQueries extends QueryPack {
         |SELECT id_a, id_b, CAST(ham_a AS BIGINT) AS ham_a,
         |  CAST(ham_d AS BIGINT) AS ham_d
         |FROM cand WHERE ham_a <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    // the funnel digest replayed without touching a container byte:
+    // page construction closed-form, host-varied resolution via the
+    // synthetic-url CASE, the full integer aHash, and the md5 of the
+    // pos-ordered canonical rendering
+    "web_interleaved_e2e" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |ie_px AS (
+        |  SELECT doc_id, xs.x, ys.y,
+        |    ((doc_id // 2) * 37
+        |     + ((doc_id // 2) // 200) * (xs.x // 9 + 3 * (ys.y // 2) + 1)
+        |     + (xs.x // 9) * 23 + (ys.y // 2) * 41) % 200
+        |    + (CASE WHEN doc_id % 2 = 1 AND xs.x // 9 = (doc_id // 2) % 8
+        |        AND ys.y // 2 = ((doc_id // 2) // 8) % 8 THEN 25 ELSE 0 END) AS v
+        |  FROM documents,
+        |    (SELECT unnest(generate_series(0, 71)) AS x) xs,
+        |    (SELECT unnest(generate_series(0, 15)) AS y) ys),
+        |ie_acell AS (SELECT doc_id, y // 2 AS by, x // 9 AS bx,
+        |    sum(v) // 18 AS val
+        |  FROM ie_px GROUP BY 1, 2, 3),
+        |ie_amean AS (SELECT doc_id, sum(val) // 64 AS mean
+        |  FROM ie_acell GROUP BY 1),
+        |ie_ah AS (SELECT ie_acell.doc_id,
+        |    CAST(sum(CASE WHEN val >= mean AND by * 8 + bx < 32
+        |        THEN CAST(1 AS BIGINT) << CAST(by * 8 + bx AS INT)
+        |      ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN val >= mean AND by * 8 + bx >= 32
+        |        THEN CAST(1 AS BIGINT) << CAST(by * 8 + bx - 32 AS INT)
+        |      ELSE 0 END) AS BIGINT) AS hi
+        |  FROM ie_acell JOIN ie_amean USING (doc_id) GROUP BY 1),
+        |ie_ahf AS (SELECT doc_id AS img_id,
+        |    CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |      * 4294967296 + lo AS BIGINT) AS ahash FROM ie_ah),
+        |ie_canon AS (SELECT d.doc_id,
+        |    't:head kw' || CAST(d.doc_id AS VARCHAR) || chr(10) ||
+        |    't:intro text alpha bold' || chr(10) ||
+        |    'i:https://img.example.net/i/' ||
+        |      CAST(d.doc_id % nn.n AS VARCHAR) || '.bmp:' ||
+        |      CAST(a.ahash AS VARCHAR) || chr(10) ||
+        |    't:middle beta' || chr(10) ||
+        |    'i:https://' ||
+        |      CASE d.doc_id % 4 WHEN 0 THEN 'news.' || d.source || '.co.uk'
+        |        WHEN 1 THEN 'www.' || d.source || '.example.com'
+        |        WHEN 2 THEN d.source || '.example.org'
+        |        ELSE 'cdn.' || d.source || '.com.au' END ||
+        |      '/rel/' || CAST((d.doc_id + 1) % nn.n AS VARCHAR) || '.png:'
+        |      AS canon
+        |  FROM documents d CROSS JOIN nn
+        |  JOIN ie_ahf a ON a.img_id = d.doc_id % nn.n)
+        |SELECT doc_id, CAST(3 AS BIGINT) AS n_text,
+        |  CAST(2 AS BIGINT) AS n_images, CAST(1 AS BIGINT) AS n_paired,
+        |  md5(canon) AS interleave_md5
+        |FROM ie_canon ORDER BY doc_id""".stripMargin,
 
     // the four per-page rule verdicts stated closed-form (img 0 kept,
     // 1 filename-alt, 2 one-worder, 3 never decoded)

@@ -1307,6 +1307,79 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"), col("idx"))
     }),
 
+    // SPEECH MILE, END TO END — the audio-text funnel as one certified
+    // composition: PCM → frame energies → per-clip VAD mean → subtitle
+    // cues joined to their frame spans → the VAD gate AT CUE GRAIN
+    // (a cue is kept when its per-frame mean energy clears the clip
+    // rule, 4·mean_cue > mean_clip — cues over silence are
+    // mis-alignments and must not become training pairs) → one per-doc
+    // digest (cue counts + md5 of the kept (idx:start:end:text) lines).
+    // Fixtures: the VAD burst WAVs; two cues ride the parity-phased
+    // bursts, a third sits on silence and must drop. The oracle replays
+    // every sample, energy, span, the gate, and the digest.
+    "mm_speech_e2e" -> ((s, dir) => {
+      graft.functions.AudioMel.register(s)
+      graft.functions.SubtitleCues.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val loudSql =
+        "((((doc_id * 48271) % 65537) * (k + 3)) % 65537 % 3001 - 1500)"
+      val sSql = s"(CASE WHEN ((k div 128) + doc_id) % 2 = 0" +
+        s" THEN $loudSql ELSE k % 5 - 2 END)"
+      val leSampleSql = {
+        val u = s"($sSql % 65536 + 65536) % 65536"
+        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), " +
+          s"substr(lpad(hex($u), 4, '0'), 1, 2))"
+      }
+      val wavHex =
+        s"""concat('52494646', ${le("100", 4)}, '57415645',
+           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
+           |  ${le("16000", 4)}, ${le("32000", 4)}, ${le("2", 2)}, ${le("16", 2)},
+           |  '64617461', ${le("1024", 4)},
+           |  array_join(transform(sequence(0, 511), k -> $leSampleSql), ''))"""
+          .stripMargin
+      def ts(ms: String) = s"concat('00:00.', lpad(cast($ms as string), 3, '0'))"
+      def cueSql(st: String, label: String) =
+        s"${ts(st)}, ' --> ', ${ts(s"($st) + 8")}, chr(10), " +
+          s"'$label ', cast(doc_id as string), chr(10), chr(10)"
+      val vttSql = s"concat('WEBVTT', chr(10), chr(10), " +
+        s"${cueSql("(doc_id % 2) * 8", "burst one of")}, " +
+        s"${cueSql("16 + (doc_id % 2) * 8", "burst two of")}, " +
+        s"${cueSql("8 - (doc_id % 2) * 8", "silence of")})"
+      val frames = Tables.documents(s, dir)
+        .withColumn("fe", expr(s"audio_frame_energy(unhex($wavHex))"))
+        .select(col("doc_id"), posexplode(col("fe")).as(Seq("f", "e")))
+        .localCheckpoint(true)
+      val clipMean = frames.groupBy(col("doc_id"))
+        .agg(expr("sum(e) div count(1)").as("me"))
+      val cues = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(expr(s"subtitle_cues($vttSql)")).as("cue"))
+        .select(col("doc_id"), col("cue.idx").cast("long").as("idx"),
+          col("cue.start_ms").as("start_ms"), col("cue.end_ms").as("end_ms"),
+          col("cue.text").as("text"))
+        .withColumn("f", explode(expr(
+          "sequence(cast((start_ms + 1) div 2 as int), " +
+            "cast((end_ms - 1) div 2 as int))")))
+        .join(frames, Seq("doc_id", "f"))
+        .groupBy(col("doc_id"), col("idx"), col("start_ms"),
+          col("end_ms"), col("text"))
+        .agg(count(lit(1)).as("nf"), sum(col("e")).as("energy"))
+      cues.join(clipMean, "doc_id")
+        .withColumn("kept",
+          expr("(energy div nf) * 4 > me"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_cues"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          md5(array_join(transform(array_sort(collect_list(
+            when(col("kept"), struct(col("idx"), concat_ws(":",
+              col("idx").cast("string"), col("start_ms").cast("string"),
+              col("end_ms").cast("string"), col("text")).as("line"))))),
+            x => x.getField("line")), "\n").cast("binary")).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // AUDIO FINGERPRINT DEDUP — the perceptual-dedup triad's third leg
     // (image ✓, video ✓): temporal-delta band-sign fingerprints over
     // the mel spectrogram (MultimodalOps.audioFingerprints — bit = band
@@ -2751,6 +2824,56 @@ object ExtraQueries extends QueryPack {
          |SELECT doc_id, CAST(fr AS BIGINT) AS frame, CAST(m AS BIGINT)
          |    AS band, energy
          |FROM mfe ORDER BY doc_id, frame, band""".stripMargin,
+
+    // the whole speech funnel replayed: energies, cue spans, the
+    // cue-grain VAD gate, and the kept-line digest
+    "mm_speech_e2e" ->
+      """WITH se2_k0 AS (SELECT doc_id,
+        |    unnest(generate_series(0, 511)) AS k FROM documents),
+        |se2_s AS (SELECT doc_id, k,
+        |    CASE WHEN ((k // 128) + doc_id) % 2 = 0
+        |      THEN (((doc_id * 48271) % 65537) * (k + 3)) % 65537
+        |        % 3001 - 1500
+        |      ELSE k % 5 - 2 END AS s
+        |  FROM se2_k0),
+        |se2_fk AS (SELECT d.doc_id, fs.f, ks.kk FROM documents d,
+        |    (SELECT unnest(generate_series(0, 15)) AS f) fs,
+        |    (SELECT unnest(generate_series(0, 63)) AS kk) ks),
+        |se2_e AS (SELECT fk.doc_id, fk.f,
+        |    CAST(sum(CASE WHEN s.s IS NULL THEN 0 ELSE s.s * s.s END)
+        |      AS BIGINT) AS e
+        |  FROM se2_fk fk LEFT JOIN se2_s s
+        |    ON s.doc_id = fk.doc_id AND s.k = fk.f * 32 + fk.kk
+        |  GROUP BY 1, 2),
+        |se2_m AS (SELECT doc_id, CAST(sum(e) // count(*) AS BIGINT) AS me
+        |  FROM se2_e GROUP BY 1),
+        |se2_c AS (
+        |  SELECT doc_id, 0 AS idx, (doc_id % 2) * 8 AS start_ms,
+        |    (doc_id % 2) * 8 + 8 AS end_ms,
+        |    'burst one of ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, 1, 16 + (doc_id % 2) * 8,
+        |    16 + (doc_id % 2) * 8 + 8,
+        |    'burst two of ' || CAST(doc_id AS VARCHAR) FROM documents
+        |  UNION ALL SELECT doc_id, 2, 8 - (doc_id % 2) * 8,
+        |    8 - (doc_id % 2) * 8 + 8,
+        |    'silence of ' || CAST(doc_id AS VARCHAR) FROM documents),
+        |se2_g AS (SELECT c.doc_id, c.idx, c.start_ms, c.end_ms, c.text,
+        |    CAST(sum(e.e) AS BIGINT) AS energy,
+        |    CAST(count(*) AS BIGINT) AS nf
+        |  FROM se2_c c JOIN se2_e e
+        |    ON e.doc_id = c.doc_id
+        |      AND 2 * e.f >= c.start_ms AND 2 * e.f < c.end_ms
+        |  GROUP BY c.doc_id, c.idx, c.start_ms, c.end_ms, c.text),
+        |se2_v AS (SELECT g.doc_id, g.idx, g.start_ms, g.end_ms, g.text,
+        |    (g.energy // g.nf) * 4 > m.me AS kept
+        |  FROM se2_g g JOIN se2_m m USING (doc_id))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cues,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(string_agg(CASE WHEN kept THEN CAST(idx AS VARCHAR) || ':' ||
+        |    CAST(start_ms AS VARCHAR) || ':' || CAST(end_ms AS VARCHAR) ||
+        |    ':' || text END, chr(10) ORDER BY idx)) AS kept_md5
+        |FROM se2_v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // replay of the alignment: sample energies (the VAD fixture's PCM),
     // closed-form cue spans (16c + 8·parity, +8 wide), frame coverage

@@ -25,6 +25,21 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("round-13 multimodal/speech/text queries: equi-joins only, keyed windows") {
+    Seq("web_interleaved_docs", "web_interleaved_e2e", "web_image_text_filter",
+      "mm_audio_vad", "mm_subtitle_align", "mm_speech_e2e",
+      "text_sentences", "web_subtitle_extract").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+    // the VAD island window must carry the doc key, never global
+    val vad = planOf("mm_audio_vad")
+    vad.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("doc_id"), s"VAD window lost its doc key: $l"))
+  }
+
   test("image-text pairing: one equi-join on url, no cartesian, no corpus window") {
     val p = planOf("web_image_text_pairs")
     assert(!p.contains("CartesianProduct"),

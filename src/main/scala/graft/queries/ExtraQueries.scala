@@ -1865,6 +1865,60 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // VIDEO SCENE SEGMENTATION — keyframe/shot-cut detection, the step
+    // before any per-scene video curation (caption alignment, keyframe
+    // sampling, per-shot dedup): every frame reduces to its 64-bit
+    // aHash fingerprint (video_frame_ahash, k=1), a CUT is a frame
+    // whose hamming distance to its predecessor exceeds 16 (identical
+    // sign structure within a shot, scrambled across one), and scenes
+    // are the running cut count (doc-keyed bounded window). Fixtures:
+    // 8-frame AVIs, frames 0..c−1 one Lehmer pattern and c..7 another
+    // (c = doc_id%5+2), so each video carries exactly one cut at a
+    // known place. The oracle replays both pattern hashes bit-for-bit
+    // and the threshold — it never assumes the cut, it re-derives it.
+    "mm_video_scenes" -> ((s, dir) => {
+      graft.functions.VideoFrames.register(s)
+      def le(x: String, bytes: Int) = (0 until bytes)
+        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val cSql = "(doc_id % 5 + 2)"
+      val vSql = s"(CASE WHEN t < $cSql" +
+        s" THEN (((doc_id * 48271) % 65537) * (y * 8 + x + 1)) % 65537 % 200" +
+        s" ELSE (((doc_id * 48271 + 12345) % 65537) * (y * 8 + x + 1))" +
+        s" % 65537 % 200 END)"
+      val frameHex =
+        s"""concat('30306462', ${le("192", 4)},
+           |  array_join(transform(sequence(0, 7), y ->
+           |    array_join(transform(sequence(0, 7), x ->
+           |      repeat(lpad(hex($vSql), 2, '0'), 3)), '')), ''))""".stripMargin
+      val aviHex =
+        s"""concat('52494646', ${le("1628", 4)}, '41564920',
+           |  '4C495354', ${le("4", 4)}, '6864726C',
+           |  '4C495354', ${le("1604", 4)}, '6D6F7669',
+           |  array_join(transform(sequence(0, 7), t -> $frameHex), ''))"""
+          .stripMargin
+      val hashes = Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($aviHex)"))
+        .selectExpr("doc_id", "explode(video_frame_ahash(blob, 1)) AS fr")
+        .select(col("doc_id"), col("fr.frame_idx").as("f"),
+          col("fr.fhash").as("fhash"))
+        .localCheckpoint(true)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+      hashes
+        .withColumn("__prev", lag(col("fhash"), 1).over(w))
+        .withColumn("__cut", when(col("__prev").isNotNull &&
+          bit_count(col("fhash").bitwiseXOR(col("__prev"))) > 16, 1L)
+          .otherwise(0L))
+        .withColumn("scene_idx", sum(col("__cut")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("f"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("scene_idx"))
+        .agg(min(col("f")).cast("long").as("start_frame"),
+          max(col("f")).cast("long").as("end_frame"),
+          count(lit(1)).as("n_frames"))
+        .orderBy(col("doc_id"), col("scene_idx"))
+    }),
+
     // VIDEO PERCEPTUAL DEDUP — VideoFrames' sampled-frame decode
     // composed with the aHash integer pipeline (video_frame_ahash) and
     // the image-dedup banding posture: each sampled 8×8 frame reduces
@@ -3249,6 +3303,52 @@ object ExtraQueries extends QueryPack {
         |SELECT doc_id, CAST(t AS INTEGER) AS frame_idx,
         |  CAST(sum(v) // 16 AS INTEGER) AS mean_luma
         |FROM px GROUP BY doc_id, t ORDER BY doc_id, frame_idx""".stripMargin,
+    // both scene-pattern hashes replayed bit-for-bit (lo/hi sign-fix)
+    // and the cut threshold re-derived — scenes follow from it, they
+    // are never assumed
+    "mm_video_scenes" ->
+      """WITH vs_p AS (SELECT doc_id, ps.p,
+        |    (((doc_id * 48271) % 65537) * (ps.p + 1)) % 65537 % 200 AS va,
+        |    (((doc_id * 48271 + 12345) % 65537) * (ps.p + 1)) % 65537
+        |      % 200 AS vb
+        |  FROM documents, (SELECT unnest(generate_series(0, 63)) AS p) ps),
+        |vs_m AS (SELECT doc_id, sum(va) // 64 AS ma, sum(vb) // 64 AS mb
+        |  FROM vs_p GROUP BY 1),
+        |vs_h AS (SELECT p.doc_id,
+        |    CAST(sum(CASE WHEN va >= ma AND p < 32
+        |        THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END)
+        |      AS BIGINT) AS alo,
+        |    CAST(sum(CASE WHEN va >= ma AND p >= 32
+        |        THEN CAST(1 AS BIGINT) << CAST(p - 32 AS INT) ELSE 0 END)
+        |      AS BIGINT) AS ahi,
+        |    CAST(sum(CASE WHEN vb >= mb AND p < 32
+        |        THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END)
+        |      AS BIGINT) AS blo,
+        |    CAST(sum(CASE WHEN vb >= mb AND p >= 32
+        |        THEN CAST(1 AS BIGINT) << CAST(p - 32 AS INT) ELSE 0 END)
+        |      AS BIGINT) AS bhi
+        |  FROM vs_p p JOIN vs_m m USING (doc_id) GROUP BY 1),
+        |vs_c AS (SELECT doc_id, doc_id % 5 + 2 AS c,
+        |    CASE WHEN bit_count(xor(
+        |      CAST((CASE WHEN ahi >= 2147483648 THEN ahi - 4294967296
+        |        ELSE ahi END) * 4294967296 + alo AS BIGINT),
+        |      CAST((CASE WHEN bhi >= 2147483648 THEN bhi - 4294967296
+        |        ELSE bhi END) * 4294967296 + blo AS BIGINT))) > 16
+        |      THEN 1 ELSE 0 END AS cut
+        |  FROM vs_h)
+        |SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+        |  CAST(start_frame AS BIGINT) AS start_frame,
+        |  CAST(end_frame AS BIGINT) AS end_frame,
+        |  CAST(n_frames AS BIGINT) AS n_frames
+        |FROM (
+        |  SELECT doc_id, 0 AS scene_idx, 0 AS start_frame,
+        |    CASE WHEN cut = 1 THEN c - 1 ELSE 7 END AS end_frame,
+        |    CASE WHEN cut = 1 THEN c ELSE 8 END AS n_frames
+        |  FROM vs_c
+        |  UNION ALL
+        |  SELECT doc_id, 1, c, 7, 8 - c FROM vs_c WHERE cut = 1)
+        |ORDER BY doc_id, scene_idx""".stripMargin,
+
     // replay of the full video near-dup pipeline from the shared pixel
     // formula: sampled frames {0,2,4} → per-frame mean → every aHash
     // sign bit (lo/hi halves, sign-fixed 64-bit) → 4×16-bit bands →

@@ -127,4 +127,41 @@ object PackingOps {
         when(col("__pair"), col("__n") + col("__pn")).otherwise(col("__n"))
           .as("pack_tokens"))
   }
+
+  /** LENGTH-BUCKETED BATCHING — the inference-serving layout (also the
+    * eval-harness one): sequences batch with near-equal lengths so
+    * per-batch padding-to-max wastes almost nothing (random batching
+    * pads every short sequence to the batch's longest — at serving
+    * scale that is most of the FLOPs). Documents land in
+    * `bucketWidth`-token buckets, fill `batchSize`-row batches in id
+    * order, and each row learns its batch's pad target and its own
+    * waste (pad_to − n_tok), so the padding bill is a one-line
+    * aggregate downstream.
+    *
+    * Scale shape: the [[packTokenStream]] posture — every window is
+    * keyed by (hash shard, bucket), so no partition is ever
+    * corpus-wide; batch ids compose (shard, bucket, batch-in-bucket)
+    * into one collision-free long.
+    */
+  def lengthBuckets(df: DataFrame, idCol: String, tokenCountCol: String,
+                    bucketWidth: Long, batchSize: Int, shards: Int = 64,
+                    salt: String = "lbb:"): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0 && shards > 0)
+    val based = df.select(col(idCol),
+      col(tokenCountCol).cast("long").as("n_tok"),
+      expr(s"cast($tokenCountCol as bigint) div $bucketWidth").as("bucket"),
+      pmod(SamplingOps.hash60(col(idCol), salt), lit(shards.toLong))
+        .as("shard"))
+    val batched = based
+      .withColumn("__bin",
+        expr(s"(row_number() over (partition by shard, bucket " +
+          s"order by ${idCol}) - 1) div $batchSize"))
+    val wb = Window.partitionBy(col("shard"), col("bucket"), col("__bin"))
+    batched
+      .withColumn("pad_to", max(col("n_tok")).over(wb))
+      .select(col(idCol), col("n_tok"), col("bucket"),
+        (col("shard") * lit(1L << 44) + col("bucket") * lit(1L << 24) +
+          col("__bin")).as("batch_id"),
+        col("pad_to"), (col("pad_to") - col("n_tok")).as("waste"))
+  }
 }

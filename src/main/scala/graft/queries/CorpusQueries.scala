@@ -661,6 +661,21 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // LENGTH-BUCKETED BATCHING (PackingOps.lengthBuckets): the
+    // inference/eval-serving layout — sequences batch with near-equal
+    // lengths (16-token buckets, 8-row batches) so padding-to-max
+    // wastes almost nothing; every row carries its batch's pad target
+    // and its own waste. Windows keyed by (hash shard, bucket), never
+    // corpus-wide. The oracle replays the bucket arithmetic, both
+    // windows, the composed batch id, and every waste value.
+    "pack_length_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("n_tok",
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      graft.ops.PackingOps.lengthBuckets(docs, "doc_id", "n_tok",
+          bucketWidth = 16, batchSize = 8, shards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // POST-TRAINING funnel, END TO END: exact dedup (keep-first) →
     // distinct-token-ratio quality gate → shard-ranked conversation
     // assembly (user/assistant/user triples over the SURVIVORS) →
@@ -2342,6 +2357,29 @@ object CorpusQueries extends QueryPack {
         |  shard * 1099511627776 + CAST(strt // 512 AS BIGINT) AS pack_id,
         |  strt % 512 AS pack_offset, n AS n_tokens
         |FROM w ORDER BY doc_id""".stripMargin,
+    // bucket arithmetic, both shard-keyed windows, the composed batch
+    // id, and every waste value replayed
+    "pack_length_buckets" ->
+      """WITH lb_t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS n,
+        |    ('0x' || substr(md5('lbb:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 8 AS shard
+        |  FROM documents),
+        |lb_b AS (SELECT doc_id, n, shard, n // 16 AS bucket,
+        |    (row_number() OVER (PARTITION BY shard, n // 16
+        |      ORDER BY doc_id) - 1) // 8 AS bin
+        |  FROM lb_t),
+        |lb_p AS (SELECT doc_id, n, shard, bucket, bin,
+        |    max(n) OVER (PARTITION BY shard, bucket, bin) AS pad_to
+        |  FROM lb_b)
+        |SELECT doc_id, n AS n_tok, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(shard * 17592186044416 + bucket * 16777216 + bin AS BIGINT)
+        |    AS batch_id,
+        |  CAST(pad_to AS BIGINT) AS pad_to,
+        |  CAST(pad_to - n AS BIGINT) AS waste
+        |FROM lb_p ORDER BY doc_id""".stripMargin,
+
     "embed_ann_ivf_pq" -> pqOracleSql,
     "embed_pq_recall" -> pqRecallOracleSql,
     "embed_kmeans_assign" ->

@@ -27,7 +27,7 @@ class PlanAuditSpec extends SparkSuite {
 
   test("round-13 multimodal/speech/text queries: equi-joins only, keyed windows") {
     Seq("web_interleaved_docs", "web_interleaved_e2e", "web_image_text_filter",
-      "mm_audio_vad", "mm_subtitle_align", "mm_speech_e2e",
+      "mm_audio_vad", "mm_subtitle_align", "mm_speech_e2e", "mm_video_scenes",
       "text_sentences", "web_subtitle_extract").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
@@ -154,7 +154,8 @@ class PlanAuditSpec extends SparkSuite {
       "sft_chat_pack" -> "conv_id",     // conversation-partitioned
       "pack_fold_pairs" -> "shard",     // shard-partitioned fold
       "rlhf_pref_pairs" -> "bucket",    // hash-bucket rank-1 windows
-      "rlhf_best_of_n" -> "prompt")     // prompt-keyed rank-1/median
+      "rlhf_best_of_n" -> "prompt",     // prompt-keyed rank-1/median
+      "pack_length_buckets" -> "shard") // (shard, bucket)-keyed batching
       .foreach { case (q, key) =>
         val p = planOf(q)
         assert(!p.contains("CartesianProduct") &&

@@ -98,34 +98,48 @@ object HtmlImages {
 
   /** `name` attribute value within the tag body s[from, to), or null.
     * Same quoting rules as [[HtmlLinks]]: double, single, or unquoted.
+    *
+    * Tokenizes attributes left-to-right, skipping over quoted values, so
+    * the name can never match INSIDE another attribute's value (e.g.
+    * `<img alt="src=evil.png" src="/good.png">` must return /good.png —
+    * a substring search would be hijacked by adversarial crawl HTML).
     */
   private[functions] def attr(s: String, from: Int, to: Int,
                               name: String): String = {
     val len = name.length
     var i = from
-    while (i < to - len) {
-      if (s.regionMatches(true, i, name, 0, len) &&
-          (i == from || !Character.isLetterOrDigit(s.charAt(i - 1)) &&
-            s.charAt(i - 1) != '-')) {
-        var j = i + len
-        while (j < to && Character.isWhitespace(s.charAt(j))) j += 1
-        if (j < to && s.charAt(j) == '=') {
-          j += 1
-          while (j < to && Character.isWhitespace(s.charAt(j))) j += 1
-          if (j >= to) return null
-          s.charAt(j) match {
-            case q @ ('"' | '\'') =>
-              val e = s.indexOf(q, j + 1)
-              return if (e < 0 || e > to) null else s.substring(j + 1, e)
-            case _ =>
-              var e = j
-              while (e < to && !Character.isWhitespace(s.charAt(e)) &&
-                s.charAt(e) != '>') e += 1
-              return s.substring(j, e)
-          }
+    while (i < to) {
+      while (i < to && (Character.isWhitespace(s.charAt(i)) ||
+        s.charAt(i) == '/')) i += 1
+      if (i >= to) return null
+      // attribute name token: everything up to whitespace, '=', '>', '/'
+      val nameStart = i
+      while (i < to && !Character.isWhitespace(s.charAt(i)) &&
+        s.charAt(i) != '=' && s.charAt(i) != '>' && s.charAt(i) != '/')
+        i += 1
+      val matches = (i - nameStart) == len &&
+        s.regionMatches(true, nameStart, name, 0, len)
+      while (i < to && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < to && s.charAt(i) == '=') {
+        i += 1
+        while (i < to && Character.isWhitespace(s.charAt(i))) i += 1
+        if (i >= to) return null
+        s.charAt(i) match {
+          case q @ ('"' | '\'') =>
+            val e = s.indexOf(q, i + 1)
+            if (e < 0 || e > to) return null
+            if (matches) return s.substring(i + 1, e)
+            i = e + 1
+          case _ =>
+            val vStart = i
+            while (i < to && !Character.isWhitespace(s.charAt(i)) &&
+              s.charAt(i) != '>') i += 1
+            if (matches) return s.substring(vStart, i)
         }
+      } else if (i < to && nameStart == i) {
+        i += 1 // stray '>' or other punctuation — don't loop forever
       }
-      i += 1
+      // boolean attribute (no '='): keep scanning, like the old behavior
     }
     null
   }

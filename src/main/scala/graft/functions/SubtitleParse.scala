@@ -87,10 +87,14 @@ object SubtitleCues {
         val blockStart = i
         var end = i
         while (end < lines.length && lines(end).trim.nonEmpty) end += 1
-        // VTT metadata blocks are skipped whole
+        // VTT metadata blocks are skipped whole. Per the WebVTT spec the
+        // keyword must stand alone or be followed by whitespace — a cue
+        // whose identifier merely BEGINS with "NOTE" (e.g. "NOTES-1")
+        // is a legitimate cue, not metadata.
         val head = lines(blockStart)
-        if (vtt && (head.startsWith("NOTE") || head.startsWith("STYLE") ||
-            head.startsWith("REGION"))) {
+        def kw(k: String): Boolean = head == k ||
+          head.startsWith(k + " ") || head.startsWith(k + "\t")
+        if (vtt && (kw("NOTE") || kw("STYLE") || kw("REGION"))) {
           i = end
         } else {
           // timing line: first line containing "-->" within the block

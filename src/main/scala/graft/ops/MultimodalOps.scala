@@ -71,7 +71,10 @@ object MultimodalOps {
     val bitsSql = (0 until nm).map(m =>
       s"CASE WHEN __sg[f][$m] > __sg[f - 1][$m] THEN ${1L << m}L " +
         "ELSE 0L END").mkString(" + ")
+    // `sequence(0, -1)` is DESCENDING ([0,-1]) — an empty spectrogram
+    // must emit no fingerprint rows, not two spurious zeros.
     df.select(col(idCol), col(framesCol).as("__sg"))
+      .where(expr("size(__sg) > 0"))
       .select(col(idCol), posexplode(expr(
         "transform(sequence(0, size(__sg) - 1), f -> " +
           s"CASE WHEN f = 0 THEN 0L ELSE $bitsSql END)"))

@@ -146,7 +146,8 @@ object PackingOps {
   def lengthBuckets(df: DataFrame, idCol: String, tokenCountCol: String,
                     bucketWidth: Long, batchSize: Int, shards: Int = 64,
                     salt: String = "lbb:"): DataFrame = {
-    require(bucketWidth > 0 && batchSize > 0 && shards > 0)
+    require(bucketWidth > 0 && batchSize > 0 && shards > 0 &&
+      shards <= (1 << 19), "shards must fit the 19-bit field above bit 44")
     val based = df.select(col(idCol),
       col(tokenCountCol).cast("long").as("n_tok"),
       expr(s"cast($tokenCountCol as bigint) div $bucketWidth").as("bucket"),
@@ -157,11 +158,22 @@ object PackingOps {
         expr(s"(row_number() over (partition by shard, bucket " +
           s"order by ${idCol}) - 1) div $batchSize"))
     val wb = Window.partitionBy(col("shard"), col("bucket"), col("__bin"))
+    // Field widths: shard<2^20 (require above caps shards), bucket<2^20,
+    // bin<2^24 — guard the unbounded two so an overflow refuses loudly
+    // instead of silently aliasing batch ids.
+    val bucketOk = when(col("bucket") < lit(1L << 20), col("bucket"))
+      .otherwise(raise_error(concat(
+        lit("lengthBuckets: bucket field overflow (n_tok div bucketWidth >= 2^20): "),
+        col("bucket").cast("string"))))
+    val binOk = when(col("__bin") < lit(1L << 24), col("__bin"))
+      .otherwise(raise_error(concat(
+        lit("lengthBuckets: batch-in-bucket field overflow (>= 2^24 batches): "),
+        col("__bin").cast("string"))))
     batched
       .withColumn("pad_to", max(col("n_tok")).over(wb))
       .select(col(idCol), col("n_tok"), col("bucket"),
-        (col("shard") * lit(1L << 44) + col("bucket") * lit(1L << 24) +
-          col("__bin")).as("batch_id"),
+        (col("shard") * lit(1L << 44) + bucketOk * lit(1L << 24) +
+          binOk).as("batch_id"),
         col("pad_to"), (col("pad_to") - col("n_tok")).as("waste"))
   }
 }

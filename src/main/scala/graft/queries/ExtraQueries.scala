@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.UrlOps
+import MmFixtures.le
 
 /** Remaining SURVEY §2 operators not covered by the other packs: window
   * label means / validity (A2/A3), weighted epoch loss (A10), array pooling
@@ -536,9 +537,6 @@ object ExtraQueries extends QueryPack {
     // refuse to null. The oracle states width/height by arithmetic.
     "mm_image_tiff_meta" -> ((s, dir) => {
       graft.functions.ImageHeader.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       def be(x: String, bytes: Int) = s"lpad(hex($x), ${2 * bytes}, '0')"
       val wS = "(doc_id % 800 + 1)"
       val hS = "(doc_id % 600 + 1)"
@@ -745,9 +743,6 @@ object ExtraQueries extends QueryPack {
       graft.functions.AudioHeader.register(s)
       val chSql = "(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)"
       val rateSql = "(doc_id % 8 * 4000 + 8000)"
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       val wavHex =
         s"""concat('52494646', ${le("100", 4)}, '57415645',
            |  '4A554E4B', ${le("2 * (doc_id % 4)", 4)}, repeat('00', cast(2 * (doc_id % 4) as int)),
@@ -782,9 +777,6 @@ object ExtraQueries extends QueryPack {
       val wSql = "(doc_id % 1280 + 16)"
       val hSql = "(doc_id % 720 + 16)"
       def be32(x: String) = s"lpad(hex($x), 8, '0')"
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       val tsSql = "(500 * (doc_id % 4 + 1))"
       val mp4Hex =
         s"""concat('0000001066747970 69736F6D00000000',
@@ -1055,16 +1047,9 @@ object ExtraQueries extends QueryPack {
     // the exact integers and rounded on both sides.
     "mm_audio_features" -> ((s, dir) => {
       graft.functions.AudioPcmStats.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       val nSql = "(doc_id % 17 + 24)"
-      def sSql(k: String) = s"((doc_id * 37 + $k * 451) % 4001 - 2000)"
-      val leSampleSql = { // LE16 of the two's-complement sample
-        val u = s"(${sSql("k")} % 65536 + 65536) % 65536"
-        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), substr(lpad(hex($u), 4, '0'), 1, 2))"
-      }
-      val wavHex =
+      val leSampleSql = MmFixtures.leSample16(MmFixtures.statsSampleSql("k"))
+      val wavHex = // JUNK chunk before fmt forces the chunk walk
         s"""concat('52494646', ${le("100", 4)}, '57415645',
            |  '4A554E4B', ${le("2 * (doc_id % 4)", 4)}, repeat('00', cast(2 * (doc_id % 4) as int)),
            |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
@@ -1093,22 +1078,8 @@ object ExtraQueries extends QueryPack {
     "mm_audio_resample" -> ((s, dir) => {
       graft.functions.AudioPcmStats.register(s)
       graft.functions.AudioResample.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       val nSql = "(doc_id % 17 + 24)"
-      def sSql(k: String) = s"((doc_id * 37 + $k * 451) % 4001 - 2000)"
-      val leSampleSql = {
-        val u = s"(${sSql("k")} % 65536 + 65536) % 65536"
-        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), substr(lpad(hex($u), 4, '0'), 1, 2))"
-      }
-      val wavHex =
-        s"""concat('52494646', ${le("100", 4)}, '57415645',
-           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
-           |  ${le("16000", 4)}, ${le("32000", 4)}, ${le("2", 2)}, ${le("16", 2)},
-           |  '64617461', ${le(s"2 * $nSql", 4)},
-           |  array_join(transform(sequence(0, $nSql - 1), k -> $leSampleSql), ''))"""
-          .stripMargin
+      val wavHex = MmFixtures.wav16kHex(nSql, MmFixtures.statsSampleSql("k"))
       Tables.documents(s, dir)
         .withColumn("dst",
           expr("CAST(CASE WHEN doc_id % 2 = 0 THEN 11025 ELSE 22050 END AS INT)"))
@@ -1134,22 +1105,8 @@ object ExtraQueries extends QueryPack {
     // basis values as literals.
     "mm_audio_mel" -> ((s, dir) => {
       graft.functions.AudioMel.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       val nSql = "(doc_id % 80 + 24)"
-      def sSql(k: String) = s"((doc_id * 37 + $k * 451) % 4001 - 2000)"
-      val leSampleSql = {
-        val u = s"(${sSql("k")} % 65536 + 65536) % 65536"
-        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), substr(lpad(hex($u), 4, '0'), 1, 2))"
-      }
-      val wavHex =
-        s"""concat('52494646', ${le("100", 4)}, '57415645',
-           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
-           |  ${le("16000", 4)}, ${le("32000", 4)}, ${le("2", 2)}, ${le("16", 2)},
-           |  '64617461', ${le(s"2 * $nSql", 4)},
-           |  array_join(transform(sequence(0, $nSql - 1), k -> $leSampleSql), ''))"""
-          .stripMargin
+      val wavHex = MmFixtures.wav16kHex(nSql, MmFixtures.statsSampleSql("k"))
       Tables.documents(s, dir)
         .withColumn("m", expr(s"audio_mel(unhex($wavHex))"))
         .select(col("doc_id"), posexplode(col("m")).as(Seq("band", "energy")))
@@ -1164,22 +1121,8 @@ object ExtraQueries extends QueryPack {
     // oracle adds the frame dimension to the same basis-literal replay.
     "mm_audio_spectrogram" -> ((s, dir) => {
       graft.functions.AudioMel.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       val nSql = "(doc_id % 80 + 24)"
-      def sSql(k: String) = s"((doc_id * 37 + $k * 451) % 4001 - 2000)"
-      val leSampleSql = {
-        val u = s"(${sSql("k")} % 65536 + 65536) % 65536"
-        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), substr(lpad(hex($u), 4, '0'), 1, 2))"
-      }
-      val wavHex =
-        s"""concat('52494646', ${le("100", 4)}, '57415645',
-           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
-           |  ${le("16000", 4)}, ${le("32000", 4)}, ${le("2", 2)}, ${le("16", 2)},
-           |  '64617461', ${le(s"2 * $nSql", 4)},
-           |  array_join(transform(sequence(0, $nSql - 1), k -> $leSampleSql), ''))"""
-          .stripMargin
+      val wavHex = MmFixtures.wav16kHex(nSql, MmFixtures.statsSampleSql("k"))
       Tables.documents(s, dir)
         .withColumn("sg", expr(s"audio_mel_frames(unhex($wavHex))"))
         .select(col("doc_id"), posexplode(col("sg")).as(Seq("frame", "row")))
@@ -1205,25 +1148,7 @@ object ExtraQueries extends QueryPack {
     // island grouping, and the floor.
     "mm_audio_vad" -> ((s, dir) => {
       graft.functions.AudioMel.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
-      val loudSql =
-        "((((doc_id * 48271) % 65537) * (k + 3)) % 65537 % 3001 - 1500)"
-      val sSql = s"(CASE WHEN ((k div 128) + doc_id) % 2 = 0" +
-        s" THEN $loudSql ELSE k % 5 - 2 END)"
-      val leSampleSql = {
-        val u = s"($sSql % 65536 + 65536) % 65536"
-        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), " +
-          s"substr(lpad(hex($u), 4, '0'), 1, 2))"
-      }
-      val wavHex =
-        s"""concat('52494646', ${le("100", 4)}, '57415645',
-           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
-           |  ${le("16000", 4)}, ${le("32000", 4)}, ${le("2", 2)}, ${le("16", 2)},
-           |  '64617461', ${le("1024", 4)},
-           |  array_join(transform(sequence(0, 511), k -> $leSampleSql), ''))"""
-          .stripMargin
+      val wavHex = MmFixtures.vadBurstWavHex
       // frame-energy table materializes once — it feeds both the
       // per-clip mean and the activity filter
       val frames = Tables.documents(s, dir)
@@ -1260,26 +1185,8 @@ object ExtraQueries extends QueryPack {
     "mm_subtitle_align" -> ((s, dir) => {
       graft.functions.AudioMel.register(s)
       graft.functions.SubtitleCues.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
-      val loudSql =
-        "((((doc_id * 48271) % 65537) * (k + 3)) % 65537 % 3001 - 1500)"
-      val sSql = s"(CASE WHEN ((k div 128) + doc_id) % 2 = 0" +
-        s" THEN $loudSql ELSE k % 5 - 2 END)"
-      val leSampleSql = {
-        val u = s"($sSql % 65536 + 65536) % 65536"
-        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), " +
-          s"substr(lpad(hex($u), 4, '0'), 1, 2))"
-      }
-      val wavHex =
-        s"""concat('52494646', ${le("100", 4)}, '57415645',
-           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
-           |  ${le("16000", 4)}, ${le("32000", 4)}, ${le("2", 2)}, ${le("16", 2)},
-           |  '64617461', ${le("1024", 4)},
-           |  array_join(transform(sequence(0, 511), k -> $leSampleSql), ''))"""
-          .stripMargin
-      def ts(ms: String) = s"concat('00:00.', lpad(cast($ms as string), 3, '0'))"
+      val wavHex = MmFixtures.vadBurstWavHex
+      def ts(ms: String) = MmFixtures.vttTs(ms)
       def cueSql(c: Int) = {
         val st = s"(${16 * c} + (doc_id % 2) * 8)"
         s"${ts(st)}, ' --> ', ${ts(s"$st + 8")}, chr(10), " +
@@ -1320,26 +1227,8 @@ object ExtraQueries extends QueryPack {
     "mm_speech_e2e" -> ((s, dir) => {
       graft.functions.AudioMel.register(s)
       graft.functions.SubtitleCues.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
-      val loudSql =
-        "((((doc_id * 48271) % 65537) * (k + 3)) % 65537 % 3001 - 1500)"
-      val sSql = s"(CASE WHEN ((k div 128) + doc_id) % 2 = 0" +
-        s" THEN $loudSql ELSE k % 5 - 2 END)"
-      val leSampleSql = {
-        val u = s"($sSql % 65536 + 65536) % 65536"
-        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), " +
-          s"substr(lpad(hex($u), 4, '0'), 1, 2))"
-      }
-      val wavHex =
-        s"""concat('52494646', ${le("100", 4)}, '57415645',
-           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
-           |  ${le("16000", 4)}, ${le("32000", 4)}, ${le("2", 2)}, ${le("16", 2)},
-           |  '64617461', ${le("1024", 4)},
-           |  array_join(transform(sequence(0, 511), k -> $leSampleSql), ''))"""
-          .stripMargin
-      def ts(ms: String) = s"concat('00:00.', lpad(cast($ms as string), 3, '0'))"
+      val wavHex = MmFixtures.vadBurstWavHex
+      def ts(ms: String) = MmFixtures.vttTs(ms)
       def cueSql(st: String, label: String) =
         s"${ts(st)}, ' --> ', ${ts(s"($st) + 8")}, chr(10), " +
           s"'$label ', cast(doc_id as string), chr(10), chr(10)"
@@ -1394,26 +1283,12 @@ object ExtraQueries extends QueryPack {
     // → mel energies → every delta bit → bands → hamming → rollup.
     "mm_audio_dedup" -> ((s, dir) => {
       graft.functions.AudioMel.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       val gSql = "(doc_id div 2)"
       val seedSql = s"(($gSql * 48271) % 65537)"
       val sEvenSql = s"((($seedSql * (k + 7)) % 65537) % 4001 - 2000)"
       val sSql = s"(CASE WHEN doc_id % 2 = 1 THEN (3 * $sEvenSql) div 4" +
         s" ELSE $sEvenSql END)"
-      val leSampleSql = {
-        val u = s"($sSql % 65536 + 65536) % 65536"
-        s"concat(substr(lpad(hex($u), 4, '0'), 3, 2), " +
-          s"substr(lpad(hex($u), 4, '0'), 1, 2))"
-      }
-      val wavHex =
-        s"""concat('52494646', ${le("100", 4)}, '57415645',
-           |  '666D7420', ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
-           |  ${le("16000", 4)}, ${le("32000", 4)}, ${le("2", 2)}, ${le("16", 2)},
-           |  '64617461', ${le("1024", 4)},
-           |  array_join(transform(sequence(0, 511), k -> $leSampleSql), ''))"""
-          .stripMargin
+      val wavHex = MmFixtures.wav16kHex("512", sSql)
       // 512 samples → 16 frames → 2 fingerprint windows per doc; the
       // fingerprint table materializes once before the band self-join
       val fps = graft.ops.MultimodalOps.audioFingerprints(
@@ -1476,9 +1351,6 @@ object ExtraQueries extends QueryPack {
     // arithmetic as closed forms of doc_id.
     "mm_image_gps" -> ((s, dir) => {
       graft.functions.ExifMeta.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       val hexSql =
         s"""CASE WHEN doc_id % 9 = 0 THEN
            |  concat('FFD8', 'FFE000104A46494600010100000100010000', 'FFD9')
@@ -1518,9 +1390,6 @@ object ExtraQueries extends QueryPack {
     // certified without the oracle parsing a byte.
     "mm_image_ico" -> ((s, dir) => {
       graft.functions.IcoMeta.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       val nSql = "(doc_id % 3 + 1)"
       val dirSql =
         s"""array_join(transform(sequence(0, $nSql - 1), i -> concat(
@@ -1553,9 +1422,6 @@ object ExtraQueries extends QueryPack {
     // without parsing the container.
     "mm_audio_g711" -> ((s, dir) => {
       graft.functions.AudioG711Stats.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       val nSql = "(doc_id % 15 + 20)"
       val tagSql = "(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END)"
       val byteSql = "((doc_id * 31 + k * 97) % 256)"
@@ -1634,9 +1500,6 @@ object ExtraQueries extends QueryPack {
     // floor), never parsing a byte.
     "mm_audio_stereo" -> ((s, dir) => {
       graft.functions.AudioPcmDownmix.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       val nSql = "(doc_id % 13 + 20)"
       val lSql = "((doc_id * 37 + k * 451) % 4001 - 2000)"
       val rSql = "((doc_id * 53 + k * 293) % 3001 - 1500)"
@@ -1670,9 +1533,6 @@ object ExtraQueries extends QueryPack {
     // oracle replays the exact integer stats from the formula.
     "mm_audio_widths" -> ((s, dir) => {
       graft.functions.AudioPcmStats.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       val bitsSql = "(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END)"
       val mSql = "(CASE doc_id % 3 WHEN 0 THEN 120 WHEN 1 THEN 2000 ELSE 1500000 END)"
       val nSql = "(doc_id % 11 + 16)"
@@ -1799,22 +1659,10 @@ object ExtraQueries extends QueryPack {
     // bytes are read — the curation shape for video at scale.
     "mm_video_framesample" -> ((s, dir) => {
       graft.functions.VideoFrames.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       val fSql = "(doc_id % 6 + 4)"
       val vSql = "((doc_id * 13 + t * 17 + x * 7 + y * 29) % 256)"
-      val frameHex =
-        s"""concat('30306462', ${le("48", 4)},
-           |  array_join(transform(sequence(0, 1), y ->
-           |    array_join(transform(sequence(0, 7), x ->
-           |      repeat(lpad(hex($vSql), 2, '0'), 3)), '')), ''))""".stripMargin
-      val aviHex =
-        s"""concat('52494646', ${le("100", 4)}, '41564920',
-           |  '4C495354', ${le("4", 4)}, '6864726C',
-           |  '4C495354', ${le(s"4 + 56 * $fSql", 4)}, '6D6F7669',
-           |  array_join(transform(sequence(0, $fSql - 1), t -> $frameHex), ''))"""
-          .stripMargin
+      val frameHex = MmFixtures.aviFrameHex(2, 8, vSql)
+      val aviHex = MmFixtures.aviMoviHex(fSql, 48, frameHex)
       Tables.documents(s, dir)
         .withColumn("blob", expr(s"unhex($aviHex)"))
         .selectExpr("doc_id", "explode(video_frame_sample(blob, 2)) AS fr")
@@ -1878,25 +1726,13 @@ object ExtraQueries extends QueryPack {
     // and the threshold — it never assumes the cut, it re-derives it.
     "mm_video_scenes" -> ((s, dir) => {
       graft.functions.VideoFrames.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       val cSql = "(doc_id % 5 + 2)"
       val vSql = s"(CASE WHEN t < $cSql" +
         s" THEN (((doc_id * 48271) % 65537) * (y * 8 + x + 1)) % 65537 % 200" +
         s" ELSE (((doc_id * 48271 + 12345) % 65537) * (y * 8 + x + 1))" +
         s" % 65537 % 200 END)"
-      val frameHex =
-        s"""concat('30306462', ${le("192", 4)},
-           |  array_join(transform(sequence(0, 7), y ->
-           |    array_join(transform(sequence(0, 7), x ->
-           |      repeat(lpad(hex($vSql), 2, '0'), 3)), '')), ''))""".stripMargin
-      val aviHex =
-        s"""concat('52494646', ${le("1628", 4)}, '41564920',
-           |  '4C495354', ${le("4", 4)}, '6864726C',
-           |  '4C495354', ${le("1604", 4)}, '6D6F7669',
-           |  array_join(transform(sequence(0, 7), t -> $frameHex), ''))"""
-          .stripMargin
+      val frameHex = MmFixtures.aviFrameHex(8, 8, vSql)
+      val aviHex = MmFixtures.aviMoviHex("8", 192, frameHex)
       val hashes = Tables.documents(s, dir)
         .withColumn("blob", expr(s"unhex($aviHex)"))
         .selectExpr("doc_id", "explode(video_frame_ahash(blob, 1)) AS fr")
@@ -1932,9 +1768,6 @@ object ExtraQueries extends QueryPack {
     // every hash bit → bands → hamming → the pair rollup.
     "mm_video_dedup" -> ((s, dir) => {
       graft.functions.VideoFrames.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       // aHash is brightness-shift-invariant by design, so an ADDITIVE
       // g-term would give unrelated videos identical sign structure
       // (measured: 63k pairs for 500 docs). The Lehmer-style multiplier
@@ -1948,17 +1781,8 @@ object ExtraQueries extends QueryPack {
         s"((($seedSql * (y * 8 + x + 16 * t + 1)) % 65537) % 200" +
         s" + (CASE WHEN doc_id % 2 = 1 AND t = 2 * ($gSql % 3)" +
         s" AND x = $gSql % 8 AND y = 0 THEN 55 ELSE 0 END))"
-      val frameHex =
-        s"""concat('30306462', ${le("192", 4)},
-           |  array_join(transform(sequence(0, 7), y ->
-           |    array_join(transform(sequence(0, 7), x ->
-           |      repeat(lpad(hex($vSql), 2, '0'), 3)), '')), ''))""".stripMargin
-      val aviHex =
-        s"""concat('52494646', ${le("1216", 4)}, '41564920',
-           |  '4C495354', ${le("4", 4)}, '6864726C',
-           |  '4C495354', ${le("1204", 4)}, '6D6F7669',
-           |  array_join(transform(sequence(0, 5), t -> $frameHex), ''))"""
-          .stripMargin
+      val frameHex = MmFixtures.aviFrameHex(8, 8, vSql)
+      val aviHex = MmFixtures.aviMoviHex("6", 192, frameHex)
       // hash table materializes once — AVI synthesis + decode must not
       // re-run under both sides of the band self-join
       val frames = Tables.documents(s, dir)
@@ -2069,9 +1893,6 @@ object ExtraQueries extends QueryPack {
     // formula. The oracle replays format/width/height from construction.
     "mm_image_webp_meta" -> ((s, dir) => {
       graft.functions.ImageHeader.register(s)
-      def le(x: String, bytes: Int) = (0 until bytes)
-        .map(n => s"lpad(hex(($x) div ${1L << (8 * n)} % 256), 2, '0')")
-        .mkString("concat(", ", ", ")")
       val wSql = "(doc_id % 300 + 16)"
       val hSql = "(doc_id % 200 + 16)"
       val hexSql =

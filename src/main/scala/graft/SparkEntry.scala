@@ -24,7 +24,8 @@ object SparkEntry {
     CorpusQueries,
     WebQueries,
     LangIdQueries,
-    CodeQueries
+    CodeQueries,
+    DocExtractQueries
   )
 
   /** Flagship query; driver smoke-checks rows>0. The engine's headline is

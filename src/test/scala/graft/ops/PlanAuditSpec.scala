@@ -431,4 +431,26 @@ class PlanAuditSpec extends SparkSuite {
     assert(!cp.contains("Window [") || cp.contains("partitionBy") ||
       cp.contains("lang"), "compaction window lost its partition key")
   }
+
+  test("round-14 queries: scan-side extraction, repo-keyed assembly") {
+    // tex extraction and FIM are pure scan-side: no join, no window
+    Seq("web_tex_extract", "code_fim_split").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Join"), s"$q must be scan-side, plans a join")
+      assert(!p.contains("WindowExec"), s"$q must not window")
+    }
+    // FIM pack: the only window is the packer's shard-keyed cumsum
+    val fp = planOf("code_fim_pack_e2e")
+    assert(!fp.contains("Join"), "fim pack must not join")
+    fp.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("shard"), s"fim pack window lost its shard key: $l"))
+    // repo context: equi-join on (repo, path) only; every window
+    // carries the repo key
+    val rc = planOf("code_repo_context")
+    assert(!rc.contains("CartesianProduct") &&
+      !rc.contains("BroadcastNestedLoopJoin"),
+      "repo context must join on (repo, path) equi-keys")
+    rc.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("repo_id"), s"repo-context window lost its key: $l"))
+  }
 }

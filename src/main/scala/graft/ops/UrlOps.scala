@@ -158,4 +158,23 @@ object UrlOps {
       hostLabels.as("host_labels"), hostHyphens.as("host_hyphens"),
       spam.as("spam_score"))
   }
+
+  /** SURT key (Sort-friendly URI Reordering Transform — the CDX index
+    * key of Common Crawl / web-archive lookups, see the IA wayback
+    * cdx-server format): canonicalize ([[canonicalizeUrl]] — fragment,
+    * www., default port, trailing slash, tracking params, query order),
+    * then reverse the host labels comma-joined and append `)` + the
+    * path?query — so one domain's URLs sort contiguously
+    * (`com,example)/doc/1`). Non-absolute inputs yield an empty-host
+    * key `)trimmed` rather than a synthetic collision. Pure codegen'd
+    * chain, scan-side.
+    */
+  def surtKey(url: Column): Column = {
+    val canon = canonicalizeUrl(url)
+    val host = hostOf(canon)
+    val rev = array_join(reverse(split(host, "\\.")), ",")
+    val pathq = regexp_extract(canon,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    concat(rev, lit(")"), pathq)
+  }
 }

@@ -25,7 +25,8 @@ object SparkEntry {
     WebQueries,
     LangIdQueries,
     CodeQueries,
-    DocExtractQueries
+    DocExtractQueries,
+    LakehouseQueries
   )
 
   /** Flagship query; driver smoke-checks rows>0. The engine's headline is

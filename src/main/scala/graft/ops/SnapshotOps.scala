@@ -70,4 +70,69 @@ object SnapshotOps {
     val upserts = latest.filter(checkedOp === "upsert").drop("__op")
     untouched.unionByName(upserts.select(base.columns.toSeq.map(col): _*))
   }
+
+  // ---------------------------------------------------------------
+  // Manifest-file SNAPSHOT ISOLATION — the lakehouse time-travel read
+  // (Iceberg/Delta shape, minimal): a version IS its complete
+  // data-unit list, written as one immutable manifest file
+  // `<table>/manifests/v<N>.json`. Readers resolve `table@v` by
+  // loading exactly the manifest's units — never by listing the data
+  // directory — so concurrent appends/removals are invisible until
+  // their manifest commits, and an old version stays byte-stable
+  // (the reproducible-training-set contract that closes the
+  // snapshot-diff loop: re-reading v1 after v2 committed returns the
+  // identical corpus).
+  //
+  // Scale shape: the manifest is one small JSON (bounded by unit
+  // count, not rows); the read is a plain parquet scan over the
+  // listed paths — partition pruning, pushdown, and bucketing all
+  // still apply underneath.
+  // ---------------------------------------------------------------
+
+  /** Write (commit) the COMPLETE unit list of snapshot `version`.
+    * Paths are table-relative. The manifest file is immutable once
+    * written (re-commit of the same version only succeeds with the
+    * identical list — snapshot isolation means a version never
+    * changes meaning).
+    */
+  def commitManifest(tableDir: String, version: Int,
+                     units: Seq[String]): Unit = {
+    require(version > 0, "versions start at 1")
+    val dir = new java.io.File(tableDir, "manifests")
+    dir.mkdirs()
+    val f = new java.io.File(dir, s"v$version.json")
+    val json = units.map(u => "\"" + u + "\"").mkString("[", ",", "]")
+    if (f.exists()) {
+      val prior = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      require(prior == json,
+        s"manifest v$version exists with a different unit list")
+    } else {
+      val tmp = new java.io.File(dir, s".v$version.json.tmp")
+      java.nio.file.Files.write(tmp.toPath, json.getBytes("UTF-8"))
+      require(tmp.renameTo(f) || f.exists(), s"commit of v$version failed")
+    }
+  }
+
+  /** Unit list of snapshot `version` (table-relative paths). */
+  def manifestUnits(tableDir: String, version: Int): Seq[String] = {
+    val f = new java.io.File(new java.io.File(tableDir, "manifests"),
+      s"v$version.json")
+    require(f.exists(), s"no snapshot v$version at $tableDir")
+    val json = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+    require(json.startsWith("[") && json.endsWith("]"), "bad manifest")
+    json.substring(1, json.length - 1).split(",").toSeq
+      .filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  }
+
+  /** Time-travel read: `table@version` — exactly the manifest's units,
+    * never a directory listing.
+    */
+  def readVersion(spark: org.apache.spark.sql.SparkSession,
+                  tableDir: String, version: Int): DataFrame = {
+    val paths = manifestUnits(tableDir, version)
+      .map(u => new java.io.File(tableDir, u).getAbsolutePath)
+    spark.read.parquet(paths: _*)
+  }
 }

@@ -26,7 +26,8 @@ object SparkEntry {
     LangIdQueries,
     CodeQueries,
     DocExtractQueries,
-    LakehouseQueries
+    LakehouseQueries,
+    MediaQueries
   )
 
   /** Flagship query; driver smoke-checks rows>0. The engine's headline is

@@ -45,6 +45,42 @@ private[functions] object JpegDecode {
 
   final class Luma(val w: Int, val h: Int, val px: Array[Int])
 
+  /** Per-image color statistics from DEQUANTIZED DC coefficients — the
+    * pre-IDCT block means (every AC basis function is zero-mean over
+    * its block, so the DC term IS the block mean, exactly, before
+    * per-pixel rounding/clamping). Means are milli-units of the 0–255
+    * sample scale: block mean = dc·q₀·125 + 128000 (1000/8 = 125, all
+    * integer). `colorfulnessMilli` is the average absolute chroma
+    * deviation from neutral per chroma block — the solid-color /
+    * grayscale-thumbnail gate signal. Grayscale files report neutral
+    * chroma and colorfulness 0.
+    */
+  final class ColorStats(val w: Int, val h: Int,
+                         val yMeanMilli: Long, val cbMeanMilli: Long,
+                         val crMeanMilli: Long, val colorfulnessMilli: Long,
+                         val nBlocksY: Long, val nBlocksC: Long)
+
+  /** DC collector threaded through the baseline scan decode: the chroma
+    * Huffman walk already tracks each component's DC predictor to stay
+    * in sync — lifting it to statistics costs three adds per block.
+    */
+  private final class ColorAcc {
+    var nY = 0L; var sumY = 0L
+    var nCb = 0L; var sumCb = 0L
+    var nCr = 0L; var sumCr = 0L
+    var devSum = 0L
+    var frameComponents = 0
+    var scanComponents = 0
+    def addY(dcDeq: Int): Unit = {
+      nY += 1; sumY += dcDeq.toLong * 125 + 128000L
+    }
+    def addC(ci: Int, dcDeq: Int): Unit = {
+      val m = dcDeq.toLong * 125 + 128000L
+      if (ci == 1) { nCb += 1; sumCb += m } else { nCr += 1; sumCr += m }
+      devSum += math.abs(dcDeq.toLong * 125)
+    }
+  }
+
   /** Same decompression-bomb ceiling as the PNG path: a 10-byte SOF can
     * declare 65535×65535 and the MCU loop would materialize it.
     */
@@ -224,13 +260,38 @@ private[functions] object JpegDecode {
 
   /** Entry: luma raster at full image resolution, or null. */
   def decode(b: Array[Byte]): Luma =
-    try decodeOrFail(b)
+    try decodeOrFail(b, null)
     catch {
       case _: DecodeFail | _: ArrayIndexOutOfBoundsException |
           _: NegativeArraySizeException => null
     }
 
-  private def decodeOrFail(b: Array[Byte]): Luma = {
+  /** Entry: DC color statistics, or null. Baseline files whose first
+    * scan carries every frame component (all interleaved color files,
+    * all grayscale files); progressive and non-interleaved color
+    * return null — the caller's not-decodable-here contract.
+    */
+  def decodeColor(b: Array[Byte]): ColorStats =
+    try {
+      val acc = new ColorAcc
+      val luma = decodeOrFail(b, acc)
+      if (luma == null || acc.nY == 0) null
+      else if (acc.scanComponents != acc.frameComponents) null
+      else {
+        val nC = acc.nCb + acc.nCr
+        new ColorStats(luma.w, luma.h,
+          acc.sumY / acc.nY,
+          if (acc.nCb > 0) acc.sumCb / acc.nCb else 128000L,
+          if (acc.nCr > 0) acc.sumCr / acc.nCr else 128000L,
+          if (nC > 0) acc.devSum / nC else 0L,
+          acc.nY, nC)
+      }
+    } catch {
+      case _: DecodeFail | _: ArrayIndexOutOfBoundsException |
+          _: NegativeArraySizeException => null
+    }
+
+  private def decodeOrFail(b: Array[Byte], acc: ColorAcc): Luma = {
     if (b == null || b.length < 4 ||
         (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
     def be16(i: Int): Int = {
@@ -414,8 +475,12 @@ private[functions] object JpegDecode {
           // every interleaved baseline file and every grayscale file
           if (!scanComp.contains(0)) return null
           if (!qSeen(cQ(0))) fail()
+          if (acc != null) {
+            acc.frameComponents = cIds.length
+            acc.scanComponents = ns
+          }
           return decodeScan(b, p + len, w, h, scanComp, scanDc, scanAc,
-            cH, cV, cQ, qz, ri)
+            cH, cV, cQ, qz, ri, acc)
         }
       } else { // APPn / COM / anything else with a length field
         val len = be16(p)
@@ -430,7 +495,7 @@ private[functions] object JpegDecode {
                          scanComp: Array[Int], scanDc: Array[HTab],
                          scanAc: Array[HTab], cH: Array[Int], cV: Array[Int],
                          cQ: Array[Int], qz: Array[Array[Int]],
-                         ri: Int): Luma = {
+                         ri: Int, acc: ColorAcc): Luma = {
     val ns = scanComp.length
     var maxH = 1
     var maxV = 1
@@ -469,6 +534,7 @@ private[functions] object JpegDecode {
           }
           pred = decodeBlock(r, scanDc(0), scanAc(0), pred, q, coef)
           idctInto(coef, plane, pw, ph, bx * 8, by * 8)
+          if (acc != null && ci == 0) acc.addY(pred * q(0))
           mcu += 1
           bx += 1
         }
@@ -504,10 +570,14 @@ private[functions] object JpegDecode {
                     preds(si), q, coef)
                   idctInto(coef, plane, pw, ph,
                     (mx * cH(0) + bxx) * 8, (my * cV(0) + byy) * 8)
+                  if (acc != null) acc.addY(preds(si) * q(0))
                 } else {
-                  // chroma: walk the entropy stream, render nothing
+                  // chroma: walk the entropy stream, render nothing —
+                  // but the synced DC predictor lifts to color stats
+                  // for free
                   preds(si) = decodeBlock(r, scanDc(si), scanAc(si),
                     preds(si), q, null)
+                  if (acc != null) acc.addC(ci, preds(si) * q(0))
                 }
                 bxx += 1
               }

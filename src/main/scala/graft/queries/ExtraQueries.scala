@@ -2011,13 +2011,13 @@ object ExtraQueries extends QueryPack {
   // committed fixture bytes (src/test/resources/jpeg_fixtures), hex-embedded
   // so the oracle side sees the identical blobs: 32×24 grayscale mosaic
   // v = (37·bx + 59·by + 23) % 256 …
-  private val jpegGrayBlocksHex =
+  private[queries] val jpegGrayBlocksHex =
     "FFD8FFDB004300080C0C0E0E0E1010101012121212121414141414141616161616161618181818181818181A1A1A1A1A1A1A" +
       "1C1C1C1C1C1C1E1E1E1E1E20202020222222242426FFC0000B080018002001011100FFC40014100100000000000000000000" +
       "000000000000FFC4001500000200000000000000000000000000000607FFDA0008010100003F004B0944A25058944A250589" +
       "44A257FFD9"
   // … and 32×32 4:2:0 with constant chroma, v = (29·bx + 43·by + 50) % 256
-  private val jpegBlocks420Hex =
+  private[queries] val jpegBlocks420Hex =
     "FFD8FFDB004300080C0C0E0E0E1010101012121212121414141414141616161616161618181818181818181A1A1A1A1A1A1A" +
       "1C1C1C1C1C1C1E1E1E1E1E20202020222222242426FFDB004301081313161616191919191C1C1C1C1C1F1F1F1F1F1F222222" +
       "222222222525252525252525282828282828282B2B2B2B2B2B2E2E2E2E2E3131313134343437373AFFC00011080020002003" +

@@ -230,4 +230,70 @@ class JpegPixelSpec extends SparkSuite {
       decodeViaSql(bad, 4, 4) // must not throw
     }
   }
+
+  // --- jpeg_color_stats: chroma DC lifted to color statistics ---
+
+  private def colorStats(blob: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long, Long, Long, Long)] = {
+    JpegColorStats.register(spark)
+    import spark.implicits._
+    val row = Seq(Tuple1(blob)).toDF("blob")
+      .selectExpr("jpeg_color_stats(blob) AS st").collect()(0)
+    if (row.isNullAt(0)) None
+    else {
+      val st = row.getStruct(0)
+      Some((st.getInt(0), st.getInt(1), st.getLong(2), st.getLong(3),
+        st.getLong(4), st.getLong(5), st.getLong(6), st.getLong(7)))
+    }
+  }
+
+  test("jpeg_color_stats: exact closed forms on the DC color mosaics") {
+    // colorstats420: generator-pinned block formulas (q0=8, lossless DC)
+    assert(colorStats(fixture("colorstats420.jpg")).contains(
+      (32, 32, 130000L, 156000L, 120000L, 44500L, 16L, 8L)))
+    // blocks420: constant neutral Cb, constant Cr=90
+    assert(colorStats(fixture("blocks420.jpg")).contains(
+      (32, 32, 142000L, 128000L, 90000L, 19000L, 16L, 8L)))
+    // grayscale: neutral chroma, zero colorfulness, no chroma blocks
+    assert(colorStats(fixture("gray_blocks.jpg")).contains(
+      (32, 24, 137500L, 128000L, 128000L, 0L, 12L, 0L)))
+  }
+
+  test("jpeg_color_stats: JDK ImageIO raster band means agree") {
+    // independent decoder cross-check: mean of each raw raster band
+    // (Y/Cb/Cr) on the DC mosaic must match our DC means to <1 level
+    val blob = fixture("colorstats420.jpg")
+    val r = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    try {
+      r.setInput(in)
+      val ras = r.readRaster(0, null)
+      val bands = ras.getNumBands
+      assert(bands == 3)
+      val w = ras.getWidth
+      val h = ras.getHeight
+      val means = (0 until bands).map { b =>
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w) s += ras.getSample(x, y, b)
+        s * 1000 / (w.toLong * h)
+      }
+      val Some((_, _, ym, cbm, crm, _, _, _)) = colorStats(blob)
+      assert(math.abs(means(0) - ym) < 1000, s"Y ${means(0)} vs $ym")
+      assert(math.abs(means(1) - cbm) < 1000, s"Cb ${means(1)} vs $cbm")
+      assert(math.abs(means(2) - crm) < 1000, s"Cr ${means(2)} vs $crm")
+    } finally { r.dispose(); in.close() }
+  }
+
+  test("jpeg_color_stats: progressive, truncated, garbage refuse to null") {
+    assert(colorStats(fixture("prog_blocks.jpg")).isEmpty,
+      "progressive color stats must refuse (DC walk is baseline-only)")
+    assert(colorStats(fixture("reject_progressive.jpg")).isEmpty)
+    val good = fixture("colorstats420.jpg")
+    for (cut <- Seq(8, good.length / 2, good.length - 4))
+      assert(colorStats(good.take(cut)).isEmpty, s"truncated at $cut")
+    assert(colorStats(Array[Byte](1, 2, 3)).isEmpty)
+    // AC-rich real-encoder color file still yields stats (DC means)
+    assert(colorStats(fixture("color420.jpg")).isDefined)
+  }
 }

@@ -359,6 +359,32 @@ def main():
         buf += b"\xFF\xD9"
         fo.write(buf)
 
+    # 9. colorstats420: 32x32 4:2:0, block-constant Y AND block-constant
+    # Cb/Cr mosaics, all on q0=8 tables -> every DC quantizes losslessly
+    # and the DC color statistics (jpeg_color_stats) are EXACT closed
+    # forms of the block formulas below.
+    w, h = 32, 32
+    ysv = lambda x, y: (29 * (x // 8) + 31 * (y // 8) + 40) % 256
+    cbv = lambda x, y: (50 * (x // 8) + 70 * (y // 8) + 96) % 256
+    crv = lambda x, y: (90 * (x // 8) + 30 * (y // 8) + 60) % 256
+    exp = encode(os.path.join(OUT, "colorstats420.jpg"), w, h,
+                 [(gray(w, h, ysv), 0, 1),
+                  (gray(w // 2, h // 2, cbv), 1, 2),
+                  (gray(w // 2, h // 2, crv), 1, 3)],
+                 [(2, 2), (1, 1), (1, 1)], {0: QLUMA, 1: QLUMA})
+    assert exp == gray(w, h, ysv), "colorstats420 luma must be exact"
+    write_expected(os.path.join(OUT, "colorstats420.jpg.grays"), w, h, exp)
+    ys = [ysv(bx * 8, by * 8) for by in range(4) for bx in range(4)]
+    cbs = [cbv(bx * 8, by * 8) for by in range(2) for bx in range(2)]
+    crs = [crv(bx * 8, by * 8) for by in range(2) for bx in range(2)]
+    stats = dict(
+        y_mean_milli=sum(v * 1000 for v in ys) // 16,
+        cb_mean_milli=sum(v * 1000 for v in cbs) // 4,
+        cr_mean_milli=sum(v * 1000 for v in crs) // 4,
+        colorfulness_milli=(sum(abs(v - 128) * 1000 for v in cbs) +
+                            sum(abs(v - 128) * 1000 for v in crs)) // 8)
+    print("colorstats420 expected:", stats)
+
     print("fixtures written to", OUT)
 
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.{QualityClassifierOps, SamplingOps}
 
 /** Media-codec statistics family (round 14): color statistics from
   * JPEG chroma DC, MP3 sample decode, trained image-text gating.
@@ -55,9 +56,137 @@ object MediaQueries extends QueryPack {
           col("st.n_blocks_y").as("n_blocks_y"),
           col("st.n_blocks_c").as("n_blocks_c"))
         .orderBy(col("img"))
+    }),
+
+    // TRAINED IMAGE-TEXT GATE (the learned upgrade to
+    // web_image_text_filter's rule gate — the CLIP-filter shape of
+    // LAION-style curation, as a linear head over CROSSED two-tower
+    // features): each pair is a real PNG (png_encode_gray of the
+    // quantized embedding raster) plus an alt text whose per-cell
+    // brightness words agree with the image for even ids and are
+    // flipped for odd ids. The engine DECODES the image back
+    // (image_resize_gray 2×2 block means), tokenizes the alt, crosses
+    // image-cell class × alt word into hashed features, and trains the
+    // integer-state logistic head (QualityClassifierOps.trainLogReg —
+    // micro-unit weights, quantized errors, integer momentum). The
+    // oracle replays the quantization, the cell means, the crossing,
+    // and EVERY training round, then the classify scores — any drift
+    // in PNG round-trip, resize arithmetic, feature hashing, or a GD
+    // round breaks the hash.
+    "mm_clip_gate_train" -> ((s, dir) => {
+      graft.functions.ImageHash.register(s)
+      graft.functions.PngEncodeGray.register(s)
+      val base = Tables.embeddings(s, dir)
+        .selectExpr("vec_id",
+          "transform(embedding, e -> CAST(CAST(floor(abs(CAST(e AS DOUBLE))" +
+            " * 1000000 + 0.5) AS BIGINT) % 256 AS INT)) AS qv")
+        .withColumn("alt", expr(
+          "concat('photo ', array_join(transform(sequence(0, 3), k -> " +
+            "CASE WHEN (aggregate(transform(sequence(0, 15), i -> " +
+            "qv[(k div 2) * 32 + (i div 4) * 8 + (k % 2) * 4 + i % 4]), " +
+            "0, (a, x) -> a + x) div 16 > 127) = (vec_id % 2 = 0) " +
+            "THEN 'bright' ELSE 'dark' END), ' '))"))
+        .withColumn("blob", expr("png_encode_gray(qv, 8, 8)"))
+        .withColumn("g", expr("image_resize_gray(blob, 2, 2)"))
+        .localCheckpoint(true) // encode+decode once, reused every round
+      val crossed = base.select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 3), k -> concat('x:', k, ':', " +
+          "CASE WHEN g[k] > 127 THEN 'hi' ELSE 'lo' END, ':', " +
+          "element_at(split(alt, ' '), k + 2)))")).as("k"))
+      val feat = crossed
+        .unionByName(base.select(col("vec_id"), lit("0:bias").as("k")))
+        .select(col("vec_id"),
+          pmod(SamplingOps.hash60(col("k"), "clip:"), lit(64L)).as("b"))
+        .groupBy(col("vec_id"), col("b")).agg(count(lit(1)).as("x"))
+      val labels = base.select(col("vec_id"),
+        (col("vec_id") % 2 === 0).cast("int").as("y"))
+      val w = QualityClassifierOps.trainLogReg(feat, labels, "vec_id",
+        numBuckets = 64, rounds = 8, lr = 1.0)
+      QualityClassifierOps.classify(feat, "vec_id", w)
+        .join(labels, Seq("vec_id"))
+        .select(col("vec_id"), col("score_int"), col("pred"), col("y"))
+        .orderBy(col("vec_id"))
     }))
 
+  /** Generated training replay for the clip-gate oracle — the
+    * classifierTrainCtes shape (WebQueries) on the crossed image-text
+    * features: 64 buckets, salt `clip:`, 8 rounds. Round 1 inlines
+    * err = (0.5 − y)·10⁶ because w₀ = 0 zeroes every score.
+    */
+  private val clipTrainCtes: String = {
+    val rounds = 8
+    val base =
+      """WITH q AS MATERIALIZED (SELECT vec_id,
+        |    list_transform(embedding, e ->
+        |      CAST(floor(abs(CAST(e AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |        % 256) AS qv
+        |  FROM embeddings),
+        |cells AS MATERIALIZED (
+        |  SELECT vec_id, k,
+        |    sum(qv[(k // 2) * 32 + (i // 4) * 8 + (k % 2) * 4 + (i % 4) + 1])
+        |      // 16 AS cm
+        |  FROM q, (SELECT unnest(generate_series(0, 3)) AS k) ks,
+        |       (SELECT unnest(generate_series(0, 15)) AS i) px
+        |  GROUP BY vec_id, k),
+        |grams AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    'x:' || CAST(k AS VARCHAR) || ':' ||
+        |    (CASE WHEN cm > 127 THEN 'hi' ELSE 'lo' END) || ':' ||
+        |    (CASE WHEN (cm > 127) = (vec_id % 2 = 0)
+        |      THEN 'bright' ELSE 'dark' END) AS k2
+        |  FROM cells
+        |  UNION ALL SELECT vec_id, '0:bias' FROM q),
+        |feat AS MATERIALIZED (SELECT vec_id,
+        |    ('0x' || substr(md5('clip:' || k2), 1, 15))::BIGINT % 64 AS b,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM grams GROUP BY 1, 2),
+        |lab AS MATERIALIZED (SELECT vec_id,
+        |    CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS y FROM q),
+        |spine AS MATERIALIZED (SELECT unnest(generate_series(0, 63)) AS b),
+        |freqs AS MATERIALIZED (SELECT s.b,
+        |    CAST(greatest(coalesce(f.c, 0), 1) AS BIGINT) AS fq
+        |  FROM spine s LEFT JOIN
+        |    (SELECT b, sum(x) AS c FROM feat GROUP BY b) f USING (b)),
+        |e1 AS MATERIALIZED (SELECT vec_id,
+        |    CAST(floor((0.5 - y)*1e6 + 0.5) AS BIGINT) AS err FROM lab),
+        |g1 AS MATERIALIZED (SELECT f.b, sum(f.x * e.err) AS gr
+        |  FROM feat f JOIN e1 e USING (vec_id) GROUP BY f.b),
+        |v1 AS MATERIALIZED (SELECT s.b, CAST(coalesce(g.gr, 0) AS BIGINT) AS v
+        |  FROM spine s LEFT JOIN g1 g USING (b)),
+        |w1 AS MATERIALIZED (SELECT v1.b,
+        |    0 - CAST(floor(CAST(v1.v AS DOUBLE) / fq + 0.5) AS BIGINT) AS w
+        |  FROM v1 JOIN freqs USING (b))""".stripMargin
+    val more = (2 to rounds).map { k =>
+      val p = k - 1
+      s"""s$k AS MATERIALIZED (SELECT f.vec_id, sum(w$p.w * f.x) AS s
+         |  FROM feat f JOIN w$p USING (b) GROUP BY 1),
+         |e$k AS MATERIALIZED (SELECT l.vec_id,
+         |    CAST(floor((1.0/(1.0 + exp(-(CAST(coalesce(s.s, 0) AS DOUBLE)/1e6)))
+         |      - CAST(y AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS err
+         |  FROM lab l LEFT JOIN s$k s USING (vec_id)),
+         |g$k AS MATERIALIZED (SELECT f.b, sum(f.x * e.err) AS gr
+         |  FROM feat f JOIN e$k e USING (vec_id) GROUP BY f.b),
+         |v$k AS MATERIALIZED (SELECT v$p.b,
+         |    CAST(CAST(floor(v$p.v * 9 / 10.0) AS BIGINT)
+         |      + coalesce(g.gr, 0) AS BIGINT) AS v
+         |  FROM v$p LEFT JOIN g$k g USING (b)),
+         |w$k AS MATERIALIZED (SELECT w$p.b,
+         |    w$p.w - CAST(floor(CAST(v$k.v AS DOUBLE) / fq + 0.5) AS BIGINT) AS w
+         |  FROM w$p JOIN v$k USING (b) JOIN freqs USING (b))""".stripMargin
+    }
+    (base +: more).mkString(",\n")
+  }
+
   override def oracle: Map[String, String] = Map(
+
+    "mm_clip_gate_train" ->
+      s"""$clipTrainCtes
+         |SELECT f.vec_id, CAST(sum(w8.w * f.x) AS BIGINT) AS score_int,
+         |  CAST(CASE WHEN sum(w8.w * f.x) > 0 THEN 1 ELSE 0 END AS INTEGER)
+         |    AS pred,
+         |  CAST(any_value(l.y) AS INTEGER) AS y
+         |FROM feat f JOIN w8 USING (b) JOIN lab l USING (vec_id)
+         |GROUP BY f.vec_id ORDER BY f.vec_id""".stripMargin,
 
     // block mosaics replayed arithmetically: mean-of-blocks in milli
     // units with truncating division, colorfulness = mean |chroma−128|

@@ -37,6 +37,10 @@ object MpegMeta {
       "audio_mpeg_meta", exprs => MpegAudioMeta(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "audio_adts_meta", exprs => AdtsAudioMeta(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mp3_sideinfo", exprs => Mp3SideInfo(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mp3_xing", exprs => Mp3Xing(exprs.head), "built-in")
   }
 
   val schema: StructType = StructType(Seq(
@@ -131,6 +135,224 @@ object MpegMeta {
     val verStr = version match { case 0 => "1"; case 1 => "2"; case _ => "2.5" }
     InternalRow(UTF8String.fromString(verStr), layer, sr, firstKbps, channels,
       frames, samples * 1000L / sr)
+  }
+
+  // --------------------------------------------- Layer III side info
+
+  /** One row per (frame, granule, channel) of an MPEG-1 Layer III
+    * stream — every side-information field of ISO 11172-3 §2.4.1.7
+    * plus the per-frame bit-reservoir audit.
+    */
+  val sideSchema: DataType = ArrayType(StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("granule", IntegerType, nullable = false),
+    StructField("channel", IntegerType, nullable = false),
+    StructField("main_data_begin", IntegerType, nullable = false),
+    StructField("reservoir_deficit", IntegerType, nullable = false),
+    StructField("part2_3_length", IntegerType, nullable = false),
+    StructField("big_values", IntegerType, nullable = false),
+    StructField("global_gain", IntegerType, nullable = false),
+    StructField("scalefac_compress", IntegerType, nullable = false),
+    StructField("window_switching", IntegerType, nullable = false),
+    StructField("block_type", IntegerType, nullable = false),
+    StructField("table_select", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("region0_count", IntegerType, nullable = false),
+    StructField("region1_count", IntegerType, nullable = false),
+    StructField("preflag", IntegerType, nullable = false),
+    StructField("scalefac_scale", IntegerType, nullable = false),
+    StructField("count1table_select", IntegerType, nullable = false))))
+
+  private final class SiBits(b: Array[Byte], var byteOff: Int) {
+    private var bitOff = 0
+    def take(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) {
+        if (byteOff >= b.length) throw new ArrayIndexOutOfBoundsException()
+        v = (v << 1) | ((b(byteOff) >> (7 - bitOff)) & 1)
+        bitOff += 1
+        if (bitOff == 8) { bitOff = 0; byteOff += 1 }
+        k += 1
+      }
+      v
+    }
+  }
+
+  /** `mp3_sideinfo(binary)`: MPEG-1 Layer III side-information walk —
+    * the step between the frame-header metadata ([[parse]]) and a full
+    * sample decode. Parses every frame's side info (both granules,
+    * mono and stereo layouts, optional CRC-16 skip) and audits the BIT
+    * RESERVOIR: `main_data_begin` points back into previous frames'
+    * main-data bytes, so `reservoir_deficit` = how many bytes the
+    * pointer overruns what earlier frames actually provided (capped at
+    * the format's 511-byte reservoir) — nonzero at frame 0 for any
+    * stream cut mid-reservoir, the signal that tells a crawler an MP3
+    * segment was truncated upstream even though every header syncs.
+    *
+    * Whole-or-refuse: null for anything but clean MPEG-1 Layer III
+    * frame streams (ID3v2 skipped up front; MPEG-2/2.5 carry the LSF
+    * side-info layout — out of scope, refused loudly; free-format,
+    * reserved codes, truncation, trailing junk all null). A full PCM
+    * decode additionally needs the ISO Huffman code tables and the
+    * 512-tap synthesis window (spec constant tables) — parked until
+    * those tables can be sourced and verified; the side-info surface
+    * already carries the reservoir/truncation curation signals.
+    */
+  def sideInfo(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    try sideInfoOrNull(b)
+    catch { case _: ArrayIndexOutOfBoundsException => null }
+  }
+
+  private def sideInfoOrNull(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (b == null || b.length < 4) return null
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    var pos = 0
+    // ID3v2 container (syncsafe size, optional footer)
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      pos = 10 + sz + (if ((u8(5) & 0x10) != 0) 10 else 0)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    var frames = 0
+    var mdAccum = 0L // main-data bytes provided by previous frames
+    while (pos < b.length) {
+      if (pos + 4 > b.length) return null
+      val h = (u8(pos) << 24) | (u8(pos + 1) << 16) | (u8(pos + 2) << 8) |
+        u8(pos + 3)
+      if ((h >>> 21) != 0x7ff) return null // sync
+      if (((h >>> 19) & 3) != 3) return null // MPEG-1 only (LSF layout differs)
+      if (((h >>> 17) & 3) != 1) return null // Layer III only
+      val protAbsent = (h >>> 16) & 1
+      val brIdx = (h >>> 12) & 15
+      if (brIdx == 0 || brIdx == 15) return null // free format / invalid
+      val srIdx = (h >>> 10) & 3
+      if (srIdx == 3) return null
+      val pad = (h >>> 9) & 1
+      val mode = (h >>> 6) & 3
+      val nch = if (mode == 3) 1 else 2
+      val rate = SrV1(srIdx)
+      val frameSize = 144 * BrV1L3(brIdx) * 1000 / rate + pad
+      if (pos + frameSize > b.length) return null
+      val siStart = pos + 4 + (if (protAbsent == 0) 2 else 0)
+      val siBytes = if (nch == 1) 17 else 32
+      if (siStart + siBytes > pos + frameSize) return null
+      val r = new SiBits(b, siStart)
+      val mdb = r.take(9)
+      r.take(if (nch == 1) 5 else 3) // private_bits
+      r.take(4 * nch) // scfsi
+      val avail = math.min(mdAccum, 511L)
+      val deficit = math.max(0L, mdb - avail).toInt
+      var gr = 0
+      while (gr < 2) {
+        var ch = 0
+        while (ch < nch) {
+          val p23 = r.take(12)
+          val bv = r.take(9)
+          if (bv > 288) return null // > 576/2 spectral pairs: nonconforming
+          val gg = r.take(8)
+          val sfc = r.take(4)
+          val wsf = r.take(1)
+          var blockType = 0
+          var tables: Array[Int] = null
+          var r0 = -1
+          var r1 = -1
+          if (wsf == 1) {
+            blockType = r.take(2)
+            if (blockType == 0) return null // forbidden with switching
+            r.take(1) // mixed_block_flag
+            tables = Array(r.take(5), r.take(5))
+            r.take(9) // subblock_gain 3x3
+          } else {
+            tables = Array(r.take(5), r.take(5), r.take(5))
+            r0 = r.take(4)
+            r1 = r.take(3)
+          }
+          val pre = r.take(1)
+          val sfs = r.take(1)
+          val c1t = r.take(1)
+          out += InternalRow(frames, gr, ch, mdb, deficit, p23, bv, gg, sfc,
+            wsf, blockType,
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              tables.map(t => t: Any)),
+            r0, r1, pre, sfs, c1t)
+          ch += 1
+        }
+        gr += 1
+      }
+      mdAccum += frameSize - 4 - (if (protAbsent == 0) 2 else 0) - siBytes
+      pos += frameSize
+      frames += 1
+    }
+    if (frames == 0) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  // ------------------------------------------------------------ Xing/Info
+
+  val xingSchema: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false), // Xing | Info
+    StructField("n_frames", IntegerType), // null when flag absent
+    StructField("n_bytes", IntegerType),
+    StructField("has_toc", BooleanType, nullable = false),
+    StructField("toc_p50", IntegerType), // TOC[50] — the mid-file seek point
+    StructField("quality", IntegerType)))
+
+  /** `mp3_xing(binary)`: the Xing/Info VBR header every LAME-family
+    * encoder writes into the FIRST frame's (otherwise empty) main-data
+    * region — frame count, byte count, the 100-point seek TOC, quality.
+    * This is how a crawler gets an honest duration for a VBR stream
+    * without walking every frame. Located exactly where the spec puts
+    * it: after the first frame's header, optional CRC, and side info.
+    * Null when absent or the stream isn't MPEG-1 Layer III.
+    */
+  def xingParse(b: Array[Byte]): InternalRow = {
+    try xingOrNull(b)
+    catch { case _: ArrayIndexOutOfBoundsException => null }
+  }
+
+  private def xingOrNull(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 4) return null
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    var pos = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      pos = 10 + sz + (if ((u8(5) & 0x10) != 0) 10 else 0)
+    }
+    if (pos + 4 > b.length) return null
+    val h = (u8(pos) << 24) | (u8(pos + 1) << 16) | (u8(pos + 2) << 8) |
+      u8(pos + 3)
+    if ((h >>> 21) != 0x7ff || ((h >>> 19) & 3) != 3 ||
+      ((h >>> 17) & 3) != 1) return null
+    val protAbsent = (h >>> 16) & 1
+    val mode = (h >>> 6) & 3
+    var o = pos + 4 + (if (protAbsent == 0) 2 else 0) +
+      (if (mode == 3) 17 else 32)
+    if (o + 8 > b.length) return null
+    val tag = new String(b, o, 4, "US-ASCII")
+    if (tag != "Xing" && tag != "Info") return null
+    o += 4
+    def be32(): Int = {
+      val v = (u8(o) << 24) | (u8(o + 1) << 16) | (u8(o + 2) << 8) | u8(o + 3)
+      o += 4
+      v
+    }
+    val flags = be32()
+    var nFrames: Any = null
+    var nBytes: Any = null
+    var tocP50: Any = null
+    var quality: Any = null
+    if ((flags & 1) != 0) nFrames = be32()
+    if ((flags & 2) != 0) nBytes = be32()
+    val hasToc = (flags & 4) != 0
+    if (hasToc) {
+      if (o + 100 > b.length) return null
+      tocP50 = u8(o + 50)
+      o += 100
+    }
+    if ((flags & 8) != 0) quality = be32()
+    InternalRow(UTF8String.fromString(tag), nFrames, nBytes, hasToc,
+      tocP50, quality)
   }
 
   // ------------------------------------------------------------ AAC / ADTS
@@ -233,5 +455,49 @@ case class AdtsAudioMeta(child: Expression) extends UnaryExpression {
       ${ev.isNull} = ${ev.value} == null;
     """)
   override protected def withNewChildInternal(newChild: Expression): AdtsAudioMeta =
+    copy(child = newChild)
+}
+
+/** `mp3_sideinfo(binary)` → per-(frame, granule, channel) side-info rows
+  * with the bit-reservoir audit, or null.
+  */
+case class Mp3SideInfo(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MpegMeta.sideSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp3_sideinfo"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    MpegMeta.sideInfo(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MpegMeta.sideInfo($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Mp3SideInfo =
+    copy(child = newChild)
+}
+
+/** `mp3_xing(binary)` → the first frame's Xing/Info VBR header, or null. */
+case class Mp3Xing(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MpegMeta.xingSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp3_xing"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    MpegMeta.xingParse(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MpegMeta.xingParse($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Mp3Xing =
     copy(child = newChild)
 }

@@ -27,7 +27,155 @@ object MediaQueries extends QueryPack {
       "000000FFC40017000000040000000000000000000000000002050607FFC40016010003000000000000000000000000000005" +
       "0607FFDA000C03010002110311003F0069C7A10F4BE9D823D087A72568871E843D1421823D087A72569FFFD9"
 
+  // --- MPEG-1 Layer III side-info fixture configs -------------------
+  // Finite config set → per-config frame hex packed HERE (independent
+  // of the parser's bit reader); the oracle states every field as a
+  // CASE over doc_id%6. 128 kbps @ 44100 → 417-byte frames.
+
+  private case class SiCfg(stereo: Boolean, crc: Boolean, mdb: Int,
+                           p23: Int, bv: Int, gg: Int, sfc: Int, wsf: Int,
+                           blockType: Int, tables: Seq[Int], r0: Int, r1: Int,
+                           pre: Int, sfs: Int, c1t: Int) {
+    def nch: Int = if (stereo) 2 else 1
+    def siBytes: Int = if (stereo) 32 else 17
+    def mdBytes: Int = 417 - 4 - (if (crc) 2 else 0) - siBytes
+    def tablesStr: String = tables.mkString("-")
+
+    /** One complete frame as hex: header, optional CRC, side info
+      * (identical granule/channel chunks), zero main data.
+      */
+    def frameHex: String = {
+      val bits = new StringBuilder
+      def put(v: Int, n: Int): Unit =
+        bits.append(String.format(s"%${n}s",
+          Integer.toBinaryString(v)).replace(' ', '0'))
+      put(mdb, 9)
+      put(0, if (stereo) 3 else 5) // private_bits
+      put(0, 4 * nch) // scfsi
+      for (_ <- 0 until 2; _ <- 0 until nch) {
+        put(p23, 12); put(bv, 9); put(gg, 8); put(sfc, 4); put(wsf, 1)
+        if (wsf == 1) {
+          put(blockType, 2); put(0, 1) // mixed_block_flag
+          tables.foreach(put(_, 5)); put(0, 9) // subblock_gain
+        } else {
+          tables.foreach(put(_, 5)); put(r0, 4); put(r1, 3)
+        }
+        put(pre, 1); put(sfs, 1); put(c1t, 1)
+      }
+      val si = bits.toString.grouped(8)
+        .map(s => f"${Integer.parseInt(s, 2)}%02X").mkString
+      val b1 = 0xE0 | (3 << 3) | (1 << 1) | (if (crc) 0 else 1)
+      val b2 = (9 << 4) // bitrate idx 9 = 128 kbps, sr idx 0 = 44100
+      val b3 = (if (stereo) 0 else 3) << 6
+      f"FF$b1%02X$b2%02X$b3%02X" +
+        (if (crc) "0000" else "") + si + "00" * mdBytes
+    }
+  }
+
+  private val siCfgs: Seq[SiCfg] = Seq(
+    SiCfg(stereo = false, crc = false, mdb = 0, p23 = 250, bv = 40,
+      gg = 180, sfc = 3, wsf = 0, blockType = 0, tables = Seq(1, 2, 3),
+      r0 = 5, r1 = 3, pre = 0, sfs = 1, c1t = 0),
+    SiCfg(stereo = false, crc = false, mdb = 100, p23 = 300, bv = 60,
+      gg = 200, sfc = 7, wsf = 1, blockType = 2, tables = Seq(7, 9),
+      r0 = -1, r1 = -1, pre = 1, sfs = 0, c1t = 1),
+    SiCfg(stereo = true, crc = false, mdb = 511, p23 = 1000, bv = 120,
+      gg = 90, sfc = 15, wsf = 0, blockType = 0, tables = Seq(10, 11, 12),
+      r0 = 15, r1 = 7, pre = 0, sfs = 0, c1t = 1),
+    SiCfg(stereo = false, crc = false, mdb = 40, p23 = 0, bv = 0,
+      gg = 0, sfc = 0, wsf = 0, blockType = 0, tables = Seq(0, 0, 0),
+      r0 = 0, r1 = 0, pre = 0, sfs = 0, c1t = 0),
+    SiCfg(stereo = true, crc = false, mdb = 200, p23 = 512, bv = 288,
+      gg = 255, sfc = 9, wsf = 1, blockType = 3, tables = Seq(31, 30),
+      r0 = -1, r1 = -1, pre = 1, sfs = 1, c1t = 0),
+    SiCfg(stereo = false, crc = true, mdb = 30, p23 = 123, bv = 77,
+      gg = 128, sfc = 5, wsf = 0, blockType = 0, tables = Seq(15, 16, 17),
+      r0 = 4, r1 = 2, pre = 0, sfs = 1, c1t = 1))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // LAYER III SIDE-INFO WALK + BIT-RESERVOIR AUDIT (the step between
+    // the frame-header walk and a sample decode — a full PCM path
+    // additionally needs the ISO Huffman/synthesis constant tables,
+    // unavailable offline; see MpegMeta.sideInfo). Six configs by
+    // doc_id%6 cover mono/stereo layouts, normal and window-switching
+    // granule shapes, a CRC-carrying frame, and reservoir pointers
+    // from 0 to the 511 cap; 1–3 identical frames per doc make the
+    // deficit arithmetic frame-dependent (frame 0 of any stream cut
+    // mid-reservoir shows its main_data_begin as deficit). The oracle
+    // states every field and the per-frame deficit as closed forms.
+    "mm_audio_mp3_sideinfo" -> ((s, dir) => {
+      graft.functions.MpegMeta.register(s)
+      val frameCase = "CASE doc_id % 6 " + siCfgs.zipWithIndex
+        .map { case (c, i) => s"WHEN $i THEN '${c.frameHex}'" }
+        .mkString(" ") + " END"
+      Tables.documents(s, dir)
+        .withColumn("blob",
+          expr(s"unhex(repeat($frameCase, cast(1 + doc_id % 3 as int)))"))
+        .selectExpr("doc_id", "explode(mp3_sideinfo(blob)) AS r")
+        .select(col("doc_id"),
+          col("r.frame_idx").cast("long").as("frame_idx"),
+          col("r.granule").cast("long").as("granule"),
+          col("r.channel").cast("long").as("channel"),
+          col("r.main_data_begin").cast("long").as("main_data_begin"),
+          col("r.reservoir_deficit").cast("long").as("reservoir_deficit"),
+          col("r.part2_3_length").cast("long").as("part2_3_length"),
+          col("r.big_values").cast("long").as("big_values"),
+          col("r.global_gain").cast("long").as("global_gain"),
+          col("r.scalefac_compress").cast("long").as("scalefac_compress"),
+          col("r.window_switching").cast("long").as("window_switching"),
+          col("r.block_type").cast("long").as("block_type"),
+          concat_ws("-", col("r.table_select")).as("tables"),
+          col("r.region0_count").cast("long").as("region0_count"),
+          col("r.region1_count").cast("long").as("region1_count"),
+          col("r.preflag").cast("long").as("preflag"),
+          col("r.scalefac_scale").cast("long").as("scalefac_scale"),
+          col("r.count1table_select").cast("long").as("count1table_select"))
+        .orderBy(col("doc_id"), col("frame_idx"), col("granule"),
+          col("channel"))
+    }),
+
+    // Xing/Info VBR HEADER (mp3_xing): the LAME-family first-frame tag
+    // that gives a crawler honest VBR durations without walking every
+    // frame — located after header+side-info exactly per the layout,
+    // flag-dependent fields (frames/bytes/TOC/quality) by doc_id%4,
+    // the Info variant for doc_id%5=0. Closed-form oracle.
+    "mm_audio_mp3_xing" -> ((s, dir) => {
+      graft.functions.MpegMeta.register(s)
+      val tocHex = (0 until 100)
+        .map(i => f"${i * 255 / 100}%02X").mkString
+      val did = "CAST(doc_id AS STRING)"
+      // header FFFB90C0 + 17 zero side-info bytes, then the tag
+      val tagSql = s"CASE WHEN doc_id % 5 = 0 THEN '496E666F' " +
+        "ELSE '58696E67' END" // Info | Xing
+      val fieldsSql =
+        s"""CASE CAST(doc_id % 4 AS INT)
+           |  WHEN 0 THEN concat('0000000F',
+           |    lpad(hex(100 + doc_id % 50), 8, '0'),
+           |    lpad(hex(41700 + doc_id % 100), 8, '0'),
+           |    '$tocHex', lpad(hex(doc_id % 101), 8, '0'))
+           |  WHEN 1 THEN concat('00000001',
+           |    lpad(hex(100 + doc_id % 50), 8, '0'))
+           |  WHEN 2 THEN concat('00000003',
+           |    lpad(hex(100 + doc_id % 50), 8, '0'),
+           |    lpad(hex(41700 + doc_id % 100), 8, '0'))
+           |  ELSE concat('0000000C', '$tocHex',
+           |    lpad(hex(doc_id % 101), 8, '0'))
+           |END""".stripMargin
+      val bodySql = s"concat('FFFB90C0', repeat('00', 17), $tagSql, $fieldsSql)"
+      val blobSql = s"concat($bodySql, " +
+        s"repeat('00', 417 - octet_length(unhex($bodySql))))"
+      Tables.documents(s, dir)
+        .withColumn("x", expr(s"mp3_xing(unhex($blobSql))"))
+        .select(col("doc_id"),
+          col("x.tag").as("tag"),
+          col("x.n_frames").cast("long").as("n_frames"),
+          col("x.n_bytes").cast("long").as("n_bytes"),
+          col("x.has_toc").as("has_toc"),
+          col("x.toc_p50").cast("long").as("toc_p50"),
+          col("x.quality").cast("long").as("quality"))
+        .orderBy(col("doc_id"))
+    }),
 
     // JPEG CHROMA → COLOR STATS (functions.JpegColorStats): the chroma
     // Huffman walk the luma decoder already runs lifts to dequantized
@@ -177,7 +325,62 @@ object MediaQueries extends QueryPack {
     (base +: more).mkString(",\n")
   }
 
+  /** CASE doc_id%6 over the side-info config constants. */
+  private def siCase(f: SiCfg => Any): String =
+    "CASE doc_id % 6 " + siCfgs.zipWithIndex.map { case (c, i) =>
+      f(c) match {
+        case s: String => s"WHEN $i THEN '$s'"
+        case b: Boolean => s"WHEN $i THEN ${if (b) 1 else 0}"
+        case v => s"WHEN $i THEN $v"
+      }
+    }.mkString(" ") + " END"
+
   override def oracle: Map[String, String] = Map(
+
+    "mm_audio_mp3_sideinfo" -> {
+      val mdb = siCase(_.mdb)
+      val md = siCase(_.mdBytes)
+      s"""WITH g AS (SELECT doc_id, fi, gr, ch
+         |  FROM documents,
+         |    (SELECT unnest(generate_series(0, 2)) AS fi) fs,
+         |    (SELECT unnest(generate_series(0, 1)) AS gr) gs,
+         |    (SELECT unnest(generate_series(0, 1)) AS ch) cs
+         |  WHERE fi < 1 + doc_id % 3 AND ch < ${siCase(_.nch)})
+         |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+         |  CAST(gr AS BIGINT) AS granule, CAST(ch AS BIGINT) AS channel,
+         |  CAST($mdb AS BIGINT) AS main_data_begin,
+         |  CAST(CASE WHEN fi = 0 THEN $mdb
+         |    WHEN fi = 1 THEN greatest(0, $mdb - $md)
+         |    ELSE greatest(0, $mdb - 511) END AS BIGINT)
+         |    AS reservoir_deficit,
+         |  CAST(${siCase(_.p23)} AS BIGINT) AS part2_3_length,
+         |  CAST(${siCase(_.bv)} AS BIGINT) AS big_values,
+         |  CAST(${siCase(_.gg)} AS BIGINT) AS global_gain,
+         |  CAST(${siCase(_.sfc)} AS BIGINT) AS scalefac_compress,
+         |  CAST(${siCase(_.wsf)} AS BIGINT) AS window_switching,
+         |  CAST(${siCase(_.blockType)} AS BIGINT) AS block_type,
+         |  ${siCase(_.tablesStr)} AS tables,
+         |  CAST(${siCase(_.r0)} AS BIGINT) AS region0_count,
+         |  CAST(${siCase(_.r1)} AS BIGINT) AS region1_count,
+         |  CAST(${siCase(_.pre)} AS BIGINT) AS preflag,
+         |  CAST(${siCase(_.sfs)} AS BIGINT) AS scalefac_scale,
+         |  CAST(${siCase(_.c1t)} AS BIGINT) AS count1table_select
+         |FROM g ORDER BY doc_id, frame_idx, granule, channel""".stripMargin
+    },
+
+    "mm_audio_mp3_xing" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'Info' ELSE 'Xing' END AS tag,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 100 + doc_id % 50
+        |    END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 2) THEN 41700 + doc_id % 100
+        |    END AS BIGINT) AS n_bytes,
+        |  (doc_id % 4 IN (0, 3)) AS has_toc,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 3) THEN 127 END AS BIGINT)
+        |    AS toc_p50,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 3) THEN doc_id % 101 END
+        |    AS BIGINT) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_clip_gate_train" ->
       s"""$clipTrainCtes

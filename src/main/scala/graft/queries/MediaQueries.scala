@@ -94,6 +94,45 @@ object MediaQueries extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // IMA ADPCM → PCM (functions.ImaAdpcm): the compressed-audio
+    // SAMPLE-DECODE mile — 4-bit adaptive-delta nibbles expand through
+    // the published step/index tables into full 16-bit PCM, re-wrapped
+    // as a canonical WAV and fed straight into audio_pcm_stats (the
+    // FLAC/G.711 contract). Blobs are real single-block IMA WAVs built
+    // scan-side (fmt 0x11 + fact + data; predictor/index/nibbles all
+    // doc_id formulas); the oracle replays the ENTIRE adaptive
+    // recurrence per sample as a recursive CTE over the same step
+    // tables and re-derives every stat — the codec has no rounding
+    // freedom, so one hash certifies decode, container round trip, and
+    // stats. Independent-encoder exactness is pinned in ImaAdpcmSpec.
+    "mm_audio_adpcm_pcm" -> ((s, dir) => {
+      graft.functions.ImaAdpcm.register(s)
+      graft.functions.AudioPcmStats.register(s)
+      import MmFixtures.le
+      def delta(k: String) = s"((doc_id * 7 + ($k) * 13) % 16)"
+      val nibbles = s"array_join(transform(sequence(0, 15), j -> " +
+        s"lpad(hex(${delta("2 * j + 2")} * 16 + ${delta("2 * j + 1")}), 2, '0')), '')"
+      val blockHex = s"concat(${MmFixtures.leSample16("(doc_id % 1001 - 500)")}, " +
+        s"lpad(hex(doc_id % 89), 2, '0'), '00', $nibbles)"
+      val wavHex =
+        s"""concat('52494646', ${le("72", 4)}, '57415645',
+           |  '666D7420', ${le("20", 4)}, ${le("17", 2)}, ${le("1", 2)},
+           |  ${le("8000", 4)}, ${le("4000", 4)}, ${le("20", 2)}, ${le("4", 2)},
+           |  ${le("2", 2)}, ${le("33", 2)},
+           |  '66616374', ${le("4", 4)}, ${le("33", 4)},
+           |  '64617461', ${le("20", 4)}, $blockHex)""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("pcm", expr(s"adpcm_to_pcm(unhex($wavHex))"))
+        .selectExpr("doc_id", "octet_length(pcm) AS n_bytes",
+          "audio_pcm_stats(pcm) AS st")
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("st.n_samples").cast("long").as("n_samples"),
+          col("st.peak").cast("long").as("peak"),
+          col("st.sum_sq").as("sum_sq"),
+          col("st.zero_crossings").cast("long").as("zero_crossings"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LAYER III SIDE-INFO WALK + BIT-RESERVOIR AUDIT (the step between
     // the frame-header walk and a sample decode — a full PCM path
     // additionally needs the ISO Huffman/synthesis constant tables,
@@ -336,6 +375,50 @@ object MediaQueries extends QueryPack {
     }.mkString(" ") + " END"
 
   override def oracle: Map[String, String] = Map(
+
+    // the adaptive recurrence replayed sample by sample: a recursive
+    // CTE threading (pred, idx) through the step/index tables (VALUES
+    // literals generated from the same published tables the spec
+    // validates against the independent python encoder)
+    "mm_audio_adpcm_pcm" -> {
+      val stepsVals = graft.functions.ImaAdpcm.Step.zipWithIndex
+        .map { case (v, i) => s"($i, $v)" }.mkString(", ")
+      val adjVals = graft.functions.ImaAdpcm.IndexAdj.zipWithIndex
+        .map { case (a, d) => s"($d, $a)" }.mkString(", ")
+      val dl = "((d.doc_id * 7 + (d.k + 1) * 13) % 16)"
+      s"""WITH RECURSIVE
+         |steps(i, st) AS (SELECT * FROM (VALUES $stepsVals) t(i, st)),
+         |adj(d, a) AS (SELECT * FROM (VALUES $adjVals) t(d, a)),
+         |dec AS (
+         |  SELECT doc_id, 0 AS k,
+         |    CAST(doc_id % 1001 - 500 AS BIGINT) AS pred,
+         |    CAST(doc_id % 89 AS BIGINT) AS idx
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT d.doc_id, d.k + 1,
+         |    greatest(-32768, least(32767,
+         |      d.pred + (CASE WHEN $dl >= 8 THEN -1 ELSE 1 END) *
+         |        (s.st // 8
+         |         + CASE WHEN ($dl // 4) % 2 = 1 THEN s.st ELSE 0 END
+         |         + CASE WHEN ($dl // 2) % 2 = 1 THEN s.st // 2 ELSE 0 END
+         |         + CASE WHEN $dl % 2 = 1 THEN s.st // 4 ELSE 0 END))),
+         |    greatest(0, least(88, d.idx + a.a))
+         |  FROM dec d
+         |  JOIN steps s ON s.i = d.idx
+         |  JOIN adj a ON a.d = $dl % 8
+         |  WHERE d.k < 32),
+         |ordered AS (SELECT doc_id, k, pred,
+         |    lag(pred) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+         |  FROM dec)
+         |SELECT doc_id,
+         |  CAST(110 AS BIGINT) AS n_bytes,
+         |  CAST(33 AS BIGINT) AS n_samples,
+         |  CAST(max(abs(pred)) AS BIGINT) AS peak,
+         |  CAST(sum(pred * pred) AS BIGINT) AS sum_sq,
+         |  CAST(sum(CASE WHEN prev IS NOT NULL AND pred * prev < 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+         |FROM ordered GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "mm_audio_mp3_sideinfo" -> {
       val mdb = siCase(_.mdb)

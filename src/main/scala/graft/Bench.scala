@@ -149,6 +149,23 @@ object Bench {
     println(line)
     try Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
+    // The full line above exceeds a 2000-char tail window once the
+    // registry passes ~250 queries — a tail-parsing harness would see
+    // only its cut-off middle. Emit a COMPACT summary LAST (aggregate,
+    // error count, the slowest queries at 3 dp, the streaming
+    // soundness flags) so the final line always parses; the full
+    // per-query map lives in `outPath`.
+    val slow = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(12)
+      .map { case (k, v) => jstr(k) + ":" + (math.floor(v * 1000) / 1000) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${math.floor(total * 1000) / 1000},""" +
+        s""""unit":"sec","runs_per_query":$runs,"n_queries":${results.size},""" +
+        s""""n_errors":${errors.size},"queries":$slow""" +
+        streaming.map(r => s""","streaming_state_bounded":${r.maxStateRows <= r.activeRideBound}""").getOrElse("") +
+        neardup.map(r => s""","neardup_state_bounded":${r.maxStateRows <= r.bandKeyBound}""").getOrElse("") +
+        s""","full":${jstr(outPath)},"sf":${jstr(sfDir)}}"""
+    println(compact)
     spark.stop()
   }
 }

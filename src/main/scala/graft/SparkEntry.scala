@@ -27,7 +27,8 @@ object SparkEntry {
     CodeQueries,
     DocExtractQueries,
     LakehouseQueries,
-    MediaQueries
+    MediaQueries,
+    AudioQueries
   )
 
   /** Flagship query; driver smoke-checks rows>0. The engine's headline is

@@ -28,7 +28,8 @@ object SparkEntry {
     DocExtractQueries,
     LakehouseQueries,
     MediaQueries,
-    AudioQueries
+    AudioQueries,
+    CurationQueries
   )
 
   /** Flagship query; driver smoke-checks rows>0. The engine's headline is

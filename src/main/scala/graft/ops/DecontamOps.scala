@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the n-gram exact-overlap gate (the GPT-3
+  * appendix-C / PaLM posture: a training document is contaminated when
+  * it shares any length-n token window with an evaluation set; the
+  * standard n is 8–13 for web text, lower for short benchmark prompts).
+  *
+  * Shape at 100 TB: the corpus side is a single linear pass — tokenize,
+  * slide an n-token window, md5 each window (the md5 makes the oracle
+  * replay engine-independent, the house convention) — and the benchmark
+  * side is SMALL by nature (eval suites are at most millions of
+  * n-grams), so the membership probe is a broadcast semi-equi-join:
+  * corpus rows never shuffle, there is no corpus-side window function,
+  * and the per-doc rollup is a partial-aggregating groupBy on doc_id.
+  * This is the same candidate-generation discipline as
+  * [[DedupOps]]' banded LSH: never all-pairs, never a global sort.
+  */
+object DecontamOps {
+
+  private val TokPat = "[a-z0-9]+"
+
+  /** Per-document overlap counts against a benchmark table.
+    *
+    * @param docs  corpus with `docId` and `textCol`
+    * @param bench evaluation set with `benchTextCol` (its other columns
+    *              are ignored); expected small — it is broadcast
+    * @param n     n-gram order
+    * @return one row per input doc: `docId, n_contaminated (distinct
+    *         overlapping n-grams, 0 for clean docs), is_contaminated`
+    */
+  def ngramOverlap(docs: DataFrame, docId: String, textCol: String,
+                   bench: DataFrame, benchTextCol: String,
+                   n: Int): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+
+    def grams(df: DataFrame, keyCols: Seq[String], t: String) =
+      df.select(keyCols.map(col) :+
+          expr(s"regexp_extract_all(lower($t), '$TokPat', 0)").as("__l"): _*)
+        .where(expr(s"size(__l) >= $n"))
+        .select(keyCols.map(col) :+ explode(expr(
+          s"transform(sequence(1, size(__l) - ${n - 1}), " +
+            s"i -> md5(concat_ws(' ', slice(__l, i, $n))))")).as("h"): _*)
+
+    val corpusGrams = grams(docs, Seq(docId), textCol)
+      .dropDuplicates(docId, "h")
+    val benchGrams = grams(bench, Seq.empty, benchTextCol)
+      .select(col("h")).distinct()
+
+    val hits = corpusGrams
+      .join(broadcast(benchGrams), Seq("h"), "left_semi")
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_contaminated"))
+
+    docs.select(col(docId))
+      .join(hits, Seq(docId), "left")
+      .select(col(docId),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).as("is_contaminated"))
+  }
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{DecontamOps, PiiOps}
+
+/** Release-gate curation operators: PII detection/redaction and
+  * benchmark decontamination. The PII fixture is synthesized from
+  * `doc_id` arithmetic IDENTICALLY in both engines (same concat/lpad/mod
+  * text, dialect differences confined to cast spelling), so the DuckDB
+  * oracle replays the Luhn mod-10 and IBAN mod-97 checksums — validity
+  * is computed, never pinned.
+  */
+object CurationQueries extends QueryPack {
+
+  /** doc_id-derived PII planted after the document text. Classes overlap
+    * on purpose (a doc can carry several); ~1/10 cards pass Luhn (the
+    * trailing check digit cycles doc_id % 10) and ~1/97 IBANs pass
+    * mod-97, so both validators provably reject.
+    */
+  private def fixtureSql(duck: Boolean): String = {
+    def c(x: String) = s"CAST($x AS ${if (duck) "VARCHAR" else "STRING"})"
+    "concat(text" +
+      s", CASE WHEN doc_id % 3 = 0 THEN concat(' reach user', ${c("doc_id")}, " +
+      "'@example.com') ELSE '' END" +
+      s", CASE WHEN doc_id % 4 = 1 THEN concat(' call 415-555-', " +
+      s"lpad(${c("doc_id % 10000")}, 4, '0')) ELSE '' END" +
+      s", CASE WHEN doc_id % 7 = 2 THEN concat(' ssn 078-05-', " +
+      s"lpad(${c("(doc_id * 31) % 10000")}, 4, '0')) ELSE '' END" +
+      s", CASE WHEN doc_id % 5 = 0 THEN concat(' host 10.', " +
+      s"${c("doc_id % 300")}, '.', ${c("doc_id % 256")}, '.', " +
+      s"${c("(doc_id * 7) % 256")}, ' up') ELSE '' END" +
+      s", CASE WHEN doc_id % 6 = 2 THEN concat(' card 4539', " +
+      s"lpad(${c("(doc_id * 2654435761) % 100000000000")}, 11, '0'), " +
+      s"${c("doc_id % 10")}, ' on file') ELSE '' END" +
+      s", CASE WHEN doc_id % 10 = 3 THEN concat(' pay DE', ${ibanChk(duck)}, " +
+      s"${bban(duck)}, ' thanks') " +
+      s"WHEN doc_id % 10 = 8 THEN concat(' pay DE', " +
+      s"lpad(${c("(doc_id * 13) % 100")}, 2, '0'), " +
+      s"${bban(duck)}, ' thanks') " +
+      "ELSE '' END)"
+  }
+
+  /** 18-digit doc_id-derived BBAN. */
+  private def bban(duck: Boolean): String = {
+    def c(x: String) = s"CAST($x AS ${if (duck) "VARCHAR" else "STRING"})"
+    s"concat(lpad(${c("(doc_id * 2654435761) % 1000000000")}, 9, '0'), " +
+      s"lpad(${c("(doc_id * 97 + 11) % 1000000000")}, 9, '0'))"
+  }
+
+  /** CORRECT ISO 13616 check digits for [[bban]] — 98 minus the mod-97
+    * of BBAN+'131400', computed with the same chunked fold the
+    * validator replays, so doc_id % 10 = 3 rows are valid by
+    * construction and doc_id % 10 = 8 rows are valid only by 1-in-97
+    * accident. Both validator branches fire in the oracle.
+    */
+  private def ibanChk(duck: Boolean): String = {
+    def c(x: String) = s"CAST($x AS ${if (duck) "VARCHAR" else "STRING"})"
+    val rem = graft.ops.PiiOps.sql.mod97Of24(s"concat(${bban(duck)}, '131400')")
+    s"lpad(${c(s"98 - $rem")}, 2, '0')"
+  }
+
+  private val DecontamN = 5
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Checksum-validated PII counts per document. Scan-side projection
+    // only — the physical plan has no exchange below the final sort
+    // (PiiSpec asserts it), so this runs at scan speed on 100 TB.
+    "text_pii_detect" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(fixtureSql(duck = false)).as("t"))
+      PiiOps.detect(docs, "t").drop("t").orderBy(col("doc_id"))
+    }),
+
+    // Shape-level redaction (over-redact by design): typed placeholders,
+    // md5 + length of the scrubbed text, shape-match count.
+    "text_pii_redact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(fixtureSql(duck = false)).as("t"))
+      docs.select(col("doc_id"),
+        md5(expr(PiiOps.sql.redacted("t", duck = false))).as("red_md5"),
+        length(expr(PiiOps.sql.redacted("t", duck = false)))
+          .cast("long").as("red_len"),
+        (expr(PiiOps.sql.shapeCount("t", PiiOps.sql.Email, duck = false)) +
+          expr(PiiOps.sql.shapeCount("t", PiiOps.sql.Phone, duck = false)) +
+          expr(PiiOps.sql.shapeCount("t", PiiOps.sql.Ssn, duck = false)) +
+          expr(PiiOps.sql.shapeCount("t", PiiOps.sql.Ipv4, duck = false)) +
+          expr(PiiOps.sql.shapeCount("t", PiiOps.sql.Card, duck = false)) +
+          expr(PiiOps.sql.shapeCount("t", PiiOps.sql.IbanDe, duck = false)))
+          .as("n_shapes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: every 37th document donates its token
+    // window [4, 4+11] as an "eval question"; any training doc sharing a
+    // 5-gram with that set is flagged. Bench side is broadcast — the
+    // corpus never shuffles (PiiSpec asserts broadcast, no cartesian).
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") % 37 === 0)
+        .select(expr("concat_ws(' ', slice(regexp_extract_all(lower(text), " +
+          "'[a-z0-9]+', 0), 4, 12))").as("q"))
+      DecontamOps.ngramOverlap(docs, "doc_id", "text", bench, "q", DecontamN)
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private def detectOracle: String = {
+    val t = "t"
+    s"""WITH px AS (SELECT doc_id, ${fixtureSql(duck = true)} AS t FROM documents),
+       |c AS (SELECT doc_id,
+       |  ${PiiOps.sql.shapeCount(t, PiiOps.sql.Email, duck = true)} AS n_email,
+       |  ${PiiOps.sql.shapeCount(t, PiiOps.sql.Phone, duck = true)} AS n_phone,
+       |  ${PiiOps.sql.shapeCount(t, PiiOps.sql.Ssn, duck = true)} AS n_ssn,
+       |  ${PiiOps.sql.ipv4ValidCount(t, duck = true)} AS n_ipv4_valid,
+       |  ${PiiOps.sql.cardLuhnCount(t, duck = true)} AS n_card_luhn,
+       |  ${PiiOps.sql.ibanValidCount(t, duck = true)} AS n_iban_valid
+       |FROM px)
+       |SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4_valid, n_card_luhn,
+       |  n_iban_valid,
+       |  n_email + n_phone + n_ssn + n_ipv4_valid + n_card_luhn +
+       |    n_iban_valid AS pii_total
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  private def redactOracle: String = {
+    val sh = Seq(PiiOps.sql.Email, PiiOps.sql.Phone, PiiOps.sql.Ssn,
+      PiiOps.sql.Ipv4, PiiOps.sql.Card, PiiOps.sql.IbanDe)
+      .map(p => PiiOps.sql.shapeCount("t", p, duck = true)).mkString(" + ")
+    s"""WITH px AS (SELECT doc_id, ${fixtureSql(duck = true)} AS t FROM documents)
+       |SELECT doc_id,
+       |  md5(${PiiOps.sql.redacted("t", duck = true)}) AS red_md5,
+       |  CAST(length(${PiiOps.sql.redacted("t", duck = true)}) AS BIGINT)
+       |    AS red_len,
+       |  $sh AS n_shapes
+       |FROM px ORDER BY doc_id""".stripMargin
+  }
+
+  private def decontamOracle: String = {
+    val n = DecontamN
+    s"""WITH tok AS (SELECT doc_id,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS l
+       |  FROM documents),
+       |btok AS (SELECT regexp_extract_all(lower(
+       |    array_to_string(l[4:15], ' ')), '[a-z0-9]+', 0) AS l
+       |  FROM tok WHERE doc_id % 37 = 0),
+       |cg AS (SELECT DISTINCT doc_id,
+       |    md5(array_to_string(l[i:i+${n - 1}], ' ')) AS h
+       |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(l) - ${n - 1}))
+       |    AS i) g
+       |  WHERE len(l) >= $n),
+       |bg AS (SELECT DISTINCT md5(array_to_string(l[i:i+${n - 1}], ' ')) AS h
+       |  FROM btok, LATERAL (SELECT unnest(generate_series(1, len(l) - ${n - 1}))
+       |    AS i) g
+       |  WHERE len(l) >= $n),
+       |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+       |  FROM cg JOIN bg USING (h) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       |  COALESCE(h.n_contaminated, 0) > 0 AS is_contaminated
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  override val oracle: Map[String, String] = Map(
+    "text_pii_detect" -> detectOracle,
+    "text_pii_redact" -> redactOracle,
+    "text_decontaminate" -> decontamOracle
+  )
+}

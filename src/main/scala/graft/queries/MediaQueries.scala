@@ -133,6 +133,52 @@ object MediaQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // MS ADPCM (tag 0x0002) sample decode, same contract as the IMA
+    // path: single-block mono WAVs built scan-side (predictor/delta/
+    // header samples/nibbles all doc_id formulas; the 7 standard
+    // coefficient pairs written into the fmt extension, where the
+    // decoder reads them from), decoded to PCM and fed to
+    // audio_pcm_stats. The oracle replays the two-tap prediction +
+    // delta adaptation per sample as a recursive CTE — C-truncating
+    // division and all — so one hash certifies decode, container
+    // round trip, and stats. Independent-encoder exactness is pinned
+    // in MsAdpcmSpec.
+    "mm_audio_msadpcm_pcm" -> ((s, dir) => {
+      graft.functions.MsAdpcm.register(s)
+      graft.functions.AudioPcmStats.register(s)
+      import MmFixtures.{le, leSample16}
+      def nib(k: String) = s"((doc_id * 7 + ($k) * 13) % 16)"
+      val nibbles = s"array_join(transform(sequence(0, 15), j -> " +
+        s"lpad(hex(${nib("2 * j + 1")} * 16 + ${nib("2 * j + 2")}), 2, '0')), '')"
+      val blockHex = s"concat(lpad(hex(doc_id % 7), 2, '0'), " +
+        s"${le("16 + doc_id % 100", 2)}, " +
+        s"${leSample16("(doc_id % 1001 - 500)")}, " +
+        s"${leSample16("((doc_id * 3) % 1001 - 500)")}, $nibbles)"
+      val coefHex = graft.functions.MsAdpcm.Coef1
+        .zip(graft.functions.MsAdpcm.Coef2)
+        .map { case (a, c) =>
+          f"${(a & 0xff)}%02X${(a >> 8) & 0xff}%02X" +
+            f"${(c & 0xff)}%02X${(c >> 8) & 0xff}%02X"
+        }.mkString
+      val wavHex =
+        s"""concat('52494646', ${le("105", 4)}, '57415645',
+           |  '666D7420', ${le("50", 4)}, ${le("2", 2)}, ${le("1", 2)},
+           |  ${le("8000", 4)}, ${le("4000", 4)}, ${le("23", 2)}, ${le("4", 2)},
+           |  ${le("32", 2)}, ${le("34", 2)}, ${le("7", 2)}, '$coefHex',
+           |  '66616374', ${le("4", 4)}, ${le("34", 4)},
+           |  '64617461', ${le("23", 4)}, $blockHex)""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("pcm", expr(s"msadpcm_to_pcm(unhex($wavHex))"))
+        .selectExpr("doc_id", "octet_length(pcm) AS n_bytes",
+          "audio_pcm_stats(pcm) AS st")
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("st.n_samples").cast("long").as("n_samples"),
+          col("st.peak").cast("long").as("peak"),
+          col("st.sum_sq").as("sum_sq"),
+          col("st.zero_crossings").cast("long").as("zero_crossings"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LAYER III SIDE-INFO WALK + BIT-RESERVOIR AUDIT (the step between
     // the frame-header walk and a sample decode — a full PCM path
     // additionally needs the ISO Huffman/synthesis constant tables,
@@ -416,6 +462,56 @@ object MediaQueries extends QueryPack {
          |  CAST(max(abs(pred)) AS BIGINT) AS peak,
          |  CAST(sum(pred * pred) AS BIGINT) AS sum_sq,
          |  CAST(sum(CASE WHEN prev IS NOT NULL AND pred * prev < 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+         |FROM ordered GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // the MS two-tap recurrence replayed sample by sample: a recursive
+    // CTE threading (s1, s2, delta) through the coefficient pairs the
+    // fixture wrote into the fmt extension and the published
+    // adaptation table; prediction divides with C truncation
+    "mm_audio_msadpcm_pcm" -> {
+      val coefVals = graft.functions.MsAdpcm.Coef1
+        .zip(graft.functions.MsAdpcm.Coef2).zipWithIndex
+        .map { case ((a, c), i) => s"($i, $a, $c)" }.mkString(", ")
+      val adaptVals = graft.functions.MsAdpcm.Adapt.zipWithIndex
+        .map { case (m, d) => s"($d, $m)" }.mkString(", ")
+      val nb = "((d.doc_id * 7 + d.k * 13) % 16)"
+      val lin = "(d.s1 * c.ca + d.s2 * c.cb)"
+      val pred = s"(CASE WHEN $lin >= 0 THEN $lin // 256 " +
+        s"ELSE -((-$lin) // 256) END) + " +
+        s"(CASE WHEN $nb >= 8 THEN $nb - 16 ELSE $nb END) * d.delta"
+      s"""WITH RECURSIVE
+         |coef(i, ca, cb) AS (SELECT * FROM (VALUES $coefVals) t(i, ca, cb)),
+         |adapt(dd, m) AS (SELECT * FROM (VALUES $adaptVals) t(dd, m)),
+         |dec AS (
+         |  SELECT doc_id, 1 AS k,
+         |    CAST(doc_id % 1001 - 500 AS BIGINT) AS s1,
+         |    CAST((doc_id * 3) % 1001 - 500 AS BIGINT) AS s2,
+         |    CAST(16 + doc_id % 100 AS BIGINT) AS delta
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT d.doc_id, d.k + 1,
+         |    greatest(-32768, least(32767, $pred)),
+         |    d.s1,
+         |    greatest(16, (a.m * d.delta) // 256)
+         |  FROM dec d
+         |  JOIN coef c ON c.i = d.doc_id % 7
+         |  JOIN adapt a ON a.dd = $nb
+         |  WHERE d.k < 33),
+         |samples AS (
+         |  SELECT doc_id, 0 AS pos, s2 AS v FROM dec WHERE k = 1
+         |  UNION ALL
+         |  SELECT doc_id, k, s1 FROM dec),
+         |ordered AS (SELECT doc_id, pos, v,
+         |    lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM samples)
+         |SELECT doc_id,
+         |  CAST(112 AS BIGINT) AS n_bytes,
+         |  CAST(34 AS BIGINT) AS n_samples,
+         |  CAST(max(abs(v)) AS BIGINT) AS peak,
+         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+         |  CAST(sum(CASE WHEN prev IS NOT NULL AND v * prev < 0
          |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
          |FROM ordered GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },

@@ -60,6 +60,37 @@ private[functions] object JpegDecode {
                          val crMeanMilli: Long, val colorfulnessMilli: Long,
                          val nBlocksY: Long, val nBlocksC: Long)
 
+  /** Full-RGB statistics from per-pixel conversion of the decoded
+    * Y/Cb/Cr planes. Sums are in MILLI-units of the 0–255 scale over
+    * all `nPx = w*h` image pixels; the YCbCr→RGB transform uses
+    * milli-integer JFIF coefficients (1402/344/714/1772) with clamping
+    * to [0, 255000] and NO per-pixel division, so every sum is exact
+    * integer arithmetic a DuckDB oracle replays bit-for-bit.
+    * `sumAbsRg`/`sumAbsYb2` are the opponent-axis magnitudes |R−G| and
+    * |R+G−2B| (twice the yellow–blue axis) — the sqrt-free
+    * colorfulness signal.
+    */
+  final class RgbStats(val w: Int, val h: Int, val nPx: Long,
+                       val sumR: Long, val sumG: Long, val sumB: Long,
+                       val sumSat: Long, val sumAbsRg: Long,
+                       val sumAbsYb2: Long)
+
+  /** Per-component plane collection for the RGB path: the same
+    * entropy walk as the luma decode, but chroma blocks IDCT into
+    * their own subsampled planes instead of being discarded.
+    */
+  private[functions] final class RgbReq {
+    var planes: Array[Array[Int]] = null
+    var pws: Array[Int] = null
+    var phs: Array[Int] = null
+    var cH: Array[Int] = null
+    var cV: Array[Int] = null
+    var maxH = 1
+    var maxV = 1
+    var frameComponents = 0
+    var scanComponents = 0
+  }
+
   /** DC collector threaded through the baseline scan decode: the chroma
     * Huffman walk already tracks each component's DC predictor to stay
     * in sync — lifting it to statistics costs three adds per block.
@@ -260,11 +291,71 @@ private[functions] object JpegDecode {
 
   /** Entry: luma raster at full image resolution, or null. */
   def decode(b: Array[Byte]): Luma =
-    try decodeOrFail(b, null)
+    try decodeOrFail(b, null, null)
     catch {
       case _: DecodeFail | _: ArrayIndexOutOfBoundsException |
           _: NegativeArraySizeException => null
     }
+
+  /** Entry: full-RGB per-pixel statistics, or null. Same coverage
+    * contract as [[decodeColor]] (baseline, first scan interleaves
+    * every frame component), restricted to 1- or 3-component frames
+    * (CMYK/YCCK out of scope).
+    */
+  def decodeRgb(b: Array[Byte]): RgbStats =
+    try {
+      val rgb = new RgbReq
+      val luma = decodeOrFail(b, null, rgb)
+      if (luma == null || rgb.planes == null || rgb.planes(0) == null) null
+      else if (rgb.scanComponents != rgb.frameComponents) null
+      else if (rgb.frameComponents != 1 && rgb.frameComponents != 3) null
+      else accumulateRgb(luma.w, luma.h, rgb)
+    } catch {
+      case _: DecodeFail | _: ArrayIndexOutOfBoundsException |
+          _: NegativeArraySizeException => null
+    }
+
+  private def accumulateRgb(w: Int, h: Int, rgb: RgbReq): RgbStats = {
+    val color = rgb.frameComponents == 3
+    if (color && (rgb.planes(1) == null || rgb.planes(2) == null)) return null
+    val p0 = rgb.planes(0)
+    val pw0 = rgb.pws(0)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var sumSat = 0L; var sumRg = 0L; var sumYb2 = 0L
+    var y = 0
+    while (y < h) {
+      val ly = y * rgb.cV(0) / rgb.maxV
+      val cy1 = if (color) y * rgb.cV(1) / rgb.maxV else 0
+      val cy2 = if (color) y * rgb.cV(2) / rgb.maxV else 0
+      var x = 0
+      while (x < w) {
+        val yv = p0(ly * pw0 + x * rgb.cH(0) / rgb.maxH)
+        var rM = yv * 1000
+        var gM = rM
+        var bM = rM
+        if (color) {
+          val cb = rgb.planes(1)(cy1 * rgb.pws(1) + x * rgb.cH(1) / rgb.maxH)
+          val cr = rgb.planes(2)(cy2 * rgb.pws(2) + x * rgb.cH(2) / rgb.maxH)
+          rM = yv * 1000 + 1402 * (cr - 128)
+          gM = yv * 1000 - 344 * (cb - 128) - 714 * (cr - 128)
+          bM = yv * 1000 + 1772 * (cb - 128)
+          if (rM < 0) rM = 0 else if (rM > 255000) rM = 255000
+          if (gM < 0) gM = 0 else if (gM > 255000) gM = 255000
+          if (bM < 0) bM = 0 else if (bM > 255000) bM = 255000
+        }
+        sumR += rM; sumG += gM; sumB += bM
+        val mx = math.max(rM, math.max(gM, bM))
+        val mn = math.min(rM, math.min(gM, bM))
+        sumSat += mx - mn
+        sumRg += math.abs(rM - gM)
+        sumYb2 += math.abs(rM + gM - 2L * bM)
+        x += 1
+      }
+      y += 1
+    }
+    new RgbStats(w, h, w.toLong * h, sumR, sumG, sumB,
+      sumSat, sumRg, sumYb2)
+  }
 
   /** Entry: DC color statistics, or null. Baseline files whose first
     * scan carries every frame component (all interleaved color files,
@@ -274,7 +365,7 @@ private[functions] object JpegDecode {
   def decodeColor(b: Array[Byte]): ColorStats =
     try {
       val acc = new ColorAcc
-      val luma = decodeOrFail(b, acc)
+      val luma = decodeOrFail(b, acc, null)
       if (luma == null || acc.nY == 0) null
       else if (acc.scanComponents != acc.frameComponents) null
       else {
@@ -291,7 +382,8 @@ private[functions] object JpegDecode {
           _: NegativeArraySizeException => null
     }
 
-  private def decodeOrFail(b: Array[Byte], acc: ColorAcc): Luma = {
+  private def decodeOrFail(b: Array[Byte], acc: ColorAcc,
+                           rgb: RgbReq): Luma = {
     if (b == null || b.length < 4 ||
         (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
     def be16(i: Int): Int = {
@@ -479,8 +571,12 @@ private[functions] object JpegDecode {
             acc.frameComponents = cIds.length
             acc.scanComponents = ns
           }
+          if (rgb != null) {
+            rgb.frameComponents = cIds.length
+            rgb.scanComponents = ns
+          }
           return decodeScan(b, p + len, w, h, scanComp, scanDc, scanAc,
-            cH, cV, cQ, qz, ri, acc)
+            cH, cV, cQ, qz, ri, acc, rgb)
         }
       } else { // APPn / COM / anything else with a length field
         val len = be16(p)
@@ -495,7 +591,7 @@ private[functions] object JpegDecode {
                          scanComp: Array[Int], scanDc: Array[HTab],
                          scanAc: Array[HTab], cH: Array[Int], cV: Array[Int],
                          cQ: Array[Int], qz: Array[Array[Int]],
-                         ri: Int, acc: ColorAcc): Luma = {
+                         ri: Int, acc: ColorAcc, rgb: RgbReq): Luma = {
     val ns = scanComp.length
     var maxH = 1
     var maxV = 1
@@ -504,6 +600,15 @@ private[functions] object JpegDecode {
       if (cH(i) > maxH) maxH = cH(i)
       if (cV(i) > maxV) maxV = cV(i)
       i += 1
+    }
+    if (rgb != null) {
+      rgb.planes = new Array[Array[Int]](cH.length)
+      rgb.pws = new Array[Int](cH.length)
+      rgb.phs = new Array[Int](cH.length)
+      rgb.cH = cH
+      rgb.cV = cV
+      rgb.maxH = maxH
+      rgb.maxV = maxV
     }
     val r = new Bits(b, start)
     val coef = new Array[Int](64)
@@ -547,6 +652,21 @@ private[functions] object JpegDecode {
       ph = mcusY * 8 * cV(0)
       if (pw.toLong * ph > MaxPixels.toLong * 4) fail()
       plane = new Array[Int](pw * ph)
+      if (rgb != null) {
+        var si = 0
+        while (si < ns) {
+          val ci = scanComp(si)
+          if (ci != 0) {
+            val cpw = mcusX * 8 * cH(ci)
+            val cph = mcusY * 8 * cV(ci)
+            if (cpw.toLong * cph > MaxPixels.toLong * 4) fail()
+            rgb.planes(ci) = new Array[Int](cpw * cph)
+            rgb.pws(ci) = cpw
+            rgb.phs(ci) = cph
+          }
+          si += 1
+        }
+      }
       val preds = new Array[Int](ns)
       var mcu = 0
       var my = 0
@@ -572,11 +692,15 @@ private[functions] object JpegDecode {
                     (mx * cH(0) + bxx) * 8, (my * cV(0) + byy) * 8)
                   if (acc != null) acc.addY(preds(si) * q(0))
                 } else {
-                  // chroma: walk the entropy stream, render nothing —
-                  // but the synced DC predictor lifts to color stats
-                  // for free
+                  // chroma: walk the entropy stream; render into the
+                  // component plane only when the RGB path asks (the
+                  // synced DC predictor lifts to DC color stats free)
+                  val outNat = if (rgb != null) coef else null
                   preds(si) = decodeBlock(r, scanDc(si), scanAc(si),
-                    preds(si), q, null)
+                    preds(si), q, outNat)
+                  if (rgb != null)
+                    idctInto(coef, rgb.planes(ci), rgb.pws(ci), rgb.phs(ci),
+                      (mx * cH(ci) + bxx) * 8, (my * cV(ci) + byy) * 8)
                   if (acc != null) acc.addC(ci, preds(si) * q(0))
                 }
                 bxx += 1
@@ -590,6 +714,11 @@ private[functions] object JpegDecode {
         }
         my += 1
       }
+    }
+    if (rgb != null) {
+      rgb.planes(0) = plane
+      rgb.pws(0) = pw
+      rgb.phs(0) = ph
     }
     assembleLuma(plane, pw, w, h, cH(0), cV(0), maxH, maxV)
   }

@@ -291,6 +291,34 @@ object MediaQueries extends QueryPack {
         .orderBy(col("img"))
     }),
 
+    // FULL-RGB color statistics (the upgrade from the DC-only
+    // jpeg_color_stats): chroma AC + IDCT + nearest upsample +
+    // milli-integer JFIF conversion per PIXEL. On these DC-only
+    // mosaics every 8×8 cell is a constant (Y, Cb, Cr), so the oracle
+    // replays the per-pixel clamps and opponent-axis sums as exact
+    // cell arithmetic. Real-file agreement with ImageIO is pinned in
+    // JpegRgbStatsSpec.
+    "mm_image_rgb_stats" -> ((s, dir) => {
+      graft.functions.JpegRgbStats.register(s)
+      import s.implicits._
+      Seq(("colorstats420", colorstats420Hex),
+          ("blocks420", ExtraQueries.jpegBlocks420Hex),
+          ("gray_blocks", ExtraQueries.jpegGrayBlocksHex))
+        .toDF("img", "hex")
+        .selectExpr("img", "jpeg_rgb_stats(unhex(hex)) AS st")
+        .select(col("img"),
+          col("st.width").cast("long").as("width"),
+          col("st.height").cast("long").as("height"),
+          col("st.n_px").as("n_px"),
+          col("st.r_mean_milli").as("r_mean_milli"),
+          col("st.g_mean_milli").as("g_mean_milli"),
+          col("st.b_mean_milli").as("b_mean_milli"),
+          col("st.sat_mean_milli").as("sat_mean_milli"),
+          col("st.rg_abs_mean_milli").as("rg_abs_mean_milli"),
+          col("st.yb2_abs_mean_milli").as("yb2_abs_mean_milli"))
+        .orderBy(col("img"))
+    }),
+
     // TRAINED IMAGE-TEXT GATE (the learned upgrade to
     // web_image_text_filter's rule gate — the CLIP-filter shape of
     // LAION-style curation, as a linear head over CROSSED two-tower
@@ -610,5 +638,59 @@ object MediaQueries extends QueryPack {
         |SELECT 'gray_blocks', 32, 24, CAST(ym AS BIGINT),
         |  128000, 128000, 0, 12, 0
         |FROM gb
+        |ORDER BY img""".stripMargin,
+
+    // per-PIXEL RGB replay: each 8×8 cell of the DC-only mosaics is a
+    // constant (Y, Cb, Cr), so sums over 64-pixel cells divide exactly
+    // into cell sums // 16 (or // 12 for the 4×3 grayscale)
+    "mm_image_rgb_stats" ->
+      """WITH g4 AS (SELECT a.bx, b.by
+        |    FROM (SELECT unnest(generate_series(0, 3)) AS bx) a,
+        |         (SELECT unnest(generate_series(0, 3)) AS by) b),
+        |g3 AS (SELECT a.bx, b.by
+        |    FROM (SELECT unnest(generate_series(0, 3)) AS bx) a,
+        |         (SELECT unnest(generate_series(0, 2)) AS by) b),
+        |cs AS (SELECT (29*bx + 31*by + 40) % 256 AS yv,
+        |    (50*(bx//2) + 70*(by//2) + 96) % 256 AS cb,
+        |    (90*(bx//2) + 30*(by//2) + 60) % 256 AS cr FROM g4),
+        |csr AS (SELECT
+        |    greatest(0, least(255000, yv*1000 + 1402*(cr-128))) AS rm,
+        |    greatest(0, least(255000,
+        |      yv*1000 - 344*(cb-128) - 714*(cr-128))) AS gm,
+        |    greatest(0, least(255000, yv*1000 + 1772*(cb-128))) AS bm
+        |  FROM cs),
+        |csa AS (SELECT sum(rm)//16 AS r, sum(gm)//16 AS g, sum(bm)//16 AS b,
+        |    sum(greatest(rm,gm,bm) - least(rm,gm,bm))//16 AS sat,
+        |    sum(abs(rm-gm))//16 AS rg, sum(abs(rm+gm-2*bm))//16 AS yb
+        |  FROM csr),
+        |bs AS (SELECT (29*bx + 43*by + 50) % 256 AS yv FROM g4),
+        |bsr AS (SELECT
+        |    greatest(0, least(255000, yv*1000 + 1402*(90-128))) AS rm,
+        |    greatest(0, least(255000, yv*1000 - 714*(90-128))) AS gm,
+        |    greatest(0, least(255000, yv*1000)) AS bm
+        |  FROM bs),
+        |bsa AS (SELECT sum(rm)//16 AS r, sum(gm)//16 AS g, sum(bm)//16 AS b,
+        |    sum(greatest(rm,gm,bm) - least(rm,gm,bm))//16 AS sat,
+        |    sum(abs(rm-gm))//16 AS rg, sum(abs(rm+gm-2*bm))//16 AS yb
+        |  FROM bsr),
+        |gs AS (SELECT (37*bx + 59*by + 23) % 256 AS yv FROM g3),
+        |gsa AS (SELECT sum(yv*1000)//12 AS r FROM gs)
+        |SELECT 'blocks420' AS img, CAST(32 AS BIGINT) AS width,
+        |  CAST(32 AS BIGINT) AS height, CAST(1024 AS BIGINT) AS n_px,
+        |  CAST(r AS BIGINT) AS r_mean_milli, CAST(g AS BIGINT) AS g_mean_milli,
+        |  CAST(b AS BIGINT) AS b_mean_milli,
+        |  CAST(sat AS BIGINT) AS sat_mean_milli,
+        |  CAST(rg AS BIGINT) AS rg_abs_mean_milli,
+        |  CAST(yb AS BIGINT) AS yb2_abs_mean_milli
+        |FROM bsa
+        |UNION ALL
+        |SELECT 'colorstats420', 32, 32, 1024, CAST(r AS BIGINT),
+        |  CAST(g AS BIGINT), CAST(b AS BIGINT), CAST(sat AS BIGINT),
+        |  CAST(rg AS BIGINT), CAST(yb AS BIGINT)
+        |FROM csa
+        |UNION ALL
+        |SELECT 'gray_blocks', 32, 24, 768, CAST(r AS BIGINT),
+        |  CAST(r AS BIGINT), CAST(r AS BIGINT), 0, 0, 0
+        |FROM gsa
         |ORDER BY img""".stripMargin)
 }

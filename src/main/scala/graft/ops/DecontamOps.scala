@@ -60,4 +60,65 @@ object DecontamOps {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         (coalesce(col("n_contaminated"), lit(0L)) > 0).as("is_contaminated"))
   }
+
+  private val ShingleN = 3
+  private val NumHashes = 8
+  private val Bands = 4
+
+  /** FUZZY decontamination — MinHash-estimated Jaccard against the
+    * benchmark set, catching paraphrase-level and partial overlap the
+    * exact n-gram gate misses (the "13-gram with edits" contamination
+    * the GPT-4 report describes deduplicating against).
+    *
+    * Same scale shape as [[ngramOverlap]]: corpus signatures and band
+    * keys are one scan-side projection (the native
+    * [[graft.functions.MinHashSig]] expression — no explode of corpus
+    * shingles, no shuffle), the benchmark's banded signatures broadcast,
+    * and the only aggregation is the per-doc rollup. Benchmark items are
+    * keyed by md5 of their text so the oracle replays identically.
+    *
+    * @param estMilliThreshold flag when the best signature-agreement
+    *                          estimate reaches this (1000 = all 8
+    *                          hashes agree)
+    * @return `docId, n_bench_candidates, max_est_milli,
+    *         is_fuzzy_contaminated` — one row per input doc
+    */
+  def minhashOverlap(docs: DataFrame, docId: String, textCol: String,
+                     bench: DataFrame, benchTextCol: String,
+                     estMilliThreshold: Int): DataFrame = {
+    def withSigBands(df: DataFrame, keyCols: Seq[org.apache.spark.sql.Column],
+                     t: String, sigName: String, bandName: String) =
+      df.select(keyCols :+
+          DedupOps.minhashSignatureRow(col(t), ShingleN, NumHashes)
+            .as(sigName) :+
+          DedupOps.minhashBandsRow(col(t), ShingleN, NumHashes, Bands)
+            .as("__bands"): _*)
+        .where(col(sigName).isNotNull)
+        .select(keyCols :+ col(sigName) :+
+          explode(col("__bands")).as(bandName): _*)
+
+    val corpus = withSigBands(docs, Seq(col(docId)), textCol, "__sig", "__cb")
+    val benchB = withSigBands(
+      bench.select(md5(col(benchTextCol)).as("__bid"), col(benchTextCol)),
+      Seq(col("__bid")), benchTextCol, "__bsig", "__bb")
+
+    val est = corpus
+      .join(broadcast(benchB), col("__cb") === col("__bb"))
+      .dropDuplicates(docId, "__bid")
+      .withColumn("__est",
+        aggregate(zip_with(col("__sig"), col("__bsig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (a, x) => a + x) * lit(1000 / NumHashes))
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_bench_candidates"),
+        max(col("__est")).cast("long").as("max_est_milli"))
+
+    docs.select(col(docId))
+      .join(est, Seq(docId), "left")
+      .select(col(docId),
+        coalesce(col("n_bench_candidates"), lit(0L)).as("n_bench_candidates"),
+        coalesce(col("max_est_milli"), lit(0L)).as("max_est_milli"),
+        (coalesce(col("max_est_milli"), lit(0L)) >= estMilliThreshold)
+          .as("is_fuzzy_contaminated"))
+  }
 }

@@ -103,6 +103,22 @@ object CurationQueries extends QueryPack {
           "'[a-z0-9]+', 0), 4, 12))").as("q"))
       DecontamOps.ngramOverlap(docs, "doc_id", "text", bench, "q", DecontamN)
         .orderBy(col("doc_id"))
+    }),
+
+    // FUZZY decontamination: MinHash(8, 3-shingles) banded 4×2 against
+    // the same benchmark windows — catches partial/paraphrase overlap
+    // the exact 5-gram gate misses. Corpus side is one scan-side
+    // signature projection (native MinHashSig, no shuffle); the banded
+    // benchmark broadcasts; the oracle replays the salted-md5 minima,
+    // band joins, and agreement estimate verbatim.
+    "text_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") % 37 === 0)
+        .select(expr("concat_ws(' ', slice(split(trim(lower(text)), " +
+          "'\\\\s+'), 4, 12))").as("q"))
+      DecontamOps.minhashOverlap(docs, "doc_id", "text", bench, "q",
+        estMilliThreshold = 250)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -162,9 +178,55 @@ object CurationQueries extends QueryPack {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  private def fuzzyOracle: String = {
+    val sigAggs = (i: String) => (0 until 8)
+      .map(k => s"min(md5('$k:' || s)) AS mh$k").mkString(", ")
+    val bandJoin = (0 until 4).map { b =>
+      s"""SELECT s.doc_id, b.bid FROM sig s JOIN bsig b
+         |    ON s.mh${2 * b} = b.mh${2 * b} AND s.mh${2 * b + 1} = b.mh${2 * b + 1}"""
+        .stripMargin
+    }.mkString("\n  UNION\n  ")
+    val agree = (0 until 8)
+      .map(k => s"CAST(s.mh$k = b.mh$k AS INT)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2))
+       |    AS i) g
+       |  WHERE len(ws) >= 3),
+       |sig AS (SELECT doc_id, ${sigAggs("d")} FROM sh GROUP BY doc_id),
+       |bq AS (SELECT md5(array_to_string(ws[4:15], ' ')) AS bid,
+       |    string_split_regex(trim(lower(array_to_string(ws[4:15], ' '))),
+       |      '\\s+') AS ws
+       |  FROM tok WHERE doc_id % 37 = 0),
+       |bsh AS (SELECT DISTINCT bid,
+       |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |  FROM bq, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2))
+       |    AS i) g
+       |  WHERE len(ws) >= 3),
+       |bsig AS (SELECT bid, ${sigAggs("b")} FROM bsh GROUP BY bid),
+       |cand AS (
+       |  $bandJoin),
+       |est AS (SELECT c.doc_id, ($agree) * 125 AS e
+       |  FROM cand c JOIN sig s ON s.doc_id = c.doc_id
+       |  JOIN bsig b ON b.bid = c.bid),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_candidates,
+       |    CAST(max(e) AS BIGINT) AS max_est_milli
+       |  FROM est GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_bench_candidates, 0) AS n_bench_candidates,
+       |  COALESCE(a.max_est_milli, 0) AS max_est_milli,
+       |  COALESCE(a.max_est_milli, 0) >= 250 AS is_fuzzy_contaminated
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   override val oracle: Map[String, String] = Map(
     "text_pii_detect" -> detectOracle,
     "text_pii_redact" -> redactOracle,
-    "text_decontaminate" -> decontamOracle
+    "text_decontaminate" -> decontamOracle,
+    "text_decontaminate_fuzzy" -> fuzzyOracle
   )
 }

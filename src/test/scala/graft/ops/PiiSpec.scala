@@ -96,6 +96,25 @@ class PiiSpec extends SparkSuite {
       Seq(true, false, true))
   }
 
+  test("fuzzy decontamination: identical text scores 1000, disjoint scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "alpha beta gamma delta epsilon zeta eta UNRELATED TAIL HERE")
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon zeta eta theta").toDF("q")
+    val out = DecontamOps.minhashOverlap(docs, "doc_id", "text", bench, "q",
+      estMilliThreshold = 500).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("max_est_milli") == 1000L)
+    assert(out(0).getAs[Boolean]("is_fuzzy_contaminated"))
+    assert(out(1).getAs[Long]("max_est_milli") == 0L)
+    assert(!out(1).getAs[Boolean]("is_fuzzy_contaminated"))
+    // shared 6-token prefix: bands collide, estimate strictly between
+    val e3 = out(2).getAs[Long]("max_est_milli")
+    assert(e3 > 0L && e3 < 1000L, s"partial overlap estimate was $e3")
+  }
+
   test("plan shapes: detect is exchange-free; decontam broadcasts the bench side") {
     val detect = SparkEntry.queries("text_pii_detect")(spark, sf("sf0.001"))
     val pd = detect.queryExecution.executedPlan.toString
@@ -105,11 +124,13 @@ class PiiSpec extends SparkSuite {
       s"PII detection must not shuffle: $pd")
     assert(!pd.contains("CartesianProduct"))
 
-    val dec = SparkEntry.queries("text_decontaminate")(spark, sf("sf0.001"))
-    val pdec = dec.queryExecution.executedPlan.toString
-    assert(pdec.contains("BroadcastHashJoin"),
-      "benchmark n-gram probe must be a broadcast join")
-    assert(!pdec.contains("CartesianProduct") &&
-      !pdec.contains("BroadcastNestedLoopJoin"))
+    Seq("text_decontaminate", "text_decontaminate_fuzzy").foreach { q =>
+      val dec = SparkEntry.queries(q)(spark, sf("sf0.001"))
+      val pdec = dec.queryExecution.executedPlan.toString
+      assert(pdec.contains("BroadcastHashJoin"),
+        s"$q: benchmark probe must be a broadcast join")
+      assert(!pdec.contains("CartesianProduct") &&
+        !pdec.contains("BroadcastNestedLoopJoin"), q)
+    }
   }
 }

@@ -71,6 +71,51 @@ object SnapshotOps {
     untouched.unionByName(upserts.select(base.columns.toSeq.map(col): _*))
   }
 
+  /** SCD TYPE-2 history fold — the history-preserving sibling of
+    * [[applyChangelog]]: instead of compacting to the latest state,
+    * every version an id ever had becomes one row with its validity
+    * interval, the audit/reproducibility layout (query "the corpus as
+    * of seq 1" = `valid_from <= 1 AND (valid_to IS NULL OR
+    * valid_to > 1)`).
+    *
+    * Semantics: base rows open at seq 0; each `upsert` in the log
+    * opens a new interval at its seq (closing the id's previous one);
+    * `delete` closes the current interval and opens nothing (a later
+    * upsert re-inserts). Tombstones themselves emit no row — history
+    * is the set of states that EXISTED.
+    *
+    * Scale shape: one union + one window keyed by id ordered by
+    * (seq, op) — no global sort, no self-join; ties and unknown ops
+    * refuse loudly (same posture as [[applyChangelog]]).
+    *
+    * @return base payload columns plus `valid_from` (BIGINT),
+    *         `valid_to` (BIGINT, null while current), `is_current`
+    */
+  def scd2History(base: DataFrame, log: DataFrame, idCol: String,
+                  seqCol: String, opCol: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == idCol).toSeq
+    val checkedSeq = when(col(seqCol) > 0, col(seqCol).cast("long"))
+      .otherwise(raise_error(lit("scd2History: log seq must be > 0 " +
+        "(seq 0 is the base snapshot)")))
+    val events = base
+      .select(col(idCol) +: lit(0L).as("__seq") +: lit("upsert").as("__op") +:
+        payload.map(col): _*)
+      .unionByName(log.select(
+        col(idCol) +: checkedSeq.as("__seq") +:
+          when(col(opCol).isin("upsert", "delete"), col(opCol))
+            .otherwise(raise_error(concat(
+              lit("scd2History: unknown op '"), col(opCol), lit("'"))))
+            .as("__op") +: payload.map(col): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__seq"), col("__op"))
+    events
+      .withColumn("valid_to", lead(col("__seq"), 1).over(w))
+      .where(col("__op") === "upsert")
+      .select(col(idCol) +: payload.map(col) :+
+        col("__seq").as("valid_from") :+ col("valid_to") :+
+        col("valid_to").isNull.as("is_current"): _*)
+  }
+
   // ---------------------------------------------------------------
   // Manifest-file SNAPSHOT ISOLATION — the lakehouse time-travel read
   // (Iceberg/Delta shape, minimal): a version IS its complete

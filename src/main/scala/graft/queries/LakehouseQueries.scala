@@ -72,6 +72,32 @@ object LakehouseQueries extends QueryPack {
       agg(1).unionAll(agg(2)).orderBy(col("version"))
     }),
 
+    // SCD TYPE-2 HISTORY (SnapshotOps.scd2History): the
+    // history-preserving fold of a CDC changelog — every state an id
+    // ever had, with its validity interval. Fixture: updates at seq 1
+    // (ids %4=1), deletes at seq 1 (%4=2), two-step updates (%4=3),
+    // and delete-after-update (%8=5), so intervals open, close, chain,
+    // and terminate. One keyed window — no global sort; the oracle
+    // replays the same lead() fold.
+    "src_scd2_history" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val base = d.select(col("doc_id"), md5(col("text")).as("fp"),
+        col("lang"))
+      def lg(cond: org.apache.spark.sql.Column, seq: Long, op: String,
+             salt: String): DataFrame =
+        d.where(cond).select(col("doc_id"), lit(seq).as("seq"),
+          lit(op).as("op"),
+          md5(concat(col("text"), lit(salt))).as("fp"), col("lang"))
+      val log = lg(col("doc_id") % 4 === 1, 1L, "upsert", ":v1")
+        .unionByName(lg(col("doc_id") % 4 === 2, 1L, "delete", ""))
+        .unionByName(lg(col("doc_id") % 4 === 3, 1L, "upsert", ":v1"))
+        .unionByName(lg(col("doc_id") % 4 === 3, 2L, "upsert", ":v2"))
+        .unionByName(lg(col("doc_id") % 8 === 5, 2L, "delete", ""))
+      SnapshotOps.scd2History(base, log, "doc_id", "seq", "op")
+        .orderBy(col("doc_id"), col("valid_from"))
+    }),
+
 
     // PARTITION-PRUNED scan: the documents table written PARTITIONED BY
     // its language column (once per session — the pay-at-write posture,
@@ -344,6 +370,31 @@ object LakehouseQueries extends QueryPack {
         |FROM documents
         |WHERE (doc_id % 3 <> 2 AND doc_id % 4 <> 1) OR doc_id % 3 = 2
         |ORDER BY version""".stripMargin,
+
+    // the same union-of-events + keyed lead() fold, replayed in SQL
+    "src_scd2_history" ->
+      """WITH ev AS (
+        |  SELECT doc_id, 0 AS seq, 'upsert' AS op, md5(text) AS fp, lang
+        |    FROM documents
+        |  UNION ALL SELECT doc_id, 1, 'upsert', md5(text || ':v1'), lang
+        |    FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL SELECT doc_id, 1, 'delete', md5(text), lang
+        |    FROM documents WHERE doc_id % 4 = 2
+        |  UNION ALL SELECT doc_id, 1, 'upsert', md5(text || ':v1'), lang
+        |    FROM documents WHERE doc_id % 4 = 3
+        |  UNION ALL SELECT doc_id, 2, 'upsert', md5(text || ':v2'), lang
+        |    FROM documents WHERE doc_id % 4 = 3
+        |  UNION ALL SELECT doc_id, 2, 'delete', md5(text), lang
+        |    FROM documents WHERE doc_id % 8 = 5),
+        |h AS (SELECT doc_id, fp, lang, seq, op,
+        |    lead(seq) OVER (PARTITION BY doc_id ORDER BY seq, op)
+        |      AS valid_to
+        |  FROM ev)
+        |SELECT doc_id, fp, lang, CAST(seq AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM h WHERE op = 'upsert'
+        |ORDER BY doc_id, valid_from""".stripMargin,
 
 
     // the partitioned layout must not change a row: plain filtered agg

@@ -76,4 +76,53 @@ class SnapshotOpsSpec extends SparkSuite {
     assert(e.getMessage.contains("unknown op") ||
       Option(e.getCause).exists(_.getMessage.contains("unknown op")))
   }
+
+  test("scd2: intervals chain, close on delete, and reopen on re-insert") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF(baseCols: _*)
+    val log = Seq(
+      (1L, 1L, "upsert", "a2"), (1L, 3L, "upsert", "a3"), // chain
+      (2L, 2L, "delete", "b"),                            // close
+      (2L, 5L, "upsert", "b2"),                           // reopen
+      (4L, 4L, "upsert", "d")                             // late insert
+    ).toDF("id", "seq", "op", "v")
+    val out = SnapshotOps.scd2History(base, log, "id", "seq", "op")
+      .orderBy("id", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 0L, 1L, false), (1L, "a2", 1L, 3L, false),
+      (1L, "a3", 3L, -1L, true),
+      (2L, "b", 0L, 2L, false), (2L, "b2", 5L, -1L, true),
+      (3L, "c", 0L, -1L, true),
+      (4L, "d", 4L, -1L, true)))
+  }
+
+  test("scd2 current rows are exactly the MERGE compaction's output") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF(baseCols: _*)
+    val log = Seq(
+      (1L, 1L, "upsert", "a2"), (1L, 2L, "delete", "a2"),
+      (2L, 1L, "delete", "b"), (2L, 2L, "upsert", "b2"),
+      (3L, 7L, "upsert", "c2"),
+      (9L, 3L, "upsert", "new")).toDF("id", "seq", "op", "v")
+    val current = SnapshotOps.scd2History(base, log, "id", "seq", "op")
+      .where(col("is_current")).select(col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val merged = SnapshotOps.applyChangelog(base, log, "id", "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(current == merged)
+  }
+
+  test("scd2 refuses seq 0 in the log and unknown ops") {
+    val base = Seq((1L, "a")).toDF(baseCols: _*)
+    val bad1 = Seq((1L, 0L, "upsert", "x")).toDF("id", "seq", "op", "v")
+    intercept[Exception] {
+      SnapshotOps.scd2History(base, bad1, "id", "seq", "op").collect()
+    }
+    val bad2 = Seq((1L, 1L, "merge", "x")).toDF("id", "seq", "op", "v")
+    intercept[Exception] {
+      SnapshotOps.scd2History(base, bad2, "id", "seq", "op").collect()
+    }
+  }
 }

@@ -67,6 +67,8 @@ object Gzip {
           (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd) "zstd"
       else if (b.length >= 4 && (b(0) & 0xf0) == 0x50 && (b(1) & 0xff) == 0x2a &&
           (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18) "zstd"
+      else if (b.length >= 4 && b(0) == 'B' && b(1) == 'Z' && b(2) == 'h' &&
+          b(3) >= '1' && b(3) <= '9') "bz2"
       else "unknown"
     org.apache.spark.unsafe.types.UTF8String.fromString(name)
   }
@@ -132,7 +134,7 @@ object Gzip {
   }
 }
 
-/** `codec_probe(binary)` → `'gzip' | 'zstd' | 'empty' | 'unknown'` by
+/** `codec_probe(binary)` → `'gzip' | 'zstd' | 'bz2' | 'empty' | 'unknown'` by
   * container magic: gzip `1F 8B`, zstd frame `28 B5 2F FD`
   * (0xFD2FB528 LE) and zstd skippable frames `5? 2A 4D 18`
   * (0x184D2A50-5F LE). Both codecs DECODE on the crawl read path since

@@ -38,6 +38,7 @@ object WebOps {
     graft.functions.HtmlSegments.register(spark)
     graft.functions.HtmlMeta.register(spark); graft.functions.Zstd.register(spark)
     graft.functions.CharsetDecode.register(spark)
+    graft.functions.Bzip2.register(spark)
   }
 
   private def registered(): Unit =
@@ -286,7 +287,9 @@ object WebOps {
       .withColumn("codec", call_function("codec_probe", col("__b")))
       .withColumn("__payload",
         when(col("codec") === "gzip", call_function("gunzip_all", col("__b")))
-          .when(col("codec") === "zstd", call_function("zunstd_all", col("__b"))))
+          .when(col("codec") === "zstd", call_function("zunstd_all", col("__b")))
+          .when(col("codec") === "bz2",
+            call_function("bzip2_decompress", col("__b"))))
       .withColumn("quarantined",
         col("codec") === "unknown" || col("__payload").isNull)
       .withColumn("n_records",

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the n-gram exact-overlap gate (the GPT-3
@@ -59,6 +59,46 @@ object DecontamOps {
       .select(col(docId),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         (coalesce(col("n_contaminated"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
+  /** Driver-side benchmark n-gram hash set, CAPPED — the bounded
+    * model-table posture (same as the ≤65536-row vocab collects in
+    * TextOps): eval suites are small by nature; a "benchmark" bigger
+    * than the cap refuses loudly instead of silently OOMing the driver.
+    */
+  def benchNgramHashes(bench: DataFrame, benchTextCol: String, n: Int,
+                       cap: Int = 65536): Array[String] = {
+    val grams = bench
+      .select(expr(s"regexp_extract_all(lower($benchTextCol), '$TokPat', 0)")
+        .as("__l"))
+      .where(expr(s"size(__l) >= $n"))
+      .select(explode(expr(
+        s"transform(sequence(1, size(__l) - ${n - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(__l, i, $n))))")).as("h"))
+      .distinct()
+      .limit(cap + 1)
+      .collect().map(_.getString(0))
+    require(grams.length <= cap,
+      s"benchNgramHashes: benchmark exceeds $cap distinct $n-grams — " +
+        "use the distributed ngramOverlap instead")
+    grams.sorted
+  }
+
+  /** Per-ROW contamination flag against a driver-collected benchmark
+    * set ([[benchNgramHashes]]) — a pure scan-side expression with NO
+    * join and NO aggregation, which is what an append-mode stream
+    * needs when its one allowed stateful op is already spent on dedup.
+    * Exactly [[ngramOverlap]]'s `is_contaminated` for the same n.
+    */
+  def ngramFlagRow(textCol: String, benchHashes: Seq[String],
+                   n: Int): Column = {
+    val grams = expr(
+      s"CASE WHEN size(regexp_extract_all(lower($textCol), '$TokPat', 0)) " +
+        s">= $n THEN transform(sequence(1, " +
+        s"size(regexp_extract_all(lower($textCol), '$TokPat', 0)) - ${n - 1}), " +
+        s"i -> md5(concat_ws(' ', slice(regexp_extract_all(lower($textCol), " +
+        s"'$TokPat', 0), i, $n)))) ELSE array() END")
+    arrays_overlap(grams, typedLit(benchHashes))
   }
 
   private val ShingleN = 3

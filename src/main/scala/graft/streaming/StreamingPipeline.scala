@@ -197,6 +197,28 @@ object StreamingPipeline {
       .withColumn("n_tokens", size(TextOps.tokens(col("clean_text"))).cast("long"))
   }
 
+  /** Streaming RELEASE GATE — [[corpusIngest]] upgraded to the full
+    * curation contract: watermark-bounded exact dedup, then the
+    * checksum-validating PII layer ([[graft.ops.PiiOps]] — Luhn cards,
+    * mod-97 IBANs, octet-checked IPs, full typed redaction) and the
+    * benchmark-decontamination flag against a driver-collected capped
+    * n-gram set ([[graft.ops.DecontamOps.ngramFlagRow]]). Everything
+    * after the dedup is a scan-side projection, so the query keeps
+    * exactly ONE stateful operator — the append-mode limit — and the
+    * output matches the batch ops row for row (StreamingSpec pins it).
+    */
+  def releaseGate(docs: DataFrame, tsCol: String, textCol: String,
+                  benchHashes: Seq[String], decontamN: Int,
+                  watermark: String = "10 minutes"): DataFrame = {
+    import graft.ops.{DecontamOps, PiiOps}
+    val deduped = dedupStream(docs, tsCol, textCol, watermark)
+    PiiOps.detect(deduped, textCol)
+      .withColumn("clean_text",
+        expr(PiiOps.sql.redacted(textCol, duck = false)))
+      .withColumn("is_contaminated",
+        DecontamOps.ngramFlagRow(textCol, benchHashes, decontamN))
+  }
+
   // ---- streaming CDC apply (the stream side of MERGE INTO) ----
 
   final case class ChangeRow(id: Long, seq: Long, op: String, payload: String)

@@ -269,6 +269,63 @@ class StreamingSpec extends SparkSuite {
     assert(rows.exists(r => r._1 == "clean doc with five tokens" && r._2 == 5L))
   }
 
+  test("streaming release gate: full PII layer + decontam flag, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.{DecontamOps, PiiOps}
+
+    val bench = Seq("quick brown fox jumps over").toDF("q")
+    val hashes = DecontamOps.benchNgramHashes(bench, "q", n = 5).toSeq
+    assert(hashes.length == 1)
+
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val q = StreamingPipeline.releaseGate(df, "ts", "text", hashes,
+      decontamN = 5, watermark = "1 minute")
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode(OutputMode.Append()).start()
+
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    val rows = Seq(
+      "card 4111111111111111 and mail bob@example.com",
+      "the quick brown fox jumps over the lazy dog",
+      "card 4111111111111111 and mail bob@example.com", // exact dup
+      "totally clean and benchmark free sentence here")
+    input.addData(rows.zipWithIndex.map { case (t, i) => (at(i * 10L), t) }: _*)
+    q.processAllAvailable()
+    val got = spark.table("gate_out")
+      .select("text", "clean_text", "n_card_luhn", "pii_total",
+        "is_contaminated")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toList
+    q.stop()
+
+    assert(got.length == 3, s"exact dup must collapse: $got")
+    val dirty = got.find(_._1.startsWith("card")).get
+    assert(dirty._2 == "card <CARD> and mail <EMAIL>", dirty.toString)
+    assert(dirty._3 == 1L && dirty._4 == 2L && !dirty._5)
+    val contaminated = got.find(_._1.contains("quick brown")).get
+    assert(contaminated._5 && contaminated._4 == 0L)
+    val clean = got.find(_._1.startsWith("totally")).get
+    assert(!clean._5 && clean._4 == 0L &&
+      clean._2 == "totally clean and benchmark free sentence here")
+
+    // batch parity: the same rows through the batch ops, row for row
+    val batchIn = rows.distinct.toDF("text")
+    val batchPii = PiiOps.detect(batchIn, "text")
+      .withColumn("clean_text",
+        org.apache.spark.sql.functions.expr(
+          PiiOps.sql.redacted("text", duck = false)))
+      .withColumn("is_contaminated",
+        DecontamOps.ngramFlagRow("text", hashes, 5))
+      .select("text", "clean_text", "n_card_luhn", "pii_total",
+        "is_contaminated")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(got.toSet == batchPii, "stream and batch gate must agree")
+  }
+
   test("upload-dir foreachBatch re-analysis matches the batch pipeline e2e") {
     val demo = "/root/reference/DEMO_LOGS/2025-09-28_13-59-59.csv"
     assume(new java.io.File(demo).exists())

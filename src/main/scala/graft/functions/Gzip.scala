@@ -69,6 +69,8 @@ object Gzip {
           (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18) "zstd"
       else if (b.length >= 4 && b(0) == 'B' && b(1) == 'Z' && b(2) == 'h' &&
           b(3) >= '1' && b(3) <= '9') "bz2"
+      else if (b.length >= 6 && (b(0) & 0xff) == 0xfd && b(1) == '7' &&
+          b(2) == 'z' && b(3) == 'X' && b(4) == 'Z' && b(5) == 0) "xz"
       else "unknown"
     org.apache.spark.unsafe.types.UTF8String.fromString(name)
   }

@@ -39,6 +39,7 @@ object WebOps {
     graft.functions.HtmlMeta.register(spark); graft.functions.Zstd.register(spark)
     graft.functions.CharsetDecode.register(spark)
     graft.functions.Bzip2.register(spark)
+    graft.functions.Xz.register(spark)
   }
 
   private def registered(): Unit =
@@ -289,7 +290,9 @@ object WebOps {
         when(col("codec") === "gzip", call_function("gunzip_all", col("__b")))
           .when(col("codec") === "zstd", call_function("zunstd_all", col("__b")))
           .when(col("codec") === "bz2",
-            call_function("bzip2_decompress", col("__b"))))
+            call_function("bzip2_decompress", col("__b")))
+          .when(col("codec") === "xz",
+            call_function("xz_decompress", col("__b"))))
       .withColumn("quarantined",
         col("codec") === "unknown" || col("__payload").isNull)
       .withColumn("n_records",

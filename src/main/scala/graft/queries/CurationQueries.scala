@@ -119,6 +119,23 @@ object CurationQueries extends QueryPack {
       DecontamOps.minhashOverlap(docs, "doc_id", "text", bench, "q",
         estMilliThreshold = 250)
         .orderBy(col("doc_id"))
+    }),
+
+    // T5-style span corruption with the derandomized span schedule
+    // (hash-offset span per full 20-token window, span length 3): one
+    // scan-side HOF projection, no explode, no shuffle below the
+    // ORDER BY. The oracle rebuilds both token streams string-for-
+    // string AND states the sentinel accounting identities as closed
+    // forms (|inputs| = n − 2w, |targets| = 4w + 1).
+    "text_span_corrupt" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.DenoisingOps.spanCorrupt(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_spans"),
+          size(col("inputs")).cast("long").as("n_inputs"),
+          size(col("targets")).cast("long").as("n_targets"),
+          md5(concat_ws(" ", col("inputs"))).as("inputs_md5"),
+          md5(concat_ws(" ", col("targets"))).as("targets_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -223,10 +240,51 @@ object CurationQueries extends QueryPack {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  private def spanCorruptOracle: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents),
+       |w AS (SELECT doc_id, ws, CAST(len(ws) // 20 AS INT) AS nw FROM tok),
+       |wins AS (SELECT doc_id, ws, nw,
+       |    unnest(generate_series(0, nw - 1)) AS wi
+       |  FROM w WHERE nw > 0),
+       |pieces AS (SELECT doc_id, wi,
+       |    array_to_string(
+       |      ws[20*wi+1 : 20*wi+o] ||
+       |      ['<extra_id_' || CAST(wi AS VARCHAR) || '>'] ||
+       |      ws[20*wi+o+4 : 20*wi+20], ' ') AS piece_in,
+       |    array_to_string(
+       |      ['<extra_id_' || CAST(wi AS VARCHAR) || '>'] ||
+       |      ws[20*wi+o+1 : 20*wi+o+3], ' ') AS piece_tg
+       |  FROM (SELECT doc_id, ws, wi,
+       |      CAST(('0x' || substr(md5('t5:' || CAST(doc_id AS VARCHAR)
+       |        || ':' || CAST(wi AS VARCHAR)), 1, 15))::BIGINT % 18 AS INT)
+       |        AS o
+       |    FROM wins)),
+       |agg AS (SELECT doc_id,
+       |    string_agg(piece_in, ' ' ORDER BY wi) AS body_in,
+       |    string_agg(piece_tg, ' ' ORDER BY wi) AS body_tg
+       |  FROM pieces GROUP BY doc_id),
+       |fin AS (SELECT t.doc_id, t.nw, len(t.ws) AS n,
+       |    CASE WHEN t.nw = 0 THEN array_to_string(t.ws, ' ')
+       |      WHEN t.nw * 20 < len(t.ws) THEN a.body_in || ' ' ||
+       |        array_to_string(t.ws[t.nw*20+1 : len(t.ws)], ' ')
+       |      ELSE a.body_in END AS instr,
+       |    CASE WHEN t.nw = 0 THEN '<extra_id_0>'
+       |      ELSE a.body_tg || ' <extra_id_' || CAST(t.nw AS VARCHAR) || '>'
+       |      END AS tgstr
+       |  FROM w t LEFT JOIN agg a USING (doc_id))
+       |SELECT doc_id, CAST(nw AS BIGINT) AS n_spans,
+       |  CAST(n - 2 * nw AS BIGINT) AS n_inputs,
+       |  CAST(4 * nw + 1 AS BIGINT) AS n_targets,
+       |  md5(instr) AS inputs_md5, md5(tgstr) AS targets_md5
+       |FROM fin ORDER BY doc_id""".stripMargin
+
   override val oracle: Map[String, String] = Map(
     "text_pii_detect" -> detectOracle,
     "text_pii_redact" -> redactOracle,
     "text_decontaminate" -> decontamOracle,
-    "text_decontaminate_fuzzy" -> fuzzyOracle
+    "text_decontaminate_fuzzy" -> fuzzyOracle,
+    "text_span_corrupt" -> spanCorruptOracle
   )
 }

@@ -121,6 +121,42 @@ object CurationQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // RELEASE DATASHEET — the per-source summary panel every corpus
+    // drop ships (docs/tokens, PII incidence on the planted fixture,
+    // benchmark contamination, exact-dup mass): one statement
+    // composing the round's gates, so the oracle certifies their
+    // interaction, not just each stage alone.
+    "corpus_datasheet" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val withPii = PiiOps.detect(
+        docs.select(col("doc_id"), col("source"), col("n_chars"),
+          col("text"), expr(fixtureSql(duck = false)).as("t")), "t")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+          col("pii_total"))
+      val bench = docs.where(col("doc_id") % 37 === 0)
+        .select(expr("concat_ws(' ', slice(regexp_extract_all(lower(text), " +
+          "'[a-z0-9]+', 0), 4, 12))").as("q"))
+      val dec = DecontamOps.ngramOverlap(docs, "doc_id", "text", bench, "q",
+        DecontamN).select(col("doc_id"), col("is_contaminated"))
+      val dupKeys = docs.groupBy(md5(col("text")).as("__k"))
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+        .select(col("__k"))
+      val flagged = withPii
+        .join(dec, Seq("doc_id"))
+        .join(dupKeys.hint("broadcast"), md5(col("text")) === col("__k"),
+          "left")
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("size(split(trim(lower(text)), '\\\\s+'))"))
+            .as("n_tokens"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(when(col("pii_total") > 0, 1L).otherwise(0L)).as("n_pii_docs"),
+          sum(when(col("is_contaminated"), 1L).otherwise(0L))
+            .as("n_contaminated"),
+          sum(when(col("__k").isNotNull, 1L).otherwise(0L)).as("n_exact_dup"))
+        .orderBy(col("source"))
+    }),
+
     // T5-style span corruption with the derandomized span schedule
     // (hash-offset span per full 20-token window, span length 3): one
     // scan-side HOF projection, no explode, no shuffle below the
@@ -280,7 +316,54 @@ object CurationQueries extends QueryPack {
        |  md5(instr) AS inputs_md5, md5(tgstr) AS targets_md5
        |FROM fin ORDER BY doc_id""".stripMargin
 
+  private def datasheetOracle: String = {
+    val n = DecontamN
+    val piiSum = Seq(
+      PiiOps.sql.shapeCount("t", PiiOps.sql.Email, duck = true),
+      PiiOps.sql.shapeCount("t", PiiOps.sql.Phone, duck = true),
+      PiiOps.sql.shapeCount("t", PiiOps.sql.Ssn, duck = true),
+      PiiOps.sql.ipv4ValidCount("t", duck = true),
+      PiiOps.sql.cardLuhnCount("t", duck = true),
+      PiiOps.sql.ibanValidCount("t", duck = true)).mkString(" + ")
+    s"""WITH px AS (SELECT doc_id, source, n_chars, text,
+       |    ${fixtureSql(duck = true)} AS t FROM documents),
+       |pii AS (SELECT doc_id, ($piiSum) AS pii_total FROM px),
+       |tok AS (SELECT doc_id,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS l
+       |  FROM documents),
+       |btok AS (SELECT regexp_extract_all(lower(
+       |    array_to_string(l[4:15], ' ')), '[a-z0-9]+', 0) AS l
+       |  FROM tok WHERE doc_id % 37 = 0),
+       |cg AS (SELECT DISTINCT doc_id,
+       |    md5(array_to_string(l[i:i+${n - 1}], ' ')) AS h
+       |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(l) - ${n - 1}))
+       |    AS i) g WHERE len(l) >= $n),
+       |bg AS (SELECT DISTINCT md5(array_to_string(l[i:i+${n - 1}], ' ')) AS h
+       |  FROM btok, LATERAL (SELECT unnest(generate_series(1, len(l) - ${n - 1}))
+       |    AS i) g WHERE len(l) >= $n),
+       |hits AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (h)),
+       |dup AS (SELECT md5(text) AS k FROM documents
+       |  GROUP BY 1 HAVING count(*) > 1)
+       |SELECT d.source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(string_split_regex(trim(lower(d.text)), '\\s+')))
+       |    AS BIGINT) AS n_tokens,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(CASE WHEN p.pii_total > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pii_docs,
+       |  CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_contaminated,
+       |  CAST(sum(CASE WHEN u.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact_dup
+       |FROM documents d
+       |JOIN pii p USING (doc_id)
+       |LEFT JOIN hits h USING (doc_id)
+       |LEFT JOIN dup u ON u.k = md5(d.text)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   override val oracle: Map[String, String] = Map(
+    "corpus_datasheet" -> datasheetOracle,
     "text_pii_detect" -> detectOracle,
     "text_pii_redact" -> redactOracle,
     "text_decontaminate" -> decontamOracle,

@@ -157,6 +157,20 @@ object CurationQueries extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // UL2 mixture-of-denoisers: R (span 3 / window 20), X (span 8 /
+    // window 16), S (prefix-LM split) drawn per doc from the id hash.
+    // The oracle replays all three branches and the draw.
+    "text_ul2_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.DenoisingOps.ul2Mixture(docs, "doc_id", "text")
+        .select(col("doc_id"), col("denoiser"), col("n_spans"),
+          size(col("inputs")).cast("long").as("n_inputs"),
+          size(col("targets")).cast("long").as("n_targets"),
+          md5(concat_ws(" ", col("inputs"))).as("inputs_md5"),
+          md5(concat_ws(" ", col("targets"))).as("targets_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T5-style span corruption with the derandomized span schedule
     // (hash-offset span per full 20-token window, span length 3): one
     // scan-side HOF projection, no explode, no shuffle below the
@@ -362,8 +376,91 @@ object CurationQueries extends QueryPack {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  /** Parameterized span-corruption replay chain ending in CTE
+    * `${p}fin(doc_id, nw, n, instr, tgstr)` over docs where the
+    * denoiser draw (CTE `dns(doc_id, ws, d)`) equals `dsel`.
+    */
+  private def spanChainSql(p: String, spanLen: Int, window: Int,
+                           salt: String, dsel: Int): String = {
+    val legal = window - spanLen + 1
+    s"""${p}wins AS (SELECT doc_id, ws, CAST(len(ws) // $window AS INT) AS nw,
+       |    unnest(generate_series(0, CAST(len(ws) // $window AS INT) - 1))
+       |      AS wi
+       |  FROM dns WHERE d = $dsel AND len(ws) >= $window),
+       |${p}pieces AS (SELECT doc_id, wi,
+       |    array_to_string(
+       |      ws[$window*wi+1 : $window*wi+o] ||
+       |      ['<extra_id_' || CAST(wi AS VARCHAR) || '>'] ||
+       |      ws[$window*wi+o+${spanLen + 1} : $window*wi+$window], ' ')
+       |      AS piece_in,
+       |    array_to_string(
+       |      ['<extra_id_' || CAST(wi AS VARCHAR) || '>'] ||
+       |      ws[$window*wi+o+1 : $window*wi+o+$spanLen], ' ') AS piece_tg
+       |  FROM (SELECT doc_id, ws, wi,
+       |      CAST(('0x' || substr(md5('$salt' ||
+       |        CAST(doc_id AS VARCHAR) || ':' ||
+       |        CAST(wi AS VARCHAR)), 1, 15))::BIGINT % $legal
+       |        AS INT) AS o
+       |    FROM ${p}wins)),
+       |${p}agg AS (SELECT doc_id,
+       |    string_agg(piece_in, ' ' ORDER BY wi) AS body_in,
+       |    string_agg(piece_tg, ' ' ORDER BY wi) AS body_tg
+       |  FROM ${p}pieces GROUP BY doc_id),
+       |${p}fin AS (SELECT t.doc_id,
+       |    CAST(len(t.ws) // $window AS INT) AS nw, len(t.ws) AS n,
+       |    CASE WHEN len(t.ws) < $window THEN array_to_string(t.ws, ' ')
+       |      WHEN (len(t.ws) // $window) * $window < len(t.ws)
+       |        THEN a.body_in || ' ' || array_to_string(
+       |          t.ws[(len(t.ws) // $window) * $window + 1 : len(t.ws)], ' ')
+       |      ELSE a.body_in END AS instr,
+       |    CASE WHEN len(t.ws) < $window THEN '<extra_id_0>'
+       |      ELSE a.body_tg || ' <extra_id_' ||
+       |        CAST(len(t.ws) // $window AS VARCHAR) || '>' END AS tgstr
+       |  FROM dns t LEFT JOIN ${p}agg a USING (doc_id)
+       |  WHERE t.d = $dsel)""".stripMargin
+  }
+
+  private def ul2Oracle: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents),
+       |dns AS (SELECT doc_id, ws,
+       |    ('0x' || substr(md5('ul2:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       |      ::BIGINT % 3 AS d
+       |  FROM tok),
+       |${spanChainSql("r_", 3, 20, "ul2:r:", 0)},
+       |${spanChainSql("x_", 8, 16, "ul2:x:", 1)},
+       |s_fin AS (SELECT doc_id, len(ws) AS n,
+       |    CASE WHEN len(ws) >= 2 THEN CAST(
+       |      ('0x' || substr(md5('ul2:s:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       |        ::BIGINT % (len(ws) - 1) + 1 AS INT)
+       |      ELSE len(ws) END AS p, ws
+       |  FROM dns WHERE d = 2),
+       |s_str AS (SELECT doc_id, n, p,
+       |    array_to_string(ws[1:p], ' ') || ' <extra_id_0>' AS instr,
+       |    CASE WHEN p < n THEN '<extra_id_0> ' ||
+       |        array_to_string(ws[p+1:n], ' ') || ' <extra_id_1>'
+       |      ELSE '<extra_id_0> <extra_id_1>' END AS tgstr
+       |  FROM s_fin)
+       |SELECT doc_id, 'R' AS denoiser, CAST(nw AS BIGINT) AS n_spans,
+       |  CAST(n - 2 * nw AS BIGINT) AS n_inputs,
+       |  CAST(4 * nw + 1 AS BIGINT) AS n_targets,
+       |  md5(instr) AS inputs_md5, md5(tgstr) AS targets_md5
+       |FROM r_fin
+       |UNION ALL
+       |SELECT doc_id, 'X', CAST(nw AS BIGINT),
+       |  CAST(n - 7 * nw AS BIGINT), CAST(9 * nw + 1 AS BIGINT),
+       |  md5(instr), md5(tgstr)
+       |FROM x_fin
+       |UNION ALL
+       |SELECT doc_id, 'S', 1, CAST(p + 1 AS BIGINT),
+       |  CAST(n - p + 2 AS BIGINT), md5(instr), md5(tgstr)
+       |FROM s_str
+       |ORDER BY doc_id""".stripMargin
+
   override val oracle: Map[String, String] = Map(
     "corpus_datasheet" -> datasheetOracle,
+    "text_ul2_mixture" -> ul2Oracle,
     "text_pii_detect" -> detectOracle,
     "text_pii_redact" -> redactOracle,
     "text_decontaminate" -> decontamOracle,

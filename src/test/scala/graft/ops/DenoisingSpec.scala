@@ -44,6 +44,41 @@ class DenoisingSpec extends SparkSuite {
     }
   }
 
+  test("ul2 mixture: every denoiser class appears and reconstructs losslessly") {
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(120)
+    val rows = DenoisingOps.ul2Mixture(docs, "doc_id", "text")
+      .select(col("doc_id"), col("denoiser"),
+        expr("split(trim(lower(text)), '\\\\s+')").as("orig"),
+        col("inputs"), col("targets"))
+      .collect()
+    val byClass = rows.groupBy(_.getString(1))
+    assert(Set("R", "X", "S").subsetOf(byClass.keySet), byClass.keySet.toString)
+    for (r <- rows) {
+      val orig = r.getSeq[String](2)
+      val in = r.getSeq[String](3)
+      val tg = r.getSeq[String](4)
+      r.getString(1) match {
+        case "S" =>
+          // inputs = prefix ++ s0; targets = s0 ++ suffix ++ s1
+          assert(in.last == "<extra_id_0>")
+          assert(tg.head == "<extra_id_0>" && tg.last == "<extra_id_1>")
+          assert(in.dropRight(1) ++ tg.drop(1).dropRight(1) == orig,
+            s"doc ${r.getLong(0)} S reconstruct")
+        case _ =>
+          assert(reconstruct(in, tg) == orig,
+            s"doc ${r.getLong(0)} ${r.getString(1)} reconstruct")
+      }
+    }
+    // X masks a strictly larger token fraction than R on long docs
+    val longDocs = rows.filter(_.getSeq[String](2).length >= 80)
+    val frac = (r: org.apache.spark.sql.Row) =>
+      1.0 - r.getSeq[String](3).length.toDouble / r.getSeq[String](2).length
+    val rAvg = longDocs.filter(_.getString(1) == "R").map(frac)
+    val xAvg = longDocs.filter(_.getString(1) == "X").map(frac)
+    if (rAvg.nonEmpty && xAvg.nonEmpty)
+      assert(xAvg.sum / xAvg.length > rAvg.sum / rAvg.length)
+  }
+
   test("short documents pass through with a bare final sentinel") {
     import spark.implicits._
     val df = Seq((1L, "only seven tokens are in this doc")).toDF("doc_id", "text")

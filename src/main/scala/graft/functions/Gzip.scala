@@ -71,6 +71,11 @@ object Gzip {
           b(3) >= '1' && b(3) <= '9') "bz2"
       else if (b.length >= 6 && (b(0) & 0xff) == 0xfd && b(1) == '7' &&
           b(2) == 'z' && b(3) == 'X' && b(4) == 'Z' && b(5) == 0) "xz"
+      else if (b.length >= 4 && (b(0) & 0xff) == 0x04 && (b(1) & 0xff) == 0x22 &&
+          (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18) "lz4"
+      else if (b.length >= 10 && (b(0) & 0xff) == 0xff && b(1) == 6 &&
+          b(2) == 0 && b(3) == 0 && b(4) == 's' && b(5) == 'N' &&
+          b(6) == 'a' && b(7) == 'P' && b(8) == 'p' && b(9) == 'Y') "snappy"
       else "unknown"
     org.apache.spark.unsafe.types.UTF8String.fromString(name)
   }

@@ -40,6 +40,8 @@ object WebOps {
     graft.functions.CharsetDecode.register(spark)
     graft.functions.Bzip2.register(spark)
     graft.functions.Xz.register(spark)
+    graft.functions.Lz4.register(spark)
+    graft.functions.Snappy.register(spark)
   }
 
   private def registered(): Unit =
@@ -292,7 +294,11 @@ object WebOps {
           .when(col("codec") === "bz2",
             call_function("bzip2_decompress", col("__b")))
           .when(col("codec") === "xz",
-            call_function("xz_decompress", col("__b"))))
+            call_function("xz_decompress", col("__b")))
+          .when(col("codec") === "lz4",
+            call_function("lz4_decompress", col("__b")))
+          .when(col("codec") === "snappy",
+            call_function("snappy_decompress", col("__b"))))
       .withColumn("quarantined",
         col("codec") === "unknown" || col("__payload").isNull)
       .withColumn("n_records",

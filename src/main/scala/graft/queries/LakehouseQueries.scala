@@ -50,6 +50,151 @@ object LakehouseQueries extends QueryPack {
     path
   }
 
+  /** TFRecord shard fixtures (tools/gen_tfrecord_fixtures.py —
+    * from-polynomial CRC32C, independent of the decoder's JDK
+    * implementation) plus a deliberately torn copy. */
+  private val tfrecordFixtures = Seq(
+    ("three_examples",
+      "2800000000000000FF70164A70726574656E642073657269616C697A65642074662E4578616D706C65206E756D626572" +
+      "206F6E654FD640A90004000000000000683E399103FB43CA34A35F55B9F9533268E5C6E9BB3B4758E53EFB529D9B8BB3" +
+      "CDE60D969F876998390F348B7F75BC86ECB16D39E5DAEDBA01353209CF02E0FDBB0659F5E34313E13FFBA4CA631EDD9C" +
+      "B2D63BEBE41745F1BD0BDCE8B5FFA39B1E5049996FD1C6DFB167F550CA120914B1E5B10C740E5AE5E8A1A88D4637DD6B" +
+      "E3D5A163DF286630FAD8242627E3B85DA2B9A4271CFD0B7E0AF1960CA7A0FF4CBF95E0ED024ABC30909DB998D372AC34" +
+      "B3E2AAD6A739CD48AB950CA1419B46D92226F3569F7E7CE0819E1C1E724798A4B28814D424A9F49122D06AE0648FA3AF" +
+      "A2E16B99AA0ACB477E9D6BD6C96C448AB7D9608E5DC1760EE01A206965FF1E2BE6833357066B404E6F07CD6B1EC43194" +
+      "55F33232DCF52FF8412443133323BBAA1760C231C00D6E2576394A8F17E3C0C14546C44361B8A8ADD668A1A57F02DF50" +
+      "CB05D490CD88E62584461CE7136AD3659486DFA7E5F35BD6322A57FE4E0D374170639BFB4653BB2B6348887D08DEF9A8" +
+      "4E0D4E3A11FD78033807E7CF203419663B7879E826038A82432131B1E2020C86AEC8D4DF411429CDE8FBC9C584826DB2" +
+      "997A2E0B8700FE3BC6C9EDAC5FB05A53C99D9F0FFC595A77ABEB863D3D3511D9117C95285EBFD5148F15194B6B2E48B9" +
+      "BA5840EEF345FA1221AE4777D956BB9BBF9AD264B87C62D75000719AFE10783B53101DD780A4C6196D97EE41D1D5627F" +
+      "35A10B167873963A517562BA7A876F3646116A719E0D8596057AAA2F261E2116EF389C17949586438597E25A8641B860" +
+      "D148983D6BDED5C2FB3B0B467B359CBD3D8ACC97D1C86926118AC1A569BD89CAF32751A925B26D25CAD29733B64EE7DB" +
+      "B26D0367009A26A65DBF82B2EF2BEA640E14E7A2A059E236A7D7E3F41CE5E6A50F0C7BD1BD7E52F89DB5AC77BDBB59F9" +
+      "1C4A4DA14C54EB804C882012ED5A395EB1117CE3A981B725E24EA4393380EFB15A4A8940ADCD28404357384D7F069B17" +
+      "7E4E09462B875DE5A48BFE7EC8C2031872C0AB4959106785B5ED60CADFD7CAF153E31C8BA7020807D0E1527DE6DA5395" +
+      "2EED4247758267D4B7B72BCDEE68EBDEEEE956FC402B425057F8950D488CA6749D8E5198B11E1D4818EE20E1F99972E2" +
+      "5F9E38EE16BAE0D737FAE81AD9DBF162C849C2FEC96B7C31AA20D38FDCAC80D4F109D493FD2403EE0B5CF2960A6AFE6F" +
+      "DA905DAE7BF5B8381339748A9AD6CF9E99250549C04BA17C1724B4E4B94D9091CE123DE40B480BFE190AE7657E6214FF" +
+      "E48C236DD9C189E5D7B2DCD1856608A09D9DC4F13D65F73D6E575BC1B543E4CD649A37AAB37AE763060C9BFFB04088DE" +
+      "EC8B10CFD0C2146AFF5B59FE6E2D1AB49920B2CA630749EE34A6FBDA7D649BF333A7F22F7EBC49D7BED25F6F7434BA76" +
+      "6281A10BE8502697CAA9B30407315A6D739C600B79939C50F185F3054CDD5AB1EB6761EB1AC77B3A0000000000000000" +
+      "29039807D8EA82A2"),
+    ("many_small",
+      "0D000000000000003C37B8347265632030207061796C6F6164B66D4C3B0D000000000000003C37B83472656320312070" +
+      "61796C6F61647B55DBD60D000000000000003C37B8347265632032207061796C6F6164D5448DCE0D000000000000003C" +
+      "37B8347265632033207061796C6F6164589C1E230D000000000000003C37B8347265632034207061796C6F6164192A31" +
+      "BF0D000000000000003C37B8347265632035207061796C6F616414C2C2520D000000000000003C37B834726563203620" +
+      "7061796C6F61643ACFF04A0D000000000000003C37B8347265632037207061796C6F6164F7F67EA70D00000000000000" +
+      "3C37B8347265632038207061796C6F616411DD69200D000000000000003C37B8347265632039207061796C6F61641C05" +
+      "FA730E00000000000000C5E5693F726563203130207061796C6F61648B39C6620E00000000000000C5E5693F72656320" +
+      "3131207061796C6F6164A691550F0E00000000000000C5E5693F726563203132207061796C6F6164688003170E000000" +
+      "00000000C5E5693F726563203133207061796C6F6164C568947A0E00000000000000C5E5693F72656320313420706179" +
+      "6C6F616404DEA7E60E00000000000000C5E5693F726563203135207061796C6F61642906388B0E00000000000000C5E5" +
+      "693F726563203136207061796C6F6164E7126A930E00000000000000C5E5693F726563203137207061796C6F61644AAB" +
+      "F9FE0E00000000000000C5E5693F726563203138207061796C6F61642C29EFC70E00000000000000C5E5693F72656320" +
+      "3139207061796C6F616401C1802C0E00000000000000C5E5693F726563203230207061796C6F616476E902D70E000000" +
+      "00000000C5E5693F726563203231207061796C6F6164BB01713B0E00000000000000C5E5693F72656320323220706179" +
+      "6C6F616495103F230E00000000000000C5E5693F726563203233207061796C6F616498B8B0CE0E00000000000000C5E5" +
+      "693F726563203234207061796C6F6164D92D9B520E00000000000000C5E5693F726563203235207061796C6F61645496" +
+      "0CBF0E00000000000000C5E5693F726563203236207061796C6F6164FA825EA70E00000000000000C5E5693F72656320" +
+      "3237207061796C6F6164375BCD4A0E00000000000000C5E5693F726563203238207061796C6F61645179D3730E000000" +
+      "00000000C5E5693F726563203239207061796C6F6164DC5044200E00000000000000C5E5693F72656320333020706179" +
+      "6C6F61640A53B7650E00000000000000C5E5693F726563203331207061796C6F6164276B28120E00000000000000C5E5" +
+      "693F726563203332207061796C6F6164E99D7A1A0E00000000000000C5E5693F726563203333207061796C6F61644446" +
+      "E97D0E00000000000000C5E5693F726563203334207061796C6F616485C0D6E90E00000000000000C5E5693F72656320" +
+      "3335207061796C6F6164A828458E0E00000000000000C5E5693F726563203336207061796C6F616466F912960E000000" +
+      "00000000C5E5693F726563203337207061796C6F6164CBD184010E00000000000000C5E5693F72656320333820706179" +
+      "6C6F6164AD039EC80E00000000000000C5E5693F726563203339207061796C6F616480DB0D2D0E00000000000000C5E5" +
+      "693F726563203430207061796C6F61649D89897E0E00000000000000C5E5693F726563203431207061796C6F61649061" +
+      "1A130E00000000000000C5E5693F726563203432207061796C6F6164BE30480B0E00000000000000C5E5693F72656320" +
+      "3433207061796C6F61647398D7660E00000000000000C5E5693F726563203434207061796C6F6164320EE4FA0E000000" +
+      "00000000C5E5693F726563203435207061796C6F6164FFB573970E00000000000000C5E5693F72656320343620706179" +
+      "6C6F616451E3258F0E00000000000000C5E5693F726563203437207061796C6F6164DCFAB5E20E00000000000000C5E5" +
+      "693F726563203438207061796C6F6164FAD8ACDB0E00000000000000C5E5693F726563203439207061796C6F616437F1" +
+      "3A38"),
+    ("torn",
+      "2800000000000000FF70164A70726574656E642072657269616C697A65642074662E4578616D706C65206E756D626572" +
+      "206F6E654FD640A90004000000000000683E399103FB43CA34A35F55B9F9533268E5C6E9BB3B4758E53EFB529D9B8BB3" +
+      "CDE60D969F876998390F348B7F75BC86ECB16D39E5DAEDBA01353209CF02E0FDBB0659F5E34313E13FFBA4CA631EDD9C" +
+      "B2D63BEBE41745F1BD0BDCE8B5FFA39B1E5049996FD1C6DFB167F550CA120914B1E5B10C740E5AE5E8A1A88D4637DD6B" +
+      "E3D5A163DF286630FAD8242627E3B85DA2B9A4271CFD0B7E0AF1960CA7A0FF4CBF95E0ED024ABC30909DB998D372AC34" +
+      "B3E2AAD6A739CD48AB950CA1419B46D92226F3569F7E7CE0819E1C1E724798A4B28814D424A9F49122D06AE0648FA3AF" +
+      "A2E16B99AA0ACB477E9D6BD6C96C448AB7D9608E5DC1760EE01A206965FF1E2BE6833357066B404E6F07CD6B1EC43194" +
+      "55F33232DCF52FF8412443133323BBAA1760C231C00D6E2576394A8F17E3C0C14546C44361B8A8ADD668A1A57F02DF50" +
+      "CB05D490CD88E62584461CE7136AD3659486DFA7E5F35BD6322A57FE4E0D374170639BFB4653BB2B6348887D08DEF9A8" +
+      "4E0D4E3A11FD78033807E7CF203419663B7879E826038A82432131B1E2020C86AEC8D4DF411429CDE8FBC9C584826DB2" +
+      "997A2E0B8700FE3BC6C9EDAC5FB05A53C99D9F0FFC595A77ABEB863D3D3511D9117C95285EBFD5148F15194B6B2E48B9" +
+      "BA5840EEF345FA1221AE4777D956BB9BBF9AD264B87C62D75000719AFE10783B53101DD780A4C6196D97EE41D1D5627F" +
+      "35A10B167873963A517562BA7A876F3646116A719E0D8596057AAA2F261E2116EF389C17949586438597E25A8641B860" +
+      "D148983D6BDED5C2FB3B0B467B359CBD3D8ACC97D1C86926118AC1A569BD89CAF32751A925B26D25CAD29733B64EE7DB" +
+      "B26D0367009A26A65DBF82B2EF2BEA640E14E7A2A059E236A7D7E3F41CE5E6A50F0C7BD1BD7E52F89DB5AC77BDBB59F9" +
+      "1C4A4DA14C54EB804C882012ED5A395EB1117CE3A981B725E24EA4393380EFB15A4A8940ADCD28404357384D7F069B17" +
+      "7E4E09462B875DE5A48BFE7EC8C2031872C0AB4959106785B5ED60CADFD7CAF153E31C8BA7020807D0E1527DE6DA5395" +
+      "2EED4247758267D4B7B72BCDEE68EBDEEEE956FC402B425057F8950D488CA6749D8E5198B11E1D4818EE20E1F99972E2" +
+      "5F9E38EE16BAE0D737FAE81AD9DBF162C849C2FEC96B7C31AA20D38FDCAC80D4F109D493FD2403EE0B5CF2960A6AFE6F" +
+      "DA905DAE7BF5B8381339748A9AD6CF9E99250549C04BA17C1724B4E4B94D9091CE123DE40B480BFE190AE7657E6214FF" +
+      "E48C236DD9C189E5D7B2DCD1856608A09D9DC4F13D65F73D6E575BC1B543E4CD649A37AAB37AE763060C9BFFB04088DE" +
+      "EC8B10CFD0C2146AFF5B59FE6E2D1AB49920B2CA630749EE34A6FBDA7D649BF333A7F22F7EBC49D7BED25F6F7434BA76" +
+      "6281A10BE8502697CAA9B30407315A6D739C600B79939C50F185F3054CDD5AB1EB6761EB1AC77B3A0000000000000000" +
+      "29039807D8EA82A2"),
+  )
+
+  private val tfrecordPinnedSql = Seq(
+    "('three_examples', 0, 40, 'b167dceda13cf6f0eaad025fa8c4940b'),",
+    "('three_examples', 1, 1024, 'fe83edd3da6f1fd17f555318e60c67b0'),",
+    "('three_examples', 2, 0, 'd41d8cd98f00b204e9800998ecf8427e'),",
+    "('many_small', 0, 13, '4a2ced83dcae97077f39226426a249e3'),",
+    "('many_small', 1, 13, '0cfceafebfb1f2e299baf8b64984ffe4'),",
+    "('many_small', 2, 13, '3deb92975e01789e70ae5e5eb315a3e5'),",
+    "('many_small', 3, 13, '4b6ecb92e8ff5e95a506682869077572'),",
+    "('many_small', 4, 13, 'd5a045c2cd2e73af03b31985323f543b'),",
+    "('many_small', 5, 13, '47fbd9bcf1f6ce67ee8afab8c566d096'),",
+    "('many_small', 6, 13, '6ca486fba2264788e99efba83e5124f5'),",
+    "('many_small', 7, 13, '214b7630616dbbdc57ad72c339793c72'),",
+    "('many_small', 8, 13, '70f98a607e45614080e57361c905a401'),",
+    "('many_small', 9, 13, '3dc29b3bcf8c470595c15169f80894cc'),",
+    "('many_small', 10, 14, '7d2b930489989c09cdeea32592520cbe'),",
+    "('many_small', 11, 14, '3387837326b5c9c36cda11bcce9e834a'),",
+    "('many_small', 12, 14, '2fe4e9f2c1a068f6fc293e9b36ff13f3'),",
+    "('many_small', 13, 14, 'cece877d4c550f7f7687a809c2bb5793'),",
+    "('many_small', 14, 14, 'e556cb67fb97622aa519d3bee4c8400f'),",
+    "('many_small', 15, 14, '8ac3c6037e4f8460dbfff67118c321c2'),",
+    "('many_small', 16, 14, '0ddfab821b4a42804a0f7027aef40460'),",
+    "('many_small', 17, 14, '94a8f6ebbed618683154a9982ea491fd'),",
+    "('many_small', 18, 14, '959294557ce120b06e47275b7e1c8452'),",
+    "('many_small', 19, 14, 'c3156a281033866cabe0eb8a99640295'),",
+    "('many_small', 20, 14, '16e9cb39692a86ced98309e102177688'),",
+    "('many_small', 21, 14, 'b4164f65746e4d3a2dfa02990f1f6602'),",
+    "('many_small', 22, 14, 'b48a1ff92a4f04364ee82e516cb4a32d'),",
+    "('many_small', 23, 14, '60c07ce8372e9d4a7f6a06e79550347e'),",
+    "('many_small', 24, 14, 'bfc9138f413d489bd45d13779b77bb3c'),",
+    "('many_small', 25, 14, 'ea8d9375b4d4bed6b793454465216938'),",
+    "('many_small', 26, 14, 'b554cbec574834f6c5effdfe1c40a143'),",
+    "('many_small', 27, 14, 'e13a44ab8160a7729b97b398895dcb94'),",
+    "('many_small', 28, 14, '0ff445000b95939727d552f0d9c53d7b'),",
+    "('many_small', 29, 14, 'aceeac8515f9276f9e136702186495b0'),",
+    "('many_small', 30, 14, '0abdf1039a7e38bf1452a3a1696f4a83'),",
+    "('many_small', 31, 14, 'cd4d2c186805ac18e1ddc56400899805'),",
+    "('many_small', 32, 14, '7fc364dba39081166c3dd3117c0ce2db'),",
+    "('many_small', 33, 14, 'e87e4557f876344a2baa39269e28bd36'),",
+    "('many_small', 34, 14, 'b22b1def32d266325c5297a68feb2893'),",
+    "('many_small', 35, 14, 'd78a05e3bfc99a4af24d01cf0ff809ad'),",
+    "('many_small', 36, 14, 'c9759c9606d713da3cbb37288b39122d'),",
+    "('many_small', 37, 14, 'c0f030b3b925947d60d0aa9e748fdc07'),",
+    "('many_small', 38, 14, 'a09b63a473ac449387536b5a315f600e'),",
+    "('many_small', 39, 14, '5fe0a72d68d7120889203fb0d6b9472e'),",
+    "('many_small', 40, 14, '37a8e1862d08ca4a5c4eb3d460ee6379'),",
+    "('many_small', 41, 14, 'e03f246966d73313062880f253b1de91'),",
+    "('many_small', 42, 14, '60cabeb29749bd656b4df7254409aaa9'),",
+    "('many_small', 43, 14, '3069edefe4dbd7549d3c23396028fe83'),",
+    "('many_small', 44, 14, '8857fae34173789540d35ee1f17370ac'),",
+    "('many_small', 45, 14, '78398ea3afb48901b79e741bde653836'),",
+    "('many_small', 46, 14, '35b291295d67f628922ac7c4c6582508'),",
+    "('many_small', 47, 14, 'd3f06568f5024d2826ee9e878c158593'),",
+    "('many_small', 48, 14, 'a929f469b2cfcc33c9ca6ac1c908c88c'),",
+    "('many_small', 49, 14, 'f42cef4837b55599b8900d1c3641a51b'),",
+    "('torn', -1, -1, '(refused)')").mkString(" ")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TIME-TRAVEL READ (SnapshotOps.readVersion): table@1 and table@2
@@ -70,6 +215,24 @@ object LakehouseQueries extends QueryPack {
           .select(lit(v.toLong).as("version"), col("n_docs"),
             col("sum_ids"), col("sum_chars"))
       agg(1).unionAll(agg(2)).orderBy(col("version"))
+    }),
+
+    // TFRecord SHARD INVENTORY — the TensorFlow training-shard
+    // framing walked scan-side (u64 length + masked-CRC32C pairs, the
+    // JDK CRC32C vs the generator's from-polynomial table): per-record
+    // (idx, size, md5) rows, and a torn shard quarantining WHOLE as a
+    // single refused row, never a silent prefix.
+    "src_tfrecord_audit" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.TfRecord.register(s)
+      tfrecordFixtures.toDF("src", "hex")
+        .select(col("src"), explode_outer(
+          expr("tfrecord_entries(unhex(hex))")).as("e"))
+        .select(col("src"),
+          coalesce(col("e.idx"), lit(-1)).cast("long").as("idx"),
+          coalesce(col("e.n_bytes"), lit(-1L)).as("n_bytes"),
+          coalesce(col("e.payload_md5"), lit("(refused)")).as("payload_md5"))
+        .orderBy(col("src"), col("idx"))
     }),
 
     // SCD TYPE-2 HISTORY (SnapshotOps.scd2History): the
@@ -370,6 +533,12 @@ object LakehouseQueries extends QueryPack {
         |FROM documents
         |WHERE (doc_id % 3 <> 2 AND doc_id % 4 <> 1) OR doc_id % 3 = 2
         |ORDER BY version""".stripMargin,
+
+    "src_tfrecord_audit" ->
+      s"""SELECT src, CAST(idx AS BIGINT) AS idx,
+         |  CAST(n_bytes AS BIGINT) AS n_bytes, payload_md5
+         |FROM (VALUES $tfrecordPinnedSql) t(src, idx, n_bytes, payload_md5)
+         |ORDER BY src, idx""".stripMargin,
 
     // the same union-of-events + keyed lead() fold, replayed in SQL
     "src_scd2_history" ->

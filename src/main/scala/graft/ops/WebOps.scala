@@ -283,6 +283,40 @@ object WebOps {
     * `sum(quarantined)` ≠ 0 is the signal a 100 TB ingest must ALERT on
     * rather than quietly processing the subset it could read.
     */
+  /** WebDataset sample grouping — the tar-of-samples multimodal shard
+    * layout: members sharing a basename STEM (everything before the
+    * first dot — `000.jpg` / `000.txt` / `000.json`) form one training
+    * sample; extensions are the modality keys. Emits one row per
+    * sample with its sorted extension set, byte total, and a
+    * completeness flag against `requiredExts` — the shard-QA view that
+    * catches half-written samples before a loader 404s mid-epoch.
+    *
+    * Scale shape: one scan-side tar walk + explode per shard, one
+    * aggregation keyed (shard, stem) — shards are independent tasks.
+    */
+  def webdatasetSamples(shards: DataFrame, idCol: Column, blob: Column,
+                        requiredExts: Seq[String]): DataFrame = {
+    registered()
+    graft.functions.TarWalk.register(
+      SparkSession.getActiveSession.getOrElse(shards.sparkSession))
+    shards
+      .select(idCol.as("shard_id"),
+        explode(call_function("tar_entries", blob)).as("__e"))
+      .where(col("__e.typeflag") === "0")
+      .select(col("shard_id"),
+        regexp_extract(col("__e.name"), "^([^.]*)", 1).as("sample_key"),
+        expr("substring(__e.name, length(regexp_extract(__e.name, " +
+          "'^([^.]*)', 1)) + 2)").as("__ext"),
+        col("__e.size").as("__sz"))
+      .groupBy(col("shard_id"), col("sample_key"))
+      .agg(sort_array(collect_list(col("__ext"))).as("extensions"),
+        count(lit(1)).cast("long").as("n_parts"),
+        sum(col("__sz")).as("n_bytes"))
+      .withColumn("complete",
+        requiredExts.map(e => array_contains(col("extensions"), e))
+          .reduce(_ && _))
+  }
+
   def segmentAudit(files: DataFrame, idCol: Column, blob: Column): DataFrame = {
     registered()
     files

@@ -15,6 +15,21 @@ class PlanAuditSpec extends SparkSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("round-14 curation/lakehouse queries: no cartesian, no nested-loop join") {
+    Seq("corpus_datasheet", "src_scd2_history", "text_ul2_mixture",
+      "text_span_corrupt", "src_tfrecord_audit", "web_webdataset_group",
+      "mm_audio_msadpcm_pcm", "mm_image_rgb_stats").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+    // SCD2's only window must carry the id key, never global
+    val scd = planOf("src_scd2_history")
+    scd.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("doc_id"), s"SCD2 window lost its id key: $l"))
+  }
+
   test("near-dup pair generation never plans a cartesian product") {
     Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_hamming",
       "dedup_embed_cosine", "dedup_substring_runs", "dedup_semdedup",

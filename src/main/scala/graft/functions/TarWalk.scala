@@ -165,32 +165,44 @@ object TarWalk {
   /** Deterministic single-member tar around the bytes (name `doc.txt`,
     * mode 0644, uid/gid 0, mtime 0, ustar 00).
     */
-  def pack(data: Array[Byte]): Array[Byte] = {
-    val blocks = ((data.length + 511) / 512)
-    val out = new Array[Byte](512 + blocks * 512 + 1024)
-    def put(off: Int, s: String): Unit = {
-      val b = s.getBytes("US-ASCII")
-      System.arraycopy(b, 0, out, off, b.length)
+  def pack(data: Array[Byte]): Array[Byte] =
+    packAll(Seq("doc.txt" -> data))
+
+  /** Deterministic multi-member ustar archive (mode 0644, uid/gid 0,
+    * mtime 0) — member order preserved; names ≤ 100 bytes.
+    */
+  def packAll(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val total = members.map { case (_, d) =>
+      512 + ((d.length + 511) / 512) * 512 }.sum
+    val out = new Array[Byte](total + 1024)
+    var at = 0
+    for ((name, data) <- members) {
+      require(name.getBytes("UTF-8").length <= 100, s"name too long: $name")
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes("US-ASCII")
+        System.arraycopy(b, 0, out, at + off, b.length)
+      }
+      put(0, name)
+      put(100, "0000644")
+      put(108, "0000000")
+      put(116, "0000000")
+      put(124, f"${data.length.toLong}%011o")
+      put(136, "00000000000")
+      out(at + 156) = '0'
+      put(257, "ustar")
+      out(at + 262) = 0
+      put(263, "00")
+      // checksum over the header with the checksum field as spaces
+      java.util.Arrays.fill(out, at + 148, at + 156, ' '.toByte)
+      var sum = 0L
+      var i = 0
+      while (i < 512) { sum += out(at + i) & 0xff; i += 1 }
+      put(148, f"$sum%06o")
+      out(at + 154) = 0
+      out(at + 155) = ' '
+      System.arraycopy(data, 0, out, at + 512, data.length)
+      at += 512 + ((data.length + 511) / 512) * 512
     }
-    put(0, "doc.txt")
-    put(100, "0000644")
-    put(108, "0000000")
-    put(116, "0000000")
-    put(124, f"${data.length.toLong}%011o")
-    put(136, "00000000000")
-    out(156) = '0'
-    put(257, "ustar")
-    out(262) = 0
-    put(263, "00")
-    // checksum over the header with the checksum field as spaces
-    java.util.Arrays.fill(out, 148, 156, ' '.toByte)
-    var sum = 0L
-    var i = 0
-    while (i < 512) { sum += out(i) & 0xff; i += 1 }
-    put(148, f"$sum%06o")
-    out(154) = 0
-    out(155) = ' '
-    System.arraycopy(data, 0, out, 512, data.length)
     out
   }
 }

@@ -246,7 +246,14 @@ object Xz {
       var p = start
       val dict = new Dict(out)
       var st: LzmaState = null
-      var propsSeen = false
+      // Last-seen props survive uncompressed chunks: liblzma emits a
+      // state-reset-only chunk (reset mode 1, props reused) after an
+      // uncompressed chunk, so (lc, lp, pb) must be retained even when
+      // the probability state itself is discarded.
+      var havProps = false
+      var lcProp = 0
+      var lpProp = 0
+      var pbProp = 0
       var needDictReset = true
       while (true) {
         if (p >= b.length) fail()
@@ -281,10 +288,11 @@ object Xz {
             val lp = rem % 5
             val pb = rem / 5
             if (pb > 4 || lc + lp > 4) fail()
+            lcProp = lc; lpProp = lp; pbProp = pb; havProps = true
             st = new LzmaState(lc, lp, pb)
           } else if (resetMode == 1) {
-            if (st == null) fail()
-            st = new LzmaState(st.lc, st.lp, st.pb)
+            if (!havProps) fail()
+            st = new LzmaState(lcProp, lpProp, pbProp)
           } else if (st == null) fail()
           if (p + pack > b.length) fail()
           st.decodeChunk(b, p, p + pack, dict, unpack)

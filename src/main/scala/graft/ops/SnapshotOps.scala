@@ -108,7 +108,18 @@ object SnapshotOps {
             .as("__op") +: payload.map(col): _*))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__seq"), col("__op"))
+    // two log entries for the same id at the same seq would order
+    // nondeterministically under the window — refuse loudly, matching
+    // the doc'd applyChangelog posture (same partition key as the
+    // lead window, so no extra shuffle)
+    val dupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("__seq"))
     events
+      .withColumn("__seq",
+        when(count(lit(1)).over(dupW) > 1, raise_error(concat(
+          lit("scd2History: duplicate log entries for id '"),
+          col(idCol).cast("string"), lit("' at seq "),
+          col("__seq").cast("string")))).otherwise(col("__seq")))
       .withColumn("valid_to", lead(col("__seq"), 1).over(w))
       .where(col("__op") === "upsert")
       .select(col(idCol) +: payload.map(col) :+
@@ -143,6 +154,13 @@ object SnapshotOps {
   def commitManifest(tableDir: String, version: Int,
                      units: Seq[String]): Unit = {
     require(version > 0, "versions start at 1")
+    // the flat quote-wrapped encoding below can't represent these —
+    // reject at commit time rather than corrupt the read-side parse
+    units.foreach { u =>
+      require(!u.exists(c => c == '"' || c == ',' || c == '\\' ||
+        c == '\n' || c == '\r'),
+        s"""unit path contains '"', ',', '\\' or a newline: $u""")
+    }
     val dir = new java.io.File(tableDir, "manifests")
     dir.mkdirs()
     val f = new java.io.File(dir, s"v$version.json")
@@ -155,7 +173,18 @@ object SnapshotOps {
     } else {
       val tmp = new java.io.File(dir, s".v$version.json.tmp")
       java.nio.file.Files.write(tmp.toPath, json.getBytes("UTF-8"))
-      require(tmp.renameTo(f) || f.exists(), s"commit of v$version failed")
+      if (!tmp.renameTo(f)) {
+        // lost the commit race: the version is immutable, so the
+        // concurrent winner must have written the IDENTICAL list —
+        // re-read and compare rather than silently accepting it
+        tmp.delete()
+        require(f.exists(), s"commit of v$version failed")
+        val winner = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        require(winner == json,
+          s"manifest v$version committed concurrently with a " +
+            "different unit list")
+      }
     }
   }
 

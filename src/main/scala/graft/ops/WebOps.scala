@@ -285,7 +285,8 @@ object WebOps {
     */
   /** WebDataset sample grouping — the tar-of-samples multimodal shard
     * layout: members sharing a basename STEM (everything before the
-    * first dot — `000.jpg` / `000.txt` / `000.json`) form one training
+    * first dot of the BASENAME — `000.jpg` / `000.txt` / `000.json`;
+    * dots in directory components don't split) form one training
     * sample; extensions are the modality keys. Emits one row per
     * sample with its sorted extension set, byte total, and a
     * completeness flag against `requiredExts` — the shard-QA view that
@@ -303,10 +304,14 @@ object WebOps {
       .select(idCol.as("shard_id"),
         explode(call_function("tar_entries", blob)).as("__e"))
       .where(col("__e.typeflag") === "0")
+      // WebDataset stem rule: split at the first dot AFTER the last
+      // slash — a dotted directory (shard.v1/000.jpg) must not bleed
+      // into the stem, so the dot scan applies to the basename only
       .select(col("shard_id"),
-        regexp_extract(col("__e.name"), "^([^.]*)", 1).as("sample_key"),
+        regexp_extract(col("__e.name"), "^((?:.*/)?[^.]*)", 1)
+          .as("sample_key"),
         expr("substring(__e.name, length(regexp_extract(__e.name, " +
-          "'^([^.]*)', 1)) + 2)").as("__ext"),
+          "'^((?:.*/)?[^.]*)', 1)) + 2)").as("__ext"),
         col("__e.size").as("__sz"))
       .groupBy(col("shard_id"), col("sample_key"))
       .agg(sort_array(collect_list(col("__ext"))).as("extensions"),

@@ -17,7 +17,7 @@ class XzSpec extends SparkSuite {
 
   private val Names = Seq("text_crc64", "text_crc32", "text_sha256",
     "text_none", "empty", "rand32k_p0", "rep70k_p9e", "mixed_runs",
-    "concat2", "concat_padded")
+    "sandwich", "concat2", "concat_padded")
 
   test("every fixture decodes bit-exactly to the compressor's input") {
     for (name <- Names) {

@@ -114,6 +114,39 @@ class SnapshotOpsSpec extends SparkSuite {
     assert(current == merged)
   }
 
+  test("scd2 refuses duplicate (id, seq) log entries instead of " +
+    "ordering them nondeterministically") {
+    val base = Seq((1L, "a")).toDF(baseCols: _*)
+    val dup = Seq(
+      (1L, 2L, "upsert", "x"),
+      (1L, 2L, "upsert", "y")).toDF("id", "seq", "op", "v")
+    val e = intercept[Exception] {
+      SnapshotOps.scd2History(base, dup, "id", "seq", "op").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("duplicate log entries")), e.toString)
+    // distinct seqs for the same id stay fine
+    val ok = Seq((1L, 2L, "upsert", "x"), (1L, 3L, "upsert", "y"))
+      .toDF("id", "seq", "op", "v")
+    assert(SnapshotOps.scd2History(base, ok, "id", "seq", "op")
+      .count() == 3)
+  }
+
+  test("manifest commit rejects unencodable unit paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapq_")
+      .toString
+    intercept[IllegalArgumentException] {
+      SnapshotOps.commitManifest(dir, 1, Seq("data/u,0"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotOps.commitManifest(dir, 1, Seq("data/\"u0\""))
+    }
+    // nothing half-committed after the refusals
+    assert(!new java.io.File(dir, "manifests/v1.json").exists())
+  }
+
   test("scd2 refuses seq 0 in the log and unknown ops") {
     val base = Seq((1L, "a")).toDF(baseCols: _*)
     val bad1 = Seq((1L, 0L, "upsert", "x")).toDF("id", "seq", "op", "v")

@@ -281,4 +281,26 @@ class WebOpsSpec extends SparkSuite {
     assert(WebOps.extractPages(blobs.filter(col("id") === 3L), col("blob")).count() == 0)
     assert(WebOps.extractPages(blobs.filter(col("id") === 7L), col("blob")).count() == 1)
   }
+
+  test("webdataset stem splits at the first dot AFTER the last slash") {
+    import spark.implicits._
+    // a dotted directory must stay in the stem: shard.v1/000.jpg and
+    // shard.v1/000.txt are ONE sample keyed 'shard.v1/000'
+    val tar = graft.functions.TarWalk.packAll(Seq(
+      "shard.v1/000.jpg" -> s("JJ"),
+      "shard.v1/000.txt" -> s("hello"),
+      "shard.v1/001.seg.png" -> s("PP"),
+      "plain.txt" -> s("x")))
+    val out = WebOps.webdatasetSamples(
+        Seq(("t0", tar)).toDF("sid", "blob"),
+        col("sid"), col("blob"), Seq("jpg", "txt"))
+      .orderBy("sample_key")
+      .collect()
+      .map(r => (r.getString(1), r.getSeq[String](2).toList,
+        r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      ("plain", List("txt"), false),
+      ("shard.v1/000", List("jpg", "txt"), true),
+      ("shard.v1/001", List("seg.png"), false)))
+  }
 }

@@ -43,6 +43,14 @@ def main():
         ("rep70k_p9e", rep, {"check": lzma.CHECK_CRC64,
                              "preset": 9 | lzma.PRESET_EXTREME}),
         ("mixed_runs", mixed, {"check": lzma.CHECK_CRC32, "preset": 6}),
+        # compressible + incompressible + compressible: liblzma emits
+        # uncompressed chunks for the 200 KB random middle, then a
+        # compressed chunk with reset mode 1 (state reset, props
+        # REUSED) — chunk sequence C(3) U U C(1), the sequence that
+        # regressed when props were dropped along with the state
+        ("sandwich", phrase * 400 +
+         bytes(next(g) for _ in range(200_000)) + phrase * 400,
+         {"check": lzma.CHECK_CRC64, "preset": 6}),
     ]
     for name, raw, kw in cases:
         blob = lzma.compress(raw, format=lzma.FORMAT_XZ, **kw)

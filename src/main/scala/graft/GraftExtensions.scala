@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("gunzip_all", es => GunzipAll(es.head)))
     ext.injectFunction(fn("warc_records", es => WarcRecords(es.head)))
     ext.injectFunction(fn("http_body", es => HttpBody(es.head)))
+    ext.injectFunction(fn("http_entity", es => HttpEntity(es.head)))
+    ext.injectFunction(fn("http_entity_verdict",
+      es => HttpEntityVerdict(es.head)))
     ext.injectFunction(fn("http_status", es => HttpStatus(es.head)))
     ext.injectFunction(fn("html_to_text", es => HtmlToText(es.head)))
     ext.injectFunction(fn("html_links", es => HtmlLinks(es.head)))

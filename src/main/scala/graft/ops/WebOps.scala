@@ -104,6 +104,40 @@ object WebOps {
     concat(warcHead, payload, lit("\r\n\r\n").cast("binary"))
   }
 
+  /** [[buildRecord]] with the wire shapes real crawl captures carry:
+    * `Transfer-Encoding: chunked` framing and/or `Content-Encoding:
+    * gzip` — the response the HTTP split must DECODE, not pass through.
+    * Chunk size varies with the doc so boundaries land mid-text;
+    * the gzip member is the deterministic [[graft.functions.Gzip]]
+    * builder, so the same blob is reconstructible for refusal audits.
+    */
+  def buildEncodedRecord(docId: Column, url: Column, html: Column,
+                         chunked: Boolean, gzipBody: Boolean,
+                         chunkSize: Int = 61): Column = {
+    registered()
+    val raw = html.cast("binary")
+    val entity = if (gzipBody) call_function("gzip_member", raw) else raw
+    val wire = if (chunked)
+      call_function("http_chunk_frame", entity, lit(chunkSize))
+    else entity
+    val httpHead = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"),
+      if (gzipBody) lit("Content-Encoding: gzip\r\n") else lit(""),
+      if (chunked) lit("Transfer-Encoding: chunked\r\n")
+      else concat(lit("Content-Length: "),
+        octet_length(entity).cast("string"), lit("\r\n")),
+      lit("\r\n")).cast("binary")
+    val payload = concat(httpHead, wire)
+    val warcHead = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:"),
+      docId.cast("string"),
+      lit(">\r\nWARC-Target-URI: "), url,
+      lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"),
+      lit("Content-Type: application/http; msgtype=response\r\nContent-Length: "),
+      octet_length(payload).cast("string"), lit("\r\n\r\n")).cast("binary")
+    concat(warcHead, payload, lit("\r\n\r\n").cast("binary"))
+  }
+
   /** [[buildRecord]] with a caller-supplied status line and extra HTTP
     * headers — redirects (3xx + `Location`), errors, and any other
     * non-200 response a crawl store actually contains.
@@ -221,7 +255,10 @@ object WebOps {
         col("rec.content_length").as("content_length"),
         col("rec.payload").as("payload"),
         call_function("http_status", col("rec.payload")).as("http_status"),
-        call_function("http_body", col("rec.payload")).as("body"))
+        call_function("http_body", col("rec.payload")).as("body"),
+        call_function("http_entity", col("rec.payload")).as("entity"),
+        call_function("http_entity_verdict", col("rec.payload"))
+          .as("entity_verdict"))
   }
 
   /** WET read path: `conversion` records' content blocks ARE the page
@@ -243,10 +280,14 @@ object WebOps {
     */
   def extractPages(files: DataFrame, blob: Column): DataFrame = {
     registered()
+    // the ENTITY, not the raw body: a chunked or gzip'd capture must
+    // never leak framing/compressed bytes into corpus text — refusals
+    // (entity_verdict != 'ok') contribute zero rows here and are
+    // COUNTED by httpAudit, the same posture as segmentAudit
     extractRecords(files, blob)
-      .filter(col("http_status") === 200)
+      .filter(col("http_status") === 200 && col("entity_verdict") === "ok")
       .select(col("record_id"), col("target_uri"), col("http_status"),
-        call_function("html_to_text", col("body").cast("string")).as("text"))
+        call_function("html_to_text", col("entity").cast("string")).as("text"))
   }
 
   /** [[extractPages]] with the WHATWG charset chain in front — the first
@@ -263,13 +304,29 @@ object WebOps {
   def extractPagesCharset(files: DataFrame, blob: Column): DataFrame = {
     registered()
     extractRecords(files, blob)
-      .filter(col("http_status") === 200)
+      .filter(col("http_status") === 200 && col("entity_verdict") === "ok")
       .withColumn("__ct",
         call_function("http_header", col("payload"), lit("Content-Type")))
-      .withColumn("__txt", call_function("charset_decode", col("body"),
-        call_function("charset_detect", col("body"), col("__ct"))))
+      .withColumn("__txt", call_function("charset_decode", col("entity"),
+        call_function("charset_detect", col("entity"), col("__ct"))))
       .select(col("record_id"), col("target_uri"), col("http_status"),
         call_function("html_to_text", col("__txt")).as("text"))
+  }
+
+  /** Per-response entity-decode accounting — the HTTP-layer sibling of
+    * [[segmentAudit]]: verdict counts across all response records, so
+    * a 100 TB ingest can ALERT on `n_refused != 0` (a brotli rollout
+    * at a major host, a chunked-framing bug) instead of silently
+    * shipping the subset it could decode. One scan-side projection,
+    * one bounded agg (≤ verdict classes × files rows pre-agg).
+    */
+  def httpAudit(files: DataFrame, blob: Column): DataFrame = {
+    registered()
+    extractRecords(files, blob)
+      .filter(col("warc_type") === "response")
+      .groupBy(col("entity_verdict"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(octet_length(col("payload")).cast("long")).as("n_payload_bytes"))
   }
 
   /** Per-segment QUARANTINE accounting — the loud-refusal companion to

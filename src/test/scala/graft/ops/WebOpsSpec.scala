@@ -282,6 +282,96 @@ class WebOpsSpec extends SparkSuite {
     assert(WebOps.extractPages(blobs.filter(col("id") === 7L), col("blob")).count() == 1)
   }
 
+  // ---- HTTP entity decode: chunked framing + content codings ----
+
+  private def resp(headers: String, body: Array[Byte]): Array[Byte] =
+    s("HTTP/1.1 200 OK\r\n" + headers + "\r\n") ++ body
+
+  test("entity: chunked de-framing — extensions, trailers, hex case") {
+    val framed = s("5;ext=1\r\nhello\r\nA\r\n 01234567 \r\n0\r\n" +
+      "X-Trailer: v\r\n\r\n")
+    val p = resp("Transfer-Encoding: chunked\r\n", framed)
+    assert(new String(WarcParse.entity(p), UTF_8) == "hello 01234567 ")
+    assert(WarcParse.entityVerdict(p).toString == "ok")
+    // uppercase hex size
+    val up = resp("Transfer-Encoding: CHUNKED\r\n", s("B\r\nhello world\r\n0\r\n\r\n"))
+    assert(new String(WarcParse.entity(up), UTF_8) == "hello world")
+  }
+
+  test("entity: chunked refusals — bad size, overrun, missing terminator, trailing junk") {
+    def chk(framed: String): String = WarcParse.entityVerdict(
+      resp("Transfer-Encoding: chunked\r\n", s(framed))).toString
+    assert(chk("zz\r\nhi\r\n0\r\n\r\n") == "chunked_malformed")
+    assert(chk("FF\r\nshort\r\n0\r\n\r\n") == "chunked_malformed")
+    assert(chk("5\r\nhello\r\n") == "chunked_malformed") // no last chunk
+    assert(chk("5\r\nhello\r\n0\r\n\r\njunk") == "chunked_malformed")
+    assert(chk("5\r\nhelloXX0\r\n\r\n") == "chunked_malformed") // no CRLF after data
+    // unsupported TE stack refuses by name
+    assert(WarcParse.entityVerdict(resp("Transfer-Encoding: gzip, chunked\r\n",
+      s("x"))).toString == "unsupported_transfer_encoding:gzip, chunked")
+  }
+
+  test("entity: content codings — gzip, deflate (zlib and raw), multi-coding, refusals") {
+    val raw = ("payload " * 40).getBytes(UTF_8)
+    def ce(coding: String, body: Array[Byte]): Array[Byte] =
+      WarcParse.entity(resp(
+        s"Content-Encoding: $coding\r\nContent-Length: ${body.length}\r\n", body))
+    assert(ce("gzip", Gzip.compress(raw)).sameElements(raw))
+    assert(ce("x-gzip", Gzip.compress(raw)).sameElements(raw))
+    assert(ce("identity, gzip", Gzip.compress(raw)).sameElements(raw))
+    // zlib-wrapped deflate (JDK default) and raw deflate both decode
+    val zlib = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val b = new Array[Byte](8192)
+      while (!d.finished()) out.write(b, 0, d.deflate(b))
+      d.end(); out.toByteArray
+    }
+    val rawDeflate = {
+      val d = new java.util.zip.Deflater(-1, true)
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val b = new Array[Byte](8192)
+      while (!d.finished()) out.write(b, 0, d.deflate(b))
+      d.end(); out.toByteArray
+    }
+    assert(ce("deflate", zlib).sameElements(raw))
+    assert(ce("deflate", rawDeflate).sameElements(raw))
+    // refusal classes are countable by name
+    assert(WarcParse.entityVerdict(resp(
+      "Content-Encoding: br\r\nContent-Length: 3\r\n", s("abc")))
+      .toString == "unsupported_content_encoding:br")
+    assert(WarcParse.entityVerdict(resp(
+      "Content-Encoding: gzip\r\nContent-Length: 3\r\n", s("abc")))
+      .toString == "content_decode_failed:gzip")
+  }
+
+  test("entity: Content-Length slicing and overrun refusal") {
+    // CL slices; WARC slack after the message would be a capture bug
+    val p = resp("Content-Length: 5\r\n", s("hellotrailing"))
+    assert(new String(WarcParse.entity(p), UTF_8) == "hello")
+    assert(WarcParse.entityVerdict(resp("Content-Length: 99\r\n", s("short")))
+      .toString == "length_overrun")
+    assert(WarcParse.entityVerdict(s("not http at all"))
+      .toString == "not_http")
+    // chunked wins over CL when both present (RFC 9112 §6.3)
+    val both = resp("Content-Length: 3\r\nTransfer-Encoding: chunked\r\n",
+      s("5\r\nhello\r\n0\r\n\r\n"))
+    assert(new String(WarcParse.entity(both), UTF_8) == "hello")
+  }
+
+  test("entity: chunked + gzip composes in spec order (de-chunk, then decode)") {
+    val raw = ("composed body " * 30).getBytes(UTF_8)
+    val framed = WarcParse.chunkFrame(Gzip.compress(raw), 17)
+    val p = resp("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+      framed)
+    assert(WarcParse.entity(p).sameElements(raw))
+    // round trip through the builder expression too
+    assert(WarcParse.chunkFrame(Array.empty[Byte], 8)
+      .sameElements(s("0\r\n\r\n")))
+  }
+
   test("webdataset stem splits at the first dot AFTER the last slash") {
     import spark.implicits._
     // a dotted directory must stay in the stem: shard.v1/000.jpg and

@@ -139,6 +139,44 @@ object LakehouseQueries extends QueryPack {
       "29039807D8EA82A2"),
   )
 
+  /** tf.Example wire-format fixtures (tools/gen_tfexample_fixtures.py
+    * — an independent from-scratch protobuf writer, no library) with
+    * pinned per-feature rows: packed + unpacked numeric lists, unknown
+    * fields that must SKIP, empty messages, and two refusal shapes
+    * (torn length, contradicting wire type). */
+  private val tfexampleFixtures = Seq(
+    ("basic",
+      "0A560A1D0A06746F6B656E7312131A110A0F0301040105F7FFFFFFFFFFFFFFFF010A190A0573636F72651210120E0A0C" +
+      "0000003F0000A0BF0000C8420A1A0A057469746C6512110A0F0A0B68656C6C6F20776F726C640A00"),
+    ("unpacked",
+      "0A240A140A03696473120D1A0B08070800088080808080200A0C0A0177120712050D00003040"),
+    ("unknown_fields",
+      "0A1D0A0A0A017812051A030A012A48E7074101020304050607083DAABBCCDD1005"),
+    ("empty",
+      "0A00"),
+    ("empty_lists",
+      "0A1D0A0E0A086E6F6E655F696E7412021A000A0B0A076E6F5F6B696E641200"),
+    ("torn",
+      "0A560A1D0A06746F6B656E7312131A110A0F0301040105F7FFFFFFFFFFFFFFFF010A190A0573636F72651210120E0A0C" +
+      "0000003F0000A0BF0000C8420A1A0A057469746C6512110A0F0A0B68656C6C6F20776F72"),
+    ("badwire",
+      "0A100A0E0A0362616412071A050D01020304"))
+
+  private val tfexamplePinnedSql = Seq(
+    "('basic', 'tokens', 'int64', 6, '3,1,4,1,5,-9', '', ''),",
+    "('basic', 'score', 'float', 3, '', '0.5,-1.25,100.0', ''),",
+    "('basic', 'title', 'bytes', 2, '', '', " +
+      "'5eb63bbbe01eeed093cb22bb8f5acdc3,d41d8cd98f00b204e9800998ecf8427e'),",
+    "('unpacked', 'ids', 'int64', 3, '7,0,1099511627776', '', ''),",
+    "('unpacked', 'w', 'float', 1, '', '2.75', ''),",
+    "('unknown_fields', 'x', 'int64', 1, '42', '', ''),",
+    "('empty', '(empty)', '(empty)', 0, '', '', ''),",
+    "('empty_lists', 'none_int', 'int64', 0, '', '', ''),",
+    "('empty_lists', 'no_kind', 'none', 0, '', '', ''),",
+    "('torn', '(refused)', '(refused)', -1, '', '', ''),",
+    "('badwire', '(refused)', '(refused)', -1, '', '', '')"
+  ).mkString(" ").stripSuffix(",")
+
   private val tfrecordPinnedSql = Seq(
     "('three_examples', 0, 40, 'b167dceda13cf6f0eaad025fa8c4940b'),",
     "('three_examples', 1, 1024, 'fe83edd3da6f1fd17f555318e60c67b0'),",
@@ -222,6 +260,40 @@ object LakehouseQueries extends QueryPack {
     // JDK CRC32C vs the generator's from-polynomial table): per-record
     // (idx, size, md5) rows, and a torn shard quarantining WHOLE as a
     // single refused row, never a silent prefix.
+    // tf.EXAMPLE FEATURE PARSE — the proto payload inside TFRecord
+    // frames, decoded from the published wire format (varint walk, no
+    // protobuf library): per-feature (name, kind, values) rows across
+    // packed + unpacked numeric encodings, unknown-field skips, empty
+    // messages; torn or wire-contradicting records refuse WHOLE as a
+    // single '(refused)' row. Fixtures and pins from the independent
+    // from-scratch writer in tools/gen_tfexample_fixtures.py.
+    "src_tfexample_parse" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.TfExample.register(s)
+      tfexampleFixtures.toDF("src", "hex")
+        .select(col("src"),
+          expr("tf_example_features(unhex(hex))").as("fs"))
+        .select(col("src"), col("fs").isNull.as("__refused"),
+          explode_outer(col("fs")).as("f"))
+        .select(col("src"),
+          when(col("__refused"), lit("(refused)"))
+            .otherwise(coalesce(col("f.name"), lit("(empty)"))).as("name"),
+          when(col("__refused"), lit("(refused)"))
+            .otherwise(coalesce(col("f.kind"), lit("(empty)"))).as("kind"),
+          when(col("__refused"), lit(-1L)).otherwise(coalesce(
+            greatest(size(col("f.int64_values")),
+              size(col("f.float_values")), size(col("f.bytes_md5")))
+              .cast("long"), lit(0L))).as("n_values"),
+          concat_ws(",", expr(
+            "transform(f.int64_values, v -> cast(v AS string))"))
+            .as("int64_csv"),
+          concat_ws(",", expr(
+            "transform(f.float_values, v -> cast(v AS string))"))
+            .as("float_csv"),
+          concat_ws(",", col("f.bytes_md5")).as("bytes_md5_csv"))
+        .orderBy(col("src"), col("name"))
+    }),
+
     "src_tfrecord_audit" -> ((s, dir) => {
       import s.implicits._
       graft.functions.TfRecord.register(s)
@@ -533,6 +605,13 @@ object LakehouseQueries extends QueryPack {
         |FROM documents
         |WHERE (doc_id % 3 <> 2 AND doc_id % 4 <> 1) OR doc_id % 3 = 2
         |ORDER BY version""".stripMargin,
+
+    "src_tfexample_parse" ->
+      s"""SELECT src, name, kind, CAST(n_values AS BIGINT) AS n_values,
+         |  int64_csv, float_csv, bytes_md5_csv
+         |FROM (VALUES $tfexamplePinnedSql)
+         |  t(src, name, kind, n_values, int64_csv, float_csv, bytes_md5_csv)
+         |ORDER BY src, name""".stripMargin,
 
     "src_tfrecord_audit" ->
       s"""SELECT src, CAST(idx AS BIGINT) AS idx,

@@ -146,25 +146,29 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"errors":$errJson$streamJson,"sf":${jstr(sfDir)}}"""
-    println(line)
     try Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
-    // The full line above exceeds a 2000-char tail window once the
-    // registry passes ~250 queries — a tail-parsing harness would see
-    // only its cut-off middle. Emit a COMPACT summary LAST (aggregate,
-    // error count, the slowest queries at 3 dp, the streaming
-    // soundness flags) so the final line always parses; the full
-    // per-query map lives in `outPath`.
+    // stdout gets ONLY the compact one-liner. Round 14 showed the
+    // harness's stdout capture is byte-capped: the ~12 KB full line
+    // flooded the cap and the driver artifact shipped an unparseable
+    // mid-line tail two rounds running. With the full map going to
+    // `outPath` alone, total stdout stays under ~2 KB and the last
+    // line always parses standalone (aggregate, error count, slowest
+    // queries at 3 dp, streaming soundness flags, an md5 of the full
+    // line for artifact cross-checking, pointer to the full file).
     val slow = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => jstr(k) + ":" + (math.floor(v * 1000) / 1000) }
       .mkString("{", ",", "}")
+    val fullMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(line.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
     val compact =
       s"""{"metric":"total","value":${math.floor(total * 1000) / 1000},""" +
         s""""unit":"sec","runs_per_query":$runs,"n_queries":${results.size},""" +
         s""""n_errors":${errors.size},"queries":$slow""" +
         streaming.map(r => s""","streaming_state_bounded":${r.maxStateRows <= r.activeRideBound}""").getOrElse("") +
         neardup.map(r => s""","neardup_state_bounded":${r.maxStateRows <= r.bandKeyBound}""").getOrElse("") +
-        s""","full":${jstr(outPath)},"sf":${jstr(sfDir)}}"""
+        s""","full":${jstr(outPath)},"full_md5":${jstr(fullMd5)},"sf":${jstr(sfDir)}}"""
     println(compact)
     spark.stop()
   }

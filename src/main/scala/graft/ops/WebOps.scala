@@ -42,6 +42,7 @@ object WebOps {
     graft.functions.Xz.register(spark)
     graft.functions.Lz4.register(spark)
     graft.functions.Snappy.register(spark)
+    graft.functions.MimeText.register(spark)
   }
 
   private def registered(): Unit =

@@ -37,9 +37,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object OggMeta {
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "audio_ogg_meta", exprs => OggAudioMeta(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "audio_ogg_tags", exprs => OggAudioTags(exprs.head), "built-in")
+  }
 
   val schema: StructType = StructType(Seq(
     StructField("codec", StringType),
@@ -166,6 +169,176 @@ object OggMeta {
         outSamples * 1000L / 48000L)
     } else null
   }
+
+  // ----------------------------------------------------------------
+  // Comment header (packet 2): Vorbis comment / OpusTags
+  // ----------------------------------------------------------------
+
+  val tagsSchema: StructType = StructType(Seq(
+    StructField("codec", StringType),
+    StructField("vendor", StringType),
+    StructField("tags", ArrayType(StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = false))),
+      containsNull = false))))
+
+  /** First two LOGICAL packets via the lacing tables (packets span
+    * pages; 255-lacing continues, <255 terminates), with the same
+    * page-level validation as [[parse]] minus the EOS requirement —
+    * early-stop once packet 2 completes. Null on any malformation.
+    */
+  private def firstTwoPackets(b: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    val done = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val cur = new java.io.ByteArrayOutputStream()
+    var inPacket = false
+    var pos = 0
+    var nPages = 0
+    var serial = 0
+    var lastSeq = -1
+    while (pos < b.length && done.length < 2) {
+      if (pos + 27 > b.length) return null
+      if (b(pos) != 'O' || b(pos + 1) != 'g' || b(pos + 2) != 'g' ||
+        b(pos + 3) != 'S') return null
+      if (u8(pos + 4) != 0) return null
+      val hdrType = u8(pos + 5)
+      val ser = le32(pos + 14)
+      val seq = le32(pos + 18)
+      val crc = le32(pos + 22)
+      val nSegs = u8(pos + 26)
+      val segBase = pos + 27
+      if (segBase + nSegs > b.length) return null
+      var payloadLen = 0
+      var s = 0
+      while (s < nSegs) { payloadLen += u8(segBase + s); s += 1 }
+      val pageLen = 27 + nSegs + payloadLen
+      if (pos + pageLen > b.length) return null
+      if (pageCrc(b, pos, pageLen) != crc) return null
+      if (nPages == 0) {
+        if ((hdrType & 0x02) == 0 || seq != 0) return null
+        serial = ser
+      } else {
+        if (ser != serial) return null
+        if (seq != lastSeq + 1) return null
+      }
+      // continuation flag must agree with packet state across pages
+      if (((hdrType & 0x01) != 0) != inPacket) return null
+      var at = segBase + nSegs
+      s = 0
+      while (s < nSegs && done.length < 2) {
+        val lace = u8(segBase + s)
+        cur.write(b, at, lace)
+        at += lace
+        inPacket = true
+        if (lace < 255) {
+          done += cur.toByteArray
+          cur.reset()
+          inPacket = false
+        }
+        s += 1
+      }
+      lastSeq = seq
+      nPages += 1
+      pos += pageLen
+    }
+    if (done.length < 2) null else (done(0), done(1))
+  }
+
+  /** Vorbis comment / OpusTags metadata (packet 2 of the stream):
+    * vendor string + ordered `KEY=value` tag list (RFC 7845 §5.2 and
+    * the Vorbis I comment-header spec share the layout; Vorbis adds a
+    * framing bit, OpusTags forbids one). Whole-or-refuse: bad lengths,
+    * a comment without `=`, field-name bytes outside 0x20–0x7D, a
+    * packet-2 magic that doesn't match packet 1's codec, or a missing
+    * Vorbis framing bit all null the row.
+    */
+  def parseTags(b: Array[Byte]): InternalRow = {
+    val pk = firstTwoPackets(b)
+    if (pk == null) return null
+    val (id, cm) = pk
+    val isVorbis = id.length >= 7 && (id(0) & 0xff) == 0x01 &&
+      id(1) == 'v' && id(2) == 'o' && id(3) == 'r' && id(4) == 'b' &&
+      id(5) == 'i' && id(6) == 's'
+    val isOpus = id.length >= 8 && id(0) == 'O' && id(1) == 'p' &&
+      id(2) == 'u' && id(3) == 's' && id(4) == 'H' && id(5) == 'e' &&
+      id(6) == 'a' && id(7) == 'd'
+    if (!isVorbis && !isOpus) return null
+    @inline def u8(i: Int): Int = cm(i) & 0xff
+    @inline def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+        (u8(i + 3) << 24)) & 0xffffffffL
+    var p = 0
+    if (isVorbis) {
+      if (cm.length < 7 || u8(0) != 0x03 || cm(1) != 'v' || cm(2) != 'o' ||
+        cm(3) != 'r' || cm(4) != 'b' || cm(5) != 'i' || cm(6) != 's')
+        return null
+      p = 7
+    } else {
+      if (cm.length < 8 || cm(0) != 'O' || cm(1) != 'p' || cm(2) != 'u' ||
+        cm(3) != 's' || cm(4) != 'T' || cm(5) != 'a' || cm(6) != 'g' ||
+        cm(7) != 's') return null
+      p = 8
+    }
+    if (p + 4 > cm.length) return null
+    val vlen = le32(p); p += 4
+    if (p + vlen > cm.length) return null
+    val vendor = new String(cm, p, vlen.toInt,
+      java.nio.charset.StandardCharsets.UTF_8)
+    p += vlen.toInt
+    if (p + 4 > cm.length) return null
+    val n = le32(p); p += 4
+    if (n > 4096) return null // tag-count bomb
+    val tags = new Array[Any](n.toInt)
+    var i = 0
+    while (i < n) {
+      if (p + 4 > cm.length) return null
+      val len = le32(p); p += 4
+      if (p + len > cm.length) return null
+      val s = new String(cm, p, len.toInt,
+        java.nio.charset.StandardCharsets.UTF_8)
+      p += len.toInt
+      val eq = s.indexOf('=')
+      if (eq <= 0) return null
+      val key = s.substring(0, eq)
+      if (!key.forall(c => c >= 0x20 && c <= 0x7d && c != '=')) return null
+      tags(i) = InternalRow(UTF8String.fromString(key),
+        UTF8String.fromString(s.substring(eq + 1)))
+      i += 1
+    }
+    if (isVorbis) {
+      // framing bit terminates the header
+      if (p >= cm.length || (u8(p) & 0x01) == 0) return null
+      p += 1
+    }
+    if (p != cm.length) return null
+    InternalRow(
+      UTF8String.fromString(if (isVorbis) "vorbis" else "opus"),
+      UTF8String.fromString(vendor),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(tags))
+  }
+}
+
+/** `audio_ogg_tags(binary)` → comment-header struct or null. */
+case class OggAudioTags(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = OggMeta.tagsSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_ogg_tags"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    OggMeta.parseTags(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.OggMeta.parseTags($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): OggAudioTags =
+    copy(child = newChild)
 }
 
 /** `audio_ogg_meta(binary)` → Ogg page-walk metadata struct or null. */

@@ -156,11 +156,16 @@ object AudioQueries extends QueryPack {
     private def page(payload: Array[Byte], seq: Int, granule: Long,
         bos: Boolean, eos: Boolean): Array[Byte] = {
       val hdrType = (if (bos) 2 else 0) | (if (eos) 4 else 0)
-      val out = java.nio.ByteBuffer.allocate(27 + 1 + payload.length)
+      // real lacing: 255-segments continue the packet, the final <255
+      // segment (0 when length % 255 == 0) terminates it
+      val lacing = Array.fill(payload.length / 255)(255.toByte) :+
+        (payload.length % 255).toByte
+      val out = java.nio.ByteBuffer
+        .allocate(27 + lacing.length + payload.length)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       out.put("OggS".getBytes).put(0.toByte).put(hdrType.toByte)
       out.putLong(granule).putInt(serial).putInt(seq).putInt(0)
-      out.put(1.toByte).put(payload.length.toByte).put(payload)
+      out.put(lacing.length.toByte).put(lacing).put(payload)
       val b = out.array()
       val crc = graft.functions.OggMeta.pageCrc(b, 0, b.length)
       b(22) = (crc & 0xff).toByte
@@ -170,16 +175,52 @@ object AudioQueries extends QueryPack {
       b
     }
 
+    /** Vorbis comment / OpusTags packet: vendor + ordered KEY=value
+      * list (shared layout; Vorbis adds the 0x03"vorbis" magic and the
+      * framing bit).
+      */
+    private def tagsPacket(vendor: String,
+        comments: Seq[String]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+        out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+      }
+      if (codec == "vorbis") { out.write(0x03); out.write("vorbis".getBytes) }
+      else out.write("OpusTags".getBytes)
+      val vb = vendor.getBytes("UTF-8")
+      le32(vb.length); out.write(vb)
+      le32(comments.length)
+      comments.foreach { c =>
+        val tb = c.getBytes("UTF-8")
+        le32(tb.length); out.write(tb)
+      }
+      if (codec == "vorbis") out.write(0x01)
+      out.toByteArray
+    }
+
+    private def hexOf(pages: Seq[Array[Byte]]): String =
+      pages.flatten.map(b => f"${b & 0xff}%02X").mkString
+
     /** Full stream hex with `n` audio pages after the BOS id page. */
-    def streamHex(n: Int): String = {
-      val pages = page(idPacket, 0, 0L, bos = true, eos = false) +:
+    def streamHex(n: Int): String =
+      hexOf(page(idPacket, 0, 0L, bos = true, eos = false) +:
         (1 to n).map { i =>
           val payload = Array.tabulate(16)(k => ((i * 31 + k * 7) % 256).toByte)
           page(payload, i, preSkip.toLong + granStep * i, bos = false,
             eos = i == n)
-        }
-      pages.flatten.map(b => f"${b & 0xff}%02X").mkString
-    }
+        })
+
+    /** [[streamHex]] with a comment-header page between the id page
+      * and the audio pages — the real Ogg Vorbis/Opus layout. Raw
+      * comment strings, so refusal shapes (no `=`) are constructible.
+      */
+    def streamHexTagged(vendor: String, comments: Seq[String]): String =
+      hexOf(Seq(
+        page(idPacket, 0, 0L, bos = true, eos = false),
+        page(tagsPacket(vendor, comments), 1, 0L, bos = false, eos = false),
+        page(Array.tabulate(16)(k => ((31 + k * 7) % 256).toByte), 2,
+          preSkip.toLong + granStep, bos = false, eos = true)))
 
     def durationMs(n: Int): Long = codec match {
       case "vorbis" => (preSkip.toLong + granStep * n) * 1000L / rate
@@ -405,6 +446,55 @@ object AudioQueries extends QueryPack {
     }),
 
 
+
+    // Vorbis comment / OpusTags (audio_ogg_tags) — the metadata audio
+    // curation keys on (title/artist/language) next to the duration
+    // walk: packet-2 reassembly through REAL lacing (cfg 1's comment
+    // packet exceeds 255 bytes and spans three lacing segments),
+    // UTF-8 values, duplicate keys in order; a stale-CRC stream and a
+    // comment with no '=' both refuse to null. The oracle replays
+    // vendor/tag digests as closed forms of doc_id.
+    "mm_audio_ogg_tags" -> ((s, dir) => {
+      graft.functions.OggMeta.register(s)
+      val langs = Seq("en", "de", "fr", "ja")
+      def commentsOf(c: Int): Seq[String] = Seq(
+        s"TITLE=Track $c", s"ARTIST=Artist №$c", s"LANGUAGE=${langs(c)}",
+        "GENRE=field", "GENRE=corpus") ++
+        (if (c == 1)
+          Seq("DESCRIPTION=" + ("lorem ipsum " * 55).trim) else Nil)
+      val taggedCase = "CASE doc_id % 4 " + (0 until 4).map { c =>
+        val hex = oggCfgs(c).streamHexTagged(s"graft-enc 1.$c", commentsOf(c))
+        s"WHEN $c THEN '$hex'"
+      }.mkString(" ") + " END"
+      val badCrcHex = {
+        // the flip must land INSIDE the comment page (page 2): the tags
+        // walk early-stops after packet 2 and never sees later pages
+        val h = oggCfgs.head.streamHexTagged("v", Seq("A=b"))
+        val b = h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        val p2 = (1 until b.length - 3).find(i => b(i) == 'O' &&
+          b(i + 1) == 'g' && b(i + 2) == 'g' && b(i + 3) == 'S').get
+        val nSegs = b(p2 + 26) & 0xff
+        b(p2 + 27 + nSegs + 2) = (b(p2 + 27 + nSegs + 2) ^ 0x2A).toByte
+        b.map(x => f"${x & 0xff}%02X").mkString
+      }
+      val noEqHex = oggCfgs(2).streamHexTagged("graft-enc bad", Seq("NOEQUALS"))
+      val blobHex =
+        s"""CASE WHEN doc_id % 9 = 0 THEN '$badCrcHex'
+           |WHEN doc_id % 9 = 4 THEN '$noEqHex'
+           |ELSE $taggedCase END""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("t", expr(s"audio_ogg_tags(unhex($blobHex))"))
+        .select(col("doc_id"),
+          col("t").isNotNull.as("ok"),
+          col("t.codec").as("codec"),
+          col("t.vendor").as("vendor"),
+          size(col("t.tags")).cast("long").as("n_tags"),
+          when(col("t").isNull, lit(null)).otherwise(
+            md5(concat_ws(";",
+              expr("transform(t.tags, x -> concat(x.key, '=', x.value))"))
+              .cast("binary"))).as("tags_md5"))
+        .orderBy(col("doc_id"))
+    }),
 
     "mm_audio_meta" -> ((s, dir) => {
       graft.functions.AudioHeader.register(s)
@@ -1053,6 +1143,33 @@ object AudioQueries extends QueryPack {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
+
+    // vendor/tag digests replayed as closed forms: the language list,
+    // the duplicate GENRE pair, cfg 1's >255-byte DESCRIPTION (the
+    // multi-segment lacing case), and the two refusal branches
+    "mm_audio_ogg_tags" -> {
+      val langCase = "CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de' " +
+        "WHEN 2 THEN 'fr' ELSE 'ja' END"
+      s"""WITH d AS (SELECT doc_id, doc_id % 4 AS c,
+         |    doc_id % 9 IN (0, 4) AS refused FROM documents)
+         |SELECT doc_id,
+         |  NOT refused AS ok,
+         |  CASE WHEN refused THEN NULL
+         |    WHEN c < 2 THEN 'vorbis' ELSE 'opus' END AS codec,
+         |  CASE WHEN refused THEN NULL
+         |    ELSE 'graft-enc 1.' || CAST(c AS VARCHAR) END AS vendor,
+         |  CAST(CASE WHEN refused THEN NULL
+         |    WHEN c = 1 THEN 6 ELSE 5 END AS BIGINT) AS n_tags,
+         |  CASE WHEN refused THEN NULL
+         |    ELSE md5('TITLE=Track ' || CAST(c AS VARCHAR) ||
+         |      ';ARTIST=Artist №' || CAST(c AS VARCHAR) ||
+         |      ';LANGUAGE=' || $langCase ||
+         |      ';GENRE=field;GENRE=corpus' ||
+         |      CASE WHEN c = 1 THEN ';DESCRIPTION=' ||
+         |        rtrim(repeat('lorem ipsum ', 55)) ELSE '' END)
+         |    END AS tags_md5
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
 
     "mm_audio_meta" ->
       """SELECT doc_id,

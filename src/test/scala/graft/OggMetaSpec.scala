@@ -117,6 +117,44 @@ class OggMetaSpec extends AnyFunSuite {
     assert(OggMeta.parse(reseal(badId)) == null)
   }
 
+  test("tags: vorbis comment page from the independent generator") {
+    val r = OggMeta.parseTags(fixture("vorbis_tags"))
+    assert(r != null)
+    assert(r.getString(0) == "vorbis")
+    assert(r.getString(1) == "indie-enc 0.9")
+    val tags = r.getArray(2)
+    val kv = (0 until tags.numElements()).map { i =>
+      val t = tags.getStruct(i, 2)
+      t.getUTF8String(0).toString -> t.getUTF8String(1).toString
+    }
+    assert(kv == Seq("TITLE" -> "Nocturne", "ARTIST" -> "Renée",
+      "GENRE" -> "a", "GENRE" -> "b"))
+    // the tagged stream still passes the integrity walk
+    assert(OggMeta.parse(fixture("vorbis_tags")) != null)
+  }
+
+  test("tags: OpusTags packet SPANNING two pages via 255-lacing + cont flag") {
+    val r = OggMeta.parseTags(fixture("opus_tags_spanning"))
+    assert(r != null)
+    assert(r.getString(0) == "opus")
+    assert(r.getString(1) == "opusenc from libopus 1.4")
+    val tags = r.getArray(2)
+    assert(tags.numElements() == 2)
+    val c = tags.getStruct(1, 2)
+    assert(c.getUTF8String(0).toString == "COMMENT")
+    assert(c.getUTF8String(1).toString == "x" * 600)
+  }
+
+  test("tags refusals: no comment packet, missing '=', stale CRC") {
+    // streams whose packet 2 is an audio packet: not a comment header
+    assert(OggMeta.parseTags(fixture("vorbis_44k_mono")) == null)
+    // flipped byte in the comment page -> CRC refusal
+    val b = fixture("vorbis_tags")
+    b(120) = (b(120) ^ 0x40).toByte
+    assert(OggMeta.parseTags(b) == null)
+    assert(OggMeta.parseTags(Array.emptyByteArray) == null)
+  }
+
   private def pageOffsets(b: Array[Byte]): Seq[Int] = {
     var pos = 0
     val out = Seq.newBuilder[Int]

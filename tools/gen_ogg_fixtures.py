@@ -109,6 +109,51 @@ def main(outdir: str) -> None:
              page(audio_payload(1), ser, 1, 3840, eos=True)]
     write("opus_zero_duration.ogg", b"".join(pages))
 
+    # ---- comment headers (packet 2) ----
+
+    def vorbis_comment(vendor: bytes, comments) -> bytes:
+        out = b"\x03vorbis" + struct.pack("<I", len(vendor)) + vendor
+        out += struct.pack("<I", len(comments))
+        for c in comments:
+            out += struct.pack("<I", len(c)) + c
+        return out + b"\x01"
+
+    def opus_tags(vendor: bytes, comments) -> bytes:
+        out = b"OpusTags" + struct.pack("<I", len(vendor)) + vendor
+        out += struct.pack("<I", len(comments))
+        for c in comments:
+            out += struct.pack("<I", len(c)) + c
+        return out
+
+    # vorbis with a standard comment page (UTF-8 value, duplicate key)
+    ser = 0x7A657031
+    cm = vorbis_comment(b"indie-enc 0.9", [
+        b"TITLE=Nocturne", b"ARTIST=Ren\xc3\xa9e", b"GENRE=a", b"GENRE=b"])
+    pages = [page(vorbis_id(1, 44100, 128000), ser, 0, 0, bos=True),
+             page(cm, ser, 1, 0),
+             page(audio_payload(1), ser, 2, 44100, eos=True)]
+    write("vorbis_tags.ogg", b"".join(pages))
+
+    # opus whose comment PACKET SPANS TWO PAGES: page 1 ends with a 255
+    # lacing value (packet unterminated), page 2 carries the remainder
+    # with the continuation flag set
+    ser = 0x7A657032
+    cm = opus_tags(b"opusenc from libopus 1.4",
+                   [b"TITLE=Long form", b"COMMENT=" + b"x" * 600])
+    assert len(cm) > 510, len(cm)
+    head_part, tail_part = cm[:510], cm[510:]
+    p1_head = (b"OggS" + bytes([0, 0x00])
+               + struct.pack("<q", 0) + struct.pack("<II", ser, 1)
+               + b"\x00\x00\x00\x00" + bytes([2, 255, 255]))
+    p1 = p1_head + head_part
+    crc = ogg_crc(p1)
+    p1 = p1[:22] + struct.pack("<I", crc) + p1[26:] + b""
+    pages = [page(opus_id(2, 312, 48000), ser, 0, 0, bos=True),
+             p1,
+             page(tail_part, ser, 2, 0, cont=True),
+             page(audio_payload(1), ser, 3, 312 + 960, eos=True)]
+    write("opus_tags_spanning.ogg", b"".join(pages))
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/ogg_fixtures")

@@ -209,4 +209,165 @@ object SnapshotOps {
       .map(u => new java.io.File(tableDir, u).getAbsolutePath)
     spark.read.parquet(paths: _*)
   }
+
+  // ---------------------------------------------------------------
+  // DELTA-PROTOCOL COMMIT LOG — the public `_delta_log/` action
+  // format (delta.io PROTOCOL.md: one JSON action per line in
+  // `<v padded to 20>.json`; `add`/`remove` carry table-relative
+  // paths, `protocol` gates readers, checkpoints collapse the prefix
+  // into `<v>.checkpoint.parquet` + `_last_checkpoint`). Pure JSON +
+  // parquet — no library beyond Jackson, which Spark itself ships.
+  // A version's file set = the log fold: adds minus later removes,
+  // last action per path wins. This is the interop seam: a table
+  // written here is readable by any Delta reader at protocol v1, and
+  // [[deltaFiles]] reads logs the engine didn't write.
+  // ---------------------------------------------------------------
+
+  private def jsonMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m
+  }
+
+  private def deltaLogFile(tableDir: String, version: Long): java.io.File =
+    new java.io.File(new java.io.File(tableDir, "_delta_log"),
+      f"$version%020d.json")
+
+  /** Commit `version`: adds + removes of table-relative paths, one
+    * action per line. Version 0 also writes the `protocol` (reader/
+    * writer v1) and a minimal `metaData` action. Immutable: a
+    * re-commit must carry the identical content (same posture as
+    * [[commitManifest]], including the lost-rename-race re-read).
+    */
+  def deltaCommit(tableDir: String, version: Long, adds: Seq[String],
+                  removes: Seq[String] = Nil): Unit = {
+    require(version >= 0, "delta versions start at 0")
+    val m = jsonMapper
+    val lines = new scala.collection.mutable.ArrayBuffer[String]
+    if (version == 0L) {
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}"""
+      val meta = m.createObjectNode()
+      val md = meta.putObject("metaData")
+      md.put("id", java.util.UUID.nameUUIDFromBytes(
+        tableDir.getBytes("UTF-8")).toString)
+      md.putObject("format").put("provider", "parquet")
+      md.put("schemaString", "{}")
+      md.putArray("partitionColumns")
+      lines += m.writeValueAsString(meta)
+    }
+    removes.foreach { p =>
+      val n = m.createObjectNode()
+      val r = n.putObject("remove")
+      r.put("path", p); r.put("deletionTimestamp", 0L)
+      r.put("dataChange", true)
+      lines += m.writeValueAsString(n)
+    }
+    adds.foreach { p =>
+      val n = m.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", p)
+      a.putObject("partitionValues")
+      a.put("size", 0L); a.put("modificationTime", 0L)
+      a.put("dataChange", true)
+      lines += m.writeValueAsString(n)
+    }
+    val json = lines.mkString("", "\n", "\n")
+    val f = deltaLogFile(tableDir, version)
+    f.getParentFile.mkdirs()
+    if (f.exists()) {
+      val prior = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      require(prior == json,
+        s"delta commit $version exists with different actions")
+    } else {
+      val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
+      java.nio.file.Files.write(tmp.toPath, json.getBytes("UTF-8"))
+      if (!tmp.renameTo(f)) {
+        tmp.delete()
+        require(f.exists(), s"delta commit $version failed")
+        val winner = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        require(winner == json,
+          s"delta commit $version raced with different actions")
+      }
+    }
+  }
+
+  /** Collapse the log prefix [0, version] into
+    * `<version>.checkpoint.parquet` (one `add` struct row per live
+    * file) and point `_last_checkpoint` at it.
+    */
+  def deltaCheckpoint(spark: org.apache.spark.sql.SparkSession,
+                      tableDir: String, version: Long): Unit = {
+    val files = deltaFiles(spark, tableDir, version)
+    import spark.implicits._
+    val cp = new java.io.File(new java.io.File(tableDir, "_delta_log"),
+      f"$version%020d.checkpoint.parquet")
+    files.toDF("path").select(struct(col("path")).as("add"))
+      .coalesce(1).write.mode("overwrite").parquet(cp.getAbsolutePath)
+    val last = new java.io.File(new java.io.File(tableDir, "_delta_log"),
+      "_last_checkpoint")
+    java.nio.file.Files.write(last.toPath,
+      s"""{"version":$version,"size":${files.size}}"""
+        .getBytes("UTF-8"))
+  }
+
+  /** The file set of snapshot `version`: latest checkpoint ≤ version
+    * (by log-directory listing — `_last_checkpoint` may point past a
+    * time-travel target), then the JSON commits after it, folded
+    * last-action-per-path. Refuses loudly on a missing commit file, a
+    * reader-version gate above 1, or an unknown action line.
+    */
+  def deltaFiles(spark: org.apache.spark.sql.SparkSession,
+                 tableDir: String, version: Long): Seq[String] = {
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    require(logDir.isDirectory, s"no _delta_log at $tableDir")
+    val cpVersions = Option(logDir.list()).getOrElse(Array.empty)
+      .filter(_.endsWith(".checkpoint.parquet"))
+      .map(_.stripSuffix(".checkpoint.parquet").toLong)
+      .filter(_ <= version)
+    val state = new java.util.LinkedHashSet[String]()
+    val start: Long = if (cpVersions.isEmpty) 0L else {
+      val cpv = cpVersions.max
+      val cp = new java.io.File(logDir, f"$cpv%020d.checkpoint.parquet")
+      spark.read.parquet(cp.getAbsolutePath)
+        .where(col("add").isNotNull).select(col("add.path"))
+        .collect().foreach(r => state.add(r.getString(0)))
+      cpv + 1
+    }
+    val m = jsonMapper
+    var v = start
+    while (v <= version) {
+      val f = deltaLogFile(tableDir, v)
+      require(f.exists(), s"delta version $v missing from the log")
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).foreach { line =>
+        val node = m.readTree(line)
+        if (node.has("add")) state.add(node.get("add").get("path").asText())
+        else if (node.has("remove"))
+          state.remove(node.get("remove").get("path").asText())
+        else if (node.has("protocol")) {
+          val mr = node.get("protocol").get("minReaderVersion").asInt()
+          require(mr <= 1,
+            s"delta reader version $mr unsupported (reader is v1)")
+        } else if (!node.has("metaData") && !node.has("commitInfo") &&
+          !node.has("txn"))
+          throw new IllegalArgumentException(
+            s"unknown delta action: ${line.take(80)}")
+      } finally src.close()
+      v += 1
+    }
+    import scala.jdk.CollectionConverters._
+    state.asScala.toSeq
+  }
+
+  /** Time-travel read through the Delta log: exactly version N's file
+    * set, never a data-directory listing.
+    */
+  def readDeltaVersion(spark: org.apache.spark.sql.SparkSession,
+                       tableDir: String, version: Long): DataFrame = {
+    val paths = deltaFiles(spark, tableDir, version)
+    require(paths.nonEmpty, s"delta version $version has no files")
+    spark.read.parquet(paths.map(p =>
+      new java.io.File(tableDir, p).getAbsolutePath): _*)
+  }
 }

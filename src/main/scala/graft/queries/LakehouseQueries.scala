@@ -50,6 +50,40 @@ object LakehouseQueries extends QueryPack {
     path
   }
 
+  /** Delta-log table fixture (same fingerprint-cached idiom as
+    * [[snapshotTable]]): four id-bucket units, three commits with an
+    * add+remove in the middle one, and a checkpoint AT v1 so v2 reads
+    * checkpoint+tail while v0 must ignore the later checkpoint.
+    */
+  private def deltaTable(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val srcFiles: Seq[java.io.File] =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
+      else Seq(src)
+    val fpInput = srcFiles.map(f =>
+      s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(fpInput.getBytes("UTF-8")).take(8).map("%02x".format(_))
+      .mkString
+    val path = s"/tmp/graft_deltatbl_$fp"
+    val done = new java.io.File(path, "_LAYOUT_DONE")
+    if (!done.exists()) {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      (0 to 3).foreach { b =>
+        docs.filter(col("doc_id") % 4 === b)
+          .write.mode("overwrite").parquet(s"$path/data/b$b")
+      }
+      SnapshotOps.deltaCommit(path, 0, Seq("data/b0", "data/b1"))
+      SnapshotOps.deltaCommit(path, 1, adds = Seq("data/b2"),
+        removes = Seq("data/b1"))
+      SnapshotOps.deltaCheckpoint(s, path, 1)
+      SnapshotOps.deltaCommit(path, 2, Seq("data/b3"))
+      done.createNewFile()
+    }
+    path
+  }
+
   /** TFRecord shard fixtures (tools/gen_tfrecord_fixtures.py —
     * from-polynomial CRC32C, independent of the decoder's JDK
     * implementation) plus a deliberately torn copy. */
@@ -243,6 +277,25 @@ object LakehouseQueries extends QueryPack {
     // contract). Emits per-version membership aggregates the oracle
     // replays from the bucket rules; SnapshotOpsSpec machine-asserts
     // the scan's file list is exactly the manifest's units.
+    // DELTA-PROTOCOL COMMIT LOG read (SnapshotOps.deltaFiles): the
+    // public _delta_log JSON action fold — v0 {b0,b1}; v1 adds b2 and
+    // retires b1; a checkpoint collapses [0,1]; v2 appends b3 on top
+    // of the checkpoint. Reading v0 must IGNORE the later checkpoint
+    // (time travel behind it), v1 resolves from the checkpoint alone,
+    // v2 from checkpoint + JSON tail. The oracle replays the
+    // id-bucket membership each version implies.
+    "src_delta_log_read" -> ((s, dir) => {
+      val path = deltaTable(s, dir)
+      def agg(v: Int): DataFrame =
+        SnapshotOps.readDeltaVersion(s, path, v)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("sum_ids"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(lit(v.toLong).as("version"), col("n_docs"),
+            col("sum_ids"), col("sum_chars"))
+      agg(0).unionAll(agg(1)).unionAll(agg(2)).orderBy(col("version"))
+    }),
+
     "src_snapshot_read" -> ((s, dir) => {
       val path = snapshotTable(s, dir)
       def agg(v: Int): DataFrame =
@@ -591,6 +644,24 @@ object LakehouseQueries extends QueryPack {
 
     // v1 = %3∈{0,1}; v2 drops the %4=1 bucket of v1 and gains the
     // %3=2 append — membership replayed straight from the rules
+    // per-version id-bucket membership: v0 = %4 in (0,1),
+    // v1 = %4 in (0,2) after the remove, v2 = %4 in (0,2,3)
+    "src_delta_log_read" ->
+      """SELECT CAST(0 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 4 IN (0, 1)
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 4 IN (0, 2)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 4 IN (0, 2, 3)
+        |ORDER BY version""".stripMargin,
+
     "src_snapshot_read" ->
       """SELECT CAST(1 AS BIGINT) AS version,
         |  CAST(count(*) AS BIGINT) AS n_docs,

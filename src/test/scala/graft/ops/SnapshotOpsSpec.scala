@@ -147,6 +147,54 @@ class SnapshotOpsSpec extends SparkSuite {
     assert(!new java.io.File(dir, "manifests/v1.json").exists())
   }
 
+  test("delta log: fold, time travel behind a checkpoint, scan list == log state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/data/u0")
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$dir/data/u1")
+    Seq((4L, "d")).toDF("id", "v").write.parquet(s"$dir/data/u2")
+    SnapshotOps.deltaCommit(dir, 0, Seq("data/u0", "data/u1"))
+    SnapshotOps.deltaCommit(dir, 1, adds = Seq("data/u2"),
+      removes = Seq("data/u1"))
+    SnapshotOps.deltaCheckpoint(spark, dir, 1)
+    SnapshotOps.deltaCommit(dir, 2, Seq("data/u1")) // re-add after remove
+    // v0 must ignore the v1 checkpoint (time travel behind it)
+    assert(SnapshotOps.deltaFiles(spark, dir, 0).toSet ==
+      Set("data/u0", "data/u1"))
+    // v1 resolves from the checkpoint alone
+    assert(SnapshotOps.deltaFiles(spark, dir, 1).toSet ==
+      Set("data/u0", "data/u2"))
+    // v2 = checkpoint + JSON tail; last action per path wins
+    assert(SnapshotOps.deltaFiles(spark, dir, 2).toSet ==
+      Set("data/u0", "data/u2", "data/u1"))
+    val v1 = SnapshotOps.readDeltaVersion(spark, dir, 1)
+    assert(v1.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+    // machine-asserted: the scan's file list is exactly the log state
+    assert(v1.inputFiles.forall(f => !f.contains("data/u1")))
+    // a commit is immutable; a divergent re-commit refuses
+    intercept[IllegalArgumentException] {
+      SnapshotOps.deltaCommit(dir, 2, Seq("data/u0"))
+    }
+    SnapshotOps.deltaCommit(dir, 2, Seq("data/u1")) // identical: fine
+    // missing version refuses loudly
+    intercept[IllegalArgumentException] {
+      SnapshotOps.deltaFiles(spark, dir, 9)
+    }
+    // a reader-version gate above 1 refuses the whole read
+    val gated = java.nio.file.Files.createTempDirectory("graft_deltag_")
+      .toString
+    new java.io.File(gated, "_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(gated, "_delta_log",
+        "0" * 19 + "0.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}"""
+        .getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      SnapshotOps.deltaFiles(spark, gated, 0)
+    }
+  }
+
   test("scd2 refuses seq 0 in the log and unknown ops") {
     val base = Seq((1L, "a")).toDF(baseCols: _*)
     val bad1 = Seq((1L, 0L, "upsert", "x")).toDF("id", "seq", "op", "v")

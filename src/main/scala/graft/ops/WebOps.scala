@@ -43,6 +43,7 @@ object WebOps {
     graft.functions.Lz4.register(spark)
     graft.functions.Snappy.register(spark)
     graft.functions.MimeText.register(spark)
+    graft.functions.RtfText.register(spark)
   }
 
   private def registered(): Unit =

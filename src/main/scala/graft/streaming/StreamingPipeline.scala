@@ -265,6 +265,37 @@ object StreamingPipeline {
         cdcApplyFlatMap)
   }
 
+  /** Streaming SCD2 BACKFILL — [[graft.ops.SnapshotOps.scd2History]]'s
+    * stream side: each micro-batch of changelog rows is folded onto
+    * the running history table via
+    * [[graft.ops.SnapshotOps.scd2Apply]] inside foreachBatch (history
+    * is table-state, not operator-state — the warehouse pattern for
+    * CDC backfill). Applying batches in arrival order is row-equal to
+    * one batch scd2History over the concatenated log; StreamingSpec
+    * pins that parity across micro-batches, including an id whose
+    * interval closes in one batch and reopens in the next.
+    *
+    * `state` holds the current history; each batch swaps in the new
+    * fold `localCheckpoint`ed so lineage doesn't accumulate across an
+    * unbounded stream.
+    */
+  def scd2Ingest(changes: org.apache.spark.sql.Dataset[ChangeRow],
+                 state: java.util.concurrent.atomic.AtomicReference[DataFrame])
+      : org.apache.spark.sql.streaming.DataStreamWriter[ChangeRow] =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ChangeRow],
+                       _: Long) =>
+        if (!batch.isEmpty) {
+          val log = batch.toDF()
+            .withColumnRenamed("payload", "v")
+          val next = graft.ops.SnapshotOps
+            .scd2Apply(state.get(), log, "id", "seq", "op")
+            .localCheckpoint(true)
+          state.set(next)
+        }
+      }
+
   // ---- streaming NEAR-dup (MinHash/LSH band registry) ----
 
   final case class BandRow(docId: Long, ts: java.sql.Timestamp,

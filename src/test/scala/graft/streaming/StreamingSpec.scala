@@ -581,6 +581,63 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 backfill: foreachBatch increments equal the batch fold") {
+    implicit val s = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingPipeline.ChangeRow
+
+    val base = Seq((1L, "a"), (2L, "b"), (5L, "e")).toDF("id", "v")
+    val init = graft.ops.SnapshotOps.scd2History(base,
+      Seq.empty[(Long, Long, String, String)].toDF("id", "seq", "op", "v"),
+      "id", "seq", "op")
+    val state = new java.util.concurrent.atomic.AtomicReference(init)
+    val input = MemoryStream[ChangeRow]
+    val q = StreamingPipeline.scd2Ingest(input.toDS(), state).start()
+    try {
+      // batch 1: chain on id 1, delete id 2, insert id 3
+      input.addData(ChangeRow(1L, 1L, "upsert", "a1"),
+        ChangeRow(1L, 2L, "upsert", "a2"),
+        ChangeRow(2L, 3L, "delete", "b"),
+        ChangeRow(3L, 1L, "upsert", "c1"))
+      q.processAllAvailable()
+      // batch 2: id 2 REOPENS after its batch-1 delete, id 1 chains on
+      input.addData(ChangeRow(2L, 5L, "upsert", "b2"),
+        ChangeRow(1L, 6L, "upsert", "a6"))
+      q.processAllAvailable()
+
+      val streamed = state.get()
+        .orderBy("id", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+        .toSeq
+      // the batch fold over the concatenated log
+      val fullLog = Seq(
+        (1L, 1L, "upsert", "a1"), (1L, 2L, "upsert", "a2"),
+        (2L, 3L, "delete", "b"), (3L, 1L, "upsert", "c1"),
+        (2L, 5L, "upsert", "b2"), (1L, 6L, "upsert", "a6"))
+        .toDF("id", "seq", "op", "v")
+      val batch = graft.ops.SnapshotOps
+        .scd2History(base, fullLog, "id", "seq", "op")
+        .orderBy("id", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+        .toSeq
+      assert(streamed == batch, s"\nstream: $streamed\nbatch:  $batch")
+      // the untouched id 5 stays current from seq 0
+      assert(streamed.contains((5L, "e", 0L, -1L, true)))
+
+      // cross-batch disorder refuses loudly: a seq at or below id 1's
+      // latest interval must raise, not interleave
+      input.addData(ChangeRow(1L, 6L, "upsert", "stale"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+          msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("is not after")), e.toString)
+    } finally q.stop()
+  }
+
   test("streaming CDC apply: latest-wins heads, batch parity, idempotence") {
     implicit val s = spark
     import spark.implicits._

@@ -30,6 +30,45 @@ class PlanAuditSpec extends SparkSuite {
       assert(l.contains("doc_id"), s"SCD2 window lost its id key: $l"))
   }
 
+  test("round-15 queries: scan-side extraction stays joinless; delta/eml/rtf sane") {
+    // pure scan-side decode families must plan NO join and NO window:
+    // chunked/gzip HTTP entities, tf.Example parse, MIME/mbox, RTF,
+    // Ogg tags are all per-row expression chains
+    Seq("src_tfexample_parse", "web_eml_extract", "web_mbox_extract",
+      "web_rtf_extract", "mm_audio_ogg_tags").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+      assert(!p.contains("WindowExec"), s"$q windows over the corpus")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q shuffles a join for a scan-side decode")
+    }
+    // the chunked/encoded crawl mile keeps the e2e shape: no cartesian,
+    // blobs never shuffle through a join
+    Seq("web_http_chunked", "web_crawl_e2e", "src_delta_log_read").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+  }
+
+  test("scd2Apply joins history against a BROADCAST per-id first-seq table") {
+    import spark.implicits._
+    val hist = SnapshotOps.scd2History(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      Seq((1L, 1L, "upsert", "a1")).toDF("id", "seq", "op", "v"),
+      "id", "seq", "op")
+    val batch = Seq((1L, 5L, "upsert", "a5")).toDF("id", "seq", "op", "v")
+    val p = SnapshotOps.scd2Apply(hist, batch, "id", "seq", "op")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the first-seq table must broadcast — history must not shuffle")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("near-dup pair generation never plans a cartesian product") {
     Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_hamming",
       "dedup_embed_cosine", "dedup_substring_runs", "dedup_semdedup",

@@ -1,0 +1,537 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Apache Arrow IPC read — the training-data interchange format
+  * (Feather v2 / HF-datasets shards), decoded FROM THE PUBLISHED
+  * SPEC: the flatbuffers wire format (vtables, soffsets, unions,
+  * inline structs) and the IPC envelope/body layout
+  * (Message/Schema/RecordBatch from the format `.fbs` definitions;
+  * File = ARROW1 magic + stream + footer), no Arrow library.
+  *
+  * Surface:
+  *  - `arrow_audit(binary)` → one struct per buffer: format
+  *    (stream/file), batch/row counts, body compression, per-field
+  *    (name, type, nullable, null_count) — the shard-QA view.
+  *  - `arrow_col_i64(binary, name)` / `arrow_col_f64` /
+  *    `arrow_col_str` → the named column's values concatenated
+  *    across batches (nulls preserved), for signed ints ≤64 bit /
+  *    float32/float64 / utf8 respectively.
+  *
+  * Body compression per the spec's BodyCompression: each non-empty
+  * buffer is an i64 uncompressed length + an LZ4-frame or zstd frame
+  * (−1 = stored raw), routed through this repo's own from-spec
+  * [[Lz4]]/[[Zstd] ] decoders.
+  *
+  * Whole-or-refuse: torn envelopes, flatbuffer offsets escaping the
+  * buffer, unsupported layouts (dictionary encoding, nested children,
+  * unknown codecs), missing stream EOS / file trailer magic, or a
+  * type mismatch in a column extractor all null the row — a shard
+  * either reads whole or quarantines.
+  *
+  * Scale shape: codegen'd static calls; one linear envelope walk per
+  * blob, values reduce scan-side. (Columnar SOURCES at cluster scale
+  * stay parquet via `spark.read` — this is the seam for auditing and
+  * ingesting Arrow drops, the TfRecord posture.)
+  */
+object ArrowIpc {
+
+  private object Corrupt extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private def fail(): Nothing = throw Corrupt
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "arrow_audit", exprs => ArrowAudit(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "arrow_col_i64", exprs => ArrowColI64(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "arrow_col_f64", exprs => ArrowColF64(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "arrow_col_str", exprs => ArrowColStr(exprs(0), exprs(1)), "built-in")
+  }
+
+  val auditSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("n_batches", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("compression", StringType, nullable = false),
+    StructField("fields", ArrayType(StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("nullable", BooleanType, nullable = false),
+      StructField("null_count", LongType, nullable = false))),
+      containsNull = false), nullable = false)))
+
+  // ---------------------------------------------------------------
+  // flatbuffers mini-reader (little-endian)
+  // ---------------------------------------------------------------
+
+  private final class Fb(val b: Array[Byte], val base: Int, val end: Int) {
+    def u8(i: Int): Int = { chk(i, 1); b(i) & 0xff }
+    def i16(i: Int): Int = { chk(i, 2); (b(i) & 0xff) | (b(i + 1) << 8) }
+    def u16(i: Int): Int = { chk(i, 2); (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) }
+    def i32(i: Int): Int = { chk(i, 4)
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | (b(i + 3) << 24) }
+    def i64(i: Int): Long = { chk(i, 8)
+      (i32(i) & 0xffffffffL) | (i32(i + 4).toLong << 32) }
+    private def chk(i: Int, n: Int): Unit =
+      if (i < base || i + n > end) fail()
+
+    /** root table position */
+    def root: Int = { val t = base + i32(base); if (t <= base) fail(); t }
+
+    /** absolute position of field `slot`'s data in table `t`, or -1. */
+    def field(t: Int, slot: Int): Int = {
+      val vt = t - i32(t) // soffset: vtable may sit before OR after
+      if (vt < base || vt + 4 > end) fail()
+      val vtSize = u16(vt)
+      val off = 4 + slot * 2
+      if (off + 2 > vtSize) return -1
+      val fo = u16(vt + off)
+      if (fo == 0) -1 else t + fo
+    }
+    def tableAt(pos: Int): Int = { val o = i32(pos); if (o <= 0) fail(); pos + o }
+    def str(pos: Int): String = {
+      val s = pos + i32(pos)
+      val n = i32(s)
+      if (n < 0 || s + 4 + n > end) fail()
+      new String(b, s + 4, n, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    /** vector position → (element-0 position, length) */
+    def vec(pos: Int): (Int, Int) = {
+      val v = pos + i32(pos)
+      val n = i32(v)
+      if (n < 0) fail()
+      (v + 4, n)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // schema / batch models
+  // ---------------------------------------------------------------
+
+  private final case class FieldInfo(name: String, typeName: String,
+      nullable: Boolean, supported: Boolean)
+
+  private def parseSchema(fb: Fb, schemaPos: Int): Array[FieldInfo] = {
+    val schema = schemaPos
+    // big-endian buffers are valid Arrow but not this reader's subset
+    val endianness = {
+      val p = fb.field(schema, 0); if (p < 0) 0 else fb.i16(p)
+    }
+    if (endianness != 0) fail()
+    val fieldsPos = fb.field(schema, 1)
+    if (fieldsPos < 0) return Array.empty
+    val (el0, n) = fb.vec(fieldsPos)
+    if (n > 4096) fail()
+    Array.tabulate(n) { k =>
+      val f = fb.tableAt(el0 + k * 4)
+      val namePos = fb.field(f, 0)
+      val name = if (namePos < 0) "" else fb.str(namePos)
+      val nullable = { val p = fb.field(f, 1); p >= 0 && fb.u8(p) != 0 }
+      val tt = { val p = fb.field(f, 2); if (p < 0) 0 else fb.u8(p) }
+      val tv = fb.field(f, 3)
+      val hasDict = fb.field(f, 4) >= 0
+      val nChildren = {
+        val p = fb.field(f, 5)
+        if (p < 0) 0 else fb.vec(p)._2
+      }
+      val (tn, ok) = tt match {
+        case 2 => // Int
+          val t = fb.tableAt(tv)
+          val bw = { val p = fb.field(t, 0); if (p < 0) 0 else fb.i32(p) }
+          val signed = { val p = fb.field(t, 1); p >= 0 && fb.u8(p) != 0 }
+          ((if (signed) "int" else "uint") + bw,
+            Seq(8, 16, 32, 64).contains(bw))
+        case 3 => // FloatingPoint
+          val t = fb.tableAt(tv)
+          val prec = { val p = fb.field(t, 0); if (p < 0) 0 else fb.i16(p) }
+          prec match {
+            case 1 => ("float32", true)
+            case 2 => ("float64", true)
+            case _ => ("float16", false)
+          }
+        case 4 => ("binary", true)
+        case 5 => ("utf8", true)
+        case 6 => ("bool", true)
+        case other => (s"other:$other", false)
+      }
+      FieldInfo(name, tn, nullable,
+        ok && !hasDict && nChildren == 0)
+    }
+  }
+
+  private final case class Batch(nRows: Long, nodes: Array[(Long, Long)],
+      buffers: Array[Array[Byte]])
+
+  /** Decode one RecordBatch message + body into per-buffer byte
+    * arrays (decompressed when BodyCompression is present).
+    */
+  private def parseBatch(fb: Fb, rbPos: Int, body: Array[Byte],
+      bodyFrom: Int, bodyLen: Long,
+      compressionSeen: Array[String]): Batch = {
+    val rb = rbPos
+    val nRows = { val p = fb.field(rb, 0); if (p < 0) 0L else fb.i64(p) }
+    if (nRows < 0) fail()
+    val nodes = {
+      val p = fb.field(rb, 1)
+      if (p < 0) Array.empty[(Long, Long)]
+      else {
+        val (el0, n) = fb.vec(p)
+        Array.tabulate(n)(k =>
+          (fb.i64(el0 + k * 16), fb.i64(el0 + k * 16 + 8)))
+      }
+    }
+    val bufMeta = {
+      val p = fb.field(rb, 2)
+      if (p < 0) Array.empty[(Long, Long)]
+      else {
+        val (el0, n) = fb.vec(p)
+        Array.tabulate(n)(k =>
+          (fb.i64(el0 + k * 16), fb.i64(el0 + k * 16 + 8)))
+      }
+    }
+    val codec: Int = {
+      val p = fb.field(rb, 3)
+      if (p < 0) -1
+      else {
+        val t = fb.tableAt(p)
+        val c = { val q = fb.field(t, 0); if (q < 0) 0 else fb.u8(q) }
+        val m = { val q = fb.field(t, 1); if (q < 0) 0 else fb.u8(q) }
+        if (m != 0) fail() // only BUFFER method exists
+        c
+      }
+    }
+    compressionSeen(0) = codec match {
+      case -1 => if (compressionSeen(0) == "" ||
+        compressionSeen(0) == "none") "none" else "mixed"
+      case 0 => if (compressionSeen(0) == "" ||
+        compressionSeen(0) == "lz4") "lz4" else "mixed"
+      case 1 => if (compressionSeen(0) == "" ||
+        compressionSeen(0) == "zstd") "zstd" else "mixed"
+      case _ => fail()
+    }
+    val bufs = bufMeta.map { case (off, len) =>
+      if (off < 0 || len < 0 || off + len > bodyLen) fail()
+      val from = bodyFrom + off.toInt
+      if (len == 0) Array.emptyByteArray
+      else if (codec < 0) java.util.Arrays.copyOfRange(body, from,
+        from + len.toInt)
+      else {
+        // i64 uncompressed length (-1 = stored raw) + one frame
+        if (len < 8) fail()
+        var v = 0L
+        var k = 0
+        while (k < 8) { v |= (body(from + k) & 0xffL) << (8 * k); k += 1 }
+        val payload = java.util.Arrays.copyOfRange(body, from + 8,
+          from + len.toInt)
+        if (v == -1L) payload
+        else {
+          val out = if (codec == 0) Lz4.decompressAll(payload)
+            else Zstd.decompressAll(payload)
+          if (out == null || out.length != v) fail()
+          out
+        }
+      }
+    }
+    Batch(nRows, nodes, bufs)
+  }
+
+  // ---------------------------------------------------------------
+  // envelope walk
+  // ---------------------------------------------------------------
+
+  private final case class Ipc(format: String, fields: Array[FieldInfo],
+      batches: Seq[Batch], compression: String)
+
+  private def le32(b: Array[Byte], i: Int): Int = {
+    if (i + 4 > b.length) fail()
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | (b(i + 3) << 24)
+  }
+
+  private def walk(b: Array[Byte]): Ipc = {
+    val isFile = b.length >= 20 && b(0) == 'A' && b(1) == 'R' &&
+      b(2) == 'R' && b(3) == 'O' && b(4) == 'W' && b(5) == '1' &&
+      b(6) == 0 && b(7) == 0
+    if (isFile) {
+      // trailer: i32 footer length + "ARROW1"
+      val n = b.length
+      if (!(b(n - 6) == 'A' && b(n - 5) == 'R' && b(n - 4) == 'R' &&
+        b(n - 3) == 'O' && b(n - 2) == 'W' && b(n - 1) == '1')) fail()
+      val footerLen = le32(b, n - 10)
+      if (footerLen <= 0 || n - 10 - footerLen < 8) fail()
+    }
+    var pos = if (isFile) 8 else 0
+    var fields: Array[FieldInfo] = null
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Batch]
+    val comp = Array("")
+    var sawEos = false
+    val streamEnd = if (isFile) b.length - 10 - le32(b, b.length - 10)
+      else b.length
+    while (pos < streamEnd && !sawEos) {
+      val cont = le32(b, pos)
+      if (cont == 0) { sawEos = true; pos += 4 } // legacy EOS
+      else {
+        if (cont != -1) fail() // continuation marker required
+        val metaLen = le32(b, pos + 4)
+        if (metaLen == 0) { sawEos = true; pos += 8 }
+        else {
+          if (metaLen < 0 || pos + 8 + metaLen > streamEnd) fail()
+          val metaFrom = pos + 8
+          val fb = new Fb(b, metaFrom, metaFrom + metaLen)
+          val msg = fb.root
+          val headerType = {
+            val p = fb.field(msg, 1); if (p < 0) 0 else fb.u8(p)
+          }
+          val headerPos = fb.field(msg, 2)
+          val bodyLen = {
+            val p = fb.field(msg, 3); if (p < 0) 0L else fb.i64(p)
+          }
+          if (bodyLen < 0 ||
+            metaFrom + metaLen + bodyLen > streamEnd) fail()
+          headerType match {
+            case 1 => // Schema
+              if (fields != null) fail() // one schema per stream
+              if (headerPos < 0) fail()
+              fields = parseSchema(fb, fb.tableAt(headerPos))
+            case 3 => // RecordBatch
+              if (fields == null) fail() // batch before schema
+              if (headerPos < 0) fail()
+              batches += parseBatch(fb, fb.tableAt(headerPos), b,
+                metaFrom + metaLen, bodyLen, comp)
+            case 2 => fail() // dictionary batches: unsupported, refuse
+            case _ => fail()
+          }
+          pos = metaFrom + metaLen + bodyLen.toInt
+        }
+      }
+    }
+    if (fields == null) fail()
+    if (!isFile && !sawEos) fail() // stream must terminate explicitly
+    Ipc(if (isFile) "file" else "stream", fields, batches.toSeq,
+      if (comp(0) == "") "none" else comp(0))
+  }
+
+  // ---------------------------------------------------------------
+  // public entry points
+  // ---------------------------------------------------------------
+
+  def audit(b: Array[Byte]): InternalRow =
+    try {
+      val ipc = walk(b)
+      val nRows = ipc.batches.map(_.nRows).sum
+      // per-field null counts across batches (node order == field order
+      // for flat schemas — nested layouts are already refused)
+      val nulls = new Array[Long](ipc.fields.length)
+      ipc.batches.foreach { bt =>
+        if (bt.nodes.length != ipc.fields.length) fail()
+        var i = 0
+        while (i < nulls.length) { nulls(i) += bt.nodes(i)._2; i += 1 }
+      }
+      val rows = ipc.fields.zipWithIndex.map { case (f, i) =>
+        InternalRow(UTF8String.fromString(f.name),
+          UTF8String.fromString(f.typeName), f.nullable, nulls(i))
+      }
+      InternalRow(UTF8String.fromString(ipc.format), ipc.batches.size,
+        nRows, UTF8String.fromString(ipc.compression),
+        new GenericArrayData(rows.toArray[Any]))
+    } catch { case Corrupt => null }
+
+  /** (validity buffer, value buffers...) for field `idx` in a batch:
+    * flat layouts have buffers in field order — validity + 1 (fixed,
+    * bool) or validity + 2 (varbinary). All supported types here.
+    */
+  private def fieldBuffers(ipc: Ipc, idx: Int, bt: Batch): (Int, Int) = {
+    // buffer index of field idx = sum of buffer counts of fields before
+    var at = 0
+    var i = 0
+    while (i < idx) {
+      at += (ipc.fields(i).typeName match {
+        case "utf8" | "binary" => 3
+        case _ => 2
+      })
+      i += 1
+    }
+    val n = ipc.fields(idx).typeName match {
+      case "utf8" | "binary" => 3
+      case _ => 2
+    }
+    if (at + n > bt.buffers.length) fail()
+    (at, n)
+  }
+
+  private def isNull(validity: Array[Byte], i: Int, nullCount: Long): Boolean =
+    nullCount > 0 && validity.length > (i >> 3) &&
+      ((validity(i >> 3) >> (i & 7)) & 1) == 0
+
+  private def colValues(b: Array[Byte], name: UTF8String,
+      accept: Set[String])(read: (String, Array[Byte], Int) => Any)
+      : GenericArrayData =
+    try {
+      val ipc = walk(b)
+      val idx = ipc.fields.indexWhere(_.name == name.toString)
+      if (idx < 0) fail()
+      val f = ipc.fields(idx)
+      if (!f.supported || !accept.contains(f.typeName)) fail()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      ipc.batches.foreach { bt =>
+        if (bt.nodes.length != ipc.fields.length) fail()
+        val (b0, _) = fieldBuffers(ipc, idx, bt)
+        val validity = bt.buffers(b0)
+        val nullCount = bt.nodes(idx)._2
+        var i = 0
+        while (i < bt.nRows.toInt) {
+          if (isNull(validity, i, nullCount)) out += null
+          else out += read(f.typeName, bt.buffers(b0 + 1), i)
+          i += 1
+        }
+      }
+      new GenericArrayData(out.toArray)
+    } catch { case Corrupt => null }
+
+  private def leAt(d: Array[Byte], i: Int, n: Int): Long = {
+    if (i + n > d.length) fail()
+    var v = 0L
+    var k = 0
+    while (k < n) { v |= (d(i + k) & 0xffL) << (8 * k); k += 1 }
+    v
+  }
+
+  def colI64(b: Array[Byte], name: UTF8String): GenericArrayData =
+    colValues(b, name, Set("int8", "int16", "int32", "int64",
+      "uint8", "uint16", "uint32")) { (tn, data, i) =>
+      tn match {
+        case "int8" => leAt(data, i, 1).toByte.toLong
+        case "uint8" => leAt(data, i, 1)
+        case "int16" => leAt(data, i * 2, 2).toShort.toLong
+        case "uint16" => leAt(data, i * 2, 2)
+        case "int32" => leAt(data, i * 4, 4).toInt.toLong
+        case "uint32" => leAt(data, i * 4, 4)
+        case _ => leAt(data, i * 8, 8)
+      }
+    }
+
+  def colF64(b: Array[Byte], name: UTF8String): GenericArrayData =
+    colValues(b, name, Set("float32", "float64")) { (tn, data, i) =>
+      if (tn == "float32")
+        java.lang.Float.intBitsToFloat(leAt(data, i * 4, 4).toInt).toDouble
+      else java.lang.Double.longBitsToDouble(leAt(data, i * 8, 8))
+    }
+
+  def colStr(b: Array[Byte], name: UTF8String): GenericArrayData =
+    try {
+      val ipc = walk(b)
+      val idx = ipc.fields.indexWhere(_.name == name.toString)
+      if (idx < 0) fail()
+      val f = ipc.fields(idx)
+      if (!f.supported || f.typeName != "utf8") fail()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      ipc.batches.foreach { bt =>
+        val (b0, _) = fieldBuffers(ipc, idx, bt)
+        val validity = bt.buffers(b0)
+        val offsets = bt.buffers(b0 + 1)
+        val data = bt.buffers(b0 + 2)
+        val nullCount = bt.nodes(idx)._2
+        var i = 0
+        while (i < bt.nRows.toInt) {
+          if (isNull(validity, i, nullCount)) out += null
+          else {
+            val s = leAt(offsets, i * 4, 4).toInt
+            val e = leAt(offsets, i * 4 + 4, 4).toInt
+            if (s < 0 || e < s || e > data.length) fail()
+            out += UTF8String.fromBytes(
+              java.util.Arrays.copyOfRange(data, s, e))
+          }
+          i += 1
+        }
+      }
+      new GenericArrayData(out.toArray)
+    } catch { case Corrupt => null }
+}
+
+/** `arrow_audit(binary)` → shard-QA struct or null. */
+case class ArrowAudit(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrowIpc.auditSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "arrow_audit"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    ArrowIpc.audit(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ArrowIpc.audit($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ArrowAudit =
+    copy(child = newChild)
+}
+
+private[functions] abstract class ArrowColBase extends BinaryExpression {
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (binary, string)")
+}
+
+/** `arrow_col_i64(binary, name)` → array<long> or null. */
+case class ArrowColI64(left: Expression, right: Expression)
+    extends ArrowColBase {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "arrow_col_i64"
+  override def nullSafeEval(b: Any, n: Any): Any =
+    ArrowIpc.colI64(b.asInstanceOf[Array[Byte]], n.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, n) => s"""
+      ${ev.value} = graft.functions.ArrowIpc.colI64($b, $n);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): ArrowColI64 = copy(left = l, right = r)
+}
+
+/** `arrow_col_f64(binary, name)` → array<double> or null. */
+case class ArrowColF64(left: Expression, right: Expression)
+    extends ArrowColBase {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "arrow_col_f64"
+  override def nullSafeEval(b: Any, n: Any): Any =
+    ArrowIpc.colF64(b.asInstanceOf[Array[Byte]], n.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, n) => s"""
+      ${ev.value} = graft.functions.ArrowIpc.colF64($b, $n);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): ArrowColF64 = copy(left = l, right = r)
+}
+
+/** `arrow_col_str(binary, name)` → array<string> or null. */
+case class ArrowColStr(left: Expression, right: Expression)
+    extends ArrowColBase {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "arrow_col_str"
+  override def nullSafeEval(b: Any, n: Any): Any =
+    ArrowIpc.colStr(b.asInstanceOf[Array[Byte]], n.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, n) => s"""
+      ${ev.value} = graft.functions.ArrowIpc.colStr($b, $n);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): ArrowColStr = copy(left = l, right = r)
+}

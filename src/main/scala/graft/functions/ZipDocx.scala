@@ -19,8 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `(name, method, comp_len, raw_len, crc_ok)` — an AUDIT surface in
   * the `web_segment_audit` posture: the archive STRUCTURE is
   * whole-or-refuse (null on bad/absent end-of-central-directory,
-  * central/local signature mismatch, truncation, zip64 framing,
-  * encryption, or a compression method outside stored/deflate), while
+  * central/local signature mismatch, truncation, encryption, or a
+  * compression method outside stored/deflate — ZIP64 framing is
+  * SUPPORTED: the EOCD64 locator/record chain and the 0x0001
+  * extended-information extra resolve the 32-bit markers), while
   * a member whose payload fails to inflate or whose CRC-32 disagrees
   * is a PER-ROW quarantine signal (`crc_ok = false`), never silent
   * loss. Members decode with the same JDK zlib the gzip/PDF paths use
@@ -100,6 +102,10 @@ object ZipDocx {
     if (p < 0 || p + 2 > b.length) fail()
     (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
   }
+  @inline private def u64(b: Array[Byte], p: Int): Long = {
+    if (p < 0 || p + 8 > b.length) fail()
+    u32(b, p) | (u32(b, p + 4) << 32)
+  }
   @inline private def u32(b: Array[Byte], p: Int): Long = {
     if (p < 0 || p + 4 > b.length) fail()
     (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
@@ -125,16 +131,34 @@ object ZipDocx {
     }
     if (eocd < 0) fail()
     if (u16(buf, eocd + 4) != 0 || u16(buf, eocd + 6) != 0) fail() // disks
-    val nHere = u16(buf, eocd + 8)
-    val nTotal = u16(buf, eocd + 10)
-    val cdSize = u32(buf, eocd + 12)
-    val cdOff = u32(buf, eocd + 16)
-    if (nHere != nTotal || nTotal > MaxEntries) fail()
-    if (nTotal == 0xFFFF || cdSize == 0xFFFFFFFFL || cdOff == 0xFFFFFFFFL)
-      fail() // zip64 EOCD markers
-    if (cdOff + cdSize != eocd) fail() // directory must abut the EOCD
+    var nHere = u16(buf, eocd + 8).toLong
+    var nTotal = u16(buf, eocd + 10).toLong
+    var cdSize = u32(buf, eocd + 12)
+    var cdOff = u32(buf, eocd + 16)
+    var dirEnd = eocd.toLong
+    if (nTotal == 0xFFFFL || cdSize == 0xFFFFFFFFL ||
+      cdOff == 0xFFFFFFFFL) {
+      // ZIP64: locator (0x07064b50) directly precedes the EOCD and
+      // points at the zip64 EOCD record (0x06064b50, 8-byte fields)
+      val loc = eocd - 20
+      if (loc < 0 || u32(buf, loc) != 0x07064b50L) fail()
+      if (u32(buf, loc + 4) != 0L || u32(buf, loc + 16) != 1L) fail()
+      val z64 = u64(buf, loc + 8)
+      if (z64 < 0 || z64 + 56 > loc) fail()
+      val zp = z64.toInt
+      if (u32(buf, zp) != 0x06064b50L) fail()
+      if (u32(buf, zp + 16) != 0L || u32(buf, zp + 20) != 0L) fail() // disks
+      nHere = u64(buf, zp + 24)
+      nTotal = u64(buf, zp + 32)
+      cdSize = u64(buf, zp + 40)
+      cdOff = u64(buf, zp + 48)
+      dirEnd = z64
+    }
+    if (nHere != nTotal || nTotal > MaxEntries || nTotal < 0) fail()
+    if (cdSize < 0 || cdOff < 0 || cdOff + cdSize != dirEnd)
+      fail() // directory must abut the EOCD (or the zip64 record)
 
-    val out = new Array[Member](nTotal)
+    val out = new Array[Member](nTotal.toInt)
     var cp = cdOff.toInt
     var i = 0
     while (i < nTotal) {
@@ -142,36 +166,52 @@ object ZipDocx {
       val flags = u16(buf, cp + 8)
       val method = u16(buf, cp + 10)
       val crc = u32(buf, cp + 16)
-      val compLen = u32(buf, cp + 20)
-      val rawLen = u32(buf, cp + 24)
+      var compLen = u32(buf, cp + 20)
+      var rawLen = u32(buf, cp + 24)
       val nameLen = u16(buf, cp + 28)
       val extraLen = u16(buf, cp + 30)
       val cmtLen = u16(buf, cp + 32)
-      val lho = u32(buf, cp + 42)
+      var lho = u32(buf, cp + 42)
       if ((flags & 0x1) != 0) fail() // encrypted
       if (method != 0 && method != 8) fail()
-      if (compLen == 0xFFFFFFFFL || rawLen == 0xFFFFFFFFL ||
-        lho == 0xFFFFFFFFL) fail() // zip64 directory markers
-      if (rawLen > MaxMemberBytes) fail() // bomb ceiling, declared
       if (cp + 46 + nameLen > buf.length) fail()
-      // zip64 extended-information extra field ⇒ refuse the framing
+      // zip64 extended-information extra (0x0001): u64 replacements
+      // appear IN ORDER for exactly the fields set to the 32-bit
+      // marker (APPNOTE 4.5.3)
       var xp = cp + 46 + nameLen
       val xend = xp + extraLen
       if (xend > buf.length) fail()
       while (xp + 4 <= xend) {
         val id = u16(buf, xp); val sz = u16(buf, xp + 2)
-        if (id == 0x0001) fail()
+        if (id == 0x0001) {
+          var fp = xp + 4
+          val fend = xp + 4 + sz
+          if (fend > xend) fail()
+          if (rawLen == 0xFFFFFFFFL) {
+            if (fp + 8 > fend) fail(); rawLen = u64(buf, fp); fp += 8
+          }
+          if (compLen == 0xFFFFFFFFL) {
+            if (fp + 8 > fend) fail(); compLen = u64(buf, fp); fp += 8
+          }
+          if (lho == 0xFFFFFFFFL) {
+            if (fp + 8 > fend) fail(); lho = u64(buf, fp); fp += 8
+          }
+        }
         xp += 4 + sz
       }
+      if (compLen == 0xFFFFFFFFL || rawLen == 0xFFFFFFFFL ||
+        lho == 0xFFFFFFFFL) fail() // marker without its zip64 field
+      if (rawLen < 0 || compLen < 0 || lho < 0 ||
+        lho > Int.MaxValue.toLong) fail()
+      if (rawLen > MaxMemberBytes) fail() // bomb ceiling, declared
       val name = UTF8String.fromBytes(buf, cp + 46, nameLen).toString
 
       // local header: data position (central sizes are authoritative —
-      // a bit-3 data-descriptor local header carries zeros there)
+      // a bit-3 data-descriptor local header carries zeros there, and
+      // a zip64 writer stores 32-bit markers: both ignored here)
       if (u32(buf, lho.toInt) != 0x04034b50L) fail()
       val lNameLen = u16(buf, lho.toInt + 26)
       val lExtraLen = u16(buf, lho.toInt + 28)
-      if (u32(buf, lho.toInt + 18) == 0xFFFFFFFFL ||
-        u32(buf, lho.toInt + 22) == 0xFFFFFFFFL) fail() // zip64 local
       val dataAt = lho.toInt + 30 + lNameLen + lExtraLen
       if (dataAt + compLen > buf.length) fail()
 
@@ -210,7 +250,7 @@ object ZipDocx {
       cp = xend + cmtLen
       i += 1
     }
-    if (cp != eocd) fail() // directory consumed exactly
+    if (cp.toLong != dirEnd) fail() // directory consumed exactly
     out
   }
 

@@ -6,7 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * INDEPENDENT generator (tools/gen_zip_fixtures.py — CPython's
   * Lib/zipfile, its own central-directory writer and deflate): stored
   * and deflated members, subdirectory names, EOCD comments, the
-  * per-member CRC quarantine, zip64 refusal, WordprocessingML runs /
+  * per-member CRC quarantine, zip64 marker resolution (local-only
+  * and full EOCD64 chains), WordprocessingML runs /
   * tabs / breaks / entities, the deterministic writer round trip.
   */
 class ZipDocxSpec extends AnyFunSuite {
@@ -70,8 +71,26 @@ class ZipDocxSpec extends AnyFunSuite {
     assert(ZipDocx.entry(fixture("badcrc.zip"), "doc2.txt") != null)
   }
 
-  test("refusal matrix: zip64, truncation, bad EOCD, absent member") {
-    assert(ZipDocx.entries(fixture("zip64.zip")) == null)
+  test("zip64: local-side markers (python force_zip64) and the FULL " +
+    "marker chain (central extras + EOCD64 + locator) both read") {
+    for (name <- Seq("zip64.zip", "zip64full.zip")) {
+      val r = rows(fixture(name))
+      assert(r == Seq(("big.txt", 0, 21L, 21L, true)), s"$name: $r")
+      assert(new String(ZipDocx.entry(fixture(name), "big.txt"),
+        "UTF-8") == "tiny but zip64-framed")
+    }
+    // marker EOCD without its locator refuses; corrupt EOCD64 sig too
+    val f = fixture("zip64full.zip")
+    val noLoc = f.clone()
+    noLoc(f.length - 22 - 20 + 3) = 0x01 // break the locator signature
+    assert(ZipDocx.entries(noLoc) == null)
+    val badZ64 = f.clone()
+    // EOCD64 record sits where the locator points; break its signature
+    badZ64(0x9f + 3) = 0x01
+    assert(ZipDocx.entries(badZ64) == null)
+  }
+
+  test("refusal matrix: truncation, bad EOCD, absent member") {
     val s = fixture("stored.zip")
     assert(ZipDocx.entries(java.util.Arrays.copyOf(s, s.length - 3)) == null)
     assert(ZipDocx.entries(java.util.Arrays.copyOf(s, 10)) == null)

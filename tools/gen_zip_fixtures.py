@@ -98,6 +98,35 @@ z64 = buf.getvalue()
 open(os.path.join(OUT, "zip64.zip"), "wb").write(z64)
 dump("zip64.zip", z64)
 
+# zip64full: hand-assembled per APPNOTE 4.5 with ALL 32-bit fields at
+# their markers — central sizes/offset in the 0x0001 extra, counts and
+# directory geometry in the EOCD64 record behind the locator. python's
+# zipfile only zip64-frames the LOCAL side for small files, so this
+# exercises the full marker-resolution chain.
+import struct, zlib
+data = b"tiny but zip64-framed"
+crc = zlib.crc32(data)
+name = b"big.txt"
+lextra = struct.pack("<HHQQ", 1, 16, len(data), len(data))
+local = (b"PK\x03\x04" + struct.pack("<HHHHH", 45, 0, 0, 0, 0x21) +
+         struct.pack("<III", crc, 0xFFFFFFFF, 0xFFFFFFFF) +
+         struct.pack("<HH", len(name), len(lextra)) + name + lextra)
+cextra = struct.pack("<HHQQQ", 1, 24, len(data), len(data), 0)
+central = (b"PK\x01\x02" + struct.pack("<HHHHHH", 45, 45, 0, 0, 0, 0x21) +
+           struct.pack("<III", crc, 0xFFFFFFFF, 0xFFFFFFFF) +
+           struct.pack("<HHHHHII", len(name), len(cextra), 0, 0, 0,
+                       0o644 << 16, 0xFFFFFFFF) + name + cextra)
+cd_off = len(local) + len(data)
+eocd64_off = cd_off + len(central)
+eocd64 = (b"PK\x06\x06" + struct.pack("<QHHIIQQQQ", 44, 45, 45, 0, 0,
+                                      1, 1, len(central), cd_off))
+locator = b"PK\x06\x07" + struct.pack("<IQI", 0, eocd64_off, 1)
+eocd = (b"PK\x05\x06" + struct.pack("<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF,
+                                    0xFFFFFFFF, 0xFFFFFFFF, 0))
+z64full = local + data + central + eocd64 + locator + eocd
+open(os.path.join(OUT, "zip64full.zip"), "wb").write(z64full)
+dump("zip64full.zip", z64full)
+
 # --- docx --------------------------------------------------------------
 CT = (b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
       b'<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, DataType}
 
@@ -17,9 +17,12 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * (never a partial buffer, never garbage) on bad magic, reserved
   * bits/block types, malformed entropy tables, bitstreams not exactly
   * consumed, offsets past the decoded window, frame-content-size or
-  * XXH64 checksum mismatch, dictionary frames (unsupported → loud
-  * refusal, not silent garbage), window sizes or outputs past the
-  * shared decompression-bomb ceiling.
+  * XXH64 checksum mismatch, a dictionary frame WITHOUT its dictionary
+  * (or with the wrong one — [[decompressAllDict]] carries trained and
+  * raw-content dictionaries per RFC 8878 §5: entropy-table preload,
+  * starting repeat offsets, and the content as a virtual window
+  * prefix), window sizes or outputs past the shared
+  * decompression-bomb ceiling.
   *
   * Encode side ([[Zstd.compressRaw]]) emits deterministic RAW-block
   * frames (spec-valid, byte-stable across JVMs) — enough for the
@@ -48,6 +51,9 @@ object Zstd {
       "zstd_frame", exprs => ZstdFrame(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "decompress_any", exprs => DecompressAny(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zunstd_dict", exprs => ZstdDecompressDict(exprs(0), exprs(1)),
+      "built-in")
   }
 
   /** Codec-routing decompression for the crawl read path: gzip magic →
@@ -467,7 +473,24 @@ object Zstd {
   /** Decode every frame (regular or skippable) of `blob`, returning the
     * concatenated content or null on ANY malformation.
     */
-  def decompressAll(blob: Array[Byte]): Array[Byte] = {
+  def decompressAll(blob: Array[Byte]): Array[Byte] =
+    decompressFrames(blob, null)
+
+  /** [[decompressAll]] with a dictionary (RFC 8878 §5): magic-framed
+    * trained dictionaries carry an ID, entropy tables (Huffman + the
+    * OF/ML/LL FSE trio) and starting repeat offsets; anything without
+    * the magic is a raw-content dictionary. Frames whose
+    * Dictionary_ID disagrees with a trained dictionary refuse.
+    */
+  def decompressAllDict(blob: Array[Byte], dict: Array[Byte]): Array[Byte] =
+    try decompressFrames(blob, parseDict(dict))
+    catch {
+      case Corrupt => null
+      case _: ArrayIndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+    }
+
+  private def decompressFrames(blob: Array[Byte], dict: ZDict): Array[Byte] = {
     try {
       val out = new Out(math.min(math.max(blob.length, 16) * 4, 1 << 20))
       var p = 0
@@ -477,7 +500,7 @@ object Zstd {
           (u8(i + 3).toLong << 24)
       while (p < blob.length) {
         val magic = u32(p)
-        if (magic == 0xFD2FB528L) p = decodeFrame(blob, p + 4, out)
+        if (magic == 0xFD2FB528L) p = decodeFrame(blob, p + 4, out, dict)
         else if ((magic & 0xFFFFFFF0L) == 0x184D2A50L) {
           val sz = u32(p + 4)
           if (p + 8 + sz > blob.length) fail()
@@ -492,7 +515,40 @@ object Zstd {
     }
   }
 
-  private def decodeFrame(blob: Array[Byte], start: Int, out: Out): Int = {
+  /** Parsed dictionary: trained (entropy + reps + id) or raw content. */
+  private final class ZDict(val id: Long, val content: Array[Byte],
+      val huf: HufTable, val ll: FseTable, val of: FseTable,
+      val ml: FseTable, val rep1: Long, val rep2: Long, val rep3: Long)
+
+  private def parseDict(d: Array[Byte]): ZDict = {
+    if (d == null || d.length == 0) fail()
+    @inline def u32(i: Int): Long = {
+      if (i + 4 > d.length) fail()
+      (d(i) & 0xffL) | ((d(i + 1) & 0xffL) << 8) |
+        ((d(i + 2) & 0xffL) << 16) | ((d(i + 3) & 0xffL) << 24)
+    }
+    if (d.length < 8 || u32(0) != 0xEC30A437L)
+      return new ZDict(0L, d, null, null, null, null, 1L, 4L, 8L)
+    val id = u32(4)
+    var p = 8
+    val (huf, hufUsed) = readHufTable(d, p, d.length)
+    p += hufUsed
+    // entropy trio in dictionary order: offsets, match lengths,
+    // literals lengths (RFC 8878 §5)
+    val (of, ofUsed) = readFseTable(d, p, d.length, 31, 8); p += ofUsed
+    val (ml, mlUsed) = readFseTable(d, p, d.length, 52, 9); p += mlUsed
+    val (ll, llUsed) = readFseTable(d, p, d.length, 35, 9); p += llUsed
+    val r1 = u32(p); val r2 = u32(p + 4); val r3 = u32(p + 8)
+    p += 12
+    if (r1 <= 0 || r2 <= 0 || r3 <= 0) fail()
+    val content = java.util.Arrays.copyOfRange(d, p, d.length)
+    if (r1 > content.length || r2 > content.length ||
+      r3 > content.length) fail()
+    new ZDict(id, content, huf, ll, of, ml, r1, r2, r3)
+  }
+
+  private def decodeFrame(blob: Array[Byte], start: Int, out: Out,
+      dict: ZDict): Int = {
     var p = start
     @inline def u8(i: Int): Int = { if (i >= blob.length) fail(); blob(i) & 0xff }
     @inline def uLE(i: Int, n: Int): Long = {
@@ -515,8 +571,12 @@ object Zstd {
     val dictBytes = dictFlag match {
       case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
     }
-    if (dictBytes > 0 && uLE(p, dictBytes) != 0L) fail() // dictionaries unsupported
+    val did = if (dictBytes > 0) uLE(p, dictBytes) else 0L
     p += dictBytes
+    if (dict == null) {
+      if (did != 0L) fail() // dictionary frame without a dictionary
+    } else if (dict.id != 0L && did != 0L && did != dict.id)
+      fail() // wrong dictionary for this frame
     var fcs = -1L
     fcsFlag match {
       case 0 => if (singleSeg) { fcs = u8(p); p += 1 }
@@ -529,6 +589,11 @@ object Zstd {
     val blockMax = math.min(windowSize, 1L << 17).toInt
     val frameStart = out.len
     val st = new FrameState
+    if (dict != null) {
+      st.huf = dict.huf; st.ll = dict.ll; st.of = dict.of; st.ml = dict.ml
+      st.rep1 = dict.rep1; st.rep2 = dict.rep2; st.rep3 = dict.rep3
+      st.dictContent = dict.content
+    }
     var last = false
     while (!last) {
       if (p + 3 > blob.length) fail()
@@ -578,6 +643,8 @@ object Zstd {
     var of: FseTable = null
     var ml: FseTable = null
     var rep1 = 1L; var rep2 = 4L; var rep3 = 8L
+    /** Dictionary content virtually prefixing the frame window. */
+    var dictContent: Array[Byte] = null
   }
 
   private def decodeCompressedBlock(b: Array[Byte], start: Int, end: Int,
@@ -759,14 +826,31 @@ object Zstd {
       System.arraycopy(litBuf, litPos, out.a, out.len, ll)
       out.len += ll
       litPos += ll
-      if (offset > out.len - frameStart) fail() // past the frame's window
-      var k = 0
-      val src = out.len - offset.toInt
-      while (k < ml) {
-        out.a(out.len + k) = out.a(src + k)
-        k += 1
+      val dictLen = if (st.dictContent == null) 0 else st.dictContent.length
+      if (offset > (out.len - frameStart).toLong + dictLen)
+        fail() // past the frame's window (incl. the dictionary prefix)
+      if (offset > out.len - frameStart) {
+        // the match starts inside the dictionary content, which
+        // virtually precedes the frame; it may run forward into the
+        // frame's own output, so copy byte-at-a-time across the seam
+        var k = 0
+        while (k < ml) {
+          val src = out.len - offset.toInt
+          out.a(out.len) =
+            if (src >= frameStart) out.a(src)
+            else st.dictContent(dictLen + (src - frameStart))
+          out.len += 1
+          k += 1
+        }
+      } else {
+        var k = 0
+        val src = out.len - offset.toInt
+        while (k < ml) {
+          out.a(out.len + k) = out.a(src + k)
+          k += 1
+        }
+        out.len += ml
       }
-      out.len += ml
       i += 1
     }
     if (br.pos != 0) fail() // bitstream must be exactly consumed
@@ -883,4 +967,30 @@ case class ZstdFrame(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.Zstd.compressRaw($c);")
   override protected def withNewChildInternal(newChild: Expression): ZstdFrame =
     copy(child = newChild)
+}
+
+/** `zunstd_dict(binary, binary)` → dictionary-assisted decode of every
+  * frame, or null (wrong/missing dictionary, any malformation).
+  */
+case class ZstdDecompressDict(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "zunstd_dict"
+  override def checkInputDataTypes() =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (binary, binary)")
+  override def nullSafeEval(blob: Any, dict: Any): Any =
+    Zstd.decompressAllDict(blob.asInstanceOf[Array[Byte]],
+      dict.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, d) => s"""
+      ${ev.value} = graft.functions.Zstd.decompressAllDict($b, $d);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ZstdDecompressDict =
+    copy(left = newLeft, right = newRight)
 }

@@ -55,6 +55,52 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  // dictionary frames from the CLI's --train + -D (the full RFC 8878
+  // §5 path: entropy-table preload, rep-offset seeding, matches into
+  // the dictionary-content window prefix)
+  private val dictManifest = Seq(
+    ("dict_small_l3", 8412, "3fd68ad75755d7efdfa8c43f08376fba"),
+    ("dict_small_l19", 8412, "434a70f31231cf5eb3c711fb2861d3ff"),
+    ("dict_tiny_l3", 28, "2072e9a381c506ba80ce2b53d6e9e495"))
+
+  private def dictBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/zstd_fixtures/dict.bin")
+    assert(in != null)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close(); out.toByteArray
+  }
+
+  for ((name, len, md5) <- dictManifest) {
+    test(s"decodes CLI dictionary fixture $name exactly") {
+      val dec = Zstd.decompressAllDict(fixture(name), dictBytes)
+      assert(dec != null, s"$name refused")
+      assert(dec.length == len)
+      assert(md5hex(dec) == md5)
+    }
+  }
+
+  test("dictionary discipline: missing, wrong, and corrupt dicts refuse") {
+    val blob = fixture("dict_small_l3")
+    // a dictionary frame without its dictionary must refuse loudly
+    assert(Zstd.decompressAll(blob) == null)
+    // a dictionary with a different id refuses before decoding
+    val wrongId = dictBytes
+    wrongId(4) = (wrongId(4) ^ 1).toByte
+    assert(Zstd.decompressAllDict(blob, wrongId) == null)
+    // torn entropy section refuses
+    assert(Zstd.decompressAllDict(blob,
+      java.util.Arrays.copyOf(dictBytes, 40)) == null)
+    // a NON-dictionary frame still decodes when a dict is supplied
+    assert(Zstd.decompressAllDict(fixture("small_l1"), dictBytes) != null)
+    // raw-content dictionaries (no magic) are accepted as a window
+    // prefix; a dict-id frame against a raw dict decodes on content
+    assert(Zstd.decompressAllDict(fixture("small_l1"),
+      "no magic here".getBytes) != null)
+  }
+
   test("raw-block encoder round-trips byte-exactly incl. empty and >128KB") {
     for (n <- Seq(0, 1, 255, 256, 65791, 65792, 1 << 17, (1 << 17) + 7, 300000)) {
       val raw = Array.tabulate[Byte](n)(i => ((i * 31 + 7) % 251).toByte)

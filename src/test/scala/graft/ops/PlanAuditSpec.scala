@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkSuite {
     // chunked/gzip HTTP entities, tf.Example parse, MIME/mbox, RTF,
     // Ogg tags are all per-row expression chains
     Seq("src_tfexample_parse", "web_eml_extract", "web_mbox_extract",
-      "web_rtf_extract", "mm_audio_ogg_tags").foreach { q =>
+      "web_rtf_extract", "mm_audio_ogg_tags", "src_arrow_read",
+      "src_parquet_audit", "web_zstd_dict_decode").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),

@@ -50,6 +50,23 @@ class TfRecordSpec extends SparkSuite {
     assert(rows.map(_.getInt(0)).toSeq == (0 until 50))
   }
 
+  test("payloads extract bit-exactly; pack round-trips under the " +
+    "independent-CRC fixtures' walk") {
+    val good = fixture("three_examples.tfrecord")
+    val arr = TfRecord.payloads(good)
+    assert(arr != null && arr.numElements() == 3)
+    assert(new String(arr.getBinary(0), "UTF-8") ==
+      "pretend serialized tf.Example number one")
+    assert(arr.getBinary(1).length == 1024 && arr.getBinary(2).isEmpty)
+    // the deterministic writer reproduces the generator's bytes
+    // EXACTLY (the generator framed the same payloads with its own
+    // from-polynomial CRC32C — byte equality cross-validates both)
+    val repacked = TfRecord.pack(
+      (0 until 3).map(arr.getBinary))
+    assert(java.util.Arrays.equals(repacked, good))
+    assert(TfRecord.payloads(good.take(good.length - 2)) == null)
+  }
+
   test("refusal matrix: a torn shard quarantines whole, never a prefix") {
     val good = fixture("three_examples.tfrecord")
     def patched(at: Int, x: Int): Array[Byte] = {

@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkSuite {
     // Ogg tags are all per-row expression chains
     Seq("src_tfexample_parse", "web_eml_extract", "web_mbox_extract",
       "web_rtf_extract", "mm_audio_ogg_tags", "src_arrow_read",
-      "src_parquet_audit", "web_zstd_dict_decode").foreach { q =>
+      "src_parquet_audit", "web_zstd_dict_decode",
+      "src_tfexample_shard").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),

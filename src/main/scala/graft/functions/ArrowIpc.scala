@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `arrow_col_i64(binary, name)` / `arrow_col_f64` /
   *    `arrow_col_str` → the named column's values concatenated
   *    across batches (nulls preserved), for signed ints ≤64 bit /
-  *    float32/float64 / utf8 respectively.
+  *    float32/float64 / utf8 + large_utf8 respectively.
   *
   * Body compression per the spec's BodyCompression: each non-empty
   * buffer is an i64 uncompressed length + an LZ4-frame or zstd frame
@@ -162,6 +162,8 @@ object ArrowIpc {
         case 4 => ("binary", true)
         case 5 => ("utf8", true)
         case 6 => ("bool", true)
+        case 19 => ("large_binary", true)
+        case 20 => ("large_utf8", true)
         case other => (s"other:$other", false)
       }
       FieldInfo(name, tn, nullable,
@@ -356,13 +358,13 @@ object ArrowIpc {
     var i = 0
     while (i < idx) {
       at += (ipc.fields(i).typeName match {
-        case "utf8" | "binary" => 3
+        case "utf8" | "binary" | "large_utf8" | "large_binary" => 3
         case _ => 2
       })
       i += 1
     }
     val n = ipc.fields(idx).typeName match {
-      case "utf8" | "binary" => 3
+      case "utf8" | "binary" | "large_utf8" | "large_binary" => 3
       case _ => 2
     }
     if (at + n > bt.buffers.length) fail()
@@ -433,7 +435,9 @@ object ArrowIpc {
       val idx = ipc.fields.indexWhere(_.name == name.toString)
       if (idx < 0) fail()
       val f = ipc.fields(idx)
-      if (!f.supported || f.typeName != "utf8") fail()
+      if (!f.supported ||
+        (f.typeName != "utf8" && f.typeName != "large_utf8")) fail()
+      val wide = f.typeName == "large_utf8"
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
       ipc.batches.foreach { bt =>
         val (b0, _) = fieldBuffers(ipc, idx, bt)
@@ -445,8 +449,10 @@ object ArrowIpc {
         while (i < bt.nRows.toInt) {
           if (isNull(validity, i, nullCount)) out += null
           else {
-            val s = leAt(offsets, i * 4, 4).toInt
-            val e = leAt(offsets, i * 4 + 4, 4).toInt
+            val s = if (wide) leAt(offsets, i * 8, 8).toInt
+              else leAt(offsets, i * 4, 4).toInt
+            val e = if (wide) leAt(offsets, i * 8 + 8, 8).toInt
+              else leAt(offsets, i * 4 + 4, 4).toInt
             if (s < 0 || e < s || e > data.length) fail()
             out += UTF8String.fromBytes(
               java.util.Arrays.copyOfRange(data, s, e))

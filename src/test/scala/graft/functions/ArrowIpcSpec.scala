@@ -74,6 +74,22 @@ class ArrowIpcSpec extends AnyFunSuite {
       f32.isNullAt(2))
   }
 
+  test("large_utf8 / large_binary: 64-bit offsets decode; audit names them") {
+    val b = fixture("stream_large")
+    val r = ArrowIpc.audit(b)
+    assert(r != null)
+    val fs = r.getArray(4)
+    val types = (0 until fs.numElements()).map(i =>
+      fs.getStruct(i, 4).getUTF8String(1).toString)
+    assert(types == Seq("large_utf8", "large_binary", "int64"))
+    val lt = ArrowIpc.colStr(b, u("ltext"))
+    assert((0 until 3).map(i =>
+      if (lt.isNullAt(i)) null else lt.getUTF8String(i).toString) ==
+      Seq("grand", null, "récit"))
+    val k = ArrowIpc.colI64(b, u("k"))
+    assert(k.getLong(2) == 9L)
+  }
+
   test("zstd and lz4 body compression decode to the identical values") {
     for (name <- Seq("file_zstd", "file_lz4")) {
       val b = fixture(name)

@@ -43,6 +43,14 @@ def widths_batch():
     ], names=["i8", "i16", "i32", "u8", "f32"])]
 
 
+def large_batch():
+    return [pa.record_batch([
+        pa.array(["grand", None, "récit"], type=pa.large_utf8()),
+        pa.array([b"\x00\x01", b"", None], type=pa.large_binary()),
+        pa.array([7, 8, 9], type=pa.int64()),
+    ], names=["ltext", "lbin", "k"])]
+
+
 def write_stream(batches):
     sink = pa.BufferOutputStream()
     with ipc.new_stream(sink, batches[0].schema) as w:
@@ -67,6 +75,7 @@ def main():
     cases["file_zstd"] = write_file(basic_batches(), compression="zstd")
     cases["file_lz4"] = write_file(basic_batches(), compression="lz4")
     cases["stream_widths"] = write_stream(widths_batch())
+    cases["stream_large"] = write_stream(large_batch())
     cases["torn"] = cases["stream_basic"][:-30]
     # dictionary-encoded column: valid Arrow, refused by this subset
     dict_b = pa.record_batch(

@@ -82,8 +82,11 @@ object ArrowIpc {
         ((b(i + 2) & 0xff) << 16) | (b(i + 3) << 24) }
     def i64(i: Int): Long = { chk(i, 8)
       (i32(i) & 0xffffffffL) | (i32(i + 4).toLong << 32) }
+    // long arithmetic: a crafted offset near Int.MaxValue must not wrap
+    // the sum negative and slip past the bound (whole-or-refuse demands
+    // Corrupt, not an escaping IndexOutOfBoundsException)
     private def chk(i: Int, n: Int): Unit =
-      if (i < base || i + n > end) fail()
+      if (i < base || i.toLong + n > end) fail()
 
     /** root table position */
     def root: Int = { val t = base + i32(base); if (t <= base) fail(); t }
@@ -102,7 +105,7 @@ object ArrowIpc {
     def str(pos: Int): String = {
       val s = pos + i32(pos)
       val n = i32(s)
-      if (n < 0 || s + 4 + n > end) fail()
+      if (n < 0 || s.toLong + 4 + n > end) fail()
       new String(b, s + 4, n, java.nio.charset.StandardCharsets.UTF_8)
     }
     /** vector position → (element-0 position, length) */
@@ -182,25 +185,20 @@ object ArrowIpc {
       compressionSeen: Array[String]): Batch = {
     val rb = rbPos
     val nRows = { val p = fb.field(rb, 0); if (p < 0) 0L else fb.i64(p) }
-    if (nRows < 0) fail()
-    val nodes = {
-      val p = fb.field(rb, 1)
+    if (nRows < 0 || nRows > (1L << 30)) fail()
+    // node/buffer vector lengths are 4 untrusted bytes: the whole vector
+    // must FIT IN THE METADATA BUFFER before Array.tabulate allocates —
+    // a tiny blob claiming 10^8 nodes must refuse, not OOM the executor
+    def struct16Vec(p: Int): Array[(Long, Long)] =
       if (p < 0) Array.empty[(Long, Long)]
       else {
         val (el0, n) = fb.vec(p)
+        if (el0.toLong + n.toLong * 16 > fb.end) fail()
         Array.tabulate(n)(k =>
           (fb.i64(el0 + k * 16), fb.i64(el0 + k * 16 + 8)))
       }
-    }
-    val bufMeta = {
-      val p = fb.field(rb, 2)
-      if (p < 0) Array.empty[(Long, Long)]
-      else {
-        val (el0, n) = fb.vec(p)
-        Array.tabulate(n)(k =>
-          (fb.i64(el0 + k * 16), fb.i64(el0 + k * 16 + 8)))
-      }
-    }
+    val nodes = struct16Vec(fb.field(rb, 1))
+    val bufMeta = struct16Vec(fb.field(rb, 2))
     val codec: Int = {
       val p = fb.field(rb, 3)
       if (p < 0) -1
@@ -346,7 +344,14 @@ object ArrowIpc {
       InternalRow(UTF8String.fromString(ipc.format), ipc.batches.size,
         nRows, UTF8String.fromString(ipc.compression),
         new GenericArrayData(rows.toArray[Any]))
-    } catch { case Corrupt => null }
+    } catch {
+      case Corrupt => null
+      // belt-and-braces: any residual index arithmetic a crafted blob
+      // slips past the explicit bounds checks nulls the row instead of
+      // crashing the query (same posture as Zstd.decompressAllDict)
+      case _: IndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+    }
 
   /** (validity buffer, value buffers...) for field `idx` in a batch:
     * flat layouts have buffers in field order — validity + 1 (fixed,
@@ -398,10 +403,14 @@ object ArrowIpc {
         }
       }
       new GenericArrayData(out.toArray)
-    } catch { case Corrupt => null }
+    } catch {
+      case Corrupt => null
+      case _: IndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+    }
 
   private def leAt(d: Array[Byte], i: Int, n: Int): Long = {
-    if (i + n > d.length) fail()
+    if (i < 0 || i.toLong + n > d.length) fail()
     var v = 0L
     var k = 0
     while (k < n) { v |= (d(i + k) & 0xffL) << (8 * k); k += 1 }
@@ -461,7 +470,11 @@ object ArrowIpc {
         }
       }
       new GenericArrayData(out.toArray)
-    } catch { case Corrupt => null }
+    } catch {
+      case Corrupt => null
+      case _: IndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+    }
 }
 
 /** `arrow_audit(binary)` → shard-QA struct or null. */

@@ -20,8 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the Java avro library (avro-1.12.1, an INDEPENDENT implementation)
   * cross-validates both directions in AvroOcfSpec.
   *
-  * Schema subset: flat records of long / int / string / boolean /
-  * double / bytes, declared at registration as a Spark StructType.
+  * Schema subset: records of long / int / string / boolean / double /
+  * bytes plus NESTED RECORDS (recursively — the shape Iceberg's
+  * manifest_entry.data_file requires), declared at registration as a
+  * Spark StructType; no unions, maps, arrays, enums, or fixed.
   * The reader refuses (nulls) anything outside the subset — unknown
   * codec, schema mismatch, truncated varints, a bad sync — never a
   * partial decode (whole-or-refuse, like every untrusted-input
@@ -63,10 +65,25 @@ object AvroOcf {
       s"avro subset does not cover $other")
   }
 
+  /** Field-type JSON: primitives by name, StructType as a nested record
+    * (the shape Iceberg's manifest_entry.data_file requires). Nested
+    * record names are derived from the field path — Avro requires them
+    * unique within a schema.
+    */
+  private def typeJson(dt: DataType, recName: String): String = dt match {
+    case st: StructType =>
+      st.fields.map(f =>
+        s"""{"name":"${f.name}","type":${
+          typeJson(f.dataType, recName + "_" + f.name)}}""")
+        .mkString(s"""{"type":"record","name":"$recName","fields":[""",
+          ",", "]}")
+    case prim => "\"" + avroType(prim) + "\""
+  }
+
   /** Canonical schema JSON for the writer. */
   def schemaJson(schema: StructType): String =
     schema.fields.map(f =>
-      s"""{"name":"${f.name}","type":"${avroType(f.dataType)}"}""")
+      s"""{"name":"${f.name}","type":${typeJson(f.dataType, "r_" + f.name)}}""")
       .mkString("""{"type":"record","name":"row","fields":[""", ",", "]}")
 
   // ---- minimal schema-JSON field extraction ---------------------------
@@ -76,18 +93,25 @@ object AvroOcf {
   }
   @inline private def fail(): Nothing = throw Corrupt
 
-  /** Ordered (name, primitive-type) pairs from an avro.schema JSON —
-    * tolerant of attribute order, whitespace, namespaces, and the
-    * `{"type":"string"}` object form for field types, so files written
-    * by the Java library parse too. Throws Corrupt outside the subset.
+  /** Parsed field type: a primitive name, or a nested record. */
+  private[functions] sealed trait FType
+  private[functions] final case class FPrim(t: String) extends FType
+  private[functions] final case class FRec(fields: Seq[(String, FType)])
+    extends FType
+
+  /** Ordered (name, type) pairs from an avro.schema JSON — tolerant of
+    * attribute order, whitespace, namespaces, the `{"type":"string"}`
+    * object form for field types, and nested records (recursively), so
+    * files written by the Java library parse too. Throws Corrupt
+    * outside the subset (unions, maps, arrays, enums, fixed).
     */
-  private[functions] def parseFields(json: String): Seq[(String, String)] = {
+  private[functions] def parseFields(json: String): Seq[(String, FType)] = {
     val fi = json.indexOf("\"fields\"")
     if (fi < 0) fail()
     var i = json.indexOf('[', fi)
     if (i < 0) fail()
     i += 1
-    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val out = scala.collection.mutable.ArrayBuffer[(String, FType)]()
     def skipWs(): Unit = {
       while (i < json.length && Character.isWhitespace(json.charAt(i))) i += 1
     }
@@ -135,7 +159,7 @@ object AvroOcf {
       if (json.charAt(i) != '{') fail()
       i += 1
       var name: String = null
-      var tpe: String = null
+      var tpe: FType = null
       var done = false
       while (!done) {
         skipWs()
@@ -147,15 +171,17 @@ object AvroOcf {
         key match {
           case "name" => name = str()
           case "type" =>
-            if (json.charAt(i) == '"') tpe = str()
+            if (json.charAt(i) == '"') tpe = FPrim(str())
             else if (json.charAt(i) == '{') {
-              // {"type":"string", ...} object form
+              // object form: {"type":"string", ...} for an annotated
+              // primitive, or {"type":"record",...} for a nested record
               val start = i
               skipValue()
               val inner = json.substring(start, i)
               val m = "\"type\"\\s*:\\s*\"([a-z]+)\"".r
                 .findFirstMatchIn(inner).getOrElse(fail())
-              tpe = m.group(1)
+              tpe = if (m.group(1) == "record") FRec(parseFields(inner))
+                else FPrim(m.group(1))
             } else fail() // unions etc. are outside the subset
           case _ => skipValue()
         }
@@ -214,45 +240,56 @@ object AvroOcf {
 
   // ---- writer ---------------------------------------------------------
 
+  /** Avro record encoding is field concatenation — recursion covers
+    * nested records. Null fields refuse loudly: the emitted schema
+    * declares non-nullable types (no unions), so a null cannot be
+    * encoded without silent corruption.
+    */
+  private def writeRecord(body: java.io.ByteArrayOutputStream,
+      row: org.apache.spark.sql.catalyst.InternalRow,
+      schema: StructType, where: String): Unit = {
+    var f = 0
+    while (f < schema.length) {
+      if (row.isNullAt(f))
+        throw new IllegalArgumentException(
+          s"avro_file: null field '${schema.fields(f).name}' at $where " +
+            "(schema has no unions)")
+      schema.fields(f).dataType match {
+        case LongType => writeLong(body, row.getLong(f))
+        case IntegerType => writeLong(body, row.getInt(f).toLong)
+        case BooleanType => body.write(if (row.getBoolean(f)) 1 else 0)
+        case DoubleType =>
+          val bits = java.lang.Double.doubleToLongBits(row.getDouble(f))
+          var k = 0
+          while (k < 8) { body.write(((bits >> (8 * k)) & 0xFF).toInt); k += 1 }
+        case StringType =>
+          val sb = row.getUTF8String(f).getBytes
+          writeLong(body, sb.length.toLong)
+          body.write(sb, 0, sb.length)
+        case BinaryType =>
+          val bb = row.getBinary(f)
+          writeLong(body, bb.length.toLong)
+          body.write(bb, 0, bb.length)
+        case st: StructType =>
+          writeRecord(body, row.getStruct(f, st.length), st,
+            where + "." + schema.fields(f).name)
+        case other => throw new IllegalArgumentException(other.toString)
+      }
+      f += 1
+    }
+  }
+
   /** One OCF around the rows (one block), `codec` ∈ null|deflate. */
   def file(rows: ArrayData, schema: StructType, codec: String): Array[Byte] = {
     val body = new java.io.ByteArrayOutputStream
     val n = rows.numElements()
     var r = 0
     while (r < n) {
-      // The emitted Avro schema declares non-nullable primitives, so a
-      // null element or field cannot be encoded — refuse loudly rather
-      // than corrupt (silent 0/false for nulls).
       if (rows.isNullAt(r))
         throw new IllegalArgumentException(
           s"avro_file: null record at index $r (schema has no unions)")
-      val row = rows.getStruct(r, schema.length)
-      var f = 0
-      while (f < schema.length) {
-        if (row.isNullAt(f))
-          throw new IllegalArgumentException(
-            s"avro_file: null field '${schema.fields(f).name}' at record " +
-              s"$r (schema has no unions)")
-        schema.fields(f).dataType match {
-          case LongType => writeLong(body, row.getLong(f))
-          case IntegerType => writeLong(body, row.getInt(f).toLong)
-          case BooleanType => body.write(if (row.getBoolean(f)) 1 else 0)
-          case DoubleType =>
-            val bits = java.lang.Double.doubleToLongBits(row.getDouble(f))
-            var k = 0
-            while (k < 8) { body.write(((bits >> (8 * k)) & 0xFF).toInt); k += 1 }
-          case StringType =>
-            val sb = row.getUTF8String(f).getBytes
-            writeLong(body, sb.length.toLong)
-            body.write(sb, 0, sb.length)
-          case BinaryType =>
-            val bb = row.getBinary(f)
-            writeLong(body, bb.length.toLong)
-            body.write(bb, 0, bb.length)
-          case other => throw new IllegalArgumentException(other.toString)
-        }
-        f += 1
-      }
+      writeRecord(body, rows.getStruct(r, schema.length), schema,
+        s"record $r")
       r += 1
     }
     val payload =
@@ -319,14 +356,17 @@ object AvroOcf {
       }
       if (schemaJsonStr == null) fail()
       if (codec != "null" && codec != "deflate") fail()
-      val fields = parseFields(schemaJsonStr)
-      if (fields.length != schema.length) fail()
-      var f = 0
-      while (f < schema.length) {
-        if (fields(f)._1 != schema.fields(f).name ||
-          fields(f)._2 != avroType(schema.fields(f).dataType)) fail()
-        f += 1
-      }
+      def matches(fields: Seq[(String, FType)], st: StructType): Boolean =
+        fields.length == st.length && fields.zip(st.fields).forall {
+          case ((n, FPrim(t)), sf) =>
+            n == sf.name && !sf.dataType.isInstanceOf[StructType] &&
+              t == avroType(sf.dataType)
+          case ((n, FRec(sub)), sf) => sf.dataType match {
+            case nested: StructType => n == sf.name && matches(sub, nested)
+            case _ => false
+          }
+        }
+      if (!matches(parseFields(schemaJsonStr), schema)) fail()
       // the header sync may be ANY 16 bytes (the Java library draws a
       // random one); block syncs must match it exactly
       val sync = rd.bytes(16L)
@@ -360,12 +400,11 @@ object AvroOcf {
         val blockSync = rd.bytes(16L)
         if (!java.util.Arrays.equals(blockSync, sync)) fail()
         val br = new Reader(data)
-        var r = 0L
-        while (r < count) {
-          val vals = new Array[Any](schema.length)
+        def readRecord(st: StructType): GenericInternalRow = {
+          val vals = new Array[Any](st.length)
           var f2 = 0
-          while (f2 < schema.length) {
-            vals(f2) = schema.fields(f2).dataType match {
+          while (f2 < st.length) {
+            vals(f2) = st.fields(f2).dataType match {
               case LongType => br.readLong()
               case IntegerType =>
                 val v = br.readLong()
@@ -383,11 +422,16 @@ object AvroOcf {
                 java.lang.Double.longBitsToDouble(bits)
               case StringType => UTF8String.fromBytes(br.bytes(br.readLong()))
               case BinaryType => br.bytes(br.readLong())
+              case nested: StructType => readRecord(nested)
               case _ => fail()
             }
             f2 += 1
           }
-          recs += new GenericInternalRow(vals)
+          new GenericInternalRow(vals)
+        }
+        var r = 0L
+        while (r < count) {
+          recs += readRecord(schema)
           if (recs.length > MaxRecords) fail()
           r += 1
         }

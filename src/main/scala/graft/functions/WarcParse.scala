@@ -278,7 +278,10 @@ object WarcParse {
       val clRaw = hdr("Content-Length")
       val cl = if (clRaw == null) -1L
         else try clRaw.toLong catch { case _: NumberFormatException => -2L }
-      if (cl == -2L || cl > payload.length - split)
+      // a PRESENT but negative/unparseable Content-Length is a malformed
+      // frame, refused — only an ABSENT header means read-to-end
+      if (cl == -2L || (clRaw != null && cl < 0) ||
+        cl > payload.length - split)
         return ("length_overrun", null)
       val end = if (cl >= 0) split + cl.toInt else payload.length
       body = java.util.Arrays.copyOfRange(payload, split, end)
@@ -478,7 +481,10 @@ case class HttpEntity(child: Expression) extends UnaryExpression {
   */
 case class HttpEntityVerdict(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullable: Boolean = false
+  // a null payload yields a null verdict (UnaryExpression null
+  // propagation); declaring non-nullable would let the optimizer and
+  // non-null-guarded codegen mishandle nullable children
+  override def nullable: Boolean = child.nullable
   override def prettyName: String = "http_entity_verdict"
   override def checkInputDataTypes() =
     if (child.dataType == BinaryType)

@@ -359,49 +359,71 @@ object SnapshotOps {
     }
   }
 
-  /** Collapse the log prefix [0, version] into
-    * `<version>.checkpoint.parquet` (one `add` struct row per live
-    * file) and point `_last_checkpoint` at it.
-    */
-  def deltaCheckpoint(spark: org.apache.spark.sql.SparkSession,
-                      tableDir: String, version: Long): Unit = {
-    val files = deltaFiles(spark, tableDir, version)
-    import spark.implicits._
-    val cp = new java.io.File(new java.io.File(tableDir, "_delta_log"),
-      f"$version%020d.checkpoint.parquet")
-    files.toDF("path").select(struct(col("path")).as("add"))
-      .coalesce(1).write.mode("overwrite").parquet(cp.getAbsolutePath)
-    val last = new java.io.File(new java.io.File(tableDir, "_delta_log"),
-      "_last_checkpoint")
-    java.nio.file.Files.write(last.toPath,
-      s"""{"version":$version,"size":${files.size}}"""
-        .getBytes("UTF-8"))
-  }
+  // Checkpoint action schemas (DDL): the spec-required fields of each
+  // action type. Optional add.stats/tags are droppable per the protocol
+  // (checkpoints MAY omit them); protocol reader/writerFeatures only
+  // exist at versions ≥3, which this v1 reader refuses anyway.
+  private val cpAddDdl =
+    "struct<path:string,partitionValues:map<string,string>," +
+      "size:bigint,modificationTime:bigint,dataChange:boolean>"
+  private val cpMetaDdl =
+    "struct<id:string,name:string,description:string," +
+      "format:struct<provider:string,options:map<string,string>>," +
+      "schemaString:string,partitionColumns:array<string>," +
+      "configuration:map<string,string>,createdTime:bigint>"
+  private val cpProtoDdl =
+    "struct<minReaderVersion:int,minWriterVersion:int>"
 
-  /** The file set of snapshot `version`: latest checkpoint ≤ version
-    * (by log-directory listing — `_last_checkpoint` may point past a
-    * time-travel target), then the JSON commits after it, folded
-    * last-action-per-path. Refuses loudly on a missing commit file, a
-    * reader-version gate above 1, or an unknown action line.
+  /** Folded log state at a version: live add actions (full JSON, commit
+    * order), plus the protocol and metaData actions — either replayed
+    * from the JSON prefix or recovered from a checkpoint (where the
+    * spec says they live once the prefix is collapsed).
     */
-  def deltaFiles(spark: org.apache.spark.sql.SparkSession,
-                 tableDir: String, version: Long): Seq[String] = {
+  private final case class DeltaState(
+      adds: scala.collection.mutable.LinkedHashMap[String, String],
+      var protocolJson: String, var metaDataJson: String)
+
+  private def foldDelta(spark: org.apache.spark.sql.SparkSession,
+                        tableDir: String, version: Long): DeltaState = {
     val logDir = new java.io.File(tableDir, "_delta_log")
     require(logDir.isDirectory, s"no _delta_log at $tableDir")
     val cpVersions = Option(logDir.list()).getOrElse(Array.empty)
       .filter(_.endsWith(".checkpoint.parquet"))
       .map(_.stripSuffix(".checkpoint.parquet").toLong)
       .filter(_ <= version)
-    val state = new java.util.LinkedHashSet[String]()
+    val st = DeltaState(scala.collection.mutable.LinkedHashMap.empty,
+      null, null)
+    val m = jsonMapper
     val start: Long = if (cpVersions.isEmpty) 0L else {
       val cpv = cpVersions.max
       val cp = new java.io.File(logDir, f"$cpv%020d.checkpoint.parquet")
-      spark.read.parquet(cp.getAbsolutePath)
-        .where(col("add").isNotNull).select(col("add.path"))
-        .collect().foreach(r => state.add(r.getString(0)))
+      val df = spark.read.parquet(cp.getAbsolutePath)
+      // Once the JSON prefix [0, cpv] is collapsed, the protocol action
+      // lives IN the checkpoint — resolving state from a checkpoint
+      // without re-checking it would silently misread tables that gate
+      // reader ≥2 (deletion vectors, column mapping). A checkpoint with
+      // no protocol column is non-conformant: refuse, don't guess.
+      require(df.columns.contains("protocol"),
+        s"delta checkpoint $cpv has no protocol column (non-conformant)")
+      val protos = df.where(col("protocol.minReaderVersion").isNotNull)
+        .selectExpr("to_json(protocol) AS p").collect().map(_.getString(0))
+      require(protos.length == 1,
+        s"delta checkpoint $cpv has ${protos.length} protocol rows (want 1)")
+      st.protocolJson = protos.head
+      val mr = m.readTree(st.protocolJson).get("minReaderVersion").asInt()
+      require(mr <= 1,
+        s"delta reader version $mr unsupported (reader is v1)")
+      if (df.columns.contains("metaData")) {
+        val metas = df.where(col("metaData.id").isNotNull)
+          .selectExpr("to_json(metaData) AS m").collect().map(_.getString(0))
+        if (metas.nonEmpty) st.metaDataJson = metas.head
+      }
+      if (df.columns.contains("add"))
+        df.where(col("add.path").isNotNull)
+          .selectExpr("add.path AS p", "to_json(add) AS a")
+          .collect().foreach(r => st.adds.put(r.getString(0), r.getString(1)))
       cpv + 1
     }
-    val m = jsonMapper
     var v = start
     while (v <= version) {
       val f = deltaLogFile(tableDir, v)
@@ -409,23 +431,72 @@ object SnapshotOps {
       val src = scala.io.Source.fromFile(f, "UTF-8")
       try src.getLines().filter(_.nonEmpty).foreach { line =>
         val node = m.readTree(line)
-        if (node.has("add")) state.add(node.get("add").get("path").asText())
-        else if (node.has("remove"))
-          state.remove(node.get("remove").get("path").asText())
+        if (node.has("add")) {
+          val a = node.get("add")
+          st.adds.put(a.get("path").asText(), m.writeValueAsString(a))
+        } else if (node.has("remove"))
+          st.adds.remove(node.get("remove").get("path").asText())
         else if (node.has("protocol")) {
           val mr = node.get("protocol").get("minReaderVersion").asInt()
           require(mr <= 1,
             s"delta reader version $mr unsupported (reader is v1)")
-        } else if (!node.has("metaData") && !node.has("commitInfo") &&
-          !node.has("txn"))
+          st.protocolJson = m.writeValueAsString(node.get("protocol"))
+        } else if (node.has("metaData"))
+          st.metaDataJson = m.writeValueAsString(node.get("metaData"))
+        else if (!node.has("commitInfo") && !node.has("txn"))
           throw new IllegalArgumentException(
             s"unknown delta action: ${line.take(80)}")
       } finally src.close()
       v += 1
     }
-    import scala.jdk.CollectionConverters._
-    state.asScala.toSeq
+    st
   }
+
+  /** Collapse the log prefix [0, version] into a spec-conformant
+    * single-file `<version>.checkpoint.parquet`: one `protocol` row,
+    * one `metaData` row, and one full-schema `add` row per live file
+    * (path, partitionValues, size, modificationTime, dataChange), so
+    * any Delta v1 reader can resolve the snapshot from the checkpoint
+    * alone. Points `_last_checkpoint` at it.
+    */
+  def deltaCheckpoint(spark: org.apache.spark.sql.SparkSession,
+                      tableDir: String, version: Long): Unit = {
+    val st = foldDelta(spark, tableDir, version)
+    require(st.protocolJson != null,
+      s"delta log [0,$version] carries no protocol action")
+    require(st.metaDataJson != null,
+      s"delta log [0,$version] carries no metaData action")
+    import spark.implicits._
+    val cp = new java.io.File(new java.io.File(tableDir, "_delta_log"),
+      f"$version%020d.checkpoint.parquet")
+    val rows = Seq(("p", st.protocolJson), ("m", st.metaDataJson)) ++
+      st.adds.valuesIterator.map(("a", _))
+    rows.toDF("kind", "js").select(
+      when(col("kind") === "p", from_json(col("js"), cpProtoDdl,
+        Map.empty[String, String])).as("protocol"),
+      when(col("kind") === "m", from_json(col("js"), cpMetaDdl,
+        Map.empty[String, String])).as("metaData"),
+      when(col("kind") === "a", from_json(col("js"), cpAddDdl,
+        Map.empty[String, String])).as("add"))
+      .coalesce(1).write.mode("overwrite").parquet(cp.getAbsolutePath)
+    val last = new java.io.File(new java.io.File(tableDir, "_delta_log"),
+      "_last_checkpoint")
+    java.nio.file.Files.write(last.toPath,
+      s"""{"version":$version,"size":${st.adds.size + 2}}"""
+        .getBytes("UTF-8"))
+  }
+
+  /** The file set of snapshot `version`: latest checkpoint ≤ version
+    * (by log-directory listing — `_last_checkpoint` may point past a
+    * time-travel target), then the JSON commits after it, folded
+    * last-action-per-path. Refuses loudly on a missing commit file, a
+    * reader-version gate above 1 (whether it arrives in a JSON commit
+    * OR in the checkpoint the prefix collapsed into), a checkpoint
+    * without a protocol column, or an unknown action line.
+    */
+  def deltaFiles(spark: org.apache.spark.sql.SparkSession,
+                 tableDir: String, version: Long): Seq[String] =
+    foldDelta(spark, tableDir, version).adds.keysIterator.toSeq
 
   /** Time-travel read through the Delta log: exactly version N's file
     * set, never a data-directory listing.

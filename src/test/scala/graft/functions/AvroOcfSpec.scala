@@ -222,7 +222,24 @@ class AvroOcfSpec extends AnyFunSuite {
         |  {"name":"name","type":{"type":"string","avro.java.string":"String"}},
         |  {"name":"ok","type":"boolean"},
         |  {"name":"score","type":"double"}]}""".stripMargin) ==
-      Seq("id" -> "long", "name" -> "string", "ok" -> "boolean",
-        "score" -> "double"))
+      Seq("id" -> AvroOcf.FPrim("long"), "name" -> AvroOcf.FPrim("string"),
+        "ok" -> AvroOcf.FPrim("boolean"), "score" -> AvroOcf.FPrim("double")))
+  }
+
+  test("schema JSON parsing handles nested records recursively") {
+    assert(AvroOcf.parseFields(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"data_file","type":{"type":"record","name":"r2",
+        |    "fields":[
+        |      {"name":"file_path","type":"string"},
+        |      {"name":"partition","type":{"type":"record","name":"r3",
+        |        "fields":[]}},
+        |      {"name":"record_count","type":"long"}]}}]}""".stripMargin) ==
+      Seq("status" -> AvroOcf.FPrim("int"),
+        "data_file" -> AvroOcf.FRec(Seq(
+          "file_path" -> AvroOcf.FPrim("string"),
+          "partition" -> AvroOcf.FRec(Nil),
+          "record_count" -> AvroOcf.FPrim("long")))))
   }
 }

@@ -106,8 +106,12 @@ object IcebergOps {
     val (prevLive, prevSnapshots) =
       if (snapshotId == 0L) (Seq.empty[String], Seq.empty[Long])
       else {
-        val prior = m.readTree(java.nio.file.Files.readAllBytes(
-          new java.io.File(md, s"v$snapshotId.metadata.json").toPath))
+        val priorFile = new java.io.File(md, s"v$snapshotId.metadata.json")
+        require(priorFile.exists(),
+          s"iceberg snapshot $snapshotId must follow ${snapshotId - 1} " +
+            s"(no ${priorFile.getName})")
+        val prior = m.readTree(
+          java.nio.file.Files.readAllBytes(priorFile.toPath))
         require(prior.get("current-snapshot-id").asLong() == snapshotId - 1,
           s"iceberg snapshot $snapshotId must follow ${snapshotId - 1}")
         val snaps = prior.get("snapshots").elements()

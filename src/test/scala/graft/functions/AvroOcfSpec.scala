@@ -80,6 +80,56 @@ class AvroOcfSpec extends AnyFunSuite {
     }
   }
 
+  test("nested records: ours->java and java->ours, exact values") {
+    val nested = StructType(Seq(
+      StructField("status", IntegerType),
+      StructField("data_file", StructType(Seq(
+        StructField("file_path", StringType),
+        StructField("partition", StructType(Nil)), // empty record
+        StructField("record_count", LongType))))))
+    // ours -> java
+    val blob = AvroOcf.file(new GenericArrayData(Array[Any](
+      new GenericInternalRow(Array[Any](1,
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString("data/p0"),
+          new GenericInternalRow(Array.empty[Any]), 42L)))))),
+      nested, "null")
+    val rdr = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(blob),
+      new GenericDatumReader[GenericRecord]())
+    val rec = rdr.next()
+    val df = rec.get("data_file").asInstanceOf[GenericRecord]
+    assert(rec.get("status") == 1 &&
+      df.get("file_path").toString == "data/p0" &&
+      df.get("record_count") == 42L)
+    assert(!rdr.hasNext)
+    rdr.close()
+    // java -> ours (java's own schema object, its own random sync)
+    val js = new org.apache.avro.Schema.Parser().parse(
+      AvroOcf.schemaJson(nested))
+    val baos = new java.io.ByteArrayOutputStream
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](js))
+    w.create(js, baos)
+    val inner = new GenericData.Record(js.getField("data_file").schema())
+    inner.put("file_path", "data/p9")
+    inner.put("partition", new GenericData.Record(
+      js.getField("data_file").schema().getField("partition").schema()))
+    inner.put("record_count", 7L)
+    val outer = new GenericData.Record(js)
+    outer.put("status", 2)
+    outer.put("data_file", inner)
+    w.append(outer)
+    w.close()
+    val got = AvroOcf.rows(baos.toByteArray, nested)
+    assert(got != null && got.numElements() == 1)
+    val g = got.getStruct(0, 2)
+    assert(g.getInt(0) == 2)
+    val gdf = g.getStruct(1, 3)
+    assert(gdf.getUTF8String(0).toString == "data/p9" &&
+      gdf.getLong(2) == 7L)
+  }
+
   test("round trip through our own pair, empty file, bytes/int fields") {
     val blob = ours(Seq(row(7L, "", ok = false, 0.0)), "null")
     val got = AvroOcf.rows(blob, schema)

@@ -48,9 +48,63 @@ object HtmlMeta {
     StructField("lang", StringType, nullable = true),
     StructField("meta_robots", StringType, nullable = true)))
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "html_meta", exprs => HtmlMeta(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "html_og", exprs => HtmlOg(exprs.head), "built-in")
+  }
+
+  /** `html_og` output: OpenGraph / twitter-card properties in document
+    * order, first occurrence per key.
+    */
+  val ogSchema: DataType = ArrayType(StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = false))),
+    containsNull = false)
+
+  /** OpenGraph (`property="og:*"`) and twitter-card (`name="twitter:*"`)
+    * meta extraction — the social-metadata channel image-text pair
+    * mining reads for high-precision alt text (og:image + og:title /
+    * og:description describe THE page's canonical image, unlike
+    * arbitrary inline <img> alt attributes). Same container discipline
+    * as [[extract]]: one linear scan, commented-out tags don't count,
+    * first occurrence per key wins (publisher tooling emits duplicates;
+    * consumers read the first), keys lowercased, values entity-decoded
+    * and whitespace-collapsed. Accepts `property=` OR `name=` for both
+    * prefixes — real pages mix them freely.
+    */
+  def extractOg(in: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = in.toString
+    val n = s.length
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4); i = if (e < 0) n else e + 3
+        } else if (tagAt(s, i, "meta")) {
+          val end = tagEnd(s, i)
+          val body = s.substring(i, end)
+          val key = attr(body, "property").orElse(attr(body, "name"))
+            .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+            .filter(k => k.startsWith("og:") || k.startsWith("twitter:"))
+          key.foreach { k =>
+            if (!seen.contains(k))
+              attr(body, "content").foreach(v => seen(k) = clean(v))
+          }
+          i = end
+        } else {
+          val e = s.indexOf('>', i + 1); i = if (e < 0) n else e + 1
+        }
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.iterator.map { case (k, v) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(k), UTF8String.fromString(v)))
+      }.toArray[Any])
+  }
 
   def extract(in: UTF8String): GenericInternalRow = {
     val s = in.toString
@@ -139,6 +193,28 @@ object HtmlMeta {
   /** Entity-decode + whitespace-collapse via the text extractor's rules. */
   private def clean(raw: String): String =
     HtmlToText.extract(UTF8String.fromString(raw)).toString
+}
+
+/** `html_og(string)` → OpenGraph/twitter-card (key, value) rows in
+  * document order, first occurrence per key, or null only for a null
+  * page (no properties → empty array, not null).
+  */
+case class HtmlOg(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = HtmlMeta.ogSchema
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "html_og"
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    HtmlMeta.extractOg(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HtmlMeta.extractOg($c);")
+  override protected def withNewChildInternal(newChild: Expression): HtmlOg =
+    copy(child = newChild)
 }
 
 /** `html_jsonld(string)` → the raw payloads of every

@@ -221,6 +221,89 @@ object ImageHeader {
       }
       return if (w > 0 && h > 0) row("tiff", w, h) else null
     }
-    null
+    // SVG: XML text, not a binary magic — a top-5 web image format that
+    // would otherwise fall out of the multimodal funnel entirely.
+    // Optional UTF-8 BOM, optional XML declaration, comments/DOCTYPE
+    // skipped, then the root <svg> tag: width/height attributes (plain
+    // or px-suffixed numbers; fractional dims floor), else the viewBox
+    // "min-x min-y width height" third/fourth values. Percentage/em/
+    // other-unit dims, a missing/garbled viewBox fallback, and
+    // non-positive dims all refuse — never a guessed size.
+    svgParse(b)
+  }
+
+  private val SvgNum = "^([0-9]+(?:\\.[0-9]+)?)(px)?$".r
+
+  private def svgParse(b: Array[Byte]): InternalRow = {
+    // byte-level pre-gate: every unrecognized blob lands here, so refuse
+    // obvious non-XML without paying a string decode (first non-BOM,
+    // non-whitespace byte must open a tag)
+    var j = 0
+    if (b.length >= 3 && (b(0) & 0xff) == 0xEF && (b(1) & 0xff) == 0xBB &&
+      (b(2) & 0xff) == 0xBF) j = 3
+    while (j < b.length && (b(j) == ' ' || b(j) == '\t' || b(j) == '\n' ||
+      b(j) == '\r')) j += 1
+    if (j >= b.length || b(j) != '<') return null
+    // the root tag lives in the first bytes; cap the decode so a huge
+    // path-data blob never builds a giant String just to read the header
+    val s = new String(b, 0, math.min(b.length, 1 << 16), "UTF-8")
+    var i = 0
+    if (s.startsWith("\ufeff")) i = 1
+    def skipMisc(): Boolean = {
+      var moved = true
+      while (moved) {
+        moved = false
+        while (i < s.length && Character.isWhitespace(s.charAt(i))) {
+          i += 1; moved = true
+        }
+        if (s.startsWith("<?", i)) { // XML declaration / PI
+          val e = s.indexOf("?>", i + 2)
+          if (e < 0) return false
+          i = e + 2; moved = true
+        } else if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          if (e < 0) return false
+          i = e + 3; moved = true
+        } else if (s.startsWith("<!DOCTYPE", i)) {
+          val e = s.indexOf('>', i + 9)
+          if (e < 0) return false
+          i = e + 1; moved = true
+        }
+      }
+      true
+    }
+    if (!skipMisc()) return null
+    if (!s.startsWith("<svg", i)) return null
+    val after = i + 4
+    if (after >= s.length || !(Character.isWhitespace(s.charAt(after)) ||
+        s.charAt(after) == '>' || s.charAt(after) == '/')) return null
+    val end = s.indexOf('>', i)
+    if (end < 0) return null
+    val tag = s.substring(i, end + 1)
+    def attrOf(name: String): Option[String] = {
+      val m = s"(?s)\\b$name\\s*=\\s*(\"([^\"]*)\"|'([^']*)')".r
+        .findFirstMatchIn(tag)
+      m.map(g => Option(g.group(2)).getOrElse(g.group(3)).trim)
+    }
+    def dim(v: String): Int = v match {
+      case SvgNum(num, _) =>
+        val d = num.toDouble
+        if (d >= 1 && d <= Int.MaxValue) d.toInt else -1
+      case _ => -1 // %, em, pt, … — refuse, don't guess pixels
+    }
+    (attrOf("width"), attrOf("height")) match {
+      case (Some(wv), Some(hv)) =>
+        val w = dim(wv); val h = dim(hv)
+        if (w > 0 && h > 0) row("svg", w, h) else null
+      case _ =>
+        attrOf("viewBox") match {
+          case Some(vb) =>
+            val parts = vb.split("[\\s,]+").filter(_.nonEmpty)
+            if (parts.length != 4) return null
+            val w = dim(parts(2)); val h = dim(parts(3))
+            if (w > 0 && h > 0) row("svg", w, h) else null
+          case None => null
+        }
+    }
   }
 }

@@ -41,6 +41,8 @@ object MpegMeta {
       "mp3_sideinfo", exprs => Mp3SideInfo(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mp3_xing", exprs => Mp3Xing(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "id3_tags", exprs => Id3Tags(exprs.head), "built-in")
   }
 
   val schema: StructType = StructType(Seq(
@@ -135,6 +137,138 @@ object MpegMeta {
     val verStr = version match { case 0 => "1"; case 1 => "2"; case _ => "2.5" }
     InternalRow(UTF8String.fromString(verStr), layer, sr, firstKbps, channels,
       frames, samples * 1000L / sr)
+  }
+
+  // --------------------------------------------- ID3v2 text frames
+
+  /** `id3_tags` output: the tag's declared version plus every TEXT
+    * frame (T*** / v2.2 T**, except the user-defined TXXX/TXX) in
+    * frame order, the MP3 sibling of [[OggMeta.tagsSchema]].
+    */
+  val id3Schema: StructType = StructType(Seq(
+    StructField("version", StringType),
+    StructField("tags", ArrayType(StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = false))),
+      containsNull = false))))
+
+  /** ID3v2.2/2.3/2.4 text-frame walk per the published informal specs:
+    * 10-byte header (syncsafe tag size), optional extended header
+    * (v2.3 non-syncsafe-excluding-itself vs v2.4
+    * syncsafe-including-itself — the classic trap), then frames —
+    * v2.2: 3-byte id + 3-byte size; v2.3: 4-byte id + 4-byte size +
+    * 2 flag bytes; v2.4: 4-byte id + SYNCSAFE size + 2 flag bytes.
+    * Text frames decode per their leading encoding byte: 0
+    * ISO-8859-1, 1 UTF-16 with mandatory BOM, 2 UTF-16BE (v2.4), 3
+    * UTF-8 (v2.4); the value is the first NUL-terminated string.
+    * Non-text frames skip silently (the spec's ignore-unknown rule).
+    *
+    * Whole-or-refuse: null on unsynchronisation or unknown tag flags,
+    * a frame running past the tag end (truncated), non-syncsafe size
+    * bytes where syncsafe is required, compressed/encrypted frame
+    * flags, a missing UTF-16 BOM, or a reserved encoding byte — never
+    * a partial tag list.
+    */
+  def id3Tags(b: Array[Byte]): InternalRow = {
+    if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3')
+      return null
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    val major = u8(3)
+    if (major < 2 || major > 4) return null
+    val flags = u8(5)
+    if ((flags & 0x80) != 0) return null // unsynchronisation: refuse
+    if (major == 2 && (flags & 0x40) != 0) return null // v2.2 compression
+    if ((flags & 0x0f) != 0) return null // undefined flag bits
+    if ((u8(6) | u8(7) | u8(8) | u8(9)) >= 0x80) return null
+    val size = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+    val end = 10 + size
+    if (end > b.length) return null
+    var pos = 10
+    if (major >= 3 && (flags & 0x40) != 0) { // extended header
+      if (pos + 4 > end) return null
+      if (major == 3) {
+        // v2.3: 4-byte BE size NOT including the size field itself
+        val es = (u8(pos) << 24) | (u8(pos + 1) << 16) |
+          (u8(pos + 2) << 8) | u8(pos + 3)
+        if (es < 0) return null
+        pos += 4 + es
+      } else {
+        // v2.4: syncsafe size INCLUDING the size field
+        if ((u8(pos) | u8(pos + 1) | u8(pos + 2) | u8(pos + 3)) >= 0x80)
+          return null
+        val es = (u8(pos) << 21) | (u8(pos + 1) << 14) |
+          (u8(pos + 2) << 7) | u8(pos + 3)
+        if (es < 6) return null
+        pos += es
+      }
+      if (pos > end) return null
+    }
+    val idLen = if (major == 2) 3 else 4
+    val headLen = if (major == 2) 6 else 10
+    val tags = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var done = false
+    while (!done && pos < end) {
+      if (b(pos) == 0) done = true // padding starts
+      else {
+        if (pos + headLen > end) return null
+        var k = 0
+        while (k < idLen) {
+          val c = u8(pos + k)
+          if (!((c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+            return null
+          k += 1
+        }
+        val id = new String(b, pos, idLen, "ISO-8859-1")
+        val fsz =
+          if (major == 2) (u8(pos + 3) << 16) | (u8(pos + 4) << 8) | u8(pos + 5)
+          else if (major == 3)
+            (u8(pos + 4) << 24) | (u8(pos + 5) << 16) |
+              (u8(pos + 6) << 8) | u8(pos + 7)
+          else {
+            if ((u8(pos + 4) | u8(pos + 5) | u8(pos + 6) | u8(pos + 7)) >= 0x80)
+              return null // v2.4 frame sizes are syncsafe
+            (u8(pos + 4) << 21) | (u8(pos + 5) << 14) |
+              (u8(pos + 6) << 7) | u8(pos + 7)
+          }
+        if (fsz < 0 || pos + headLen + fsz > end) return null // truncated
+        if (major >= 3) {
+          // format flags: compression/encryption/unsync-per-frame refuse
+          val f2 = u8(pos + 9)
+          if (major == 3 && (f2 & 0xc0) != 0) return null
+          if (major == 4 && (f2 & 0x0e) != 0) return null
+        }
+        val isText = id.charAt(0) == 'T' && id != "TXXX" && id != "TXX"
+        if (isText && fsz >= 1) {
+          val enc = u8(pos + headLen)
+          val from = pos + headLen + 1
+          val len = fsz - 1
+          val text: String = enc match {
+            case 0 => new String(b, from, len, "ISO-8859-1")
+            case 1 =>
+              if (len < 2) return null
+              if (u8(from) == 0xff && u8(from + 1) == 0xfe)
+                new String(b, from + 2, len - 2, "UTF-16LE")
+              else if (u8(from) == 0xfe && u8(from + 1) == 0xff)
+                new String(b, from + 2, len - 2, "UTF-16BE")
+              else return null // BOM is mandatory for encoding 1
+            case 2 =>
+              if (major < 4) return null
+              new String(b, from, len, "UTF-16BE")
+            case 3 =>
+              if (major < 4) return null
+              new String(b, from, len, "UTF-8")
+            case _ => return null // reserved encoding byte
+          }
+          val value = text.takeWhile(_ != '\u0000')
+          tags += InternalRow(UTF8String.fromString(id),
+            UTF8String.fromString(value))
+        }
+        pos += headLen + fsz
+      }
+    }
+    InternalRow(UTF8String.fromString("2." + major),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        tags.toArray[Any]))
   }
 
   // --------------------------------------------- Layer III side info
@@ -478,6 +612,30 @@ case class Mp3SideInfo(child: Expression) extends UnaryExpression {
       ${ev.isNull} = ${ev.value} == null;
     """)
   override protected def withNewChildInternal(newChild: Expression): Mp3SideInfo =
+    copy(child = newChild)
+}
+
+/** `id3_tags(binary)` → ID3v2 version + text-frame (key, value) rows
+  * in frame order, or null on any refusal — the MP3 curation-metadata
+  * sibling of `audio_ogg_tags`.
+  */
+case class Id3Tags(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MpegMeta.id3Schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "id3_tags"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    MpegMeta.id3Tags(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MpegMeta.id3Tags($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Id3Tags =
     copy(child = newChild)
 }
 

@@ -237,6 +237,58 @@ object AudioQueries extends QueryPack {
     OggCfg("opus", 1, 48000, 0, 312, 960L),        // 20 ms frames
     OggCfg("opus", 2, 24000, 0, 0, 48000L))        // 1 s pages, 24k input rate
 
+  /** Closed-form ID3v2 tag builder for the id3_tags fixtures: encodes
+    * the full container (header, optional v2.3 extended header, frames
+    * per-version framing with per-frame encoding bytes, padding) so
+    * the query side exercises exactly the wire shapes the walk
+    * documents. `truncate` declares a frame size past the tag end;
+    * `breakSyncsafe` plants a 0x80 bit in a v2.4 frame size.
+    */
+  private def id3Hex(major: Int, frames: Seq[(String, Int, String)],
+      extHeader: Boolean = false, padding: Int = 0,
+      truncate: Boolean = false, breakSyncsafe: Boolean = false): String = {
+    val out = new java.io.ByteArrayOutputStream
+    def be(v: Int, n: Int): Array[Byte] =
+      (n - 1 to 0 by -1).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+    def syncsafe(v: Int): Array[Byte] = Array(
+      ((v >> 21) & 0x7f).toByte, ((v >> 14) & 0x7f).toByte,
+      ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+    val body = new java.io.ByteArrayOutputStream
+    if (extHeader && major == 3) {
+      body.write(be(6, 4)); body.write(be(0, 2)); body.write(be(0, 4))
+    }
+    frames.foreach { case (id, enc, text) =>
+      val tb = enc match {
+        case 0 => text.getBytes("ISO-8859-1")
+        case 1 => Array(0xff.toByte, 0xfe.toByte) ++ text.getBytes("UTF-16LE")
+        case 2 => text.getBytes("UTF-16BE")
+        case _ => text.getBytes("UTF-8")
+      }
+      val payload = Array(enc.toByte) ++ tb
+      body.write(id.getBytes("ISO-8859-1"))
+      val declared = if (truncate) payload.length + 999 else payload.length
+      if (major == 2) body.write(be(declared, 3))
+      else {
+        if (major == 3) body.write(be(declared, 4))
+        else {
+          val sz = syncsafe(declared)
+          if (breakSyncsafe) sz(0) = (sz(0) | 0x80).toByte
+          body.write(sz)
+        }
+        body.write(be(0, 2)) // frame format flags
+      }
+      body.write(payload)
+    }
+    body.write(new Array[Byte](padding))
+    val b = body.toByteArray
+    out.write("ID3".getBytes("ISO-8859-1"))
+    out.write(major); out.write(0)
+    out.write(if (extHeader && major == 3) 0x40 else 0)
+    out.write(syncsafe(b.length))
+    out.write(b)
+    out.toByteArray.map(x => f"${x & 0xff}%02X").mkString
+  }
+
   // committed FLAC fixture bytes (tools/gen_flac_fixtures.py →
   // src/test/resources/flac_fixtures), hex-embedded so the oracle side
   // sees identical blobs; samples v[k] = (seed*37 + k*451) % 4001 - 2000
@@ -488,6 +540,51 @@ object AudioQueries extends QueryPack {
           col("t").isNotNull.as("ok"),
           col("t.codec").as("codec"),
           col("t.vendor").as("vendor"),
+          size(col("t.tags")).cast("long").as("n_tags"),
+          when(col("t").isNull, lit(null)).otherwise(
+            md5(concat_ws(";",
+              expr("transform(t.tags, x -> concat(x.key, '=', x.value))"))
+              .cast("binary"))).as("tags_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ID3v2 TEXT FRAMES (id3_tags) — the MP3 sibling of the Vorbis/Opus
+    // tag read: one fixture per container generation (v2.3 ISO-8859-1
+    // with padding and a trailing-NUL value, v2.3 UTF-16+BOM behind an
+    // extended header, v2.4 UTF-8 + UTF-16BE with a skipped URL frame,
+    // v2.2 three-byte ids), plus a truncated-frame refusal and a
+    // non-syncsafe v2.4 frame-size refusal. The oracle replays
+    // version/count/tag digests as closed forms.
+    "mm_audio_id3_tags" -> ((s, dir) => {
+      graft.functions.MpegMeta.register(s)
+      val c0 = id3Hex(3, Seq(
+        ("TIT2", 0, "Track 0\u0000"), ("TPE1", 0, "Artist 0"),
+        ("TALB", 0, "Album zero"), ("TLAN", 0, "eng"),
+        ("TCON", 0, "field")), padding = 16)
+      val c1 = id3Hex(3, Seq(
+        ("TIT2", 1, "Track 1"), ("TPE1", 1, "Artist №1"),
+        ("TALB", 1, "Album eins"), ("TLAN", 1, "deu"),
+        ("TCON", 1, "corpus")), extHeader = true)
+      val c2 = id3Hex(4, Seq(
+        ("TIT2", 3, "Track 2 ☃"), ("WOAR", 0, "https://example.org/a"),
+        ("TPE1", 3, "Artiste n°2"), ("TALB", 3, "Album deux"),
+        ("TLAN", 3, "fra"), ("TCON", 2, "field")))
+      val c3 = id3Hex(2, Seq(
+        ("TT2", 0, "Track 3"), ("TP1", 0, "Artist 3"),
+        ("TAL", 0, "Album three"), ("TLA", 0, "jpn"),
+        ("TCO", 0, "corpus")))
+      val trunc = id3Hex(3, Seq(("TIT2", 0, "x")), truncate = true)
+      val badSync = id3Hex(4, Seq(("TIT2", 3, "x")), breakSyncsafe = true)
+      val blobHex =
+        s"""CASE WHEN doc_id % 9 = 0 THEN '$trunc'
+           |WHEN doc_id % 9 = 4 THEN '$badSync'
+           |ELSE CASE doc_id % 4 WHEN 0 THEN '$c0' WHEN 1 THEN '$c1'
+           |  WHEN 2 THEN '$c2' ELSE '$c3' END END""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("t", expr(s"id3_tags(unhex($blobHex))"))
+        .select(col("doc_id"),
+          col("t").isNotNull.as("ok"),
+          col("t.version").as("version"),
           size(col("t.tags")).cast("long").as("n_tags"),
           when(col("t").isNull, lit(null)).otherwise(
             md5(concat_ws(";",
@@ -1170,6 +1267,29 @@ object AudioQueries extends QueryPack {
          |    END AS tags_md5
          |FROM d ORDER BY doc_id""".stripMargin
     },
+
+    // version/count/digests replayed as closed forms over the four
+    // container generations and the two refusal branches
+    "mm_audio_id3_tags" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 AS c,
+        |    doc_id % 9 IN (0, 4) AS refused FROM documents)
+        |SELECT doc_id,
+        |  NOT refused AS ok,
+        |  CASE WHEN refused THEN NULL
+        |    WHEN c = 2 THEN '2.4' WHEN c = 3 THEN '2.2'
+        |    ELSE '2.3' END AS version,
+        |  CAST(CASE WHEN refused THEN NULL ELSE 5 END AS BIGINT) AS n_tags,
+        |  CASE WHEN refused THEN NULL
+        |    WHEN c = 0 THEN
+        |      md5('TIT2=Track 0;TPE1=Artist 0;TALB=Album zero;TLAN=eng;TCON=field')
+        |    WHEN c = 1 THEN
+        |      md5('TIT2=Track 1;TPE1=Artist №1;TALB=Album eins;TLAN=deu;TCON=corpus')
+        |    WHEN c = 2 THEN
+        |      md5('TIT2=Track 2 ☃;TPE1=Artiste n°2;TALB=Album deux;TLAN=fra;TCON=field')
+        |    ELSE
+        |      md5('TT2=Track 3;TP1=Artist 3;TAL=Album three;TLA=jpn;TCO=corpus')
+        |    END AS tags_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "mm_audio_meta" ->
       """SELECT doc_id,

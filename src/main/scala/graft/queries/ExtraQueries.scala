@@ -317,6 +317,50 @@ object ExtraQueries extends QueryPack {
     }),
 
     // Real header-only image decode (graft.functions.ImageHeader): PNG /
+    // SVG metadata branch of image_header — the XML-text image format
+    // (top-5 on the web) that binary magics never match: plain dims,
+    // BOM + XML declaration + commented-out decoy tag + px suffixes,
+    // DOCTYPE + viewBox fallback with mixed separators, fractional
+    // dims flooring; a percentage width and a 3-number viewBox refuse
+    // to null. Ground truth is arithmetic, as in mm_image_meta.
+    "mm_image_svg_meta" -> ((s, dir) => {
+      graft.functions.ImageHeader.register(s)
+      val w = (col("doc_id") % 640 + 1).cast("int").cast("string")
+      val h = (col("doc_id") % 480 + 1).cast("int").cast("string")
+      val svg0 = concat(
+        lit("<svg xmlns=\"http://www.w3.org/2000/svg\" width=\""), w,
+        lit("\" height=\""), h, lit("\"><rect/></svg>"))
+      val svg1 = concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"),
+        lit("<!-- <svg width='9' height='9'> -->\n<svg width='"), w,
+        lit("px' height='"), h, lit("px'><circle/></svg>"))
+      val svg2 = concat(
+        lit("<!DOCTYPE svg PUBLIC \"-//W3C//DTD SVG 1.1//EN\" \"svg11.dtd\">\n"),
+        lit("<svg viewBox=\"0,0, "), w, lit(" "), h, lit("\"><g/></svg>"))
+      val svg3 = concat(lit("<svg width=\""), w, lit(".75\" height=\""), h,
+        lit(".25\"/>"))
+      val txt = when(col("doc_id") % 9 === 0,
+          lit("<svg width=\"100%\" height=\"50\"/>"))
+        .when(col("doc_id") % 9 === 4, lit("<svg viewBox=\"0 0 100\"/>"))
+        .when(col("doc_id") % 4 === 0, svg0)
+        .when(col("doc_id") % 4 === 1, svg1)
+        .when(col("doc_id") % 4 === 2, svg2)
+        .otherwise(svg3)
+      val blob = when(col("doc_id") % 9 =!= 0 && col("doc_id") % 9 =!= 4 &&
+          col("doc_id") % 4 === 1,
+        concat(unhex(lit("EFBBBF")), txt.cast("binary")))
+        .otherwise(txt.cast("binary"))
+      Tables.documents(s, dir)
+        .withColumn("blob", blob)
+        .selectExpr("doc_id", "image_header(blob) AS m")
+        .select(col("doc_id"),
+          col("m").isNotNull.as("ok"),
+          col("m.format").as("format"),
+          col("m.width").as("width"),
+          col("m.height").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
     // JPEG / GIF containers are SYNTHESIZED with dimensions derived from
     // doc_id (width = id%640+1, height = id%480+1), so the oracle states
     // ground truth by arithmetic while the engine must actually parse the
@@ -1263,6 +1307,20 @@ object ExtraQueries extends QueryPack {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS sha_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // arithmetic ground truth over the four constructions; the two
+    // refusal branches (percentage dims, 3-number viewBox) go all-null
+    "mm_image_svg_meta" ->
+      """WITH d AS (SELECT doc_id, doc_id % 9 IN (0, 4) AS refused
+        |  FROM documents)
+        |SELECT doc_id,
+        |  NOT refused AS ok,
+        |  CASE WHEN refused THEN NULL ELSE 'svg' END AS format,
+        |  CAST(CASE WHEN refused THEN NULL
+        |    ELSE doc_id % 640 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN refused THEN NULL
+        |    ELSE doc_id % 480 + 1 END AS INT) AS height
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // ground truth by construction: the fixtures embed these dimensions
     "mm_image_meta" ->
       """SELECT doc_id,

@@ -43,4 +43,38 @@ class HtmlMetaSpec extends AnyFunSuite {
     assert(meta("<title>  a   b  </title>")._1.contains("a b"))
     assert(meta("<title>never closed")._1.isEmpty)
   }
+
+  // ------------------------------------------------- html_og
+
+  private def og(html: String): Seq[(String, String)] = {
+    val arr = HtmlMeta.extractOg(UTF8String.fromString(html))
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 2)
+      (r.getString(0), r.getString(1))
+    }
+  }
+
+  test("og: property vs name, prefixes filtered, document order") {
+    val html = """<meta property="og:title" content="A &amp; B">""" +
+      """<meta name="twitter:card" content="summary_large_image">""" +
+      """<meta name="og:locale" content="de_DE">""" +
+      """<meta name="description" content="not social">""" +
+      """<meta property="article:author" content="not og either">"""
+    assert(og(html) == Seq("og:title" -> "A & B",
+      "twitter:card" -> "summary_large_image", "og:locale" -> "de_DE"))
+  }
+
+  test("og: commented-out decoys don't count; first occurrence wins") {
+    val html = """<!-- <meta property="og:image" content="DECOY"> -->""" +
+      """<meta property=og:image content=https://x/real.jpg>""" +
+      """<meta property="og:image" content="https://x/second.jpg">"""
+    assert(og(html) == Seq("og:image" -> "https://x/real.jpg"))
+  }
+
+  test("og: key case-folds; content-less and empty pages are empty, not null") {
+    assert(og("""<meta property="OG:Title" content="x">""") ==
+      Seq("og:title" -> "x"))
+    assert(og("""<meta property="og:video">""").isEmpty)
+    assert(og("<html><body>nothing</body></html>").isEmpty)
+  }
 }

@@ -429,4 +429,40 @@ class MultimodalSpec extends SparkSuite {
       .collect().head
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
+
+  test("svg headers: dims, px suffix, BOM+decl+comment, viewBox fallback") {
+    def svg(s: String, bom: Boolean = false): org.apache.spark.sql.catalyst.InternalRow =
+      graft.functions.ImageHeader.parse(
+        (if (bom) Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+        else Array.empty[Byte]) ++ s.getBytes("UTF-8"))
+    def whf(r: org.apache.spark.sql.catalyst.InternalRow) =
+      (r.getString(0), r.getInt(1), r.getInt(2))
+    assert(whf(svg("""<svg width="640" height="480"><rect/></svg>""")) ==
+      ("svg", 640, 480))
+    // BOM + XML declaration + commented-out decoy + px + single quotes
+    assert(whf(svg("<?xml version=\"1.0\"?>\n<!-- <svg width='1' " +
+      "height='1'> -->\n<svg width='12px' height='7px'/>", bom = true)) ==
+      ("svg", 12, 7))
+    // DOCTYPE then viewBox fallback, mixed comma/space separators
+    assert(whf(svg("<!DOCTYPE svg PUBLIC \"-//W3C//DTD SVG 1.1//EN\" " +
+      "\"svg11.dtd\">\n<svg viewBox=\"0,0, 320 200\"><g/></svg>")) ==
+      ("svg", 320, 200))
+    // explicit dims beat viewBox; fractional dims floor
+    assert(whf(svg("""<svg width="5.75" height="3.25" viewBox="0 0 9 9"/>""")) ==
+      ("svg", 5, 3))
+  }
+
+  test("svg refusals: units, short viewBox, svgFoo, zero dims, not xml") {
+    def svg(s: String) =
+      graft.functions.ImageHeader.parse(s.getBytes("UTF-8"))
+    assert(svg("""<svg width="100%" height="50"/>""") == null)
+    assert(svg("""<svg width="10em" height="5"/>""") == null)
+    assert(svg("""<svg viewBox="0 0 100"/>""") == null)
+    assert(svg("""<svgfoo width="3" height="3"/>""") == null)
+    assert(svg("""<svg width="0" height="4"/>""") == null)
+    assert(svg("""<svg width="0.4" height="4"/>""") == null) // floors to 0
+    assert(svg("""<svg>no dims at all</svg>""") == null)
+    assert(svg("plain text, no tag") == null)
+    assert(svg("<!-- unterminated comment <svg width='1' height='1'>") == null)
+  }
 }

@@ -514,6 +514,44 @@ object StreamingPipeline {
       .select(col("uri"), col("fmt"), col("doc_text"))
   }
 
+  /** Streaming ML-SHARD ingestion — the interchange readers
+    * ([[graft.functions.ArrowIpc]], [[graft.functions.TfRecord]]) as a
+    * file-watched source: as Arrow IPC / TFRecord shards land in a
+    * drop directory, each is audited scan-side (row counts, torn-shard
+    * quarantine) and dispatched by extension — the docFormatsStream
+    * posture for training-data drops instead of crawl segments.
+    * STATELESS (pure projections, no watermark), so append mode runs
+    * the EXACT batch expressions and per-shard batch/stream parity is
+    * definitional. A shard outside its format's subset surfaces
+    * n_rows = -1 ("quarantined"), never a silent skip.
+    *
+    * Output: (src, fmt, n_rows) — one row per shard file.
+    */
+  def shardStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrowIpc.register(spark)
+    graft.functions.TfRecord.register(spark)
+    shardProject(crawlFiles(spark, dir))
+  }
+
+  /** The shared batch/stream projection behind [[shardStream]]. */
+  def shardProject(files: DataFrame): DataFrame =
+    files
+      .select(element_at(split(col("path"), "/"), -1).as("src"),
+        col("content"))
+      .withColumn("fmt",
+        when(col("src").endsWith(".arrow"), "arrow")
+          .when(col("src").endsWith(".tfrecord"), "tfrecord")
+          .otherwise("unknown"))
+      .withColumn("n_rows",
+        when(col("fmt") === "arrow",
+          coalesce(call_function("arrow_audit", col("content"))
+            .getField("n_rows"), lit(-1L)))
+          .when(col("fmt") === "tfrecord",
+            coalesce(size(call_function("tfrecord_entries",
+              col("content"))).cast("long"), lit(-1L)))
+          .otherwise(lit(-1L)))
+      .select(col("src"), col("fmt"), col("n_rows"))
+
   private def crawlFiles(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .format("binaryFile")

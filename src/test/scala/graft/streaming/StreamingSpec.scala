@@ -581,6 +581,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming shard ingestion: arrow + tfrecord across micro-batches, batch parity") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shard_in_")
+    def res(path: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(path)
+      assert(in != null, s"missing $path")
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      out.toByteArray
+    }
+    val arrow = res("/arrow_fixtures/stream_basic.arrow")
+    val torn = res("/arrow_fixtures/torn.arrow")
+    val tfrec = res("/tfrecord_fixtures/three_examples.tfrecord")
+    java.nio.file.Files.write(dir.resolve("shard0.arrow"), arrow)
+
+    val q = StreamingPipeline.shardStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("shard_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("shard_out").count() == 1)
+      // micro-batch 2: a TFRecord shard and a torn (quarantined) arrow one
+      java.nio.file.Files.write(dir.resolve("shard1.tfrecord"), tfrec)
+      java.nio.file.Files.write(dir.resolve("shard2.arrow"), torn)
+      q.processAllAvailable()
+      val streamed = spark.table("shard_out")
+        .select(col("src"), col("fmt"), col("n_rows"))
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == Set(
+        ("shard0.arrow", "arrow", 6L),
+        ("shard1.tfrecord", "tfrecord", 3L),
+        ("shard2.arrow", "arrow", -1L))) // torn: quarantined, counted
+      // row-for-row batch parity through the same projection
+      val batch = StreamingPipeline.shardProject(
+        spark.read.format("binaryFile").load(dir.toString))
+        .as[(String, String, Long)].collect().toSet
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
   test("streaming SCD2 backfill: foreachBatch increments equal the batch fold") {
     implicit val s = spark
     import spark.implicits._

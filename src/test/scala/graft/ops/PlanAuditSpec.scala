@@ -56,6 +56,34 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("round-16 queries: scan-side extraction joinless; iceberg/audit keyed sanely") {
+    // pure scan-side decode families: per-row expression chains, no join,
+    // no window, no shuffle beyond the final orderBy
+    Seq("mm_audio_id3_tags", "web_og_extract", "mm_image_svg_meta").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+      assert(!p.contains("WindowExec"), s"$q windows over the corpus")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q shuffles a join for a scan-side decode")
+    }
+    // the verdict audit is ONE hash aggregation (map-side partials), and
+    // the iceberg read is parquet scans resolved by the metadata chain —
+    // neither may plan a join
+    Seq("web_http_audit", "src_iceberg_read").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q plans a join it doesn't need")
+      assert(!p.contains("WindowExec"), s"$q windows over the corpus")
+    }
+    assert(planOf("web_http_audit").contains("HashAggregate"),
+      "the verdict audit must be a hash aggregation")
+  }
+
   test("scd2Apply joins history against a BROADCAST per-id first-seq table") {
     import spark.implicits._
     val hist = SnapshotOps.scd2History(

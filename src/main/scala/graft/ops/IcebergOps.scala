@@ -40,20 +40,26 @@ import graft.functions.AvroOcf
 object IcebergOps {
 
   /** manifest_entry (v1 required fields): status 0=existing / 1=added /
-    * 2=deleted, snapshot_id, and the nested data_file record.
+    * 2=deleted, snapshot_id, and the nested data_file record. The
+    * partition field is a record of the spec's fields (identity
+    * transforms over string columns in this writer's subset);
+    * unpartitioned tables carry an empty record.
     */
-  val manifestEntrySchema: StructType = StructType(Seq(
+  def manifestEntrySchema(partCols: Seq[String]): StructType = StructType(Seq(
     StructField("status", IntegerType, nullable = false),
     StructField("snapshot_id", LongType, nullable = false),
     StructField("data_file", StructType(Seq(
       StructField("file_path", StringType, nullable = false),
       StructField("file_format", StringType, nullable = false),
-      // unpartitioned spec → empty partition record (spec: the
-      // partition field is a record of the spec's fields, here none)
-      StructField("partition", StructType(Nil), nullable = false),
+      StructField("partition", StructType(partCols.map(c =>
+        StructField(c, StringType, nullable = false))), nullable = false),
       StructField("record_count", LongType, nullable = false),
       StructField("file_size_in_bytes", LongType, nullable = false))),
       nullable = false)))
+
+  /** The unpartitioned entry schema (back-compat surface). */
+  val manifestEntrySchemaUnpartitioned: StructType =
+    manifestEntrySchema(Nil)
 
   /** manifest_file (v1 required fields of the manifest list). */
   val manifestFileSchema: StructType = StructType(Seq(
@@ -99,12 +105,30 @@ object IcebergOps {
     * multi-file write never publishes a half-committed snapshot.
     */
   def icebergCommit(tableDir: String, snapshotId: Long,
-                    adds: Seq[String], removes: Seq[String] = Nil): Unit = {
+                    adds: Seq[String], removes: Seq[String] = Nil): Unit =
+    icebergCommitPartitioned(tableDir, snapshotId, Nil,
+      adds.map(p => p -> Seq.empty[String]), removes)
+
+  /** Partitioned variant: `partCols` declares the spec (identity
+    * transforms over string columns — this writer's subset), each add
+    * carries its partition tuple in spec order, and every manifest
+    * entry's nested `partition` record stores the tuple — which is
+    * what makes MANIFEST-LEVEL PRUNING ([[readIcebergPruned]]) possible
+    * without listing or opening a single data file, Iceberg's actual
+    * 100 TB value.
+    */
+  def icebergCommitPartitioned(tableDir: String, snapshotId: Long,
+      partCols: Seq[String], adds: Seq[(String, Seq[String])],
+      removes: Seq[String] = Nil): Unit = {
     require(snapshotId >= 0, "iceberg snapshot ids start at 0")
+    require(adds.forall(_._2.length == partCols.length),
+      "every add must carry one value per partition column")
     val md = metadataDir(tableDir)
     val m = mapper
+    val entrySchema = manifestEntrySchema(partCols)
     val (prevLive, prevSnapshots) =
-      if (snapshotId == 0L) (Seq.empty[String], Seq.empty[Long])
+      if (snapshotId == 0L)
+        (Seq.empty[(String, Seq[String])], Seq.empty[Long])
       else {
         val priorFile = new java.io.File(md, s"v$snapshotId.metadata.json")
         require(priorFile.exists(),
@@ -114,23 +138,29 @@ object IcebergOps {
           java.nio.file.Files.readAllBytes(priorFile.toPath))
         require(prior.get("current-snapshot-id").asLong() == snapshotId - 1,
           s"iceberg snapshot $snapshotId must follow ${snapshotId - 1}")
+        require(specColsOf(prior) == partCols,
+          s"iceberg partition spec changed mid-table (was " +
+            s"${specColsOf(prior).mkString(",")})")
         val snaps = prior.get("snapshots").elements()
         val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
         while (snaps.hasNext) ids += snaps.next().get("snapshot-id").asLong()
-        (liveFiles(tableDir, snapshotId - 1), ids.toSeq)
+        (liveEntries(tableDir, snapshotId - 1, partCols), ids.toSeq)
       }
     val removed = removes.toSet
-    val carried = prevLive.filterNot(removed)
-    require(adds.forall(a => !carried.contains(a)),
+    val carried = prevLive.filterNot(e => removed(e._1))
+    require(adds.forall(a => !carried.exists(_._1 == a._1)),
       "iceberg add of an already-live path")
-    val entries = carried.map(p => (0, p)) ++ adds.map(p => (1, p))
+    val entries = carried.map(e => (0, e._1, e._2)) ++
+      adds.map(a => (1, a._1, a._2))
     val manifestRel = s"metadata/m-$snapshotId.avro"
     val manifestBytes = AvroOcf.file(
-      utf8Rows(manifestEntrySchema, entries.map { case (status, p) =>
+      utf8Rows(entrySchema, entries.map { case (status, p, pv) =>
         Seq(status, snapshotId, new GenericInternalRow(Array[Any](
           UTF8String.fromString(p), UTF8String.fromString("PARQUET"),
-          new GenericInternalRow(Array.empty[Any]), 0L, 0L)))
-      }), manifestEntrySchema, "null")
+          new GenericInternalRow(
+            pv.map(v => UTF8String.fromString(v): Any).toArray),
+          0L, 0L)))
+      }), entrySchema, "null")
     writeFile(new java.io.File(tableDir, manifestRel), manifestBytes)
     val listRel = s"metadata/snap-$snapshotId.avro"
     val listBytes = AvroOcf.file(
@@ -145,15 +175,25 @@ object IcebergOps {
       ("iceberg:" + tableDir).getBytes("UTF-8")).toString)
     root.put("location", tableDir)
     root.put("last-updated-ms", 0L)
-    root.put("last-column-id", 0)
+    root.put("last-column-id", partCols.length)
     val schema = root.putObject("schema")
     schema.put("type", "struct")
-    schema.putArray("fields")
+    val sFields = schema.putArray("fields")
+    partCols.zipWithIndex.foreach { case (c, i) =>
+      val f = sFields.addObject()
+      f.put("id", i + 1); f.put("name", c)
+      f.put("required", true); f.put("type", "string")
+    }
     root.putObject("partition-spec") // v1 single-spec form (deprecated but required)
     val specs = root.putArray("partition-specs")
     val spec0 = specs.addObject()
     spec0.put("spec-id", 0)
-    spec0.putArray("fields")
+    val pFields = spec0.putArray("fields")
+    partCols.zipWithIndex.foreach { case (c, i) =>
+      val f = pFields.addObject()
+      f.put("name", c); f.put("transform", "identity")
+      f.put("source-id", i + 1); f.put("field-id", 1000 + i)
+    }
     root.put("default-spec-id", 0)
     root.putObject("properties")
     root.put("current-snapshot-id", snapshotId)
@@ -175,6 +215,37 @@ object IcebergOps {
       String.valueOf(snapshotId + 1).getBytes("UTF-8"))
   }
 
+  /** The default spec's partition columns from a metadata json node —
+    * identity transforms only (anything else refuses: bucket/truncate/
+    * temporal transforms are outside this reader's subset and pruning
+    * against them would silently drop matching files).
+    */
+  private def specColsOf(
+      root: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    val specId = if (root.has("default-spec-id"))
+      root.get("default-spec-id").asInt() else 0
+    val specs = root.get("partition-specs")
+    if (specs == null) return Nil
+    val it = specs.elements()
+    while (it.hasNext) {
+      val sp = it.next()
+      if (sp.get("spec-id").asInt() == specId) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val fs = sp.get("fields").elements()
+        while (fs.hasNext) {
+          val f = fs.next()
+          val tr = f.get("transform").asText()
+          require(tr == "identity",
+            s"iceberg partition transform '$tr' unsupported (identity only)")
+          out += f.get("name").asText()
+        }
+        return out.toSeq
+      }
+    }
+    throw new IllegalArgumentException(
+      s"iceberg default-spec-id $specId not in partition-specs")
+  }
+
   /** Live data-file paths of `snapshotId`, resolved through the
     * CURRENT metadata json (version-hint, falling back to the highest
     * vN.metadata.json) → that snapshot's manifest list → manifests.
@@ -182,7 +253,16 @@ object IcebergOps {
     * a manifest outside the Avro subset (null from the decoder).
     */
   def icebergFiles(spark: org.apache.spark.sql.SparkSession,
-                   tableDir: String, snapshotId: Long): Seq[String] = {
+                   tableDir: String, snapshotId: Long): Seq[String] =
+    icebergEntries(tableDir, snapshotId)._2.map(_._1)
+
+  /** The snapshot's live entries through the CURRENT metadata json:
+    * (partition columns, (path, partition tuple) in commit order).
+    * Refuses loudly on format-version ≠ 1, a non-identity transform,
+    * an unknown snapshot id, or a manifest outside the Avro subset.
+    */
+  def icebergEntries(tableDir: String, snapshotId: Long)
+      : (Seq[String], Seq[(String, Seq[String])]) = {
     val md = metadataDir(tableDir)
     require(md.isDirectory, s"no iceberg metadata dir at $tableDir")
     val m = mapper
@@ -204,6 +284,7 @@ object IcebergOps {
     val fv = root.get("format-version").asInt()
     require(fv == 1,
       s"iceberg format-version $fv unsupported (reader is v1)")
+    val partCols = specColsOf(root)
     var manifestList: String = null
     val snaps = root.get("snapshots").elements()
     while (snaps.hasNext && manifestList == null) {
@@ -213,28 +294,45 @@ object IcebergOps {
     }
     require(manifestList != null,
       s"iceberg snapshot $snapshotId not in metadata v$version")
+    (partCols, foldManifestList(tableDir, manifestList, partCols,
+      pinLengths = true))
+  }
+
+  /** Manifest-list → manifests fold, last action per path. */
+  private def foldManifestList(tableDir: String, manifestList: String,
+      partCols: Seq[String], pinLengths: Boolean)
+      : Seq[(String, Seq[String])] = {
+    val entrySchema = manifestEntrySchema(partCols)
     val listBytes = java.nio.file.Files.readAllBytes(
       resolve(tableDir, manifestList).toPath)
     val listRows = AvroOcf.rows(listBytes, manifestFileSchema)
     require(listRows != null,
       s"iceberg manifest list unreadable: $manifestList")
-    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    val out =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     var i = 0
     while (i < listRows.numElements()) {
       val mf = listRows.getStruct(i, manifestFileSchema.length)
       val mPath = mf.getUTF8String(0).toString
       val mBytes = java.nio.file.Files.readAllBytes(
         resolve(tableDir, mPath).toPath)
-      require(mf.getLong(1) == mBytes.length,
-        s"iceberg manifest length mismatch: $mPath")
-      val entries = AvroOcf.rows(mBytes, manifestEntrySchema)
+      if (pinLengths)
+        require(mf.getLong(1) == mBytes.length,
+          s"iceberg manifest length mismatch: $mPath")
+      val entries = AvroOcf.rows(mBytes, entrySchema)
       require(entries != null, s"iceberg manifest unreadable: $mPath")
       var j = 0
       while (j < entries.numElements()) {
-        val e = entries.getStruct(j, manifestEntrySchema.length)
+        val e = entries.getStruct(j, entrySchema.length)
         val status = e.getInt(0)
-        val path = e.getStruct(2, 5).getUTF8String(0).toString
-        if (status == 2) out.remove(path) else out.add(path)
+        val df = e.getStruct(2, 5)
+        val path = df.getUTF8String(0).toString
+        if (status == 2) out.remove(path)
+        else {
+          val part = df.getStruct(2, partCols.length)
+          out(path) = partCols.indices.map(k =>
+            part.getUTF8String(k).toString)
+        }
         j += 1
       }
       i += 1
@@ -243,33 +341,14 @@ object IcebergOps {
   }
 
   /** The live set as of `snapshotId` per the metadata chain available
-    * AT that commit (used by the writer to carry files forward without
-    * a SparkSession — manifests resolve driver-side).
+    * AT that commit (used by the writer to carry files + partition
+    * tuples forward without a SparkSession — manifests resolve
+    * driver-side).
     */
-  private def liveFiles(tableDir: String, snapshotId: Long): Seq[String] = {
-    val listBytes = java.nio.file.Files.readAllBytes(
-      new java.io.File(tableDir, s"metadata/snap-$snapshotId.avro").toPath)
-    val listRows = AvroOcf.rows(listBytes, manifestFileSchema)
-    require(listRows != null, s"iceberg manifest list $snapshotId unreadable")
-    val out = scala.collection.mutable.LinkedHashSet.empty[String]
-    var i = 0
-    while (i < listRows.numElements()) {
-      val mf = listRows.getStruct(i, manifestFileSchema.length)
-      val mBytes = java.nio.file.Files.readAllBytes(
-        resolve(tableDir, mf.getUTF8String(0).toString).toPath)
-      val entries = AvroOcf.rows(mBytes, manifestEntrySchema)
-      require(entries != null, "iceberg manifest unreadable")
-      var j = 0
-      while (j < entries.numElements()) {
-        val e = entries.getStruct(j, manifestEntrySchema.length)
-        val path = e.getStruct(2, 5).getUTF8String(0).toString
-        if (e.getInt(0) == 2) out.remove(path) else out.add(path)
-        j += 1
-      }
-      i += 1
-    }
-    out.toSeq
-  }
+  private def liveEntries(tableDir: String, snapshotId: Long,
+      partCols: Seq[String]): Seq[(String, Seq[String])] =
+    foldManifestList(tableDir, s"metadata/snap-$snapshotId.avro", partCols,
+      pinLengths = false)
 
   /** Time-travel read: exactly snapshot `snapshotId`'s file set. */
   def readIcebergSnapshot(spark: org.apache.spark.sql.SparkSession,
@@ -278,5 +357,31 @@ object IcebergOps {
     require(paths.nonEmpty, s"iceberg snapshot $snapshotId has no files")
     spark.read.parquet(paths.map(p =>
       resolve(tableDir, p).getAbsolutePath): _*)
+  }
+
+  /** MANIFEST-LEVEL PARTITION PRUNING: resolve the snapshot, keep only
+    * the entries whose partition tuple matches every (column → value)
+    * in `partFilter`, and plan the parquet read over THAT file list —
+    * files outside the predicate are never listed, opened, or footered,
+    * which is the reason partitioned Iceberg tables scale: the scan
+    * plan is built from O(manifest rows) of metadata, not O(files) of
+    * storage round trips. Unknown filter columns refuse loudly (a typo
+    * must not silently read the whole table).
+    */
+  def readIcebergPruned(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, snapshotId: Long,
+      partFilter: Map[String, String]): DataFrame = {
+    val (partCols, entries) = icebergEntries(tableDir, snapshotId)
+    val unknown = partFilter.keySet -- partCols.toSet
+    require(unknown.isEmpty,
+      s"iceberg partition filter on non-partition columns: " +
+        s"${unknown.mkString(",")}")
+    val keep = entries.filter { case (_, pv) =>
+      partFilter.forall { case (c, v) => pv(partCols.indexOf(c)) == v }
+    }
+    require(keep.nonEmpty,
+      s"iceberg snapshot $snapshotId has no files matching $partFilter")
+    spark.read.parquet(keep.map(e =>
+      resolve(tableDir, e._1).getAbsolutePath): _*)
   }
 }

@@ -120,6 +120,55 @@ class IcebergOpsSpec extends SparkSuite {
     }
   }
 
+  test("iceberg: partitioned commits + manifest-level pruning, machine-asserted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_icebergp_")
+      .toString
+    Seq((1L, "en"), (2L, "en")).toDF("id", "lang")
+      .write.parquet(s"$dir/data/en0")
+    Seq((3L, "de")).toDF("id", "lang").write.parquet(s"$dir/data/de0")
+    Seq((4L, "fr")).toDF("id", "lang").write.parquet(s"$dir/data/fr0")
+    IcebergOps.icebergCommitPartitioned(dir, 0, Seq("lang"),
+      Seq("data/en0" -> Seq("en"), "data/de0" -> Seq("de")))
+    IcebergOps.icebergCommitPartitioned(dir, 1, Seq("lang"),
+      adds = Seq("data/fr0" -> Seq("fr")), removes = Seq("data/de0"))
+    // entries carry the tuples; the spec columns come from metadata.json
+    val (cols, entries) = IcebergOps.icebergEntries(dir, 1)
+    assert(cols == Seq("lang"))
+    assert(entries.toSet == Set("data/en0" -> Seq("en"),
+      "data/fr0" -> Seq("fr")))
+    // pruned read: ONLY the matching partition's file is in the scan
+    val en = IcebergOps.readIcebergPruned(spark, dir, 1, Map("lang" -> "en"))
+    assert(en.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(en.inputFiles.nonEmpty &&
+      en.inputFiles.forall(_.contains("data/en0")))
+    // time travel + pruning compose: de is live at snapshot 0 only
+    val de0 = IcebergOps.readIcebergPruned(spark, dir, 0, Map("lang" -> "de"))
+    assert(de0.select("id").as[Long].collect().toSeq == Seq(3L))
+    intercept[IllegalArgumentException] {
+      IcebergOps.readIcebergPruned(spark, dir, 1, Map("lang" -> "de"))
+    }
+    // a typo'd filter column refuses — never a silent full-table read
+    val e = intercept[IllegalArgumentException] {
+      IcebergOps.readIcebergPruned(spark, dir, 1, Map("language" -> "en"))
+    }
+    assert(e.getMessage.contains("non-partition columns"))
+    // a mid-table spec change refuses
+    intercept[IllegalArgumentException] {
+      IcebergOps.icebergCommitPartitioned(dir, 2, Seq("lang", "src"),
+        Seq("data/x" -> Seq("en", "a")))
+    }
+    // a non-identity transform in external metadata refuses the read
+    val vFile = new java.io.File(dir, "metadata/v2.metadata.json")
+    val doctored = new String(
+      java.nio.file.Files.readAllBytes(vFile.toPath), "UTF-8")
+      .replace("\"transform\":\"identity\"", "\"transform\":\"bucket[16]\"")
+    java.nio.file.Files.write(vFile.toPath, doctored.getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergOps.icebergEntries(dir, 1)
+    }
+    assert(e2.getMessage.contains("bucket[16]"))
+  }
+
   test("iceberg: version-hint fallback scans vN.metadata.json") {
     val dir = java.nio.file.Files.createTempDirectory("graft_icebergh_")
       .toString

@@ -641,6 +641,68 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // OG-ENRICHED image-text pairing — the precedence layer over
+    // web_image_text_pairs: OpenGraph og:image + og:title is the
+    // highest-precision caption channel a page publishes (it describes
+    // THE canonical image, unlike arbitrary inline alt text), so when
+    // the same image URL appears in both channels the og row wins and
+    // the inline duplicate is dropped (keyed anti-join, never a window
+    // over the corpus). og:image resolves against the page URL like any
+    // other reference (a third of the pages publish it relative — real
+    // pages do). Commented-out og decoys must not pair.
+    "web_og_image_pairs" -> ((s, dir) => {
+      graft.ops.WebOps.registerAll(s)
+      graft.functions.HtmlImages.register(s)
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      def k(off: Int) = pmod(col("doc_id") + off, lit(n)).cast("string")
+      val base = concat(lit("https://docs.example.org/pages/sub/page"),
+        col("doc_id").cast("string"), lit(".html"))
+      val ogImage = when(pmod(col("doc_id"), lit(3)) === 1,
+        concat(lit("hero/"), k(0), lit(".bmp")))
+        .otherwise(concat(lit("https://img.example.net/i/"), k(0),
+          lit(".bmp")))
+      val html = concat(
+        lit("<!-- <meta property=\"og:image\" content=\"DECOY.bmp\"> -->"),
+        lit("<meta property=\"og:image\" content=\""), ogImage, lit("\">"),
+        lit("<meta property=\"og:title\" content=\"OG caption &amp; "),
+        col("doc_id").cast("string"), lit("\">"),
+        lit("<img src=\"https://img.example.net/i/"), k(0),
+        lit(".bmp\" alt=\"inline dup "), k(0), lit("\">"),
+        lit("<img src=gallery/"), k(1), lit(".bmp alt='inline "), k(1),
+        lit("'>"))
+      val pages = docs.select(col("doc_id"), base.as("__base"),
+        html.as("__html"))
+      val og = pages
+        .select(col("doc_id"), col("__base"),
+          call_function("html_og", col("__html")).as("p"))
+        .select(col("doc_id"),
+          UrlOps.resolveUrl(col("__base"),
+            expr("filter(p, x -> x.key = 'og:image')[0].value"))
+            .as("image_url"),
+          expr("filter(p, x -> x.key = 'og:title')[0].value").as("caption"))
+        .where(col("image_url").isNotNull)
+        .select(col("doc_id"), lit("og").as("channel"), col("image_url"),
+          col("caption"))
+      val inline = pages
+        .select(col("doc_id"), col("__base"),
+          explode(call_function("html_images", col("__html"))).as("im"))
+        .select(col("doc_id"),
+          UrlOps.resolveUrl(col("__base"), col("im.src")).as("image_url"),
+          col("im.alt").as("caption"))
+        .select(col("doc_id"), lit("img").as("channel"), col("image_url"),
+          col("caption"))
+      val inlineKept = inline.join(og.select(col("doc_id"),
+          col("image_url")),
+        Seq("doc_id", "image_url"), "left_anti")
+        // the join hoists its keys to the front; realign before the
+        // POSITIONAL union
+        .select(col("doc_id"), col("channel"), col("image_url"),
+          col("caption"))
+      og.unionAll(inlineKept)
+        .orderBy(col("doc_id"), col("channel"), col("image_url"))
+    }),
+
     // INTERLEAVED MULTIMODAL FUNNEL, END TO END — the MMC4 assembly
     // mile as one certified composition: crawl WARC bytes → record
     // extraction → html_segments (text blocks + images in document
@@ -1571,6 +1633,31 @@ object ExtraQueries extends QueryPack {
         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, image_url, alt_text,
         |  keep, reason
         |FROM itf_p ORDER BY doc_id, pos""".stripMargin,
+
+    // precedence replayed closed-form: og rows always; the inline dup of
+    // the og image survives ONLY on the relative-og pages (%3=1), where
+    // the og URL resolves elsewhere; gallery inline rows always
+    "web_og_image_pairs" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |d AS (SELECT doc_id, doc_id % nn.n AS k0, (doc_id + 1) % nn.n AS k1,
+        |    doc_id % 3 = 1 AS rel FROM documents, nn),
+        |og AS (SELECT doc_id, 'og' AS channel,
+        |  CASE WHEN rel THEN 'https://docs.example.org/pages/sub/hero/' ||
+        |      CAST(k0 AS VARCHAR) || '.bmp'
+        |    ELSE 'https://img.example.net/i/' ||
+        |      CAST(k0 AS VARCHAR) || '.bmp' END AS image_url,
+        |  'OG caption & ' || CAST(doc_id AS VARCHAR) AS caption FROM d),
+        |img1 AS (SELECT doc_id, 'img' AS channel,
+        |  'https://img.example.net/i/' || CAST(k0 AS VARCHAR) || '.bmp'
+        |    AS image_url,
+        |  'inline dup ' || CAST(k0 AS VARCHAR) AS caption FROM d WHERE rel),
+        |img2 AS (SELECT doc_id, 'img' AS channel,
+        |  'https://docs.example.org/pages/sub/gallery/' ||
+        |    CAST(k1 AS VARCHAR) || '.bmp' AS image_url,
+        |  'inline ' || CAST(k1 AS VARCHAR) AS caption FROM d)
+        |SELECT * FROM og UNION ALL SELECT * FROM img1
+        |UNION ALL SELECT * FROM img2
+        |ORDER BY doc_id, channel, image_url""".stripMargin,
 
     // replay of extraction (3 kept images per page, positions 0-2; the
     // script/comment decoys and the srcless <img> contribute nothing),

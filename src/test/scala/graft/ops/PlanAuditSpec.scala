@@ -82,6 +82,16 @@ class PlanAuditSpec extends SparkSuite {
     }
     assert(planOf("web_http_audit").contains("HashAggregate"),
       "the verdict audit must be a hash aggregation")
+    // the pruned iceberg read stays joinless (scan list from manifests)
+    val prune = planOf("src_iceberg_prune")
+    assert(!prune.contains("CartesianProduct") &&
+      !prune.contains("BroadcastNestedLoopJoin"))
+    // og-precedence pairing: its one join is the keyed anti-join,
+    // never a cartesian/nested loop, and no corpus window
+    val ogp = planOf("web_og_image_pairs")
+    assert(!ogp.contains("CartesianProduct") &&
+      !ogp.contains("BroadcastNestedLoopJoin") &&
+      !ogp.contains("WindowExec"))
   }
 
   test("scd2Apply joins history against a BROADCAST per-id first-seq table") {

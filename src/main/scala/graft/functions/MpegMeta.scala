@@ -43,6 +43,8 @@ object MpegMeta {
       "mp3_xing", exprs => Mp3Xing(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "id3_tags", exprs => Id3Tags(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "id3v1_tags", exprs => Id3v1Tags(exprs.head), "built-in")
   }
 
   val schema: StructType = StructType(Seq(
@@ -269,6 +271,46 @@ object MpegMeta {
     InternalRow(UTF8String.fromString("2." + major),
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
         tags.toArray[Any]))
+  }
+
+  /** `id3v1_tags` output: the fixed trailing 128-byte TAG block. */
+  val id3v1Schema: StructType = StructType(Seq(
+    StructField("title", StringType),
+    StructField("artist", StringType),
+    StructField("album", StringType),
+    StructField("year", StringType),
+    StructField("comment", StringType),
+    StructField("track", IntegerType),
+    StructField("genre_id", IntegerType)))
+
+  /** ID3v1 / v1.1 trailing tag — the 128-byte fixed block at the END
+    * of the file ("TAG" + title[30] + artist[30] + album[30] + year[4]
+    * + comment[30] + genre[1]; v1.1 carves the comment's last two
+    * bytes into a zero marker + track number). The legacy fallback for
+    * MP3s that carry no ID3v2 container. Fields are ISO-8859-1 with
+    * trailing NUL/space padding stripped; empty fields surface as
+    * empty strings (the block is fixed-size — "absent" cannot be
+    * distinguished from "blank", unlike the v2 walk). Track 0 / a v1.0
+    * comment (no zero marker) reports track = -1.
+    */
+  def id3v1Tags(b: Array[Byte]): InternalRow = {
+    if (b.length < 128) return null
+    val o = b.length - 128
+    if (b(o) != 'T' || b(o + 1) != 'A' || b(o + 2) != 'G') return null
+    def field(from: Int, len: Int): String = {
+      var end = from + len
+      while (end > from && (b(end - 1) == 0 || b(end - 1) == ' ')) end -= 1
+      new String(b, from, end - from, "ISO-8859-1")
+    }
+    val hasTrack = b(o + 125) == 0 && b(o + 126) != 0
+    InternalRow(
+      UTF8String.fromString(field(o + 3, 30)),
+      UTF8String.fromString(field(o + 33, 30)),
+      UTF8String.fromString(field(o + 63, 30)),
+      UTF8String.fromString(field(o + 93, 4)),
+      UTF8String.fromString(field(o + 97, if (hasTrack) 28 else 30)),
+      if (hasTrack) b(o + 126) & 0xff else -1,
+      b(o + 127) & 0xff)
   }
 
   // --------------------------------------------- Layer III side info
@@ -636,6 +678,29 @@ case class Id3Tags(child: Expression) extends UnaryExpression {
       ${ev.isNull} = ${ev.value} == null;
     """)
   override protected def withNewChildInternal(newChild: Expression): Id3Tags =
+    copy(child = newChild)
+}
+
+/** `id3v1_tags(binary)` → the trailing 128-byte ID3v1/v1.1 tag block,
+  * or null when the file carries none.
+  */
+case class Id3v1Tags(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MpegMeta.id3v1Schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "id3v1_tags"
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    MpegMeta.id3v1Tags(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MpegMeta.id3v1Tags($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Id3v1Tags =
     copy(child = newChild)
 }
 

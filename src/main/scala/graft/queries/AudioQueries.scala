@@ -593,6 +593,57 @@ object AudioQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ID3v1 / v1.1 TRAILING tag — the legacy fallback when no ID3v2
+    // container exists: fixed 128-byte block at the END of the file.
+    // Three constructions (v1.1 with track marker, v1.0 full-width
+    // comment, blank-padded fields) + a no-TAG refusal; closed-form
+    // oracle.
+    "mm_audio_id3v1" -> ((s, dir) => {
+      graft.functions.MpegMeta.register(s)
+      def pad(sql: String, len: Int): String =
+        s"rpad(substr($sql, 1, $len), $len, chr(0))"
+      def hx(sql: String): String = s"hex(encode($sql, 'ISO-8859-1'))"
+      val k = "cast(doc_id % 50 as string)"
+      val v11 = s"""concat('544147',
+        |${hx(pad(s"concat('Song ', $k)", 30))},
+        |${hx(pad("'Artist A'", 30))},
+        |${hx(pad("'Album B'", 30))},
+        |${hx("'1999'")},
+        |${hx(pad("'nice'", 28))}, '00',
+        |lpad(hex(cast(doc_id % 30 + 1 as int)), 2, '0'),
+        |lpad(hex(cast(doc_id % 80 as int)), 2, '0'))""".stripMargin
+      val v10 = s"""concat('544147',
+        |${hx(pad(s"concat('Song ', $k)", 30))},
+        |${hx(pad("'Artist B'", 30))},
+        |${hx(pad("'Album C'", 30))},
+        |${hx("'1987'")},
+        |${hx(pad("'comment without a track marker'", 30))},
+        |lpad(hex(cast(doc_id % 80 as int)), 2, '0'))""".stripMargin
+      val padded = s"""concat('544147',
+        |${hx("rpad('Padded', 30, ' ')")},
+        |${hx("repeat(' ', 30)")},
+        |${hx("repeat(chr(0), 30)")},
+        |${hx("'2005'")},
+        |${hx("rpad('', 28, ' ')")}, '00', '07',
+        |lpad(hex(cast(doc_id % 80 as int)), 2, '0'))""".stripMargin
+      val blobHex =
+        s"""CASE WHEN doc_id % 9 = 0 THEN 'FFFB9000'
+           |WHEN doc_id % 3 = 0 THEN $v11
+           |WHEN doc_id % 3 = 1 THEN $v10
+           |ELSE $padded END""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("t", expr(s"id3v1_tags(unhex($blobHex))"))
+        .select(col("doc_id"),
+          col("t").isNotNull.as("ok"),
+          col("t.title").as("title"),
+          col("t.artist").as("artist"),
+          col("t.year").as("year"),
+          col("t.comment").as("comment"),
+          col("t.track").as("track"),
+          col("t.genre_id").as("genre_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_audio_meta" -> ((s, dir) => {
       graft.functions.AudioHeader.register(s)
       val chSql = "(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)"
@@ -1289,6 +1340,27 @@ object AudioQueries extends QueryPack {
         |    ELSE
         |      md5('TT2=Track 3;TP1=Artist 3;TAL=Album three;TLA=jpn;TCO=corpus')
         |    END AS tags_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the three fixed-block constructions replayed closed-form
+    "mm_audio_id3v1" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS c,
+        |    doc_id % 9 = 0 AS refused FROM documents)
+        |SELECT doc_id,
+        |  NOT refused AS ok,
+        |  CASE WHEN refused THEN NULL WHEN c = 2 THEN 'Padded'
+        |    ELSE 'Song ' || CAST(doc_id % 50 AS VARCHAR) END AS title,
+        |  CASE WHEN refused THEN NULL WHEN c = 0 THEN 'Artist A'
+        |    WHEN c = 1 THEN 'Artist B' ELSE '' END AS artist,
+        |  CASE WHEN refused THEN NULL WHEN c = 0 THEN '1999'
+        |    WHEN c = 1 THEN '1987' ELSE '2005' END AS year,
+        |  CASE WHEN refused THEN NULL WHEN c = 0 THEN 'nice'
+        |    WHEN c = 1 THEN 'comment without a track marker'
+        |    ELSE '' END AS "comment",
+        |  CAST(CASE WHEN refused THEN NULL WHEN c = 0 THEN doc_id % 30 + 1
+        |    WHEN c = 1 THEN -1 ELSE 7 END AS INT) AS track,
+        |  CAST(CASE WHEN refused THEN NULL
+        |    ELSE doc_id % 80 END AS INT) AS genre_id
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "mm_audio_meta" ->

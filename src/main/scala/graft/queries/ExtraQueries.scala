@@ -361,6 +361,38 @@ object ExtraQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // SVG VISIBLE-TEXT extraction (svg_text) — infographic/diagram
+    // language lifted out of <text>/<tspan>/<textPath>, with <defs>
+    // subtrees, <style>/<script> bodies, <title>/<desc> metadata, and
+    // commented-out decoys all excluded; entities decode via the
+    // html_to_text reference rules so SVG text dedups identically to
+    // HTML text. Non-SVG bytes refuse to null.
+    "mm_image_svg_text" -> ((s, dir) => {
+      graft.functions.SvgText.register(s)
+      val id = col("doc_id").cast("string")
+      val svg = concat(
+        lit("<?xml version=\"1.0\"?>\n<svg xmlns=\"http://www.w3.org/2000/svg\">"),
+        lit("<title>meta title</title><desc>meta desc</desc>"),
+        lit("<!-- <text>decoy</text> -->"),
+        lit("<style>.a { fill: red; }</style>"),
+        lit("<defs><text>hidden symbol label</text></defs>"),
+        lit("<text x=\"0\"><tspan>Label &amp; "), id,
+        lit("</tspan> <tspan>unit "), (col("doc_id") % 7).cast("string"),
+        lit("</tspan></text>"),
+        lit("<rect width=\"4\" height=\"4\"/>"),
+        lit("<text><textPath href=\"#p\">curved "),
+        (col("doc_id") % 5).cast("string"), lit("</textPath></text></svg>"))
+      val txt = when(col("doc_id") % 9 === 0, lit("not an svg at all"))
+        .otherwise(svg)
+      Tables.documents(s, dir)
+        .withColumn("blob", txt.cast("binary"))
+        .selectExpr("doc_id", "svg_text(blob) AS svg_text")
+        .select(col("doc_id"),
+          col("svg_text").isNotNull.as("ok"),
+          col("svg_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // JPEG / GIF containers are SYNTHESIZED with dimensions derived from
     // doc_id (width = id%640+1, height = id%480+1), so the oracle states
     // ground truth by arithmetic while the engine must actually parse the
@@ -1369,6 +1401,18 @@ object ExtraQueries extends QueryPack {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS sha_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the visible-text composition replayed closed-form; decoys,
+    // defs/style/title/desc contribute nothing
+    "mm_image_svg_text" ->
+      """SELECT doc_id,
+        |  doc_id % 9 <> 0 AS ok,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |    ELSE 'Label & ' || CAST(doc_id AS VARCHAR) ||
+        |      ' unit ' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      ' curved ' || CAST(doc_id % 5 AS VARCHAR)
+        |    END AS svg_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // arithmetic ground truth over the four constructions; the two
     // refusal branches (percentage dims, 3-number viewBox) go all-null
     "mm_image_svg_meta" ->

@@ -194,6 +194,36 @@ class MpegMetaSpec extends AnyFunSuite {
       Seq("TLAN" -> "deu"))
   }
 
+  test("id3v1: trailing fixed block, v1.1 track carve-out, padding strip") {
+    def block(title: String, artist: String, album: String, year: String,
+        comment: Array[Byte], genre: Int): Array[Byte] = {
+      def f(s: String, len: Int): Array[Byte] =
+        java.util.Arrays.copyOf(s.getBytes("ISO-8859-1"), len)
+      "TAG".getBytes("ISO-8859-1") ++ f(title, 30) ++ f(artist, 30) ++
+        f(album, 30) ++ f(year, 4) ++
+        java.util.Arrays.copyOf(comment, 30) :+ genre.toByte
+    }
+    // v1.1: comment[28]=0 marker, comment[29]=track
+    val c11 = java.util.Arrays.copyOf("great ride".getBytes("ISO-8859-1"), 30)
+    c11(29) = 12
+    val audio = Array.fill(64)(0x55.toByte) // tag parses from the END
+    val r = MpegMeta.id3v1Tags(
+      audio ++ block("Song X", "Artist Y  ", "", "1991", c11, 17))
+    assert(r != null)
+    assert(r.getString(0) == "Song X" && r.getString(1) == "Artist Y" &&
+      r.getString(2) == "" && r.getString(3) == "1991" &&
+      r.getString(4) == "great ride" && r.getInt(5) == 12 &&
+      r.getInt(6) == 17)
+    // v1.0: comment byte 28 nonzero → no track
+    val c10 = java.util.Arrays.copyOf(
+      ("x" * 30).getBytes("ISO-8859-1"), 30)
+    val r0 = MpegMeta.id3v1Tags(block("t", "a", "b", "2001", c10, 1))
+    assert(r0.getInt(5) == -1 && r0.getString(4) == "x" * 30)
+    // no TAG block / short buffer → null
+    assert(MpegMeta.id3v1Tags(audio) == null)
+    assert(MpegMeta.id3v1Tags(Array[Byte](1, 2, 3)) == null)
+  }
+
   test("id3: refusal matrix — truncation, unsync flag, bad encoding, junk id") {
     val f = fr3("TIT2", 0.toByte +: "x".getBytes("ISO-8859-1"))
     // frame size past the tag end

@@ -452,6 +452,33 @@ class MultimodalSpec extends SparkSuite {
       ("svg", 5, 3))
   }
 
+  test("svg text: text/tspan/textPath kept; defs/style/title/desc/comments dropped") {
+    def t(s: String): String = {
+      val r = graft.functions.SvgText.extract(s.getBytes("UTF-8"))
+      if (r == null) null else r.toString
+    }
+    val svg = "<?xml version=\"1.0\"?><svg xmlns=\"x\">" +
+      "<title>m</title><desc>d</desc>" +
+      "<!-- <text>decoy</text> -->" +
+      "<style>.a { fill: red; } /* <text>css</text> */</style>" +
+      "<defs><text>hidden</text><g><text>also hidden</text></g></defs>" +
+      "<text><tspan>A &amp; B</tspan> <tspan dy='2'>two</tspan></text>" +
+      "<text><textPath href='#p'>curved</textPath></text>" +
+      "<text/><text>  spaced   words </text></svg>"
+    assert(t(svg) == "A & B two curved spaced words")
+    // a title INSIDE a text element is still metadata
+    assert(t("<svg><text><title>tip</title>shown</text></svg>") == "shown")
+    // nested defs close correctly; following text is visible
+    assert(t("<svg><defs><text>no</text></defs><text>yes</text></svg>") == "yes")
+    // non-svg bytes and binary refuse to null
+    assert(t("plain words, no markup") == null)
+    assert(t("<html><text>not svg root</text></html>") == null)
+    assert(graft.functions.SvgText.extract(
+      Array[Byte](0x42, 0x4D, 0, 0)) == null)
+    // unterminated comment refuses whole, never a partial extraction
+    assert(t("<svg><text>kept?</text><!-- open") == null)
+  }
+
   test("svg refusals: units, short viewBox, svgFoo, zero dims, not xml") {
     def svg(s: String) =
       graft.functions.ImageHeader.parse(s.getBytes("UTF-8"))

@@ -296,6 +296,40 @@ object StreamingPipeline {
         }
       }
 
+  /** Streaming ICEBERG ingestion — the lakehouse landing pattern: each
+    * non-empty micro-batch becomes ONE Iceberg snapshot (batch rows →
+    * a fresh data directory → `icebergCommit` append), so every batch
+    * boundary is a time-travelable, atomically-published table version
+    * and a downstream batch reader sees exactly the rows of batches
+    * 0..k through the metadata chain — never a half-written directory
+    * ([[graft.ops.IcebergOps]] publishes version-hint last). Snapshot
+    * ids are the engine's own consecutive counter, not the micro-batch
+    * id (empty batches must not burn a snapshot).
+    *
+    * Scale shape: the commit path is O(live files) of driver-side
+    * metadata per batch; the data write is the normal partitioned
+    * parquet write. Restart discipline: this is the fixture-scale seam
+    * (like deltaCommit); a production restart would re-derive
+    * `nextSnapshot` from version-hint.
+    */
+  def icebergIngest[T](rows: org.apache.spark.sql.Dataset[T],
+      tableDir: String,
+      nextSnapshot: java.util.concurrent.atomic.AtomicLong)
+      : org.apache.spark.sql.streaming.DataStreamWriter[T] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[T], _: Long) =>
+        if (!batch.isEmpty) {
+          val sid = nextSnapshot.get()
+          val rel = s"data/snap-$sid"
+          batch.toDF().write.mode("overwrite")
+            .parquet(new java.io.File(tableDir, rel).getAbsolutePath)
+          graft.ops.IcebergOps.icebergCommit(tableDir, sid, Seq(rel))
+          nextSnapshot.incrementAndGet()
+          ()
+        }
+      }
+
   // ---- streaming NEAR-dup (MinHash/LSH band registry) ----
 
   final case class BandRow(docId: Long, ts: java.sql.Timestamp,

@@ -624,6 +624,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming iceberg ingest: one snapshot per batch, time-travelable, batch parity") {
+    implicit val s = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("iceberg_ing_")
+      .toString
+    val input = MemoryStream[(Long, String)]
+    val next = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingPipeline.icebergIngest(
+      input.toDS().toDF("id", "v").as[(Long, String)], dir, next).start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData() // an empty batch must NOT burn a snapshot
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(next.get() == 2)
+      // snapshot 0 = batch 1; snapshot 1 = batches 1+2 (append history)
+      assert(graft.ops.IcebergOps.readIcebergSnapshot(spark, dir, 0)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+      assert(graft.ops.IcebergOps.readIcebergSnapshot(spark, dir, 1)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      // the manifest chain carries both data directories at snapshot 1
+      assert(graft.ops.IcebergOps.icebergFiles(spark, dir, 1).toSet ==
+        Set("data/snap-0", "data/snap-1"))
+    } finally q.stop()
+  }
+
   test("streaming SCD2 backfill: foreachBatch increments equal the batch fold") {
     implicit val s = spark
     import spark.implicits._

@@ -224,6 +224,43 @@ class MpegMetaSpec extends AnyFunSuite {
     assert(MpegMeta.id3v1Tags(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("id3: seeded mutation fuzz — tag list or null, never a crash") {
+    val rnd = new scala.util.Random(4242)
+    val bases = Seq(
+      tag(3, 0, fr3("TIT2", 0.toByte +: "Song".getBytes("ISO-8859-1")) ++
+        fr3("TPE1", Array[Byte](1, 0xff.toByte, 0xfe.toByte) ++
+          "Aé".getBytes("UTF-16LE"))),
+      tag(4, 0, fr4("TALB", 3.toByte +: "Al ☃".getBytes("UTF-8"))),
+      tag(2, 0, fr2("TT2", 0.toByte +: "Old".getBytes("ISO-8859-1"))))
+    var i = 0
+    while (i < 3000) {
+      val b = bases(i % bases.length).clone()
+      var k = 0
+      val flips = 1 + rnd.nextInt(3)
+      while (k < flips) {
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        k += 1
+      }
+      MpegMeta.id3Tags(b) // null or rows — must not throw
+      MpegMeta.id3v1Tags(b)
+      i += 1
+    }
+    // random garbage behind a plausible header prefix
+    i = 0
+    while (i < 1000) {
+      val b = new Array[Byte](10 + rnd.nextInt(200))
+      rnd.nextBytes(b)
+      b(0) = 'I'; b(1) = 'D'; b(2) = '3'
+      MpegMeta.id3Tags(b)
+      val t = new Array[Byte](128 + rnd.nextInt(64))
+      rnd.nextBytes(t)
+      t(t.length - 128) = 'T'; t(t.length - 127) = 'A'; t(t.length - 126) = 'G'
+      val r = MpegMeta.id3v1Tags(t)
+      assert(r != null) // fixed block: always decodes (fields are bytes)
+      i += 1
+    }
+  }
+
   test("id3: refusal matrix — truncation, unsync flag, bad encoding, junk id") {
     val f = fr3("TIT2", 0.toByte +: "x".getBytes("ISO-8859-1"))
     // frame size past the tag end

@@ -130,6 +130,34 @@ class AvroOcfSpec extends AnyFunSuite {
       gdf.getLong(2) == 7L)
   }
 
+  test("nested records: seeded mutation fuzz — rows or null, never a crash") {
+    val nested = StructType(Seq(
+      StructField("status", IntegerType),
+      StructField("data_file", StructType(Seq(
+        StructField("file_path", StringType),
+        StructField("partition", StructType(Nil)),
+        StructField("record_count", LongType))))))
+    val base = AvroOcf.file(new GenericArrayData(Array[Any](
+      new GenericInternalRow(Array[Any](1,
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString("data/p0"),
+          new GenericInternalRow(Array.empty[Any]), 42L)))))),
+      nested, "null")
+    val rnd = new scala.util.Random(99)
+    var i = 0
+    while (i < 3000) {
+      val b = base.clone()
+      var k = 0
+      val flips = 1 + rnd.nextInt(3)
+      while (k < flips) {
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        k += 1
+      }
+      AvroOcf.rows(b, nested) // rows or null — never a throw
+      i += 1
+    }
+  }
+
   test("round trip through our own pair, empty file, bytes/int fields") {
     val blob = ours(Seq(row(7L, "", ok = false, 0.0)), "null")
     val got = AvroOcf.rows(blob, schema)

@@ -169,6 +169,34 @@ class IcebergOpsSpec extends SparkSuite {
     assert(e2.getMessage.contains("bucket[16]"))
   }
 
+  test("iceberg: seeded manifest mutation fuzz — resolve or refuse loudly, never crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_icebergf_")
+      .toString
+    IcebergOps.icebergCommit(dir, 0, Seq("data/p0", "data/p1"))
+    val mFile = new java.io.File(dir, "metadata/m-0.avro")
+    val whole = java.nio.file.Files.readAllBytes(mFile.toPath)
+    val rnd = new scala.util.Random(123)
+    var i = 0
+    while (i < 400) {
+      val b = whole.clone()
+      var k = 0
+      val flips = 1 + rnd.nextInt(3)
+      while (k < flips) {
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        k += 1
+      }
+      java.nio.file.Files.write(mFile.toPath, b)
+      // either resolves (the flip hit a benign byte) or refuses with the
+      // named IllegalArgumentException — never an index/NPE escape
+      try IcebergOps.icebergFiles(spark, dir, 0)
+      catch { case _: IllegalArgumentException => () }
+      i += 1
+    }
+    java.nio.file.Files.write(mFile.toPath, whole)
+    assert(IcebergOps.icebergFiles(spark, dir, 0).toSet ==
+      Set("data/p0", "data/p1"))
+  }
+
   test("iceberg: version-hint fallback scans vN.metadata.json") {
     val dir = java.nio.file.Files.createTempDirectory("graft_icebergh_")
       .toString

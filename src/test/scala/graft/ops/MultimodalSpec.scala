@@ -479,6 +479,35 @@ class MultimodalSpec extends SparkSuite {
     assert(t("<svg><text>kept?</text><!-- open") == null)
   }
 
+  test("svg: seeded mutation fuzz — header and text walks never crash") {
+    val rnd = new scala.util.Random(777)
+    val base = ("<?xml version=\"1.0\"?><!-- c --><svg width=\"12px\" " +
+      "height='7' viewBox=\"0 0 3 4\"><defs><text>h</text></defs>" +
+      "<text><tspan>a&amp;b</tspan></text></svg>").getBytes("UTF-8")
+    var i = 0
+    while (i < 3000) {
+      val b = base.clone()
+      var k = 0
+      val flips = 1 + rnd.nextInt(4)
+      while (k < flips) {
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        k += 1
+      }
+      graft.functions.ImageHeader.parse(b) // row or null, never a throw
+      graft.functions.SvgText.extract(b)
+      i += 1
+    }
+    i = 0
+    while (i < 500) { // pure garbage behind a '<svg' prefix
+      val b = new Array[Byte](4 + rnd.nextInt(300))
+      rnd.nextBytes(b)
+      b(0) = '<'; b(1) = 's'; b(2) = 'v'; b(3) = 'g'
+      graft.functions.ImageHeader.parse(b)
+      graft.functions.SvgText.extract(b)
+      i += 1
+    }
+  }
+
   test("svg refusals: units, short viewBox, svgFoo, zero dims, not xml") {
     def svg(s: String) =
       graft.functions.ImageHeader.parse(s.getBytes("UTF-8"))

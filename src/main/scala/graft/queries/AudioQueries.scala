@@ -644,6 +644,54 @@ object AudioQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // TAGGED MP3, END TO END — one blob carrying all three layers a
+    // real MP3 does: an ID3v2 container up front (both tag generations
+    // cycled), three MPEG-1 Layer I frames (the generator-pinned
+    // header FFFF3A00: 32 kHz / 96 kbps / stereo / padded → 148-byte
+    // frames, 36 ms total), and a trailing ID3v1.1 block. Three
+    // readers over the SAME bytes certify they compose: id3_tags
+    // reads the front, audio_mpeg_meta steps over BOTH tags to walk
+    // the frames, id3v1_tags reads the tail. The torn branch (%9=0,
+    // frame bytes cut mid-frame, no tail) shows the honest partial
+    // shape: the front tag still parses while the frame walk and the
+    // tail refuse.
+    "mm_audio_mp3_tagged_e2e" -> ((s, dir) => {
+      graft.functions.MpegMeta.register(s)
+      val v2c0 = id3Hex(3, Seq(("TIT2", 0, "Front zero"),
+        ("TLAN", 0, "eng")))
+      val v2c1 = id3Hex(4, Seq(("TIT2", 3, "Front ☃ one"),
+        ("TCON", 2, "field")))
+      val framesHex = "repeat(concat('FFFF3A00', repeat('00', 144)), 3)"
+      def pad(sql: String, len: Int): String =
+        s"rpad(substr($sql, 1, $len), $len, chr(0))"
+      def hx(sql: String): String = s"hex(encode($sql, 'ISO-8859-1'))"
+      val v1Hex = s"""concat('544147',
+        |${hx(pad("concat('Tail ', cast(doc_id % 50 as string))", 30))},
+        |${hx(pad("'AA'", 30))}, ${hx(pad("'BB'", 30))}, ${hx("'2010'")},
+        |${hx(pad("'c'", 28))}, '00',
+        |lpad(hex(cast(doc_id % 30 + 1 as int)), 2, '0'), '11')""".stripMargin
+      val v2Hex = s"CASE WHEN doc_id % 2 = 0 THEN '$v2c0' ELSE '$v2c1' END"
+      val blobHex =
+        s"""CASE WHEN doc_id % 9 = 0
+           |THEN concat($v2Hex, substr($framesHex, 1, 200))
+           |ELSE concat($v2Hex, $framesHex, $v1Hex) END""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("blob", expr(s"unhex($blobHex)"))
+        .selectExpr("doc_id", "audio_mpeg_meta(blob) AS m",
+          "id3_tags(blob) AS t2", "id3v1_tags(blob) AS t1")
+        .select(col("doc_id"),
+          col("m").isNotNull.as("ok_meta"),
+          col("m.version").as("version"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.n_frames").as("n_frames"),
+          col("m.duration_ms").as("duration_ms"),
+          expr("filter(t2.tags, x -> x.key = 'TIT2')[0].value")
+            .as("v2_title"),
+          col("t1.title").as("v1_title"),
+          col("t1.track").as("v1_track"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_audio_meta" -> ((s, dir) => {
       graft.functions.AudioHeader.register(s)
       val chSql = "(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)"
@@ -1361,6 +1409,27 @@ object AudioQueries extends QueryPack {
         |    WHEN c = 1 THEN -1 ELSE 7 END AS INT) AS track,
         |  CAST(CASE WHEN refused THEN NULL
         |    ELSE doc_id % 80 END AS INT) AS genre_id
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // three layers replayed closed-form: pinned frame constants from the
+    // generator header, tag digests, and the torn branch's partial shape
+    "mm_audio_mp3_tagged_e2e" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 2 AS INT) AS c,
+        |    doc_id % 9 = 0 AS torn FROM documents)
+        |SELECT doc_id,
+        |  NOT torn AS ok_meta,
+        |  CASE WHEN torn THEN NULL ELSE '1' END AS version,
+        |  CAST(CASE WHEN torn THEN NULL ELSE 32000 END AS INT)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN torn THEN NULL ELSE 3 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN torn THEN NULL ELSE 36 END AS BIGINT)
+        |    AS duration_ms,
+        |  CASE WHEN c = 0 THEN 'Front zero' ELSE 'Front ☃ one' END
+        |    AS v2_title,
+        |  CASE WHEN torn THEN NULL
+        |    ELSE 'Tail ' || CAST(doc_id % 50 AS VARCHAR) END AS v1_title,
+        |  CAST(CASE WHEN torn THEN NULL
+        |    ELSE doc_id % 30 + 1 END AS INT) AS v1_track
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "mm_audio_meta" ->

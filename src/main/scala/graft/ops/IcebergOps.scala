@@ -359,6 +359,24 @@ object IcebergOps {
       resolve(tableDir, p).getAbsolutePath): _*)
   }
 
+  /** METADATA-ONLY migration of a Delta snapshot into a fresh Iceberg
+    * chain — how real lakehouse migrations work (Iceberg's own
+    * `snapshot` mode): the Delta log resolves version `deltaVersion`'s
+    * live file set, and snapshot 0 of the new Iceberg table points at
+    * THOSE SAME parquet files by absolute path — zero bytes of data
+    * copied or rewritten, so a 100 TB table migrates in O(files) of
+    * metadata. The source `_delta_log` stays untouched; both tables
+    * read the same files afterwards.
+    */
+  def importDelta(spark: org.apache.spark.sql.SparkSession,
+      deltaDir: String, icebergDir: String, deltaVersion: Long): Unit = {
+    val files = SnapshotOps.deltaFiles(spark, deltaDir, deltaVersion)
+    require(files.nonEmpty,
+      s"delta version $deltaVersion of $deltaDir has no files")
+    icebergCommit(icebergDir, 0, files.map(p =>
+      new java.io.File(deltaDir, p).getAbsolutePath))
+  }
+
   /** MANIFEST-LEVEL PARTITION PRUNING: resolve the snapshot, keep only
     * the entries whose partition tuple matches every (column → value)
     * in `partFilter`, and plan the parquet read over THAT file list —

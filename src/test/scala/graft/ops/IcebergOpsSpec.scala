@@ -197,6 +197,32 @@ class IcebergOpsSpec extends SparkSuite {
       Set("data/p0", "data/p1"))
   }
 
+  test("iceberg: metadata-only delta migration reads the same files, zero copies") {
+    import org.apache.spark.sql.functions.col
+    val dDir = java.nio.file.Files.createTempDirectory("graft_d2i_d_")
+      .toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dDir/data/u0")
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$dDir/data/u1")
+    SnapshotOps.deltaCommit(dDir, 0, Seq("data/u0", "data/u1"))
+    SnapshotOps.deltaCommit(dDir, 1, adds = Nil, removes = Seq("data/u1"))
+    val iDir = java.nio.file.Files.createTempDirectory("graft_d2i_i_")
+      .toString
+    IcebergOps.importDelta(spark, dDir, iDir, 1)
+    val ice = IcebergOps.readIcebergSnapshot(spark, iDir, 0)
+    val del = SnapshotOps.readDeltaVersion(spark, dDir, 1)
+    assert(ice.select("id").as[Long].collect().sorted.toSeq ==
+      del.select("id").as[Long].collect().sorted.toSeq)
+    // the SAME physical files — no data was copied into the iceberg dir
+    assert(ice.inputFiles.toSet == del.inputFiles.toSet)
+    assert(!new java.io.File(iDir, "data").exists())
+    // the migrated chain keeps appending independently of the delta log
+    Seq((9L, "z")).toDF("id", "v").write.parquet(s"$iDir/data/n0")
+    IcebergOps.icebergCommit(iDir, 1, Seq("data/n0"))
+    assert(IcebergOps.readIcebergSnapshot(spark, iDir, 1)
+      .agg(org.apache.spark.sql.functions.sum(col("id"))).head.getLong(0)
+      == 1L + 2L + 9L)
+  }
+
   test("iceberg: version-hint fallback scans vN.metadata.json") {
     val dir = java.nio.file.Files.createTempDirectory("graft_icebergh_")
       .toString

@@ -152,6 +152,10 @@ object IcebergOps {
       "iceberg add of an already-live path")
     val entries = carried.map(e => (0, e._1, e._2)) ++
       adds.map(a => (1, a._1, a._2))
+    // Build EVERY artifact before touching disk: a divergent re-commit
+    // must refuse (below) without having overwritten the published
+    // manifest/list files of the existing snapshot — the same
+    // nothing-half-committed discipline as deltaCommit.
     val manifestRel = s"metadata/m-$snapshotId.avro"
     val manifestBytes = AvroOcf.file(
       utf8Rows(entrySchema, entries.map { case (status, p, pv) =>
@@ -161,14 +165,12 @@ object IcebergOps {
             pv.map(v => UTF8String.fromString(v): Any).toArray),
           0L, 0L)))
       }), entrySchema, "null")
-    writeFile(new java.io.File(tableDir, manifestRel), manifestBytes)
     val listRel = s"metadata/snap-$snapshotId.avro"
     val listBytes = AvroOcf.file(
       utf8Rows(manifestFileSchema, Seq(Seq(
         UTF8String.fromString(manifestRel),
         manifestBytes.length.toLong, 0, snapshotId))),
       manifestFileSchema, "null")
-    writeFile(new java.io.File(tableDir, listRel), listBytes)
     val root = m.createObjectNode()
     root.put("format-version", 1)
     root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
@@ -206,11 +208,23 @@ object IcebergOps {
     }
     val vFile = new java.io.File(md, s"v${snapshotId + 1}.metadata.json")
     if (vFile.exists()) {
+      // idempotent re-commit: the identity checks run BEFORE any write,
+      // so a divergent retry leaves the published chain byte-identical.
+      // The metadata json alone can't see the file set — the MANIFEST
+      // bytes are the divergence detector for a changed add list.
       val prior = new String(
         java.nio.file.Files.readAllBytes(vFile.toPath), "UTF-8")
       require(prior == m.writeValueAsString(root),
         s"iceberg metadata v${snapshotId + 1} exists with different content")
-    } else writeFile(vFile, m.writeValueAsBytes(root))
+      val priorManifest = java.nio.file.Files.readAllBytes(
+        new java.io.File(tableDir, manifestRel).toPath)
+      require(java.util.Arrays.equals(priorManifest, manifestBytes),
+        s"iceberg snapshot $snapshotId exists with different file actions")
+    } else {
+      writeFile(new java.io.File(tableDir, manifestRel), manifestBytes)
+      writeFile(new java.io.File(tableDir, listRel), listBytes)
+      writeFile(vFile, m.writeValueAsBytes(root))
+    }
     writeFile(new java.io.File(md, "version-hint.text"),
       String.valueOf(snapshotId + 1).getBytes("UTF-8"))
   }

@@ -36,10 +36,23 @@ class IcebergOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       IcebergOps.icebergFiles(spark, dir, 9)
     }
-    // a divergent re-commit refuses; an identical one is idempotent
+    // a divergent re-commit refuses; an identical one is idempotent —
+    // and the refusal must leave the PUBLISHED chain byte-identical
+    // (validate-before-write: no half-overwritten manifest)
+    val m2 = new java.io.File(dir, "metadata/m-2.avro").toPath
+    val s2 = new java.io.File(dir, "metadata/snap-2.avro").toPath
+    val m2Before = java.nio.file.Files.readAllBytes(m2)
+    val s2Before = java.nio.file.Files.readAllBytes(s2)
     intercept[IllegalArgumentException] {
       IcebergOps.icebergCommit(dir, 2, Seq("data/u0"))
     }
+    intercept[IllegalArgumentException] {
+      IcebergOps.icebergCommit(dir, 2, Seq("data/u9")) // fresh path, still divergent
+    }
+    assert(java.util.Arrays.equals(m2Before,
+      java.nio.file.Files.readAllBytes(m2)))
+    assert(java.util.Arrays.equals(s2Before,
+      java.nio.file.Files.readAllBytes(s2)))
     IcebergOps.icebergCommit(dir, 2, Seq("data/u1"))
     // non-consecutive snapshot refuses
     intercept[IllegalArgumentException] {

@@ -373,6 +373,45 @@ object IcebergOps {
       resolve(tableDir, p).getAbsolutePath): _*)
   }
 
+  /** ORPHAN-FILE audit — the vacuum precursor: data directories under
+    * the table root that NO retained snapshot references. The live set
+    * is the union over EVERY snapshot in the current metadata json
+    * (time travel keeps a file removed at v1 reachable through
+    * snapshot 0 — deleting it would corrupt history, so it is NOT an
+    * orphan until its snapshots expire). Driver-side O(snapshots ×
+    * manifest rows) metadata plus one directory listing — never a
+    * recursive data scan; at 100 TB the listing is the storage
+    * inventory feed, the decision stays metadata-sized.
+    */
+  def orphanFiles(tableDir: String): Seq[String] = {
+    val md = metadataDir(tableDir)
+    require(md.isDirectory, s"no iceberg metadata dir at $tableDir")
+    val m = mapper
+    val hintFile = new java.io.File(md, "version-hint.text")
+    require(hintFile.exists(), s"no version-hint.text under $md")
+    val version = new String(
+      java.nio.file.Files.readAllBytes(hintFile.toPath), "UTF-8").trim.toLong
+    val root = m.readTree(java.nio.file.Files.readAllBytes(
+      new java.io.File(md, s"v$version.metadata.json").toPath))
+    require(root.get("format-version").asInt() == 1,
+      "iceberg format-version unsupported (reader is v1)")
+    val partCols = specColsOf(root)
+    val referenced = scala.collection.mutable.HashSet.empty[String]
+    val snaps = root.get("snapshots").elements()
+    while (snaps.hasNext) {
+      val sn = snaps.next()
+      foldManifestList(tableDir, sn.get("manifest-list").asText(),
+        partCols, pinLengths = false).foreach { case (p, _) =>
+        referenced += resolve(tableDir, p).getCanonicalPath
+      }
+    }
+    val dataDir = new java.io.File(tableDir, "data")
+    if (!dataDir.isDirectory) return Nil
+    Option(dataDir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => !referenced.contains(f.getCanonicalPath))
+      .map(f => "data/" + f.getName).sorted
+  }
+
   /** METADATA-ONLY migration of a Delta snapshot into a fresh Iceberg
     * chain — how real lakehouse migrations work (Iceberg's own
     * `snapshot` mode): the Delta log resolves version `deltaVersion`'s

@@ -236,6 +236,24 @@ class IcebergOpsSpec extends SparkSuite {
       == 1L + 2L + 9L)
   }
 
+  test("iceberg: orphan audit — removed-but-time-travelable files are NOT orphans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_icebergo_")
+      .toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/data/u0")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$dir/data/u1")
+    Seq((3L, "z")).toDF("id", "v").write.parquet(s"$dir/data/zombie")
+    IcebergOps.icebergCommit(dir, 0, Seq("data/u0", "data/u1"))
+    IcebergOps.icebergCommit(dir, 1, adds = Nil, removes = Seq("data/u1"))
+    // u1 is removed at snapshot 1 but reachable via snapshot 0 → kept;
+    // zombie was never committed → the one orphan
+    assert(IcebergOps.orphanFiles(dir) == Seq("data/zombie"))
+    // a table whose every directory is referenced audits clean
+    java.nio.file.Files.walk(new java.io.File(dir, "data/zombie").toPath)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    assert(IcebergOps.orphanFiles(dir).isEmpty)
+  }
+
   test("iceberg: version-hint fallback scans vN.metadata.json") {
     val dir = java.nio.file.Files.createTempDirectory("graft_icebergh_")
       .toString

@@ -93,11 +93,16 @@ object AvroOcf {
   }
   @inline private def fail(): Nothing = throw Corrupt
 
-  /** Parsed field type: a primitive name, or a nested record. */
+  /** Parsed field type: a primitive name, a nested record, or — for
+    * the RESOLVED reader path only — a union, array, or map. */
   private[functions] sealed trait FType
   private[functions] final case class FPrim(t: String) extends FType
   private[functions] final case class FRec(fields: Seq[(String, FType)])
     extends FType
+  private[functions] final case class FUnion(branches: Seq[FType])
+    extends FType
+  private[functions] final case class FArr(items: FType) extends FType
+  private[functions] final case class FMap(values: FType) extends FType
 
   /** Ordered (name, type) pairs from an avro.schema JSON — tolerant of
     * attribute order, whitespace, namespaces, the `{"type":"string"}`
@@ -105,7 +110,16 @@ object AvroOcf {
     * files written by the Java library parse too. Throws Corrupt
     * outside the subset (unions, maps, arrays, enums, fixed).
     */
-  private[functions] def parseFields(json: String): Seq[(String, FType)] = {
+  private[functions] def parseFields(json: String): Seq[(String, FType)] =
+    parseFields(json, 0)
+
+  /** Nesting ceiling for untrusted schema JSON: recursion past it fails
+    * (Corrupt) instead of a StackOverflowError the reader's catch would
+    * not contain. 32 covers any real manifest; crafted headers refuse. */
+  private val MaxSchemaDepth = 32
+
+  private def parseFields(json: String, depth: Int): Seq[(String, FType)] = {
+    if (depth > MaxSchemaDepth) fail()
     val fi = json.indexOf("\"fields\"")
     if (fi < 0) fail()
     var i = json.indexOf('[', fi)
@@ -180,8 +194,9 @@ object AvroOcf {
               val inner = json.substring(start, i)
               val m = "\"type\"\\s*:\\s*\"([a-z]+)\"".r
                 .findFirstMatchIn(inner).getOrElse(fail())
-              tpe = if (m.group(1) == "record") FRec(parseFields(inner))
-                else FPrim(m.group(1))
+              tpe = if (m.group(1) == "record")
+                FRec(parseFields(inner, depth + 1))
+              else FPrim(m.group(1))
             } else fail() // unions etc. are outside the subset
           case _ => skipValue()
         }
@@ -326,36 +341,84 @@ object AvroOcf {
 
   // ---- reader ---------------------------------------------------------
 
+  /** Header + block walk shared by both readers: validates magic,
+    * collects the metadata map, checks the codec, then yields each
+    * block's (record count, DECOMPRESSED payload). Throws Corrupt on
+    * any framing refusal.
+    */
+  private def containerBlocks(buf: Array[Byte])
+      : (String, Seq[(Long, Array[Byte])]) = {
+    if (buf == null || buf.length < 20) fail()
+    var i = 0
+    while (i < 4) { if (buf(i) != Magic(i)) fail(); i += 1 }
+    val rd = new Reader(buf)
+    rd.p = 4
+    var schemaJsonStr: String = null
+    var codec = "null"
+    var blockCount = rd.readLong()
+    while (blockCount != 0L) {
+      val pairs = math.abs(blockCount)
+      if (pairs > 1000L || pairs < 0L) fail() // Long.MinValue guard too
+      if (blockCount < 0) rd.readLong() // byte size of block, unused
+      var k = 0L
+      while (k < pairs) {
+        val key = new String(rd.bytes(rd.readLong()), UTF_8)
+        val v = rd.bytes(rd.readLong())
+        key match {
+          case "avro.schema" => schemaJsonStr = new String(v, UTF_8)
+          case "avro.codec" => codec = new String(v, UTF_8)
+          case _ => ()
+        }
+        k += 1
+      }
+      blockCount = rd.readLong()
+    }
+    if (schemaJsonStr == null) fail()
+    if (codec != "null" && codec != "deflate") fail()
+    // the header sync may be ANY 16 bytes (the Java library draws a
+    // random one); block syncs must match it exactly
+    val sync = rd.bytes(16L)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+    var total = 0L
+    while (rd.p < buf.length) {
+      val count = rd.readLong()
+      if (count < 0 || count > MaxRecords) fail()
+      total += count
+      if (total > MaxRecords) fail()
+      val size = rd.readLong()
+      val block = rd.bytes(size)
+      val data =
+        if (codec == "deflate") {
+          // Inflater.inflate throws DataFormatException on malformed
+          // deflate bytes — that is a refusal, not a crash, and the
+          // native Inflater must be released either way.
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(block)
+            val o = new java.io.ByteArrayOutputStream
+            val tmp = new Array[Byte](8192)
+            while (!inf.finished()) {
+              val got =
+                try inf.inflate(tmp)
+                catch { case _: java.util.zip.DataFormatException => fail() }
+              if (got == 0 && !inf.finished()) fail()
+              o.write(tmp, 0, got)
+              if (o.size() > MaxBytes) fail()
+            }
+            o.toByteArray
+          } finally inf.end()
+        } else block
+      val blockSync = rd.bytes(16L)
+      if (!java.util.Arrays.equals(blockSync, sync)) fail()
+      out += ((count, data))
+    }
+    (schemaJsonStr, out.toSeq)
+  }
+
   /** All records, or null on any refusal. */
   def rows(buf: Array[Byte], schema: StructType): GenericArrayData =
     try {
-      if (buf == null || buf.length < 20) fail()
-      var i = 0
-      while (i < 4) { if (buf(i) != Magic(i)) fail(); i += 1 }
-      val rd = new Reader(buf)
-      rd.p = 4
-      var schemaJsonStr: String = null
-      var codec = "null"
-      var blockCount = rd.readLong()
-      while (blockCount != 0L) {
-        val pairs = math.abs(blockCount)
-        if (pairs > 1000L || pairs < 0L) fail() // Long.MinValue guard too
-        if (blockCount < 0) rd.readLong() // byte size of block, unused
-        var k = 0L
-        while (k < pairs) {
-          val key = new String(rd.bytes(rd.readLong()), UTF_8)
-          val v = rd.bytes(rd.readLong())
-          key match {
-            case "avro.schema" => schemaJsonStr = new String(v, UTF_8)
-            case "avro.codec" => codec = new String(v, UTF_8)
-            case _ => ()
-          }
-          k += 1
-        }
-        blockCount = rd.readLong()
-      }
-      if (schemaJsonStr == null) fail()
-      if (codec != "null" && codec != "deflate") fail()
+      val (schemaJsonStr, blocks) = containerBlocks(buf)
       def matches(fields: Seq[(String, FType)], st: StructType): Boolean =
         fields.length == st.length && fields.zip(st.fields).forall {
           case ((n, FPrim(t)), sf) =>
@@ -365,40 +428,11 @@ object AvroOcf {
             case nested: StructType => n == sf.name && matches(sub, nested)
             case _ => false
           }
+          case _ => false // unions/arrays/maps: outside the strict subset
         }
       if (!matches(parseFields(schemaJsonStr), schema)) fail()
-      // the header sync may be ANY 16 bytes (the Java library draws a
-      // random one); block syncs must match it exactly
-      val sync = rd.bytes(16L)
       val recs = scala.collection.mutable.ArrayBuffer[Any]()
-      while (rd.p < buf.length) {
-        val count = rd.readLong()
-        if (count < 0 || count > MaxRecords) fail()
-        val size = rd.readLong()
-        val block = rd.bytes(size)
-        val data =
-          if (codec == "deflate") {
-            // Inflater.inflate throws DataFormatException on malformed
-            // deflate bytes — that is a refusal, not a crash, and the
-            // native Inflater must be released either way.
-            val inf = new java.util.zip.Inflater(true)
-            try {
-              inf.setInput(block)
-              val out = new java.io.ByteArrayOutputStream
-              val tmp = new Array[Byte](8192)
-              while (!inf.finished()) {
-                val got =
-                  try inf.inflate(tmp)
-                  catch { case _: java.util.zip.DataFormatException => fail() }
-                if (got == 0 && !inf.finished()) fail()
-                out.write(tmp, 0, got)
-                if (out.size() > MaxBytes) fail()
-              }
-              out.toByteArray
-            } finally inf.end()
-          } else block
-        val blockSync = rd.bytes(16L)
-        if (!java.util.Arrays.equals(blockSync, sync)) fail()
+      blocks.foreach { case (count, data) =>
         val br = new Reader(data)
         def readRecord(st: StructType): GenericInternalRow = {
           val vals = new Array[Any](st.length)
@@ -439,6 +473,252 @@ object AvroOcf {
       }
       new GenericArrayData(recs.toArray)
     } catch { case Corrupt => null }
+
+  // ---- resolved reader (library-written files) ------------------------
+
+  /** The FULL writer-schema parse for the resolved reader: unions,
+    * arrays, maps, nested records, all eight primitives — the shapes
+    * real Avro writers (the Java library, Iceberg's manifest layer)
+    * emit. Jackson-parsed (attribute order in the wild is arbitrary —
+    * the Java library puts `fields` before `type` in some layouts, so
+    * positional scanning misparses), depth-capped against crafted
+    * headers. Enums/fixed/named-type references stay outside the
+    * subset and fail loudly.
+    */
+  private val PrimNames = Set("null", "boolean", "int", "long", "float",
+    "double", "bytes", "string")
+
+  private def parseTypeNode(n: com.fasterxml.jackson.databind.JsonNode,
+      depth: Int): FType = {
+    if (depth > MaxSchemaDepth) fail()
+    if (n == null) fail()
+    if (n.isTextual) {
+      val t = n.asText()
+      if (!PrimNames.contains(t)) fail() // named-type refs: refuse
+      FPrim(t)
+    } else if (n.isArray) {
+      val bs = scala.collection.mutable.ArrayBuffer[FType]()
+      val it = n.elements()
+      while (it.hasNext) bs += parseTypeNode(it.next(), depth + 1)
+      if (bs.isEmpty) fail()
+      FUnion(bs.toSeq)
+    } else if (n.isObject) {
+      val t = n.get("type")
+      if (t == null || !t.isTextual) fail()
+      t.asText() match {
+        case "record" =>
+          val fs = n.get("fields")
+          if (fs == null || !fs.isArray) fail()
+          val out = scala.collection.mutable.ArrayBuffer[(String, FType)]()
+          val it = fs.elements()
+          while (it.hasNext) {
+            val f = it.next()
+            val nm = f.get("name")
+            if (nm == null || !nm.isTextual) fail()
+            out += ((nm.asText(), parseTypeNode(f.get("type"), depth + 1)))
+          }
+          FRec(out.toSeq)
+        case "array" => FArr(parseTypeNode(n.get("items"), depth + 1))
+        case "map" => FMap(parseTypeNode(n.get("values"), depth + 1))
+        case prim if PrimNames.contains(prim) => FPrim(prim)
+        case _ => fail() // enum / fixed: outside the subset
+      }
+    } else fail()
+  }
+
+  /** Decode one value of writer type `wt` and discard it — how the
+    * resolved reader passes over writer fields the reader schema does
+    * not project (Avro has no random access; skipping IS decoding).
+    */
+  private def skipValue(br: Reader, wt: FType): Unit = wt match {
+    case FPrim("null") => ()
+    case FPrim("boolean") => br.u8(); ()
+    case FPrim("int") | FPrim("long") => br.readLong(); ()
+    case FPrim("float") =>
+      var k = 0; while (k < 4) { br.u8(); k += 1 }
+    case FPrim("double") =>
+      var k = 0; while (k < 8) { br.u8(); k += 1 }
+    case FPrim("string") | FPrim("bytes") => br.bytes(br.readLong()); ()
+    case FPrim(_) => fail()
+    case FRec(fields) => fields.foreach { case (_, ft) => skipValue(br, ft) }
+    case FUnion(branches) =>
+      val idx = br.readLong()
+      if (idx < 0 || idx >= branches.length) fail()
+      skipValue(br, branches(idx.toInt))
+    case FArr(items) => skipBlocked(br, items)
+    case FMap(values) => skipBlocked(br, FPrim("string"), Some(values))
+  }
+
+  /** Walk one blocked array/map encoding discarding items; a negative
+    * count carries the block's byte size, which skips in O(1). */
+  private def skipBlocked(br: Reader, first: FType,
+      second: Option[FType] = None): Unit = {
+    var count = br.readLong()
+    var seen = 0L
+    while (count != 0L) {
+      if (count < 0L) {
+        if (count == Long.MinValue) fail()
+        val size = br.readLong()
+        br.bytes(size) // bounds-checked positional skip
+        seen += -count
+      } else {
+        var k = 0L
+        while (k < count) {
+          skipValue(br, first)
+          second.foreach(skipValue(br, _))
+          k += 1
+        }
+        seen += count
+      }
+      if (seen > MaxRecords) fail()
+      count = br.readLong()
+    }
+  }
+
+  /** Decode one value of writer type `wt` into Catalyst target `dt`.
+    * Union branches resolve through to the non-null branch; an actual
+    * null is legal only when the target field is nullable
+    * (whole-or-refuse: a null landing in a required column is a schema
+    * violation, not a value).
+    */
+  private def readResolved(br: Reader, wt: FType, dt: DataType,
+      nullable: Boolean): Any = wt match {
+    case FPrim("long") if dt == LongType => br.readLong()
+    case FPrim("int") if dt == IntegerType =>
+      val v = br.readLong()
+      if (v < Int.MinValue || v > Int.MaxValue) fail()
+      v.toInt
+    case FPrim("int") if dt == LongType => br.readLong() // widening per spec
+    case FPrim("boolean") if dt == BooleanType => br.u8() match {
+      case 0 => false
+      case 1 => true
+      case _ => fail()
+    }
+    case FPrim("double") if dt == DoubleType =>
+      var bits = 0L
+      var k = 0
+      while (k < 8) { bits |= (br.u8().toLong << (8 * k)); k += 1 }
+      java.lang.Double.longBitsToDouble(bits)
+    case FPrim("float") if dt == FloatType =>
+      var bits = 0
+      var k = 0
+      while (k < 4) { bits |= (br.u8() << (8 * k)); k += 1 }
+      java.lang.Float.intBitsToFloat(bits)
+    case FPrim("string") if dt == StringType =>
+      UTF8String.fromBytes(br.bytes(br.readLong()))
+    case FPrim("bytes") if dt == BinaryType => br.bytes(br.readLong())
+    case FRec(fields) => dt match {
+      case st: StructType =>
+        val pos = st.fieldNames.zipWithIndex.toMap
+        val vals = new Array[Any](st.length)
+        val seen = new Array[Boolean](st.length)
+        fields.foreach { case (fn, ft) =>
+          pos.get(fn) match {
+            case Some(i) =>
+              if (seen(i)) fail() // duplicate writer field
+              vals(i) = readResolved(br, ft, st.fields(i).dataType,
+                st.fields(i).nullable)
+              seen(i) = true
+            case None => skipValue(br, ft) // writer-only field: discard
+          }
+        }
+        var i = 0
+        while (i < seen.length) {
+          if (!seen(i)) fail() // reader field absent from the writer
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      case _ => fail()
+    }
+    case FUnion(branches) =>
+      val idx = br.readLong()
+      if (idx < 0 || idx >= branches.length) fail()
+      branches(idx.toInt) match {
+        case FPrim("null") => if (!nullable) fail(); null
+        case b => readResolved(br, b, dt, nullable)
+      }
+    case FArr(items) => dt match {
+      case ArrayType(et, cn) =>
+        val out = scala.collection.mutable.ArrayBuffer[Any]()
+        var count = br.readLong()
+        while (count != 0L) {
+          if (count < 0L) {
+            if (count == Long.MinValue) fail()
+            br.readLong() // size hint, unused on the decode path
+            count = -count
+          }
+          var k = 0L
+          while (k < count) {
+            out += readResolved(br, items, et, cn)
+            k += 1
+          }
+          if (out.length > MaxRecords) fail()
+          count = br.readLong()
+        }
+        new GenericArrayData(out.toArray)
+      case _ => fail()
+    }
+    case FMap(values) => dt match {
+      case MapType(StringType, vt, vn) =>
+        val ks = scala.collection.mutable.ArrayBuffer[Any]()
+        val vs = scala.collection.mutable.ArrayBuffer[Any]()
+        var count = br.readLong()
+        while (count != 0L) {
+          if (count < 0L) {
+            if (count == Long.MinValue) fail()
+            br.readLong() // size hint, unused on the decode path
+            count = -count
+          }
+          var k = 0L
+          while (k < count) {
+            ks += UTF8String.fromBytes(br.bytes(br.readLong()))
+            vs += readResolved(br, values, vt, vn)
+            k += 1
+          }
+          if (ks.length > MaxRecords) fail()
+          count = br.readLong()
+        }
+        org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          ks.toArray, vs.toArray)
+      case _ => fail()
+    }
+    case _ => fail()
+  }
+
+  /** All records via SCHEMA RESOLUTION — the reader for files this
+    * engine did NOT write: the writer's full schema (unions, arrays,
+    * maps, nested records — the layout real Avro/Iceberg writers emit)
+    * drives the decode, and the Spark `schema` projects fields BY NAME,
+    * discarding writer-only fields and resolving `[null, T]` unions
+    * onto nullable columns. Null on any refusal: a reader field the
+    * writer lacks, a null in a required column, enums/fixed, torn
+    * framing — never a partial decode.
+    */
+  def rowsResolved(buf: Array[Byte], schema: StructType): GenericArrayData =
+    try {
+      val (schemaJsonStr, blocks) = containerBlocks(buf)
+      val wt = parseTypeNode(
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(schemaJsonStr), 0) match {
+        case r: FRec => r
+        case _ => fail() // OCF top level must be a record
+      }
+      val recs = scala.collection.mutable.ArrayBuffer[Any]()
+      blocks.foreach { case (count, data) =>
+        val br = new Reader(data)
+        var r = 0L
+        while (r < count) {
+          recs += readResolved(br, wt, schema, nullable = false)
+          if (recs.length > MaxRecords) fail()
+          r += 1
+        }
+        if (br.p != data.length) fail() // block consumed exactly
+      }
+      new GenericArrayData(recs.toArray)
+    } catch {
+      case Corrupt => null
+      case _: com.fasterxml.jackson.core.JacksonException => null
+    }
 }
 
 /** `avro_file(array<struct>, codec)` → one OCF binary. */

@@ -281,7 +281,9 @@ object ImageHeader {
     if (end < 0) return null
     val tag = s.substring(i, end + 1)
     def attrOf(name: String): Option[String] = {
-      val m = s"(?s)\\b$name\\s*=\\s*(\"([^\"]*)\"|'([^']*)')".r
+      // lookbehind, not \b: \b matches after a hyphen, so `stroke-width`
+      // would satisfy a bare `width` pattern and publish a wrong size
+      val m = s"(?s)(?<![-:\\w])$name\\s*=\\s*(\"([^\"]*)\"|'([^']*)')".r
         .findFirstMatchIn(tag)
       m.map(g => Option(g.group(2)).getOrElse(g.group(3)).trim)
     }

@@ -171,7 +171,16 @@ object MpegMeta {
     * flags, a missing UTF-16 BOM, or a reserved encoding byte — never
     * a partial tag list.
     */
-  def id3Tags(b: Array[Byte]): InternalRow = {
+  def id3Tags(b: Array[Byte]): InternalRow =
+    // belt-and-braces (ArrowIpc posture): residual index arithmetic a
+    // crafted tag slips past the explicit bounds checks nulls the row
+    // instead of crashing the query
+    try id3TagsImpl(b) catch {
+      case _: IndexOutOfBoundsException  => null
+      case _: NegativeArraySizeException => null
+    }
+
+  private def id3TagsImpl(b: Array[Byte]): InternalRow = {
     if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3')
       return null
     @inline def u8(i: Int): Int = b(i) & 0xff
@@ -193,6 +202,9 @@ object MpegMeta {
         val es = (u8(pos) << 24) | (u8(pos + 1) << 16) |
           (u8(pos + 2) << 8) | u8(pos + 3)
         if (es < 0) return null
+        // bounds in Long: es is an untrusted 31-bit value, `pos + 4 + es`
+        // can wrap negative in Int and slip past the `pos > end` guard
+        if (pos.toLong + 4L + es > end) return null
         pos += 4 + es
       } else {
         // v2.4: syncsafe size INCLUDING the size field
@@ -232,7 +244,7 @@ object MpegMeta {
             (u8(pos + 4) << 21) | (u8(pos + 5) << 14) |
               (u8(pos + 6) << 7) | u8(pos + 7)
           }
-        if (fsz < 0 || pos + headLen + fsz > end) return null // truncated
+        if (fsz < 0 || pos.toLong + headLen + fsz > end) return null // truncated (Long: fsz is untrusted 31-bit)
         if (major >= 3) {
           // format flags: compression/encryption/unsync-per-frame refuse
           val f2 = u8(pos + 9)

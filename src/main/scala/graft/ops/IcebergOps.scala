@@ -22,15 +22,18 @@ import graft.functions.AvroOcf
   * (format-version above 1, missing snapshot id, torn manifest bytes)
   * rather than silent partial reads.
   *
-  * Subset honesty: the manifests travel through this repo's from-spec
-  * [[AvroOcf]] decoder, whose schema subset is primitives + nested
-  * records (no unions/maps/arrays). The JSON metadata layer reads any
-  * conformant v1 table; the Avro layer reads chains whose manifests
-  * stay inside that subset — in practice the chains this engine's own
-  * writer emits, which carry the spec's REQUIRED v1 fields (optional
-  * union'd columns omitted, as the spec allows). Library-written
-  * manifests that union-wrap every field refuse loudly instead of
-  * misreading — the MP3/brotli posture, recorded in BASELINE.md.
+  * Interop: the manifests travel through [[AvroOcf.rowsResolved]] —
+  * SCHEMA RESOLUTION against the writer's full Avro schema (unions,
+  * arrays, maps, nested records, arbitrary field order), projecting
+  * only the v1 REQUIRED fields this reader consumes and discarding
+  * writer-only columns (counts, bounds, field summaries). That is the
+  * layout real library writers (Java Iceberg, Trino, Flink) emit:
+  * every optional field union-wrapped `[null, T]`, bounds as
+  * logical-map arrays of key/value records — so library-written v1
+  * manifest chains parse, not just this engine's own (held to file-set
+  * identity against a Java-avro-written chain in IcebergOpsSpec).
+  * Remaining refusals are loud: enums/fixed in a manifest schema, a
+  * required field actually null, torn framing.
   *
   * Scale shape: the metadata walk is driver-side and O(snapshots +
   * manifests) — tiny JSON + Avro files, exactly how Iceberg itself
@@ -225,8 +228,19 @@ object IcebergOps {
       writeFile(new java.io.File(tableDir, listRel), listBytes)
       writeFile(vFile, m.writeValueAsBytes(root))
     }
-    writeFile(new java.io.File(md, "version-hint.text"),
-      String.valueOf(snapshotId + 1).getBytes("UTF-8"))
+    // hint only ever ADVANCES: an idempotent replay of snapshot k after
+    // k+1.. exist must not regress the hint, or icebergEntries would
+    // resolve through the older metadata json and later snapshots would
+    // become unreachable ("not in metadata")
+    val hintFile = new java.io.File(md, "version-hint.text")
+    val priorHint: Long =
+      if (hintFile.exists())
+        new String(java.nio.file.Files.readAllBytes(hintFile.toPath),
+          "UTF-8").trim.toLong
+      else 0L
+    if (snapshotId + 1 > priorHint)
+      writeFile(hintFile,
+        String.valueOf(snapshotId + 1).getBytes("UTF-8"))
   }
 
   /** The default spec's partition columns from a metadata json node —
@@ -319,7 +333,7 @@ object IcebergOps {
     val entrySchema = manifestEntrySchema(partCols)
     val listBytes = java.nio.file.Files.readAllBytes(
       resolve(tableDir, manifestList).toPath)
-    val listRows = AvroOcf.rows(listBytes, manifestFileSchema)
+    val listRows = AvroOcf.rowsResolved(listBytes, manifestFileSchema)
     require(listRows != null,
       s"iceberg manifest list unreadable: $manifestList")
     val out =
@@ -333,7 +347,7 @@ object IcebergOps {
       if (pinLengths)
         require(mf.getLong(1) == mBytes.length,
           s"iceberg manifest length mismatch: $mPath")
-      val entries = AvroOcf.rows(mBytes, entrySchema)
+      val entries = AvroOcf.rowsResolved(mBytes, entrySchema)
       require(entries != null, s"iceberg manifest unreadable: $mPath")
       var j = 0
       while (j < entries.numElements()) {

@@ -194,6 +194,22 @@ class MpegMetaSpec extends AnyFunSuite {
       Seq("TLAN" -> "deu"))
   }
 
+  test("id3: 31-bit sizes that wrap Int arithmetic refuse, never crash") {
+    // v2.3 extended-header size near Int.MaxValue: pos + 4 + es would
+    // wrap negative in Int and slip past `pos > end`; must null
+    val extBomb = be(0x7ffffff0, 4) ++ be(0, 2) ++ be(0, 4)
+    assert(MpegMeta.id3Tags(tag(3, 0x40,
+      extBomb ++ fr3("TIT2", 0.toByte +: "x".getBytes("ISO-8859-1")))) == null)
+    // v2.3 frame size near Int.MaxValue: pos + headLen + fsz wraps
+    val frameBomb = "TIT2".getBytes("ISO-8859-1") ++ be(0x7ffffff8, 4) ++
+      be(0, 2) ++ (0.toByte +: "x".getBytes("ISO-8859-1"))
+    assert(MpegMeta.id3Tags(tag(3, 0, frameBomb)) == null)
+    // v2.2 24-bit frame size overrunning the tag end also refuses
+    val frameBomb2 = "TT2".getBytes("ISO-8859-1") ++ be(0xfffff0, 3) ++
+      (0.toByte +: "x".getBytes("ISO-8859-1"))
+    assert(MpegMeta.id3Tags(tag(2, 0, frameBomb2)) == null)
+  }
+
   test("id3v1: trailing fixed block, v1.1 track carve-out, padding strip") {
     def block(title: String, artist: String, album: String, year: String,
         comment: Array[Byte], genre: Int): Array[Byte] = {

@@ -320,4 +320,164 @@ class AvroOcfSpec extends AnyFunSuite {
           "partition" -> AvroOcf.FRec(Nil),
           "record_count" -> AvroOcf.FPrim("long")))))
   }
+
+  // ---- rowsResolved: schema resolution over library-written files ----
+
+  /** The real-writer layout: unions, arrays, maps, writer-only fields,
+    * arbitrary field order — everything the Java Iceberg/Trino/Flink
+    * manifest layer emits that the strict subset reader refuses. */
+  private val fullWriterSchemaJson =
+    """{"type":"record","name":"r","fields":[
+      |{"name":"junk","type":"string"},
+      |{"name":"id","type":["null","long"]},
+      |{"name":"counts","type":{"type":"array","items":{"type":"record",
+      |  "name":"kv","fields":[{"name":"key","type":"int"},
+      |  {"name":"value","type":"long"}]},"logicalType":"map"}},
+      |{"name":"name","type":"string"},
+      |{"name":"note","type":["null","string"]},
+      |{"name":"stats","type":{"type":"map","values":"long"}},
+      |{"name":"offs","type":["null",{"type":"array","items":"long"}]},
+      |{"name":"score","type":"float"},
+      |{"name":"small","type":"int"}]}""".stripMargin
+
+  private def fullWriterBlob(deflate: Boolean): Array[Byte] = {
+    val js = new org.apache.avro.Schema.Parser().parse(fullWriterSchemaJson)
+    val baos = new java.io.ByteArrayOutputStream
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](js))
+    if (deflate) w.setCodec(CodecFactory.deflateCodec(6))
+    w.create(js, baos)
+    val kvSchema = js.getField("counts").schema().getElementType
+    def kv(k: Int, v: Long) = {
+      val r = new GenericData.Record(kvSchema)
+      r.put("key", k); r.put("value", v); r
+    }
+    def rec(id: java.lang.Long, name: String, note: String,
+        offs: Seq[Long], score: Float, small: Int) = {
+      val r = new GenericData.Record(js)
+      r.put("junk", "discard-me")
+      r.put("id", id)
+      val cs = new java.util.ArrayList[GenericRecord]()
+      cs.add(kv(1, 11L)); cs.add(kv(2, 22L))
+      r.put("counts", cs)
+      r.put("name", name)
+      r.put("note", note)
+      val m = new java.util.LinkedHashMap[String, java.lang.Long]()
+      m.put("a", 5L); m.put("b", 7L)
+      r.put("stats", m)
+      if (offs.nonEmpty) {
+        val l = new java.util.ArrayList[java.lang.Long]()
+        offs.foreach(o => l.add(o))
+        r.put("offs", l)
+      }
+      r.put("score", java.lang.Float.valueOf(score))
+      r.put("small", java.lang.Integer.valueOf(small))
+      r
+    }
+    w.append(rec(9L, "alpha", "hello", Seq(4L, 9L), 2.5f, 3))
+    w.append(rec(null, "beta", null, Nil, -0.5f, -4))
+    w.close()
+    baos.toByteArray
+  }
+
+  private val resolvedReaderSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("id", LongType, nullable = true),
+    StructField("note", StringType, nullable = true),
+    StructField("stats", MapType(StringType, LongType), nullable = false),
+    StructField("offs", ArrayType(LongType), nullable = true),
+    StructField("score", FloatType, nullable = false),
+    StructField("small", LongType, nullable = false))) // int→long widening
+
+  test("rowsResolved: unions/arrays/maps + projection by name, both codecs") {
+    for (deflate <- Seq(false, true)) {
+      val got = AvroOcf.rowsResolved(fullWriterBlob(deflate),
+        resolvedReaderSchema)
+      assert(got != null, s"deflate=$deflate: resolution refused")
+      assert(got.numElements() == 2)
+      val r0 = got.getStruct(0, 7)
+      assert(r0.getUTF8String(0).toString == "alpha")
+      assert(r0.getLong(1) == 9L) // [null,long] non-null branch
+      assert(r0.getUTF8String(2).toString == "hello")
+      val m0 = r0.getMap(3)
+      val mPairs = (0 until m0.numElements()).map(i =>
+        m0.keyArray().getUTF8String(i).toString ->
+          m0.valueArray().getLong(i)).toMap
+      assert(mPairs == Map("a" -> 5L, "b" -> 7L))
+      val offs = r0.getArray(4)
+      assert((0 until offs.numElements()).map(offs.getLong) == Seq(4L, 9L))
+      assert(r0.getFloat(5) == 2.5f)
+      assert(r0.getLong(6) == 3L) // avro int widened to Spark long
+      val r1 = got.getStruct(1, 7)
+      assert(r1.getUTF8String(0).toString == "beta")
+      assert(r1.isNullAt(1) && r1.isNullAt(2)) // null union branches
+      assert(r1.isNullAt(4)) // unset offs → the [null, array] null branch
+      assert(r1.getLong(6) == -4L)
+      // the STRICT reader still refuses the union layout whole
+      assert(AvroOcf.rows(fullWriterBlob(deflate), resolvedReaderSchema)
+        == null)
+    }
+  }
+
+  test("rowsResolved refusal matrix: missing field, null-into-required, enum") {
+    val blob = fullWriterBlob(deflate = false)
+    // a reader field the writer never carried → refuse whole
+    assert(AvroOcf.rowsResolved(blob, StructType(Seq(
+      StructField("name", StringType),
+      StructField("missing_col", LongType)))) == null)
+    // record 2 carries null id: a NON-nullable id column must refuse
+    assert(AvroOcf.rowsResolved(blob, StructType(Seq(
+      StructField("id", LongType, nullable = false)))) == null)
+    // type mismatch (string column asked as long) → refuse
+    assert(AvroOcf.rowsResolved(blob, StructType(Seq(
+      StructField("name", LongType)))) == null)
+    // enum in the writer schema: outside the subset, loud refusal
+    val ejs = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"e","fields":[
+        |{"name":"kind","type":{"type":"enum","name":"k",
+        |"symbols":["A","B"]}}]}""".stripMargin)
+    val baos = new java.io.ByteArrayOutputStream
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](ejs))
+    w.create(ejs, baos)
+    val er = new GenericData.Record(ejs)
+    er.put("kind", new GenericData.EnumSymbol(ejs.getField("kind").schema(), "A"))
+    w.append(er)
+    w.close()
+    assert(AvroOcf.rowsResolved(baos.toByteArray, StructType(Seq(
+      StructField("kind", StringType)))) == null)
+  }
+
+  test("schema depth bomb refuses (both readers), never a stack overflow") {
+    // 40-deep nested record schema in the OCF header: past the 32 cap
+    def nest(d: Int): String =
+      if (d == 0) "\"long\""
+      else s"""{"type":"record","name":"n$d","fields":[
+              |{"name":"f","type":${nest(d - 1)}}]}""".stripMargin
+    val deep = s"""{"type":"record","name":"r","fields":[
+                  |{"name":"f","type":${nest(40)}}]}""".stripMargin
+    // hand-frame a minimal OCF header carrying the bomb schema and one
+    // empty block so both readers reach the schema parse
+    val out = new java.io.ByteArrayOutputStream
+    out.write(AvroOcf.Magic)
+    def vlong(v: Long): Unit = {
+      var n = (v << 1) ^ (v >> 63)
+      while ((n & ~0x7fL) != 0L) { out.write(((n & 0x7f) | 0x80).toInt); n >>>= 7 }
+      out.write(n.toInt)
+    }
+    def metaPair(k: String, v: String): Unit = {
+      vlong(k.getBytes("UTF-8").length.toLong); out.write(k.getBytes("UTF-8"))
+      vlong(v.getBytes("UTF-8").length.toLong); out.write(v.getBytes("UTF-8"))
+    }
+    vlong(2L); metaPair("avro.schema", deep); metaPair("avro.codec", "null")
+    vlong(0L)
+    out.write(AvroOcf.Sync)
+    val blob = out.toByteArray
+    def deepStruct(d: Int): DataType =
+      if (d == 0) LongType
+      else StructType(Seq(StructField("f", deepStruct(d - 1))))
+    val target = StructType(Seq(StructField("f", deepStruct(40))))
+    assert(AvroOcf.rows(blob, target) == null)
+    assert(AvroOcf.rowsResolved(blob, target) == null)
+  }
 }

@@ -265,4 +265,58 @@ class IcebergOpsSpec extends SparkSuite {
       Set("data/p0", "data/p1"))
     assert(IcebergOps.icebergFiles(spark, dir, 0) == Seq("data/p0"))
   }
+
+  test("iceberg: an idempotent replay never regresses the version hint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceberghr_")
+      .toString
+    IcebergOps.icebergCommit(dir, 0, Seq("data/p0"))
+    IcebergOps.icebergCommit(dir, 1, Seq("data/p1"))
+    IcebergOps.icebergCommit(dir, 2, Seq("data/p2"))
+    // replay snapshot 0 byte-identically: legal (idempotent), but the
+    // hint must stay at 3 — a regressed hint would resolve through
+    // v1.metadata.json and make snapshots 1..2 unreachable
+    IcebergOps.icebergCommit(dir, 0, Seq("data/p0"))
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "metadata/version-hint.text").toPath),
+      "UTF-8").trim
+    assert(hint == "3")
+    assert(IcebergOps.icebergFiles(spark, dir, 2).toSet ==
+      Set("data/p0", "data/p1", "data/p2"))
+  }
+
+  test("iceberg interop: a library-written chain reads identically to ours") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceinterop_")
+      .toString
+    // four tiny parquet buckets shared by BOTH chains
+    (0 to 3).foreach { b =>
+      Seq((b.toLong, s"v$b")).toDF("id", "v")
+        .write.parquet(s"$dir/data/b$b")
+    }
+    val abs = (0 to 3).map(b =>
+      new java.io.File(s"$dir/data/b$b").getAbsolutePath)
+    // self-written chain, same 3-snapshot history as the fixture
+    val ours = s"$dir/ours"
+    IcebergOps.icebergCommit(ours, 0, Seq(abs(0), abs(1)))
+    IcebergOps.icebergCommit(ours, 1, adds = Seq(abs(2)),
+      removes = Seq(abs(1)))
+    IcebergOps.icebergCommit(ours, 2, Seq(abs(3)))
+    // library-written chain: Java avro manifests, union-wrapped
+    // optionals, logical-map stats arrays, absolute file: URIs
+    val theirs = s"$dir/theirs"
+    graft.queries.IcebergInteropFixture.write(theirs, abs)
+    def canon(table: String, sid: Long): Set[String] =
+      IcebergOps.icebergFiles(spark, table, sid).map(p =>
+        new java.io.File(p.stripPrefix("file:")).getCanonicalPath).toSet
+    (0L to 2L).foreach { sid =>
+      assert(canon(ours, sid) == canon(theirs, sid),
+        s"file sets diverge at snapshot $sid")
+      val a = IcebergOps.readIcebergSnapshot(spark, ours, sid)
+        .select("id").as[Long].collect().sorted.toSeq
+      val b = IcebergOps.readIcebergSnapshot(spark, theirs, sid)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(a == b, s"row sets diverge at snapshot $sid")
+    }
+    assert(canon(theirs, 2L) == Set(abs(0), abs(2), abs(3)).map(p =>
+      new java.io.File(p).getCanonicalPath))
+  }
 }

@@ -452,6 +452,19 @@ class MultimodalSpec extends SparkSuite {
       ("svg", 5, 3))
   }
 
+  test("svg headers: hyphen/namespace-prefixed attrs never match bare names") {
+    def svg(s: String): org.apache.spark.sql.catalyst.InternalRow =
+      graft.functions.ImageHeader.parse(s.getBytes("UTF-8"))
+    // stroke-width="2" must NOT publish width=2 (the \b-after-hyphen trap)
+    val r = svg("""<svg stroke-width="2" width="800" height="600"/>""")
+    assert(r != null && r.getInt(1) == 800 && r.getInt(2) == 600)
+    // only prefixed attrs present → no dims, no viewBox → refuse
+    assert(svg("""<svg stroke-width="2" data-height="9"><g/></svg>""") == null)
+    // namespaced aria:width must not count either
+    val r2 = svg("""<svg aria:width="3" viewBox="0 0 40 20"/>""")
+    assert(r2 != null && r2.getInt(1) == 40 && r2.getInt(2) == 20)
+  }
+
   test("svg text: text/tspan/textPath kept; defs/style/title/desc/comments dropped") {
     def t(s: String): String = {
       val r = graft.functions.SvgText.extract(s.getBytes("UTF-8"))

@@ -71,6 +71,30 @@ object IcebergOps {
     StructField("partition_spec_id", IntegerType, nullable = false),
     StructField("added_snapshot_id", LongType, nullable = false)))
 
+  /** manifest_file, v2: `content` classifies data (0) vs delete (1)
+    * manifests — the merge-on-read split. */
+  val manifestFileSchemaV2: StructType = StructType(Seq(
+    StructField("manifest_path", StringType, nullable = false),
+    StructField("manifest_length", LongType, nullable = false),
+    StructField("partition_spec_id", IntegerType, nullable = false),
+    StructField("content", IntegerType, nullable = false),
+    StructField("added_snapshot_id", LongType, nullable = false)))
+
+  /** manifest_entry, v2: data_file gains `content` (0 data, 1 position
+    * deletes, 2 equality deletes — the last refuses loudly). */
+  def manifestEntrySchemaV2(partCols: Seq[String]): StructType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = true),
+    StructField("data_file", StructType(Seq(
+      StructField("content", IntegerType, nullable = false),
+      StructField("file_path", StringType, nullable = false),
+      StructField("file_format", StringType, nullable = false),
+      StructField("partition", StructType(partCols.map(c =>
+        StructField(c, StringType, nullable = false))), nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = false))),
+      nullable = false)))
+
   private def metadataDir(tableDir: String): java.io.File =
     new java.io.File(tableDir, "metadata")
 
@@ -284,16 +308,12 @@ object IcebergOps {
                    tableDir: String, snapshotId: Long): Seq[String] =
     icebergEntries(tableDir, snapshotId)._2.map(_._1)
 
-  /** The snapshot's live entries through the CURRENT metadata json:
-    * (partition columns, (path, partition tuple) in commit order).
-    * Refuses loudly on format-version ≠ 1, a non-identity transform,
-    * an unknown snapshot id, or a manifest outside the Avro subset.
-    */
-  def icebergEntries(tableDir: String, snapshotId: Long)
-      : (Seq[String], Seq[(String, Seq[String])]) = {
+  /** The CURRENT metadata json: (version, parsed root). Resolution is
+    * version-hint first, falling back to the highest vN on disk. */
+  private def currentMeta(tableDir: String)
+      : (Long, com.fasterxml.jackson.databind.JsonNode) = {
     val md = metadataDir(tableDir)
     require(md.isDirectory, s"no iceberg metadata dir at $tableDir")
-    val m = mapper
     val hintFile = new java.io.File(md, "version-hint.text")
     val version: Long =
       if (hintFile.exists())
@@ -308,10 +328,38 @@ object IcebergOps {
       }
     val metaFile = new java.io.File(md, s"v$version.metadata.json")
     require(metaFile.exists(), s"iceberg metadata v$version missing")
-    val root = m.readTree(java.nio.file.Files.readAllBytes(metaFile.toPath))
+    (version, mapper.readTree(
+      java.nio.file.Files.readAllBytes(metaFile.toPath)))
+  }
+
+  /** The snapshot's live entries through the CURRENT metadata json:
+    * (partition columns, (path, partition tuple) in commit order).
+    * v2 tables resolve too — their DATA entries come back here; the
+    * positional-delete files ride [[resolveSnapshot]], which the
+    * readers use. Refuses loudly on format-version above 2, a
+    * non-identity transform, an unknown snapshot id, or a manifest
+    * outside the Avro subset.
+    */
+  def icebergEntries(tableDir: String, snapshotId: Long)
+      : (Seq[String], Seq[(String, Seq[String])]) = {
+    val r = resolveSnapshot(tableDir, snapshotId)
+    (r._1, r._2)
+  }
+
+  /** Full snapshot resolution: (partition columns, data entries,
+    * positional-delete file paths). v1 snapshots carry no deletes; v2
+    * (merge-on-read) splits manifests on `content` — data manifests
+    * fold exactly like v1, delete manifests fold to the delete-file
+    * set. Equality deletes (data_file.content = 2) refuse loudly:
+    * applying them needs the table's equality-field semantics, and a
+    * silent skip would resurrect deleted rows.
+    */
+  private[ops] def resolveSnapshot(tableDir: String, snapshotId: Long)
+      : (Seq[String], Seq[(String, Seq[String])], Seq[String]) = {
+    val (version, root) = currentMeta(tableDir)
     val fv = root.get("format-version").asInt()
-    require(fv == 1,
-      s"iceberg format-version $fv unsupported (reader is v1)")
+    require(fv == 1 || fv == 2,
+      s"iceberg format-version $fv unsupported (reader is v1/v2)")
     val partCols = specColsOf(root)
     var manifestList: String = null
     val snaps = root.get("snapshots").elements()
@@ -322,8 +370,14 @@ object IcebergOps {
     }
     require(manifestList != null,
       s"iceberg snapshot $snapshotId not in metadata v$version")
-    (partCols, foldManifestList(tableDir, manifestList, partCols,
-      pinLengths = true))
+    if (fv == 1)
+      (partCols, foldManifestList(tableDir, manifestList, partCols,
+        pinLengths = true), Nil)
+    else {
+      val (data, dels) = foldManifestListV2(tableDir, manifestList,
+        partCols, pinLengths = true)
+      (partCols, data, dels)
+    }
   }
 
   /** Manifest-list → manifests fold, last action per path. */
@@ -368,6 +422,65 @@ object IcebergOps {
     out.toSeq
   }
 
+  /** v2 fold: the manifest list's `content` column splits data vs
+    * delete manifests; each folds last-action-per-path. Returns
+    * (data entries, positional-delete file paths). */
+  private def foldManifestListV2(tableDir: String, manifestList: String,
+      partCols: Seq[String], pinLengths: Boolean)
+      : (Seq[(String, Seq[String])], Seq[String]) = {
+    val entrySchema = manifestEntrySchemaV2(partCols)
+    val listBytes = java.nio.file.Files.readAllBytes(
+      resolve(tableDir, manifestList).toPath)
+    val listRows = AvroOcf.rowsResolved(listBytes, manifestFileSchemaV2)
+    require(listRows != null,
+      s"iceberg v2 manifest list unreadable: $manifestList")
+    val data =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    val dels = scala.collection.mutable.LinkedHashMap.empty[String, Unit]
+    var i = 0
+    while (i < listRows.numElements()) {
+      val mf = listRows.getStruct(i, manifestFileSchemaV2.length)
+      val mPath = mf.getUTF8String(0).toString
+      val mContent = mf.getInt(3)
+      require(mContent == 0 || mContent == 1,
+        s"iceberg v2 manifest content $mContent unknown: $mPath")
+      val mBytes = java.nio.file.Files.readAllBytes(
+        resolve(tableDir, mPath).toPath)
+      if (pinLengths)
+        require(mf.getLong(1) == mBytes.length,
+          s"iceberg manifest length mismatch: $mPath")
+      val entries = AvroOcf.rowsResolved(mBytes, entrySchema)
+      require(entries != null, s"iceberg manifest unreadable: $mPath")
+      var j = 0
+      while (j < entries.numElements()) {
+        val e = entries.getStruct(j, entrySchema.length)
+        val status = e.getInt(0)
+        val df = e.getStruct(2, 6)
+        val fContent = df.getInt(0)
+        val path = df.getUTF8String(1).toString
+        require(fContent != 2,
+          s"iceberg equality deletes unsupported (file $path)")
+        require(fContent == mContent,
+          s"iceberg entry content $fContent inside a content-$mContent " +
+            s"manifest: $path")
+        if (mContent == 0) {
+          if (status == 2) data.remove(path)
+          else {
+            val part = df.getStruct(3, partCols.length)
+            data(path) = partCols.indices.map(k =>
+              part.getUTF8String(k).toString)
+          }
+        } else {
+          if (status == 2) dels.remove(path)
+          else dels(path) = ()
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (data.toSeq, dels.keys.toSeq)
+  }
+
   /** The live set as of `snapshotId` per the metadata chain available
     * AT that commit (used by the writer to carry files + partition
     * tuples forward without a SparkSession — manifests resolve
@@ -378,13 +491,163 @@ object IcebergOps {
     foldManifestList(tableDir, s"metadata/snap-$snapshotId.avro", partCols,
       pinLengths = false)
 
-  /** Time-travel read: exactly snapshot `snapshotId`'s file set. */
+  /** Time-travel read: exactly snapshot `snapshotId`'s file set, with
+    * v2 positional deletes applied MERGE-ON-READ: the scan exposes
+    * Spark's `_metadata.file_path` + `_metadata.row_index` (the same
+    * (file, ordinal) coordinates the spec's position-delete files
+    * store), and a BROADCAST left-anti join subtracts the delete
+    * tuples — delete files are metadata-sized next to the data, so the
+    * data side never shuffles; at 100 TB this is the plan Iceberg's
+    * own Spark reader builds.
+    */
   def readIcebergSnapshot(spark: org.apache.spark.sql.SparkSession,
                           tableDir: String, snapshotId: Long): DataFrame = {
-    val paths = icebergFiles(spark, tableDir, snapshotId)
-    require(paths.nonEmpty, s"iceberg snapshot $snapshotId has no files")
-    spark.read.parquet(paths.map(p =>
-      resolve(tableDir, p).getAbsolutePath): _*)
+    val (_, data, deletes) = resolveSnapshot(tableDir, snapshotId)
+    require(data.nonEmpty, s"iceberg snapshot $snapshotId has no files")
+    val paths = data.map(e => resolve(tableDir, e._1).getAbsolutePath)
+    if (deletes.isEmpty) spark.read.parquet(paths: _*)
+    else applyPositionalDeletes(spark, paths,
+      deletes.map(p => resolve(tableDir, p).getAbsolutePath))
+  }
+
+  /** data minus the (file_path, pos) tuples of the positional-delete
+    * parquet files. Both sides normalize the path scheme
+    * (`file:///x`, `file:/x`, `/x` → `/x`) so the join key matches the
+    * URI form whichever writer produced it. */
+  private def applyPositionalDeletes(
+      spark: org.apache.spark.sql.SparkSession,
+      dataPaths: Seq[String], deletePaths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:/+", "/")
+    val withPos = spark.read.parquet(dataPaths: _*)
+      .withColumn("__graft_file", norm(col("_metadata.file_path")))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+    val dels = spark.read.parquet(deletePaths: _*)
+      .select(norm(col("file_path")).as("__graft_file"),
+        col("pos").cast("long").as("__graft_pos"))
+    withPos.join(broadcast(dels), Seq("__graft_file", "__graft_pos"),
+        "left_anti")
+      .drop("__graft_file", "__graft_pos")
+  }
+
+  /** v2 (merge-on-read) commit — unpartitioned, the positional-delete
+    * shape: `adds` appends data files, `deleteFiles` appends
+    * position-delete parquet files (columns `file_path`, `pos` per the
+    * spec), `removes` retires data files. Each snapshot writes a DATA
+    * manifest and, when delete files are live, a DELETE manifest —
+    * exactly the manifest-list `content` split real v2 writers emit.
+    * Same discipline as the v1 writer: everything builds before disk,
+    * re-commits must be byte-identical, the hint only advances.
+    */
+  def icebergCommitV2(tableDir: String, snapshotId: Long,
+      adds: Seq[String], deleteFiles: Seq[String] = Nil,
+      removes: Seq[String] = Nil): Unit = {
+    require(snapshotId >= 0, "iceberg snapshot ids start at 0")
+    val md = metadataDir(tableDir)
+    val m = mapper
+    val (prevData, prevDeletes, prevSnapshots) =
+      if (snapshotId == 0L)
+        (Seq.empty[String], Seq.empty[String], Seq.empty[Long])
+      else {
+        val priorFile = new java.io.File(md, s"v$snapshotId.metadata.json")
+        require(priorFile.exists(),
+          s"iceberg snapshot $snapshotId must follow ${snapshotId - 1} " +
+            s"(no ${priorFile.getName})")
+        val prior = m.readTree(
+          java.nio.file.Files.readAllBytes(priorFile.toPath))
+        require(prior.get("format-version").asInt() == 2,
+          "icebergCommitV2 continues v2 chains only")
+        require(prior.get("current-snapshot-id").asLong() == snapshotId - 1,
+          s"iceberg snapshot $snapshotId must follow ${snapshotId - 1}")
+        val snaps = prior.get("snapshots").elements()
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (snaps.hasNext) ids += snaps.next().get("snapshot-id").asLong()
+        val (d, del) = foldManifestListV2(tableDir,
+          s"metadata/snap-${snapshotId - 1}.avro", Nil, pinLengths = false)
+        (d.map(_._1), del, ids.toSeq)
+      }
+    val removed = removes.toSet
+    val carried = prevData.filterNot(removed)
+    require(adds.forall(a => !carried.contains(a)),
+      "iceberg add of an already-live path")
+    val dataEntries = carried.map(p => (0, p)) ++ adds.map(p => (1, p))
+    val delEntries = prevDeletes.map(p => (0, p)) ++
+      deleteFiles.map(p => (1, p))
+    val entrySchema = manifestEntrySchemaV2(Nil)
+    def manifestBytes(entries: Seq[(Int, String)], content: Int) =
+      AvroOcf.file(utf8Rows(entrySchema, entries.map { case (status, p) =>
+        Seq(status, snapshotId, new GenericInternalRow(Array[Any](
+          content, UTF8String.fromString(p),
+          UTF8String.fromString("PARQUET"),
+          new GenericInternalRow(Array.empty[Any]), 0L, 0L)))
+      }), entrySchema, "null")
+    val dataRel = s"metadata/m-$snapshotId-data.avro"
+    val dataBytes = manifestBytes(dataEntries, 0)
+    val delRel = s"metadata/m-$snapshotId-deletes.avro"
+    val delBytes =
+      if (delEntries.nonEmpty) manifestBytes(delEntries, 1) else null
+    val listRel = s"metadata/snap-$snapshotId.avro"
+    val listRows = Seq(Seq(UTF8String.fromString(dataRel),
+        dataBytes.length.toLong, 0, 0, snapshotId)) ++
+      (if (delBytes != null) Seq(Seq(UTF8String.fromString(delRel),
+        delBytes.length.toLong, 0, 1, snapshotId)) else Nil)
+    val listBytes = AvroOcf.file(
+      utf8Rows(manifestFileSchemaV2, listRows), manifestFileSchemaV2,
+      "null")
+    val root = m.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
+      ("iceberg2:" + tableDir).getBytes("UTF-8")).toString)
+    root.put("location", tableDir)
+    root.put("last-sequence-number", snapshotId)
+    root.put("last-updated-ms", 0L)
+    root.put("last-column-id", 0)
+    val schema = root.putObject("schema")
+    schema.put("type", "struct")
+    schema.putArray("fields")
+    val specs = root.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0)
+    spec0.putArray("fields")
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id", 999)
+    root.putObject("properties")
+    root.put("current-snapshot-id", snapshotId)
+    val snapArr = root.putArray("snapshots")
+    (prevSnapshots :+ snapshotId).foreach { sid =>
+      val sn = snapArr.addObject()
+      sn.put("snapshot-id", sid)
+      sn.put("sequence-number", sid)
+      sn.put("timestamp-ms", sid)
+      sn.put("manifest-list", s"metadata/snap-$sid.avro")
+    }
+    val vFile = new java.io.File(md, s"v${snapshotId + 1}.metadata.json")
+    if (vFile.exists()) {
+      val prior = new String(
+        java.nio.file.Files.readAllBytes(vFile.toPath), "UTF-8")
+      require(prior == m.writeValueAsString(root),
+        s"iceberg metadata v${snapshotId + 1} exists with different content")
+      val priorData = java.nio.file.Files.readAllBytes(
+        new java.io.File(tableDir, dataRel).toPath)
+      require(java.util.Arrays.equals(priorData, dataBytes),
+        s"iceberg snapshot $snapshotId exists with different file actions")
+    } else {
+      writeFile(new java.io.File(tableDir, dataRel), dataBytes)
+      if (delBytes != null)
+        writeFile(new java.io.File(tableDir, delRel), delBytes)
+      writeFile(new java.io.File(tableDir, listRel), listBytes)
+      writeFile(vFile, m.writeValueAsBytes(root))
+    }
+    val hintFile = new java.io.File(md, "version-hint.text")
+    val priorHint: Long =
+      if (hintFile.exists())
+        new String(java.nio.file.Files.readAllBytes(hintFile.toPath),
+          "UTF-8").trim.toLong
+      else 0L
+    if (snapshotId + 1 > priorHint)
+      writeFile(hintFile,
+        String.valueOf(snapshotId + 1).getBytes("UTF-8"))
   }
 
   /** ORPHAN-FILE audit — the vacuum precursor: data directories under
@@ -400,30 +663,109 @@ object IcebergOps {
   def orphanFiles(tableDir: String): Seq[String] = {
     val md = metadataDir(tableDir)
     require(md.isDirectory, s"no iceberg metadata dir at $tableDir")
-    val m = mapper
     val hintFile = new java.io.File(md, "version-hint.text")
     require(hintFile.exists(), s"no version-hint.text under $md")
-    val version = new String(
-      java.nio.file.Files.readAllBytes(hintFile.toPath), "UTF-8").trim.toLong
-    val root = m.readTree(java.nio.file.Files.readAllBytes(
-      new java.io.File(md, s"v$version.metadata.json").toPath))
-    require(root.get("format-version").asInt() == 1,
-      "iceberg format-version unsupported (reader is v1)")
+    val (_, root) = currentMeta(tableDir)
+    val fv = root.get("format-version").asInt()
+    require(fv == 1 || fv == 2,
+      s"iceberg format-version $fv unsupported (reader is v1/v2)")
     val partCols = specColsOf(root)
     val referenced = scala.collection.mutable.HashSet.empty[String]
     val snaps = root.get("snapshots").elements()
     while (snaps.hasNext) {
       val sn = snaps.next()
-      foldManifestList(tableDir, sn.get("manifest-list").asText(),
-        partCols, pinLengths = false).foreach { case (p, _) =>
-        referenced += resolve(tableDir, p).getCanonicalPath
+      val list = sn.get("manifest-list").asText()
+      if (fv == 1)
+        foldManifestList(tableDir, list, partCols, pinLengths = false)
+          .foreach { case (p, _) =>
+            referenced += resolve(tableDir, p).getCanonicalPath
+          }
+      else {
+        val (data, dels) = foldManifestListV2(tableDir, list, partCols,
+          pinLengths = false)
+        // delete files are retained metadata too: a reachable snapshot
+        // needs them to replay merge-on-read
+        (data.map(_._1) ++ dels).foreach { p =>
+          referenced += resolve(tableDir, p).getCanonicalPath
+        }
       }
     }
     val dataDir = new java.io.File(tableDir, "data")
     if (!dataDir.isDirectory) return Nil
     Option(dataDir.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => !referenced.contains(f.getCanonicalPath))
+      .filter { f =>
+        // a child is live if a snapshot references it directly (v1's
+        // directory-granular commits) or references a file inside it
+        // (v2's file-granular commits)
+        val c = f.getCanonicalPath
+        !referenced.contains(c) &&
+          !referenced.exists(_.startsWith(c + "/"))
+      }
       .map(f => "data/" + f.getName).sorted
+  }
+
+  /** SNAPSHOT EXPIRY — the retention action the orphan audit feeds:
+    * rewrite the table metadata WITHOUT the snapshots older than the
+    * newest `retainLast` (the current snapshot is always retained),
+    * published as a NEW `v{hint+1}.metadata.json` with the hint
+    * advanced — the chain's older metadata files stay immutable, only
+    * the hint moves, so a torn expiry never corrupts the table.
+    * Returns the expired snapshot ids. Files that were reachable only
+    * through expired snapshots become [[orphanFiles]] of the
+    * post-expiry state, which [[vacuum]] may then delete — exactly
+    * Iceberg's expire-snapshots / remove-orphans split. Works on v1
+    * and v2 chains (expiry is metadata-format-agnostic).
+    *
+    * Note: this minimal writer couples append versions to snapshot
+    * ids, so appending AFTER an expiry refuses loudly (the divergent
+    * re-commit gate) rather than resurrecting expired history —
+    * expire+vacuum is a maintenance tail, not a mid-lineage rewrite.
+    */
+  def expireSnapshots(tableDir: String, retainLast: Int): Seq[Long] = {
+    require(retainLast >= 1, "must retain at least the current snapshot")
+    val (version, rootNode) = currentMeta(tableDir)
+    val root = rootNode.asInstanceOf[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    val current = root.get("current-snapshot-id").asLong()
+    val snaps = scala.collection.mutable.ArrayBuffer[
+      com.fasterxml.jackson.databind.JsonNode]()
+    val it = root.get("snapshots").elements()
+    while (it.hasNext) snaps += it.next()
+    val sorted = snaps.sortBy(_.get("snapshot-id").asLong())
+    val keepIds = sorted.takeRight(retainLast)
+      .map(_.get("snapshot-id").asLong()).toSet + current
+    val (kept, expired) = sorted.partition(s =>
+      keepIds(s.get("snapshot-id").asLong()))
+    if (expired.isEmpty) return Nil
+    val arr = root.putArray("snapshots")
+    kept.foreach(arr.add)
+    val md = metadataDir(tableDir)
+    writeFile(new java.io.File(md, s"v${version + 1}.metadata.json"),
+      mapper.writeValueAsBytes(root))
+    writeFile(new java.io.File(md, "version-hint.text"),
+      String.valueOf(version + 1).getBytes("UTF-8"))
+    expired.map(_.get("snapshot-id").asLong()).toSeq
+  }
+
+  /** VACUUM — delete exactly the [[orphanFiles]] of the current
+    * (post-expiry) state and return what was deleted. The audit IS the
+    * delete list: every removed path was provably unreachable from
+    * every retained snapshot, and nothing else is touched. Paths are
+    * table-relative `data/...` children, removed recursively (a bucket
+    * directory of parquet parts is one orphan).
+    */
+  def vacuum(tableDir: String): Seq[String] = {
+    val orphans = orphanFiles(tableDir)
+    orphans.foreach { rel =>
+      val f = new java.io.File(tableDir, rel)
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory)
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete()
+      }
+      rm(f)
+    }
+    orphans
   }
 
   /** METADATA-ONLY migration of a Delta snapshot into a fresh Iceberg
@@ -456,7 +798,7 @@ object IcebergOps {
   def readIcebergPruned(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, snapshotId: Long,
       partFilter: Map[String, String]): DataFrame = {
-    val (partCols, entries) = icebergEntries(tableDir, snapshotId)
+    val (partCols, entries, deletes) = resolveSnapshot(tableDir, snapshotId)
     val unknown = partFilter.keySet -- partCols.toSet
     require(unknown.isEmpty,
       s"iceberg partition filter on non-partition columns: " +
@@ -466,7 +808,12 @@ object IcebergOps {
     }
     require(keep.nonEmpty,
       s"iceberg snapshot $snapshotId has no files matching $partFilter")
-    spark.read.parquet(keep.map(e =>
-      resolve(tableDir, e._1).getAbsolutePath): _*)
+    val paths = keep.map(e => resolve(tableDir, e._1).getAbsolutePath)
+    // positional deletes are (file, pos)-scoped, so applying the full
+    // delete set to a pruned file list subtracts exactly the pruned
+    // files' tuples — over-listing is harmless, under-listing impossible
+    if (deletes.isEmpty) spark.read.parquet(paths: _*)
+    else applyPositionalDeletes(spark, paths,
+      deletes.map(p => resolve(tableDir, p).getAbsolutePath))
   }
 }

@@ -90,14 +90,14 @@ class IcebergOpsSpec extends SparkSuite {
     rdr.close()
   }
 
-  test("iceberg: format-version above 1 refuses the whole read") {
+  test("iceberg: format-version above 2 refuses the whole read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_icebergv_")
       .toString
     val md = new java.io.File(dir, "metadata")
     md.mkdirs()
     java.nio.file.Files.write(
       new java.io.File(md, "v1.metadata.json").toPath,
-      """{"format-version":2,"table-uuid":"x","location":"y",
+      """{"format-version":3,"table-uuid":"x","location":"y",
         |"current-snapshot-id":0,"snapshots":[
         |{"snapshot-id":0,"manifest-list":"metadata/snap-0.avro"}]}"""
         .stripMargin.getBytes("UTF-8"))
@@ -107,7 +107,7 @@ class IcebergOpsSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException] {
       IcebergOps.icebergFiles(spark, dir, 0)
     }
-    assert(e.getMessage.contains("format-version 2 unsupported"))
+    assert(e.getMessage.contains("format-version 3 unsupported"))
   }
 
   test("iceberg: torn manifest bytes quarantine the snapshot read") {
@@ -318,5 +318,147 @@ class IcebergOpsSpec extends SparkSuite {
     }
     assert(canon(theirs, 2L) == Set(abs(0), abs(2), abs(3)).map(p =>
       new java.io.File(p).getCanonicalPath))
+  }
+
+  test("iceberg v2: positional deletes subtract exactly, time travel intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_icev2_")
+      .toString
+    def oneFile(rows: Seq[(Long, String)], sub: String): String = {
+      rows.toDF("id", "v").repartition(1).sortWithinPartitions("id")
+        .write.parquet(s"$dir/data/$sub")
+      new java.io.File(s"$dir/data/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+        .sorted.head
+    }
+    val f0 = oneFile(Seq((1L, "a"), (2L, "b"), (3L, "c")), "u0")
+    val f1 = oneFile(Seq((4L, "d"), (5L, "e")), "u1")
+    IcebergOps.icebergCommitV2(dir, 0, Seq(f0, f1))
+    // delete file: retire id=2 (ordinal 1 of the sorted u0 file) and
+    // id=5 (ordinal 1 of u1) — positions from the files' actual layout
+    import org.apache.spark.sql.functions.col
+    val delRows = spark.read.parquet(f0, f1)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id").isin(2L, 5L))
+      .select(col("file_path"), col("pos"))
+    delRows.repartition(1).write.parquet(s"$dir/data/del1")
+    val delFile = new java.io.File(s"$dir/data/del1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .sorted.head
+    IcebergOps.icebergCommitV2(dir, 1, adds = Nil,
+      deleteFiles = Seq(delFile))
+    // snapshot 1: merge-on-read subtraction
+    val s1 = IcebergOps.readIcebergSnapshot(spark, dir, 1)
+    assert(s1.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+    // the subtraction plan is a BROADCAST anti-join (data never shuffles)
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") && plan.contains("Broadcast"), plan)
+    // time travel to snapshot 0 still sees every row
+    assert(IcebergOps.readIcebergSnapshot(spark, dir, 0)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // delete files are referenced metadata, not orphans; never data
+    assert(IcebergOps.icebergFiles(spark, dir, 1).toSet == Set(f0, f1))
+    assert(IcebergOps.orphanFiles(dir) == Nil)
+    // v2 chains continue: snapshot 2 adds a file, deletes carry forward
+    val f2 = oneFile(Seq((9L, "z")), "u2")
+    IcebergOps.icebergCommitV2(dir, 2, Seq(f2))
+    assert(IcebergOps.readIcebergSnapshot(spark, dir, 2)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L, 9L))
+  }
+
+  test("iceberg v2: equality deletes refuse the whole snapshot read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_icev2e_")
+      .toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/data/u0")
+    val f0 = new java.io.File(s"$dir/data/u0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .sorted.head
+    IcebergOps.icebergCommitV2(dir, 0, Seq(f0))
+    // hand-craft snapshot 1 with an EQUALITY-delete manifest (content=2
+    // in data_file): the reader must refuse loudly, not skip silently
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val es = IcebergOps.manifestEntrySchemaV2(Nil)
+    val eqManifest = graft.functions.AvroOcf.file(
+      new GenericArrayData(Array[Any](new GenericInternalRow(Array[Any](
+        1, 1L, new GenericInternalRow(Array[Any](
+          2, UTF8String.fromString("data/eqdel.parquet"),
+          UTF8String.fromString("PARQUET"),
+          new GenericInternalRow(Array.empty[Any]), 0L, 0L)))))),
+      es, "null")
+    val md = new java.io.File(dir, "metadata")
+    java.nio.file.Files.write(
+      new java.io.File(md, "m-1-deletes.avro").toPath, eqManifest)
+    val dataManifest = java.nio.file.Files.readAllBytes(
+      new java.io.File(md, "m-0-data.avro").toPath)
+    val listBytes = graft.functions.AvroOcf.file(
+      new GenericArrayData(Array[Any](
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString("metadata/m-0-data.avro"),
+          dataManifest.length.toLong, 0, 0, 1L)),
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString("metadata/m-1-deletes.avro"),
+          eqManifest.length.toLong, 0, 1, 1L)))),
+      IcebergOps.manifestFileSchemaV2, "null")
+    java.nio.file.Files.write(
+      new java.io.File(md, "snap-1.avro").toPath, listBytes)
+    val v1 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(md, "v1.metadata.json").toPath), "UTF-8")
+    val v2 = v1
+      .replace("\"current-snapshot-id\":0", "\"current-snapshot-id\":1")
+      .replace("\"snapshots\":[", "\"snapshots\":[" +
+        """{"snapshot-id":1,"sequence-number":1,"timestamp-ms":1,""" +
+        """"manifest-list":"metadata/snap-1.avro"},""")
+    java.nio.file.Files.write(
+      new java.io.File(md, "v2.metadata.json").toPath, v2.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      new java.io.File(md, "version-hint.text").toPath, "2".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergOps.readIcebergSnapshot(spark, dir, 1)
+    }
+    assert(e.getMessage.contains("equality deletes unsupported"))
+  }
+
+  test("iceberg: expire orphans exactly the expired-only files; vacuum removes them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceexp_")
+      .toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/data/keep")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$dir/data/gone")
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$dir/data/late")
+    IcebergOps.icebergCommit(dir, 0, Seq("data/keep", "data/gone"))
+    IcebergOps.icebergCommit(dir, 1, adds = Nil, removes = Seq("data/gone"))
+    IcebergOps.icebergCommit(dir, 2, Seq("data/late"))
+    // pre-expiry: gone is reachable through snapshot 0 — NOT an orphan
+    assert(IcebergOps.orphanFiles(dir) == Nil)
+    // retaining the last two expires snapshot 0 only
+    assert(IcebergOps.expireSnapshots(dir, retainLast = 2) == Seq(0L))
+    // a file referenced only by the expired snapshot is now orphaned;
+    // files reachable through retained snapshots never are
+    assert(IcebergOps.orphanFiles(dir) == Seq("data/gone"))
+    assert(IcebergOps.vacuum(dir) == Seq("data/gone"))
+    assert(!new java.io.File(dir, "data/gone").exists())
+    assert(IcebergOps.orphanFiles(dir) == Nil)
+    // retained snapshots stay readable; the expired one refuses
+    assert(IcebergOps.icebergFiles(spark, dir, 2).toSet ==
+      Set("data/keep", "data/late"))
+    assert(IcebergOps.icebergFiles(spark, dir, 1) == Seq("data/keep"))
+    intercept[IllegalArgumentException] {
+      IcebergOps.icebergFiles(spark, dir, 0)
+    }
+    // the current snapshot is always protected, even at retainLast=1
+    assert(IcebergOps.expireSnapshots(dir, retainLast = 1) == Seq(1L))
+    assert(IcebergOps.icebergFiles(spark, dir, 2).toSet ==
+      Set("data/keep", "data/late"))
+    // expiring when nothing qualifies is a no-op
+    assert(IcebergOps.expireSnapshots(dir, retainLast = 5) == Nil)
+    // appending after expiry refuses loudly instead of resurrecting
+    // expired history (the divergent-version gate)
+    intercept[IllegalArgumentException] {
+      IcebergOps.icebergCommit(dir, 3, Seq("data/keep2"))
+    }
   }
 }

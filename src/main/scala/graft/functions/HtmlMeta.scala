@@ -63,7 +63,9 @@ object HtmlMeta {
     StructField("value", StringType, nullable = false))),
     containsNull = false)
 
-  /** OpenGraph (`property="og:*"`) and twitter-card (`name="twitter:*"`)
+  /** OpenGraph (`property="og:*"`), twitter-card (`name="twitter:*"`),
+    * and article (`property="article:*"` — the OG structured-property
+    * namespace publishers attach author/section/published_time under)
     * meta extraction — the social-metadata channel image-text pair
     * mining reads for high-precision alt text (og:image + og:title /
     * og:description describe THE page's canonical image, unlike
@@ -71,8 +73,8 @@ object HtmlMeta {
     * as [[extract]]: one linear scan, commented-out tags don't count,
     * first occurrence per key wins (publisher tooling emits duplicates;
     * consumers read the first), keys lowercased, values entity-decoded
-    * and whitespace-collapsed. Accepts `property=` OR `name=` for both
-    * prefixes — real pages mix them freely.
+    * and whitespace-collapsed. Accepts `property=` OR `name=` for every
+    * prefix — real pages mix them freely.
     */
   def extractOg(in: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val s = in.toString
@@ -88,7 +90,8 @@ object HtmlMeta {
           val body = s.substring(i, end)
           val key = attr(body, "property").orElse(attr(body, "name"))
             .map(_.trim.toLowerCase(java.util.Locale.ROOT))
-            .filter(k => k.startsWith("og:") || k.startsWith("twitter:"))
+            .filter(k => k.startsWith("og:") || k.startsWith("twitter:") ||
+              k.startsWith("article:"))
           key.foreach { k =>
             if (!seen.contains(k))
               attr(body, "content").foreach(v => seen(k) = clean(v))

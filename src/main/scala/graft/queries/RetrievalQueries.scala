@@ -19,6 +19,13 @@ object RetrievalQueries extends QueryPack {
   private val BM25_B = 0.75
   private val QUERY_TERMS = Seq("data", "model", "the")
 
+  /** round(1e6 / log2(rank+1)) for ranks 1..10 — the nDCG discounts as
+    * a SHARED integer constant table, so neither engine ever evaluates
+    * log2 (the one spot where IEEE libm could diverge between Spark
+    * and an oracle engine). */
+  private val NDCG_DISCOUNT_MICRO = Seq(1000000L, 630930L, 500000L,
+    430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
   private def r4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + lit(0.5)) / 1e4
 
   /** (doc_id, token, tf) + (doc_id, dl): one explode, one aggregate. */
@@ -167,6 +174,73 @@ object RetrievalQueries extends QueryPack {
           col("rank_t").cast("long").as("rank_t"),
           col("rank_v").cast("long").as("rank_v"))
         .orderBy(col("doc_id"))
+    }),
+
+    // RETRIEVAL EVAL: nDCG@10 + MRR over the certified BM25 ranking,
+    // completing the eval family (EM/F1, ROUGE) for the retrieval
+    // stack. Graded relevance is the closed form rel=2 at doc_id%50==0,
+    // rel=1 at doc_id%10==0 — replayable by any engine. ALL arithmetic
+    // is integer: the log2 discounts are a shared 10-entry micro-unit
+    // constant table (round(1e6/log2(rank+1)) — the one place IEEE libm
+    // could diverge between engines), gains are (2^rel − 1) ∈ {0,1,3},
+    // DCG/IDCG are Σ gain·discount in longs, and nDCG is a long
+    // DIVISION in micro-units. The ideal ranking comes from corpus
+    // grade COUNTS (two scan-side aggregates) joined to a 10-row rank
+    // sequence — no corpus-wide sort; every window is over ≤10
+    // post-limit rows.
+    "eval_ndcg_mrr" -> ((s, dir) => {
+      val (tf, dl) = termFreq(s, dir)
+      val nDf = Tables.documents(s, dir).agg(count(lit(1)).as("__n"))
+      val avgdlDf = dl.agg(avg(col("dl")).as("__avgdl"))
+      val qtf = tf.filter(col("token").isin(QUERY_TERMS: _*))
+      val df = qtf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val idf = log(lit(1.0) + (col("__n").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+      val denom = col("tf") + lit(BM25_K1) *
+        (lit(1 - BM25_B) + lit(BM25_B) * col("dl") / col("__avgdl"))
+      val top10 = qtf.join(broadcast(df), "token").join(dl, "doc_id")
+        .crossJoin(broadcast(nDf)).crossJoin(broadcast(avgdlDf))
+        .withColumn("__s", idf * (col("tf") * lit(BM25_K1 + 1)) / denom)
+        .groupBy(col("doc_id")).agg(r4(sum(col("__s"))).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+      def discount(rank: org.apache.spark.sql.Column) =
+        NDCG_DISCOUNT_MICRO.zipWithIndex.foldLeft(lit(0L)) {
+          case (acc, (d, i)) => when(rank === (i + 1), lit(d)).otherwise(acc)
+        }
+      val ranked = top10
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+        .withColumn("rel",
+          when(col("doc_id") % 50 === 0, 2L)
+            .when(col("doc_id") % 10 === 0, 1L).otherwise(0L))
+        .withColumn("gain",
+          when(col("rel") === 2, 3L).when(col("rel") === 1, 1L)
+            .otherwise(0L))
+      val dcg = ranked.agg(
+        sum(col("gain") * discount(col("rank"))).as("dcg_micro"),
+        min(when(col("rel") > 0, col("rank"))).as("__first_rel"))
+      val grades = Tables.documents(s, dir).agg(
+        sum(when(col("doc_id") % 50 === 0, 1L).otherwise(0L)).as("n_rel2"),
+        sum(when(col("doc_id") % 10 === 0 && col("doc_id") % 50 =!= 0, 1L)
+          .otherwise(0L)).as("n_rel1"))
+      val idcg = s.range(1, 11).select(col("id").as("i"))
+        .crossJoin(broadcast(grades))
+        .withColumn("ig",
+          when(col("i") <= col("n_rel2"), 3L)
+            .when(col("i") <= col("n_rel2") + col("n_rel1"), 1L)
+            .otherwise(0L))
+        .agg(sum(col("ig") * discount(col("i"))).as("idcg_micro"),
+          first(col("n_rel2")).as("n_rel2"),
+          first(col("n_rel1")).as("n_rel1"))
+      dcg.crossJoin(broadcast(idcg)).select(
+        lit(10L).as("k"),
+        col("n_rel2"), col("n_rel1"),
+        col("dcg_micro"), col("idcg_micro"),
+        expr("(dcg_micro * 1000000L) div idcg_micro").as("ndcg_micro"),
+        coalesce(col("__first_rel"), lit(0L)).as("first_rel_rank"),
+        when(col("__first_rel").isNotNull,
+          floor(lit(1e6) / col("__first_rel") + lit(0.5)).cast("long"))
+          .otherwise(0L).as("mrr_micro"))
     }),
 
     // MMR DIVERSIFICATION (Carbonell & Goldstein 1998): per query a
@@ -334,6 +408,59 @@ object RetrievalQueries extends QueryPack {
          |SELECT doc_id, rrf_micro, CAST(rank_t AS BIGINT) AS rank_t,
          |  CAST(rank_v AS BIGINT) AS rank_v
          |FROM top ORDER BY doc_id""".stripMargin,
+    // the BM25 top-10 replayed, then pure integer nDCG/MRR arithmetic
+    // over the shared discount constant table
+    "eval_ndcg_mrr" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+         |       WHERE token IN ('data', 'model', 'the') GROUP BY 1, 2),
+         |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    ln(1.0 + (CAST(n.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+         |      * (tf.tf * ${BM25_K1 + 1})
+         |      / (tf.tf + $BM25_K1 * ((1 - $BM25_B) + $BM25_B
+         |           * dl.dl / avgdl.avgdl)) AS s
+         |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+         |  CROSS JOIN n CROSS JOIN avgdl),
+         |top10 AS (SELECT doc_id, floor(sum(s) * 1e4 + 0.5) / 1e4 AS bm25
+         |  FROM scored GROUP BY doc_id
+         |  ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+         |disc AS (SELECT * FROM (VALUES (1, 1000000), (2, 630930),
+         |  (3, 500000), (4, 430677), (5, 386853), (6, 356207),
+         |  (7, 333333), (8, 315465), (9, 301030), (10, 289065)) t(i, d)),
+         |ranked AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank,
+         |    CASE WHEN doc_id % 50 = 0 THEN 2
+         |         WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS rel
+         |  FROM top10),
+         |dcg AS (SELECT sum((CASE r.rel WHEN 2 THEN 3 WHEN 1 THEN 1
+         |      ELSE 0 END) * d.d) AS dcg_micro
+         |  FROM ranked r JOIN disc d ON d.i = r.rank),
+         |fr AS (SELECT min(rank) AS first_rel FROM ranked WHERE rel > 0),
+         |grades AS (SELECT
+         |    sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS n_rel2,
+         |    sum(CASE WHEN doc_id % 10 = 0 AND doc_id % 50 <> 0
+         |        THEN 1 ELSE 0 END) AS n_rel1
+         |  FROM documents),
+         |idcg AS (SELECT sum((CASE WHEN d.i <= g.n_rel2 THEN 3
+         |      WHEN d.i <= g.n_rel2 + g.n_rel1 THEN 1 ELSE 0 END) * d.d)
+         |    AS idcg_micro
+         |  FROM disc d CROSS JOIN grades g)
+         |SELECT CAST(10 AS BIGINT) AS k,
+         |  CAST(n_rel2 AS BIGINT) AS n_rel2,
+         |  CAST(n_rel1 AS BIGINT) AS n_rel1,
+         |  CAST(dcg_micro AS BIGINT) AS dcg_micro,
+         |  CAST(idcg_micro AS BIGINT) AS idcg_micro,
+         |  CAST((dcg_micro * 1000000) // idcg_micro AS BIGINT) AS ndcg_micro,
+         |  CAST(coalesce(first_rel, 0) AS BIGINT) AS first_rel_rank,
+         |  CAST(CASE WHEN first_rel IS NOT NULL
+         |    THEN floor(1e6 / first_rel + 0.5) ELSE 0 END AS BIGINT)
+         |    AS mrr_micro
+         |FROM dcg, fr, grades, idcg""".stripMargin,
     // candidate selection, pairwise milli sims, and all five greedy
     // integer-arithmetic rounds replayed (one fused CTE per round)
     "retrieval_mmr" -> {

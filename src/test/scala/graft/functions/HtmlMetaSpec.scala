@@ -59,9 +59,13 @@ class HtmlMetaSpec extends AnyFunSuite {
       """<meta name="twitter:card" content="summary_large_image">""" +
       """<meta name="og:locale" content="de_DE">""" +
       """<meta name="description" content="not social">""" +
-      """<meta property="article:author" content="not og either">"""
+      """<meta property="article:author" content="J. Writer">""" +
+      """<meta property="article:published_time" content="2024-01-02">""" +
+      """<meta property="articleXauthor" content="prefix needs the colon">"""
     assert(og(html) == Seq("og:title" -> "A & B",
-      "twitter:card" -> "summary_large_image", "og:locale" -> "de_DE"))
+      "twitter:card" -> "summary_large_image", "og:locale" -> "de_DE",
+      "article:author" -> "J. Writer",
+      "article:published_time" -> "2024-01-02"))
   }
 
   test("og: commented-out decoys don't count; first occurrence wins") {

@@ -94,6 +94,35 @@ class PlanAuditSpec extends SparkSuite {
       !ogp.contains("WindowExec"))
   }
 
+  test("round-17 queries: eval rank windows bounded by k; og coverage one aggregation") {
+    // eval_ndcg_mrr: every window runs over POST-LIMIT rows — its child
+    // subtree must contain the top-k limit, never the corpus
+    val eval = SparkEntry.queries("eval_ndcg_mrr")(spark, sf("sf0.001"))
+    val windows = eval.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows.foreach { w =>
+      val bounded = w.child.collectFirst {
+        case n if n.nodeName.contains("TakeOrdered") ||
+          n.nodeName.contains("GlobalLimit") => n
+      }.isDefined
+      assert(bounded, s"eval_ndcg_mrr window not over post-limit rows:\n$w")
+    }
+    val ep = eval.queryExecution.executedPlan.toString
+    assert(!ep.contains("CartesianProduct"),
+      "eval_ndcg_mrr plans a cartesian product")
+    // web_og_coverage: scan-side parse + ONE hash aggregation — no join,
+    // no window, nothing corpus-shaped beyond the group-by
+    val cov = planOf("web_og_coverage")
+    assert(!cov.contains("CartesianProduct") &&
+      !cov.contains("BroadcastNestedLoopJoin") &&
+      !cov.contains("SortMergeJoin") && !cov.contains("ShuffledHashJoin"),
+      "web_og_coverage plans a join it doesn't need")
+    assert(!cov.contains("WindowExec"), "web_og_coverage windows the corpus")
+    assert(cov.contains("HashAggregate"),
+      "web_og_coverage must be a hash aggregation")
+  }
+
   test("scd2Apply joins history against a BROADCAST per-id first-seq table") {
     import spark.implicits._
     val hist = SnapshotOps.scd2History(

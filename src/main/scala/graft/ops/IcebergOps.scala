@@ -122,6 +122,54 @@ object IcebergOps {
     else new java.io.File(tableDir, clean)
   }
 
+  /** Row count from a parquet file's FOOTER alone — a bounded tail
+    * read (last `metaLen + 8` bytes) stitched to the 4-byte magic and
+    * walked by the repo's from-spec thrift-compact decoder, so the
+    * writer can stamp REAL `record_count` stats without scanning a
+    * single data page. O(footer bytes), never O(file).
+    */
+  private def parquetNumRows(f: java.io.File): Long = {
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val n = raf.length()
+      require(n >= 12, s"not a parquet file (too short): $f")
+      raf.seek(n - 8)
+      val tail8 = new Array[Byte](8)
+      raf.readFully(tail8)
+      require(tail8(4) == 'P' && tail8(5) == 'A' && tail8(6) == 'R' &&
+        tail8(7) == '1', s"not a parquet file (no tail magic): $f")
+      val metaLen = (tail8(0) & 0xff) | ((tail8(1) & 0xff) << 8) |
+        ((tail8(2) & 0xff) << 16) | ((tail8(3) & 0xff) << 24)
+      require(metaLen > 0 && metaLen.toLong + 12 <= n,
+        s"parquet footer length $metaLen out of range: $f")
+      raf.seek(n - 8 - metaLen)
+      val foot = new Array[Byte](metaLen + 8)
+      raf.readFully(foot)
+      val synthetic = "PAR1".getBytes("ISO-8859-1") ++ foot
+      val row = graft.functions.ParquetMeta.parse(synthetic)
+      require(row != null, s"unreadable parquet footer: $f")
+      row.getLong(1)
+    } finally raf.close()
+  }
+
+  /** (record_count, file_size_in_bytes) for one committed path: a
+    * parquet file reads its footer; a bucket directory sums its
+    * `*.parquet` children; an unresolvable path (metadata-only chains
+    * in tests) stamps honest zeros. Files are immutable, so carried
+    * entries recompute to identical values on every commit — keeping
+    * the replay byte-identity gate intact.
+    */
+  private def statsOf(tableDir: String, p: String): (Long, Long) = {
+    val f = resolve(tableDir, p)
+    if (f.isFile) (parquetNumRows(f), f.length())
+    else if (f.isDirectory) {
+      val parts = Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(x => x.isFile && x.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      (parts.map(parquetNumRows).sum, parts.map(_.length()).sum)
+    } else (0L, 0L)
+  }
+
   /** Append snapshot `snapshotId` (0-based, consecutive): the new live
     * set is (previous live ++ adds -- removes). Writes one full
     * manifest for the snapshot (status 1 for the new adds, 0 for
@@ -186,11 +234,12 @@ object IcebergOps {
     val manifestRel = s"metadata/m-$snapshotId.avro"
     val manifestBytes = AvroOcf.file(
       utf8Rows(entrySchema, entries.map { case (status, p, pv) =>
+        val (nRows, nBytes) = statsOf(tableDir, p)
         Seq(status, snapshotId, new GenericInternalRow(Array[Any](
           UTF8String.fromString(p), UTF8String.fromString("PARQUET"),
           new GenericInternalRow(
             pv.map(v => UTF8String.fromString(v): Any).toArray),
-          0L, 0L)))
+          nRows, nBytes)))
       }), entrySchema, "null")
     val listRel = s"metadata/snap-$snapshotId.avro"
     val listBytes = AvroOcf.file(
@@ -354,8 +403,11 @@ object IcebergOps {
     * applying them needs the table's equality-field semantics, and a
     * silent skip would resurrect deleted rows.
     */
-  private[ops] def resolveSnapshot(tableDir: String, snapshotId: Long)
-      : (Seq[String], Seq[(String, Seq[String])], Seq[String]) = {
+  /** (format-version, partition columns, manifest-list path) for one
+    * snapshot through the current metadata — the shared front half of
+    * every snapshot-scoped read. */
+  private def snapshotMeta(tableDir: String, snapshotId: Long)
+      : (Int, Seq[String], String) = {
     val (version, root) = currentMeta(tableDir)
     val fv = root.get("format-version").asInt()
     require(fv == 1 || fv == 2,
@@ -370,28 +422,57 @@ object IcebergOps {
     }
     require(manifestList != null,
       s"iceberg snapshot $snapshotId not in metadata v$version")
+    (fv, partCols, manifestList)
+  }
+
+  private[ops] def resolveSnapshot(tableDir: String, snapshotId: Long)
+      : (Seq[String], Seq[(String, Seq[String])], Seq[String]) = {
+    val (fv, partCols, manifestList) = snapshotMeta(tableDir, snapshotId)
     if (fv == 1)
       (partCols, foldManifestList(tableDir, manifestList, partCols,
-        pinLengths = true), Nil)
+        pinLengths = true).map(e => (e._1, e._2)), Nil)
     else {
       val (data, dels) = foldManifestListV2(tableDir, manifestList,
         partCols, pinLengths = true)
-      (partCols, data, dels)
+      (partCols, data.map(e => (e._1, e._2)), dels.map(_._1))
     }
   }
 
-  /** Manifest-list → manifests fold, last action per path. */
+  /** METADATA-ONLY COUNT — `SELECT count(*)` answered from manifest
+    * stats without opening one data file, the planning shortcut every
+    * real Iceberg engine ships: Σ live data `record_count`, minus Σ
+    * delete-file `record_count` on v2 (each positional-delete tuple
+    * retires exactly one live row under this writer's discipline:
+    * re-adding a live path refuses, so a tuple can never dangle or
+    * double-count). The counts come from the parquet FOOTERS at commit
+    * time ([[statsOf]]), so they are real, not declared.
+    */
+  def icebergCount(tableDir: String, snapshotId: Long): Long = {
+    val (fv, partCols, manifestList) = snapshotMeta(tableDir, snapshotId)
+    if (fv == 1)
+      foldManifestList(tableDir, manifestList, partCols,
+        pinLengths = true).map(_._3).sum
+    else {
+      val (data, dels) = foldManifestListV2(tableDir, manifestList,
+        partCols, pinLengths = true)
+      data.map(_._3).sum - dels.map(_._2).sum
+    }
+  }
+
+  /** Manifest-list → manifests fold, last action per path. Each live
+    * entry carries (partition tuple, record_count) — the count feeds
+    * [[icebergCount]]'s metadata-only aggregation. */
   private def foldManifestList(tableDir: String, manifestList: String,
       partCols: Seq[String], pinLengths: Boolean)
-      : Seq[(String, Seq[String])] = {
+      : Seq[(String, Seq[String], Long)] = {
     val entrySchema = manifestEntrySchema(partCols)
     val listBytes = java.nio.file.Files.readAllBytes(
       resolve(tableDir, manifestList).toPath)
     val listRows = AvroOcf.rowsResolved(listBytes, manifestFileSchema)
     require(listRows != null,
       s"iceberg manifest list unreadable: $manifestList")
-    val out =
-      scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Seq[String], Long)]
     var i = 0
     while (i < listRows.numElements()) {
       val mf = listRows.getStruct(i, manifestFileSchema.length)
@@ -412,14 +493,14 @@ object IcebergOps {
         if (status == 2) out.remove(path)
         else {
           val part = df.getStruct(2, partCols.length)
-          out(path) = partCols.indices.map(k =>
-            part.getUTF8String(k).toString)
+          out(path) = (partCols.indices.map(k =>
+            part.getUTF8String(k).toString), df.getLong(3))
         }
         j += 1
       }
       i += 1
     }
-    out.toSeq
+    out.iterator.map { case (p, (pv, rc)) => (p, pv, rc) }.toSeq
   }
 
   /** v2 fold: the manifest list's `content` column splits data vs
@@ -427,16 +508,16 @@ object IcebergOps {
     * (data entries, positional-delete file paths). */
   private def foldManifestListV2(tableDir: String, manifestList: String,
       partCols: Seq[String], pinLengths: Boolean)
-      : (Seq[(String, Seq[String])], Seq[String]) = {
+      : (Seq[(String, Seq[String], Long)], Seq[(String, Long)]) = {
     val entrySchema = manifestEntrySchemaV2(partCols)
     val listBytes = java.nio.file.Files.readAllBytes(
       resolve(tableDir, manifestList).toPath)
     val listRows = AvroOcf.rowsResolved(listBytes, manifestFileSchemaV2)
     require(listRows != null,
       s"iceberg v2 manifest list unreadable: $manifestList")
-    val data =
-      scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
-    val dels = scala.collection.mutable.LinkedHashMap.empty[String, Unit]
+    val data = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Seq[String], Long)]
+    val dels = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var i = 0
     while (i < listRows.numElements()) {
       val mf = listRows.getStruct(i, manifestFileSchemaV2.length)
@@ -467,18 +548,19 @@ object IcebergOps {
           if (status == 2) data.remove(path)
           else {
             val part = df.getStruct(3, partCols.length)
-            data(path) = partCols.indices.map(k =>
-              part.getUTF8String(k).toString)
+            data(path) = (partCols.indices.map(k =>
+              part.getUTF8String(k).toString), df.getLong(4))
           }
         } else {
           if (status == 2) dels.remove(path)
-          else dels(path) = ()
+          else dels(path) = df.getLong(4)
         }
         j += 1
       }
       i += 1
     }
-    (data.toSeq, dels.keys.toSeq)
+    (data.iterator.map { case (p, (pv, rc)) => (p, pv, rc) }.toSeq,
+      dels.toSeq)
   }
 
   /** The live set as of `snapshotId` per the metadata chain available
@@ -489,7 +571,7 @@ object IcebergOps {
   private def liveEntries(tableDir: String, snapshotId: Long,
       partCols: Seq[String]): Seq[(String, Seq[String])] =
     foldManifestList(tableDir, s"metadata/snap-$snapshotId.avro", partCols,
-      pinLengths = false)
+      pinLengths = false).map(e => (e._1, e._2))
 
   /** Time-travel read: exactly snapshot `snapshotId`'s file set, with
     * v2 positional deletes applied MERGE-ON-READ: the scan exposes
@@ -565,7 +647,7 @@ object IcebergOps {
         while (snaps.hasNext) ids += snaps.next().get("snapshot-id").asLong()
         val (d, del) = foldManifestListV2(tableDir,
           s"metadata/snap-${snapshotId - 1}.avro", Nil, pinLengths = false)
-        (d.map(_._1), del, ids.toSeq)
+        (d.map(_._1), del.map(_._1), ids.toSeq)
       }
     val removed = removes.toSet
     val carried = prevData.filterNot(removed)
@@ -577,10 +659,11 @@ object IcebergOps {
     val entrySchema = manifestEntrySchemaV2(Nil)
     def manifestBytes(entries: Seq[(Int, String)], content: Int) =
       AvroOcf.file(utf8Rows(entrySchema, entries.map { case (status, p) =>
+        val (nRows, nBytes) = statsOf(tableDir, p)
         Seq(status, snapshotId, new GenericInternalRow(Array[Any](
           content, UTF8String.fromString(p),
           UTF8String.fromString("PARQUET"),
-          new GenericInternalRow(Array.empty[Any]), 0L, 0L)))
+          new GenericInternalRow(Array.empty[Any]), nRows, nBytes)))
       }), entrySchema, "null")
     val dataRel = s"metadata/m-$snapshotId-data.avro"
     val dataBytes = manifestBytes(dataEntries, 0)
@@ -677,7 +760,7 @@ object IcebergOps {
       val list = sn.get("manifest-list").asText()
       if (fv == 1)
         foldManifestList(tableDir, list, partCols, pinLengths = false)
-          .foreach { case (p, _) =>
+          .foreach { case (p, _, _) =>
             referenced += resolve(tableDir, p).getCanonicalPath
           }
       else {
@@ -685,7 +768,7 @@ object IcebergOps {
           pinLengths = false)
         // delete files are retained metadata too: a reachable snapshot
         // needs them to replay merge-on-read
-        (data.map(_._1) ++ dels).foreach { p =>
+        (data.map(_._1) ++ dels.map(_._1)).foreach { p =>
           referenced += resolve(tableDir, p).getCanonicalPath
         }
       }

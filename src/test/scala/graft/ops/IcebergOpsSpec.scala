@@ -461,4 +461,64 @@ class IcebergOpsSpec extends SparkSuite {
       IcebergOps.icebergCommit(dir, 3, Seq("data/keep2"))
     }
   }
+
+  test("iceberg: metadata-only count matches the scan at every snapshot") {
+    // v1: multi-part bucket directories — the writer sums the footer
+    // record_count of every parquet child, so the stamped stats are
+    // REAL row counts, not declared zeros
+    val dir = java.nio.file.Files.createTempDirectory("graft_icecnt_")
+      .toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.parquet(s"$dir/data/u0")
+    Seq((4L, "d")).toDF("id", "v").write.parquet(s"$dir/data/u1")
+    Seq((5L, "e"), (6L, "f")).toDF("id", "v").write.parquet(s"$dir/data/u2")
+    IcebergOps.icebergCommit(dir, 0, Seq("data/u0", "data/u1"))
+    IcebergOps.icebergCommit(dir, 1, adds = Seq("data/u2"),
+      removes = Seq("data/u1"))
+    IcebergOps.icebergCommit(dir, 2, Seq("data/u1")) // re-add
+    (0 to 2).foreach { sid =>
+      assert(IcebergOps.icebergCount(dir, sid) ==
+        IcebergOps.readIcebergSnapshot(spark, dir, sid).count(),
+        s"snapshot $sid")
+    }
+    assert(IcebergOps.icebergCount(dir, 0) == 4L)
+    assert(IcebergOps.icebergCount(dir, 2) == 6L)
+
+    // v2 merge-on-read: Σ live data counts − Σ positional-delete counts,
+    // tracked across a delete snapshot AND a later append that carries
+    // the deletes forward
+    val d2 = java.nio.file.Files.createTempDirectory("graft_icecnt2_")
+      .toString
+    def oneFile(rows: Seq[(Long, String)], sub: String): String = {
+      rows.toDF("id", "v").repartition(1).sortWithinPartitions("id")
+        .write.parquet(s"$d2/data/$sub")
+      new java.io.File(s"$d2/data/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+        .sorted.head
+    }
+    val f0 = oneFile(Seq((1L, "a"), (2L, "b"), (3L, "c")), "u0")
+    val f1 = oneFile(Seq((4L, "d"), (5L, "e")), "u1")
+    IcebergOps.icebergCommitV2(d2, 0, Seq(f0, f1))
+    import org.apache.spark.sql.functions.col
+    val delRows = spark.read.parquet(f0, f1)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id").isin(2L, 5L))
+      .select(col("file_path"), col("pos"))
+    delRows.repartition(1).write.parquet(s"$d2/data/del1")
+    val delFile = new java.io.File(s"$d2/data/del1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .sorted.head
+    IcebergOps.icebergCommitV2(d2, 1, adds = Nil, deleteFiles = Seq(delFile))
+    val f2 = oneFile(Seq((9L, "z")), "u2")
+    IcebergOps.icebergCommitV2(d2, 2, Seq(f2))
+    assert(IcebergOps.icebergCount(d2, 0) == 5L)
+    assert(IcebergOps.icebergCount(d2, 1) == 3L)
+    assert(IcebergOps.icebergCount(d2, 2) == 4L)
+    (0 to 2).foreach { sid =>
+      assert(IcebergOps.icebergCount(d2, sid) ==
+        IcebergOps.readIcebergSnapshot(spark, d2, sid).count(),
+        s"v2 snapshot $sid")
+    }
+  }
 }

@@ -66,9 +66,11 @@ object AvroOcf {
   }
 
   /** Field-type JSON: primitives by name, StructType as a nested record
-    * (the shape Iceberg's manifest_entry.data_file requires). Nested
-    * record names are derived from the field path — Avro requires them
-    * unique within a schema.
+    * (the shape Iceberg's manifest_entry.data_file requires), ArrayType
+    * as an avro array (Iceberg encodes its k*-keyed "maps" — column
+    * bounds, stats — as arrays of key/value records, since avro map
+    * keys must be strings). Nested record names are derived from the
+    * field path — Avro requires them unique within a schema.
     */
   private def typeJson(dt: DataType, recName: String): String = dt match {
     case st: StructType =>
@@ -77,6 +79,8 @@ object AvroOcf {
           typeJson(f.dataType, recName + "_" + f.name)}}""")
         .mkString(s"""{"type":"record","name":"$recName","fields":[""",
           ",", "]}")
+    case ArrayType(et, _) =>
+      s"""{"type":"array","items":${typeJson(et, recName + "_item")}}"""
     case prim => "\"" + avroType(prim) + "\""
   }
 
@@ -256,10 +260,50 @@ object AvroOcf {
   // ---- writer ---------------------------------------------------------
 
   /** Avro record encoding is field concatenation — recursion covers
-    * nested records. Null fields refuse loudly: the emitted schema
-    * declares non-nullable types (no unions), so a null cannot be
-    * encoded without silent corruption.
+    * nested records and arrays (one block, zero terminator). Null
+    * fields refuse loudly: the emitted schema declares non-nullable
+    * types (no unions), so a null cannot be encoded without silent
+    * corruption.
     */
+  private def writeValue(body: java.io.ByteArrayOutputStream,
+      g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int, dt: DataType, where: String): Unit = dt match {
+    case LongType => writeLong(body, g.getLong(i))
+    case IntegerType => writeLong(body, g.getInt(i).toLong)
+    case BooleanType => body.write(if (g.getBoolean(i)) 1 else 0)
+    case DoubleType =>
+      val bits = java.lang.Double.doubleToLongBits(g.getDouble(i))
+      var k = 0
+      while (k < 8) { body.write(((bits >> (8 * k)) & 0xFF).toInt); k += 1 }
+    case StringType =>
+      val sb = g.getUTF8String(i).getBytes
+      writeLong(body, sb.length.toLong)
+      body.write(sb, 0, sb.length)
+    case BinaryType =>
+      val bb = g.getBinary(i)
+      writeLong(body, bb.length.toLong)
+      body.write(bb, 0, bb.length)
+    case st: StructType =>
+      writeRecord(body, g.getStruct(i, st.length), st, where)
+    case ArrayType(et, _) =>
+      val arr = g.getArray(i)
+      val n = arr.numElements()
+      if (n > 0) {
+        writeLong(body, n.toLong)
+        var k = 0
+        while (k < n) {
+          if (arr.isNullAt(k))
+            throw new IllegalArgumentException(
+              s"avro_file: null array element at $where[$k] " +
+                "(schema has no unions)")
+          writeValue(body, arr, k, et, s"$where[$k]")
+          k += 1
+        }
+      }
+      writeLong(body, 0L) // block terminator
+    case other => throw new IllegalArgumentException(other.toString)
+  }
+
   private def writeRecord(body: java.io.ByteArrayOutputStream,
       row: org.apache.spark.sql.catalyst.InternalRow,
       schema: StructType, where: String): Unit = {
@@ -269,27 +313,8 @@ object AvroOcf {
         throw new IllegalArgumentException(
           s"avro_file: null field '${schema.fields(f).name}' at $where " +
             "(schema has no unions)")
-      schema.fields(f).dataType match {
-        case LongType => writeLong(body, row.getLong(f))
-        case IntegerType => writeLong(body, row.getInt(f).toLong)
-        case BooleanType => body.write(if (row.getBoolean(f)) 1 else 0)
-        case DoubleType =>
-          val bits = java.lang.Double.doubleToLongBits(row.getDouble(f))
-          var k = 0
-          while (k < 8) { body.write(((bits >> (8 * k)) & 0xFF).toInt); k += 1 }
-        case StringType =>
-          val sb = row.getUTF8String(f).getBytes
-          writeLong(body, sb.length.toLong)
-          body.write(sb, 0, sb.length)
-        case BinaryType =>
-          val bb = row.getBinary(f)
-          writeLong(body, bb.length.toLong)
-          body.write(bb, 0, bb.length)
-        case st: StructType =>
-          writeRecord(body, row.getStruct(f, st.length), st,
-            where + "." + schema.fields(f).name)
-        case other => throw new IllegalArgumentException(other.toString)
-      }
+      writeValue(body, row, f, schema.fields(f).dataType,
+        where + "." + schema.fields(f).name)
       f += 1
     }
   }

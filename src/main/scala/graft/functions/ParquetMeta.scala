@@ -159,7 +159,7 @@ object ParquetMeta {
 
   private final case class Col(path: String, phys: String, codec: String,
       encodings: String, nValues: Long, bytesComp: Long, bytesUnc: Long,
-      nullCount: Long)
+      nullCount: Long, minBin: Array[Byte], maxBin: Array[Byte])
 
   private def parseColumnMeta(tc: Tc): Col = {
     var phys = -1
@@ -170,6 +170,8 @@ object ParquetMeta {
     var unc = -1L
     var comp = -1L
     var nullCount = -1L
+    var minBin: Array[Byte] = null
+    var maxBin: Array[Byte] = null
     tc.struct(0) { (id, t) =>
       id match {
         case 1 => phys = tc.zigzag().toInt
@@ -190,6 +192,8 @@ object ParquetMeta {
         case 12 => // Statistics
           tc.struct(1) { (sid, st) =>
             if (sid == 3 && st >= 3 && st <= 6) nullCount = tc.zigzag()
+            else if (sid == 5 && st == 8) maxBin = tc.binary() // max_value
+            else if (sid == 6 && st == 8) minBin = tc.binary() // min_value
             else tc.skip(st, 1)
           }
         case _ => tc.skip(t, 1)
@@ -201,60 +205,66 @@ object ParquetMeta {
       if (e >= 0 && e < Encodings.length) Encodings(e) else s"enc$e")
       .distinct.sorted
     Col(path.reverse.mkString("."), PhysTypes(phys), Codecs(codec),
-      encNames.mkString(","), nValues, comp, unc, nullCount)
+      encNames.mkString(","), nValues, comp, unc, nullCount, minBin, maxBin)
+  }
+
+  private def walkFooter(b: Array[Byte])
+      : (Int, Long, String, Int, Seq[(Int, Col)]) = {
+    if (b.length < 12) fail()
+    if (!(b(0) == 'P' && b(1) == 'A' && b(2) == 'R' && b(3) == '1'))
+      fail()
+    val n = b.length
+    if (!(b(n - 4) == 'P' && b(n - 3) == 'A' && b(n - 2) == 'R' &&
+      b(n - 1) == '1')) fail()
+    val metaLen = (b(n - 8) & 0xff) | ((b(n - 7) & 0xff) << 8) |
+      ((b(n - 6) & 0xff) << 16) | ((b(n - 5) & 0xff) << 24)
+    if (metaLen <= 0 || n - 8 - metaLen < 4) fail()
+    val tc = new Tc(b, n - 8 - metaLen, n - 8)
+    var version = -1
+    var numRows = -1L
+    var createdBy: String = null
+    val cols = scala.collection.mutable.ArrayBuffer.empty[(Int, Col)]
+    var rgIdx = 0
+    tc.struct(0) { (id, t) =>
+      id match {
+        case 1 => version = tc.zigzag().toInt
+        case 3 => numRows = tc.zigzag()
+        case 4 => // row_groups
+          val (et, nRg) = tc.listHeader()
+          if (et != 12) fail()
+          var g = 0L
+          while (g < nRg) {
+            tc.struct(1) { (rid, rt) =>
+              if (rid == 1) { // columns
+                val (cet, nc) = tc.listHeader()
+                if (cet != 12) fail()
+                var c = 0L
+                while (c < nc) {
+                  var col: Col = null
+                  tc.struct(2) { (cid, ct) =>
+                    if (cid == 3) col = parseColumnMeta(tc)
+                    else tc.skip(ct, 2)
+                  }
+                  if (col == null) fail()
+                  cols += ((rgIdx, col))
+                  c += 1
+                }
+              } else tc.skip(rt, 1)
+            }
+            rgIdx += 1
+            g += 1
+          }
+        case 6 => createdBy = tc.str()
+        case _ => tc.skip(t, 0)
+      }
+    }
+    if (version < 0 || numRows < 0) fail()
+    (version, numRows, createdBy, rgIdx, cols.toSeq)
   }
 
   def parse(b: Array[Byte]): InternalRow =
     try {
-      if (b.length < 12) fail()
-      if (!(b(0) == 'P' && b(1) == 'A' && b(2) == 'R' && b(3) == '1'))
-        fail()
-      val n = b.length
-      if (!(b(n - 4) == 'P' && b(n - 3) == 'A' && b(n - 2) == 'R' &&
-        b(n - 1) == '1')) fail()
-      val metaLen = (b(n - 8) & 0xff) | ((b(n - 7) & 0xff) << 8) |
-        ((b(n - 6) & 0xff) << 16) | ((b(n - 5) & 0xff) << 24)
-      if (metaLen <= 0 || n - 8 - metaLen < 4) fail()
-      val tc = new Tc(b, n - 8 - metaLen, n - 8)
-      var version = -1
-      var numRows = -1L
-      var createdBy: String = null
-      val cols = scala.collection.mutable.ArrayBuffer.empty[(Int, Col)]
-      var rgIdx = 0
-      tc.struct(0) { (id, t) =>
-        id match {
-          case 1 => version = tc.zigzag().toInt
-          case 3 => numRows = tc.zigzag()
-          case 4 => // row_groups
-            val (et, nRg) = tc.listHeader()
-            if (et != 12) fail()
-            var g = 0L
-            while (g < nRg) {
-              tc.struct(1) { (rid, rt) =>
-                if (rid == 1) { // columns
-                  val (cet, nc) = tc.listHeader()
-                  if (cet != 12) fail()
-                  var c = 0L
-                  while (c < nc) {
-                    var col: Col = null
-                    tc.struct(2) { (cid, ct) =>
-                      if (cid == 3) col = parseColumnMeta(tc)
-                      else tc.skip(ct, 2)
-                    }
-                    if (col == null) fail()
-                    cols += ((rgIdx, col))
-                    c += 1
-                  }
-                } else tc.skip(rt, 1)
-              }
-              rgIdx += 1
-              g += 1
-            }
-          case 6 => createdBy = tc.str()
-          case _ => tc.skip(t, 0)
-        }
-      }
-      if (version < 0 || numRows < 0) fail()
+      val (version, numRows, createdBy, rgIdx, cols) = walkFooter(b)
       val rows = cols.map { case (rg, c) =>
         InternalRow(rg, UTF8String.fromString(c.path),
           UTF8String.fromString(c.phys), UTF8String.fromString(c.codec),
@@ -265,6 +275,42 @@ object ParquetMeta {
         if (createdBy == null) null else UTF8String.fromString(createdBy),
         rgIdx, new GenericArrayData(rows.toArray[Any]))
     } catch { case Corrupt => null }
+
+  /** Little-endian signed decode per the parquet statistics spec:
+    * int64 min_value/max_value are 8 bytes, int32 are 4 (sign carried
+    * by the top byte). */
+  private def leSigned(b: Array[Byte]): Long = {
+    var v = 0L
+    var k = b.length - 1
+    while (k >= 0) { v = (v << 8) | (b(k) & 0xffL); k -= 1 }
+    if (b.length == 4) v.toInt.toLong else v
+  }
+
+  /** Per-column [min, max] over ALL row groups, decoded from the
+    * footer statistics' `min_value`/`max_value` — int32/int64 columns
+    * only, and only when every chunk of the column carries both stats
+    * at the spec'd width (a single stats-less chunk makes the
+    * file-level bound unknowable, so the column is omitted —
+    * conservative, never a guessed bound). Returns empty on any footer
+    * refusal.
+    */
+  def longBounds(b: Array[Byte]): Map[String, (Long, Long)] =
+    try {
+      val (_, _, _, _, cols) = walkFooter(b)
+      cols.map(_._2).groupBy(_.path).flatMap { case (p, cs) =>
+        val widths = cs.headOption.map(_.phys) match {
+          case Some("int64") => 8
+          case Some("int32") => 4
+          case _ => -1
+        }
+        val ok = widths > 0 && cs.forall(c => c.phys == cs.head.phys &&
+          c.minBin != null && c.minBin.length == widths &&
+          c.maxBin != null && c.maxBin.length == widths)
+        if (!ok) None
+        else Some(p -> (cs.map(c => leSigned(c.minBin)).min,
+          cs.map(c => leSigned(c.maxBin)).max))
+      }
+    } catch { case Corrupt => Map.empty[String, (Long, Long)] }
 }
 
 /** `parquet_footer(binary)` → footer-audit struct or null. */

@@ -64,6 +64,40 @@ object IcebergOps {
   val manifestEntrySchemaUnpartitioned: StructType =
     manifestEntrySchema(Nil)
 
+  /** One (field-id → serialized value) pair of the spec's
+    * `lower_bounds`/`upper_bounds` — Iceberg encodes these int-keyed
+    * maps in avro as ARRAYS of key/value records (avro map keys must
+    * be strings), value bytes in the single-value serialization
+    * (8-byte little-endian for long). */
+  val boundsKvSchema: StructType = StructType(Seq(
+    StructField("key", IntegerType, nullable = false),
+    StructField("value", BinaryType, nullable = false)))
+
+  /** v1 entry schema WITH per-file column bounds: data_file gains the
+    * spec's `lower_bounds`/`upper_bounds` (field-id-keyed, optional
+    * per column — an empty array means "no bound, cannot prune this
+    * file"). Chains written without `statsCols` keep the plain schema;
+    * reads that don't prune resolve EITHER layout (schema resolution
+    * discards writer-only fields), while the stats-pruned read
+    * requires this one and refuses chains without bounds.
+    */
+  def manifestEntrySchemaStats(partCols: Seq[String]): StructType =
+    StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("data_file", StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("partition", StructType(partCols.map(c =>
+          StructField(c, StringType, nullable = false))), nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("file_size_in_bytes", LongType, nullable = false),
+        StructField("lower_bounds",
+          ArrayType(boundsKvSchema, containsNull = false), nullable = false),
+        StructField("upper_bounds",
+          ArrayType(boundsKvSchema, containsNull = false), nullable = false))),
+        nullable = false)))
+
   /** manifest_file (v1 required fields of the manifest list). */
   val manifestFileSchema: StructType = StructType(Seq(
     StructField("manifest_path", StringType, nullable = false),
@@ -128,7 +162,7 @@ object IcebergOps {
     * writer can stamp REAL `record_count` stats without scanning a
     * single data page. O(footer bytes), never O(file).
     */
-  private def parquetNumRows(f: java.io.File): Long = {
+  private def footerBytes(f: java.io.File): Array[Byte] = {
     val raf = new java.io.RandomAccessFile(f, "r")
     try {
       val n = raf.length()
@@ -145,11 +179,14 @@ object IcebergOps {
       raf.seek(n - 8 - metaLen)
       val foot = new Array[Byte](metaLen + 8)
       raf.readFully(foot)
-      val synthetic = "PAR1".getBytes("ISO-8859-1") ++ foot
-      val row = graft.functions.ParquetMeta.parse(synthetic)
-      require(row != null, s"unreadable parquet footer: $f")
-      row.getLong(1)
+      "PAR1".getBytes("ISO-8859-1") ++ foot
     } finally raf.close()
+  }
+
+  private def parquetNumRows(f: java.io.File): Long = {
+    val row = graft.functions.ParquetMeta.parse(footerBytes(f))
+    require(row != null, s"unreadable parquet footer: $f")
+    row.getLong(1)
   }
 
   /** (record_count, file_size_in_bytes) for one committed path: a
@@ -170,6 +207,33 @@ object IcebergOps {
     } else (0L, 0L)
   }
 
+  /** Per-column [min,max] for one committed path, restricted to
+    * `statsCols`, from the parquet FOOTER statistics
+    * ([[graft.functions.ParquetMeta.longBounds]]): a bucket directory
+    * merges its parts (min of mins / max of maxes), and a column whose
+    * stats are missing in ANY part is DROPPED — a partial bound would
+    * prune files it must not. Deterministic per immutable file, so
+    * replay byte-identity holds.
+    */
+  private def boundsOf(tableDir: String, p: String,
+      statsCols: Seq[String]): Map[String, (Long, Long)] = {
+    val f = resolve(tableDir, p)
+    val perFile: Seq[Map[String, (Long, Long)]] =
+      if (f.isFile) Seq(graft.functions.ParquetMeta.longBounds(footerBytes(f)))
+      else if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(x => x.isFile && x.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+          .map(x => graft.functions.ParquetMeta.longBounds(footerBytes(x)))
+      else Seq.empty
+    if (perFile.isEmpty) Map.empty
+    else statsCols.flatMap { c =>
+      val bs = perFile.map(_.get(c))
+      if (bs.exists(_.isEmpty)) None
+      else Some(c -> (bs.map(_.get._1).min, bs.map(_.get._2).max))
+    }.toMap
+  }
+
   /** Append snapshot `snapshotId` (0-based, consecutive): the new live
     * set is (previous live ++ adds -- removes). Writes one full
     * manifest for the snapshot (status 1 for the new adds, 0 for
@@ -180,9 +244,10 @@ object IcebergOps {
     * multi-file write never publishes a half-committed snapshot.
     */
   def icebergCommit(tableDir: String, snapshotId: Long,
-                    adds: Seq[String], removes: Seq[String] = Nil): Unit =
+                    adds: Seq[String], removes: Seq[String] = Nil,
+                    statsCols: Seq[String] = Nil): Unit =
     icebergCommitPartitioned(tableDir, snapshotId, Nil,
-      adds.map(p => p -> Seq.empty[String]), removes)
+      adds.map(p => p -> Seq.empty[String]), removes, statsCols)
 
   /** Partitioned variant: `partCols` declares the spec (identity
     * transforms over string columns — this writer's subset), each add
@@ -194,13 +259,18 @@ object IcebergOps {
     */
   def icebergCommitPartitioned(tableDir: String, snapshotId: Long,
       partCols: Seq[String], adds: Seq[(String, Seq[String])],
-      removes: Seq[String] = Nil): Unit = {
+      removes: Seq[String] = Nil, statsCols: Seq[String] = Nil): Unit = {
     require(snapshotId >= 0, "iceberg snapshot ids start at 0")
     require(adds.forall(_._2.length == partCols.length),
       "every add must carry one value per partition column")
+    require(statsCols.distinct == statsCols &&
+      statsCols.forall(c => !partCols.contains(c)),
+      "statsCols must be distinct data columns, not partition columns")
     val md = metadataDir(tableDir)
     val m = mapper
-    val entrySchema = manifestEntrySchema(partCols)
+    val entrySchema =
+      if (statsCols.isEmpty) manifestEntrySchema(partCols)
+      else manifestEntrySchemaStats(partCols)
     val (prevLive, prevSnapshots) =
       if (snapshotId == 0L)
         (Seq.empty[(String, Seq[String])], Seq.empty[Long])
@@ -216,6 +286,9 @@ object IcebergOps {
         require(specColsOf(prior) == partCols,
           s"iceberg partition spec changed mid-table (was " +
             s"${specColsOf(prior).mkString(",")})")
+        require(statsColsOf(prior).map(_._1) == statsCols,
+          s"iceberg stats columns changed mid-table (was " +
+            s"${statsColsOf(prior).map(_._1).mkString(",")})")
         val snaps = prior.get("snapshots").elements()
         val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
         while (snaps.hasNext) ids += snaps.next().get("snapshot-id").asLong()
@@ -232,14 +305,43 @@ object IcebergOps {
     // manifest/list files of the existing snapshot — the same
     // nothing-half-committed discipline as deltaCommit.
     val manifestRel = s"metadata/m-$snapshotId.avro"
+    // field ids: partition columns 1..p, stats columns p+1.. — the
+    // bounds arrays key on the STATS column's schema id, the spec's
+    // field-id-keyed lower_bounds/upper_bounds shape
+    val statsIds = statsCols.zipWithIndex.map { case (c, i) =>
+      c -> (partCols.length + 1 + i)
+    }
+    def le8(v: Long): Array[Byte] = {
+      val a = new Array[Byte](8)
+      var k = 0
+      while (k < 8) { a(k) = ((v >> (8 * k)) & 0xff).toByte; k += 1 }
+      a
+    }
+    def kvArray(pairs: Seq[(Int, Long)]): GenericArrayData =
+      new GenericArrayData(pairs.map { case (id, v) =>
+        new GenericInternalRow(Array[Any](id, le8(v)))
+      }.toArray[Any])
     val manifestBytes = AvroOcf.file(
       utf8Rows(entrySchema, entries.map { case (status, p, pv) =>
         val (nRows, nBytes) = statsOf(tableDir, p)
-        Seq(status, snapshotId, new GenericInternalRow(Array[Any](
+        val base = Array[Any](
           UTF8String.fromString(p), UTF8String.fromString("PARQUET"),
           new GenericInternalRow(
             pv.map(v => UTF8String.fromString(v): Any).toArray),
-          nRows, nBytes)))
+          nRows, nBytes)
+        val dataFile =
+          if (statsCols.isEmpty) base
+          else {
+            val b = boundsOf(tableDir, p, statsCols)
+            val lower = statsIds.collect {
+              case (c, id) if b.contains(c) => id -> b(c)._1
+            }
+            val upper = statsIds.collect {
+              case (c, id) if b.contains(c) => id -> b(c)._2
+            }
+            base ++ Array[Any](kvArray(lower), kvArray(upper))
+          }
+        Seq(status, snapshotId, new GenericInternalRow(dataFile))
       }), entrySchema, "null")
     val listRel = s"metadata/snap-$snapshotId.avro"
     val listBytes = AvroOcf.file(
@@ -253,7 +355,7 @@ object IcebergOps {
       ("iceberg:" + tableDir).getBytes("UTF-8")).toString)
     root.put("location", tableDir)
     root.put("last-updated-ms", 0L)
-    root.put("last-column-id", partCols.length)
+    root.put("last-column-id", partCols.length + statsCols.length)
     val schema = root.putObject("schema")
     schema.put("type", "struct")
     val sFields = schema.putArray("fields")
@@ -261,6 +363,11 @@ object IcebergOps {
       val f = sFields.addObject()
       f.put("id", i + 1); f.put("name", c)
       f.put("required", true); f.put("type", "string")
+    }
+    statsCols.zipWithIndex.foreach { case (c, i) =>
+      val f = sFields.addObject()
+      f.put("id", partCols.length + 1 + i); f.put("name", c)
+      f.put("required", false); f.put("type", "long")
     }
     root.putObject("partition-spec") // v1 single-spec form (deprecated but required)
     val specs = root.putArray("partition-specs")
@@ -345,6 +452,25 @@ object IcebergOps {
     }
     throw new IllegalArgumentException(
       s"iceberg default-spec-id $specId not in partition-specs")
+  }
+
+  /** (name, field-id) of the long-typed STATS columns this writer
+    * registers in the table schema (partition columns are string-typed
+    * in its subset, so type alone separates them). Empty for chains
+    * written without `statsCols`.
+    */
+  private def statsColsOf(
+      root: com.fasterxml.jackson.databind.JsonNode): Seq[(String, Int)] = {
+    val schema = root.get("schema")
+    if (schema == null || schema.get("fields") == null) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val it = schema.get("fields").elements()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.get("type").asText() == "long")
+        out += ((f.get("name").asText(), f.get("id").asInt()))
+    }
+    out.toSeq
   }
 
   /** Live data-file paths of `snapshotId`, resolved through the
@@ -898,5 +1024,134 @@ object IcebergOps {
     if (deletes.isEmpty) spark.read.parquet(paths: _*)
     else applyPositionalDeletes(spark, paths,
       deletes.map(p => resolve(tableDir, p).getAbsolutePath))
+  }
+
+  /** Manifest fold that ALSO decodes the spec's per-file
+    * `lower_bounds`/`upper_bounds` (field-id-keyed logical maps,
+    * 8-byte little-endian long values — the single-value
+    * serialization). Last action per path, like [[foldManifestList]].
+    * A field id present in only one of the two arrays is dropped (a
+    * half-bound cannot prune); a malformed value width refuses loudly
+    * rather than mis-ranging.
+    */
+  private def foldManifestListBounds(tableDir: String, manifestList: String,
+      partCols: Seq[String])
+      : Seq[(String, Map[Int, (Long, Long)])] = {
+    val entrySchema = manifestEntrySchemaStats(partCols)
+    val listBytes = java.nio.file.Files.readAllBytes(
+      resolve(tableDir, manifestList).toPath)
+    val listRows = AvroOcf.rowsResolved(listBytes, manifestFileSchema)
+    require(listRows != null,
+      s"iceberg manifest list unreadable: $manifestList")
+    def le8ToLong(b: Array[Byte], where: String): Long = {
+      require(b.length == 8,
+        s"iceberg bound value is ${b.length} bytes, want 8 (long): $where")
+      var v = 0L
+      var k = 7
+      while (k >= 0) { v = (v << 8) | (b(k) & 0xffL); k -= 1 }
+      v
+    }
+    def kvMap(df: org.apache.spark.sql.catalyst.InternalRow, ord: Int,
+        where: String): Map[Int, Long] = {
+      val arr = df.getArray(ord)
+      (0 until arr.numElements()).map { k =>
+        val kv = arr.getStruct(k, 2)
+        kv.getInt(0) -> le8ToLong(kv.getBinary(1), where)
+      }.toMap
+    }
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, Map[Int, (Long, Long)]]
+    var i = 0
+    while (i < listRows.numElements()) {
+      val mf = listRows.getStruct(i, manifestFileSchema.length)
+      val mPath = mf.getUTF8String(0).toString
+      val mBytes = java.nio.file.Files.readAllBytes(
+        resolve(tableDir, mPath).toPath)
+      require(mf.getLong(1) == mBytes.length,
+        s"iceberg manifest length mismatch: $mPath")
+      val entries = AvroOcf.rowsResolved(mBytes, entrySchema)
+      require(entries != null,
+        s"iceberg manifest lacks column bounds (written without " +
+          s"statsCols?): $mPath")
+      var j = 0
+      while (j < entries.numElements()) {
+        val e = entries.getStruct(j, entrySchema.length)
+        val status = e.getInt(0)
+        val df = e.getStruct(2, 7)
+        val path = df.getUTF8String(0).toString
+        if (status == 2) out.remove(path)
+        else {
+          val lower = kvMap(df, 5, s"$mPath#$path lower_bounds")
+          val upper = kvMap(df, 6, s"$mPath#$path upper_bounds")
+          out(path) = lower.keySet.intersect(upper.keySet)
+            .map(id => id -> (lower(id), upper(id))).toMap
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** MANIFEST-LEVEL VALUE-RANGE PRUNING (min/max file skipping) — the
+    * stats half of Iceberg scan planning: keep only the files whose
+    * footer-derived [lower, upper] for `column` INTERSECTS [lo, hi],
+    * plan the parquet read over that list, and apply the row-level
+    * BETWEEN on top (bounds prune files, they don't filter rows). A
+    * file carrying NO bound for the column is KEPT — conservative,
+    * pruning may only drop provably-disjoint files — so results are
+    * exact whether or not every file has stats. Refuses loudly when
+    * `column` was never registered via `statsCols` at commit time (a
+    * typo must not silently scan everything while claiming to prune).
+    * At 100 TB this is why a time-range query over an append-only
+    * table opens O(matching files), not O(table): the decision is made
+    * from O(manifest rows) of metadata, zero data-file footers.
+    */
+  def readIcebergBoundsPruned(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, snapshotId: Long, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (_, root) = currentMeta(tableDir)
+    val statsIds = statsColsOf(root)
+    val fieldId = statsIds.collectFirst { case (c, id) if c == column => id }
+    require(fieldId.nonEmpty,
+      s"iceberg column '$column' has no registered bounds (statsCols " +
+        s"were: ${statsIds.map(_._1).mkString(",")})")
+    val (fv, partCols, manifestList) = snapshotMeta(tableDir, snapshotId)
+    require(fv == 1,
+      s"iceberg bounds pruning is v1-only here (format-version $fv)")
+    val entries = foldManifestListBounds(tableDir, manifestList, partCols)
+    require(entries.nonEmpty, s"iceberg snapshot $snapshotId has no files")
+    val keep = entries.filter { case (_, bounds) =>
+      bounds.get(fieldId.get) match {
+        case Some((fLo, fHi)) => fLo <= hi && fHi >= lo
+        case None => true // no stats for this column: cannot skip
+      }
+    }
+    require(keep.nonEmpty,
+      s"iceberg snapshot $snapshotId: every file is disjoint from " +
+        s"[$lo,$hi] on '$column' — empty scan, caller should " +
+        "short-circuit")
+    val paths = keep.map(e => resolve(tableDir, e._1).getAbsolutePath)
+    spark.read.parquet(paths: _*)
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** The file subset [[readIcebergBoundsPruned]] would scan — the
+    * spec's machine-assertable half (inputFiles-style), without
+    * building the DataFrame. */
+  def boundsPrunedFiles(tableDir: String, snapshotId: Long,
+      column: String, lo: Long, hi: Long): Seq[String] = {
+    val (_, root) = currentMeta(tableDir)
+    val fieldId = statsColsOf(root).collectFirst {
+      case (c, id) if c == column => id
+    }
+    require(fieldId.nonEmpty, s"iceberg column '$column' has no bounds")
+    val (fv, partCols, manifestList) = snapshotMeta(tableDir, snapshotId)
+    require(fv == 1, s"iceberg bounds pruning is v1-only (fv $fv)")
+    foldManifestListBounds(tableDir, manifestList, partCols)
+      .filter { case (_, b) => b.get(fieldId.get)
+        .forall { case (fLo, fHi) => fLo <= hi && fHi >= lo } }
+      .map(_._1)
   }
 }

@@ -480,4 +480,68 @@ class AvroOcfSpec extends AnyFunSuite {
     assert(AvroOcf.rows(blob, target) == null)
     assert(AvroOcf.rowsResolved(blob, target) == null)
   }
+
+  test("writer arrays (iceberg bounds kv shape): ours->java and java->ours") {
+    // the spec's lower_bounds/upper_bounds layout: array of key/value
+    // records, int field id + single-value-serialized bytes
+    val kv = StructType(Seq(
+      StructField("key", IntegerType, nullable = false),
+      StructField("value", BinaryType, nullable = false)))
+    val sch = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("lower_bounds", ArrayType(kv, containsNull = false),
+        nullable = false)))
+    def kvRow(k: Int, v: Array[Byte]) =
+      new GenericInternalRow(Array[Any](k, v))
+    val blob = AvroOcf.file(new GenericArrayData(Array[Any](
+      new GenericInternalRow(Array[Any](UTF8String.fromString("f0"),
+        new GenericArrayData(Array[Any](
+          kvRow(1, Array[Byte](1, 0, 0, 0, 0, 0, 0, 0)),
+          kvRow(2, Array[Byte](-1, -1, -1, -1, -1, -1, -1, 127)))))),
+      new GenericInternalRow(Array[Any](UTF8String.fromString("f1"),
+        new GenericArrayData(Array.empty[Any]))))), sch, "null")
+    // ours -> java: the independent decoder must see both arrays exactly
+    val rdr = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(blob),
+      new GenericDatumReader[GenericRecord]())
+    val r0 = rdr.next()
+    val arr0 = r0.get("lower_bounds")
+      .asInstanceOf[java.util.List[GenericRecord]]
+    assert(r0.get("path").toString == "f0" && arr0.size == 2)
+    assert(arr0.get(0).get("key") == 1 && arr0.get(1).get("key") == 2)
+    assert(arr0.get(0).get("value").asInstanceOf[java.nio.ByteBuffer]
+      .remaining == 8)
+    val r1 = rdr.next()
+    assert(r1.get("path").toString == "f1" &&
+      r1.get("lower_bounds").asInstanceOf[java.util.List[_]].isEmpty)
+    assert(!rdr.hasNext)
+    rdr.close()
+    // java -> ours: the java library re-writes the same records with
+    // its OWN sync + framing; rowsResolved must decode them back
+    val js = new org.apache.avro.Schema.Parser().parse(
+      AvroOcf.schemaJson(sch))
+    val baos = new java.io.ByteArrayOutputStream
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](js))
+    w.create(js, baos)
+    w.append(r0); w.append(r1)
+    w.close()
+    val got = AvroOcf.rowsResolved(baos.toByteArray, sch)
+    assert(got != null && got.numElements() == 2)
+    val g0 = got.getStruct(0, 2)
+    assert(g0.getUTF8String(0).toString == "f0")
+    val ga = g0.getArray(1)
+    assert(ga.numElements() == 2)
+    assert(ga.getStruct(0, 2).getInt(0) == 1 &&
+      ga.getStruct(1, 2).getInt(0) == 2)
+    assert(ga.getStruct(1, 2).getBinary(1).toSeq ==
+      Seq[Byte](-1, -1, -1, -1, -1, -1, -1, 127))
+    assert(got.getStruct(1, 2).getArray(1).numElements() == 0)
+    // a null array element refuses loudly at write time (no unions)
+    intercept[IllegalArgumentException] {
+      AvroOcf.file(new GenericArrayData(Array[Any](
+        new GenericInternalRow(Array[Any](UTF8String.fromString("f2"),
+          new GenericArrayData(Array[Any](null)))))), sch, "null")
+    }
+  }
 }

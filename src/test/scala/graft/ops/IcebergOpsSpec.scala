@@ -521,4 +521,69 @@ class IcebergOpsSpec extends SparkSuite {
         s"v2 snapshot $sid")
     }
   }
+
+  test("iceberg: column bounds stamp + value-range pruning, machine-asserted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_icebnd_")
+      .toString
+    // three disjoint id bands + a double column `x` that CANNOT carry
+    // long bounds (footer stats are not int32/int64) — its files must
+    // always be conservatively kept
+    Seq((0L, 0.5), (9L, 1.5)).toDF("id", "x").write.parquet(s"$dir/data/b0")
+    Seq((10L, 2.5), (19L, 3.5)).toDF("id", "x")
+      .write.parquet(s"$dir/data/b1")
+    Seq((20L, 4.5), (29L, 5.5)).toDF("id", "x")
+      .write.parquet(s"$dir/data/b2")
+    IcebergOps.icebergCommit(dir, 0, Seq("data/b0", "data/b1", "data/b2"),
+      statsCols = Seq("id", "x"))
+    def pruned(lo: Long, hi: Long): Set[String] =
+      IcebergOps.boundsPrunedFiles(dir, 0, "id", lo, hi).toSet
+    // exact skipping: only the intersecting bands survive
+    assert(pruned(0L, 9L) == Set("data/b0"))
+    assert(pruned(5L, 15L) == Set("data/b0", "data/b1"))
+    assert(pruned(12L, 28L) == Set("data/b1", "data/b2"))
+    assert(pruned(0L, 100L) ==
+      Set("data/b0", "data/b1", "data/b2"))
+    assert(pruned(50L, 60L).isEmpty) // all provably disjoint
+    // the read over a pruned plan returns exactly the BETWEEN rows
+    val got = IcebergOps.readIcebergBoundsPruned(spark, dir, 0, "id", 5L, 15L)
+    assert(got.select("id").as[Long].collect().sorted.toSeq == Seq(9L, 10L))
+    // and its scan lists ONLY the surviving files
+    assert(got.inputFiles.forall(f => !f.contains("data/b2")))
+    // `x` registered but double-typed: no long bounds stamped, so every
+    // file is conservatively kept and the residual filter does the work
+    assert(IcebergOps.boundsPrunedFiles(dir, 0, "x", 2L, 3L).toSet ==
+      Set("data/b0", "data/b1", "data/b2"))
+    assert(IcebergOps.readIcebergBoundsPruned(spark, dir, 0, "x", 2L, 3L)
+      .select("x").as[Double].collect().toSeq == Seq(2.5))
+    // an unregistered column refuses loudly (typo must not full-scan)
+    intercept[IllegalArgumentException] {
+      IcebergOps.readIcebergBoundsPruned(spark, dir, 0, "nope", 0L, 1L)
+    }
+    // an all-disjoint range refuses rather than returning a wrong scan
+    intercept[IllegalArgumentException] {
+      IcebergOps.readIcebergBoundsPruned(spark, dir, 0, "id", 50L, 60L)
+    }
+    // a chain committed WITHOUT statsCols refuses the bounds read
+    val plain = java.nio.file.Files.createTempDirectory("graft_icebnd0_")
+      .toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$plain/data/u0")
+    IcebergOps.icebergCommit(plain, 0, Seq("data/u0"))
+    intercept[IllegalArgumentException] {
+      IcebergOps.readIcebergBoundsPruned(spark, plain, 0, "id", 0L, 1L)
+    }
+    // statsCols are part of the chain contract: changing them refuses
+    intercept[IllegalArgumentException] {
+      IcebergOps.icebergCommit(dir, 1, Seq("data/b0"), statsCols = Seq("id"))
+    }
+    // appends re-stamp bounds; the PLAIN fold still reads a stats
+    // chain (writer-only fields resolve away), and time travel holds
+    Seq((40L, 6.5)).toDF("id", "x").write.parquet(s"$dir/data/b3")
+    IcebergOps.icebergCommit(dir, 1, Seq("data/b3"),
+      statsCols = Seq("id", "x"))
+    assert(IcebergOps.icebergFiles(spark, dir, 1).toSet ==
+      Set("data/b0", "data/b1", "data/b2", "data/b3"))
+    assert(IcebergOps.boundsPrunedFiles(dir, 1, "id", 35L, 50L) ==
+      Seq("data/b3"))
+    assert(IcebergOps.icebergCount(dir, 1) == 7L)
+  }
 }

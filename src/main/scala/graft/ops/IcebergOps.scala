@@ -586,11 +586,12 @@ object IcebergOps {
   }
 
   /** Manifest-list → manifests fold, last action per path. Each live
-    * entry carries (partition tuple, record_count) — the count feeds
-    * [[icebergCount]]'s metadata-only aggregation. */
+    * entry carries (partition tuple, record_count, file_size_in_bytes)
+    * — the count feeds [[icebergCount]]'s metadata-only aggregation,
+    * the pair feeds the `files`/`partitions` metadata tables. */
   private def foldManifestList(tableDir: String, manifestList: String,
       partCols: Seq[String], pinLengths: Boolean)
-      : Seq[(String, Seq[String], Long)] = {
+      : Seq[(String, Seq[String], Long, Long)] = {
     val entrySchema = manifestEntrySchema(partCols)
     val listBytes = java.nio.file.Files.readAllBytes(
       resolve(tableDir, manifestList).toPath)
@@ -598,7 +599,7 @@ object IcebergOps {
     require(listRows != null,
       s"iceberg manifest list unreadable: $manifestList")
     val out = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Seq[String], Long)]
+      .empty[String, (Seq[String], Long, Long)]
     var i = 0
     while (i < listRows.numElements()) {
       val mf = listRows.getStruct(i, manifestFileSchema.length)
@@ -620,21 +621,23 @@ object IcebergOps {
         else {
           val part = df.getStruct(2, partCols.length)
           out(path) = (partCols.indices.map(k =>
-            part.getUTF8String(k).toString), df.getLong(3))
+            part.getUTF8String(k).toString), df.getLong(3), df.getLong(4))
         }
         j += 1
       }
       i += 1
     }
-    out.iterator.map { case (p, (pv, rc)) => (p, pv, rc) }.toSeq
+    out.iterator.map { case (p, (pv, rc, sz)) => (p, pv, rc, sz) }.toSeq
   }
 
   /** v2 fold: the manifest list's `content` column splits data vs
     * delete manifests; each folds last-action-per-path. Returns
-    * (data entries, positional-delete file paths). */
+    * (data entries, positional-delete entries), each carrying
+    * (partition tuple /-/, record_count, file_size_in_bytes). */
   private def foldManifestListV2(tableDir: String, manifestList: String,
       partCols: Seq[String], pinLengths: Boolean)
-      : (Seq[(String, Seq[String], Long)], Seq[(String, Long)]) = {
+      : (Seq[(String, Seq[String], Long, Long)],
+         Seq[(String, Long, Long)]) = {
     val entrySchema = manifestEntrySchemaV2(partCols)
     val listBytes = java.nio.file.Files.readAllBytes(
       resolve(tableDir, manifestList).toPath)
@@ -642,8 +645,9 @@ object IcebergOps {
     require(listRows != null,
       s"iceberg v2 manifest list unreadable: $manifestList")
     val data = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Seq[String], Long)]
-    val dels = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      .empty[String, (Seq[String], Long, Long)]
+    val dels = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long)]
     var i = 0
     while (i < listRows.numElements()) {
       val mf = listRows.getStruct(i, manifestFileSchemaV2.length)
@@ -675,18 +679,18 @@ object IcebergOps {
           else {
             val part = df.getStruct(3, partCols.length)
             data(path) = (partCols.indices.map(k =>
-              part.getUTF8String(k).toString), df.getLong(4))
+              part.getUTF8String(k).toString), df.getLong(4), df.getLong(5))
           }
         } else {
           if (status == 2) dels.remove(path)
-          else dels(path) = df.getLong(4)
+          else dels(path) = (df.getLong(4), df.getLong(5))
         }
         j += 1
       }
       i += 1
     }
-    (data.iterator.map { case (p, (pv, rc)) => (p, pv, rc) }.toSeq,
-      dels.toSeq)
+    (data.iterator.map { case (p, (pv, rc, sz)) => (p, pv, rc, sz) }.toSeq,
+      dels.iterator.map { case (p, (rc, sz)) => (p, rc, sz) }.toSeq)
   }
 
   /** The live set as of `snapshotId` per the metadata chain available
@@ -886,7 +890,7 @@ object IcebergOps {
       val list = sn.get("manifest-list").asText()
       if (fv == 1)
         foldManifestList(tableDir, list, partCols, pinLengths = false)
-          .foreach { case (p, _, _) =>
+          .foreach { case (p, _, _, _) =>
             referenced += resolve(tableDir, p).getCanonicalPath
           }
       else {
@@ -1153,5 +1157,164 @@ object IcebergOps {
       .filter { case (_, b) => b.get(fieldId.get)
         .forall { case (fLo, fHi) => fLo <= hi && fHi >= lo } }
       .map(_._1)
+  }
+
+  /** METADATA TABLES — the inspection surface real Iceberg engines
+    * expose as `SELECT * FROM tbl$<kind>`: every row derived from the
+    * metadata chain alone (JSON + manifest Avro), zero data files
+    * opened, so at 100 TB a table audit costs O(snapshots × manifest
+    * rows) of driver-side metadata. Kinds:
+    *
+    *  - `snapshots`: one row per snapshot in the CURRENT metadata —
+    *    live file/record/byte totals from the manifest stats.
+    *  - `history`: snapshot lineage with `is_current` (this writer's
+    *    chains are linear: parent = previous snapshot id).
+    *  - `manifests`: the current snapshot's manifest list, verbatim,
+    *    plus each manifest's decoded entry count.
+    *  - `files`: the current snapshot's live data files (and, on v2,
+    *    its positional-delete files — `content` 0/1 exactly like the
+    *    real `files` table), with partition tuple and any column
+    *    bounds as name-keyed maps.
+    *  - `partitions`: `files` grouped by partition tuple.
+    *
+    * Unknown kinds refuse loudly.
+    */
+  def metaTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, kind: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    val (_, root) = currentMeta(tableDir)
+    val fv = root.get("format-version").asInt()
+    require(fv == 1 || fv == 2,
+      s"iceberg format-version $fv unsupported (reader is v1/v2)")
+    val partCols = specColsOf(root)
+    val snapIds = {
+      val it = root.get("snapshots").elements()
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) ids += it.next().get("snapshot-id").asLong()
+      ids.toSeq
+    }
+    val currentId = root.get("current-snapshot-id").asLong()
+    def listOf(sid: Long): String = s"metadata/snap-$sid.avro"
+    // one snapshot's (data entries, delete entries), v1 deletes empty
+    def foldBoth(sid: Long)
+        : (Seq[(String, Seq[String], Long, Long)], Seq[(String, Long, Long)]) =
+      if (fv == 1)
+        (foldManifestList(tableDir, listOf(sid), partCols,
+          pinLengths = true), Nil)
+      else foldManifestListV2(tableDir, listOf(sid), partCols,
+        pinLengths = true)
+    def df(schema: StructType, rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(rows.asJava, schema)
+    kind match {
+      case "snapshots" =>
+        df(StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("manifest_list", StringType, nullable = false),
+          StructField("n_data_files", LongType, nullable = false),
+          StructField("n_delete_files", LongType, nullable = false),
+          StructField("total_records", LongType, nullable = false),
+          StructField("total_bytes", LongType, nullable = false))),
+          snapIds.map { sid =>
+            val (d, del) = foldBoth(sid)
+            Row(sid, listOf(sid), d.size.toLong, del.size.toLong,
+              d.map(_._3).sum, d.map(_._4).sum)
+          })
+      case "history" =>
+        df(StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("parent_id", LongType, nullable = true),
+          StructField("is_current", BooleanType, nullable = false))),
+          {
+            val sortedIds = snapIds.sorted
+            sortedIds.zipWithIndex.map { case (sid, i) =>
+              Row(sid, if (i == 0) null else sortedIds(i - 1),
+                sid == currentId)
+            }
+          })
+      case "manifests" =>
+        val listBytes = java.nio.file.Files.readAllBytes(
+          resolve(tableDir, listOf(currentId)).toPath)
+        val mfSchema =
+          if (fv == 1) manifestFileSchema else manifestFileSchemaV2
+        val rows = AvroOcf.rowsResolved(listBytes, mfSchema)
+        require(rows != null,
+          s"iceberg manifest list unreadable: ${listOf(currentId)}")
+        df(StructType(Seq(
+          StructField("manifest_path", StringType, nullable = false),
+          StructField("manifest_length", LongType, nullable = false),
+          StructField("partition_spec_id", IntegerType, nullable = false),
+          StructField("content", IntegerType, nullable = false),
+          StructField("added_snapshot_id", LongType, nullable = false),
+          StructField("n_entries", LongType, nullable = false))),
+          (0 until rows.numElements()).map { i =>
+            val mf = rows.getStruct(i, mfSchema.length)
+            val mPath = mf.getUTF8String(0).toString
+            val mBytes = java.nio.file.Files.readAllBytes(
+              resolve(tableDir, mPath).toPath)
+            val entries = AvroOcf.rowsResolved(mBytes,
+              if (fv == 1) manifestEntrySchema(partCols)
+              else manifestEntrySchemaV2(partCols))
+            require(entries != null,
+              s"iceberg manifest unreadable: $mPath")
+            val (content, addedId) =
+              if (fv == 1) (0, mf.getLong(3))
+              else (mf.getInt(3), mf.getLong(4))
+            Row(mPath, mf.getLong(1), mf.getInt(2), content, addedId,
+              entries.numElements().toLong)
+          })
+      case "files" =>
+        val (d, del) = foldBoth(currentId)
+        val statsIds = statsColsOf(root).map(_.swap).toMap // id -> name
+        val bounds: Map[String, Map[Int, (Long, Long)]] =
+          if (fv == 1 && statsIds.nonEmpty)
+            foldManifestListBounds(tableDir, listOf(currentId), partCols)
+              .toMap
+          else Map.empty
+        def boundMap(p: String, side: ((Long, Long)) => Long)
+            : Map[String, Long] =
+          bounds.getOrElse(p, Map.empty).flatMap { case (id, b) =>
+            statsIds.get(id).map(_ -> side(b))
+          }
+        df(StructType(Seq(
+          StructField("content", IntegerType, nullable = false),
+          StructField("file_path", StringType, nullable = false),
+          StructField("file_format", StringType, nullable = false),
+          StructField("partition",
+            MapType(StringType, StringType, valueContainsNull = false),
+            nullable = false),
+          StructField("record_count", LongType, nullable = false),
+          StructField("file_size_in_bytes", LongType, nullable = false),
+          StructField("lower_bounds",
+            MapType(StringType, LongType, valueContainsNull = false),
+            nullable = false),
+          StructField("upper_bounds",
+            MapType(StringType, LongType, valueContainsNull = false),
+            nullable = false))),
+          d.map { case (p, pv, rc, sz) =>
+            Row(0, p, "PARQUET", partCols.zip(pv).toMap, rc, sz,
+              boundMap(p, _._1), boundMap(p, _._2))
+          } ++ del.map { case (p, rc, sz) =>
+            Row(1, p, "PARQUET", Map.empty[String, String], rc, sz,
+              Map.empty[String, Long], Map.empty[String, Long])
+          })
+      case "partitions" =>
+        val (d, _) = foldBoth(currentId)
+        df(StructType(Seq(
+          StructField("partition",
+            MapType(StringType, StringType, valueContainsNull = false),
+            nullable = false),
+          StructField("file_count", LongType, nullable = false),
+          StructField("record_count", LongType, nullable = false),
+          StructField("total_bytes", LongType, nullable = false))),
+          d.groupBy(_._2).toSeq.sortBy(_._1.mkString(""))
+            .map { case (pv, fs) =>
+              Row(partCols.zip(pv).toMap, fs.size.toLong,
+                fs.map(_._3).sum, fs.map(_._4).sum)
+            })
+      case other => throw new IllegalArgumentException(
+        s"iceberg metadata table '$other' unknown " +
+          "(snapshots|history|manifests|files|partitions)")
+    }
   }
 }

@@ -586,4 +586,82 @@ class IcebergOpsSpec extends SparkSuite {
       Seq("data/b3"))
     assert(IcebergOps.icebergCount(dir, 1) == 7L)
   }
+
+  test("iceberg: metadata tables derive from the chain, zero data reads") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_icemeta_")
+      .toString
+    Seq((1L, 0.5), (2L, 1.5)).toDF("id", "x").write.parquet(s"$dir/data/u0")
+    Seq((10L, 2.5)).toDF("id", "x").write.parquet(s"$dir/data/u1")
+    IcebergOps.icebergCommit(dir, 0, Seq("data/u0"),
+      statsCols = Seq("id"))
+    IcebergOps.icebergCommit(dir, 1, Seq("data/u1"),
+      statsCols = Seq("id"))
+    // snapshots: per-snapshot live totals from manifest stats
+    val snaps = IcebergOps.metaTable(spark, dir, "snapshots")
+      .orderBy(col("snapshot_id")).collect()
+    assert(snaps.map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+      .toSeq == Seq((0L, 1L, 2L), (1L, 2L, 3L)))
+    assert(snaps.forall(_.getLong(5) > 0L)) // real byte totals
+    // history: linear lineage, current flagged
+    val hist = IcebergOps.metaTable(spark, dir, "history")
+      .orderBy(col("snapshot_id")).collect()
+    assert(hist.map(r => (r.getLong(0), r.isNullAt(1), r.getBoolean(2)))
+      .toSeq == Seq((0L, true, false), (1L, false, true)))
+    assert(hist(1).getLong(1) == 0L)
+    // manifests: the current snapshot's list, entry counts decoded
+    val mfs = IcebergOps.metaTable(spark, dir, "manifests").collect()
+    assert(mfs.length == 1 && mfs(0).getString(0) == "metadata/m-1.avro")
+    assert(mfs(0).getLong(5) == 2L) // carried u0 + added u1
+    assert(mfs(0).getLong(1) ==
+      new java.io.File(dir, "metadata/m-1.avro").length)
+    // files: live set with name-keyed bounds maps
+    val files = IcebergOps.metaTable(spark, dir, "files")
+      .orderBy(col("file_path")).collect()
+    assert(files.map(_.getString(1)).toSeq == Seq("data/u0", "data/u1"))
+    assert(files.map(r => (r.getLong(4),
+      r.getMap[String, Long](6)("id"), r.getMap[String, Long](7)("id")))
+      .toSeq == Seq((2L, 1L, 2L), (1L, 10L, 10L)))
+    // v2 chain: delete files appear with content=1
+    val d2 = java.nio.file.Files.createTempDirectory("graft_icemeta2_")
+      .toString
+    def oneFile(rows: Seq[(Long, String)], sub: String): String = {
+      rows.toDF("id", "v").repartition(1).sortWithinPartitions("id")
+        .write.parquet(s"$d2/data/$sub")
+      new java.io.File(s"$d2/data/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+        .sorted.head
+    }
+    val f0 = oneFile(Seq((1L, "a"), (2L, "b")), "u0")
+    IcebergOps.icebergCommitV2(d2, 0, Seq(f0))
+    val del = spark.read.parquet(f0)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .limit(1)
+    del.repartition(1).write.parquet(s"$d2/data/del")
+    val delFile = new java.io.File(s"$d2/data/del").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .sorted.head
+    IcebergOps.icebergCommitV2(d2, 1, adds = Nil,
+      deleteFiles = Seq(delFile))
+    val v2files = IcebergOps.metaTable(spark, d2, "files")
+      .orderBy(col("content")).collect()
+    assert(v2files.map(r => (r.getInt(0), r.getLong(4))).toSeq ==
+      Seq((0, 2L), (1, 1L)))
+    // partitions: grouped by tuple (partitioned chain)
+    val p3 = java.nio.file.Files.createTempDirectory("graft_icemeta3_")
+      .toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$p3/data/ka")
+    Seq((2L, "b"), (3L, "c")).toDF("id", "v").write.parquet(s"$p3/data/kb")
+    IcebergOps.icebergCommitPartitioned(p3, 0, Seq("k"),
+      Seq("data/ka" -> Seq("a"), "data/kb" -> Seq("b")))
+    val parts = IcebergOps.metaTable(spark, p3, "partitions").collect()
+    assert(parts.map(r => (r.getMap[String, String](0)("k"),
+      r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 1L, 1L), ("b", 1L, 2L)))
+    // unknown kind refuses loudly
+    intercept[IllegalArgumentException] {
+      IcebergOps.metaTable(spark, dir, "nope")
+    }
+  }
 }

@@ -1317,4 +1317,290 @@ object IcebergOps {
           "(snapshots|history|manifests|files|partitions)")
     }
   }
+
+  // ---- schema evolution (field-id-tracked, metadata-only) -------------
+
+  /** One schema version's fields: (field-id, name, type) with type in
+    * this writer's subset {long, double, string}. */
+  private def parseSchemaFields(
+      sn: com.fasterxml.jackson.databind.JsonNode): Seq[(Int, String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    val it = sn.get("fields").elements()
+    while (it.hasNext) {
+      val f = it.next()
+      out += ((f.get("id").asInt(), f.get("name").asText(),
+        f.get("type").asText()))
+    }
+    out.toSeq
+  }
+
+  /** All schema versions of an evolved chain: schema-id → fields, plus
+    * the current schema id. Refuses metadata without a `schemas` list
+    * (chains written by the non-evolving writers). */
+  private def schemasOf(root: com.fasterxml.jackson.databind.JsonNode)
+      : (Map[Int, Seq[(Int, String, String)]], Int) = {
+    val arr = root.get("schemas")
+    require(arr != null && arr.isArray && arr.size() > 0,
+      "iceberg chain carries no schemas list (not an evolved chain)")
+    val out = scala.collection.mutable.Map.empty[Int, Seq[(Int, String, String)]]
+    val it = arr.elements()
+    while (it.hasNext) {
+      val sn = it.next()
+      out(sn.get("schema-id").asInt()) = parseSchemaFields(sn)
+    }
+    (out.toMap, root.get("current-schema-id").asInt())
+  }
+
+  /** SCHEMA EVOLUTION COMMIT — the real Iceberg model: columns are
+    * tracked by FIELD ID, so add/rename/drop are metadata-only (zero
+    * data files touched), and every snapshot records WHICH schema
+    * version it was committed under. Rules enforced against the prior
+    * chain: a field id never changes type (a rename keeps the id), new
+    * fields take fresh ids above every id ever used (a dropped id is
+    * never recycled — resurrecting it would silently re-surface old
+    * data under a new meaning), and an unchanged schema reuses the
+    * prior schema-id instead of minting a version per commit. Carried
+    * manifest entries KEEP their original snapshot_id (the spec's
+    * EXISTING-entry discipline) — that add-time pointer is what lets
+    * the reader resolve each file through the schema it was written
+    * under. Unpartitioned; types in {long, double, string}.
+    */
+  def icebergCommitEvolved(tableDir: String, snapshotId: Long,
+      schemaFields: Seq[(Int, String, String)],
+      adds: Seq[String], removes: Seq[String] = Nil): Unit = {
+    require(snapshotId >= 0, "iceberg snapshot ids start at 0")
+    require(schemaFields.nonEmpty, "evolved schema needs at least one field")
+    require(schemaFields.map(_._1).distinct == schemaFields.map(_._1) &&
+      schemaFields.map(_._2).distinct == schemaFields.map(_._2),
+      "evolved schema has duplicate field ids or names")
+    val okTypes = Set("long", "double", "string")
+    require(schemaFields.forall(f => okTypes(f._3)),
+      s"evolved schema types must be in $okTypes")
+    val md = metadataDir(tableDir)
+    val m = mapper
+    val entrySchema = manifestEntrySchema(Nil)
+    val (prevLive, prevSnapshots, prevSchemas) =
+      if (snapshotId == 0L)
+        (Seq.empty[(String, Long)], Seq.empty[(Long, Int)],
+          Map.empty[Int, Seq[(Int, String, String)]])
+      else {
+        val priorFile = new java.io.File(md, s"v$snapshotId.metadata.json")
+        require(priorFile.exists(),
+          s"iceberg snapshot $snapshotId must follow ${snapshotId - 1} " +
+            s"(no ${priorFile.getName})")
+        val prior = m.readTree(
+          java.nio.file.Files.readAllBytes(priorFile.toPath))
+        val (schemas, _) = schemasOf(prior)
+        val snaps = prior.get("snapshots").elements()
+        val ids = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        while (snaps.hasNext) {
+          val sn = snaps.next()
+          ids += ((sn.get("snapshot-id").asLong(),
+            sn.get("schema-id").asInt()))
+        }
+        (foldEvolved(tableDir, s"metadata/snap-${snapshotId - 1}.avro")
+          .map(e => (e._1, e._2)), ids.toSeq, schemas)
+      }
+    require(prevSnapshots.size.toLong == snapshotId,
+      s"iceberg snapshot $snapshotId must follow ${snapshotId - 1}")
+    // type stability + no id recycling across EVERY schema ever used
+    val priorTypes = prevSchemas.values.flatten
+      .map(f => f._1 -> f._3).toMap
+    schemaFields.foreach { case (id, name, tpe) =>
+      priorTypes.get(id).foreach(pt => require(pt == tpe,
+        s"iceberg field id $id changes type $pt -> $tpe ('$name')"))
+    }
+    val maxPriorId = (0 +: prevSchemas.values.flatten.map(_._1).toSeq).max
+    val priorIds = prevSchemas.values.flatten.map(_._1).toSet
+    schemaFields.foreach { case (id, _, _) =>
+      require(priorIds.contains(id) || id > maxPriorId,
+        s"iceberg new field id $id must exceed every prior id " +
+          s"($maxPriorId) — dropped ids are never recycled")
+    }
+    val schemaId = prevSchemas.collectFirst {
+      case (sid, fs) if fs == schemaFields => sid
+    }.getOrElse(if (prevSchemas.isEmpty) 0 else prevSchemas.keys.max + 1)
+    val removed = removes.toSet
+    val carried = prevLive.filterNot(e => removed(e._1))
+    require(adds.forall(a => !carried.exists(_._1 == a)),
+      "iceberg add of an already-live path")
+    val entries: Seq[(Int, String, Long)] =
+      carried.map { case (p, sid) => (0, p, sid) } ++
+        adds.map(p => (1, p, snapshotId))
+    val manifestRel = s"metadata/m-$snapshotId.avro"
+    val manifestBytes = AvroOcf.file(
+      utf8Rows(entrySchema, entries.map { case (status, p, addSid) =>
+        val (nRows, nBytes) = statsOf(tableDir, p)
+        Seq(status, addSid, new GenericInternalRow(Array[Any](
+          UTF8String.fromString(p), UTF8String.fromString("PARQUET"),
+          new GenericInternalRow(Array.empty[Any]), nRows, nBytes)))
+      }), entrySchema, "null")
+    val listRel = s"metadata/snap-$snapshotId.avro"
+    val listBytes = AvroOcf.file(
+      utf8Rows(manifestFileSchema, Seq(Seq(
+        UTF8String.fromString(manifestRel), manifestBytes.length.toLong,
+        0, snapshotId))), manifestFileSchema, "null")
+    val root = m.createObjectNode()
+    root.put("format-version", 1)
+    root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
+      ("iceberg-ev:" + tableDir).getBytes("UTF-8")).toString)
+    root.put("location", tableDir)
+    root.put("last-updated-ms", 0L)
+    root.put("last-column-id", maxPriorId.max(schemaFields.map(_._1).max))
+    def putFields(obj: com.fasterxml.jackson.databind.node.ObjectNode,
+        fs: Seq[(Int, String, String)]): Unit = {
+      obj.put("type", "struct")
+      val arr = obj.putArray("fields")
+      fs.foreach { case (id, name, tpe) =>
+        val f = arr.addObject()
+        f.put("id", id); f.put("name", name)
+        f.put("required", false); f.put("type", tpe)
+      }
+    }
+    putFields(root.putObject("schema"), schemaFields) // v1 deprecated slot
+    val allSchemas = prevSchemas + (schemaId -> schemaFields)
+    val schemasArr = root.putArray("schemas")
+    allSchemas.toSeq.sortBy(_._1).foreach { case (sid, fs) =>
+      val sn = schemasArr.addObject()
+      sn.put("schema-id", sid)
+      putFields(sn, fs)
+    }
+    root.put("current-schema-id", schemaId)
+    root.putObject("partition-spec")
+    val specs = root.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0)
+    spec0.putArray("fields")
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id", 999)
+    root.putObject("properties")
+    root.put("current-snapshot-id", snapshotId)
+    val snapArr = root.putArray("snapshots")
+    (prevSnapshots :+ (snapshotId, schemaId)).foreach { case (sid, scid) =>
+      val sn = snapArr.addObject()
+      sn.put("snapshot-id", sid)
+      sn.put("timestamp-ms", sid)
+      sn.put("schema-id", scid)
+      sn.put("manifest-list", s"metadata/snap-$sid.avro")
+    }
+    val vFile = new java.io.File(md, s"v${snapshotId + 1}.metadata.json")
+    if (vFile.exists()) {
+      val prior = new String(
+        java.nio.file.Files.readAllBytes(vFile.toPath), "UTF-8")
+      require(prior == m.writeValueAsString(root),
+        s"iceberg metadata v${snapshotId + 1} exists with different content")
+      val priorManifest = java.nio.file.Files.readAllBytes(
+        new java.io.File(tableDir, manifestRel).toPath)
+      require(java.util.Arrays.equals(priorManifest, manifestBytes),
+        s"iceberg snapshot $snapshotId exists with different file actions")
+    } else {
+      writeFile(new java.io.File(tableDir, manifestRel), manifestBytes)
+      writeFile(new java.io.File(tableDir, listRel), listBytes)
+      writeFile(vFile, m.writeValueAsBytes(root))
+    }
+    val hintFile = new java.io.File(md, "version-hint.text")
+    val priorHint: Long =
+      if (hintFile.exists())
+        new String(java.nio.file.Files.readAllBytes(hintFile.toPath),
+          "UTF-8").trim.toLong
+      else 0L
+    if (snapshotId + 1 > priorHint)
+      writeFile(hintFile, String.valueOf(snapshotId + 1).getBytes("UTF-8"))
+  }
+
+  /** Evolved-chain fold: (path, ADD-time snapshot id, record_count,
+    * file_size) per live file — the add-time pointer drives schema
+    * resolution on read. */
+  private def foldEvolved(tableDir: String, manifestList: String)
+      : Seq[(String, Long, Long, Long)] = {
+    val entrySchema = manifestEntrySchema(Nil)
+    val listBytes = java.nio.file.Files.readAllBytes(
+      resolve(tableDir, manifestList).toPath)
+    val listRows = AvroOcf.rowsResolved(listBytes, manifestFileSchema)
+    require(listRows != null,
+      s"iceberg manifest list unreadable: $manifestList")
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Long)]
+    var i = 0
+    while (i < listRows.numElements()) {
+      val mf = listRows.getStruct(i, manifestFileSchema.length)
+      val mPath = mf.getUTF8String(0).toString
+      val mBytes = java.nio.file.Files.readAllBytes(
+        resolve(tableDir, mPath).toPath)
+      require(mf.getLong(1) == mBytes.length,
+        s"iceberg manifest length mismatch: $mPath")
+      val entries = AvroOcf.rowsResolved(mBytes, entrySchema)
+      require(entries != null, s"iceberg manifest unreadable: $mPath")
+      var j = 0
+      while (j < entries.numElements()) {
+        val e = entries.getStruct(j, entrySchema.length)
+        val status = e.getInt(0)
+        val df = e.getStruct(2, 5)
+        val path = df.getUTF8String(0).toString
+        if (status == 2) out.remove(path)
+        else out(path) = (e.getLong(1), df.getLong(3), df.getLong(4))
+        j += 1
+      }
+      i += 1
+    }
+    out.iterator.map { case (p, (sid, rc, sz)) => (p, sid, rc, sz) }.toSeq
+  }
+
+  /** SCHEMA-RESOLVED READ of an evolved chain: the target snapshot's
+    * schema defines the output columns; each live file is projected
+    * through the schema IT WAS ADDED UNDER, resolved BY FIELD ID — a
+    * renamed column reads its old on-disk name and surfaces as the new
+    * one, a column added after the file's write reads as null, a
+    * dropped column simply isn't projected. Files group by add-time
+    * schema (a handful of groups however large the table), each group
+    * is one parquet scan with a static projection, and the groups
+    * union — zero shuffles, full pushdown inside each scan; at 100 TB
+    * this is exactly how Iceberg reads mixed-schema history without
+    * rewriting a byte. A same-id type change refuses loudly (the
+    * commit gate enforces it; the reader re-checks so a hand-edited
+    * chain cannot silently cast).
+    */
+  def readIcebergEvolved(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, snapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (_, root) = currentMeta(tableDir)
+    val (schemas, _) = schemasOf(root)
+    var targetSchemaId = -1
+    val snaps = root.get("snapshots").elements()
+    while (snaps.hasNext) {
+      val sn = snaps.next()
+      if (sn.get("snapshot-id").asLong() == snapshotId)
+        targetSchemaId = sn.get("schema-id").asInt()
+    }
+    require(targetSchemaId >= 0,
+      s"iceberg snapshot $snapshotId not in metadata")
+    val target = schemas(targetSchemaId)
+    val live = foldEvolved(tableDir, s"metadata/snap-$snapshotId.avro")
+    require(live.nonEmpty, s"iceberg snapshot $snapshotId has no files")
+    val snapSchemaId = {
+      val m2 = scala.collection.mutable.Map.empty[Long, Int]
+      val it = root.get("snapshots").elements()
+      while (it.hasNext) {
+        val sn = it.next()
+        m2(sn.get("snapshot-id").asLong()) = sn.get("schema-id").asInt()
+      }
+      m2.toMap
+    }
+    val groups = live.groupBy(e => snapSchemaId(e._2))
+    groups.toSeq.sortBy(_._1).map { case (scid, files) =>
+      val addSchema = schemas(scid)
+      val byId = addSchema.map(f => f._1 -> f).toMap
+      val proj = target.map { case (id, name, tpe) =>
+        byId.get(id) match {
+          case Some((_, oldName, oldTpe)) =>
+            require(oldTpe == tpe,
+              s"iceberg field id $id type drift $oldTpe -> $tpe")
+            col(oldName).as(name)
+          case None => lit(null).cast(tpe).as(name)
+        }
+      }
+      spark.read.parquet(files.map(f =>
+        resolve(tableDir, f._1).getAbsolutePath): _*).select(proj: _*)
+    }.reduce(_.unionAll(_))
+  }
 }

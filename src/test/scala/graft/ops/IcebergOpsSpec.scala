@@ -664,4 +664,71 @@ class IcebergOpsSpec extends SparkSuite {
       IcebergOps.metaTable(spark, dir, "nope")
     }
   }
+
+  test("iceberg: schema evolution — add/rename/drop by field id, time travel") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceevo_")
+      .toString
+    val s0 = Seq((1, "id", "long"), (2, "v", "string"))
+    val s1 = s0 :+ ((5, "score", "double"))
+    // rename v -> label (id 2 kept), drop score (id 5 gone)
+    val s2 = Seq((1, "id", "long"), (2, "label", "string"))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/data/u0")
+    Seq((10L, "x", 0.5)).toDF("id", "v", "score")
+      .write.parquet(s"$dir/data/u1")
+    IcebergOps.icebergCommitEvolved(dir, 0, s0, Seq("data/u0"))
+    IcebergOps.icebergCommitEvolved(dir, 1, s1, Seq("data/u1"))
+    IcebergOps.icebergCommitEvolved(dir, 2, s2, adds = Nil)
+    // snapshot 1: the pre-evolution file surfaces score as null
+    val r1 = IcebergOps.readIcebergEvolved(spark, dir, 1)
+      .orderBy(col("id")).collect()
+    assert(r1.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq ==
+      Seq((1L, "a", -1.0), (2L, "b", -1.0), (10L, "x", 0.5)))
+    // snapshot 2: rename resolves BY ID (old on-disk name 'v' -> 'label'),
+    // dropped 'score' is gone
+    val r2 = IcebergOps.readIcebergEvolved(spark, dir, 2)
+    assert(r2.columns.toSeq == Seq("id", "label"))
+    assert(r2.orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (10L, "x")))
+    // time travel: snapshot 0 reads its own schema and file set
+    val r0 = IcebergOps.readIcebergEvolved(spark, dir, 0)
+    assert(r0.columns.toSeq == Seq("id", "v") && r0.count() == 2L)
+    // metadata-only evolution: the chain holds 3 schema versions, and a
+    // no-change commit REUSES its schema-id instead of minting one
+    Seq((20L, "y")).toDF("id", "label").write.parquet(s"$dir/data/u2")
+    IcebergOps.icebergCommitEvolved(dir, 3, s2, Seq("data/u2"))
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "metadata/v4.metadata.json").toPath), "UTF-8")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(meta)
+    assert(root.get("schemas").size() == 3)
+    assert(root.get("current-schema-id").asInt() == 2)
+    // the new file (written under the renamed schema) unions with the
+    // by-id-resolved old files
+    assert(IcebergOps.readIcebergEvolved(spark, dir, 3)
+      .orderBy(col("id")).collect().map(_.getString(1)).toSeq ==
+      Seq("a", "b", "x", "y"))
+    // a field id may never change type
+    intercept[IllegalArgumentException] {
+      IcebergOps.icebergCommitEvolved(dir, 4,
+        Seq((1, "id", "long"), (2, "label", "double")), Nil)
+    }
+    // new fields need a FRESH id above every id ever used — an unused
+    // id below the high-water mark (here 4 < 5) refuses, so a dropped
+    // slot can never be silently repurposed
+    intercept[IllegalArgumentException] {
+      IcebergOps.icebergCommitEvolved(dir, 4,
+        s2 :+ ((4, "extra", "string")), Nil)
+    }
+    // non-evolved chains refuse the evolved read loudly
+    val plain = java.nio.file.Files.createTempDirectory("graft_iceevo0_")
+      .toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$plain/data/u0")
+    IcebergOps.icebergCommit(plain, 0, Seq("data/u0"))
+    intercept[IllegalArgumentException] {
+      IcebergOps.readIcebergEvolved(spark, plain, 0)
+    }
+  }
 }

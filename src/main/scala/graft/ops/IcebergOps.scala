@@ -945,8 +945,12 @@ object IcebergOps {
     val it = root.get("snapshots").elements()
     while (it.hasNext) snaps += it.next()
     val sorted = snaps.sortBy(_.get("snapshot-id").asLong())
+    // refs PROTECT their snapshots: a tagged or branched snapshot is
+    // reachable by name, so expiry may never retire it — Iceberg's own
+    // retention contract
     val keepIds = sorted.takeRight(retainLast)
-      .map(_.get("snapshot-id").asLong()).toSet + current
+      .map(_.get("snapshot-id").asLong()).toSet + current ++
+      refsOf(root).values.map(_._1)
     val (kept, expired) = sorted.partition(s =>
       keepIds(s.get("snapshot-id").asLong()))
     if (expired.isEmpty) return Nil
@@ -959,6 +963,88 @@ object IcebergOps {
       String.valueOf(version + 1).getBytes("UTF-8"))
     expired.map(_.get("snapshot-id").asLong()).toSeq
   }
+
+  /** Named refs of the metadata json: name → (snapshot-id, type). The
+    * spec's `refs` map (type `tag` or `branch`); absent map → empty. */
+  private def refsOf(root: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, (Long, String)] = {
+    val refs = root.get("refs")
+    if (refs == null || !refs.isObject) return Map.empty
+    val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+    val it = refs.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      out(e.getKey) = (e.getValue.get("snapshot-id").asLong(),
+        e.getValue.get("type").asText())
+    }
+    out.toMap
+  }
+
+  /** NAMED REFS — the spec's `refs` map: a `tag` is an immutable name
+    * for a snapshot (re-pointing refuses; re-stating the same target
+    * is a no-op), a `branch` is a movable head (re-pointing allowed).
+    * Setting a ref publishes a NEW `v{hint+1}.metadata.json` with the
+    * hint advanced — snapshots untouched, older metadata immutable,
+    * same torn-write discipline as [[expireSnapshots]]. Ref'd
+    * snapshots are PROTECTED from expiry. At 100 TB this is how
+    * "the eval set is frozen at tag train-v3" stays a metadata fact
+    * rather than a data copy.
+    */
+  def icebergSetRef(tableDir: String, name: String, snapshotId: Long,
+      refType: String): Unit = {
+    require(refType == "tag" || refType == "branch",
+      s"iceberg ref type '$refType' must be tag|branch")
+    require(name.nonEmpty && !name.exists(c => c == '/' || c.isWhitespace),
+      s"iceberg ref name '$name' invalid")
+    val (version, rootNode) = currentMeta(tableDir)
+    val root = rootNode.asInstanceOf[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    val snapIds = {
+      val it = root.get("snapshots").elements()
+      val ids = scala.collection.mutable.Set.empty[Long]
+      while (it.hasNext) ids += it.next().get("snapshot-id").asLong()
+      ids
+    }
+    require(snapIds.contains(snapshotId),
+      s"iceberg ref '$name' targets unknown snapshot $snapshotId")
+    val existing = refsOf(root).get(name)
+    if (existing.contains((snapshotId, refType))) return // idempotent
+    existing.foreach { case (oldId, oldType) =>
+      require(oldType != "tag",
+        s"iceberg tag '$name' is immutable (at snapshot $oldId)")
+      require(refType == "branch",
+        s"iceberg ref '$name' cannot change type $oldType -> $refType")
+    }
+    val refs =
+      if (root.get("refs") != null && root.get("refs").isObject)
+        root.get("refs").asInstanceOf[
+          com.fasterxml.jackson.databind.node.ObjectNode]
+      else root.putObject("refs")
+    val entry = refs.putObject(name)
+    entry.put("snapshot-id", snapshotId)
+    entry.put("type", refType)
+    val md = metadataDir(tableDir)
+    writeFile(new java.io.File(md, s"v${version + 1}.metadata.json"),
+      mapper.writeValueAsBytes(root))
+    writeFile(new java.io.File(md, "version-hint.text"),
+      String.valueOf(version + 1).getBytes("UTF-8"))
+  }
+
+  /** The snapshot id a named ref points at; unknown names refuse. */
+  def resolveRef(tableDir: String, name: String): Long = {
+    val (_, root) = currentMeta(tableDir)
+    refsOf(root).get(name) match {
+      case Some((sid, _)) => sid
+      case None => throw new IllegalArgumentException(
+        s"iceberg ref '$name' not found " +
+          s"(have: ${refsOf(root).keys.toSeq.sorted.mkString(",")})")
+    }
+  }
+
+  /** Time-travel read BY NAME: resolve the ref, read its snapshot. */
+  def readIcebergRef(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, name: String): DataFrame =
+    readIcebergSnapshot(spark, tableDir, resolveRef(tableDir, name))
 
   /** VACUUM — delete exactly the [[orphanFiles]] of the current
     * (post-expiry) state and return what was deleted. The audit IS the
@@ -1176,6 +1262,7 @@ object IcebergOps {
     *    real `files` table), with partition tuple and any column
     *    bounds as name-keyed maps.
     *  - `partitions`: `files` grouped by partition tuple.
+    *  - `refs`: the named tag/branch pointers ([[icebergSetRef]]).
     *
     * Unknown kinds refuse loudly.
     */
@@ -1312,9 +1399,17 @@ object IcebergOps {
               Row(partCols.zip(pv).toMap, fs.size.toLong,
                 fs.map(_._3).sum, fs.map(_._4).sum)
             })
+      case "refs" =>
+        df(StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("type", StringType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false))),
+          refsOf(root).toSeq.sortBy(_._1).map { case (n, (sid, t)) =>
+            Row(n, t, sid)
+          })
       case other => throw new IllegalArgumentException(
         s"iceberg metadata table '$other' unknown " +
-          "(snapshots|history|manifests|files|partitions)")
+          "(snapshots|history|manifests|files|partitions|refs)")
     }
   }
 

@@ -731,4 +731,56 @@ class IcebergOpsSpec extends SparkSuite {
       IcebergOps.readIcebergEvolved(spark, plain, 0)
     }
   }
+
+  test("iceberg: refs — immutable tags, movable branches, expiry protection") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceref_")
+      .toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/data/u0")
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$dir/data/u1")
+    Seq((4L, "d")).toDF("id", "v").write.parquet(s"$dir/data/u2")
+    IcebergOps.icebergCommit(dir, 0, Seq("data/u0"))
+    IcebergOps.icebergCommit(dir, 1, Seq("data/u1"))
+    IcebergOps.icebergCommit(dir, 2, Seq("data/u2"))
+    IcebergOps.icebergSetRef(dir, "frozen-v0", 0L, "tag")
+    IcebergOps.icebergSetRef(dir, "dev", 1L, "branch")
+    // read by name resolves through the refs map
+    assert(IcebergOps.readIcebergRef(spark, dir, "frozen-v0")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(IcebergOps.resolveRef(dir, "dev") == 1L)
+    // a branch advances; a tag never moves; types never flip
+    IcebergOps.icebergSetRef(dir, "dev", 2L, "branch")
+    assert(IcebergOps.resolveRef(dir, "dev") == 2L)
+    IcebergOps.icebergSetRef(dir, "frozen-v0", 0L, "tag") // idempotent ok
+    intercept[IllegalArgumentException] {
+      IcebergOps.icebergSetRef(dir, "frozen-v0", 1L, "tag")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergOps.icebergSetRef(dir, "dev", 2L, "tag")
+    }
+    // unknown snapshot / unknown ref refuse
+    intercept[IllegalArgumentException] {
+      IcebergOps.icebergSetRef(dir, "x", 9L, "tag")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergOps.readIcebergRef(spark, dir, "nope")
+    }
+    // the refs metadata table lists both
+    val refs = IcebergOps.metaTable(spark, dir, "refs").collect()
+    assert(refs.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq(("dev", "branch", 2L), ("frozen-v0", "tag", 0L)))
+    // expiry PROTECTS ref'd snapshots: retain 1 would keep only
+    // snapshot 2, but the tag holds 0 — only snapshot 1 expires
+    val expired = IcebergOps.expireSnapshots(dir, retainLast = 1)
+    assert(expired == Seq(1L))
+    assert(IcebergOps.readIcebergRef(spark, dir, "frozen-v0").count() == 2L)
+    intercept[IllegalArgumentException] {
+      IcebergOps.readIcebergSnapshot(spark, dir, 1)
+    }
+    // and vacuum must not touch the tag-protected file set
+    val vacuumed = IcebergOps.vacuum(dir)
+    assert(!vacuumed.exists(_.contains("u0")),
+      s"vacuum removed tag-protected data: $vacuumed")
+    assert(IcebergOps.readIcebergRef(spark, dir, "frozen-v0").count() == 2L)
+  }
 }

@@ -1030,6 +1030,49 @@ object IcebergOps {
       String.valueOf(version + 1).getBytes("UTF-8"))
   }
 
+  /** INCREMENTAL CHANGES between two snapshots — Iceberg's
+    * incremental-scan surface: the file-set DIFF comes from the two
+    * manifest folds (pure metadata), and only the delta files are
+    * read: paths live in `to` but not `from` scan as `insert` rows,
+    * paths live in `from` but not `to` as `delete` rows, unchanged
+    * files are never opened. At 100 TB this is the CDC primitive —
+    * consuming an append-only table's last day costs O(new files),
+    * not O(table). `fromSnapshot` = -1 means "from empty" (the full
+    * first load). v1 chains only (v2 positional deletes change rows
+    * inside carried files, so a file-level diff would under-report;
+    * refuse loudly rather than miss changes).
+    */
+  def readIcebergChanges(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromSnapshot < toSnapshot,
+      s"iceberg changes need fromSnapshot < toSnapshot " +
+        s"(got $fromSnapshot, $toSnapshot)")
+    def liveSet(sid: Long): Set[String] =
+      if (sid < 0) Set.empty
+      else {
+        val (fv, partCols, manifestList) = snapshotMeta(tableDir, sid)
+        require(fv == 1,
+          "iceberg incremental changes are v1-only (v2 deletes change " +
+            "rows inside carried files — a file diff would under-report)")
+        foldManifestList(tableDir, manifestList, partCols,
+          pinLengths = true).map(_._1).toSet
+      }
+    val from = liveSet(fromSnapshot)
+    val to = liveSet(toSnapshot)
+    val inserted = (to -- from).toSeq.sorted
+    val deleted = (from -- to).toSeq.sorted
+    require(inserted.nonEmpty || deleted.nonEmpty,
+      s"iceberg snapshots $fromSnapshot..$toSnapshot differ in no files")
+    def scan(paths: Seq[String], change: String): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else Some(spark.read.parquet(paths.map(p =>
+        resolve(tableDir, p).getAbsolutePath): _*)
+        .withColumn("_change_type", lit(change)))
+    (scan(inserted, "insert").toSeq ++ scan(deleted, "delete").toSeq)
+      .reduce(_.unionAll(_))
+  }
+
   /** The snapshot id a named ref points at; unknown names refuse. */
   def resolveRef(tableDir: String, name: String): Long = {
     val (_, root) = currentMeta(tableDir)

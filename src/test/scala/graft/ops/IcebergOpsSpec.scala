@@ -783,4 +783,52 @@ class IcebergOpsSpec extends SparkSuite {
       s"vacuum removed tag-protected data: $vacuumed")
     assert(IcebergOps.readIcebergRef(spark, dir, "frozen-v0").count() == 2L)
   }
+
+  test("iceberg: incremental changes read only the delta files") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_icechg_")
+      .toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/data/u0")
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$dir/data/u1")
+    Seq((4L, "d")).toDF("id", "v").write.parquet(s"$dir/data/u2")
+    IcebergOps.icebergCommit(dir, 0, Seq("data/u0", "data/u1"))
+    IcebergOps.icebergCommit(dir, 1, adds = Seq("data/u2"),
+      removes = Seq("data/u1"))
+    // 0 -> 1: u2 rows arrive as inserts, u1 rows as deletes; u0 (the
+    // unchanged file) is NEVER in the scan
+    val c01 = IcebergOps.readIcebergChanges(spark, dir, 0, 1)
+    val byType = c01.collect()
+      .groupBy(_.getString(2)).view.mapValues(_.map(_.getLong(0)).sorted
+        .toSeq).toMap
+    assert(byType == Map("insert" -> Seq(4L), "delete" -> Seq(3L)))
+    assert(c01.inputFiles.forall(f => !f.contains("data/u0")))
+    // from empty (-1): the full first load as inserts
+    val cFull = IcebergOps.readIcebergChanges(spark, dir, -1, 0)
+    assert(cFull.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(cFull.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+    // a no-diff pair refuses (a silent empty scan would read as "no
+    // changes" when the caller mis-ordered snapshots)
+    IcebergOps.icebergCommit(dir, 2, adds = Nil)
+    intercept[IllegalArgumentException] {
+      IcebergOps.readIcebergChanges(spark, dir, 1, 2)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergOps.readIcebergChanges(spark, dir, 1, 1)
+    }
+    // v2 chains refuse (row-level deletes invisible to a file diff)
+    val d2 = java.nio.file.Files.createTempDirectory("graft_icechg2_")
+      .toString
+    Seq((1L, "a")).toDF("id", "v").repartition(1)
+      .write.parquet(s"$d2/data/u0")
+    val f0 = new java.io.File(s"$d2/data/u0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .sorted.head
+    IcebergOps.icebergCommitV2(d2, 0, Seq(f0))
+    IcebergOps.icebergCommitV2(d2, 1, Seq())
+    intercept[IllegalArgumentException] {
+      IcebergOps.readIcebergChanges(spark, d2, 0, 1)
+    }
+  }
 }

@@ -314,7 +314,8 @@ object StreamingPipeline {
     */
   def icebergIngest[T](rows: org.apache.spark.sql.Dataset[T],
       tableDir: String,
-      nextSnapshot: java.util.concurrent.atomic.AtomicLong)
+      nextSnapshot: java.util.concurrent.atomic.AtomicLong,
+      statsCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.DataStreamWriter[T] =
     rows.writeStream
       .outputMode(OutputMode.Append())
@@ -324,7 +325,12 @@ object StreamingPipeline {
           val rel = s"data/snap-$sid"
           batch.toDF().write.mode("overwrite")
             .parquet(new java.io.File(tableDir, rel).getAbsolutePath)
-          graft.ops.IcebergOps.icebergCommit(tableDir, sid, Seq(rel))
+          // statsCols: each streamed snapshot stamps the same
+          // footer-derived column bounds as the batch writer, so
+          // value-range pruning works on a table that is STILL being
+          // ingested — no compaction or re-stat pass needed
+          graft.ops.IcebergOps.icebergCommit(tableDir, sid, Seq(rel),
+            statsCols = statsCols)
           nextSnapshot.incrementAndGet()
           ()
         }

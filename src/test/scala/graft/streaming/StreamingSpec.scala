@@ -633,23 +633,31 @@ class StreamingSpec extends SparkSuite {
     val input = MemoryStream[(Long, String)]
     val next = new java.util.concurrent.atomic.AtomicLong(0)
     val q = StreamingPipeline.icebergIngest(
-      input.toDS().toDF("id", "v").as[(Long, String)], dir, next).start()
+      input.toDS().toDF("id", "v").as[(Long, String)], dir, next,
+      statsCols = Seq("id")).start()
     try {
       input.addData((1L, "a"), (2L, "b"))
       q.processAllAvailable()
       input.addData() // an empty batch must NOT burn a snapshot
       q.processAllAvailable()
-      input.addData((3L, "c"))
+      input.addData((30L, "c"))
       q.processAllAvailable()
       assert(next.get() == 2)
       // snapshot 0 = batch 1; snapshot 1 = batches 1+2 (append history)
       assert(graft.ops.IcebergOps.readIcebergSnapshot(spark, dir, 0)
         .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
       assert(graft.ops.IcebergOps.readIcebergSnapshot(spark, dir, 1)
-        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 30L))
       // the manifest chain carries both data directories at snapshot 1
       assert(graft.ops.IcebergOps.icebergFiles(spark, dir, 1).toSet ==
         Set("data/snap-0", "data/snap-1"))
+      // streamed snapshots stamp the SAME footer-derived bounds as the
+      // batch writer: value-range pruning works mid-ingestion
+      assert(graft.ops.IcebergOps.boundsPrunedFiles(dir, 1, "id", 20L, 40L)
+        == Seq("data/snap-1"))
+      assert(graft.ops.IcebergOps
+        .readIcebergBoundsPruned(spark, dir, 1, "id", 0L, 10L)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
     } finally q.stop()
   }
 

@@ -51,6 +51,8 @@ object TarWalk {
       "tar_entry", exprs => TarEntryExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "tar_pack", exprs => TarPackExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "tar_build", exprs => TarBuildExpr(exprs.head), "built-in")
   }
 
   private object Corrupt extends RuntimeException {

@@ -381,6 +381,43 @@ object WebOps {
           .reduce(_ && _))
   }
 
+  /** WebDataset shard WRITER — the export half of the seam: one row
+    * per (sample, member) in, one row per SHARD out, the shard being
+    * a deterministic ustar archive (`tar_build`) whose members are
+    * `<sampleKey>.<ext>` sorted by name — exactly the layout
+    * [[webdatasetSamples]] and any stock WebDataset loader consume.
+    * Shard assignment is the CALLER's column (hash, range, or
+    * size-balanced — sharding policy is a curation decision, not a
+    * sink default); within a shard, member order is name-sorted so a
+    * shard written twice from the same rows is the same bytes.
+    *
+    * Scale shape: ONE aggregation keyed by shard (map-side partial on
+    * the member structs), then the archive builds scan-side per shard
+    * row — the blob never shuffles after construction, and shards of
+    * WebDataset convention size (102–103 MB) stay far under the
+    * [[graft.functions.TarBuild.MaxBytes]] guard. Duplicate member
+    * names inside a shard refuse loudly (a silently dropped sample
+    * would corrupt the training set).
+    */
+  def webdatasetWrite(samples: DataFrame, shardCol: Column,
+                      sampleKeyCol: Column, extCol: Column,
+                      blobCol: Column): DataFrame = {
+    graft.functions.TarWalk.register(
+      SparkSession.getActiveSession.getOrElse(samples.sparkSession))
+    samples
+      .select(shardCol.as("shard_id"),
+        concat(sampleKeyCol, lit("."), extCol).as("__name"),
+        blobCol.as("__data"))
+      .groupBy(col("shard_id"))
+      .agg(sort_array(collect_list(struct(
+        col("__name").as("name"), col("__data").as("data"))))
+        .as("__entries"))
+      .select(col("shard_id"),
+        call_function("tar_build", col("__entries")).as("shard"),
+        size(col("__entries")).cast("long").as("n_members"))
+      .withColumn("shard_bytes", length(col("shard")).cast("long"))
+  }
+
   def segmentAudit(files: DataFrame, idCol: Column, blob: Column): DataFrame = {
     registered()
     files

@@ -1437,7 +1437,7 @@ object IcebergOps {
           StructField("file_count", LongType, nullable = false),
           StructField("record_count", LongType, nullable = false),
           StructField("total_bytes", LongType, nullable = false))),
-          d.groupBy(_._2).toSeq.sortBy(_._1.mkString(""))
+          d.groupBy(_._2).toSeq.sortBy(_._1.mkString("\u0001"))
             .map { case (pv, fs) =>
               Row(partCols.zip(pv).toMap, fs.size.toLong,
                 fs.map(_._3).sum, fs.map(_._4).sum)

@@ -271,9 +271,11 @@ object IcebergOps {
     val entrySchema =
       if (statsCols.isEmpty) manifestEntrySchema(partCols)
       else manifestEntrySchemaStats(partCols)
-    val (prevLive, prevSnapshots) =
+    val (prevLive, prevSnapshots, prevSpecs, prevListRows) =
       if (snapshotId == 0L)
-        (Seq.empty[(String, Seq[String])], Seq.empty[Long])
+        (Seq.empty[(String, Map[String, String])], Seq.empty[Long],
+          Map.empty[Int, Seq[String]],
+          Seq.empty[(String, Long, Int, Long)])
       else {
         val priorFile = new java.io.File(md, s"v$snapshotId.metadata.json")
         require(priorFile.exists(),
@@ -283,23 +285,65 @@ object IcebergOps {
           java.nio.file.Files.readAllBytes(priorFile.toPath))
         require(prior.get("current-snapshot-id").asLong() == snapshotId - 1,
           s"iceberg snapshot $snapshotId must follow ${snapshotId - 1}")
-        require(specColsOf(prior) == partCols,
-          s"iceberg partition spec changed mid-table (was " +
-            s"${specColsOf(prior).mkString(",")})")
         require(statsColsOf(prior).map(_._1) == statsCols,
           s"iceberg stats columns changed mid-table (was " +
             s"${statsColsOf(prior).map(_._1).mkString(",")})")
+        val specsPrior = specsById(prior)
         val snaps = prior.get("snapshots").elements()
         val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
         while (snaps.hasNext) ids += snaps.next().get("snapshot-id").asLong()
-        (liveEntries(tableDir, snapshotId - 1, partCols), ids.toSeq)
+        // the prior manifest-list rows, verbatim — a spec-evolved
+        // commit re-references them instead of rewriting old-spec
+        // manifests it could not re-stamp
+        val listBytes = java.nio.file.Files.readAllBytes(
+          resolve(tableDir, s"metadata/snap-${snapshotId - 1}.avro").toPath)
+        val rows = AvroOcf.rowsResolved(listBytes, manifestFileSchema)
+        require(rows != null,
+          s"iceberg manifest list unreadable at snapshot ${snapshotId - 1}")
+        val lr = (0 until rows.numElements()).map { i =>
+          val mf = rows.getStruct(i, manifestFileSchema.length)
+          (mf.getUTF8String(0).toString, mf.getLong(1), mf.getInt(2),
+            mf.getLong(3))
+        }
+        (liveEntries(tableDir, snapshotId - 1, specsPrior), ids.toSeq,
+          specsPrior, lr)
       }
+    // PARTITION-SPEC EVOLUTION: an unchanged column list reuses its
+    // spec id; a changed one registers a NEW spec (metadata-only —
+    // zero data files rewritten). Once a chain holds manifests under
+    // more than one spec it is APPEND-ONLY: a remove would need the
+    // old-spec manifests rewritten with values this writer cannot
+    // re-derive, so it refuses loudly (compact first).
+    val specId =
+      if (snapshotId == 0L) 0
+      else prevSpecs.collectFirst {
+        case (id, cols) if cols == partCols => id
+      }.getOrElse {
+        require(statsCols.isEmpty,
+          "iceberg partition-spec evolution with statsCols unsupported")
+        prevSpecs.keys.max + 1
+      }
+    val allSpecs = prevSpecs + (specId -> partCols)
+    val multiSpec = prevListRows.exists(_._3 != specId)
+    if (multiSpec) {
+      require(removes.isEmpty,
+        "iceberg spec-evolved chains are append-only (a remove would " +
+          "rewrite old-spec manifests); compact to a single spec first")
+      require(statsCols.isEmpty,
+        "iceberg spec-evolved chains do not carry column bounds")
+    }
     val removed = removes.toSet
     val carried = prevLive.filterNot(e => removed(e._1))
     require(adds.forall(a => !carried.exists(_._1 == a._1)),
       "iceberg add of an already-live path")
-    val entries = carried.map(e => (0, e._1, e._2)) ++
-      adds.map(a => (1, a._1, a._2))
+    val entries: Seq[(Int, String, Seq[String])] =
+      if (multiSpec) adds.map(a => (1, a._1, a._2))
+      else carried.map { e =>
+        (0, e._1, partCols.map(c => e._2.getOrElse(c,
+          throw new IllegalArgumentException(
+            s"iceberg carried file ${e._1} lacks partition value " +
+              s"for '$c'"))))
+      } ++ adds.map(a => (1, a._1, a._2))
     // Build EVERY artifact before touching disk: a divergent re-commit
     // must refuse (below) without having overwritten the published
     // manifest/list files of the existing snapshot — the same
@@ -344,42 +388,54 @@ object IcebergOps {
         Seq(status, snapshotId, new GenericInternalRow(dataFile))
       }), entrySchema, "null")
     val listRel = s"metadata/snap-$snapshotId.avro"
+    val newListRow = Seq(UTF8String.fromString(manifestRel),
+      manifestBytes.length.toLong, specId, snapshotId)
+    val listRows: Seq[Seq[Any]] =
+      if (multiSpec)
+        prevListRows.map { case (p, len, sid, add) =>
+          Seq[Any](UTF8String.fromString(p), len, sid, add)
+        } :+ newListRow
+      else Seq(newListRow)
     val listBytes = AvroOcf.file(
-      utf8Rows(manifestFileSchema, Seq(Seq(
-        UTF8String.fromString(manifestRel),
-        manifestBytes.length.toLong, 0, snapshotId))),
-      manifestFileSchema, "null")
+      utf8Rows(manifestFileSchema, listRows), manifestFileSchema, "null")
     val root = m.createObjectNode()
     root.put("format-version", 1)
     root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
       ("iceberg:" + tableDir).getBytes("UTF-8")).toString)
     root.put("location", tableDir)
     root.put("last-updated-ms", 0L)
-    root.put("last-column-id", partCols.length + statsCols.length)
+    // the schema is the UNION of every spec's columns (first
+    // appearance order) + the stats columns — stable ids across
+    // evolution
+    val unionCols = allSpecs.toSeq.sortBy(_._1).flatMap(_._2).distinct
+    root.put("last-column-id", unionCols.length + statsCols.length)
     val schema = root.putObject("schema")
     schema.put("type", "struct")
     val sFields = schema.putArray("fields")
-    partCols.zipWithIndex.foreach { case (c, i) =>
+    unionCols.zipWithIndex.foreach { case (c, i) =>
       val f = sFields.addObject()
       f.put("id", i + 1); f.put("name", c)
       f.put("required", true); f.put("type", "string")
     }
     statsCols.zipWithIndex.foreach { case (c, i) =>
       val f = sFields.addObject()
-      f.put("id", partCols.length + 1 + i); f.put("name", c)
+      f.put("id", unionCols.length + 1 + i); f.put("name", c)
       f.put("required", false); f.put("type", "long")
     }
     root.putObject("partition-spec") // v1 single-spec form (deprecated but required)
-    val specs = root.putArray("partition-specs")
-    val spec0 = specs.addObject()
-    spec0.put("spec-id", 0)
-    val pFields = spec0.putArray("fields")
-    partCols.zipWithIndex.foreach { case (c, i) =>
-      val f = pFields.addObject()
-      f.put("name", c); f.put("transform", "identity")
-      f.put("source-id", i + 1); f.put("field-id", 1000 + i)
+    val specsArr = root.putArray("partition-specs")
+    allSpecs.toSeq.sortBy(_._1).foreach { case (sid, cols) =>
+      val sp = specsArr.addObject()
+      sp.put("spec-id", sid)
+      val pFields = sp.putArray("fields")
+      cols.zipWithIndex.foreach { case (c, i) =>
+        val f = pFields.addObject()
+        f.put("name", c); f.put("transform", "identity")
+        f.put("source-id", unionCols.indexOf(c) + 1)
+        f.put("field-id", 1000 + i)
+      }
     }
-    root.put("default-spec-id", 0)
+    root.put("default-spec-id", specId)
     root.putObject("properties")
     root.put("current-snapshot-id", snapshotId)
     val snapArr = root.putArray("snapshots")
@@ -454,6 +510,38 @@ object IcebergOps {
       s"iceberg default-spec-id $specId not in partition-specs")
   }
 
+  /** EVERY partition spec of the metadata json: spec-id → identity
+    * partition columns (non-identity transforms refuse, as in
+    * [[specColsOf]]). Spec EVOLUTION means a chain can hold several —
+    * each manifest decodes under the spec recorded on its
+    * manifest-list row. */
+  private def specsById(root: com.fasterxml.jackson.databind.JsonNode)
+      : Map[Int, Seq[String]] = {
+    val specs = root.get("partition-specs")
+    if (specs == null) return Map(0 -> Nil)
+    val out = scala.collection.mutable.Map.empty[Int, Seq[String]]
+    val it = specs.elements()
+    while (it.hasNext) {
+      val sp = it.next()
+      val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+      val fs = sp.get("fields").elements()
+      while (fs.hasNext) {
+        val f = fs.next()
+        val tr = f.get("transform").asText()
+        require(tr == "identity",
+          s"iceberg partition transform '$tr' unsupported (identity only)")
+        cols += f.get("name").asText()
+      }
+      out(sp.get("spec-id").asInt()) = cols.toSeq
+    }
+    out.toMap
+  }
+
+  private def defaultSpecIdOf(
+      root: com.fasterxml.jackson.databind.JsonNode): Int =
+    if (root.has("default-spec-id")) root.get("default-spec-id").asInt()
+    else 0
+
   /** (name, field-id) of the long-typed STATS columns this writer
     * registers in the table schema (partition columns are string-typed
     * in its subset, so type alone separates them). Empty for chains
@@ -516,29 +604,22 @@ object IcebergOps {
     * outside the Avro subset.
     */
   def icebergEntries(tableDir: String, snapshotId: Long)
-      : (Seq[String], Seq[(String, Seq[String])]) = {
+      : (Seq[String], Seq[(String, Map[String, String])]) = {
     val r = resolveSnapshot(tableDir, snapshotId)
     (r._1, r._2)
   }
 
-  /** Full snapshot resolution: (partition columns, data entries,
-    * positional-delete file paths). v1 snapshots carry no deletes; v2
-    * (merge-on-read) splits manifests on `content` — data manifests
-    * fold exactly like v1, delete manifests fold to the delete-file
-    * set. Equality deletes (data_file.content = 2) refuse loudly:
-    * applying them needs the table's equality-field semantics, and a
-    * silent skip would resurrect deleted rows.
-    */
-  /** (format-version, partition columns, manifest-list path) for one
-    * snapshot through the current metadata — the shared front half of
-    * every snapshot-scoped read. */
+  /** (format-version, default-spec-id, spec-id → partition columns,
+    * manifest-list path) for one snapshot through the current
+    * metadata — the shared front half of every snapshot-scoped read.
+    * Under partition-spec EVOLUTION the specs map carries every spec
+    * the chain has ever used. */
   private def snapshotMeta(tableDir: String, snapshotId: Long)
-      : (Int, Seq[String], String) = {
+      : (Int, Int, Map[Int, Seq[String]], String) = {
     val (version, root) = currentMeta(tableDir)
     val fv = root.get("format-version").asInt()
     require(fv == 1 || fv == 2,
       s"iceberg format-version $fv unsupported (reader is v1/v2)")
-    val partCols = specColsOf(root)
     var manifestList: String = null
     val snaps = root.get("snapshots").elements()
     while (snaps.hasNext && manifestList == null) {
@@ -548,19 +629,27 @@ object IcebergOps {
     }
     require(manifestList != null,
       s"iceberg snapshot $snapshotId not in metadata v$version")
-    (fv, partCols, manifestList)
+    (fv, defaultSpecIdOf(root), specsById(root), manifestList)
   }
 
+  /** Full snapshot resolution: (all partition columns in
+    * first-appearance order across specs, data entries with their
+    * per-file partition-value MAPS — a file written under an older
+    * spec simply lacks the newer columns — and positional-delete
+    * paths). */
   private[ops] def resolveSnapshot(tableDir: String, snapshotId: Long)
-      : (Seq[String], Seq[(String, Seq[String])], Seq[String]) = {
-    val (fv, partCols, manifestList) = snapshotMeta(tableDir, snapshotId)
+      : (Seq[String], Seq[(String, Map[String, String])], Seq[String]) = {
+    val (fv, defaultId, specs, manifestList) =
+      snapshotMeta(tableDir, snapshotId)
+    val allCols = specs.toSeq.sortBy(_._1).flatMap(_._2).distinct
     if (fv == 1)
-      (partCols, foldManifestList(tableDir, manifestList, partCols,
+      (allCols, foldManifestList(tableDir, manifestList, specs,
         pinLengths = true).map(e => (e._1, e._2)), Nil)
     else {
       val (data, dels) = foldManifestListV2(tableDir, manifestList,
-        partCols, pinLengths = true)
-      (partCols, data.map(e => (e._1, e._2)), dels.map(_._1))
+        specs(defaultId), pinLengths = true)
+      (allCols, data.map(e =>
+        (e._1, specs(defaultId).zip(e._2).toMap)), dels.map(_._1))
     }
   }
 
@@ -574,36 +663,44 @@ object IcebergOps {
     * time ([[statsOf]]), so they are real, not declared.
     */
   def icebergCount(tableDir: String, snapshotId: Long): Long = {
-    val (fv, partCols, manifestList) = snapshotMeta(tableDir, snapshotId)
+    val (fv, defaultId, specs, manifestList) =
+      snapshotMeta(tableDir, snapshotId)
     if (fv == 1)
-      foldManifestList(tableDir, manifestList, partCols,
+      foldManifestList(tableDir, manifestList, specs,
         pinLengths = true).map(_._3).sum
     else {
       val (data, dels) = foldManifestListV2(tableDir, manifestList,
-        partCols, pinLengths = true)
+        specs(defaultId), pinLengths = true)
       data.map(_._3).sum - dels.map(_._2).sum
     }
   }
 
-  /** Manifest-list → manifests fold, last action per path. Each live
-    * entry carries (partition tuple, record_count, file_size_in_bytes)
-    * — the count feeds [[icebergCount]]'s metadata-only aggregation,
-    * the pair feeds the `files`/`partitions` metadata tables. */
+  /** Manifest-list → manifests fold, last action per path. Each
+    * manifest decodes under ITS OWN spec (the `partition_spec_id` on
+    * its manifest-list row — partition-spec evolution means one list
+    * can reference manifests with different partition shapes), so a
+    * live entry carries a partition-value MAP keyed by that spec's
+    * columns, plus (record_count, file_size_in_bytes) for
+    * [[icebergCount]] and the metadata tables. */
   private def foldManifestList(tableDir: String, manifestList: String,
-      partCols: Seq[String], pinLengths: Boolean)
-      : Seq[(String, Seq[String], Long, Long)] = {
-    val entrySchema = manifestEntrySchema(partCols)
+      specs: Map[Int, Seq[String]], pinLengths: Boolean)
+      : Seq[(String, Map[String, String], Long, Long)] = {
     val listBytes = java.nio.file.Files.readAllBytes(
       resolve(tableDir, manifestList).toPath)
     val listRows = AvroOcf.rowsResolved(listBytes, manifestFileSchema)
     require(listRows != null,
       s"iceberg manifest list unreadable: $manifestList")
     val out = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Seq[String], Long, Long)]
+      .empty[String, (Map[String, String], Long, Long)]
     var i = 0
     while (i < listRows.numElements()) {
       val mf = listRows.getStruct(i, manifestFileSchema.length)
       val mPath = mf.getUTF8String(0).toString
+      val specId = mf.getInt(2)
+      val partCols = specs.getOrElse(specId,
+        throw new IllegalArgumentException(
+          s"iceberg manifest $mPath uses unknown spec-id $specId"))
+      val entrySchema = manifestEntrySchema(partCols)
       val mBytes = java.nio.file.Files.readAllBytes(
         resolve(tableDir, mPath).toPath)
       if (pinLengths)
@@ -621,7 +718,8 @@ object IcebergOps {
         else {
           val part = df.getStruct(2, partCols.length)
           out(path) = (partCols.indices.map(k =>
-            part.getUTF8String(k).toString), df.getLong(3), df.getLong(4))
+            partCols(k) -> part.getUTF8String(k).toString).toMap,
+            df.getLong(3), df.getLong(4))
         }
         j += 1
       }
@@ -699,8 +797,8 @@ object IcebergOps {
     * driver-side).
     */
   private def liveEntries(tableDir: String, snapshotId: Long,
-      partCols: Seq[String]): Seq[(String, Seq[String])] =
-    foldManifestList(tableDir, s"metadata/snap-$snapshotId.avro", partCols,
+      specs: Map[Int, Seq[String]]): Seq[(String, Map[String, String])] =
+    foldManifestList(tableDir, s"metadata/snap-$snapshotId.avro", specs,
       pinLengths = false).map(e => (e._1, e._2))
 
   /** Time-travel read: exactly snapshot `snapshotId`'s file set, with
@@ -882,20 +980,20 @@ object IcebergOps {
     val fv = root.get("format-version").asInt()
     require(fv == 1 || fv == 2,
       s"iceberg format-version $fv unsupported (reader is v1/v2)")
-    val partCols = specColsOf(root)
+    val specs = specsById(root)
     val referenced = scala.collection.mutable.HashSet.empty[String]
     val snaps = root.get("snapshots").elements()
     while (snaps.hasNext) {
       val sn = snaps.next()
       val list = sn.get("manifest-list").asText()
       if (fv == 1)
-        foldManifestList(tableDir, list, partCols, pinLengths = false)
+        foldManifestList(tableDir, list, specs, pinLengths = false)
           .foreach { case (p, _, _, _) =>
             referenced += resolve(tableDir, p).getCanonicalPath
           }
       else {
-        val (data, dels) = foldManifestListV2(tableDir, list, partCols,
-          pinLengths = false)
+        val (data, dels) = foldManifestListV2(tableDir, list,
+          specs(defaultSpecIdOf(root)), pinLengths = false)
         // delete files are retained metadata too: a reachable snapshot
         // needs them to replay merge-on-read
         (data.map(_._1) ++ dels.map(_._1)).foreach { p =>
@@ -1051,11 +1149,11 @@ object IcebergOps {
     def liveSet(sid: Long): Set[String] =
       if (sid < 0) Set.empty
       else {
-        val (fv, partCols, manifestList) = snapshotMeta(tableDir, sid)
+        val (fv, _, specs, manifestList) = snapshotMeta(tableDir, sid)
         require(fv == 1,
           "iceberg incremental changes are v1-only (v2 deletes change " +
             "rows inside carried files — a file diff would under-report)")
-        foldManifestList(tableDir, manifestList, partCols,
+        foldManifestList(tableDir, manifestList, specs,
           pinLengths = true).map(_._1).toSet
       }
     val from = liveSet(fromSnapshot)
@@ -1140,23 +1238,37 @@ object IcebergOps {
   def readIcebergPruned(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, snapshotId: Long,
       partFilter: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val (partCols, entries, deletes) = resolveSnapshot(tableDir, snapshotId)
     val unknown = partFilter.keySet -- partCols.toSet
     require(unknown.isEmpty,
       s"iceberg partition filter on non-partition columns: " +
         s"${unknown.mkString(",")}")
+    // Under partition-spec EVOLUTION a file written before a column
+    // joined the spec has no tuple value for it — such files are
+    // conservatively KEPT (their rows may match) and the residual
+    // DATA filter below restores exactness; a file whose tuple HAS
+    // the value and mismatches is provably skippable.
     val keep = entries.filter { case (_, pv) =>
-      partFilter.forall { case (c, v) => pv(partCols.indexOf(c)) == v }
+      partFilter.forall { case (c, v) => pv.get(c).forall(_ == v) }
     }
     require(keep.nonEmpty,
       s"iceberg snapshot $snapshotId has no files matching $partFilter")
+    val mixed = keep.exists { case (_, pv) =>
+      partFilter.keys.exists(c => !pv.contains(c))
+    }
     val paths = keep.map(e => resolve(tableDir, e._1).getAbsolutePath)
     // positional deletes are (file, pos)-scoped, so applying the full
     // delete set to a pruned file list subtracts exactly the pruned
     // files' tuples — over-listing is harmless, under-listing impossible
-    if (deletes.isEmpty) spark.read.parquet(paths: _*)
-    else applyPositionalDeletes(spark, paths,
-      deletes.map(p => resolve(tableDir, p).getAbsolutePath))
+    val scan =
+      if (deletes.isEmpty) spark.read.parquet(paths: _*)
+      else applyPositionalDeletes(spark, paths,
+        deletes.map(p => resolve(tableDir, p).getAbsolutePath))
+    if (!mixed) scan
+    else partFilter.foldLeft(scan) { case (d, (c, v)) =>
+      d.filter(col(c) === v)
+    }
   }
 
   /** Manifest fold that ALSO decodes the spec's per-file
@@ -1250,10 +1362,12 @@ object IcebergOps {
     require(fieldId.nonEmpty,
       s"iceberg column '$column' has no registered bounds (statsCols " +
         s"were: ${statsIds.map(_._1).mkString(",")})")
-    val (fv, partCols, manifestList) = snapshotMeta(tableDir, snapshotId)
+    val (fv, defaultId, specs, manifestList) =
+      snapshotMeta(tableDir, snapshotId)
     require(fv == 1,
       s"iceberg bounds pruning is v1-only here (format-version $fv)")
-    val entries = foldManifestListBounds(tableDir, manifestList, partCols)
+    val entries =
+      foldManifestListBounds(tableDir, manifestList, specs(defaultId))
     require(entries.nonEmpty, s"iceberg snapshot $snapshotId has no files")
     val keep = entries.filter { case (_, bounds) =>
       bounds.get(fieldId.get) match {
@@ -1280,9 +1394,10 @@ object IcebergOps {
       case (c, id) if c == column => id
     }
     require(fieldId.nonEmpty, s"iceberg column '$column' has no bounds")
-    val (fv, partCols, manifestList) = snapshotMeta(tableDir, snapshotId)
+    val (fv, defaultId, specs, manifestList) =
+      snapshotMeta(tableDir, snapshotId)
     require(fv == 1, s"iceberg bounds pruning is v1-only (fv $fv)")
-    foldManifestListBounds(tableDir, manifestList, partCols)
+    foldManifestListBounds(tableDir, manifestList, specs(defaultId))
       .filter { case (_, b) => b.get(fieldId.get)
         .forall { case (fLo, fHi) => fLo <= hi && fHi >= lo } }
       .map(_._1)
@@ -1317,7 +1432,8 @@ object IcebergOps {
     val fv = root.get("format-version").asInt()
     require(fv == 1 || fv == 2,
       s"iceberg format-version $fv unsupported (reader is v1/v2)")
-    val partCols = specColsOf(root)
+    val specs = specsById(root)
+    val defaultCols = specs(defaultSpecIdOf(root))
     val snapIds = {
       val it = root.get("snapshots").elements()
       val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -1328,12 +1444,16 @@ object IcebergOps {
     def listOf(sid: Long): String = s"metadata/snap-$sid.avro"
     // one snapshot's (data entries, delete entries), v1 deletes empty
     def foldBoth(sid: Long)
-        : (Seq[(String, Seq[String], Long, Long)], Seq[(String, Long, Long)]) =
+        : (Seq[(String, Map[String, String], Long, Long)],
+           Seq[(String, Long, Long)]) =
       if (fv == 1)
-        (foldManifestList(tableDir, listOf(sid), partCols,
+        (foldManifestList(tableDir, listOf(sid), specs,
           pinLengths = true), Nil)
-      else foldManifestListV2(tableDir, listOf(sid), partCols,
-        pinLengths = true)
+      else {
+        val (d, del) = foldManifestListV2(tableDir, listOf(sid),
+          defaultCols, pinLengths = true)
+        (d.map(e => (e._1, defaultCols.zip(e._2).toMap, e._3, e._4)), del)
+      }
     def df(schema: StructType, rows: Seq[Row]): DataFrame =
       spark.createDataFrame(rows.asJava, schema)
     kind match {
@@ -1382,9 +1502,10 @@ object IcebergOps {
             val mPath = mf.getUTF8String(0).toString
             val mBytes = java.nio.file.Files.readAllBytes(
               resolve(tableDir, mPath).toPath)
+            val mCols = specs.getOrElse(mf.getInt(2), defaultCols)
             val entries = AvroOcf.rowsResolved(mBytes,
-              if (fv == 1) manifestEntrySchema(partCols)
-              else manifestEntrySchemaV2(partCols))
+              if (fv == 1) manifestEntrySchema(mCols)
+              else manifestEntrySchemaV2(mCols))
             require(entries != null,
               s"iceberg manifest unreadable: $mPath")
             val (content, addedId) =
@@ -1398,7 +1519,7 @@ object IcebergOps {
         val statsIds = statsColsOf(root).map(_.swap).toMap // id -> name
         val bounds: Map[String, Map[Int, (Long, Long)]] =
           if (fv == 1 && statsIds.nonEmpty)
-            foldManifestListBounds(tableDir, listOf(currentId), partCols)
+            foldManifestListBounds(tableDir, listOf(currentId), defaultCols)
               .toMap
           else Map.empty
         def boundMap(p: String, side: ((Long, Long)) => Long)
@@ -1422,7 +1543,7 @@ object IcebergOps {
             MapType(StringType, LongType, valueContainsNull = false),
             nullable = false))),
           d.map { case (p, pv, rc, sz) =>
-            Row(0, p, "PARQUET", partCols.zip(pv).toMap, rc, sz,
+            Row(0, p, "PARQUET", pv, rc, sz,
               boundMap(p, _._1), boundMap(p, _._2))
           } ++ del.map { case (p, rc, sz) =>
             Row(1, p, "PARQUET", Map.empty[String, String], rc, sz,
@@ -1437,9 +1558,11 @@ object IcebergOps {
           StructField("file_count", LongType, nullable = false),
           StructField("record_count", LongType, nullable = false),
           StructField("total_bytes", LongType, nullable = false))),
-          d.groupBy(_._2).toSeq.sortBy(_._1.mkString("\u0001"))
+          d.groupBy(_._2).toSeq
+            .sortBy(_._1.toSeq.sorted.map(kv => kv._1 + "=" + kv._2)
+              .mkString(","))
             .map { case (pv, fs) =>
-              Row(partCols.zip(pv).toMap, fs.size.toLong,
+              Row(pv, fs.size.toLong,
                 fs.map(_._3).sum, fs.map(_._4).sum)
             })
       case "refs" =>

@@ -147,8 +147,8 @@ class IcebergOpsSpec extends SparkSuite {
     // entries carry the tuples; the spec columns come from metadata.json
     val (cols, entries) = IcebergOps.icebergEntries(dir, 1)
     assert(cols == Seq("lang"))
-    assert(entries.toSet == Set("data/en0" -> Seq("en"),
-      "data/fr0" -> Seq("fr")))
+    assert(entries.toSet == Set("data/en0" -> Map("lang" -> "en"),
+      "data/fr0" -> Map("lang" -> "fr")))
     // pruned read: ONLY the matching partition's file is in the scan
     val en = IcebergOps.readIcebergPruned(spark, dir, 1, Map("lang" -> "en"))
     assert(en.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
@@ -165,10 +165,12 @@ class IcebergOpsSpec extends SparkSuite {
       IcebergOps.readIcebergPruned(spark, dir, 1, Map("language" -> "en"))
     }
     assert(e.getMessage.contains("non-partition columns"))
-    // a mid-table spec change refuses
+    // a mid-table spec change is now EVOLUTION (covered in the
+    // spec-evolution test) — but combined with a REMOVE it refuses:
+    // evolved chains are append-only
     intercept[IllegalArgumentException] {
       IcebergOps.icebergCommitPartitioned(dir, 2, Seq("lang", "src"),
-        Seq("data/x" -> Seq("en", "a")))
+        Seq("data/x" -> Seq("en", "a")), removes = Seq("data/en0"))
     }
     // a non-identity transform in external metadata refuses the read
     val vFile = new java.io.File(dir, "metadata/v2.metadata.json")
@@ -782,6 +784,80 @@ class IcebergOpsSpec extends SparkSuite {
     assert(!vacuumed.exists(_.contains("u0")),
       s"vacuum removed tag-protected data: $vacuumed")
     assert(IcebergOps.readIcebergRef(spark, dir, "frozen-v0").count() == 2L)
+  }
+
+  test("iceberg: partition-spec evolution — repartition without rewriting") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_icespec_")
+      .toString
+    // all files share the DATA schema; what evolves is which columns
+    // the partition TUPLE carries
+    Seq((1L, "a", "x"), (2L, "a", "y")).toDF("id", "lang", "region")
+      .write.parquet(s"$dir/data/la")
+    Seq((3L, "b", "x")).toDF("id", "lang", "region")
+      .write.parquet(s"$dir/data/lb")
+    IcebergOps.icebergCommitPartitioned(dir, 0, Seq("lang"),
+      Seq("data/la" -> Seq("a"), "data/lb" -> Seq("b")))
+    Seq((4L, "a", "x")).toDF("id", "lang", "region")
+      .write.parquet(s"$dir/data/lax")
+    Seq((5L, "a", "y")).toDF("id", "lang", "region")
+      .write.parquet(s"$dir/data/lay")
+    // snapshot 1 switches to (lang, region): metadata-only — the old
+    // manifests are re-referenced, zero data files touched
+    IcebergOps.icebergCommitPartitioned(dir, 1, Seq("lang", "region"),
+      Seq("data/lax" -> Seq("a", "x"), "data/lay" -> Seq("a", "y")))
+    assert(IcebergOps.icebergFiles(spark, dir, 1).toSet ==
+      Set("data/la", "data/lb", "data/lax", "data/lay"))
+    // per-file tuples reflect each file's OWN spec
+    val maps = IcebergOps.icebergEntries(dir, 1)._2.toMap
+    assert(maps("data/la") == Map("lang" -> "a"))
+    assert(maps("data/lax") == Map("lang" -> "a", "region" -> "x"))
+    // pruning on a column EVERY spec carries skips exactly
+    val byLang = IcebergOps.readIcebergPruned(spark, dir, 1,
+      Map("lang" -> "a"))
+    assert(byLang.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L, 5L))
+    assert(byLang.inputFiles.forall(f => !f.contains("data/lb")))
+    // pruning on the NEW column: old-spec files conservatively kept,
+    // new-spec mismatches skipped, residual filter restores exactness
+    val byRegion = IcebergOps.readIcebergPruned(spark, dir, 1,
+      Map("region" -> "x"))
+    assert(byRegion.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+    assert(byRegion.inputFiles.forall(f => !f.contains("data/lay")))
+    assert(IcebergOps.readIcebergPruned(spark, dir, 1,
+      Map("lang" -> "a", "region" -> "y"))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 5L))
+    // time travel behind the evolution still resolves the old spec
+    assert(IcebergOps.readIcebergSnapshot(spark, dir, 0)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(IcebergOps.icebergCount(dir, 1) == 5L)
+    // incremental changes span the evolution boundary
+    assert(IcebergOps.readIcebergChanges(spark, dir, 0, 1)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(4L, 5L))
+    // spec-evolved chains are APPEND-ONLY: removes refuse loudly
+    intercept[IllegalArgumentException] {
+      IcebergOps.icebergCommitPartitioned(dir, 2, Seq("lang", "region"),
+        Nil, removes = Seq("data/la"))
+    }
+    // appends continue under the current spec
+    Seq((6L, "b", "z")).toDF("id", "lang", "region")
+      .write.parquet(s"$dir/data/lbz")
+    IcebergOps.icebergCommitPartitioned(dir, 2, Seq("lang", "region"),
+      Seq("data/lbz" -> Seq("b", "z")))
+    assert(IcebergOps.icebergCount(dir, 2) == 6L)
+    assert(IcebergOps.readIcebergPruned(spark, dir, 2,
+      Map("region" -> "z"))
+      .select("id").as[Long].collect().toSeq == Seq(6L))
+    // the partitions metadata table groups by each file's own tuple
+    val parts = IcebergOps.metaTable(spark, dir, "partitions").collect()
+      .map(r => (r.getMap[String, String](0).toString.length > 0,
+        r.getLong(1))).length
+    assert(parts == 5) // la, lb, lax, lay, lbz — five distinct tuples
+    // unknown filter columns still refuse
+    intercept[IllegalArgumentException] {
+      IcebergOps.readIcebergPruned(spark, dir, 2, Map("nope" -> "x"))
+    }
   }
 
   test("iceberg: incremental changes read only the delta files") {

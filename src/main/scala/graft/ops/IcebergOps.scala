@@ -259,8 +259,12 @@ object IcebergOps {
     */
   def icebergCommitPartitioned(tableDir: String, snapshotId: Long,
       partCols: Seq[String], adds: Seq[(String, Seq[String])],
-      removes: Seq[String] = Nil, statsCols: Seq[String] = Nil): Unit = {
+      removes: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      replace: Boolean = false): Unit = {
     require(snapshotId >= 0, "iceberg snapshot ids start at 0")
+    require(!replace || removes.isEmpty,
+      "a REPLACE commit declares the full new live set; removes are " +
+        "meaningless (everything not in adds is gone)")
     require(adds.forall(_._2.length == partCols.length),
       "every add must carry one value per partition column")
     require(statsCols.distinct == statsCols &&
@@ -324,7 +328,10 @@ object IcebergOps {
         prevSpecs.keys.max + 1
       }
     val allSpecs = prevSpecs + (specId -> partCols)
-    val multiSpec = prevListRows.exists(_._3 != specId)
+    // a REPLACE commit (compaction) re-declares the whole live set
+    // under ONE spec — its manifest list references only the new
+    // manifest, so the chain is single-spec again afterwards
+    val multiSpec = !replace && prevListRows.exists(_._3 != specId)
     if (multiSpec) {
       require(removes.isEmpty,
         "iceberg spec-evolved chains are append-only (a remove would " +
@@ -333,7 +340,8 @@ object IcebergOps {
         "iceberg spec-evolved chains do not carry column bounds")
     }
     val removed = removes.toSet
-    val carried = prevLive.filterNot(e => removed(e._1))
+    val carried =
+      if (replace) Nil else prevLive.filterNot(e => removed(e._1))
     require(adds.forall(a => !carried.exists(_._1 == a._1)),
       "iceberg add of an already-live path")
     val entries: Seq[(Int, String, Seq[String])] =
@@ -1169,6 +1177,60 @@ object IcebergOps {
         .withColumn("_change_type", lit(change)))
     (scan(inserted, "insert").toSeq ++ scan(deleted, "delete").toSeq)
       .reduce(_.unionAll(_))
+  }
+
+  /** COMPACTION — collapse the current live set into ONE spec's fresh
+    * layout: read the current snapshot, write one directory per
+    * distinct partition tuple of the TARGET spec (identity transform:
+    * a partition value IS the data column's value), and publish a
+    * REPLACE snapshot whose manifest list references only the new
+    * manifest. This is the documented escape hatch from the
+    * append-only rule on spec-evolved chains: after compaction the
+    * chain is single-spec again, so removes and statsCols work. Old
+    * snapshots stay time-travelable over the OLD files;
+    * [[expireSnapshots]] + [[vacuum]] reclaim them on the caller's
+    * retention schedule — exactly Iceberg's rewrite-data-files /
+    * expire split.
+    *
+    * `maxTuples` guards the driver-side tuple loop loudly (a
+    * partition key with data-scaled cardinality is a partitioning
+    * bug, not a big table — at cluster scale this loop is a single
+    * repartition-write job; the per-tuple writes here keep the data
+    * columns inside the files, which the conservative-keep reader
+    * requires). Returns the new snapshot id.
+    */
+  def icebergCompact(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, partCols: Seq[String],
+      maxTuples: Int = 64): Long = {
+    import org.apache.spark.sql.functions.col
+    val (_, root) = currentMeta(tableDir)
+    require(root.get("format-version").asInt() == 1,
+      "iceberg compaction is v1-only here")
+    val cur = root.get("current-snapshot-id").asLong()
+    val sid = cur + 1
+    val df = readIcebergSnapshot(spark, tableDir, cur)
+    val tuples = df.select(partCols.map(col): _*).distinct()
+      .limit(maxTuples + 1).collect()
+    require(tuples.length <= maxTuples,
+      s"iceberg compaction: over $maxTuples distinct partition tuples " +
+        s"for (${partCols.mkString(",")}) — partition coarser")
+    val adds = tuples.map { r =>
+      val values = partCols.indices.map { i =>
+        require(!r.isNullAt(i),
+          s"iceberg compaction: null partition value in ${partCols(i)}")
+        r.get(i).toString
+      }
+      val rel = s"data/compact$sid/${values.mkString("_")}"
+      val slice = partCols.zip(values).foldLeft(df) {
+        case (d, (c, v)) => d.filter(col(c) === v)
+      }
+      slice.write.mode("overwrite")
+        .parquet(new java.io.File(tableDir, rel).getAbsolutePath)
+      rel -> values
+    }.toSeq.sortBy(_._1)
+    icebergCommitPartitioned(tableDir, sid, partCols, adds,
+      replace = true)
+    sid
   }
 
   /** The snapshot id a named ref points at; unknown names refuse. */

@@ -858,6 +858,42 @@ class IcebergOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       IcebergOps.readIcebergPruned(spark, dir, 2, Map("nope" -> "x"))
     }
+
+    // COMPACTION collapses the multi-spec chain to one spec: rows
+    // identical, every file now carries a (lang, region) tuple, and
+    // the append-only restriction LIFTS — a remove works again
+    val sid = IcebergOps.icebergCompact(spark, dir, Seq("lang", "region"))
+    assert(sid == 3L)
+    assert(IcebergOps.readIcebergSnapshot(spark, dir, 3)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val postMaps = IcebergOps.icebergEntries(dir, 3)._2
+    assert(postMaps.nonEmpty && postMaps.forall(_._2.keySet ==
+      Set("lang", "region")))
+    // pruning on region is now EXACT (no conservative keeps): the
+    // scan lists only matching compacted dirs
+    val ry = IcebergOps.readIcebergPruned(spark, dir, 3,
+      Map("region" -> "y"))
+    assert(ry.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 5L))
+    assert(ry.inputFiles.forall(_.contains("compact3")))
+    // the old snapshots still time-travel over the OLD files
+    assert(IcebergOps.readIcebergSnapshot(spark, dir, 0)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // and a remove now succeeds (single-spec chain again)
+    val victim = postMaps.collectFirst {
+      case (p, pv) if pv == Map("lang" -> "b", "region" -> "x") => p
+    }.get
+    IcebergOps.icebergCommitPartitioned(dir, 4, Seq("lang", "region"),
+      Nil, removes = Seq(victim))
+    assert(IcebergOps.readIcebergSnapshot(spark, dir, 4)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L, 5L, 6L))
+    // tuple-cardinality guard refuses loudly
+    intercept[IllegalArgumentException] {
+      IcebergOps.icebergCompact(spark, dir, Seq("lang", "region"),
+        maxTuples = 2)
+    }
   }
 
   test("iceberg: incremental changes read only the delta files") {

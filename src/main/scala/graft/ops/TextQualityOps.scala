@@ -22,6 +22,15 @@ object TextQualityOps {
   // assume this exact definition, so no local re-derivation
   private def toks(textCol: Column): Column = TextOps.tokens(textCol)
 
+  // Materialize a subtree that several model-table branches consume —
+  // the LM ladders fan the tokenized corpus into a dozen independent
+  // aggregations, and without this every count table re-runs the scan +
+  // regex tokenize + shingle explode from the source (measured: the
+  // dominant cost of every kn/kn5 bench row). Same spill/checkpoint
+  // contract as the dedup family's intermediates.
+  private def mat(df: DataFrame, name: String): DataFrame =
+    DedupOps.materialize(df, name)
+
   /** Per-document repetition statistics:
     *  - `n_tokens`, `n_distinct`
     *  - `top_unigram_frac`: count of the most frequent token / n_tokens
@@ -221,7 +230,12 @@ object TextQualityOps {
     */
   def unigramLogProb(df: DataFrame, docId: String, textCol: String,
                      maxVocab: Int = 65536): DataFrame = {
-    val tok = df.select(col(docId), explode(toks(col(textCol))).as("t"))
+    // tokenize once (500-doc-sized token arrays — cheap to hold), then
+    // derive the three exploded consumers (totals, capped LM, scoring
+    // join) from the materialized arrays instead of three regex passes
+    val arr = mat(df.select(col(docId), toks(col(textCol)).as("__l")),
+      "unilm-arr")
+    val tok = arr.select(col(docId), explode(col("__l")).as("t"))
     val totals = tok.agg(count(lit(1)).as("__n"),
       count_distinct(col("t")).as("__v"))
     val lm = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
@@ -253,7 +267,11 @@ object TextQualityOps {
     */
   def bigramLogProb(df: DataFrame, docId: String, textCol: String,
                     maxVocab: Int = 65536): DataFrame = {
-    val tok = df.select(col(docId), explode(toks(col(textCol))).as("t"))
+    // tokenize once: the unigram branches (totals, capped table) and both
+    // bigram consumers (capped table, scoring join) all derive from arr
+    val arr = mat(df.select(col(docId), toks(col(textCol)).as("__l")),
+      "bilm-arr")
+    val tok = arr.select(col(docId), explode(col("__l")).as("t"))
     val totals = tok.agg(count_distinct(col("t")).as("__v"))
     val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("c1"))
       .orderBy(col("c1").desc, col("t").asc)
@@ -261,7 +279,7 @@ object TextQualityOps {
       .withColumnRenamed("t", "w1")
     // token array materialized into its own column BEFORE shinglesOf —
     // the documented O(tokens²) re-split trap of passing tokens() inline
-    val bi = df.select(col(docId), toks(col(textCol)).as("__l"))
+    val bi = arr
       .select(col(docId), explode(TextOps.shinglesOf(col("__l"), 2)).as("b"))
       .withColumn("w1", split(col("b"), " ").getItem(0))
     val blm = bi.groupBy(col("b")).agg(count(lit(1)).as("c2"))
@@ -302,15 +320,17 @@ object TextQualityOps {
                      maxVocab: Int = 65536, l3: Double = 0.6,
                      l2: Double = 0.3, l1: Double = 0.1): DataFrame = {
     require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9, "interpolation weights must sum to 1")
-    val tok = df.select(col(docId), explode(toks(col(textCol))).as("t"))
+    // token arrays materialized once — five model/total branches plus the
+    // scoring join all fan out from arr, and the trigram rows feed both
+    // the capped table and the scoring join
+    val arr = mat(df.select(col(docId), toks(col(textCol)).as("__l")),
+      "trilm-arr")
+    val tok = arr.select(col(docId), explode(col("__l")).as("t"))
     val totals = tok.agg(count(lit(1)).as("__n"),
       count_distinct(col("t")).as("__v"))
     val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("cu"))
       .orderBy(col("cu").desc, col("t").asc)
       .limit(maxVocab)
-    // token array materialized once; trigram rows carry their backoff
-    // keys (both bigrams + both context words) so scoring is pure joins
-    val arr = df.select(col(docId), toks(col(textCol)).as("__l"))
     val tri = arr
       .select(col(docId), explode(TextOps.shinglesOf(col("__l"), 3)).as("g3"))
       .withColumn("__p", split(col("g3"), " "))
@@ -370,12 +390,15 @@ object TextQualityOps {
   def minkProb(df: DataFrame, docId: String, textCol: String,
                pctK: Int = 20, maxVocab: Int = 65536): DataFrame = {
     require(pctK >= 1 && pctK <= 100)
-    val tok = df.select(col(docId), explode(toks(col(textCol))).as("t"))
+    // same materialization shape as trigramLogProb: tokenize once, keep
+    // the positioned trigram rows for both the capped table and scoring
+    val arr = mat(df.select(col(docId), toks(col(textCol)).as("__l")),
+      "mink-arr")
+    val tok = arr.select(col(docId), explode(col("__l")).as("t"))
     val totals = tok.agg(count(lit(1)).as("__n"),
       count_distinct(col("t")).as("__v"))
     val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("cu"))
       .orderBy(col("cu").desc, col("t").asc).limit(maxVocab)
-    val arr = df.select(col(docId), toks(col(textCol)).as("__l"))
     val tri = arr
       .select(col(docId),
         posexplode(TextOps.shinglesOf(col("__l"), 3)).as(Seq("pos", "g3")))
@@ -456,7 +479,13 @@ object TextQualityOps {
     */
   def knTrigramLogProb(df: DataFrame, docId: String, textCol: String,
                        maxVocab: Int = 65536): DataFrame = {
-    val arr = df.select(col(docId), toks(col(textCol)).as("__l"))
+    // tokenize once (doc-sized token arrays); the exploded n-gram rows
+    // and every count table stay UN-materialized — their aggregation
+    // exchanges are shared across consumers by Spark's ReuseExchange,
+    // and caching the corpus-sized exploded tables measured SLOWER than
+    // recomputing them from the cached arrays (r18 bisect).
+    val arr = mat(df.select(col(docId), toks(col(textCol)).as("__l")),
+      "knlm-arr")
     val tok = arr.select(col(docId), explode(col("__l")).as("t"))
     val vTot = tok.agg(count_distinct(col("t")).as("__v"))
     val tri = arr
@@ -480,7 +509,8 @@ object TextQualityOps {
         concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)).as("b23"))
     // b12 context table: bigram count + follower-type counts by class —
     // ONE table so cb12 and the γ numerator are present/absent together
-    val biCounts = arr.select(explode(TextOps.shinglesOf(col("__l"), 2)).as("b"))
+    val biCounts = arr
+      .select(explode(TextOps.shinglesOf(col("__l"), 2)).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("cb"))
     val nf = triTypes.groupBy(col("b12")).agg(
       sum(when(col("ct") === 1, 1L).otherwise(0L)).as("nf1"),
@@ -591,7 +621,8 @@ object TextQualityOps {
     import org.apache.spark.sql.expressions.Window
     require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9, "interpolation weights must sum to 1")
     val lang = col(langCol)
-    val arr = df.select(col(docId), lang, toks(col(textCol)).as("__l"))
+    val arr = mat(
+      df.select(col(docId), lang, toks(col(textCol)).as("__l")), "langlm-arr")
     val tok = arr.select(lang, col(docId), explode(col("__l")).as("t"))
     val totals = tok.groupBy(lang).agg(count(lit(1)).as("__n"),
       count_distinct(col("t")).as("__v"))
@@ -743,8 +774,25 @@ object TextQualityOps {
     * are absent (no 5-gram evidence).
     */
   def kn5LogProb(df: DataFrame, docId: String, textCol: String,
-                 maxVocab: Int = 65536): DataFrame = {
-    val arr = df.select(col(docId), toks(col(textCol)).as("__l"))
+                 maxVocab: Int = 65536): DataFrame =
+    // tokenize once (doc-sized token arrays, the one expensive regex
+    // pass every branch shares); the exploded 5-gram rows and the count
+    // tables stay UN-materialized — their aggregation exchanges are
+    // shared across the nine model-table branches by ReuseExchange, and
+    // caching the corpus-sized exploded tables measured SLOWER than
+    // recomputing them from the cached arrays (r18 bisect: 15.4 s →
+    // 40-100 s with g5/g5cFull/q*c persisted).
+    kn5LogProbArr(
+      mat(df.select(col(docId), toks(col(textCol)).as("__l")), "kn5-arr"),
+      docId, maxVocab)
+
+  /** [[kn5LogProb]] over an ALREADY-TOKENIZED frame `(docId, __l)` —
+    * the shared back half that lets callers (the per-language fan-out
+    * especially) tokenize and materialize the corpus ONCE and feed
+    * slices of that one cache through the ladder.
+    */
+  private def kn5LogProbArr(arr: DataFrame, docId: String,
+                            maxVocab: Int): DataFrame = {
     val tok = arr.select(col(docId), explode(col("__l")).as("t"))
     val vTot = tok.agg(count_distinct(col("t")).as("__v"))
     val pp = (i: Int) => col("__p").getItem(i)
@@ -938,12 +986,25 @@ object TextQualityOps {
     */
   def langKn5PerplexityBuckets(df: DataFrame, docId: String, textCol: String,
                                langCol: String, langs: Seq[String],
-                               maxVocab: Int = 65536): DataFrame =
+                               maxVocab: Int = 65536): DataFrame = {
+    // tokenize the whole whitelisted corpus ONCE into one materialized
+    // token-array table; each language ladder consumes a filtered slice
+    // of that cache. The previous shape (filter-then-tokenize per
+    // language) re-ran the scan+regex five times — or, materialized
+    // per-language, paid five cache-build barriers (measured slower
+    // than the un-materialized form at sf0.1).
+    val arrAll = mat(df.filter(col(langCol).isin(langs: _*))
+        .select(col(docId), col(langCol), toks(col(textCol)).as("__l")),
+      "kn5lang-arr")
     langs.sorted.map { lg =>
-      kn5PerplexityBuckets(df.filter(col(langCol) === lg), docId, textCol,
-          maxVocab)
+      bucketize(
+        kn5LogProbArr(arrAll.filter(col(langCol) === lg)
+            .select(col(docId), col("__l")), docId, maxVocab)
+          .withColumnRenamed("avg_logprob_kn5", "__score"), docId)
+        .withColumnRenamed("__score", "avg_logprob_kn5")
         .withColumn(langCol, lit(lg))
     }.reduce(_ unionByName _)
+  }
 
   /** The scorer-agnostic tercile machinery shared by both bucketing
     * fronts: centi-quantize `__score`, histogram, cumulative count over
@@ -952,6 +1013,10 @@ object TextQualityOps {
     */
   private def bucketize(scoredIn: DataFrame, docId: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // scored feeds the histogram, the total and the final assignment;
+    // the three consumers share the scorer's final exchange via
+    // ReuseExchange, so materializing here measured as pure overhead
+    // (r18 bisect: +1.2 s on the cheap trigram buckets, no gain on kn5)
     val scored = scoredIn
       .withColumn("lp_centi", floor(col("__score") * 100).cast("long"))
     val hist = scored.groupBy(col("lp_centi")).agg(count(lit(1)).as("__c"))

@@ -274,7 +274,10 @@ object DataPipelineQueries extends QueryPack {
       val comps = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
       val drops = comps.filter(col("component") < col("id"))
         .select(col("id").as("doc_id"))
-      val deduped = docs.join(drops, Seq("doc_id"), "left_anti")
+      // deduped feeds the quality gate AND the final scoring join — one
+      // materialized pass instead of re-running dedup per consumer
+      val deduped = DedupOps.materialize(
+        docs.join(drops, Seq("doc_id"), "left_anti"), "prepare-deduped")
       val passIds = TextQualityOps.qualityGate(
           TextQualityOps.repetitionStats(deduped, "doc_id", "text"),
           minTokens = 40, maxTokens = 100000, maxTopUnigramFrac = 0.09,
@@ -313,7 +316,10 @@ object DataPipelineQueries extends QueryPack {
       val comps = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
       val drops = comps.filter(col("component") < col("id"))
         .select(col("id").as("doc_id"))
-      val deduped = docs.join(drops, Seq("doc_id"), "left_anti")
+      // deduped feeds three branches (utf8 gate, quality gate, final
+      // join) — materialize so the dedup anti-join runs once
+      val deduped = DedupOps.materialize(
+        docs.join(drops, Seq("doc_id"), "left_anti"), "curate2-deduped")
       val utf8Ok = deduped
         .selectExpr("doc_id", "utf8_stats(CAST(text AS BINARY)) AS st")
         .filter(col("st.n_invalid") === 0).select("doc_id")
@@ -349,7 +355,10 @@ object DataPipelineQueries extends QueryPack {
       val comps = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
       val drops = comps.filter(col("component") < col("id"))
         .select(col("id").as("doc_id"))
-      val deduped = docs.join(drops, Seq("doc_id"), "left_anti")
+      // deduped feeds three branches (utf8 gate, quality gate, final
+      // join) — materialize so the dedup anti-join runs once
+      val deduped = DedupOps.materialize(
+        docs.join(drops, Seq("doc_id"), "left_anti"), "curate3-deduped")
       val utf8Ok = deduped
         .selectExpr("doc_id", "utf8_stats(CAST(text AS BINARY)) AS st")
         .filter(col("st.n_invalid") === 0).select("doc_id")
@@ -386,9 +395,13 @@ object DataPipelineQueries extends QueryPack {
         expr("""transform(
                   sequence(0, greatest(CAST(ceil(size(toks)/10.0) AS INT), 1) - 1),
                   i -> array_join(slice(toks, i*10+1, 10), ' '))""").as("lines"))
-      val kept = DedupOps.lineDedup(lines, "doc_id", col("lines"))
-        .filter(col("n_kept") > 0)
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      // kept feeds the per-lang LM ladder AND the final token-count join —
+      // materialize so line dedup + reassembly runs once
+      val kept = DedupOps.materialize(
+        DedupOps.lineDedup(lines, "doc_id", col("lines"))
+          .filter(col("n_kept") > 0)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        "ccnet-kept")
       TextQualityOps.langPerplexityBuckets(kept, "doc_id", "text_kept", "lang")
         .filter(col("ppl_bucket") =!= "tail")
         .join(kept.select(col("doc_id"),

@@ -267,7 +267,11 @@ object LangIdQueries extends QueryPack {
       val classDf = LangClasses.zipWithIndex
         .map { case (l, i) => (i, l) }.toDF("pred_c", "pred_lang")
       val train = docs.filter(col("doc_id") % 4 =!= 0)
-      val feat = LangIdOps.charNgramFeatures(train, "doc_id", "text", NumBuckets)
+      // feat feeds the freq aggregate and the cached doc layout — one
+      // char-ngram hash pass instead of two
+      val feat = graft.ops.DedupOps.materialize(
+        LangIdOps.charNgramFeatures(train, "doc_id", "text", NumBuckets),
+        "langid-feat")
       val labels = train
         .join(classDf.withColumnRenamed("pred_lang", "lang"), Seq("lang"))
         .select(col("doc_id"), col("pred_c").as("y"))

@@ -943,4 +943,156 @@ class IcebergOpsSpec extends SparkSuite {
       IcebergOps.readIcebergChanges(spark, d2, 0, 1)
     }
   }
+
+  test("compaction reads the live set O(1) times, not once per tuple") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_icecmp1_")
+      .toString
+    // 8 tuples x 2000 rows with a 100-char payload: large enough that a
+    // per-tuple re-scan of the table separates cleanly from footer noise
+    val langs = ('a' to 'h').map(_.toString)
+    val docs = spark.range(16000).select(col("id"),
+      expr("substring('abcdefgh', cast(id % 8 as int) + 1, 1)").as("lang"),
+      expr("repeat('x', 100)").as("pad"))
+    langs.foreach { l =>
+      docs.filter(col("lang") === l)
+        .write.mode("overwrite").parquet(s"$dir/data/l$l")
+    }
+    IcebergOps.icebergCommitPartitioned(dir, 0, Seq("lang"),
+      langs.map(l => s"data/l$l" -> Seq(l)))
+    def dirBytes(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
+    val tableBytes = dirBytes(new java.io.File(dir, "data"))
+    def fsBytesRead: Long = {
+      import scala.jdk.CollectionConverters._
+      org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+        .filter(_.getScheme == "file").map(_.getBytesRead).sum
+    }
+    val before = fsBytesRead
+    val sid = IcebergOps.icebergCompact(spark, dir, Seq("lang"),
+      maxTuples = 16)
+    val delta = fsBytesRead - before
+    // one materialized pass (cache build) + footers/commit stats; the
+    // old per-tuple shape read the table ~9x here (8 slices + distinct)
+    assert(delta <= 4 * tableBytes,
+      s"compaction read $delta bytes for a $tableBytes-byte live set - " +
+        "per-tuple table re-scans are back")
+    assert(IcebergOps.readIcebergSnapshot(spark, dir, sid).count() == 16000L)
+  }
+
+  test("compaction dir names escape '_' in values - no tuple collision") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_icecmp2_")
+      .toString
+    // under naive values.mkString("_") BOTH tuples land in dir
+    // "pt_B_R" and the second overwrite silently destroys the first
+    Seq((1L, "pt", "B_R"), (2L, "pt", "B_R"), (3L, "pt", "B_R"))
+      .toDF("id", "c1", "c2").write.parquet(s"$dir/data/t0")
+    Seq((4L, "pt_B", "R"), (5L, "pt_B", "R"))
+      .toDF("id", "c1", "c2").write.parquet(s"$dir/data/t1")
+    IcebergOps.icebergCommitPartitioned(dir, 0, Seq("c1", "c2"),
+      Seq("data/t0" -> Seq("pt", "B_R"), "data/t1" -> Seq("pt_B", "R")))
+    val sid = IcebergOps.icebergCompact(spark, dir, Seq("c1", "c2"),
+      maxTuples = 8)
+    val entries = IcebergOps.icebergEntries(dir, sid)._2
+    assert(entries.map(_._1).distinct.size == 2,
+      s"two tuples must compact into two directories: $entries")
+    assert(IcebergOps.readIcebergSnapshot(spark, dir, sid)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("v2: removing a data file refuses while delete files are live") {
+    import org.apache.spark.sql.functions.col
+    val d2 = java.nio.file.Files.createTempDirectory("graft_icev2rm_")
+      .toString
+    def oneFile(rows: Seq[(Long, String)], sub: String): String = {
+      rows.toDF("id", "v").repartition(1).sortWithinPartitions("id")
+        .write.parquet(s"$d2/data/$sub")
+      new java.io.File(s"$d2/data/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+        .sorted.head
+    }
+    val f0 = oneFile(Seq((1L, "a"), (2L, "b")), "u0")
+    val f1 = oneFile(Seq((3L, "c")), "u1")
+    IcebergOps.icebergCommitV2(d2, 0, Seq(f0, f1))
+    val delRows = spark.read.parquet(f0)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") === 2L).select(col("file_path"), col("pos"))
+    delRows.repartition(1).write.parquet(s"$d2/data/del1")
+    val delFile = new java.io.File(s"$d2/data/del1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .sorted.head
+    IcebergOps.icebergCommitV2(d2, 1, adds = Nil,
+      deleteFiles = Seq(delFile))
+    // the count invariant (sum live record_counts minus delete-tuple
+    // counts) only holds while no delete tuple can dangle: a remove of
+    // f1 would leave del1's tuples subtracted against retired rows
+    val e = intercept[IllegalArgumentException] {
+      IcebergOps.icebergCommitV2(d2, 2, adds = Nil, removes = Seq(f1))
+    }
+    assert(e.getMessage.contains("delete"))
+    // and with NO live delete files, removes still work (no over-refusal)
+    val d3 = java.nio.file.Files.createTempDirectory("graft_icev2rm3_")
+      .toString
+    def oneFile3(rows: Seq[(Long, String)], sub: String): String = {
+      rows.toDF("id", "v").repartition(1).sortWithinPartitions("id")
+        .write.parquet(s"$d3/data/$sub")
+      new java.io.File(s"$d3/data/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+        .sorted.head
+    }
+    val g0 = oneFile3(Seq((1L, "a")), "u0")
+    val g1 = oneFile3(Seq((2L, "b")), "u1")
+    IcebergOps.icebergCommitV2(d3, 0, Seq(g0, g1))
+    IcebergOps.icebergCommitV2(d3, 1, adds = Nil, removes = Seq(g1))
+    assert(IcebergOps.icebergCount(d3, 1) == 1L)
+  }
+
+  test("evolved read after expiry refuses loudly, never a bare key miss") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceevexp_")
+      .toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/data/u0")
+    Seq((2L, "b", 0.5)).toDF("id", "v", "s").write.parquet(s"$dir/data/u1")
+    IcebergOps.icebergCommitEvolved(dir, 0,
+      Seq((1, "id", "long"), (2, "v", "string")), Seq("data/u0"))
+    IcebergOps.icebergCommitEvolved(dir, 1,
+      Seq((1, "id", "long"), (2, "v", "string"), (3, "s", "double")),
+      Seq("data/u1"))
+    // evolved read works while both snapshots are recorded
+    assert(IcebergOps.readIcebergEvolved(spark, dir, 1).count() == 2L)
+    // expire snapshot 0: file u0 stays live (carried) but its add-time
+    // snapshot - and with it the schema-id mapping - is gone
+    assert(IcebergOps.expireSnapshots(dir, retainLast = 1) == Seq(0L))
+    val e = intercept[IllegalArgumentException] {
+      IcebergOps.readIcebergEvolved(spark, dir, 1)
+    }
+    assert(e.getMessage.contains("expired"))
+  }
+
+  test("metaTable resolves each snapshot's RECORDED manifest-list name") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_icemetan_")
+      .toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/data/u0")
+    IcebergOps.icebergCommit(dir, 0, Seq("data/u0"))
+    // rename the manifest list to a conformant library-writer name
+    // (snap-<id>-<attempt>-<uuid>.avro) and patch the metadata json -
+    // the metadata tables must follow the RECORDED path, not re-derive
+    // snap-<id>.avro from the id
+    val md = new java.io.File(dir, "metadata")
+    val real = "snap-0-1-0f35dcb2-7bbe-4a6c-b711-54b8a1a79b27.avro"
+    assert(new java.io.File(md, "snap-0.avro")
+      .renameTo(new java.io.File(md, real)))
+    val metaFile = new java.io.File(md, "v1.metadata.json")
+    val patched = new String(
+      java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
+      .replace("metadata/snap-0.avro", s"metadata/$real")
+    java.nio.file.Files.write(metaFile.toPath, patched.getBytes("UTF-8"))
+    val snaps = IcebergOps.metaTable(spark, dir, "snapshots").collect()
+    assert(snaps.length == 1 && snaps.head.getString(1).endsWith(real))
+    assert(snaps.head.getLong(4) == 2L) // total_records from the fold
+    assert(IcebergOps.metaTable(spark, dir, "files").count() == 1L)
+  }
 }

@@ -986,25 +986,26 @@ object TextQualityOps {
     */
   def langKn5PerplexityBuckets(df: DataFrame, docId: String, textCol: String,
                                langCol: String, langs: Seq[String],
-                               maxVocab: Int = 65536): DataFrame = {
-    // tokenize the whole whitelisted corpus ONCE into one materialized
-    // token-array table; each language ladder consumes a filtered slice
-    // of that cache. The previous shape (filter-then-tokenize per
-    // language) re-ran the scan+regex five times — or, materialized
-    // per-language, paid five cache-build barriers (measured slower
-    // than the un-materialized form at sf0.1).
-    val arrAll = mat(df.filter(col(langCol).isin(langs: _*))
-        .select(col(docId), col(langCol), toks(col(textCol)).as("__l")),
-      "kn5lang-arr")
+                               maxVocab: Int = 65536): DataFrame =
+    // Each language ladder tokenizes its slice INLINE (no
+    // materialization): both cache shapes were tried in r18 — one shared
+    // materialized token table for all five languages, and one persisted
+    // table per language — and both measured BISTABLE on the five-ladder
+    // union (quiet 5-pass medians flapping 44→93 s at sf0.1 vs a stable
+    // ~45 s for this shape; the ~50 concurrent aggregation stages appear
+    // to serialize behind the table-cache build barriers). At cluster
+    // scale each language shard is its own job anyway (the documented
+    // fan-out posture), where the single-corpus scorers' tokenize-once
+    // materialization applies per shard.
     langs.sorted.map { lg =>
       bucketize(
-        kn5LogProbArr(arrAll.filter(col(langCol) === lg)
-            .select(col(docId), col("__l")), docId, maxVocab)
+        kn5LogProbArr(df.filter(col(langCol) === lg)
+            .select(col(docId), toks(col(textCol)).as("__l")),
+          docId, maxVocab)
           .withColumnRenamed("avg_logprob_kn5", "__score"), docId)
         .withColumnRenamed("__score", "avg_logprob_kn5")
         .withColumn(langCol, lit(lg))
     }.reduce(_ unionByName _)
-  }
 
   /** The scorer-agnostic tercile machinery shared by both bucketing
     * fronts: centi-quantize `__score`, histogram, cumulative count over
